@@ -1,0 +1,172 @@
+"""Text/HTML scalar functions for the web-page payload.
+
+The reference's scalar surface is time floor/align + label string ops
+(SURVEY.md §2 "Scalar functions"); the web-page payload adds url→domain
+extraction and HTML→text extraction (the ``input_hint`` invariant:
+byte-identical extracted text per url).
+
+Everything here is either a vectorized Arrow/pandas kernel or a
+compiled-regex per-document function intended to run inside an actor-pool
+``map_batches`` stage (regexes compiled once per actor in ``__init__``).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# Canonical page template (synthetic pages generator <-> extractor inverse)
+# ---------------------------------------------------------------------------
+
+# escape exactly &, <, > (in this order); the SQL oracle mirrors this with
+# three chained replace() calls, so keep it minimal and deterministic.
+def html_escape_basic(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def html_unescape_basic(s: str) -> str:
+    """Exact inverse of :func:`html_escape_basic` (reverse order)."""
+    return s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+
+
+PAGE_TEMPLATE = (
+    "<html><head><title>{title}</title></head>"
+    "<body><p>{body}</p></body></html>"
+)
+# constant byte overhead of the template around title/body (used by the SQL
+# oracle to predict len(html) without building it)
+PAGE_TEMPLATE_OVERHEAD = len(PAGE_TEMPLATE.format(title="", body="").encode("utf-8"))
+
+
+def wrap_html(title: str, text: str) -> bytes:
+    """Render the canonical page; ``extract_text(wrap_html(t, x)) == x``."""
+    return PAGE_TEMPLATE.format(title=html_escape_basic(title), body=html_escape_basic(text)).encode(
+        "utf-8"
+    )
+
+
+_P_RE = re.compile(r"<p(?:\s[^>]*)?>(.*?)</p>", re.DOTALL | re.IGNORECASE)
+_SCRIPT_STYLE_RE = re.compile(r"<(script|style)\b[^>]*>.*?</\1\s*>", re.DOTALL | re.IGNORECASE)
+_NUM_ENT_RE = re.compile(r"&#(?:x([0-9a-fA-F]+)|([0-9]+));")
+_NAMED_ENTS = {"&quot;": '"', "&apos;": "'", "&nbsp;": " ", "&#39;": "'"}
+
+
+def unescape_entities(s: str) -> str:
+    """Numeric + common named entities, then the basic three (inverse-escape last)."""
+    s = _NUM_ENT_RE.sub(lambda m: chr(int(m.group(1), 16) if m.group(1) else int(m.group(2))), s)
+    for ent, ch in _NAMED_ENTS.items():
+        s = s.replace(ent, ch)
+    return html_unescape_basic(s)
+
+
+def extract_text(html: bytes | str) -> str:
+    """HTML -> text: join ``<p>`` contents with newlines, unescape entities.
+
+    Paragraph-scoped so titles, scripts/styles and malformed tails never leak
+    into the text (the reference's per-row invariant demands byte-identical
+    output per url, so extraction must be a pure deterministic function of the
+    html bytes).
+    """
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    html = _SCRIPT_STYLE_RE.sub("", html)
+    parts = _P_RE.findall(html)
+    return "\n".join(unescape_entities(p) for p in parts)
+
+
+# ---------------------------------------------------------------------------
+# URL / token / quality kernels (vectorized Arrow)
+# ---------------------------------------------------------------------------
+
+_DOMAIN_REWRITE = (r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+).*$", r"\1")
+
+
+def url_domain(urls: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
+    """Vectorized url -> host (scheme://host/... -> host); RE2 rewrite kernel."""
+    return pc.replace_substring_regex(urls, pattern=_DOMAIN_REWRITE[0], replacement=_DOMAIN_REWRITE[1])
+
+
+_WS_SPLIT = r"[ \t\r\n]+"
+
+
+def token_count(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Whitespace-token count, SQL-mirrorable: split trimmed text on [ \\t\\r\\n]+.
+
+    Empty / whitespace-only text counts 0.  The DuckDB oracle uses
+    ``len(regexp_split_to_array(trim(text), '[ \\t\\r\\n]+'))`` with an empty
+    CASE guard — identical definition on both sides.
+    """
+    trimmed = pc.utf8_trim(pc.cast(texts, pa.string()), " \t\r\n")
+    splits = pc.split_pattern_regex(trimmed, _WS_SPLIT)
+    n = pc.list_value_length(splits)
+    empty = pc.equal(trimmed, "")
+    return pc.cast(pc.if_else(empty, pa.scalar(0, pa.int32()), n), pa.int64())
+
+
+def count_regex(texts: pa.ChunkedArray | pa.Array, pattern: str) -> pa.Array:
+    """Count regex matches per string (vectorized)."""
+    return pc.cast(pc.count_substring_regex(pc.cast(texts, pa.string()), pattern), pa.int64())
+
+
+def quality_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Quality-scoring raw counts per document (integer, SQL-mirrorable).
+
+    Emits ``n_chars_text`` (character length), ``n_alpha`` ([A-Za-z]),
+    ``n_digit`` ([0-9]), ``n_space`` and ``n_tokens``.  Ratios (alpha ratio,
+    mean word length, ...) derive from these downstream; integers keep the
+    DuckDB value-hash comparison exact.
+    """
+    texts = batch[text_col]
+    batch = batch.append_column("n_chars_text", pc.cast(pc.utf8_length(texts), pa.int64()))
+    batch = batch.append_column("n_alpha", count_regex(texts, "[A-Za-z]"))
+    batch = batch.append_column("n_digit", count_regex(texts, "[0-9]"))
+    batch = batch.append_column("n_space", count_regex(texts, " "))
+    batch = batch.append_column("n_tokens", token_count(texts))
+    return batch
+
+
+# ---------------------------------------------------------------------------
+# Language identification (n-gram / stopword heuristic; no external models)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset("the of and to a in is that it for on with as at by this".split()),
+    "de": frozenset("der die das und ist nicht ein eine mit von zu im den für auf".split()),
+    "es": frozenset("el la los las de que y en un una es por con para del no".split()),
+    "fr": frozenset("le la les de des et un une est dans pour que qui sur pas".split()),
+}
+
+
+class LangIdModel:
+    """Deterministic heuristic language-ID: CJK-ratio then stopword voting.
+
+    Stateful-stage material: construct once per actor (``__init__`` of the
+    actor-pool callable), apply per batch.
+    """
+
+    def __init__(self) -> None:
+        self.word_re = re.compile(r"[a-zäöüßáéíóúàèìòùâêîôûçñ]+", re.IGNORECASE)
+        self.stop = {lang: sw for lang, sw in _STOPWORDS.items()}
+
+    def predict_one(self, text: str) -> str:
+        if not text:
+            return "und"  # undetermined
+        n_cjk = sum(1 for ch in text[:4000] if "一" <= ch <= "鿿")
+        if n_cjk >= max(4, 0.05 * min(len(text), 4000)):
+            return "zh"
+        words = self.word_re.findall(text[:4000].lower())
+        if not words:
+            return "und"
+        best_lang, best_hits = "und", 0
+        for lang in sorted(self.stop):  # sorted -> deterministic tie-break
+            hits = sum(1 for w in words if w in self.stop[lang])
+            if hits > best_hits:
+                best_lang, best_hits = lang, hits
+        return best_lang if best_hits > 0 else "und"
+
+    def predict(self, texts) -> list[str]:
+        return [self.predict_one(t or "") for t in texts]

@@ -1,0 +1,177 @@
+"""Text/HTML and hashing function tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from prom_tsdb_copyer_ray.functions.hashing import (
+    MinHasher,
+    char_ngram_hashes,
+    hamming64,
+    jaccard,
+    simhash64,
+    stable_hash64,
+    text_fingerprint,
+    word_ngram_hashes,
+)
+from prom_tsdb_copyer_ray.functions.text import (
+    LangIdModel,
+    extract_text,
+    html_escape_basic,
+    html_unescape_basic,
+    quality_counts,
+    token_count,
+    url_domain,
+    wrap_html,
+    PAGE_TEMPLATE_OVERHEAD,
+)
+
+
+# --- html wrap/extract (input_hint byte-identical invariant) ---------------
+
+def test_wrap_extract_roundtrip():
+    for text in [
+        "hello world",
+        "a < b & c > d",
+        "multi\nline\ntext",
+        "中文文本 with mixed ascii",
+        "&amp; literal-entity-looking text &lt;",
+        "",
+        "  leading and trailing  ",
+    ]:
+        html = wrap_html("some title", text)
+        assert extract_text(html) == text, text
+
+
+def test_template_overhead_constant():
+    text = "xyz & <tag>"
+    esc = html_escape_basic(text)
+    html = wrap_html("t", text)
+    assert len(html) == PAGE_TEMPLATE_OVERHEAD + len("t") + len(esc.encode("utf-8"))
+
+
+def test_escape_inverse():
+    s = "a&b<c>d&amp;"
+    assert html_unescape_basic(html_escape_basic(s)) == s
+
+
+def test_extract_strips_title_script_style_malformed():
+    html = (
+        b"<html><head><title>TITLE</title><style>p{color:red}</style></head>"
+        b"<body><script>var x = '<p>not text</p>';</script>"
+        b"<p>first</p><div>skipped</div><p>second &#x2014; dash</p></body><broken"
+    )
+    assert extract_text(html) == "first\nsecond — dash"
+
+
+def test_extract_entities():
+    assert extract_text(b"<p>&quot;q&quot; &#65; &amp;</p>") == '"q" A &'
+
+
+# --- url/token/quality kernels --------------------------------------------
+
+def test_url_domain():
+    urls = pa.array(
+        [
+            "https://example.com/path/x",
+            "http://sub.dom.org/",
+            "https://nopath.net",
+            "https://host.io/p?q=1",
+        ]
+    )
+    got = url_domain(urls).to_pylist()
+    assert got == ["example.com", "sub.dom.org", "https://nopath.net", "host.io"]
+    # note: scheme://host with no trailing slash doesn't match the rewrite —
+    # the synthetic generator always emits a path, so this is out of contract
+
+
+def test_token_count():
+    texts = pa.array(["a b  c", "", "   ", "one", "\tx\ny z  "])
+    assert token_count(texts).to_pylist() == [3, 0, 0, 1, 3]
+
+
+def test_quality_counts():
+    t = pa.table({"doc_id": [1], "text": ["Ab1 c!"]})
+    out = quality_counts(t)
+    assert out["n_chars_text"].to_pylist() == [6]
+    assert out["n_alpha"].to_pylist() == [3]
+    assert out["n_digit"].to_pylist() == [1]
+    assert out["n_space"].to_pylist() == [1]
+    assert out["n_tokens"].to_pylist() == [2]
+
+
+def test_langid():
+    m = LangIdModel()
+    assert m.predict_one("the quick brown fox is in the barn with a dog") == "en"
+    assert m.predict_one("der hund ist nicht in der schule und das haus") == "de"
+    assert m.predict_one("这是一个中文文档，包含很多中文字符，用于测试。") == "zh"
+    assert m.predict_one("") == "und"
+    assert m.predict_one("zzz qqq xxx") == "und"
+
+
+# --- hashing ---------------------------------------------------------------
+
+def test_stable_hash_deterministic():
+    assert stable_hash64("abc") == stable_hash64(b"abc")
+    assert stable_hash64("abc") != stable_hash64("abd")
+
+
+def test_char_ngram_rolling_matches_naive():
+    text = "hello world, rolling hashes"
+    n = 5
+    got = char_ngram_hashes(text, n)
+    b = text.encode("utf-8")
+    assert len(got) == len(b) - n + 1
+    # naive recomputation of each window
+    B, SEED = 1000003, 0x9E3779B97F4A7C15
+    for i in range(len(b) - n + 1):
+        acc = 0
+        for x in b[i : i + n]:
+            acc = (acc * B + x + SEED) % 2**64
+        assert int(got[i]) == acc, i
+
+
+def test_char_ngram_short_text():
+    assert len(char_ngram_hashes("ab", 5)) == 1
+    assert len(char_ngram_hashes("", 5)) == 0
+
+
+def test_word_ngrams():
+    assert len(word_ngram_hashes("a b c d", 3)) == 2
+    assert len(word_ngram_hashes("a b", 3)) == 1
+    assert len(word_ngram_hashes("", 3)) == 0
+
+
+def test_minhash_similarity_tracks_jaccard():
+    mh = MinHasher(num_perm=128)
+    a = char_ngram_hashes("the quick brown fox jumps over the lazy dog " * 5)
+    b = char_ngram_hashes("the quick brown fox jumps over the lazy cat " * 5)
+    c = char_ngram_hashes("completely different content with other words " * 5)
+    sa, sb, sc = mh.signature(a), mh.signature(b), mh.signature(c)
+    sim_ab = (sa == sb).mean()
+    sim_ac = (sa == sc).mean()
+    true_ab = jaccard(a, b)
+    assert sim_ab > sim_ac
+    assert abs(sim_ab - true_ab) < 0.15
+
+
+def test_minhash_band_hashes_identical_docs_collide():
+    mh = MinHasher(num_perm=128)
+    h = char_ngram_hashes("same document text here")
+    assert mh.band_hashes(mh.signature(h), 32) == mh.band_hashes(mh.signature(h.copy()), 32)
+
+
+def test_simhash_near_duplicates_close():
+    a = simhash64(char_ngram_hashes("the quick brown fox jumps over the lazy dog " * 10))
+    b = simhash64(char_ngram_hashes("the quick brown fox jumps over the lazy cat " * 10))
+    c = simhash64(char_ngram_hashes("totally unrelated words appear in this one " * 10))
+    assert hamming64(a, b) < hamming64(a, c)
+
+
+def test_fingerprint_deterministic_and_sensitive():
+    f1 = text_fingerprint("abc def")
+    assert f1 == text_fingerprint("abc def")
+    assert f1 != text_fingerprint("abc deg")
+    assert 0 <= f1 < 2**63
+    assert text_fingerprint("") == 0
