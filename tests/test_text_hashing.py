@@ -81,9 +81,7 @@ def test_url_domain():
         ]
     )
     got = url_domain(urls).to_pylist()
-    assert got == ["example.com", "sub.dom.org", "https://nopath.net", "host.io"]
-    # note: scheme://host with no trailing slash doesn't match the rewrite —
-    # the synthetic generator always emits a path, so this is out of contract
+    assert got == ["example.com", "sub.dom.org", "nopath.net", "host.io"]
 
 
 def test_token_count():
