@@ -111,7 +111,7 @@ def simhash64(shingle_hashes: np.ndarray) -> int:
     if len(shingle_hashes) == 0:
         return 0
     bits = np.unpackbits(shingle_hashes.view(np.uint8).reshape(-1, 8)[:, ::-1], axis=1)
-    votes = bits.sum(axis=0) * 2 - len(shingle_hashes)  # (+1/-1 vote sums)
+    votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(shingle_hashes)  # (+1/-1 vote sums)
     out = 0
     for j in range(64):
         if votes[j] > 0:
