@@ -1,0 +1,117 @@
+"""Checkpoint/resume tests (state/manifest.py; SURVEY.md §4 resume row)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+from prom_tsdb_copyer_ray.sources.pages import generate_pages
+from prom_tsdb_copyer_ray.state.manifest import (
+    clean_uncommitted_days,
+    completed_days,
+    load_manifest,
+    manifest_path,
+    manifest_summary,
+    read_tier,
+    tier_dir,
+    write_tier,
+)
+
+
+@pytest.fixture()
+def out_dir(tmp_path):
+    return str(tmp_path / "out")
+
+
+def _run(out_dir, n_pages=1500, span_days=3):
+    import ray.data
+
+    from prom_tsdb_copyer_ray.pipelines.copy import run_copy
+
+    pages = generate_pages(n_pages, seed=42, span_ms=span_days * 86_400_000)
+    return run_copy(
+        lambda: ray.data.from_arrow(pages), out_dir, concurrency=(1, 2)
+    )
+
+
+def test_full_run_writes_all_tiers(ray_session, out_dir):
+    manifests = _run(out_dir)
+    for tier in ("5m", "1h", "1d"):
+        assert manifests[tier]["status"] == "complete"
+        assert len(manifests[tier]["days"]) >= 3
+        assert read_tier(out_dir, tier).count() > 0
+    summary = manifest_summary(out_dir)
+    assert summary["5m"]["n_rows"] > summary["1h"]["n_rows"] > summary["1d"]["n_rows"]
+
+
+def test_resume_skips_completed_tiers(ray_session, out_dir):
+    _run(out_dir)
+    before = {t: json.load(open(manifest_path(out_dir, t))) for t in ("5m", "1h", "1d")}
+    manifests = _run(out_dir)  # second run: all tiers complete -> no rewrites
+    after = {t: json.load(open(manifest_path(out_dir, t))) for t in ("5m", "1h", "1d")}
+    assert before == after
+    assert manifests["5m"]["days"] == before["5m"]["days"]
+
+
+def test_resume_after_partial_crash(ray_session, out_dir):
+    """Simulate a crash after the 5m tier: later tiers absent -> only they run."""
+    _run(out_dir)
+    golden = {t: read_tier(out_dir, t).to_pandas() for t in ("5m", "1h", "1d")}
+
+    # "crash": drop 1h + 1d outputs and manifests entirely
+    for t in ("1h", "1d"):
+        shutil.rmtree(tier_dir(out_dir, t))
+        os.remove(manifest_path(out_dir, t))
+
+    _run(out_dir)
+    for t in ("1h", "1d"):
+        got = read_tier(out_dir, t).to_pandas()
+        got = got.sort_values(["series_key", "window_start"]).reset_index(drop=True)
+        want = golden[t].sort_values(["series_key", "window_start"]).reset_index(drop=True)
+        assert got.drop(columns=["window_day"]).equals(want.drop(columns=["window_day"]))
+
+
+def test_day_level_resume_skips_manifested_days(ray_session, out_dir):
+    """Partition-level checkpoint: manifested days are not rewritten; an
+    unmanifested (partial/crashed) day dir is cleaned and recomputed."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.rollup import rollup_raw
+    from prom_tsdb_copyer_ray.pipelines.copy import pages_to_samples
+
+    pages = generate_pages(1500, seed=42, span_ms=3 * 86_400_000)
+    samples = pages_to_samples(ray.data.from_arrow(pages), concurrency=(1, 2))
+    write_tier(rollup_raw(samples, "5m"), out_dir, "5m")
+    days = sorted(completed_days(out_dir, "5m"))
+    assert len(days) >= 3
+    golden = read_tier(out_dir, "5m").to_pandas()
+
+    # simulate a crashed run: last day has data but no manifest entry
+    m = load_manifest(out_dir, "5m")
+    victim = str(days[-1])
+    del m["days"][victim]
+    with open(manifest_path(out_dir, "5m"), "w") as f:
+        json.dump(m, f)
+    # fingerprint surviving day dirs so we can prove they are not rewritten
+    def snapshot(day):
+        d = os.path.join(tier_dir(out_dir, "5m"), f"window_day={day}")
+        return sorted((f, os.path.getmtime(os.path.join(d, f))) for f in os.listdir(d))
+
+    before = {d: snapshot(d) for d in days[:-1]}
+
+    removed = clean_uncommitted_days(out_dir, "5m")
+    assert removed == [int(victim)]
+
+    samples2 = pages_to_samples(ray.data.from_arrow(pages), concurrency=(1, 2))
+    write_tier(rollup_raw(samples2, "5m"), out_dir, "5m")
+
+    assert {d: snapshot(d) for d in days[:-1]} == before  # completed days untouched
+    assert set(completed_days(out_dir, "5m")) == set(days)
+    got = read_tier(out_dir, "5m").to_pandas()
+    key = ["series_key", "window_start"]
+    assert got.sort_values(key).reset_index(drop=True).drop(columns=["window_day"]).equals(
+        golden.sort_values(key).reset_index(drop=True).drop(columns=["window_day"])
+    )
