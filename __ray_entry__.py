@@ -1,44 +1,40 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship pages->tiers pipeline on sf0.001;
+``queries()`` / ``oracle_sql()`` expose the operator battery from
+``prom_tsdb_copyer_ray.pipelines.queries`` (one entry per implemented
+operator of SURVEY.md §2 plus the training-data operators).  Ray is
+initialised by the driver before import — nothing here calls ray.init().
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: pages (derived from the
+    documents table) -> extraction actor pool -> 5m/1h/1d rollup tiers;
+    returns the 5m tier chunk Dataset."""
+    from prom_tsdb_copyer_ray.pipelines.copy import build_tiers
+    from prom_tsdb_copyer_ray.sources.pages import read_pages_from_documents
+
+    pages = read_pages_from_documents("/root/testdata/sf0.001")
+    return build_tiers(pages, tiers=("5m",), concurrency=(1, 4))["5m"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from prom_tsdb_copyer_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from prom_tsdb_copyer_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,804 @@
+"""Driver-conformance query battery (``__ray_entry__.queries`` backing).
+
+Each ``q_*`` function takes ``sf_dir`` and returns a Dataset / pyarrow
+Table; ``ORACLE_SQL`` holds the DuckDB-equivalent SQL keyed by the same
+names (omitted for non-SQL-expressible ops -> driver does a rows-only
+check).  Column names and rounding are kept IDENTICAL between the Ray and
+SQL sides (the driver hashes values after sorting columns by name).
+
+Float policy: aggregates that sum floats round to a fixed number of
+decimals on BOTH sides (distributed summation order differs from DuckDB's;
+rounding removes the last-ulp nondeterminism).  Min/max/first/last and sums
+of integral-valued floats are exact and stay unrounded.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.matchers import Matcher, make_filter_fn
+from ..functions.relabel import make_relabel_fn
+from ..windows import MS_1D, MS_1H, MS_5M, aligned_windows, ts_to_ms, window_start
+
+# composite (ts, id) ordering trick: ts_ms * 2^22 + id is order-preserving
+# while id < 4,194,304 (testdata event_id max ~1e5 at sf1)
+_COMP = 1 << 22
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _finalize(ds, renames: dict[str, str], rounds: dict[str, int] | None = None):
+    """Rename aggregate columns and apply fixed rounding (both small maps)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        for old, new in renames.items():
+            if old in batch.column_names:
+                batch = batch.rename_columns(
+                    [new if c == old else c for c in batch.column_names]
+                )
+        for col, nd in (rounds or {}).items():
+            batch = batch.set_column(
+                batch.column_names.index(col),
+                col,
+                pc.round(batch[col], ndigits=nd),
+            )
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _windowed_partial(keys: list[str], d_ms: int, ts_col: str = "ts", val_col: str = "value"):
+    """map_batches kernel: per-batch partial (count/sum/min/max) per
+    (keys..., window_start) — the pre-aggregation that keeps the groupby
+    shuffle small (SURVEY.md §4 partial+final pattern)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        w = window_start(ts_to_ms(batch[ts_col]), d_ms)
+        t = batch.append_column("window_start", w)
+        return t.group_by(keys + ["window_start"]).aggregate(
+            [(val_col, "count"), (val_col, "sum"), (val_col, "min"), (val_col, "max")]
+        )
+
+    return fn
+
+
+def _final_rollup(ds, keys: list[str], val_col: str = "value"):
+    from ray.data.aggregate import Max, Min, Sum
+
+    return ds.groupby(keys).aggregate(
+        Sum(f"{val_col}_count", alias_name="n"),
+        Sum(f"{val_col}_sum", alias_name="sum_value"),
+        Min(f"{val_col}_min", alias_name="min_value"),
+        Max(f"{val_col}_max", alias_name="max_value"),
+    )
+
+
+def _rollup_events(sf_dir: str, d_ms: int):
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    part = ds.map_batches(_windowed_partial(["event_type"], d_ms), batch_format="pyarrow")
+    return _final_rollup(part, ["event_type", "window_start"])
+
+
+def _round_sum(ds):
+    return _finalize(ds, {}, {"sum_value": 4})
+
+
+_ROLLUP_SQL = """
+SELECT event_type,
+       (epoch_ms(ts) // {d}) * {d} AS window_start,
+       count(*) AS n,
+       round(sum(value), 4) AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_rollup_5m(sf_dir: str):
+    """O3+O14: 5m window rollup over events (partial+final aggregation)."""
+    return _round_sum(_rollup_events(sf_dir, MS_5M))
+
+
+def q_rollup_1h(sf_dir: str):
+    """Continuous aggregate: 1h computed FROM the 5m partials (merge path);
+    the oracle computes 1h directly — validating partial+final merge."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    t5 = _rollup_events(sf_dir, MS_5M)
+
+    def to_1h(batch: pa.Table) -> pa.Table:
+        w = window_start(batch["window_start"], MS_1H)
+        return batch.set_column(batch.column_names.index("window_start"), "window_start", w)
+
+    merged = (
+        t5.map_batches(to_1h, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_value", alias_name="sum_value"),
+            Min("min_value", alias_name="min_value"),
+            Max("max_value", alias_name="max_value"),
+        )
+    )
+    return _round_sum(merged)
+
+
+def q_rollup_1d(sf_dir: str):
+    """1d computed from 1h partials (two merge hops vs direct SQL)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    t1h = _rollup_events(sf_dir, MS_1H)
+
+    def to_1d(batch: pa.Table) -> pa.Table:
+        w = window_start(batch["window_start"], MS_1D)
+        return batch.set_column(batch.column_names.index("window_start"), "window_start", w)
+
+    merged = (
+        t1h.map_batches(to_1d, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_value", alias_name="sum_value"),
+            Min("min_value", alias_name="min_value"),
+            Max("max_value", alias_name="max_value"),
+        )
+    )
+    return _round_sum(merged)
+
+
+def q_range_discovery(sf_dir: str):
+    """O2: global time-range + row count (metadata-cheap aggregate)."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def to_ms(batch: pa.Table) -> pa.Table:
+        return pa.table({"ts_ms": ts_to_ms(batch["ts"])})
+
+    from ray.data.aggregate import Count, Max, Min
+
+    res = ds.map_batches(to_ms, batch_format="pyarrow").aggregate(
+        Min("ts_ms"), Max("ts_ms"), Count()
+    )
+    return pa.table(
+        {
+            "min_ts_ms": pa.array([res["min(ts_ms)"]], pa.int64()),
+            "max_ts_ms": pa.array([res["max(ts_ms)"]], pa.int64()),
+            "n": pa.array([res["count()"]], pa.int64()),
+        }
+    )
+
+
+def q_filter_matchers(sf_dir: str):
+    """O4/O5: anchored-regex label matcher filter, then count per type."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["event_type"])
+    flt = make_filter_fn([Matcher("=~", "event_type", "click|view")])
+    return ds.map_batches(flt, batch_format="pyarrow").groupby("event_type").aggregate(
+        Count(alias_name="n")
+    )
+
+
+def q_relabel_merge(sf_dir: str):
+    """O7: blind-upsert relabel merges all event_type series into one."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["event_type"])
+    rl = make_relabel_fn({"event_type": "all"}, ["event_type"], key_col="series_key")
+    return (
+        ds.map_batches(rl, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+T0_MS = 1_704_844_800_000  # 2024-01-10T00:00:00Z
+T1_MS = 1_705_708_800_000  # 2024-01-20T00:00:00Z
+
+
+def q_time_filter(sf_dir: str):
+    """O6: time-range predicate [T0, T1) + per-type aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def flt(batch: pa.Table) -> pa.Table:
+        ms = ts_to_ms(batch["ts"])
+        mask = pc.and_(pc.greater_equal(ms, T0_MS), pc.less(ms, T1_MS))
+        return batch.filter(mask)
+
+    out = (
+        ds.map_batches(flt, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+    return _round_sum(out)
+
+
+def q_dedup_first(sf_dir: str):
+    """Dedup keep-first (compaction semantics): earliest event per
+    (user_id, event_type), ties by min event_id — via an order-preserving
+    composite min, fully vectorized partial+final."""
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type", "event_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ms = ts_to_ms(batch["ts"])
+        comp = pc.add(pc.multiply(ms, pa.scalar(_COMP, pa.int64())), batch["event_id"])
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_type": batch["event_type"],
+                "comp": comp,
+            }
+        )
+        return t.group_by(["user_id", "event_type"]).aggregate([("comp", "min")])
+
+    final = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Min("comp_min", alias_name="comp"))
+    )
+
+    def decompose(batch: pa.Table) -> pa.Table:
+        comp = batch["comp"]
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_type": batch["event_type"],
+                "first_ts_ms": pc.divide(comp, pa.scalar(_COMP, pa.int64())),
+                "first_event_id": pc.subtract(
+                    comp,
+                    pc.multiply(
+                        pc.divide(comp, pa.scalar(_COMP, pa.int64())),
+                        pa.scalar(_COMP, pa.int64()),
+                    ),
+                ),
+            }
+        )
+
+    return final.map_batches(decompose, batch_format="pyarrow")
+
+
+def q_gapfill_5m(sf_dir: str):
+    """Gap-fill: zero-filled aligned 5m grid per event_type across the
+    global range (north_rule gap-fill as a batch operator)."""
+    counts = _rollup_events(sf_dir, MS_5M).select_columns(
+        ["event_type", "window_start", "n"]
+    )
+
+    from ray.data.aggregate import Max, Min
+
+    bounds = counts.aggregate(Min("window_start"), Max("window_start"))
+    w0, w1 = bounds["min(window_start)"], bounds["max(window_start)"]
+
+    def fill(group: pa.Table) -> pa.Table:
+        et = group["event_type"][0].as_py()
+        grid = np.arange(w0, w1 + 1, MS_5M, dtype=np.int64)
+        n = np.zeros(len(grid), dtype=np.int64)
+        ws = group["window_start"].to_numpy()
+        n[(ws - w0) // MS_5M] = group["n"].to_numpy()
+        return pa.table(
+            {
+                "event_type": pa.nulls(len(grid), pa.string()).fill_null(et),
+                "window_start": pa.array(grid),
+                "n": pa.array(n),
+            }
+        )
+
+    return counts.groupby("event_type").map_groups(fill, batch_format="pyarrow")
+
+
+def q_window_align(sf_dir: str):
+    """O3 as a query: aligned clamped 1h windows covering the events range."""
+    rd = q_range_discovery(sf_dir)
+    f, t = rd["min_ts_ms"][0].as_py(), rd["max_ts_ms"][0].as_py()
+    ws = aligned_windows(f, t, MS_1H)
+    return pa.table(
+        {
+            "window_start_ms": pa.array([a for a, _ in ws], pa.int64()),
+            "window_end_ms": pa.array([b for _, b in ws], pa.int64()),
+        }
+    )
+
+
+RETENTION_KEEP_MS = 2 * MS_1D
+
+
+def q_retention(sf_dir: str):
+    """Retention cut: keep only 5m windows within 2d of the newest window."""
+    counts = _round_sum(_rollup_events(sf_dir, MS_5M))
+    from ray.data.aggregate import Max
+
+    w1 = counts.aggregate(Max("window_start"))["max(window_start)"]
+    cutoff = w1 - RETENTION_KEEP_MS
+
+    def flt(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["window_start"], cutoff))
+
+    return counts.map_batches(flt, batch_format="pyarrow")
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style grouped aggregate over lineitem (general agg surface)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        mask = pc.less_equal(batch["l_shipdate"], pa.scalar(np.datetime64("1998-09-02", "us")))
+        batch = batch.filter(mask)
+        disc = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        t = batch.append_column("disc_price", disc)
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"), ("disc_price", "sum"), ("l_quantity", "count")]
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity_sum", alias_name="sum_qty"),
+            Sum("l_extendedprice_sum", alias_name="sum_base_price"),
+            Sum("disc_price_sum", alias_name="sum_disc_price"),
+            Sum("l_quantity_count", alias_name="n"),
+        )
+    )
+    return _finalize(out, {}, {"sum_base_price": 2, "sum_disc_price": 2})
+
+
+def q_top_sources(sf_dir: str):
+    """Sort/limit: top 10 sources by document count (ties by source asc)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["source"])
+    counts = ds.groupby("source").aggregate(Count(alias_name="n"))
+    return counts.sort(["n", "source"], descending=[True, False]).limit(10)
+
+
+def q_distinct_pairs(sf_dir: str):
+    """Set op: distinct (source, lang) pairs."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+    return ds.groupby(["source", "lang"]).aggregate(Count(alias_name="_n")).select_columns(
+        ["source", "lang"]
+    )
+
+
+def q_sample_mod10(sf_dir: str):
+    """Deterministic systematic sample: doc_id % 10 == 0."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def flt(batch: pa.Table) -> pa.Table:
+        m = pc.equal(
+            pc.subtract(
+                batch["doc_id"],
+                pc.multiply(
+                    pc.divide(batch["doc_id"], pa.scalar(10, pa.int64())),
+                    pa.scalar(10, pa.int64()),
+                ),
+            ),
+            pa.scalar(0, pa.int64()),
+        )
+        return batch.filter(m)
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def q_docs_stats(sf_dir: str):
+    """Projection + grouped aggregate over documents."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    return ds.groupby(["lang", "source"]).aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Min("n_chars", alias_name="min_chars"),
+        Max("n_chars", alias_name="max_chars"),
+    )
+
+
+def q_token_count(sf_dir: str):
+    """Per-doc whitespace token count (vectorized Arrow regex kernel)."""
+    from ..functions.text import token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": token_count(batch["text"])})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_quality(sf_dir: str):
+    """Quality-scoring raw counts per doc (integer, SQL-mirrorable)."""
+    from ..functions.text import quality_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return quality_counts(batch).drop_columns("text")
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_exact_dedup(sf_dir: str):
+    """Exact dedup winners: min doc_id per distinct text."""
+    from ..stages.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(ds).select_columns(["doc_id"])
+
+
+N_ANN_QUERIES = 5
+ANN_K = 10
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k: first 5 vectors as queries, top 10 each."""
+    from ..stages.similarity import brute_force_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = (
+        ds.map_batches(
+            lambda b: b.filter(pc.less(b["vec_id"], N_ANN_QUERIES)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    queries = np.array(qdf["embedding"].tolist(), dtype=np.float64)
+    out = brute_force_topk(ds, queries, k=ANN_K)
+    return out.select(["query_idx", "vec_id", "rank"])
+
+
+# --- rows-only checked operators (non-SQL-expressible) ----------------------
+
+def q_lang_id(sf_dir: str):
+    from ..stages.textstats import add_lang_id
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return add_lang_id(ds, concurrency=(1, 4)).select_columns(["doc_id", "pred_lang"])
+
+
+def q_fingerprint(sf_dir: str):
+    from ..stages.textstats import add_fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return add_fingerprint(ds).select_columns(["doc_id", "fingerprint"])
+
+
+def q_simhash(sf_dir: str):
+    from ..stages.dedup import SimHashStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(SimHashStage, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def q_minhash_pairs(sf_dir: str):
+    from ..stages.dedup import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(ds, concurrency=(1, 4))
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, threshold=0.5, concurrency=(1, 4))
+
+
+def q_embedding_neardup(sf_dir: str):
+    from ..stages.dedup import embedding_neardup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_neardup_pairs(ds, threshold=0.9, num_planes=6)
+
+
+def q_ivf_topk(sf_dir: str):
+    from ..stages.similarity import ivf_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = (
+        ds.map_batches(
+            lambda b: b.filter(pc.less(b["vec_id"], N_ANN_QUERIES)), batch_format="pyarrow"
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    queries = np.array(qdf["embedding"].tolist(), dtype=np.float64)
+    return ivf_topk(ds, queries, k=ANN_K).select(["query_idx", "vec_id", "rank"])
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing: synthesize a media table from document bytes
+    (deterministic), run the actor-pool feature extractor (stubbed codec)."""
+    from ..stages.multimodal import extract_media_features
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        payloads = [t.encode("utf-8") if t else b"" for t in batch["text"].to_pylist()]
+        n = len(payloads)
+        kinds = ["image" if i % 3 else "video" for i in batch["doc_id"].to_pylist()]
+        return pa.table(
+            {
+                "media_id": ids,
+                "kind": pa.array(kinds, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "mime": pa.nulls(n, pa.string()).fill_null("application/octet-stream"),
+                "width": pa.nulls(n, pa.int32()),
+                "height": pa.nulls(n, pa.int32()),
+                "duration_ms": pa.array([3000] * n, pa.int32()),
+            }
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow")
+    return extract_media_features(media, concurrency=(1, 4))
+
+
+# --- flagship pages pipeline (SQL-oracled via closed-form derivation) -------
+
+_PAGES_SAMPLES_SQL = """
+WITH pages AS (
+  SELECT source || '.example.com' AS domain,
+         lang,
+         1704067200000 + doc_id * 7000 AS ts_ms,
+         CAST(61 + strlen('doc' || CAST(doc_id AS VARCHAR))
+              + strlen(replace(replace(replace(text, '&', '&amp;'),
+                                       '<', '&lt;'), '>', '&gt;')) AS DOUBLE)
+           AS page_size
+  FROM documents
+),
+samples AS (
+  SELECT 'crawl_rate' AS metric, domain, lang, ts_ms, 1.0 AS value FROM pages
+  UNION ALL
+  SELECT 'page_size_bytes', domain, lang, ts_ms, page_size FROM pages
+)
+"""
+
+
+def _pages_tier_query(sf_dir: str, d_ms: int):
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..sources.pages import read_pages_from_documents
+    from ..pipelines.copy import pages_to_samples
+
+    pages = read_pages_from_documents(sf_dir)
+    samples = pages_to_samples(pages, concurrency=(1, 4))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w = window_start(batch["ts"], d_ms)
+        t = pa.table(
+            {
+                "metric": batch["__name__"],
+                "domain": batch["domain"],
+                "lang": batch["lang"],
+                "window_start": w,
+                "value": batch["value"],
+            }
+        )
+        return t.group_by(["metric", "domain", "lang", "window_start"]).aggregate(
+            [("value", "count"), ("value", "sum"), ("value", "min"), ("value", "max")]
+        )
+
+    out = (
+        samples.map_batches(partial, batch_format="pyarrow")
+        .groupby(["metric", "domain", "lang", "window_start"])
+        .aggregate(
+            Sum("value_count", alias_name="agg_count"),
+            Sum("value_sum", alias_name="agg_sum"),
+            Min("value_min", alias_name="agg_min"),
+            Max("value_max", alias_name="agg_max"),
+        )
+    )
+    return out
+
+
+def q_pages_rollup_5m(sf_dir: str):
+    """Flagship: pages (derived from documents) -> extraction -> 5m rollup.
+
+    The oracle reproduces the closed-form derivation in SQL (html length via
+    the escape chain; extraction never runs in SQL because wrap/extract is
+    the identity on ``text`` — pytest-verified byte-for-byte)."""
+    return _pages_tier_query(sf_dir, MS_5M)
+
+
+def q_pages_rollup_1h(sf_dir: str):
+    return _pages_tier_query(sf_dir, MS_1H)
+
+
+def q_pages_tiers_chunks(sf_dir: str):
+    """Full tier output with encoded chunks (rows-only driver check; chunk
+    bytes are golden-tested against the oracle decoder in pytest)."""
+    import ray.data
+
+    from ..pipelines.copy import build_tiers
+    from ..sources.pages import read_pages_from_documents
+
+    pages = read_pages_from_documents(sf_dir)
+    tiers = build_tiers(pages, concurrency=(1, 4))
+    t = tiers["5m"].union(tiers["1h"], tiers["1d"])
+    return t
+
+
+QUERIES = {
+    "rollup_5m": q_rollup_5m,
+    "rollup_1h": q_rollup_1h,
+    "rollup_1d": q_rollup_1d,
+    "range_discovery": q_range_discovery,
+    "filter_matchers": q_filter_matchers,
+    "relabel_merge": q_relabel_merge,
+    "time_filter": q_time_filter,
+    "dedup_first": q_dedup_first,
+    "gapfill_5m": q_gapfill_5m,
+    "window_align": q_window_align,
+    "retention": q_retention,
+    "pricing_summary": q_pricing_summary,
+    "top_sources": q_top_sources,
+    "distinct_pairs": q_distinct_pairs,
+    "sample_mod10": q_sample_mod10,
+    "docs_stats": q_docs_stats,
+    "token_count": q_token_count,
+    "quality": q_quality,
+    "exact_dedup": q_exact_dedup,
+    "ann_topk": q_ann_topk,
+    "pages_rollup_5m": q_pages_rollup_5m,
+    "pages_rollup_1h": q_pages_rollup_1h,
+    # rows-only (non-SQL-expressible)
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "simhash": q_simhash,
+    "minhash_pairs": q_minhash_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "embedding_neardup": q_embedding_neardup,
+    "ivf_topk": q_ivf_topk,
+    "media_features": q_media_features,
+    "pages_tiers_chunks": q_pages_tiers_chunks,
+}
+
+
+ORACLE_SQL = {
+    "rollup_5m": _ROLLUP_SQL.format(d=MS_5M),
+    "rollup_1h": _ROLLUP_SQL.format(d=MS_1H),
+    "rollup_1d": _ROLLUP_SQL.format(d=MS_1D),
+    "range_discovery": (
+        "SELECT min(epoch_ms(ts)) AS min_ts_ms, max(epoch_ms(ts)) AS max_ts_ms, "
+        "count(*) AS n FROM events"
+    ),
+    "filter_matchers": (
+        "SELECT event_type, count(*) AS n FROM events "
+        "WHERE regexp_matches(event_type, '^(?:click|view)$') GROUP BY 1"
+    ),
+    "relabel_merge": "SELECT 'all' AS event_type, count(*) AS n FROM events",
+    "time_filter": f"""
+        SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM events WHERE epoch_ms(ts) >= {T0_MS} AND epoch_ms(ts) < {T1_MS}
+        GROUP BY 1
+    """,
+    "dedup_first": f"""
+        SELECT user_id, event_type,
+               min(epoch_ms(ts) * {_COMP} + event_id) // {_COMP} AS first_ts_ms,
+               min(epoch_ms(ts) * {_COMP} + event_id) % {_COMP} AS first_event_id
+        FROM events GROUP BY 1, 2
+    """,
+    "gapfill_5m": """
+        WITH b AS (
+          SELECT (min(epoch_ms(ts)) // 300000) * 300000 AS w0,
+                 (max(epoch_ms(ts)) // 300000) * 300000 AS w1 FROM events),
+        grid AS (
+          SELECT t.event_type, g.ws AS window_start
+          FROM (SELECT DISTINCT event_type FROM events) t,
+               (SELECT unnest(generate_series(w0, w1, 300000)) AS ws FROM b) g),
+        c AS (
+          SELECT event_type, (epoch_ms(ts) // 300000) * 300000 AS window_start,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2)
+        SELECT g.event_type, g.window_start, coalesce(c.n, 0) AS n
+        FROM grid g LEFT JOIN c USING (event_type, window_start)
+    """,
+    "window_align": """
+        WITH b AS (SELECT min(epoch_ms(ts)) AS f, max(epoch_ms(ts)) AS t FROM events)
+        SELECT greatest(ws, f) AS window_start_ms,
+               least(ws + 3599999, t) AS window_end_ms
+        FROM (SELECT f, t, unnest(generate_series((f // 3600000) * 3600000, t, 3600000)) AS ws
+              FROM b)
+    """,
+    "retention": f"""
+        WITH r AS (
+          SELECT event_type, (epoch_ms(ts) // 300000) * 300000 AS window_start,
+                 count(*) AS n, round(sum(value), 4) AS sum_value,
+                 min(value) AS min_value, max(value) AS max_value
+          FROM events GROUP BY 1, 2)
+        SELECT * FROM r
+        WHERE window_start >= (SELECT max(window_start) FROM r) - {RETENTION_KEEP_MS}
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               count(*) AS n
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY 1, 2
+    """,
+    "top_sources": (
+        "SELECT source, count(*) AS n FROM documents GROUP BY 1 "
+        "ORDER BY n DESC, source LIMIT 10"
+    ),
+    "distinct_pairs": "SELECT DISTINCT source, lang FROM documents",
+    "sample_mod10": (
+        "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 = 0"
+    ),
+    "docs_stats": """
+        SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+               min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        FROM documents GROUP BY 1, 2
+    """,
+    "token_count": r"""
+        SELECT doc_id,
+               CASE WHEN trim(text, ' ' || chr(9) || chr(13) || chr(10)) = '' THEN 0
+                    ELSE len(regexp_split_to_array(
+                         trim(text, ' ' || chr(9) || chr(13) || chr(10)),
+                         '[ \t\r\n]+'))
+               END AS n_tokens
+        FROM documents
+    """,
+    "quality": r"""
+        SELECT doc_id,
+               length(text) AS n_chars_text,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+               length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+               length(text) - length(replace(text, ' ', '')) AS n_space,
+               CASE WHEN trim(text, ' ' || chr(9) || chr(13) || chr(10)) = '' THEN 0
+                    ELSE len(regexp_split_to_array(
+                         trim(text, ' ' || chr(9) || chr(13) || chr(10)),
+                         '[ \t\r\n]+'))
+               END AS n_tokens
+        FROM documents
+    """,
+    "exact_dedup": (
+        "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+    ),
+    "ann_topk": f"""
+        WITH q AS (SELECT vec_id AS query_idx, embedding AS qe FROM embeddings
+                   WHERE vec_id < {N_ANN_QUERIES}),
+        s AS (SELECT q.query_idx, e.vec_id,
+                     list_cosine_similarity(q.qe, e.embedding) AS sim
+              FROM q CROSS JOIN embeddings e),
+        r AS (SELECT query_idx, vec_id,
+                     row_number() OVER (PARTITION BY query_idx
+                                        ORDER BY sim DESC, vec_id) - 1 AS rank
+              FROM s)
+        SELECT query_idx, vec_id, rank FROM r WHERE rank < {ANN_K}
+    """,
+    "pages_rollup_5m": _PAGES_SAMPLES_SQL + """
+        SELECT metric, domain, lang,
+               (ts_ms // 300000) * 300000 AS window_start,
+               count(*) AS agg_count, sum(value) AS agg_sum,
+               min(value) AS agg_min, max(value) AS agg_max
+        FROM samples GROUP BY 1, 2, 3, 4
+    """,
+    "pages_rollup_1h": _PAGES_SAMPLES_SQL + """
+        SELECT metric, domain, lang,
+               (ts_ms // 3600000) * 3600000 AS window_start,
+               count(*) AS agg_count, sum(value) AS agg_sum,
+               min(value) AS agg_min, max(value) AS agg_max
+        FROM samples GROUP BY 1, 2, 3, 4
+    """,
+}

@@ -1,0 +1,112 @@
+"""Multimodal (image/audio/video) stages: real Ray plumbing, stubbed codecs.
+
+Media rides as opaque ``binary`` columns with typed metadata (the same
+posture the engine takes for ``html``).  The decode/resize/feature kernels
+would come from image/audio libraries that are NOT in this container, so the
+codec step is stubbed: ``decoder="fake"`` (default) is a deterministic
+byte-level stand-in that keeps the schema, batch-size and actor-pool
+plumbing fully real and testable; ``decoder="real"`` raises
+``NotImplementedError`` with the library it would use.
+
+Batch-size guidance for binary payloads: a batch must fit
+``batch_size × avg_payload × concurrency`` in worker heap — size ``batch_size``
+small (e.g. 32-256 for images) and let the object store stream blocks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),        # image | audio | video
+        ("payload", pa.binary()),     # opaque encoded bytes
+        ("mime", pa.string()),
+        ("width", pa.int32()),        # typed metadata (nullable)
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+class MediaFeatureExtractor:
+    """Actor-pool stage: media batch -> fixed-dim feature vectors.
+
+    ``__init__`` is where a real build would load the decoder/model once per
+    actor (PIL/libvips/ffmpeg/torchvision); the fake decoder derives a
+    deterministic FEATURE_DIM-float vector from the payload bytes so the
+    downstream similarity/dedup operators are exercised end-to-end.
+    """
+
+    def __init__(self, decoder: str = "fake", target_size: tuple[int, int] = (64, 64)) -> None:
+        if decoder not in ("fake", "real"):
+            raise ValueError(f"unknown decoder: {decoder}")
+        if decoder == "real":
+            raise NotImplementedError(
+                "real media decoding needs PIL/ffmpeg (not in this container); "
+                "use decoder='fake' for the deterministic stand-in"
+            )
+        self.decoder = decoder
+        self.target_size = target_size
+
+    def _fake_decode_features(self, payload: bytes) -> np.ndarray:
+        # deterministic bytes -> features: blake2b digest expanded to floats
+        d = hashlib.blake2b(payload or b"", digest_size=FEATURE_DIM * 2).digest()
+        raw = np.frombuffer(d, dtype=np.uint16).astype(np.float64)
+        return raw / 65535.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        feats = np.stack([self._fake_decode_features(p) for p in payloads])
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "embedding": pa.array(list(feats), pa.list_(pa.float64())),
+            }
+        )
+
+
+def extract_media_features(ds, concurrency=(1, 4), batch_size: int = 64, decoder: str = "fake"):
+    """media table -> (media_id, kind, embedding) via the actor pool."""
+    return ds.map_batches(
+        MediaFeatureExtractor,
+        fn_constructor_kwargs={"decoder": decoder},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def frame_sample_stub(ds, every_ms: int = 1000):
+    """Video frame sampling plumbing: emits (media_id, frame_idx, frame_ts_ms)
+    rows from duration metadata; frame payload decode is the stubbed part."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, idxs, tss = [], [], []
+        for mid, kind, dur in zip(
+            batch["media_id"].to_pylist(),
+            batch["kind"].to_pylist(),
+            batch["duration_ms"].to_pylist(),
+        ):
+            if kind != "video" or not dur:
+                continue
+            for i, t in enumerate(range(0, dur, every_ms)):
+                ids.append(mid)
+                idxs.append(i)
+                tss.append(t)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "frame_ts_ms": pa.array(tss, pa.int32()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

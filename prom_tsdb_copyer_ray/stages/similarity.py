@@ -1,0 +1,153 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — the query matrix is ``ray.put`` once
+(broadcast) and every ``map_batches`` task matmuls its batch against it
+(vectorized, zero per-row work), then per-batch top-k candidates are reduced
+to a global top-k (tiny driver-side heap over per-batch candidates — k ×
+num_queries rows, not the dataset).
+
+Scale path: :func:`ivf_topk` — k-means-style coarse quantizer (trained on a
+sample, centroids broadcast), probe only the ``nprobe`` nearest cells.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _to_matrix(col) -> np.ndarray:
+    vals = col.to_pylist()
+    return np.array(vals, dtype=np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    return m / n[:, None]
+
+
+def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
+    """Exact cosine top-k for each query row; returns (query_idx, vec_id,
+    rank, cosine), rank 0 = best.  Ties broken by min vec_id (deterministic).
+    """
+    import ray
+
+    q_unit = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(q_unit)
+
+    def score(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        m = _normalize(_to_matrix(batch[vec_col]))
+        sims = q @ m.T  # (n_queries, batch)
+        kk = min(k, sims.shape[1])
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[0]):
+            # per-batch candidates; global reduce happens below
+            idx = np.lexsort((ids, -sims[qi]))[:kk]
+            out_q.extend([qi] * len(idx))
+            out_id.extend(ids[idx])
+            out_sim.extend(sims[qi][idx])
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "cosine": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+    # per-batch candidates only (k × n_queries rows per batch) reach the driver
+    allc = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    out_rows = []
+    for qi, grp in allc.groupby("query_idx"):
+        grp = grp.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        for rank, (_, row) in enumerate(grp.iterrows()):
+            out_rows.append((qi, int(row["vec_id"]), rank, float(row["cosine"])))
+    out_rows.sort()
+    return pa.table(
+        {
+            "query_idx": pa.array([r[0] for r in out_rows], pa.int64()),
+            "vec_id": pa.array([r[1] for r in out_rows], pa.int64()),
+            "rank": pa.array([r[2] for r in out_rows], pa.int64()),
+            "cosine": pa.array([r[3] for r in out_rows], pa.float64()),
+        }
+    )
+
+
+def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 7) -> np.ndarray:
+    """Plain Lloyd k-means on a driver-side sample (deterministic seed)."""
+    rng = np.random.RandomState(seed)
+    X = _normalize(np.asarray(sample, dtype=np.float64))
+    idx = rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)
+    C = X[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             sample_size: int = 4096, seed: int = 7) -> pa.Table:
+    """IVF-style ANN: assign vectors to coarse cells, probe only the
+    ``nprobe`` cells nearest to each query.  Same output schema as
+    :func:`brute_force_topk`; approximate (recall < 1 when the true neighbor
+    lives in an unprobed cell)."""
+    import ray
+
+    sample = np.array(ds.limit(sample_size).to_pandas()[vec_col].tolist(), dtype=np.float64)
+    C = train_centroids(sample, n_centroids, seed=seed)
+    q_unit = _normalize(np.asarray(queries, dtype=np.float64))
+    probe_cells = np.argsort(-(q_unit @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    c_ref = ray.put(C)
+    q_ref = ray.put(q_unit)
+    p_ref = ray.put(probe_cells)
+
+    def score(batch: pa.Table) -> pa.Table:
+        C_ = ray.get(c_ref)
+        q = ray.get(q_ref)
+        probes = ray.get(p_ref)
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        m = _normalize(_to_matrix(batch[vec_col]))
+        cells = np.argmax(m @ C_.T, axis=1)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(len(q)):
+            mask = np.isin(cells, probes[qi])
+            if not mask.any():
+                continue
+            sims = q[qi] @ m[mask].T
+            sub_ids = ids[mask]
+            kk = min(k, len(sub_ids))
+            idx = np.lexsort((sub_ids, -sims))[:kk]
+            out_q.extend([qi] * len(idx))
+            out_id.extend(sub_ids[idx])
+            out_sim.extend(sims[idx])
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "cosine": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+    allc = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    out_rows = []
+    for qi, grp in allc.groupby("query_idx"):
+        grp = grp.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        for rank, (_, row) in enumerate(grp.iterrows()):
+            out_rows.append((int(qi), int(row["vec_id"]), rank, float(row["cosine"])))
+    out_rows.sort()
+    return pa.table(
+        {
+            "query_idx": pa.array([r[0] for r in out_rows], pa.int64()),
+            "vec_id": pa.array([r[1] for r in out_rows], pa.int64()),
+            "rank": pa.array([r[2] for r in out_rows], pa.int64()),
+            "cosine": pa.array([r[3] for r in out_rows], pa.float64()),
+        }
+    )

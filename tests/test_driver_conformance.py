@@ -1,0 +1,121 @@
+"""Local mirror of the driver's correctness gate: run every queries() entry
+at sf0.001 and compare with the DuckDB oracle_sql() (row count + sorted
+values), plus rows-only sanity for the non-SQL ops."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _to_pandas(res):
+    import pyarrow as pa
+
+    if isinstance(res, pd.DataFrame):
+        return res
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res.to_pandas()  # ray Dataset
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    import __ray_entry__
+
+    return __ray_entry__
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].round(9)
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+        elif np.issubdtype(df[c].dtype, np.integer):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _compare(name, got: pd.DataFrame, want: pd.DataFrame):
+    got, want = _norm(got), _norm(want)
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
+
+
+def test_entry_smoke(entry_mod):
+    res = entry_mod.entry()
+    df = _to_pandas(res)
+    assert len(df) >= 0
+    assert "series_key" in df.columns
+
+
+def _sql_checked_names(entry_mod):
+    return sorted(entry_mod.oracle_sql())
+
+
+def test_oracle_keys_subset(entry_mod):
+    qs = entry_mod.queries()
+    for name in entry_mod.oracle_sql():
+        assert name in qs
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "rollup_5m", "rollup_1h", "rollup_1d", "range_discovery",
+        "filter_matchers", "relabel_merge", "time_filter", "dedup_first",
+        "gapfill_5m", "window_align", "retention", "pricing_summary",
+        "top_sources", "distinct_pairs", "sample_mod10", "docs_stats",
+        "token_count", "quality", "exact_dedup", "ann_topk",
+        "pages_rollup_5m", "pages_rollup_1h",
+    ],
+)
+def test_sql_checked_query(entry_mod, con, name):
+    qs = entry_mod.queries()
+    sql = entry_mod.oracle_sql()[name]
+    got = _to_pandas(qs[name](SF_DIR))
+    want = con.execute(sql).df()
+    _compare(name, got, want)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "lang_id", "fingerprint", "simhash", "minhash_pairs",
+        "ngram_jaccard_pairs", "embedding_neardup", "ivf_topk",
+        "media_features", "pages_tiers_chunks",
+    ],
+)
+def test_rows_only_query(entry_mod, name):
+    got = _to_pandas(entry_mod.queries()[name](SF_DIR))
+    assert len(got) >= 0
+    # deterministic: second run returns identical rows
+    if name in ("fingerprint", "simhash", "lang_id"):
+        again = _to_pandas(entry_mod.queries()[name](SF_DIR))
+        pd.testing.assert_frame_equal(
+            _norm(got), _norm(again), check_dtype=False
+        )
