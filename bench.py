@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + BASELINE.md scaling protocol).
+
+Default: runs the flagship pages->5m/1h/1d rollup pipeline over pages derived
+from ``$GRAFT_SF_DIR/documents.parquet`` (default /root/testdata/sf0.1,
+replicated deterministically to bench scale) plus the query battery, and
+prints ONE JSON line::
+
+    {"metric": "...", "value": <flagship_sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "pages_per_s": ..., "points_per_s": ...}
+
+``--scaling``: runs the flagship twice in FRESH processes at num_cpus=8 and
+num_cpus=32 on the same input and reports both throughputs + scaling
+efficiency (the sandbox stand-in for the N vs 4N cluster criterion —
+BASELINE.md protocol).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "40"))
+
+# queries that are too slow/duplicative for the per-round bench loop
+SKIP_IN_BENCH = {"pages_tiers_chunks"}
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def run_flagship(sf_dir: str, replicate: int) -> dict:
+    """End-to-end checkpointed run: pages -> extract -> 3 tiers -> parquet."""
+    from prom_tsdb_copyer_ray.pipelines.copy import run_copy
+    from prom_tsdb_copyer_ray.sources.pages import read_pages_from_documents
+    from prom_tsdb_copyer_ray.state.manifest import manifest_summary
+
+    import pyarrow.parquet as pq
+
+    out_dir = "/tmp/graft_bench_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n_pages = n_docs * replicate
+
+    t0 = time.monotonic()
+    run_copy(
+        lambda: read_pages_from_documents(sf_dir, replicate=replicate),
+        out_dir,
+        validate="strict",
+        concurrency=(1, 16),
+        batch_size=2048,
+    )
+    wall = time.monotonic() - t0
+    summary = manifest_summary(out_dir)
+    # "compressed points": raw samples encoded into 5m chunks + the gap-filled
+    # grid points of the 1h/1d tiers (what actually went through the codec)
+    n_points = 2 * n_pages  # crawl_rate + page_size_bytes per page at 5m
+    return {
+        "wall_s": wall,
+        "n_pages": n_pages,
+        "pages_per_s": n_pages / wall,
+        "points_per_s": n_points / wall,
+        "tiers": summary,
+    }
+
+
+def run_queries(sf_dir: str) -> dict:
+    from prom_tsdb_copyer_ray.pipelines.queries import QUERIES
+
+    import pandas as pd
+
+    out = {}
+    for name, fn in QUERIES.items():
+        if name in SKIP_IN_BENCH:
+            continue
+        t0 = time.monotonic()
+        res = fn(sf_dir)
+        if not isinstance(res, pd.DataFrame):
+            try:
+                res.to_pandas()  # force execution
+            except AttributeError:
+                pass
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--flagship-only", action="store_true")
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--replicate", type=int, default=REPLICATE)
+    args = ap.parse_args()
+
+    if args.scaling:
+        results = {}
+        for cpus in (8, 32):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--flagship-only",
+                 "--cpus", str(cpus), "--sf-dir", args.sf_dir,
+                 "--replicate", str(args.replicate)],
+                capture_output=True, text=True,
+            )
+            line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+            results[cpus] = json.loads(line)
+        tp8 = results[8]["pages_per_s"]
+        tp32 = results[32]["pages_per_s"]
+        eff = (tp32 / tp8) / 4
+        print(json.dumps({
+            "metric": "flagship rollup throughput scaling, num_cpus 8 -> 32",
+            "unit": "pages/s",
+            "sf": args.sf_dir,
+            "throughput_n8": round(tp8, 1),
+            "throughput_n32": round(tp32, 1),
+            "wall_n8_s": round(results[8]["value"], 2),
+            "wall_n32_s": round(results[32]["value"], 2),
+            "speedup": round(tp32 / tp8, 3),
+            "scaling_efficiency": round(eff, 3),
+        }))
+        return
+
+    _init_ray(args.cpus)
+    import ray
+
+    flag = run_flagship(args.sf_dir, args.replicate)
+    queries = {} if args.flagship_only else run_queries(args.sf_dir)
+    print(json.dumps({
+        "metric": "end-to-end pages->5m/1h/1d rollup wall time (+ per-query secs)",
+        "value": round(flag["wall_s"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": args.sf_dir,
+        "num_cpus": args.cpus,
+        "n_pages": flag["n_pages"],
+        "pages_per_s": round(flag["pages_per_s"], 1),
+        "points_per_s": round(flag["points_per_s"], 1),
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

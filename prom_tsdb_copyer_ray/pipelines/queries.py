@@ -746,7 +746,8 @@ ORACLE_SQL = {
         "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 = 0"
     ),
     "docs_stats": """
-        SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        SELECT lang, source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                min(n_chars) AS min_chars, max(n_chars) AS max_chars
         FROM documents GROUP BY 1, 2
     """,
