@@ -1,0 +1,137 @@
+"""CLI entry point (operator O20, ``parseArgs`` ``main.go:113-165`` analogue).
+
+Flag surface mirrors the reference's (env-var mirrors ``COPYER_*`` included),
+re-mapped to the Ray engine:
+
+  source                 pages Parquet path/dir (the source TSDB dir analogue)
+  target                 output dir for tiers + manifests
+  -l/--label-query       matchers ``k=v|k!=v|k=~v|k!~v`` (default: all series)
+  -L/--label-append      blind-upsert relabels ``k=v`` (``main.go:43-45``)
+  -F/--from, -T/--to     time range (RFC3339-ish, O16); default: discovered
+  -S/--query-duration    group-window minutes (memory knob, ``main.go:121``)
+  -t/--thread            extraction actor-pool max size (``pool.go`` analogue)
+  --num-shards           rollup hash-shard count (shuffle parallelism)
+  --show-metrics         print the manifest summary (O18 analogue)
+
+Run via ``python -m prom_tsdb_copyer_ray.cli SOURCE TARGET [flags]`` — the
+module is `ray job submit`-able (it owns its Ray session, guarded).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from datetime import datetime, timezone
+
+# the reference accepts these two layouts with/without zone (main.go:21-24)
+_TIME_LAYOUTS = ["%Y-%m-%dT%H:%M:%S%z", "%Y-%m-%dT%H:%M:%S", "%Y-%m-%d%z", "%Y-%m-%d"]
+
+
+def parse_time_ms(s: str) -> int:
+    """O16: try layouts with/without zone; naive times are treated as UTC."""
+    for layout in _TIME_LAYOUTS:
+        try:
+            dt = datetime.strptime(s, layout)
+        except ValueError:
+            continue
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return int(dt.timestamp() * 1000)
+    raise ValueError(f"unparseable time: {s!r}")
+
+
+def _env_default(name: str, default):
+    return os.environ.get(f"COPYER_{name}", default)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="prom-tsdb-copyer-ray", description=__doc__)
+    p.add_argument("source", help="pages parquet file/dir (url, warc_ts, html, text, lang)")
+    p.add_argument("target", help="output directory (tiers/ + manifests/)")
+    p.add_argument("-l", "--label-query", action="append", default=None,
+                   help="matcher k=v | k!=v | k=~v | k!~v (repeatable)")
+    p.add_argument("-L", "--label-append", action="append", default=None,
+                   help="blind-upsert label k=v (repeatable; overwrites without checking)")
+    p.add_argument("-F", "--from", dest="time_from", default=_env_default("FROM", None))
+    p.add_argument("-T", "--to", dest="time_to", default=_env_default("TO", None))
+    p.add_argument("-S", "--query-duration-min", type=int,
+                   default=int(_env_default("QUERY_DURATION", 24 * 60)),
+                   help="rollup group-window minutes (memory knob)")
+    p.add_argument("-t", "--thread", type=int, default=int(_env_default("THREAD", 8)),
+                   help="extraction actor-pool max size (0 = num_cpus)")
+    p.add_argument("--num-shards", type=int, default=64)
+    p.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    p.add_argument("--validate", choices=["strict", "count", "off"], default="strict")
+    p.add_argument("--show-metrics", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .functions.matchers import default_matchers, parse_matchers
+    from .pipelines.copy import run_copy
+    from .state.manifest import manifest_summary
+    from .windows import ts_to_ms
+
+    matchers = (
+        parse_matchers(args.label_query) if args.label_query else default_matchers()
+    )
+    relabels = {}
+    for kv in args.label_append or []:
+        k, _, v = kv.partition("=")
+        relabels[k] = v
+
+    t_from = parse_time_ms(args.time_from) if args.time_from else None
+    t_to = parse_time_ms(args.time_to) if args.time_to else None
+
+    def pages_factory():
+        import ray.data
+
+        ds = ray.data.read_parquet(args.source)
+        if t_from is not None or t_to is not None:
+            lo = t_from if t_from is not None else 0
+            hi = t_to if t_to is not None else 1 << 62
+
+            def flt(batch: pa.Table) -> pa.Table:
+                ms = ts_to_ms(batch["warc_ts"])
+                return batch.filter(
+                    pc.and_(pc.greater_equal(ms, lo), pc.less_equal(ms, hi))
+                )
+
+            ds = ds.map_batches(flt, batch_format="pyarrow")
+        return ds
+
+    manifests = run_copy(
+        pages_factory,
+        args.target,
+        matchers=matchers,
+        relabels=relabels or None,
+        validate=args.validate,
+        concurrency=(1, args.thread or args.num_cpus),
+    )
+    if args.show_metrics:
+        print(json.dumps(manifest_summary(args.target), sort_keys=True))
+    else:
+        print(json.dumps({t: m["status"] for t, m in manifests.items()}))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -21,7 +21,8 @@ compaction (operators O11 + O14):
 
 Partitioning / skew design (SURVEY.md §4, north_rule):
 
-The shuffle key is ``(_shard, _gw)`` where ``_shard = stable_hash64(series_key)
+The shuffle key is ``(_gw, _shard)`` (time-major, so output blocks are
+time-clustered for the day-partitioned write) where ``_shard = stable_hash64(series_key)
 % num_shards`` and ``_gw`` is a coarse *group* window (default 1 day).  One
 ``map_groups`` call therefore covers MANY (series, tier-window) cells and
 processes them fully vectorized (lexsort + ``np.*.reduceat``), amortizing the
@@ -291,7 +292,7 @@ def rollup_raw(
 
     return (
         _with_shard_and_gw(samples_ds, "ts", num_shards, group_window_ms)
-        .groupby(["_shard", "_gw"])
+        .groupby(["_gw", "_shard"])
         .map_groups(per_group, batch_format="pyarrow")
     )
 
@@ -315,7 +316,7 @@ def rollup_up(
 
     return (
         _with_shard_and_gw(finer_ds, "window_start", num_shards, d * group_factor)
-        .groupby(["_shard", "_gw"])
+        .groupby(["_gw", "_shard"])
         .map_groups(per_group, batch_format="pyarrow")
     )
 

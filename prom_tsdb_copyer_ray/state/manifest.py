@@ -109,6 +109,9 @@ def write_tier(ds, out_dir: str, tier: str) -> dict:
 
     tdir = tier_dir(out_dir, tier)
     os.makedirs(tdir, exist_ok=True)
+    # rollup stages group by (_gw, _shard) — time-major — so their output
+    # blocks are already time-clustered and the hive write makes a handful of
+    # contiguous files per day rather than one tiny file per (block, day)
     ds.map_batches(add_day, batch_format="pyarrow").write_parquet(
         tdir, partition_cols=["window_day"]
     )
@@ -139,7 +142,13 @@ def read_tier(out_dir: str, tier: str):
     """Ray Dataset over a written tier (committed days only)."""
     import ray.data
 
-    return ray.data.read_parquet(tier_dir(out_dir, tier))
+    ds = ray.data.read_parquet(tier_dir(out_dir, tier))
+    # drop the hive partition column; downstream recomputes it from
+    # window_start (it reads back as string, which would pollute schemas)
+    return ds.map_batches(
+        lambda b: b.drop_columns("window_day") if "window_day" in b.column_names else b,
+        batch_format="pyarrow",
+    )
 
 
 def manifest_summary(out_dir: str) -> dict:

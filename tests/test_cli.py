@@ -1,0 +1,56 @@
+"""CLI surface tests (O20/O16)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import pyarrow.parquet as pq
+import pytest
+
+from prom_tsdb_copyer_ray.cli import build_parser, parse_time_ms
+from prom_tsdb_copyer_ray.sources.pages import generate_pages
+
+
+@pytest.mark.parametrize(
+    "s,ms",
+    [
+        ("2024-01-01T00:00:00+00:00", 1_704_067_200_000),
+        ("2024-01-01T00:00:00", 1_704_067_200_000),  # naive -> UTC
+        ("2024-01-01", 1_704_067_200_000),
+        ("2024-01-01T01:00:00+01:00", 1_704_067_200_000),
+    ],
+)
+def test_parse_time(s, ms):
+    assert parse_time_ms(s) == ms
+
+
+def test_parse_time_rejects_garbage():
+    with pytest.raises(ValueError):
+        parse_time_ms("not-a-time")
+
+
+def test_parser_flags():
+    p = build_parser()
+    a = p.parse_args(["src", "dst", "-l", "lang=en", "-l", "domain=~a.*",
+                      "-L", "env=prod", "-t", "4"])
+    assert a.label_query == ["lang=en", "domain=~a.*"]
+    assert a.label_append == ["env=prod"]
+    assert a.thread == 4
+
+
+def test_cli_end_to_end(tmp_path):
+    src = tmp_path / "pages.parquet"
+    out = tmp_path / "out"
+    pq.write_table(generate_pages(400, seed=42), src)
+    proc = subprocess.run(
+        [sys.executable, "-m", "prom_tsdb_copyer_ray.cli", str(src), str(out),
+         "-L", "env=test", "--num-cpus", "4", "--show-metrics"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert set(summary) == {"5m", "1h", "1d"}
+    assert all(v["status"] == "complete" for v in summary.values())
+    assert (out / "manifests" / "5m.json").exists()
