@@ -34,6 +34,24 @@ from ..stages.rollup import rollup_raw, rollup_up
 from ..state.manifest import load_manifest, read_tier, write_tier
 
 
+_EXTRACTORS: dict[str, PageToSamples] = {}
+
+
+def _extract_batch(batch, validate: str):
+    """Task-pool extraction kernel with per-worker-process singleton state.
+
+    Ray reuses worker processes across tasks, so the extractor (compiled
+    regexes etc.) is constructed once per worker — the same setup-once
+    semantics as an actor ``__init__`` — while task scheduling avoids the
+    actor-pool admission stalls seen when a large backlog of read output
+    pins the object store before any actor starts (actors stuck "pending").
+    """
+    ex = _EXTRACTORS.get(validate)
+    if ex is None:
+        ex = _EXTRACTORS[validate] = PageToSamples(validate)
+    return ex(batch)
+
+
 def pages_to_samples(
     pages_ds,
     matchers: Sequence[Matcher] | None = None,
@@ -41,16 +59,31 @@ def pages_to_samples(
     validate: str = "strict",
     batch_size: int = 4096,
     concurrency=(1, 8),
+    use_actors: bool = False,
 ):
-    """pages -> filtered/relabeled samples Dataset (extraction actor pool).
+    """pages -> filtered/relabeled samples Dataset (extraction stage).
 
-    ``concurrency`` is the actor-pool size ((min, max) autoscales with the
-    streaming executor's backpressure — the semaphore analogue, pool.go).
+    ``use_actors=True`` runs the stage as an explicit actor pool
+    (``concurrency`` = pool size, the semaphore analogue, pool.go); the
+    default task pool keeps identical once-per-worker state semantics via
+    the module singleton and scales/fuses better with the read.
     """
-    kwargs = dict(batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
-    samples = pages_ds.map_batches(
-        PageToSamples, fn_constructor_kwargs={"validate": validate}, **kwargs
-    )
+    import functools
+
+    if use_actors:
+        samples = pages_ds.map_batches(
+            PageToSamples,
+            fn_constructor_kwargs={"validate": validate},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+    else:
+        samples = pages_ds.map_batches(
+            functools.partial(_extract_batch, validate=validate),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     if matchers:
         samples = samples.map_batches(make_filter_fn(matchers), batch_format="pyarrow")
     if relabels:
@@ -92,6 +125,7 @@ def run_copy(
     matchers: Sequence[Matcher] | None = None,
     relabels: Mapping[str, str] | None = None,
     validate: str = "strict",
+    incremental: bool = False,
     **kw,
 ) -> dict:
     """Checkpointed end-to-end run; returns {tier: manifest}.
@@ -100,21 +134,34 @@ def run_copy(
     (a factory so a resumed run whose 5m tier is already complete never even
     constructs the read).  Each tier is written (resumably, day-partitioned)
     before the next tier reads it back from Parquet.
+
+    ``incremental=False`` (resume mode): a tier whose manifest is complete is
+    skipped entirely.  ``incremental=True`` (append-ingest mode): every tier
+    re-runs, but ``write_tier`` filters out already-manifested days, so only
+    NEW days of a grown input are computed/written — the day-level checkpoint.
     """
     manifests = {}
     m5 = load_manifest(out_dir, "5m")
-    if m5["status"] != "complete":
+    t5 = None
+    if incremental or m5["status"] != "complete":
         samples = pages_to_samples(pages_ds_factory(), matchers, relabels, validate, **kw)
-        m5 = write_tier(rollup_raw(samples, "5m"), out_dir, "5m")
+        # materialize the collapsed tier rows (small vs raw input) so the
+        # write and the 1h rollup both feed from the object store instead of
+        # re-executing extraction or round-tripping through Parquet
+        t5 = rollup_raw(samples, "5m").materialize()
+        m5 = write_tier(t5, out_dir, "5m")
     manifests["5m"] = m5
 
     m1h = load_manifest(out_dir, "1h")
-    if m1h["status"] != "complete":
-        m1h = write_tier(rollup_up(read_tier(out_dir, "5m"), "1h"), out_dir, "1h")
+    t1h = None
+    if incremental or m1h["status"] != "complete":
+        t1h = rollup_up(t5 if t5 is not None else read_tier(out_dir, "5m"), "1h").materialize()
+        m1h = write_tier(t1h, out_dir, "1h")
     manifests["1h"] = m1h
 
     m1d = load_manifest(out_dir, "1d")
-    if m1d["status"] != "complete":
-        m1d = write_tier(rollup_up(read_tier(out_dir, "1h"), "1d"), out_dir, "1d")
+    if incremental or m1d["status"] != "complete":
+        t1d = rollup_up(t1h if t1h is not None else read_tier(out_dir, "1h"), "1d")
+        m1d = write_tier(t1d, out_dir, "1d")
     manifests["1d"] = m1d
     return manifests

@@ -259,13 +259,31 @@ def _rollup_merge_group(group: pa.Table, tier: str, finer_ms: int) -> pa.Table:
     )
 
 
-def _with_shard_and_gw(ds, ts_col: str, num_shards: int, group_window_ms: int):
+def _shuffle_partitions() -> int:
+    """Sort/groupby fan-in: ~2 partitions per CPU.  Ray's sort makes one
+    range partition per input block; with hundreds of small blocks that is a
+    quadratic (blocks x partitions) exchange of tiny objects — coalescing to
+    O(CPUs) blocks first keeps the all-to-all linear."""
+    try:
+        import ray
+
+        n = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        n = 8
+    return max(16, 2 * n)
+
+
+def _with_shard_and_gw(ds, ts_col: str, num_shards: int, group_window_ms: int,
+                       coalesce: bool = True):
     def fn(batch: pa.Table) -> pa.Table:
         batch = batch.append_column("_shard", _shard_of(batch["series_key"], num_shards))
         gw = pa.array(window_start_np(batch[ts_col].to_numpy().astype(np.int64), group_window_ms))
         return batch.append_column("_gw", gw)
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    out = ds.map_batches(fn, batch_format="pyarrow")
+    if coalesce:
+        out = out.repartition(_shuffle_partitions())
+    return out
 
 
 def _drop_keys(table: pa.Table) -> pa.Table:
@@ -315,7 +333,10 @@ def rollup_up(
         return _rollup_merge_group(_drop_keys(group), tier, finer_ms)
 
     return (
-        _with_shard_and_gw(finer_ds, "window_start", num_shards, d * group_factor)
+        # no coalesce hop: merge inputs are already collapsed chunk rows in
+        # O(partitions) blocks; an extra repartition is a pure latency barrier
+        _with_shard_and_gw(finer_ds, "window_start", num_shards, d * group_factor,
+                           coalesce=False)
         .groupby(["_gw", "_shard"])
         .map_groups(per_group, batch_format="pyarrow")
     )
