@@ -174,13 +174,17 @@ def main() -> None:
     ap.add_argument("--replicate", type=int, default=REPLICATE)
     ap.add_argument("--heavy", type=int, default=1,
                     help="repeat doc text N times for CC-realistic page sizes")
+    ap.add_argument("--scaling-cpus", default="8,32",
+                    help="comma pair N,4N for the --scaling runs")
     args = ap.parse_args()
 
     if args.scaling:
         # pre-generate the corpus once so neither timed run pays for it
         prepare_pages(args.sf_dir, args.replicate, args.heavy)
+        lo, hi = (int(x) for x in args.scaling_cpus.split(","))
+        assert hi == 4 * lo, "scaling pair must be N,4N"
         results = {}
-        for cpus in (8, 32):
+        for cpus in (lo, hi):
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--flagship-only",
                  "--cpus", str(cpus), "--sf-dir", args.sf_dir,
@@ -189,19 +193,21 @@ def main() -> None:
             )
             line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
             results[cpus] = json.loads(line)
-        tp8 = results[8]["pages_per_s"]
-        tp32 = results[32]["pages_per_s"]
+        tp8 = results[lo]["pages_per_s"]
+        tp32 = results[hi]["pages_per_s"]
         eff = (tp32 / tp8) / 4
         print(json.dumps({
-            "metric": "flagship rollup throughput scaling, num_cpus 8 -> 32",
+            "metric": f"flagship rollup throughput scaling, num_cpus {lo} -> {hi}",
             "unit": "pages/s",
             "sf": args.sf_dir,
             "replicate": args.replicate,
             "heavy": args.heavy,
-            "throughput_n8": round(tp8, 1),
-            "throughput_n32": round(tp32, 1),
-            "wall_n8_s": round(results[8]["value"], 2),
-            "wall_n32_s": round(results[32]["value"], 2),
+            "cpus_n": lo,
+            "cpus_4n": hi,
+            "throughput_n": round(tp8, 1),
+            "throughput_4n": round(tp32, 1),
+            "wall_n_s": round(results[lo]["value"], 2),
+            "wall_4n_s": round(results[hi]["value"], 2),
             "speedup": round(tp32 / tp8, 3),
             "scaling_efficiency": round(eff, 3),
         }))
