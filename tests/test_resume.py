@@ -71,7 +71,7 @@ def test_resume_after_partial_crash(ray_session, out_dir):
         got = read_tier(out_dir, t).to_pandas()
         got = got.sort_values(["series_key", "window_start"]).reset_index(drop=True)
         want = golden[t].sort_values(["series_key", "window_start"]).reset_index(drop=True)
-        assert got.drop(columns=["window_day"]).equals(want.drop(columns=["window_day"]))
+        assert got.equals(want)
 
 
 def test_day_level_resume_skips_manifested_days(ray_session, out_dir):
@@ -112,6 +112,6 @@ def test_day_level_resume_skips_manifested_days(ray_session, out_dir):
     assert set(completed_days(out_dir, "5m")) == set(days)
     got = read_tier(out_dir, "5m").to_pandas()
     key = ["series_key", "window_start"]
-    assert got.sort_values(key).reset_index(drop=True).drop(columns=["window_day"]).equals(
-        golden.sort_values(key).reset_index(drop=True).drop(columns=["window_day"])
+    assert got.sort_values(key).reset_index(drop=True).equals(
+        golden.sort_values(key).reset_index(drop=True)
     )
