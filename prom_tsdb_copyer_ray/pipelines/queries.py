@@ -506,7 +506,7 @@ def q_embedding_neardup(sf_dir: str):
     from ..stages.dedup import embedding_neardup_pairs
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_neardup_pairs(ds, threshold=0.9, num_planes=6)
+    return embedding_neardup_pairs(ds, threshold=0.45, num_planes=4)
 
 
 def q_ivf_topk(sf_dir: str):
@@ -522,6 +522,34 @@ def q_ivf_topk(sf_dir: str):
     )
     queries = np.array(qdf["embedding"].tolist(), dtype=np.float64)
     return ivf_topk(ds, queries, k=ANN_K).select(["query_idx", "vec_id", "rank"])
+
+
+def q_union_merge(sf_dir: str):
+    """Multi-to-one copy: union of two overlapping source slices, dedup by
+    record identity, grouped count — the reference's multi-source merge
+    (doCompact over overlapping blocks) as a relational operator."""
+    from ray.data.aggregate import Count
+
+    def part(pred_rem):
+        ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+        def flt(batch: pa.Table) -> pa.Table:
+            rem = pc.subtract(
+                batch["event_id"],
+                pc.multiply(
+                    pc.divide(batch["event_id"], pa.scalar(3, pa.int64())),
+                    pa.scalar(3, pa.int64()),
+                ),
+            )
+            mask = pc.is_in(rem, value_set=pa.array(pred_rem, pa.int64()))
+            return batch.filter(mask)
+
+        return ds.map_batches(flt, batch_format="pyarrow")
+
+    u = part([0, 1]).union(part([1, 2]))
+    # dedup identical records from the overlap (keep-first), then aggregate
+    dedup = u.groupby(["event_type", "event_id"]).aggregate(Count(alias_name="_dup"))
+    return dedup.groupby("event_type").aggregate(Count(alias_name="n"))
 
 
 def q_media_features(sf_dir: str):
@@ -658,6 +686,7 @@ QUERIES = {
     "quality": q_quality,
     "exact_dedup": q_exact_dedup,
     "ann_topk": q_ann_topk,
+    "union_merge": q_union_merge,
     "pages_rollup_5m": q_pages_rollup_5m,
     "pages_rollup_1h": q_pages_rollup_1h,
     # rows-only (non-SQL-expressible)
@@ -787,6 +816,13 @@ ORACLE_SQL = {
                                         ORDER BY sim DESC, vec_id) - 1 AS rank
               FROM s)
         SELECT query_idx, vec_id, rank FROM r WHERE rank < {ANN_K}
+    """,
+    "union_merge": """
+        WITH u AS (
+          SELECT event_id, event_type FROM events WHERE event_id % 3 IN (0, 1)
+          UNION ALL
+          SELECT event_id, event_type FROM events WHERE event_id % 3 IN (1, 2))
+        SELECT event_type, count(DISTINCT event_id) AS n FROM u GROUP BY 1
     """,
     "pages_rollup_5m": _PAGES_SAMPLES_SQL + """
         SELECT metric, domain, lang,

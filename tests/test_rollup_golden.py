@@ -104,3 +104,20 @@ def test_relabel_merges_series(ray_session, pages):
     # the engine dedups keep-first just like overlapping-block compaction
     _compare_tier(got, oracle_tier_raw(s, "5m"))
     assert set(got["domain"]) == {"all"}
+
+
+def test_multi_to_one_union_matches_oracle(ray_session, pages):
+    """Multi-to-one copy (reference: merging overlapping source blocks into
+    one output, doCompact over slice blocks): two overlapping pages slices
+    unioned -> tiers must equal the single-source result (overlap deduped
+    exactly like compaction dedups identical overlapping samples)."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.pipelines.copy import build_tiers
+
+    n = pages.num_rows
+    a = pages.slice(0, int(n * 0.7))
+    b = pages.slice(int(n * 0.5))  # overlaps [0.5n, 0.7n) with a
+    union = ray.data.from_arrow(a).union(ray.data.from_arrow(b))
+    got = build_tiers(union, tiers=("5m",))["5m"].to_pandas()
+    _compare_tier(got, oracle_tiers(pages)["5m"])
