@@ -124,6 +124,9 @@ def main(argv=None) -> int:
         relabels=relabels or None,
         validate=args.validate,
         concurrency=(1, args.thread or args.num_cpus),
+        # -S: the rollup group window is the memory knob, exactly like the
+        # reference's slice duration (main.go:121)
+        group_window_ms=args.query_duration_min * 60_000,
     )
     if args.show_metrics:
         print(json.dumps(manifest_summary(args.target), sort_keys=True))

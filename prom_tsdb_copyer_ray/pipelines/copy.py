@@ -99,6 +99,7 @@ def build_tiers(
     relabels: Mapping[str, str] | None = None,
     validate: str = "strict",
     tiers: Sequence[str] = ("5m", "1h", "1d"),
+    group_window_ms: int | None = None,
     **kw,
 ):
     """In-memory tier chain; returns {tier: Dataset}.
@@ -109,7 +110,8 @@ def build_tiers(
     """
     samples = pages_to_samples(pages_ds, matchers, relabels, validate, **kw)
     out = {}
-    t5 = rollup_raw(samples, "5m").materialize()
+    raw_kw = {"group_window_ms": group_window_ms} if group_window_ms else {}
+    t5 = rollup_raw(samples, "5m", **raw_kw).materialize()
     out["5m"] = t5
     if "1h" in tiers or "1d" in tiers:
         t1h = rollup_up(t5, "1h").materialize()
@@ -126,6 +128,7 @@ def run_copy(
     relabels: Mapping[str, str] | None = None,
     validate: str = "strict",
     incremental: bool = False,
+    group_window_ms: int | None = None,
     **kw,
 ) -> dict:
     """Checkpointed end-to-end run; returns {tier: manifest}.
@@ -148,7 +151,8 @@ def run_copy(
         # materialize the collapsed tier rows (small vs raw input) so the
         # write and the 1h rollup both feed from the object store instead of
         # re-executing extraction or round-tripping through Parquet
-        t5 = rollup_raw(samples, "5m").materialize()
+        raw_kw = {"group_window_ms": group_window_ms} if group_window_ms else {}
+        t5 = rollup_raw(samples, "5m", **raw_kw).materialize()
         m5 = write_tier(t5, out_dir, "5m")
     manifests["5m"] = m5
 

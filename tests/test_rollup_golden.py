@@ -121,3 +121,32 @@ def test_multi_to_one_union_matches_oracle(ray_session, pages):
     union = ray.data.from_arrow(a).union(ray.data.from_arrow(b))
     got = build_tiers(union, tiers=("5m",))["5m"].to_pandas()
     _compare_tier(got, oracle_tiers(pages)["5m"])
+
+
+def test_group_window_knob_and_skew(ray_session):
+    """The group window (-S memory knob, reference slice duration) and a
+    heavily skewed domain distribution must not change results: rollup with
+    1h groups over hot-domain pages equals the oracle exactly."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.pipelines.copy import build_tiers
+
+    skewed = generate_pages(2000, seed=9, hot_mass=0.4, n_domains=20)
+    got = build_tiers(
+        ray.data.from_arrow(skewed), tiers=("5m",), group_window_ms=3_600_000
+    )["5m"].to_pandas()
+    _compare_tier(got, oracle_tiers(skewed)["5m"])
+
+
+def test_golden_other_seed(ray_session):
+    """Same pipeline, different corpus seed/size — guards against the golden
+    test overfitting one dataset shape."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.pipelines.copy import build_tiers
+
+    pages2 = generate_pages(800, seed=123, span_ms=2 * 86_400_000, dup_frac=0.05)
+    tiers = build_tiers(ray.data.from_arrow(pages2))
+    want = oracle_tiers(pages2)
+    for t in ("5m", "1h", "1d"):
+        _compare_tier(tiers[t].to_pandas(), want[t])
