@@ -524,6 +524,63 @@ def q_ivf_topk(sf_dir: str):
     return ivf_topk(ds, queries, k=ANN_K).select(["query_idx", "vec_id", "rank"])
 
 
+def q_sliding_1h(sf_dir: str):
+    """Windowed aggregate beyond tumbling: trailing-1h sliding sum of 5m
+    event counts per type (custom operator, stages/windowed.py)."""
+    from ..stages.windowed import sliding_window_sum
+
+    counts = _rollup_events(sf_dir, MS_5M).select_columns(
+        ["event_type", "window_start", "n"]
+    )
+    return sliding_window_sum(
+        counts, ["event_type"], value_col="n", trail_ms=MS_1H, out_col="sliding_n"
+    ).map_batches(
+        lambda b: b.set_column(
+            b.column_names.index("sliding_n"),
+            "sliding_n",
+            pc.cast(b["sliding_n"], pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join (custom operator Ray Data lacks): for each click event the
+    latest error event of the same user at or before it."""
+    from ..stages.windowed import asof_join
+
+    def side(event_type, cols):
+        ds = _read(sf_dir, "events", ["ts", "user_id", "event_type", "event_id", "value"])
+
+        def fn(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch["event_type"], event_type))
+            out = {"user_id": t["user_id"], "ts_ms": ts_to_ms(t["ts"])}
+            for c in cols:
+                out[c] = t[c]
+            return pa.table(out)
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    left = side("click", ["event_id"])
+    right = side("error", ["value"])
+    joined = asof_join(
+        left, right, ["user_id"], left_ts="ts_ms", right_ts="ts_ms",
+        right_value_cols=["value"],
+    )
+    return joined.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "ts_ms": b["ts_ms"],
+                "error_ts_ms": b["_r_ts"],
+                "error_value": b["value_right"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_union_merge(sf_dir: str):
     """Multi-to-one copy: union of two overlapping source slices, dedup by
     record identity, grouped count — the reference's multi-source merge
@@ -687,6 +744,8 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "ann_topk": q_ann_topk,
     "union_merge": q_union_merge,
+    "sliding_1h": q_sliding_1h,
+    "asof_join": q_asof_join,
     "pages_rollup_5m": q_pages_rollup_5m,
     "pages_rollup_1h": q_pages_rollup_1h,
     # rows-only (non-SQL-expressible)
@@ -816,6 +875,29 @@ ORACLE_SQL = {
                                         ORDER BY sim DESC, vec_id) - 1 AS rank
               FROM s)
         SELECT query_idx, vec_id, rank FROM r WHERE rank < {ANN_K}
+    """,
+    "sliding_1h": """
+        WITH r AS (
+          SELECT event_type, (epoch_ms(ts) // 300000) * 300000 AS window_start,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2)
+        SELECT event_type, window_start, n,
+               CAST(sum(n) OVER (PARTITION BY event_type ORDER BY window_start
+                    RANGE BETWEEN 3599999 PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS sliding_n
+        FROM r
+    """,
+    "asof_join": """
+        WITH clicks AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events
+          WHERE event_type = 'click'),
+        errors AS (
+          SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events
+          WHERE event_type = 'error')
+        SELECT c.user_id, c.event_id, c.ts_ms,
+               e.ts_ms AS error_ts_ms, e.value AS error_value
+        FROM clicks c ASOF JOIN errors e
+          ON c.user_id = e.user_id AND c.ts_ms >= e.ts_ms
     """,
     "union_merge": """
         WITH u AS (
