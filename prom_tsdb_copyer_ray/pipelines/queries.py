@@ -524,6 +524,48 @@ def q_ivf_topk(sf_dir: str):
     return ivf_topk(ds, queries, k=ANN_K).select(["query_idx", "vec_id", "rank"])
 
 
+HIST_LES = [50.0, 100.0, 200.0]  # + implicit +Inf
+
+
+def q_hist_5m(sf_dir: str):
+    """Histogram aggregation: per (event_type, 5m window) cumulative bucket
+    counts of `value` (the engine's histogram-sample builder; the histogram
+    rollup itself is stages/histograms.py)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w = window_start(ts_to_ms(batch["ts"]), MS_5M)
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "window_start": w,
+                "value": batch["value"],
+            }
+        )
+        aggs = []
+        for le in HIST_LES:
+            t = t.append_column(
+                f"le_{int(le)}",
+                pc.cast(pc.less_equal(t["value"], le), pa.int64()),
+            )
+            aggs.append((f"le_{int(le)}", "sum"))
+        aggs.append(("value", "count"))
+        return t.group_by(["event_type", "window_start"]).aggregate(aggs)
+
+    names = [f"le_{int(le)}" for le in HIST_LES]
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            *[Sum(f"{n}_sum", alias_name=n) for n in names],
+            Sum("value_count", alias_name="le_inf"),
+        )
+    )
+    return out
+
+
 def q_sliding_1h(sf_dir: str):
     """Windowed aggregate beyond tumbling: trailing-1h sliding sum of 5m
     event counts per type (custom operator, stages/windowed.py)."""
@@ -745,6 +787,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "union_merge": q_union_merge,
     "sliding_1h": q_sliding_1h,
+    "hist_5m": q_hist_5m,
     "asof_join": q_asof_join,
     "pages_rollup_5m": q_pages_rollup_5m,
     "pages_rollup_1h": q_pages_rollup_1h,
@@ -875,6 +918,14 @@ ORACLE_SQL = {
                                         ORDER BY sim DESC, vec_id) - 1 AS rank
               FROM s)
         SELECT query_idx, vec_id, rank FROM r WHERE rank < {ANN_K}
+    """,
+    "hist_5m": """
+        SELECT event_type, (epoch_ms(ts) // 300000) * 300000 AS window_start,
+               CAST(count(*) FILTER (value <= 50) AS BIGINT) AS le_50,
+               CAST(count(*) FILTER (value <= 100) AS BIGINT) AS le_100,
+               CAST(count(*) FILTER (value <= 200) AS BIGINT) AS le_200,
+               count(*) AS le_inf
+        FROM events GROUP BY 1, 2
     """,
     "sliding_1h": """
         WITH r AS (

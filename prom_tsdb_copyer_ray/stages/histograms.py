@@ -1,0 +1,163 @@
+"""Histogram-valued series (the reference's 2nd/3rd sample types).
+
+The reference's inner copy loop switches on three value types — float,
+native ``Histogram``, ``FloatHistogram`` — and hard-errors on anything else
+(``copyer.go:108-127``, error ``copyer.go:21``).  The float path is the main
+engine (stages/rollup.py); this module adds the histogram path with the same
+posture:
+
+* Sample model: a histogram sample is ``(ts, h_count int64, h_sum float64,
+  h_buckets list<float64>)`` — cumulative-bucket counts over a fixed
+  per-series upper-bound layout (the classic Prometheus histogram shape;
+  the "float histogram" variant is float bucket counts, which is what the
+  list<float64> already carries).
+* Rollup semantics: histograms are cumulative gauges, so a window's rolled
+  value is the **last sample by ts** (exactly what TSDB downsampling keeps),
+  plus ``n_samples`` observed in the window; identical-ts duplicates dedup
+  keep-first like the float path.
+* Type routing: :func:`route_samples` splits a mixed-type samples Dataset by
+  ``value_type`` and raises the reference's hard error on unknown types.
+
+Grouping uses the same (time-major group window, hash shard) shuffle key as
+the float rollup, vectorized with lexsort + boundary reduceat.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..windows import MS_1D, TIERS, window_start_np
+from .rollup import DEFAULT_NUM_SHARDS, _drop_keys, _series_codes, _with_shard_and_gw
+
+SUPPORTED_VALUE_TYPES = ("float", "histogram")
+
+
+class UnsupportedValueTypeError(ValueError):
+    """The reference's ErrUnsupportValueType (copyer.go:21) analogue."""
+
+
+def route_samples(samples_ds, value_type_col: str = "value_type"):
+    """Split a mixed samples Dataset into {"float": ds, "histogram": ds}.
+
+    Unknown value types raise :class:`UnsupportedValueTypeError` inside the
+    batch kernel (aborting the job — the reference aborts the slice,
+    ``copyer.go:123-126``).
+    """
+
+    def check(batch: pa.Table) -> pa.Table:
+        types = pc.unique(batch[value_type_col]).to_pylist()
+        bad = [t for t in types if t not in SUPPORTED_VALUE_TYPES]
+        if bad:
+            raise UnsupportedValueTypeError(f"不支持的数据格式: {bad}")
+        return batch
+
+    checked = samples_ds.map_batches(check, batch_format="pyarrow")
+    out = {}
+    for vt in SUPPORTED_VALUE_TYPES:
+        out[vt] = checked.map_batches(
+            lambda b, vt=vt: b.filter(pc.equal(b[value_type_col], vt)),
+            batch_format="pyarrow",
+        )
+    return out
+
+
+def rollup_histograms(
+    samples_ds,
+    tier: str = "5m",
+    num_shards: int = DEFAULT_NUM_SHARDS,
+    group_window_ms: int = MS_1D,
+):
+    """Histogram samples -> per-(series, window) last-histogram rows.
+
+    Input columns: ``series_key, ts (int64 ms), h_count, h_sum, h_buckets``.
+    Output: one row per (series_key, window_start) with the window's last
+    histogram, its observation count, and min/max ts — mergeable upward by
+    re-applying the same operator at a coarser tier (last-of-lasts).
+    """
+    d_ms = TIERS[tier]
+    if group_window_ms % d_ms != 0:
+        raise ValueError(f"group window {group_window_ms} not a multiple of tier {tier}")
+
+    def per_group(group: pa.Table) -> pa.Table:
+        group = _drop_keys(group.combine_chunks())
+        n = group.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "series_key": pa.array([], pa.string()),
+                    "tier": pa.array([], pa.string()),
+                    "window_start": pa.array([], pa.int64()),
+                    "min_ts": pa.array([], pa.int64()),
+                    "max_ts": pa.array([], pa.int64()),
+                    "n_samples": pa.array([], pa.int64()),
+                    "h_count": pa.array([], pa.int64()),
+                    "h_sum": pa.array([], pa.float64()),
+                    "h_buckets": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        codes, dictionary = _series_codes(group)
+        ts = group["ts"].to_numpy().astype(np.int64, copy=False)
+        order = np.lexsort((ts, codes))
+        codes_s, ts_s = codes[order], ts[order]
+        # dedup identical (series, ts): keep first occurrence in sorted order
+        keep = np.empty(len(ts_s), dtype=bool)
+        keep[0] = True
+        np.logical_or(codes_s[1:] != codes_s[:-1], ts_s[1:] != ts_s[:-1], out=keep[1:])
+        order, codes_s, ts_s = order[keep], codes_s[keep], ts_s[keep]
+
+        win = window_start_np(ts_s, d_ms)
+        newgrp = np.empty(len(ts_s), dtype=bool)
+        newgrp[0] = True
+        np.logical_or(codes_s[1:] != codes_s[:-1], win[1:] != win[:-1], out=newgrp[1:])
+        starts = np.flatnonzero(newgrp)
+        ends = np.r_[starts[1:], len(ts_s)]
+        last_idx = order[ends - 1]
+
+        take_last = pa.array(last_idx)
+        return pa.table(
+            {
+                "series_key": dictionary.take(pa.array(codes_s[starts])),
+                "tier": pa.nulls(len(starts), pa.string()).fill_null(tier),
+                "window_start": pa.array(win[starts], pa.int64()),
+                "min_ts": pa.array(ts_s[starts], pa.int64()),
+                "max_ts": pa.array(ts_s[ends - 1], pa.int64()),
+                "n_samples": pa.array((ends - starts).astype(np.int64)),
+                "h_count": pc.cast(group["h_count"].take(take_last), pa.int64()),
+                "h_sum": pc.cast(group["h_sum"].take(take_last), pa.float64()),
+                "h_buckets": group["h_buckets"].take(take_last),
+            }
+        )
+
+    return (
+        _with_shard_and_gw(samples_ds, "ts", num_shards, group_window_ms)
+        .groupby(["_gw", "_shard"])
+        .map_groups(per_group, batch_format="pyarrow")
+    )
+
+
+def histogram_quantile(tier_table: pa.Table, q: float, les: list[float]) -> pa.Table:
+    """Per-row quantile estimate from cumulative buckets (promql-style linear
+    interpolation within the located bucket; +Inf bucket -> highest finite le)."""
+    out = []
+    les_arr = np.asarray(les, dtype=np.float64)
+    for buckets in tier_table["h_buckets"].to_pylist():
+        b = np.asarray(buckets, dtype=np.float64)
+        total = b[-1]
+        if total <= 0:
+            out.append(float("nan"))
+            continue
+        rank = q * total
+        i = int(np.searchsorted(b, rank, side="left"))
+        i = min(i, len(b) - 1)
+        if not np.isfinite(les_arr[i]):
+            out.append(float(les_arr[i - 1]) if i > 0 else float("nan"))
+            continue
+        lo = les_arr[i - 1] if i > 0 else 0.0
+        cb = b[i - 1] if i > 0 else 0.0
+        width = les_arr[i] - lo
+        inbucket = b[i] - cb
+        frac = 0.0 if inbucket <= 0 else (rank - cb) / inbucket
+        out.append(float(lo + width * frac))
+    return tier_table.append_column(f"q{q}", pa.array(out, pa.float64()))

@@ -91,7 +91,7 @@ def test_oracle_keys_subset(entry_mod):
         "gapfill_5m", "window_align", "retention", "pricing_summary",
         "top_sources", "distinct_pairs", "sample_mod10", "docs_stats",
         "token_count", "quality", "exact_dedup", "ann_topk",
-        "union_merge", "sliding_1h", "asof_join",
+        "union_merge", "sliding_1h", "asof_join", "hist_5m",
         "pages_rollup_5m", "pages_rollup_1h",
     ],
 )

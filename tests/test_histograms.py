@@ -1,0 +1,109 @@
+"""Histogram-valued series tests (reference's 3-way type switch parity)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from prom_tsdb_copyer_ray.stages.histograms import (
+    UnsupportedValueTypeError,
+    histogram_quantile,
+    rollup_histograms,
+    route_samples,
+)
+
+BASE = 1_704_067_200_000
+LES = [0.1, 0.5, 1.0, float("inf")]
+
+
+def _hist_samples():
+    # series A: three samples in window 0, one in window 1; series B: one
+    rows = []
+    for i, ts in enumerate([BASE + 1_000, BASE + 90_000, BASE + 200_000, BASE + 310_000]):
+        c = 10 * (i + 1)
+        rows.append(("A", ts, c, 1.5 * c, [c * 0.2, c * 0.6, c * 0.9, float(c)]))
+    rows.append(("B", BASE + 5_000, 7, 3.5, [1.0, 4.0, 6.0, 7.0]))
+    # duplicate (series, ts) — dedup keep-first
+    rows.append(("B", BASE + 5_000, 999, 999.0, [999.0, 999.0, 999.0, 999.0]))
+    return pa.table(
+        {
+            "series_key": pa.array([r[0] for r in rows], pa.string()),
+            "ts": pa.array([r[1] for r in rows], pa.int64()),
+            "h_count": pa.array([r[2] for r in rows], pa.int64()),
+            "h_sum": pa.array([r[3] for r in rows], pa.float64()),
+            "h_buckets": pa.array([r[4] for r in rows], pa.list_(pa.float64())),
+        }
+    )
+
+
+def test_rollup_histograms_last_per_window(ray_session):
+    import ray.data
+
+    out = (
+        rollup_histograms(ray.data.from_arrow(_hist_samples()), "5m")
+        .to_pandas()
+        .sort_values(["series_key", "window_start"])
+        .reset_index(drop=True)
+    )
+    a = out[out["series_key"] == "A"]
+    assert len(a) == 2  # two 5m windows
+    w0 = a.iloc[0]
+    assert w0["n_samples"] == 3 and w0["h_count"] == 30  # last of the 3
+    assert w0["min_ts"] == BASE + 1_000 and w0["max_ts"] == BASE + 200_000
+    w1 = a.iloc[1]
+    assert w1["n_samples"] == 1 and w1["h_count"] == 40
+    b = out[out["series_key"] == "B"].iloc[0]
+    assert b["n_samples"] == 1 and b["h_count"] == 7  # dup deduped keep-first
+
+
+def test_rollup_histograms_merges_upward(ray_session):
+    import ray.data
+
+    t5 = rollup_histograms(ray.data.from_arrow(_hist_samples()), "5m")
+    # re-apply at 1h over the 5m rows (ts := window max_ts carries last-ness)
+    t5_as_samples = t5.map_batches(
+        lambda b: pa.table(
+            {
+                "series_key": b["series_key"],
+                "ts": b["max_ts"],
+                "h_count": b["h_count"],
+                "h_sum": b["h_sum"],
+                "h_buckets": b["h_buckets"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    t1h = rollup_histograms(t5_as_samples, "1h").to_pandas()
+    a = t1h[t1h["series_key"] == "A"].iloc[0]
+    assert a["h_count"] == 40  # last-of-lasts
+
+
+def test_route_samples_and_unsupported_type(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "value_type": pa.array(["float", "histogram", "float"], pa.string()),
+            "x": pa.array([1, 2, 3], pa.int64()),
+        }
+    )
+    routed = route_samples(ray.data.from_arrow(t))
+    assert routed["float"].count() == 2
+    assert routed["histogram"].count() == 1
+
+    bad = pa.table({"value_type": pa.array(["summary"], pa.string()), "x": pa.array([1], pa.int64())})
+    with pytest.raises(Exception) as ei:
+        route_samples(ray.data.from_arrow(bad))["float"].count()
+    assert "不支持的数据格式" in str(ei.value) or "UnsupportedValueType" in str(ei.value)
+
+
+def test_histogram_quantile():
+    t = pa.table(
+        {
+            "h_buckets": pa.array([[20.0, 60.0, 90.0, 100.0]], pa.list_(pa.float64())),
+        }
+    )
+    out = histogram_quantile(t, 0.5, LES)
+    # rank 50 lands in bucket (0.1, 0.5]: 20 + 30/40 through -> 0.1 + 0.4*0.75
+    assert abs(out["q0.5"][0].as_py() - (0.1 + 0.4 * ((50 - 20) / 40))) < 1e-12

@@ -28,3 +28,33 @@ def test_jsonl_pages_roundtrip_pipeline(ray_session, tmp_path):
         got["agg_sum"], want["agg_sum"].astype(float), check_names=False
     )
     assert (got["series_key"].values == want["series_key"].values).all()
+
+
+def test_csv_pages_roundtrip_pipeline(ray_session, tmp_path):
+    import base64
+    import csv as csvmod
+
+    from prom_tsdb_copyer_ray.sources.formats import read_pages_csv
+    from prom_tsdb_copyer_ray.windows import ts_to_ms
+
+    pages = generate_pages(200, seed=42)
+    path = str(tmp_path / "pages.csv")
+    ts = ts_to_ms(pages["warc_ts"]).to_pylist()
+    with open(path, "w", newline="") as f:
+        w = csvmod.writer(f)
+        w.writerow(["url", "warc_ts", "html", "text", "lang"])
+        for i in range(pages.num_rows):
+            w.writerow(
+                [
+                    pages["url"][i].as_py(),
+                    ts[i],
+                    base64.b64encode(pages["html"][i].as_py()).decode(),
+                    pages["text"][i].as_py(),
+                    pages["lang"][i].as_py(),
+                ]
+            )
+    ds = read_pages_csv(path)
+    df = ds.to_pandas()
+    assert len(df) == pages.num_rows
+    assert bytes(df["html"].iloc[0]) == pages["html"][0].as_py()
+    assert df["warc_ts"].astype("datetime64[ms]").astype("int64").tolist() == ts
