@@ -750,6 +750,21 @@ def q_pages_rollup_1h(sf_dir: str):
     return _pages_tier_query(sf_dir, MS_1H)
 
 
+def q_pages_verify(sf_dir: str):
+    """Verify pipeline as an operator: decode-audit every 5m chunk row of the
+    flagship tiers (rows-only; bad_rows must be 0)."""
+    import ray.data
+
+    from ..pipelines.copy import build_tiers
+    from ..pipelines.verify import verify_tier_chunks
+    from ..sources.pages import read_pages_from_documents
+
+    t5 = build_tiers(read_pages_from_documents(sf_dir), tiers=("5m",))["5m"]
+    rep = verify_tier_chunks(t5)
+    return pa.table({"rows": pa.array([rep["rows"]], pa.int64()),
+                     "bad_rows": pa.array([rep["bad_rows"]], pa.int64())})
+
+
 def q_pages_tiers_chunks(sf_dir: str):
     """Full tier output with encoded chunks (rows-only driver check; chunk
     bytes are golden-tested against the oracle decoder in pytest)."""
@@ -801,6 +816,7 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "media_features": q_media_features,
     "pages_tiers_chunks": q_pages_tiers_chunks,
+    "pages_verify": q_pages_verify,
 }
 
 

@@ -108,7 +108,7 @@ def test_sql_checked_query(entry_mod, con, name):
     [
         "lang_id", "fingerprint", "simhash", "minhash_pairs",
         "ngram_jaccard_pairs", "embedding_neardup", "ivf_topk",
-        "media_features", "pages_tiers_chunks",
+        "media_features", "pages_tiers_chunks", "pages_verify",
     ],
 )
 def test_rows_only_query(entry_mod, name):
