@@ -143,37 +143,29 @@ def run_copy(
     re-runs, but ``write_tier`` filters out already-manifested days, so only
     NEW days of a grown input are computed/written — the day-level checkpoint.
     """
-    from concurrent.futures import ThreadPoolExecutor
-
     manifests = {}
     m5 = load_manifest(out_dir, "5m")
     t5 = None
-    need_5m = incremental or m5["status"] != "complete"
-    m1h = load_manifest(out_dir, "1h")
-    need_1h = incremental or m1h["status"] != "complete"
-    m1d = load_manifest(out_dir, "1d")
-    need_1d = incremental or m1d["status"] != "complete"
+    if incremental or m5["status"] != "complete":
+        samples = pages_to_samples(pages_ds_factory(), matchers, relabels, validate, **kw)
+        # materialize the collapsed tier rows (small vs raw input) so the
+        # write and the 1h rollup both feed from the object store instead of
+        # re-executing extraction or round-tripping through Parquet
+        raw_kw = {"group_window_ms": group_window_ms} if group_window_ms else {}
+        t5 = rollup_raw(samples, "5m", **raw_kw).materialize()
+        m5 = write_tier(t5, out_dir, "5m")
+    manifests["5m"] = m5
 
-    # Each tier is materialized (collapsed rows, small vs raw input) and then
-    # two independent Ray executions run CONCURRENTLY from driver threads:
-    # the tier's Parquet write and the next tier's rollup both feed from the
-    # materialized dataset — the parallel answer to the reference's strictly
-    # serial copy-then-compact phases (copyer.go:234-252).
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        if need_5m:
-            samples = pages_to_samples(pages_ds_factory(), matchers, relabels, validate, **kw)
-            raw_kw = {"group_window_ms": group_window_ms} if group_window_ms else {}
-            t5 = rollup_raw(samples, "5m", **raw_kw).materialize()
-            fut5 = pool.submit(write_tier, t5, out_dir, "5m")
-        t1h = None
-        if need_1h:
-            t1h = rollup_up(t5 if t5 is not None else read_tier(out_dir, "5m"), "1h").materialize()
-            fut1h = pool.submit(write_tier, t1h, out_dir, "1h")
-        if need_1d:
-            t1d = rollup_up(t1h if t1h is not None else read_tier(out_dir, "1h"), "1d")
-            manifests["1d"] = write_tier(t1d, out_dir, "1d")
-        else:
-            manifests["1d"] = m1d
-        manifests["1h"] = fut1h.result() if need_1h else m1h
-        manifests["5m"] = fut5.result() if need_5m else m5
+    m1h = load_manifest(out_dir, "1h")
+    t1h = None
+    if incremental or m1h["status"] != "complete":
+        t1h = rollup_up(t5 if t5 is not None else read_tier(out_dir, "5m"), "1h").materialize()
+        m1h = write_tier(t1h, out_dir, "1h")
+    manifests["1h"] = m1h
+
+    m1d = load_manifest(out_dir, "1d")
+    if incremental or m1d["status"] != "complete":
+        t1d = rollup_up(t1h if t1h is not None else read_tier(out_dir, "1h"), "1d")
+        m1d = write_tier(t1d, out_dir, "1d")
+    manifests["1d"] = m1d
     return manifests
