@@ -30,14 +30,21 @@ _TIME_LAYOUTS = ["%Y-%m-%dT%H:%M:%S%z", "%Y-%m-%dT%H:%M:%S", "%Y-%m-%d%z", "%Y-%
 
 
 def parse_time_ms(s: str) -> int:
-    """O16: try layouts with/without zone; naive times are treated as UTC."""
+    """O16: try layouts with/without zone; naive times use the LOCAL zone.
+
+    Reference parity: ``tryParseTimeWithZone`` falls back to
+    ``time.ParseInLocation(..., time.Local)`` (main.go:21-33), so a zone-less
+    ``-F/-T`` selects the same range here as there on any host timezone.
+    ``datetime.astimezone()`` on a naive datetime attaches the system local
+    zone.  Pass an explicit offset (e.g. ``+00:00``) for zone-independence.
+    """
     for layout in _TIME_LAYOUTS:
         try:
             dt = datetime.strptime(s, layout)
         except ValueError:
             continue
         if dt.tzinfo is None:
-            dt = dt.replace(tzinfo=timezone.utc)
+            dt = dt.astimezone()  # naive -> system local zone, like time.Local
         return int(dt.timestamp() * 1000)
     raise ValueError(f"unparseable time: {s!r}")
 
@@ -59,8 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-S", "--query-duration-min", type=int,
                    default=int(_env_default("QUERY_DURATION", 24 * 60)),
                    help="rollup group-window minutes (memory knob)")
-    p.add_argument("-t", "--thread", type=int, default=int(_env_default("THREAD", 8)),
-                   help="extraction actor-pool max size (0 = num_cpus)")
+    p.add_argument("-t", "--thread", type=int, default=int(_env_default("THREAD", 0)),
+                   help="max concurrent extraction tasks/actors (0 = let Ray "
+                        "schedule up to num_cpus)")
     p.add_argument("--num-shards", type=int, default=64)
     p.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     p.add_argument("--validate", choices=["strict", "count", "off"], default="strict")
@@ -123,7 +131,9 @@ def main(argv=None) -> int:
         matchers=matchers,
         relabels=relabels or None,
         validate=args.validate,
-        concurrency=(1, args.thread or args.num_cpus),
+        # -t > 0 caps concurrent extraction tasks (the reference's -T worker
+        # cap); 0 = unbounded (Ray's scheduler packs up to num_cpus)
+        concurrency=args.thread if args.thread > 0 else None,
         # -S: the rollup group window is the memory knob, exactly like the
         # reference's slice duration (main.go:121)
         group_window_ms=args.query_duration_min * 60_000,

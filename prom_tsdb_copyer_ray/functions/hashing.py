@@ -132,6 +132,91 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (8-bit LUT; numpy<2 has no
+    ``bitwise_count``).  Returns int64 counts."""
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    return _POPCOUNT8[x.view(np.uint8)].reshape(len(x), 8).sum(axis=1).astype(np.int64)
+
+
+def poly_hash_column(col, fold63: bool = True) -> np.ndarray:
+    """Vectorized :func:`text_fingerprint` over an Arrow string column.
+
+    Hashes every row of a string/large_string column in O(total_bytes) NumPy
+    work directly on the column's contiguous UTF-8 data buffer — no per-row
+    Python.  Returns uint64 (or 63-bit-folded, matching ``text_fingerprint``)
+    hashes; nulls hash as "".
+
+    Identity: for every row, ``poly_hash_column(col)[i] ==
+    text_fingerprint(col[i])`` (prefix-hash window formula over the shared
+    buffer equals the standalone Horner evaluation).
+
+    Note on dedup use: any 64-bit hash (this one or blake2b-8) sees birthday
+    collisions around ~2^32 distinct documents, so exact-dedup keys pair this
+    with a cheap independent discriminator (byte length) — see
+    ``stages/dedup.exact_dedup``.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    if not pa.types.is_large_string(col.type) and not pa.types.is_large_binary(col.type):
+        col = pc.cast(col, pa.large_string())
+        if isinstance(col, pa.ChunkedArray):  # cast may re-chunk
+            col = col.combine_chunks()
+    n = len(col)
+    off0 = col.offset
+    offsets = np.frombuffer(col.buffers()[1], dtype=np.int64)[off0 : off0 + n + 1]
+    data_buf = col.buffers()[2]
+    data = (
+        np.frombuffer(data_buf, dtype=np.uint8)
+        if data_buf is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    s0 = int(offsets[0]) if n else 0
+    e0 = int(offsets[-1]) if n else 0
+    b = data[s0:e0].astype(np.uint64)
+    offs = (offsets - s0).astype(np.int64)
+    h = poly_hash_windows(b, offs)
+    if fold63:
+        h = h & np.uint64((1 << 63) - 1)
+    return h
+
+
+def poly_hash_windows(vals: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """uint64 polynomial hash of each window ``vals[offsets[i]:offsets[i+1]]``.
+
+    Vectorized prefix-hash trick (invertible odd base mod 2^64): one cumsum
+    over all values, then per-window hash = prefix[end] - prefix[start] *
+    B^len.  ``vals`` is any array castable to uint64; ``offsets`` has
+    ``n_windows + 1`` entries."""
+    vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    m = len(vals)
+    with np.errstate(over="ignore"):
+        powers = np.empty(m + 1, dtype=np.uint64)
+        powers[0] = np.uint64(1)
+        if m:
+            np.multiply.accumulate(np.full(m, _B, dtype=np.uint64), out=powers[1:])
+        prefix = np.empty(m + 1, dtype=np.uint64)
+        prefix[0] = np.uint64(0)
+        if m:
+            inv_powers = np.empty(m, dtype=np.uint64)
+            inv_powers[0] = np.uint64(1)
+            if m > 1:
+                np.multiply.accumulate(
+                    np.full(m - 1, _INV_B, dtype=np.uint64), out=inv_powers[1:]
+                )
+            prefix[1:] = np.cumsum((vals + _SEED) * inv_powers, dtype=np.uint64) * powers[:m]
+        starts, ends = offsets[:-1], offsets[1:]
+        return prefix[ends] - prefix[starts] * powers[ends - starts]
+
+
 def text_fingerprint(text: str) -> int:
     """Rolling-hash document fingerprint -> int64 (stable, order-sensitive).
 

@@ -58,7 +58,7 @@ def pages_to_samples(
     relabels: Mapping[str, str] | None = None,
     validate: str = "strict",
     batch_size: int = 4096,
-    concurrency=(1, 8),
+    concurrency=None,
     use_actors: bool = False,
 ):
     """pages -> filtered/relabeled samples Dataset (extraction stage).
@@ -66,7 +66,10 @@ def pages_to_samples(
     ``use_actors=True`` runs the stage as an explicit actor pool
     (``concurrency`` = pool size, the semaphore analogue, pool.go); the
     default task pool keeps identical once-per-worker state semantics via
-    the module singleton and scales/fuses better with the read.
+    the module singleton and scales/fuses better with the read.  In the task
+    pool, ``concurrency`` (int, or a (min, max) tuple whose max is taken)
+    caps concurrent tasks — the CLI's ``-t`` / the reference's ``-T`` knob;
+    ``None`` lets Ray pack up to the CPU count.
     """
     import functools
 
@@ -76,13 +79,17 @@ def pages_to_samples(
             fn_constructor_kwargs={"validate": validate},
             batch_format="pyarrow",
             batch_size=batch_size,
-            concurrency=concurrency,
+            concurrency=concurrency or (1, 8),
         )
     else:
+        max_tasks = None
+        if concurrency is not None:
+            max_tasks = int(concurrency[-1]) if isinstance(concurrency, (tuple, list)) else int(concurrency)
         samples = pages_ds.map_batches(
             functools.partial(_extract_batch, validate=validate),
             batch_format="pyarrow",
             batch_size=batch_size,
+            concurrency=max_tasks,
         )
     if matchers:
         samples = samples.map_batches(make_filter_fn(matchers), batch_format="pyarrow")

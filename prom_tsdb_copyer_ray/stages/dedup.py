@@ -33,8 +33,9 @@ from ..functions.hashing import (
     MinHasher,
     char_ngram_hashes,
     jaccard,
+    poly_hash_column,
+    popcount64,
     simhash64,
-    stable_hash64,
 )
 
 
@@ -43,28 +44,33 @@ from ..functions.hashing import (
 # ---------------------------------------------------------------------------
 
 def add_content_hash(batch: pa.Table, text_col: str = "text", out_col: str = "content_hash") -> pa.Table:
-    """int64 content hash column (blake2b-8 of utf-8 bytes, folded to 63 bits)."""
-    hashes = np.array(
-        [stable_hash64(t or "") & ((1 << 63) - 1) for t in batch[text_col].to_pylist()],
-        dtype=np.int64,
-    )
-    return batch.append_column(out_col, pa.array(hashes))
+    """int64 content hash + byte-length columns, fully vectorized.
+
+    One O(total_bytes) buffer pass (``poly_hash_column``), no per-row Python.
+    A companion ``n_bytes`` column rides along as an independent cheap
+    discriminator: dedup keys use (hash, length), which keeps accidental
+    64-bit birthday collisions from merging distinct documents unless they
+    also agree on length (poly_hash_column docstring)."""
+    hashes = poly_hash_column(batch[text_col]).astype(np.int64)
+    nbytes = pc.cast(pc.binary_length(pc.fill_null(batch[text_col], "")), pa.int64())
+    return batch.append_column(out_col, pa.array(hashes)).append_column("n_bytes", nbytes)
 
 
 def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     """Keep exactly one row (min id) per distinct text: hash -> groupby -> min.
 
-    Returns a Dataset of ``(content_hash, doc_id)`` winners.  The groupby
-    shuffles only (hash, id) pairs — documents themselves never move; callers
-    re-join winners to content via the id (broadcast or second pass).
+    Returns a Dataset of ``(content_hash, n_bytes, doc_id)`` winners.  The
+    groupby shuffles only (hash, len, id) triples — documents themselves
+    never move; callers re-join winners to content via the id (broadcast or
+    second pass).
     """
     from ray.data.aggregate import Min
 
     hashed = ds.map_batches(
-        lambda b: add_content_hash(b, text_col).select(["content_hash", id_col]),
+        lambda b: add_content_hash(b, text_col).select(["content_hash", "n_bytes", id_col]),
         batch_format="pyarrow",
     )
-    return hashed.groupby("content_hash").aggregate(Min(id_col, alias_name=id_col))
+    return hashed.groupby(["content_hash", "n_bytes"]).aggregate(Min(id_col, alias_name=id_col))
 
 
 # ---------------------------------------------------------------------------
@@ -271,7 +277,7 @@ def simhash_dedup(ds, prefix_bits: int = 16, max_hamming: int = 3,
         a_out, b_out, d_out = [], [], []
         for i in range(len(uniq)):
             x = hs[i] ^ hs[i + 1 :]
-            ham = np.array([bin(int(v)).count("1") for v in x])
+            ham = popcount64(x)
             for j in np.flatnonzero(ham <= max_hamming):
                 a_out.append(int(uniq[i]))
                 b_out.append(int(uniq[i + 1 + j]))

@@ -28,8 +28,26 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.hashing import poly_hash_windows
 from ..windows import MS_1D, TIERS, window_start_np
 from .rollup import DEFAULT_NUM_SHARDS, _drop_keys, _series_codes, _with_shard_and_gw
+
+
+def _bucket_hash(group: pa.Table) -> np.ndarray:
+    """Deterministic per-row uint64 hash of the h_buckets payload — the last
+    lexsort tiebreaker that makes identical-(series, ts) dedup keep-first
+    well-defined regardless of Ray's shuffle/block ordering (vectorized
+    windowed polynomial hash over the flattened list buffer)."""
+    buckets = group["h_buckets"]
+    if isinstance(buckets, pa.ChunkedArray):
+        buckets = buckets.combine_chunks()
+    flat = np.ascontiguousarray(
+        pc.list_flatten(buckets).to_numpy(zero_copy_only=False).astype(np.float64)
+    ).view(np.uint64)
+    lens = pc.list_value_length(buckets).to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    return poly_hash_windows(flat, offs)
 
 SUPPORTED_VALUE_TYPES = ("float", "histogram")
 
@@ -99,7 +117,13 @@ def rollup_histograms(
             )
         codes, dictionary = _series_codes(group)
         ts = group["ts"].to_numpy().astype(np.int64, copy=False)
-        order = np.lexsort((ts, codes))
+        # ties on (series, ts) break by payload (min h_count, then min h_sum,
+        # then bucket-payload hash), never by nondeterministic input order —
+        # keep-first below is then well-defined, mirroring the float path's
+        # min-value tiebreak (rollup.py)
+        cnt_key = group["h_count"].to_numpy().astype(np.int64, copy=False)
+        sum_key = group["h_sum"].to_numpy().astype(np.float64, copy=False)
+        order = np.lexsort((_bucket_hash(group), sum_key, cnt_key, ts, codes))
         codes_s, ts_s = codes[order], ts[order]
         # dedup identical (series, ts): keep first occurrence in sorted order
         keep = np.empty(len(ts_s), dtype=bool)

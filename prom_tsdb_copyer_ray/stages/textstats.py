@@ -9,7 +9,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..functions.hashing import text_fingerprint
+from ..functions.hashing import poly_hash_column
 from ..functions.text import LangIdModel, quality_counts, token_count
 
 
@@ -47,13 +47,14 @@ def add_lang_id(ds, text_col: str = "text", concurrency=(1, 8)):
 
 
 def add_fingerprint(ds, text_col: str = "text", out_col: str = "fingerprint"):
-    """Rolling-hash document fingerprint column (int64, deterministic)."""
+    """Rolling-hash document fingerprint column (int64, deterministic).
+
+    Fully vectorized: one O(total_bytes) pass over the column's UTF-8 buffer
+    (``poly_hash_column``), value-identical to the scalar
+    ``text_fingerprint`` (pytest-checked)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        fps = np.array(
-            [text_fingerprint(t or "") for t in batch[text_col].to_pylist()],
-            dtype=np.int64,
-        )
+        fps = poly_hash_column(batch[text_col]).astype(np.int64)
         return batch.append_column(out_col, pa.array(fps))
 
     return ds.map_batches(fn, batch_format="pyarrow")

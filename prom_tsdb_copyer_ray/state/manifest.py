@@ -96,10 +96,14 @@ def write_tier(ds, out_dir: str, tier: str) -> dict:
     clean_uncommitted_days(out_dir, tier)
 
     def add_day(batch: pa.Table) -> pa.Table:
-        day = pc.multiply(
-            pc.divide(batch["window_start"], pa.scalar(MS_1D, pa.int64())),
-            pa.scalar(MS_1D, pa.int64()),
-        )
+        import numpy as np
+
+        # floor division (numpy //), NOT pc.divide's truncation-toward-zero:
+        # identical day keys to windows.window_start_np even for pre-1970
+        # window starts, so the manifest skip-filter and the rollup's day
+        # grouping can never diverge
+        ws = batch["window_start"].to_numpy().astype(np.int64, copy=False)
+        day = pa.array((ws // MS_1D) * MS_1D, pa.int64())
         batch = batch.append_column("window_day", day)
         if done:
             batch = batch.filter(

@@ -98,6 +98,37 @@ def test_route_samples_and_unsupported_type(ray_session):
     assert "不支持的数据格式" in str(ei.value) or "UnsupportedValueType" in str(ei.value)
 
 
+def test_hist_dedup_tiebreak_order_independent(ray_session):
+    """Duplicate (series, ts) with different payloads: the kept sample is the
+    min-(h_count, h_sum, bucket-hash) one, independent of input/block order."""
+    import ray.data
+
+    rows = [
+        ("S", BASE + 1_000, 50, 25.0, [10.0, 30.0, 45.0, 50.0]),
+        ("S", BASE + 1_000, 7, 3.5, [1.0, 4.0, 6.0, 7.0]),
+        ("S", BASE + 1_000, 7, 2.0, [1.0, 4.0, 6.0, 7.0]),
+    ]
+
+    def tbl(order):
+        rs = [rows[i] for i in order]
+        return pa.table(
+            {
+                "series_key": pa.array([r[0] for r in rs], pa.string()),
+                "ts": pa.array([r[1] for r in rs], pa.int64()),
+                "h_count": pa.array([r[2] for r in rs], pa.int64()),
+                "h_sum": pa.array([r[3] for r in rs], pa.float64()),
+                "h_buckets": pa.array([r[4] for r in rs], pa.list_(pa.float64())),
+            }
+        )
+
+    outs = []
+    for order in ([0, 1, 2], [2, 1, 0], [1, 2, 0]):
+        out = rollup_histograms(ray.data.from_arrow(tbl(order)), "5m").to_pandas()
+        assert len(out) == 1
+        outs.append((out["h_count"][0], out["h_sum"][0]))
+    assert outs[0] == outs[1] == outs[2] == (7, 2.0)
+
+
 def test_histogram_quantile():
     t = pa.table(
         {

@@ -10,6 +10,9 @@ from prom_tsdb_copyer_ray.functions.hashing import (
     char_ngram_hashes,
     hamming64,
     jaccard,
+    poly_hash_column,
+    poly_hash_windows,
+    popcount64,
     simhash64,
     stable_hash64,
     text_fingerprint,
@@ -173,3 +176,44 @@ def test_fingerprint_deterministic_and_sensitive():
     assert f1 != text_fingerprint("abc deg")
     assert 0 <= f1 < 2**63
     assert text_fingerprint("") == 0
+
+
+_POLY_TEXTS = ["abc def", "", "中文 unicode ééé", "x", "a" * 1000, "abc def", "\n\t "]
+
+
+def test_poly_hash_column_matches_scalar():
+    col = pa.array(_POLY_TEXTS, pa.string())
+    got = poly_hash_column(col)
+    want = [text_fingerprint(t) for t in _POLY_TEXTS]
+    assert [int(x) for x in got] == want
+
+
+def test_poly_hash_column_chunked_sliced_null():
+    chunked = pa.chunked_array([_POLY_TEXTS[:3], _POLY_TEXTS[3:]], pa.string())
+    assert [int(x) for x in poly_hash_column(chunked)] == [
+        text_fingerprint(t) for t in _POLY_TEXTS
+    ]
+    sliced = pa.array(_POLY_TEXTS).slice(2, 4)
+    assert [int(x) for x in poly_hash_column(sliced)] == [
+        text_fingerprint(t) for t in _POLY_TEXTS[2:6]
+    ]
+    with_null = pa.array(["a", None, "b"])
+    assert [int(x) for x in poly_hash_column(with_null)] == [
+        text_fingerprint("a"), 0, text_fingerprint("b")
+    ]
+
+
+def test_poly_hash_windows_uint64_values():
+    vals = np.array([5, 7, 7, 0, 2**63], dtype=np.uint64)
+    offs = np.array([0, 2, 2, 5], dtype=np.int64)
+    h = poly_hash_windows(vals, offs)
+    assert len(h) == 3
+    assert int(h[1]) == 0  # empty window
+    # same content -> same hash, regardless of surrounding windows
+    h2 = poly_hash_windows(vals[:2], np.array([0, 2]))
+    assert int(h[0]) == int(h2[0])
+
+
+def test_popcount64_matches_python():
+    xs = np.array([0, 1, 3, 2**64 - 1, 0x8000000000000000, 12345678901234567], dtype=np.uint64)
+    assert list(popcount64(xs)) == [bin(int(x)).count("1") for x in xs]
