@@ -89,13 +89,9 @@ def main(argv=None) -> int:
 
     DataContext.get_current().enable_progress_bars = False
 
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
     from .functions.matchers import default_matchers, parse_matchers
     from .pipelines.copy import run_copy
     from .state.manifest import manifest_summary
-    from .windows import ts_to_ms
 
     matchers = (
         parse_matchers(args.label_query) if args.label_query else default_matchers()
@@ -109,21 +105,21 @@ def main(argv=None) -> int:
     t_to = parse_time_ms(args.time_to) if args.time_to else None
 
     def pages_factory():
-        import ray.data
+        # -F/-T push into the Parquet scan (file pruning + row-group stats +
+        # exact row filter) and `=` matchers on physical page columns push
+        # too; the FULL matcher set still runs at sample level in run_copy
+        # (page-level pushing only ever removes pages whose samples the
+        # label kernel would drop anyway), so apply_residual=False here.
+        from .sources.parquet import read_pruned
 
-        ds = ray.data.read_parquet(args.source)
-        if t_from is not None or t_to is not None:
-            lo = t_from if t_from is not None else 0
-            hi = t_to if t_to is not None else 1 << 62
-
-            def flt(batch: pa.Table) -> pa.Table:
-                ms = ts_to_ms(batch["warc_ts"])
-                return batch.filter(
-                    pc.and_(pc.greater_equal(ms, lo), pc.less_equal(ms, hi))
-                )
-
-            ds = ds.map_batches(flt, batch_format="pyarrow")
-        return ds
+        return read_pruned(
+            args.source,
+            ts_col="warc_ts",
+            t_from_ms=t_from,
+            t_to_ms=t_to,
+            matchers=matchers,
+            apply_residual=False,
+        )
 
     manifests = run_copy(
         pages_factory,

@@ -153,7 +153,22 @@ def q_rollup_1d(sf_dir: str):
 
 
 def q_range_discovery(sf_dir: str):
-    """O2: global time-range + row count (metadata-cheap aggregate)."""
+    """O2: global time-range + row count from Parquet footers ONLY — the
+    ``meta.json``-not-samples discovery of ``copyer.go:202-222`` (row-group
+    statistics; exact in ms).  Falls back to a scan if stats are absent."""
+    from ..sources.parquet import range_from_metadata
+
+    meta = range_from_metadata(f"{sf_dir}/events.parquet", "ts")
+    if meta is not None:
+        lo, hi, n = meta
+        return pa.table(
+            {
+                "min_ts_ms": pa.array([lo], pa.int64()),
+                "max_ts_ms": pa.array([hi], pa.int64()),
+                "n": pa.array([n], pa.int64()),
+            }
+        )
+
     ds = _read(sf_dir, "events", ["ts"])
 
     def to_ms(batch: pa.Table) -> pa.Table:
@@ -202,20 +217,23 @@ T1_MS = 1_705_708_800_000  # 2024-01-20T00:00:00Z
 
 
 def q_time_filter(sf_dir: str):
-    """O6: time-range predicate [T0, T1) + per-type aggregate."""
+    """O6: time-range predicate [T0, T1) PUSHED INTO the Parquet scan
+    (file pruning + row-group stats + exact row filter, sources/parquet.py
+    — the querier-bounds-the-scan semantics of ``copyer.go:75``)."""
     from ray.data.aggregate import Count, Sum
 
-    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    from ..sources.parquet import read_pruned
 
-    def flt(batch: pa.Table) -> pa.Table:
-        ms = ts_to_ms(batch["ts"])
-        mask = pc.and_(pc.greater_equal(ms, T0_MS), pc.less(ms, T1_MS))
-        return batch.filter(mask)
-
-    out = (
-        ds.map_batches(flt, batch_format="pyarrow")
-        .groupby("event_type")
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    # inclusive [T0, T1-1] in ms-truncation space == [T0, T1)
+    ds = read_pruned(
+        f"{sf_dir}/events.parquet",
+        ts_col="ts",
+        t_from_ms=T0_MS,
+        t_to_ms=T1_MS - 1,
+        columns=["ts", "event_type", "value"],
+    )
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value")
     )
     return _round_sum(out)
 

@@ -1,0 +1,248 @@
+"""Predicate/partition pushdown Parquet source (operators O1/O2/O6 at the read).
+
+The reference bounds its scan at the querier (``copyer.go:75`` queries only
+``[mint, maxt]``) and discovers the copyable time range from block metadata
+alone — it reads ``meta.json``, never a sample (``copyer.go:202-222``).  The
+Parquet-lake analogues implemented here:
+
+* :func:`prune_files_by_time` — file-level pruning from footer statistics:
+  a file whose ``[min(ts), max(ts)]`` cannot overlap the query range is
+  never opened by a read task.  Footer reads are metadata-only (a few KB
+  per file, no row groups decoded).
+* :func:`read_pruned` — ``ray.data.read_parquet`` over the surviving files
+  with an exact row-level pyarrow filter expression pushed into the scan
+  (``filter=``), which additionally skips non-matching **row groups** via
+  their statistics before decoding.  Time bounds and ``=`` label matchers
+  on physical columns are pushed; all other matcher ops stay as the
+  vectorized post-read kernel (functions/matchers.py).
+* :func:`range_from_metadata` — O2 range discovery from footers only
+  (row-group min/max/num_rows), exact in milliseconds for any timestamp
+  unit because floor-to-ms composes over the unit truncations.  Returns
+  ``None`` when any row group lacks statistics (caller falls back to a
+  scan).
+
+At 100 TB the footer loop is the *planning* step: it touches O(files)
+kilobytes, not O(data) — the same asymmetry the reference exploits with
+``meta.json``.  Time-partitioned layouts (the engine's own day-partitioned
+tiers, or any lake with time-clustered files) prune all but the queried
+slice before a single task is scheduled.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.matchers import EQ, Matcher
+
+_UNIT_PER_MS = {"ms": 1, "us": 1_000, "ns": 1_000_000}
+
+
+def list_parquet_files(source: str) -> list[str]:
+    """Expand a file/dir path into a sorted list of .parquet files."""
+    if os.path.isdir(source):
+        out = []
+        for root, _dirs, files in os.walk(source):
+            out.extend(os.path.join(root, f) for f in files if f.endswith(".parquet"))
+        return sorted(out)
+    return [source]
+
+
+def _stat_to_ms(v, unit: str | None) -> int | None:
+    """Footer stat value -> exact Unix ms (floor), or None if unconvertible.
+
+    Stats surface as ``datetime`` for timestamp logical types (at microsecond
+    resolution) or as raw ints.  Floor-to-ms is exact under composition:
+    ``floor_ms(floor_us(x)) == floor_ms(x)`` for the non-negative epoch
+    range this engine operates on (windows.py contract).
+    """
+    if v is None:
+        return None
+    if isinstance(v, datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(timezone.utc).replace(tzinfo=None)
+        return int(np.datetime64(v, "ms").astype(np.int64))
+    if isinstance(v, (int, np.integer)):
+        if unit == "s":
+            return int(v) * 1000
+        return int(v) // _UNIT_PER_MS.get(unit or "ms", 1)
+    return None
+
+
+def file_time_stats(path: str, ts_col: str):
+    """(min_ms, max_ms, n_rows) for one file from its footer, or (None, None, n)
+    when any row group lacks usable statistics for ``ts_col``."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    schema = md.schema.to_arrow_schema()
+    if ts_col not in schema.names:
+        return None, None, md.num_rows
+    unit = schema.field(ts_col).type.unit if pa.types.is_timestamp(schema.field(ts_col).type) else "ms"
+    idx = schema.names.index(ts_col)
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None, None, md.num_rows
+        mn, mx = _stat_to_ms(st.min, unit), _stat_to_ms(st.max, unit)
+        if mn is None or mx is None:
+            return None, None, md.num_rows
+        lo = mn if lo is None else min(lo, mn)
+        hi = mx if hi is None else max(hi, mx)
+    return lo, hi, md.num_rows
+
+
+def prune_files_by_time(
+    source: str, ts_col: str, t_from_ms: int | None, t_to_ms: int | None
+) -> tuple[list[str], int]:
+    """Files whose footer [min, max] can overlap ``[t_from, t_to]`` (ms,
+    inclusive).  Files without statistics are conservatively kept.  Returns
+    (kept_files, total_files)."""
+    files = list_parquet_files(source)
+    if t_from_ms is None and t_to_ms is None:
+        return files, len(files)
+    kept = []
+    for f in files:
+        lo, hi, _n = file_time_stats(f, ts_col)
+        if lo is None or hi is None:
+            kept.append(f)  # no stats -> cannot prune safely
+            continue
+        # +1 ms slack on the file max guards sub-ms stat truncation; pruning
+        # is an optimization — the row-level expr below is the exact filter
+        if t_from_ms is not None and hi + 1 < t_from_ms:
+            continue
+        if t_to_ms is not None and lo > t_to_ms:
+            continue
+        kept.append(f)
+    return kept, len(files)
+
+
+def _time_bounds_expr(field_type, ts_col: str, t_from_ms, t_to_ms):
+    """Exact pyarrow expression for ms-truncation semantics over the column's
+    native unit: ``ms(ts) >= lo AND ms(ts) <= hi``."""
+    import pyarrow.dataset as pds
+
+    f = pds.field(ts_col)
+    expr = None
+    if pa.types.is_timestamp(field_type):
+        unit = field_type.unit
+        if unit == "s":
+            lo_u = None if t_from_ms is None else -((-t_from_ms) // 1000)  # ceil
+            hi_x = None if t_to_ms is None else (t_to_ms // 1000) + 1
+        else:
+            k = _UNIT_PER_MS[unit]
+            lo_u = None if t_from_ms is None else t_from_ms * k
+            hi_x = None if t_to_ms is None else (t_to_ms + 1) * k
+        mk = lambda v: pa.scalar(v, pa.int64()).cast(field_type)  # noqa: E731
+        if lo_u is not None:
+            expr = f >= mk(lo_u)
+        if hi_x is not None:
+            e2 = f < mk(hi_x)
+            expr = e2 if expr is None else expr & e2
+    else:  # raw int64 ms
+        if t_from_ms is not None:
+            expr = f >= t_from_ms
+        if t_to_ms is not None:
+            e2 = f <= t_to_ms
+            expr = e2 if expr is None else expr & e2
+    return expr
+
+
+def pushdown_split(
+    matchers: Sequence[Matcher] | None, schema: pa.Schema
+) -> tuple[list[Matcher], list[Matcher]]:
+    """Split matchers into (pushable, residual).
+
+    Pushable: ``=`` with a non-empty value on a string column physically
+    present in the schema — ``col == v`` at the scan drops nulls exactly
+    like the missing-label-is-"" kernel drops them for non-empty v.  All
+    other ops (!=, =~, !~, empty-value =, absent columns) evaluate
+    post-read where missing-label semantics are well-defined.
+    """
+    push, residual = [], []
+    for m in matchers or []:
+        if (
+            m.op == EQ
+            and m.value != ""
+            and m.name in schema.names
+            and pa.types.is_string(schema.field(m.name).type)
+        ):
+            push.append(m)
+        else:
+            residual.append(m)
+    return push, residual
+
+
+def read_pruned(
+    source: str,
+    *,
+    ts_col: str | None = None,
+    t_from_ms: int | None = None,
+    t_to_ms: int | None = None,
+    matchers: Sequence[Matcher] | None = None,
+    columns: Sequence[str] | None = None,
+    apply_residual: bool = True,
+    **read_kwargs,
+):
+    """Pushdown read: file pruning + row-group/row filter + column pruning.
+
+    Time bounds are inclusive ``[t_from_ms, t_to_ms]`` in ms-truncation
+    semantics (the CLI's -F/-T contract).  Returns a Ray Dataset.  When
+    ``apply_residual`` is True the non-pushable matchers run as the standard
+    post-read kernel, so the result equals read-everything + filter exactly.
+    """
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..functions.matchers import make_filter_fn
+
+    files = list_parquet_files(source)
+    if ts_col is not None and (t_from_ms is not None or t_to_ms is not None):
+        kept, _total = prune_files_by_time(source, ts_col, t_from_ms, t_to_ms)
+        # keep one file when everything pruned: preserves schema, reads ~0 rows
+        files = kept or files[:1]
+
+    schema = pq.read_metadata(files[0]).schema.to_arrow_schema()
+    expr = None
+    if ts_col is not None and ts_col in schema.names and (
+        t_from_ms is not None or t_to_ms is not None
+    ):
+        expr = _time_bounds_expr(schema.field(ts_col).type, ts_col, t_from_ms, t_to_ms)
+    push, residual = pushdown_split(matchers, schema)
+    for m in push:
+        e2 = pds.field(m.name) == m.value
+        expr = e2 if expr is None else expr & e2
+
+    kw = dict(read_kwargs)
+    if columns is not None:
+        kw["columns"] = list(columns)
+    if expr is not None:
+        kw["filter"] = expr
+    ds = ray.data.read_parquet(files, **kw)
+    if apply_residual and residual:
+        ds = ds.map_batches(make_filter_fn(residual), batch_format="pyarrow")
+    return ds
+
+
+def range_from_metadata(source: str, ts_col: str):
+    """O2 metadata-only range discovery: (min_ms, max_ms, n_rows) from
+    footers alone (the ``meta.json`` analogue, ``copyer.go:202-222``), or
+    ``None`` when any file lacks statistics — caller falls back to a scan."""
+    lo = hi = None
+    total = 0
+    for f in list_parquet_files(source):
+        mn, mx, n = file_time_stats(f, ts_col)
+        if mn is None or mx is None:
+            return None
+        total += n
+        lo = mn if lo is None else min(lo, mn)
+        hi = mx if hi is None else max(hi, mx)
+    if lo is None:
+        return None
+    return lo, hi, total
