@@ -40,7 +40,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..codec import encode_timestamps, encode_values
+from ..codec import encode_timestamps_many, encode_values_many
 from ..functions.hashing import stable_hash64
 from ..windows import MS_1D, TIER_PARENT, TIERS, window_start_np
 
@@ -180,8 +180,10 @@ def _rollup_raw_group(group: pa.Table, tier: str) -> pa.Table:
     maxs = np.maximum.reduceat(val_s, starts)
     counts = (ends - starts).astype(np.int64)
 
-    ts_bytes = [encode_timestamps(ts_s[a:b]) for a, b in zip(starts, ends)]
-    val_bytes = [encode_values(val_s[a:b]) for a, b in zip(starts, ends)]
+    # all chunks of the group encoded in ONE vectorized pass (codec.py)
+    chunk_offsets = np.append(starts, len(ts_s))
+    ts_bytes = encode_timestamps_many(ts_s, chunk_offsets)
+    val_bytes = encode_values_many(val_s, chunk_offsets)
 
     series_col = dictionary.take(pa.array(codes_s[starts]))
     return _build_chunk_table(
@@ -238,17 +240,20 @@ def _rollup_merge_group(group: pa.Table, tier: str, finer_ms: int) -> pa.Table:
 
     means = s / cnt
     n_slots = d_ms // finer_ms
-    ts_bytes: list[bytes] = []
-    val_bytes: list[bytes] = []
-    n_samples = np.empty(len(starts), dtype=np.int64)
-    for j, (a, b) in enumerate(zip(starts, ends)):
-        wstart = cw_s[a]
-        grid = np.arange(wstart, wstart + d_ms, finer_ms, dtype=np.int64)
-        grid_vals = np.full(n_slots, np.nan, dtype=np.float64)
-        grid_vals[(w_s[a:b] - wstart) // finer_ms] = means[a:b]
-        ts_bytes.append(encode_timestamps(grid))
-        val_bytes.append(encode_values(grid_vals))
-        n_samples[j] = n_slots
+    # vectorized gap-filled grid for ALL chunks at once: chunk j owns flat
+    # slots [j*n_slots, (j+1)*n_slots); a finer row lands at slot
+    # (w_s - its coarse window) // finer_ms — then one batch encode pass
+    n_chunks = len(starts)
+    grid_ts = np.repeat(cw_s[starts], n_slots) + np.tile(
+        np.arange(n_slots, dtype=np.int64) * finer_ms, n_chunks
+    )
+    grid_vals = np.full(n_chunks * n_slots, np.nan, dtype=np.float64)
+    chunk_of_row = np.repeat(np.arange(n_chunks, dtype=np.int64), ends - starts)
+    grid_vals[chunk_of_row * n_slots + (w_s - cw_s) // finer_ms] = means
+    grid_offsets = np.arange(n_chunks + 1, dtype=np.int64) * n_slots
+    ts_bytes = encode_timestamps_many(grid_ts, grid_offsets)
+    val_bytes = encode_values_many(grid_vals, grid_offsets)
+    n_samples = np.full(n_chunks, n_slots, dtype=np.int64)
 
     series_col = dictionary.take(pa.array(codes_s[starts]))
     return _build_chunk_table(

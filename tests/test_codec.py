@@ -15,7 +15,11 @@ from prom_tsdb_copyer_ray.codec import (
     decode_values,
     encode_chunk,
     encode_timestamps,
+    encode_timestamps_many,
+    encode_timestamps_scalar,
     encode_values,
+    encode_values_many,
+    encode_values_scalar,
 )
 
 BASE_MS = 1_704_067_200_000  # 2024-01-01T00:00:00Z
@@ -100,6 +104,84 @@ def test_ramp_and_split_boundary():
 def test_length_mismatch_raises():
     with pytest.raises(ValueError):
         encode_chunk(np.array([1, 2]), np.array([1.0]))
+
+
+# --- vectorized batch encoders vs scalar reference -------------------------
+
+def test_vectorized_ts_bit_identical_to_scalar():
+    rng = np.random.RandomState(3)
+    chunks = [
+        np.array([], np.int64),
+        np.array([BASE_MS], np.int64),
+        BASE_MS + 15_000 * np.arange(100, dtype=np.int64),
+        np.sort(rng.randint(-(10**6), 10**15, 37)).astype(np.int64),
+        np.array([0, 1, 2**40, 2**40 + 5, 2**41], np.int64),
+    ]
+    concat = np.concatenate(chunks)
+    offs = np.cumsum([0] + [len(c) for c in chunks])
+    outs = encode_timestamps_many(concat, offs)
+    for c, o in zip(chunks, outs):
+        assert o == encode_timestamps_scalar(c)
+        np.testing.assert_array_equal(decode_timestamps(o, len(c)), c)
+
+
+def test_vectorized_values_roundtrip_and_decoder_compat():
+    """Chunk-global-window streams decode with the same decoder that reads
+    the scalar adaptive-window streams (both valid format instances)."""
+    rng = np.random.RandomState(4)
+    specials = np.array([0.0, -0.0, math.inf, -math.inf, math.nan, 1e-300, -1e300])
+    chunks = [
+        np.array([], np.float64),
+        np.full(50, 42.5),
+        rng.randn(64),
+        specials[rng.randint(0, 7, 33)],
+        np.where(rng.rand(40) < 0.5, 2.0, rng.randn(40)),
+    ]
+    concat = np.concatenate(chunks)
+    offs = np.cumsum([0] + [len(c) for c in chunks])
+    for c, o in zip(chunks, encode_values_many(concat, offs)):
+        np.testing.assert_array_equal(
+            decode_values(o, len(c)).view(np.uint64), c.view(np.uint64)
+        )
+        # scalar stream of the same data decodes too (shared decoder)
+        sb = encode_values_scalar(c)
+        np.testing.assert_array_equal(
+            decode_values(sb, len(c)).view(np.uint64), c.view(np.uint64)
+        )
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=-(2**52), max_value=2**52), min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_many_ts_property_matches_scalar(chunk_deltas):
+    chunks = [np.cumsum(np.asarray([BASE_MS] + d, dtype=np.int64)) for d in chunk_deltas]
+    concat = np.concatenate(chunks)
+    offs = np.cumsum([0] + [len(c) for c in chunks])
+    for c, o in zip(chunks, encode_timestamps_many(concat, offs)):
+        assert o == encode_timestamps_scalar(c)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.floats(allow_nan=True, allow_infinity=True, width=64), min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_many_values_property_roundtrip(chunk_vals):
+    chunks = [np.asarray(v, dtype=np.float64) for v in chunk_vals]
+    concat = np.concatenate(chunks) if chunks else np.empty(0)
+    offs = np.cumsum([0] + [len(c) for c in chunks])
+    for c, o in zip(chunks, encode_values_many(concat, offs)):
+        np.testing.assert_array_equal(
+            decode_values(o, len(c)).view(np.uint64), c.view(np.uint64)
+        )
 
 
 # --- hypothesis properties -------------------------------------------------
