@@ -524,7 +524,7 @@ def q_embedding_neardup(sf_dir: str):
     from ..stages.dedup import embedding_neardup_pairs
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_neardup_pairs(ds, threshold=0.45, num_planes=4)
+    return embedding_neardup_pairs(ds, threshold=0.45, num_planes=4, num_tables=4)
 
 
 def q_ivf_topk(sf_dir: str):

@@ -167,70 +167,177 @@ def verify_pairs_jaccard(pairs_table: pa.Table, texts_by_id: dict[int, str],
     )
 
 
+_EMPTY_PAIRS = {
+    "a": pa.array([], pa.int64()),
+    "b": pa.array([], pa.int64()),
+    "jaccard": pa.array([], pa.float64()),
+}
+
+
 def ngram_jaccard_pairs(ds, threshold: float = 0.8, ngram: int = 5,
-                        id_col: str = "doc_id", text_col: str = "text", **lsh_kw):
-    """Near-dup pairs with exact n-gram Jaccard >= threshold.
+                        id_col: str = "doc_id", text_col: str = "text",
+                        num_shards: int = 64, **lsh_kw):
+    """Near-dup pairs with exact n-gram Jaccard >= threshold, in two
+    bounded stages (no shingle amplification through the LSH shuffle):
 
-    LSH generates candidates (no all-pairs), then each bucket's pairs are
-    verified with exact Jaccard inside the same grouped stage — the document
-    texts ride along in the band rows only as shingle-hash arrays.
+    1. **Candidates**: MinHash+LSH band rows carrying ``doc_id`` ONLY
+       (:func:`minhash_lsh_pairs`) — the wide shuffle moves (band_hash, id)
+       pairs, never text-sized payloads.
+    2. **Exact verify**: shingle-hash arrays are computed ONCE per involved
+       doc (involved ids broadcast via ``ray.put`` — ints only, bounded by
+       LSH selectivity) and co-partitioned with the pair rows by a hash
+       shard of the join key (tag-union, like stages/windowed.asof_join),
+       so each doc's shingles cross the wire once per side, not once per
+       band.  Verification is vectorized per shard.
+
+    Scale note: the driver holds only the distinct candidate ids (int64);
+    everything text-sized stays in tasks.  At 100 TB the candidate set is
+    LSH-bounded (that is the point of banding) — if a pathological corpus
+    makes it large, raise ``num_bands``/``threshold`` or verify with the
+    MinHash-estimated Jaccard first.
     """
-    num_bands = lsh_kw.get("num_bands", 32)
-    num_perm = lsh_kw.get("num_perm", 128)
+    import ray
+    import ray.data
 
-    class BandRowsWithShingles:
-        def __init__(self) -> None:
-            self.mh = MinHasher(num_perm=num_perm)
+    cand = minhash_lsh_pairs(
+        ds, ngram=ngram, id_col=id_col, text_col=text_col,
+        **{k: v for k, v in lsh_kw.items() if k in ("num_perm", "num_bands", "concurrency")},
+    ).materialize()
+    if cand.count() == 0:
+        return ray.data.from_arrow(pa.table(_EMPTY_PAIRS))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch[id_col].to_pylist()
-            texts = batch[text_col].to_pylist()
-            bands, bhashes, out_ids, shingles = [], [], [], []
-            for did, text in zip(ids, texts):
-                h = char_ngram_hashes(text or "", ngram)
-                sig = self.mh.signature(h)
-                hb = h.astype(np.int64).tobytes()
-                for band, bh in enumerate(self.mh.band_hashes(sig, num_bands)):
-                    bands.append(band)
-                    bhashes.append(np.int64(np.uint64(bh)))
-                    out_ids.append(did)
-                    shingles.append(hb)
-            return pa.table(
-                {
-                    "band": pa.array(bands, pa.int32()),
-                    "band_hash": pa.array(bhashes, pa.int64()),
-                    "doc_id": pa.array(out_ids, pa.int64()),
-                    "shingles": pa.array(shingles, pa.binary()),
-                }
-            )
+    involved = set()
+    for batch in cand.iter_batches(batch_format="pyarrow", batch_size=65536):
+        involved.update(batch["a"].to_pylist())
+        involved.update(batch["b"].to_pylist())
+    ids_ref = ray.put(np.array(sorted(involved), dtype=np.int64))
 
-    def bucket_verified_pairs(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_numpy()
-        uniq, first_idx = np.unique(ids, return_index=True)
-        if len(uniq) < 2:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                             "jaccard": pa.array([], pa.float64())})
-        sh = {int(ids[i]): np.frombuffer(group["shingles"][int(i)].as_py(), dtype=np.int64).view(np.uint64)
-              for i in first_idx}
-        keep_a, keep_b, sims = [], [], []
-        for i in range(len(uniq)):
-            for j in range(i + 1, len(uniq)):
-                sim = jaccard(sh[int(uniq[i])], sh[int(uniq[j])])
-                if sim >= threshold:
-                    keep_a.append(int(uniq[i]))
-                    keep_b.append(int(uniq[j]))
-                    sims.append(sim)
-        return pa.table({"a": pa.array(keep_a, pa.int64()), "b": pa.array(keep_b, pa.int64()),
-                         "jaccard": pa.array(sims, pa.float64())})
+    def shard_of_ids(ids: np.ndarray) -> np.ndarray:
+        # cheap deterministic int shard (splitmix-style multiply-xor)
+        x = ids.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+            x ^= x >> np.uint64(33)
+        return (x % np.uint64(num_shards)).astype(np.int64)
 
-    band_rows = ds.map_batches(BandRowsWithShingles, batch_format="pyarrow",
-                               concurrency=lsh_kw.get("concurrency", (1, 8)))
-    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
-        bucket_verified_pairs, batch_format="pyarrow"
+    # shingle rows for involved docs only: (_shard, key, payload)
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        ids_sorted = ray.get(ids_ref)
+        did = batch[id_col].to_numpy().astype(np.int64, copy=False)
+        pos = np.searchsorted(ids_sorted, did)
+        pos[pos >= len(ids_sorted)] = 0
+        mask = ids_sorted[pos] == did if len(ids_sorted) else np.zeros(len(did), bool)
+        sel = batch.filter(pa.array(mask))
+        sid = sel[id_col].to_numpy().astype(np.int64, copy=False)
+        payloads = [
+            char_ngram_hashes(t or "", ngram).view(np.int64).tobytes()
+            for t in sel[text_col].to_pylist()
+        ]
+        return pa.table(
+            {
+                "_shard": pa.array(shard_of_ids(sid)),
+                "key": pa.array(sid),
+                "a": pa.nulls(len(sid), pa.int64()),
+                "b": pa.nulls(len(sid), pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    # pair-side rows: one per (pair, side), keyed by that side's doc id
+    def pair_side_rows(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy().astype(np.int64, copy=False)
+        b = batch["b"].to_numpy().astype(np.int64, copy=False)
+        key = np.concatenate([a, b])
+        return pa.table(
+            {
+                "_shard": pa.array(shard_of_ids(key)),
+                "key": pa.array(key),
+                "a": pa.array(np.concatenate([a, a])),
+                "b": pa.array(np.concatenate([b, b])),
+                "payload": pa.nulls(len(key), pa.binary()),
+            }
+        )
+
+    sh_rows = ds.map_batches(shingle_rows, batch_format="pyarrow")
+    pr_rows = cand.map_batches(pair_side_rows, batch_format="pyarrow")
+
+    def attach(group: pa.Table) -> pa.Table:
+        """One shard: give each pair-side row its doc's shingle payload."""
+        is_sh = pc.is_valid(group["payload"]).to_numpy(zero_copy_only=False)
+        keys = group["key"].to_numpy().astype(np.int64, copy=False)
+        sh_keys = keys[is_sh]
+        order = np.argsort(sh_keys, kind="stable")
+        sh_keys = sh_keys[order]
+        sh_payloads = group["payload"].filter(pa.array(is_sh)).take(pa.array(order))
+        pr = group.filter(pa.array(~is_sh))
+        pk = keys[~is_sh]
+        pos = np.searchsorted(sh_keys, pk)
+        pos[pos >= len(sh_keys)] = 0
+        ok = sh_keys[pos] == pk if len(sh_keys) else np.zeros(len(pk), bool)
+        pr = pr.filter(pa.array(ok))
+        return pa.table(
+            {
+                "a": pr["a"],
+                "b": pr["b"],
+                "key": pr["key"],
+                "payload": sh_payloads.take(pa.array(pos[ok])),
+            }
+        )
+
+    attached = (
+        sh_rows.union(pr_rows)
+        .groupby("_shard")
+        .map_groups(attach, batch_format="pyarrow")
     )
-    from ray.data.aggregate import Max
 
-    return pairs.groupby(["a", "b"]).aggregate(Max("jaccard", alias_name="jaccard"))
+    def add_pair_shard(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy().astype(np.int64, copy=False)
+        b = batch["b"].to_numpy().astype(np.int64, copy=False)
+        with np.errstate(over="ignore"):
+            mix = a.astype(np.uint64) * np.uint64(1000003) + b.astype(np.uint64)
+        return batch.append_column(
+            "_pshard", pa.array((mix % np.uint64(num_shards)).astype(np.int64))
+        )
+
+    def verify(group: pa.Table) -> pa.Table:
+        """One pair-shard: both sides of each pair are present; exact
+        Jaccard, keep >= threshold."""
+        if group.num_rows == 0:
+            return pa.table(_EMPTY_PAIRS)
+        a = group["a"].to_numpy().astype(np.int64, copy=False)
+        b = group["b"].to_numpy().astype(np.int64, copy=False)
+        key = group["key"].to_numpy().astype(np.int64, copy=False)
+        side = (key == b).astype(np.int8)  # 0 = a-side, 1 = b-side
+        order = np.lexsort((side, b, a))
+        a, b, side = a[order], b[order], side[order]
+        payload = group["payload"].take(pa.array(order))
+        keep_a, keep_b, sims = [], [], []
+        i = 0
+        while i + 1 < len(a):
+            if a[i] == a[i + 1] and b[i] == b[i + 1] and side[i] == 0 and side[i + 1] == 1:
+                sa = np.frombuffer(payload[i].as_py(), dtype=np.int64).view(np.uint64)
+                sb = np.frombuffer(payload[i + 1].as_py(), dtype=np.int64).view(np.uint64)
+                sim = jaccard(sa, sb)
+                if sim >= threshold:
+                    keep_a.append(int(a[i]))
+                    keep_b.append(int(b[i]))
+                    sims.append(sim)
+                i += 2
+            else:  # partner dropped (shouldn't happen); skip defensively
+                i += 1
+        return pa.table(
+            {
+                "a": pa.array(keep_a, pa.int64()),
+                "b": pa.array(keep_b, pa.int64()),
+                "jaccard": pa.array(sims, pa.float64()),
+            }
+        )
+
+    return (
+        attached.map_batches(add_pair_shard, batch_format="pyarrow")
+        .groupby("_pshard")
+        .map_groups(verify, batch_format="pyarrow")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -296,31 +403,113 @@ def simhash_dedup(ds, prefix_bits: int = 16, max_hamming: int = 3,
 # Embedding near-dup
 # ---------------------------------------------------------------------------
 
-def embedding_neardup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
-                            vec_col: str = "embedding", num_planes: int = 8, seed: int = 7):
-    """Cosine near-dup pairs over an embedding column.
+def _exact_pairs_blockwise(ids: np.ndarray, unit: np.ndarray, threshold: float,
+                           block: int = 1024):
+    """All-pairs cosine >= threshold over one (bounded) vector set, computed
+    in (block x n) matmul tiles so memory stays O(block * n), not O(n^2)."""
+    n = len(ids)
+    out_a, out_b, out_s = [], [], []
+    for i0 in range(0, n, block):
+        i1 = min(i0 + block, n)
+        sim = unit[i0:i1] @ unit.T  # (b, n)
+        rows, cols = np.nonzero(sim >= threshold)
+        g_rows = rows + i0
+        keep = cols > g_rows  # strict upper triangle in global index space
+        out_a.append(ids[g_rows[keep]])
+        out_b.append(ids[cols[keep]])
+        out_s.append(sim[rows[keep], cols[keep]])
+    if not out_a:
+        return np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.float64)
+    return (
+        np.concatenate(out_a).astype(np.int64),
+        np.concatenate(out_b).astype(np.int64),
+        np.concatenate(out_s).astype(np.float64),
+    )
 
-    Scale path: bucket by random-hyperplane LSH sign pattern (``num_planes``
-    bits), exact cosine only within buckets.  Exact for pairs that share a
-    bucket; standard LSH recall tradeoff otherwise (raise ``num_planes``=0 to
-    force a single bucket = exact all-pairs, viable only at small scale).
-    """
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()])
-        rng = np.random.RandomState(seed)
-        planes = rng.randn(vecs.shape[1], num_planes) if num_planes else None
-        if num_planes:
-            signs = (vecs @ planes) > 0
-            bucket = signs @ (1 << np.arange(num_planes))
-        else:
-            bucket = np.zeros(len(vecs), dtype=np.int64)
-        return pa.table(
-            {
-                id_col: batch[id_col],
-                "bucket": pa.array(bucket.astype(np.int64)),
-                "vec": pa.array([v.tobytes() for v in vecs], pa.binary()),
-            }
+
+def _bucket_pairs_capped(ids: np.ndarray, unit: np.ndarray, threshold: float,
+                         max_bucket: int, seed: int, depth: int = 0,
+                         max_depth: int = 40):
+    """Pairs within one LSH bucket with a hard size cap.
+
+    Oversized buckets split RECURSIVELY (local, no extra shuffle) at the
+    MEDIAN of a fresh random projection — a balanced cut that halves even
+    tight angular clusters, where a sign-of-hyperplane cut never separates
+    anything; depth is therefore ~log2(n / max_bucket).  Pairs straddling a
+    cut are the (standard LSH) recall loss; other tables re-surface them.
+    Exactly-identical projections (duplicate vectors) cannot split and fall
+    back to the blockwise exact scan, which bounds MEMORY at
+    O(block x n) even though compute stays O(n^2) — the honest floor for a
+    bucket of indistinguishable vectors."""
+    if len(ids) <= max_bucket or depth >= max_depth:
+        return _exact_pairs_blockwise(ids, unit, threshold)
+    rng = np.random.RandomState((seed * 7919 + depth * 104729) % (2**31))
+    proj = unit @ rng.randn(unit.shape[1])
+    med = np.median(proj)
+    m = proj <= med
+    if m.all() or not m.any():  # all projections identical -> unsplittable
+        return _exact_pairs_blockwise(ids, unit, threshold)
+    out_a, out_b, out_s = [], [], []
+    for mm in (m, ~m):
+        a, b, s = _bucket_pairs_capped(
+            ids[mm], unit[mm], threshold, max_bucket, seed, depth + 1, max_depth
         )
+        out_a.append(a)
+        out_b.append(b)
+        out_s.append(s)
+    return np.concatenate(out_a), np.concatenate(out_b), np.concatenate(out_s)
+
+
+def embedding_neardup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
+                            vec_col: str = "embedding", num_planes: int = 8,
+                            num_tables: int = 4, seed: int = 7,
+                            max_bucket: int = 4096):
+    """Cosine near-dup pairs over an embedding column — multi-table
+    random-hyperplane LSH with bounded buckets.
+
+    * ``num_tables`` independent tables of ``num_planes`` hyperplanes each:
+      a pair is a candidate if it collides in ANY table (recall compounds:
+      1 - (1 - p^k)^T), then exact cosine verifies within the bucket; the
+      final groupby((a, b)) dedups cross-table rediscoveries.
+    * **Bounded buckets**: a bucket larger than ``max_bucket`` splits
+      recursively on fresh hyperplanes inside the grouped task (no extra
+      shuffle); degenerate all-identical buckets fall back to a blockwise
+      exact scan with O(block x n) memory.  Expected bucket size is
+      n / 2^num_planes per table — size num_planes so that stays near
+      ``max_bucket`` at corpus scale.
+    * ``num_planes=0`` degenerates to a single bucket = exact all-pairs
+      (only viable at small scale; the blockwise scan keeps memory flat).
+
+    The shuffle moves ``num_tables`` copies of (table, bucket, id, vec) —
+    vectors are the payload, so at 100 TB keep num_tables modest and rely
+    on num_planes for selectivity.
+    """
+    def add_buckets(batch: pa.Table) -> pa.Table:
+        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()])
+        n = len(vecs)
+        ids = batch[id_col].to_numpy().astype(np.int64, copy=False)
+        tables_out = []
+        for t in range(max(1, num_tables if num_planes else 1)):
+            if num_planes:
+                rng = np.random.RandomState((seed * 1_000_003 + t) % (2**31))
+                planes = rng.randn(vecs.shape[1], num_planes)
+                signs = (vecs @ planes) > 0
+                bucket = (signs @ (np.int64(1) << np.arange(num_planes, dtype=np.int64))).astype(np.int64)
+            else:
+                bucket = np.zeros(n, dtype=np.int64)
+            tables_out.append(
+                pa.table(
+                    {
+                        "table": pa.nulls(n, pa.int32()).fill_null(t),
+                        "bucket": pa.array(bucket),
+                        id_col: pa.array(ids),
+                        "vec": pa.array([v.tobytes() for v in vecs], pa.binary()),
+                    }
+                )
+            )
+        return pa.concat_tables(tables_out)
+
+    table_seed = {"v": seed}
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         ids = group[id_col].to_numpy()
@@ -331,19 +520,24 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
         norms = np.linalg.norm(vecs, axis=1)
         norms[norms == 0] = 1.0
         unit = vecs / norms[:, None]
-        sim = unit @ unit.T
-        ia, ib = np.triu_indices(len(uniq), k=1)
-        mask = sim[ia, ib] >= threshold
+        t_id = int(group["table"][0].as_py()) if group.num_rows else 0
+        a, b, s = _bucket_pairs_capped(
+            uniq.astype(np.int64), unit, threshold, max_bucket,
+            seed=table_seed["v"] * 31 + t_id,
+        )
         return pa.table(
             {
-                "a": pa.array(uniq[ia[mask]], pa.int64()),
-                "b": pa.array(uniq[ib[mask]], pa.int64()),
-                "cosine": pa.array(sim[ia, ib][mask], pa.float64()),
+                "a": pa.array(a),
+                "b": pa.array(b),
+                "cosine": pa.array(s),
             }
         )
 
-    return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("bucket")
+    from ray.data.aggregate import Max
+
+    pairs = (
+        ds.map_batches(add_buckets, batch_format="pyarrow")
+        .groupby(["table", "bucket"])
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
+    return pairs.groupby(["a", "b"]).aggregate(Max("cosine", alias_name="cosine"))

@@ -59,6 +59,43 @@ def test_ngram_jaccard_pairs(docs_ds):
     assert (0, 3) not in d
 
 
+def test_ngram_band_rows_carry_ids_only(docs_table):
+    """Scale guard: the LSH shuffle payload is (band, band_hash, doc_id)
+    rows — NO text-sized shingle arrays ride through the wide shuffle (the
+    round-1 design shipped each doc's shingles in all 32 band rows, a ~32x
+    text-bytes amplification)."""
+    from prom_tsdb_copyer_ray.stages.dedup import MinHashSignatures
+
+    out = MinHashSignatures()(docs_table)
+    assert set(out.column_names) == {"band", "band_hash", "doc_id"}
+    assert all(not pa.types.is_binary(f.type) and not pa.types.is_string(f.type)
+               for f in out.schema)
+    # band bytes are FIXED per doc (num_bands x ~20 B), independent of text
+    # size: 10x-longer documents produce byte-identical-sized band rows
+    big = pa.table(
+        {
+            "doc_id": docs_table["doc_id"],
+            "text": pa.array([t * 10 for t in docs_table["text"].to_pylist()]),
+        }
+    )
+    out_big = MinHashSignatures()(big)
+    assert out_big.nbytes == out.nbytes
+
+
+def test_ngram_jaccard_matches_bruteforce(docs_ds, docs_table):
+    """End-to-end equivalence on a dup-heavy corpus: every pair the LSH
+    candidates surface is verified with exact Jaccard — values must equal
+    the brute-force all-pairs computation."""
+    from prom_tsdb_copyer_ray.functions.hashing import char_ngram_hashes, jaccard
+    from prom_tsdb_copyer_ray.stages.dedup import ngram_jaccard_pairs
+
+    got = ngram_jaccard_pairs(docs_ds, threshold=0.5, concurrency=(1, 2)).to_pandas()
+    texts = docs_table["text"].to_pylist()
+    sh = [char_ngram_hashes(t or "") for t in texts]
+    for _, r in got.iterrows():
+        assert abs(r["jaccard"] - jaccard(sh[int(r["a"])], sh[int(r["b"])])) < 1e-12
+
+
 def test_simhash_dedup(docs_ds):
     from prom_tsdb_copyer_ray.stages.dedup import simhash_dedup
 
@@ -88,6 +125,60 @@ def test_embedding_neardup(emb_ds):
     pairs = embedding_neardup_pairs(ds, threshold=0.95, num_planes=0).to_pandas()
     got = set(map(tuple, pairs[["a", "b"]].values))
     assert (0, 1) in got and (0, 7) in got and (1, 7) in got
+
+
+def test_bucket_cap_recursive_split():
+    """Skewed 10k-vector cloud: every exact-scan leaf the recursion reaches
+    must be under the bucket cap (oversized buckets split locally)."""
+    import prom_tsdb_copyer_ray.stages.dedup as D
+
+    rng = np.random.RandomState(0)
+    # heavy skew: half the cloud is one tight cluster (same LSH bucket)
+    tight = rng.randn(1, 16) + 0.01 * rng.randn(5000, 16)
+    spread = rng.randn(5000, 16)
+    vecs = np.concatenate([tight, spread])
+    unit = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+    ids = np.arange(len(unit), dtype=np.int64)
+
+    seen_sizes = []
+    orig = D._exact_pairs_blockwise
+
+    def spy(ids_, unit_, threshold, block=1024):
+        seen_sizes.append(len(ids_))
+        return orig(ids_, unit_, threshold, block)
+
+    D._exact_pairs_blockwise = spy
+    try:
+        a, b, s = D._bucket_pairs_capped(ids, unit, threshold=0.999, max_bucket=256, seed=7)
+    finally:
+        D._exact_pairs_blockwise = orig
+    assert max(seen_sizes) <= 256
+    assert len(seen_sizes) > 20  # it actually recursed
+    assert (s >= 0.999).all()
+
+
+def test_embedding_multitable_recall_beats_single():
+    """Multi-table LSH candidates are a superset of one table's (recall
+    compounds across tables)."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.dedup import embedding_neardup_pairs
+
+    rng = np.random.RandomState(1)
+    base = rng.randn(40, 8)
+    noisy = base + 0.02 * rng.randn(40, 8)  # 40 near-dup pairs
+    vecs = np.concatenate([base, noisy])
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(80, dtype=np.int64)),
+            "embedding": pa.array([list(v) for v in vecs], pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    one = embedding_neardup_pairs(ds, threshold=0.98, num_planes=6, num_tables=1).to_pandas()
+    multi = embedding_neardup_pairs(ds, threshold=0.98, num_planes=6, num_tables=6).to_pandas()
+    assert len(multi) >= len(one)
+    assert len(multi) >= 30  # most of the 40 planted pairs recovered
 
 
 def test_brute_force_topk_matches_numpy(emb_ds):
