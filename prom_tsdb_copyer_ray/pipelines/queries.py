@@ -1006,3 +1006,32 @@ ORACLE_SQL = {
         FROM samples GROUP BY 1, 2, 3, 4
     """,
 }
+
+# --- fixture-join oracles for the hash pipelines ----------------------------
+# No tractable pure-SQL expression exists for the rolling-hash / MinHash /
+# SimHash operators, so the oracle reads PRECOMPUTED expected values written
+# by an independent from-the-spec reference implementation
+# (tests/fixtures/gen_oracle_fixtures.py) — "oracle = fixture join", as the
+# round-1 verdict suggested.  corpus_key = SUM(n_chars) keys the fixture to
+# whichever sf dir the driver runs against.
+
+_FIXTURE_DIR = "/root/repo/tests/fixtures"
+_CORPUS_KEY = "(SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents)"
+
+
+def _fixture_sql(fname: str, cols: str) -> str:
+    return (
+        f"SELECT {cols} FROM read_parquet('{_FIXTURE_DIR}/oracle_{fname}.parquet') "
+        f"WHERE corpus_key = {_CORPUS_KEY}"
+    )
+
+
+ORACLE_SQL.update(
+    {
+        "fingerprint": _fixture_sql("fingerprint", "doc_id, fingerprint"),
+        "simhash": _fixture_sql("simhash", "doc_id, simhash"),
+        "lang_id": _fixture_sql("lang_id", "doc_id, pred_lang"),
+        "minhash_pairs": _fixture_sql("minhash_pairs", "a, b"),
+        "ngram_jaccard_pairs": _fixture_sql("ngram_jaccard", "a, b, jaccard"),
+    }
+)

@@ -1,0 +1,218 @@
+"""Generate DuckDB-oracle fixture parquet for the non-SQL-expressible queries.
+
+The driver's correctness gate compares each ``queries()`` entry against a
+DuckDB SQL string.  Hash-pipeline outputs (fingerprint, simhash, lang-id,
+MinHash/Jaccard pairs) have no tractable pure-SQL expression, so — per the
+round-1 verdict's suggestion — this script PRECOMPUTES the expected outputs
+with a from-the-spec reference implementation (plain-Python Horner loops and
+set arithmetic; only the MinHash permutation table uses NumPy because the
+spec *defines* the permutations as draws from ``RandomState(7)``), and the
+oracle SQL reads the fixture (``oracle = fixture join``).
+
+Each fixture row is tagged with ``corpus_key = SUM(n_chars)`` of its source
+documents table, so ONE static parquet path serves every sf dir the driver
+might use: ``... WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)``.
+
+Run from the repo root (regenerates all fixtures, deterministic):
+
+    python tests/fixtures/gen_oracle_fixtures.py
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+OUT_DIR = os.path.dirname(os.path.abspath(__file__))
+
+MASK64 = (1 << 64) - 1
+B = 1000003
+SEED = 0x9E3779B97F4A7C15
+NGRAM = 5
+NUM_PERM = 128
+NUM_BANDS = 32
+JACCARD_THRESHOLD = 0.5  # what q_ngram_jaccard_pairs uses
+
+
+# --- spec reference implementations (plain Python) --------------------------
+
+def poly_hash(data: bytes) -> int:
+    acc = 0
+    for x in data:
+        acc = (acc * B + x + SEED) & MASK64
+    return acc
+
+
+def fingerprint(text: str) -> int:
+    return poly_hash(text.encode("utf-8")) & ((1 << 63) - 1)
+
+
+def shingle_hashes(text: str, n: int = NGRAM) -> list[int]:
+    b = text.encode("utf-8")
+    if len(b) == 0:
+        return []
+    if len(b) <= n:
+        return [poly_hash(b)]
+    return [poly_hash(b[i : i + n]) for i in range(len(b) - n + 1)]
+
+
+def simhash(shingles: list[int]) -> int:
+    if not shingles:
+        return 0
+    out = 0
+    for p in range(64):
+        ones = sum((s >> p) & 1 for s in shingles)
+        if 2 * ones - len(shingles) > 0:
+            out |= 1 << p
+    # int64 two's complement
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+STOPWORDS = {
+    "en": frozenset("the of and to a in is that it for on with as at by this".split()),
+    "de": frozenset("der die das und ist nicht ein eine mit von zu im den für auf".split()),
+    "es": frozenset("el la los las de que y en un una es por con para del no".split()),
+    "fr": frozenset("le la les de des et un une est dans pour que qui sur pas".split()),
+}
+WORD_RE = re.compile(r"[a-zäöüßáéíóúàèìòùâêîôûçñ]+", re.IGNORECASE)
+
+
+def lang_id(text: str) -> str:
+    if not text:
+        return "und"
+    head = text[:4000]
+    n_cjk = sum(1 for ch in head if "一" <= ch <= "鿿")
+    if n_cjk >= max(4, 0.05 * min(len(text), 4000)):
+        return "zh"
+    words = WORD_RE.findall(head.lower())
+    if not words:
+        return "und"
+    best_lang, best_hits = "und", 0
+    for lang in sorted(STOPWORDS):
+        hits = sum(1 for w in words if w in STOPWORDS[lang])
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    return best_lang if best_hits > 0 else "und"
+
+
+def minhash_perms():
+    """The spec's permutation table: draws from RandomState(7), a then b."""
+    rng = np.random.RandomState(7)
+    a = (rng.randint(1, 2**62, size=NUM_PERM).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.randint(0, 2**62, size=NUM_PERM).astype(np.uint64)
+    return a, b
+
+
+def minhash_signature(shingles: list[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if not shingles:
+        return np.full(NUM_PERM, np.iinfo(np.uint64).max, dtype=np.uint64)
+    s = np.array(shingles, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        m = s[:, None] * a[None, :] + b[None, :]
+    return m.min(axis=0)
+
+
+def band_keys(sig: np.ndarray) -> list[bytes]:
+    import hashlib
+
+    r = NUM_PERM // NUM_BANDS
+    return [
+        hashlib.blake2b(sig[i * r : (i + 1) * r].tobytes(), digest_size=8).digest()
+        for i in range(NUM_BANDS)
+    ]
+
+
+def lsh_candidate_pairs(ids: list[int], sigs: list[np.ndarray]) -> set[tuple[int, int]]:
+    buckets: dict[tuple[int, bytes], list[int]] = {}
+    for did, sig in zip(ids, sigs):
+        for band, key in enumerate(band_keys(sig)):
+            buckets.setdefault((band, key), []).append(did)
+    pairs: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        ms = sorted(set(members))
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                pairs.add((ms[i], ms[j]))
+    return pairs
+
+
+def main() -> None:
+    a_perm, b_perm = minhash_perms()
+    rows = {
+        "fingerprint": {"corpus_key": [], "doc_id": [], "fingerprint": []},
+        "simhash": {"corpus_key": [], "doc_id": [], "simhash": []},
+        "lang_id": {"corpus_key": [], "doc_id": [], "pred_lang": []},
+        "minhash_pairs": {"corpus_key": [], "a": [], "b": []},
+        "ngram_jaccard": {"corpus_key": [], "a": [], "b": [], "jaccard": []},
+    }
+    for sf in SF_DIRS:
+        t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text", "n_chars"])
+        key = int(sum(t["n_chars"].to_pylist()))
+        ids = t["doc_id"].to_pylist()
+        texts = [x or "" for x in t["text"].to_pylist()]
+        print(f"{sf}: {len(ids)} docs, corpus_key={key}", file=sys.stderr)
+
+        shingles = [shingle_hashes(x) for x in texts]
+        sigs = [minhash_signature(s, a_perm, b_perm) for s in shingles]
+        sh_sets = {d: set(s) for d, s in zip(ids, shingles)}
+
+        for i, (d, x) in enumerate(zip(ids, texts)):
+            rows["fingerprint"]["corpus_key"].append(key)
+            rows["fingerprint"]["doc_id"].append(d)
+            rows["fingerprint"]["fingerprint"].append(fingerprint(x))
+            rows["simhash"]["corpus_key"].append(key)
+            rows["simhash"]["doc_id"].append(d)
+            rows["simhash"]["simhash"].append(simhash(shingles[i]))
+            rows["lang_id"]["corpus_key"].append(key)
+            rows["lang_id"]["doc_id"].append(d)
+            rows["lang_id"]["pred_lang"].append(lang_id(x))
+
+        pairs = lsh_candidate_pairs(ids, sigs)
+        for x, y in sorted(pairs):
+            rows["minhash_pairs"]["corpus_key"].append(key)
+            rows["minhash_pairs"]["a"].append(x)
+            rows["minhash_pairs"]["b"].append(y)
+            sa, sb = sh_sets[x], sh_sets[y]
+            if not sa and not sb:
+                j = 1.0
+            else:
+                inter = len(sa & sb)
+                j = inter / (len(sa) + len(sb) - inter)
+            if j >= JACCARD_THRESHOLD:
+                rows["ngram_jaccard"]["corpus_key"].append(key)
+                rows["ngram_jaccard"]["a"].append(x)
+                rows["ngram_jaccard"]["b"].append(y)
+                rows["ngram_jaccard"]["jaccard"].append(j)
+
+    schemas = {
+        "fingerprint": pa.schema(
+            [("corpus_key", pa.int64()), ("doc_id", pa.int64()), ("fingerprint", pa.int64())]
+        ),
+        "simhash": pa.schema(
+            [("corpus_key", pa.int64()), ("doc_id", pa.int64()), ("simhash", pa.int64())]
+        ),
+        "lang_id": pa.schema(
+            [("corpus_key", pa.int64()), ("doc_id", pa.int64()), ("pred_lang", pa.string())]
+        ),
+        "minhash_pairs": pa.schema(
+            [("corpus_key", pa.int64()), ("a", pa.int64()), ("b", pa.int64())]
+        ),
+        "ngram_jaccard": pa.schema(
+            [("corpus_key", pa.int64()), ("a", pa.int64()), ("b", pa.int64()),
+             ("jaccard", pa.float64())]
+        ),
+    }
+    for name, cols in rows.items():
+        path = os.path.join(OUT_DIR, f"oracle_{name}.parquet")
+        pq.write_table(pa.table(cols, schema=schemas[name]), path)
+        print(f"wrote {path}: {len(cols['corpus_key'])} rows", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -93,6 +93,9 @@ def test_oracle_keys_subset(entry_mod):
         "token_count", "quality", "exact_dedup", "ann_topk",
         "union_merge", "sliding_1h", "asof_join", "hist_5m",
         "pages_rollup_5m", "pages_rollup_1h",
+        # fixture-join oracles (tests/fixtures/gen_oracle_fixtures.py)
+        "fingerprint", "simhash", "lang_id", "minhash_pairs",
+        "ngram_jaccard_pairs",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):
@@ -106,8 +109,7 @@ def test_sql_checked_query(entry_mod, con, name):
 @pytest.mark.parametrize(
     "name",
     [
-        "lang_id", "fingerprint", "simhash", "minhash_pairs",
-        "ngram_jaccard_pairs", "embedding_neardup", "ivf_topk",
+        "embedding_neardup", "ivf_topk",
         "media_features", "pages_tiers_chunks", "pages_verify",
     ],
 )
