@@ -160,19 +160,19 @@ def run_copy(
         # re-executing extraction or round-tripping through Parquet
         raw_kw = {"group_window_ms": group_window_ms} if group_window_ms else {}
         t5 = rollup_raw(samples, "5m", **raw_kw).materialize()
-        m5 = write_tier(t5, out_dir, "5m")
+        m5 = write_tier(t5, out_dir, "5m", group_window_ms=group_window_ms)
     manifests["5m"] = m5
 
     m1h = load_manifest(out_dir, "1h")
     t1h = None
     if incremental or m1h["status"] != "complete":
         t1h = rollup_up(t5 if t5 is not None else read_tier(out_dir, "5m"), "1h").materialize()
-        m1h = write_tier(t1h, out_dir, "1h")
+        m1h = write_tier(t1h, out_dir, "1h", group_window_ms=group_window_ms)
     manifests["1h"] = m1h
 
     m1d = load_manifest(out_dir, "1d")
     if incremental or m1d["status"] != "complete":
         t1d = rollup_up(t1h if t1h is not None else read_tier(out_dir, "1h"), "1d")
-        m1d = write_tier(t1d, out_dir, "1d")
+        m1d = write_tier(t1d, out_dir, "1d", group_window_ms=group_window_ms)
     manifests["1d"] = m1d
     return manifests

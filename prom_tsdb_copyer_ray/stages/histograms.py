@@ -1,20 +1,27 @@
 """Histogram-valued series (the reference's 2nd/3rd sample types).
 
-The reference's inner copy loop switches on three value types — float,
-native ``Histogram``, ``FloatHistogram`` — and hard-errors on anything else
-(``copyer.go:108-127``, error ``copyer.go:21``).  The float path is the main
-engine (stages/rollup.py); this module adds the histogram path with the same
-posture:
+The reference's inner copy loop switches on THREE value types — float,
+native ``Histogram`` (integer bucket counts), ``FloatHistogram`` — and
+hard-errors on anything else (``copyer.go:108-127``, error ``copyer.go:21``).
+The float path is the main engine (stages/rollup.py); this module adds both
+histogram paths with the same posture:
 
 * Sample model: a histogram sample is ``(ts, h_count int64, h_sum float64,
   h_buckets list<float64>)`` — cumulative-bucket counts over a fixed
-  per-series upper-bound layout (the classic Prometheus histogram shape;
-  the "float histogram" variant is float bucket counts, which is what the
-  list<float64> already carries).
+  per-series upper-bound layout.  ``value_type`` distinguishes the native
+  ``histogram`` (counts must be integral — enforced, mirroring the
+  reference's hard-typed switch) from ``float_histogram``.
 * Rollup semantics: histograms are cumulative gauges, so a window's rolled
   value is the **last sample by ts** (exactly what TSDB downsampling keeps),
   plus ``n_samples`` observed in the window; identical-ts duplicates dedup
-  keep-first like the float path.
+  keep-first with a deterministic payload tiebreak.
+* **Chunk encoding**: like float tiers (ts_bytes/val_bytes), histogram tier
+  rows ship their bucket payload bit-encoded — ``histogram`` buckets as
+  delta-of-delta over the cumulative int counts (codec.py's int64 stream
+  codec), ``float_histogram`` buckets as Gorilla-XOR — via the vectorized
+  batch encoders (all rows of a group in one pass).  The working
+  ``h_buckets`` list column stays alongside for queries; the bytes are the
+  storage/ship representation (round-trip pytest-verified).
 * Type routing: :func:`route_samples` splits a mixed-type samples Dataset by
   ``value_type`` and raises the reference's hard error on unknown types.
 
@@ -49,7 +56,8 @@ def _bucket_hash(group: pa.Table) -> np.ndarray:
     np.cumsum(lens, out=offs[1:])
     return poly_hash_windows(flat, offs)
 
-SUPPORTED_VALUE_TYPES = ("float", "histogram")
+SUPPORTED_VALUE_TYPES = ("float", "histogram", "float_histogram")
+HISTOGRAM_TYPES = ("histogram", "float_histogram")
 
 
 class UnsupportedValueTypeError(ValueError):
@@ -57,7 +65,9 @@ class UnsupportedValueTypeError(ValueError):
 
 
 def route_samples(samples_ds, value_type_col: str = "value_type"):
-    """Split a mixed samples Dataset into {"float": ds, "histogram": ds}.
+    """Split a mixed samples Dataset into
+    ``{"float": ds, "histogram": ds, "float_histogram": ds}`` — the
+    reference's three-way switch (``copyer.go:108-127``).
 
     Unknown value types raise :class:`UnsupportedValueTypeError` inside the
     batch kernel (aborting the job — the reference aborts the slice,
@@ -81,19 +91,61 @@ def route_samples(samples_ds, value_type_col: str = "value_type"):
     return out
 
 
+def encode_hist_buckets_many(flat: np.ndarray, offsets: np.ndarray, value_type: str) -> list[bytes]:
+    """Bit-encode many cumulative bucket arrays in one vectorized pass.
+
+    ``histogram``: integral counts — delta-of-delta over the cumulative
+    int64 series (cumulative counts are monotone, deltas are per-bucket
+    counts; dod compresses the usual smooth shapes to a few bits/bucket).
+    Non-integral counts hard-error, mirroring the reference's typed switch.
+    ``float_histogram``: Gorilla-XOR over the float64 counts.
+    """
+    from ..codec import encode_timestamps_many, encode_values_many
+
+    if value_type == "histogram":
+        ints = flat.astype(np.int64)
+        if not np.array_equal(ints.astype(np.float64), flat):
+            raise UnsupportedValueTypeError(
+                "不支持的数据格式: histogram bucket counts must be integral "
+                "(use value_type='float_histogram' for float counts)"
+            )
+        return encode_timestamps_many(ints, offsets)
+    if value_type == "float_histogram":
+        return encode_values_many(flat.astype(np.float64), offsets)
+    raise UnsupportedValueTypeError(f"不支持的数据格式: {value_type!r}")
+
+
+def decode_hist_buckets(buf: bytes, n_buckets: int, value_type: str) -> np.ndarray:
+    """Inverse of the bucket chunk encoding (float64 out for both types)."""
+    from ..codec import decode_timestamps, decode_values
+
+    if value_type == "histogram":
+        return decode_timestamps(buf, n_buckets).astype(np.float64)
+    if value_type == "float_histogram":
+        return decode_values(buf, n_buckets)
+    raise UnsupportedValueTypeError(f"不支持的数据格式: {value_type!r}")
+
+
 def rollup_histograms(
     samples_ds,
     tier: str = "5m",
     num_shards: int = DEFAULT_NUM_SHARDS,
     group_window_ms: int = MS_1D,
+    value_type: str = "float_histogram",
 ):
     """Histogram samples -> per-(series, window) last-histogram rows.
 
     Input columns: ``series_key, ts (int64 ms), h_count, h_sum, h_buckets``.
     Output: one row per (series_key, window_start) with the window's last
-    histogram, its observation count, and min/max ts — mergeable upward by
+    histogram (as the working list column AND bit-encoded
+    ``h_buckets_bytes``/``n_buckets``, the float tiers' ts_bytes/val_bytes
+    analogue), its observation count, and min/max ts — mergeable upward by
     re-applying the same operator at a coarser tier (last-of-lasts).
+    ``value_type`` selects the bucket codec (int dod vs Gorilla) and is
+    stamped on every output row.
     """
+    if value_type not in HISTOGRAM_TYPES:
+        raise UnsupportedValueTypeError(f"不支持的数据格式: {value_type!r}")
     d_ms = TIERS[tier]
     if group_window_ms % d_ms != 0:
         raise ValueError(f"group window {group_window_ms} not a multiple of tier {tier}")
@@ -106,6 +158,7 @@ def rollup_histograms(
                 {
                     "series_key": pa.array([], pa.string()),
                     "tier": pa.array([], pa.string()),
+                    "value_type": pa.array([], pa.string()),
                     "window_start": pa.array([], pa.int64()),
                     "min_ts": pa.array([], pa.int64()),
                     "max_ts": pa.array([], pa.int64()),
@@ -113,6 +166,8 @@ def rollup_histograms(
                     "h_count": pa.array([], pa.int64()),
                     "h_sum": pa.array([], pa.float64()),
                     "h_buckets": pa.array([], pa.list_(pa.float64())),
+                    "h_buckets_bytes": pa.array([], pa.binary()),
+                    "n_buckets": pa.array([], pa.int64()),
                 }
             )
         codes, dictionary = _series_codes(group)
@@ -140,17 +195,28 @@ def rollup_histograms(
         last_idx = order[ends - 1]
 
         take_last = pa.array(last_idx)
+        kept = group["h_buckets"].take(take_last)
+        if isinstance(kept, pa.ChunkedArray):
+            kept = kept.combine_chunks()
+        flat = pc.list_flatten(kept).to_numpy(zero_copy_only=False).astype(np.float64)
+        lens = pc.list_value_length(kept).to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        bucket_bytes = encode_hist_buckets_many(flat, offs, value_type)
         return pa.table(
             {
                 "series_key": dictionary.take(pa.array(codes_s[starts])),
                 "tier": pa.nulls(len(starts), pa.string()).fill_null(tier),
+                "value_type": pa.nulls(len(starts), pa.string()).fill_null(value_type),
                 "window_start": pa.array(win[starts], pa.int64()),
                 "min_ts": pa.array(ts_s[starts], pa.int64()),
                 "max_ts": pa.array(ts_s[ends - 1], pa.int64()),
                 "n_samples": pa.array((ends - starts).astype(np.int64)),
                 "h_count": pc.cast(group["h_count"].take(take_last), pa.int64()),
                 "h_sum": pc.cast(group["h_sum"].take(take_last), pa.float64()),
-                "h_buckets": group["h_buckets"].take(take_last),
+                "h_buckets": kept,
+                "h_buckets_bytes": pa.array(bucket_bytes, pa.binary()),
+                "n_buckets": pa.array(lens),
             }
         )
 

@@ -4,10 +4,16 @@ The reference has *no* checkpointing — a failed slice is logged and silently
 dropped (``copyer.go:185-191``), and a re-run recopies everything.  The
 north_rule requires better: partition-level checkpoints with lineage.
 
-Layout (one directory per tier, hive-partitioned by day)::
+Layout (one directory per tier, hive-partitioned by day — and, when a
+``group_window_ms`` below one day is passed, by the ``-S`` group window
+within the day, the reference's 2 h slice-unit analogue, ``main.go:121``)::
 
-    {out}/tiers/{tier}/window_day=<ms>/part-*.parquet
+    {out}/tiers/{tier}/window_day=<ms>/part-*.parquet                    # day mode
+    {out}/tiers/{tier}/window_day=<ms>/window_group=<ms>/part-*.parquet  # sub-day mode
     {out}/manifests/{tier}.json        # committed AFTER the data, atomically
+
+In sub-day mode the checkpoint unit is (day, group window): a crashed run
+redoes one group window, not a whole day (round-1 verdict item 7).
 
 Commit protocol (write-then-manifest):
 
@@ -64,60 +70,100 @@ def completed_days(out_dir: str, tier: str) -> set[int]:
     return {int(d) for d in load_manifest(out_dir, tier)["days"]}
 
 
+def completed_groups(out_dir: str, tier: str) -> dict[int, set[int] | None]:
+    """{day: set(committed group starts)} — ``None`` means the whole day is
+    committed at day granularity (no sub-day breakdown recorded)."""
+    out: dict[int, set[int] | None] = {}
+    for day, entry in load_manifest(out_dir, tier)["days"].items():
+        groups = entry.get("groups") if isinstance(entry, dict) else None
+        out[int(day)] = {int(g) for g in groups} if groups is not None else None
+    return out
+
+
 def clean_uncommitted_days(out_dir: str, tier: str) -> list[int]:
-    """Delete day dirs present on disk but absent from the manifest
-    (partial output of a crashed run).  Returns the removed day keys."""
+    """Delete day/group dirs present on disk but absent from the manifest
+    (partial output of a crashed run).  Returns the affected day keys."""
     tdir = tier_dir(out_dir, tier)
     if not os.path.isdir(tdir):
         return []
-    done = completed_days(out_dir, tier)
-    removed = []
+    done = completed_groups(out_dir, tier)
+    removed: list[int] = []
     for name in os.listdir(tdir):
         if not name.startswith("window_day="):
             continue
         day = int(name.split("=", 1)[1])
+        ddir = os.path.join(tdir, name)
+        committed = done.get(day)
+        group_dirs = [g for g in os.listdir(ddir) if g.startswith("window_group=")]
         if day not in done:
-            shutil.rmtree(os.path.join(tdir, name))
+            shutil.rmtree(ddir)
+            removed.append(day)
+            continue
+        if committed is None or not group_dirs:
+            continue  # whole-day commit (or day-mode layout): nothing partial
+        dirty = False
+        for g in group_dirs:
+            gstart = int(g.split("=", 1)[1])
+            if gstart not in committed:
+                shutil.rmtree(os.path.join(ddir, g))
+                dirty = True
+        if dirty:
             removed.append(day)
     return removed
 
 
-def write_tier(ds, out_dir: str, tier: str) -> dict:
+def _dir_stats(d: str) -> tuple[int, int]:
+    files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    return sum(pq.read_metadata(os.path.join(d, f)).num_rows for f in files), len(files)
+
+
+def write_tier(ds, out_dir: str, tier: str, group_window_ms: int | None = None) -> dict:
     """Resumable partitioned tier write; returns the updated manifest.
 
     ``ds`` must carry the CHUNK_SCHEMA columns; a ``window_day`` partition
-    column is derived from ``window_start``.  Days already in the manifest
-    are skipped (their rows are filtered out *before* the write).
+    column is derived from ``window_start`` — plus ``window_group`` when
+    ``group_window_ms`` is a sub-day value (the ``-S`` slice analogue).
+    Committed (day) / (day, group) parts are skipped: their rows are
+    filtered out *before* the write, so a resume recomputes only the
+    missing group windows.
     """
-    import pyarrow.compute as pc
-
     t0 = time.monotonic()
-    done = completed_days(out_dir, tier)
+    sub_day = group_window_ms is not None and 0 < group_window_ms < MS_1D
+    done = completed_groups(out_dir, tier)
     clean_uncommitted_days(out_dir, tier)
+    part_cols = ["window_day", "window_group"] if sub_day else ["window_day"]
 
-    def add_day(batch: pa.Table) -> pa.Table:
+    def add_parts(batch: pa.Table) -> pa.Table:
         import numpy as np
 
         # floor division (numpy //), NOT pc.divide's truncation-toward-zero:
-        # identical day keys to windows.window_start_np even for pre-1970
-        # window starts, so the manifest skip-filter and the rollup's day
-        # grouping can never diverge
+        # identical keys to windows.window_start_np even for pre-1970 window
+        # starts, so the skip-filter and the rollup's grouping never diverge
         ws = batch["window_start"].to_numpy().astype(np.int64, copy=False)
-        day = pa.array((ws // MS_1D) * MS_1D, pa.int64())
-        batch = batch.append_column("window_day", day)
+        day = (ws // MS_1D) * MS_1D
+        batch = batch.append_column("window_day", pa.array(day, pa.int64()))
+        if sub_day:
+            grp = (ws // group_window_ms) * group_window_ms
+            batch = batch.append_column("window_group", pa.array(grp, pa.int64()))
         if done:
-            batch = batch.filter(
-                pc.invert(pc.is_in(batch["window_day"], value_set=pa.array(sorted(done))))
-            )
+            keep = np.ones(len(ws), dtype=bool)
+            for d, groups in done.items():
+                if groups is None or not sub_day:
+                    keep &= day != d
+                else:
+                    in_day = day == d
+                    if in_day.any() and groups:
+                        keep &= ~(in_day & np.isin(grp, np.fromiter(groups, np.int64)))
+            batch = batch.filter(pa.array(keep))
         return batch
 
     tdir = tier_dir(out_dir, tier)
     os.makedirs(tdir, exist_ok=True)
     # rollup stages group by (_gw, _shard) — time-major — so their output
     # blocks are already time-clustered and the hive write makes a handful of
-    # contiguous files per day rather than one tiny file per (block, day)
-    ds.map_batches(add_day, batch_format="pyarrow").write_parquet(
-        tdir, partition_cols=["window_day"]
+    # contiguous files per partition rather than one tiny file per block
+    ds.map_batches(add_parts, batch_format="pyarrow").write_parquet(
+        tdir, partition_cols=part_cols
     )
 
     manifest = load_manifest(out_dir, tier)
@@ -126,16 +172,31 @@ def write_tier(ds, out_dir: str, tier: str) -> dict:
         if not name.startswith("window_day="):
             continue
         day = name.split("=", 1)[1]
-        if day in manifest["days"]:
-            continue
         ddir = os.path.join(tdir, name)
-        files = [f for f in os.listdir(ddir) if f.endswith(".parquet")]
-        n_rows = sum(pq.read_metadata(os.path.join(ddir, f)).num_rows for f in files)
-        manifest["days"][day] = {
-            "n_rows": n_rows,
-            "n_files": len(files),
-            "wall_s": round(wall_s, 3),
-        }
+        group_dirs = sorted(g for g in os.listdir(ddir) if g.startswith("window_group="))
+        entry = manifest["days"].get(day)
+        if group_dirs:
+            if entry is None:
+                entry = {"n_rows": 0, "n_files": 0, "wall_s": round(wall_s, 3), "groups": {}}
+            groups = entry.setdefault("groups", {})
+            for g in group_dirs:
+                gstart = g.split("=", 1)[1]
+                if gstart in groups:
+                    continue
+                n_rows, n_files = _dir_stats(os.path.join(ddir, g))
+                groups[gstart] = {"n_rows": n_rows, "n_files": n_files}
+            entry["n_rows"] = sum(v["n_rows"] for v in groups.values())
+            entry["n_files"] = sum(v["n_files"] for v in groups.values())
+            manifest["days"][day] = entry
+        else:
+            if entry is not None:
+                continue
+            n_rows, n_files = _dir_stats(ddir)
+            manifest["days"][day] = {
+                "n_rows": n_rows,
+                "n_files": n_files,
+                "wall_s": round(wall_s, 3),
+            }
     manifest["status"] = "complete"
     manifest["tier"] = tier
     _atomic_write_json(manifest_path(out_dir, tier), manifest)
@@ -147,12 +208,16 @@ def read_tier(out_dir: str, tier: str):
     import ray.data
 
     ds = ray.data.read_parquet(tier_dir(out_dir, tier))
-    # drop the hive partition column; downstream recomputes it from
-    # window_start (it reads back as string, which would pollute schemas)
-    return ds.map_batches(
-        lambda b: b.drop_columns("window_day") if "window_day" in b.column_names else b,
-        batch_format="pyarrow",
-    )
+    # drop the hive partition columns; downstream recomputes them from
+    # window_start (they read back as string, which would pollute schemas)
+
+    def drop_parts(b: pa.Table) -> pa.Table:
+        for c in ("window_day", "window_group"):
+            if c in b.column_names:
+                b = b.drop_columns(c)
+        return b
+
+    return ds.map_batches(drop_parts, batch_format="pyarrow")
 
 
 def manifest_summary(out_dir: str) -> dict:

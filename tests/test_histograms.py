@@ -84,13 +84,16 @@ def test_route_samples_and_unsupported_type(ray_session):
 
     t = pa.table(
         {
-            "value_type": pa.array(["float", "histogram", "float"], pa.string()),
-            "x": pa.array([1, 2, 3], pa.int64()),
+            "value_type": pa.array(
+                ["float", "histogram", "float", "float_histogram"], pa.string()
+            ),
+            "x": pa.array([1, 2, 3, 4], pa.int64()),
         }
     )
     routed = route_samples(ray.data.from_arrow(t))
     assert routed["float"].count() == 2
     assert routed["histogram"].count() == 1
+    assert routed["float_histogram"].count() == 1
 
     bad = pa.table({"value_type": pa.array(["summary"], pa.string()), "x": pa.array([1], pa.int64())})
     with pytest.raises(Exception) as ei:
@@ -127,6 +130,78 @@ def test_hist_dedup_tiebreak_order_independent(ray_session):
         assert len(out) == 1
         outs.append((out["h_count"][0], out["h_sum"][0]))
     assert outs[0] == outs[1] == outs[2] == (7, 2.0)
+
+
+def test_hist_bucket_chunk_roundtrip_both_types():
+    """Golden round-trip: int-dod (histogram) and Gorilla (float_histogram)
+    bucket chunks decode back bit-exact (the float tiers' parity)."""
+    from prom_tsdb_copyer_ray.stages.histograms import (
+        decode_hist_buckets,
+        encode_hist_buckets_many,
+    )
+
+    rows = [
+        [0.0, 5.0, 17.0, 17.0, 42.0],
+        [1.0],
+        [],
+        [3.0, 3.0, 3.0, 1000000.0],
+    ]
+    flat = np.concatenate([np.asarray(r, np.float64) for r in rows])
+    offs = np.cumsum([0] + [len(r) for r in rows])
+    for vt in ("histogram", "float_histogram"):
+        bufs = encode_hist_buckets_many(flat, offs, vt)
+        for r, buf in zip(rows, bufs):
+            out = decode_hist_buckets(buf, len(r), vt)
+            np.testing.assert_array_equal(out, np.asarray(r, np.float64))
+    # float counts round-trip only through the float codec
+    fr = [[0.5, 2.25, 7.125]]
+    fflat = np.asarray(fr[0], np.float64)
+    foffs = np.array([0, 3])
+    buf = encode_hist_buckets_many(fflat, foffs, "float_histogram")[0]
+    np.testing.assert_array_equal(decode_hist_buckets(buf, 3, "float_histogram"), fflat)
+
+
+def test_hist_int_codec_rejects_float_counts():
+    from prom_tsdb_copyer_ray.stages.histograms import encode_hist_buckets_many
+
+    with pytest.raises(UnsupportedValueTypeError):
+        encode_hist_buckets_many(np.array([0.5, 1.5]), np.array([0, 2]), "histogram")
+    with pytest.raises(UnsupportedValueTypeError):
+        encode_hist_buckets_many(np.array([1.0]), np.array([0, 1]), "summary")
+
+
+def test_rollup_histograms_emits_encoded_buckets(ray_session):
+    """Tier rows carry h_buckets_bytes/n_buckets that decode to the list
+    column, for both value types."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.histograms import decode_hist_buckets
+
+    for vt in ("histogram", "float_histogram"):
+        out = rollup_histograms(
+            ray.data.from_arrow(_hist_samples()), "5m", value_type=vt
+        ).to_pandas()
+        assert (out["value_type"] == vt).all()
+        for _, row in out.iterrows():
+            dec = decode_hist_buckets(row["h_buckets_bytes"], row["n_buckets"], vt)
+            np.testing.assert_array_equal(dec, np.asarray(row["h_buckets"], np.float64))
+
+
+def test_rollup_histograms_int_type_rejects_float_buckets(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "series_key": pa.array(["A"], pa.string()),
+            "ts": pa.array([BASE], pa.int64()),
+            "h_count": pa.array([1], pa.int64()),
+            "h_sum": pa.array([0.5], pa.float64()),
+            "h_buckets": pa.array([[0.5, 1.0]], pa.list_(pa.float64())),
+        }
+    )
+    with pytest.raises(Exception) as ei:
+        rollup_histograms(ray.data.from_arrow(t), "5m", value_type="histogram").to_pandas()
+    assert "不支持的数据格式" in str(ei.value) or "integral" in str(ei.value)
 
 
 def test_histogram_quantile():

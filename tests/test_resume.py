@@ -74,6 +74,68 @@ def test_resume_after_partial_crash(ray_session, out_dir):
         assert got.equals(want)
 
 
+def test_subday_group_resume_recomputes_only_killed_group(ray_session, out_dir):
+    """Sub-day checkpoint (the reference's 2 h slice analogue): kill one
+    (day, group) part; resume rewrites ONLY that group window."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.pipelines.copy import pages_to_samples
+    from prom_tsdb_copyer_ray.stages.rollup import rollup_raw
+    from prom_tsdb_copyer_ray.state.manifest import completed_groups
+
+    GW = 6 * 3600 * 1000  # 6 h groups -> 4 per day
+    pages = generate_pages(1500, seed=42, span_ms=2 * 86_400_000)
+    samples = pages_to_samples(ray.data.from_arrow(pages), concurrency=(1, 2))
+    write_tier(rollup_raw(samples, "5m", group_window_ms=GW), out_dir, "5m",
+               group_window_ms=GW)
+    groups = completed_groups(out_dir, "5m")
+    assert all(g is not None for g in groups.values())
+    n_groups = sum(len(g) for g in groups.values())
+    assert n_groups >= 5  # checkpoint unit finer than days
+    golden = read_tier(out_dir, "5m").to_pandas()
+
+    # kill one group: drop its manifest entry AND its dir (simulated crash
+    # leaves it re-writable either way; clean_uncommitted handles a dir
+    # without a manifest entry)
+    victim_day = str(sorted(groups)[0])
+    m = load_manifest(out_dir, "5m")
+    victim_group = sorted(m["days"][victim_day]["groups"])[1]
+    del m["days"][victim_day]["groups"][victim_group]
+    with open(manifest_path(out_dir, "5m"), "w") as f:
+        json.dump(m, f)
+
+    def snapshot():
+        out = {}
+        td = tier_dir(out_dir, "5m")
+        for day in os.listdir(td):
+            for grp in os.listdir(os.path.join(td, day)):
+                gd = os.path.join(td, day, grp)
+                out[(day, grp)] = sorted(
+                    (f, os.path.getmtime(os.path.join(gd, f))) for f in os.listdir(gd)
+                )
+        return out
+
+    before = snapshot()
+    removed = clean_uncommitted_days(out_dir, "5m")
+    assert removed == [int(victim_day)]
+    victim_key = (f"window_day={victim_day}", f"window_group={victim_group}")
+    assert not os.path.isdir(os.path.join(tier_dir(out_dir, "5m"), *victim_key))
+
+    samples2 = pages_to_samples(ray.data.from_arrow(pages), concurrency=(1, 2))
+    write_tier(rollup_raw(samples2, "5m", group_window_ms=GW), out_dir, "5m",
+               group_window_ms=GW)
+
+    after = snapshot()
+    untouched = {k: v for k, v in before.items() if k != victim_key}
+    assert {k: after[k] for k in untouched} == untouched  # other groups untouched
+    assert victim_key in after  # killed group recomputed
+    got = read_tier(out_dir, "5m").to_pandas()
+    key = ["series_key", "window_start"]
+    assert got.sort_values(key).reset_index(drop=True).equals(
+        golden.sort_values(key).reset_index(drop=True)
+    )
+
+
 def test_day_level_resume_skips_manifested_days(ray_session, out_dir):
     """Partition-level checkpoint: manifested days are not rewritten; an
     unmanifested (partial/crashed) day dir is cleaned and recomputed."""
