@@ -128,7 +128,9 @@ def run_flagship(sf_dir: str, replicate: int, heavy: int = 1) -> dict:
         lambda: ray.data.read_parquet(files),
         out_dir,
         validate="strict",
-        concurrency=(2, 24),
+        # None = let Ray's scheduler pack extraction tasks up to num_cpus
+        # (round 1's effective behavior; -t exists for explicit caps)
+        concurrency=None,
         batch_size=2048,
     )
     wall = time.monotonic() - t0

@@ -133,9 +133,13 @@ def main(argv=None) -> int:
         # -S: the rollup group window is the memory knob, exactly like the
         # reference's slice duration (main.go:121)
         group_window_ms=args.query_duration_min * 60_000,
+        collect_metrics=args.show_metrics,
     )
     if args.show_metrics:
-        print(json.dumps(manifest_summary(args.target), sort_keys=True))
+        out = manifest_summary(args.target)
+        # per-stage wall-time histograms (copyer.go:22-34 analogue)
+        out["_timing"] = manifests.get("_metrics", {})
+        print(json.dumps(out, sort_keys=True))
     else:
         print(json.dumps({t: m["status"] for t, m in manifests.items()}))
     ray.shutdown()

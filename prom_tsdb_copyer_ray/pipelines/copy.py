@@ -37,7 +37,7 @@ from ..state.manifest import load_manifest, read_tier, write_tier
 _EXTRACTORS: dict[str, PageToSamples] = {}
 
 
-def _extract_batch(batch, validate: str):
+def _extract_batch(batch, validate: str, metrics_sink=None):
     """Task-pool extraction kernel with per-worker-process singleton state.
 
     Ray reuses worker processes across tasks, so the extractor (compiled
@@ -46,10 +46,17 @@ def _extract_batch(batch, validate: str):
     actor-pool admission stalls seen when a large backlog of read output
     pins the object store before any actor starts (actors stuck "pending").
     """
+    import time
+
+    from ..state import metrics
+
     ex = _EXTRACTORS.get(validate)
     if ex is None:
         ex = _EXTRACTORS[validate] = PageToSamples(validate)
-    return ex(batch)
+    t0 = time.monotonic()
+    out = ex(batch)
+    metrics.record(metrics_sink, "extract_batch_ms", (time.monotonic() - t0) * 1000)
+    return out
 
 
 def pages_to_samples(
@@ -60,6 +67,7 @@ def pages_to_samples(
     batch_size: int = 4096,
     concurrency=None,
     use_actors: bool = False,
+    metrics_sink=None,
 ):
     """pages -> filtered/relabeled samples Dataset (extraction stage).
 
@@ -86,7 +94,7 @@ def pages_to_samples(
         if concurrency is not None:
             max_tasks = int(concurrency[-1]) if isinstance(concurrency, (tuple, list)) else int(concurrency)
         samples = pages_ds.map_batches(
-            functools.partial(_extract_batch, validate=validate),
+            functools.partial(_extract_batch, validate=validate, metrics_sink=metrics_sink),
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=max_tasks,
@@ -136,9 +144,16 @@ def run_copy(
     validate: str = "strict",
     incremental: bool = False,
     group_window_ms: int | None = None,
+    collect_metrics: bool = False,
     **kw,
 ) -> dict:
     """Checkpointed end-to-end run; returns {tier: manifest}.
+
+    ``collect_metrics=True`` stands up the zero-CPU metrics sink for the
+    run (state/metrics.py): extraction batches and rollup groups report
+    wall-time samples, folded into histograms under the ``"_metrics"`` key
+    of the returned dict — the reference's ``--show-metrics`` duration
+    histograms (``copyer.go:22-34``).
 
     ``pages_ds_factory`` is a zero-arg callable returning the pages Dataset
     (a factory so a resumed run whose 5m tier is already complete never even
@@ -150,29 +165,46 @@ def run_copy(
     re-runs, but ``write_tier`` filters out already-manifested days, so only
     NEW days of a grown input are computed/written — the day-level checkpoint.
     """
+    sink = None
+    if collect_metrics:
+        from ..state.metrics import create_sink
+
+        sink = create_sink()
     manifests = {}
     m5 = load_manifest(out_dir, "5m")
     t5 = None
     if incremental or m5["status"] != "complete":
-        samples = pages_to_samples(pages_ds_factory(), matchers, relabels, validate, **kw)
+        samples = pages_to_samples(
+            pages_ds_factory(), matchers, relabels, validate,
+            metrics_sink=sink, **kw,
+        )
         # materialize the collapsed tier rows (small vs raw input) so the
         # write and the 1h rollup both feed from the object store instead of
         # re-executing extraction or round-tripping through Parquet
         raw_kw = {"group_window_ms": group_window_ms} if group_window_ms else {}
-        t5 = rollup_raw(samples, "5m", **raw_kw).materialize()
+        t5 = rollup_raw(samples, "5m", metrics_sink=sink, **raw_kw).materialize()
         m5 = write_tier(t5, out_dir, "5m", group_window_ms=group_window_ms)
     manifests["5m"] = m5
 
     m1h = load_manifest(out_dir, "1h")
     t1h = None
     if incremental or m1h["status"] != "complete":
-        t1h = rollup_up(t5 if t5 is not None else read_tier(out_dir, "5m"), "1h").materialize()
+        t1h = rollup_up(
+            t5 if t5 is not None else read_tier(out_dir, "5m"), "1h", metrics_sink=sink
+        ).materialize()
         m1h = write_tier(t1h, out_dir, "1h", group_window_ms=group_window_ms)
     manifests["1h"] = m1h
 
     m1d = load_manifest(out_dir, "1d")
     if incremental or m1d["status"] != "complete":
-        t1d = rollup_up(t1h if t1h is not None else read_tier(out_dir, "1h"), "1d")
+        t1d = rollup_up(
+            t1h if t1h is not None else read_tier(out_dir, "1h"), "1d", metrics_sink=sink
+        )
         m1d = write_tier(t1d, out_dir, "1d", group_window_ms=group_window_ms)
     manifests["1d"] = m1d
+    if sink is not None:
+        from ..state.metrics import destroy_sink, drain_sink
+
+        manifests["_metrics"] = drain_sink(sink)
+        destroy_sink()
     return manifests

@@ -303,6 +303,7 @@ def rollup_raw(
     tier: str = "5m",
     num_shards: int = DEFAULT_NUM_SHARDS,
     group_window_ms: int = MS_1D,
+    metrics_sink=None,
 ):
     """Raw samples Dataset -> tier chunk Dataset (the one wide shuffle over
     raw data; every later tier shuffles only collapsed rows)."""
@@ -311,7 +312,14 @@ def rollup_raw(
         raise ValueError(f"group window {group_window_ms} not a multiple of tier {tier}")
 
     def per_group(group: pa.Table) -> pa.Table:
-        return _rollup_raw_group(_drop_keys(group), tier)
+        import time
+
+        from ..state import metrics
+
+        t0 = time.monotonic()
+        out = _rollup_raw_group(_drop_keys(group), tier)
+        metrics.record(metrics_sink, f"rollup_raw_{tier}_group_ms", (time.monotonic() - t0) * 1000)
+        return out
 
     return (
         _with_shard_and_gw(samples_ds, "ts", num_shards, group_window_ms)
@@ -325,6 +333,7 @@ def rollup_up(
     tier: str,
     num_shards: int = DEFAULT_NUM_SHARDS,
     group_factor: int = 16,
+    metrics_sink=None,
 ):
     """Finer-tier chunk Dataset -> coarser tier (partial+final merge shuffle).
 
@@ -335,7 +344,14 @@ def rollup_up(
     d = TIERS[tier]
 
     def per_group(group: pa.Table) -> pa.Table:
-        return _rollup_merge_group(_drop_keys(group), tier, finer_ms)
+        import time
+
+        from ..state import metrics
+
+        t0 = time.monotonic()
+        out = _rollup_merge_group(_drop_keys(group), tier, finer_ms)
+        metrics.record(metrics_sink, f"rollup_up_{tier}_group_ms", (time.monotonic() - t0) * 1000)
+        return out
 
     return (
         # no coalesce hop: merge inputs are already collapsed chunk rows in

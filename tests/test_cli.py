@@ -51,6 +51,7 @@ def test_cli_end_to_end(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     summary = json.loads(proc.stdout.strip().splitlines()[-1])
-    assert set(summary) == {"5m", "1h", "1d"}
-    assert all(v["status"] == "complete" for v in summary.values())
+    assert set(summary) == {"5m", "1h", "1d", "_timing"}
+    assert summary["_timing"].get("extract_batch_ms", {}).get("count", 0) > 0
+    assert all(v["status"] == "complete" for k, v in summary.items() if k != "_timing")
     assert (out / "manifests" / "5m.json").exists()

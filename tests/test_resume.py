@@ -74,6 +74,33 @@ def test_resume_after_partial_crash(ray_session, out_dir):
         assert got.equals(want)
 
 
+def test_collect_metrics_timing_histograms(ray_session, out_dir):
+    """O18: run_copy(collect_metrics=True) returns per-stage wall-time
+    histograms (the reference's --show-metrics duration histograms)."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.pipelines.copy import run_copy
+
+    pages = generate_pages(800, seed=42, span_ms=86_400_000)
+    manifests = run_copy(
+        lambda: ray.data.from_arrow(pages), out_dir, concurrency=(1, 2),
+        collect_metrics=True,
+    )
+    m = manifests["_metrics"]
+    assert "extract_batch_ms" in m
+    assert "rollup_raw_5m_group_ms" in m
+    assert "rollup_up_1h_group_ms" in m
+    for hist in m.values():
+        assert hist["count"] > 0
+        assert hist["max_ms"] >= hist["p90_ms"] >= hist["p50_ms"] >= 0
+        assert hist["sum_ms"] >= hist["max_ms"]
+    # sink is destroyed after drain: a second plain run records nothing
+    manifests2 = run_copy(
+        lambda: ray.data.from_arrow(pages), out_dir, concurrency=(1, 2)
+    )
+    assert "_metrics" not in manifests2
+
+
 def test_subday_group_resume_recomputes_only_killed_group(ray_session, out_dir):
     """Sub-day checkpoint (the reference's 2 h slice analogue): kill one
     (day, group) part; resume rewrites ONLY that group window."""
