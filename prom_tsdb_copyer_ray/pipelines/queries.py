@@ -301,8 +301,12 @@ def q_gapfill_5m(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count, Max, Min, Sum
 
-    counts = _rollup_events(sf_dir, MS_5M).select_columns(
-        ["event_type", "window_start", "n"]
+    # materialize the collapsed counts once: three consumers below (bounds,
+    # type list, union) would otherwise re-execute the rollup three times
+    counts = (
+        _rollup_events(sf_dir, MS_5M)
+        .select_columns(["event_type", "window_start", "n"])
+        .materialize()
     )
 
     bounds = counts.aggregate(Min("window_start"), Max("window_start"))
