@@ -565,6 +565,24 @@ def q_ivf_topk(sf_dir: str):
     return ivf_topk(ds, queries, k=ANN_K).select(["query_idx", "vec_id", "rank"])
 
 
+COSINE_PAIRS_THRESHOLD = 0.45
+
+
+def q_cosine_pairs_exact(sf_dir: str):
+    """EXACT all-pairs cosine >= threshold over embeddings — the exact
+    baseline of embedding_neardup (num_planes=0 => one bucket, blockwise
+    O(block x n)-memory scan; at scale use the LSH path, this is the
+    small-side ground truth the same way brute_force_topk is for IVF).
+    SQL-oracled via DuckDB list_cosine_similarity."""
+    from ..stages.dedup import embedding_neardup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = embedding_neardup_pairs(
+        ds, threshold=COSINE_PAIRS_THRESHOLD, num_planes=0
+    )
+    return _finalize(out, {}, {"cosine": 6})
+
+
 def q_ivf_index_topk(sf_dir: str):
     """IVF with a PERSISTED cell-partitioned index: build once (cached per
     corpus under /tmp), then search reading ONLY the probed cells' files —
@@ -865,6 +883,7 @@ QUERIES = {
     "quality": q_quality,
     "exact_dedup": q_exact_dedup,
     "ann_topk": q_ann_topk,
+    "cosine_pairs_exact": q_cosine_pairs_exact,
     "union_merge": q_union_merge,
     "sliding_1h": q_sliding_1h,
     "hist_5m": q_hist_5m,
@@ -1000,6 +1019,13 @@ ORACLE_SQL = {
                                         ORDER BY sim DESC, vec_id) - 1 AS rank
               FROM s)
         SELECT query_idx, vec_id, rank FROM r WHERE rank < {ANN_K}
+    """,
+    "cosine_pairs_exact": f"""
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding)
+              >= {COSINE_PAIRS_THRESHOLD}
     """,
     "hist_5m": """
         SELECT event_type, (epoch_ms(ts) // 300000) * 300000 AS window_start,
