@@ -136,6 +136,95 @@ def build_tiers(
     return {t: out[t] for t in tiers}
 
 
+def run_copy_samples(
+    samples_ds,
+    out_dir: str,
+    group_window_ms: int | None = None,
+    tiers: Sequence[str] = ("5m", "1h", "1d"),
+) -> dict:
+    """Mixed-value-type samples -> typed, checkpointed tiers.
+
+    The reference's inner loop switches per sample among float / Histogram /
+    FloatHistogram appenders writing into one block (``copyer.go:108-127``);
+    here each type gets its own tier chain because the tier schemas differ
+    (float chunks vs encoded bucket payloads):
+
+    * ``float`` rows -> the standard 5m/1h/1d chunk chain (``rollup_raw`` /
+      ``rollup_up``), manifests ``5m``/``1h``/``1d``;
+    * ``histogram`` / ``float_histogram`` rows -> last-per-window histogram
+      tiers with bit-encoded buckets (stages/histograms.py), manifests
+      ``histogram_5m`` etc.  Coarser histogram tiers re-apply the same
+      operator on the finer tier (last-of-lasts; ts := finer max_ts).
+
+    Unknown value types hard-error inside :func:`route_samples` (the
+    reference aborts, ``copyer.go:123-126``).  Every tier write is resumable
+    (day / sub-day group checkpoints).  Returns {manifest_key: manifest}.
+    """
+    import pyarrow as pa
+
+    from ..stages.histograms import HISTOGRAM_TYPES, rollup_histograms, route_samples
+
+    routed = route_samples(samples_ds)
+    manifests: dict = {}
+
+    # float chain (only if any float rows — count on the routed stream once)
+    float_ds = routed["float"].materialize()
+    if float_ds.count():
+        def to_float_cols(batch: pa.Table) -> pa.Table:
+            keep = [c for c in batch.column_names
+                    if c not in ("value_type", "h_count", "h_sum", "h_buckets")]
+            return batch.select(keep)
+
+        fs = float_ds.map_batches(to_float_cols, batch_format="pyarrow")
+        raw_kw = {"group_window_ms": group_window_ms} if group_window_ms else {}
+        t5 = rollup_raw(fs, "5m", **raw_kw).materialize()
+        manifests["5m"] = write_tier(t5, out_dir, "5m", group_window_ms=group_window_ms)
+        prev = t5
+        for tier in ("1h", "1d"):
+            if tier not in tiers:
+                continue
+            prev = rollup_up(prev, tier).materialize()
+            manifests[tier] = write_tier(prev, out_dir, tier, group_window_ms=group_window_ms)
+
+    for vt in HISTOGRAM_TYPES:
+        h_ds = routed[vt].materialize()
+        if not h_ds.count():
+            continue
+
+        def to_hist_cols(batch, vt=vt):
+            keep = ["series_key", "ts", "h_count", "h_sum", "h_buckets"]
+            return batch.select([c for c in keep if c in batch.column_names])
+
+        hs = h_ds.map_batches(to_hist_cols, batch_format="pyarrow")
+        raw_kw = {"group_window_ms": group_window_ms} if group_window_ms else {}
+        prev = rollup_histograms(hs, "5m", value_type=vt, **raw_kw).materialize()
+        manifests[f"{vt}_5m"] = write_tier(
+            prev, out_dir, f"{vt}_5m", group_window_ms=group_window_ms
+        )
+        for tier in ("1h", "1d"):
+            if tier not in tiers:
+                continue
+            # finer tier rows -> samples for the coarser pass (ts := max_ts
+            # carries last-ness; last-of-lasts == last)
+            finer_as_samples = prev.map_batches(
+                lambda b: pa.table(
+                    {
+                        "series_key": b["series_key"],
+                        "ts": b["max_ts"],
+                        "h_count": b["h_count"],
+                        "h_sum": b["h_sum"],
+                        "h_buckets": b["h_buckets"],
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            prev = rollup_histograms(finer_as_samples, tier, value_type=vt).materialize()
+            manifests[f"{vt}_{tier}"] = write_tier(
+                prev, out_dir, f"{vt}_{tier}", group_window_ms=group_window_ms
+            )
+    return manifests
+
+
 def run_copy(
     pages_ds_factory,
     out_dir: str,

@@ -204,6 +204,71 @@ def test_rollup_histograms_int_type_rejects_float_buckets(ray_session):
     assert "不支持的数据格式" in str(ei.value) or "integral" in str(ei.value)
 
 
+def test_run_copy_samples_mixed_types(ray_session, tmp_path):
+    """Orchestrator-level 3-type routing: one mixed samples Dataset ->
+    float 5m/1h/1d chunk tiers + per-type histogram tiers, all manifested;
+    unknown types abort (reference copyer.go:108-127 switch semantics)."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.pipelines.copy import run_copy_samples
+    from prom_tsdb_copyer_ray.state.manifest import read_tier
+
+    n = 200
+    rows = {
+        "series_key": [], "ts": [], "value_type": [], "value": [],
+        "h_count": [], "h_sum": [], "h_buckets": [],
+    }
+    for i in range(n):
+        ts = BASE + i * 60_000
+        if i % 3 == 0:
+            rows["series_key"].append("f1"); rows["value_type"].append("float")
+            rows["value"].append(float(i)); rows["h_count"].append(None)
+            rows["h_sum"].append(None); rows["h_buckets"].append(None)
+        elif i % 3 == 1:
+            rows["series_key"].append("h1"); rows["value_type"].append("histogram")
+            rows["value"].append(None); rows["h_count"].append(i)
+            rows["h_sum"].append(1.5 * i); rows["h_buckets"].append([float(i // 2), float(i)])
+        else:
+            rows["series_key"].append("fh1"); rows["value_type"].append("float_histogram")
+            rows["value"].append(None); rows["h_count"].append(i)
+            rows["h_sum"].append(0.5 * i); rows["h_buckets"].append([i * 0.25, i * 0.5])
+        rows["ts"].append(ts)
+    t = pa.table(
+        {
+            "series_key": pa.array(rows["series_key"], pa.string()),
+            "ts": pa.array(rows["ts"], pa.int64()),
+            "value_type": pa.array(rows["value_type"], pa.string()),
+            "value": pa.array(rows["value"], pa.float64()),
+            "h_count": pa.array(rows["h_count"], pa.int64()),
+            "h_sum": pa.array(rows["h_sum"], pa.float64()),
+            "h_buckets": pa.array(rows["h_buckets"], pa.list_(pa.float64())),
+        }
+    )
+    out = str(tmp_path / "mixed")
+    manifests = run_copy_samples(ray.data.from_arrow(t), out)
+    for key in ("5m", "1h", "1d", "histogram_5m", "histogram_1h", "histogram_1d",
+                "float_histogram_5m", "float_histogram_1h", "float_histogram_1d"):
+        assert manifests[key]["status"] == "complete", key
+        assert read_tier(out, key).count() > 0, key
+    # float tier: only the float series made it
+    f5 = read_tier(out, "5m").to_pandas()
+    assert set(f5["series_key"]) == {"f1"}
+    # histogram tiers: int path kept integral buckets, 1d is last-of-lasts
+    h1d = read_tier(out, "histogram_1d").to_pandas()
+    assert len(h1d) == 1 and h1d["h_count"][0] == 199
+    fh1d = read_tier(out, "float_histogram_1d").to_pandas()
+    assert len(fh1d) == 1 and abs(fh1d["h_sum"][0] - 0.5 * 197) < 1e-12
+
+    bad = t.set_column(
+        t.column_names.index("value_type"),
+        "value_type",
+        pa.array(["summary"] * n, pa.string()),
+    )
+    with pytest.raises(Exception) as ei:
+        run_copy_samples(ray.data.from_arrow(bad), str(tmp_path / "bad"))
+    assert "不支持的数据格式" in str(ei.value)
+
+
 def test_histogram_quantile():
     t = pa.table(
         {
