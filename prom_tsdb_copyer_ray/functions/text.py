@@ -78,6 +78,62 @@ def extract_text(html: bytes | str) -> str:
     return "\n".join(unescape_entities(p) for p in parts)
 
 
+def extract_texts(html_col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Column-kernel :func:`extract_text` over a binary/string HTML column.
+
+    Arrow-RE2 + literal-replace path for rows that are provably equivalent
+    under both engines (valid UTF-8, exactly one ``<p>``/``</p>`` pair, no
+    script/style blocks, no numeric entities); scalar fallback per row
+    otherwise.  Byte-identical to :func:`extract_text` for every row
+    (property-tested).
+
+    PERF NOTE: measured SLOWER than the per-page scalar loop (0.4x on 10 KB
+    pages, 0.8x on 300 B pages) — the kernel pipeline makes ~10 full-column
+    scans while Python's compiled re + str.replace do ~3 cache-resident
+    passes per page.  The hot extraction stage (stages/extract.py) therefore
+    keeps the scalar loop; this kernel exists for column-level callers that
+    want extraction as a pure Arrow expression.
+    """
+    if isinstance(html_col, pa.ChunkedArray):
+        html_col = html_col.combine_chunks()
+    n = len(html_col)
+    try:
+        s = pc.cast(html_col, pa.large_string()) if not pa.types.is_string(
+            html_col.type
+        ) and not pa.types.is_large_string(html_col.type) else html_col
+    except pa.ArrowInvalid:  # invalid utf-8 somewhere: scalar path for all
+        return pa.array([extract_text(h) for h in html_col.to_pylist()], pa.string())
+
+    p_open = pc.count_substring_regex(s, r"(?i)<p[\s>]")
+    p_close = pc.count_substring_regex(s, r"(?i)</p>")
+    risky = pc.count_substring_regex(s, r"(?i)<script\b|<style\b|&#")
+    fast = pc.and_(
+        pc.and_(pc.equal(p_open, 1), pc.equal(p_close, 1)), pc.equal(risky, 0)
+    )
+
+    body = pc.struct_field(
+        pc.extract_regex(s, r"(?is)<p(?:\s[^>]*)?>(?P<body>.*?)</p>"), "body"
+    )
+    body = pc.fill_null(body, "")
+    # unescape chain for the fast subset: no numeric entities by eligibility,
+    # so the scalar unescape reduces to these literal replaces in this order
+    for pat, rep in (("&quot;", '"'), ("&apos;", "'"), ("&nbsp;", " "),
+                     ("&lt;", "<"), ("&gt;", ">"), ("&amp;", "&")):
+        body = pc.replace_substring(body, pattern=pat, replacement=rep)
+
+    fast_np = fast.to_numpy(zero_copy_only=False)
+    out = pc.cast(body, pa.string())
+    if bool(fast_np.all()):
+        return out
+    import numpy as np
+
+    lst = out.to_pylist()
+    raw = html_col.to_pylist()
+    for i in np.flatnonzero(~fast_np):
+        lst[i] = extract_text(raw[i])
+    return pa.array(lst, pa.string())
+
+
 # ---------------------------------------------------------------------------
 # URL / token / quality kernels (vectorized Arrow)
 # ---------------------------------------------------------------------------

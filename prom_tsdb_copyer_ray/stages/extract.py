@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.relabel import series_key
-from ..functions.text import extract_text, url_domain
+from ..functions.text import extract_text, extract_texts, url_domain
 from ..windows import ts_to_ms
 
 SAMPLE_LABELS = ("__name__", "domain", "lang")
@@ -61,33 +61,37 @@ class PageToSamples:
         lang = pc.fill_null(pc.cast(batch["lang"], pa.string()), "")
         ts = ts_to_ms(batch["warc_ts"])
 
+        # Per-page scalar loop ON PURPOSE: Python's compiled re + str.replace
+        # are C-level and cache-friendly per page; the Arrow-RE2 column
+        # kernel alternative (functions/text.extract_texts) was measured
+        # 0.4x on 10 KB pages and 0.8x on 300 B pages (multi-pass scans) —
+        # "vectorize" does not beat a good per-record C path here.
         htmls = batch["html"].to_pylist()
         sizes = np.fromiter((len(h) for h in htmls), dtype=np.float64, count=n)
 
         if self.validate != "off":
             want = batch["text"].to_pylist()
-            bad = 0
             for i, h in enumerate(htmls):
                 got = self._extract(h)
-                if got != (want[i] or ""):
-                    if self.validate == "strict":
-                        raise ValueError(
-                            f"extracted text mismatch for url={batch['url'][i].as_py()!r}: "
-                            f"{got[:80]!r} != {(want[i] or '')[:80]!r}"
-                        )
-                    bad += 1
+                if got != (want[i] or "") and self.validate == "strict":
+                    raise ValueError(
+                        f"extracted text mismatch for url={batch['url'][i].as_py()!r}: "
+                        f"{got[:80]!r} != {(want[i] or '')[:80]!r}"
+                    )
         else:
             for h in htmls:
                 self._extract(h)
 
         def metric(name: str, values) -> pa.Table:
+            if not isinstance(values, (pa.Array, pa.ChunkedArray)):
+                values = pa.array(values, pa.float64())
             t = pa.table(
                 {
                     "__name__": pa.nulls(n, pa.string()).fill_null(name),
                     "domain": domain,
                     "lang": lang,
                     "ts": ts,
-                    "value": pa.array(values, pa.float64()),
+                    "value": values,
                 }
             )
             return t.add_column(0, "series_key", series_key(t, SAMPLE_LABELS))
@@ -103,12 +107,11 @@ def extract_documents(batch: pa.Table) -> pa.Table:
     Feeds the training-data operators (dedup / similarity / text analysis)
     from raw pages; text comes from the HTML, not the text column.
     """
-    texts = [extract_text(h) for h in batch["html"].to_pylist()]
     return pa.table(
         {
             "url": batch["url"],
             "ts": ts_to_ms(batch["warc_ts"]),
-            "text": pa.array(texts, pa.string()),
+            "text": extract_texts(batch["html"]),
             "lang": batch["lang"],
         }
     )

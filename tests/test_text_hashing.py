@@ -72,6 +72,34 @@ def test_extract_entities():
     assert extract_text(b"<p>&quot;q&quot; &#65; &amp;</p>") == '"q" A &'
 
 
+def test_extract_texts_vectorized_matches_scalar():
+    """extract_texts (RE2 fast path + scalar fallback) is byte-identical to
+    extract_text per row, across fast-path, fallback, and edge-case html."""
+    from prom_tsdb_copyer_ray.functions.text import extract_texts
+    from prom_tsdb_copyer_ray.sources.pages import generate_pages
+
+    pages = generate_pages(300, seed=9)  # includes script/style + broken-trail kinds
+    htmls = pages["html"].to_pylist()
+    extra = [
+        b"<html><body><p>one</p><p>two</p></body></html>",          # multi-p
+        b"<p>a &#x2014; b</p>",                                      # numeric entity
+        b"<p>&quot;q&quot; &apos;s&apos; &nbsp;</p>",                # named entities
+        b"no paragraphs here",                                       # no <p>
+        b"<p>unclosed paragraph",                                    # no </p>
+        b"<P CLASS='x'>upper</P>",                                   # case + attrs
+        b"",                                                         # empty
+        "<p>café 中文</p>".encode("utf-8"),             # multibyte
+        b"<p>bad \xff utf8</p>",                                     # invalid utf-8
+        b"<script>var p='<p>no</p>';</script><p>yes</p>",            # script block
+    ]
+    all_html = htmls + extra
+    got = extract_texts(pa.array(all_html, pa.binary())).to_pylist()
+    from prom_tsdb_copyer_ray.functions.text import extract_text
+
+    for h, g in zip(all_html, got):
+        assert g == extract_text(h), h[:60]
+
+
 # --- url/token/quality kernels --------------------------------------------
 
 def test_url_domain():
