@@ -484,6 +484,16 @@ def q_exact_dedup(sf_dir: str):
     return exact_dedup(ds).select_columns(["doc_id"])
 
 
+def q_dedup_rows(sf_dir: str):
+    """Exact dedup returning FULL surviving rows (winner = min doc_id per
+    distinct text): hash-groupby winners + tag-union co-partition fetch —
+    no driver-side id set (stages/dedup.exact_dedup_rows)."""
+    from ..stages.dedup import exact_dedup_rows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source", "n_chars"])
+    return exact_dedup_rows(ds).select_columns(["doc_id", "lang", "source", "n_chars"])
+
+
 N_ANN_QUERIES = 5
 ANN_K = 10
 
@@ -706,6 +716,49 @@ def q_asof_join(sf_dir: str):
     )
 
 
+SESSION_MS = 30 * 60 * 1000
+
+
+def q_range_join(sf_dir: str):
+    """Range (interval) join — custom operator: every click inside a
+    30-minute "error session" [error_ts, error_ts + 30m] of the same user
+    (stages/windowed.range_join; co-partitioned by (user-hash, time
+    bucket), intervals replicated per overlapped bucket)."""
+    from ..stages.windowed import range_join
+
+    ev = _read(sf_dir, "events", ["ts", "user_id", "event_type", "event_id"])
+
+    def clicks(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["event_type"], "click"))
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "ts_ms": ts_to_ms(t["ts"]),
+            }
+        )
+
+    def sessions(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["event_type"], "error"))
+        ms = ts_to_ms(t["ts"])
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "session_start": ms,
+                "session_end": pc.add(ms, pa.scalar(SESSION_MS, pa.int64())),
+                "session_id": t["event_id"],
+            }
+        )
+
+    left = ev.map_batches(clicks, batch_format="pyarrow")
+    right = ev.map_batches(sessions, batch_format="pyarrow")
+    return range_join(
+        left, right, key_col="user_id", left_ts="ts_ms",
+        right_start="session_start", right_end="session_end",
+        right_id_col="session_id",
+    )
+
+
 def q_union_merge(sf_dir: str):
     """Multi-to-one copy: union of two overlapping source slices, dedup by
     record identity, grouped count — the reference's multi-source merge
@@ -882,12 +935,14 @@ QUERIES = {
     "token_count": q_token_count,
     "quality": q_quality,
     "exact_dedup": q_exact_dedup,
+    "dedup_rows": q_dedup_rows,
     "ann_topk": q_ann_topk,
     "cosine_pairs_exact": q_cosine_pairs_exact,
     "union_merge": q_union_merge,
     "sliding_1h": q_sliding_1h,
     "hist_5m": q_hist_5m,
     "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "pages_rollup_5m": q_pages_rollup_5m,
     "pages_rollup_1h": q_pages_rollup_1h,
     # rows-only (non-SQL-expressible)
@@ -1008,6 +1063,10 @@ ORACLE_SQL = {
     "exact_dedup": (
         "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
     ),
+    "dedup_rows": """
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+    """,
     "ann_topk": f"""
         WITH q AS (SELECT vec_id AS query_idx, embedding AS qe FROM embeddings
                    WHERE vec_id < {N_ANN_QUERIES}),
@@ -1057,6 +1116,15 @@ ORACLE_SQL = {
                e.ts_ms AS error_ts_ms, e.value AS error_value
         FROM clicks c ASOF JOIN errors e
           ON c.user_id = e.user_id AND c.ts_ms >= e.ts_ms
+    """,
+    "range_join": f"""
+        SELECT c.user_id, c.event_id, epoch_ms(c.ts) AS ts_ms,
+               e.event_id AS session_id_right
+        FROM events c JOIN events e
+          ON c.user_id = e.user_id
+         AND c.event_type = 'click' AND e.event_type = 'error'
+         AND epoch_ms(c.ts) BETWEEN epoch_ms(e.ts)
+                                AND epoch_ms(e.ts) + {SESSION_MS}
     """,
     "union_merge": """
         WITH u AS (

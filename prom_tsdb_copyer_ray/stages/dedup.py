@@ -73,6 +73,63 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     return hashed.groupby(["content_hash", "n_bytes"]).aggregate(Min(id_col, alias_name=id_col))
 
 
+def exact_dedup_rows(ds, id_col: str = "doc_id", text_col: str = "text",
+                     num_shards: int = 64):
+    """Full deduplicated rows (not just winner ids): keep the min-id row per
+    distinct text.
+
+    Two stages, both bounded: (1) :func:`exact_dedup`'s (hash, len) groupby
+    over narrow rows picks winners; (2) winner markers and full rows are
+    co-partitioned by a hash shard of the id (tag-union — NO driver-side id
+    set, winners can be nearly the whole corpus at scale) and the shard task
+    keeps rows whose id is marked.  Full rows cross the wire once.
+    """
+    winners = exact_dedup(ds, id_col=id_col, text_col=text_col)
+
+    def shard_of(ids: np.ndarray) -> pa.Array:
+        return pa.array((_mix64(ids.astype(np.uint64)) % np.uint64(num_shards)).astype(np.int64))
+
+    schema = ds.schema()
+    data_cols = list(schema.names)
+    data_types = {c: t for c, t in zip(schema.names, schema.types)}
+
+    def mark_rows(batch: pa.Table) -> pa.Table:
+        # full-width null rows so the union's schema matches the doc rows
+        ids = batch[id_col].to_numpy().astype(np.int64, copy=False)
+        cols = {c: pa.nulls(len(ids), data_types[c]) for c in data_cols}
+        cols["_shard"] = shard_of(ids)
+        cols["_winner_id"] = pa.array(ids)
+        return pa.table(cols)
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64, copy=False)
+        return (
+            batch.append_column("_shard", shard_of(ids))
+            .append_column("_winner_id", pa.nulls(len(ids), pa.int64()))
+        )
+
+    marks = winners.map_batches(mark_rows, batch_format="pyarrow")
+    docs = ds.map_batches(doc_rows, batch_format="pyarrow")
+
+    def keep_winners(group: pa.Table) -> pa.Table:
+        is_mark = pc.is_valid(group["_winner_id"]).to_numpy(zero_copy_only=False)
+        winner_ids = np.sort(
+            group["_winner_id"].filter(pa.array(is_mark)).to_numpy(zero_copy_only=False)
+        )
+        rows = group.filter(pa.array(~is_mark))
+        rid = rows[id_col].to_numpy().astype(np.int64, copy=False)
+        pos = np.searchsorted(winner_ids, rid)
+        pos[pos >= len(winner_ids)] = 0
+        ok = winner_ids[pos] == rid if len(winner_ids) else np.zeros(len(rid), bool)
+        return rows.filter(pa.array(ok)).select(data_cols)
+
+    return (
+        docs.union(marks)
+        .groupby("_shard")
+        .map_groups(keep_winners, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -53,6 +53,121 @@ def sliding_window_sum(
     return tier_ds.groupby(key_cols).map_groups(per_group, batch_format="pyarrow")
 
 
+def range_join(
+    left_ds,
+    right_ds,
+    key_col: str,
+    left_ts: str = "ts",
+    right_start: str = "start",
+    right_end: str = "end",
+    right_id_col: str = "interval_id",
+    bucket_ms: int = 3_600_000,
+    num_shards: int = 64,
+):
+    """Interval (range) join: every left row paired with every right interval
+    ``[start, end]`` (ms, inclusive) of the same key that contains its
+    timestamp — a third custom operator Ray Data lacks (inner join, possibly
+    many matches per row).
+
+    Partitioning: both sides co-partition by (hash shard of key, coarse time
+    bucket).  A left row lives in exactly ONE bucket (its ts), so no output
+    dedup is needed; each interval is REPLICATED into every bucket it
+    overlaps.  Partitioning assumption (documented per the brief): intervals
+    are short relative to ``bucket_ms`` (sessions, SLAs — replication factor
+    ~= 1 + len/bucket); degenerate corpus-spanning intervals would replicate
+    per bucket and belong in a broadcast join instead.
+
+    Per group the matching is one lexsort + two searchsorted per interval
+    (key segment, then ts range) — output assembled by vectorized arange
+    concatenation, no per-row Python.
+    """
+    def _shard(keys: np.ndarray) -> np.ndarray:
+        x = keys.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+            x ^= x >> np.uint64(33)
+        return (x % np.uint64(num_shards)).astype(np.int64)
+
+    left_cols: list[str] = left_ds.schema().names
+
+    def norm_left(batch: pa.Table) -> pa.Table:
+        keys = pc.cast(batch[key_col], pa.int64()).to_numpy(zero_copy_only=False)
+        ts = pc.cast(batch[left_ts], pa.int64()).to_numpy(zero_copy_only=False)
+        batch = batch.append_column("_shard", pa.array(_shard(keys)))
+        batch = batch.append_column("_bucket", pa.array(ts // bucket_ms))
+        batch = batch.append_column("_r_start", pa.nulls(batch.num_rows, pa.int64()))
+        batch = batch.append_column("_r_end", pa.nulls(batch.num_rows, pa.int64()))
+        batch = batch.append_column("_r_id", pa.nulls(batch.num_rows, pa.int64()))
+        return batch
+
+    def explode_right(batch: pa.Table) -> pa.Table:
+        keys = pc.cast(batch[key_col], pa.int64()).to_numpy(zero_copy_only=False)
+        s = pc.cast(batch[right_start], pa.int64()).to_numpy(zero_copy_only=False)
+        e = pc.cast(batch[right_end], pa.int64()).to_numpy(zero_copy_only=False)
+        rid = pc.cast(batch[right_id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        b0 = s // bucket_ms
+        b1 = e // bucket_ms
+        reps = (b1 - b0 + 1).astype(np.int64)
+        row = np.repeat(np.arange(len(s), dtype=np.int64), reps)
+        within = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(reps) - reps, reps
+        )
+        bucket = b0[row] + within
+        cols = {c: pa.nulls(len(row), t) for c, t in zip(left_schema_names, left_schema_types)}
+        cols["_shard"] = pa.array(_shard(keys[row]))
+        cols["_bucket"] = pa.array(bucket)
+        cols["_r_start"] = pa.array(s[row])
+        cols["_r_end"] = pa.array(e[row])
+        cols["_r_id"] = pa.array(rid[row])
+        cols[key_col] = pa.array(keys[row])  # overwrite null with the key
+        return pa.table(cols)
+
+    lschema = left_ds.schema()
+    left_schema_names = list(lschema.names)
+    left_schema_types = list(lschema.types)
+
+    def per_group(group: pa.Table) -> pa.Table:
+        is_right = pc.is_valid(group["_r_id"]).to_numpy(zero_copy_only=False)
+        lt = group.filter(pa.array(~is_right))
+        rt = group.filter(pa.array(is_right))
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            out = lt.slice(0, 0).select(left_cols)
+            return out.append_column(right_id_col + "_right", pa.array([], pa.int64()))
+        lkey = pc.cast(lt[key_col], pa.int64()).to_numpy(zero_copy_only=False)
+        lts = pc.cast(lt[left_ts], pa.int64()).to_numpy(zero_copy_only=False)
+        lorder = np.lexsort((lts, lkey))
+        lkey_s, lts_s = lkey[lorder], lts[lorder]
+        rkey = pc.cast(rt[key_col], pa.int64()).to_numpy(zero_copy_only=False)
+        rs = rt["_r_start"].to_numpy(zero_copy_only=False).astype(np.int64)
+        re_ = rt["_r_end"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rid = rt["_r_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # key segment bounds for each interval, then the ts slice inside it
+        k_lo = np.searchsorted(lkey_s, rkey, side="left")
+        k_hi = np.searchsorted(lkey_s, rkey, side="right")
+        take_idx, out_rid = [], []
+        for i in range(len(rkey)):
+            a = k_lo[i] + np.searchsorted(lts_s[k_lo[i] : k_hi[i]], rs[i], side="left")
+            b = k_lo[i] + np.searchsorted(lts_s[k_lo[i] : k_hi[i]], re_[i], side="right")
+            if b > a:
+                take_idx.append(lorder[a:b])
+                out_rid.append(np.full(b - a, rid[i], dtype=np.int64))
+        if not take_idx:
+            out = lt.slice(0, 0).select(left_cols)
+            return out.append_column(right_id_col + "_right", pa.array([], pa.int64()))
+        out = lt.take(pa.array(np.concatenate(take_idx))).select(left_cols)
+        return out.append_column(
+            right_id_col + "_right", pa.array(np.concatenate(out_rid))
+        )
+
+    lefts = left_ds.map_batches(norm_left, batch_format="pyarrow")
+    rights = right_ds.map_batches(explode_right, batch_format="pyarrow")
+    return (
+        lefts.union(rights)
+        .groupby(["_shard", "_bucket"])
+        .map_groups(per_group, batch_format="pyarrow")
+    )
+
+
 def asof_join(
     left_ds,
     right_ds,

@@ -39,6 +39,17 @@ def test_exact_dedup(docs_ds):
     assert set(out["doc_id"]) == {0, 2, 3, 4, 5}
 
 
+def test_exact_dedup_rows(docs_ds, docs_table):
+    from prom_tsdb_copyer_ray.stages.dedup import exact_dedup_rows
+
+    out = exact_dedup_rows(docs_ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out["doc_id"]) == [0, 2, 3, 4, 5]  # id 1 (exact dup of 0) dropped
+    # full rows survive with their payload intact
+    texts = {r["doc_id"]: r["text"] for _, r in out.iterrows()}
+    want = {i: t for i, t in enumerate(docs_table["text"].to_pylist()) if i != 1}
+    assert texts == want
+
+
 def test_minhash_lsh_finds_near_dups(docs_ds):
     from prom_tsdb_copyer_ray.stages.dedup import minhash_lsh_pairs
 

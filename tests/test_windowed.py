@@ -62,3 +62,51 @@ def test_asof_join(ray_session):
     assert out["event_id"].tolist() == [10, 11, 20]
     assert out["_r_ts"].tolist() == [100, 200, 400]  # ties: ts<=ts matches
     np.testing.assert_allclose(out["value_right"].tolist(), [1.5, 2.5, 9.0])
+
+
+def test_range_join_matches_bruteforce(ray_session):
+    """range_join == nested-loop interval join on a synthetic corpus with
+    multi-match, boundary-inclusive, bucket-spanning and no-match cases."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.windowed import range_join
+
+    rng = np.random.RandomState(5)
+    n_l, n_r = 500, 60
+    BUCKET = 3_600_000
+    lkey = rng.randint(0, 12, n_l).astype(np.int64)
+    lts = rng.randint(0, 24 * BUCKET, n_l).astype(np.int64)
+    left = pa.table({"user_id": pa.array(lkey), "event_id": pa.array(np.arange(n_l)),
+                     "ts_ms": pa.array(lts)})
+    rkey = rng.randint(0, 12, n_r).astype(np.int64)
+    rs = rng.randint(0, 24 * BUCKET, n_r).astype(np.int64)
+    # interval lengths from zero to multi-bucket
+    re_ = rs + rng.randint(0, 3 * BUCKET, n_r)
+    right = pa.table({"user_id": pa.array(rkey), "s": pa.array(rs), "e": pa.array(re_),
+                      "iid": pa.array(np.arange(n_r))})
+    # force exact boundary matches
+    lts[0] = rs[0]; lkey[0] = rkey[0]
+    lts[1] = re_[1]; lkey[1] = rkey[1]
+    left = pa.table({"user_id": pa.array(lkey), "event_id": pa.array(np.arange(n_l)),
+                     "ts_ms": pa.array(lts)})
+
+    got = range_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        key_col="user_id", left_ts="ts_ms", right_start="s", right_end="e",
+        right_id_col="iid", bucket_ms=BUCKET,
+    ).to_pandas()
+
+    want_rows = []
+    for i in range(n_l):
+        for j in range(n_r):
+            if lkey[i] == rkey[j] and rs[j] <= lts[i] <= re_[j]:
+                want_rows.append((int(lkey[i]), i, int(lts[i]), j))
+    want = pd.DataFrame(want_rows, columns=["user_id", "event_id", "ts_ms", "iid_right"])
+    key = ["user_id", "event_id", "iid_right"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(w) > 50
+    pd.testing.assert_frame_equal(g[sorted(g.columns)], w[sorted(w.columns)], check_dtype=False)
