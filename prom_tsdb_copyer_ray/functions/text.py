@@ -163,6 +163,26 @@ def token_count(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pc.cast(pc.if_else(empty, pa.scalar(0, pa.int32()), n), pa.int64())
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to RE2 syntax (no lookahead,
+# no whitespace branch — unmatched whitespace is simply skipped by the
+# scanner) so pyarrow (RE2) and DuckDB (RE2) count IDENTICALLY: contraction
+# suffixes, a letter-run with optional leading space, a digit-run, a
+# punctuation-run.
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """BPE-ish (GPT-2 pre-tokenizer) token count per string, vectorized.
+
+    Non-overlapping matches of :data:`BPE_TOKEN_PATTERN`; the DuckDB oracle
+    uses ``len(regexp_extract_all(text, pat))`` with the SAME pattern —
+    both engines are RE2, so counts agree exactly.  ("BPE-ish": the
+    pre-tokenizer split, not an actual merge-table vocabulary.)
+    """
+    s = pc.fill_null(pc.cast(texts, pa.string()), "")
+    return pc.cast(pc.count_substring_regex(s, BPE_TOKEN_PATTERN), pa.int64())
+
+
 def count_regex(texts: pa.ChunkedArray | pa.Array, pattern: str) -> pa.Array:
     """Count regex matches per string (vectorized)."""
     return pc.cast(pc.count_substring_regex(pc.cast(texts, pa.string()), pattern), pa.int64())

@@ -464,6 +464,21 @@ def q_token_count(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def q_token_bpe(sf_dir: str):
+    """BPE-ish (GPT-2 pre-tokenizer regex) token count per doc — vectorized
+    RE2 kernel, identical pattern on the DuckDB side."""
+    from ..functions.text import bpe_token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_bpe_tokens": bpe_token_count(batch["text"])}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def q_quality(sf_dir: str):
     """Quality-scoring raw counts per doc (integer, SQL-mirrorable)."""
     from ..functions.text import quality_counts
@@ -933,6 +948,7 @@ QUERIES = {
     "sample_mod10": q_sample_mod10,
     "docs_stats": q_docs_stats,
     "token_count": q_token_count,
+    "token_bpe": q_token_bpe,
     "quality": q_quality,
     "exact_dedup": q_exact_dedup,
     "dedup_rows": q_dedup_rows,
@@ -1045,6 +1061,13 @@ ORACLE_SQL = {
                          trim(text, ' ' || chr(9) || chr(13) || chr(10)),
                          '[ \t\r\n]+'))
                END AS n_tokens
+        FROM documents
+    """,
+    "token_bpe": r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))
+                 AS n_bpe_tokens
         FROM documents
     """,
     "quality": r"""

@@ -90,7 +90,7 @@ def test_oracle_keys_subset(entry_mod):
         "filter_matchers", "relabel_merge", "time_filter", "dedup_first",
         "gapfill_5m", "window_align", "retention", "pricing_summary",
         "top_sources", "distinct_pairs", "sample_mod10", "docs_stats",
-        "token_count", "quality", "exact_dedup", "dedup_rows", "ann_topk", "cosine_pairs_exact",
+        "token_count", "token_bpe", "quality", "exact_dedup", "dedup_rows", "ann_topk", "cosine_pairs_exact",
         "union_merge", "sliding_1h", "asof_join", "range_join", "hist_5m",
         "pages_rollup_5m", "pages_rollup_1h",
         # fixture-join oracles (tests/fixtures/gen_oracle_fixtures.py)

@@ -245,3 +245,19 @@ def test_poly_hash_windows_uint64_values():
 def test_popcount64_matches_python():
     xs = np.array([0, 1, 3, 2**64 - 1, 0x8000000000000000, 12345678901234567], dtype=np.uint64)
     assert list(popcount64(xs)) == [bin(int(x)).count("1") for x in xs]
+
+
+def test_bpe_token_count():
+    from prom_tsdb_copyer_ray.functions.text import bpe_token_count
+
+    texts = pa.array([
+        "hello world",          # 2
+        "it's done",            # it / 's / done = 3
+        "a1b2",                 # a / 1 / b / 2 = 4
+        "hi, there!",           # hi / , / there / ! = 4
+        "",                     # 0
+        "   ",                  # 0
+        "中文 text",             # 中文 / text = 2
+        None,                   # null -> 0
+    ])
+    assert bpe_token_count(texts).to_pylist() == [2, 3, 4, 4, 0, 0, 2, 0]
