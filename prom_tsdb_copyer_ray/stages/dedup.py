@@ -171,6 +171,72 @@ class MinHashSignatures:
         )
 
 
+def _pair_fanin() -> int:
+    """Shuffle fan-in for band/pair rows: ``max(8, CPUs // 2)``.
+
+    These rows are ~16-24 bytes each, so partitions stay small even with
+    few of them, and Ray's sort exchange is (blocks x partitions) tasks —
+    at 2 blocks/CPU a 32-cpu node pays 64x64 = 4096 ~1.5 ms exchange tasks
+    to move a few MB.  Half-a-partition-per-CPU keeps the exchange linear
+    while still scaling with cluster size (``cluster_resources`` counts all
+    nodes)."""
+    try:
+        import ray
+
+        n = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        n = 8
+    return max(8, n // 2)
+
+
+def dedup_pairs_sharded(pairs, num_shards: int = 64, value_col: str | None = None,
+                        reduce: str = "max"):
+    """Distinct (a, b) pairs — hash-shard then ONE vectorized lexsort/unique
+    per shard, optionally keeping the max/min ``value_col`` per pair.
+
+    Replaces ``groupby(["a", "b"]).aggregate(...)``: Ray's hash aggregate
+    pays Python-level per-key cost, and LSH candidate sets run to ~40+ pairs
+    per doc on templated corpora (209k pairs at sf0.1) — the aggregate was
+    5x the cost of the whole signature+bucket pipeline.  Here the shuffle
+    moves the same (a, b) rows but the dedup is a segment mask after one
+    lexsort per shard."""
+
+    def add_pshard(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy().astype(np.uint64)
+        b = batch["b"].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            mix = _mix64(a * np.uint64(0x9E3779B97F4A7C15) ^ b)
+        return batch.append_column(
+            "_pshard", pa.array((mix % np.uint64(num_shards)).astype(np.int64))
+        )
+
+    def uniq(group: pa.Table) -> pa.Table:
+        a = group["a"].to_numpy().astype(np.int64, copy=False)
+        b = group["b"].to_numpy().astype(np.int64, copy=False)
+        if value_col is None:
+            order = np.lexsort((b, a))
+        else:
+            v = group[value_col].to_numpy().astype(np.float64, copy=False)
+            order = np.lexsort((-v if reduce == "max" else v, b, a))
+        a_s, b_s = a[order], b[order]
+        first = np.ones(len(a_s), dtype=bool)
+        first[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+        cols = {"a": pa.array(a_s[first]), "b": pa.array(b_s[first])}
+        if value_col is not None:
+            cols[value_col] = pa.array(
+                group[value_col].to_numpy(zero_copy_only=False)[order][first],
+                pa.float64(),
+            )
+        return pa.table(cols)
+
+    return (
+        pairs.map_batches(add_pshard, batch_format="pyarrow")
+        .repartition(_pair_fanin())
+        .groupby("_pshard")
+        .map_groups(uniq, batch_format="pyarrow")
+    )
+
+
 def _mix64(x: np.ndarray) -> np.ndarray:
     """splitmix-style avalanche for int shard keys (uint64 in/out)."""
     with np.errstate(over="ignore"):
@@ -248,13 +314,12 @@ def minhash_lsh_pairs(ds, num_perm: int = 128, num_bands: int = 32, ngram: int =
 
     pairs = (
         band_rows.map_batches(add_bshard, batch_format="pyarrow")
+        .repartition(_pair_fanin())
         .groupby("_bshard")
         .map_groups(shard_pairs, batch_format="pyarrow")
     )
     # distinct pairs (a pair can surface in several bands)
-    from ray.data.aggregate import Count
-
-    return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands")).select_columns(["a", "b"])
+    return dedup_pairs_sharded(pairs, num_shards)
 
 
 def verify_pairs_jaccard(pairs_table: pa.Table, texts_by_id: dict[int, str],
@@ -300,11 +365,11 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.8, ngram: int = 5,
        (:func:`minhash_lsh_pairs`) — the wide shuffle moves (band_hash, id)
        pairs, never text-sized payloads.
     2. **Exact verify**: shingle-hash arrays are computed ONCE per involved
-       doc (involved ids broadcast via ``ray.put`` — ints only, bounded by
-       LSH selectivity) and co-partitioned with the pair rows by a hash
-       shard of the join key (tag-union, like stages/windowed.asof_join),
-       so each doc's shingles cross the wire once per side, not once per
-       band.  Verification is vectorized per shard.
+       doc and routed in a SINGLE shuffle straight to the pair shards that
+       need them — a driver-built CSR map (doc -> shards of its candidate
+       pairs, ints only, broadcast via ``ray.put``) replaces the former
+       tag-union attach stage, so each payload crosses the wire once per
+       distinct (doc, shard), never once per pair side.
 
     Scale note: the driver holds only the distinct candidate ids (int64);
     everything text-sized stays in tasks.  At 100 TB the candidate set is
@@ -322,125 +387,123 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.8, ngram: int = 5,
     if cand.count() == 0:
         return ray.data.from_arrow(pa.table(_EMPTY_PAIRS))
 
-    involved = set()
-    for batch in cand.iter_batches(batch_format="pyarrow", batch_size=65536):
-        involved.update(batch["a"].to_pylist())
-        involved.update(batch["b"].to_pylist())
-    ids_ref = ray.put(np.array(sorted(involved), dtype=np.int64))
+    # Driver-side routing map: each pair lives in ONE shard
+    # (mix(a,b) % num_shards); a doc's shingle payload must reach exactly
+    # the shards holding its pairs.  CSR layout (sorted ids, offsets, flat
+    # shard list) broadcast once via ray.put — ints only, bounded by the
+    # LSH candidate count (the same bound as the old two-shuffle design,
+    # which shipped every payload across the wire TWICE: attach shuffle,
+    # then pair-shard shuffle).
+    _P = np.uint64(1000003)
 
-    def shard_of_ids(ids: np.ndarray) -> np.ndarray:
-        # cheap deterministic int shard (splitmix-style multiply-xor)
-        x = ids.astype(np.uint64)
+    def pair_shards(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         with np.errstate(over="ignore"):
-            x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
-            x ^= x >> np.uint64(33)
-        return (x % np.uint64(num_shards)).astype(np.int64)
+            mix = a.astype(np.uint64) * _P + b.astype(np.uint64)
+        return (mix % np.uint64(num_shards)).astype(np.int64)
 
-    # shingle rows for involved docs only: (_shard, key, payload)
+    routing: dict[int, set] = {}
+    for batch in cand.iter_batches(batch_format="pyarrow", batch_size=65536):
+        a_np = batch["a"].to_numpy().astype(np.int64, copy=False)
+        b_np = batch["b"].to_numpy().astype(np.int64, copy=False)
+        ps = pair_shards(a_np, b_np)
+        for d, s in zip(a_np.tolist(), ps.tolist()):
+            routing.setdefault(d, set()).add(s)
+        for d, s in zip(b_np.tolist(), ps.tolist()):
+            routing.setdefault(d, set()).add(s)
+    ids_sorted = np.array(sorted(routing), dtype=np.int64)
+    offs = np.zeros(len(ids_sorted) + 1, dtype=np.int64)
+    flat: list[int] = []
+    for i, d in enumerate(ids_sorted.tolist()):
+        sh = sorted(routing[d])
+        flat.extend(sh)
+        offs[i + 1] = offs[i] + len(sh)
+    route_ref = ray.put((ids_sorted, offs, np.array(flat, dtype=np.int64)))
+
+    # shingle rows: payload computed ONCE per involved doc, replicated only
+    # into the shards that need it (CSR expansion, vectorized)
     def shingle_rows(batch: pa.Table) -> pa.Table:
-        ids_sorted = ray.get(ids_ref)
+        ids_s, off, fl = ray.get(route_ref)
         did = batch[id_col].to_numpy().astype(np.int64, copy=False)
-        pos = np.searchsorted(ids_sorted, did)
-        pos[pos >= len(ids_sorted)] = 0
-        mask = ids_sorted[pos] == did if len(ids_sorted) else np.zeros(len(did), bool)
+        pos = np.searchsorted(ids_s, did)
+        pos[pos >= len(ids_s)] = 0
+        mask = ids_s[pos] == did if len(ids_s) else np.zeros(len(did), bool)
         sel = batch.filter(pa.array(mask))
         sid = sel[id_col].to_numpy().astype(np.int64, copy=False)
-        payloads = [
-            char_ngram_hashes(t or "", ngram).view(np.int64).tobytes()
-            for t in sel[text_col].to_pylist()
-        ]
+        spos = np.searchsorted(ids_s, sid)
+        reps = off[spos + 1] - off[spos]
+        row = np.repeat(np.arange(len(sid), dtype=np.int64), reps)
+        within = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(reps) - reps, reps
+        )
+        shards = fl[off[spos][row] + within]
+        payloads = pa.array(
+            [
+                char_ngram_hashes(t or "", ngram).view(np.int64).tobytes()
+                for t in sel[text_col].to_pylist()
+            ],
+            pa.binary(),
+        )
         return pa.table(
             {
-                "_shard": pa.array(shard_of_ids(sid)),
-                "key": pa.array(sid),
-                "a": pa.nulls(len(sid), pa.int64()),
-                "b": pa.nulls(len(sid), pa.int64()),
-                "payload": pa.array(payloads, pa.binary()),
+                "_pshard": pa.array(shards),
+                "key": pa.array(sid[row]),
+                "a": pa.nulls(len(row), pa.int64()),
+                "b": pa.nulls(len(row), pa.int64()),
+                "payload": payloads.take(pa.array(row)),
             }
         )
 
-    # pair-side rows: one per (pair, side), keyed by that side's doc id
-    def pair_side_rows(batch: pa.Table) -> pa.Table:
-        a = batch["a"].to_numpy().astype(np.int64, copy=False)
-        b = batch["b"].to_numpy().astype(np.int64, copy=False)
-        key = np.concatenate([a, b])
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        a_np = batch["a"].to_numpy().astype(np.int64, copy=False)
+        b_np = batch["b"].to_numpy().astype(np.int64, copy=False)
         return pa.table(
             {
-                "_shard": pa.array(shard_of_ids(key)),
-                "key": pa.array(key),
-                "a": pa.array(np.concatenate([a, a])),
-                "b": pa.array(np.concatenate([b, b])),
-                "payload": pa.nulls(len(key), pa.binary()),
+                "_pshard": pa.array(pair_shards(a_np, b_np)),
+                "key": pa.nulls(len(a_np), pa.int64()),
+                "a": pa.array(a_np),
+                "b": pa.array(b_np),
+                "payload": pa.nulls(len(a_np), pa.binary()),
             }
         )
 
     sh_rows = ds.map_batches(shingle_rows, batch_format="pyarrow")
-    pr_rows = cand.map_batches(pair_side_rows, batch_format="pyarrow")
-
-    def attach(group: pa.Table) -> pa.Table:
-        """One shard: give each pair-side row its doc's shingle payload."""
-        is_sh = pc.is_valid(group["payload"]).to_numpy(zero_copy_only=False)
-        keys = group["key"].to_numpy().astype(np.int64, copy=False)
-        sh_keys = keys[is_sh]
-        order = np.argsort(sh_keys, kind="stable")
-        sh_keys = sh_keys[order]
-        sh_payloads = group["payload"].filter(pa.array(is_sh)).take(pa.array(order))
-        pr = group.filter(pa.array(~is_sh))
-        pk = keys[~is_sh]
-        pos = np.searchsorted(sh_keys, pk)
-        pos[pos >= len(sh_keys)] = 0
-        ok = sh_keys[pos] == pk if len(sh_keys) else np.zeros(len(pk), bool)
-        pr = pr.filter(pa.array(ok))
-        return pa.table(
-            {
-                "a": pr["a"],
-                "b": pr["b"],
-                "key": pr["key"],
-                "payload": sh_payloads.take(pa.array(pos[ok])),
-            }
-        )
-
-    attached = (
-        sh_rows.union(pr_rows)
-        .groupby("_shard")
-        .map_groups(attach, batch_format="pyarrow")
-    )
-
-    def add_pair_shard(batch: pa.Table) -> pa.Table:
-        a = batch["a"].to_numpy().astype(np.int64, copy=False)
-        b = batch["b"].to_numpy().astype(np.int64, copy=False)
-        with np.errstate(over="ignore"):
-            mix = a.astype(np.uint64) * np.uint64(1000003) + b.astype(np.uint64)
-        return batch.append_column(
-            "_pshard", pa.array((mix % np.uint64(num_shards)).astype(np.int64))
-        )
+    pr_rows = cand.map_batches(pair_rows, batch_format="pyarrow")
 
     def verify(group: pa.Table) -> pa.Table:
-        """One pair-shard: both sides of each pair are present; exact
-        Jaccard, keep >= threshold."""
+        """One pair-shard: payloads for both docs of every pair are present;
+        exact Jaccard, keep >= threshold."""
         if group.num_rows == 0:
             return pa.table(_EMPTY_PAIRS)
-        a = group["a"].to_numpy().astype(np.int64, copy=False)
-        b = group["b"].to_numpy().astype(np.int64, copy=False)
-        key = group["key"].to_numpy().astype(np.int64, copy=False)
-        side = (key == b).astype(np.int8)  # 0 = a-side, 1 = b-side
-        order = np.lexsort((side, b, a))
-        a, b, side = a[order], b[order], side[order]
-        payload = group["payload"].take(pa.array(order))
+        is_sh = pc.is_valid(group["payload"]).to_numpy(zero_copy_only=False)
+        keys = group["key"].to_numpy(zero_copy_only=False)[is_sh].astype(np.int64)
+        order = np.argsort(keys, kind="stable")
+        keys_s = keys[order]
+        payload_col = group["payload"].filter(pa.array(is_sh)).take(pa.array(order))
+        payloads = [
+            np.frombuffer(p, dtype=np.int64).view(np.uint64)
+            for p in payload_col.to_pylist()
+        ]
+        pr = group.filter(pa.array(~is_sh))
+        a = pr["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = pr["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+        def locate(x: np.ndarray) -> np.ndarray:
+            pos = np.searchsorted(keys_s, x)
+            pos[pos >= len(keys_s)] = 0
+            ok = keys_s[pos] == x if len(keys_s) else np.zeros(len(x), bool)
+            pos[~ok] = -1
+            return pos
+
+        pos_a, pos_b = locate(a), locate(b)
         keep_a, keep_b, sims = [], [], []
-        i = 0
-        while i + 1 < len(a):
-            if a[i] == a[i + 1] and b[i] == b[i + 1] and side[i] == 0 and side[i + 1] == 1:
-                sa = np.frombuffer(payload[i].as_py(), dtype=np.int64).view(np.uint64)
-                sb = np.frombuffer(payload[i + 1].as_py(), dtype=np.int64).view(np.uint64)
-                sim = jaccard(sa, sb)
-                if sim >= threshold:
-                    keep_a.append(int(a[i]))
-                    keep_b.append(int(b[i]))
-                    sims.append(sim)
-                i += 2
-            else:  # partner dropped (shouldn't happen); skip defensively
-                i += 1
+        for i in range(len(a)):
+            if pos_a[i] < 0 or pos_b[i] < 0:  # doc missing (shouldn't happen)
+                continue
+            sim = jaccard(payloads[pos_a[i]], payloads[pos_b[i]])
+            if sim >= threshold:
+                keep_a.append(int(a[i]))
+                keep_b.append(int(b[i]))
+                sims.append(sim)
         return pa.table(
             {
                 "a": pa.array(keep_a, pa.int64()),
@@ -450,7 +513,8 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.8, ngram: int = 5,
         )
 
     return (
-        attached.map_batches(add_pair_shard, batch_format="pyarrow")
+        sh_rows.union(pr_rows)
+        .repartition(_pair_fanin())
         .groupby("_pshard")
         .map_groups(verify, batch_format="pyarrow")
     )
@@ -533,6 +597,7 @@ def simhash_dedup(ds, prefix_bits: int = 16, max_hamming: int = 3,
 
     return (
         hashed.map_batches(add_shard, batch_format="pyarrow")
+        .repartition(_pair_fanin())
         .groupby("_sshard")
         .map_groups(shard_pairs, batch_format="pyarrow")
     )
@@ -672,11 +737,9 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
             }
         )
 
-    from ray.data.aggregate import Max
-
     pairs = (
         ds.map_batches(add_buckets, batch_format="pyarrow")
         .groupby(["table", "bucket"])
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
-    return pairs.groupby(["a", "b"]).aggregate(Max("cosine", alias_name="cosine"))
+    return dedup_pairs_sharded(pairs, value_col="cosine", reduce="max")
