@@ -930,6 +930,73 @@ def q_pages_tiers_chunks(sf_dir: str):
     return t
 
 
+# ---------------------------------------------------------------------------
+# keyed/graph/vocab operators (stages/keyed.py, stages/graph.py)
+# ---------------------------------------------------------------------------
+
+TOPK_K = 3
+SESSION_GAP_MS = MS_1D
+
+
+def q_topk_events(sf_dir: str):
+    """Top-3 events by value per event_type (stages/keyed.topk_per_group):
+    per-batch combiner keeps k rows per (key, batch), shard groupby final."""
+    from ..stages.keyed import topk_per_group
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    out = topk_per_group(ds, ["event_type"], "value", TOPK_K, tiebreak_col="event_id")
+    return _finalize(out, {}, {"value": 4})
+
+
+def q_sessions(sf_dir: str):
+    """Gap-based sessionization per user (stages/keyed.sessionize): a new
+    session starts after a >1 day silence; one aggregate row per session."""
+    from ..stages.keyed import sessionize
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": b["user_id"], "ts_ms": ts_to_ms(b["ts"]), "value": b["value"]}
+        )
+
+    out = sessionize(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "user_id", "ts_ms", SESSION_GAP_MS, value_col="value",
+    )
+    return _finalize(out, {}, {"sum_value": 4})
+
+
+def q_value_quantiles(sf_dir: str):
+    """Exact p50/p90/p99 of value per event_type (stages/keyed.group_quantiles),
+    DuckDB quantile_disc semantics (sorted[ceil(q*n)-1])."""
+    from ..stages.keyed import group_quantiles
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return group_quantiles(ds, ["event_type"], "value", (0.5, 0.9, 0.99))
+
+
+def q_dup_clusters(sf_dir: str):
+    """Duplicate-cluster resolution: same-(lang, n_chars) and
+    same-(source, n_chars) star edges, then distributed connected
+    components (stages/graph.py hash-min label propagation).  Component id
+    = min doc_id in the cluster — the doc a dedup pass would keep."""
+    from ..stages.graph import connected_components, group_star_edges
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+    e1 = group_star_edges(docs, ["lang", "n_chars"])
+    e2 = group_star_edges(docs, ["source", "n_chars"])
+    return connected_components(e1.union(e2), docs, node_col="doc_id")
+
+
+def q_term_df(sf_dir: str):
+    """Top-100 vocabulary terms by document frequency
+    (stages/textstats.term_document_frequency)."""
+    from ..stages.textstats import term_document_frequency
+
+    return term_document_frequency(_read(sf_dir, "documents", ["text"]), top_n=100)
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -961,6 +1028,11 @@ QUERIES = {
     "range_join": q_range_join,
     "pages_rollup_5m": q_pages_rollup_5m,
     "pages_rollup_1h": q_pages_rollup_1h,
+    "topk_events": q_topk_events,
+    "sessions": q_sessions,
+    "value_quantiles": q_value_quantiles,
+    "dup_clusters": q_dup_clusters,
+    "term_df": q_term_df,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -1089,6 +1161,59 @@ ORACLE_SQL = {
     "dedup_rows": """
         SELECT doc_id, lang, source, n_chars FROM documents
         WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+    """,
+    "topk_events": f"""
+        SELECT event_type, event_id, round(value, 4) AS value FROM (
+          SELECT event_type, event_id, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value DESC, event_id) AS rn
+          FROM events) WHERE rn <= {TOPK_K}
+    """,
+    "sessions": f"""
+        WITH x AS (SELECT user_id, epoch_ms(ts) AS ms, value FROM events),
+        y AS (SELECT user_id, ms, value,
+                     CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms)
+                          > {SESSION_GAP_MS} THEN 1 ELSE 0 END AS brk
+              FROM x),
+        s AS (SELECT user_id, ms, value,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM y)
+        SELECT user_id, min(ms) AS session_start_ms, max(ms) AS session_end_ms,
+               count(*) AS n_events, round(sum(value), 4) AS sum_value
+        FROM s GROUP BY user_id, sid
+    """,
+    "value_quantiles": """
+        SELECT event_type,
+               quantile_disc(value, 0.5) AS p50,
+               quantile_disc(value, 0.9) AS p90,
+               quantile_disc(value, 0.99) AS p99
+        FROM events GROUP BY 1
+    """,
+    "dup_clusters": """
+        WITH RECURSIVE
+        e1 AS (SELECT min(doc_id) OVER (PARTITION BY lang, n_chars) AS a,
+                      doc_id AS b FROM documents),
+        e2 AS (SELECT min(doc_id) OVER (PARTITION BY source, n_chars) AS a,
+                      doc_id AS b FROM documents),
+        ed AS (SELECT a, b FROM e1 WHERE a <> b
+               UNION SELECT a, b FROM e2 WHERE a <> b),
+        bi AS (SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed),
+        reach(node, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT bi.b, reach.r FROM reach JOIN bi ON bi.a = reach.node
+        )
+        SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node
+    """,
+    "term_df": """
+        SELECT term, df FROM (
+          SELECT lower(term) AS term, count(DISTINCT doc_id) AS df
+          FROM (SELECT doc_id,
+                       unnest(regexp_extract_all(text, '[A-Za-z]+')) AS term
+                FROM documents)
+          GROUP BY 1)
+        ORDER BY df DESC, term LIMIT 100
     """,
     "ann_topk": f"""
         WITH q AS (SELECT vec_id AS query_idx, embedding AS qe FROM embeddings

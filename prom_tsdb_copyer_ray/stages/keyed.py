@@ -1,0 +1,212 @@
+"""Sharded per-key kernels: top-k per group, sessionization, group quantiles.
+
+Three more operators Ray Data lacks natively, all built on the same scale
+shape (the one that killed the tiny-group ``map_groups`` overhead in the LSH
+stages): partial work inside ``map_batches`` where semantics allow, then ONE
+groupby over a *hash shard* of the key — never the raw key — so a single
+vectorized task covers thousands of keys via segment boundaries after one
+sort, and group count stays O(shards) regardless of key cardinality.
+
+* :func:`topk_per_group` — top-k rows per key by a value column.  The
+  per-batch partial top-k is a true combiner: only ``k`` rows per (key,
+  batch) ever reach the shuffle.
+* :func:`sessionize` — gap-based sessions per key (split where the time
+  since the previous event exceeds ``gap_ms``), aggregated to one row per
+  session.  Partitioning assumption (documented per the brief): one key's
+  full event history fits in one shard group — keys are users, not the
+  whole corpus.
+* :func:`group_quantiles` — exact per-key quantiles with DuckDB
+  ``quantile_disc`` semantics (``sorted[ceil(q*n)-1]``).  Continuous values
+  cannot be combined per batch, so the shuffle moves (key, value) pairs —
+  the honest cost of an *exact* quantile; at extreme scale callers should
+  bin values first and accept approximation.
+
+Determinism: every kernel sorts with explicit tiebreaks; outputs are pure
+functions of the input multiset.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import poly_hash_column
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        x = x.astype(np.uint64)
+        x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        x ^= x >> np.uint64(33)
+    return x
+
+
+def _key_shard(table: pa.Table, key_cols: list[str], num_shards: int) -> pa.Array:
+    """Deterministic hash shard over one or more key columns (string or int)."""
+    h = np.zeros(table.num_rows, dtype=np.uint64)
+    for c in key_cols:
+        col = table[c]
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            ch = poly_hash_column(col, fold63=False)
+        else:
+            ch = _mix64(pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False))
+        with np.errstate(over="ignore"):
+            h = _mix64(h * np.uint64(0x9E3779B97F4A7C15) ^ ch)
+    return pa.array((h % np.uint64(num_shards)).astype(np.int64))
+
+
+def _segment_starts(t: pa.Table, key_cols: list[str]) -> np.ndarray:
+    """Boolean new-segment mask over a table already sorted by key_cols."""
+    n = t.num_rows
+    new = np.zeros(n, dtype=bool)
+    if n == 0:
+        return new
+    new[0] = True
+    for c in key_cols:
+        col = t[c]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        neq = pc.not_equal(col.slice(1), col.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        new[1:] |= neq
+    return new
+
+
+def _topk_kernel(table: pa.Table, key_cols: list[str], value_col: str, k: int,
+                 tiebreak_col: str | None, descending: bool) -> pa.Table:
+    if table.num_rows == 0:
+        return table
+    order = [(c, "ascending") for c in key_cols]
+    order.append((value_col, "descending" if descending else "ascending"))
+    if tiebreak_col is not None:
+        order.append((tiebreak_col, "ascending"))
+    t = table.sort_by(order)
+    new = _segment_starts(t, key_cols)
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.r_[starts, t.num_rows])
+    rank = np.arange(t.num_rows, dtype=np.int64) - np.repeat(starts, sizes)
+    return t.filter(pa.array(rank < k))
+
+
+def topk_per_group(ds, key_cols: list[str], value_col: str, k: int,
+                   tiebreak_col: str | None = None, descending: bool = True,
+                   num_shards: int = 64):
+    """Top-k rows per key: per-batch combiner, then one shard groupby.
+
+    Ties are broken by ``tiebreak_col`` ascending (pass the row's unique id
+    for a fully deterministic result).  The combiner bounds shuffle volume
+    at k rows per (key, batch) — at 100 TB the exchange moves winners, not
+    the dataset."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = _topk_kernel(batch, key_cols, value_col, k, tiebreak_col, descending)
+        return out.append_column("_kshard", _key_shard(out, key_cols, num_shards))
+
+    def final(group: pa.Table) -> pa.Table:
+        return _topk_kernel(
+            group.drop_columns("_kshard"), key_cols, value_col, k, tiebreak_col,
+            descending,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_kshard")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def sessionize(ds, key_col: str, ts_col: str, gap_ms: int,
+               value_col: str | None = None, num_shards: int = 64):
+    """Gap-based sessions per key -> one aggregate row per session.
+
+    A new session starts when the gap since the key's previous event
+    exceeds ``gap_ms``.  Output columns: key, ``session_start_ms``,
+    ``session_end_ms``, ``n_events`` (+ ``sum_value`` when ``value_col``).
+    One shuffle of (key, ts[, value]) triples; per-shard work is a lexsort
+    plus ``np.add.reduceat`` over session segments."""
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        cols = {
+            key_col: pc.cast(batch[key_col], pa.int64()),
+            ts_col: pc.cast(batch[ts_col], pa.int64()),
+        }
+        if value_col is not None:
+            cols[value_col] = pc.cast(batch[value_col], pa.float64())
+        t = pa.table(cols)
+        return t.append_column("_kshard", _key_shard(t, [key_col], num_shards))
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            out = {
+                key_col: pa.array([], pa.int64()),
+                "session_start_ms": pa.array([], pa.int64()),
+                "session_end_ms": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+            }
+            if value_col is not None:
+                out["sum_value"] = pa.array([], pa.float64())
+            return pa.table(out)
+        key = group[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ts, key))
+        key_s, ts_s = key[order], ts[order]
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = (key_s[1:] != key_s[:-1]) | (ts_s[1:] - ts_s[:-1] > gap_ms)
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], n]
+        out = {
+            key_col: pa.array(key_s[starts], pa.int64()),
+            "session_start_ms": pa.array(ts_s[starts], pa.int64()),
+            "session_end_ms": pa.array(ts_s[ends - 1], pa.int64()),
+            "n_events": pa.array((ends - starts).astype(np.int64), pa.int64()),
+        }
+        if value_col is not None:
+            v = group[value_col].to_numpy(zero_copy_only=False)[order]
+            out["sum_value"] = pa.array(np.add.reduceat(v, starts), pa.float64())
+        return pa.table(out)
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("_kshard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )
+
+
+def group_quantiles(ds, key_cols: list[str], value_col: str,
+                    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                    num_shards: int = 64):
+    """Exact per-key quantiles, DuckDB ``quantile_disc`` semantics.
+
+    For each key and each q, returns ``sorted_values[ceil(q*n) - 1]``.
+    Output: key cols + one ``p<q*100>`` column per q (e.g. p50, p90, p99).
+    """
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        t = batch.select(list(key_cols) + [value_col])
+        return t.append_column("_kshard", _key_shard(t, key_cols, num_shards))
+
+    qnames = [f"p{q * 100:g}" for q in qs]
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_kshard").sort_by(
+            [(c, "ascending") for c in key_cols] + [(value_col, "ascending")]
+        )
+        new = _segment_starts(t, key_cols)
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.r_[starts, t.num_rows])
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        keys = t.select(key_cols).take(pa.array(starts))
+        out = {c: keys[c] for c in key_cols}
+        for q, name in zip(qs, qnames):
+            idx = starts + np.ceil(q * sizes).astype(np.int64) - 1
+            out[name] = pa.array(v[np.maximum(idx, starts)], pa.float64())
+        return pa.table(out)
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("_kshard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )

@@ -93,6 +93,8 @@ def test_oracle_keys_subset(entry_mod):
         "token_count", "token_bpe", "quality", "exact_dedup", "dedup_rows", "ann_topk", "cosine_pairs_exact",
         "union_merge", "sliding_1h", "asof_join", "range_join", "hist_5m",
         "pages_rollup_5m", "pages_rollup_1h",
+        "topk_events", "sessions", "value_quantiles", "dup_clusters",
+        "term_df",
         # fixture-join oracles (tests/fixtures/gen_oracle_fixtures.py)
         "fingerprint", "simhash", "lang_id", "minhash_pairs",
         "ngram_jaccard_pairs",

@@ -1,0 +1,180 @@
+"""Unit tests for the sharded keyed kernels (top-k / sessions / quantiles),
+connected components, and term document frequency."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_topk_per_group_basic(ray_session):
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.keyed import topk_per_group
+
+    t = pa.table(
+        {
+            "k": ["a"] * 5 + ["b"] * 2 + ["c"],
+            "id": [1, 2, 3, 4, 5, 6, 7, 8],
+            "v": [10.0, 50.0, 30.0, 50.0, 20.0, 1.0, 2.0, 9.0],
+        }
+    )
+    out = (
+        topk_per_group(ray.data.from_arrow(t), ["k"], "v", 2, tiebreak_col="id")
+        .to_pandas()
+        .sort_values(["k", "id"])
+        .reset_index(drop=True)
+    )
+    # a: two rows with v=50 tie -> lower id (2) first, then id=4
+    assert out[out["k"] == "a"]["id"].tolist() == [2, 4]
+    # b has only 2 rows, c only 1 (k larger than group size)
+    assert out[out["k"] == "b"]["id"].tolist() == [6, 7]
+    assert out[out["k"] == "c"]["id"].tolist() == [8]
+
+
+def test_topk_combiner_matches_many_batches(ray_session):
+    """Partial top-k per batch must not change the global result."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.keyed import topk_per_group
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    t = pa.table(
+        {
+            "k": pa.array((rng.integers(0, 37, n)).astype(str)),
+            "id": pa.array(np.arange(n)),
+            "v": pa.array(rng.normal(size=n)),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(13)  # many small blocks
+    out = topk_per_group(ds, ["k"], "v", 3, tiebreak_col="id").to_pandas()
+    df = t.to_pandas()
+    want = (
+        df.sort_values(["k", "v", "id"], ascending=[True, False, True])
+        .groupby("k").head(3)
+    )
+    got = set(map(tuple, out[["k", "id"]].itertuples(index=False)))
+    exp = set(map(tuple, want[["k", "id"]].itertuples(index=False)))
+    assert got == exp
+
+
+def test_sessionize_gaps(ray_session):
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.keyed import sessionize
+
+    t = pa.table(
+        {
+            "u": [1, 1, 1, 1, 2],
+            "ts_ms": [0, 100, 101, 300, 50],
+            "v": [1.0, 2.0, 4.0, 8.0, 16.0],
+        }
+    )
+    out = (
+        sessionize(ray.data.from_arrow(t), "u", "ts_ms", gap_ms=100, value_col="v")
+        .to_pandas()
+        .sort_values(["u", "session_start_ms"])
+        .reset_index(drop=True)
+    )
+    # gap 100 is inclusive (<=): 0->100 stays, 101->300 (199) breaks
+    assert out[out["u"] == 1][["session_start_ms", "session_end_ms", "n_events"]].values.tolist() == [
+        [0, 101, 3],
+        [300, 300, 1],
+    ]
+    assert out[out["u"] == 1]["sum_value"].tolist() == [7.0, 8.0]
+    assert out[out["u"] == 2]["n_events"].tolist() == [1]
+
+
+def test_group_quantiles_matches_numpy(ray_session):
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.keyed import group_quantiles
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    keys = rng.integers(0, 11, n)
+    vals = rng.normal(size=n)
+    t = pa.table({"k": pa.array(keys.astype(str)), "v": pa.array(vals)})
+    out = (
+        group_quantiles(ray.data.from_arrow(t).repartition(7), ["k"], "v",
+                        (0.5, 0.9, 0.99))
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    for kk in np.unique(keys):
+        s = np.sort(vals[keys == kk])
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            want = s[int(np.ceil(q * len(s))) - 1]
+            assert out.loc[str(kk), col] == want
+
+
+def test_connected_components_chain_and_isolated(ray_session):
+    """A chain forces multiple propagation rounds; isolated nodes keep
+    themselves as component."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.graph import connected_components
+
+    edges = pa.table({"a": [1, 2, 3, 10, 20], "b": [2, 3, 4, 11, 21]})
+    nodes = pa.table({"node": [1, 2, 3, 4, 10, 11, 20, 21, 99]})
+    out = (
+        connected_components(
+            ray.data.from_arrow(edges), ray.data.from_arrow(nodes)
+        )
+        .to_pandas()
+        .set_index("node")["component"]
+        .sort_index()
+    )
+    assert out.to_dict() == {
+        1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 99: 99,
+    }
+
+
+def test_connected_components_merges_star_relations(ray_session):
+    """Two star relations sharing a member collapse into one component."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.graph import connected_components, group_star_edges
+
+    docs = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "g1": ["x", "x", "y", "y", "z"],
+            "g2": ["p", "q", "q", "r", "r"],
+        }
+    )
+    ds = ray.data.from_arrow(docs)
+    edges = group_star_edges(ds, ["g1"], id_col="doc_id").union(
+        group_star_edges(ds, ["g2"], id_col="doc_id")
+    )
+    out = (
+        connected_components(edges, ds, node_col="doc_id")
+        .to_pandas()
+        .set_index("doc_id")["component"]
+        .sort_index()
+    )
+    # g1 links 1-2 and 3-4; g2 links 2-3 and 4-5 -> all one component
+    assert out.to_dict() == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_term_df_small(ray_session):
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.textstats import term_document_frequency
+
+    t = pa.table(
+        {
+            "text": [
+                "The cat sat. The CAT!",
+                "a cat and a dog",
+                "Dog DOG dog 42",
+                None,
+            ]
+        }
+    )
+    out = term_document_frequency(ray.data.from_arrow(t), top_n=3).to_pandas()
+    # df: cat=2, dog=2, a=1, and=1, the=1, sat=1 -> top3 by (df desc, term)
+    assert out["term"].tolist() == ["cat", "dog", "a"]
+    assert out["df"].tolist() == [2, 2, 1]
