@@ -572,7 +572,8 @@ def q_embedding_neardup(sf_dir: str):
     from ..stages.dedup import embedding_neardup_pairs
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_neardup_pairs(ds, threshold=0.45, num_planes=4, num_tables=4)
+    out = embedding_neardup_pairs(ds, threshold=0.45, num_planes=4, num_tables=4)
+    return _finalize(out, {}, {"cosine": 6})
 
 
 def q_ivf_topk(sf_dir: str):
@@ -1323,5 +1324,11 @@ ORACLE_SQL.update(
         "lang_id": _fixture_sql("lang_id", "doc_id, pred_lang"),
         "minhash_pairs": _fixture_sql("minhash_pairs", "a, b"),
         "ngram_jaccard_pairs": _fixture_sql("ngram_jaccard", "a, b, jaccard"),
+        "embedding_neardup": (
+            "SELECT a, b, round(cosine, 6) AS cosine FROM read_parquet("
+            f"'{_FIXTURE_DIR}/oracle_embedding_neardup.parquet') WHERE corpus_key = "
+            "(SELECT CAST(SUM(CAST(floor(abs(embedding[1]) * 1000) AS BIGINT)) AS BIGINT) "
+            "FROM embeddings)"
+        ),
     }
 )

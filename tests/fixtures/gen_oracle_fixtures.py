@@ -142,6 +142,53 @@ def lsh_candidate_pairs(ids: list[int], sigs: list[np.ndarray]) -> set[tuple[int
     return pairs
 
 
+# --- embedding near-dup LSH (spec: stages/dedup.embedding_neardup_pairs) ---
+
+EMB_THRESHOLD = 0.45   # what q_embedding_neardup uses
+EMB_PLANES = 4
+EMB_TABLES = 4
+EMB_SEED = 7
+
+
+def embedding_corpus_key(vecs: np.ndarray) -> int:
+    """Order-independent int key over the embeddings table (the two 500-row
+    sf dirs differ only in values, so COUNT(*) cannot key them)."""
+    return int(
+        np.floor(np.abs(vecs[:, 0].astype(np.float64)) * 1000).astype(np.int64).sum()
+    )
+
+
+def embedding_neardup_reference(ids: np.ndarray, vecs: np.ndarray):
+    """From-the-spec multi-table hyperplane LSH + exact cosine verify.
+
+    Buckets at fixture scale are far below the engine's max_bucket=4096, so
+    the median-split path never triggers; the reference is buckets + exact
+    within-bucket cosine + cross-table max-dedup."""
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0] = 1.0
+    unit = vecs / norms[:, None]
+    best: dict[tuple[int, int], float] = {}
+    for t in range(EMB_TABLES):
+        rng = np.random.RandomState((EMB_SEED * 1_000_003 + t) % (2**31))
+        planes = rng.randn(unit.shape[1], EMB_PLANES)
+        signs = (vecs @ planes) > 0
+        bucket = signs @ (np.int64(1) << np.arange(EMB_PLANES, dtype=np.int64))
+        for bk in np.unique(bucket):
+            m = bucket == bk
+            bids = ids[m]
+            order = np.argsort(bids)
+            bids, u = bids[order], unit[m][order]
+            sim = u @ u.T
+            ri, ci = np.nonzero(sim >= EMB_THRESHOLD)
+            keep = ci > ri
+            for i, j in zip(ri[keep], ci[keep]):
+                k = (int(bids[i]), int(bids[j]))
+                s = float(sim[i, j])
+                if s > best.get(k, -2.0):
+                    best[k] = s
+    return best
+
+
 def main() -> None:
     a_perm, b_perm = minhash_perms()
     rows = {
@@ -150,7 +197,20 @@ def main() -> None:
         "lang_id": {"corpus_key": [], "doc_id": [], "pred_lang": []},
         "minhash_pairs": {"corpus_key": [], "a": [], "b": []},
         "ngram_jaccard": {"corpus_key": [], "a": [], "b": [], "jaccard": []},
+        "embedding_neardup": {"corpus_key": [], "a": [], "b": [], "cosine": []},
     }
+    for sf in SF_DIRS:
+        et = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+        evecs = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in et["embedding"].to_pylist()]
+        )
+        eids = et["vec_id"].to_numpy().astype(np.int64)
+        ekey = embedding_corpus_key(evecs)
+        for (x, y), s in sorted(embedding_neardup_reference(eids, evecs).items()):
+            rows["embedding_neardup"]["corpus_key"].append(ekey)
+            rows["embedding_neardup"]["a"].append(x)
+            rows["embedding_neardup"]["b"].append(y)
+            rows["embedding_neardup"]["cosine"].append(s)
     for sf in SF_DIRS:
         t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text", "n_chars"])
         key = int(sum(t["n_chars"].to_pylist()))
@@ -206,6 +266,10 @@ def main() -> None:
         "ngram_jaccard": pa.schema(
             [("corpus_key", pa.int64()), ("a", pa.int64()), ("b", pa.int64()),
              ("jaccard", pa.float64())]
+        ),
+        "embedding_neardup": pa.schema(
+            [("corpus_key", pa.int64()), ("a", pa.int64()), ("b", pa.int64()),
+             ("cosine", pa.float64())]
         ),
     }
     for name, cols in rows.items():
