@@ -1330,5 +1330,17 @@ ORACLE_SQL.update(
             "(SELECT CAST(SUM(CAST(floor(abs(embedding[1]) * 1000) AS BIGINT)) AS BIGINT) "
             "FROM embeddings)"
         ),
+        "ivf_topk": (
+            "SELECT query_idx, vec_id, rank FROM read_parquet("
+            f"'{_FIXTURE_DIR}/oracle_ivf_topk.parquet') WHERE corpus_key = "
+            "(SELECT CAST(SUM(CAST(floor(abs(embedding[1]) * 1000) AS BIGINT)) AS BIGINT) "
+            "FROM embeddings)"
+        ),
+        "ivf_index_topk": (
+            "SELECT query_idx, vec_id, rank FROM read_parquet("
+            f"'{_FIXTURE_DIR}/oracle_ivf_topk.parquet') WHERE corpus_key = "
+            "(SELECT CAST(SUM(CAST(floor(abs(embedding[1]) * 1000) AS BIGINT)) AS BIGINT) "
+            "FROM embeddings)"
+        ),
     }
 )

@@ -189,6 +189,54 @@ def embedding_neardup_reference(ids: np.ndarray, vecs: np.ndarray):
     return best
 
 
+# --- IVF top-k (spec: stages/similarity.train_centroids / ivf_topk) --------
+
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+IVF_SEED = 7
+IVF_SAMPLE = 4096
+ANN_K = 10
+N_ANN_QUERIES = 5
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    return m / n[:, None]
+
+
+def ivf_reference(ids: np.ndarray, vecs: np.ndarray):
+    """From-the-spec IVF: Lloyd k-means on the first ``IVF_SAMPLE`` vectors
+    (file order — the engine's ``ds.limit()`` sample), probe the nprobe
+    nearest cells per query, exact cosine top-k within the probed cells."""
+    rng = np.random.RandomState(IVF_SEED)
+    X = _normalize_rows(np.asarray(vecs[:IVF_SAMPLE], dtype=np.float64))
+    idx = rng.choice(len(X), size=min(IVF_CENTROIDS, len(X)), replace=False)
+    C = X[idx].copy()
+    for _ in range(10):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C = _normalize_rows(C)
+
+    unit = _normalize_rows(np.asarray(vecs, dtype=np.float64))
+    cells = np.argmax(unit @ C.T, axis=1)
+    q_order = np.argsort(ids[ids < N_ANN_QUERIES])
+    q_unit = unit[ids < N_ANN_QUERIES][q_order]
+    probes = np.argsort(-(q_unit @ C.T), axis=1)[:, :IVF_NPROBE]
+    rows = []
+    for qi in range(len(q_unit)):
+        mask = np.isin(cells, probes[qi])
+        sims = q_unit[qi] @ unit[mask].T
+        sub_ids = ids[mask]
+        order = np.lexsort((sub_ids, -sims))[: min(ANN_K, len(sub_ids))]
+        for rank, j in enumerate(order):
+            rows.append((qi, int(sub_ids[j]), rank))
+    return rows
+
+
 def main() -> None:
     a_perm, b_perm = minhash_perms()
     rows = {
@@ -198,6 +246,7 @@ def main() -> None:
         "minhash_pairs": {"corpus_key": [], "a": [], "b": []},
         "ngram_jaccard": {"corpus_key": [], "a": [], "b": [], "jaccard": []},
         "embedding_neardup": {"corpus_key": [], "a": [], "b": [], "cosine": []},
+        "ivf_topk": {"corpus_key": [], "query_idx": [], "vec_id": [], "rank": []},
     }
     for sf in SF_DIRS:
         et = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -211,6 +260,11 @@ def main() -> None:
             rows["embedding_neardup"]["a"].append(x)
             rows["embedding_neardup"]["b"].append(y)
             rows["embedding_neardup"]["cosine"].append(s)
+        for qi, vid, rank in ivf_reference(eids, evecs):
+            rows["ivf_topk"]["corpus_key"].append(ekey)
+            rows["ivf_topk"]["query_idx"].append(qi)
+            rows["ivf_topk"]["vec_id"].append(vid)
+            rows["ivf_topk"]["rank"].append(rank)
     for sf in SF_DIRS:
         t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text", "n_chars"])
         key = int(sum(t["n_chars"].to_pylist()))
@@ -270,6 +324,10 @@ def main() -> None:
         "embedding_neardup": pa.schema(
             [("corpus_key", pa.int64()), ("a", pa.int64()), ("b", pa.int64()),
              ("cosine", pa.float64())]
+        ),
+        "ivf_topk": pa.schema(
+            [("corpus_key", pa.int64()), ("query_idx", pa.int64()),
+             ("vec_id", pa.int64()), ("rank", pa.int64())]
         ),
     }
     for name, cols in rows.items():

@@ -97,7 +97,8 @@ def test_oracle_keys_subset(entry_mod):
         "term_df",
         # fixture-join oracles (tests/fixtures/gen_oracle_fixtures.py)
         "fingerprint", "simhash", "lang_id", "minhash_pairs",
-        "ngram_jaccard_pairs", "embedding_neardup",
+        "ngram_jaccard_pairs", "embedding_neardup", "ivf_topk",
+        "ivf_index_topk",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):
@@ -111,7 +112,6 @@ def test_sql_checked_query(entry_mod, con, name):
 @pytest.mark.parametrize(
     "name",
     [
-        "ivf_topk",
         "media_features", "pages_tiers_chunks", "pages_verify",
     ],
 )
