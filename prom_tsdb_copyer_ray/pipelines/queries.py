@@ -1342,5 +1342,6 @@ ORACLE_SQL.update(
             "(SELECT CAST(SUM(CAST(floor(abs(embedding[1]) * 1000) AS BIGINT)) AS BIGINT) "
             "FROM embeddings)"
         ),
+        "media_features": _fixture_sql("media_features", "media_id, kind, embedding"),
     }
 )

@@ -237,6 +237,21 @@ def ivf_reference(ids: np.ndarray, vecs: np.ndarray):
     return rows
 
 
+# --- media features (spec: stages/multimodal.MediaFeatureExtractor) --------
+
+MEDIA_FEATURE_DIM = 16
+
+
+def media_features_reference(doc_id: int, text: str):
+    import hashlib
+
+    payload = (text or "").encode("utf-8")
+    d = hashlib.blake2b(payload or b"", digest_size=MEDIA_FEATURE_DIM * 2).digest()
+    feat = (np.frombuffer(d, dtype=np.uint16).astype(np.float64) / 65535.0).tolist()
+    kind = "image" if doc_id % 3 else "video"
+    return kind, feat
+
+
 def main() -> None:
     a_perm, b_perm = minhash_perms()
     rows = {
@@ -247,6 +262,7 @@ def main() -> None:
         "ngram_jaccard": {"corpus_key": [], "a": [], "b": [], "jaccard": []},
         "embedding_neardup": {"corpus_key": [], "a": [], "b": [], "cosine": []},
         "ivf_topk": {"corpus_key": [], "query_idx": [], "vec_id": [], "rank": []},
+        "media_features": {"corpus_key": [], "media_id": [], "kind": [], "embedding": []},
     }
     for sf in SF_DIRS:
         et = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -286,6 +302,11 @@ def main() -> None:
             rows["lang_id"]["corpus_key"].append(key)
             rows["lang_id"]["doc_id"].append(d)
             rows["lang_id"]["pred_lang"].append(lang_id(x))
+            kind, feat = media_features_reference(d, x)
+            rows["media_features"]["corpus_key"].append(key)
+            rows["media_features"]["media_id"].append(d)
+            rows["media_features"]["kind"].append(kind)
+            rows["media_features"]["embedding"].append(feat)
 
         pairs = lsh_candidate_pairs(ids, sigs)
         for x, y in sorted(pairs):
@@ -328,6 +349,10 @@ def main() -> None:
         "ivf_topk": pa.schema(
             [("corpus_key", pa.int64()), ("query_idx", pa.int64()),
              ("vec_id", pa.int64()), ("rank", pa.int64())]
+        ),
+        "media_features": pa.schema(
+            [("corpus_key", pa.int64()), ("media_id", pa.int64()),
+             ("kind", pa.string()), ("embedding", pa.list_(pa.float64()))]
         ),
     }
     for name, cols in rows.items():
