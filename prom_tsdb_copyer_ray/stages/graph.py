@@ -31,6 +31,23 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _fanin() -> int:
+    """Shuffle fan-in for label/candidate rows (8-24 B each): CPUs // 2.
+
+    The CC loop runs TWO sorts per iteration; with labels (64 blocks) and
+    edges (64 blocks) unioned, Ray's sort exchange is (blocks x partitions)
+    tasks — 128x128 = 16k ~1.5 ms tasks per sort, ~1000 s over a 10-round
+    loop at sf0.1.  Coalescing to CPUs/2 keeps every exchange linear; the
+    rows are ints, so partitions stay small at any scale."""
+    try:
+        import ray
+
+        n = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        n = 8
+    return max(8, n // 2)
+
+
 def _mix_shard(x: np.ndarray, num_shards: int) -> np.ndarray:
     with np.errstate(over="ignore"):
         x = x.astype(np.uint64)
@@ -64,7 +81,11 @@ def connected_components(edges_ds, nodes_ds, node_col: str = "node",
             }
         )
 
-    edges_bi = edges_ds.map_batches(to_directed, batch_format="pyarrow").materialize()
+    edges_bi = (
+        edges_ds.map_batches(to_directed, batch_format="pyarrow")
+        .repartition(_fanin())
+        .materialize()
+    )
 
     def init_labels(batch: pa.Table) -> pa.Table:
         node = pc.cast(batch[node_col], pa.int64())
@@ -142,8 +163,10 @@ def connected_components(edges_ds, nodes_ds, node_col: str = "node",
         lab_tagged = labels.map_batches(label_rows, batch_format="pyarrow")
         new_labels = (
             lab_tagged.union(edges_bi)
+            .repartition(_fanin())
             .groupby("_s")
             .map_groups(propagate, batch_format="pyarrow")
+            .repartition(_fanin())
             .groupby("_m")
             .map_groups(minimize, batch_format="pyarrow")
             .materialize()
