@@ -998,6 +998,74 @@ def q_term_df(sf_dir: str):
     return term_document_frequency(_read(sf_dir, "documents", ["text"]), top_n=100)
 
 
+def q_orders_per_nation(sf_dir: str):
+    """3-table equi-join demonstrating both join regimes (stages/joins.py):
+    nation (25 rows) broadcast into customer, the customer->nation lookup
+    then broadcast into orders (dim side), grouped per-batch (Arrow partial)
+    + tiny final groupby.  Zero shuffles besides the 25-key aggregate."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import broadcast_join
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust_nation = broadcast_join(
+        cust, nation, "c_nationkey", "n_nationkey", right_cols=["n_name"]
+    )
+    # customer is the small side of orders⋈customer: collect its (custkey,
+    # n_name) lookup (2 int/str cols) and broadcast it into the orders scan
+    cn = pa.concat_tables(
+        cust_nation.select_columns(["c_custkey", "n_name"]).iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, cn, "o_custkey", "c_custkey", right_cols=["n_name"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        # sum in integer cents: order-independent and bit-exact vs the
+        # oracle (a 1e8-magnitude float sum differs in the last cent
+        # depending on summation order)
+        cents = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100.0)), pa.int64())
+        t = pa.table({"n_name": batch["n_name"], "cents": cents})
+        return t.group_by(["n_name"]).aggregate([("cents", "sum"), ("cents", "count")])
+
+    def to_total(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": batch["n_name"],
+                "sum_total": pc.divide(pc.cast(batch["sum_total"], pa.float64()), 100.0),
+                "n_orders": batch["n_orders"],
+            }
+        )
+
+    out = (
+        joined.map_batches(prep, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(
+            Sum("cents_sum", alias_name="sum_total"),
+            Sum("cents_count", alias_name="n_orders"),
+        )
+        .map_batches(to_total, batch_format="pyarrow")
+    )
+    return _finalize(out, {}, {"sum_total": 2})
+
+
+def q_cust_no_orders(sf_dir: str):
+    """Anti-join (customers with no completed 'F' orders) via the shuffle
+    join's tag-union co-partitioning — the large-fact-side regime where a
+    broadcast of order keys would not fit."""
+    from ..stages.joins import shuffle_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]).map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderstatus"], "F")).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    return shuffle_join(cust, orders, "c_custkey", "o_custkey", how="anti")
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -1034,6 +1102,8 @@ QUERIES = {
     "value_quantiles": q_value_quantiles,
     "dup_clusters": q_dup_clusters,
     "term_df": q_term_df,
+    "orders_per_nation": q_orders_per_nation,
+    "cust_no_orders": q_cust_no_orders,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -1215,6 +1285,21 @@ ORACLE_SQL = {
                 FROM documents)
           GROUP BY 1)
         ORDER BY df DESC, term LIMIT 100
+    """,
+    "orders_per_nation": """
+        SELECT n_name,
+               round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+                 AS sum_total,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1
+    """,
+    "cust_no_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
     """,
     "ann_topk": f"""
         WITH q AS (SELECT vec_id AS query_idx, embedding AS qe FROM embeddings

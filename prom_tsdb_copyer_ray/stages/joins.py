@@ -1,0 +1,188 @@
+"""Equi-join operators — Ray Data (2.49) has no native join.
+
+Two scale regimes, matching the brief's broadcast-vs-shuffle guidance:
+
+* :func:`broadcast_join` — the small side is collected to the driver ONCE,
+  ``ray.put`` into the object store, and every ``map_batches`` task probes it
+  zero-copy.  No shuffle at all; the only data movement is the one broadcast.
+  Use when the build side fits in worker memory (dimension tables: nation,
+  customer at modest scale).  Supports inner / left / semi / anti.
+* :func:`shuffle_join` — both sides co-partitioned by a hash shard of the
+  key through ONE tag-union groupby (the asof_join pattern,
+  stages/windowed.py), then a vectorized sorted-merge probe per shard.
+  Use when both sides are large.  Inner only (the regimes a fact-fact join
+  needs); many-to-many handled by arange-expansion, no per-row Python.
+
+Both are deterministic: output rows are a pure function of the input
+multisets; no ordering assumptions survive the shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _int_keys(table: pa.Table, key: str) -> np.ndarray:
+    return pc.cast(table[key], pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def broadcast_join(ds, right_table: pa.Table, left_key: str, right_key: str,
+                   right_cols: list[str] | None = None, how: str = "inner"):
+    """Join a Dataset against a SMALL pyarrow table (broadcast once).
+
+    ``right_cols`` are appended to matching left rows (null-filled for
+    ``how="left"`` misses).  ``how="semi"`` / ``"anti"`` keep/drop left rows
+    on key existence and append nothing.  Duplicate right keys: inner/left
+    emit one output row per (left row, matching right row) pair.
+    """
+    import ray
+
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"unknown how: {how}")
+    right_cols = list(right_cols or [])
+    rkeys = pc.cast(right_table[right_key], pa.int64()).to_numpy(zero_copy_only=False)
+    order = np.argsort(rkeys, kind="stable")
+    rkeys_s = rkeys[order]
+    rt_sorted = right_table.take(pa.array(order))
+    r_ref = ray.put((rkeys_s, rt_sorted.select(right_cols) if right_cols else None))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        keys_s, rdata = ray.get(r_ref)
+        lk = _int_keys(batch, left_key)
+        lo = np.searchsorted(keys_s, lk, side="left")
+        hi = np.searchsorted(keys_s, lk, side="right")
+        cnt = hi - lo
+        if how == "semi":
+            return batch.filter(pa.array(cnt > 0))
+        if how == "anti":
+            return batch.filter(pa.array(cnt == 0))
+        if how == "left":
+            cnt = np.maximum(cnt, 1)  # misses keep one null-extended row
+        rows = np.repeat(np.arange(len(lk), dtype=np.int64), cnt)
+        within = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt
+        )
+        ridx = lo[rows] + within
+        matched = ridx < hi[rows]  # false only for left-join null rows
+        out = batch.take(pa.array(rows))
+        for c in right_cols:
+            col = rdata[c].take(pa.array(np.where(matched, ridx, 0)))
+            if how == "left":
+                col = pc.if_else(pa.array(matched), col, pa.nulls(len(rows), col.type))
+            out = out.append_column(c, col)
+        return out
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def _join_fanin() -> int:
+    try:
+        import ray
+
+        n = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        n = 8
+    return max(8, n // 2)
+
+
+def shuffle_join(left_ds, right_ds, left_key: str, right_key: str,
+                 right_cols: list[str] | None = None, num_shards: int = 64,
+                 how: str = "inner"):
+    """Equi-join of two Datasets: ONE co-partitioning shuffle (tag-union by
+    hash shard of the key), then a vectorized sorted-merge probe per shard.
+    ``how="inner"`` outputs left columns + ``right_cols``; ``"semi"`` /
+    ``"anti"`` keep/drop left rows on key existence (left columns only).
+
+    Partitioning assumption (documented per the brief): a single key's rows
+    (both sides) fit in one shard group; a pathologically hot key wants
+    salting + broadcast of its right rows instead.
+    """
+    if how not in ("inner", "semi", "anti"):
+        raise ValueError(f"unknown how: {how}")
+    if how != "inner":
+        right_cols = []
+
+    def _shard(x: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            x = x.astype(np.uint64)
+            x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+            x ^= x >> np.uint64(33)
+        return (x % np.uint64(num_shards)).astype(np.int64)
+
+    left_cols = list(left_ds.schema().names)
+    lschema = left_ds.schema()
+
+    def norm_left(batch: pa.Table) -> pa.Table:
+        k = _int_keys(batch, left_key)
+        batch = batch.append_column("_jk", pa.array(k))
+        batch = batch.append_column("_jshard", pa.array(_shard(k)))
+        for c, t in zip(rt_names, rt_types):
+            batch = batch.append_column("_r_" + c, pa.nulls(batch.num_rows, t))
+        return batch
+
+    rt_names = list(right_cols or [])
+    rt_types: list = []
+
+    rschema = right_ds.schema()
+    for c in rt_names:
+        rt_types.append(rschema.types[rschema.names.index(c)])
+
+    def norm_right(batch: pa.Table) -> pa.Table:
+        k = _int_keys(batch, right_key)
+        cols = {c: pa.nulls(len(k), t) for c, t in zip(lschema.names, lschema.types)}
+        cols["_jk"] = pa.array(k)
+        cols["_jshard"] = pa.array(_shard(k))
+        for c in rt_names:
+            cols["_r_" + c] = batch[c]
+        t = pa.table(cols)
+        # right rows are marked by a null left key column set: use a flag
+        return t.append_column("_is_r", pa.nulls(len(k), pa.int8()).fill_null(1))
+
+    def norm_left2(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_is_r", pa.nulls(batch.num_rows, pa.int8()).fill_null(0))
+
+    lefts = left_ds.map_batches(norm_left, batch_format="pyarrow").map_batches(
+        norm_left2, batch_format="pyarrow"
+    )
+    rights = right_ds.map_batches(norm_right, batch_format="pyarrow")
+
+    def probe(group: pa.Table) -> pa.Table:
+        is_r = group["_is_r"].to_numpy(zero_copy_only=False).astype(np.int8) == 1
+        lt = group.filter(pa.array(~is_r))
+        rt = group.filter(pa.array(is_r))
+        empty = lt.slice(0, 0).select(left_cols)
+        for c, t in zip(rt_names, rt_types):
+            empty = empty.append_column(c, pa.nulls(0, t))
+        if lt.num_rows == 0:
+            return empty
+        if rt.num_rows == 0:
+            return lt.select(left_cols) if how == "anti" else empty
+        lk = lt["_jk"].to_numpy(zero_copy_only=False)
+        rk = rt["_jk"].to_numpy(zero_copy_only=False)
+        r_order = np.argsort(rk, kind="stable")
+        rk_s = rk[r_order]
+        lo = np.searchsorted(rk_s, lk, side="left")
+        hi = np.searchsorted(rk_s, lk, side="right")
+        cnt = hi - lo
+        if how == "semi":
+            return lt.filter(pa.array(cnt > 0)).select(left_cols)
+        if how == "anti":
+            return lt.filter(pa.array(cnt == 0)).select(left_cols)
+        rows = np.repeat(np.arange(len(lk), dtype=np.int64), cnt)
+        within = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt
+        )
+        ridx = r_order[lo[rows] + within]
+        out = lt.take(pa.array(rows)).select(left_cols)
+        for c in rt_names:
+            out = out.append_column(c, rt["_r_" + c].take(pa.array(ridx)))
+        return out
+
+    return (
+        lefts.union(rights)
+        .repartition(_join_fanin())
+        .groupby("_jshard")
+        .map_groups(probe, batch_format="pyarrow")
+    )

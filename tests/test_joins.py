@@ -1,0 +1,108 @@
+"""Equi-join operator tests (broadcast + shuffle, inner/left/semi/anti)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _left():
+    return pa.table(
+        {
+            "k": [1, 1, 2, 3, 5],
+            "lid": [10, 11, 12, 13, 14],
+        }
+    )
+
+
+def _right():
+    return pa.table(
+        {
+            "rk": [1, 2, 2, 4],
+            "name": ["a", "b1", "b2", "d"],
+        }
+    )
+
+
+def test_broadcast_join_inner_dups(ray_session):
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.joins import broadcast_join
+
+    out = (
+        broadcast_join(ray.data.from_arrow(_left()), _right(), "k", "rk",
+                       right_cols=["name"])
+        .to_pandas()
+        .sort_values(["lid", "name"])
+        .reset_index(drop=True)
+    )
+    # k=1 matches once for two left rows; k=2 matches twice; 3/5 drop
+    assert out[["lid", "name"]].values.tolist() == [
+        [10, "a"], [11, "a"], [12, "b1"], [12, "b2"],
+    ]
+
+
+def test_broadcast_join_left_semi_anti(ray_session):
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.joins import broadcast_join
+
+    ds = ray.data.from_arrow(_left())
+    left = broadcast_join(ds, _right(), "k", "rk", right_cols=["name"], how="left").to_pandas()
+    assert len(left) == 6  # 4 matches + 2 null-extended misses
+    misses = left[left["name"].isna()]["lid"].sort_values().tolist()
+    assert misses == [13, 14]
+    semi = broadcast_join(ds, _right(), "k", "rk", how="semi").to_pandas()
+    assert sorted(semi["lid"]) == [10, 11, 12]
+    anti = broadcast_join(ds, _right(), "k", "rk", how="anti").to_pandas()
+    assert sorted(anti["lid"]) == [13, 14]
+
+
+def test_shuffle_join_inner_matches_broadcast(ray_session):
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.joins import broadcast_join, shuffle_join
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    left = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 200, n)),
+            "lid": pa.array(np.arange(n)),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array(rng.integers(0, 250, 400)),
+            "v": pa.array(rng.normal(size=400)),
+        }
+    )
+    lds = ray.data.from_arrow(left).repartition(5)
+    rds = ray.data.from_arrow(right).repartition(3)
+    got = (
+        shuffle_join(lds, rds, "k", "rk", right_cols=["v"])
+        .to_pandas()
+        .sort_values(["lid", "v"])
+        .reset_index(drop=True)
+    )
+    want = (
+        broadcast_join(ray.data.from_arrow(left), right, "k", "rk", right_cols=["v"])
+        .to_pandas()
+        .sort_values(["lid", "v"])
+        .reset_index(drop=True)
+    )
+    assert got[["lid", "v"]].values.tolist() == want[["lid", "v"]].values.tolist()
+
+
+def test_shuffle_join_semi_anti(ray_session):
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.joins import shuffle_join
+
+    lds = ray.data.from_arrow(_left())
+    rds = ray.data.from_arrow(_right().rename_columns(["rk", "name"]))
+    semi = shuffle_join(lds, rds, "k", "rk", how="semi").to_pandas()
+    assert sorted(semi["lid"]) == [10, 11, 12]
+    anti = shuffle_join(lds, rds, "k", "rk", how="anti").to_pandas()
+    assert sorted(anti["lid"]) == [13, 14]
+    assert list(anti.columns) == ["k", "lid"]
