@@ -172,7 +172,9 @@ def connected_components(edges_ds, nodes_ds, node_col: str = "node",
             .materialize()
         )
         n_changed = new_labels.sum("changed")
-        labels = new_labels.drop_columns("changed").materialize()
+        # lazy projection over the materialized table: consumed once per
+        # iteration, so a second materialization would be a pure copy
+        labels = new_labels.drop_columns("changed")
         if not n_changed:
             break
 
