@@ -977,6 +977,15 @@ def q_value_quantiles(sf_dir: str):
     return group_quantiles(ds, ["event_type"], "value", (0.5, 0.9, 0.99))
 
 
+def q_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type
+    (stages/keyed.count_distinct_per_group)."""
+    from ..stages.keyed import count_distinct_per_group
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return count_distinct_per_group(ds, ["event_type"], "user_id", out_col="n_users")
+
+
 def q_dup_clusters(sf_dir: str):
     """Duplicate-cluster resolution: same-(lang, n_chars) and
     same-(source, n_chars) star edges, then distributed connected
@@ -1100,6 +1109,7 @@ QUERIES = {
     "topk_events": q_topk_events,
     "sessions": q_sessions,
     "value_quantiles": q_value_quantiles,
+    "distinct_users": q_distinct_users,
     "dup_clusters": q_dup_clusters,
     "term_df": q_term_df,
     "orders_per_nation": q_orders_per_nation,
@@ -1259,6 +1269,10 @@ ORACLE_SQL = {
                quantile_disc(value, 0.5) AS p50,
                quantile_disc(value, 0.9) AS p90,
                quantile_disc(value, 0.99) AS p99
+        FROM events GROUP BY 1
+    """,
+    "distinct_users": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1
     """,
     "dup_clusters": """

@@ -175,6 +175,43 @@ def sessionize(ds, key_col: str, ts_col: str, gap_ms: int,
     )
 
 
+def count_distinct_per_group(ds, key_cols: list[str], value_col: str,
+                             out_col: str = "n_distinct", num_shards: int = 64):
+    """Exact COUNT(DISTINCT value) per key.
+
+    Scale shape: per-batch Arrow ``group_by`` collapses to distinct
+    (key, value) pairs (a true combiner), the single wide shuffle moves only
+    those pairs sharded by the PAIR hash (so a value seen in many batches
+    dedups globally inside one shard), each shard emits per-key partial
+    counts, and the final aggregate sums O(shards x keys) tiny rows.  For
+    approximate needs at extreme cardinality swap the shard stage for a
+    mergeable sketch; this operator is the exact path."""
+    cols = list(key_cols) + [value_col]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols).group_by(cols).aggregate([])
+        return t.append_column("_kshard", _key_shard(t, cols, num_shards))
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_kshard").sort_by([(c, "ascending") for c in cols])
+        uniq = t.filter(pa.array(_segment_starts(t, cols)))
+        knew = _segment_starts(uniq, list(key_cols))
+        kstarts = np.flatnonzero(knew)
+        counts = np.diff(np.r_[kstarts, uniq.num_rows]).astype(np.int64)
+        out = uniq.select(list(key_cols)).take(pa.array(kstarts))
+        return out.append_column("n_partial", pa.array(counts, pa.int64()))
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_kshard")
+        .map_groups(per_shard, batch_format="pyarrow")
+        .groupby(list(key_cols))
+        .aggregate(Sum("n_partial", alias_name=out_col))
+    )
+
+
 def group_quantiles(ds, key_cols: list[str], value_col: str,
                     qs: tuple[float, ...] = (0.5, 0.9, 0.99),
                     num_shards: int = 64):

@@ -94,7 +94,7 @@ def test_oracle_keys_subset(entry_mod):
         "union_merge", "sliding_1h", "asof_join", "range_join", "hist_5m",
         "pages_rollup_5m", "pages_rollup_1h",
         "topk_events", "sessions", "value_quantiles", "dup_clusters",
-        "term_df", "orders_per_nation", "cust_no_orders",
+        "term_df", "orders_per_nation", "cust_no_orders", "distinct_users",
         # fixture-join oracles (tests/fixtures/gen_oracle_fixtures.py)
         "fingerprint", "simhash", "lang_id", "minhash_pairs",
         "ngram_jaccard_pairs", "embedding_neardup", "ivf_topk",

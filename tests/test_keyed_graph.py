@@ -178,3 +178,29 @@ def test_term_df_small(ray_session):
     # df: cat=2, dog=2, a=1, and=1, the=1, sat=1 -> top3 by (df desc, term)
     assert out["term"].tolist() == ["cat", "dog", "a"]
     assert out["df"].tolist() == [2, 2, 1]
+
+
+def test_count_distinct_per_group(ray_session):
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.keyed import count_distinct_per_group
+
+    rng = np.random.default_rng(5)
+    n = 6000
+    t = pa.table(
+        {
+            "k": pa.array((rng.integers(0, 7, n)).astype(str)),
+            "v": pa.array(rng.integers(0, 300, n)),
+        }
+    )
+    out = (
+        count_distinct_per_group(
+            ray.data.from_arrow(t).repartition(9), ["k"], "v", out_col="nd"
+        )
+        .to_pandas()
+        .set_index("k")["nd"]
+        .sort_index()
+    )
+    df = t.to_pandas()
+    want = df.groupby("k")["v"].nunique()
+    assert out.to_dict() == want.to_dict()
