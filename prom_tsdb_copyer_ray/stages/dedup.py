@@ -171,22 +171,7 @@ class MinHashSignatures:
         )
 
 
-def _pair_fanin() -> int:
-    """Shuffle fan-in for band/pair rows: ``max(8, CPUs // 2)``.
-
-    These rows are ~16-24 bytes each, so partitions stay small even with
-    few of them, and Ray's sort exchange is (blocks x partitions) tasks —
-    at 2 blocks/CPU a 32-cpu node pays 64x64 = 4096 ~1.5 ms exchange tasks
-    to move a few MB.  Half-a-partition-per-CPU keeps the exchange linear
-    while still scaling with cluster size (``cluster_resources`` counts all
-    nodes)."""
-    try:
-        import ray
-
-        n = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        n = 8
-    return max(8, n // 2)
+from .common import narrow_fanin as _pair_fanin  # band/pair rows are 16-24 B
 
 
 def dedup_pairs_sharded(pairs, num_shards: int = 64, value_col: str | None = None,
@@ -237,11 +222,7 @@ def dedup_pairs_sharded(pairs, num_shards: int = 64, value_col: str | None = Non
     )
 
 
-def _mix64(x: np.ndarray) -> np.ndarray:
-    """splitmix-style avalanche for int shard keys (uint64 in/out)."""
-    with np.errstate(over="ignore"):
-        x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
-        return x ^ (x >> np.uint64(33))
+from .common import mix64 as _mix64  # shared avalanche (stages/common.py)
 
 
 def _segment_pairs(sort_keys: tuple[np.ndarray, ...], ids: np.ndarray):
@@ -401,23 +382,31 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.8, ngram: int = 5,
             mix = a.astype(np.uint64) * _P + b.astype(np.uint64)
         return (mix % np.uint64(num_shards)).astype(np.int64)
 
-    routing: dict[int, set] = {}
-    for batch in cand.iter_batches(batch_format="pyarrow", batch_size=65536):
+    # vectorized CSR build: stack (doc, shard) for both pair sides, dedup
+    # with one lexsort + segment mask, derive offsets by cumsum — all
+    # C-speed (a Python dict-of-sets loop here would serialize ~2e9 set
+    # inserts on the driver at the 1e9-pair design bound)
+    doc_parts, shard_parts = [], []
+    for batch in cand.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
         a_np = batch["a"].to_numpy().astype(np.int64, copy=False)
         b_np = batch["b"].to_numpy().astype(np.int64, copy=False)
         ps = pair_shards(a_np, b_np)
-        for d, s in zip(a_np.tolist(), ps.tolist()):
-            routing.setdefault(d, set()).add(s)
-        for d, s in zip(b_np.tolist(), ps.tolist()):
-            routing.setdefault(d, set()).add(s)
-    ids_sorted = np.array(sorted(routing), dtype=np.int64)
+        doc_parts += [a_np, b_np]
+        shard_parts += [ps, ps]
+    doc = np.concatenate(doc_parts)
+    shard = np.concatenate(shard_parts)
+    order = np.lexsort((shard, doc))
+    doc, shard = doc[order], shard[order]
+    keep = np.ones(len(doc), dtype=bool)
+    keep[1:] = (doc[1:] != doc[:-1]) | (shard[1:] != shard[:-1])
+    doc, flat_shards = doc[keep], shard[keep]
+    new_doc = np.ones(len(doc), dtype=bool)
+    new_doc[1:] = doc[1:] != doc[:-1]
+    ids_sorted = doc[new_doc]
+    counts = np.diff(np.r_[np.flatnonzero(new_doc), len(doc)])
     offs = np.zeros(len(ids_sorted) + 1, dtype=np.int64)
-    flat: list[int] = []
-    for i, d in enumerate(ids_sorted.tolist()):
-        sh = sorted(routing[d])
-        flat.extend(sh)
-        offs[i + 1] = offs[i] + len(sh)
-    route_ref = ray.put((ids_sorted, offs, np.array(flat, dtype=np.int64)))
+    np.cumsum(counts, out=offs[1:])
+    route_ref = ray.put((ids_sorted, offs, flat_shards))
 
     # shingle rows: payload computed ONCE per involved doc, replicated only
     # into the shards that need it (CSR expansion, vectorized)
@@ -474,16 +463,19 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.8, ngram: int = 5,
         exact Jaccard, keep >= threshold."""
         if group.num_rows == 0:
             return pa.table(_EMPTY_PAIRS)
-        is_sh = pc.is_valid(group["payload"]).to_numpy(zero_copy_only=False)
-        keys = group["key"].to_numpy(zero_copy_only=False)[is_sh].astype(np.int64)
+        # filter BEFORE to_numpy: a null-bearing int64 column converts to
+        # float64 (NaN nulls), silently corrupting ids >= 2^53
+        is_sh = pc.is_valid(group["payload"])
+        sh = group.filter(is_sh)
+        keys = sh["key"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(keys, kind="stable")
         keys_s = keys[order]
-        payload_col = group["payload"].filter(pa.array(is_sh)).take(pa.array(order))
+        payload_col = sh["payload"].take(pa.array(order))
         payloads = [
             np.frombuffer(p, dtype=np.int64).view(np.uint64)
             for p in payload_col.to_pylist()
         ]
-        pr = group.filter(pa.array(~is_sh))
+        pr = group.filter(pc.invert(is_sh))
         a = pr["a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = pr["b"].to_numpy(zero_copy_only=False).astype(np.int64)
 

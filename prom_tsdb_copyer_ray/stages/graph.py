@@ -31,29 +31,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _fanin() -> int:
-    """Shuffle fan-in for label/candidate rows (8-24 B each): CPUs // 2.
-
-    The CC loop runs TWO sorts per iteration; with labels (64 blocks) and
-    edges (64 blocks) unioned, Ray's sort exchange is (blocks x partitions)
-    tasks — 128x128 = 16k ~1.5 ms tasks per sort, ~1000 s over a 10-round
-    loop at sf0.1.  Coalescing to CPUs/2 keeps every exchange linear; the
-    rows are ints, so partitions stay small at any scale."""
-    try:
-        import ray
-
-        n = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        n = 8
-    return max(8, n // 2)
-
-
-def _mix_shard(x: np.ndarray, num_shards: int) -> np.ndarray:
-    with np.errstate(over="ignore"):
-        x = x.astype(np.uint64)
-        x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
-        x ^= x >> np.uint64(33)
-    return (x % np.uint64(num_shards)).astype(np.int64)
+# The CC loop runs TWO sorts per iteration; uncoalesced 128-block unions
+# cost 16k exchange tasks per sort (~1000 s over a 10-round loop at sf0.1).
+from .common import narrow_fanin as _fanin
+from .common import shard_of_ints as _mix_shard
 
 
 def connected_components(edges_ds, nodes_ds, node_col: str = "node",
@@ -107,16 +88,27 @@ def connected_components(edges_ds, nodes_ds, node_col: str = "node",
     def propagate(group: pa.Table) -> pa.Table:
         """One source shard: push each node's label along its out-edges,
         and re-emit the node's own label (marked) for the min stage."""
-        lab_mask = pc.is_valid(group["label"]).to_numpy(zero_copy_only=False)
-        src = group["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-        lsrc = src[lab_mask]
-        llab = group["label"].to_numpy(zero_copy_only=False)[lab_mask].astype(np.int64)
+        # filter BEFORE to_numpy: null-bearing int64 columns convert to
+        # float64 (NaN nulls), silently corrupting ids >= 2^53
+        lab_mask = pc.is_valid(group["label"])
+        lab_t = group.filter(lab_mask)
+        edge_t = group.filter(pc.invert(lab_mask))
+        lsrc = lab_t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        llab = lab_t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(lsrc, kind="stable")
         lsrc_s, llab_s = lsrc[order], llab[order]
-        esrc = src[~lab_mask]
-        edst = group["dst"].to_numpy(zero_copy_only=False)[~lab_mask].astype(np.int64)
+        esrc = edge_t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        edst = edge_t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
         pos = np.searchsorted(lsrc_s, esrc)
-        # every endpoint is in nodes_ds, so the lookup always hits
+        if len(esrc):
+            if len(lsrc_s) == 0:
+                raise ValueError("edge endpoints absent from nodes_ds (no labels in shard)")
+            pos = np.minimum(pos, len(lsrc_s) - 1)
+            if not (lsrc_s[pos] == esrc).all():
+                missing = esrc[lsrc_s[pos] != esrc][:5]
+                raise ValueError(
+                    f"edge endpoints absent from nodes_ds: {missing.tolist()} ..."
+                )
         node = np.concatenate([edst, lsrc_s])
         cand = np.concatenate([llab_s[pos], llab_s])
         own = np.concatenate(

@@ -47,10 +47,22 @@ def broadcast_join(ds, right_table: pa.Table, left_key: str, right_key: str,
     rkeys_s = rkeys[order]
     rt_sorted = right_table.take(pa.array(order))
     r_ref = ray.put((rkeys_s, rt_sorted.select(right_cols) if right_cols else None))
+    rtypes = [right_table.schema.field(c).type for c in right_cols]
+
+    def _null_extend(batch: pa.Table) -> pa.Table:
+        for c, t in zip(right_cols, rtypes):
+            batch = batch.append_column(c, pa.nulls(batch.num_rows, t))
+        return batch
 
     def probe(batch: pa.Table) -> pa.Table:
         keys_s, rdata = ray.get(r_ref)
         lk = _int_keys(batch, left_key)
+        if len(keys_s) == 0:  # empty build side: no take() on a 0-row table
+            if how == "anti":
+                return batch
+            if how in ("inner", "semi"):
+                return batch.slice(0, 0) if how == "semi" else _null_extend(batch.slice(0, 0))
+            return _null_extend(batch)  # left: every row null-extended
         lo = np.searchsorted(keys_s, lk, side="left")
         hi = np.searchsorted(keys_s, lk, side="right")
         cnt = hi - lo
@@ -77,14 +89,8 @@ def broadcast_join(ds, right_table: pa.Table, left_key: str, right_key: str,
     return ds.map_batches(probe, batch_format="pyarrow")
 
 
-def _join_fanin() -> int:
-    try:
-        import ray
-
-        n = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        n = 8
-    return max(8, n // 2)
+from .common import narrow_fanin as _join_fanin
+from .common import shard_of_ints as _shard_of_ints
 
 
 def shuffle_join(left_ds, right_ds, left_key: str, right_key: str,
@@ -105,11 +111,7 @@ def shuffle_join(left_ds, right_ds, left_key: str, right_key: str,
         right_cols = []
 
     def _shard(x: np.ndarray) -> np.ndarray:
-        with np.errstate(over="ignore"):
-            x = x.astype(np.uint64)
-            x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
-            x ^= x >> np.uint64(33)
-        return (x % np.uint64(num_shards)).astype(np.int64)
+        return _shard_of_ints(x, num_shards)
 
     left_cols = list(left_ds.schema().names)
     lschema = left_ds.schema()
@@ -120,7 +122,9 @@ def shuffle_join(left_ds, right_ds, left_key: str, right_key: str,
         batch = batch.append_column("_jshard", pa.array(_shard(k)))
         for c, t in zip(rt_names, rt_types):
             batch = batch.append_column("_r_" + c, pa.nulls(batch.num_rows, t))
-        return batch
+        return batch.append_column(
+            "_is_r", pa.nulls(batch.num_rows, pa.int8()).fill_null(0)
+        )
 
     rt_names = list(right_cols or [])
     rt_types: list = []
@@ -140,12 +144,7 @@ def shuffle_join(left_ds, right_ds, left_key: str, right_key: str,
         # right rows are marked by a null left key column set: use a flag
         return t.append_column("_is_r", pa.nulls(len(k), pa.int8()).fill_null(1))
 
-    def norm_left2(batch: pa.Table) -> pa.Table:
-        return batch.append_column("_is_r", pa.nulls(batch.num_rows, pa.int8()).fill_null(0))
-
-    lefts = left_ds.map_batches(norm_left, batch_format="pyarrow").map_batches(
-        norm_left2, batch_format="pyarrow"
-    )
+    lefts = left_ds.map_batches(norm_left, batch_format="pyarrow")
     rights = right_ds.map_batches(norm_right, batch_format="pyarrow")
 
     def probe(group: pa.Table) -> pa.Table:

@@ -32,14 +32,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.hashing import poly_hash_column
-
-
-def _mix64(x: np.ndarray) -> np.ndarray:
-    with np.errstate(over="ignore"):
-        x = x.astype(np.uint64)
-        x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
-        x ^= x >> np.uint64(33)
-    return x
+from .common import mix64 as _mix64
 
 
 def _key_shard(table: pa.Table, key_cols: list[str], num_shards: int) -> pa.Array:
@@ -189,6 +182,8 @@ def count_distinct_per_group(ds, key_cols: list[str], value_col: str,
     cols = list(key_cols) + [value_col]
 
     def partial(batch: pa.Table) -> pa.Table:
+        # SQL COUNT(DISTINCT) ignores NULL values
+        batch = batch.filter(pc.is_valid(batch[value_col]))
         t = batch.select(cols).group_by(cols).aggregate([])
         return t.append_column("_kshard", _key_shard(t, cols, num_shards))
 

@@ -106,3 +106,18 @@ def test_shuffle_join_semi_anti(ray_session):
     anti = shuffle_join(lds, rds, "k", "rk", how="anti").to_pandas()
     assert sorted(anti["lid"]) == [13, 14]
     assert list(anti.columns) == ["k", "lid"]
+
+
+def test_broadcast_join_empty_right(ray_session):
+    """Regression: an empty build side must not crash (take on 0-row table)."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.joins import broadcast_join
+
+    empty = _right().slice(0, 0)
+    ds = ray.data.from_arrow(_left())
+    left = broadcast_join(ds, empty, "k", "rk", right_cols=["name"], how="left").to_pandas()
+    assert len(left) == 5 and left["name"].isna().all()
+    assert broadcast_join(ds, empty, "k", "rk", right_cols=["name"]).to_pandas().empty
+    assert len(broadcast_join(ds, empty, "k", "rk", how="anti").to_pandas()) == 5
+    assert broadcast_join(ds, empty, "k", "rk", how="semi").to_pandas().empty

@@ -204,3 +204,42 @@ def test_count_distinct_per_group(ray_session):
     df = t.to_pandas()
     want = df.groupby("k")["v"].nunique()
     assert out.to_dict() == want.to_dict()
+
+
+def test_count_distinct_ignores_nulls(ray_session):
+    """Regression: SQL COUNT(DISTINCT) semantics — NULL is not a value."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.keyed import count_distinct_per_group
+
+    t = pa.table(
+        {
+            "k": ["a", "a", "a", "b"],
+            "v": pa.array([1, 1, None, None], pa.int64()),
+        }
+    )
+    out = (
+        count_distinct_per_group(ray.data.from_arrow(t), ["k"], "v")
+        .to_pandas()
+        .set_index("k")["n_distinct"]
+        .to_dict()
+    )
+    # b has only NULLs -> no row at all (SQL would say 0; the group vanishes
+    # like an empty GROUP BY group does after a WHERE filter)
+    assert out == {"a": 1}
+
+
+def test_connected_components_missing_endpoint_raises(ray_session):
+    """Regression: an edge endpoint absent from nodes_ds must fail loudly,
+    not propagate a neighbor's label silently."""
+    import pytest
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.graph import connected_components
+
+    edges = pa.table({"a": [1, 5], "b": [2, 99]})
+    nodes = pa.table({"node": [1, 2, 99]})  # 5 missing
+    with pytest.raises(Exception):
+        connected_components(
+            ray.data.from_arrow(edges), ray.data.from_arrow(nodes)
+        ).materialize()
