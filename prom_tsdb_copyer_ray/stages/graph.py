@@ -67,6 +67,12 @@ def connected_components(edges_ds, nodes_ds, node_col: str = "node",
         .repartition(_fanin())
         .materialize()
     )
+    # size-aware loop fan-in: the per-iteration sorts move only int rows
+    # (2 x edges + nodes), so partition count follows data volume — a
+    # 5k-node graph in 16 partitions pays 16x16 exchange tasks per sort
+    # per round for ~300 rows each; cap at ~64k rows per partition, floor 2
+    n_rows = edges_bi.count() + nodes_ds.count()
+    loop_fanin = max(2, min(_fanin(), n_rows // 65_536 + 1))
 
     def init_labels(batch: pa.Table) -> pa.Table:
         node = pc.cast(batch[node_col], pa.int64())
@@ -155,10 +161,10 @@ def connected_components(edges_ds, nodes_ds, node_col: str = "node",
         lab_tagged = labels.map_batches(label_rows, batch_format="pyarrow")
         new_labels = (
             lab_tagged.union(edges_bi)
-            .repartition(_fanin())
+            .repartition(loop_fanin)
             .groupby("_s")
             .map_groups(propagate, batch_format="pyarrow")
-            .repartition(_fanin())
+            .repartition(loop_fanin)
             .groupby("_m")
             .map_groups(minimize, batch_format="pyarrow")
             .materialize()
