@@ -986,6 +986,19 @@ def q_distinct_users(sf_dir: str):
     return count_distinct_per_group(ds, ["event_type"], "user_id", out_col="n_users")
 
 
+def q_approx_users(sf_dir: str):
+    """HyperLogLog approximate COUNT(DISTINCT user_id) per event_type
+    (stages/sketch.approx_distinct_per_group) — the mergeable-sketch scale
+    path for `distinct_users` (~1.6% standard error at p=12).  Fixture-join
+    oracle: fully deterministic registers + estimate."""
+    from ..stages.sketch import approx_distinct_per_group
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    out = approx_distinct_per_group(ds, ["event_type"], "user_id",
+                                    out_col="approx_users")
+    return _finalize(out, {}, {"approx_users": 4})
+
+
 def q_dup_clusters(sf_dir: str):
     """Duplicate-cluster resolution: same-(lang, n_chars) and
     same-(source, n_chars) star edges, then distributed connected
@@ -1110,6 +1123,7 @@ QUERIES = {
     "sessions": q_sessions,
     "value_quantiles": q_value_quantiles,
     "distinct_users": q_distinct_users,
+    "approx_users": q_approx_users,
     "dup_clusters": q_dup_clusters,
     "term_df": q_term_df,
     "orders_per_nation": q_orders_per_nation,
@@ -1442,5 +1456,10 @@ ORACLE_SQL.update(
             "FROM embeddings)"
         ),
         "media_features": _fixture_sql("media_features", "media_id, kind, embedding"),
+        "approx_users": (
+            "SELECT event_type, round(approx_users, 4) AS approx_users "
+            f"FROM read_parquet('{_FIXTURE_DIR}/oracle_approx_users.parquet') "
+            "WHERE corpus_key = (SELECT CAST(SUM(event_id) AS BIGINT) FROM events)"
+        ),
     }
 )

@@ -19,6 +19,21 @@ def mix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
+def fmix64(x: np.ndarray) -> np.ndarray:
+    """Full murmur3 finalizer (two multiplies).  Use this when the VALUE of
+    the hash matters (e.g. HLL register index/rank from the top bits) — the
+    single-multiply :func:`mix64` leaves the high bits under-mixed for
+    small sequential inputs (measured: 20% low HLL estimates)."""
+    with np.errstate(over="ignore"):
+        x = x.astype(np.uint64)
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xFF51AFD7ED558CCD)
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xC4CEB9FE1A85EC53)
+        x ^= x >> np.uint64(33)
+    return x
+
+
 def shard_of_ints(x: np.ndarray, num_shards: int) -> np.ndarray:
     """Deterministic hash shard of an int array (int64 out)."""
     return (mix64(x) % np.uint64(num_shards)).astype(np.int64)

@@ -1,0 +1,123 @@
+"""Mergeable sketches — the approximate-path counterpart of the exact keyed
+kernels (brief: custom operators, "a novel sketch").
+
+:func:`approx_distinct_per_group` is HyperLogLog per key:
+
+* **Combiner**: each batch collapses to ONE row per key — the key plus a
+  ``2^p``-byte register array (max leading-zero rank per register).  The
+  shuffle therefore moves O(keys x batches) rows of fixed 4 KB payload,
+  independent of row count — this is the scale path
+  :func:`..keyed.count_distinct_per_group`'s docstring points at when exact
+  distinct (key, value)-pair shuffles get too wide.
+* **Merge**: registers combine by elementwise ``np.maximum`` — exact,
+  commutative, associative, so distributed merge order cannot change the
+  result.
+* **Estimate**: the classic bias-corrected HLL formula with the
+  small-range (linear counting) correction; standard error
+  ``1.04 / sqrt(2^p)`` (~1.6% at the default p=12).
+
+Everything is seeded/deterministic (the value hash is the shared splitmix
+avalanche), so the expected output is precomputable by an independent
+from-the-spec implementation — the fixture-join oracle pattern.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import poly_hash_column
+from .common import fmix64
+from .keyed import _key_shard, _segment_starts
+
+
+def hll_hash(col) -> np.ndarray:
+    """uint64 value hash: shared avalanche for ints, polynomial rolling hash
+    for strings (both process-deterministic)."""
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        return fmix64(poly_hash_column(col, fold63=False))
+    return fmix64(pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False))
+
+
+def hll_registers(hashes: np.ndarray, p: int) -> np.ndarray:
+    """Register array (uint8, length 2^p) for one set of value hashes."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(hashes) == 0:
+        return regs
+    idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    rest = hashes << np.uint64(p)
+    # rank = leading zeros of the remaining (64-p) bits + 1, capped
+    lz = np.full(len(hashes), 64 - p, dtype=np.uint8)
+    nz = rest != 0
+    # bit_length via log2 is unsafe near 2^64; use a halving loop (6 steps)
+    r = rest[nz]
+    count = np.zeros(len(r), dtype=np.uint8)
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = r < (np.uint64(1) << np.uint64(64 - shift))
+        count[mask] += shift
+        r[mask] = r[mask] << np.uint64(shift)
+    lz[nz] = np.minimum(count, 64 - p)
+    rank = (lz + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Bias-corrected HLL estimate with the linear-counting small-range fix."""
+    m = float(len(regs))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.float64(2.0) ** (-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if e <= 2.5 * m and zeros > 0:
+        e = m * np.log(m / zeros)
+    return float(e)
+
+
+def approx_distinct_per_group(ds, key_cols: list[str], value_col: str,
+                              p: int = 12, out_col: str = "approx_distinct",
+                              num_shards: int = 64):
+    """Approximate COUNT(DISTINCT value) per key via HyperLogLog."""
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch[value_col]))
+        t = batch.select(list(key_cols) + [value_col]).sort_by(
+            [(c, "ascending") for c in key_cols]
+        )
+        hashes = hll_hash(t[value_col])
+        new = _segment_starts(t, list(key_cols))
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], t.num_rows]
+        keys_t = t.select(list(key_cols)).take(pa.array(starts))
+        regs = [
+            hll_registers(hashes[a:b], p).tobytes() for a, b in zip(starts, ends)
+        ]
+        out = keys_t.append_column("_regs", pa.array(regs, pa.binary()))
+        return out.append_column("_kshard", _key_shard(out, list(key_cols), num_shards))
+
+    def merge(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            cols = {c: group[c] for c in key_cols}
+            cols[out_col] = pa.array([], pa.float64())
+            return pa.table(cols)
+        t = group.sort_by([(c, "ascending") for c in key_cols])
+        new = _segment_starts(t, list(key_cols))
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], t.num_rows]
+        regs_col = t["_regs"].to_pylist()
+        ests = []
+        for a, b in zip(starts, ends):
+            acc = np.zeros(m, dtype=np.uint8)
+            for rb in regs_col[a:b]:
+                np.maximum(acc, np.frombuffer(rb, dtype=np.uint8), out=acc)
+            ests.append(hll_estimate(acc))
+        keys_t = t.select(list(key_cols)).take(pa.array(starts))
+        return keys_t.append_column(out_col, pa.array(ests, pa.float64()))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_kshard")
+        .map_groups(merge, batch_format="pyarrow")
+    )

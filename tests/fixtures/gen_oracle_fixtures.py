@@ -237,6 +237,41 @@ def ivf_reference(ids: np.ndarray, vecs: np.ndarray):
     return rows
 
 
+# --- HyperLogLog approx distinct (spec: stages/sketch.py) -------------------
+
+HLL_P = 12
+
+
+def _fmix64_int(x: int) -> int:
+    MASK = (1 << 64) - 1
+    x &= MASK
+    x ^= x >> 33
+    x = (x * 0xFF51AFD7ED558CCD) & MASK
+    x ^= x >> 33
+    x = (x * 0xC4CEB9FE1A85EC53) & MASK
+    x ^= x >> 33
+    return x
+
+
+def hll_reference(values: list[int], p: int = HLL_P) -> float:
+    """Plain-Python HLL (bit_length-based ranks, sequential math)."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    MASK = (1 << 64) - 1
+    for v in values:
+        h = _fmix64_int(int(v))
+        idx = h >> (64 - p)
+        rest = (h << p) & MASK
+        lz = (64 - p) if rest == 0 else min(64 - rest.bit_length(), 64 - p)
+        regs[idx] = max(regs[idx], lz + 1)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.float64(2.0) ** (-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if e <= 2.5 * m and zeros > 0:
+        e = m * np.log(m / zeros)
+    return float(e)
+
+
 # --- media features (spec: stages/multimodal.MediaFeatureExtractor) --------
 
 MEDIA_FEATURE_DIM = 16
@@ -263,7 +298,18 @@ def main() -> None:
         "embedding_neardup": {"corpus_key": [], "a": [], "b": [], "cosine": []},
         "ivf_topk": {"corpus_key": [], "query_idx": [], "vec_id": [], "rank": []},
         "media_features": {"corpus_key": [], "media_id": [], "kind": [], "embedding": []},
+        "approx_users": {"corpus_key": [], "event_type": [], "approx_users": []},
     }
+    for sf in SF_DIRS:
+        ev = pq.read_table(f"{sf}/events.parquet", columns=["event_id", "event_type", "user_id"])
+        ekey2 = int(sum(ev["event_id"].to_pylist()))
+        by_type: dict[str, list[int]] = {}
+        for et, uid in zip(ev["event_type"].to_pylist(), ev["user_id"].to_pylist()):
+            by_type.setdefault(et, []).append(uid)
+        for et in sorted(by_type):
+            rows["approx_users"]["corpus_key"].append(ekey2)
+            rows["approx_users"]["event_type"].append(et)
+            rows["approx_users"]["approx_users"].append(hll_reference(by_type[et]))
     for sf in SF_DIRS:
         et = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
         evecs = np.stack(
@@ -353,6 +399,10 @@ def main() -> None:
         "media_features": pa.schema(
             [("corpus_key", pa.int64()), ("media_id", pa.int64()),
              ("kind", pa.string()), ("embedding", pa.list_(pa.float64()))]
+        ),
+        "approx_users": pa.schema(
+            [("corpus_key", pa.int64()), ("event_type", pa.string()),
+             ("approx_users", pa.float64())]
         ),
     }
     for name, cols in rows.items():

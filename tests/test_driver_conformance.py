@@ -98,7 +98,7 @@ def test_oracle_keys_subset(entry_mod):
         # fixture-join oracles (tests/fixtures/gen_oracle_fixtures.py)
         "fingerprint", "simhash", "lang_id", "minhash_pairs",
         "ngram_jaccard_pairs", "embedding_neardup", "ivf_topk",
-        "ivf_index_topk", "media_features",
+        "ivf_index_topk", "media_features", "approx_users",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

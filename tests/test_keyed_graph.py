@@ -243,3 +243,48 @@ def test_connected_components_missing_endpoint_raises(ray_session):
         connected_components(
             ray.data.from_arrow(edges), ray.data.from_arrow(nodes)
         ).materialize()
+
+
+def test_hll_registers_match_pure_python():
+    """Vectorized halving-loop ranks == bit_length reference, incl. edges."""
+    import numpy as np
+
+    from prom_tsdb_copyer_ray.stages.sketch import hll_registers
+
+    p = 12
+    MASK = (1 << 64) - 1
+    rng = np.random.default_rng(13)
+    hashes = rng.integers(0, 1 << 63, 5000, dtype=np.uint64) * 2 + 1
+    hashes = np.concatenate([hashes, np.array(
+        [0, 1, MASK, 1 << 63, (1 << 52) - 1], dtype=np.uint64)])
+    regs = hll_registers(hashes, p)
+    want = np.zeros(1 << p, dtype=np.uint8)
+    for h in hashes.tolist():
+        idx = h >> (64 - p)
+        rest = (h << p) & MASK
+        lz = (64 - p) if rest == 0 else min(64 - rest.bit_length(), 64 - p)
+        want[idx] = max(want[idx], lz + 1)
+    assert (regs == want).all()
+
+
+def test_approx_distinct_accuracy(ray_session):
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.sketch import approx_distinct_per_group
+
+    rng = np.random.default_rng(2)
+    n = 50_000
+    t = pa.table(
+        {
+            "k": pa.array((rng.integers(0, 3, n)).astype(str)),
+            "v": pa.array(rng.integers(0, 8000, n)),
+        }
+    )
+    out = (
+        approx_distinct_per_group(ray.data.from_arrow(t).repartition(11), ["k"], "v")
+        .to_pandas()
+        .set_index("k")["approx_distinct"]
+    )
+    df = t.to_pandas()
+    for kk, true in df.groupby("k")["v"].nunique().items():
+        assert abs(out[kk] - true) / true < 0.05  # ~3 sigma at p=12
