@@ -986,6 +986,41 @@ def q_distinct_users(sf_dir: str):
     return count_distinct_per_group(ds, ["event_type"], "user_id", out_col="n_users")
 
 
+def q_topk_windowed(sf_dir: str):
+    """Top-2 events by value per (event_type, 1h window) — the windowed
+    (streaming-style) variant of topk_events: the window id joins the key,
+    so the combiner bounds shuffle rows at k per (key, window, batch)."""
+    from ..stages.keyed import topk_per_group
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        w = pc.multiply(pc.divide(ts_to_ms(b["ts"]), MS_1H), pa.scalar(MS_1H, pa.int64()))
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "window_start": w,
+                "value": b["value"],
+            }
+        )
+
+    out = topk_per_group(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "window_start"], "value", 2, tiebreak_col="event_id",
+    )
+    return _finalize(out, {}, {"value": 4})
+
+
+def q_top_user(sf_dir: str):
+    """Mode: the most frequent user per event_type (stages/keyed.mode_per_group),
+    ties to the smallest user_id."""
+    from ..stages.keyed import mode_per_group
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return mode_per_group(ds, ["event_type"], "user_id")
+
+
 def q_approx_users(sf_dir: str):
     """HyperLogLog approximate COUNT(DISTINCT user_id) per event_type
     (stages/sketch.approx_distinct_per_group) — the mergeable-sketch scale
@@ -1124,6 +1159,8 @@ QUERIES = {
     "value_quantiles": q_value_quantiles,
     "distinct_users": q_distinct_users,
     "approx_users": q_approx_users,
+    "topk_windowed": q_topk_windowed,
+    "top_user": q_top_user,
     "dup_clusters": q_dup_clusters,
     "term_df": q_term_df,
     "orders_per_nation": q_orders_per_nation,
@@ -1288,6 +1325,21 @@ ORACLE_SQL = {
     "distinct_users": """
         SELECT event_type, count(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1
+    """,
+    "topk_windowed": f"""
+        SELECT event_type, window_start, event_id, round(value, 4) AS value FROM (
+          SELECT event_type, (epoch_ms(ts) // {MS_1H}) * {MS_1H} AS window_start,
+                 event_id, value,
+                 row_number() OVER (PARTITION BY event_type, (epoch_ms(ts) // {MS_1H})
+                                    ORDER BY value DESC, event_id) AS rn
+          FROM events) WHERE rn <= 2
+    """,
+    "top_user": """
+        SELECT event_type, user_id, n FROM (
+          SELECT event_type, user_id, count(*) AS n,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY count(*) DESC, user_id) AS rn
+          FROM events GROUP BY 1, 2) WHERE rn = 1
     """,
     "dup_clusters": """
         WITH RECURSIVE

@@ -207,6 +207,41 @@ def count_distinct_per_group(ds, key_cols: list[str], value_col: str,
     )
 
 
+def mode_per_group(ds, key_cols: list[str], value_col: str,
+                   count_col: str = "n", num_shards: int = 64):
+    """Most frequent value per key (deterministic: ties break to the
+    smallest value).  Composition: per-batch Arrow ``group_by`` count
+    (combiner), hash-shard segment-sum over (key, value), then the
+    :func:`topk_per_group` kernel with k=1 ordered by (count desc, value
+    asc).  Two narrow shuffles; no per-key Python."""
+    cols = list(key_cols) + [value_col]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols).group_by(cols).aggregate([([], "count_all")])
+        t = t.rename_columns(cols + [count_col])
+        return t.append_column("_kshard", _key_shard(t, cols, num_shards))
+
+    def shard_sum(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return group.drop_columns("_kshard")
+        t = group.drop_columns("_kshard").sort_by([(c, "ascending") for c in cols])
+        new = _segment_starts(t, cols)
+        starts = np.flatnonzero(new)
+        sums = np.add.reduceat(
+            t[count_col].to_numpy(zero_copy_only=False), starts
+        ).astype(np.int64)
+        out = t.select(cols).take(pa.array(starts))
+        return out.append_column(count_col, pa.array(sums, pa.int64()))
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_kshard")
+        .map_groups(shard_sum, batch_format="pyarrow")
+    )
+    return topk_per_group(counts, list(key_cols), count_col, 1,
+                          tiebreak_col=value_col, num_shards=num_shards)
+
+
 def group_quantiles(ds, key_cols: list[str], value_col: str,
                     qs: tuple[float, ...] = (0.5, 0.9, 0.99),
                     num_shards: int = 64):

@@ -288,3 +288,25 @@ def test_approx_distinct_accuracy(ray_session):
     df = t.to_pandas()
     for kk, true in df.groupby("k")["v"].nunique().items():
         assert abs(out[kk] - true) / true < 0.05  # ~3 sigma at p=12
+
+
+def test_mode_per_group(ray_session):
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.keyed import mode_per_group
+
+    t = pa.table(
+        {
+            "k": ["a"] * 5 + ["b"] * 3,
+            "v": [7, 7, 3, 3, 1, 9, 8, 9],
+        }
+    )
+    out = (
+        mode_per_group(ray.data.from_arrow(t).repartition(3), ["k"], "v")
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    # a: 7 and 3 tie at count 2 -> smaller value 3 wins; b: 9 wins with 2
+    assert out.loc["a", "v"] == 3 and out.loc["a", "n"] == 2
+    assert out.loc["b", "v"] == 9 and out.loc["b", "n"] == 2
