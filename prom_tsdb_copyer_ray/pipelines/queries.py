@@ -1454,6 +1454,11 @@ ORACLE_SQL = {
                min(value) AS agg_min, max(value) AS agg_max
         FROM samples GROUP BY 1, 2, 3, 4
     """,
+    "pages_verify": _PAGES_SAMPLES_SQL + """
+        SELECT count(*) AS "rows", CAST(0 AS BIGINT) AS bad_rows FROM (
+          SELECT metric, domain, lang, (ts_ms // 300000) * 300000
+          FROM samples GROUP BY 1, 2, 3, 4)
+    """,
     "pages_rollup_1h": _PAGES_SAMPLES_SQL + """
         SELECT metric, domain, lang,
                (ts_ms // 3600000) * 3600000 AS window_start,
