@@ -310,3 +310,55 @@ def test_mode_per_group(ray_session):
     # a: 7 and 3 tie at count 2 -> smaller value 3 wins; b: 9 wins with 2
     assert out.loc["a", "v"] == 3 and out.loc["a", "n"] == 2
     assert out.loc["b", "v"] == 9 and out.loc["b", "n"] == 2
+
+
+def test_sessionize_fuzz_vs_pandas(ray_session):
+    """Randomized sessions match a pandas reference implementation."""
+    import pandas as pd
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.keyed import sessionize
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    t = pa.table(
+        {
+            "u": pa.array(rng.integers(0, 60, n)),
+            "ts_ms": pa.array(rng.integers(0, 500_000, n)),
+            "v": pa.array(rng.normal(size=n)),
+        }
+    )
+    gap = 3000
+    got = (
+        sessionize(ray.data.from_arrow(t).repartition(7), "u", "ts_ms", gap, value_col="v")
+        .to_pandas()
+        .sort_values(["u", "session_start_ms"])
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas().sort_values(["u", "ts_ms"])
+    df["brk"] = (df["u"].ne(df["u"].shift())) | (
+        df["ts_ms"] - df["ts_ms"].shift() > gap
+    )
+    df["sid"] = df["brk"].cumsum()
+    want = (
+        df.groupby(["u", "sid"])
+        .agg(
+            session_start_ms=("ts_ms", "min"),
+            session_end_ms=("ts_ms", "max"),
+            n_events=("ts_ms", "size"),
+            sum_value=("v", "sum"),
+        )
+        .reset_index()
+        .drop(columns="sid")
+        .sort_values(["u", "session_start_ms"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got[["u", "session_start_ms", "session_end_ms", "n_events"]],
+        want[["u", "session_start_ms", "session_end_ms", "n_events"]].astype(
+            {"u": "int64", "n_events": "int64"}
+        ),
+        check_dtype=False,
+    )
+    np.testing.assert_allclose(got["sum_value"], want["sum_value"], rtol=1e-9)
