@@ -37,8 +37,9 @@ def char_ngram_hashes(text: str, n: int = 5) -> np.ndarray:
         return np.empty(0, dtype=np.uint64)
     if len(b) <= n:
         h = np.uint64(0)
-        for x in b:
-            h = h * _B + x + _SEED
+        with np.errstate(over="ignore"):
+            for x in b:
+                h = h * _B + x + _SEED
         return np.array([h], dtype=np.uint64)
     with np.errstate(over="ignore"):
         # prefix[i] = hash of b[:i] = sum_{j<i} (b[j]+SEED) * B^(i-1-j), all
