@@ -56,21 +56,57 @@ def add_content_hash(batch: pa.Table, text_col: str = "text", out_col: str = "co
     return batch.append_column(out_col, pa.array(hashes)).append_column("n_bytes", nbytes)
 
 
-def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
-    """Keep exactly one row (min id) per distinct text: hash -> groupby -> min.
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+                num_shards: int = 64):
+    """Keep exactly one row (min id) per distinct text.
 
     Returns a Dataset of ``(content_hash, n_bytes, doc_id)`` winners.  The
-    groupby shuffles only (hash, len, id) triples — documents themselves
-    never move; callers re-join winners to content via the id (broadcast or
-    second pass).
+    shuffle moves only (hash, len, id) triples — documents never move —
+    and, like the pair pipelines, the min is a SHARDED SEGMENT KERNEL, not
+    a Ray per-key aggregate: content hashes are near-unique, so a
+    ``groupby(hash).aggregate(Min)`` pays Python-level per-key cost on
+    ~n_docs keys (the exact anti-pattern removed from the LSH pair dedup).
+    A per-batch combiner keeps one id per (hash, len, batch) first, so
+    pre-shuffle volume is already collapsed.
     """
-    from ray.data.aggregate import Min
 
-    hashed = ds.map_batches(
-        lambda b: add_content_hash(b, text_col).select(["content_hash", "n_bytes", id_col]),
-        batch_format="pyarrow",
+    def min_per_hash(table: pa.Table) -> pa.Table:
+        h = table["content_hash"].to_numpy(zero_copy_only=False)
+        nb = table["n_bytes"].to_numpy(zero_copy_only=False)
+        ids = table[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, nb, h))
+        h_s, nb_s, id_s = h[order], nb[order], ids[order]
+        first = np.ones(len(h_s), dtype=bool)
+        first[1:] = (h_s[1:] != h_s[:-1]) | (nb_s[1:] != nb_s[:-1])
+        return pa.table(
+            {
+                "content_hash": pa.array(h_s[first]),
+                "n_bytes": pa.array(nb_s[first]),
+                id_col: pa.array(id_s[first]),
+            }
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = min_per_hash(
+            add_content_hash(batch, text_col).select(
+                ["content_hash", "n_bytes", id_col]
+            )
+        )
+        shard = (
+            _mix64(t["content_hash"].to_numpy(zero_copy_only=False).astype(np.uint64))
+            % np.uint64(num_shards)
+        ).astype(np.int64)
+        return t.append_column("_hshard", pa.array(shard))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(_pair_fanin())
+        .groupby("_hshard")
+        .map_groups(
+            lambda g: min_per_hash(g.drop_columns("_hshard")),
+            batch_format="pyarrow",
+        )
     )
-    return hashed.groupby(["content_hash", "n_bytes"]).aggregate(Min(id_col, alias_name=id_col))
 
 
 def exact_dedup_rows(ds, id_col: str = "doc_id", text_col: str = "text",
