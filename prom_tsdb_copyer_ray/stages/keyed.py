@@ -194,16 +194,33 @@ def count_distinct_per_group(ds, key_cols: list[str], value_col: str,
         kstarts = np.flatnonzero(knew)
         counts = np.diff(np.r_[kstarts, uniq.num_rows]).astype(np.int64)
         out = uniq.select(list(key_cols)).take(pa.array(kstarts))
-        return out.append_column("n_partial", pa.array(counts, pa.int64()))
+        out = out.append_column("n_partial", pa.array(counts, pa.int64()))
+        return out.append_column("_fshard", _key_shard(out, list(key_cols), num_shards))
 
-    from ray.data.aggregate import Sum
+    def final_sum(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            cols_out = {c: group[c] for c in key_cols}
+            cols_out[out_col] = pa.array([], pa.int64())
+            return pa.table(cols_out)
+        t = group.drop_columns("_fshard").sort_by(
+            [(c, "ascending") for c in key_cols]
+        )
+        knew = _segment_starts(t, list(key_cols))
+        starts = np.flatnonzero(knew)
+        sums = np.add.reduceat(
+            t["n_partial"].to_numpy(zero_copy_only=False), starts
+        ).astype(np.int64)
+        out = t.select(list(key_cols)).take(pa.array(starts))
+        return out.append_column(out_col, pa.array(sums, pa.int64()))
 
+    # the final sum is sharded by KEY (segment sum), not a Ray per-key
+    # aggregate — key cardinality can be millions
     return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("_kshard")
         .map_groups(per_shard, batch_format="pyarrow")
-        .groupby(list(key_cols))
-        .aggregate(Sum("n_partial", alias_name=out_col))
+        .groupby("_fshard")
+        .map_groups(final_sum, batch_format="pyarrow")
     )
 
 
