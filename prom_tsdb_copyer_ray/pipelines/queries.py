@@ -258,10 +258,15 @@ def q_dedup_first(sf_dir: str):
         )
         return t.group_by(["user_id", "event_type"]).aggregate([("comp", "min")])
 
-    final = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["user_id", "event_type"])
-        .aggregate(Min("comp_min", alias_name="comp"))
+    from ..stages.keyed import sharded_grouped_agg
+
+    final = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow").map_batches(
+            lambda b: b.rename_columns(["user_id", "event_type", "comp"]),
+            batch_format="pyarrow",
+        ),
+        ["user_id", "event_type"],
+        [("comp", "min")],
     )
 
     def decompose(batch: pa.Table) -> pa.Table:
@@ -798,8 +803,21 @@ def q_union_merge(sf_dir: str):
         return ds.map_batches(flt, batch_format="pyarrow")
 
     u = part([0, 1]).union(part([1, 2]))
-    # dedup identical records from the overlap (keep-first), then aggregate
-    dedup = u.groupby(["event_type", "event_id"]).aggregate(Count(alias_name="_dup"))
+    # dedup identical records from the overlap (keep-first): event_id is
+    # near-unique, so the distinct pass is a sharded segment kernel, never a
+    # per-key Ray aggregate; only the tiny per-type count uses groupby
+    from ..stages.keyed import sharded_grouped_agg
+
+    def mark(batch: pa.Table) -> pa.Table:
+        return batch.select(["event_type", "event_id"]).append_column(
+            "_one", pa.nulls(batch.num_rows, pa.int64()).fill_null(1)
+        )
+
+    dedup = sharded_grouped_agg(
+        u.map_batches(mark, batch_format="pyarrow"),
+        ["event_type", "event_id"],
+        [("_one", "min")],
+    )
     return dedup.groupby("event_type").aggregate(Count(alias_name="n"))
 
 
@@ -876,17 +894,25 @@ def _pages_tier_query(sf_dir: str, d_ms: int):
             [("value", "count"), ("value", "sum"), ("value", "min"), ("value", "max")]
         )
 
-    out = (
-        samples.map_batches(partial, batch_format="pyarrow")
-        .groupby(["metric", "domain", "lang", "window_start"])
-        .aggregate(
-            Sum("value_count", alias_name="agg_count"),
-            Sum("value_sum", alias_name="agg_sum"),
-            Min("value_min", alias_name="agg_min"),
-            Max("value_max", alias_name="agg_max"),
-        )
+    # final over (metric, domain, lang, window): series x windows keys —
+    # sharded segment reduceat, not a per-key Ray aggregate.  Exact: the
+    # summed values are integer-valued floats (byte counts / 1.0-rates)
+    from ..stages.keyed import sharded_grouped_agg
+
+    keys = ["metric", "domain", "lang", "window_start"]
+    out = sharded_grouped_agg(
+        samples.map_batches(partial, batch_format="pyarrow"),
+        keys,
+        [("value_count", "sum"), ("value_sum", "sum"),
+         ("value_min", "min"), ("value_max", "max")],
     )
-    return out
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            keys + ["agg_count", "agg_sum", "agg_min", "agg_max"]
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
 
 
 def q_pages_rollup_5m(sf_dir: str):

@@ -224,6 +224,50 @@ def count_distinct_per_group(ds, key_cols: list[str], value_col: str,
     )
 
 
+_REDUCERS = {"sum": np.add, "min": np.minimum, "max": np.maximum}
+
+
+def sharded_grouped_agg(ds, key_cols: list[str], agg_specs: list[tuple[str, str]],
+                        num_shards: int = 64):
+    """Final-stage aggregation over MANY keys: one hash-shard groupby with a
+    lexsort + ``reduceat`` per agg column, replacing Ray's per-key hash
+    aggregate (Python-level per-key cost — unusable at 1e5+ keys).
+
+    Input rows are per-batch PARTIAL aggregates (e.g. from a pyarrow
+    ``group_by`` combiner); ``agg_specs`` is ``[(col, fn)]`` with fn in
+    {"sum", "min", "max"}.  Output: key cols + agg cols, same names.
+    Exactness note: float sums are re-associated — use integer-valued or
+    pre-scaled columns when bit-exact results matter."""
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_ashard", _key_shard(batch, list(key_cols), num_shards)
+        )
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_ashard")
+        if t.num_rows == 0:
+            return t
+        t = t.sort_by([(c, "ascending") for c in key_cols])
+        starts = np.flatnonzero(_segment_starts(t, list(key_cols)))
+        out = t.select(list(key_cols)).take(pa.array(starts))
+        for col, fn in agg_specs:
+            vals = t[col].to_numpy(zero_copy_only=False)
+            out = out.append_column(
+                col, pa.array(_REDUCERS[fn].reduceat(vals, starts), t[col].type)
+            )
+        return out
+
+    from .common import narrow_fanin
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .repartition(narrow_fanin())
+        .groupby("_ashard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )
+
+
 def mode_per_group(ds, key_cols: list[str], value_col: str,
                    count_col: str = "n", num_shards: int = 64):
     """Most frequent value per key (deterministic: ties break to the
