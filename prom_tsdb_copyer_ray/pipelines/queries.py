@@ -69,14 +69,24 @@ def _windowed_partial(keys: list[str], d_ms: int, ts_col: str = "ts", val_col: s
 
 
 def _final_rollup(ds, keys: list[str], val_col: str = "value"):
-    from ray.data.aggregate import Max, Min, Sum
+    # keys = (labels..., window) — cardinality grows with the time span, so
+    # the final merge is the sharded segment kernel, not a per-key Ray
+    # aggregate (float sums are re-associated; every sum_value consumer
+    # rounds to 4 decimals on both sides)
+    from ..stages.keyed import sharded_grouped_agg
 
-    return ds.groupby(keys).aggregate(
-        Sum(f"{val_col}_count", alias_name="n"),
-        Sum(f"{val_col}_sum", alias_name="sum_value"),
-        Min(f"{val_col}_min", alias_name="min_value"),
-        Max(f"{val_col}_max", alias_name="max_value"),
+    out = sharded_grouped_agg(
+        ds, keys,
+        [(f"{val_col}_count", "sum"), (f"{val_col}_sum", "sum"),
+         (f"{val_col}_min", "min"), (f"{val_col}_max", "max")],
     )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            list(keys) + ["n", "sum_value", "min_value", "max_value"]
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
 
 
 def _rollup_events(sf_dir: str, d_ms: int):
@@ -336,8 +346,10 @@ def q_gapfill_5m(sf_dir: str):
         )
 
     grid = ray.data.range(n_slots).map_batches(grid_rows, batch_format="pyarrow")
-    return grid.union(counts).groupby(["event_type", "window_start"]).aggregate(
-        Sum("n", alias_name="n")
+    from ..stages.keyed import sharded_grouped_agg
+
+    return sharded_grouped_agg(
+        grid.union(counts), ["event_type", "window_start"], [("n", "sum")]
     )
 
 
