@@ -126,15 +126,13 @@ def q_rollup_1h(sf_dir: str):
         w = window_start(batch["window_start"], MS_1H)
         return batch.set_column(batch.column_names.index("window_start"), "window_start", w)
 
-    merged = (
-        t5.map_batches(to_1h, batch_format="pyarrow")
-        .groupby(["event_type", "window_start"])
-        .aggregate(
-            Sum("n", alias_name="n"),
-            Sum("sum_value", alias_name="sum_value"),
-            Min("min_value", alias_name="min_value"),
-            Max("max_value", alias_name="max_value"),
-        )
+    from ..stages.keyed import sharded_grouped_agg
+
+    merged = sharded_grouped_agg(
+        t5.map_batches(to_1h, batch_format="pyarrow"),
+        ["event_type", "window_start"],
+        [("n", "sum"), ("sum_value", "sum"),
+         ("min_value", "min"), ("max_value", "max")],
     )
     return _round_sum(merged)
 
@@ -149,15 +147,13 @@ def q_rollup_1d(sf_dir: str):
         w = window_start(batch["window_start"], MS_1D)
         return batch.set_column(batch.column_names.index("window_start"), "window_start", w)
 
-    merged = (
-        t1h.map_batches(to_1d, batch_format="pyarrow")
-        .groupby(["event_type", "window_start"])
-        .aggregate(
-            Sum("n", alias_name="n"),
-            Sum("sum_value", alias_name="sum_value"),
-            Min("min_value", alias_name="min_value"),
-            Max("max_value", alias_name="max_value"),
-        )
+    from ..stages.keyed import sharded_grouped_agg
+
+    merged = sharded_grouped_agg(
+        t1h.map_batches(to_1d, batch_format="pyarrow"),
+        ["event_type", "window_start"],
+        [("n", "sum"), ("sum_value", "sum"),
+         ("min_value", "min"), ("max_value", "max")],
     )
     return _round_sum(merged)
 
@@ -681,15 +677,20 @@ def q_hist_5m(sf_dir: str):
         return t.group_by(["event_type", "window_start"]).aggregate(aggs)
 
     names = [f"le_{int(le)}" for le in HIST_LES]
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["event_type", "window_start"])
-        .aggregate(
-            *[Sum(f"{n}_sum", alias_name=n) for n in names],
-            Sum("value_count", alias_name="le_inf"),
-        )
+    from ..stages.keyed import sharded_grouped_agg
+
+    out = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "window_start"],
+        [(f"{n}_sum", "sum") for n in names] + [("value_count", "sum")],
     )
-    return out
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["event_type", "window_start"] + names + ["le_inf"]
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
 
 
 def q_sliding_1h(sf_dir: str):
