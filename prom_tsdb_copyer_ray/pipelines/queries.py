@@ -367,7 +367,9 @@ RETENTION_KEEP_MS = 2 * MS_1D
 
 def q_retention(sf_dir: str):
     """Retention cut: keep only 5m windows within 2d of the newest window."""
-    counts = _round_sum(_rollup_events(sf_dir, MS_5M))
+    # materialize once: the Max bound and the filter pass are two consumers,
+    # and the collapsed tier is tiny relative to the raw events it summarizes
+    counts = _round_sum(_rollup_events(sf_dir, MS_5M)).materialize()
     from ray.data.aggregate import Max
 
     w1 = counts.aggregate(Max("window_start"))["max(window_start)"]
