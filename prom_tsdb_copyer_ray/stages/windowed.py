@@ -38,19 +38,37 @@ def sliding_window_sum(
     PRECEDING AND CURRENT ROW)``.
     """
 
-    def per_group(group: pa.Table) -> pa.Table:
-        w = group[window_col].to_numpy().astype(np.int64, copy=False)
-        v = group[value_col].to_numpy().astype(np.float64, copy=False)
-        order = np.argsort(w, kind="stable")
-        w_s, v_s = w[order], v[order]
-        csum = np.concatenate([[0.0], np.cumsum(v_s)])
-        lo = np.searchsorted(w_s, w_s - (trail_ms - 1), side="left")
-        hi = np.arange(1, len(w_s) + 1)
-        sums = csum[hi] - csum[lo]
-        out = group.take(pa.array(order))
-        return out.append_column(out_col, pa.array(sums, pa.float64()))
+    from .keyed import _key_shard, _segment_starts
 
-    return tier_ds.groupby(key_cols).map_groups(per_group, batch_format="pyarrow")
+    def add_shard(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_kshard", _key_shard(batch, key_cols, 64))
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        """Many keys per task (hash shard): one sort, then a per-key-segment
+        prefix-sum — group count stays O(shards) at any key cardinality
+        (raw-key map_groups would launch one ~5 ms task per key)."""
+        t = group.drop_columns("_kshard").sort_by(
+            [(c, "ascending") for c in key_cols] + [(window_col, "ascending")]
+        )
+        w = t[window_col].to_numpy().astype(np.int64, copy=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        starts = np.flatnonzero(_segment_starts(t, key_cols))
+        ends = np.r_[starts[1:], t.num_rows]
+        sums = np.empty(len(w), dtype=np.float64)
+        for a, b in zip(starts, ends):
+            csum = np.concatenate([[0.0], np.cumsum(v[a:b])])
+            lo = np.searchsorted(w[a:b], w[a:b] - (trail_ms - 1), side="left")
+            sums[a:b] = csum[1 : b - a + 1] - csum[lo]
+        return t.append_column(out_col, pa.array(sums, pa.float64()))
+
+    from .common import narrow_fanin
+
+    return (
+        tier_ds.map_batches(add_shard, batch_format="pyarrow")
+        .repartition(narrow_fanin())
+        .groupby("_kshard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )
 
 
 def range_join(
@@ -216,39 +234,69 @@ def asof_join(
         tag("r"), batch_format="pyarrow"
     )
 
-    def per_group(group: pa.Table) -> pa.Table:
+    from .keyed import _key_shard, _segment_starts
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_kshard", _key_shard(batch, key_cols, 64))
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        """Many keys per task (hash shard of the key, not the raw key —
+        raw-key map_groups is one ~5 ms task per key, unusable at millions
+        of keys).  Per shard: sort both sides once, then a per-key-segment
+        vectorized searchsorted; the segment walk is a dict lookup per key,
+        not a task per key."""
         side = np.array(group["_side"].to_pylist())
         is_left = side == "l"
-        left_t = group.filter(pa.array(is_left))
+        left_t = group.filter(pa.array(is_left)).drop_columns(["_side", "_kshard"])
         right_t = group.filter(pa.array(~is_left))
-        left_t = left_t.drop_columns("_side")
         if left_t.num_rows == 0 or right_t.num_rows == 0:
-            # inner as-of: a key with no right history contributes nothing
             return left_t.slice(0, 0)
-        lts = pc.cast(left_t[left_ts], pa.int64()).to_numpy()
-        rts = right_t["_r_ts"].to_numpy().astype(np.int64, copy=False)
-        order = np.argsort(rts, kind="stable")
-        rts_s = rts[order]
-        idx = np.searchsorted(rts_s, lts, side="right") - 1
-        matched = idx >= 0
-        # inner as-of semantics (DuckDB ASOF JOIN default): drop unmatched
-        out = left_t.filter(pa.array(matched))
-        idx_m = order[idx[matched]]
+        lt_s = left_t.sort_by([(c, "ascending") for c in key_cols])
+        rt_s = right_t.sort_by(
+            [(c, "ascending") for c in key_cols] + [("_r_ts", "ascending")]
+        )
+        lts = pc.cast(lt_s[left_ts], pa.int64()).to_numpy(zero_copy_only=False)
+        rts = rt_s["_r_ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        l_starts = np.flatnonzero(_segment_starts(lt_s, key_cols))
+        l_ends = np.r_[l_starts[1:], lt_s.num_rows]
+        r_starts = np.flatnonzero(_segment_starts(rt_s, key_cols))
+        r_ends = np.r_[r_starts[1:], rt_s.num_rows]
+        r_keys = rt_s.select(key_cols).take(pa.array(r_starts)).to_pylist()
+        r_index = {tuple(d.values()): (int(a), int(b))
+                   for d, a, b in zip(r_keys, r_starts, r_ends)}
+        l_keys = lt_s.select(key_cols).take(pa.array(l_starts)).to_pylist()
+        match = np.full(lt_s.num_rows, -1, dtype=np.int64)
+        for d, a, b in zip(l_keys, l_starts, l_ends):
+            rr = r_index.get(tuple(d.values()))
+            if rr is None:
+                continue
+            ra, rb = rr
+            idx = np.searchsorted(rts[ra:rb], lts[a:b], side="right") - 1
+            seg = match[a:b]
+            ok = idx >= 0
+            seg[ok] = ra + idx[ok]
+        matched = match >= 0
+        out = lt_s.filter(pa.array(matched))
+        idx_m = match[matched]
         out = out.set_column(
-            out.column_names.index("_r_ts"),
-            "_r_ts",
+            out.column_names.index("_r_ts"), "_r_ts",
             pa.array(rts[idx_m], pa.int64()),
         )
         for c in right_value_cols:
             rc = c + suffix
-            vals = right_t[rc].to_numpy(zero_copy_only=False)[idx_m]
+            vals = rt_s[rc].to_numpy(zero_copy_only=False)[idx_m]
             out = out.set_column(
-                out.column_names.index(rc), rc, pa.array(vals.astype(np.float64), pa.float64())
+                out.column_names.index(rc), rc,
+                pa.array(vals.astype(np.float64), pa.float64()),
             )
         return out
 
+    from .common import narrow_fanin
+
     return (
         left_tagged.union(right_tagged)
-        .groupby(key_cols)
-        .map_groups(per_group, batch_format="pyarrow")
+        .map_batches(add_shard, batch_format="pyarrow")
+        .repartition(narrow_fanin())
+        .groupby("_kshard")
+        .map_groups(per_shard, batch_format="pyarrow")
     )
