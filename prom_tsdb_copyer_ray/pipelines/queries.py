@@ -1426,7 +1426,8 @@ ORACLE_SQL = {
         WITH q AS (SELECT vec_id AS query_idx, embedding AS qe FROM embeddings
                    WHERE vec_id < {N_ANN_QUERIES}),
         s AS (SELECT q.query_idx, e.vec_id,
-                     list_cosine_similarity(q.qe, e.embedding) AS sim
+                     list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])) AS sim
               FROM q CROSS JOIN embeddings e),
         r AS (SELECT query_idx, vec_id,
                      row_number() OVER (PARTITION BY query_idx
@@ -1435,10 +1436,16 @@ ORACLE_SQL = {
         SELECT query_idx, vec_id, rank FROM r WHERE rank < {ANN_K}
     """,
     "cosine_pairs_exact": f"""
+        -- CAST to DOUBLE[]: list_cosine_similarity on FLOAT[] computes in
+        -- float32 and can flip the 6th rounded decimal vs the engine's
+        -- float64 path (observed at sf0.01: one pair off by 1e-6)
         SELECT a.vec_id AS a, b.vec_id AS b,
-               round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6)
+                 AS cosine
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.embedding, b.embedding)
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[]))
               >= {COSINE_PAIRS_THRESHOLD}
     """,
     "hist_5m": """
