@@ -157,7 +157,51 @@ def connected_components(edges_ds, nodes_ds, node_col: str = "node",
             }
         )
 
-    for _ in range(max_iters):
+    def jump_rows(batch: pa.Table) -> pa.Table:
+        """Pointer-jumping routing: each node emits an AUTHORITY row keyed
+        by itself and a SEEKER row keyed by its current label."""
+        node = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.concatenate([node, lab])
+        n = len(node)
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "node": pa.array(np.concatenate([node, node])),
+                "label": pa.array(np.concatenate([lab, lab])),
+                "is_auth": pa.array(
+                    np.concatenate([np.ones(n, np.int8), np.zeros(n, np.int8)])
+                ),
+                "_j": pa.array(_mix_shard(key, num_shards)),
+            }
+        )
+
+    def resolve(group: pa.Table) -> pa.Table:
+        """label <- label[label] (halves pointer-chain depth per round)."""
+        if group.num_rows == 0:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+            )
+        is_auth = group["is_auth"].to_numpy(zero_copy_only=False).astype(np.int8) == 1
+        auth = group.filter(pa.array(is_auth))
+        seek = group.filter(pa.array(~is_auth))
+        akey = auth["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        alab = auth["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(akey, kind="stable")
+        akey_s, alab_s = akey[order], alab[order]
+        snode = seek["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        skey = seek["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(akey_s, skey)
+        # every label IS a node id, so the authority always exists
+        return pa.table({"node": pa.array(snode), "label": pa.array(alab_s[pos])})
+
+    # Adaptive pointer jumping: hash-min moves the min label one hop per
+    # round (fine for shallow dup graphs); if the loop is still changing
+    # after JUMP_AFTER rounds the graph has long chains, so each further
+    # round also resolves label <- label[label] — one extra int shuffle per
+    # round for O(log diameter) total rounds instead of O(diameter).
+    JUMP_AFTER = 12  # above the round count of typical shallow dup graphs
+    for it in range(max_iters):
         lab_tagged = labels.map_batches(label_rows, batch_format="pyarrow")
         new_labels = (
             lab_tagged.union(edges_bi)
@@ -175,6 +219,13 @@ def connected_components(edges_ds, nodes_ds, node_col: str = "node",
         labels = new_labels.drop_columns("changed")
         if not n_changed:
             break
+        if it >= JUMP_AFTER:
+            labels = (
+                labels.map_batches(jump_rows, batch_format="pyarrow")
+                .repartition(loop_fanin)
+                .groupby("_j")
+                .map_groups(resolve, batch_format="pyarrow")
+            )
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table({node_col: batch["node"], "component": batch["label"]})

@@ -362,3 +362,24 @@ def test_sessionize_fuzz_vs_pandas(ray_session):
         check_dtype=False,
     )
     np.testing.assert_allclose(got["sum_value"], want["sum_value"], rtol=1e-9)
+
+
+def test_connected_components_long_chain_pointer_jumping(ray_session):
+    """A 300-node chain converges in O(log d) rounds once adaptive pointer
+    jumping kicks in — plain hash-min would need ~300 rounds and exhaust
+    max_iters."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.graph import connected_components
+
+    n = 300
+    edges = pa.table({"a": list(range(n - 1)), "b": list(range(1, n))})
+    nodes = pa.table({"node": list(range(n))})
+    out = (
+        connected_components(
+            ray.data.from_arrow(edges), ray.data.from_arrow(nodes), max_iters=40
+        )
+        .to_pandas()["component"]
+        .unique()
+    )
+    assert list(out) == [0]
