@@ -121,3 +121,24 @@ def test_broadcast_join_empty_right(ray_session):
     assert broadcast_join(ds, empty, "k", "rk", right_cols=["name"]).to_pandas().empty
     assert len(broadcast_join(ds, empty, "k", "rk", how="anti").to_pandas()) == 5
     assert broadcast_join(ds, empty, "k", "rk", how="semi").to_pandas().empty
+
+
+def test_shuffle_join_hot_key_many_matches(ray_session):
+    """A hot key with hundreds of right rows expands correctly (arange
+    many-to-many path) across blocks."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.joins import shuffle_join
+
+    left = pa.table({"k": [1, 1, 2], "lid": [0, 1, 2]})
+    right = pa.table(
+        {"rk": [1] * 500 + [2], "v": [float(i) for i in range(500)] + [9.0]}
+    )
+    out = shuffle_join(
+        ray.data.from_arrow(left).repartition(2),
+        ray.data.from_arrow(right).repartition(5),
+        "k", "rk", right_cols=["v"],
+    ).to_pandas()
+    assert len(out) == 2 * 500 + 1
+    assert sorted(out[out["lid"] == 0]["v"]) == [float(i) for i in range(500)]
+    assert out[out["lid"] == 2]["v"].tolist() == [9.0]
