@@ -1027,6 +1027,20 @@ def q_distinct_users(sf_dir: str):
     return count_distinct_per_group(ds, ["event_type"], "user_id", out_col="n_users")
 
 
+def q_approx_quantiles(sf_dir: str):
+    """Approximate per-type value quantiles via the mergeable bottom-k row
+    sample (stages/sketch.approx_quantiles_per_group) — the scale path for
+    `value_quantiles`, which must shuffle every (key, value) pair to be
+    exact.  Deterministic, fixture-oracled."""
+    from ..stages.sketch import approx_quantiles_per_group
+
+    ds = _read(sf_dir, "events", ["event_type", "value", "event_id"])
+    out = approx_quantiles_per_group(
+        ds, ["event_type"], "value", "event_id", (0.5, 0.9, 0.99), k=512
+    )
+    return _finalize(out, {}, {"p50": 6, "p90": 6, "p99": 6})
+
+
 def q_topk_windowed(sf_dir: str):
     """Top-2 events by value per (event_type, 1h window) — the windowed
     (streaming-style) variant of topk_events: the window id joins the key,
@@ -1202,6 +1216,7 @@ QUERIES = {
     "approx_users": q_approx_users,
     "topk_windowed": q_topk_windowed,
     "top_user": q_top_user,
+    "approx_quantiles": q_approx_quantiles,
     "dup_clusters": q_dup_clusters,
     "term_df": q_term_df,
     "orders_per_nation": q_orders_per_nation,
@@ -1564,6 +1579,12 @@ ORACLE_SQL.update(
         "approx_users": (
             "SELECT event_type, round(approx_users, 4) AS approx_users "
             f"FROM read_parquet('{_FIXTURE_DIR}/oracle_approx_users.parquet') "
+            "WHERE corpus_key = (SELECT CAST(SUM(event_id) AS BIGINT) FROM events)"
+        ),
+        "approx_quantiles": (
+            "SELECT event_type, round(p50, 6) AS p50, round(p90, 6) AS p90, "
+            "round(p99, 6) AS p99 "
+            f"FROM read_parquet('{_FIXTURE_DIR}/oracle_approx_quantiles.parquet') "
             "WHERE corpus_key = (SELECT CAST(SUM(event_id) AS BIGINT) FROM events)"
         ),
     }

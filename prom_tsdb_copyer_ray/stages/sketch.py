@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.hashing import poly_hash_column
-from .common import fmix64
+from .common import fmix64, mix64
 from .keyed import _key_shard, _segment_starts
 
 
@@ -73,6 +73,100 @@ def hll_estimate(regs: np.ndarray) -> float:
     if e <= 2.5 * m and zeros > 0:
         e = m * np.log(m / zeros)
     return float(e)
+
+
+def bottomk_sample(hashes: np.ndarray, values: np.ndarray, k: int):
+    """k rows with the smallest hashes — a deterministic uniform sample
+    (KMV-style): the hash order is a fixed random permutation of rows, so
+    the bottom-k of a union equals the bottom-k of merged bottom-ks
+    (mergeable, order-independent)."""
+    if len(hashes) <= k:
+        return hashes, values
+    idx = np.argpartition(hashes, k)[:k]
+    return hashes[idx], values[idx]
+
+
+def quantiles_from_sample(values: np.ndarray, qs: tuple[float, ...]) -> list[float]:
+    s = np.sort(values)
+    out = []
+    for q in qs:
+        i = int(np.ceil(q * len(s))) - 1
+        out.append(float(s[max(i, 0)]))
+    return out
+
+
+def approx_quantiles_per_group(ds, key_cols: list[str], value_col: str,
+                               id_col: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                               k: int = 1024, num_shards: int = 64):
+    """Approximate per-key quantiles via a mergeable bottom-k row sample.
+
+    The scale path for :func:`..keyed.group_quantiles` (which must shuffle
+    every (key, value) pair to be exact): each row gets a deterministic
+    uniform rank ``fmix64(value_bits ^ mix(id))``; per batch only the k
+    lowest-ranked rows per key survive (combiner), merge keeps the k lowest
+    of the union (associative), and the estimate applies the
+    ``quantile_disc`` formula to the final sample.  Error ~ O(1/sqrt(k))
+    quantile deviation; fully deterministic, so fixture-oracle-checkable.
+    Output columns: key cols + ``p<q*100>``."""
+    qnames = [f"p{q * 100:g}" for q in qs]
+
+    def row_rank(values: pa.ChunkedArray, ids) -> np.ndarray:
+        v64 = pc.cast(values, pa.float64()).to_numpy(zero_copy_only=False)
+        vbits = v64.view(np.uint64)
+        idh = mix64(pc.cast(ids, pa.int64()).to_numpy(zero_copy_only=False))
+        with np.errstate(over="ignore"):
+            return fmix64(vbits ^ idh)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(list(key_cols) + [value_col, id_col]).sort_by(
+            [(c, "ascending") for c in key_cols]
+        )
+        ranks = row_rank(t[value_col], t[id_col])
+        vals = pc.cast(t[value_col], pa.float64()).to_numpy(zero_copy_only=False)
+        new = _segment_starts(t, list(key_cols))
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], t.num_rows]
+        keep_rank, keep_val, keep_row = [], [], []
+        for i, (a, b) in enumerate(zip(starts, ends)):
+            h, v = bottomk_sample(ranks[a:b], vals[a:b], k)
+            keep_rank.append(h)
+            keep_val.append(v)
+            keep_row.append(np.full(len(h), a, dtype=np.int64))
+        keys_t = t.select(list(key_cols)).take(pa.array(np.concatenate(keep_row)))
+        out = keys_t.append_column(
+            "_rank", pa.array(np.concatenate(keep_rank).view(np.int64))
+        ).append_column("_val", pa.array(np.concatenate(keep_val), pa.float64()))
+        return out.append_column("_kshard", _key_shard(out, list(key_cols), num_shards))
+
+    def merge(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            cols = {c: group[c] for c in key_cols}
+            for name in qnames:
+                cols[name] = pa.array([], pa.float64())
+            return pa.table(cols)
+        t = group.drop_columns("_kshard").sort_by(
+            [(c, "ascending") for c in key_cols]
+        )
+        ranks = t["_rank"].to_numpy(zero_copy_only=False).view(np.uint64)
+        vals = t["_val"].to_numpy(zero_copy_only=False)
+        new = _segment_starts(t, list(key_cols))
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], t.num_rows]
+        rows = {name: [] for name in qnames}
+        for a, b in zip(starts, ends):
+            _, v = bottomk_sample(ranks[a:b], vals[a:b], k)
+            for name, est in zip(qnames, quantiles_from_sample(v, qs)):
+                rows[name].append(est)
+        keys_t = t.select(list(key_cols)).take(pa.array(starts))
+        for name in qnames:
+            keys_t = keys_t.append_column(name, pa.array(rows[name], pa.float64()))
+        return keys_t
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_kshard")
+        .map_groups(merge, batch_format="pyarrow")
+    )
 
 
 def approx_distinct_per_group(ds, key_cols: list[str], value_col: str,

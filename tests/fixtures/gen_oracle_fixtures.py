@@ -272,6 +272,38 @@ def hll_reference(values: list[int], p: int = HLL_P) -> float:
     return float(e)
 
 
+# --- bottom-k quantile sketch (spec: stages/sketch.approx_quantiles) --------
+
+AQ_K = 512
+AQ_QS = (0.5, 0.9, 0.99)
+
+
+def _mix64_single_int(x: int) -> int:
+    MASK = (1 << 64) - 1
+    x &= MASK
+    x ^= x >> 33
+    x = (x * 0xFF51AFD7ED558CCD) & MASK
+    x ^= x >> 33
+    return x
+
+
+def approx_quantiles_reference(values: list[float], ids: list[int],
+                               qs=AQ_QS, k: int = AQ_K) -> list[float]:
+    import struct
+
+    ranked = []
+    for v, i in zip(values, ids):
+        vbits = struct.unpack("<Q", struct.pack("<d", float(v)))[0]
+        ranked.append((_fmix64_int(vbits ^ _mix64_single_int(int(i))), float(v)))
+    ranked.sort()
+    sample = sorted(v for _, v in ranked[:k])
+    out = []
+    for q in qs:
+        idx = max(int(np.ceil(q * len(sample))) - 1, 0)
+        out.append(sample[idx])
+    return out
+
+
 # --- media features (spec: stages/multimodal.MediaFeatureExtractor) --------
 
 MEDIA_FEATURE_DIM = 16
@@ -299,17 +331,35 @@ def main() -> None:
         "ivf_topk": {"corpus_key": [], "query_idx": [], "vec_id": [], "rank": []},
         "media_features": {"corpus_key": [], "media_id": [], "kind": [], "embedding": []},
         "approx_users": {"corpus_key": [], "event_type": [], "approx_users": []},
+        "approx_quantiles": {"corpus_key": [], "event_type": [],
+                             "p50": [], "p90": [], "p99": []},
     }
     for sf in SF_DIRS:
-        ev = pq.read_table(f"{sf}/events.parquet", columns=["event_id", "event_type", "user_id"])
+        ev = pq.read_table(
+            f"{sf}/events.parquet",
+            columns=["event_id", "event_type", "user_id", "value"],
+        )
         ekey2 = int(sum(ev["event_id"].to_pylist()))
         by_type: dict[str, list[int]] = {}
-        for et, uid in zip(ev["event_type"].to_pylist(), ev["user_id"].to_pylist()):
+        vals_by_type: dict[str, list] = {}
+        for et, uid, eid, val in zip(
+            ev["event_type"].to_pylist(), ev["user_id"].to_pylist(),
+            ev["event_id"].to_pylist(), ev["value"].to_pylist(),
+        ):
             by_type.setdefault(et, []).append(uid)
+            vals_by_type.setdefault(et, []).append((val, eid))
         for et in sorted(by_type):
             rows["approx_users"]["corpus_key"].append(ekey2)
             rows["approx_users"]["event_type"].append(et)
             rows["approx_users"]["approx_users"].append(hll_reference(by_type[et]))
+            vv = [v for v, _ in vals_by_type[et]]
+            ii = [i for _, i in vals_by_type[et]]
+            p50, p90, p99 = approx_quantiles_reference(vv, ii)
+            rows["approx_quantiles"]["corpus_key"].append(ekey2)
+            rows["approx_quantiles"]["event_type"].append(et)
+            rows["approx_quantiles"]["p50"].append(p50)
+            rows["approx_quantiles"]["p90"].append(p90)
+            rows["approx_quantiles"]["p99"].append(p99)
     for sf in SF_DIRS:
         et = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
         evecs = np.stack(
@@ -403,6 +453,10 @@ def main() -> None:
         "approx_users": pa.schema(
             [("corpus_key", pa.int64()), ("event_type", pa.string()),
              ("approx_users", pa.float64())]
+        ),
+        "approx_quantiles": pa.schema(
+            [("corpus_key", pa.int64()), ("event_type", pa.string()),
+             ("p50", pa.float64()), ("p90", pa.float64()), ("p99", pa.float64())]
         ),
     }
     for name, cols in rows.items():

@@ -99,7 +99,8 @@ def test_oracle_keys_subset(entry_mod):
         # fixture-join oracles (tests/fixtures/gen_oracle_fixtures.py)
         "fingerprint", "simhash", "lang_id", "minhash_pairs",
         "ngram_jaccard_pairs", "embedding_neardup", "ivf_topk",
-        "ivf_index_topk", "media_features", "approx_users", "pages_verify",
+        "ivf_index_topk", "media_features", "approx_users", "approx_quantiles",
+        "pages_verify",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

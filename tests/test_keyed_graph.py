@@ -383,3 +383,41 @@ def test_connected_components_long_chain_pointer_jumping(ray_session):
         .unique()
     )
     assert list(out) == [0]
+
+
+def test_approx_quantiles_accuracy_and_block_invariance(ray_session):
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.sketch import approx_quantiles_per_group
+
+    rng = np.random.default_rng(23)
+    n = 40_000
+    t = pa.table(
+        {
+            "k": pa.array((rng.integers(0, 3, n)).astype(str)),
+            "v": pa.array(rng.normal(size=n)),
+            "id": pa.array(np.arange(n)),
+        }
+    )
+    outs = []
+    for parts in (4, 17):  # bottom-k is a semilattice: block structure is irrelevant
+        out = (
+            approx_quantiles_per_group(
+                ray.data.from_arrow(t).repartition(parts), ["k"], "v", "id", k=2048
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    assert outs[0].equals(outs[1])
+    df = t.to_pandas()
+    for kk, grp in df.groupby("k"):
+        s = np.sort(grp["v"].to_numpy())
+        got = outs[0].set_index("k")
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            # assert in RANK space (value-space tail error is density-
+            # amplified): the estimate's empirical CDF position must sit
+            # within ~3 sigma of q, sigma = sqrt(q(1-q)/k)
+            cdf = np.searchsorted(s, got.loc[kk, col], side="right") / len(s)
+            assert abs(cdf - q) < 3.5 * np.sqrt(q * (1 - q) / 2048) + 1e-3
