@@ -123,9 +123,16 @@ def run_flagship(sf_dir: str, replicate: int, heavy: int = 1) -> dict:
     files = sorted(
         os.path.join(pages_dir, f) for f in os.listdir(pages_dir) if f.endswith(".parquet")
     )
+    # Ray packs small files into ~128 MB read tasks, and the fused
+    # read->extract stage inherits that parallelism — 200k pages ended up in
+    # FOUR tasks (4 busy cores of 32).  Extraction is CPU-bound, so fan the
+    # read out to ~2 tasks/CPU regardless of file packing.
+    import ray as _ray
+
+    n_blocks = max(len(files), 2 * int(_ray.cluster_resources().get("CPU", 8)))
     t0 = time.monotonic()
     run_copy(
-        lambda: ray.data.read_parquet(files),
+        lambda: ray.data.read_parquet(files, override_num_blocks=n_blocks),
         out_dir,
         validate="strict",
         # None = let Ray's scheduler pack extraction tasks up to num_cpus

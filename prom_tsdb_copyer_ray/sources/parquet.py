@@ -224,6 +224,32 @@ def read_pruned(
         kw["columns"] = list(columns)
     if expr is not None:
         kw["filter"] = expr
+    if "override_num_blocks" not in kw:
+        # Ray packs small files into ~128 MB read tasks; the fused
+        # read->extract stage inherits that parallelism, so a CPU-bound
+        # extraction over a small input can end up on a handful of cores
+        # (measured: 200k pages in 4 tasks).  Fan out to >= 2 tasks/CPU —
+        # but ONLY when the input is small enough that default packing
+        # would under-parallelise; a big input (>= target x 128 MB)
+        # already yields enough read tasks, and forcing one block per
+        # file on a 100k-file lake would be worse than the packing.
+        try:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            ncpu = 8
+        target = 2 * ncpu
+        threshold = target * 128 * 2**20
+        total = 0
+        for f in files:
+            try:
+                total += os.path.getsize(f)
+            except OSError:
+                total = threshold  # unknown size: leave Ray's default
+                break
+            if total >= threshold:
+                break
+        if total < threshold:
+            kw["override_num_blocks"] = target
     ds = ray.data.read_parquet(files, **kw)
     if apply_residual and residual:
         ds = ds.map_batches(make_filter_fn(residual), batch_format="pyarrow")
