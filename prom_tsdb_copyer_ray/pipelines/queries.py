@@ -1178,6 +1178,150 @@ def q_cust_no_orders(sf_dir: str):
     return shuffle_join(cust, orders, "c_custkey", "o_custkey", how="anti")
 
 
+# ---------------------------------------------------------------------------
+# Corpus-curation battery (stages/curation.py) — training-data preparation
+# operators over documents, every one DuckDB value-checked.
+# ---------------------------------------------------------------------------
+
+# shared DuckDB tokenizer expression (IDENTICAL to functions.text.token_count
+# / curation._flat_tokens): trimmed whitespace split, blank rows -> []
+_SQL_TOKS = """
+    SELECT doc_id,
+           CASE WHEN trim(text, ' ' || chr(9) || chr(13) || chr(10)) = ''
+                THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array(
+                     trim(text, ' ' || chr(9) || chr(13) || chr(10)),
+                     '[ \t\r\n]+') END AS tk
+    FROM documents
+"""
+
+
+def q_repetition(sf_dir: str):
+    """Gopher-style repetition stats: n_tokens / distinct tokens / top-2gram
+    count per doc (stages/curation.repetition_stats_batch; no shuffle)."""
+    from ..stages.curation import add_repetition_stats
+
+    return add_repetition_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark 4-gram decontamination: docs sharing any token 4-gram with
+    the deterministic benchmark slice (doc_id % 53 == 0); broadcast-set
+    membership, no shuffle join (stages/curation.decontaminate)."""
+    from ..stages.curation import decontaminate
+
+    return decontaminate(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic 5-per-lang stratified sample by Lehmer rank
+    (stages/curation.stratified_sample -> combiner-bounded top-k)."""
+    from ..stages.curation import stratified_sample
+
+    return stratified_sample(
+        _read(sf_dir, "documents", ["doc_id", "lang"]), ["lang"], k=5
+    )
+
+
+def q_normalize_text(sf_dir: str):
+    """Text normalization: NFC + lowercase + blank-run collapse + trim
+    (stages/curation.normalize_text_batch; pure Arrow kernels)."""
+    from ..stages.curation import add_normalized_text
+
+    return add_normalized_text(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_chunk_docs(sf_dir: str):
+    """Fixed-size character chunking (flat-map): 120-char chunks per doc
+    (stages/curation.chunk_docs; loop over chunk positions, not rows)."""
+    from ..stages.curation import chunk_docs
+
+    return chunk_docs(_read(sf_dir, "documents", ["doc_id", "text"]), 120)
+
+
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing via distributed prefix-sum scan: 256-token budget,
+    doc belongs to the sequence where it starts
+    (stages/curation.pack_sequences)."""
+    from ..stages.curation import pack_sequences
+
+    return pack_sequences(_read(sf_dir, "documents", ["doc_id", "text"]), 256)
+
+
+def _src_w10(sources: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Mixing weights in tenths for the 'srcN' sources: even N -> 0.8,
+    odd N -> 0.3 (mirrored literally by the SQL CASE)."""
+    if isinstance(sources, pa.ChunkedArray):
+        sources = sources.combine_chunks()
+    nums = pc.cast(
+        pc.utf8_slice_codeunits(sources, start=3, stop=64), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    return np.where(nums % 2 == 0, 8, 3)
+
+
+def q_mix_sources(sf_dir: str):
+    """Weighted source mixing (deterministic Lehmer-rank sampling) ->
+    per-source kept count + id checksum (stages/curation.mix_sources)."""
+    from ..stages.curation import mix_sources
+    from ..stages.keyed import sharded_grouped_agg
+
+    kept = mix_sources(
+        _read(sf_dir, "documents", ["doc_id", "source"]), _src_w10
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("source").aggregate(
+            [("doc_id", "count"), ("doc_id", "sum")]
+        )
+        return pa.table({
+            "source": g["source"],
+            "n_kept": pc.cast(g["doc_id_count"], pa.int64()),
+            "sum_doc_id": pc.cast(g["doc_id_sum"], pa.int64()),
+        })
+
+    parts = kept.map_batches(partial, batch_format="pyarrow")
+    return sharded_grouped_agg(
+        parts, ["source"], [("n_kept", "sum"), ("sum_doc_id", "sum")]
+    )
+
+
+def q_props_extract(sf_dir: str):
+    """Per-record JSON-ish field parse (props -> int k) + per-type rollup;
+    the parser analogue of the reference's per-record map (copyer.go:92-156)
+    over a semi-structured column."""
+    from ..stages.keyed import sharded_grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(
+                    pc.cast(batch["props"], pa.string()), r'"k":\s*(?P<k>[0-9]+)'
+                ),
+                "k",
+            ),
+            pa.int64(),
+        )
+        t = pa.table({"event_type": batch["event_type"], "k": k})
+        g = t.group_by("event_type").aggregate(
+            [("k", "count"), ("k", "sum"), ("k", "min"), ("k", "max")]
+        )
+        return pa.table({
+            "event_type": g["event_type"],
+            "n": pc.cast(g["k_count"], pa.int64()),
+            "sum_k": pc.cast(g["k_sum"], pa.int64()),
+            "min_k": g["k_min"],
+            "max_k": g["k_max"],
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return sharded_grouped_agg(
+        parts, ["event_type"],
+        [("n", "sum"), ("sum_k", "sum"), ("min_k", "min"), ("max_k", "max")],
+    )
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -1221,6 +1365,14 @@ QUERIES = {
     "term_df": q_term_df,
     "orders_per_nation": q_orders_per_nation,
     "cust_no_orders": q_cust_no_orders,
+    "repetition": q_repetition,
+    "decontaminate": q_decontaminate,
+    "stratified_sample": q_stratified_sample,
+    "normalize_text": q_normalize_text,
+    "chunk_docs": q_chunk_docs,
+    "pack_sequences": q_pack_sequences,
+    "mix_sources": q_mix_sources,
+    "props_extract": q_props_extract,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -1237,6 +1389,85 @@ QUERIES = {
 
 
 ORACLE_SQL = {
+    "repetition": f"""
+        WITH toks AS ({_SQL_TOKS}),
+        g AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                     i -> tk[i] || chr(1) || tk[i+1])) AS gram FROM toks),
+        gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+        gm AS (SELECT doc_id, max(c) AS mx FROM gc GROUP BY 1)
+        SELECT t.doc_id,
+               CAST(len(t.tk) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(t.tk)) AS BIGINT) AS n_distinct_tokens,
+               CAST(coalesce(gm.mx, 0) AS BIGINT) AS max_gram2_count
+        FROM toks t LEFT JOIN gm ON t.doc_id = gm.doc_id
+    """,
+    "decontaminate": f"""
+        WITH toks AS ({_SQL_TOKS}),
+        grams AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 2),
+                        i -> tk[i] || chr(1) || tk[i+1] || chr(1) || tk[i+2]
+                             || chr(1) || tk[i+3])) AS g FROM toks),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 53 = 0)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+        FROM grams WHERE doc_id % 53 <> 0 AND g IN (SELECT g FROM bench)
+        GROUP BY 1
+    """,
+    "stratified_sample": """
+        SELECT doc_id, lang, (doc_id * 48271) % 2147483647 AS rank
+        FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY lang
+            ORDER BY (doc_id * 48271) % 2147483647, doc_id) <= 5
+    """,
+    "normalize_text": r"""
+        WITH n AS (SELECT doc_id,
+                          trim(regexp_replace(lower(nfc_normalize(text)),
+                               '[ \t\r\n]+', ' ', 'g'), ' ') AS norm_text
+                   FROM documents)
+        SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+        FROM n
+    """,
+    "chunk_docs": """
+        WITH c AS (SELECT doc_id, text,
+                          unnest(range(0, CAST(ceil(len(text) / 120.0) AS BIGINT)))
+                          AS chunk_idx
+                   FROM documents)
+        SELECT doc_id, chunk_idx,
+               substr(text, CAST(chunk_idx * 120 + 1 AS BIGINT), 120) AS chunk_text
+        FROM c
+    """,
+    "pack_sequences": f"""
+        WITH t AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok
+                   FROM ({_SQL_TOKS})),
+        c AS (SELECT doc_id, n_tok,
+                     coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS before FROM t)
+        SELECT CAST(before // 256 AS BIGINT) AS seq_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        FROM c GROUP BY 1
+    """,
+    "mix_sources": """
+        WITH k AS (
+            SELECT source, doc_id FROM documents
+            WHERE ((doc_id * 48271) % 2147483647) * 10 <
+                  CAST(CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+                            THEN 8 ELSE 3 END AS BIGINT) * 2147483647
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+        FROM k GROUP BY 1
+    """,
+    "props_extract": r"""
+        WITH e AS (SELECT event_type,
+                          TRY_CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1)
+                                   AS BIGINT) AS k
+                   FROM events)
+        SELECT event_type, CAST(count(k) AS BIGINT) AS n,
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               min(k) AS min_k, max(k) AS max_k
+        FROM e GROUP BY 1
+    """,
     "rollup_5m": _ROLLUP_SQL.format(d=MS_5M),
     "rollup_1h": _ROLLUP_SQL.format(d=MS_1H),
     "rollup_1d": _ROLLUP_SQL.format(d=MS_1D),

@@ -1,0 +1,409 @@
+"""Corpus-curation operators for LLM training-data preparation.
+
+The reference engine's job is filter/transform/rollup over time-series
+records (``copyer.go:92-156`` per-record map, ``main.go:153-158``
+predicates); a 100 TB *training-data* pipeline needs the same shapes over
+documents: repetition/quality statistics, benchmark decontamination,
+stratified + weighted sampling, normalization, chunking, and sequence
+packing.  Every operator here is a vectorized Arrow/NumPy batch kernel —
+no per-row Python in any hot path — and each has a DuckDB-mirrorable
+definition so the driver can value-check it (pipelines/queries.py).
+
+Scale notes per operator are in the docstrings; the common theme: per-doc
+statistics are embarrassingly parallel ``map_batches`` (docs are single
+rows — no grouping shuffle at all), decontamination broadcasts the
+benchmark-gram set once (``ray.put``) instead of shuffle-joining the
+corpus, and sequence packing is a two-pass distributed prefix-sum (scan)
+whose exchanged state is two ints per *block*, not per row.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.text import token_count
+
+# Tokenization shared with functions.text.token_count / the SQL oracles:
+# split trimmed text on runs of blank characters.  Keep IDENTICAL to the
+# DuckDB expression `regexp_split_to_array(trim(text, ' \t\r\n'), '[ \t\r\n]+')`.
+_WS = " \t\r\n"
+_TOKEN_SPLIT = r"[ \t\r\n]+"
+# Deterministic Lehmer ranks (MINSTD): exact in int64 on both engines —
+# DuckDB mirrors `(id * 48271) % 2147483647` literally.
+_LEHMER_A = 48271
+_LEHMER_M = 2147483647
+
+
+def _flat_tokens(texts: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, np.ndarray, int]:
+    """Whitespace tokens of a string column, flattened.
+
+    Returns ``(flat_tokens, row_idx, n_rows)`` where ``row_idx[i]`` is the
+    row the i-th token came from.  Empty / blank-only rows contribute zero
+    tokens (the SQL side guards with a CASE on the trimmed string).  Fully
+    vectorized: one trim + one regex split + offsets math.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    s = pc.fill_null(pc.cast(texts, pa.string()), "")
+    trimmed = pc.utf8_trim(s, _WS)
+    lists = pc.split_pattern_regex(trimmed, _TOKEN_SPLIT)
+    lengths = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(s)
+    flat = pc.list_flatten(lists)
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    # a blank row splits to [''] — drop that artifact (real tokens are
+    # never empty: trim removed boundary blanks and the split pattern is +)
+    keep = pc.not_equal(flat, "")
+    if not bool(pc.all(keep).as_py() if len(flat) else True):
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        flat = flat.filter(keep)
+        row_idx = row_idx[keep_np]
+    return flat, row_idx, n
+
+
+def lehmer_rank(ids: np.ndarray) -> np.ndarray:
+    """Deterministic pseudo-random rank of an int64 id column; SQL-exact."""
+    return (ids.astype(np.int64) * _LEHMER_A) % _LEHMER_M
+
+
+# ---------------------------------------------------------------------------
+# Repetition statistics (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+def repetition_stats_batch(batch: pa.Table, text_col: str = "text",
+                           id_col: str = "doc_id") -> pa.Table:
+    """Per-document token-repetition counters (integer, SQL-mirrorable).
+
+    Emits ``n_tokens``, ``n_distinct_tokens`` and ``max_gram2_count`` (the
+    highest occurrence count of any adjacent token 2-gram).  Downstream
+    filters derive the Gopher-style ratios (duplicate-token fraction,
+    top-2-gram fraction); integers keep the DuckDB value-hash exact.
+
+    Scale: documents are single rows, so this is a pure ``map_batches``
+    stage — no shuffle.  The kernel is one dictionary-encode plus
+    ``np.unique`` passes over the flattened token stream (no per-row loop).
+    """
+    flat, row_idx, n = _flat_tokens(batch[text_col])
+    n_tokens = np.bincount(row_idx, minlength=n).astype(np.int64)
+    n_distinct = np.zeros(n, dtype=np.int64)
+    max_g2 = np.zeros(n, dtype=np.int64)
+    if len(flat):
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
+        uniq_pairs = np.unique(row_idx * k + codes)
+        np.add.at(n_distinct, uniq_pairs // k, 1)
+        # adjacent 2-grams within a row
+        if len(codes) > 1:
+            adj = row_idx[:-1] == row_idx[1:]
+            g_row = row_idx[:-1][adj]
+            pair_code = codes[:-1][adj] * k + codes[1:][adj]
+            if len(pair_code):
+                # re-factorize pair codes so the (row, pair) composite
+                # cannot overflow int64 regardless of vocabulary size
+                pu, pinv = np.unique(pair_code, return_inverse=True)
+                comp, counts = np.unique(g_row * len(pu) + pinv, return_counts=True)
+                np.maximum.at(max_g2, comp // len(pu), counts)
+    return pa.table({
+        id_col: batch[id_col],
+        "n_tokens": pa.array(n_tokens, pa.int64()),
+        "n_distinct_tokens": pa.array(n_distinct, pa.int64()),
+        "max_gram2_count": pa.array(max_g2, pa.int64()),
+    })
+
+
+def add_repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    return ds.map_batches(
+        lambda b: repetition_stats_batch(b, text_col, id_col),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap)
+# ---------------------------------------------------------------------------
+
+def _gram_strings(texts, n: int) -> tuple[pa.Array, np.ndarray, np.ndarray, int]:
+    """All token n-gram strings (tokens joined by ``\\x01``) of a column.
+
+    Returns ``(grams, gram_row, valid, n_rows)``: position i is the gram
+    starting at flat-token i; ``valid`` masks grams that would span two
+    documents.  Vectorized: n shifted zero-copy slices of the flat token
+    array joined element-wise.
+    """
+    flat, row_idx, rows = _flat_tokens(texts)
+    total = len(flat)
+    if total < n:
+        return pa.array([], pa.string()), np.empty(0, np.int64), np.empty(0, bool), rows
+    m = total - n + 1
+    slices = [flat.slice(i, m) for i in range(n)]
+    grams = pc.binary_join_element_wise(*slices, "\x01")
+    valid = row_idx[:m] == row_idx[n - 1:]
+    return grams, row_idx[:m], valid, rows
+
+
+def decontaminate(ds, id_col: str = "doc_id", text_col: str = "text",
+                  bench_mod: int = 53, n: int = 4):
+    """Flag documents sharing any token ``n``-gram with a benchmark set.
+
+    The benchmark here is the deterministic slice ``id % bench_mod == 0``
+    (stand-in for a held-out eval suite).  Two passes over the corpus:
+
+    1. benchmark pass — per-batch DISTINCT gram strings of benchmark docs
+       only, set-unioned on the driver and broadcast once via ``ray.put``
+       (real decontamination benchmarks are MB-scale suites, orders of
+       magnitude smaller than the corpus; the broadcast replaces a
+       corpus-wide shuffle join on gram hash);
+    2. scoring pass — vectorized ``pc.is_in`` membership of every doc's
+       grams against the broadcast set; emits ``(id, n_hit_grams)`` for
+       contaminated non-benchmark docs only.
+
+    Exact string grams (not hashes) so a DuckDB semi-join oracle matches
+    bit-for-bit.
+    """
+    import ray
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % bench_mod == 0))
+        grams, _, valid, _ = _gram_strings(sub[text_col], n)
+        if len(grams) == 0:
+            return pa.table({"g": pa.array([], pa.string())})
+        return pa.table({"g": pc.unique(grams.filter(pa.array(valid)))})
+
+    gram_set: set[str] = set()
+    for part in ds.map_batches(bench_grams, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        gram_set.update(part["g"].to_pylist())
+    bench_ref = ray.put(pa.array(sorted(gram_set), pa.string()))
+
+    def score(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)  # zero-copy from the local object store
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        grams, gram_row, valid, rows = _gram_strings(batch[text_col], n)
+        hits = np.zeros(rows, dtype=np.int64)
+        if len(grams) and len(bench):
+            hit = pc.is_in(grams, value_set=bench).to_numpy(zero_copy_only=False)
+            hit &= valid
+            np.add.at(hits, gram_row[hit], 1)
+        keep = (hits > 0) & (ids % bench_mod != 0)
+        return pa.table({
+            id_col: pa.array(ids[keep], pa.int64()),
+            "n_hit_grams": pa.array(hits[keep], pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Sampling: stratified per group + weighted source mixing
+# ---------------------------------------------------------------------------
+
+def stratified_sample(ds, key_cols: list[str], id_col: str = "doc_id",
+                      k: int = 5):
+    """Deterministic k-per-group sample: smallest Lehmer rank wins.
+
+    ``rank = (id * 48271) % 2147483647`` — exact integer math both engines
+    can do, so the SQL oracle is a ``row_number() OVER (PARTITION BY ...
+    ORDER BY rank, id)`` filter.  Composition: add the rank column, then
+    :func:`stages.keyed.topk_per_group` ascending (per-batch combiner keeps
+    k rows per group per batch — the shuffle moves winners only).
+    """
+    from .keyed import topk_per_group
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.append_column("rank", pa.array(lehmer_rank(ids), pa.int64()))
+
+    ranked = ds.map_batches(add_rank, batch_format="pyarrow")
+    return topk_per_group(ranked, list(key_cols), "rank", k,
+                          tiebreak_col=id_col, descending=False)
+
+
+def mix_sources(ds, weight_fn_sql_mirrored, id_col: str = "doc_id",
+                source_col: str = "source"):
+    """Weighted per-source downsampling (domain mixing).
+
+    Keeps a row iff ``rank(id) * 10 < w10(source) * M`` — i.e. keep
+    probability ``w10/10`` per source, decided by exact integer math on the
+    deterministic Lehmer rank (no floats, no RNG state; identical row set
+    on every engine and every run).  ``weight_fn_sql_mirrored(sources) ->
+    int ndarray`` returns tenths (0..10) per row.
+
+    Scale: pure filter — no shuffle; downstream per-source counts use the
+    sharded segment aggregate.
+    """
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        w10 = weight_fn_sql_mirrored(batch[source_col])
+        mask = lehmer_rank(ids) * 10 < w10.astype(np.int64) * _LEHMER_M
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Normalization + chunking
+# ---------------------------------------------------------------------------
+
+def normalize_text_batch(batch: pa.Table, text_col: str = "text",
+                         id_col: str = "doc_id") -> pa.Table:
+    """NFC-normalize, lowercase, collapse blank runs to single spaces, trim.
+
+    Mirrors DuckDB ``trim(regexp_replace(lower(nfc_normalize(text)),
+    '[ \\t\\r\\n]+', ' ', 'g'))`` — both engines are Unicode-aware for
+    lower() and RE2 for the replace, so outputs agree byte-for-byte.
+
+    NFC note: ``pc.utf8_normalize(form="NFC")`` in pyarrow 16 emits
+    DECOMPOSED output (observed: NFC of U+013A -> l + U+0301), so it cannot
+    be used.  ASCII is NFC-invariant, so the kernel stays fully vectorized
+    on ASCII rows (one regex scan to find the exceptions) and only
+    non-ASCII rows take the scalar ``unicodedata.normalize`` path.
+    """
+    s = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    non_ascii = pc.match_substring_regex(s, r"[^\x00-\x7F]")
+    if bool(pc.any(non_ascii).as_py() or False):
+        import unicodedata
+
+        idx = np.flatnonzero(non_ascii.to_numpy(zero_copy_only=False))
+        vals = s.to_pylist()
+        for i in idx:
+            vals[i] = unicodedata.normalize("NFC", vals[i])
+        s = pa.array(vals, pa.string())
+    norm = pc.utf8_lower(s)
+    norm = pc.replace_substring_regex(norm, pattern=_TOKEN_SPLIT, replacement=" ")
+    norm = pc.utf8_trim(norm, " ")
+    return pa.table({
+        id_col: batch[id_col],
+        "norm_text": norm,
+        "n_chars_norm": pc.cast(pc.utf8_length(norm), pa.int64()),
+    })
+
+
+def add_normalized_text(ds, text_col: str = "text", id_col: str = "doc_id"):
+    return ds.map_batches(
+        lambda b: normalize_text_batch(b, text_col, id_col), batch_format="pyarrow"
+    )
+
+
+def chunk_docs(ds, size: int, text_col: str = "text", id_col: str = "doc_id"):
+    """Split each document into fixed-size character chunks (flat-map).
+
+    Emits ``(id, chunk_idx, chunk_text)`` with ``ceil(len/size)`` chunks
+    per doc; empty docs emit nothing.  Vectorized: the per-batch loop runs
+    over CHUNK POSITIONS (max ceil(max_len/size) iterations), each doing a
+    column-level slice + filter — never over rows.  At 100 TB this is the
+    map stage that feeds tokenize/pack; output rows carry only the chunk
+    text, so total output bytes ≈ input text bytes.
+    """
+    def fn(batch: pa.Table) -> pa.Table:
+        s = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+        lens = pc.utf8_length(s).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(lens) == 0 or lens.max() == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "chunk_idx": pa.array([], pa.int64()),
+                             "chunk_text": pa.array([], pa.string())})
+        ids = batch[id_col]
+        parts = []
+        for i in range(int(math.ceil(lens.max() / size))):
+            mask = pa.array(lens > i * size)
+            sub = pc.utf8_slice_codeunits(s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s,
+                                          start=i * size, stop=(i + 1) * size)
+            parts.append(pa.table({
+                id_col: ids.filter(mask),
+                "chunk_idx": pa.array(np.full(int(np.count_nonzero(mask)), i, np.int64)),
+                "chunk_text": sub.filter(mask),
+            }))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (distributed prefix-sum scan)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(ds, seq_len: int, id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """Greedy stream-packing of documents into fixed token-budget sequences.
+
+    Semantics (SQL-mirrorable): documents ordered by id form one token
+    stream; a document belongs to the sequence where it STARTS —
+    ``seq_id = floor(tokens_before / seq_len)`` with ``tokens_before`` the
+    exclusive prefix sum of token counts in id order.  Output: one row per
+    sequence with ``n_docs`` and ``n_tokens``.
+
+    Execution is a two-pass distributed SCAN (the classic prefix-sum
+    pattern — Ray Data has no native scan operator):
+
+    1. project ``(id, n_tok)`` (two ints/doc — the only state that moves),
+       sort by id, materialize so both passes see identical blocks;
+    2. block-metadata pass: one ``(min_id, block_sum)`` row PER BLOCK to
+       the driver (KBs at any scale), exclusive-cumsum → per-block offsets;
+    3. assignment pass over the same blocks: within-block cumsum + the
+       block offset, then per-block partial (seq_id, n_docs, n_tokens)
+       rows into the sharded segment aggregate (a boundary-spanning
+       sequence merges there).
+
+    Scale: the sort moves 16 bytes/doc; the driver sees one row per block;
+    no stage materializes text.
+    """
+    from .keyed import sharded_grouped_agg
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: pc.cast(batch[id_col], pa.int64()),
+            "n_tok": token_count(batch[text_col]),
+        })
+
+    pairs = ds.map_batches(project, batch_format="pyarrow").sort(id_col).materialize()
+
+    def block_meta(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"min_id": pa.array([], pa.int64()),
+                             "bsum": pa.array([], pa.int64())})
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "min_id": pa.array([int(ids.min())], pa.int64()),
+            "bsum": pa.array([int(batch["n_tok"].to_numpy(zero_copy_only=False).sum())],
+                             pa.int64()),
+        })
+
+    metas = sorted(
+        (r["min_id"], r["bsum"])
+        for r in pairs.map_batches(block_meta, batch_size=None,
+                                   batch_format="pyarrow").take_all()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for min_id, bsum in metas:
+        offsets[min_id] = acc
+        acc += bsum
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"seq_id": pa.array([], pa.int64()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64())})
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        ntok = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        before = offsets[int(ids.min())] + np.cumsum(ntok) - ntok
+        seq = before // seq_len  # nondecreasing within the block
+        starts = np.flatnonzero(np.r_[True, seq[1:] != seq[:-1]])
+        counts = np.diff(np.r_[starts, len(seq)])
+        return pa.table({
+            "seq_id": pa.array(seq[starts], pa.int64()),
+            "n_docs": pa.array(counts, pa.int64()),
+            "n_tokens": pa.array(np.add.reduceat(ntok, starts), pa.int64()),
+        })
+
+    parts = pairs.map_batches(assign, batch_size=None, batch_format="pyarrow")
+    return sharded_grouped_agg(parts, ["seq_id"],
+                               [("n_docs", "sum"), ("n_tokens", "sum")])
