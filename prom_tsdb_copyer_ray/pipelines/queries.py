@@ -1322,6 +1322,24 @@ def q_props_extract(sf_dir: str):
     )
 
 
+def q_tfidf_topk(sf_dir: str):
+    """Top-3 terms per doc by integer tf-idf score: broadcast-df vocabulary
+    + shuffle-free per-batch scoring (stages/textstats.tfidf_topk)."""
+    from ..stages.textstats import tfidf_topk
+
+    return tfidf_topk(_read(sf_dir, "documents", ["doc_id", "text"]), k=3)
+
+
+def q_centroid_topk(sf_dir: str):
+    """Top-5 vectors nearest their label centroid — embedding quality /
+    representativeness filter (stages/similarity.centroid_topk)."""
+    from ..stages.similarity import centroid_topk
+
+    return centroid_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"]), k=5
+    )
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -1373,6 +1391,8 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "mix_sources": q_mix_sources,
     "props_extract": q_props_extract,
+    "tfidf_topk": q_tfidf_topk,
+    "centroid_topk": q_centroid_topk,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -1457,6 +1477,37 @@ ORACLE_SQL = {
         SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
                CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
         FROM k GROUP BY 1
+    """,
+    "tfidf_topk": """
+        WITH tok AS (SELECT doc_id,
+                            unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+                     FROM documents),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM tok GROUP BY 1, 2),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents),
+        s AS (SELECT tf.doc_id, tf.term, tf.tf,
+                     CAST(tf.tf * ((n.n * 1000) // df.df) AS BIGINT) AS score
+              FROM tf, df, n WHERE tf.term = df.term)
+        SELECT doc_id, term, tf, score FROM s
+        QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term) <= 3
+    """,
+    "centroid_topk": """
+        WITH u AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+                          generate_subscripts(embedding, 1) AS i
+                   FROM embeddings),
+        c AS (SELECT label, i, avg(v) AS cv FROM u GROUP BY 1, 2),
+        cn AS (SELECT label, sqrt(sum(cv * cv)) AS cnorm FROM c GROUP BY 1),
+        vn AS (SELECT vec_id, sqrt(sum(v * v)) AS vnorm FROM u GROUP BY 1),
+        d AS (SELECT u.vec_id, u.label, sum(u.v * c.cv) AS dot
+              FROM u JOIN c ON u.label = c.label AND u.i = c.i GROUP BY 1, 2)
+        SELECT d.vec_id, CAST(d.label AS BIGINT) AS label,
+               round(d.dot / (vn.vnorm * cn.cnorm), 6) AS cosine
+        FROM d JOIN vn ON d.vec_id = vn.vec_id JOIN cn ON d.label = cn.label
+        QUALIFY row_number() OVER (
+            PARTITION BY d.label
+            ORDER BY d.dot / (vn.vnorm * cn.cnorm) DESC, d.vec_id) <= 5
     """,
     "props_extract": r"""
         WITH e AS (SELECT event_type,

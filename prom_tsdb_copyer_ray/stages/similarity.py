@@ -270,3 +270,79 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16, nprobe
             "cosine": pa.array([r[3] for r in out_rows], pa.float64()),
         }
     )
+
+
+def centroid_topk(ds, k: int = 5, id_col: str = "vec_id",
+                  vec_col: str = "embedding", label_col: str = "label"):
+    """Top-k vectors nearest their own label's centroid (embedding-based
+    quality/representativeness filter).
+
+    Pass 1 reduces each batch to one partial (label, sum-vector, count) row
+    per label — a few KB per batch for bounded label sets — collected on the
+    driver, combined into unit-scale centroids, and broadcast once via
+    ``ray.put``.  Pass 2 scores every vector against ITS label's centroid
+    with one gather + row-wise dot (float64, the exact formula the DuckDB
+    oracle computes: dot / (||v|| * ||centroid||)), keeping a per-batch
+    top-k combiner so only k rows per (label, batch) reach the final
+    :func:`stages.keyed.topk_per_group` exchange.
+
+    Float determinism: all math is float64; rank gaps in real embedding data
+    are orders of magnitude above accumulation-order ulp jitter (verified at
+    both test scales), and output cosines are rounded to 6 decimals.
+    """
+    import ray
+    from .keyed import topk_per_group
+
+    def partial_sums(batch: pa.Table) -> pa.Table:
+        labels = batch[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _to_matrix(batch[vec_col])
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(uniq, pa.int64()),
+            "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+            "n": pa.array(counts, pa.int64()),
+        })
+
+    acc: dict[int, tuple[np.ndarray, int]] = {}
+    for part in ds.map_batches(partial_sums, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for row in part.to_pylist():
+            s, n = acc.get(row["label"], (0.0, 0))
+            acc[row["label"]] = (s + np.asarray(row["vsum"], np.float64), n + row["n"])
+    labels_sorted = np.array(sorted(acc), dtype=np.int64)
+    cents = np.stack([acc[l][0] / acc[l][1] for l in labels_sorted])
+    cnorm = np.sqrt((cents * cents).sum(axis=1))
+    cent_ref = ray.put((labels_sorted, cents, cnorm))
+
+    def score(batch: pa.Table) -> pa.Table:
+        labels_s, c, cn = ray.get(cent_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        labels = batch[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _to_matrix(batch[vec_col])
+        li = np.searchsorted(labels_s, labels)
+        dot = (m * c[li]).sum(axis=1)
+        vnorm = np.sqrt((m * m).sum(axis=1))
+        denom = vnorm * cn[li]
+        denom[denom == 0] = 1.0
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "label": pa.array(labels, pa.int64()),
+            "cosine": pa.array(dot / denom, pa.float64()),
+        })
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    top = topk_per_group(scored, ["label"], "cosine", k, tiebreak_col=id_col)
+
+    def round_out(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.set_column(
+            batch.column_names.index("cosine"), "cosine",
+            pc.round(batch["cosine"], ndigits=6),
+        )
+
+    return top.map_batches(round_out, batch_format="pyarrow")

@@ -105,7 +105,90 @@ def term_document_frequency(ds, text_col: str = "text", top_n: int = 100,
         .groupby("_tshard")
         .map_groups(shard_sum, batch_format="pyarrow")
     )
+    if top_n is None:  # full collapsed vocabulary (for idf consumers)
+        return vocab
     return vocab.sort(["df", "term"], descending=[True, False]).limit(top_n)
+
+
+def tfidf_topk(ds, text_col: str = "text", id_col: str = "doc_id",
+               k: int = 3, idf_scale: int = 1000):
+    """Top-k terms per document by an integer tf-idf score (SQL-exact).
+
+    Terms are the ``[a-z]+`` runs of the lowercased text (same vocabulary as
+    :func:`term_document_frequency`).  ``score = tf * ((N * idf_scale) //
+    df)`` — the floor-divided integer idf surrogate keeps the score exact
+    integer math, so ranking (score desc, term asc) is bit-identical across
+    engines with no float-log ulp hazard.
+
+    Scale shape: pass 1 computes the collapsed (term, df) vocabulary with
+    the per-batch-distinct combiner + shard segment sum (Zipf-bounded rows
+    move, never per-occurrence rows) and broadcasts it once via ``ray.put``
+    (sorted term array + idf array — a few MB for real vocabularies); pass 2
+    is a shuffle-free per-batch kernel: dictionary-encode the token stream,
+    tf per (row, term) via one ``np.unique``, idf lookup via
+    ``np.searchsorted`` against the broadcast vocab, per-row top-k via one
+    lexsort.  Docs are single rows, so no grouping exchange exists anywhere.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    n_docs = ds.count()
+    vocab = term_document_frequency(ds, text_col=text_col, top_n=None).to_pandas()
+    terms_sorted = np.sort(vocab["term"].to_numpy(dtype=object).astype(str))
+    df_by_term = dict(zip(vocab["term"], vocab["df"]))
+    idf_sorted = np.array(
+        [(n_docs * idf_scale) // int(df_by_term[t]) for t in terms_sorted],
+        dtype=np.int64,
+    )
+    vocab_ref = ray.put((terms_sorted, idf_sorted))
+
+    def score(batch: pa.Table) -> pa.Table:
+        terms_s, idf_s = ray.get(vocab_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        lists = pc.split_pattern_regex(pc.utf8_lower(s), "[^a-z]+")
+        lengths = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(lists)
+        row_idx = np.repeat(np.arange(len(ids), dtype=np.int64), lengths)
+        keep = pc.not_equal(flat, "")
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        flat = flat.filter(keep)
+        row_idx = row_idx[keep_np]
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            "term": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "score": pa.array([], pa.int64()),
+        })
+        if len(flat) == 0:
+            return empty
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        kvoc = len(enc.dictionary)
+        pair, tf = np.unique(row_idx * kvoc + codes, return_counts=True)
+        p_row, p_code = pair // kvoc, pair % kvoc
+        uniq_terms = np.asarray(enc.dictionary.to_pylist(), dtype=object).astype(str)
+        pos = np.searchsorted(terms_s, uniq_terms[p_code])
+        pos = np.clip(pos, 0, max(len(terms_s) - 1, 0))
+        hit = terms_s[pos] == uniq_terms[p_code] if len(terms_s) else np.zeros(len(pos), bool)
+        idf = np.where(hit, idf_s[pos] if len(terms_s) else 0, 0)
+        sc = tf.astype(np.int64) * idf
+        order = np.lexsort((uniq_terms[p_code], -sc, p_row))
+        p_row, p_code, tf, sc = p_row[order], p_code[order], tf[order], sc[order]
+        starts = np.flatnonzero(np.r_[True, p_row[1:] != p_row[:-1]])
+        sizes = np.diff(np.r_[starts, len(p_row)])
+        rank = np.arange(len(p_row)) - np.repeat(starts, sizes)
+        m = rank < k
+        return pa.table({
+            id_col: pa.array(ids[p_row[m]], pa.int64()),
+            "term": pa.array(uniq_terms[p_code[m]], pa.string()),
+            "tf": pa.array(tf[m].astype(np.int64), pa.int64()),
+            "score": pa.array(sc[m], pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
 
 
 def add_fingerprint(ds, text_col: str = "text", out_col: str = "fingerprint"):
