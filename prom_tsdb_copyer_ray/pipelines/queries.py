@@ -1340,6 +1340,16 @@ def q_centroid_topk(sf_dir: str):
     )
 
 
+def q_curate_summary(sf_dir: str):
+    """End-to-end curation flagship summary: normalize -> quality filter ->
+    exact dedup -> per-lang kept docs + token mass (pipelines/curate.py)."""
+    from .curate import curate_summary
+
+    return curate_summary(
+        _read(sf_dir, "documents", ["doc_id", "lang", "source", "text"])
+    )
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -1393,6 +1403,7 @@ QUERIES = {
     "props_extract": q_props_extract,
     "tfidf_topk": q_tfidf_topk,
     "centroid_topk": q_centroid_topk,
+    "curate_summary": q_curate_summary,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -1477,6 +1488,27 @@ ORACLE_SQL = {
         SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
                CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
         FROM k GROUP BY 1
+    """,
+    "curate_summary": r"""
+        WITH n AS (SELECT doc_id, lang,
+                          trim(regexp_replace(lower(nfc_normalize(text)),
+                               '[ \t\r\n]+', ' ', 'g'), ' ') AS t
+                   FROM documents),
+        toks AS (SELECT doc_id, lang, t,
+                        CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+                             ELSE regexp_split_to_array(t, '[ \t\r\n]+') END AS tk
+                 FROM n),
+        st AS (SELECT doc_id, lang, t,
+                      CAST(len(tk) AS BIGINT) AS n_tokens,
+                      len(list_distinct(tk)) AS n_distinct
+               FROM toks),
+        f AS (SELECT * FROM st
+              WHERE n_tokens >= 30 AND n_distinct * 3 >= n_tokens),
+        d AS (SELECT * FROM f
+              QUALIFY row_number() OVER (PARTITION BY t ORDER BY doc_id) = 1)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        FROM d GROUP BY 1
     """,
     "tfidf_topk": """
         WITH tok AS (SELECT doc_id,

@@ -57,8 +57,12 @@ def add_content_hash(batch: pa.Table, text_col: str = "text", out_col: str = "co
 
 
 def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
-                num_shards: int = 64):
+                num_shards: int = 64, precomputed: bool = False):
     """Keep exactly one row (min id) per distinct text.
+
+    ``precomputed=True`` means the input already carries ``content_hash`` /
+    ``n_bytes`` columns (e.g. the curation pipeline computes them in its
+    fused prep pass) — the hashing stage is skipped.
 
     Returns a Dataset of ``(content_hash, n_bytes, doc_id)`` winners.  The
     shuffle moves only (hash, len, id) triples — documents never move —
@@ -87,11 +91,8 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         )
 
     def partial(batch: pa.Table) -> pa.Table:
-        t = min_per_hash(
-            add_content_hash(batch, text_col).select(
-                ["content_hash", "n_bytes", id_col]
-            )
-        )
+        hashed = batch if precomputed else add_content_hash(batch, text_col)
+        t = min_per_hash(hashed.select(["content_hash", "n_bytes", id_col]))
         shard = (
             _mix64(t["content_hash"].to_numpy(zero_copy_only=False).astype(np.uint64))
             % np.uint64(num_shards)
