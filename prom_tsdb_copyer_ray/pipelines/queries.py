@@ -1350,6 +1350,41 @@ def q_curate_summary(sf_dir: str):
     )
 
 
+def q_event_rank(sf_dir: str):
+    """Window function row_number() per event_type ordered by (value, id)
+    (stages/keyed.window_rank — one narrow key-shard shuffle)."""
+    from ..stages.keyed import window_rank
+
+    return window_rank(
+        _read(sf_dir, "events", ["event_type", "value", "event_id"]),
+        ["event_type"], ["value", "event_id"],
+    )
+
+
+def q_running_total(sf_dir: str):
+    """Window function cumulative sum per event_type over (ts, id) order, in
+    integer milli-units for exact cross-engine math
+    (stages/keyed.running_sum)."""
+    from ..stages.keyed import running_sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "event_id", "value"])
+
+    def to_milli(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        vm = np.rint(np.round(v, 4) * 10000).astype(np.int64)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "ts": batch["ts"],
+            "event_id": batch["event_id"],
+            "value_m": pa.array(vm, pa.int64()),
+        })
+
+    return running_sum(
+        ds.map_batches(to_milli, batch_format="pyarrow"),
+        ["event_type"], ["ts", "event_id"], "value_m", out_col="running_m",
+    )
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -1404,6 +1439,8 @@ QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "centroid_topk": q_centroid_topk,
     "curate_summary": q_curate_summary,
+    "event_rank": q_event_rank,
+    "running_total": q_running_total,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -1488,6 +1525,22 @@ ORACLE_SQL = {
         SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
                CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
         FROM k GROUP BY 1
+    """,
+    "event_rank": """
+        SELECT event_type, value, event_id,
+               CAST(row_number() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn
+        FROM events
+    """,
+    "running_total": """
+        WITH e AS (SELECT event_type, ts, event_id,
+                          CAST(round(value, 4) * 10000 AS BIGINT) AS value_m
+                   FROM events)
+        SELECT event_type, ts, event_id, value_m,
+               CAST(sum(value_m) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_m
+        FROM e
     """,
     "curate_summary": r"""
         WITH n AS (SELECT doc_id, lang,

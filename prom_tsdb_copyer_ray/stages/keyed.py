@@ -338,3 +338,86 @@ def group_quantiles(ds, key_cols: list[str], value_col: str,
         .groupby("_kshard")
         .map_groups(per_shard, batch_format="pyarrow")
     )
+
+
+def window_rank(ds, key_cols: list[str], order_cols: list[str],
+                num_shards: int = 64, out_col: str = "rn"):
+    """Per-row rank within key groups — SQL ``row_number() OVER (PARTITION
+    BY keys ORDER BY order_cols)`` (make the last order col a unique id for
+    full determinism).
+
+    Window functions need every row of a key in one place: one shuffle of
+    the narrow (keys, order cols) projection by key-hash shard, then a
+    per-shard lexsort + segment arange covers thousands of keys per task.
+    Rank starts at 1 (SQL parity).  Output: input columns + ``out_col``.
+    """
+    cols = list(key_cols) + list(order_cols)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols)
+        return t.append_column("_wshard", _key_shard(t, list(key_cols), num_shards))
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_wshard")
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        t = t.sort_by([(c, "ascending") for c in cols])
+        starts = np.flatnonzero(_segment_starts(t, list(key_cols)))
+        sizes = np.diff(np.r_[starts, t.num_rows])
+        rn = np.arange(t.num_rows, dtype=np.int64) - np.repeat(starts, sizes) + 1
+        return t.append_column(out_col, pa.array(rn, pa.int64()))
+
+    from .common import narrow_fanin
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .repartition(narrow_fanin())
+        .groupby("_wshard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )
+
+
+def running_sum(ds, key_cols: list[str], order_cols: list[str],
+                value_col: str, num_shards: int = 64,
+                out_col: str = "running"):
+    """Per-row running total within key groups — SQL ``sum(value) OVER
+    (PARTITION BY keys ORDER BY order_cols ROWS UNBOUNDED PRECEDING)``.
+
+    Same shuffle shape as :func:`window_rank`.  The kernel is one global
+    ``np.cumsum`` minus per-segment offsets — EXACT for integer values (the
+    cross-engine-checked query feeds scaled integer milli-units); for float
+    values the offset subtraction re-associates additions, so results can
+    differ from SQL's sequential sum in the last ulps (document/round when
+    comparing engines).
+    """
+    cols = list(key_cols) + list(order_cols)
+    sel = cols + ([value_col] if value_col not in cols else [])
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        t = batch.select(sel)
+        return t.append_column("_wshard", _key_shard(t, list(key_cols), num_shards))
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_wshard")
+        integral = pa.types.is_integer(t.schema.field(value_col).type)
+        out_type = pa.int64() if integral else pa.float64()
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], out_type))
+        t = t.sort_by([(c, "ascending") for c in cols])
+        starts = np.flatnonzero(_segment_starts(t, list(key_cols)))
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(
+            np.int64 if integral else np.float64
+        )
+        cs = np.cumsum(v)
+        seg_base = np.r_[cs[:1] * 0, cs[starts[1:] - 1]]  # total before segment
+        offs = np.repeat(seg_base, np.diff(np.r_[starts, t.num_rows]))
+        return t.append_column(out_col, pa.array(cs - offs, out_type))
+
+    from .common import narrow_fanin
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .repartition(narrow_fanin())
+        .groupby("_wshard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )

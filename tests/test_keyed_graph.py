@@ -421,3 +421,50 @@ def test_approx_quantiles_accuracy_and_block_invariance(ray_session):
             # within ~3 sigma of q, sigma = sqrt(q(1-q)/k)
             cdf = np.searchsorted(s, got.loc[kk, col], side="right") / len(s)
             assert abs(cdf - q) < 3.5 * np.sqrt(q * (1 - q) / 2048) + 1e-3
+
+
+def test_window_rank_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.keyed import window_rank
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, n),
+        "v": rng.integers(0, 7, n).astype(float),  # heavy value ties
+        "id": np.arange(n, dtype=np.int64),
+    })
+    ds = ray.data.from_pandas(df).repartition(9)
+    out = window_rank(ds, ["k"], ["v", "id"]).to_pandas()
+    want = df.copy()
+    want["rn"] = (
+        want.sort_values(["k", "v", "id"]).groupby("k").cumcount() + 1
+    ).reindex(want.index)
+    got = out.sort_values(["k", "v", "id"]).reset_index(drop=True)
+    want = want.sort_values(["k", "v", "id"]).reset_index(drop=True)
+    assert got["rn"].tolist() == want["rn"].tolist()
+
+
+def test_running_sum_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.keyed import running_sum
+
+    rng = np.random.default_rng(6)
+    n = 3000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 25, n),
+        "t": rng.integers(0, 500, n).astype(np.int64),
+        "id": np.arange(n, dtype=np.int64),
+        "v": rng.integers(-50, 100, n).astype(np.int64),
+    })
+    ds = ray.data.from_pandas(df).repartition(11)
+    out = running_sum(ds, ["k"], ["t", "id"], "v").to_pandas()
+    assert out["running"].dtype == np.int64  # integer input stays exact
+    srt = df.sort_values(["k", "t", "id"])
+    want = srt.assign(running=srt.groupby("k")["v"].cumsum())
+    got = out.sort_values(["k", "t", "id"]).reset_index(drop=True)
+    assert got["running"].tolist() == want.reset_index(drop=True)["running"].tolist()
