@@ -1385,6 +1385,29 @@ def q_running_total(sf_dir: str):
     )
 
 
+def q_increase_5m(sf_dir: str):
+    """PromQL-style increase(): per-series adjacent counter deltas with
+    reset handling, summed per 5m window (stages/windowed.counter_increase;
+    one key-hash-shard shuffle)."""
+    from ..stages.windowed import counter_increase
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "event_id", "value"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "tms": ts_to_ms(batch["ts"]),
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "value": pc.cast(batch["value"], pa.float64()),
+        })
+
+    out = counter_increase(
+        ds.map_batches(norm, batch_format="pyarrow"),
+        ["event_type"], "tms", ["event_id"], "value", MS_5M,
+    )
+    return _finalize(out, {}, {"increase": 4})
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -1441,6 +1464,7 @@ QUERIES = {
     "curate_summary": q_curate_summary,
     "event_rank": q_event_rank,
     "running_total": q_running_total,
+    "increase_5m": q_increase_5m,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -1531,6 +1555,18 @@ ORACLE_SQL = {
                CAST(row_number() OVER (
                    PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn
         FROM events
+    """,
+    "increase_5m": """
+        WITH e AS (SELECT event_type, epoch_ms(ts) AS tms, value,
+                          lag(value) OVER (
+                              PARTITION BY event_type
+                              ORDER BY ts, event_id) AS prev
+                   FROM events)
+        SELECT event_type, (tms // 300000) * 300000 AS window_start,
+               CAST(count(*) AS BIGINT) AS n_deltas,
+               round(sum(CASE WHEN value >= prev THEN value - prev
+                              ELSE value END), 4) AS increase
+        FROM e WHERE prev IS NOT NULL GROUP BY 1, 2
     """,
     "running_total": """
         WITH e AS (SELECT event_type, ts, event_id,

@@ -300,3 +300,85 @@ def asof_join(
         .groupby("_kshard")
         .map_groups(per_shard, batch_format="pyarrow")
     )
+
+
+def counter_increase(
+    ds,
+    key_cols: list[str],
+    ts_col: str,
+    order_cols: list[str],
+    value_col: str,
+    window_ms: int,
+    num_shards: int = 64,
+):
+    """PromQL-style ``increase()``: adjacent-sample counter deltas with
+    reset handling, summed per aligned window.
+
+    Per key (series), samples ordered by ``(ts_col, *order_cols)``; each
+    sample after the first contributes ``v - prev`` when the counter grew,
+    else ``v`` (a counter reset restarts from zero — Prometheus
+    ``extrapolatedRate`` reset rule, minus the extrapolation).  Deltas are
+    attributed to the aligned window of the *current* sample; a key's first
+    sample contributes nothing (SQL: ``lag() ... WHERE prev IS NOT NULL``),
+    so a (key, window) holding only a first sample emits no row.
+
+    Output: key cols + ``window_start`` (int64 ms) + ``n_deltas`` +
+    ``increase``.  Same shuffle shape as :func:`running_sum`: ONE exchange
+    of (key, ts, order, value) rows hash-sharded by key — a shard task
+    covers thousands of series via segment boundaries after one sort.
+    Partitioning assumption: one key's full sample history fits in one
+    shard group (series histories, not the whole corpus).
+    """
+    from .keyed import _key_shard, _segment_starts
+
+    cols = list(key_cols) + [ts_col] + list(order_cols) + [value_col]
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols)
+        return t.append_column("_wshard", _key_shard(t, list(key_cols), num_shards))
+
+    sort_keys = [(c, "ascending") for c in list(key_cols) + [ts_col] + list(order_cols)]
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_wshard")
+        empty = {c: t[c].slice(0, 0) for c in key_cols}
+        empty.update({
+            "window_start": pa.array([], pa.int64()),
+            "n_deltas": pa.array([], pa.int64()),
+            "increase": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return pa.table(empty)
+        t = t.sort_by(sort_keys)
+        ts = t[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        first = _segment_starts(t, list(key_cols))
+        delta = np.empty(len(v), dtype=np.float64)
+        delta[0] = 0.0
+        delta[1:] = v[1:] - v[:-1]
+        adj = np.where(delta < 0, v, delta)  # reset -> counter restarted at v
+        w = (ts // window_ms) * window_ms
+        keep = ~first  # rows that have an in-key predecessor
+        if not keep.any():
+            return pa.table(empty)
+        kept = t.filter(pa.array(keep))
+        w_k, adj_k = w[keep], adj[keep]
+        # group boundaries over (key, window) on the kept rows
+        gstart = _segment_starts(kept, list(key_cols))
+        gstart[1:] |= w_k[1:] != w_k[:-1]
+        starts = np.flatnonzero(gstart)
+        counts = np.diff(np.r_[starts, len(w_k)]).astype(np.int64)
+        out = {c: kept[c].take(pa.array(starts)) for c in key_cols}
+        out["window_start"] = pa.array(w_k[starts], pa.int64())
+        out["n_deltas"] = pa.array(counts, pa.int64())
+        out["increase"] = pa.array(np.add.reduceat(adj_k, starts), pa.float64())
+        return pa.table(out)
+
+    from .common import narrow_fanin
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .repartition(narrow_fanin())
+        .groupby("_wshard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )

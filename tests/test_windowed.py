@@ -110,3 +110,51 @@ def test_range_join_matches_bruteforce(ray_session):
     w = want.sort_values(key).reset_index(drop=True)
     assert len(g) == len(w) > 50
     pd.testing.assert_frame_equal(g[sorted(g.columns)], w[sorted(w.columns)], check_dtype=False)
+
+
+def test_counter_increase_fuzz(ray_session):
+    """counter_increase vs a per-key pandas reference: resets, duplicate
+    windows, single-sample keys, multi-block input."""
+    import pandas as pd
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.windowed import counter_increase
+
+    rng = np.random.default_rng(7)
+    n, wms = 600, 300_000
+    keys = rng.integers(0, 25, n)  # some keys get 1 sample, some many
+    ts = rng.integers(0, 40, n).astype(np.int64) * 60_000 + rng.integers(0, 60_000, n)
+    order = rng.permutation(n).astype(np.int64)
+    # counter-ish values with injected resets
+    vals = np.cumsum(rng.random(n) * 10.0)
+    reset_mask = rng.random(n) < 0.15
+    vals[reset_mask] = rng.random(reset_mask.sum()) * 5.0
+    t = pa.table({
+        "k": pa.array([f"s{k}" for k in keys]),
+        "tms": pa.array(ts, pa.int64()),
+        "oid": pa.array(order, pa.int64()),
+        "value": pa.array(vals, pa.float64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(7)
+    got = (
+        counter_increase(ds, ["k"], "tms", ["oid"], "value", wms)
+        .to_pandas()
+        .sort_values(["k", "window_start"])
+        .reset_index(drop=True)
+    )
+
+    df = t.to_pandas().sort_values(["k", "tms", "oid"]).reset_index(drop=True)
+    df["prev"] = df.groupby("k")["value"].shift(1)
+    df = df[df["prev"].notna()].copy()
+    df["adj"] = np.where(df["value"] >= df["prev"], df["value"] - df["prev"], df["value"])
+    df["window_start"] = (df["tms"] // wms) * wms
+    want = (
+        df.groupby(["k", "window_start"], as_index=False)
+        .agg(n_deltas=("adj", "size"), increase=("adj", "sum"))
+        .sort_values(["k", "window_start"])
+        .reset_index(drop=True)
+    )
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["window_start"].tolist() == want["window_start"].tolist()
+    assert got["n_deltas"].tolist() == want["n_deltas"].tolist()
+    np.testing.assert_allclose(got["increase"], want["increase"], rtol=1e-9)
