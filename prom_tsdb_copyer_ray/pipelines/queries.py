@@ -1408,6 +1408,17 @@ def q_increase_5m(sf_dir: str):
     return _finalize(out, {}, {"increase": 4})
 
 
+def q_dup_grams(sf_dir: str):
+    """Cross-document duplicate token-3-gram stats per doc
+    (stages/curation.duplicate_gram_stats; gram-sharded then doc-sharded
+    exchanges, no all-pairs)."""
+    from ..stages.curation import duplicate_gram_stats
+
+    return duplicate_gram_stats(
+        _read(sf_dir, "documents", ["doc_id", "text"]), n=3
+    )
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -1465,6 +1476,7 @@ QUERIES = {
     "event_rank": q_event_rank,
     "running_total": q_running_total,
     "increase_5m": q_increase_5m,
+    "dup_grams": q_dup_grams,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -1555,6 +1567,18 @@ ORACLE_SQL = {
                CAST(row_number() OVER (
                    PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn
         FROM events
+    """,
+    "dup_grams": f"""
+        WITH toks AS ({_SQL_TOKS}),
+        g0 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+                     i -> tk[i] || chr(1) || tk[i+1] || chr(1) || tk[i+2]))
+                     AS g FROM toks),
+        g AS (SELECT DISTINCT doc_id, g FROM g0),
+        df AS (SELECT g, count(*) AS c FROM g GROUP BY 1)
+        SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN df.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_grams
+        FROM g JOIN df USING (g) GROUP BY 1
     """,
     "increase_5m": """
         WITH e AS (SELECT event_type, epoch_ms(ts) AS tms, value,

@@ -407,3 +407,84 @@ def pack_sequences(ds, seq_len: int, id_col: str = "doc_id",
     parts = pairs.map_batches(assign, batch_size=None, batch_format="pyarrow")
     return sharded_grouped_agg(parts, ["seq_id"],
                                [("n_docs", "sum"), ("n_tokens", "sum")])
+
+
+def duplicate_gram_stats(ds, id_col: str = "doc_id", text_col: str = "text",
+                         n: int = 3, num_shards: int = 64):
+    """Per-doc duplicate n-gram statistics (RefinedWeb-style dup analysis).
+
+    For every document: ``n_grams`` = its DISTINCT token ``n``-grams, and
+    ``n_dup_grams`` = how many of those also occur in at least one OTHER
+    document.  The dup fraction (``n_dup_grams / n_grams``) is the standard
+    cross-document contamination signal used to drop boilerplate-heavy
+    pages before training.
+
+    Scale shape — two narrow exchanges, no all-pairs anywhere:
+
+    1. per-batch combiner: distinct (gram, doc_id) pairs (Arrow
+       ``group_by``), hash-sharded by GRAM so a gram's global document set
+       lands in one shard task;
+    2. per shard: one sort + segment sizes = each gram's document
+       frequency; rows fold to per-doc partial (n_grams, n_dup_grams)
+       counts before leaving the task;
+    3. final: the sharded segment sum by doc id (``sharded_grouped_agg``).
+
+    Exact gram STRINGS move through shuffle 1 so a DuckDB join oracle
+    matches bit-for-bit; at extreme scale swap in 64-bit gram hashes (the
+    only change is the pair projection) and accept the ~n²/2⁶⁴ collision
+    odds.  Docs with fewer than ``n`` tokens emit nothing (no grams).
+    """
+    from .keyed import _key_shard, _segment_starts, sharded_grouped_agg
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        grams, gram_row, valid, _ = _gram_strings(batch[text_col], n)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = pa.array(valid)
+        t = pa.table({
+            "g": grams.filter(keep),
+            id_col: pa.array(ids[gram_row[valid]], pa.int64()),
+        })
+        t = t.group_by(["g", id_col]).aggregate([])  # distinct per batch
+        return t.append_column("_gshard", _key_shard(t, ["g"], num_shards))
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_gshard")
+        if t.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "n_grams": pa.array([], pa.int64()),
+                "n_dup_grams": pa.array([], pa.int64()),
+            })
+        t = t.sort_by([("g", "ascending"), (id_col, "ascending")])
+        # cross-batch distinct: a (gram, doc) pair can arrive once per batch
+        firsts = _segment_starts(t, ["g", id_col])
+        t = t.filter(pa.array(firsts))
+        starts = np.flatnonzero(_segment_starts(t, ["g"]))
+        sizes = np.diff(np.r_[starts, t.num_rows])
+        dup_flag = np.repeat(sizes >= 2, sizes).astype(np.int64)
+        agg = (
+            pa.table({
+                id_col: t[id_col],
+                "n_grams": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+                "n_dup_grams": pa.array(dup_flag, pa.int64()),
+            })
+            .group_by(id_col)
+            .aggregate([("n_grams", "sum"), ("n_dup_grams", "sum")])
+        )
+        return pa.table({
+            id_col: agg[id_col],
+            "n_grams": agg["n_grams_sum"],
+            "n_dup_grams": agg["n_dup_grams_sum"],
+        })
+
+    from .common import narrow_fanin
+
+    sharded = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .repartition(narrow_fanin())
+        .groupby("_gshard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )
+    return sharded_grouped_agg(
+        sharded, [id_col], [("n_grams", "sum"), ("n_dup_grams", "sum")]
+    )

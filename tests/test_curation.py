@@ -192,3 +192,43 @@ def test_pack_sequences_block_invariance(ray_session):
     a = a.sort_values("seq_id").reset_index(drop=True)
     b = b.sort_values("seq_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_duplicate_gram_stats_reference(docs_ds):
+    from prom_tsdb_copyer_ray.stages.curation import duplicate_gram_stats
+
+    out = (
+        duplicate_gram_stats(docs_ds, n=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # independent reference: per-doc distinct 3-gram sets, df over docs
+    gram_sets = {}
+    for doc_id, text, _, _ in DOCS:
+        tk = ref_tokens(text)
+        gram_sets[doc_id] = {tuple(tk[i:i + 3]) for i in range(len(tk) - 2)}
+    df = Counter(g for s in gram_sets.values() for g in s)
+    want = {
+        d: (len(s), sum(1 for g in s if df[g] > 1))
+        for d, s in gram_sets.items() if s
+    }
+    got = dict(zip(out["doc_id"], zip(out["n_grams"], out["n_dup_grams"])))
+    assert got == want
+    # docs 0 and 7 are exact dups: every gram duplicated
+    assert got[0] == (got[0][0], got[0][0])
+    # short/blank docs (1, 2, 3) emit nothing
+    assert {1, 2, 3}.isdisjoint(got)
+
+
+def test_duplicate_gram_stats_block_invariance(ray_session):
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.curation import duplicate_gram_stats
+
+    t = docs_table()
+    a = duplicate_gram_stats(ray.data.from_arrow(t).repartition(13), n=2).to_pandas()
+    b = duplicate_gram_stats(ray.data.from_arrow(t), n=2).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
