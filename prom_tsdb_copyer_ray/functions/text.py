@@ -205,6 +205,39 @@ def quality_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch
 
 
+# PII redaction patterns: email, long digit runs (phone/account/SSN-ish),
+# IPv4.  RE2 syntax so pyarrow (replace/count_substring_regex) and DuckDB
+# (regexp_replace/'g', regexp_extract_all) agree match-for-match.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b[0-9][0-9 ()+-]{5,}[0-9]\b", "<NUM>"),
+]
+
+
+def redact_regex(texts: pa.ChunkedArray | pa.Array,
+                 patterns: list[tuple[str, str]] | None = None
+                 ) -> tuple[pa.Array, pa.Array]:
+    """Vectorized multi-pattern regex redaction (PII scrubbing).
+
+    Returns ``(redacted_text, n_redactions)``.  Match counts are taken on
+    the ORIGINAL text per pattern (so overlapping patterns count
+    independently); replacements apply sequentially in pattern order —
+    mirror the same nesting order in any SQL oracle.  Pure Arrow kernels
+    (``count_substring_regex`` + ``replace_substring_regex``): zero per-row
+    Python, safe for 100 TB map stages.
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    s = pc.cast(texts, pa.string())
+    n = pa.array(np.zeros(len(s), dtype=np.int64), pa.int64())
+    for pat, _ in pats:
+        n = pc.add(n, count_regex(s, pat))
+    red = s
+    for pat, repl in pats:
+        red = pc.replace_substring_regex(red, pattern=pat, replacement=repl)
+    return red, n
+
+
 # ---------------------------------------------------------------------------
 # Language identification (n-gram / stopword heuristic; no external models)
 # ---------------------------------------------------------------------------

@@ -1419,6 +1419,32 @@ def q_dup_grams(sf_dir: str):
     )
 
 
+_REDACT_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"[0-9]+", "<NUM>"),
+]
+
+
+def q_redact_pii(sf_dir: str):
+    """PII redaction over the semi-structured props column: vectorized
+    multi-pattern regexp replace + match counting
+    (functions/text.redact_regex; shuffle-free map stage)."""
+    from ..functions.text import redact_regex
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        red, n = redact_regex(batch["props"], _REDACT_PATTERNS)
+        return pa.table({
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "red_props": red,
+            "n_redactions": n,
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -1477,6 +1503,7 @@ QUERIES = {
     "running_total": q_running_total,
     "increase_5m": q_increase_5m,
     "dup_grams": q_dup_grams,
+    "redact_pii": q_redact_pii,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -1566,6 +1593,21 @@ ORACLE_SQL = {
         SELECT event_type, value, event_id,
                CAST(row_number() OVER (
                    PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn
+        FROM events
+    """,
+    "redact_pii": r"""
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               regexp_replace(regexp_replace(regexp_replace(props,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                   '[0-9]+', '<NUM>', 'g') AS red_props,
+               CAST(len(regexp_extract_all(props,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                  + len(regexp_extract_all(props,
+                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                  + len(regexp_extract_all(props, '[0-9]+'))
+                  AS BIGINT) AS n_redactions
         FROM events
     """,
     "dup_grams": f"""

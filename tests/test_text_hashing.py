@@ -261,3 +261,39 @@ def test_bpe_token_count():
         None,                   # null -> 0
     ])
     assert bpe_token_count(texts).to_pylist() == [2, 3, 4, 4, 0, 0, 2, 0]
+
+
+def test_redact_regex_pii():
+    import pyarrow as pa
+
+    from prom_tsdb_copyer_ray.functions.text import PII_PATTERNS, redact_regex
+
+    texts = pa.array([
+        "contact bob.smith+x@example.co.uk or 192.168.001.42 now",
+        "call +1 (555) 867-5309 twice",
+        "no pii here",
+        "",
+        "two mails: a@b.io c@d.org",
+    ])
+    red, n = redact_regex(texts, PII_PATTERNS)
+    red = red.to_pylist()
+    assert red[0] == "contact <EMAIL> or <IP> now"
+    assert "<NUM>" in red[1] and "555" not in red[1]
+    assert red[2] == "no pii here"
+    assert red[3] == ""
+    assert red[4] == "two mails: <EMAIL> <EMAIL>"
+    assert n.to_pylist() == [2, 1, 0, 0, 2]
+
+
+def test_redact_regex_counts_on_original():
+    import pyarrow as pa
+
+    from prom_tsdb_copyer_ray.functions.text import redact_regex
+
+    # overlapping patterns each count against the ORIGINAL text
+    red, n = redact_regex(
+        pa.array(["ip 10.0.0.1"]),
+        [(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"), (r"[0-9]+", "<NUM>")],
+    )
+    assert red.to_pylist() == ["ip <IP>"]
+    assert n.to_pylist() == [1 + 4]
