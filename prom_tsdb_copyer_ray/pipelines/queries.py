@@ -1445,6 +1445,15 @@ def q_redact_pii(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def q_shuffle_order(sf_dir: str):
+    """Deterministic global training shuffle: Lehmer rank + distributed
+    sort + block-offset scan for exact global positions
+    (stages/curation.global_shuffle_order)."""
+    from ..stages.curation import global_shuffle_order
+
+    return global_shuffle_order(_read(sf_dir, "documents", ["doc_id"]))
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -1504,6 +1513,7 @@ QUERIES = {
     "increase_5m": q_increase_5m,
     "dup_grams": q_dup_grams,
     "redact_pii": q_redact_pii,
+    "shuffle_order": q_shuffle_order,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -1594,6 +1604,12 @@ ORACLE_SQL = {
                CAST(row_number() OVER (
                    PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn
         FROM events
+    """,
+    "shuffle_order": """
+        SELECT doc_id, (doc_id * 48271) % 2147483647 AS rank,
+               CAST(row_number() OVER (
+                   ORDER BY (doc_id * 48271) % 2147483647) - 1 AS BIGINT) AS pos
+        FROM documents
     """,
     "redact_pii": r"""
         SELECT CAST(event_id AS BIGINT) AS event_id,

@@ -488,3 +488,67 @@ def duplicate_gram_stats(ds, id_col: str = "doc_id", text_col: str = "text",
     return sharded_grouped_agg(
         sharded, [id_col], [("n_grams", "sum"), ("n_dup_grams", "sum")]
     )
+
+
+def global_shuffle_order(ds, id_col: str = "doc_id"):
+    """Deterministic global training-data shuffle: every row gets a unique
+    shuffle position.
+
+    Rank = Lehmer permutation of the id (exact integer math both engines
+    can run literally), then a DISTRIBUTED range-partitioned sort by rank,
+    then global positions via the block-offset scan (one ``(min_rank,
+    count)`` row per block to the driver — KBs at any scale; the classic
+    two-pass prefix-sum, same machinery as :func:`pack_sequences`).
+
+    This is how a 100 TB corpus gets a reproducible epoch order without
+    ``random_shuffle``'s full materialization: the sort moves 16 bytes/row
+    and the output (id, rank, pos) joins back to payloads by id wherever
+    the training loader runs.
+    """
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "rank": pa.array(lehmer_rank(ids), pa.int64()),
+        })
+
+    pairs = ds.map_batches(project, batch_format="pyarrow").sort("rank").materialize()
+
+    def block_meta(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"min_rank": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        r = batch["rank"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "min_rank": pa.array([int(r.min())], pa.int64()),
+            "cnt": pa.array([batch.num_rows], pa.int64()),
+        })
+
+    metas = sorted(
+        (row["min_rank"], row["cnt"])
+        for row in pairs.map_batches(
+            block_meta, batch_size=None, batch_format="pyarrow"
+        ).take_all()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for min_rank, cnt in metas:
+        offsets[min_rank] = acc
+        acc += cnt
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        r = batch["rank"].to_numpy(zero_copy_only=False)
+        base = offsets[int(r.min())]
+        # rows within a sorted block are rank-ordered; ranks are unique
+        # (Lehmer is a permutation and ids are unique)
+        order = np.argsort(r, kind="stable")
+        pos = np.empty(len(r), dtype=np.int64)
+        pos[order] = base + np.arange(len(r), dtype=np.int64)
+        return batch.append_column("pos", pa.array(pos, pa.int64()))
+
+    return pairs.map_batches(assign, batch_size=None, batch_format="pyarrow")

@@ -232,3 +232,34 @@ def test_duplicate_gram_stats_block_invariance(ray_session):
     a = a.sort_values("doc_id").reset_index(drop=True)
     b = b.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_global_shuffle_order(ray_session):
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.curation import global_shuffle_order, lehmer_rank
+
+    ids = np.arange(1000, dtype=np.int64) * 7 + 3
+    t = pa.table({"doc_id": pa.array(ids, pa.int64())})
+    out = (
+        global_shuffle_order(ray.data.from_arrow(t).repartition(11))
+        .to_pandas()
+        .sort_values("pos")
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(ids)
+    # positions are a contiguous permutation
+    assert out["pos"].tolist() == list(range(len(ids)))
+    # pos order == rank order, ranks match the Lehmer formula
+    assert (np.diff(out["rank"].to_numpy()) > 0).all()
+    np.testing.assert_array_equal(
+        np.sort(out["rank"].to_numpy()), np.sort(lehmer_rank(ids))
+    )
+    # deterministic across block structures
+    again = (
+        global_shuffle_order(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values("pos")
+        .reset_index(drop=True)
+    )
+    assert out.equals(again)
