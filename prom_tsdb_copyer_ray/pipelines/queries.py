@@ -1454,6 +1454,18 @@ def q_shuffle_order(sf_dir: str):
     return global_shuffle_order(_read(sf_dir, "documents", ["doc_id"]))
 
 
+def q_lang_quartile_filter(sf_dir: str):
+    """Per-language p25 token-count threshold filter with kept-mass summary
+    (stages/curation.quantile_threshold_filter: exact group quantile ->
+    driver-broadcast thresholds -> vectorized filter -> bounded-key
+    aggregate)."""
+    from ..stages.curation import quantile_threshold_filter
+
+    return quantile_threshold_filter(
+        _read(sf_dir, "documents", ["doc_id", "lang", "text"]), "lang"
+    )
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -1514,6 +1526,7 @@ QUERIES = {
     "dup_grams": q_dup_grams,
     "redact_pii": q_redact_pii,
     "shuffle_order": q_shuffle_order,
+    "lang_quartile_filter": q_lang_quartile_filter,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -1604,6 +1617,18 @@ ORACLE_SQL = {
                CAST(row_number() OVER (
                    PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn
         FROM events
+    """,
+    "lang_quartile_filter": f"""
+        WITH toks AS ({_SQL_TOKS}),
+        t AS (SELECT d.lang, CAST(len(tk.tk) AS BIGINT) AS n_tokens
+              FROM documents d JOIN toks tk ON d.doc_id = tk.doc_id),
+        th AS (SELECT lang, CAST(quantile_disc(n_tokens, 0.25) AS BIGINT)
+                      AS p25 FROM t GROUP BY 1)
+        SELECT t.lang, th.p25,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(t.n_tokens) AS BIGINT) AS sum_tokens_kept
+        FROM t JOIN th USING (lang)
+        WHERE t.n_tokens >= th.p25 GROUP BY 1, 2
     """,
     "shuffle_order": """
         SELECT doc_id, (doc_id * 48271) % 2147483647 AS rank,

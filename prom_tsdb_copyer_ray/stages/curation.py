@@ -552,3 +552,75 @@ def global_shuffle_order(ds, id_col: str = "doc_id"):
         return batch.append_column("pos", pa.array(pos, pa.int64()))
 
     return pairs.map_batches(assign, batch_size=None, batch_format="pyarrow")
+
+
+def quantile_threshold_filter(ds, key_col: str, id_col: str = "doc_id",
+                              text_col: str = "text", q: float = 0.25):
+    """Per-group quantile-threshold quality filter with summary.
+
+    For each group (e.g. language): threshold = the group's exact
+    ``quantile_disc(q)`` of per-doc token counts; keep docs at or above it;
+    emit one summary row per group (threshold, kept count, kept token
+    mass).  This is the standard "drop the shortest quartile per language"
+    curation step.
+
+    Scale shape: token counting is a shuffle-free combiner pass; the exact
+    quantile runs on the projected (key, n_tokens) pairs
+    (:func:`~..stages.keyed.group_quantiles` — the one honest per-value
+    exchange); thresholds are O(groups) rows, collected once on the driver
+    and BROADCAST into the filter closure (``ray.put`` pattern — groups are
+    languages/sources, never corpus-scale); the final summary is a
+    bounded-key aggregate.
+    """
+    import ray
+
+    from .keyed import group_quantiles
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: batch[key_col],
+            "n_tokens": token_count(batch[text_col]),
+        })
+
+    pairs = ds.map_batches(project, batch_format="pyarrow")
+    qname = f"p{q * 100:g}"
+    th_rows = group_quantiles(pairs, [key_col], "n_tokens", qs=(q,)).take_all()
+    thresholds = {r[key_col]: int(r[qname]) for r in th_rows}
+    th_ref = ray.put(thresholds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        th = ray.get(th_ref)
+        th_keys = pa.array(list(th), pa.string())
+        th_vals = np.fromiter(th.values(), dtype=np.int64, count=len(th))
+        ntok = token_count(batch[text_col]).to_numpy(zero_copy_only=False)
+        # vectorized dict lookup: index_in against the broadcast key list
+        idx = pc.fill_null(
+            pc.index_in(pc.cast(batch[key_col], pa.string()), value_set=th_keys), -1
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        miss = idx < 0
+        bounds = th_vals[np.where(miss, 0, idx)] if len(th) else np.zeros(len(idx), np.int64)
+        bounds[miss] = 0
+        keep = pa.array(ntok >= bounds)
+        t = pa.table({
+            key_col: batch[key_col].filter(keep),
+            "n_tokens": pa.array(ntok, pa.int64()).filter(keep),
+        })
+        return t.group_by(key_col).aggregate(
+            [("n_tokens", "count"), ("n_tokens", "sum")]
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow")
+    # groups are bounded (languages) -> Ray's per-key aggregate is fine here
+    final = agg.groupby(key_col).sum(["n_tokens_count", "n_tokens_sum"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        th = ray.get(th_ref)
+        keys = batch[key_col].to_pylist()
+        return pa.table({
+            key_col: batch[key_col],
+            qname: pa.array([th.get(k, 0) for k in keys], pa.int64()),
+            "n_kept": pc.cast(batch["sum(n_tokens_count)"], pa.int64()),
+            "sum_tokens_kept": pc.cast(batch["sum(n_tokens_sum)"], pa.int64()),
+        })
+
+    return final.map_batches(finish, batch_format="pyarrow")

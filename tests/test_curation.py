@@ -263,3 +263,29 @@ def test_global_shuffle_order(ray_session):
         .reset_index(drop=True)
     )
     assert out.equals(again)
+
+
+def test_quantile_threshold_filter_reference(docs_ds):
+    from prom_tsdb_copyer_ray.stages.curation import quantile_threshold_filter
+
+    out = (
+        quantile_threshold_filter(docs_ds, "lang", q=0.5)
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    # independent reference: quantile_disc(0.5) per lang, then filter
+    by_lang: dict[str, list[int]] = {}
+    for _, text, lang, _ in DOCS:
+        by_lang.setdefault(lang, []).append(len(ref_tokens(text)))
+    want = {}
+    for lang, toks in by_lang.items():
+        s = sorted(toks)
+        thr = s[math.ceil(0.5 * len(s)) - 1]
+        kept = [t for t in toks if t >= thr]
+        want[lang] = (thr, len(kept), sum(kept))
+    got = {
+        r["lang"]: (r["p50"], r["n_kept"], r["sum_tokens_kept"])
+        for _, r in out.iterrows()
+    }
+    assert got == want
