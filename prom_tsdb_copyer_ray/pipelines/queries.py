@@ -1466,6 +1466,27 @@ def q_lang_quartile_filter(sf_dir: str):
     )
 
 
+def q_hist_p90(sf_dir: str):
+    """promql histogram_quantile(0.9, ...) over the 5m histogram tier:
+    linear interpolation inside the located cumulative bucket
+    (stages/histograms.histogram_quantile_cols, fully vectorized)."""
+    from ..stages.histograms import histogram_quantile_cols
+
+    names = [f"le_{int(le)}" for le in HIST_LES]
+
+    def quant(batch: pa.Table) -> pa.Table:
+        out = histogram_quantile_cols(
+            batch, 0.9, HIST_LES, names, "le_inf", out_col="q90"
+        )
+        return pa.table({
+            "event_type": out["event_type"],
+            "window_start": out["window_start"],
+            "q90": pc.round(out["q90"], ndigits=6),
+        })
+
+    return q_hist_5m(sf_dir).map_batches(quant, batch_format="pyarrow")
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -1527,6 +1548,7 @@ QUERIES = {
     "redact_pii": q_redact_pii,
     "shuffle_order": q_shuffle_order,
     "lang_quartile_filter": q_lang_quartile_filter,
+    "hist_p90": q_hist_p90,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -1980,6 +2002,26 @@ ORACLE_SQL = {
                CAST(count(*) FILTER (value <= 200) AS BIGINT) AS le_200,
                count(*) AS le_inf
         FROM events GROUP BY 1, 2
+    """,
+    "hist_p90": """
+        WITH h AS (
+          SELECT event_type, (epoch_ms(ts) // 300000) * 300000 AS window_start,
+                 CAST(count(*) FILTER (value <= 50) AS DOUBLE) AS c1,
+                 CAST(count(*) FILTER (value <= 100) AS DOUBLE) AS c2,
+                 CAST(count(*) FILTER (value <= 200) AS DOUBLE) AS c3,
+                 CAST(count(*) AS DOUBLE) AS total
+          FROM events GROUP BY 1, 2),
+        r AS (SELECT *, 0.9 * total AS rank FROM h)
+        SELECT event_type, window_start,
+               round(CASE
+                 WHEN c1 >= rank THEN 0 + (50 - 0) *
+                   (CASE WHEN c1 - 0 <= 0 THEN 0 ELSE (rank - 0) / (c1 - 0) END)
+                 WHEN c2 >= rank THEN 50 + (100 - 50) *
+                   (CASE WHEN c2 - c1 <= 0 THEN 0 ELSE (rank - c1) / (c2 - c1) END)
+                 WHEN c3 >= rank THEN 100 + (200 - 100) *
+                   (CASE WHEN c3 - c2 <= 0 THEN 0 ELSE (rank - c2) / (c3 - c2) END)
+                 ELSE 200 END, 6) AS q90
+        FROM r
     """,
     "sliding_1h": """
         WITH r AS (

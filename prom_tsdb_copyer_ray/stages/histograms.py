@@ -251,3 +251,41 @@ def histogram_quantile(tier_table: pa.Table, q: float, les: list[float]) -> pa.T
         frac = 0.0 if inbucket <= 0 else (rank - cb) / inbucket
         out.append(float(lo + width * frac))
     return tier_table.append_column(f"q{q}", pa.array(out, pa.float64()))
+
+
+def histogram_quantile_cols(batch: pa.Table, q: float, les: list[float],
+                            bucket_cols: list[str], total_col: str,
+                            out_col: str = "q") -> pa.Table:
+    """Vectorized promql-style ``histogram_quantile`` over COLUMN-encoded
+    cumulative buckets (one int64 column per finite ``le`` + the +Inf
+    total column) — the batch-kernel companion of
+    :func:`histogram_quantile` (which walks a list column per row).
+
+    Linear interpolation inside the located bucket; rank in the +Inf
+    bucket returns the highest finite ``le``; an empty histogram returns
+    NaN.  The arithmetic mirrors the SQL expression
+    ``lo + (hi - lo) * ((rank - cb) / (ci - cb))`` term-for-term so a
+    DuckDB oracle matches to the ulp.
+    """
+    k = len(les)
+    cum = np.stack(
+        [batch[c].to_numpy(zero_copy_only=False).astype(np.float64)
+         for c in bucket_cols + [total_col]],
+        axis=1,
+    )
+    total = cum[:, -1]
+    rank = q * total
+    i = np.minimum((cum < rank[:, None]).sum(axis=1), k)
+    les_ext = np.asarray(list(les) + [np.inf], dtype=np.float64)
+    rows = np.arange(len(total))
+    lo = np.where(i > 0, les_ext[np.maximum(i - 1, 0)], 0.0)
+    hi = les_ext[i]
+    cb = np.where(i > 0, cum[rows, np.maximum(i - 1, 0)], 0.0)
+    ci = cum[rows, i]
+    inb = ci - cb
+    with np.errstate(invalid="ignore", divide="ignore"):
+        frac = np.where(inb <= 0, 0.0, (rank - cb) / np.where(inb <= 0, 1.0, inb))
+        val = lo + (hi - lo) * frac
+    val = np.where(i >= k, les_ext[k - 1] if k > 0 else np.nan, val)
+    val = np.where(total <= 0, np.nan, val)
+    return batch.append_column(out_col, pa.array(val, pa.float64()))

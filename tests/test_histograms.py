@@ -278,3 +278,40 @@ def test_histogram_quantile():
     out = histogram_quantile(t, 0.5, LES)
     # rank 50 lands in bucket (0.1, 0.5]: 20 + 30/40 through -> 0.1 + 0.4*0.75
     assert abs(out["q0.5"][0].as_py() - (0.1 + 0.4 * ((50 - 20) / 40))) < 1e-12
+
+
+def test_histogram_quantile_cols_matches_rowwise():
+    """Vectorized column kernel agrees with the per-row list-column walker
+    on random cumulative histograms (incl. empty and inf-bucket ranks)."""
+    import numpy as np
+
+    from prom_tsdb_copyer_ray.stages.histograms import (
+        histogram_quantile,
+        histogram_quantile_cols,
+    )
+
+    rng = np.random.default_rng(3)
+    les = [50.0, 100.0, 200.0]
+    n = 200
+    raw = rng.integers(0, 30, size=(n, 4))
+    raw[0] = 0  # empty histogram
+    raw[1] = [0, 0, 0, 5]  # all mass in +Inf
+    cum = np.cumsum(raw, axis=1)
+    t_cols = pa.table({
+        "le_50": pa.array(cum[:, 0], pa.int64()),
+        "le_100": pa.array(cum[:, 1], pa.int64()),
+        "le_200": pa.array(cum[:, 2], pa.int64()),
+        "le_inf": pa.array(cum[:, 3], pa.int64()),
+    })
+    t_list = pa.table({
+        "h_buckets": pa.array([list(map(float, row)) for row in cum],
+                              pa.list_(pa.float64())),
+    })
+    for q in (0.1, 0.5, 0.9, 0.99):
+        got = histogram_quantile_cols(
+            t_cols, q, les, ["le_50", "le_100", "le_200"], "le_inf", out_col="qv"
+        )["qv"].to_numpy(zero_copy_only=False)
+        want = histogram_quantile(t_list, q, les + [float("inf")])[
+            f"q{q}"
+        ].to_numpy(zero_copy_only=False)
+        np.testing.assert_allclose(got, want, rtol=1e-12, equal_nan=True)
