@@ -279,3 +279,53 @@ class LangIdModel:
 
     def predict(self, texts) -> list[str]:
         return [self.predict_one(t or "") for t in texts]
+
+    def predict_batch(self, texts: pa.ChunkedArray | pa.Array) -> pa.Array:
+        """Vectorized :meth:`predict_one` — identical outputs, Arrow kernels.
+
+        Tokenization is the exact complement split of ``word_re`` (so the
+        token multiset matches ``findall``), stopword hits are one
+        ``pc.is_in`` per language over the flat token stream, and the CJK
+        branch is a counted codepoint-class regex.  Used by the actor-pool
+        lang-id stage; ``predict_one`` remains the reference the pytest
+        cross-checks against.
+        """
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        s = pc.fill_null(pc.cast(texts, pa.string()), "")
+        n = len(s)
+        length = pc.utf8_length(s).to_numpy(zero_copy_only=False).astype(np.int64)
+        head = pc.utf8_slice_codeunits(s, 0, 4000)
+        # CJK branch: count of [U+4E00..U+9FFF] in the first 4000 codepoints
+        n_cjk = pc.count_substring_regex(head, "[一-鿿]").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        cjk_thresh = np.maximum(4, 0.05 * np.minimum(length, 4000))
+        is_zh = n_cjk >= cjk_thresh
+        # word tokens of the lowered head: split on the complement class of
+        # word_re, drop empties -> same multiset findall produces
+        low = pc.utf8_lower(head)
+        lists = pc.split_pattern_regex(low, "[^a-zäöüßáéíóúàèìòùâêîôûçñ]+")
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lists)
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        nonempty = pc.not_equal(flat, "")
+        flat = flat.filter(nonempty)
+        row_idx = row_idx[nonempty.to_numpy(zero_copy_only=False)]
+        langs = sorted(self.stop)
+        hits = np.zeros((n, len(langs)), dtype=np.int64)
+        for j, lang in enumerate(langs):
+            m = pc.is_in(flat, value_set=pa.array(sorted(self.stop[lang])))
+            np.add.at(hits[:, j], row_idx[m.to_numpy(zero_copy_only=False)], 1)
+        has_word = np.zeros(n, dtype=bool)
+        has_word[row_idx] = True
+        # strictly-greater voting in sorted-lang order == argmax first-max
+        best_j = np.argmax(hits, axis=1)
+        best_hits = hits[np.arange(n), best_j]
+        lang_arr = np.asarray(langs + ["und"], dtype=object)
+        choice = np.where(best_hits > 0, best_j, len(langs))
+        out = lang_arr[choice]
+        out[~has_word] = "und"
+        out[is_zh] = "zh"
+        out[length == 0] = "und"
+        return pa.array(out, pa.string())

@@ -35,15 +35,35 @@ class LangIdStage:
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = self.model.predict(batch[self.text_col].to_pylist())
-        return batch.append_column("pred_lang", pa.array(preds, pa.string()))
+        preds = self.model.predict_batch(batch[self.text_col])
+        return batch.append_column("pred_lang", preds)
 
 
-def add_lang_id(ds, text_col: str = "text", concurrency=(1, 8)):
-    return ds.map_batches(
-        LangIdStage, fn_constructor_kwargs={"text_col": text_col},
-        batch_format="pyarrow", concurrency=concurrency,
-    )
+_LANGID_SINGLETON: dict[str, LangIdStage] = {}
+
+
+def add_lang_id(ds, text_col: str = "text", concurrency=(1, 8),
+                use_actors: bool = False):
+    """Language-ID stage.  Default: task pool with a per-worker-process
+    singleton model (same setup-once semantics as an actor ``__init__``,
+    none of the actor-pool admission latency — the pattern
+    pipelines/copy.py uses for extraction; the model here is one compiled
+    regex + five frozensets, so process start dominated the stage wall
+    time).  ``use_actors=True`` keeps the explicit actor-pool form for
+    parity with heavyweight models."""
+    if use_actors:
+        return ds.map_batches(
+            LangIdStage, fn_constructor_kwargs={"text_col": text_col},
+            batch_format="pyarrow", concurrency=concurrency,
+        )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        stage = _LANGID_SINGLETON.get(text_col)
+        if stage is None:
+            stage = _LANGID_SINGLETON[text_col] = LangIdStage(text_col)
+        return stage(batch)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def term_document_frequency(ds, text_col: str = "text", top_n: int = 100,

@@ -297,3 +297,32 @@ def test_redact_regex_counts_on_original():
     )
     assert red.to_pylist() == ["ip <IP>"]
     assert n.to_pylist() == [1 + 4]
+
+
+def test_langid_predict_batch_matches_predict_one():
+    import pyarrow as pa
+
+    from prom_tsdb_copyer_ray.functions.text import LangIdModel
+
+    m = LangIdModel()
+    texts = [
+        "",
+        None,
+        "the of and to a in is that it for",
+        "der die das und ist nicht ein eine",
+        "el la los de que y en un una es",
+        "le la les de des et un une est dans",
+        "一" * 50,
+        "mixed 一二三四五 the of and " + "一" * 200,
+        "zzz qqq xxx",           # words but no stopword hits
+        "1234 5678 !!!",         # no words at all
+        "LA DE QUE Y EN",        # uppercase handling
+        "qué señor l'homme café de",  # accented adjacency
+        "de" * 3,                 # 'dedede' is one token, not a stopword
+        "the " * 3000,            # truncation at 4000 codepoints
+        "x" * 4100 + " the of and to a in is that",  # stopwords past 4000
+    ]
+    texts_py = [t if t is not None else "" for t in texts]
+    want = [m.predict_one(t) for t in texts_py]
+    got = m.predict_batch(pa.array(texts, pa.string())).to_pylist()
+    assert got == want
