@@ -1487,6 +1487,22 @@ def q_hist_p90(sf_dir: str):
     return q_hist_5m(sf_dir).map_batches(quant, batch_format="pyarrow")
 
 
+_PIVOT_CATS = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_events(sf_dir: str):
+    """Long->wide pivot: per-user wide count + value-sum columns, one per
+    event type (stages/keyed.pivot_counts; per-batch wide combiner, one
+    hash-shard segment-sum exchange of O(users x types) cells)."""
+    from ..stages.keyed import pivot_counts
+
+    out = pivot_counts(
+        _read(sf_dir, "events", ["user_id", "event_type", "value"]),
+        ["user_id"], "event_type", _PIVOT_CATS, value_col="value",
+    )
+    return _finalize(out, {}, {f"v_{c}": 4 for c in _PIVOT_CATS})
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -1549,6 +1565,7 @@ QUERIES = {
     "shuffle_order": q_shuffle_order,
     "lang_quartile_filter": q_lang_quartile_filter,
     "hist_p90": q_hist_p90,
+    "pivot_events": q_pivot_events,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -1565,6 +1582,17 @@ QUERIES = {
 
 
 ORACLE_SQL = {
+    "pivot_events": """
+        SELECT user_id,
+            """ + ", ".join(
+                f"CAST(count(*) FILTER (WHERE event_type = '{c}') AS BIGINT)"
+                f" AS n_{c}, "
+                f"round(coalesce(sum(value) FILTER (WHERE event_type = '{c}'),"
+                f" 0), 4) AS v_{c}"
+                for c in _PIVOT_CATS
+            ) + """
+        FROM events GROUP BY user_id
+    """,
     "repetition": f"""
         WITH toks AS ({_SQL_TOKS}),
         g AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),

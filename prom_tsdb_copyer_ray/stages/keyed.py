@@ -421,3 +421,63 @@ def running_sum(ds, key_cols: list[str], order_cols: list[str],
         .groupby("_wshard")
         .map_groups(per_shard, batch_format="pyarrow")
     )
+
+
+def pivot_counts(ds, key_cols: list[str], cat_col: str, categories: list[str],
+                 value_col: str | None = None, num_shards: int = 64):
+    """Pivot a BOUNDED categorical column into wide per-category aggregate
+    columns, one output row per key (long -> wide reshape).
+
+    Output columns: ``key_cols`` + ``n_<cat>`` (int64 count per category)
+    and, when ``value_col`` is given, ``v_<cat>`` (float64 sum per
+    category).  Rows whose category is not in ``categories`` (or is null)
+    are dropped — the caller names the domain explicitly, mirroring the
+    reference's closed value-type switch (copyer.go:108-127) where the
+    handled kinds are enumerated up front.
+
+    Scale shape: a per-batch Arrow ``group_by`` over (key, cat) collapses
+    the batch to at most ``keys_in_batch`` WIDE partial rows (the category
+    axis is folded into fixed columns before the exchange), then one
+    :func:`sharded_grouped_agg` segment-sum merges partials — so the
+    shuffle moves ``O(distinct keys x len(categories))`` cells, never the
+    events, and no stage is per-key Python.  ``len(categories)`` must be
+    small (it is the output schema width); high-cardinality pivots should
+    stay long and use :func:`sharded_grouped_agg` directly.
+    """
+    cats = list(categories)
+    cat_arr = pa.array(cats, pa.string())
+    n_names = [f"n_{c}" for c in cats]
+    v_names = [f"v_{c}" for c in cats] if value_col is not None else []
+    sel = list(key_cols) + [cat_col] + ([value_col] if value_col else [])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(sel)
+        aggs = [([], "count_all")]
+        if value_col is not None:
+            aggs.append((value_col, "sum"))
+        g = t.group_by(list(key_cols) + [cat_col]).aggregate(aggs)
+        mask = pc.is_valid(pc.index_in(g[cat_col], value_set=cat_arr))
+        g = g.filter(mask).sort_by([(c, "ascending") for c in key_cols])
+        ci = pc.index_in(g[cat_col], value_set=cat_arr).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        new = _segment_starts(g, list(key_cols))
+        starts = np.flatnonzero(new)
+        row = np.cumsum(new) - 1
+        nk = len(starts)
+        out = g.select(list(key_cols)).take(pa.array(starts))
+        cmat = np.zeros((nk, len(cats)), dtype=np.int64)
+        cmat[row, ci] = g["count_all"].to_numpy(zero_copy_only=False)
+        for j, name in enumerate(n_names):
+            out = out.append_column(name, pa.array(cmat[:, j]))
+        if value_col is not None:
+            vmat = np.zeros((nk, len(cats)), dtype=np.float64)
+            vs = g[f"{value_col}_sum"].to_numpy(zero_copy_only=False)
+            vmat[row, ci] = np.nan_to_num(vs, nan=0.0)
+            for j, name in enumerate(v_names):
+                out = out.append_column(name, pa.array(vmat[:, j]))
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    specs = [(c, "sum") for c in n_names + v_names]
+    return sharded_grouped_agg(partials, list(key_cols), specs, num_shards)

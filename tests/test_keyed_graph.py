@@ -468,3 +468,57 @@ def test_running_sum_matches_pandas(ray_session):
     want = srt.assign(running=srt.groupby("k")["v"].cumsum())
     got = out.sort_values(["k", "t", "id"]).reset_index(drop=True)
     assert got["running"].tolist() == want.reset_index(drop=True)["running"].tolist()
+
+
+def test_pivot_counts_matches_pandas(ray_session):
+    """Wide pivot vs pandas pivot_table, multi-block invariance, and
+    unknown/null categories dropped."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.keyed import pivot_counts
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    cats = ["a", "b", "c"]
+    all_cats = cats + ["zz"]  # zz not in the pivot domain
+    cvals = [all_cats[i] for i in rng.integers(0, 4, n)]
+    cvals[5] = None
+    t = pa.table(
+        {
+            "k": pa.array((rng.integers(0, 97, n)).astype(np.int64)),
+            "c": pa.array(cvals, pa.string()),
+            "v": pa.array(np.round(rng.normal(size=n), 3)),
+        }
+    )
+    for nparts in (1, 17):
+        ds = ray.data.from_arrow(t).repartition(nparts)
+        out = (
+            pivot_counts(ds, ["k"], "c", cats, value_col="v")
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        df = t.to_pandas()
+        df = df[df["c"].isin(cats)]
+        # keys whose every row is an unlisted category must not appear
+        assert set(out["k"]) == set(df["k"])
+        for cat in cats:
+            sub = df[df["c"] == cat].groupby("k")
+            wantn = sub.size().reindex(out["k"]).fillna(0).astype(int)
+            wantv = sub["v"].sum().reindex(out["k"]).fillna(0.0)
+            np.testing.assert_array_equal(out[f"n_{cat}"].values, wantn.values)
+            np.testing.assert_allclose(
+                out[f"v_{cat}"].values, wantv.values, atol=1e-9
+            )
+
+
+def test_pivot_counts_no_value_col(ray_session):
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.keyed import pivot_counts
+
+    t = pa.table({"k": ["x", "x", "y"], "c": ["a", "a", "b"]})
+    out = (
+        pivot_counts(ray.data.from_arrow(t), ["k"], "c", ["a", "b"])
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert out.columns.tolist() == ["k", "n_a", "n_b"]
+    assert out.values.tolist() == [["x", 2, 0], ["y", 0, 1]]
