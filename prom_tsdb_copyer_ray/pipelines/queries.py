@@ -1487,6 +1487,35 @@ def q_hist_p90(sf_dir: str):
     return q_hist_5m(sf_dir).map_batches(quant, batch_format="pyarrow")
 
 
+def q_trend_slope(sf_dir: str):
+    """Per-(type, user) least-squares trend of value over time — the PromQL
+    deriv() analog (stages/keyed.group_linear_trend; exact int64 sufficient
+    statistics, per-batch 5-int combiner, one O(keys) exchange).  x = epoch
+    hours centered near 0, y = milli-units (the running_total convention)."""
+    from ..stages.keyed import group_linear_trend
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "ts", "value"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        vm = np.rint(np.round(v, 4) * 10000).astype(np.int64)
+        x = pc.subtract(
+            pc.divide(ts_to_ms(batch["ts"]), 3600000), 473000
+        )
+        return pa.table({
+            "event_type": batch["event_type"],
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "x": x,
+            "y": pa.array(vm, pa.int64()),
+        })
+
+    out = group_linear_trend(
+        ds.map_batches(norm, batch_format="pyarrow"),
+        ["event_type", "user_id"], "x", "y", out_col="slope_m",
+    )
+    return _finalize(out, {}, {"slope_m": 8})
+
+
 _PIVOT_CATS = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1566,6 +1595,7 @@ QUERIES = {
     "lang_quartile_filter": q_lang_quartile_filter,
     "hist_p90": q_hist_p90,
     "pivot_events": q_pivot_events,
+    "trend_slope": q_trend_slope,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -1592,6 +1622,20 @@ ORACLE_SQL = {
                 for c in _PIVOT_CATS
             ) + """
         FROM events GROUP BY user_id
+    """,
+    "trend_slope": """
+        WITH s AS (SELECT event_type, user_id,
+                          epoch_ms(ts) // 3600000 - 473000 AS x,
+                          CAST(round(value, 4) * 10000 AS BIGINT) AS y
+                   FROM events),
+        a AS (SELECT event_type, user_id, count(*) AS n,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * y) AS sxy, sum(x * x) AS sxx
+              FROM s GROUP BY 1, 2)
+        SELECT event_type, user_id,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 8) AS slope_m
+        FROM a WHERE n * sxx - sx * sx <> 0
     """,
     "repetition": f"""
         WITH toks AS ({_SQL_TOKS}),

@@ -481,3 +481,62 @@ def pivot_counts(ds, key_cols: list[str], cat_col: str, categories: list[str],
     partials = ds.map_batches(partial, batch_format="pyarrow")
     specs = [(c, "sum") for c in n_names + v_names]
     return sharded_grouped_agg(partials, list(key_cols), specs, num_shards)
+
+
+def group_linear_trend(ds, key_cols: list[str], x_col: str, y_col: str,
+                       out_col: str = "slope", num_shards: int = 64):
+    """Least-squares slope of y over x per key (the PromQL ``deriv()``
+    trend analog, reference sample semantics copyer.go:108-127 applied as
+    an aggregate): ``slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx)``.
+
+    ``x_col`` and ``y_col`` MUST be integer columns (callers pre-scale
+    floats; see q_running_total's milli-unit convention) so every
+    sufficient statistic is an EXACT int64 sum — the merge is then fully
+    associative and the final quotient is bit-identical across block
+    layouts and engines.  Keys whose denominator is 0 (single sample, or
+    all x equal) are dropped, like the reference's empty-series skip
+    (copyer.go:142-145).
+
+    Scale shape: a per-batch Arrow ``group_by`` collapses each batch to
+    one 5-int row per key (classic partial+final combiner), the exchange
+    moves O(keys) rows, and the merge is :func:`sharded_grouped_agg`.
+    Overflow bound (documented, not checked): ``n * Sxx`` must stay under
+    2^63 — center x near 0 (subtract a fixed epoch origin) before calling.
+    """
+    keys = list(key_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch[x_col], pa.int64())
+        y = pc.cast(batch[y_col], pa.int64())
+        t = pa.table(
+            {**{k: batch[k] for k in keys},
+             "_n": pa.array(np.ones(batch.num_rows, np.int64)),
+             "_sx": x, "_sy": y,
+             "_sxy": pc.multiply_checked(x, y),
+             "_sxx": pc.multiply_checked(x, x)}
+        )
+        g = t.group_by(keys).aggregate(
+            [(c, "sum") for c in ("_n", "_sx", "_sy", "_sxy", "_sxx")]
+        )
+        return g.rename_columns(keys + ["_n", "_sx", "_sy", "_sxy", "_sxx"])
+
+    merged = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"), keys,
+        [(c, "sum") for c in ("_n", "_sx", "_sy", "_sxy", "_sxx")],
+        num_shards,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["_n"].to_numpy(zero_copy_only=False)
+        sx = batch["_sx"].to_numpy(zero_copy_only=False)
+        sy = batch["_sy"].to_numpy(zero_copy_only=False)
+        sxy = batch["_sxy"].to_numpy(zero_copy_only=False)
+        sxx = batch["_sxx"].to_numpy(zero_copy_only=False)
+        den = n * sxx - sx * sx
+        keep = den != 0
+        num = n * sxy - sx * sy
+        slope = num[keep].astype(np.float64) / den[keep].astype(np.float64)
+        out = batch.select(keys).filter(pa.array(keep))
+        return out.append_column(out_col, pa.array(slope, pa.float64()))
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -522,3 +522,36 @@ def test_pivot_counts_no_value_col(ray_session):
     )
     assert out.columns.tolist() == ["k", "n_a", "n_b"]
     assert out.values.tolist() == [["x", 2, 0], ["y", 0, 1]]
+
+
+def test_group_linear_trend_matches_polyfit(ray_session):
+    """Exact-int sufficient-stats slope vs numpy lstsq per key; block-layout
+    invariance; degenerate keys (n=1, constant x) dropped."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.keyed import group_linear_trend
+
+    rng = np.random.default_rng(23)
+    n = 3000
+    k = rng.integers(0, 41, n).astype(np.int64)
+    x = rng.integers(0, 500, n).astype(np.int64)
+    y = (3 * x + rng.integers(-50, 50, n)).astype(np.int64)
+    # degenerate keys: 100 -> single sample, 101 -> constant x
+    k = np.r_[k, [100, 101, 101]]
+    x = np.r_[x, [7, 9, 9]]
+    y = np.r_[y, [1, 2, 5]]
+    t = pa.table({"k": k, "x": x, "y": y})
+    for nparts in (1, 11):
+        ds = ray.data.from_arrow(t).repartition(nparts)
+        out = (
+            group_linear_trend(ds, ["k"], "x", "y")
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        assert 100 not in set(out["k"]) and 101 not in set(out["k"])
+        df = t.to_pandas()
+        for key, grp in df.groupby("k"):
+            if key >= 100:
+                continue
+            want = np.polyfit(grp["x"], grp["y"], 1)[0]
+            got = out.loc[out["k"] == key, "slope"].iloc[0]
+            np.testing.assert_allclose(got, want, rtol=1e-9)
