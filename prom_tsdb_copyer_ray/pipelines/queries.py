@@ -1516,6 +1516,19 @@ def q_trend_slope(sf_dir: str):
     return _finalize(out, {}, {"slope_m": 8})
 
 
+def q_cube_docs(sf_dir: str):
+    """SQL CUBE(lang, source) over documents in one data pass — all four
+    grouping sets' totals from one finest-grain per-batch combiner
+    (stages/keyed.cube_agg; exchange = O(keys x 4) partial rows)."""
+    from ..stages.keyed import cube_agg
+
+    return cube_agg(
+        _read(sf_dir, "documents", ["lang", "source", "n_chars"]),
+        ["lang", "source"],
+        [("n_chars", "count", "n_docs"), ("n_chars", "sum", "sum_chars")],
+    )
+
+
 _PIVOT_CATS = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1596,6 +1609,7 @@ QUERIES = {
     "hist_p90": q_hist_p90,
     "pivot_events": q_pivot_events,
     "trend_slope": q_trend_slope,
+    "cube_docs": q_cube_docs,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -1622,6 +1636,13 @@ ORACLE_SQL = {
                 for c in _PIVOT_CATS
             ) + """
         FROM events GROUP BY user_id
+    """,
+    "cube_docs": """
+        SELECT coalesce(lang, '(all)') AS lang,
+               coalesce(source, '(all)') AS source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY CUBE(lang, source)
     """,
     "trend_slope": """
         WITH s AS (SELECT event_type, user_id,

@@ -540,3 +540,68 @@ def group_linear_trend(ds, key_cols: list[str], x_col: str, y_col: str,
         return out.append_column(out_col, pa.array(slope, pa.float64()))
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def grouping_sets_agg(ds, dim_cols: list[str], sets: list[list[str]],
+                      agg_specs: list[tuple[str, str, str]],
+                      fill: str = "(all)", num_shards: int = 64):
+    """Multi-level aggregate in ONE pass over the data (SQL GROUPING SETS /
+    CUBE / ROLLUP): every grouping set's totals computed together, absent
+    dimensions filled with the ``fill`` sentinel (callers pick a value that
+    cannot collide with real data; sentinel not NULL so downstream keyed
+    kernels never see null keys).
+
+    ``agg_specs`` is ``[(src_col, fn, out_name)]`` with fn in {"count",
+    "sum", "min", "max"} (src_col ignored for "count").
+
+    Scale shape: each batch is grouped ONCE at the finest grain (the union
+    of all sets), then each coarser set re-aggregates that tiny partial —
+    so the data is scanned once and the exchange carries
+    O(keys x len(sets)) partial rows, merged by one
+    :func:`sharded_grouped_agg`.  The classic alternative — one groupby
+    per set — scans (or shuffles) the dataset len(sets) times.
+    """
+    dims = list(dim_cols)
+    finest = [c for c in dims if any(c in s for s in sets)]
+    merge_fn = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        aggs, names = [], []
+        for src, fn, out in agg_specs:
+            if fn == "count":
+                aggs.append(([], "count_all"))
+            else:
+                aggs.append((src, fn))
+            names.append(out)
+        g = batch.group_by(finest).aggregate(aggs)
+        g = g.rename_columns(finest + names)
+        pieces = []
+        for s in sets:
+            sub_aggs = [(out, merge_fn[fn]) for (_, fn, out) in agg_specs]
+            gg = g.group_by(list(s)).aggregate(sub_aggs)
+            gg = gg.rename_columns(list(s) + names)
+            cols = {}
+            for d in dims:
+                if d in s:
+                    cols[d] = pc.cast(gg[d], pa.string())
+                else:
+                    cols[d] = pa.array([fill] * gg.num_rows, pa.string())
+            for nm in names:
+                cols[nm] = gg[nm]
+            pieces.append(pa.table(cols))
+        return pa.concat_tables(pieces)
+
+    return sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"), dims,
+        [(out, merge_fn[fn]) for (_, fn, out) in agg_specs], num_shards,
+    )
+
+
+def cube_agg(ds, dim_cols: list[str], agg_specs: list[tuple[str, str, str]],
+             fill: str = "(all)", num_shards: int = 64):
+    """SQL CUBE: :func:`grouping_sets_agg` over every subset of dims."""
+    from itertools import combinations
+
+    sets = [list(c) for r in range(len(dim_cols), -1, -1)
+            for c in combinations(dim_cols, r)]
+    return grouping_sets_agg(ds, dim_cols, sets, agg_specs, fill, num_shards)

@@ -555,3 +555,42 @@ def test_group_linear_trend_matches_polyfit(ray_session):
             want = np.polyfit(grp["x"], grp["y"], 1)[0]
             got = out.loc[out["k"] == key, "slope"].iloc[0]
             np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_grouping_sets_matches_pandas(ray_session):
+    """CUBE over two dims vs pandas-per-set totals; multi-block invariance;
+    min/max aggs alongside count/sum."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.keyed import cube_agg
+
+    rng = np.random.default_rng(31)
+    n = 2500
+    t = pa.table({
+        "a": pa.array([f"a{i}" for i in rng.integers(0, 5, n)]),
+        "b": pa.array([f"b{i}" for i in rng.integers(0, 7, n)]),
+        "v": pa.array(rng.integers(-100, 100, n).astype(np.int64)),
+    })
+    specs = [("v", "count", "n"), ("v", "sum", "s"),
+             ("v", "min", "lo"), ("v", "max", "hi")]
+    df = t.to_pandas()
+    for nparts in (1, 9):
+        out = (
+            cube_agg(ray.data.from_arrow(t).repartition(nparts), ["a", "b"], specs)
+            .to_pandas().set_index(["a", "b"]).sort_index()
+        )
+        assert len(out) == (
+            len(df.groupby(["a", "b"])) + len(df.groupby("a"))
+            + len(df.groupby("b")) + 1
+        )
+        for keys, grp in (
+            list(df.groupby(["a", "b"])) +
+            [((a, "(all)"), g) for a, g in df.groupby("a")] +
+            [(("(all)", b), g) for b, g in df.groupby("b")] +
+            [(("(all)", "(all)"), df)]
+        ):
+            row = out.loc[keys]
+            assert row["n"] == len(grp)
+            assert row["s"] == grp["v"].sum()
+            assert row["lo"] == grp["v"].min()
+            assert row["hi"] == grp["v"].max()
