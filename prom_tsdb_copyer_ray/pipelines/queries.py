@@ -1529,6 +1529,18 @@ def q_cube_docs(sf_dir: str):
     )
 
 
+def q_percent_rank(sf_dir: str):
+    """percent_rank() OVER (PARTITION BY event_type ORDER BY value) with
+    SQL tie semantics (stages/keyed.percent_rank; one narrow key-shard
+    exchange, event_id carried for row identity)."""
+    from ..stages.keyed import percent_rank
+
+    return percent_rank(
+        _read(sf_dir, "events", ["event_type", "value", "event_id"]),
+        ["event_type"], ["value"], carry_cols=["event_id"],
+    )
+
+
 _PIVOT_CATS = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1610,6 +1622,7 @@ QUERIES = {
     "pivot_events": q_pivot_events,
     "trend_slope": q_trend_slope,
     "cube_docs": q_cube_docs,
+    "percent_rank": q_percent_rank,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -1636,6 +1649,12 @@ ORACLE_SQL = {
                 for c in _PIVOT_CATS
             ) + """
         FROM events GROUP BY user_id
+    """,
+    "percent_rank": """
+        SELECT event_type, value, event_id,
+               percent_rank() OVER (
+                   PARTITION BY event_type ORDER BY value) AS pr
+        FROM events
     """,
     "cube_docs": """
         SELECT coalesce(lang, '(all)') AS lang,

@@ -605,3 +605,53 @@ def cube_agg(ds, dim_cols: list[str], agg_specs: list[tuple[str, str, str]],
     sets = [list(c) for r in range(len(dim_cols), -1, -1)
             for c in combinations(dim_cols, r)]
     return grouping_sets_agg(ds, dim_cols, sets, agg_specs, fill, num_shards)
+
+
+def percent_rank(ds, key_cols: list[str], order_cols: list[str],
+                 carry_cols: list[str] | None = None, num_shards: int = 64,
+                 out_col: str = "pr"):
+    """SQL ``percent_rank() OVER (PARTITION BY keys ORDER BY order_cols)``:
+    ``(rank - 1) / (n - 1)`` where tied order values SHARE a rank and a
+    single-row partition gets 0.0.
+
+    Same scale shape as :func:`window_rank` (one narrow key-hash-shard
+    exchange, per-shard lexsort + segment kernels over thousands of keys
+    per task).  ``carry_cols`` ride along for row identity without
+    affecting tie groups; the quotient of two small exact ints is
+    bit-identical across engines.
+    """
+    carry = list(carry_cols or [])
+    cols = list(key_cols) + list(order_cols) + carry
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols)
+        return t.append_column("_wshard", _key_shard(t, list(key_cols), num_shards))
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_wshard")
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.float64()))
+        t = t.sort_by([(c, "ascending") for c in cols])
+        n = t.num_rows
+        kmask = _segment_starts(t, list(key_cols))
+        rmask = _segment_starts(t, list(key_cols) + list(order_cols))
+        kstarts = np.flatnonzero(kmask)
+        ksizes = np.diff(np.r_[kstarts, n])
+        kfirst = np.repeat(kstarts, ksizes)
+        rstarts = np.flatnonzero(rmask)
+        rsizes = np.diff(np.r_[rstarts, n])
+        rfirst = np.repeat(rstarts, rsizes)
+        rank = (rfirst - kfirst).astype(np.float64)  # rank - 1
+        size = np.repeat(ksizes, ksizes).astype(np.float64)
+        with np.errstate(invalid="ignore"):
+            pr = np.where(size > 1, rank / (size - 1), 0.0)
+        return t.append_column(out_col, pa.array(pr, pa.float64()))
+
+    from .common import narrow_fanin
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .repartition(narrow_fanin())
+        .groupby("_wshard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )

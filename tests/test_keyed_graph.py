@@ -594,3 +594,34 @@ def test_grouping_sets_matches_pandas(ray_session):
             assert row["s"] == grp["v"].sum()
             assert row["lo"] == grp["v"].min()
             assert row["hi"] == grp["v"].max()
+
+
+def test_percent_rank_ties_and_blocks(ray_session):
+    """Tie groups share a rank; single-row partitions get 0.0; block-layout
+    invariant; matches pandas rank(method='min')."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.keyed import percent_rank
+
+    rng = np.random.default_rng(43)
+    n = 2000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 23, n).astype(np.int64)),
+        "v": pa.array(rng.integers(0, 40, n).astype(np.int64)),  # many ties
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    # a singleton partition
+    t = pa.concat_tables([t, pa.table({"k": [999], "v": [5], "id": [n]})])
+    df = t.to_pandas()
+    grp = df.groupby("k")["v"]
+    want = (grp.rank(method="min") - 1) / (grp.transform("size") - 1).clip(lower=1)
+    df["want"] = want.fillna(0.0)
+    for nparts in (1, 13):
+        out = (
+            percent_rank(
+                ray.data.from_arrow(t).repartition(nparts),
+                ["k"], ["v"], carry_cols=["id"],
+            ).to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        np.testing.assert_allclose(out["pr"].values, df["want"].values, atol=0)
+        assert out.loc[out["k"] == 999, "pr"].iloc[0] == 0.0
