@@ -1541,6 +1541,31 @@ def q_percent_rank(sf_dir: str):
     )
 
 
+def q_twa_5m(sf_dir: str):
+    """Time-weighted average per (event_type, 5m window) with LOCF to the
+    window end (stages/windowed.time_weighted_avg; exact int64 milli-unit
+    sums, one key-hash-shard exchange)."""
+    from ..stages.windowed import time_weighted_avg
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "event_id", "value"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        vm = np.rint(np.round(v, 4) * 10000).astype(np.int64)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "tms": ts_to_ms(batch["ts"]),
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "vm": pa.array(vm, pa.int64()),
+        })
+
+    out = time_weighted_avg(
+        ds.map_batches(norm, batch_format="pyarrow"),
+        ["event_type"], "tms", ["event_id"], "vm", MS_5M,
+    )
+    return _finalize(out, {"twa": "twa_m"})
+
+
 _PIVOT_CATS = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1623,6 +1648,7 @@ QUERIES = {
     "trend_slope": q_trend_slope,
     "cube_docs": q_cube_docs,
     "percent_rank": q_percent_rank,
+    "twa_5m": q_twa_5m,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -1649,6 +1675,27 @@ ORACLE_SQL = {
                 for c in _PIVOT_CATS
             ) + """
         FROM events GROUP BY user_id
+    """,
+    "twa_5m": """
+        WITH s AS (SELECT event_type, epoch_ms(ts) AS tms, event_id,
+                          CAST(round(value, 4) * 10000 AS BIGINT) AS vm
+                   FROM events),
+        w AS (SELECT event_type, tms, vm,
+                     (tms // 300000) * 300000 AS window_start,
+                     lead(tms) OVER (PARTITION BY event_type
+                                     ORDER BY tms, event_id) AS nxt
+              FROM s),
+        d AS (SELECT event_type, window_start, vm,
+                     CASE WHEN nxt IS NOT NULL
+                               AND (nxt // 300000) * 300000 = window_start
+                          THEN nxt - tms
+                          ELSE window_start + 300000 - tms END AS dur
+              FROM w)
+        SELECT event_type, window_start,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(sum(vm * dur) AS DOUBLE) / CAST(sum(dur) AS DOUBLE)
+                   AS twa_m
+        FROM d GROUP BY 1, 2
     """,
     "percent_rank": """
         SELECT event_type, value, event_id,

@@ -382,3 +382,86 @@ def counter_increase(
         .groupby("_wshard")
         .map_groups(per_shard, batch_format="pyarrow")
     )
+
+
+def time_weighted_avg(
+    ds,
+    key_cols: list[str],
+    ts_col: str,
+    order_cols: list[str],
+    value_col: str,
+    window_ms: int,
+    num_shards: int = 64,
+):
+    """Time-weighted average per aligned window (the TimescaleDB
+    ``time_weight('locf')`` shape): each sample's value is held until the
+    key's next sample in the SAME window, the window's last sample is
+    carried to the window end, and the average weights values by that held
+    duration: ``twa = sum(v*dur) / sum(dur)``.
+
+    ``value_col`` must be an integer column (callers pre-scale floats with
+    the milli-unit convention) so both sums are EXACT int64 and the final
+    quotient is bit-identical across engines and block layouts.  Output:
+    key cols + ``window_start`` (int64 ms) + ``n_samples`` + ``twa``
+    (float64, in the caller's scaled units).
+
+    Same exchange shape as :func:`counter_increase`: ONE hash-shard
+    shuffle of (key, ts, order, value) rows; per-shard lexsort + vectorized
+    adjacent diffs + ``reduceat`` per (key, window) segment.  Partitioning
+    assumption: one key's history fits in one shard group.
+    """
+    from .keyed import _key_shard, _segment_starts
+
+    cols = list(key_cols) + [ts_col] + list(order_cols) + [value_col]
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols)
+        return t.append_column("_wshard", _key_shard(t, list(key_cols), num_shards))
+
+    sort_keys = [(c, "ascending") for c in list(key_cols) + [ts_col] + list(order_cols)]
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_wshard")
+        empty = {c: t[c].slice(0, 0) for c in key_cols}
+        empty.update({
+            "window_start": pa.array([], pa.int64()),
+            "n_samples": pa.array([], pa.int64()),
+            "twa": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return pa.table(empty)
+        t = t.sort_by(sort_keys)
+        n = t.num_rows
+        ts = t[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        first = _segment_starts(t, list(key_cols))
+        w = (ts // window_ms) * window_ms
+        # duration each sample's value is held: to the next sample of the
+        # same (key, window), else to the window end (LOCF)
+        dur = (w + window_ms) - ts
+        same = np.zeros(n, dtype=bool)
+        if n > 1:
+            same[:-1] = (~first[1:]) & (w[1:] == w[:-1])
+            idx = np.flatnonzero(same)
+            dur[idx] = ts[idx + 1] - ts[idx]
+        gstart = first.copy()
+        gstart[1:] |= w[1:] != w[:-1]
+        starts = np.flatnonzero(gstart)
+        counts = np.diff(np.r_[starts, n]).astype(np.int64)
+        num = np.add.reduceat(v * dur, starts)
+        den = np.add.reduceat(dur, starts)
+        out = {c: t[c].take(pa.array(starts)) for c in key_cols}
+        out["window_start"] = pa.array(w[starts], pa.int64())
+        out["n_samples"] = pa.array(counts, pa.int64())
+        out["twa"] = pa.array(num.astype(np.float64) / den.astype(np.float64),
+                              pa.float64())
+        return pa.table(out)
+
+    from .common import narrow_fanin
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .repartition(narrow_fanin())
+        .groupby("_wshard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )

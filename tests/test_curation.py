@@ -289,3 +289,34 @@ def test_quantile_threshold_filter_reference(docs_ds):
         for _, r in out.iterrows()
     }
     assert got == want
+
+
+def test_time_weighted_avg_locf(ray_session):
+    """TWA per aligned window: held durations to next sample / window end,
+    duplicate timestamps, singleton windows, block-layout invariance."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.windowed import time_weighted_avg
+
+    W = 100
+    t = pa.table({
+        "k": ["a"] * 5 + ["b"],
+        "tms": pa.array([0, 40, 40, 90, 130, 250], pa.int64()),
+        "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "v": pa.array([10, 20, 30, 40, 50, 7], pa.int64()),
+    })
+    # key a, window 0: durs 40,(40->40)=0,(40->90)=50,(90->100)=10
+    #   twa = (10*40 + 20*0 + 30*50 + 40*10)/100 = 23.0
+    # key a, window 100: single sample held 130->200: twa = 50
+    # key b, window 200: twa = 7
+    for nparts in (1, 3):
+        out = (
+            time_weighted_avg(
+                ray.data.from_arrow(t).repartition(nparts),
+                ["k"], "tms", ["id"], "v", W,
+            ).to_pandas().sort_values(["k", "window_start"]).reset_index(drop=True)
+        )
+        assert out[["k", "window_start", "n_samples"]].values.tolist() == [
+            ["a", 0, 4], ["a", 100, 1], ["b", 200, 1],
+        ]
+        np.testing.assert_allclose(out["twa"].values, [23.0, 50.0, 7.0])
