@@ -1566,6 +1566,30 @@ def q_twa_5m(sf_dir: str):
     return _finalize(out, {"twa": "twa_m"})
 
 
+def q_bloom_semi(sf_dir: str):
+    """Semi-join events against purchasing users through a distributed
+    Bloom prefilter + exact verify (stages/joins.bloom_semi_join; the
+    bitmap broadcast is fixed-size regardless of dim cardinality)."""
+    from ..stages.joins import bloom_semi_join
+
+    fact = _read(sf_dir, "events", ["event_id", "user_id"])
+    dim = _read(sf_dir, "events", ["user_id", "event_type"]).map_batches(
+        lambda b: b.filter(
+            pc.equal(b["event_type"], "purchase")
+        ).select(["user_id"]),
+        batch_format="pyarrow",
+    )
+    out = bloom_semi_join(fact, dim, "user_id", "user_id")
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+        })
+
+    return out.map_batches(norm, batch_format="pyarrow")
+
+
 _PIVOT_CATS = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1649,6 +1673,7 @@ QUERIES = {
     "cube_docs": q_cube_docs,
     "percent_rank": q_percent_rank,
     "twa_5m": q_twa_5m,
+    "bloom_semi": q_bloom_semi,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -1675,6 +1700,13 @@ ORACLE_SQL = {
                 for c in _PIVOT_CATS
             ) + """
         FROM events GROUP BY user_id
+    """,
+    "bloom_semi": """
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               CAST(user_id AS BIGINT) AS user_id
+        FROM events
+        WHERE user_id IN (SELECT user_id FROM events
+                          WHERE event_type = 'purchase')
     """,
     "twa_5m": """
         WITH s AS (SELECT event_type, epoch_ms(ts) AS tms, event_id,

@@ -185,3 +185,104 @@ def shuffle_join(left_ds, right_ds, left_key: str, right_key: str,
         .groupby("_jshard")
         .map_groups(probe, batch_format="pyarrow")
     )
+
+
+def build_bloom(ds, key: str, num_bits: int = 1 << 20,
+                num_hashes: int = 4) -> np.ndarray:
+    """Distributed Bloom-filter build over a key column: each batch sets
+    its bits into a local bitmap (one packed-uint64 row per batch), the
+    tiny bitmap rows are OR-reduced on the driver.  Returns the bitmap
+    (uint64 words) — `ray.put` it once and probe with :func:`bloom_mask`.
+
+    ``num_bits`` must be a power of two.  Double hashing
+    (h1 + i*h2, Kirsch–Mitzenmacher) from the same 64-bit key hash used by
+    every shard kernel, so the filter is deterministic.
+    """
+    if num_bits & (num_bits - 1):
+        raise ValueError("num_bits must be a power of two")
+    from .common import mix64
+    from ..functions.hashing import poly_hash_column
+
+    n_words = num_bits // 64
+
+    def _base_hash(col) -> np.ndarray:
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            return poly_hash_column(col, fold63=False)
+        return mix64(pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False))
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        words = np.zeros(n_words, dtype=np.uint64)
+        h1 = _base_hash(batch[key])
+        h2 = mix64(h1) | np.uint64(1)
+        mask = np.uint64(num_bits - 1)
+        with np.errstate(over="ignore"):
+            for i in range(num_hashes):
+                pos = (h1 + np.uint64(i) * h2) & mask
+                np.bitwise_or.at(
+                    words, (pos >> np.uint64(6)).astype(np.int64),
+                    np.uint64(1) << (pos & np.uint64(63)),
+                )
+        return pa.table({"bitmap": pa.array([words.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(per_batch, batch_format="pyarrow").take_all()
+    out = np.zeros(n_words, dtype=np.uint64)
+    for row in parts:
+        out |= np.frombuffer(row["bitmap"], dtype=np.uint64)
+    return out
+
+
+def bloom_mask(col, words: np.ndarray, num_hashes: int = 4) -> np.ndarray:
+    """Vectorized Bloom membership test for a key column against a bitmap
+    from :func:`build_bloom`.  Returns a bool mask (true = maybe present;
+    false = DEFINITELY absent)."""
+    from .common import mix64
+    from ..functions.hashing import poly_hash_column
+
+    num_bits = len(words) * 64
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        h1 = poly_hash_column(col, fold63=False)
+    else:
+        h1 = mix64(pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False))
+    h2 = mix64(h1) | np.uint64(1)
+    mask = np.uint64(num_bits - 1)
+    present = np.ones(len(h1), dtype=bool)
+    with np.errstate(over="ignore"):
+        for i in range(num_hashes):
+            pos = (h1 + np.uint64(i) * h2) & mask
+            bit = (words[(pos >> np.uint64(6)).astype(np.int64)]
+                   >> (pos & np.uint64(63))) & np.uint64(1)
+            present &= bit.astype(bool)
+    return present
+
+
+def bloom_semi_join(fact_ds, dim_ds, fact_key: str, dim_key: str,
+                    num_bits: int = 1 << 20, num_hashes: int = 4,
+                    exact: bool = True):
+    """Semi-join a huge fact stream against a dim key set through a Bloom
+    PREFILTER: the filter is built distributively (:func:`build_bloom`),
+    broadcast once via ``ray.put`` (``num_bits/8`` bytes regardless of dim
+    cardinality — the memory-bounded alternative to broadcasting the key
+    set itself), and probed vectorized per batch, so only Bloom survivors
+    (true matches + ~(1-e^(-kn/m))^k false positives) reach the exact
+    stage.  With ``exact=True`` survivors are verified with
+    :func:`broadcast_join` how="semi" — the result is EXACTLY the SQL
+    semi-join; at scales where even the key set can't broadcast, pass
+    exact=False and shuffle-join the (already tiny) survivor stream.
+    """
+    import ray
+
+    words = build_bloom(dim_ds, dim_key, num_bits, num_hashes)
+    words_ref = ray.put(words)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        w = ray.get(words_ref)
+        return batch.filter(pa.array(bloom_mask(batch[fact_key], w, num_hashes)))
+
+    survivors = fact_ds.map_batches(prefilter, batch_format="pyarrow")
+    if not exact:
+        return survivors
+    dim_keys = dim_ds.select_columns([dim_key]).take_all()
+    dim_table = pa.table({dim_key: pa.array(
+        sorted({r[dim_key] for r in dim_keys})
+    )})
+    return broadcast_join(survivors, dim_table, fact_key, dim_key, how="semi")

@@ -142,3 +142,40 @@ def test_shuffle_join_hot_key_many_matches(ray_session):
     assert len(out) == 2 * 500 + 1
     assert sorted(out[out["lid"] == 0]["v"]) == [float(i) for i in range(500)]
     assert out[out["lid"] == 2]["v"].tolist() == [9.0]
+
+
+def test_bloom_semi_join_exact_with_false_positives(ray_session):
+    """A deliberately tiny bitmap forces false positives through the
+    prefilter; the exact verify stage must remove them, and the prefilter
+    must never drop a true member (no false negatives by construction)."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.joins import (
+        bloom_mask, bloom_semi_join, build_bloom,
+    )
+
+    rng = np.random.default_rng(17)
+    fact_keys = rng.integers(0, 5000, 8000).astype(np.int64)
+    fact = pa.table({
+        "id": pa.array(np.arange(8000, dtype=np.int64)),
+        "k": pa.array(fact_keys),
+    })
+    dim_keys = np.unique(rng.integers(0, 5000, 120).astype(np.int64))
+    dim = pa.table({"k": pa.array(dim_keys)})
+    fact_ds = ray.data.from_arrow(fact).repartition(7)
+    dim_ds = ray.data.from_arrow(dim).repartition(3)
+
+    # tiny filter -> false positives are near-certain
+    words = build_bloom(dim_ds, "k", num_bits=256, num_hashes=2)
+    pre = bloom_mask(fact["k"], words, num_hashes=2)
+    truth = np.isin(fact_keys, dim_keys)
+    assert (pre & truth).sum() == truth.sum()  # no false negatives
+    assert pre.sum() > truth.sum()  # tiny bitmap really lets FPs through
+    assert pre.sum() < len(fact_keys)  # and still prunes definite absents
+
+    out = (
+        bloom_semi_join(fact_ds, dim_ds, "k", "k", num_bits=256, num_hashes=2)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    want = fact.to_pandas()[truth].reset_index(drop=True)
+    assert out["id"].tolist() == want["id"].tolist()
