@@ -1590,6 +1590,31 @@ def q_bloom_semi(sf_dir: str):
     return out.map_batches(norm, batch_format="pyarrow")
 
 
+def q_zscore(sf_dir: str):
+    """Per-(type, user) z-score standardization of value — two-pass: exact
+    int64 stats -> driver broadcast -> shuffle-free vectorized transform
+    (stages/keyed.standardize_per_group)."""
+    from ..stages.keyed import standardize_per_group
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "event_id", "value"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        vm = np.rint(np.round(v, 4) * 10000).astype(np.int64)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "vm": pa.array(vm, pa.int64()),
+        })
+
+    out = standardize_per_group(
+        ds.map_batches(norm, batch_format="pyarrow"),
+        ["event_type", "user_id"], "vm", carry_cols=["event_id"],
+    )
+    return _finalize(out, {}, {"z": 6})
+
+
 _PIVOT_CATS = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1674,6 +1699,7 @@ QUERIES = {
     "percent_rank": q_percent_rank,
     "twa_5m": q_twa_5m,
     "bloom_semi": q_bloom_semi,
+    "zscore": q_zscore,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -1700,6 +1726,21 @@ ORACLE_SQL = {
                 for c in _PIVOT_CATS
             ) + """
         FROM events GROUP BY user_id
+    """,
+    "zscore": """
+        WITH s AS (SELECT event_type, CAST(user_id AS BIGINT) AS user_id,
+                          CAST(event_id AS BIGINT) AS event_id,
+                          CAST(round(value, 4) * 10000 AS BIGINT) AS vm
+                   FROM events),
+        a AS (SELECT event_type, user_id, count(*) AS n, sum(vm) AS sy,
+                     sum(vm * vm) AS syy
+              FROM s GROUP BY 1, 2)
+        SELECT s.event_type, s.user_id, s.event_id, s.vm,
+               round((CAST(s.vm AS DOUBLE) - CAST(a.sy AS DOUBLE) / a.n)
+                     / sqrt(CAST(a.n * a.syy - a.sy * a.sy AS DOUBLE)
+                            / (CAST(a.n AS DOUBLE) * a.n)), 6) AS z
+        FROM s JOIN a USING (event_type, user_id)
+        WHERE a.n * a.syy - a.sy * a.sy > 0
     """,
     "bloom_semi": """
         SELECT CAST(event_id AS BIGINT) AS event_id,

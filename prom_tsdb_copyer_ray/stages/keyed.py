@@ -35,8 +35,8 @@ from ..functions.hashing import poly_hash_column
 from .common import mix64 as _mix64
 
 
-def _key_shard(table: pa.Table, key_cols: list[str], num_shards: int) -> pa.Array:
-    """Deterministic hash shard over one or more key columns (string or int)."""
+def _key_hash64(table: pa.Table, key_cols: list[str]) -> np.ndarray:
+    """Deterministic combined 64-bit hash over key columns (string or int)."""
     h = np.zeros(table.num_rows, dtype=np.uint64)
     for c in key_cols:
         col = table[c]
@@ -46,6 +46,12 @@ def _key_shard(table: pa.Table, key_cols: list[str], num_shards: int) -> pa.Arra
             ch = _mix64(pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False))
         with np.errstate(over="ignore"):
             h = _mix64(h * np.uint64(0x9E3779B97F4A7C15) ^ ch)
+    return h
+
+
+def _key_shard(table: pa.Table, key_cols: list[str], num_shards: int) -> pa.Array:
+    """Deterministic hash shard over one or more key columns (string or int)."""
+    h = _key_hash64(table, key_cols)
     return pa.array((h % np.uint64(num_shards)).astype(np.int64))
 
 
@@ -655,3 +661,77 @@ def percent_rank(ds, key_cols: list[str], order_cols: list[str],
         .groupby("_wshard")
         .map_groups(per_shard, batch_format="pyarrow")
     )
+
+
+def standardize_per_group(ds, key_cols: list[str], value_col: str,
+                          carry_cols: list[str] | None = None,
+                          out_col: str = "z", num_shards: int = 64):
+    """Per-group z-score standardization (feature normalization):
+    ``z = (v - mean) / stddev_pop`` per key, computed in TWO passes —
+    pass 1 reduces each key to exact int64 sufficient statistics (n, Sy,
+    Syy) via a per-batch combiner + :func:`sharded_grouped_agg`; the tiny
+    per-key stats table returns to the driver, is broadcast once with
+    ``ray.put``, and pass 2 is a shuffle-free vectorized transform
+    (sorted-key-hash ``searchsorted`` gather + float math mirrored
+    term-for-term by the SQL oracle: mean = Sy/n,
+    var = (n*Syy - Sy*Sy)/n^2).
+
+    ``value_col`` must be integer (milli-unit convention).  Zero-variance
+    keys are dropped (SQL: WHERE n*Syy - Sy*Sy > 0).  Overflow bound:
+    ``n * Syy`` per key must stay under 2^63.  Output: key cols + carry
+    cols + value_col + ``out_col``.
+    """
+    import ray
+
+    keys = list(key_cols)
+    carry = list(carry_cols or [])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        y = pc.cast(batch[value_col], pa.int64())
+        t = pa.table({**{k: batch[k] for k in keys},
+                      "_n": pa.array(np.ones(batch.num_rows, np.int64)),
+                      "_sy": y, "_syy": pc.multiply_checked(y, y)})
+        g = t.group_by(keys).aggregate([(c, "sum") for c in ("_n", "_sy", "_syy")])
+        return g.rename_columns(keys + ["_n", "_sy", "_syy"])
+
+    stats = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"), keys,
+        [(c, "sum") for c in ("_n", "_sy", "_syy")], num_shards,
+    )
+    st = pa.Table.from_pylist(stats.take_all())
+    n = st["_n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sy = st["_sy"].to_numpy(zero_copy_only=False).astype(np.int64)
+    syy = st["_syy"].to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = n * syy - sy * sy > 0
+    st = st.filter(pa.array(keep))
+    nf = n[keep].astype(np.float64)
+    mean = sy[keep].astype(np.float64) / nf
+    var = (n[keep] * syy[keep] - sy[keep] * sy[keep]).astype(np.float64) / (nf * nf)
+    # broadcast lookup: sorted combined key hash -> (mean, std).  A 64-bit
+    # collision between distinct keys would corrupt the gather, so fail
+    # loudly (deterministic; practically unreachable at sane key counts).
+    kh = _key_hash64(st, keys)
+    order = np.argsort(kh, kind="stable")
+    kh_s = kh[order]
+    if len(kh_s) > 1 and (kh_s[1:] == kh_s[:-1]).any():
+        raise ValueError("64-bit key-hash collision in standardize_per_group")
+    lookup_ref = ray.put((kh_s, mean[order], np.sqrt(var)[order]))
+
+    def transform(batch: pa.Table) -> pa.Table:
+        kh_sorted, mu, sd = ray.get(lookup_ref)
+        ph = _key_hash64(batch, keys)
+        if len(kh_sorted) == 0:
+            hit = np.zeros(len(ph), dtype=bool)
+            pos_c = np.zeros(len(ph), dtype=np.int64)
+        else:
+            pos_c = np.minimum(np.searchsorted(kh_sorted, ph),
+                               len(kh_sorted) - 1)
+            hit = kh_sorted[pos_c] == ph
+        batch = batch.filter(pa.array(hit))
+        ii = pos_c[hit]
+        v = pc.cast(batch[value_col], pa.int64()).to_numpy(zero_copy_only=False)
+        z = (v.astype(np.float64) - mu[ii]) / sd[ii]
+        out = batch.select(keys + carry + [value_col])
+        return out.append_column(out_col, pa.array(z, pa.float64()))
+
+    return ds.map_batches(transform, batch_format="pyarrow")

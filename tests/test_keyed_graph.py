@@ -625,3 +625,41 @@ def test_percent_rank_ties_and_blocks(ray_session):
         )
         np.testing.assert_allclose(out["pr"].values, df["want"].values, atol=0)
         assert out.loc[out["k"] == 999, "pr"].iloc[0] == 0.0
+
+
+def test_standardize_per_group(ray_session):
+    """z = (v - mean)/std_pop per key vs numpy; zero-variance and unseen
+    keys dropped; multi-block invariance."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.keyed import standardize_per_group
+
+    rng = np.random.default_rng(61)
+    n = 3000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 29, n).astype(np.int64)),
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array(rng.integers(-500, 500, n).astype(np.int64)),
+    })
+    # constant-value key -> zero variance -> dropped
+    t = pa.concat_tables([t, pa.table({
+        "k": pa.array([777, 777], pa.int64()),
+        "id": pa.array([n, n + 1], pa.int64()),
+        "v": pa.array([42, 42], pa.int64()),
+    })])
+    df = t.to_pandas()
+    for nparts in (1, 9):
+        out = (
+            standardize_per_group(
+                ray.data.from_arrow(t).repartition(nparts),
+                ["k"], "v", carry_cols=["id"],
+            ).to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        assert 777 not in set(out["k"])
+        want = df[df["k"] != 777].copy()
+        g = want.groupby("k")["v"]
+        want["z"] = (want["v"] - g.transform("mean")) / g.transform(
+            lambda s: s.std(ddof=0))
+        np.testing.assert_allclose(
+            out["z"].values, want.sort_values("id")["z"].values, rtol=1e-9
+        )
