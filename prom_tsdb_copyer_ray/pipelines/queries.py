@@ -1615,6 +1615,17 @@ def q_zscore(sf_dir: str):
     return _finalize(out, {}, {"z": 6})
 
 
+def q_ntile(sf_dir: str):
+    """ntile(7) OVER (PARTITION BY event_type ORDER BY value, event_id)
+    (stages/keyed.ntile; unique order tail for determinism)."""
+    from ..stages.keyed import ntile
+
+    return ntile(
+        _read(sf_dir, "events", ["event_type", "value", "event_id"]),
+        ["event_type"], ["value", "event_id"], 7,
+    )
+
+
 _PIVOT_CATS = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1700,6 +1711,7 @@ QUERIES = {
     "twa_5m": q_twa_5m,
     "bloom_semi": q_bloom_semi,
     "zscore": q_zscore,
+    "ntile": q_ntile,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -1726,6 +1738,13 @@ ORACLE_SQL = {
                 for c in _PIVOT_CATS
             ) + """
         FROM events GROUP BY user_id
+    """,
+    "ntile": """
+        SELECT event_type, value, event_id,
+               CAST(ntile(7) OVER (
+                   PARTITION BY event_type
+                   ORDER BY value, event_id) AS BIGINT) AS tile
+        FROM events
     """,
     "zscore": """
         WITH s AS (SELECT event_type, CAST(user_id AS BIGINT) AS user_id,

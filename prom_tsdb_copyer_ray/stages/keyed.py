@@ -735,3 +735,52 @@ def standardize_per_group(ds, key_cols: list[str], value_col: str,
         return out.append_column(out_col, pa.array(z, pa.float64()))
 
     return ds.map_batches(transform, batch_format="pyarrow")
+
+
+def ntile(ds, key_cols: list[str], order_cols: list[str], n: int,
+          carry_cols: list[str] | None = None, num_shards: int = 64,
+          out_col: str = "tile"):
+    """SQL ``ntile(n) OVER (PARTITION BY keys ORDER BY order_cols)``:
+    rows of each partition split into ``n`` buckets, the first
+    ``count % n`` buckets one row larger (standard SQL fill order).
+
+    Make the last order col unique for determinism (ntile depends on row
+    order, not value ties).  Same narrow key-shard exchange + per-shard
+    segment kernel as :func:`window_rank`.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    carry = list(carry_cols or [])
+    cols = list(key_cols) + list(order_cols) + carry
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols)
+        return t.append_column("_wshard", _key_shard(t, list(key_cols), num_shards))
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_wshard")
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        t = t.sort_by([(c, "ascending") for c in list(key_cols) + list(order_cols)])
+        starts = np.flatnonzero(_segment_starts(t, list(key_cols)))
+        sizes = np.diff(np.r_[starts, t.num_rows])
+        r = np.arange(t.num_rows, dtype=np.int64) - np.repeat(starts, sizes)
+        c = np.repeat(sizes, sizes).astype(np.int64)
+        q, r0 = c // n, c % n
+        big = r0 * (q + 1)  # rows covered by the (q+1)-sized buckets
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tile = np.where(
+                r < big,
+                r // np.maximum(q + 1, 1),
+                r0 + np.where(q > 0, (r - big) // np.maximum(q, 1), 0),
+            ) + 1
+        return t.append_column(out_col, pa.array(tile.astype(np.int64)))
+
+    from .common import narrow_fanin
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .repartition(narrow_fanin())
+        .groupby("_wshard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )

@@ -663,3 +663,41 @@ def test_standardize_per_group(ray_session):
         np.testing.assert_allclose(
             out["z"].values, want.sort_values("id")["z"].values, rtol=1e-9
         )
+
+
+def test_ntile_bucket_sizes(ray_session):
+    """SQL fill order: first count%n buckets one row larger; partitions
+    smaller than n give one row per bucket; multi-block invariant."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.keyed import ntile
+
+    rng = np.random.default_rng(71)
+    sizes = {0: 10, 1: 7, 2: 3, 3: 1, 4: 23}
+    ks, ids = [], []
+    i = 0
+    for k, sz in sizes.items():
+        for _ in range(sz):
+            ks.append(k)
+            ids.append(i)
+            i += 1
+    t = pa.table({
+        "k": pa.array(ks, pa.int64()),
+        "id": pa.array(rng.permutation(ids).astype(np.int64)),
+    })
+    for nparts in (1, 5):
+        out = (
+            ntile(ray.data.from_arrow(t).repartition(nparts),
+                  ["k"], ["id"], 4)
+            .to_pandas().sort_values(["k", "id"]).reset_index(drop=True)
+        )
+        for k, sz in sizes.items():
+            tiles = out[out["k"] == k]["tile"].tolist()
+            # monotone over order
+            assert tiles == sorted(tiles)
+            q, r = divmod(sz, 4)
+            want_counts = [q + 1] * r + [q] * (4 - r)
+            want_counts = [c for c in want_counts if c > 0]
+            got_counts = [tiles.count(b) for b in sorted(set(tiles))]
+            assert got_counts == want_counts
+            assert sorted(set(tiles)) == list(range(1, len(want_counts) + 1))
