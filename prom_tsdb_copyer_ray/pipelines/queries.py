@@ -1626,6 +1626,31 @@ def q_ntile(sf_dir: str):
     )
 
 
+def q_merge_intervals(sf_dir: str):
+    """Gaps-and-islands interval coalescing per user (stages/windowed.
+    merge_intervals; segmented running max, one key-shard exchange).
+    Intervals derived deterministically: [ts, ts + (id%7+1) minutes]."""
+    from ..stages.windowed import merge_intervals
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        s = ts_to_ms(batch["ts"])
+        eid = pc.cast(batch["event_id"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        dur = (eid % 7 + 1) * 60000
+        return pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "s": s,
+            "e": pc.add(s, pa.array(dur, pa.int64())),
+        })
+
+    return merge_intervals(
+        ds.map_batches(norm, batch_format="pyarrow"), ["user_id"], "s", "e"
+    )
+
+
 _PIVOT_CATS = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1712,6 +1737,7 @@ QUERIES = {
     "bloom_semi": q_bloom_semi,
     "zscore": q_zscore,
     "ntile": q_ntile,
+    "merge_intervals": q_merge_intervals,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -1738,6 +1764,24 @@ ORACLE_SQL = {
                 for c in _PIVOT_CATS
             ) + """
         FROM events GROUP BY user_id
+    """,
+    "merge_intervals": """
+        WITH iv AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+                           epoch_ms(ts) AS s,
+                           epoch_ms(ts) + (event_id % 7 + 1) * 60000 AS e
+                    FROM events),
+        o AS (SELECT user_id, s, e,
+                     max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS pm
+              FROM iv),
+        g AS (SELECT *, sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING) AS grp
+              FROM o)
+        SELECT user_id, min(s) AS start, max(e) AS "end",
+               CAST(count(*) AS BIGINT) AS n_intervals
+        FROM g GROUP BY user_id, grp
     """,
     "ntile": """
         SELECT event_type, value, event_id,

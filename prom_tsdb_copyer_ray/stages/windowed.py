@@ -465,3 +465,71 @@ def time_weighted_avg(
         .groupby("_wshard")
         .map_groups(per_shard, batch_format="pyarrow")
     )
+
+
+def merge_intervals(ds, key_cols: list[str], start_col: str, end_col: str,
+                    num_shards: int = 64):
+    """Coalesce transitively-overlapping (or touching) intervals per key
+    into covering spans: the classic gaps-and-islands merge.  A new span
+    starts where an interval's start exceeds the running max end of the
+    key's earlier intervals (``s > prev_max``; touching ``s == prev_max``
+    merges, SQL parity with the max() OVER ... 1 PRECEDING formulation).
+
+    Output: key cols + ``start`` + ``end`` (int64) + ``n_intervals``.
+    Same exchange shape as the other keyed kernels: ONE hash-shard shuffle
+    of (key, start, end) triples, per-shard lexsort + a segmented running
+    max (vectorized via a per-segment offset trick) + ``reduceat``.
+    Partitioning assumption: one key's intervals fit in one shard group.
+    """
+    from .keyed import _key_shard, _segment_starts
+
+    cols = list(key_cols) + [start_col, end_col]
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            **{k: batch[k] for k in key_cols},
+            start_col: pc.cast(batch[start_col], pa.int64()),
+            end_col: pc.cast(batch[end_col], pa.int64()),
+        })
+        return t.append_column("_wshard", _key_shard(t, list(key_cols), num_shards))
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_wshard")
+        empty = {c: t[c].slice(0, 0) for c in key_cols}
+        empty.update({
+            "start": pa.array([], pa.int64()),
+            "end": pa.array([], pa.int64()),
+            "n_intervals": pa.array([], pa.int64()),
+        })
+        if t.num_rows == 0:
+            return pa.table(empty)
+        t = t.sort_by([(c, "ascending") for c in cols])
+        n = t.num_rows
+        s = t[start_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = t[end_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        first = _segment_starts(t, list(key_cols))
+        # segmented running max of e: shift each key's values into a
+        # disjoint band, one global cummax, shift back
+        lo = min(s.min(), e.min())
+        span = e.max() - lo + 1
+        seg_id = np.cumsum(first) - 1
+        m = np.maximum.accumulate(e - lo + seg_id * span) - seg_id * span + lo
+        new = first.copy()
+        new[1:] |= s[1:] > m[:-1]
+        starts = np.flatnonzero(new)
+        out = {c: t[c].take(pa.array(starts)) for c in key_cols}
+        out["start"] = pa.array(s[starts], pa.int64())
+        out["end"] = pa.array(np.maximum.reduceat(e, starts), pa.int64())
+        out["n_intervals"] = pa.array(
+            np.diff(np.r_[starts, n]).astype(np.int64), pa.int64()
+        )
+        return pa.table(out)
+
+    from .common import narrow_fanin
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .repartition(narrow_fanin())
+        .groupby("_wshard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )

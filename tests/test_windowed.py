@@ -158,3 +158,46 @@ def test_counter_increase_fuzz(ray_session):
     assert got["window_start"].tolist() == want["window_start"].tolist()
     assert got["n_deltas"].tolist() == want["n_deltas"].tolist()
     np.testing.assert_allclose(got["increase"], want["increase"], rtol=1e-9)
+
+
+def test_merge_intervals_islands(ray_session):
+    """Transitive overlaps merge (a covers b which touches c), touching
+    endpoints merge, gaps split; multi-block invariance."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.windowed import merge_intervals
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 1, 1, 2, 2], pa.int64()),
+        "s": pa.array([0, 5, 10, 10, 40, 0, 100], pa.int64()),
+        "e": pa.array([20, 8, 30, 12, 50, 1, 101], pa.int64()),
+    })
+    # k=1: [0,20]+[5,8]+[10,30]+[10,12] -> [0,30] (4); [40,50] (1)
+    # k=2: [0,1] and [100,101] separate
+    for nparts in (1, 4):
+        out = (
+            merge_intervals(
+                ray.data.from_arrow(t).repartition(nparts), ["k"], "s", "e"
+            ).to_pandas().sort_values(["k", "start"]).reset_index(drop=True)
+        )
+        assert out.values.tolist() == [
+            [1, 0, 30, 4], [1, 40, 50, 1], [2, 0, 1, 1], [2, 100, 101, 1],
+        ]
+
+
+def test_merge_intervals_touching(ray_session):
+    """s == running max end merges (SQL s > pm starts new)."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.windowed import merge_intervals
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1], pa.int64()),
+        "s": pa.array([0, 10, 21], pa.int64()),
+        "e": pa.array([10, 20, 30], pa.int64()),
+    })
+    out = (
+        merge_intervals(ray.data.from_arrow(t), ["k"], "s", "e")
+        .to_pandas().sort_values("start").values.tolist()
+    )
+    assert out == [[1, 0, 20, 2], [1, 21, 30, 1]]
