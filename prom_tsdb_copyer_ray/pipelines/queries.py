@@ -1651,6 +1651,16 @@ def q_merge_intervals(sf_dir: str):
     )
 
 
+def q_heavy_users(sf_dir: str):
+    """Exact top-10 users by event count through a Misra-Gries sketch +
+    candidate verify (stages/sketch.heavy_hitters_topk; bounded counters
+    per batch, exact recount of the guaranteed-superset candidates)."""
+    from ..stages.sketch import heavy_hitters_topk
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    return heavy_hitters_topk(ds, "user_id", k=10, capacity=64)
+
+
 _PIVOT_CATS = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1738,6 +1748,7 @@ QUERIES = {
     "zscore": q_zscore,
     "ntile": q_ntile,
     "merge_intervals": q_merge_intervals,
+    "heavy_users": q_heavy_users,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -1764,6 +1775,12 @@ ORACLE_SQL = {
                 for c in _PIVOT_CATS
             ) + """
         FROM events GROUP BY user_id
+    """,
+    "heavy_users": """
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+        ORDER BY n DESC, user_id LIMIT 10
     """,
     "merge_intervals": """
         WITH iv AS (SELECT CAST(user_id AS BIGINT) AS user_id,

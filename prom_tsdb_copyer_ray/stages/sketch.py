@@ -215,3 +215,108 @@ def approx_distinct_per_group(ds, key_cols: list[str], value_col: str,
         .groupby("_kshard")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def _mg_compact(items: np.ndarray, counts: np.ndarray, capacity: int):
+    """Misra-Gries compaction: keep <= capacity counters by subtracting the
+    (capacity+1)-th largest count from all (the exact-counts formulation of
+    the MG decrement; Agarwal et al. 2013 mergeable-summaries).  Returns
+    (items, residual counts, subtracted amount)."""
+    if len(items) <= capacity:
+        return items, counts, 0
+    # (capacity+1)-th largest
+    thresh = np.partition(counts, len(counts) - capacity - 1)[
+        len(counts) - capacity - 1
+    ]
+    keep = counts > thresh
+    return items[keep], counts[keep] - thresh, int(thresh)
+
+
+def heavy_hitters_topk(ds, item_col: str, k: int, capacity: int = 256,
+                       num_shards: int = 64):
+    """EXACT global top-k most frequent items at bounded state, via a
+    Misra-Gries sketch + verify pass (the heavy-hitters analogue of the
+    Bloom semi-join: the sketch bounds what moves, a second exact pass
+    restores exactness).
+
+    Pass 1: each batch's exact counts are MG-compacted to ``capacity``
+    counters (undercount <= batch_n/(capacity+1)); counter rows plus one
+    deduction row per batch merge through a sharded segment sum.  The
+    guarantee: every item with true count > total_deductions survives with
+    a positive lower bound, so candidates = items whose upper bound
+    (lower + total_deductions) reaches the k-th best lower bound form a
+    SUPERSET of the true top-k.  Pass 2 re-counts ONLY the candidates
+    (broadcast `ray.put` set, vectorized ``pc.is_in`` + per-batch combiner)
+    and takes the exact top-k (ties -> smallest item).
+
+    Output: ``item_col`` + ``n`` (int64), exactly k rows (fewer if the
+    domain is smaller).  Item column must be integer.
+    """
+    import ray
+
+    SENTINEL = np.int64(-(2**62))  # deduction rows (item ids must exceed it)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch[item_col], pa.int64()).to_numpy(zero_copy_only=False)
+        items, counts = np.unique(v, return_counts=True)
+        if len(items) and items[0] <= SENTINEL:
+            raise ValueError("item ids collide with the MG sentinel")
+        items, counts, thresh = _mg_compact(items, counts, capacity)
+        items = np.r_[items, [SENTINEL]]
+        counts = np.r_[counts, [thresh]]
+        return pa.table({item_col: pa.array(items, pa.int64()),
+                         "n": pa.array(counts.astype(np.int64), pa.int64())})
+
+    from .keyed import sharded_grouped_agg
+
+    merged = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [item_col], [("n", "sum")], num_shards,
+    )
+    st = pa.Table.from_pylist(merged.take_all())
+    items = st[item_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    lows = st["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    err = int(lows[items == SENTINEL].sum()) if (items == SENTINEL).any() else 0
+    real = items != SENTINEL
+    items, lows = items[real], lows[real]
+    if len(items) == 0:
+        return ray.data.from_arrow(pa.table({
+            item_col: pa.array([], pa.int64()), "n": pa.array([], pa.int64()),
+        }))
+    # k-th best lower bound (or the worst if fewer than k survivors)
+    kth = np.sort(lows)[::-1][min(k, len(lows)) - 1]
+    if err >= kth:
+        # an item compacted away everywhere (lower bound 0) could still be
+        # in the true top-k: the sketch can't prune safely — recount all.
+        # (capacity too small for this skew; raise it to restore pruning.)
+        cand = None
+    else:
+        cand = np.sort(items[lows + err >= kth])
+    cand_ref = ray.put(cand)
+
+    def recount(batch: pa.Table) -> pa.Table:
+        cs = ray.get(cand_ref)
+        v = pc.cast(batch[item_col], pa.int64()).to_numpy(zero_copy_only=False)
+        if cs is not None:
+            v = v[np.isin(v, cs)]
+        it, ct = np.unique(v, return_counts=True)
+        return pa.table({item_col: pa.array(it, pa.int64()),
+                         "n": pa.array(ct.astype(np.int64), pa.int64())})
+
+    exact = pa.Table.from_pylist(
+        ds.map_batches(recount, batch_format="pyarrow").take_all()
+    )
+    ei = exact[item_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    ec = exact["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # fold partial recounts, then exact top-k with ties to smallest item
+    order = np.argsort(ei, kind="stable")
+    ei, ec = ei[order], ec[order]
+    new = np.ones(len(ei), dtype=bool)
+    new[1:] = ei[1:] != ei[:-1]
+    starts = np.flatnonzero(new)
+    fi = ei[starts]
+    fc = np.add.reduceat(ec, starts)
+    top = np.lexsort((fi, -fc))[:k]
+    out = pa.table({item_col: pa.array(fi[top], pa.int64()),
+                    "n": pa.array(fc[top], pa.int64())})
+    return ray.data.from_arrow(out)

@@ -97,7 +97,7 @@ def test_oracle_keys_subset(entry_mod):
         "term_df", "orders_per_nation", "cust_no_orders", "distinct_users",
         "topk_windowed", "top_user", "increase_5m", "dup_grams", "redact_pii", "shuffle_order", "lang_quartile_filter", "hist_p90",
         "pivot_events", "trend_slope", "cube_docs", "percent_rank", "twa_5m",
-        "bloom_semi", "zscore", "ntile", "merge_intervals",
+        "bloom_semi", "zscore", "ntile", "merge_intervals", "heavy_users",
         # fixture-join oracles (tests/fixtures/gen_oracle_fixtures.py)
         "fingerprint", "simhash", "lang_id", "minhash_pairs",
         "ngram_jaccard_pairs", "embedding_neardup", "ivf_topk",

@@ -701,3 +701,38 @@ def test_ntile_bucket_sizes(ray_session):
             got_counts = [tiles.count(b) for b in sorted(set(tiles))]
             assert got_counts == want_counts
             assert sorted(set(tiles)) == list(range(1, len(want_counts) + 1))
+
+
+def test_heavy_hitters_exact_vs_bruteforce(ray_session):
+    """MG sketch + verify must return the exact top-k under Zipf skew with
+    a capacity far below the domain; tiny capacity exercises the exact
+    fallback; ties break to the smallest item."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.sketch import heavy_hitters_topk
+
+    rng = np.random.default_rng(83)
+    v = (rng.zipf(1.3, 20000) % 3000).astype(np.int64)
+    t = pa.table({"u": pa.array(v)})
+    df = t.to_pandas()
+    want = (
+        df.groupby("u").size().reset_index(name="n")
+        .sort_values(["n", "u"], ascending=[False, True]).head(8)
+    )
+    for cap in (128, 4):  # 4 forces err >= kth -> exact-recount fallback
+        out = heavy_hitters_topk(
+            ray.data.from_arrow(t).repartition(11), "u", k=8, capacity=cap
+        ).to_pandas()
+        assert out["u"].tolist() == want["u"].tolist()
+        assert out["n"].tolist() == want["n"].tolist()
+
+
+def test_mg_compact_bound():
+    from prom_tsdb_copyer_ray.stages.sketch import _mg_compact
+
+    items = np.arange(10, dtype=np.int64)
+    counts = np.array([100, 90, 80, 5, 4, 3, 3, 2, 2, 1], dtype=np.int64)
+    it, ct, thresh = _mg_compact(items, counts, 3)
+    assert len(it) <= 3 and thresh == 5
+    # residuals undercount by exactly thresh
+    assert ct.tolist() == [95, 85, 75]
