@@ -1661,6 +1661,49 @@ def q_heavy_users(sf_dir: str):
     return heavy_hitters_topk(ds, "user_id", k=10, capacity=64)
 
 
+def q_lag_value(sf_dir: str):
+    """lag(value) OVER (PARTITION BY type, user ORDER BY ts, id), rows
+    without a predecessor dropped (stages/keyed.lag_column)."""
+    from ..stages.keyed import lag_column
+
+    ds = _read(sf_dir, "events",
+               ["event_type", "user_id", "ts", "event_id", "value"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "tms": ts_to_ms(batch["ts"]),
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "value": pc.cast(batch["value"], pa.float64()),
+        })
+
+    return lag_column(
+        ds.map_batches(norm, batch_format="pyarrow"),
+        ["event_type", "user_id"], ["tms", "event_id"], "value",
+    )
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix over events: users bucketed by first-active
+    day, distinct-counted per (cohort, day offset)
+    (stages/keyed.cohort_retention; one user-sharded exchange of distinct
+    (user, day) pairs, bounded final)."""
+    from ..stages.keyed import cohort_retention
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "tms": ts_to_ms(batch["ts"]),
+        })
+
+    return cohort_retention(
+        ds.map_batches(norm, batch_format="pyarrow"), "user_id", "tms"
+    )
+
+
 _PIVOT_CATS = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1749,6 +1792,8 @@ QUERIES = {
     "ntile": q_ntile,
     "merge_intervals": q_merge_intervals,
     "heavy_users": q_heavy_users,
+    "lag_value": q_lag_value,
+    "cohort_retention": q_cohort_retention,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -1775,6 +1820,26 @@ ORACLE_SQL = {
                 for c in _PIVOT_CATS
             ) + """
         FROM events GROUP BY user_id
+    """,
+    "cohort_retention": """
+        WITH a AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS u,
+                          epoch_ms(ts) // 86400000 AS day
+                   FROM events),
+        c AS (SELECT u, min(day) AS cohort FROM a GROUP BY 1)
+        SELECT c.cohort * 86400000 AS cohort_start,
+               CAST(a.day - c.cohort AS BIGINT) AS offset_days,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM a JOIN c USING (u)
+        GROUP BY 1, 2
+    """,
+    "lag_value": """
+        SELECT event_type, CAST(user_id AS BIGINT) AS user_id,
+               epoch_ms(ts) AS tms, CAST(event_id AS BIGINT) AS event_id,
+               value,
+               lag(value) OVER (PARTITION BY event_type, user_id
+                                ORDER BY ts, event_id) AS prev
+        FROM events
+        QUALIFY prev IS NOT NULL
     """,
     "heavy_users": """
         SELECT CAST(user_id AS BIGINT) AS user_id,

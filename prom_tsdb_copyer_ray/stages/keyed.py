@@ -784,3 +784,111 @@ def ntile(ds, key_cols: list[str], order_cols: list[str], n: int,
         .groupby("_wshard")
         .map_groups(per_shard, batch_format="pyarrow")
     )
+
+
+def lag_column(ds, key_cols: list[str], order_cols: list[str],
+               value_col: str, carry_cols: list[str] | None = None,
+               num_shards: int = 64, out_col: str = "prev"):
+    """SQL ``lag(value) OVER (PARTITION BY keys ORDER BY order_cols)``,
+    keeping only rows that HAVE a predecessor (lag-is-null rows dropped,
+    like :func:`counter_increase`'s first-sample rule — null-free output).
+
+    Same narrow key-shard exchange + per-shard lexsort as the other window
+    kernels; the lag itself is one vectorized shift masked at key segment
+    starts.  Make the last order col unique for determinism.
+    """
+    carry = list(carry_cols or [])
+    cols = list(key_cols) + list(order_cols) + carry + [value_col]
+    sort_cols = list(key_cols) + list(order_cols)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols)
+        return t.append_column("_wshard", _key_shard(t, list(key_cols), num_shards))
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_wshard")
+        if t.num_rows == 0:
+            return t.append_column(out_col, t[value_col].slice(0, 0))
+        t = t.sort_by([(c, "ascending") for c in sort_cols])
+        first = _segment_starts(t, list(key_cols))
+        prev = t[value_col].combine_chunks().slice(0, t.num_rows - 1)
+        t = t.filter(pa.array(~first))
+        return t.append_column(out_col, prev.filter(pa.array(~first[1:])))
+
+    from .common import narrow_fanin
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .repartition(narrow_fanin())
+        .groupby("_wshard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )
+
+
+def cohort_retention(ds, user_col: str, ts_col: str,
+                     day_ms: int = 86_400_000, num_shards: int = 64):
+    """Cohort retention matrix: users bucketed by the aligned day of their
+    FIRST activity (the cohort), counted once per (cohort, day-offset)
+    they were active — the classic product-analytics rollup.
+
+    Scale shape: each batch collapses to its DISTINCT (user, day) pairs
+    (Arrow group_by combiner), ONE exchange shards those pairs by user so
+    a shard task derives every resident user's cohort (= min day, first
+    row after one lexsort) and per-user offsets vectorized; per-shard
+    (cohort, offset) partial counts then merge through a tiny
+    :func:`sharded_grouped_agg` (key count is bounded by days x offsets,
+    not users).  No broadcast, no per-user state on the driver.
+
+    Output: ``cohort_start`` (int64 ms) + ``offset_days`` + ``n_users``.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            user_col: pc.cast(batch[user_col], pa.int64()),
+            "_day": pc.divide(pc.cast(batch[ts_col], pa.int64()), day_ms),
+        })
+        g = t.group_by([user_col, "_day"]).aggregate([])
+        return g.append_column(
+            "_ushard", _key_shard(g, [user_col], num_shards)
+        )
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_ushard")
+        if t.num_rows == 0:
+            return pa.table({
+                "cohort_start": pa.array([], pa.int64()),
+                "offset_days": pa.array([], pa.int64()),
+                "n_users": pa.array([], pa.int64()),
+            })
+        # cross-batch duplicates of a (user, day) pair survive the partial
+        # distinct; dedup after the exchange
+        t = t.group_by([user_col, "_day"]).aggregate([])
+        t = t.sort_by([(user_col, "ascending"), ("_day", "ascending")])
+        u = t[user_col].to_numpy(zero_copy_only=False)
+        d = t["_day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.r_[starts, len(u)])
+        cohort = np.repeat(d[starts], sizes)
+        off = d - cohort
+        pair = np.stack([cohort, off], axis=1)
+        uniq, counts = np.unique(pair, axis=0, return_counts=True)
+        return pa.table({
+            "cohort_start": pa.array(uniq[:, 0] * day_ms, pa.int64()),
+            "offset_days": pa.array(uniq[:, 1], pa.int64()),
+            "n_users": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    from .common import narrow_fanin
+
+    partials = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(narrow_fanin())
+        .groupby("_ushard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )
+    return sharded_grouped_agg(
+        partials, ["cohort_start", "offset_days"], [("n_users", "sum")],
+        num_shards=8,
+    )

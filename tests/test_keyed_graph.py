@@ -736,3 +736,68 @@ def test_mg_compact_bound():
     assert len(it) <= 3 and thresh == 5
     # residuals undercount by exactly thresh
     assert ct.tolist() == [95, 85, 75]
+
+
+def test_lag_column_matches_pandas(ray_session):
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.keyed import lag_column
+
+    rng = np.random.default_rng(97)
+    n = 2000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 31, n).astype(np.int64)),
+        "o": pa.array(rng.permutation(n).astype(np.int64)),
+        "v": pa.array(rng.normal(size=n)),
+    })
+    df = t.to_pandas().sort_values(["k", "o"])
+    df["prev"] = df.groupby("k")["v"].shift(1)
+    want = df.dropna(subset=["prev"])
+    for nparts in (1, 8):
+        out = (
+            lag_column(ray.data.from_arrow(t).repartition(nparts),
+                       ["k"], ["o"], "v")
+            .to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+        )
+        np.testing.assert_array_equal(out["o"].values, want["o"].values)
+        np.testing.assert_allclose(out["prev"].values, want["prev"].values,
+                                   atol=0)
+
+
+def test_cohort_retention_matches_pandas(ray_session):
+    """Retention matrix vs a pandas reference: multi-visit users counted
+    once per (cohort, offset); block layout must not matter."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.keyed import cohort_retention
+
+    DAY = 86_400_000
+    rng = np.random.default_rng(101)
+    n = 5000
+    t = pa.table({
+        "u": pa.array(rng.integers(0, 200, n).astype(np.int64)),
+        "tms": pa.array((rng.integers(0, 30, n) * DAY
+                         + rng.integers(0, DAY, n)).astype(np.int64)),
+    })
+    df = t.to_pandas()
+    df["day"] = df["tms"] // DAY
+    a = df[["u", "day"]].drop_duplicates()
+    cohort = a.groupby("u")["day"].min().rename("cohort")
+    a = a.join(cohort, on="u")
+    want = (
+        a.assign(off=a["day"] - a["cohort"])
+        .groupby(["cohort", "off"]).size().reset_index(name="n")
+        .sort_values(["cohort", "off"]).reset_index(drop=True)
+    )
+    for nparts in (1, 9):
+        out = (
+            cohort_retention(
+                ray.data.from_arrow(t).repartition(nparts), "u", "tms"
+            ).to_pandas().sort_values(["cohort_start", "offset_days"])
+            .reset_index(drop=True)
+        )
+        np.testing.assert_array_equal(
+            out["cohort_start"].values, want["cohort"].values * DAY)
+        np.testing.assert_array_equal(
+            out["offset_days"].values, want["off"].values)
+        np.testing.assert_array_equal(out["n_users"].values, want["n"].values)
