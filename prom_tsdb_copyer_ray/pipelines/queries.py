@@ -1704,6 +1704,46 @@ def q_cohort_retention(sf_dir: str):
     )
 
 
+def q_except_users(sf_dir: str):
+    """SQL EXCEPT over (user, day) tuples: click-days with no purchase
+    that day (stages/joins.set_op; distinct-tuple combiners + one
+    tuple-hash exchange)."""
+    from ..stages.joins import set_op
+
+    def side(event_type):
+        def fn(batch: pa.Table, et=event_type) -> pa.Table:
+            b = batch.filter(pc.equal(batch["event_type"], et))
+            return pa.table({
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "day": pc.divide(ts_to_ms(b["ts"]), 86400000),
+            })
+        return _read(sf_dir, "events",
+                     ["user_id", "event_type", "ts"]).map_batches(
+            fn, batch_format="pyarrow")
+
+    return set_op(side("click"), side("purchase"), ["user_id", "day"],
+                  "except")
+
+
+def q_unpivot_events(sf_dir: str):
+    """Round-trip reshape: pivot_events' wide counts melted back to long
+    (user, type, n), zero cells dropped (stages/keyed.unpivot; shuffle-free
+    flat map).  Equals the plain long GROUP BY — the oracle."""
+    from ..stages.keyed import pivot_counts, unpivot
+
+    wide = pivot_counts(
+        _read(sf_dir, "events", ["user_id", "event_type"]),
+        ["user_id"], "event_type", _PIVOT_CATS,
+    )
+    long = unpivot(
+        wide, ["user_id"], [f"n_{c}" for c in _PIVOT_CATS],
+        var_col="event_type", val_col="n", var_names=_PIVOT_CATS,
+    )
+    return long.map_batches(
+        lambda b: b.filter(pc.greater(b["n"], 0)), batch_format="pyarrow"
+    )
+
+
 _PIVOT_CATS = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1794,6 +1834,8 @@ QUERIES = {
     "heavy_users": q_heavy_users,
     "lag_value": q_lag_value,
     "cohort_retention": q_cohort_retention,
+    "except_users": q_except_users,
+    "unpivot_events": q_unpivot_events,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -1820,6 +1862,20 @@ ORACLE_SQL = {
                 for c in _PIVOT_CATS
             ) + """
         FROM events GROUP BY user_id
+    """,
+    "unpivot_events": """
+        SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    """,
+    "except_users": """
+        SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id,
+               epoch_ms(ts) // 86400000 AS day
+        FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id,
+               epoch_ms(ts) // 86400000 AS day
+        FROM events WHERE event_type = 'purchase'
     """,
     "cohort_retention": """
         WITH a AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS u,

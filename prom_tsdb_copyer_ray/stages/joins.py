@@ -286,3 +286,52 @@ def bloom_semi_join(fact_ds, dim_ds, fact_key: str, dim_key: str,
         sorted({r[dim_key] for r in dim_keys})
     )})
     return broadcast_join(survivors, dim_table, fact_key, dim_key, how="semi")
+
+
+def set_op(left_ds, right_ds, cols: list[str], op: str, num_shards: int = 64):
+    """SQL set operations with DISTINCT semantics: ``EXCEPT`` (distinct
+    left rows absent from right) and ``INTERSECT`` (distinct rows present
+    on both sides), over the given column tuple.
+
+    Scale shape: each side's batches collapse to their distinct tuples
+    (Arrow ``group_by`` combiner) tagged with a side bit, ONE tuple-hash
+    exchange co-locates equal tuples, and a per-shard sort + segment scan
+    decides membership — the exchange moves distinct tuples only, never
+    the datasets.
+    """
+    if op not in ("except", "intersect"):
+        raise ValueError(f"unknown set op: {op}")
+    from .keyed import _key_shard, _segment_starts
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            g = batch.select(cols).group_by(cols).aggregate([])
+            g = g.append_column("_side", pa.array(
+                np.full(g.num_rows, side, np.int64)))
+            return g.append_column("_sshard", _key_shard(g, cols, num_shards))
+        return fn
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_sshard")
+        if t.num_rows == 0:
+            return t.drop_columns("_side")
+        t = t.sort_by([(c, "ascending") for c in cols])
+        new = _segment_starts(t, cols)
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.r_[starts, t.num_rows])
+        side = t["_side"].to_numpy(zero_copy_only=False)
+        has_l = np.add.reduceat(side == 0, starts) > 0
+        has_r = np.add.reduceat(side == 1, starts) > 0
+        keep = (has_l & ~has_r) if op == "except" else (has_l & has_r)
+        return t.drop_columns("_side").take(pa.array(starts[keep]))
+
+    from .common import narrow_fanin
+
+    both = left_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        right_ds.map_batches(tag(1), batch_format="pyarrow")
+    )
+    return (
+        both.repartition(narrow_fanin())
+        .groupby("_sshard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )

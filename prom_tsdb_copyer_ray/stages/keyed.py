@@ -892,3 +892,34 @@ def cohort_retention(ds, user_col: str, ts_col: str,
         partials, ["cohort_start", "offset_days"], [("n_users", "sum")],
         num_shards=8,
     )
+
+
+def unpivot(ds, id_cols: list[str], value_cols: list[str],
+            var_col: str = "variable", val_col: str = "value",
+            var_names: list[str] | None = None):
+    """Wide -> long reshape (SQL UNPIVOT / pandas melt), the inverse of
+    :func:`pivot_counts`: each input row becomes ``len(value_cols)`` rows
+    of (ids, variable name, value).  Pure shuffle-free flat map: one
+    column-slice concat per batch, value columns cast to a common float64
+    (int-only inputs stay int64)."""
+    names = list(var_names or value_cols)
+    if len(names) != len(value_cols):
+        raise ValueError("var_names must match value_cols")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out_type = (
+            pa.int64()
+            if all(pa.types.is_integer(batch.schema.field(c).type)
+                   for c in value_cols)
+            else pa.float64()
+        )
+        pieces = []
+        for c, nm in zip(value_cols, names):
+            t = batch.select(id_cols)
+            t = t.append_column(
+                var_col, pa.array([nm] * batch.num_rows, pa.string()))
+            t = t.append_column(val_col, pc.cast(batch[c], out_type))
+            pieces.append(t)
+        return pa.concat_tables(pieces)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -98,7 +98,7 @@ def test_oracle_keys_subset(entry_mod):
         "topk_windowed", "top_user", "increase_5m", "dup_grams", "redact_pii", "shuffle_order", "lang_quartile_filter", "hist_p90",
         "pivot_events", "trend_slope", "cube_docs", "percent_rank", "twa_5m",
         "bloom_semi", "zscore", "ntile", "merge_intervals", "heavy_users",
-        "lag_value", "cohort_retention",
+        "lag_value", "cohort_retention", "except_users", "unpivot_events",
         # fixture-join oracles (tests/fixtures/gen_oracle_fixtures.py)
         "fingerprint", "simhash", "lang_id", "minhash_pairs",
         "ngram_jaccard_pairs", "embedding_neardup", "ivf_topk",

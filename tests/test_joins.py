@@ -179,3 +179,27 @@ def test_bloom_semi_join_exact_with_false_positives(ray_session):
     )
     want = fact.to_pandas()[truth].reset_index(drop=True)
     assert out["id"].tolist() == want["id"].tolist()
+
+
+def test_set_op_except_intersect(ray_session):
+    """DISTINCT semantics: duplicates collapse; except drops shared tuples,
+    intersect keeps only shared; multi-block invariance."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.joins import set_op
+
+    left = pa.table({"a": [1, 1, 2, 3, 4, 4], "b": [0, 0, 0, 1, 1, 1]})
+    right = pa.table({"a": [2, 4, 5], "b": [0, 1, 0]})
+    for nparts in (1, 3):
+        l = ray.data.from_arrow(left).repartition(nparts)
+        r = ray.data.from_arrow(right).repartition(nparts)
+        exc = (
+            set_op(l, r, ["a", "b"], "except")
+            .to_pandas().sort_values(["a", "b"]).values.tolist()
+        )
+        assert exc == [[1, 0], [3, 1]]
+        itc = (
+            set_op(l, r, ["a", "b"], "intersect")
+            .to_pandas().sort_values(["a", "b"]).values.tolist()
+        )
+        assert itc == [[2, 0], [4, 1]]

@@ -801,3 +801,30 @@ def test_cohort_retention_matches_pandas(ray_session):
         np.testing.assert_array_equal(
             out["offset_days"].values, want["off"].values)
         np.testing.assert_array_equal(out["n_users"].values, want["n"].values)
+
+
+def test_unpivot_round_trip(ray_session):
+    """pivot -> unpivot round-trips to the long counts (zero cells kept as
+    explicit 0 rows until filtered); mixed int/float promotes to float."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.keyed import pivot_counts, unpivot
+
+    t = pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "c": ["a", "b", "a"],
+    })
+    wide = pivot_counts(ray.data.from_arrow(t), ["k"], "c", ["a", "b"])
+    long = (
+        unpivot(wide, ["k"], ["n_a", "n_b"], var_col="c", val_col="n",
+                var_names=["a", "b"])
+        .to_pandas().sort_values(["k", "c"]).reset_index(drop=True)
+    )
+    assert long.values.tolist() == [
+        [1, "a", 1], [1, "b", 1], [2, "a", 1], [2, "b", 0],
+    ]
+    # mixed int + float value columns -> float64 output
+    w2 = pa.table({"k": [1], "x": pa.array([2], pa.int64()),
+                   "y": pa.array([0.5], pa.float64())})
+    out = unpivot(ray.data.from_arrow(w2), ["k"], ["x", "y"]).to_pandas()
+    assert out["value"].tolist() == [2.0, 0.5]
