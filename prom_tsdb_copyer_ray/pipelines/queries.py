@@ -1744,6 +1744,20 @@ def q_unpivot_events(sf_dir: str):
     )
 
 
+_PROFILE_COLS = ["doc_id", "lang", "source", "n_chars", "text"]
+
+
+def q_profile_docs(sf_dir: str):
+    """Per-column data-quality profile of documents: non-null / null /
+    exact distinct counts (stages/curation.profile_columns; scalar null
+    counts driver-summed, distincts via per-batch combiner + one
+    pair-hash exchange)."""
+    from ..stages.curation import profile_columns
+
+    return profile_columns(_read(sf_dir, "documents", _PROFILE_COLS),
+                           _PROFILE_COLS)
+
+
 _PIVOT_CATS = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1836,6 +1850,7 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
     "except_users": q_except_users,
     "unpivot_events": q_unpivot_events,
+    "profile_docs": q_profile_docs,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -1862,6 +1877,16 @@ ORACLE_SQL = {
                 for c in _PIVOT_CATS
             ) + """
         FROM events GROUP BY user_id
+    """,
+    "profile_docs": """
+        """ + " UNION ALL ".join(
+            f"SELECT '{c}' AS \"column\","
+            f" CAST(count({c}) AS BIGINT) AS n_nonnull,"
+            f" CAST(count(*) - count({c}) AS BIGINT) AS n_null,"
+            f" CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct"
+            f" FROM documents"
+            for c in _PROFILE_COLS
+        ) + """
     """,
     "unpivot_events": """
         SELECT CAST(user_id AS BIGINT) AS user_id, event_type,

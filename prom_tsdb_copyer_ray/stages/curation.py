@@ -624,3 +624,77 @@ def quantile_threshold_filter(ds, key_col: str, id_col: str = "doc_id",
         })
 
     return final.map_batches(finish, batch_format="pyarrow")
+
+
+def profile_columns(ds, cols: list[str], num_shards: int = 64):
+    """Data-quality profile: per column, non-null / null counts and the
+    EXACT distinct cardinality, in one battery (the assertion pass a
+    pipeline runs before training on a new corpus drop).
+
+    Scale shape: null counts are per-batch scalars summed on the driver
+    (no shuffle); distincts collapse per batch to (column, value) string
+    pairs (a true combiner — each batch contributes a value once) and
+    cross-batch dedup happens in ONE pair-hash exchange, counting per
+    shard — the same shape as count_distinct_per_group with the column
+    name as the key.  Values profile by their string cast (identity only,
+    never returned).  Output: column, n_nonnull, n_null, n_distinct.
+    """
+    from .keyed import _key_shard
+
+    def counts(batch: pa.Table) -> pa.Table:
+        rows = []
+        for c in cols:
+            col = batch[c]
+            nulls = col.null_count
+            rows.append({"column": c, "nn": len(col) - nulls, "nu": nulls})
+        return pa.Table.from_pylist(rows)
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        pieces = []
+        for c in cols:
+            vals = pc.cast(batch[c], pa.large_string())
+            u = pc.unique(pc.drop_null(vals))
+            pieces.append(pa.table({
+                "column": pa.array([c] * len(u), pa.string()),
+                "val": u,
+            }))
+        t = pa.concat_tables(pieces)
+        return t.append_column(
+            "_pshard", _key_shard(t, ["column", "val"], num_shards)
+        )
+
+    def shard_count(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_pshard")
+        if t.num_rows == 0:
+            return pa.table({"column": pa.array([], pa.string()),
+                             "nd": pa.array([], pa.int64())})
+        g = t.group_by(["column", "val"]).aggregate([])
+        return g.group_by(["column"]).aggregate([([], "count_all")]) \
+                .rename_columns(["column", "nd"])
+
+    from .common import narrow_fanin
+
+    cnt_rows = ds.map_batches(counts, batch_format="pyarrow").take_all()
+    nd_rows = (
+        ds.map_batches(distinct_pairs, batch_format="pyarrow")
+        .repartition(narrow_fanin())
+        .groupby("_pshard")
+        .map_groups(shard_count, batch_format="pyarrow")
+        .take_all()
+    )
+    nn = {c: 0 for c in cols}
+    nu = {c: 0 for c in cols}
+    for r in cnt_rows:
+        nn[r["column"]] += r["nn"]
+        nu[r["column"]] += r["nu"]
+    nd = {c: 0 for c in cols}
+    for r in nd_rows:
+        nd[r["column"]] += r["nd"]
+    import ray
+
+    return ray.data.from_arrow(pa.table({
+        "column": pa.array(cols, pa.string()),
+        "n_nonnull": pa.array([nn[c] for c in cols], pa.int64()),
+        "n_null": pa.array([nu[c] for c in cols], pa.int64()),
+        "n_distinct": pa.array([nd[c] for c in cols], pa.int64()),
+    }))

@@ -320,3 +320,24 @@ def test_time_weighted_avg_locf(ray_session):
             ["a", 0, 4], ["a", 100, 1], ["b", 200, 1],
         ]
         np.testing.assert_allclose(out["twa"].values, [23.0, 50.0, 7.0])
+
+
+def test_profile_columns(ray_session):
+    """Null/non-null/exact-distinct per column vs pandas; cross-batch
+    duplicate values must not inflate the distinct count."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.curation import profile_columns
+
+    t = pa.table({
+        "a": pa.array([1, 1, 2, None, 3, 3, 3, None], pa.int64()),
+        "b": pa.array(["x", "x", "x", "x", None, "y", "y", "z"]),
+    })
+    for nparts in (1, 4):  # 4 -> the same value appears in several blocks
+        out = (
+            profile_columns(ray.data.from_arrow(t).repartition(nparts),
+                            ["a", "b"])
+            .to_pandas().set_index("column")
+        )
+        assert out.loc["a"].tolist() == [6, 2, 3]
+        assert out.loc["b"].tolist() == [7, 1, 3]
