@@ -1744,6 +1744,28 @@ def q_unpivot_events(sf_dir: str):
     )
 
 
+def q_funnel(sf_dir: str):
+    """Ordered conversion funnel signup -> click -> purchase, each step
+    strictly after the previous step's earliest anchor
+    (stages/keyed.funnel_counts; distinct-triple combiner + one
+    user-sharded exchange)."""
+    from ..stages.keyed import funnel_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "event_type": batch["event_type"],
+            "tms": ts_to_ms(batch["ts"]),
+        })
+
+    return funnel_counts(
+        ds.map_batches(norm, batch_format="pyarrow"),
+        "user_id", "event_type", "tms", ["signup", "click", "purchase"],
+    )
+
+
 _PROFILE_COLS = ["doc_id", "lang", "source", "n_chars", "text"]
 
 
@@ -1851,6 +1873,7 @@ QUERIES = {
     "except_users": q_except_users,
     "unpivot_events": q_unpivot_events,
     "profile_docs": q_profile_docs,
+    "funnel": q_funnel,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -1877,6 +1900,27 @@ ORACLE_SQL = {
                 for c in _PIVOT_CATS
             ) + """
         FROM events GROUP BY user_id
+    """,
+    "funnel": """
+        WITH s1 AS (SELECT CAST(user_id AS BIGINT) AS u,
+                           min(epoch_ms(ts)) AS t
+                    FROM events WHERE event_type = 'signup' GROUP BY 1),
+        s2 AS (SELECT CAST(e.user_id AS BIGINT) AS u,
+                      min(epoch_ms(e.ts)) AS t
+               FROM events e JOIN s1 ON CAST(e.user_id AS BIGINT) = s1.u
+               WHERE e.event_type = 'click' AND epoch_ms(e.ts) > s1.t
+               GROUP BY 1),
+        s3 AS (SELECT CAST(e.user_id AS BIGINT) AS u,
+                      min(epoch_ms(e.ts)) AS t
+               FROM events e JOIN s2 ON CAST(e.user_id AS BIGINT) = s2.u
+               WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > s2.t
+               GROUP BY 1)
+        SELECT CAST(1 AS BIGINT) AS step, 'signup' AS step_name,
+               CAST(count(*) AS BIGINT) AS n_users FROM s1
+        UNION ALL SELECT CAST(2 AS BIGINT), 'click',
+               CAST(count(*) AS BIGINT) FROM s2
+        UNION ALL SELECT CAST(3 AS BIGINT), 'purchase',
+               CAST(count(*) AS BIGINT) FROM s3
     """,
     "profile_docs": """
         """ + " UNION ALL ".join(

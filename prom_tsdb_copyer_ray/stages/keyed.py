@@ -923,3 +923,87 @@ def unpivot(ds, id_cols: list[str], value_cols: list[str],
         return pa.concat_tables(pieces)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def funnel_counts(ds, user_col: str, type_col: str, ts_col: str,
+                  steps: list[str], num_shards: int = 64):
+    """Ordered conversion funnel: how many users completed step 1, then
+    step 2 STRICTLY after their first step-1 event, then step 3 strictly
+    after that, ... (classic product-analytics funnel; each step's
+    anchor is the EARLIEST qualifying event, the standard greedy rule —
+    earliest anchors maximize what later steps can match).
+
+    Scale shape: rows are pre-filtered to funnel event types and collapse
+    per batch to (user, step, min ts) triples — at most len(steps) rows
+    per (user, batch) — then ONE user-hash exchange... except the greedy
+    anchor needs every qualifying ts, not the batch min (a later step must
+    find events AFTER the anchor, and the batch min may be before it), so
+    the combiner keeps (user, step, ts) DISTINCT pairs instead.  Per shard
+    one lexsort + len(steps) masked ``minimum.reduceat`` passes over user
+    segments.  Output: step (1-based), step_name, n_users (users whose
+    chain reached the step).
+    """
+    from .common import narrow_fanin
+
+    step_arr = pa.array(steps, pa.string())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        si = pc.index_in(batch[type_col], value_set=step_arr)
+        keep = pc.is_valid(si)
+        t = pa.table({
+            user_col: pc.cast(batch[user_col], pa.int64()),
+            "_step": pc.cast(si, pa.int64()),
+            "_ts": pc.cast(batch[ts_col], pa.int64()),
+        }).filter(keep)
+        g = t.group_by([user_col, "_step", "_ts"]).aggregate([])
+        return g.append_column(
+            "_fshard", _key_shard(g, [user_col], num_shards)
+        )
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_fshard")
+        out_empty = pa.table({"step": pa.array([], pa.int64()),
+                              "n_users": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return out_empty
+        t = t.group_by([user_col, "_step", "_ts"]).aggregate([])  # x-batch dedup
+        t = t.sort_by([(user_col, "ascending"), ("_ts", "ascending")])
+        u = t[user_col].to_numpy(zero_copy_only=False)
+        st = t["_step"].to_numpy(zero_copy_only=False)
+        ts = t["_ts"].to_numpy(zero_copy_only=False).astype(np.float64)
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.r_[starts, len(u)])
+        anchor = np.full(len(starts), -np.inf)
+        counts = np.zeros(len(steps), dtype=np.int64)
+        for i in range(len(steps)):
+            prev = np.repeat(anchor, sizes)
+            cand = np.where((st == i) & (ts > prev), ts, np.inf)
+            anchor = np.minimum.reduceat(cand, starts)
+            counts[i] = int(np.isfinite(anchor).sum())
+            if counts[i] == 0:
+                break
+        return pa.table({
+            "step": pa.array(np.arange(1, len(steps) + 1, dtype=np.int64)),
+            "n_users": pa.array(counts, pa.int64()),
+        })
+
+    partials = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(narrow_fanin())
+        .groupby("_fshard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )
+    final = sharded_grouped_agg(partials, ["step"], [("n_users", "sum")],
+                                num_shards=4)
+
+    def add_name(batch: pa.Table) -> pa.Table:
+        idx = pc.subtract(pc.cast(batch["step"], pa.int64()), 1)
+        return pa.table({
+            "step": pc.cast(batch["step"], pa.int64()),
+            "step_name": pc.take(step_arr, idx),
+            "n_users": pc.cast(batch["n_users"], pa.int64()),
+        })
+
+    return final.map_batches(add_name, batch_format="pyarrow")

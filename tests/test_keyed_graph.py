@@ -828,3 +828,53 @@ def test_unpivot_round_trip(ray_session):
                    "y": pa.array([0.5], pa.float64())})
     out = unpivot(ray.data.from_arrow(w2), ["k"], ["x", "y"]).to_pandas()
     assert out["value"].tolist() == [2.0, 0.5]
+
+
+def test_funnel_counts_greedy_anchor(ray_session):
+    """Strict ordering: step events at or before the previous anchor don't
+    count; the earliest qualifying event is the anchor; fuzz vs a pure
+    Python reference; multi-block invariance."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.keyed import funnel_counts
+
+    # hand-built: user 1 completes all; user 2 stalls (click before signup,
+    # purchase ts == click anchor doesn't count); user 3 only signs up
+    t = pa.table({
+        "u": pa.array([1, 1, 1, 2, 2, 2, 2, 3], pa.int64()),
+        "et": ["signup", "click", "purchase",
+               "click", "signup", "click", "purchase", "signup"],
+        "ts": pa.array([10, 20, 30, 5, 10, 20, 20, 99], pa.int64()),
+    })
+    out = (
+        funnel_counts(ray.data.from_arrow(t).repartition(3),
+                      "u", "et", "ts", ["signup", "click", "purchase"])
+        .to_pandas().sort_values("step")
+    )
+    assert out["n_users"].tolist() == [3, 2, 1]
+
+    rng = np.random.default_rng(113)
+    n = 4000
+    steps = ["signup", "click", "purchase"]
+    f = pa.table({
+        "u": pa.array(rng.integers(0, 120, n).astype(np.int64)),
+        "et": pa.array([["signup", "click", "purchase", "view"][i]
+                        for i in rng.integers(0, 4, n)]),
+        "ts": pa.array(rng.integers(0, 500, n).astype(np.int64)),
+    })
+    df = f.to_pandas()
+    want = [0, 0, 0]
+    for _, g in df.groupby("u"):
+        anchor = -np.inf
+        for i, s in enumerate(steps):
+            q = g[(g["et"] == s) & (g["ts"] > anchor)]
+            if q.empty:
+                break
+            anchor = q["ts"].min()
+            want[i] += 1
+    out = (
+        funnel_counts(ray.data.from_arrow(f).repartition(9),
+                      "u", "et", "ts", steps)
+        .to_pandas().sort_values("step")
+    )
+    assert out["n_users"].tolist() == want
