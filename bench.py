@@ -157,6 +157,8 @@ def run_flagship(sf_dir: str, replicate: int, heavy: int = 1) -> dict:
 def run_queries(sf_dir: str) -> dict:
     from prom_tsdb_copyer_ray.pipelines.queries import QUERIES
 
+    import gc
+
     import pandas as pd
 
     out = {}
@@ -171,6 +173,12 @@ def run_queries(sf_dir: str) -> dict:
             except AttributeError:
                 pass
         out[name] = round(time.monotonic() - t0, 3)
+        # drop the Dataset's block references and collect BEFORE the next
+        # query: 87 queries' leftover output blocks otherwise accumulate in
+        # the object store and tax the tail of the battery (ngram measured
+        # 31 s in-bench vs 8 s in a fresh session)
+        del res
+        gc.collect()
     return out
 
 
