@@ -1766,6 +1766,57 @@ def q_funnel(sf_dir: str):
     )
 
 
+def q_corr_hour(sf_dir: str):
+    """Per-event-type Pearson correlation between hour-of-day and value
+    (stages/keyed.grouped_corr; exact int64 six-statistic combiner, one
+    O(keys) exchange, float-exact vs the SQL formula).  y = centi-units
+    (values are 2-decimal exact in the corpus)."""
+    from ..stages.keyed import grouped_corr
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        y = np.rint(v * 100).astype(np.int64)
+        # epoch_ms >= 0, so integer-divide truncation == floor and the
+        # mod-24 below matches DuckDB's `%` on non-negatives
+        hour = pc.divide(ts_to_ms(batch["ts"]), 3600000)
+        x = pc.subtract(hour, pc.multiply(pc.divide(hour, 24), 24))
+        return pa.table({
+            "event_type": batch["event_type"],
+            "x": x,
+            "y": pa.array(y, pa.int64()),
+        })
+
+    out = grouped_corr(
+        ds.map_batches(norm, batch_format="pyarrow"),
+        ["event_type"], "x", "y", out_col="corr_hv",
+    )
+    return _finalize(out, {}, {"corr_hv": 8})
+
+
+def q_string_agg(sf_dir: str):
+    """Per-user ordered event-type sequence — SQL string_agg(event_type,
+    ',' ORDER BY ts, event_type) (stages/keyed.group_concat; one key-shard
+    exchange, per-shard Arrow list build + binary_join, no Python per
+    key)."""
+    from ..stages.keyed import group_concat
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "event_type": batch["event_type"],
+            "tms": ts_to_ms(batch["ts"]),
+        })
+
+    return group_concat(
+        ds.map_batches(norm, batch_format="pyarrow"),
+        ["user_id"], "event_type", ["tms"], sep=",", out_col="type_seq",
+    )
+
+
 _PROFILE_COLS = ["doc_id", "lang", "source", "n_chars", "text"]
 
 
@@ -1874,6 +1925,8 @@ QUERIES = {
     "unpivot_events": q_unpivot_events,
     "profile_docs": q_profile_docs,
     "funnel": q_funnel,
+    "corr_hour": q_corr_hour,
+    "string_agg": q_string_agg,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -1921,6 +1974,28 @@ ORACLE_SQL = {
                CAST(count(*) AS BIGINT) FROM s2
         UNION ALL SELECT CAST(3 AS BIGINT), 'purchase',
                CAST(count(*) AS BIGINT) FROM s3
+    """,
+    "corr_hour": """
+        WITH s AS (SELECT event_type,
+                          (epoch_ms(ts) // 3600000) % 24 AS x,
+                          CAST(value * 100 AS BIGINT) AS y
+                   FROM events),
+        a AS (SELECT event_type, count(*) AS n,
+                     sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                     sum(x * x) AS sxx, sum(y * y) AS syy
+              FROM s GROUP BY 1)
+        SELECT event_type,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 8)
+                   AS corr_hv
+        FROM a WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+    "string_agg": """
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               string_agg(event_type, ','
+                          ORDER BY epoch_ms(ts), event_type) AS type_seq
+        FROM events GROUP BY 1
     """,
     "profile_docs": """
         """ + " UNION ALL ".join(

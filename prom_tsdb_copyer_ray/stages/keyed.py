@@ -548,6 +548,111 @@ def group_linear_trend(ds, key_cols: list[str], x_col: str, y_col: str,
     return merged.map_batches(finish, batch_format="pyarrow")
 
 
+def grouped_corr(ds, key_cols: list[str], x_col: str, y_col: str,
+                 out_col: str = "corr", num_shards: int = 64):
+    """Pearson correlation of y vs x per key, exact sufficient statistics.
+
+    ``corr = (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2))``
+    — algebraically the sample correlation (the n-1 factors cancel).  Like
+    :func:`group_linear_trend`, ``x_col``/``y_col`` MUST be integer columns
+    (callers pre-scale floats) so the six statistics are EXACT int64 sums:
+    the merge is associative and the result is bit-identical across block
+    layouts, enabling a float-exact SQL oracle (same formula, same IEEE
+    ops).  Keys with zero variance in either column are dropped (SQL corr
+    returns NULL there).
+
+    Scale shape: per-batch Arrow ``group_by`` collapses each batch to one
+    6-int row per key; the exchange moves O(keys) rows into
+    :func:`sharded_grouped_agg`.  Overflow bound (documented, not checked):
+    ``n * Sxx`` and ``n * Syy`` must stay under 2^63 — center/pre-scale
+    accordingly.
+    """
+    keys = list(key_cols)
+    stats = ("_n", "_sx", "_sy", "_sxy", "_sxx", "_syy")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch[x_col], pa.int64())
+        y = pc.cast(batch[y_col], pa.int64())
+        t = pa.table(
+            {**{k: batch[k] for k in keys},
+             "_n": pa.array(np.ones(batch.num_rows, np.int64)),
+             "_sx": x, "_sy": y,
+             "_sxy": pc.multiply_checked(x, y),
+             "_sxx": pc.multiply_checked(x, x),
+             "_syy": pc.multiply_checked(y, y)}
+        )
+        g = t.group_by(keys).aggregate([(c, "sum") for c in stats])
+        return g.rename_columns(keys + list(stats))
+
+    merged = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"), keys,
+        [(c, "sum") for c in stats], num_shards,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["_n"].to_numpy(zero_copy_only=False)
+        sx = batch["_sx"].to_numpy(zero_copy_only=False)
+        sy = batch["_sy"].to_numpy(zero_copy_only=False)
+        sxy = batch["_sxy"].to_numpy(zero_copy_only=False)
+        sxx = batch["_sxx"].to_numpy(zero_copy_only=False)
+        syy = batch["_syy"].to_numpy(zero_copy_only=False)
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        keep = (dx > 0) & (dy > 0)
+        num = (n * sxy - sx * sy)[keep].astype(np.float64)
+        r = num / (np.sqrt(dx[keep].astype(np.float64))
+                   * np.sqrt(dy[keep].astype(np.float64)))
+        out = batch.select(keys).filter(pa.array(keep))
+        return out.append_column(out_col, pa.array(r, pa.float64()))
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def group_concat(ds, key_cols: list[str], value_col: str,
+                 order_cols: list[str], sep: str = ",",
+                 out_col: str = "agg", num_shards: int = 64):
+    """SQL ``string_agg(value, sep ORDER BY order_cols)`` per key.
+
+    Order MUST be total for determinism — pass tiebreak columns (e.g.
+    ``[ts, value]``); the kernel additionally breaks remaining ties by the
+    value itself.  Per shard: one ``sort_by`` over (key, order, value),
+    then a zero-copy Arrow list build from segment offsets +
+    ``pc.binary_join`` — no Python per key.
+
+    Partitioning assumption (documented): one key's concatenated payload
+    fits in a task — keys are users/series, not the corpus.  The exchange
+    moves (key, order, value) rows once.
+    """
+    keys = list(key_cols)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        t = batch.select(keys + list(order_cols) + [value_col])
+        return t.append_column("_kshard", _key_shard(t, keys, num_shards))
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_kshard")
+        if t.num_rows == 0:
+            return t.select(keys).append_column(out_col, pa.array([], pa.string()))
+        order = [(c, "ascending") for c in keys + list(order_cols)]
+        order.append((value_col, "ascending"))
+        t = t.sort_by(order)
+        starts = np.flatnonzero(_segment_starts(t, keys))
+        offsets = np.r_[starts, t.num_rows].astype(np.int32)
+        vals = t[value_col]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), vals)
+        joined = pc.binary_join(lists, sep)
+        out = t.select(keys).take(pa.array(starts))
+        return out.append_column(out_col, joined)
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("_kshard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )
+
+
 def grouping_sets_agg(ds, dim_cols: list[str], sets: list[list[str]],
                       agg_specs: list[tuple[str, str, str]],
                       fill: str = "(all)", num_shards: int = 64):

@@ -272,6 +272,133 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16, nprobe
     )
 
 
+def knn_join(ds, k: int = 3, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """k-NN SELF-join: for every vector, its k nearest OTHER vectors by
+    cosine (the semantic-dedup / diversity-audit primitive).
+
+    The index side (ids + unit matrix) is collected once on the driver and
+    broadcast via ``ray.put``; every batch is a query block matmul'd
+    against it — vectors stream, the index is shipped once per node.
+    Partitioning assumption (documented): the index matrix fits in worker
+    memory (n x d x 8 B — 1 M x 768 = ~6 GB); beyond that, search a
+    :func:`build_ivf_index` per query batch instead.
+
+    Ties broken by min neighbor id; output (vec_id, nn_id, rank, cosine),
+    rank 0 = best, cosine float64 (the DuckDB ``list_cosine_similarity``
+    CAST-to-DOUBLE protocol of cosine_pairs_exact).
+    """
+    import ray
+
+    id_parts, m_parts = [], []
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        id_parts.append(b[id_col].to_numpy().astype(np.int64))
+        m_parts.append(_to_matrix(b[vec_col]))
+    ids_all = np.concatenate(id_parts)
+    unit_all = _normalize(np.concatenate(m_parts))
+    order = np.argsort(ids_all)
+    ids_all, unit_all = ids_all[order], unit_all[order]
+    index_ref = ray.put((ids_all, unit_all))
+
+    def score(batch: pa.Table) -> pa.Table:
+        idx_ids, idx_unit = ray.get(index_ref)
+        qids = batch[id_col].to_numpy().astype(np.int64)
+        q_unit = _normalize(_to_matrix(batch[vec_col]))
+        sims = q_unit @ idx_unit.T  # (batch, n_index)
+        # mask self-matches (index ids are sorted -> searchsorted lookup)
+        pos = np.searchsorted(idx_ids, qids)
+        pos_ok = pos < len(idx_ids)
+        rows = np.flatnonzero(pos_ok & (idx_ids[np.minimum(pos, len(idx_ids) - 1)] == qids))
+        sims[rows, pos[rows]] = -np.inf
+        kk = min(k, sims.shape[1] - 1)
+        out_q, out_id, out_r, out_s = [], [], [], []
+        for qi in range(sims.shape[0]):
+            top = np.lexsort((idx_ids, -sims[qi]))[:kk]
+            out_q.extend([qids[qi]] * len(top))
+            out_id.extend(idx_ids[top])
+            out_r.extend(range(len(top)))
+            out_s.extend(sims[qi][top])
+        return pa.table({
+            id_col: pa.array(out_q, pa.int64()),
+            "nn_id": pa.array(out_id, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+            "cosine": pa.array(out_s, pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def kmeans_fit(ds, k: int = 8, iters: int = 5, id_col: str = "vec_id",
+               vec_col: str = "embedding", scale: float = 1e6):
+    """Distributed Lloyd k-means over an embedding column, DETERMINISTIC
+    across block layouts.
+
+    Float partial sums re-associate under Ray's nondeterministic batch
+    boundaries, so vectors are quantized ONCE to int64 (``scale`` units):
+    per-cluster sums are then exact and associative — the same bit-identical
+    trick as group_linear_trend's sufficient statistics — and the final
+    centroids are pure functions of the input multiset (what lets a plain
+    numpy reference serve as the oracle).
+
+    Init: the k vectors with smallest ``id_col`` (deterministic, no RNG).
+    Per iteration: centroids broadcast via ``ray.put``; each batch assigns
+    rows to the nearest centroid by cosine and emits one (cluster,
+    int64-sum-vector, count) row per non-empty cluster — O(k) rows per
+    batch through the driver, never the data.  Empty clusters keep their
+    previous centroid.  Returns (centroids ndarray, counts ndarray).
+    """
+    import ray
+
+    first = (
+        ds.map_batches(
+            lambda b: b.select([id_col, vec_col]), batch_format="pyarrow"
+        )
+        .sort(id_col)
+        .limit(k)
+        .to_pandas()
+    )
+    q = np.rint(np.array(first[vec_col].tolist(), np.float64) * scale)
+    C = _normalize(q / scale)
+    counts = np.zeros(k, dtype=np.int64)
+
+    for _ in range(iters):
+        c_ref = ray.put(C)
+
+        def partial(batch: pa.Table, _c=c_ref) -> pa.Table:
+            C_ = ray.get(_c)
+            m = _to_matrix(batch[vec_col])
+            qm = np.rint(m * scale).astype(np.int64)
+            assign = np.argmax(_normalize(m) @ C_.T, axis=1)
+            uniq, inv = np.unique(assign, return_inverse=True)
+            sums = np.zeros((len(uniq), m.shape[1]), dtype=np.int64)
+            np.add.at(sums, inv, qm)
+            n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(uniq.astype(np.int64), pa.int64()),
+                "vsum": pa.array(list(sums), pa.list_(pa.int64())),
+                "n": pa.array(n, pa.int64()),
+            })
+
+        acc_s: dict[int, np.ndarray] = {}
+        acc_n: dict[int, int] = {}
+        for part in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            cl = part["cluster"].to_numpy().astype(np.int64)
+            ns = part["n"].to_numpy().astype(np.int64)
+            vs = part["vsum"].to_pylist()
+            for c, n, v in zip(cl, ns, vs):
+                c = int(c)
+                acc_s[c] = acc_s.get(c, 0) + np.asarray(v, dtype=np.int64)
+                acc_n[c] = acc_n.get(c, 0) + int(n)
+        counts = np.zeros(k, dtype=np.int64)
+        for c in range(k):
+            if acc_n.get(c):
+                counts[c] = acc_n[c]
+                C[c] = acc_s[c].astype(np.float64) / (scale * acc_n[c])
+        C = _normalize(C)
+    return C, counts
+
+
 def centroid_topk(ds, k: int = 5, id_col: str = "vec_id",
                   vec_col: str = "embedding", label_col: str = "label"):
     """Top-k vectors nearest their own label's centroid (embedding-based

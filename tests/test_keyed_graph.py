@@ -878,3 +878,57 @@ def test_funnel_counts_greedy_anchor(ray_session):
         .to_pandas().sort_values("step")
     )
     assert out["n_users"].tolist() == want
+
+
+def test_grouped_corr_vs_numpy(ray_session):
+    """Exact sufficient-stat corr equals np.corrcoef per key; zero-variance
+    keys dropped; multi-block invariance."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.keyed import grouped_corr
+
+    rng = np.random.default_rng(31)
+    n = 3000
+    k = rng.integers(0, 20, n).astype(np.int64)
+    x = rng.integers(-50, 50, n).astype(np.int64)
+    y = (x * rng.integers(1, 4, n) + rng.integers(-30, 30, n)).astype(np.int64)
+    # one constant-y key (must be dropped) and one single-row key
+    k[:10], y[:10] = 77, 5
+    k[10] = 88
+    t = pa.table({"k": pa.array(k), "x": pa.array(x), "y": pa.array(y)})
+    out = (
+        grouped_corr(ray.data.from_arrow(t).repartition(7), ["k"], "x", "y")
+        .to_pandas().set_index("k")["corr"]
+    )
+    df = t.to_pandas()
+    for key, g in df.groupby("k"):
+        if g["x"].nunique() < 2 or g["y"].nunique() < 2:
+            assert key not in out.index
+            continue
+        want = np.corrcoef(g["x"], g["y"])[0, 1]
+        assert abs(out[key] - want) < 1e-9, key
+
+
+def test_group_concat_ordered(ray_session):
+    """string_agg semantics: per-key ordered join with separator, ties
+    broken by the value; multi-block invariance."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.keyed import group_concat
+
+    rng = np.random.default_rng(47)
+    n = 2000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 60, n).astype(np.int64)),
+        "o": pa.array(rng.integers(0, 40, n).astype(np.int64)),
+        "v": pa.array([f"w{i}" for i in rng.integers(0, 9, n)]),
+    })
+    out = (
+        group_concat(ray.data.from_arrow(t).repartition(8), ["k"], "v",
+                     ["o"], sep="|", out_col="s")
+        .to_pandas().set_index("k")["s"]
+    )
+    df = t.to_pandas()
+    for key, g in df.groupby("k"):
+        want = "|".join(g.sort_values(["o", "v"])["v"])
+        assert out[key] == want, key
