@@ -1817,6 +1817,44 @@ def q_string_agg(sf_dir: str):
     )
 
 
+KNN_K = 3
+
+
+def q_knn_join(sf_dir: str):
+    """k-NN self-join over embeddings: each vector's 3 nearest others by
+    cosine (stages/similarity.knn_join; index broadcast once via ray.put,
+    query batches stream).  SQL-oracled by the DuckDB cross-join +
+    row_number, cosine in the CAST-to-DOUBLE protocol."""
+    from ..stages.similarity import knn_join
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return _finalize(knn_join(ds, k=KNN_K), {}, {"cosine": 6})
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 5
+
+
+def q_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means over embeddings, deterministic via exact
+    int64 quantized partial sums (stages/similarity.kmeans_fit; centroids
+    broadcast per iteration, O(k) partial rows per batch).  Output: one row
+    per non-empty cluster (cluster, n_vecs, c0 = first centroid component).
+    Fixture-oracled by an independent numpy reference."""
+    import pandas as pd
+
+    from ..stages.similarity import kmeans_fit
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    C, counts = kmeans_fit(ds, k=KMEANS_K, iters=KMEANS_ITERS)
+    keep = counts > 0
+    return pd.DataFrame({
+        "cluster": np.arange(KMEANS_K, dtype=np.int64)[keep],
+        "n_vecs": counts[keep],
+        "c0": np.round(C[keep, 0], 6),
+    })
+
+
 _PROFILE_COLS = ["doc_id", "lang", "source", "n_chars", "text"]
 
 
@@ -1927,6 +1965,8 @@ QUERIES = {
     "funnel": q_funnel,
     "corr_hour": q_corr_hour,
     "string_agg": q_string_agg,
+    "knn_join": q_knn_join,
+    "kmeans": q_kmeans,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -1996,6 +2036,20 @@ ORACLE_SQL = {
                string_agg(event_type, ','
                           ORDER BY epoch_ms(ts), event_type) AS type_seq
         FROM events GROUP BY 1
+    """,
+    "knn_join": f"""
+        WITH s AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+                          list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[]))
+                            AS sim
+                   FROM embeddings a JOIN embeddings b
+                     ON a.vec_id <> b.vec_id),
+        r AS (SELECT vec_id, nn_id, sim,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY sim DESC, nn_id) - 1 AS rank
+              FROM s)
+        SELECT vec_id, nn_id, rank, round(sim, 6) AS cosine
+        FROM r WHERE rank < {KNN_K}
     """,
     "profile_docs": """
         """ + " UNION ALL ".join(
@@ -2705,6 +2759,12 @@ ORACLE_SQL.update(
             "FROM embeddings)"
         ),
         "media_features": _fixture_sql("media_features", "media_id, kind, embedding"),
+        "kmeans": (
+            "SELECT cluster, n_vecs, c0 FROM read_parquet("
+            f"'{_FIXTURE_DIR}/oracle_kmeans.parquet') WHERE corpus_key = "
+            "(SELECT CAST(SUM(CAST(floor(abs(embedding[1]) * 1000) AS BIGINT)) AS BIGINT) "
+            "FROM embeddings)"
+        ),
         "approx_users": (
             "SELECT event_type, round(approx_users, 4) AS approx_users "
             f"FROM read_parquet('{_FIXTURE_DIR}/oracle_approx_users.parquet') "

@@ -348,14 +348,16 @@ def kmeans_fit(ds, k: int = 8, iters: int = 5, id_col: str = "vec_id",
     """
     import ray
 
-    first = (
-        ds.map_batches(
-            lambda b: b.select([id_col, vec_col]), batch_format="pyarrow"
-        )
-        .sort(id_col)
-        .limit(k)
-        .to_pandas()
-    )
+    # init = the k smallest-id vectors, via a per-batch min-k combiner (k
+    # rows per batch reach the driver — a full ds.sort() would shuffle every
+    # vector to select k)
+    def mink(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        top = np.argsort(ids)[:k]
+        return b.select([id_col, vec_col]).take(pa.array(top))
+
+    cand = ds.map_batches(mink, batch_format="pyarrow").to_pandas()
+    first = cand.sort_values(id_col).head(k)
     q = np.rint(np.array(first[vec_col].tolist(), np.float64) * scale)
     C = _normalize(q / scale)
     counts = np.zeros(k, dtype=np.int64)

@@ -237,6 +237,39 @@ def ivf_reference(ids: np.ndarray, vecs: np.ndarray):
     return rows
 
 
+# --- k-means (spec: stages/similarity.kmeans_fit) ---------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 5
+KMEANS_SCALE = 1e6
+
+
+def kmeans_reference(ids: np.ndarray, vecs: np.ndarray,
+                     k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+                     scale: float = KMEANS_SCALE):
+    """From-the-spec deterministic Lloyd: init = k smallest-id vectors,
+    per-cluster sums over int64-quantized vectors (exact => order-free),
+    centroid = int_sum / (scale * n), full-matrix renormalize per
+    iteration — the identical op sequence as the engine, so results are
+    bit-equal regardless of Ray's batching."""
+    order = np.argsort(ids)
+    first = vecs[order[:k]]
+    q0 = np.rint(np.asarray(first, np.float64) * scale)
+    C = _normalize_rows(q0 / scale)
+    unit = _normalize_rows(np.asarray(vecs, np.float64))
+    qm = np.rint(np.asarray(vecs, np.float64) * scale).astype(np.int64)
+    counts = np.zeros(k, dtype=np.int64)
+    for _ in range(iters):
+        assign = np.argmax(unit @ C.T, axis=1)
+        counts = np.bincount(assign, minlength=k).astype(np.int64)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                C[c] = qm[m].sum(axis=0).astype(np.float64) / (scale * m.sum())
+        C = _normalize_rows(C)
+    return C, counts
+
+
 # --- HyperLogLog approx distinct (spec: stages/sketch.py) -------------------
 
 HLL_P = 12
@@ -329,6 +362,7 @@ def main() -> None:
         "ngram_jaccard": {"corpus_key": [], "a": [], "b": [], "jaccard": []},
         "embedding_neardup": {"corpus_key": [], "a": [], "b": [], "cosine": []},
         "ivf_topk": {"corpus_key": [], "query_idx": [], "vec_id": [], "rank": []},
+        "kmeans": {"corpus_key": [], "cluster": [], "n_vecs": [], "c0": []},
         "media_features": {"corpus_key": [], "media_id": [], "kind": [], "embedding": []},
         "approx_users": {"corpus_key": [], "event_type": [], "approx_users": []},
         "approx_quantiles": {"corpus_key": [], "event_type": [],
@@ -377,6 +411,13 @@ def main() -> None:
             rows["ivf_topk"]["query_idx"].append(qi)
             rows["ivf_topk"]["vec_id"].append(vid)
             rows["ivf_topk"]["rank"].append(rank)
+        km_C, km_n = kmeans_reference(eids, evecs)
+        for c in range(KMEANS_K):
+            if km_n[c] > 0:
+                rows["kmeans"]["corpus_key"].append(ekey)
+                rows["kmeans"]["cluster"].append(c)
+                rows["kmeans"]["n_vecs"].append(int(km_n[c]))
+                rows["kmeans"]["c0"].append(round(float(km_C[c, 0]), 6))
     for sf in SF_DIRS:
         t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text", "n_chars"])
         key = int(sum(t["n_chars"].to_pylist()))
@@ -449,6 +490,10 @@ def main() -> None:
         "media_features": pa.schema(
             [("corpus_key", pa.int64()), ("media_id", pa.int64()),
              ("kind", pa.string()), ("embedding", pa.list_(pa.float64()))]
+        ),
+        "kmeans": pa.schema(
+            [("corpus_key", pa.int64()), ("cluster", pa.int64()),
+             ("n_vecs", pa.int64()), ("c0", pa.float64())]
         ),
         "approx_users": pa.schema(
             [("corpus_key", pa.int64()), ("event_type", pa.string()),

@@ -311,3 +311,34 @@ def test_textstats(ray_session):
     assert lang["pred_lang"].tolist() == ["en", "de"]
     fp = add_fingerprint(ds).to_pandas()
     assert fp["fingerprint"].nunique() == 2
+
+
+def test_knn_join_matches_numpy(emb_ds):
+    from prom_tsdb_copyer_ray.stages.similarity import knn_join
+
+    ds, vecs = emb_ds
+    out = knn_join(ds.repartition(5), k=3).to_pandas()
+    unit = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+    sims = unit @ unit.T
+    np.fill_diagonal(sims, -np.inf)
+    for qi in range(50):
+        want = np.lexsort((np.arange(50), -sims[qi]))[:3]
+        got = out[out["vec_id"] == qi].sort_values("rank")["nn_id"].values
+        np.testing.assert_array_equal(got, want, err_msg=f"vec {qi}")
+    # exact dup pair 0<->7 must be mutual rank-0
+    assert out[(out["vec_id"] == 0) & (out["rank"] == 0)]["nn_id"].iloc[0] == 7
+    assert out[(out["vec_id"] == 7) & (out["rank"] == 0)]["nn_id"].iloc[0] == 0
+
+
+def test_kmeans_deterministic_and_partitions(emb_ds):
+    """Exact int64 quantized sums: identical result across block layouts,
+    counts sum to n, centroids unit-norm."""
+    from prom_tsdb_copyer_ray.stages.similarity import kmeans_fit
+
+    ds, vecs = emb_ds
+    C1, n1 = kmeans_fit(ds.repartition(1), k=4, iters=3)
+    C2, n2 = kmeans_fit(ds.repartition(13), k=4, iters=3)
+    np.testing.assert_array_equal(n1, n2)
+    np.testing.assert_array_equal(C1, C2)  # bit-identical, not just close
+    assert n1.sum() == 50
+    np.testing.assert_allclose(np.linalg.norm(C1, axis=1), 1.0, atol=1e-12)
