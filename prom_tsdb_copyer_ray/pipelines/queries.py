@@ -1855,6 +1855,38 @@ def q_kmeans(sf_dir: str):
     })
 
 
+def q_rolling_median(sf_dir: str):
+    """Per-user moving median of the last 5 values ordered by (ts, value)
+    (stages/windowed.rolling_quantile; one key-shard exchange, window-count
+    vectorized nanquantile).  Values pre-scaled to centi-int64 so the
+    interpolated median is exact and the SQL quantile_cont window matches
+    bit-for-bit."""
+    from ..stages.windowed import rolling_quantile
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "tms": ts_to_ms(batch["ts"]),
+            "cval": pa.array(np.rint(v * 100).astype(np.int64), pa.int64()),
+        })
+
+    out = rolling_quantile(
+        ds.map_batches(norm, batch_format="pyarrow"),
+        ["user_id"], "tms", "cval", window=5, q=0.5, out_col="med5",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.column_names.index("med5"), "med5",
+            pc.divide(batch["med5"], 100.0),
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 _PROFILE_COLS = ["doc_id", "lang", "source", "n_chars", "text"]
 
 
@@ -1967,6 +1999,7 @@ QUERIES = {
     "string_agg": q_string_agg,
     "knn_join": q_knn_join,
     "kmeans": q_kmeans,
+    "rolling_median": q_rolling_median,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -2036,6 +2069,17 @@ ORACLE_SQL = {
                string_agg(event_type, ','
                           ORDER BY epoch_ms(ts), event_type) AS type_seq
         FROM events GROUP BY 1
+    """,
+    "rolling_median": """
+        WITH s AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+                          epoch_ms(ts) AS tms,
+                          CAST(value * 100 AS BIGINT) AS cval
+                   FROM events)
+        SELECT user_id, tms, cval,
+               quantile_cont(cval, 0.5) OVER (
+                   PARTITION BY user_id ORDER BY tms, cval
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) / 100.0 AS med5
+        FROM s
     """,
     "knn_join": f"""
         WITH s AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,

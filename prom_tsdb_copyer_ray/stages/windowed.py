@@ -71,6 +71,64 @@ def sliding_window_sum(
     )
 
 
+def rolling_quantile(
+    ds,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    window: int = 5,
+    q: float = 0.5,
+    out_col: str = "rolling_q",
+):
+    """SQL ``quantile_cont(v, q) OVER (PARTITION BY key ORDER BY o, v ROWS
+    BETWEEN window-1 PRECEDING AND CURRENT ROW)`` — the moving-median /
+    rolling-quantile smoother.
+
+    Order is made total by the value tiebreak (ROWS frames over duplicate
+    order keys are otherwise peer-order-dependent).  Per shard: one sort,
+    then ``window`` shifted copies of the value column masked at key-segment
+    starts and ONE ``np.nanquantile`` across them — vectorized in the
+    window size, not the row count.  Partial leading windows use the rows
+    available, like SQL.  Exactness: pass an int64 ``value_col`` (callers
+    pre-scale) — interpolation then lands on exact binary fractions for
+    q in {0, .25, .5, .75, 1}, matching DuckDB bit-for-bit.
+    """
+    from .keyed import _key_shard, _segment_starts
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_kshard", _key_shard(batch, key_cols, 64))
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_kshard").sort_by(
+            [(c, "ascending") for c in key_cols]
+            + [(order_col, "ascending"), (value_col, "ascending")]
+        )
+        n = t.num_rows
+        if n == 0:
+            return t.append_column(out_col, pa.array([], pa.float64()))
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        starts = np.flatnonzero(_segment_starts(t, key_cols))
+        sizes = np.diff(np.r_[starts, n])
+        seg_start = np.repeat(starts, sizes)
+        idx = np.arange(n, dtype=np.int64)
+        stack = np.full((window, n), np.nan)
+        for j in range(window):
+            src = idx - j
+            ok = src >= seg_start
+            stack[j, ok] = v[src[ok]]
+        out = np.nanquantile(stack, q, axis=0)
+        return t.append_column(out_col, pa.array(out, pa.float64()))
+
+    from .common import narrow_fanin
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .repartition(narrow_fanin())
+        .groupby("_kshard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )
+
+
 def range_join(
     left_ds,
     right_ds,

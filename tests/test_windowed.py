@@ -201,3 +201,33 @@ def test_merge_intervals_touching(ray_session):
         .to_pandas().sort_values("start").values.tolist()
     )
     assert out == [[1, 0, 20, 2], [1, 21, 30, 1]]
+
+
+def test_rolling_quantile_vs_pandas(ray_session):
+    """Moving median over ROWS frames with total (order, value) ordering;
+    partial leading windows; multi-block invariance; fuzz vs pandas."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.windowed import rolling_quantile
+
+    rng = np.random.default_rng(59)
+    n = 3000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 40, n).astype(np.int64)),
+        "o": pa.array(rng.integers(0, 200, n).astype(np.int64)),
+        "v": pa.array(rng.integers(-500, 500, n).astype(np.int64)),
+    })
+    out = (
+        rolling_quantile(ray.data.from_arrow(t).repartition(9),
+                         ["k"], "o", "v", window=5, q=0.5, out_col="m")
+        .to_pandas().sort_values(["k", "o", "v", "m"]).reset_index(drop=True)
+    )
+    df = t.to_pandas().sort_values(["k", "o", "v"])
+    want = (
+        df.groupby("k")["v"].rolling(5, min_periods=1).median()
+        .reset_index(level=0, drop=True)
+    )
+    df["m"] = want
+    df = df.sort_values(["k", "o", "v", "m"]).reset_index(drop=True)
+    assert np.allclose(out["m"].values, df["m"].values)
+    assert (out[["k", "o", "v"]].values == df[["k", "o", "v"]].values).all()
