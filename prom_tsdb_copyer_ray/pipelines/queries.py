@@ -1887,6 +1887,58 @@ def q_rolling_median(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_cooccurrence(sf_dir: str):
+    """Event-type co-occurrence (market basket): for every unordered type
+    pair, how many users did both (stages/keyed.cooccurrence_pairs;
+    per-batch DISTINCT combiner, one user-hash exchange, per-shard triu
+    over key segments)."""
+    from ..stages.keyed import cooccurrence_pairs
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "event_type": batch["event_type"],
+        })
+
+    return cooccurrence_pairs(
+        ds.map_batches(norm, batch_format="pyarrow"),
+        "user_id", "event_type", out_count="n_users",
+    )
+
+
+def q_full_join(sf_dir: str):
+    """FULL OUTER shuffle join of per-user signup counts vs purchase
+    counts (stages/joins.shuffle_join how='full'; tag-union
+    co-partitioning, unmatched sides null-extended)."""
+    from ..stages.joins import shuffle_join
+    from ..stages.keyed import sharded_grouped_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def side(event_type: str, out: str):
+        def partial(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch["event_type"], event_type))
+            t = pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                          "_one": pa.array(np.ones(t.num_rows, np.int64))})
+            g = t.group_by(["user_id"]).aggregate([("_one", "sum")])
+            return g.rename_columns(["user_id", out])
+
+        return sharded_grouped_agg(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["user_id"], [(out, "sum")], num_shards=16,
+        )
+
+    left = side("signup", "n_signup")
+    right = side("purchase", "n_purchase").map_batches(
+        lambda b: b.rename_columns(["user_id_r", "n_purchase"]),
+        batch_format="pyarrow",
+    )
+    return shuffle_join(left, right, "user_id", "user_id_r",
+                        right_cols=["user_id_r", "n_purchase"], how="full")
+
+
 _PROFILE_COLS = ["doc_id", "lang", "source", "n_chars", "text"]
 
 
@@ -2000,6 +2052,8 @@ QUERIES = {
     "knn_join": q_knn_join,
     "kmeans": q_kmeans,
     "rolling_median": q_rolling_median,
+    "cooccurrence": q_cooccurrence,
+    "full_join": q_full_join,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -2069,6 +2123,24 @@ ORACLE_SQL = {
                string_agg(event_type, ','
                           ORDER BY epoch_ms(ts), event_type) AS type_seq
         FROM events GROUP BY 1
+    """,
+    "cooccurrence": """
+        WITH d AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS u, event_type
+                   FROM events)
+        SELECT a.event_type AS ta, b.event_type AS tb,
+               count(*) AS n_users
+        FROM d a JOIN d b ON a.u = b.u AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    """,
+    "full_join": """
+        WITH s AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+                          count(*) AS n_signup
+                   FROM events WHERE event_type = 'signup' GROUP BY 1),
+        p AS (SELECT CAST(user_id AS BIGINT) AS user_id_r,
+                     count(*) AS n_purchase
+              FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        SELECT s.user_id, s.n_signup, p.user_id_r, p.n_purchase
+        FROM s FULL JOIN p ON s.user_id = p.user_id_r
     """,
     "rolling_median": """
         WITH s AS (SELECT CAST(user_id AS BIGINT) AS user_id,

@@ -98,16 +98,19 @@ def shuffle_join(left_ds, right_ds, left_key: str, right_key: str,
                  how: str = "inner"):
     """Equi-join of two Datasets: ONE co-partitioning shuffle (tag-union by
     hash shard of the key), then a vectorized sorted-merge probe per shard.
-    ``how="inner"`` outputs left columns + ``right_cols``; ``"semi"`` /
+    ``how="inner"`` outputs left columns + ``right_cols``; ``"left"`` also
+    emits unmatched left rows null-extended; ``"full"`` additionally emits
+    unmatched RIGHT rows (left columns null — include the right key in
+    ``right_cols``, under a non-colliding name, to see it).  ``"semi"`` /
     ``"anti"`` keep/drop left rows on key existence (left columns only).
 
     Partitioning assumption (documented per the brief): a single key's rows
     (both sides) fit in one shard group; a pathologically hot key wants
     salting + broadcast of its right rows instead.
     """
-    if how not in ("inner", "semi", "anti"):
+    if how not in ("inner", "left", "full", "semi", "anti"):
         raise ValueError(f"unknown how: {how}")
-    if how != "inner":
+    if how in ("semi", "anti"):
         right_cols = []
 
     def _shard(x: np.ndarray) -> np.ndarray:
@@ -154,10 +157,31 @@ def shuffle_join(left_ds, right_ds, left_key: str, right_key: str,
         empty = lt.slice(0, 0).select(left_cols)
         for c, t in zip(rt_names, rt_types):
             empty = empty.append_column(c, pa.nulls(0, t))
+        def right_only(mask: np.ndarray) -> pa.Table:
+            """Unmatched right rows: left columns null, right cols filled."""
+            sub = rt.filter(pa.array(mask))
+            out = pa.table(
+                {c: pa.nulls(sub.num_rows, t)
+                 for c, t in zip(lschema.names, lschema.types)}
+            ).select(left_cols)
+            for c in rt_names:
+                out = out.append_column(c, sub["_r_" + c])
+            return out
+
+        def null_extend(sub: pa.Table) -> pa.Table:
+            out = sub.select(left_cols)
+            for c, t in zip(rt_names, rt_types):
+                out = out.append_column(c, pa.nulls(sub.num_rows, t))
+            return out
+
         if lt.num_rows == 0:
-            return empty
+            return right_only(np.ones(rt.num_rows, bool)) if how == "full" else empty
         if rt.num_rows == 0:
-            return lt.select(left_cols) if how == "anti" else empty
+            if how == "anti":
+                return lt.select(left_cols)
+            if how in ("left", "full"):
+                return null_extend(lt)
+            return empty
         lk = lt["_jk"].to_numpy(zero_copy_only=False)
         rk = rt["_jk"].to_numpy(zero_copy_only=False)
         r_order = np.argsort(rk, kind="stable")
@@ -177,7 +201,15 @@ def shuffle_join(left_ds, right_ds, left_key: str, right_key: str,
         out = lt.take(pa.array(rows)).select(left_cols)
         for c in rt_names:
             out = out.append_column(c, rt["_r_" + c].take(pa.array(ridx)))
-        return out
+        pieces = [out]
+        if how in ("left", "full") and (cnt == 0).any():
+            pieces.append(null_extend(lt.filter(pa.array(cnt == 0))))
+        if how == "full":
+            matched_r = np.zeros(rt.num_rows, dtype=bool)
+            matched_r[ridx] = True
+            if not matched_r.all():
+                pieces.append(right_only(~matched_r))
+        return pa.concat_tables(pieces) if len(pieces) > 1 else out
 
     return (
         lefts.union(rights)

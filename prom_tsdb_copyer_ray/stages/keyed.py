@@ -653,6 +653,79 @@ def group_concat(ds, key_cols: list[str], value_col: str,
     )
 
 
+def cooccurrence_pairs(ds, key_col: str, item_col: str,
+                       out_count: str = "n_keys", num_shards: int = 64):
+    """Market-basket co-occurrence: for every unordered item pair, the
+    number of keys (users/baskets/docs) where BOTH items occur —
+    ``SELECT a.item, b.item, count(*) FROM distinct(key,item) a JOIN b
+    USING (key) WHERE a.item < b.item GROUP BY 1,2``.
+
+    Scale shape: per-batch DISTINCT (key, item) combiner (bounds the
+    exchange at one row per (key, item, batch)), ONE key-hash exchange,
+    per-shard triu pair generation over key segments (item sets per key
+    are small — that is the operator's documented assumption; a key with
+    thousands of distinct items wants a co-occurrence-count sketch
+    instead), then an O(|items|^2) final sum."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, item_col]).group_by(
+            [key_col, item_col]
+        ).aggregate([])
+        return t.append_column("_cshard", _key_shard(t, [key_col], num_shards))
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_cshard")
+        out_empty = pa.table({"ta": pa.array([], pa.string()),
+                              "tb": pa.array([], pa.string()),
+                              out_count: pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return out_empty
+        t = t.group_by([key_col, item_col]).aggregate([])  # x-batch dedup
+        t = t.sort_by([(key_col, "ascending"), (item_col, "ascending")])
+        items = t[item_col]
+        if isinstance(items, pa.ChunkedArray):
+            items = items.combine_chunks()
+        codes = pc.index_in(items, value_set=items.unique()).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        vocab = items.unique()
+        starts = np.flatnonzero(_segment_starts(t, [key_col]))
+        ends = np.r_[starts[1:], t.num_rows]
+        a_parts, b_parts = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            iu, ju = np.triu_indices(m, k=1)
+            a_parts.append(codes[s:e][iu])
+            b_parts.append(codes[s:e][ju])
+        if not a_parts:
+            return out_empty
+        a = np.concatenate(a_parts)
+        b = np.concatenate(b_parts)
+        # count per (a, b) code pair locally: one lexsort + reduceat
+        order = np.lexsort((b, a))
+        a_s, b_s = a[order], b[order]
+        first = np.ones(len(a_s), dtype=bool)
+        first[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+        st = np.flatnonzero(first)
+        n = np.diff(np.r_[st, len(a_s)]).astype(np.int64)
+        ta = pc.take(vocab, pa.array(a_s[st]))
+        tb = pc.take(vocab, pa.array(b_s[st]))
+        return pa.table({"ta": ta, "tb": tb, out_count: pa.array(n, pa.int64())})
+
+    from .common import narrow_fanin
+
+    shard_counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(narrow_fanin())
+        .groupby("_cshard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )
+    return sharded_grouped_agg(shard_counts, ["ta", "tb"],
+                               [(out_count, "sum")], num_shards=4)
+
+
 def grouping_sets_agg(ds, dim_cols: list[str], sets: list[list[str]],
                       agg_specs: list[tuple[str, str, str]],
                       fill: str = "(all)", num_shards: int = 64):

@@ -203,3 +203,36 @@ def test_set_op_except_intersect(ray_session):
             .to_pandas().sort_values(["a", "b"]).values.tolist()
         )
         assert itc == [[2, 0], [4, 1]]
+
+
+def test_shuffle_join_left_and_full(ray_session):
+    """Outer variants: unmatched left rows null-extended; full outer also
+    emits unmatched right rows with null left columns."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.joins import shuffle_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 2, 3], pa.int64()),
+        "lv": pa.array([10, 20, 21, 30], pa.int64()),
+    })).repartition(3)
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([2, 4, 4], pa.int64()),
+        "rv": pa.array([200, 400, 401], pa.int64()),
+    })).repartition(2)
+
+    lj = shuffle_join(left, right, "k", "rk", right_cols=["rv"],
+                      how="left").to_pandas().sort_values(
+        ["k", "lv", "rv"], na_position="first").reset_index(drop=True)
+    assert lj["k"].tolist() == [1, 2, 2, 3]
+    assert lj["rv"].fillna(-1).tolist() == [-1, 200, 200, -1]
+
+    fj = shuffle_join(left, right, "k", "rk",
+                      right_cols=["rk", "rv"], how="full").to_pandas()
+    # matched: k=2 twice; left-only: 1, 3; right-only: two k=4 rows
+    assert len(fj) == 6
+    right_only = fj[fj["k"].isna()]
+    assert sorted(right_only["rv"].tolist()) == [400, 401]
+    assert right_only["rk"].tolist() == [4, 4]
+    left_only = fj[fj["rv"].isna()]
+    assert sorted(left_only["k"].tolist()) == [1, 3]

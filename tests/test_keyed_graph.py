@@ -932,3 +932,30 @@ def test_group_concat_ordered(ray_session):
     for key, g in df.groupby("k"):
         want = "|".join(g.sort_values(["o", "v"])["v"])
         assert out[key] == want, key
+
+
+def test_cooccurrence_pairs_vs_pandas(ray_session):
+    """Unordered item-pair key counts; duplicates within a key collapse;
+    multi-block invariance."""
+    import itertools
+
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.keyed import cooccurrence_pairs
+
+    rng = np.random.default_rng(83)
+    n = 3000
+    t = pa.table({
+        "u": pa.array(rng.integers(0, 150, n).astype(np.int64)),
+        "it": pa.array([f"i{x}" for x in rng.integers(0, 7, n)]),
+    })
+    out = (
+        cooccurrence_pairs(ray.data.from_arrow(t).repartition(9), "u", "it")
+        .to_pandas().set_index(["ta", "tb"])["n_keys"]
+    )
+    want: dict[tuple[str, str], int] = {}
+    df = t.to_pandas()
+    for _, g in df.groupby("u"):
+        for a, b in itertools.combinations(sorted(set(g["it"])), 2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert out.to_dict() == want
