@@ -1939,6 +1939,37 @@ def q_full_join(sf_dir: str):
                         right_cols=["user_id_r", "n_purchase"], how="full")
 
 
+def q_robust_stats(sf_dir: str):
+    """Per-event-type median + MAD of value (stages/keyed.robust_stats;
+    one key-shard exchange, both medians computed in the same shard task).
+    Centi-int64 pre-scale makes both interpolated medians exact vs DuckDB
+    median()/mad()."""
+    from ..stages.keyed import robust_stats
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "cval": pa.array(np.rint(v * 100).astype(np.int64), pa.int64()),
+        })
+
+    out = robust_stats(
+        ds.map_batches(norm, batch_format="pyarrow"),
+        ["event_type"], "cval", med_col="med_v", mad_col="mad_v",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "med_v": pc.divide(batch["med_v"], 100.0),
+            "mad_v": pc.divide(batch["mad_v"], 100.0),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 _PROFILE_COLS = ["doc_id", "lang", "source", "n_chars", "text"]
 
 
@@ -2054,6 +2085,7 @@ QUERIES = {
     "rolling_median": q_rolling_median,
     "cooccurrence": q_cooccurrence,
     "full_join": q_full_join,
+    "robust_stats": q_robust_stats,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -2123,6 +2155,14 @@ ORACLE_SQL = {
                string_agg(event_type, ','
                           ORDER BY epoch_ms(ts), event_type) AS type_seq
         FROM events GROUP BY 1
+    """,
+    "robust_stats": """
+        WITH s AS (SELECT event_type, CAST(value * 100 AS BIGINT) AS cval
+                   FROM events)
+        SELECT event_type,
+               median(cval) / 100.0 AS med_v,
+               mad(cval) / 100.0 AS mad_v
+        FROM s GROUP BY 1
     """,
     "cooccurrence": """
         WITH d AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS u, event_type

@@ -653,6 +653,64 @@ def group_concat(ds, key_cols: list[str], value_col: str,
     )
 
 
+def robust_stats(ds, key_cols: list[str], value_col: str,
+                 med_col: str = "med", mad_col: str = "mad",
+                 num_shards: int = 64):
+    """Per-key robust location/scale: median and MAD
+    (``median(|x - median(x)|)``), SQL ``median()`` / ``mad()`` semantics
+    (quantile_cont 0.5: mean of the two middle order statistics).
+
+    Exactness: pass an int64 ``value_col`` (callers pre-scale) — the
+    midpoint of two ints is an exact binary fraction, so both medians
+    match DuckDB bit-for-bit.  One key-hash exchange; BOTH passes run
+    inside the same shard task (sort -> per-segment median gather ->
+    absolute deviations -> second sort -> second gather), no second
+    shuffle.  The honest cost of exact medians is shuffling (key, value)
+    rows — same note as :func:`group_quantiles`.
+    """
+    keys = list(key_cols)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        t = batch.select(keys + [value_col])
+        return t.append_column("_rshard", _key_shard(t, keys, num_shards))
+
+    def _seg_median(v: np.ndarray, starts: np.ndarray, sizes: np.ndarray):
+        """Median per segment of a value array sorted within segments."""
+        lo = starts + (sizes - 1) // 2
+        hi = starts + sizes // 2
+        return (v[lo] + v[hi]) / 2.0
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_rshard")
+        if t.num_rows == 0:
+            return t.select(keys).append_column(
+                med_col, pa.array([], pa.float64())
+            ).append_column(mad_col, pa.array([], pa.float64()))
+        t = t.sort_by([(c, "ascending") for c in keys + [value_col]])
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        starts = np.flatnonzero(_segment_starts(t, keys))
+        sizes = np.diff(np.r_[starts, t.num_rows])
+        med = _seg_median(v, starts, sizes)
+        dev = np.abs(v - np.repeat(med, sizes))
+        # second pass: sort deviations within segments (argsort of
+        # (segment, dev) — segments already contiguous)
+        seg_id = np.repeat(np.arange(len(starts), dtype=np.int64), sizes)
+        order = np.lexsort((dev, seg_id))
+        mad = _seg_median(dev[order], starts, sizes)
+        out = t.select(keys).take(pa.array(starts))
+        return out.append_column(med_col, pa.array(med, pa.float64())) \
+                  .append_column(mad_col, pa.array(mad, pa.float64()))
+
+    from .common import narrow_fanin
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .repartition(narrow_fanin())
+        .groupby("_rshard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )
+
+
 def cooccurrence_pairs(ds, key_col: str, item_col: str,
                        out_count: str = "n_keys", num_shards: int = 64):
     """Market-basket co-occurrence: for every unordered item pair, the

@@ -959,3 +959,28 @@ def test_cooccurrence_pairs_vs_pandas(ray_session):
         for a, b in itertools.combinations(sorted(set(g["it"])), 2):
             want[(a, b)] = want.get((a, b), 0) + 1
     assert out.to_dict() == want
+
+
+def test_robust_stats_vs_pandas(ray_session):
+    """median + MAD per key with quantile_cont-0.5 semantics (mean of two
+    middle order stats); multi-block invariance."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.keyed import robust_stats
+
+    rng = np.random.default_rng(97)
+    n = 3000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 50, n).astype(np.int64)),
+        "v": pa.array(rng.integers(-1000, 1000, n).astype(np.int64)),
+    })
+    out = (
+        robust_stats(ray.data.from_arrow(t).repartition(9), ["k"], "v")
+        .to_pandas().set_index("k")
+    )
+    df = t.to_pandas()
+    for key, g in df.groupby("k"):
+        med = np.median(g["v"])
+        mad = np.median(np.abs(g["v"] - med))
+        assert out.loc[key, "med"] == med, key
+        assert out.loc[key, "mad"] == mad, key
