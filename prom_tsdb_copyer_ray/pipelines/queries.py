@@ -1970,6 +1970,17 @@ def q_robust_stats(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_edit_distance_pairs(sf_dir: str):
+    """Fuzzy-title near-dup pairs: Levenshtein <= 2 over the 32-char text
+    prefix (stages/dedup.edit_distance_pairs; PassJoin pigeonhole banding,
+    never all-pairs; in-bucket vectorized DP verify).  Oracle: DuckDB
+    levenshtein over the same prefix."""
+    from ..stages.dedup import edit_distance_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return edit_distance_pairs(ds, max_dist=2, key_len=32)
+
+
 _PROFILE_COLS = ["doc_id", "lang", "source", "n_chars", "text"]
 
 
@@ -2086,6 +2097,7 @@ QUERIES = {
     "cooccurrence": q_cooccurrence,
     "full_join": q_full_join,
     "robust_stats": q_robust_stats,
+    "edit_distance_pairs": q_edit_distance_pairs,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -2155,6 +2167,13 @@ ORACLE_SQL = {
                string_agg(event_type, ','
                           ORDER BY epoch_ms(ts), event_type) AS type_seq
         FROM events GROUP BY 1
+    """,
+    "edit_distance_pairs": """
+        WITH k AS (SELECT doc_id, substr(text, 1, 32) AS key FROM documents)
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+        FROM k a JOIN k b ON a.doc_id < b.doc_id
+        WHERE levenshtein(a.key, b.key) <= 2
     """,
     "robust_stats": """
         WITH s AS (SELECT event_type, CAST(value * 100 AS BIGINT) AS cval

@@ -772,3 +772,188 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
     return dedup_pairs_sharded(pairs, value_col="cosine", reduce="max")
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance (Levenshtein) similarity join
+# ---------------------------------------------------------------------------
+
+def _seg_bounds(length: int, d: int) -> list[tuple[int, int]]:
+    """Even partition of [0, length) into d+1 contiguous segments."""
+    return [
+        (i * length // (d + 1), (i + 1) * length // (d + 1))
+        for i in range(d + 1)
+    ]
+
+
+def _lev_batch(a_list: list[bytes], b_list: list[bytes]) -> np.ndarray:
+    """Levenshtein distance for N byte-string pairs, vectorized over the
+    PAIR axis: the classic DP grid is walked once (len_a x len_b scalar
+    steps, strings are short keys), each cell updating an N-vector.
+    O(N * La * Lb) total work but only La*Lb numpy dispatches.  BYTE-level
+    edits — the DuckDB ``levenshtein`` convention."""
+    n = len(a_list)
+    if n == 0:
+        return np.empty(0, np.int64)
+    la = np.array([len(s) for s in a_list], np.int64)
+    lb = np.array([len(s) for s in b_list], np.int64)
+    ma, mb = int(la.max()), int(lb.max())
+    A = np.zeros((n, ma), np.int64)
+    B = np.zeros((n, mb), np.int64)
+    for r, s in enumerate(a_list):
+        if s:
+            A[r, : len(s)] = np.frombuffer(s, np.uint8)
+    for r, s in enumerate(b_list):
+        if s:
+            B[r, : len(s)] = np.frombuffer(s, np.uint8)
+    out = np.empty(n, np.int64)
+    done = la == 0
+    out[done] = lb[done]
+    prev = np.broadcast_to(np.arange(mb + 1, dtype=np.int64), (n, mb + 1)).copy()
+    for i in range(1, ma + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        ai = A[:, i - 1]
+        for j in range(1, mb + 1):
+            sub = prev[:, j - 1] + (ai != B[:, j - 1])
+            cur[:, j] = np.minimum(np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1), sub)
+        hit = la == i
+        if hit.any():
+            out[hit] = cur[hit, lb[hit]]
+        prev = cur
+    return out
+
+
+def edit_distance_pairs(ds, max_dist: int = 2, key_len: int = 32,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        num_shards: int = 64):
+    """Near-dup pairs by Levenshtein distance <= ``max_dist`` over the
+    ``key_len``-char text prefix — the title/short-string fuzzy join.
+
+    Candidate generation is PassJoin-style pigeonhole banding: each key is
+    partitioned into d+1 contiguous segments (the "chunk" role); if
+    lev(a, b) <= d then a must contain one of b's segments EXACTLY, at a
+    position shifted by at most d (the "window" role) — so chunk rows
+    bucket with window substrings keyed by (segment idx, chunk length,
+    content) and every true pair is caught by the theorem, never all
+    pairs.  Both roles are emitted per record (self-join symmetry).  The
+    wide exchange moves (bucket_hash, id, key) rows — keys are capped at
+    ``key_len`` chars, so payloads are band-row-sized, not document-sized
+    (the round-1 ngram lesson).  Exact verification (vectorized pair-axis
+    DP) runs INSIDE the bucket task where both keys are already present;
+    a final narrow exchange dedups (a, b, dist) rows.
+    """
+    from .common import mix64 as _mix
+
+    d = int(max_dist)
+
+    from ..functions.hashing import stable_hash64
+
+    def _bkey(i: int, plen: int, sub: bytes) -> int:
+        # process-independent (Python's hash() is per-process salted)
+        return stable_hash64(b"%d\x1f%d\x1f" % (i, plen) + sub) & ((1 << 63) - 1)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64, copy=False)
+        texts = batch[text_col].to_pylist()
+        out_b, out_id, out_key, out_role = [], [], [], []
+        for did, t in zip(ids, texts):
+            # key = first key_len CHARS (SQL substr convention), edits
+            # counted over its UTF-8 BYTES (SQL levenshtein convention)
+            key = (t or "")[:key_len].encode("utf-8")
+            la = len(key)
+            # chunk role: own segments, bucket tagged with own length
+            for i, (s, e) in enumerate(_seg_bounds(la, d)):
+                out_b.append(_bkey(i, la, key[s:e]))
+                out_id.append(did)
+                out_key.append(key)
+                out_role.append(0)
+            # window role: substrings matching any partner length within d
+            # (partner lengths are BYTE lengths — no key_len cap, multibyte
+            # chars make byte length exceed the char cap)
+            seen = set()
+            for lb in range(max(la - d, 0), la + d + 1):
+                for i, (s, e) in enumerate(_seg_bounds(lb, d)):
+                    seglen = e - s
+                    for p in range(max(s - d, 0), min(s + d, la - seglen) + 1):
+                        k = (i, lb, key[p : p + seglen])
+                        if k not in seen:
+                            seen.add(k)
+                            out_b.append(_bkey(*k))
+                            out_id.append(did)
+                            out_key.append(key)
+                            out_role.append(1)
+        t = pa.table({
+            "_bucket": pa.array(out_b, pa.int64()),
+            "_id": pa.array(out_id, pa.int64()),
+            "_key": pa.array(out_key, pa.binary()),
+            "_role": pa.array(out_role, pa.int8()),
+        })
+        shard = (_mix(t["_bucket"].to_numpy().astype(np.uint64))
+                 % np.uint64(num_shards)).astype(np.int64)
+        return t.append_column("_eshard", pa.array(shard))
+
+    _empty = {
+        "a": pa.array([], pa.int64()),
+        "b": pa.array([], pa.int64()),
+        "dist": pa.array([], pa.int64()),
+    }
+
+    def verify(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return pa.table(_empty)
+        bucket = group["_bucket"].to_numpy(zero_copy_only=False)
+        ids = group["_id"].to_numpy(zero_copy_only=False)
+        role = group["_role"].to_numpy(zero_copy_only=False)
+        keys = group["_key"].to_pylist()
+        order = np.lexsort((ids, role, bucket))
+        bucket, ids, role = bucket[order], ids[order], role[order]
+        keys = [keys[i] for i in order]
+        starts = np.flatnonzero(
+            np.r_[True, bucket[1:] != bucket[:-1]]
+        )
+        ends = np.r_[starts[1:], n]
+        pair_a, pair_b, ka, kb = [], [], [], []
+        seen: set[tuple[int, int]] = set()
+        for s, e in zip(starts, ends):
+            # roles are contiguous (sorted): chunks first, then windows
+            mid = s + int((role[s:e] == 0).sum())
+            if mid == s or mid == e:
+                continue
+            for ci in range(s, mid):
+                for wi in range(mid, e):
+                    x, y = int(ids[ci]), int(ids[wi])
+                    if x == y:
+                        continue
+                    p = (x, y) if x < y else (y, x)
+                    if p in seen:
+                        continue
+                    seen.add(p)
+                    pair_a.append(p[0])
+                    pair_b.append(p[1])
+                    ka.append(keys[ci])
+                    kb.append(keys[wi])
+        dist = _lev_batch(ka, kb)
+        keep = dist <= d
+        return pa.table({
+            "a": pa.array(np.array(pair_a, np.int64)[keep], pa.int64()),
+            "b": pa.array(np.array(pair_b, np.int64)[keep], pa.int64()),
+            "dist": pa.array(dist[keep], pa.int64()),
+        })
+
+    pairs = (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .repartition(_pair_fanin())
+        .groupby("_eshard")
+        .map_groups(verify, batch_format="pyarrow")
+    )
+    deduped = dedup_pairs_sharded(pairs, value_col="dist", reduce="min")
+
+    def int_dist(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.column_names.index("dist"), "dist",
+            pc.cast(pc.round(batch["dist"]), pa.int64()),
+        )
+
+    return deduped.map_batches(int_dist, batch_format="pyarrow")

@@ -342,3 +342,61 @@ def test_kmeans_deterministic_and_partitions(emb_ds):
     np.testing.assert_array_equal(C1, C2)  # bit-identical, not just close
     assert n1.sum() == 50
     np.testing.assert_allclose(np.linalg.norm(C1, axis=1), 1.0, atol=1e-12)
+
+
+def _lev_ref(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_pairs_vs_bruteforce(ray_session):
+    """PassJoin banding finds EVERY pair within max_dist (pigeonhole
+    guarantee) and no false positives survive the DP verify; short and
+    empty keys; multi-block invariance."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.dedup import edit_distance_pairs
+
+    rng = np.random.default_rng(101)
+    base = "the quick brown fox jumps over"  # 30 chars
+    texts = [base]
+    # substitutions / deletions / insertions at distances 1..4
+    texts.append(base[:5] + "X" + base[6:])            # dist 1
+    texts.append(base[:5] + base[6:])                  # dist 1 (del)
+    texts.append(base[:5] + "XY" + base[7:])           # dist 2
+    texts.append("Z" + base[:29])                      # shifted
+    texts.append(base[::-1])                           # far
+    texts.append("")                                   # empty
+    texts.append("ab")                                 # tiny
+    texts.append("ac")                                 # tiny near-dup
+    texts.append("café au lait")                       # multibyte
+    texts.append("cafe au lait")                       # byte-dist 2 from above
+    # random fillers
+    alpha = np.array(list("abcdefgh"))
+    for _ in range(60):
+        texts.append("".join(rng.choice(alpha, size=rng.integers(1, 40))))
+    ids = list(range(len(texts)))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = (
+        edit_distance_pairs(ray.data.from_arrow(t).repartition(7),
+                            max_dist=2, key_len=32)
+        .to_pandas()
+    )
+    got = {(int(r.a), int(r.b)): int(r.dist) for r in out.itertuples()}
+    # byte-level distance over the 32-char prefix (DuckDB convention)
+    keys = [x[:32].encode("utf-8") for x in texts]
+    want = {}
+    for i in range(len(keys)):
+        for j in range(i + 1, len(keys)):
+            dv = _lev_ref(keys[i], keys[j])
+            if dv <= 2:
+                want[(i, j)] = dv
+    assert got == want
