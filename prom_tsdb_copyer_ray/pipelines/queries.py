@@ -1981,6 +1981,62 @@ def q_edit_distance_pairs(sf_dir: str):
     return edit_distance_pairs(ds, max_dist=2, key_len=32)
 
 
+def q_transitions(sf_dir: str):
+    """Event-type Markov transition counts over each user's totally
+    ordered timeline (stages/keyed.transition_counts; one user-hash
+    exchange, per-shard shifted compare, O(|types|^2) final)."""
+    from ..stages.keyed import transition_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "tms": ts_to_ms(batch["ts"]),
+            "event_type": batch["event_type"],
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+        })
+
+    return transition_counts(
+        ds.map_batches(norm, batch_format="pyarrow"),
+        "user_id", ["tms", "event_type", "event_id"], "event_type",
+        out_count="n_pairs",
+    )
+
+
+def q_impute_median(sf_dir: str):
+    """Group-median imputation: values < 5 nulled, then filled with their
+    event type's median of the remaining values
+    (stages/keyed.impute_median; one exchange, in-task median + fill,
+    centi-int exactness vs the SQL window quantile_cont)."""
+    from ..stages.keyed import impute_median
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        cval = np.rint(v * 100).astype(np.float64)
+        cval[v < 5] = np.nan
+        return pa.table({
+            "event_type": batch["event_type"],
+            "cval": pa.array(cval, pa.float64()),
+        })
+
+    out = impute_median(
+        ds.map_batches(norm, batch_format="pyarrow"),
+        ["event_type"], "cval", out_col="imputed",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "cval": batch["cval"],
+            "imputed": pc.divide(batch["imputed"], 100.0),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 _PROFILE_COLS = ["doc_id", "lang", "source", "n_chars", "text"]
 
 
@@ -2098,6 +2154,8 @@ QUERIES = {
     "full_join": q_full_join,
     "robust_stats": q_robust_stats,
     "edit_distance_pairs": q_edit_distance_pairs,
+    "transitions": q_transitions,
+    "impute_median": q_impute_median,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -2167,6 +2225,29 @@ ORACLE_SQL = {
                string_agg(event_type, ','
                           ORDER BY epoch_ms(ts), event_type) AS type_seq
         FROM events GROUP BY 1
+    """,
+    "transitions": """
+        WITH o AS (SELECT CAST(user_id AS BIGINT) AS u, event_type,
+                          lead(event_type) OVER (
+                              PARTITION BY user_id
+                              ORDER BY epoch_ms(ts), event_type, event_id
+                          ) AS nxt
+                   FROM events)
+        SELECT event_type AS from_state, nxt AS to_state,
+               count(*) AS n_pairs
+        FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+    """,
+    "impute_median": """
+        WITH s AS (SELECT event_type,
+                          CASE WHEN value < 5 THEN NULL
+                               ELSE CAST(value * 100 AS BIGINT) END AS cval
+                   FROM events)
+        SELECT event_type, CAST(cval AS DOUBLE) AS cval,
+               coalesce(CAST(cval AS DOUBLE),
+                        quantile_cont(cval, 0.5)
+                            OVER (PARTITION BY event_type)) / 100.0
+                   AS imputed
+        FROM s
     """,
     "edit_distance_pairs": """
         WITH k AS (SELECT doc_id, substr(text, 1, 32) AS key FROM documents)

@@ -653,6 +653,68 @@ def group_concat(ds, key_cols: list[str], value_col: str,
     )
 
 
+def transition_counts(ds, key_col: str, order_cols: list[str],
+                      state_col: str, out_count: str = "n",
+                      num_shards: int = 64):
+    """First-order Markov transition counts: for each (from_state,
+    to_state), how many consecutive event pairs within a key's totally
+    ordered timeline make that transition — SQL ``lead() OVER (PARTITION
+    BY key ORDER BY order_cols)`` + GROUP BY.
+
+    ``order_cols`` must be a TOTAL order within each key (include a unique
+    id as the last column) or lead() itself is ambiguous.  One key-hash
+    exchange of (key, order, state) rows; per shard a lexsort + shifted
+    compare masked at segment ends, then local (from, to) counts; final
+    O(|states|^2) sharded sum."""
+    keys_in = [key_col] + list(order_cols)
+    sel = list(dict.fromkeys(keys_in + [state_col]))  # dedupe, keep order
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        t = batch.select(sel)
+        return t.append_column("_tshard", _key_shard(t, [key_col], num_shards))
+
+    out_empty = pa.table({"from_state": pa.array([], pa.string()),
+                          "to_state": pa.array([], pa.string()),
+                          out_count: pa.array([], pa.int64())})
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_tshard")
+        if t.num_rows < 2:
+            return out_empty
+        t = t.sort_by([(c, "ascending") for c in keys_in])
+        n = t.num_rows
+        same_key = ~_segment_starts(t, [key_col])[1:]  # row i+1 same key as i
+        states = t[state_col]
+        if isinstance(states, pa.ChunkedArray):
+            states = states.combine_chunks()
+        vocab = states.unique()
+        codes = pc.index_in(states, value_set=vocab).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        frm = codes[:-1][same_key]
+        to = codes[1:][same_key]
+        if len(frm) == 0:
+            return out_empty
+        pair = frm * len(vocab) + to
+        uniq, cnt = np.unique(pair, return_counts=True)
+        return pa.table({
+            "from_state": pc.take(vocab, pa.array(uniq // len(vocab))),
+            "to_state": pc.take(vocab, pa.array(uniq % len(vocab))),
+            out_count: pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    from .common import narrow_fanin
+
+    shard_counts = (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .repartition(narrow_fanin())
+        .groupby("_tshard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )
+    return sharded_grouped_agg(shard_counts, ["from_state", "to_state"],
+                               [(out_count, "sum")], num_shards=4)
+
+
 def robust_stats(ds, key_cols: list[str], value_col: str,
                  med_col: str = "med", mad_col: str = "mad",
                  num_shards: int = 64):
@@ -707,6 +769,54 @@ def robust_stats(ds, key_cols: list[str], value_col: str,
         ds.map_batches(add_shard, batch_format="pyarrow")
         .repartition(narrow_fanin())
         .groupby("_rshard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )
+
+
+def impute_median(ds, key_cols: list[str], value_col: str,
+                  out_col: str = "imputed", num_shards: int = 64):
+    """Data-cleaning imputation: null values filled with their key group's
+    median of the non-null values — SQL ``COALESCE(v, quantile_cont(v, 0.5)
+    OVER (PARTITION BY key))``.  All-null groups stay null.
+
+    Exactness: int64 ``value_col`` (callers pre-scale) makes the
+    interpolated median exact, like :func:`robust_stats`.  One key-hash
+    exchange; per shard one sort (nulls last within segments) + a
+    per-segment midpoint gather + fill — no second pass."""
+    keys = list(key_cols)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        t = batch.select(keys + [value_col])
+        return t.append_column("_ishard", _key_shard(t, keys, num_shards))
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_ishard")
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.float64()))
+        t = t.sort_by(
+            [(c, "ascending") for c in keys + [value_col]]
+        )  # arrow default: nulls sort AFTER values
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        starts = np.flatnonzero(_segment_starts(t, keys))
+        sizes = np.diff(np.r_[starts, t.num_rows])
+        # non-null count per segment (nulls are NaN, sorted last)
+        valid = (~np.isnan(v)).astype(np.int64)
+        csum = np.r_[0, np.cumsum(valid)]
+        m = csum[starts + sizes] - csum[starts]
+        has = m > 0
+        med = np.full(len(starts), np.nan)
+        lo = starts[has] + (m[has] - 1) // 2
+        hi = starts[has] + m[has] // 2
+        med[has] = (v[lo] + v[hi]) / 2.0
+        filled = np.where(np.isnan(v), np.repeat(med, sizes), v)
+        return t.append_column(out_col, pa.array(filled, pa.float64()))
+
+    from .common import narrow_fanin
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .repartition(narrow_fanin())
+        .groupby("_ishard")
         .map_groups(per_shard, batch_format="pyarrow")
     )
 

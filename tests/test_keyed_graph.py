@@ -984,3 +984,67 @@ def test_robust_stats_vs_pandas(ray_session):
         mad = np.median(np.abs(g["v"] - med))
         assert out.loc[key, "med"] == med, key
         assert out.loc[key, "mad"] == mad, key
+
+
+def test_transition_counts_vs_pandas(ray_session):
+    """lead()-style consecutive pairs per key under a total order;
+    multi-block invariance."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.keyed import transition_counts
+
+    rng = np.random.default_rng(107)
+    n = 3000
+    t = pa.table({
+        "u": pa.array(rng.integers(0, 100, n).astype(np.int64)),
+        "o": pa.array(rng.integers(0, 50, n).astype(np.int64)),
+        "st": pa.array([f"s{x}" for x in rng.integers(0, 5, n)]),
+        "rid": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    out = (
+        transition_counts(ray.data.from_arrow(t).repartition(9),
+                          "u", ["o", "st", "rid"], "st")
+        .to_pandas().set_index(["from_state", "to_state"])["n"]
+    )
+    df = t.to_pandas().sort_values(["u", "o", "st", "rid"])
+    want: dict[tuple[str, str], int] = {}
+    for _, g in df.groupby("u"):
+        sts = g["st"].tolist()
+        for a, b in zip(sts, sts[1:]):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert out.to_dict() == want
+
+
+def test_impute_median_vs_pandas(ray_session):
+    """Nulls filled with the key's non-null median (quantile_cont 0.5);
+    all-null keys stay null; multi-block invariance."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.keyed import impute_median
+
+    rng = np.random.default_rng(109)
+    n = 2000
+    v = rng.integers(0, 100, n).astype(np.float64)
+    v[rng.random(n) < 0.3] = np.nan
+    k = rng.integers(0, 30, n).astype(np.int64)
+    k[:20], v[:20] = 99, np.nan  # an all-null key
+    t = pa.table({"k": pa.array(k), "v": pa.array(v, pa.float64())})
+    out = (
+        impute_median(ray.data.from_arrow(t).repartition(7), ["k"], "v",
+                      out_col="f")
+        .to_pandas()
+    )
+    df = t.to_pandas()
+    med = df.groupby("k")["v"].median()
+    for key, g in out.groupby("k"):
+        nulls = g[g["v"].isna()]
+        if key == 99:
+            assert nulls["f"].isna().all()
+            continue
+        assert np.allclose(nulls["f"], med[key])
+        nn = g[~g["v"].isna()]
+        assert np.array_equal(nn["f"].values, nn["v"].values)
+    # multiset of (k, v) preserved
+    a = df.sort_values(["k", "v"]).reset_index(drop=True)
+    b = out[["k", "v"]].sort_values(["k", "v"]).reset_index(drop=True)
+    assert a.equals(b)
