@@ -123,6 +123,15 @@ def run_flagship(sf_dir: str, replicate: int, heavy: int = 1) -> dict:
     files = sorted(
         os.path.join(pages_dir, f) for f in os.listdir(pages_dir) if f.endswith(".parquet")
     )
+    # warm the page cache (same protocol as --scaling): the corpus is a
+    # cached /tmp artifact, and whether its pages are resident is ambient
+    # state — a cold first read measured 14-16 s vs 9-11 s warm for the
+    # identical pipeline.  The bench measures the engine, not the page
+    # cache lottery.
+    for f in files:
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
     # Ray packs small files into ~128 MB read tasks, and the fused
     # read->extract stage inherits that parallelism — 200k pages ended up in
     # FOUR tasks (4 busy cores of 32).  Extraction is CPU-bound, so fan the
