@@ -2037,6 +2037,38 @@ def q_impute_median(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_watermark_window(sf_dir: str):
+    """Streaming tumbling-window counts with a 30-min allowed-lateness
+    watermark, replayed deterministically (stages/windowed.
+    watermark_window_counts; two-pass global prefix-max scan, per-block
+    vectorized).  Arrival order = a deterministic within-16-block
+    permutation of event_id so the corpus actually HAS late data (event_id
+    is otherwise perfectly time-ordered)."""
+    from ..stages.windowed import watermark_window_counts
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "ts"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        eid = pc.cast(batch["event_id"], pa.int64())
+        blk = pc.multiply(pc.divide(eid, 16), 16)
+        within = pc.subtract(eid, blk)
+        aid = pc.add(blk, pc.subtract(
+            pc.multiply(within, 5),
+            pc.multiply(pc.divide(pc.multiply(within, 5), 16), 16),
+        ))
+        return pa.table({
+            "aid": aid,
+            "tms": ts_to_ms(batch["ts"]),
+            "event_type": batch["event_type"],
+        })
+
+    return watermark_window_counts(
+        ds.map_batches(norm, batch_format="pyarrow"),
+        "aid", "tms", ["event_type"],
+        window_ms=300000, lateness_ms=1800000, out_count="n_kept",
+    )
+
+
 _PROFILE_COLS = ["doc_id", "lang", "source", "n_chars", "text"]
 
 
@@ -2156,6 +2188,7 @@ QUERIES = {
     "edit_distance_pairs": q_edit_distance_pairs,
     "transitions": q_transitions,
     "impute_median": q_impute_median,
+    "watermark_window": q_watermark_window,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -2225,6 +2258,21 @@ ORACLE_SQL = {
                string_agg(event_type, ','
                           ORDER BY epoch_ms(ts), event_type) AS type_seq
         FROM events GROUP BY 1
+    """,
+    "watermark_window": """
+        WITH o AS (SELECT event_type, epoch_ms(ts) AS tms,
+                          (event_id // 16) * 16 + (event_id % 16 * 5) % 16
+                              AS aid,
+                          max(epoch_ms(ts)) OVER (
+                              ORDER BY (event_id // 16) * 16
+                                       + (event_id % 16 * 5) % 16
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS wm
+                   FROM events)
+        SELECT event_type, (tms // 300000) * 300000 AS window_start,
+               count(*) AS n_kept
+        FROM o WHERE wm IS NULL OR tms >= wm - 1800000
+        GROUP BY 1, 2
     """,
     "transitions": """
         WITH o AS (SELECT CAST(user_id AS BIGINT) AS u, event_type,

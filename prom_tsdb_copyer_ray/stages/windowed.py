@@ -525,6 +525,88 @@ def time_weighted_avg(
     )
 
 
+def watermark_window_counts(ds, id_col: str, ts_col: str, key_cols: list[str],
+                            window_ms: int, lateness_ms: int,
+                            out_count: str = "n"):
+    """Streaming tumbling-window counts with a late-data watermark, replayed
+    deterministically on a batch engine.
+
+    Semantics (SQL-mirrorable): events are processed in ``id_col`` order
+    (the arrival order); the watermark at each event is the max event time
+    seen BEFORE it; an event is dropped as too-late when ``ts < watermark -
+    lateness_ms``; survivors count into their ``window_ms`` tumbling window
+    per key.  This is the standard watermark/allowed-lateness model
+    (Dataflow-style) made a pure function of the table by pinning arrival
+    order to ``id_col``.
+
+    Execution: the running max over a global order is a SCAN — same
+    two-pass shape as curation.pack_sequences: sort by id (moves only
+    (id, ts, keys) rows), one (min_id, block_max) row per block to the
+    driver, exclusive prefix-max as block seeds, then a per-block
+    vectorized ``np.maximum.accumulate`` + window count combiner into the
+    sharded final aggregate.
+    """
+    from .keyed import sharded_grouped_agg
+
+    keys = list(key_cols)
+
+    def project(batch: pa.Table) -> pa.Table:
+        cols = {
+            id_col: pc.cast(batch[id_col], pa.int64()),
+            "_tms": pc.cast(batch[ts_col], pa.int64()),
+        }
+        for k in keys:
+            cols[k] = batch[k]
+        return pa.table(cols)
+
+    pairs = ds.map_batches(project, batch_format="pyarrow").sort(id_col).materialize()
+
+    def block_meta(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"min_id": pa.array([], pa.int64()),
+                             "bmax": pa.array([], pa.int64())})
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "min_id": pa.array([int(ids.min())], pa.int64()),
+            "bmax": pa.array(
+                [int(batch["_tms"].to_numpy(zero_copy_only=False).max())],
+                pa.int64()),
+        })
+
+    metas = sorted(
+        (r["min_id"], r["bmax"])
+        for r in pairs.map_batches(block_meta, batch_size=None,
+                                   batch_format="pyarrow").take_all()
+    )
+    seeds: dict[int, int] = {}
+    acc = np.iinfo(np.int64).min
+    for min_id, bmax in metas:
+        seeds[min_id] = acc  # exclusive: max of all PRIOR blocks
+        acc = max(acc, bmax)
+
+    def count_kept(batch: pa.Table) -> pa.Table:
+        empty = pa.table({**{k: pa.array([], pa.string()) for k in keys},
+                          "window_start": pa.array([], pa.int64()),
+                          out_count: pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        tms = batch["_tms"].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        seed = seeds[int(ids.min())]
+        run = np.maximum.accumulate(np.r_[seed, tms[:-1]])  # exclusive
+        keep = (run == np.iinfo(np.int64).min) | (tms >= run - lateness_ms)
+        kept = batch.filter(pa.array(keep))
+        w = (kept["_tms"].to_numpy(zero_copy_only=False) // window_ms) * window_ms
+        t = pa.table({**{k: kept[k] for k in keys},
+                      "window_start": pa.array(w, pa.int64())})
+        g = t.group_by(keys + ["window_start"]).aggregate([([], "count_all")])
+        return g.rename_columns(keys + ["window_start", out_count])
+
+    parts = pairs.map_batches(count_kept, batch_size=None, batch_format="pyarrow")
+    return sharded_grouped_agg(parts, keys + ["window_start"],
+                               [(out_count, "sum")], num_shards=16)
+
+
 def merge_intervals(ds, key_cols: list[str], start_col: str, end_col: str,
                     num_shards: int = 64):
     """Coalesce transitively-overlapping (or touching) intervals per key

@@ -231,3 +231,41 @@ def test_rolling_quantile_vs_pandas(ray_session):
     df = df.sort_values(["k", "o", "v", "m"]).reset_index(drop=True)
     assert np.allclose(out["m"].values, df["m"].values)
     assert (out[["k", "o", "v"]].values == df[["k", "o", "v"]].values).all()
+
+
+def test_watermark_window_counts_vs_reference(ray_session):
+    """Dataflow-style watermark replay: late events (ts < running max before
+    arrival - lateness) dropped, survivors counted per tumbling window;
+    multi-block invariance vs a sequential reference."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.windowed import watermark_window_counts
+
+    rng = np.random.default_rng(127)
+    n = 2000
+    # arrival ids 0..n-1; event times mostly increasing with jitter and a
+    # few extreme stragglers
+    tms = np.cumsum(rng.integers(0, 100, n)).astype(np.int64)
+    jitter = rng.integers(-300, 300, n)
+    tms = tms + jitter
+    tms[rng.random(n) < 0.02] -= 5000  # deep stragglers, definitely late
+    keys = np.array([f"k{x}" for x in rng.integers(0, 3, n)])
+    t = pa.table({
+        "aid": pa.array(np.arange(n, dtype=np.int64)),
+        "tms": pa.array(tms, pa.int64()),
+        "k": pa.array(keys),
+    })
+    out = (
+        watermark_window_counts(ray.data.from_arrow(t).repartition(11),
+                                "aid", "tms", ["k"],
+                                window_ms=500, lateness_ms=400)
+        .to_pandas().set_index(["k", "window_start"])["n"]
+    )
+    want: dict[tuple[str, int], int] = {}
+    wm = None
+    for i in range(n):
+        if wm is None or tms[i] >= wm - 400:
+            w = (int(tms[i]) // 500) * 500
+            want[(keys[i], w)] = want.get((keys[i], w), 0) + 1
+        wm = int(tms[i]) if wm is None else max(wm, int(tms[i]))
+    assert out.to_dict() == want
