@@ -2069,6 +2069,25 @@ def q_watermark_window(sf_dir: str):
     )
 
 
+def q_compression_ratio(sf_dir: str):
+    """Per-doc zlib compression ratio — the Gopher/CCNet repetition signal
+    (stages/textstats.add_compression_ratio; shuffle-free, C-level zlib
+    pass).  Fixture-oracled (zlib is the spec)."""
+    from ..stages.textstats import add_compression_ratio
+
+    return add_compression_ratio(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_unigram_logprob(sf_dir: str):
+    """Per-doc mean negative log-prob under the corpus unigram LM — the
+    cheap perplexity-style quality score (stages/textstats.
+    unigram_logprob; Counter combiner + term-shard vocabulary pass,
+    broadcast once, then a shuffle-free vectorized scoring pass)."""
+    from ..stages.textstats import unigram_logprob
+
+    return unigram_logprob(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 _PROFILE_COLS = ["doc_id", "lang", "source", "n_chars", "text"]
 
 
@@ -2189,6 +2208,8 @@ QUERIES = {
     "transitions": q_transitions,
     "impute_median": q_impute_median,
     "watermark_window": q_watermark_window,
+    "compression_ratio": q_compression_ratio,
+    "unigram_logprob": q_unigram_logprob,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -2258,6 +2279,15 @@ ORACLE_SQL = {
                string_agg(event_type, ','
                           ORDER BY epoch_ms(ts), event_type) AS type_seq
         FROM events GROUP BY 1
+    """,
+    "unigram_logprob": f"""
+        WITH toks AS ({_SQL_TOKS}),
+        ex AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+        c AS (SELECT tok, count(*) AS n FROM ex GROUP BY 1),
+        tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM c)
+        SELECT e.doc_id, round(-avg(ln(c.n / tot.t)), 6) AS nll
+        FROM ex e JOIN c ON e.tok = c.tok CROSS JOIN tot
+        GROUP BY 1
     """,
     "watermark_window": """
         WITH o AS (SELECT event_type, epoch_ms(ts) AS tms,
@@ -3063,6 +3093,9 @@ ORACLE_SQL.update(
             "FROM embeddings)"
         ),
         "media_features": _fixture_sql("media_features", "media_id, kind, embedding"),
+        "compression_ratio": _fixture_sql(
+            "compression", "doc_id, n_bytes, c_bytes, ratio"
+        ),
         "kmeans": (
             "SELECT cluster, n_vecs, c0 FROM read_parquet("
             f"'{_FIXTURE_DIR}/oracle_kmeans.parquet') WHERE corpus_key = "

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import poly_hash_column
 from ..functions.text import LangIdModel, quality_counts, token_count
@@ -223,3 +224,142 @@ def add_fingerprint(ds, text_col: str = "text", out_col: str = "fingerprint"):
         return batch.append_column(out_col, pa.array(fps))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def add_compression_ratio(ds, id_col: str = "doc_id", text_col: str = "text",
+                          level: int = 6):
+    """zlib compression ratio per document — the classic Gopher/CCNet-style
+    repetition/quality signal (highly repetitive or templated text
+    compresses far below ~0.4).
+
+    Shuffle-free ``map_batches``; the per-row ``zlib.compress`` is a
+    C-level pass over the text bytes (same justification as the blake2b
+    media features).  Output: (id, n_bytes, c_bytes, ratio) — ratio =
+    compressed/raw, 0 for empty text, rounded to 6 decimals."""
+    import zlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch[id_col], pa.int64())
+        texts = batch[text_col].to_pylist()
+        nb = np.empty(len(texts), np.int64)
+        cb = np.empty(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            raw = (t or "").encode("utf-8")
+            nb[i] = len(raw)
+            cb[i] = len(zlib.compress(raw, level)) if raw else 0
+        ratio = np.where(nb > 0, np.round(cb / np.maximum(nb, 1), 6), 0.0)
+        return pa.table({
+            id_col: ids,
+            "n_bytes": pa.array(nb, pa.int64()),
+            "c_bytes": pa.array(cb, pa.int64()),
+            "ratio": pa.array(ratio, pa.float64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def unigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text",
+                    out_col: str = "nll"):
+    """Per-document mean negative log-probability under the CORPUS unigram
+    LM — the cheap perplexity-style quality score (high = rare-token
+    gibberish, low = stopword soup).  Tokens are the whitespace splits of
+    the trimmed text (token_count's SQL-mirrorable definition); docs with
+    no tokens emit no row (SQL: they vanish at unnest).
+
+    Two passes: (1) collapsed (token, count) vocabulary via the per-batch
+    Counter combiner + term-shard segment sum (term_document_frequency's
+    shape), collected and broadcast ONCE via ``ray.put`` (Zipf-bounded at
+    test scale; a vocabulary beyond broadcast size switches to the
+    co-partitioned token-shard join, same fallback as tf-idf); (2) a
+    shuffle-free scoring pass: flatten token lists, ONE ``pc.index_in``
+    against the broadcast vocab, gather counts, ``-ln(count/total)``,
+    segment means via ``reduceat`` over the list offsets."""
+    import ray
+
+    from collections import Counter
+
+    from ..functions.text import _WS_SPLIT
+
+    def _token_lists(texts):
+        trimmed = pc.utf8_trim(pc.cast(texts, pa.string()), " \t\r\n")
+        return pc.split_pattern_regex(trimmed, _WS_SPLIT), trimmed
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        lists, trimmed = _token_lists(batch[text_col])
+        for toks, t in zip(lists.to_pylist(), trimmed.to_pylist()):
+            if t:
+                counts.update(toks)
+        toks = list(counts.keys())
+        tbl = pa.table({
+            "term": pa.array(toks, pa.string()),
+            "df": pa.array([counts[t] for t in toks], pa.int64()),
+        })
+        shard = (poly_hash_column(tbl["term"], fold63=False) % np.uint64(64)).astype(np.int64)
+        return tbl.append_column("_tshard", pa.array(shard))
+
+    vocab_parts = []
+    total = 0
+    for part in (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("_tshard")
+        .map_groups(_shard_term_sum, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        vocab_parts.append(part)
+    vocab = pa.concat_tables(vocab_parts).sort_by([("term", "ascending")])
+    counts_np = vocab["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    total = int(counts_np.sum())
+    vocab_ref = ray.put((vocab["term"].combine_chunks(), counts_np, total))
+
+    def score(batch: pa.Table) -> pa.Table:
+        terms, cnts, tot = ray.get(vocab_ref)
+        ids = pc.cast(batch[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        lists, trimmed = _token_lists(batch[text_col])
+        lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
+        n_tok = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        nonempty = np.asarray(
+            pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False)
+        ) & (n_tok > 0)
+        flat = lists.flatten()
+        idx = pc.index_in(flat, value_set=terms).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)  # nulls -> NaN even when none are present
+        # empty-trimmed docs still flatten one "" token that is NOT in the
+        # vocabulary (index_in -> null); zero its contribution instead of
+        # letting NaN poison the cumulative sums
+        valid = ~np.isnan(idx)
+        nll_flat = np.zeros(len(idx), np.float64)
+        nll_flat[valid] = -np.log(cnts[idx[valid].astype(np.int64)] / tot)
+        # TRUE flat offsets (all docs, incl. empties) -> exact segment sums
+        offsets = np.zeros(len(ids) + 1, np.int64)
+        np.cumsum(n_tok, out=offsets[1:])
+        csum = np.r_[0.0, np.cumsum(nll_flat)]
+        sums = csum[offsets[1:][nonempty]] - csum[offsets[:-1][nonempty]]
+        means = sums / n_tok[nonempty]
+        return pa.table({
+            id_col: pa.array(ids[nonempty], pa.int64()),
+            out_col: pa.array(np.round(means, 6), pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _shard_term_sum(group: pa.Table) -> pa.Table:
+    """Segment-sum of (term, df) rows within one term-hash shard."""
+    if group.num_rows == 0:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "df": pa.array([], pa.int64())})
+    t = group.sort_by([("term", "ascending")])
+    term = t["term"].combine_chunks() if isinstance(t["term"], pa.ChunkedArray) else t["term"]
+    n = t.num_rows
+    new = np.ones(n, dtype=bool)
+    new[1:] = pc.not_equal(term.slice(1), term.slice(0, n - 1)).to_numpy(
+        zero_copy_only=False
+    )
+    starts = np.flatnonzero(new)
+    sums = np.add.reduceat(t["df"].to_numpy(zero_copy_only=False), starts)
+    return pa.table({
+        "term": term.take(pa.array(starts)),
+        "df": pa.array(sums.astype(np.int64), pa.int64()),
+    })

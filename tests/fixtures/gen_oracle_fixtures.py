@@ -342,6 +342,17 @@ def approx_quantiles_reference(values: list[float], ids: list[int],
 MEDIA_FEATURE_DIM = 16
 
 
+def compression_ratio_reference(text: str):
+    """zlib level-6 ratio — zlib IS the spec (like blake2b for media)."""
+    import zlib
+
+    raw = (text or "").encode("utf-8")
+    nb = len(raw)
+    cb = len(zlib.compress(raw, 6)) if raw else 0
+    ratio = round(cb / nb, 6) if nb else 0.0
+    return nb, cb, ratio
+
+
 def media_features_reference(doc_id: int, text: str):
     import hashlib
 
@@ -364,6 +375,8 @@ def main() -> None:
         "ivf_topk": {"corpus_key": [], "query_idx": [], "vec_id": [], "rank": []},
         "kmeans": {"corpus_key": [], "cluster": [], "n_vecs": [], "c0": []},
         "media_features": {"corpus_key": [], "media_id": [], "kind": [], "embedding": []},
+        "compression": {"corpus_key": [], "doc_id": [], "n_bytes": [],
+                        "c_bytes": [], "ratio": []},
         "approx_users": {"corpus_key": [], "event_type": [], "approx_users": []},
         "approx_quantiles": {"corpus_key": [], "event_type": [],
                              "p50": [], "p90": [], "p99": []},
@@ -444,6 +457,12 @@ def main() -> None:
             rows["media_features"]["media_id"].append(d)
             rows["media_features"]["kind"].append(kind)
             rows["media_features"]["embedding"].append(feat)
+            nb, cb, ratio = compression_ratio_reference(x)
+            rows["compression"]["corpus_key"].append(key)
+            rows["compression"]["doc_id"].append(d)
+            rows["compression"]["n_bytes"].append(nb)
+            rows["compression"]["c_bytes"].append(cb)
+            rows["compression"]["ratio"].append(ratio)
 
         pairs = lsh_candidate_pairs(ids, sigs)
         for x, y in sorted(pairs):
@@ -490,6 +509,11 @@ def main() -> None:
         "media_features": pa.schema(
             [("corpus_key", pa.int64()), ("media_id", pa.int64()),
              ("kind", pa.string()), ("embedding", pa.list_(pa.float64()))]
+        ),
+        "compression": pa.schema(
+            [("corpus_key", pa.int64()), ("doc_id", pa.int64()),
+             ("n_bytes", pa.int64()), ("c_bytes", pa.int64()),
+             ("ratio", pa.float64())]
         ),
         "kmeans": pa.schema(
             [("corpus_key", pa.int64()), ("cluster", pa.int64()),

@@ -326,3 +326,39 @@ def test_langid_predict_batch_matches_predict_one():
     want = [m.predict_one(t) for t in texts_py]
     got = m.predict_batch(pa.array(texts, pa.string())).to_pylist()
     assert got == want
+
+
+def test_unigram_logprob_vs_reference(ray_session):
+    """Corpus-unigram NLL per doc: whitespace tokens, empty docs vanish,
+    multi-block invariance; vs a sequential dict reference."""
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.textstats import unigram_logprob
+
+    texts = ["the cat sat", "the the the", "  ", "", "cat dog",
+             "unique tokens here now", "the cat"] * 3
+    ids = list(range(len(texts)))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = (
+        unigram_logprob(ray.data.from_arrow(t).repartition(5))
+        .to_pandas().set_index("doc_id")["nll"]
+    )
+    counts: dict[str, int] = {}
+    toks_by_doc = {}
+    for i, x in zip(ids, texts):
+        toks = x.strip(" \t\r\n").split() if x.strip(" \t\r\n") else []
+        toks_by_doc[i] = toks
+        for tok in toks:
+            counts[tok] = counts.get(tok, 0) + 1
+    total = sum(counts.values())
+    for i in ids:
+        toks = toks_by_doc[i]
+        if not toks:
+            assert i not in out.index
+            continue
+        want = -sum(math.log(counts[tok] / total) for tok in toks) / len(toks)
+        assert abs(out[i] - want) < 5.01e-7, i  # operator rounds to 6 dp
