@@ -58,3 +58,27 @@ def test_csv_pages_roundtrip_pipeline(ray_session, tmp_path):
     assert len(df) == pages.num_rows
     assert bytes(df["html"].iloc[0]) == pages["html"][0].as_py()
     assert df["warc_ts"].astype("datetime64[ms]").astype("int64").tolist() == ts
+
+
+def test_orc_pages_roundtrip_pipeline(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.copy import build_tiers
+    from prom_tsdb_copyer_ray.sources.formats import read_pages_orc, write_pages_orc
+
+    pages = generate_pages(500, seed=42)
+    # two files -> two parallel decode tasks
+    path1 = str(tmp_path / "pages1.orc")
+    path2 = str(tmp_path / "pages2.orc")
+    write_pages_orc(pages.slice(0, 250), path1)
+    write_pages_orc(pages.slice(250), path2)
+
+    ds = read_pages_orc([path1, path2])
+    got = build_tiers(ds, tiers=("5m",))["5m"].to_pandas()
+
+    want = oracle_tier_raw(oracle_samples(pages), "5m")
+    got = got.sort_values(["series_key", "window_start"]).reset_index(drop=True)
+    want = want.sort_values(["series_key", "window_start"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    pd.testing.assert_series_equal(
+        got["agg_sum"], want["agg_sum"].astype(float), check_names=False
+    )
+    assert (got["series_key"].values == want["series_key"].values).all()
