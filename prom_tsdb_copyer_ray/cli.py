@@ -72,6 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-shards", type=int, default=64)
     p.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     p.add_argument("--validate", choices=["strict", "count", "off"], default="strict")
+    p.add_argument("--format", choices=["parquet", "jsonl", "csv", "orc"],
+                   default="parquet",
+                   help="pages source format (parquet gets predicate/"
+                        "partition pushdown; others normalize then filter)")
     p.add_argument("--show-metrics", action="store_true")
     return p
 
@@ -112,6 +116,31 @@ def main(argv=None) -> int:
         # label kernel would drop anyway), so apply_residual=False here.
         from .sources.parquet import read_pruned
 
+        if args.format != "parquet":
+            # no pushdown for row formats: normalize, then the same -F/-T
+            # page filter parquet's residual would apply
+            from .sources import formats as fmt
+
+            reader = {"jsonl": fmt.read_pages_jsonl, "csv": fmt.read_pages_csv,
+                      "orc": fmt.read_pages_orc}[args.format]
+            ds = reader(args.source)
+            if t_from is not None or t_to is not None:
+                import pyarrow.compute as pc
+
+                from .windows import ts_to_ms
+
+                def tfilter(batch):
+                    ms = ts_to_ms(batch["warc_ts"])
+                    keep = None
+                    if t_from is not None:
+                        keep = pc.greater_equal(ms, t_from)
+                    if t_to is not None:
+                        hi = pc.less(ms, t_to)
+                        keep = hi if keep is None else pc.and_(keep, hi)
+                    return batch.filter(keep)
+
+                ds = ds.map_batches(tfilter, batch_format="pyarrow")
+            return ds
         return read_pruned(
             args.source,
             ts_col="warc_ts",

@@ -55,3 +55,22 @@ def test_cli_end_to_end(tmp_path):
     assert summary["_timing"].get("extract_batch_ms", {}).get("count", 0) > 0
     assert all(v["status"] == "complete" for k, v in summary.items() if k != "_timing")
     assert (out / "manifests" / "5m.json").exists()
+
+
+def test_cli_orc_format(tmp_path):
+    """--format orc feeds the same pipeline (no pushdown, post-read filter)."""
+    from prom_tsdb_copyer_ray.sources.formats import write_pages_orc
+
+    src = tmp_path / "pages.orc"
+    out = tmp_path / "out"
+    write_pages_orc(generate_pages(300, seed=42), str(src))
+    proc = subprocess.run(
+        [sys.executable, "-m", "prom_tsdb_copyer_ray.cli", str(src), str(out),
+         "--format", "orc", "-F", "2024-01-01T00:00:00+00:00",
+         "--num-cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    # without --show-metrics the CLI prints {tier: status}
+    assert summary == {"5m": "complete", "1h": "complete", "1d": "complete"}
