@@ -2088,6 +2088,27 @@ def q_unigram_logprob(sf_dir: str):
     return unigram_logprob(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_weekly_active(sf_dir: str):
+    """Weekly-active-users for every day present: EXACT trailing-7-day
+    COUNT(DISTINCT user) via interval-coverage boundary deltas
+    (stages/windowed.sliding_distinct; one user-hash exchange, O(days)
+    driver state — never a per-window recount)."""
+    from ..stages.windowed import sliding_distinct
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "day": pc.divide(ts_to_ms(batch["ts"]), 86400000),
+        })
+
+    return sliding_distinct(
+        ds.map_batches(norm, batch_format="pyarrow"),
+        "user_id", "day", window=7, out_count="n_active",
+    )
+
+
 _PROFILE_COLS = ["doc_id", "lang", "source", "n_chars", "text"]
 
 
@@ -2210,6 +2231,7 @@ QUERIES = {
     "watermark_window": q_watermark_window,
     "compression_ratio": q_compression_ratio,
     "unigram_logprob": q_unigram_logprob,
+    "weekly_active": q_weekly_active,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -2279,6 +2301,14 @@ ORACLE_SQL = {
                string_agg(event_type, ','
                           ORDER BY epoch_ms(ts), event_type) AS type_seq
         FROM events GROUP BY 1
+    """,
+    "weekly_active": """
+        WITH d AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS u,
+                          epoch_ms(ts) // 86400000 AS day FROM events),
+        days AS (SELECT DISTINCT day AS d0 FROM d)
+        SELECT d0, CAST(count(DISTINCT u) AS BIGINT) AS n_active
+        FROM days JOIN d ON d.day BETWEEN days.d0 - 6 AND days.d0
+        GROUP BY 1
     """,
     "unigram_logprob": f"""
         WITH toks AS ({_SQL_TOKS}),

@@ -607,6 +607,96 @@ def watermark_window_counts(ds, id_col: str, ts_col: str, key_cols: list[str],
                                [(out_count, "sum")], num_shards=16)
 
 
+def sliding_distinct(ds, key_col: str, day_col: str, window: int,
+                     out_count: str = "n_active"):
+    """EXACT trailing-window COUNT(DISTINCT key) per day — e.g. weekly
+    active users for every day — without re-counting each window.
+
+    A key active on day d is counted by every window position
+    ``d0 in [d, d+window-1]``; the union of those per-key ranges is a set
+    of coverage intervals, so the answer at any d0 is a prefix sum of
+    (+1 at interval start, -1 past interval end) boundary deltas.  Output:
+    one row per day PRESENT in the data (d0, count).
+
+    Scale shape: per-batch DISTINCT (key, day) combiner -> ONE key-hash
+    exchange -> per-shard interval merge per key segment (vectorized
+    segmented running max, merge_intervals' kernel) -> boundary deltas
+    into a small sharded sum -> driver-side cumsum over the sorted
+    boundaries.  Boundary cardinality is O(distinct days), thousands of
+    rows at any corpus scale (documented driver-side bound — days, not
+    data)."""
+    import ray  # noqa: F401  (symmetry with sibling operators)
+
+    from .keyed import _key_shard, _segment_starts, sharded_grouped_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            key_col: pc.cast(batch[key_col], pa.int64()),
+            day_col: pc.cast(batch[day_col], pa.int64()),
+        })
+        g = t.group_by([key_col, day_col]).aggregate([])
+        return g.append_column("_wshard", _key_shard(g, [key_col], 64))
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_wshard")
+        empty = pa.table({"b": pa.array([], pa.int64()),
+                          "delta": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.group_by([key_col, day_col]).aggregate([])  # x-batch dedup
+        t = t.sort_by([(key_col, "ascending"), (day_col, "ascending")])
+        d = t[day_col].to_numpy(zero_copy_only=False)
+        lo, hi = d, d + window - 1  # coverage range of one active day
+        n = t.num_rows
+        new_key = _segment_starts(t, [key_col])
+        # days are sorted within each key, so hi is nondecreasing within a
+        # segment: a new coverage interval starts where lo jumps past the
+        # previous day's hi (or at a key boundary)
+        prev_hi = np.r_[np.int64(np.iinfo(np.int64).min), hi[:-1]]
+        prev_hi[new_key] = np.iinfo(np.int64).min
+        is_start = lo > prev_hi
+        sidx = np.flatnonzero(is_start)  # every key boundary is a start
+        int_start = lo[sidx]
+        int_end = hi[np.r_[sidx[1:], n] - 1]
+        bounds = np.concatenate([int_start, int_end + 1])
+        deltas = np.concatenate([
+            np.ones(len(int_start), np.int64),
+            -np.ones(len(int_end), np.int64),
+        ])
+        out = pa.table({"b": pa.array(bounds, pa.int64()),
+                        "delta": pa.array(deltas, pa.int64())})
+        return out
+
+    deltas = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_wshard")
+        .map_groups(per_shard, batch_format="pyarrow"),
+        ["b"], [("delta", "sum")], num_shards=4,
+    )
+
+    # driver-side: O(distinct days) boundary rows + the distinct day set
+    days = set()
+    for part in (
+        ds.map_batches(
+            lambda b: pa.table(
+                {day_col: pc.unique(pc.cast(b[day_col], pa.int64()))}
+            ),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow")
+    ):
+        days.update(part[day_col].to_pylist())
+    bl = deltas.to_pandas().sort_values("b")
+    bvals = bl["b"].to_numpy()
+    csum = np.cumsum(bl["delta"].to_numpy())
+    q = np.array(sorted(days), dtype=np.int64)
+    pos = np.searchsorted(bvals, q, side="right") - 1
+    counts = np.where(pos >= 0, csum[np.maximum(pos, 0)], 0).astype(np.int64)
+    return pa.table({
+        "d0": pa.array(q, pa.int64()),
+        out_count: pa.array(counts, pa.int64()),
+    })
+
+
 def merge_intervals(ds, key_cols: list[str], start_col: str, end_col: str,
                     num_shards: int = 64):
     """Coalesce transitively-overlapping (or touching) intervals per key

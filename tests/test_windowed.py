@@ -269,3 +269,28 @@ def test_watermark_window_counts_vs_reference(ray_session):
             want[(keys[i], w)] = want.get((keys[i], w), 0) + 1
         wm = int(tms[i]) if wm is None else max(wm, int(tms[i]))
     assert out.to_dict() == want
+
+
+def test_sliding_distinct_vs_bruteforce(ray_session):
+    """Exact trailing-window distinct count at every present day; sparse
+    activity with gaps; multi-block invariance."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.windowed import sliding_distinct
+
+    rng = np.random.default_rng(131)
+    n = 3000
+    t = pa.table({
+        "u": pa.array(rng.integers(0, 80, n).astype(np.int64)),
+        "day": pa.array(rng.choice(
+            np.r_[np.arange(0, 20), np.arange(40, 55)], n).astype(np.int64)),
+    })
+    out = sliding_distinct(
+        ray.data.from_arrow(t).repartition(9), "u", "day", window=7
+    ).to_pandas().set_index("d0")["n_active"]
+    df = t.to_pandas().drop_duplicates()
+    days = sorted(df["day"].unique())
+    for d0 in days:
+        want = df[(df["day"] >= d0 - 6) & (df["day"] <= d0)]["u"].nunique()
+        assert out[d0] == want, d0
+    assert set(out.index) == set(days)
