@@ -2109,6 +2109,31 @@ def q_weekly_active(sf_dir: str):
     )
 
 
+def q_global_quantiles(sf_dir: str):
+    """EXACT global p50/p90/p99 of value by distributed selection —
+    iterative histogram refinement, no sort, no value shuffle
+    (stages/sketch.exact_global_quantiles; 2-3 streaming passes, O(buckets)
+    driver state).  quantile_disc semantics over centi-int64."""
+    import pandas as pd
+
+    from ..stages.sketch import exact_global_quantiles
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"cval": pa.array(np.rint(v * 100).astype(np.int64))})
+
+    qs = (0.5, 0.9, 0.99)
+    res = exact_global_quantiles(
+        ds.map_batches(norm, batch_format="pyarrow"), "cval", qs
+    )
+    return pd.DataFrame({
+        "q": list(qs),
+        "v": [res[q] / 100.0 for q in qs],
+    })
+
+
 _PROFILE_COLS = ["doc_id", "lang", "source", "n_chars", "text"]
 
 
@@ -2232,6 +2257,7 @@ QUERIES = {
     "compression_ratio": q_compression_ratio,
     "unigram_logprob": q_unigram_logprob,
     "weekly_active": q_weekly_active,
+    "global_quantiles": q_global_quantiles,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -2301,6 +2327,17 @@ ORACLE_SQL = {
                string_agg(event_type, ','
                           ORDER BY epoch_ms(ts), event_type) AS type_seq
         FROM events GROUP BY 1
+    """,
+    "global_quantiles": """
+        WITH s AS (SELECT CAST(value * 100 AS BIGINT) AS cval FROM events)
+        SELECT q, v FROM (
+            SELECT CAST(0.5 AS DOUBLE) AS q,
+                   quantile_disc(cval, 0.5) / 100.0 AS v FROM s
+            UNION ALL
+            SELECT CAST(0.9 AS DOUBLE), quantile_disc(cval, 0.9) / 100.0 FROM s
+            UNION ALL
+            SELECT CAST(0.99 AS DOUBLE), quantile_disc(cval, 0.99) / 100.0 FROM s
+        )
     """,
     "weekly_active": """
         WITH d AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS u,

@@ -320,3 +320,105 @@ def heavy_hitters_topk(ds, item_col: str, k: int, capacity: int = 256,
     out = pa.table({item_col: pa.array(fi[top], pa.int64()),
                     "n": pa.array(fc[top], pa.int64())})
     return ray.data.from_arrow(out)
+
+
+def exact_global_quantiles(ds, value_col: str, qs: tuple[float, ...],
+                           n_buckets: int = 4096, max_passes: int = 8):
+    """EXACT global quantiles over an int64 column WITHOUT sorting or
+    shuffling values — distributed selection by iterative histogram
+    refinement (the classic k-th-element median-at-scale algorithm).
+
+    Semantics: DuckDB ``quantile_disc`` — ``sorted[ceil(q*n) - 1]``, i.e.
+    the smallest v with ``count(<= v) >= ceil(q*n)``.
+
+    Each pass is ONE streaming map over the data: every batch emits a
+    (q_idx, bucket, count) partial histogram against each unresolved
+    quantile's current [lo, hi] bracket (all quantiles share the pass);
+    the driver walks the combined counts to the bucket containing the
+    k-th element and narrows the bracket by ~n_buckets x.  int64 domains
+    resolve in <= ceil(64 / log2(n_buckets)) + 1 passes — 2-3 passes for
+    realistic value ranges, each moving only O(n_buckets x |qs|) ints to
+    the driver.  The honest alternative (group_quantiles' shuffle of all
+    values) moves the dataset; this moves histograms.
+    """
+    import ray
+
+    # pass 0: n, min, max
+    def minmax(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        if len(v) == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        return pa.table({"n": pa.array([len(v)], pa.int64()),
+                         "lo": pa.array([int(v.min())], pa.int64()),
+                         "hi": pa.array([int(v.max())], pa.int64())})
+
+    tot, glo, ghi = 0, None, None
+    for part in ds.map_batches(minmax, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for r in part.to_pylist():
+            tot += r["n"]
+            glo = r["lo"] if glo is None else min(glo, r["lo"])
+            ghi = r["hi"] if ghi is None else max(ghi, r["hi"])
+    if tot == 0:
+        return {q: None for q in qs}
+
+    ks = [max(int(np.ceil(q * tot)), 1) for q in qs]
+    brackets = [[glo, ghi, k] for k in ks]  # [lo, hi, remaining-k]
+    answers: dict[int, int] = {}
+
+    for _ in range(max_passes):
+        todo = [i for i in range(len(qs)) if i not in answers]
+        for i in todo:
+            if brackets[i][0] == brackets[i][1]:
+                answers[i] = brackets[i][0]
+        todo = [i for i in range(len(qs)) if i not in answers]
+        if not todo:
+            break
+        spec = [(i, brackets[i][0], brackets[i][1]) for i in todo]
+        spec_ref = ray.put((spec, n_buckets))
+
+        def hist(batch: pa.Table) -> pa.Table:
+            sp, nb = ray.get(spec_ref)
+            v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            qi_out, bk_out, ct_out = [], [], []
+            for qi, lo, hi in sp:
+                width = (hi - lo) // nb + 1  # guarantees (hi-lo)//width < nb
+                m = (v >= lo) & (v <= hi)
+                if not m.any():
+                    continue
+                b = (v[m] - lo) // width
+                uniq, cnt = np.unique(b, return_counts=True)
+                qi_out.extend([qi] * len(uniq))
+                bk_out.extend(uniq.tolist())
+                ct_out.extend(cnt.tolist())
+            return pa.table({"qi": pa.array(qi_out, pa.int64()),
+                             "bk": pa.array(bk_out, pa.int64()),
+                             "ct": pa.array(ct_out, pa.int64())})
+
+        acc: dict[tuple[int, int], int] = {}
+        for part in ds.map_batches(hist, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            for r in part.to_pylist():
+                key = (r["qi"], r["bk"])
+                acc[key] = acc.get(key, 0) + r["ct"]
+        for qi, lo, hi in spec:
+            width = (hi - lo) // n_buckets + 1
+            k = brackets[qi][2]
+            run = 0
+            for b in range(n_buckets):
+                c = acc.get((qi, b), 0)
+                if run + c >= k:
+                    new_lo = lo + b * width
+                    new_hi = min(hi, new_lo + width - 1)
+                    brackets[qi] = [new_lo, new_hi, k - run]
+                    break
+                run += c
+    for i in range(len(qs)):
+        if i not in answers:
+            assert brackets[i][0] == brackets[i][1], "unresolved bracket"
+            answers[i] = brackets[i][0]
+    return {q: answers[i] for i, q in enumerate(qs)}

@@ -1048,3 +1048,28 @@ def test_impute_median_vs_pandas(ray_session):
     a = df.sort_values(["k", "v"]).reset_index(drop=True)
     b = out[["k", "v"]].sort_values(["k", "v"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_exact_global_quantiles_selection(ray_session):
+    """Distributed selection equals numpy order statistics (quantile_disc
+    semantics) incl. negative values, duplicates, wide int ranges;
+    multi-block invariance."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.sketch import exact_global_quantiles
+
+    rng = np.random.default_rng(137)
+    v = np.concatenate([
+        rng.integers(-10**12, 10**12, 5000),
+        np.full(500, 42),                      # heavy duplicate
+        rng.integers(-5, 5, 500),
+    ]).astype(np.int64)
+    t = pa.table({"v": pa.array(v)})
+    qs = (0.01, 0.5, 0.9, 0.999)
+    got = exact_global_quantiles(
+        ray.data.from_arrow(t).repartition(9), "v", qs, n_buckets=64
+    )
+    sv = np.sort(v)
+    for q in qs:
+        want = int(sv[max(int(np.ceil(q * len(v))) - 1, 0)])
+        assert got[q] == want, q
