@@ -362,3 +362,33 @@ def test_unigram_logprob_vs_reference(ray_session):
             continue
         want = -sum(math.log(counts[tok] / total) for tok in toks) / len(toks)
         assert abs(out[i] - want) < 5.01e-7, i  # operator rounds to 6 dp
+
+
+def test_lev_batch_hypothesis():
+    """Pair-axis-vectorized DP equals the classic sequential DP on random
+    unicode byte strings (no Ray needed)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from prom_tsdb_copyer_ray.stages.dedup import _lev_batch
+
+    def ref(a: bytes, b: bytes) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.tuples(st.text(max_size=12), st.text(max_size=12)),
+                    min_size=1, max_size=8))
+    def check(pairs):
+        a = [x.encode("utf-8") for x, _ in pairs]
+        b = [y.encode("utf-8") for _, y in pairs]
+        got = _lev_batch(a, b)
+        for i, (x, y) in enumerate(zip(a, b)):
+            assert got[i] == ref(x, y)
+
+    check()
