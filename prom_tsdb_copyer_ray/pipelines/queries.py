@@ -2134,6 +2134,31 @@ def q_global_quantiles(sf_dir: str):
     })
 
 
+def q_frame_features(sf_dir: str):
+    """Video frame-sample -> per-frame feature -> mean-pool (stages/
+    multimodal.sample_frame_features; in-task row expansion + pool, actor
+    pool, stubbed codec).  Fixture-oracled by the independent blake2b
+    reference."""
+    from ..stages.multimodal import sample_frame_features
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        payloads = [t.encode("utf-8") if t else b"" for t in batch["text"].to_pylist()]
+        n = len(payloads)
+        kinds = ["image" if i % 3 else "video" for i in batch["doc_id"].to_pylist()]
+        return pa.table({
+            "media_id": batch["doc_id"],
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "duration_ms": pa.array([3000] * n, pa.int32()),
+        })
+
+    return sample_frame_features(
+        ds.map_batches(to_media, batch_format="pyarrow"), every_ms=1000
+    )
+
+
 _PROFILE_COLS = ["doc_id", "lang", "source", "n_chars", "text"]
 
 
@@ -2258,6 +2283,7 @@ QUERIES = {
     "unigram_logprob": q_unigram_logprob,
     "weekly_active": q_weekly_active,
     "global_quantiles": q_global_quantiles,
+    "frame_features": q_frame_features,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -3162,6 +3188,9 @@ ORACLE_SQL.update(
         "media_features": _fixture_sql("media_features", "media_id, kind, embedding"),
         "compression_ratio": _fixture_sql(
             "compression", "doc_id, n_bytes, c_bytes, ratio"
+        ),
+        "frame_features": _fixture_sql(
+            "frame_features", "media_id, n_frames, embedding"
         ),
         "kmeans": (
             "SELECT cluster, n_vecs, c0 FROM read_parquet("

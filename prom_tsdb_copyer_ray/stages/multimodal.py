@@ -84,6 +84,67 @@ def extract_media_features(ds, concurrency=(1, 4), batch_size: int = 64, decoder
     )
 
 
+def sample_frame_features(ds, every_ms: int = 1000,
+                          concurrency=(1, 4), batch_size: int = 64,
+                          decoder: str = "fake"):
+    """Video pipeline: frame-sample -> per-frame feature -> mean-pool.
+
+    REAL plumbing for the standard video ingest shape (one input row
+    expands to N frame rows inside the task, features are batched, then a
+    per-media pool collapses back to one row — no shuffle, the expansion
+    and pool stay within the batch): frames are taken every ``every_ms``
+    over ``duration_ms``; the stubbed codec derives each frame's feature
+    from (payload, frame_ts) — a real build would ffmpeg-seek and decode
+    in ``__init__``-loaded state exactly here.  Output: (media_id,
+    n_frames, embedding = mean of frame features).  Non-video rows pass
+    through with n_frames = 0 and the whole-payload feature.
+    """
+    if decoder == "real":
+        raise NotImplementedError(
+            "real frame decode needs ffmpeg (not in this container); "
+            "use decoder='fake' for the deterministic stand-in"
+        )
+
+    class FrameFeatures:
+        def __init__(self) -> None:
+            self.fx = MediaFeatureExtractor(decoder=decoder)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["media_id"].to_pylist()
+            kinds = batch["kind"].to_pylist()
+            durs = batch["duration_ms"].to_pylist()
+            payloads = batch["payload"].to_pylist()
+            out_emb, out_n = [], []
+            for mid, kind, dur, payload in zip(ids, kinds, durs, payloads):
+                if kind == "video" and dur:
+                    ts = list(range(0, dur, every_ms))
+                    feats = np.stack([
+                        self.fx._fake_decode_features(
+                            (payload or b"") + t.to_bytes(4, "little")
+                        )
+                        for t in ts
+                    ])
+                    out_emb.append(feats.mean(axis=0).tolist())
+                    out_n.append(len(ts))
+                else:
+                    out_emb.append(
+                        self.fx._fake_decode_features(payload or b"").tolist()
+                    )
+                    out_n.append(0)
+            return pa.table({
+                "media_id": pa.array(ids, pa.int64()),
+                "n_frames": pa.array(out_n, pa.int64()),
+                "embedding": pa.array(out_emb, pa.list_(pa.float64())),
+            })
+
+    return ds.map_batches(
+        FrameFeatures,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def frame_sample_stub(ds, every_ms: int = 1000):
     """Video frame sampling plumbing: emits (media_id, frame_idx, frame_ts_ms)
     rows from duration metadata; frame payload decode is the stubbed part."""

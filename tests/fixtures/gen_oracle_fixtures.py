@@ -363,6 +363,23 @@ def media_features_reference(doc_id: int, text: str):
     return kind, feat
 
 
+def frame_features_reference(doc_id: int, text: str,
+                             duration_ms: int = 3000, every_ms: int = 1000):
+    """Frame-sample + mean-pool (spec: multimodal.sample_frame_features)."""
+    import hashlib
+
+    def feat(b: bytes) -> np.ndarray:
+        d = hashlib.blake2b(b or b"", digest_size=MEDIA_FEATURE_DIM * 2).digest()
+        return np.frombuffer(d, dtype=np.uint16).astype(np.float64) / 65535.0
+
+    payload = (text or "").encode("utf-8")
+    if doc_id % 3:  # image: whole-payload feature, 0 frames
+        return 0, feat(payload).tolist()
+    ts = list(range(0, duration_ms, every_ms))
+    feats = np.stack([feat(payload + t.to_bytes(4, "little")) for t in ts])
+    return len(ts), feats.mean(axis=0).tolist()
+
+
 def main() -> None:
     a_perm, b_perm = minhash_perms()
     rows = {
@@ -377,6 +394,8 @@ def main() -> None:
         "media_features": {"corpus_key": [], "media_id": [], "kind": [], "embedding": []},
         "compression": {"corpus_key": [], "doc_id": [], "n_bytes": [],
                         "c_bytes": [], "ratio": []},
+        "frame_features": {"corpus_key": [], "media_id": [], "n_frames": [],
+                           "embedding": []},
         "approx_users": {"corpus_key": [], "event_type": [], "approx_users": []},
         "approx_quantiles": {"corpus_key": [], "event_type": [],
                              "p50": [], "p90": [], "p99": []},
@@ -463,6 +482,11 @@ def main() -> None:
             rows["compression"]["n_bytes"].append(nb)
             rows["compression"]["c_bytes"].append(cb)
             rows["compression"]["ratio"].append(ratio)
+            nf, emb = frame_features_reference(d, x)
+            rows["frame_features"]["corpus_key"].append(key)
+            rows["frame_features"]["media_id"].append(d)
+            rows["frame_features"]["n_frames"].append(nf)
+            rows["frame_features"]["embedding"].append(emb)
 
         pairs = lsh_candidate_pairs(ids, sigs)
         for x, y in sorted(pairs):
@@ -514,6 +538,10 @@ def main() -> None:
             [("corpus_key", pa.int64()), ("doc_id", pa.int64()),
              ("n_bytes", pa.int64()), ("c_bytes", pa.int64()),
              ("ratio", pa.float64())]
+        ),
+        "frame_features": pa.schema(
+            [("corpus_key", pa.int64()), ("media_id", pa.int64()),
+             ("n_frames", pa.int64()), ("embedding", pa.list_(pa.float64()))]
         ),
         "kmeans": pa.schema(
             [("corpus_key", pa.int64()), ("cluster", pa.int64()),
