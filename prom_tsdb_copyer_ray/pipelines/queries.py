@@ -2159,6 +2159,42 @@ def q_frame_features(sf_dir: str):
     )
 
 
+def q_cluster_keep_best(sf_dir: str):
+    """The real dedup decision: per duplicate cluster (connected
+    components over the dup_clusters edge graph), KEEP the best document —
+    longest n_chars, doc_id tiebreak.  Composition: CC labels ->
+    co-partitioned join with doc stats -> top-1 per component
+    (stages/graph.connected_components + joins.shuffle_join +
+    keyed.topk_per_group; combiner bounds the final exchange at one row
+    per (component, batch))."""
+    from ..stages.graph import connected_components, group_star_edges
+    from ..stages.joins import shuffle_join
+    from ..stages.keyed import topk_per_group
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+    e1 = group_star_edges(docs, ["lang", "n_chars"])
+    e2 = group_star_edges(docs, ["source", "n_chars"])
+    cc = connected_components(e1.union(e2), docs, node_col="doc_id")
+    stats = docs.map_batches(
+        lambda b: pa.table({"sid": pc.cast(b["doc_id"], pa.int64()),
+                            "n_chars": pc.cast(b["n_chars"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    joined = shuffle_join(cc, stats, "doc_id", "sid",
+                          right_cols=["n_chars"], how="inner")
+    best = topk_per_group(joined, ["component"], "n_chars", 1,
+                          tiebreak_col="doc_id", descending=True)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "component": pc.cast(batch["component"], pa.int64()),
+            "keep_doc": pc.cast(batch["doc_id"], pa.int64()),
+            "keep_chars": pc.cast(batch["n_chars"], pa.int64()),
+        })
+
+    return best.map_batches(finish, batch_format="pyarrow")
+
+
 _PROFILE_COLS = ["doc_id", "lang", "source", "n_chars", "text"]
 
 
@@ -2284,6 +2320,7 @@ QUERIES = {
     "weekly_active": q_weekly_active,
     "global_quantiles": q_global_quantiles,
     "frame_features": q_frame_features,
+    "cluster_keep_best": q_cluster_keep_best,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -2353,6 +2390,31 @@ ORACLE_SQL = {
                string_agg(event_type, ','
                           ORDER BY epoch_ms(ts), event_type) AS type_seq
         FROM events GROUP BY 1
+    """,
+    "cluster_keep_best": """
+        WITH RECURSIVE
+        e1 AS (SELECT min(doc_id) OVER (PARTITION BY lang, n_chars) AS a,
+                      doc_id AS b FROM documents),
+        e2 AS (SELECT min(doc_id) OVER (PARTITION BY source, n_chars) AS a,
+                      doc_id AS b FROM documents),
+        ed AS (SELECT a, b FROM e1 WHERE a <> b
+               UNION SELECT a, b FROM e2 WHERE a <> b),
+        bi AS (SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed),
+        reach(node, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT bi.b, reach.r FROM reach JOIN bi ON bi.a = reach.node
+        ),
+        comp AS (SELECT node AS doc_id, min(r) AS component
+                 FROM reach GROUP BY node),
+        j AS (SELECT c.component, d.doc_id, CAST(d.n_chars AS BIGINT)
+                       AS n_chars
+              FROM comp c JOIN documents d ON c.doc_id = d.doc_id)
+        SELECT component, doc_id AS keep_doc, n_chars AS keep_chars
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY component
+                  ORDER BY n_chars DESC, doc_id) AS rn FROM j)
+        WHERE rn = 1
     """,
     "global_quantiles": """
         WITH s AS (SELECT CAST(value * 100 AS BIGINT) AS cval FROM events)
