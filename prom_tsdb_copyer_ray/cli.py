@@ -72,6 +72,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-shards", type=int, default=64)
     p.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     p.add_argument("--validate", choices=["strict", "count", "off"], default="strict")
+    p.add_argument("--compact-after", action="store_true",
+                   help="merge each committed partition's part files into "
+                        "one sorted file after the copy (compact.go analog)")
     p.add_argument("--format", choices=["parquet", "jsonl", "csv", "orc"],
                    default="parquet",
                    help="pages source format (parquet gets predicate/"
@@ -164,6 +167,13 @@ def main(argv=None) -> int:
         group_window_ms=args.query_duration_min * 60_000,
         collect_metrics=args.show_metrics,
     )
+    if args.compact_after:
+        # the reference compacts merged blocks after all copies finish
+        # (copyer.go:234-252) — here: parallel per-partition file merge
+        from .pipelines.compact import compact_tier
+
+        for tier in ("5m", "1h", "1d"):
+            compact_tier(args.target, tier)
     if args.show_metrics:
         out = manifest_summary(args.target)
         # per-stage wall-time histograms (copyer.go:22-34 analogue)
