@@ -2195,6 +2195,19 @@ def q_cluster_keep_best(sf_dir: str):
     return best.map_batches(finish, batch_format="pyarrow")
 
 
+def q_pagerank(sf_dir: str):
+    """Integer PageRank over the dup edge graph (stages/graph.pagerank_int;
+    exact int64 mass routing — bit-identical across partitionings — one
+    dst-hash exchange per iteration).  Fixture-oracled by an independent
+    sequential reference."""
+    from ..stages.graph import group_star_edges, pagerank_int
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+    e1 = group_star_edges(docs, ["lang", "n_chars"])
+    e2 = group_star_edges(docs, ["source", "n_chars"])
+    return pagerank_int(e1.union(e2), docs, node_col="doc_id", iters=5)
+
+
 _PROFILE_COLS = ["doc_id", "lang", "source", "n_chars", "text"]
 
 
@@ -2321,6 +2334,7 @@ QUERIES = {
     "global_quantiles": q_global_quantiles,
     "frame_features": q_frame_features,
     "cluster_keep_best": q_cluster_keep_best,
+    "pagerank": q_pagerank,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -3254,6 +3268,7 @@ ORACLE_SQL.update(
         "frame_features": _fixture_sql(
             "frame_features", "media_id, n_frames, embedding"
         ),
+        "pagerank": _fixture_sql("pagerank", "node, rank"),
         "kmeans": (
             "SELECT cluster, n_vecs, c0 FROM read_parquet("
             f"'{_FIXTURE_DIR}/oracle_kmeans.parquet') WHERE corpus_key = "

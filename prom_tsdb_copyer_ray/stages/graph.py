@@ -267,3 +267,101 @@ def group_star_edges(ds, key_cols: list[str], id_col: str = "doc_id",
         .groupby("_kshard")
         .map_groups(per_shard, batch_format="pyarrow")
     )
+
+
+def pagerank_int(edges_ds, nodes_ds, node_col: str = "node",
+                 a_col: str = "a", b_col: str = "b",
+                 iters: int = 5, scale: int = 10**9,
+                 num_shards: int = 64):
+    """Deterministic integer PageRank over an undirected edge set.
+
+    Float PageRank re-associates mass sums under Ray's nondeterministic
+    block order, so the SPEC is integer: every node starts with ``scale``
+    mass; each iteration every node sends ``floor(0.85 * m) // deg`` along
+    each incident edge and the new mass is ``floor(0.15 * scale)`` plus
+    the EXACT int64 sum of incoming sends (associative => bit-identical
+    across any partitioning, independently oracle-able — the kmeans
+    quantization trick applied to a graph walk).  Degree-0 nodes keep only
+    the teleport term; floor residues vanish (the standard integer-PR
+    leak, documented — ranks are for ORDERING, not a probability).
+
+    Scale shape: degrees via one sharded count; per iteration ONE dst-hash
+    exchange of (dst, sent) int pairs pre-combined per batch with a
+    ``np.add.at`` partial; mass lives co-sharded with a stable node order,
+    never on the driver (only O(shards) control flow does).  Returns a
+    Dataset of (node, rank) with rank the final integer mass.
+    """
+    import ray  # noqa: F401
+    import ray.data
+
+    from .keyed import sharded_grouped_agg
+
+    def to_directed(batch: pa.Table) -> pa.Table:
+        a = pc.cast(batch[a_col], pa.int64()).to_numpy(zero_copy_only=False)
+        b = pc.cast(batch[b_col], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(np.concatenate([a, b])),
+                         "dst": pa.array(np.concatenate([b, a]))})
+
+    edges = (
+        edges_ds.map_batches(to_directed, batch_format="pyarrow")
+        .repartition(_fanin())
+        .materialize()
+    )
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(src, return_counts=True)
+        return pa.table({"node": pa.array(uniq),
+                         "deg": pa.array(cnt.astype(np.int64))})
+
+    # collect degrees + node universe ONCE (ints only, O(nodes) — the same
+    # bound CC's label state already accepts; at 10^9 nodes this moves to a
+    # co-sharded join, same shape, noted here)
+    deg_parts = sharded_grouped_agg(
+        edges.map_batches(deg_partial, batch_format="pyarrow"),
+        ["node"], [("deg", "sum")], num_shards,
+    ).to_pandas()
+    node_parts = nodes_ds.map_batches(
+        lambda b: pa.table({"node": pc.unique(pc.cast(b[node_col], pa.int64()))}),
+        batch_format="pyarrow",
+    ).to_pandas()
+    all_nodes = np.sort(np.unique(node_parts["node"].to_numpy()))
+    deg = np.zeros(len(all_nodes), dtype=np.int64)
+    pos = np.searchsorted(all_nodes, deg_parts["node"].to_numpy())
+    deg[pos] = deg_parts["deg"].to_numpy()
+
+    import ray as _ray
+
+    nodes_ref = _ray.put((all_nodes, deg))
+    teleport = int(0.15 * scale)
+    mass = np.full(len(all_nodes), scale, dtype=np.int64)
+
+    for _ in range(iters):
+        mass_ref = _ray.put(mass)
+
+        def send(batch: pa.Table, _m=mass_ref) -> pa.Table:
+            nodes_s, deg_s = _ray.get(nodes_ref)
+            m = _ray.get(_m)
+            src = batch["src"].to_numpy(zero_copy_only=False)
+            dst = batch["dst"].to_numpy(zero_copy_only=False)
+            si = np.searchsorted(nodes_s, src)
+            per_edge = (m[si] * 85 // 100) // np.maximum(deg_s[si], 1)
+            uniq, inv = np.unique(dst, return_inverse=True)
+            sums = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(sums, inv, per_edge)
+            return pa.table({"node": pa.array(uniq),
+                             "recv": pa.array(sums)})
+
+        recv = sharded_grouped_agg(
+            edges.map_batches(send, batch_format="pyarrow"),
+            ["node"], [("recv", "sum")], num_shards,
+        ).to_pandas()
+        new_mass = np.full(len(all_nodes), teleport, dtype=np.int64)
+        pos = np.searchsorted(all_nodes, recv["node"].to_numpy())
+        new_mass[pos] += recv["recv"].to_numpy()
+        mass = new_mass
+
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(all_nodes, pa.int64()),
+        "rank": pa.array(mass, pa.int64()),
+    }))

@@ -270,6 +270,48 @@ def kmeans_reference(ids: np.ndarray, vecs: np.ndarray,
     return C, counts
 
 
+# --- integer PageRank (spec: stages/graph.pagerank_int) ---------------------
+
+PR_ITERS = 5
+PR_SCALE = 10**9
+
+
+def star_edges_reference(ids, keys):
+    """group_star_edges: (min_id, other) per group with >= 2 members."""
+    groups: dict = {}
+    for i, k in zip(ids, keys):
+        groups.setdefault(k, []).append(i)
+    edges = []
+    for members in groups.values():
+        ms = sorted(members)
+        edges.extend((ms[0], m) for m in ms[1:])
+    return edges
+
+
+def pagerank_reference(all_ids, edges, iters=PR_ITERS, scale=PR_SCALE):
+    """Sequential integer PageRank with the exact spec arithmetic
+    (floor(0.85*m) // deg per incident edge, teleport floor(0.15*scale));
+    undirected: each edge counts both directions."""
+    nodes = sorted(all_ids)
+    idx = {n: i for i, n in enumerate(nodes)}
+    deg = [0] * len(nodes)
+    dir_edges = []
+    for a, b in edges:
+        dir_edges.append((a, b))
+        dir_edges.append((b, a))
+    for s, _ in dir_edges:
+        deg[idx[s]] += 1
+    mass = [scale] * len(nodes)
+    teleport = int(0.15 * scale)
+    for _ in range(iters):
+        recv = [0] * len(nodes)
+        for s, d in dir_edges:
+            si = idx[s]
+            recv[idx[d]] += (mass[si] * 85 // 100) // max(deg[si], 1)
+        mass = [teleport + r for r in recv]
+    return nodes, mass
+
+
 # --- HyperLogLog approx distinct (spec: stages/sketch.py) -------------------
 
 HLL_P = 12
@@ -396,6 +438,7 @@ def main() -> None:
                         "c_bytes": [], "ratio": []},
         "frame_features": {"corpus_key": [], "media_id": [], "n_frames": [],
                            "embedding": []},
+        "pagerank": {"corpus_key": [], "node": [], "rank": []},
         "approx_users": {"corpus_key": [], "event_type": [], "approx_users": []},
         "approx_quantiles": {"corpus_key": [], "event_type": [],
                              "p50": [], "p90": [], "p99": []},
@@ -450,6 +493,25 @@ def main() -> None:
                 rows["kmeans"]["cluster"].append(c)
                 rows["kmeans"]["n_vecs"].append(int(km_n[c]))
                 rows["kmeans"]["c0"].append(round(float(km_C[c, 0]), 6))
+    for sf in SF_DIRS:
+        dt = pq.read_table(
+            f"{sf}/documents.parquet",
+            columns=["doc_id", "lang", "source", "n_chars"],
+        )
+        dkey = int(sum(dt["n_chars"].to_pylist()))
+        dids = dt["doc_id"].to_pylist()
+        e1 = star_edges_reference(
+            dids, list(zip(dt["lang"].to_pylist(), dt["n_chars"].to_pylist()))
+        )
+        e2 = star_edges_reference(
+            dids, list(zip(dt["source"].to_pylist(), dt["n_chars"].to_pylist()))
+        )
+        pr_nodes, pr_mass = pagerank_reference(dids, e1 + e2)
+        for n, m in zip(pr_nodes, pr_mass):
+            rows["pagerank"]["corpus_key"].append(dkey)
+            rows["pagerank"]["node"].append(n)
+            rows["pagerank"]["rank"].append(m)
+
     for sf in SF_DIRS:
         t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text", "n_chars"])
         key = int(sum(t["n_chars"].to_pylist()))
@@ -542,6 +604,10 @@ def main() -> None:
         "frame_features": pa.schema(
             [("corpus_key", pa.int64()), ("media_id", pa.int64()),
              ("n_frames", pa.int64()), ("embedding", pa.list_(pa.float64()))]
+        ),
+        "pagerank": pa.schema(
+            [("corpus_key", pa.int64()), ("node", pa.int64()),
+             ("rank", pa.int64())]
         ),
         "kmeans": pa.schema(
             [("corpus_key", pa.int64()), ("cluster", pa.int64()),

@@ -104,7 +104,7 @@ def test_oracle_keys_subset(entry_mod):
         "fingerprint", "simhash", "lang_id", "minhash_pairs",
         "ngram_jaccard_pairs", "embedding_neardup", "ivf_topk",
         "ivf_index_topk", "media_features", "approx_users", "approx_quantiles",
-        "compression_ratio", "frame_features",
+        "compression_ratio", "frame_features", "pagerank",
         "kmeans",
         "pages_verify",
     ],

@@ -1073,3 +1073,33 @@ def test_exact_global_quantiles_selection(ray_session):
     for q in qs:
         want = int(sv[max(int(np.ceil(q * len(v))) - 1, 0)])
         assert got[q] == want, q
+
+
+def test_pagerank_int_partition_invariant(ray_session):
+    """Integer mass routing is exact/associative: bit-identical ranks
+    across block layouts; hub outranks leaves; teleport floor for
+    isolated nodes."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.graph import pagerank_int
+
+    # star: 0 is the hub of 1..6; 7-8 a pair; 9 isolated
+    edges = pa.table({
+        "a": pa.array([0, 0, 0, 0, 0, 0, 7], pa.int64()),
+        "b": pa.array([1, 2, 3, 4, 5, 6, 8], pa.int64()),
+    })
+    nodes = pa.table({"node": pa.array(list(range(10)), pa.int64())})
+    r1 = (
+        pagerank_int(ray.data.from_arrow(edges).repartition(4),
+                     ray.data.from_arrow(nodes).repartition(3), iters=4)
+        .to_pandas().set_index("node")["rank"]
+    )
+    r2 = (
+        pagerank_int(ray.data.from_arrow(edges),
+                     ray.data.from_arrow(nodes), iters=4)
+        .to_pandas().set_index("node")["rank"]
+    )
+    assert r1.to_dict() == r2.to_dict()
+    assert r1[0] > r1[1]            # hub beats leaf
+    assert r1[9] == int(0.15 * 10**9)  # isolated = teleport only
+    assert r1[7] == r1[8]           # symmetric pair equal
