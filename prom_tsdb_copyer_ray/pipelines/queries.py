@@ -2208,6 +2208,31 @@ def q_pagerank(sf_dir: str):
     return pagerank_int(e1.union(e2), docs, node_col="doc_id", iters=5)
 
 
+def q_share_of_type(sf_dir: str):
+    """Each user's share of their event type's volume — ratio-to-report
+    (stages/keyed.ratio_to_total; exact int group sums broadcast once,
+    shuffle-free divide)."""
+    from ..stages.keyed import ratio_to_total, sharded_grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "n": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+        g = t.group_by(["event_type", "user_id"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "user_id", "n"])
+
+    counts = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "user_id"], [("n", "sum")], num_shards=16,
+    )
+    return ratio_to_total(counts, ["event_type"], "n",
+                          carry_cols=["user_id"], out_col="share")
+
+
 _PROFILE_COLS = ["doc_id", "lang", "source", "n_chars", "text"]
 
 
@@ -2335,6 +2360,7 @@ QUERIES = {
     "frame_features": q_frame_features,
     "cluster_keep_best": q_cluster_keep_best,
     "pagerank": q_pagerank,
+    "share_of_type": q_share_of_type,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -2404,6 +2430,16 @@ ORACLE_SQL = {
                string_agg(event_type, ','
                           ORDER BY epoch_ms(ts), event_type) AS type_seq
         FROM events GROUP BY 1
+    """,
+    "share_of_type": """
+        WITH c AS (SELECT event_type, CAST(user_id AS BIGINT) AS user_id,
+                          count(*) AS n
+                   FROM events GROUP BY 1, 2)
+        SELECT event_type, user_id, n,
+               CAST(n AS DOUBLE)
+                   / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE)
+                   AS share
+        FROM c
     """,
     "cluster_keep_best": """
         WITH RECURSIVE

@@ -1009,6 +1009,55 @@ def percent_rank(ds, key_cols: list[str], order_cols: list[str],
     )
 
 
+def ratio_to_total(ds, key_cols: list[str], value_col: str,
+                   carry_cols: list[str] | None = None,
+                   out_col: str = "share", num_shards: int = 64):
+    """Ratio-to-report: ``v / sum(v) OVER (PARTITION BY key)`` — each row's
+    share of its group total.  Two passes like
+    :func:`standardize_per_group`: exact int64 group sums (per-batch
+    combiner + sharded merge) broadcast once via ``ray.put``, then a
+    SHUFFLE-FREE vectorized divide (sorted-key-hash searchsorted gather).
+    ``value_col`` must be integer; zero-total groups are dropped (SQL:
+    division by 0 -> engine-dependent; both sides filter them)."""
+    import ray
+
+    keys = list(key_cols)
+    carry = list(carry_cols or [])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        y = pc.cast(batch[value_col], pa.int64())
+        t = pa.table({**{k: batch[k] for k in keys}, "_sy": y})
+        g = t.group_by(keys).aggregate([("_sy", "sum")])
+        return g.rename_columns(keys + ["_sy"])
+
+    stats = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"), keys,
+        [("_sy", "sum")], num_shards,
+    ).to_pandas()
+    kh = _key_hash64(pa.Table.from_pandas(stats[keys]), keys)
+    if len(np.unique(kh)) != len(kh):  # same guard as standardize_per_group
+        raise ValueError("64-bit key-hash collision in ratio_to_total stats")
+    order = np.argsort(kh)
+    stats_ref = ray.put((
+        kh[order], stats["_sy"].to_numpy().astype(np.int64)[order]
+    ))
+
+    def transform(batch: pa.Table) -> pa.Table:
+        kh_s, tot_s = ray.get(stats_ref)
+        h = _key_hash64(batch, keys)
+        pos = np.searchsorted(kh_s, h)
+        pos[pos >= len(kh_s)] = 0
+        ok = kh_s[pos] == h if len(kh_s) else np.zeros(len(h), bool)
+        v = pc.cast(batch[value_col], pa.int64()).to_numpy(zero_copy_only=False)
+        tot = tot_s[pos]
+        keep = ok & (tot != 0)
+        share = v[keep].astype(np.float64) / tot[keep].astype(np.float64)
+        out = batch.select(keys + carry + [value_col]).filter(pa.array(keep))
+        return out.append_column(out_col, pa.array(share, pa.float64()))
+
+    return ds.map_batches(transform, batch_format="pyarrow")
+
+
 def standardize_per_group(ds, key_cols: list[str], value_col: str,
                           carry_cols: list[str] | None = None,
                           out_col: str = "z", num_shards: int = 64):

@@ -1103,3 +1103,33 @@ def test_pagerank_int_partition_invariant(ray_session):
     assert r1[0] > r1[1]            # hub beats leaf
     assert r1[9] == int(0.15 * 10**9)  # isolated = teleport only
     assert r1[7] == r1[8]           # symmetric pair equal
+
+
+def test_ratio_to_total_vs_pandas(ray_session):
+    """Shares sum to 1 per group and match pandas transform; zero-total
+    groups dropped; multi-block invariance."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.keyed import ratio_to_total
+
+    rng = np.random.default_rng(139)
+    n = 2000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 30, n).astype(np.int64)),
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array(rng.integers(0, 50, n).astype(np.int64)),
+    })
+    out = (
+        ratio_to_total(ray.data.from_arrow(t).repartition(7), ["k"], "v",
+                       carry_cols=["id"])
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    tot = df.groupby("k")["v"].transform("sum")
+    keep = tot != 0
+    want = (df["v"][keep] / tot[keep]).reset_index(drop=True)
+    got = out["share"].reset_index(drop=True)
+    assert len(got) == keep.sum()
+    assert np.allclose(got, want.values)
+    sums = out.groupby("k")["share"].sum()
+    assert np.allclose(sums, 1.0)
