@@ -348,6 +348,11 @@ def kmeans_fit(ds, k: int = 8, iters: int = 5, id_col: str = "vec_id",
     """
     import ray
 
+    # pin the input blocks once: a lazy ds would re-execute the parquet
+    # read on EVERY Lloyd iteration (iters + 2 passes); materialized blocks
+    # live in the (spillable) object store — the standard trade for
+    # iterative ML over a Dataset
+    ds = ds.materialize()
     # init = the k smallest-id vectors, via a per-batch min-k combiner (k
     # rows per batch reach the driver — a full ds.sort() would shuffle every
     # vector to select k)
