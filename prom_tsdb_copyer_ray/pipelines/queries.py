@@ -2233,6 +2233,50 @@ def q_share_of_type(sf_dir: str):
                           carry_cols=["user_id"], out_col="share")
 
 
+def q_cdc_merge(sf_dir: str):
+    """CDC changelog merge: treat events as an ordered upsert/delete stream
+    per user (purchase = delete, anything else = upsert of value) and emit
+    the final snapshot — last writer by (ts, event_id) wins, deleted keys
+    vanish.  Composition: per-batch top-1 combiner + one key-shard exchange
+    (stages/keyed.topk_per_group with a packed order key), then a filter —
+    the standard log-compaction / SCD-latest shape."""
+    from ..stages.keyed import topk_per_group
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "event_type", "ts", "event_id", "value"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        eid = pc.cast(batch["event_id"], pa.int64())
+        # one sortable recency key: (ts, event_id) packed — event_id is the
+        # unique tiebreak, ts dominates (ms * 2^20 leaves room for 1M ids/ms)
+        okey = pc.add(
+            pc.multiply(ts_to_ms(batch["ts"]), 1 << 20),
+            pc.subtract(eid, pc.multiply(pc.divide(eid, 1 << 20), 1 << 20)),
+        )
+        return pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "_okey": okey,
+            "is_delete": pc.cast(
+                pc.equal(batch["event_type"], "purchase"), pa.int8()),
+            "value": pc.cast(batch["value"], pa.float64()),
+        })
+
+    last = topk_per_group(
+        ds.map_batches(norm, batch_format="pyarrow"),
+        ["user_id"], "_okey", 1, descending=True,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["is_delete"], 0)
+        t = batch.filter(keep)
+        return pa.table({
+            "user_id": t["user_id"],
+            "last_value": t["value"],
+        })
+
+    return last.map_batches(finish, batch_format="pyarrow")
+
+
 _PROFILE_COLS = ["doc_id", "lang", "source", "n_chars", "text"]
 
 
@@ -2361,6 +2405,7 @@ QUERIES = {
     "cluster_keep_best": q_cluster_keep_best,
     "pagerank": q_pagerank,
     "share_of_type": q_share_of_type,
+    "cdc_merge": q_cdc_merge,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -2430,6 +2475,19 @@ ORACLE_SQL = {
                string_agg(event_type, ','
                           ORDER BY epoch_ms(ts), event_type) AS type_seq
         FROM events GROUP BY 1
+    """,
+    "cdc_merge": """
+        WITH s AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+                          epoch_ms(ts) * 1048576 + event_id % 1048576
+                              AS okey,
+                          event_type = 'purchase' AS is_del,
+                          value
+                   FROM events),
+        r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY okey DESC) AS rn
+              FROM s)
+        SELECT user_id, value AS last_value FROM r
+        WHERE rn = 1 AND NOT is_del
     """,
     "share_of_type": """
         WITH c AS (SELECT event_type, CAST(user_id AS BIGINT) AS user_id,
