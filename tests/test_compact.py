@@ -77,3 +77,28 @@ def test_compact_repair_interrupted_swap(ray_session, tmp_path):
     assert not os.path.isdir(leaf + OLD_SUFFIX)
     assert not os.path.isdir(leaf + COMPACT_SUFFIX)
     pd.testing.assert_frame_equal(before, _tier_df(out, "5m"))
+
+
+def test_compact_subday_groups(ray_session, tmp_path):
+    """Compaction over the sub-day (window_group=) layout: leaves are the
+    group dirs; content preserved; group-level resume intact."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.pipelines.compact import _leaf_dirs, compact_tier
+    from prom_tsdb_copyer_ray.pipelines.copy import run_copy
+
+    out = str(tmp_path / "out")
+    pages = generate_pages(1500, seed=9)
+    run_copy(lambda: ray.data.from_arrow(pages).repartition(12), out,
+             group_window_ms=2 * 3600 * 1000)
+    tier_dir = os.path.join(out, "tiers", "5m")
+    leaves = _leaf_dirs(tier_dir)
+    assert any("window_group=" in l for l in leaves)
+    before = _tier_df(out, "5m")
+    compact_tier(out, "5m")
+    for leaf in _leaf_dirs(tier_dir):
+        assert len([f for f in os.listdir(leaf) if f.endswith(".parquet")]) == 1
+    pd.testing.assert_frame_equal(before, _tier_df(out, "5m"))
+    m = run_copy(lambda: ray.data.from_arrow(pages).repartition(12), out,
+                 group_window_ms=2 * 3600 * 1000)
+    assert all(v["status"] == "complete" for k, v in m.items() if k != "_metrics")
