@@ -135,8 +135,11 @@ def run_curate(input_path: str, out_dir: str, *, num_shards: int = 16,
 
     winners = exact_dedup(prepped, id_col="doc_id", text_col="norm_text",
                           precomputed=True)
-    win_ids = np.sort(
-        winners.to_pandas()["doc_id"].to_numpy(dtype=np.int64)
+    win_df = winners.to_pandas()
+    win_ids = (
+        np.sort(win_df["doc_id"].to_numpy(dtype=np.int64))
+        if "doc_id" in win_df.columns and len(win_df)
+        else np.empty(0, np.int64)  # fully-filtered corpus: no winners
     )  # ids only — 8 bytes/doc; at larger scale: write winners parquet and
     # semi-join per shard instead of a driver array (stages/joins.py)
     win_ref = ray.put(win_ids)
@@ -155,7 +158,9 @@ def run_curate(input_path: str, out_dir: str, *, num_shards: int = 16,
     kept.write_parquet(data_dir, partition_cols=["shard"])
 
     # commit: enumerate written shard dirs, manifest AFTER the data
+    # (a fully-filtered corpus writes no dirs at all — still commits empty)
     wall = time.monotonic() - t0
+    os.makedirs(data_dir, exist_ok=True)
     for name in sorted(os.listdir(data_dir)):
         if not name.startswith("shard="):
             continue

@@ -74,3 +74,48 @@ def test_cli_orc_format(tmp_path):
     summary = json.loads(proc.stdout.strip().splitlines()[-1])
     # without --show-metrics the CLI prints {tier: status}
     assert summary == {"5m": "complete", "1h": "complete", "1d": "complete"}
+
+
+def test_curate_cli_end_to_end(tmp_path):
+    import pyarrow as pa
+
+    texts = [" ".join(f"w{i}x{j}" for j in range(40)) for i in range(38)]
+    texts += ["dup " * 40, "dup " * 40]  # repetitive pair: quality-filtered
+    docs = pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "lang": pa.array(["en"] * 40),
+        "source": pa.array(["s"] * 40),
+        "text": pa.array(texts),
+    })
+    src = tmp_path / "docs.parquet"
+    pq.write_table(docs, src)
+    out = tmp_path / "cur"
+    proc = subprocess.run(
+        [sys.executable, "-m", "prom_tsdb_copyer_ray.curate_cli", str(src),
+         str(out), "--num-shards", "4", "--num-cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert json.loads(proc.stdout.strip().splitlines()[-1]) == {
+        "shards": 4, "status": "complete"}
+    kept = pq.read_table(str(out / "docs")).num_rows
+    assert kept == 38  # the repetitive pair was quality-filtered
+
+    # degenerate corpus: EVERY doc filtered -> empty-but-complete output
+    out2 = tmp_path / "cur2"
+    bad = pa.table({
+        "doc_id": pa.array(range(8), pa.int64()),
+        "lang": pa.array(["en"] * 8),
+        "source": pa.array(["s"] * 8),
+        "text": pa.array(["rep " * 40] * 8),
+    })
+    src2 = tmp_path / "bad.parquet"
+    pq.write_table(bad, src2)
+    proc = subprocess.run(
+        [sys.executable, "-m", "prom_tsdb_copyer_ray.curate_cli", str(src2),
+         str(out2), "--num-shards", "4", "--num-cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert json.loads(proc.stdout.strip().splitlines()[-1]) == {
+        "shards": 4, "status": "complete"}
