@@ -2277,6 +2277,16 @@ def q_cdc_merge(sf_dir: str):
     return last.map_batches(finish, batch_format="pyarrow")
 
 
+def q_char_entropy(sf_dir: str):
+    """Per-doc character-distribution Shannon entropy (log2) — the
+    CCNet-class gibberish/boilerplate signal (stages/textstats.
+    char_entropy; shuffle-free, one UTF-32 decode + np.unique + reduceat
+    per batch, no per-doc Python)."""
+    from ..stages.textstats import char_entropy
+
+    return char_entropy(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 _PROFILE_COLS = ["doc_id", "lang", "source", "n_chars", "text"]
 
 
@@ -2406,6 +2416,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "share_of_type": q_share_of_type,
     "cdc_merge": q_cdc_merge,
+    "char_entropy": q_char_entropy,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -2475,6 +2486,11 @@ ORACLE_SQL = {
                string_agg(event_type, ','
                           ORDER BY epoch_ms(ts), event_type) AS type_seq
         FROM events GROUP BY 1
+    """,
+    "char_entropy": """
+        WITH ch AS (SELECT doc_id, unnest(str_split_regex(text, '')) AS c
+                    FROM documents WHERE length(text) > 0)
+        SELECT doc_id, round(entropy(c), 6) AS h FROM ch GROUP BY 1
     """,
     "cdc_merge": """
         WITH s AS (SELECT CAST(user_id AS BIGINT) AS user_id,

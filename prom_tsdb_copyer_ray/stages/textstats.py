@@ -363,3 +363,39 @@ def _shard_term_sum(group: pa.Table) -> pa.Table:
         "term": term.take(pa.array(starts)),
         "df": pa.array(sums.astype(np.int64), pa.int64()),
     })
+
+
+def char_entropy(ds, id_col: str = "doc_id", text_col: str = "text",
+                 out_col: str = "h"):
+    """Per-doc Shannon entropy (log2) of the CHARACTER distribution — the
+    CCNet-class gibberish/boilerplate signal (very low = repeated chars,
+    very high = random bytes).  Empty docs emit no row (SQL: they vanish
+    at unnest).
+
+    Fully vectorized, shuffle-free: one UTF-32 decode of the whole batch,
+    (doc, codepoint) keys collapsed with np.unique, per-doc -sum(p log2 p)
+    via reduceat over the doc-major segments — no per-doc Python."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        texts = [t or "" for t in batch[text_col].to_pylist()]
+        lens = np.array([len(t) for t in texts], np.int64)
+        nonempty = lens > 0
+        if not nonempty.any():
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             out_col: pa.array([], pa.float64())})
+        cps = np.frombuffer("".join(texts).encode("utf-32-le"), np.uint32)
+        doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+        key = (doc_idx << np.int64(21)) | cps.astype(np.int64)  # cp < 2^21
+        uk, cnt = np.unique(key, return_counts=True)
+        udoc = uk >> np.int64(21)
+        starts = np.flatnonzero(np.r_[True, udoc[1:] != udoc[:-1]])
+        n_doc = lens[nonempty].astype(np.float64)
+        p = cnt / np.repeat(n_doc, np.diff(np.r_[starts, len(uk)]))
+        h = -np.add.reduceat(p * np.log2(p), starts)
+        return pa.table({
+            id_col: pa.array(ids[nonempty], pa.int64()),
+            out_col: pa.array(np.round(h, 6), pa.float64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
