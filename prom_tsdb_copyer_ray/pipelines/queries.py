@@ -2287,6 +2287,47 @@ def q_char_entropy(sf_dir: str):
     return char_entropy(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_audience_overlap(sf_dir: str):
+    """Audience overlap: Jaccard similarity between every two event
+    types' user sets — |A∩B| from the co-occurrence kernel, |A|,|B| from
+    the exact distinct-count kernel (broadcast; both combiner-bounded).
+    jaccard = inter / (nA + nB - inter), exact."""
+    import ray
+
+    from ..stages.keyed import cooccurrence_pairs, count_distinct_per_group
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "event_type": batch["event_type"],
+        })
+
+    nds = ds.map_batches(norm, batch_format="pyarrow")
+    inter = cooccurrence_pairs(nds, "user_id", "event_type",
+                               out_count="inter")
+    sizes = count_distinct_per_group(
+        nds, ["event_type"], "user_id", out_col="n_users"
+    ).to_pandas()
+    size_ref = ray.put(dict(zip(sizes["event_type"], sizes["n_users"])))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        m = ray.get(size_ref)
+        na = np.array([m[t] for t in batch["ta"].to_pylist()], np.int64)
+        nb = np.array([m[t] for t in batch["tb"].to_pylist()], np.int64)
+        iv = batch["inter"].to_numpy(zero_copy_only=False).astype(np.int64)
+        jac = iv.astype(np.float64) / (na + nb - iv).astype(np.float64)
+        return pa.table({
+            "ta": batch["ta"],
+            "tb": batch["tb"],
+            "inter": pa.array(iv, pa.int64()),
+            "jaccard": pa.array(np.round(jac, 8), pa.float64()),
+        })
+
+    return inter.map_batches(finish, batch_format="pyarrow")
+
+
 _PROFILE_COLS = ["doc_id", "lang", "source", "n_chars", "text"]
 
 
@@ -2417,6 +2458,7 @@ QUERIES = {
     "share_of_type": q_share_of_type,
     "cdc_merge": q_cdc_merge,
     "char_entropy": q_char_entropy,
+    "audience_overlap": q_audience_overlap,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -2486,6 +2528,21 @@ ORACLE_SQL = {
                string_agg(event_type, ','
                           ORDER BY epoch_ms(ts), event_type) AS type_seq
         FROM events GROUP BY 1
+    """,
+    "audience_overlap": """
+        WITH d AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS u, event_type
+                   FROM events),
+        sz AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1),
+        iv AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                      count(*) AS inter
+               FROM d a JOIN d b ON a.u = b.u
+                    AND a.event_type < b.event_type
+               GROUP BY 1, 2)
+        SELECT iv.ta, iv.tb, iv.inter,
+               round(CAST(iv.inter AS DOUBLE)
+                     / CAST(sa.n + sb.n - iv.inter AS DOUBLE), 8) AS jaccard
+        FROM iv JOIN sz sa ON iv.ta = sa.event_type
+                JOIN sz sb ON iv.tb = sb.event_type
     """,
     "char_entropy": """
         WITH ch AS (SELECT doc_id, unnest(str_split_regex(text, '')) AS c
