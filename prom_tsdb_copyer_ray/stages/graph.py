@@ -37,14 +37,62 @@ from .common import narrow_fanin as _fanin
 from .common import shard_of_ints as _mix_shard
 
 
+def _solve_cc_in_task(batch: pa.Table, node_col: str) -> pa.Table:
+    """Whole-graph CC inside ONE task: vectorized hash-min edge relaxation
+    + pointer jumping to fixpoint (O(E+N) numpy work per round, O(log n)
+    rounds).  Input is the tagged union the distributed loop also uses:
+    rows with a valid ``label`` are nodes, the rest are directed edges."""
+    lab_mask = pc.is_valid(batch["label"])
+    lab_t = batch.filter(lab_mask)
+    edge_t = batch.filter(pc.invert(lab_mask))
+    ids = np.unique(lab_t["src"].to_numpy(zero_copy_only=False).astype(np.int64))
+    src = edge_t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = edge_t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    si = np.searchsorted(ids, src)
+    di = np.searchsorted(ids, dst)
+    for arr, idx in ((src, si), (dst, di)):
+        if len(arr):
+            if len(ids) == 0:
+                raise ValueError("edge endpoints absent from nodes_ds (no nodes)")
+            bad = (idx >= len(ids)) | (ids[np.minimum(idx, len(ids) - 1)] != arr)
+            if bad.any():
+                raise ValueError(
+                    f"edge endpoints absent from nodes_ds: {arr[bad][:5].tolist()} ..."
+                )
+    # labels are INDICES into the sorted id array, so min index == min id
+    lab = np.arange(len(ids), dtype=np.int64)
+    while True:
+        l2 = lab.copy()
+        if len(si):
+            np.minimum.at(l2, di, lab[si])
+        while True:  # pointer jump to fixpoint (path compression)
+            l3 = l2[l2]
+            if np.array_equal(l3, l2):
+                break
+            l2 = l3
+        if np.array_equal(l2, lab):
+            break
+        lab = l2
+    return pa.table({node_col: pa.array(ids), "component": pa.array(ids[lab])})
+
+
 def connected_components(edges_ds, nodes_ds, node_col: str = "node",
                          a_col: str = "a", b_col: str = "b",
-                         max_iters: int = 50, num_shards: int = 64):
+                         max_iters: int = 50, num_shards: int = 64,
+                         small_graph_rows: int = 4_000_000):
     """(node, component) for every node, component = min reachable node id.
 
     ``edges_ds`` holds undirected int64 edges (``a_col``, ``b_col``);
     ``nodes_ds`` the full node universe (isolated nodes keep themselves as
     component).  Every edge endpoint must appear in ``nodes_ds``.
+
+    Size-aware execution: when 2*edges + nodes fits one worker's heap
+    (``small_graph_rows``, int rows so the default ~4M is <100 MB), the
+    whole graph collapses into ONE Ray task running the vectorized
+    in-memory solver — the iterative loop's per-round exchanges are pure
+    overhead at that size (a 5k-node dup graph paid ~8 s of scheduling for
+    ~50 ms of math).  Above the threshold the distributed hash-min loop
+    runs unchanged; pass ``small_graph_rows=0`` to force it.
     """
     import ray
 
@@ -73,6 +121,31 @@ def connected_components(edges_ds, nodes_ds, node_col: str = "node",
     # per round for ~300 rows each; cap at ~64k rows per partition, floor 2
     n_rows = edges_bi.count() + nodes_ds.count()
     loop_fanin = max(2, min(_fanin(), n_rows // 65_536 + 1))
+
+    if n_rows <= small_graph_rows:
+        def tag_nodes(batch: pa.Table) -> pa.Table:
+            node = pc.cast(batch[node_col], pa.int64())
+            return pa.table(
+                {
+                    "src": node,
+                    "dst": pa.nulls(len(node), pa.int64()),
+                    "label": node,
+                    "_s": pa.array(np.zeros(len(node), np.int64)),
+                }
+            )
+
+        import functools
+
+        return (
+            nodes_ds.map_batches(tag_nodes, batch_format="pyarrow")
+            .union(edges_bi)
+            .repartition(1)
+            .map_batches(
+                functools.partial(_solve_cc_in_task, node_col=node_col),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+        )
 
     def init_labels(batch: pa.Table) -> pa.Table:
         node = pc.cast(batch[node_col], pa.int64())
@@ -234,12 +307,62 @@ def connected_components(edges_ds, nodes_ds, node_col: str = "node",
 
 
 def group_star_edges(ds, key_cols: list[str], id_col: str = "doc_id",
-                     num_shards: int = 64):
+                     num_shards: int = 64, broadcast_keys: int = 4_000_000):
     """Star edges (min_id, other_id) per group of equal ``key_cols`` — the
     standard way a same-key dup relation becomes a graph without emitting
-    the quadratic all-pairs.  One shard groupby; emits nothing for
-    singleton groups."""
-    from ..stages.keyed import _key_shard
+    the quadratic all-pairs.  Emits nothing for singleton groups.
+
+    Shuffle shape: a per-batch pyarrow ``group_by`` combiner collapses each
+    batch to one (key, min_id, n) row per key, so the ONLY exchange moves
+    distinct keys, never the input rows; the multi-member key->min table
+    (bounded by distinct dup keys) is broadcast once via ``ray.put`` and
+    edges are emitted by a shuffle-free per-batch merge.  When the dup-key
+    table itself outgrows a broadcast (``broadcast_keys``), falls back to
+    co-partitioning the input rows by key hash (the only shape that works
+    when keys ~ rows)."""
+    import ray
+
+    from .keyed import sharded_grouped_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {**{c: batch[c] for c in key_cols}, id_col: pc.cast(batch[id_col], pa.int64())}
+        )
+        g = t.group_by(list(key_cols)).aggregate([(id_col, "min"), ([], "count_all")])
+        return g.rename_columns(list(key_cols) + ["_gmin", "_gn"])
+
+    def keep_multi(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["_gn"], 1)).drop_columns("_gn")
+
+    # materialized: one row per multi-member key (tiny), consumed twice
+    # (count for the broadcast decision, then the broadcast itself)
+    mins = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        list(key_cols), [("_gmin", "min"), ("_gn", "sum")], num_shards,
+    ).map_batches(keep_multi, batch_format="pyarrow").materialize()
+    n_keys = mins.count()
+
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    if n_keys == 0:
+        return ds.map_batches(lambda b: empty, batch_format="pyarrow")
+
+    if n_keys <= broadcast_keys:
+        mins_ref = ray.put(mins.to_pandas())  # bounded: one row per dup key
+
+        def emit(batch: pa.Table, _r=mins_ref) -> pa.Table:
+            mdf = ray.get(_r)
+            bdf = batch.select(list(key_cols) + [id_col]).to_pandas()
+            j = bdf.merge(mdf, on=list(key_cols), how="inner")
+            ids = j[id_col].to_numpy().astype(np.int64)
+            gmin = j["_gmin"].to_numpy().astype(np.int64)
+            mask = ids != gmin
+            return pa.table({"a": pa.array(gmin[mask]), "b": pa.array(ids[mask])})
+
+        return ds.map_batches(emit, batch_format="pyarrow")
+
+    # fallback: more dup keys than a broadcast should hold -> co-partition
+    # the (key, id) rows themselves by key hash (one wide exchange)
+    from ..stages.keyed import _key_shard, _segment_starts
 
     def add_shard(batch: pa.Table) -> pa.Table:
         t = batch.select(list(key_cols) + [id_col])
@@ -247,20 +370,18 @@ def group_star_edges(ds, key_cols: list[str], id_col: str = "doc_id",
 
     def per_shard(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+            return empty
         t = group.drop_columns("_kshard").sort_by(
             [(c, "ascending") for c in key_cols] + [(id_col, "ascending")]
         )
-        from ..stages.keyed import _segment_starts
-
         new = _segment_starts(t, key_cols)
         starts = np.flatnonzero(new)
         sizes = np.diff(np.r_[starts, t.num_rows])
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         # sorted by id within segment -> min is the first row
-        mins = np.repeat(ids[starts], sizes)
-        mask = ids != mins
-        return pa.table({"a": pa.array(mins[mask]), "b": pa.array(ids[mask])})
+        mins_arr = np.repeat(ids[starts], sizes)
+        mask = ids != mins_arr
+        return pa.table({"a": pa.array(mins_arr[mask]), "b": pa.array(ids[mask])})
 
     return (
         ds.map_batches(add_shard, batch_format="pyarrow")
@@ -272,7 +393,7 @@ def group_star_edges(ds, key_cols: list[str], id_col: str = "doc_id",
 def pagerank_int(edges_ds, nodes_ds, node_col: str = "node",
                  a_col: str = "a", b_col: str = "b",
                  iters: int = 5, scale: int = 10**9,
-                 num_shards: int = 64):
+                 num_shards: int = 64, small_graph_rows: int = 4_000_000):
     """Deterministic integer PageRank over an undirected edge set.
 
     Float PageRank re-associates mass sums under Ray's nondeterministic
@@ -335,6 +456,38 @@ def pagerank_int(edges_ds, nodes_ds, node_col: str = "node",
     nodes_ref = _ray.put((all_nodes, deg))
     teleport = int(0.15 * scale)
     mass = np.full(len(all_nodes), scale, dtype=np.int64)
+
+    # Size-aware: when the directed edge list fits one worker, all
+    # iterations run inside ONE Ray task (integer spec -> bit-identical to
+    # the distributed loop, whose per-iteration exchange is pure overhead
+    # at this size).  ``small_graph_rows=0`` forces the loop.
+    n_edge_rows = edges.count()
+    if n_edge_rows == 0:
+        final = np.full(len(all_nodes), teleport if iters > 0 else scale, np.int64)
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(all_nodes, pa.int64()),
+            "rank": pa.array(final, pa.int64()),
+        }))
+    if n_edge_rows <= small_graph_rows:
+        def run_all(batch: pa.Table) -> pa.Table:
+            nodes_s, deg_s = _ray.get(nodes_ref)
+            src = batch["src"].to_numpy(zero_copy_only=False)
+            dst = batch["dst"].to_numpy(zero_copy_only=False)
+            si = np.searchsorted(nodes_s, src)
+            di = np.searchsorted(nodes_s, dst)
+            m = np.full(len(nodes_s), scale, dtype=np.int64)
+            for _ in range(iters):
+                per_edge = (m[si] * 85 // 100) // np.maximum(deg_s[si], 1)
+                nm = np.full(len(nodes_s), teleport, dtype=np.int64)
+                np.add.at(nm, di, per_edge)
+                m = nm
+            return pa.table({"node": pa.array(nodes_s, pa.int64()),
+                             "rank": pa.array(m)})
+
+        return (
+            edges.repartition(1)
+            .map_batches(run_all, batch_format="pyarrow", batch_size=None)
+        )
 
     for _ in range(iters):
         mass_ref = _ray.put(mass)

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pytest
 
 
 def test_topk_per_group_basic(ray_session):
@@ -110,9 +111,12 @@ def test_group_quantiles_matches_numpy(ray_session):
             assert out.loc[str(kk), col] == want
 
 
-def test_connected_components_chain_and_isolated(ray_session):
+@pytest.mark.parametrize("small_graph_rows", [0, 4_000_000])
+def test_connected_components_chain_and_isolated(ray_session, small_graph_rows):
     """A chain forces multiple propagation rounds; isolated nodes keep
-    themselves as component."""
+    themselves as component.  Parametrized over both execution paths:
+    the distributed hash-min loop (small_graph_rows=0) and the
+    single-task vectorized solver (default threshold)."""
     import ray.data
 
     from prom_tsdb_copyer_ray.stages.graph import connected_components
@@ -121,7 +125,8 @@ def test_connected_components_chain_and_isolated(ray_session):
     nodes = pa.table({"node": [1, 2, 3, 4, 10, 11, 20, 21, 99]})
     out = (
         connected_components(
-            ray.data.from_arrow(edges), ray.data.from_arrow(nodes)
+            ray.data.from_arrow(edges), ray.data.from_arrow(nodes),
+            small_graph_rows=small_graph_rows,
         )
         .to_pandas()
         .set_index("node")["component"]
@@ -157,6 +162,34 @@ def test_connected_components_merges_star_relations(ray_session):
     )
     # g1 links 1-2 and 3-4; g2 links 2-3 and 4-5 -> all one component
     assert out.to_dict() == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_group_star_edges_paths_agree(ray_session):
+    """The broadcast (combiner + key->min merge) and fallback (key-hash
+    co-partition) star-edge builders emit the same edge set, incl.
+    multi-block inputs, singleton groups and a null-free dup key."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.graph import group_star_edges
+
+    rng = np.random.default_rng(71)
+    n = 400
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "k1": pa.array([f"g{v}" for v in rng.integers(0, 60, n)]),
+        "k2": pa.array(rng.integers(0, 37, n).astype(np.int64)),
+    })
+    ds = ray.data.from_arrow(docs).repartition(5)
+
+    def edge_set(out_ds):
+        df = out_ds.to_pandas()
+        return set(zip(df["a"].astype(int), df["b"].astype(int)))
+
+    fast = edge_set(group_star_edges(ds, ["k1", "k2"]))
+    slow = edge_set(group_star_edges(ds, ["k1", "k2"], broadcast_keys=0))
+    assert fast == slow and len(fast) > 0
+    # every edge's a is the group min: a < b always
+    assert all(a < b for a, b in fast)
 
 
 def test_term_df_small(ray_session):
@@ -239,10 +272,12 @@ def test_connected_components_missing_endpoint_raises(ray_session):
 
     edges = pa.table({"a": [1, 5], "b": [2, 99]})
     nodes = pa.table({"node": [1, 2, 99]})  # 5 missing
-    with pytest.raises(Exception):
-        connected_components(
-            ray.data.from_arrow(edges), ray.data.from_arrow(nodes)
-        ).materialize()
+    for sgr in (0, 4_000_000):  # both the loop and the single-task path
+        with pytest.raises(Exception):
+            connected_components(
+                ray.data.from_arrow(edges), ray.data.from_arrow(nodes),
+                small_graph_rows=sgr,
+            ).materialize()
 
 
 def test_hll_registers_match_pure_python():
@@ -377,7 +412,8 @@ def test_connected_components_long_chain_pointer_jumping(ray_session):
     nodes = pa.table({"node": list(range(n))})
     out = (
         connected_components(
-            ray.data.from_arrow(edges), ray.data.from_arrow(nodes), max_iters=40
+            ray.data.from_arrow(edges), ray.data.from_arrow(nodes), max_iters=40,
+            small_graph_rows=0,  # force the distributed loop under test
         )
         .to_pandas()["component"]
         .unique()
@@ -1099,7 +1135,14 @@ def test_pagerank_int_partition_invariant(ray_session):
                      ray.data.from_arrow(nodes), iters=4)
         .to_pandas().set_index("node")["rank"]
     )
+    # the distributed loop must be bit-identical to the single-task path
+    r3 = (
+        pagerank_int(ray.data.from_arrow(edges).repartition(4),
+                     ray.data.from_arrow(nodes), iters=4, small_graph_rows=0)
+        .to_pandas().set_index("node")["rank"]
+    )
     assert r1.to_dict() == r2.to_dict()
+    assert r1.to_dict() == r3.to_dict()
     assert r1[0] > r1[1]            # hub beats leaf
     assert r1[9] == int(0.15 * 10**9)  # isolated = teleport only
     assert r1[7] == r1[8]           # symmetric pair equal
