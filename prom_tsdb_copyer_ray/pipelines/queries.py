@@ -2358,6 +2358,94 @@ def q_pivot_events(sf_dir: str):
     return _finalize(out, {}, {f"v_{c}": 4 for c in _PIVOT_CATS})
 
 
+def q_mad_outliers(sf_dir: str):
+    """Per-type robust outlier counts: |v - median| > 3*MAD
+    (stages/keyed.mad_outliers; robust_stats' one-exchange shape with the
+    comparison run in doubled/quadrupled integer units — bit-exact vs the
+    SQL median()/mad() rule)."""
+    from ..stages.keyed import mad_outliers
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "cval": pa.array(np.rint(v * 100).astype(np.int64), pa.int64()),
+        })
+
+    return mad_outliers(ds.map_batches(norm, batch_format="pyarrow"),
+                        ["event_type"], "cval", k=3)
+
+
+def q_first_last(sf_dir: str):
+    """first_value/last_value of value per (type, user) over the total
+    (ts, event_id) order (stages/keyed.group_first_last; 2-rows-per-key
+    combiner bounds the exchange — the windowed analogue of the rollup
+    tiers' first/last-by-ts aggregate)."""
+    from ..stages.keyed import group_first_last
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "ts", "event_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "ts": pc.cast(batch["ts"], pa.int64()),
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "value": batch["value"],
+        })
+
+    out = group_first_last(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "user_id"], ["ts", "event_id"], "value",
+    )
+    return out
+
+
+def q_dense_rank(sf_dir: str):
+    """dense_rank() of each event within its type, ordered by floor(value)
+    — ties share a rank, no gaps (stages/keyed.dense_rank; window_rank's
+    narrow exchange with event_id carried for row identity)."""
+    from ..stages.keyed import dense_rank
+
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "vfloor": pa.array(np.floor(v).astype(np.int64), pa.int64()),
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+        })
+
+    out = dense_rank(ds.map_batches(prep, batch_format="pyarrow"),
+                     ["event_type"], ["vfloor"], carry_cols=["event_id"])
+    return out.map_batches(
+        lambda b: b.select(["event_type", "event_id", "dr"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_winsorized(sf_dir: str):
+    """Per-type winsorized mean (values clamped to [p10, p90] before
+    averaging — stages/keyed.winsorized_mean; exact centi-int order
+    statistics + sum, division sequence mirrored by the oracle)."""
+    from ..stages.keyed import winsorized_mean
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "cval": pa.array(np.rint(v * 100).astype(np.int64), pa.int64()),
+        })
+
+    return winsorized_mean(ds.map_batches(norm, batch_format="pyarrow"),
+                           ["event_type"], "cval", q_lo=0.1, q_hi=0.9)
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -2459,6 +2547,10 @@ QUERIES = {
     "cdc_merge": q_cdc_merge,
     "char_entropy": q_char_entropy,
     "audience_overlap": q_audience_overlap,
+    "mad_outliers": q_mad_outliers,
+    "first_last": q_first_last,
+    "dense_rank": q_dense_rank,
+    "winsorized": q_winsorized,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -2548,6 +2640,48 @@ ORACLE_SQL = {
         WITH ch AS (SELECT doc_id, unnest(str_split_regex(text, '')) AS c
                     FROM documents WHERE length(text) > 0)
         SELECT doc_id, round(entropy(c), 6) AS h FROM ch GROUP BY 1
+    """,
+    "mad_outliers": """
+        WITH s AS (SELECT event_type, CAST(value * 100 AS BIGINT) AS cval
+                   FROM events),
+        m AS (SELECT event_type, median(cval) AS med, mad(cval) AS madv
+              FROM s GROUP BY 1)
+        SELECT s.event_type,
+               count(*) FILTER (WHERE abs(s.cval - m.med) > 3 * m.madv)
+                   AS n_outliers,
+               count(*) AS n_total
+        FROM s JOIN m USING (event_type) GROUP BY 1
+    """,
+    "first_last": """
+        WITH r AS (
+          SELECT event_type, CAST(user_id AS BIGINT) AS user_id, value,
+                 row_number() OVER (PARTITION BY event_type, user_id
+                                    ORDER BY ts, event_id) AS ra,
+                 row_number() OVER (PARTITION BY event_type, user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rd
+          FROM events)
+        SELECT event_type, user_id,
+               max(CASE WHEN ra = 1 THEN value END) AS first_v,
+               max(CASE WHEN rd = 1 THEN value END) AS last_v
+        FROM r GROUP BY 1, 2
+    """,
+    "dense_rank": """
+        SELECT event_type, CAST(event_id AS BIGINT) AS event_id,
+               dense_rank() OVER (PARTITION BY event_type
+                                  ORDER BY CAST(floor(value) AS BIGINT)) AS dr
+        FROM events
+    """,
+    "winsorized": """
+        WITH s AS (SELECT event_type, CAST(value * 100 AS BIGINT) AS cval
+                   FROM events),
+        q AS (SELECT event_type,
+                     quantile_disc(cval, 0.1) AS qlo,
+                     quantile_disc(cval, 0.9) AS qhi
+              FROM s GROUP BY 1)
+        SELECT s.event_type, count(*) AS n,
+               (CAST(SUM(LEAST(GREATEST(s.cval, q.qlo), q.qhi)) AS DOUBLE)
+                / 100.0) / count(*) AS w_mean
+        FROM s JOIN q USING (event_type) GROUP BY 1
     """,
     "cdc_merge": """
         WITH s AS (SELECT CAST(user_id AS BIGINT) AS user_id,

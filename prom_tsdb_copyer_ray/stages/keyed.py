@@ -1402,3 +1402,198 @@ def funnel_counts(ds, user_col: str, type_col: str, ts_col: str,
         })
 
     return final.map_batches(add_name, batch_format="pyarrow")
+
+
+def mad_outliers(ds, key_cols: list[str], value_col: str, k: int = 3,
+                 num_shards: int = 64):
+    """Per-key robust outlier counts: rows with ``|v - median| > k * MAD``
+    (the classic robust z-score rule; the reference's per-series semantics
+    of "inspect each series independently", copyer.go:92-156, as a quality
+    gate).
+
+    Exactness: ``value_col`` must be int64 (callers pre-scale).  Both the
+    median and the MAD are midpoints of two ints, so the comparison runs
+    entirely in doubled/quadrupled integer units — ``2*dev2 > k*mad4``
+    with ``dev2 = |2v - (lo+hi)|`` and ``mad4 = dev2_lo + dev2_hi`` — no
+    float rounding anywhere; bit-exact vs SQL ``abs(v - median(v)) >
+    k*mad(v)``.  One key-hash exchange of (key, value); both passes inside
+    one shard task (robust_stats' shape).  Output: key cols + n_outliers
+    + n_total.
+    """
+    keys = list(key_cols)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        t = batch.select(keys + [value_col])
+        return t.append_column("_rshard", _key_shard(t, keys, num_shards))
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_rshard")
+        if t.num_rows == 0:
+            return t.select(keys).append_column(
+                "n_outliers", pa.array([], pa.int64())
+            ).append_column("n_total", pa.array([], pa.int64()))
+        t = t.sort_by([(c, "ascending") for c in keys + [value_col]])
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.flatnonzero(_segment_starts(t, keys))
+        sizes = np.diff(np.r_[starts, t.num_rows])
+        lo = starts + (sizes - 1) // 2
+        hi = starts + sizes // 2
+        med2 = v[lo] + v[hi]                       # 2 * median, exact int
+        dev2 = np.abs(2 * v - np.repeat(med2, sizes))  # 2 * |v - med|
+        seg_id = np.repeat(np.arange(len(starts), dtype=np.int64), sizes)
+        order = np.lexsort((dev2, seg_id))
+        dev2_s = dev2[order]
+        mad4 = dev2_s[lo] + dev2_s[hi]             # 4 * MAD, exact int
+        is_out = 2 * dev2 > k * np.repeat(mad4, sizes)
+        n_out = np.add.reduceat(is_out.astype(np.int64), starts)
+        out = t.select(keys).take(pa.array(starts))
+        return out.append_column("n_outliers", pa.array(n_out, pa.int64())) \
+                  .append_column("n_total", pa.array(sizes, pa.int64()))
+
+    from .common import narrow_fanin
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .repartition(narrow_fanin())
+        .groupby("_rshard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )
+
+
+def group_first_last(ds, key_cols: list[str], order_cols: list[str],
+                     value_col: str, num_shards: int = 64,
+                     first_col: str = "first_v", last_col: str = "last_v"):
+    """SQL ``first_value`` / ``last_value`` per key over a TOTAL order
+    (make the last order col a unique id) — the windowed analogue of the
+    rollup tiers' first/last-by-ts aggregate (SURVEY.md §2 O14).
+
+    Combiner-bounded: each batch is reduced to its per-key first and last
+    candidate rows (2 rows per key per batch) BEFORE the exchange, so the
+    shuffle moves O(keys x batches), never the input.  Final: per-shard
+    lexsort by (key, order), first/last row per segment.  Values are
+    copied, not computed — no float hazard.
+    """
+    keys = list(key_cols)
+    order = list(order_cols)
+    cols = keys + order + [value_col]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols).sort_by([(c, "ascending") for c in keys + order])
+        starts = np.flatnonzero(_segment_starts(t, keys))
+        sizes = np.diff(np.r_[starts, t.num_rows])
+        idx = np.unique(np.concatenate([starts, starts + sizes - 1]))
+        t = t.take(pa.array(idx))
+        return t.append_column("_fshard", _key_shard(t, keys, num_shards))
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_fshard")
+        if t.num_rows == 0:
+            return t.select(keys).append_column(
+                first_col, pa.array([], pa.float64())
+            ).append_column(last_col, pa.array([], pa.float64()))
+        t = t.sort_by([(c, "ascending") for c in keys + order])
+        starts = np.flatnonzero(_segment_starts(t, keys))
+        sizes = np.diff(np.r_[starts, t.num_rows])
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        out = t.select(keys).take(pa.array(starts))
+        return out.append_column(first_col, pa.array(v[starts])) \
+                  .append_column(last_col, pa.array(v[starts + sizes - 1]))
+
+    from .common import narrow_fanin
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(narrow_fanin())
+        .groupby("_fshard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )
+
+
+def dense_rank(ds, key_cols: list[str], order_cols: list[str],
+               carry_cols: list[str] | None = None, num_shards: int = 64,
+               out_col: str = "dr"):
+    """SQL ``dense_rank() OVER (PARTITION BY keys ORDER BY order_cols)``:
+    tied order tuples share a rank and ranks have no gaps.
+
+    window_rank's exchange shape (one narrow key-hash shard exchange,
+    per-shard lexsort + segment kernels); ``carry_cols`` ride along for
+    row identity without affecting tie groups.
+    """
+    carry = list(carry_cols or [])
+    cols = list(key_cols) + list(order_cols) + carry
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols)
+        return t.append_column("_wshard", _key_shard(t, list(key_cols), num_shards))
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_wshard")
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        t = t.sort_by([(c, "ascending") for c in list(key_cols) + list(order_cols)])
+        n = t.num_rows
+        kmask = _segment_starts(t, list(key_cols))
+        rmask = _segment_starts(t, list(key_cols) + list(order_cols))
+        kstarts = np.flatnonzero(kmask)
+        ksizes = np.diff(np.r_[kstarts, n])
+        # dense rank = distinct-order-tuple counter since the key start
+        cum = np.cumsum(rmask.astype(np.int64))
+        dr = cum - np.repeat(cum[kstarts], ksizes) + 1
+        return t.append_column(out_col, pa.array(dr, pa.int64()))
+
+    from .common import narrow_fanin
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .repartition(narrow_fanin())
+        .groupby("_wshard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )
+
+
+def winsorized_mean(ds, key_cols: list[str], value_col: str,
+                    q_lo: float = 0.1, q_hi: float = 0.9,
+                    num_shards: int = 64, out_col: str = "w_mean"):
+    """Per-key winsorized mean: values clamped to the key's
+    [quantile_disc(q_lo), quantile_disc(q_hi)] before averaging — the
+    robust-mean quality signal (outliers bounded, not dropped).
+
+    Exactness: int64 ``value_col`` (callers pre-scale); thresholds are
+    order statistics (exact), the clamped sum is exact int64, and the
+    mean is emitted as ``(sum / 100.0) / n`` — mirror the SAME division
+    sequence in the SQL oracle for bit-identity (sums stay < 2^53 at any
+    per-key cardinality that fits a shard).  group_quantiles' exchange
+    shape.  Output: key cols + n + ``out_col``.
+    """
+    keys = list(key_cols)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        t = batch.select(keys + [value_col])
+        return t.append_column("_kshard", _key_shard(t, keys, num_shards))
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_kshard")
+        if t.num_rows == 0:
+            return t.select(keys).append_column(
+                "n", pa.array([], pa.int64())
+            ).append_column(out_col, pa.array([], pa.float64()))
+        t = t.sort_by([(c, "ascending") for c in keys + [value_col]])
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.flatnonzero(_segment_starts(t, keys))
+        sizes = np.diff(np.r_[starts, t.num_rows])
+        ilo = starts + np.maximum(np.ceil(q_lo * sizes).astype(np.int64) - 1, 0)
+        ihi = starts + np.maximum(np.ceil(q_hi * sizes).astype(np.int64) - 1, 0)
+        lo = np.repeat(v[ilo], sizes)
+        hi = np.repeat(v[ihi], sizes)
+        clamped = np.minimum(np.maximum(v, lo), hi)
+        sums = np.add.reduceat(clamped, starts)
+        mean = (sums.astype(np.float64) / 100.0) / sizes
+        out = t.select(keys).take(pa.array(starts))
+        return out.append_column("n", pa.array(sizes, pa.int64())) \
+                  .append_column(out_col, pa.array(mean, pa.float64()))
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("_kshard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )

@@ -1176,3 +1176,117 @@ def test_ratio_to_total_vs_pandas(ray_session):
     assert np.allclose(got, want.values)
     sums = out.groupby("k")["share"].sum()
     assert np.allclose(sums, 1.0)
+
+
+def test_mad_outliers_vs_numpy(ray_session):
+    """Outlier counts match a direct numpy median/MAD rule, incl. ties,
+    constant groups (MAD=0 -> every non-median value is an outlier) and
+    multi-block inputs."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.keyed import mad_outliers
+
+    rng = np.random.default_rng(97)
+    n = 3000
+    keys = rng.integers(0, 7, n)
+    vals = np.where(keys == 6, 5, rng.integers(-50, 50, n)).astype(np.int64)
+    vals[::97] *= 100  # inject outliers
+    t = pa.table({"k": pa.array(keys.astype(str)), "v": pa.array(vals)})
+    out = (
+        mad_outliers(ray.data.from_arrow(t).repartition(6), ["k"], "v", k=3)
+        .to_pandas().set_index("k").sort_index()
+    )
+    for kk in np.unique(keys):
+        v = np.sort(vals[keys == kk]).astype(np.float64)
+        med = (v[(len(v) - 1) // 2] + v[len(v) // 2]) / 2
+        dev = np.sort(np.abs(v - med))
+        mad = (dev[(len(v) - 1) // 2] + dev[len(v) // 2]) / 2
+        want = int((np.abs(v - med) > 3 * mad).sum())
+        assert out.loc[str(kk), "n_outliers"] == want, kk
+        assert out.loc[str(kk), "n_total"] == len(v)
+
+
+def test_group_first_last_vs_pandas(ray_session):
+    """first/last value per key over a total order matches pandas, incl.
+    duplicate order prefixes broken by the unique id and multi-block."""
+    import pandas as pd
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.keyed import group_first_last
+
+    rng = np.random.default_rng(101)
+    n = 2500
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, n).astype(str),
+        "ts": rng.integers(0, 50, n).astype(np.int64),  # many ties
+        "id": np.arange(n, dtype=np.int64),
+        "v": rng.normal(size=n),
+    })
+    out = (
+        group_first_last(
+            ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(7),
+            ["k"], ["ts", "id"], "v",
+        )
+        .to_pandas().set_index("k").sort_index()
+    )
+    s = df.sort_values(["k", "ts", "id"])
+    want_first = s.groupby("k")["v"].first()
+    want_last = s.groupby("k")["v"].last()
+    assert np.allclose(out["first_v"], want_first.loc[out.index], atol=0)
+    assert np.allclose(out["last_v"], want_last.loc[out.index], atol=0)
+
+
+def test_dense_rank_vs_pandas(ray_session):
+    """dense_rank matches pandas rank(method='dense'), ties share a rank,
+    no gaps; carry col preserved; multi-block invariance."""
+    import pandas as pd
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.keyed import dense_rank
+
+    rng = np.random.default_rng(103)
+    n = 2000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 5, n).astype(str),
+        "o": rng.integers(0, 20, n).astype(np.int64),
+        "id": np.arange(n, dtype=np.int64),
+    })
+    out = (
+        dense_rank(
+            ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(4),
+            ["k"], ["o"], carry_cols=["id"],
+        )
+        .to_pandas().set_index("id").sort_index()
+    )
+    want = df.set_index("id")
+    want["dr"] = df.groupby("k")["o"].rank(method="dense").astype(np.int64).to_numpy()
+    assert (out["dr"] == want["dr"]).all()
+    for kk in df["k"].unique():  # no gaps
+        drs = np.sort(out.loc[want["k"] == kk, "dr"].unique())
+        assert (drs == np.arange(1, len(drs) + 1)).all()
+
+
+def test_winsorized_mean_vs_numpy(ray_session):
+    """Winsorized mean matches a direct numpy clamp at the quantile_disc
+    thresholds; multi-block; singleton groups clamp to themselves."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.keyed import winsorized_mean
+
+    rng = np.random.default_rng(107)
+    n = 3000
+    keys = np.r_[rng.integers(0, 6, n - 1), [99]]  # 99 = singleton group
+    vals = rng.integers(-1000, 1000, n).astype(np.int64)
+    t = pa.table({"k": pa.array(keys.astype(str)), "v": pa.array(vals)})
+    out = (
+        winsorized_mean(ray.data.from_arrow(t).repartition(5), ["k"], "v",
+                        q_lo=0.1, q_hi=0.9)
+        .to_pandas().set_index("k").sort_index()
+    )
+    for kk in np.unique(keys):
+        v = np.sort(vals[keys == kk])
+        qlo = v[max(int(np.ceil(0.1 * len(v))) - 1, 0)]
+        qhi = v[max(int(np.ceil(0.9 * len(v))) - 1, 0)]
+        want = (np.clip(v, qlo, qhi).sum() / 100.0) / len(v)
+        assert out.loc[str(kk), "w_mean"] == want, kk
+        assert out.loc[str(kk), "n"] == len(v)
