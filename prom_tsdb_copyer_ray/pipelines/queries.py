@@ -2446,6 +2446,111 @@ def q_winsorized(sf_dir: str):
                            ["event_type"], "cval", q_lo=0.1, q_hi=0.9)
 
 
+def q_scd2_intervals(sf_dir: str):
+    """SCD type-2 dimension build: every event is an upsert of (user ->
+    value); emit validity intervals [valid_from, valid_to) with the
+    current row open-ended NULL (stages/keyed.lead_intervals; lag_column's
+    narrow exchange, lead nulled at key segment ends)."""
+    from ..stages.keyed import lead_intervals
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "tsms": ts_to_ms(batch["ts"]),
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "value": batch["value"],
+        })
+
+    return lead_intervals(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"], "tsms", "event_id", "value",
+    )
+
+
+def q_dataset_split(sf_dir: str):
+    """Deterministic train/val/test split (Lehmer rank of doc_id, 80/10/10)
+    with per-(split, lang) doc + char mass — the dataset-versioning step of
+    a training pipeline.  Shuffle-free assignment (exact integer math both
+    engines run literally, like mix_sources), bounded-key final."""
+    from ..stages.keyed import sharded_grouped_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        bucket = ((ids * 48271) % 2147483647) % 100
+        split = np.where(bucket < 80, "train", np.where(bucket < 90, "val", "test"))
+        t = pa.table({
+            "split": pa.array(split.astype(object), pa.string()),
+            "lang": batch["lang"],
+            "n_docs": pa.array(np.ones(len(ids), np.int64)),
+            "sum_chars": pc.cast(batch["n_chars"], pa.int64()),
+        })
+        g = t.group_by(["split", "lang"]).aggregate(
+            [("n_docs", "sum"), ("sum_chars", "sum")]
+        )
+        return g.rename_columns(["split", "lang", "n_docs", "sum_chars"])
+
+    return sharded_grouped_agg(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        ["split", "lang"], [("n_docs", "sum"), ("sum_chars", "sum")],
+        num_shards=8,
+    )
+
+
+def q_ohlc_1h(sf_dir: str):
+    """Candlestick downsample: open/high/low/close of value per
+    (event_type, aligned hour) over the total (ts, event_id) order
+    (stages/keyed.ohlc_agg; one-row-per-key-per-batch combiner — the
+    M4-style visualization downsample over the tier window grid)."""
+    from ..stages.keyed import ohlc_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "event_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        tsms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "w": pa.array((tsms // 3_600_000) * 3_600_000, pa.int64()),
+            "tsms": pa.array(tsms, pa.int64()),
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "value": batch["value"],
+        })
+
+    return ohlc_agg(ds.map_batches(prep, batch_format="pyarrow"),
+                    ["event_type", "w"], ["tsms", "event_id"], "value")
+
+
+def q_peak_hour(sf_dir: str):
+    """Seasonal profile: each event type's busiest hour of day (UTC),
+    ties to the smallest hour — count combiner -> bounded (type, hour)
+    segment sum -> k=1 top-k kernel."""
+    from ..stages.keyed import sharded_grouped_agg, topk_per_group
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tsms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "hour": pa.array((tsms // 3_600_000) % 24, pa.int64()),
+            "n": pa.array(np.ones(len(tsms), np.int64)),
+        })
+        g = t.group_by(["event_type", "hour"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "hour", "n"])
+
+    counts = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "hour"], [("n", "sum")], num_shards=8,
+    )
+    out = topk_per_group(counts, ["event_type"], "n", 1, tiebreak_col="hour")
+    return out.map_batches(
+        lambda b: b.select(["event_type", "hour", "n"]), batch_format="pyarrow"
+    )
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -2551,6 +2656,10 @@ QUERIES = {
     "first_last": q_first_last,
     "dense_rank": q_dense_rank,
     "winsorized": q_winsorized,
+    "scd2_intervals": q_scd2_intervals,
+    "dataset_split": q_dataset_split,
+    "ohlc_1h": q_ohlc_1h,
+    "peak_hour": q_peak_hour,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -2670,6 +2779,53 @@ ORACLE_SQL = {
                dense_rank() OVER (PARTITION BY event_type
                                   ORDER BY CAST(floor(value) AS BIGINT)) AS dr
         FROM events
+    """,
+    "scd2_intervals": """
+        SELECT CAST(user_id AS BIGINT) AS user_id, value,
+               epoch_ms(ts) AS valid_from,
+               lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS valid_to
+        FROM events
+    """,
+    "dataset_split": """
+        WITH s AS (
+          SELECT lang, n_chars,
+                 CASE WHEN ((doc_id * 48271) % 2147483647) % 100 < 80
+                          THEN 'train'
+                      WHEN ((doc_id * 48271) % 2147483647) % 100 < 90
+                          THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents)
+        SELECT split, lang, count(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM s GROUP BY 1, 2
+    """,
+    "ohlc_1h": """
+        WITH r AS (
+          SELECT event_type,
+                 (epoch_ms(ts) // 3600000) * 3600000 AS w, value,
+                 row_number() OVER (PARTITION BY event_type,
+                                        epoch_ms(ts) // 3600000
+                                    ORDER BY ts, event_id) AS ra,
+                 row_number() OVER (PARTITION BY event_type,
+                                        epoch_ms(ts) // 3600000
+                                    ORDER BY ts DESC, event_id DESC) AS rd
+          FROM events)
+        SELECT event_type, w,
+               max(CASE WHEN ra = 1 THEN value END) AS open,
+               max(value) AS high, min(value) AS low,
+               max(CASE WHEN rd = 1 THEN value END) AS close
+        FROM r GROUP BY 1, 2
+    """,
+    "peak_hour": """
+        WITH c AS (SELECT event_type,
+                          (epoch_ms(ts) // 3600000) % 24 AS hour,
+                          count(*) AS n
+                   FROM events GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                           ORDER BY n DESC, hour) AS rn
+              FROM c)
+        SELECT event_type, hour, n FROM r WHERE rn = 1
     """,
     "winsorized": """
         WITH s AS (SELECT event_type, CAST(value * 100 AS BIGINT) AS cval

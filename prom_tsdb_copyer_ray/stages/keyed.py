@@ -1597,3 +1597,134 @@ def winsorized_mean(ds, key_cols: list[str], value_col: str,
         .groupby("_kshard")
         .map_groups(per_shard, batch_format="pyarrow")
     )
+
+
+def lead_intervals(ds, key_cols: list[str], order_col: str, id_col: str,
+                   value_col: str, num_shards: int = 64,
+                   from_col: str = "valid_from", to_col: str = "valid_to"):
+    """SCD type-2 validity intervals from a changelog: each change row
+    becomes (key, value, valid_from = its order value, valid_to = the NEXT
+    change's order value, NULL for the current row) — SQL ``lead(order)
+    OVER (PARTITION BY keys ORDER BY order, id)``.
+
+    Same narrow key-shard exchange as :func:`lag_column`; the lead is one
+    vectorized shift nulled at key segment ENDS.  Ties on ``order_col``
+    are totally ordered by ``id_col``.
+    """
+    keys = list(key_cols)
+    cols = keys + [order_col, id_col, value_col]
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols)
+        return t.append_column("_wshard", _key_shard(t, keys, num_shards))
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_wshard")
+        if t.num_rows == 0:
+            return pa.table({
+                **{c: t[c] for c in keys + [value_col]},
+                from_col: t[order_col],
+                to_col: t[order_col],
+            })
+        t = t.sort_by([(c, "ascending") for c in keys + [order_col, id_col]])
+        n = t.num_rows
+        first = _segment_starts(t, keys)
+        is_last = np.r_[first[1:], True]
+        order_vals = t[order_col]
+        # next row's order value (last slot wraps, masked by is_last)
+        idx = np.r_[np.arange(1, n, dtype=np.int64), 0]
+        nxt = pc.if_else(
+            pa.array(is_last),
+            pa.nulls(n, t.schema.field(order_col).type),
+            order_vals.take(pa.array(idx)),
+        )
+        return pa.table({
+            **{c: t[c] for c in keys + [value_col]},
+            from_col: order_vals,
+            to_col: nxt,
+        })
+
+    from .common import narrow_fanin
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .repartition(narrow_fanin())
+        .groupby("_wshard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )
+
+
+def ohlc_agg(ds, key_cols: list[str], order_cols: list[str],
+             value_col: str, num_shards: int = 64):
+    """Open/high/low/close per key over a TOTAL order (make the last order
+    col unique) — the classic candlestick / M4-style bucket downsample;
+    open/close are the rollup tiers' first/last-by-ts semantics
+    (SURVEY.md §2 O14) plus the min/max extremes in one aggregate.
+
+    Combiner-bounded: each batch collapses to ONE row per key carrying
+    (first order tuple, open, last order tuple, close, high, low); the
+    exchange moves O(keys x batches).  Merge: two in-task lexsorts pick
+    the global first/last, reduceat folds high/low.  Values are copied,
+    not computed — no float hazard.
+    """
+    keys = list(key_cols)
+    order = list(order_cols)
+    ocols = [f"_o{i}" for i in range(len(order))]
+    zcols = [f"_z{i}" for i in range(len(order))]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(keys + order + [value_col]).sort_by(
+            [(c, "ascending") for c in keys + order]
+        )
+        starts = np.flatnonzero(_segment_starts(t, keys))
+        ends = np.r_[starts[1:], t.num_rows] - 1
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        vmax = np.maximum.reduceat(v, starts)
+        vmin = np.minimum.reduceat(v, starts)
+        out = {c: t[c].take(pa.array(starts)) for c in keys}
+        for oc, c in zip(ocols, order):
+            out[oc] = t[c].take(pa.array(starts))
+        out["open"] = t[value_col].take(pa.array(starts))
+        for zc, c in zip(zcols, order):
+            out[zc] = t[c].take(pa.array(ends))
+        out["close"] = t[value_col].take(pa.array(ends))
+        out["high"] = pa.array(vmax)
+        out["low"] = pa.array(vmin)
+        t2 = pa.table(out)
+        return t2.append_column("_fshard", _key_shard(t2, keys, num_shards))
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_fshard")
+        if t.num_rows == 0:
+            return pa.table({
+                **{c: t[c] for c in keys},
+                "open": t["open"], "high": t["high"],
+                "low": t["low"], "close": t["close"],
+            })
+        t = t.sort_by([(c, "ascending") for c in keys + ocols])
+        starts = np.flatnonzero(_segment_starts(t, keys))
+        sizes = np.diff(np.r_[starts, t.num_rows])
+        opens = t["open"].take(pa.array(starts))
+        high = np.maximum.reduceat(
+            t["high"].to_numpy(zero_copy_only=False), starts)
+        low = np.minimum.reduceat(
+            t["low"].to_numpy(zero_copy_only=False), starts)
+        # close: global last by the z order tuple (descending pick via
+        # lexsort ascending + segment ends)
+        t2 = t.sort_by([(c, "ascending") for c in keys + zcols])
+        ends = np.r_[starts[1:], t.num_rows] - 1  # same segment layout
+        closes = t2["close"].take(pa.array(ends))
+        return pa.table({
+            **{c: t[c].take(pa.array(starts)) for c in keys},
+            "open": opens, "high": pa.array(high),
+            "low": pa.array(low), "close": closes,
+        })
+
+    from .common import narrow_fanin
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(narrow_fanin())
+        .groupby("_fshard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )

@@ -1290,3 +1290,70 @@ def test_winsorized_mean_vs_numpy(ray_session):
         want = (np.clip(v, qlo, qhi).sum() / 100.0) / len(v)
         assert out.loc[str(kk), "w_mean"] == want, kk
         assert out.loc[str(kk), "n"] == len(v)
+
+
+def test_lead_intervals_vs_pandas(ray_session):
+    """SCD-2 validity intervals: valid_to = next change's order value,
+    NULL on each key's current row; ties totally ordered by id."""
+    import pandas as pd
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.keyed import lead_intervals
+
+    rng = np.random.default_rng(109)
+    n = 1500
+    df = pd.DataFrame({
+        "k": rng.integers(0, 30, n).astype(np.int64),
+        "ts": rng.integers(0, 80, n).astype(np.int64),  # heavy ties
+        "id": np.arange(n, dtype=np.int64),
+        "v": rng.normal(size=n),
+    })
+    out = (
+        lead_intervals(
+            ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(6),
+            ["k"], "ts", "id", "v",
+        )
+        .to_pandas()
+    )
+    assert len(out) == n
+    s = df.sort_values(["k", "ts", "id"]).reset_index(drop=True)
+    s["want_to"] = s.groupby("k")["ts"].shift(-1)
+    got = out.sort_values(["k", "valid_from", "v"]).reset_index(drop=True)
+    want = s.sort_values(["k", "ts", "v"]).reset_index(drop=True)
+    assert (got["k"].to_numpy() == want["k"].to_numpy()).all()
+    assert (got["valid_from"].to_numpy() == want["ts"].to_numpy()).all()
+    a, b = got["valid_to"].to_numpy(float), want["want_to"].to_numpy(float)
+    assert ((a == b) | (np.isnan(a) & np.isnan(b))).all()
+    # exactly one open-ended row per key
+    assert out[out["valid_to"].isna()].groupby("k").size().eq(1).all()
+
+
+def test_ohlc_agg_vs_pandas(ray_session):
+    """Open/high/low/close per key matches pandas ohlc + first/last over
+    the total order; multi-block; tied order broken by the unique id."""
+    import pandas as pd
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.keyed import ohlc_agg
+
+    rng = np.random.default_rng(113)
+    n = 2000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 25, n).astype(str),
+        "ts": rng.integers(0, 40, n).astype(np.int64),
+        "id": np.arange(n, dtype=np.int64),
+        "v": rng.normal(size=n),
+    })
+    out = (
+        ohlc_agg(
+            ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(7),
+            ["k"], ["ts", "id"], "v",
+        )
+        .to_pandas().set_index("k").sort_index()
+    )
+    s = df.sort_values(["k", "ts", "id"])
+    g = s.groupby("k")["v"]
+    assert np.array_equal(out["open"], g.first().loc[out.index])
+    assert np.array_equal(out["close"], g.last().loc[out.index])
+    assert np.array_equal(out["high"], g.max().loc[out.index])
+    assert np.array_equal(out["low"], g.min().loc[out.index])
