@@ -2551,6 +2551,88 @@ def q_peak_hour(sf_dir: str):
     )
 
 
+_BM25_TERMS = ["hash", "join", "window", "stream"]
+
+
+def q_bm25(sf_dir: str):
+    """BM25 relevance of every document against a fixed query-term set
+    (stages/textstats.bm25_scores; one-row-per-batch stats combiner ->
+    broadcast idf/avgdl constants -> shuffle-free scoring; idf quantized
+    to micro units so the only libm call can't drift across engines)."""
+    from ..stages.textstats import bm25_scores
+
+    return bm25_scores(_read(sf_dir, "documents", ["doc_id", "text"]),
+                       _BM25_TERMS)
+
+
+def q_resets(sf_dir: str):
+    """PromQL resets(): how often each (type, user) counter DECREASED
+    along its (ts, event_id) timeline (composition: lag_column ->
+    vectorized compare -> count combiner -> sharded sum; reference
+    counter semantics as in counter_increase)."""
+    from ..stages.keyed import lag_column, sharded_grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "ts", "event_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "tsms": ts_to_ms(batch["ts"]),
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "value": batch["value"],
+        })
+
+    lagged = lag_column(ds.map_batches(prep, batch_format="pyarrow"),
+                        ["event_type", "user_id"], ["tsms", "event_id"],
+                        "value")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        p = batch["prev"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "user_id": batch["user_id"],
+            "n_resets": pa.array((v < p).astype(np.int64)),
+        })
+        g = t.group_by(["event_type", "user_id"]).aggregate([("n_resets", "sum")])
+        return g.rename_columns(["event_type", "user_id", "n_resets"])
+
+    return sharded_grouped_agg(
+        lagged.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "user_id"], [("n_resets", "sum")], num_shards=16,
+    )
+
+
+def q_triangles(sf_dir: str):
+    """Exact triangle count of the dup relation graph (star edges over
+    (lang, n_chars//100) and (source, n_chars//100) buckets) —
+    stages/graph.triangle_count: min-vertex-oriented wedges, two
+    exchanges, structured-dtype membership join.  Oracle: 3-way SQL
+    self-join on the identical edge set."""
+    import pandas as pd
+
+    from ..stages.graph import group_star_edges, triangle_count
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        nb = pc.cast(batch["n_chars"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "lang": batch["lang"],
+            "source": batch["source"],
+            "cb": pa.array(nb // 100, pa.int64()),
+        })
+
+    d = docs.map_batches(bucket, batch_format="pyarrow")
+    edges = group_star_edges(d, ["lang", "cb"]).union(
+        group_star_edges(d, ["source", "cb"])
+    )
+    n = triangle_count(edges)
+    return pd.DataFrame({"n_triangles": [n]})
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -2660,6 +2742,9 @@ QUERIES = {
     "dataset_split": q_dataset_split,
     "ohlc_1h": q_ohlc_1h,
     "peak_hour": q_peak_hour,
+    "bm25": q_bm25,
+    "resets": q_resets,
+    "triangles": q_triangles,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -2779,6 +2864,70 @@ ORACLE_SQL = {
                dense_rank() OVER (PARTITION BY event_type
                                   ORDER BY CAST(floor(value) AS BIGINT)) AS dr
         FROM events
+    """,
+    "bm25": """
+        WITH tok AS (SELECT doc_id,
+                            lower(unnest(regexp_extract_all(text, '[A-Za-z]+')))
+                                AS tok
+                     FROM documents),
+        dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+               FROM tok GROUP BY 1),
+        c AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+                     (SELECT CAST(count(*) AS DOUBLE) FROM tok)
+                         / (SELECT CAST(count(*) AS DOUBLE) FROM documents)
+                         AS avgdl),
+        tf AS (SELECT doc_id,
+                      CAST(count(*) FILTER (WHERE tok = 'hash') AS DOUBLE) AS t0,
+                      CAST(count(*) FILTER (WHERE tok = 'join') AS DOUBLE) AS t1,
+                      CAST(count(*) FILTER (WHERE tok = 'window') AS DOUBLE) AS t2,
+                      CAST(count(*) FILTER (WHERE tok = 'stream') AS DOUBLE) AS t3
+               FROM tok GROUP BY 1),
+        df AS (SELECT
+                 CAST(count(*) FILTER (WHERE t0 > 0) AS DOUBLE) AS d0,
+                 CAST(count(*) FILTER (WHERE t1 > 0) AS DOUBLE) AS d1,
+                 CAST(count(*) FILTER (WHERE t2 > 0) AS DOUBLE) AS d2,
+                 CAST(count(*) FILTER (WHERE t3 > 0) AS DOUBLE) AS d3
+               FROM tf),
+        idf AS (SELECT
+                  floor(ln((c.n - df.d0 + 0.5) / (df.d0 + 0.5) + 1) * 1e6) / 1e6 AS i0,
+                  floor(ln((c.n - df.d1 + 0.5) / (df.d1 + 0.5) + 1) * 1e6) / 1e6 AS i1,
+                  floor(ln((c.n - df.d2 + 0.5) / (df.d2 + 0.5) + 1) * 1e6) / 1e6 AS i2,
+                  floor(ln((c.n - df.d3 + 0.5) / (df.d3 + 0.5) + 1) * 1e6) / 1e6 AS i3,
+                  c.avgdl AS avgdl
+                FROM df, c)
+        SELECT tf.doc_id,
+               round(  idf.i0 * (tf.t0 * 2.2) / (tf.t0 + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / idf.avgdl)))
+                     + idf.i1 * (tf.t1 * 2.2) / (tf.t1 + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / idf.avgdl)))
+                     + idf.i2 * (tf.t2 * 2.2) / (tf.t2 + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / idf.avgdl)))
+                     + idf.i3 * (tf.t3 * 2.2) / (tf.t3 + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / idf.avgdl)))
+                     , 6) AS score
+        FROM tf JOIN dl USING (doc_id) CROSS JOIN idf
+        WHERE tf.t0 + tf.t1 + tf.t2 + tf.t3 > 0
+    """,
+    "resets": """
+        WITH o AS (SELECT event_type, CAST(user_id AS BIGINT) AS user_id,
+                          value,
+                          lag(value) OVER (PARTITION BY event_type, user_id
+                                           ORDER BY ts, event_id) AS prev
+                   FROM events)
+        SELECT event_type, user_id,
+               CAST(count(*) FILTER (WHERE value < prev) AS BIGINT) AS n_resets
+        FROM o WHERE prev IS NOT NULL GROUP BY 1, 2
+    """,
+    "triangles": """
+        WITH d AS (SELECT doc_id, lang, source, n_chars // 100 AS cb
+                   FROM documents),
+        m1 AS (SELECT lang, cb, min(doc_id) AS a FROM d GROUP BY 1, 2),
+        e1 AS (SELECT m1.a, d.doc_id AS b FROM d JOIN m1 USING (lang, cb)
+               WHERE d.doc_id != m1.a),
+        m2 AS (SELECT source, cb, min(doc_id) AS a FROM d GROUP BY 1, 2),
+        e2 AS (SELECT m2.a, d.doc_id AS b FROM d JOIN m2 USING (source, cb)
+               WHERE d.doc_id != m2.a),
+        e AS (SELECT DISTINCT a, b
+              FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2))
+        SELECT count(*) AS n_triangles
+        FROM e ab JOIN e bc ON ab.b = bc.a
+                  JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
     """,
     "scd2_intervals": """
         SELECT CAST(user_id AS BIGINT) AS user_id, value,

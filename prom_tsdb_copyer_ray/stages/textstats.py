@@ -399,3 +399,85 @@ def char_entropy(ds, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bm25_scores(ds, terms: list[str], text_col: str = "text",
+                id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75,
+                round_to: int = 6):
+    """BM25 relevance of every document against a fixed query-term set
+    (Robertson/Sparck-Jones BM25, the classic retrieval scorer):
+
+        score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+        idf(t)   = ln((N - df + 0.5) / (df + 0.5) + 1)
+
+    Tokens are the corpus tokenizer's ``[A-Za-z]+`` lowercased runs
+    (:func:`term_document_frequency` parity).  Two passes: a stats pass
+    whose per-batch combiner emits ONE row (n_docs, total tokens, df per
+    term) so only O(batches) rows reach the driver; constants (idf,
+    avgdl) broadcast once; the scoring pass is shuffle-free.
+
+    Cross-engine float protocol: idf is quantized to micro units
+    (``floor(ln(.)*1e6)/1e6`` — the only libm call, so the only source of
+    ulp variance between numpy and an SQL engine); everything after is
+    exactly-rounded IEEE arithmetic evaluated in the SAME left-to-right
+    term order both engines use; the final score is rounded to
+    ``round_to`` decimals.  Docs with zero query-term hits are dropped.
+    """
+    import re
+
+    import ray
+
+    word_re = re.compile(r"[A-Za-z]+")
+    terms = list(terms)
+
+    def _tf_dl(batch: pa.Table):
+        """(tf matrix [n_docs x n_terms] int64, dl int64) for one batch."""
+        texts = batch[text_col].to_pylist()
+        n = len(texts)
+        tf = np.zeros((n, len(terms)), dtype=np.int64)
+        dl = np.zeros(n, dtype=np.int64)
+        tpos = {t: j for j, t in enumerate(terms)}
+        for i, txt in enumerate(texts):
+            toks = word_re.findall(txt or "")
+            dl[i] = len(toks)
+            for tok in toks:
+                j = tpos.get(tok.lower())
+                if j is not None:
+                    tf[i, j] += 1
+        return tf, dl
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        tf, dl = _tf_dl(batch)
+        out = {
+            "n_docs": pa.array([len(dl)], pa.int64()),
+            "sum_dl": pa.array([int(dl.sum())], pa.int64()),
+        }
+        for j in range(len(terms)):
+            out[f"df{j}"] = pa.array([int((tf[:, j] > 0).sum())], pa.int64())
+        return pa.table(out)
+
+    stats = ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    n = float(stats["n_docs"].sum())
+    avgdl = float(stats["sum_dl"].sum()) / n
+    idf = np.array([
+        np.floor(np.log((n - float(stats[f"df{j}"].sum()) + 0.5)
+                        / (float(stats[f"df{j}"].sum()) + 0.5) + 1.0) * 1e6) / 1e6
+        for j in range(len(terms))
+    ])
+    consts_ref = ray.put((idf, avgdl))
+
+    def score(batch: pa.Table, _c=consts_ref) -> pa.Table:
+        idf_b, avgdl_b = ray.get(_c)
+        tf, dl = _tf_dl(batch)
+        denom_base = k1 * (1.0 - b + b * (dl.astype(np.float64) / avgdl_b))
+        s = np.zeros(len(dl), dtype=np.float64)
+        for j in range(len(terms)):  # fixed left-to-right term order
+            tfj = tf[:, j].astype(np.float64)
+            s = s + idf_b[j] * (tfj * (k1 + 1.0)) / (tfj + denom_base)
+        keep = tf.sum(axis=1) > 0
+        return pa.table({
+            id_col: pc.cast(batch[id_col], pa.int64()).filter(pa.array(keep)),
+            "score": pa.array(np.round(s[keep], round_to)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

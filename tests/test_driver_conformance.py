@@ -102,6 +102,7 @@ def test_oracle_keys_subset(entry_mod):
         "profile_docs", "funnel", "corr_hour", "string_agg", "knn_join", "rolling_median", "cooccurrence", "full_join", "robust_stats", "edit_distance_pairs", "transitions", "impute_median", "watermark_window", "unigram_logprob", "weekly_active", "global_quantiles", "cluster_keep_best", "share_of_type", "cdc_merge", "char_entropy", "audience_overlap",
         "mad_outliers", "first_last", "dense_rank", "winsorized",
         "scd2_intervals", "dataset_split", "ohlc_1h", "peak_hour",
+        "bm25", "resets", "triangles",
         # fixture-join oracles (tests/fixtures/gen_oracle_fixtures.py)
         "fingerprint", "simhash", "lang_id", "minhash_pairs",
         "ngram_jaccard_pairs", "embedding_neardup", "ivf_topk",

@@ -1357,3 +1357,79 @@ def test_ohlc_agg_vs_pandas(ray_session):
     assert np.array_equal(out["close"], g.last().loc[out.index])
     assert np.array_equal(out["high"], g.max().loc[out.index])
     assert np.array_equal(out["low"], g.min().loc[out.index])
+
+
+def test_triangle_count_vs_bruteforce(ray_session):
+    """Exact triangle counts on random graphs vs an itertools reference;
+    duplicate / reversed / self-loop edges tolerated; multi-block."""
+    from itertools import combinations
+
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.graph import triangle_count
+
+    rng = np.random.default_rng(127)
+    for trial, (n, m) in enumerate([(12, 30), (30, 120), (50, 80)]):
+        a = rng.integers(0, n, m)
+        b = rng.integers(0, n, m)
+        # inject noise: self loops + exact dup + reversed dup
+        a = np.r_[a, [3, 1, 2]]
+        b = np.r_[b, [3, 2, 1]]
+        edges = pa.table({"a": pa.array(a, pa.int64()),
+                          "b": pa.array(b, pa.int64())})
+        got = triangle_count(ray.data.from_arrow(edges).repartition(4))
+        es = {(min(x, y), max(x, y)) for x, y in zip(a.tolist(), b.tolist())
+              if x != y}
+        nodes = sorted({v for e in es for v in e})
+        want = sum(
+            1 for x, y, z in combinations(nodes, 3)
+            if (x, y) in es and (y, z) in es and (x, z) in es
+        )
+        assert got == want, (trial, got, want)
+
+
+def test_bm25_scores_vs_reference(ray_session):
+    """BM25 matches a direct single-process reference (same tokenizer,
+    same quantized idf, same term order); zero-hit docs dropped."""
+    import math
+
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.textstats import bm25_scores
+
+    docs = [
+        "alpha beta gamma alpha",
+        "beta beta delta",
+        "gamma gamma gamma beta alpha",
+        "nothing relevant here",
+        "",
+        "ALPHA Alpha alpha",
+    ]
+    terms = ["alpha", "beta"]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    out = (
+        bm25_scores(ray.data.from_arrow(t).repartition(3), terms)
+        .to_pandas().set_index("doc_id")["score"].sort_index()
+    )
+    import re
+    toks = [re.findall(r"[A-Za-z]+", d) for d in docs]
+    toks = [[w.lower() for w in ws] for ws in toks]
+    n = float(len(docs))
+    avgdl = sum(len(ws) for ws in toks) / n
+    k1, b = 1.2, 0.75
+    dfs = [sum(1 for ws in toks if term in ws) for term in terms]
+    idfs = [math.floor(math.log((n - df + 0.5) / (df + 0.5) + 1) * 1e6) / 1e6
+            for df in dfs]
+    want = {}
+    for i, ws in enumerate(toks):
+        s = 0.0
+        hit = False
+        for term, idf in zip(terms, idfs):
+            tf = float(ws.count(term))
+            hit = hit or tf > 0
+            s = s + idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * (len(ws) / avgdl)))
+        if hit:
+            want[i] = round(s, 6)
+    assert out.to_dict() == want
+    assert 3 not in out.index and 4 not in out.index  # zero-hit dropped
