@@ -2633,6 +2633,105 @@ def q_triangles(sf_dir: str):
     return pd.DataFrame({"n_triangles": [n]})
 
 
+def q_srs_sample(sf_dir: str):
+    """Global simple random sample without replacement: the 100 docs with
+    the smallest Lehmer rank of doc_id — deterministic integer math both
+    engines run literally; the per-batch top-k combiner means only
+    100 rows per batch reach the (single-group) final."""
+    from ..stages.keyed import topk_per_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def rank(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "g": pa.array(np.zeros(len(ids), np.int64)),
+            "doc_id": pa.array(ids),
+            "lang": batch["lang"],
+            "r": pa.array((ids * 48271) % 2147483647, pa.int64()),
+        })
+
+    out = topk_per_group(ds.map_batches(rank, batch_format="pyarrow"),
+                         ["g"], "r", 100, tiebreak_col="doc_id",
+                         descending=False)
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "lang"]), batch_format="pyarrow"
+    )
+
+
+def q_oov_rate(sf_dir: str):
+    """Out-of-vocabulary curation signal: per doc, total tokens and how
+    many fall OUTSIDE the corpus top-100 vocabulary (term_df's exact
+    df ranking) — vocabulary built once (combiner-bounded), broadcast via
+    ray.put, then a shuffle-free per-batch membership pass."""
+    import ray as _ray
+
+    from ..stages.textstats import term_document_frequency
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    vocab = term_document_frequency(ds, top_n=100).to_pandas()["term"].tolist()
+    vocab_ref = _ray.put(frozenset(vocab))
+
+    def score(batch: pa.Table, _v=vocab_ref) -> pa.Table:
+        import re
+
+        vset = _ray.get(_v)
+        word_re = re.compile(r"[A-Za-z]+")
+        ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        n_tok = np.zeros(len(ids), np.int64)
+        n_oov = np.zeros(len(ids), np.int64)
+        for i, txt in enumerate(batch["text"].to_pylist()):
+            toks = word_re.findall(txt or "")
+            n_tok[i] = len(toks)
+            n_oov[i] = sum(1 for t in toks if t.lower() not in vset)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_tokens": pa.array(n_tok),
+            "n_oov": pa.array(n_oov),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def q_cluster_sizes(sf_dir: str):
+    """Dup-cluster size distribution: how many components have each
+    member count (the dedup yield report) — connected components over the
+    dup graph, per-component count, bounded size histogram."""
+    from ..stages.graph import connected_components, group_star_edges
+    from ..stages.keyed import sharded_grouped_agg
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+    e1 = group_star_edges(docs, ["lang", "n_chars"])
+    e2 = group_star_edges(docs, ["source", "n_chars"])
+    cc = connected_components(e1.union(e2), docs, node_col="doc_id")
+
+    def comp_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "component": pc.cast(batch["component"], pa.int64()),
+            "size": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+        g = t.group_by(["component"]).aggregate([("size", "sum")])
+        return g.rename_columns(["component", "size"])
+
+    sizes = sharded_grouped_agg(
+        cc.map_batches(comp_partial, batch_format="pyarrow"),
+        ["component"], [("size", "sum")], num_shards=16,
+    )
+
+    def size_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "size": batch["size"],
+            "n_components": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+        g = t.group_by(["size"]).aggregate([("n_components", "sum")])
+        return g.rename_columns(["size", "n_components"])
+
+    return sharded_grouped_agg(
+        sizes.map_batches(size_partial, batch_format="pyarrow"),
+        ["size"], [("n_components", "sum")], num_shards=4,
+    )
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -2745,6 +2844,9 @@ QUERIES = {
     "bm25": q_bm25,
     "resets": q_resets,
     "triangles": q_triangles,
+    "srs_sample": q_srs_sample,
+    "oov_rate": q_oov_rate,
+    "cluster_sizes": q_cluster_sizes,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -2864,6 +2966,47 @@ ORACLE_SQL = {
                dense_rank() OVER (PARTITION BY event_type
                                   ORDER BY CAST(floor(value) AS BIGINT)) AS dr
         FROM events
+    """,
+    "srs_sample": """
+        SELECT doc_id, lang FROM documents
+        ORDER BY (doc_id * 48271) % 2147483647, doc_id LIMIT 100
+    """,
+    "oov_rate": """
+        WITH tok AS (SELECT doc_id,
+                            lower(unnest(regexp_extract_all(text, '[A-Za-z]+')))
+                                AS tok
+                     FROM documents),
+        vocab AS (SELECT tok FROM (
+                    SELECT tok, count(DISTINCT doc_id) AS df
+                    FROM tok GROUP BY 1)
+                  ORDER BY df DESC, tok LIMIT 100)
+        SELECT d.doc_id,
+               CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(t.n_oov, 0) AS BIGINT) AS n_oov
+        FROM documents d LEFT JOIN (
+          SELECT doc_id, count(*) AS n_tokens,
+                 count(*) FILTER (WHERE tok NOT IN (SELECT tok FROM vocab))
+                     AS n_oov
+          FROM tok GROUP BY 1) t USING (doc_id)
+    """,
+    "cluster_sizes": """
+        WITH RECURSIVE
+        e1 AS (SELECT min(doc_id) OVER (PARTITION BY lang, n_chars) AS a,
+                      doc_id AS b FROM documents),
+        e2 AS (SELECT min(doc_id) OVER (PARTITION BY source, n_chars) AS a,
+                      doc_id AS b FROM documents),
+        ed AS (SELECT a, b FROM e1 WHERE a <> b
+               UNION SELECT a, b FROM e2 WHERE a <> b),
+        bi AS (SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed),
+        reach(node, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT bi.b, reach.r FROM reach JOIN bi ON bi.a = reach.node
+        ),
+        comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+        SELECT size, count(*) AS n_components FROM (
+          SELECT component, count(*) AS size FROM comp GROUP BY 1)
+        GROUP BY 1
     """,
     "bm25": """
         WITH tok AS (SELECT doc_id,
