@@ -2167,14 +2167,14 @@ def q_cluster_keep_best(sf_dir: str):
     (stages/graph.connected_components + joins.shuffle_join +
     keyed.topk_per_group; combiner bounds the final exchange at one row
     per (component, batch))."""
-    from ..stages.graph import connected_components, group_star_edges
+    from ..stages.graph import connected_components, group_star_edges_multi
     from ..stages.joins import shuffle_join
     from ..stages.keyed import topk_per_group
 
     docs = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
-    e1 = group_star_edges(docs, ["lang", "n_chars"])
-    e2 = group_star_edges(docs, ["source", "n_chars"])
-    cc = connected_components(e1.union(e2), docs, node_col="doc_id")
+    edges = group_star_edges_multi(
+        docs, [["lang", "n_chars"], ["source", "n_chars"]])
+    cc = connected_components(edges, docs, node_col="doc_id")
     stats = docs.map_batches(
         lambda b: pa.table({"sid": pc.cast(b["doc_id"], pa.int64()),
                             "n_chars": pc.cast(b["n_chars"], pa.int64())}),
@@ -2200,12 +2200,12 @@ def q_pagerank(sf_dir: str):
     exact int64 mass routing — bit-identical across partitionings — one
     dst-hash exchange per iteration).  Fixture-oracled by an independent
     sequential reference."""
-    from ..stages.graph import group_star_edges, pagerank_int
+    from ..stages.graph import group_star_edges_multi, pagerank_int
 
     docs = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
-    e1 = group_star_edges(docs, ["lang", "n_chars"])
-    e2 = group_star_edges(docs, ["source", "n_chars"])
-    return pagerank_int(e1.union(e2), docs, node_col="doc_id", iters=5)
+    edges = group_star_edges_multi(
+        docs, [["lang", "n_chars"], ["source", "n_chars"]])
+    return pagerank_int(edges, docs, node_col="doc_id", iters=5)
 
 
 def q_share_of_type(sf_dir: str):
@@ -2612,7 +2612,7 @@ def q_triangles(sf_dir: str):
     self-join on the identical edge set."""
     import pandas as pd
 
-    from ..stages.graph import group_star_edges, triangle_count
+    from ..stages.graph import group_star_edges_multi, triangle_count
 
     docs = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
 
@@ -2626,9 +2626,7 @@ def q_triangles(sf_dir: str):
         })
 
     d = docs.map_batches(bucket, batch_format="pyarrow")
-    edges = group_star_edges(d, ["lang", "cb"]).union(
-        group_star_edges(d, ["source", "cb"])
-    )
+    edges = group_star_edges_multi(d, [["lang", "cb"], ["source", "cb"]])
     n = triangle_count(edges)
     return pd.DataFrame({"n_triangles": [n]})
 
@@ -2697,13 +2695,13 @@ def q_cluster_sizes(sf_dir: str):
     """Dup-cluster size distribution: how many components have each
     member count (the dedup yield report) — connected components over the
     dup graph, per-component count, bounded size histogram."""
-    from ..stages.graph import connected_components, group_star_edges
+    from ..stages.graph import connected_components, group_star_edges_multi
     from ..stages.keyed import sharded_grouped_agg
 
     docs = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
-    e1 = group_star_edges(docs, ["lang", "n_chars"])
-    e2 = group_star_edges(docs, ["source", "n_chars"])
-    cc = connected_components(e1.union(e2), docs, node_col="doc_id")
+    edges = group_star_edges_multi(
+        docs, [["lang", "n_chars"], ["source", "n_chars"]])
+    cc = connected_components(edges, docs, node_col="doc_id")
 
     def comp_partial(batch: pa.Table) -> pa.Table:
         t = pa.table({

@@ -629,3 +629,118 @@ def triangle_count(edges_ds, a_col: str = "a", b_col: str = "b",
     )
     total = counts.sum("n")
     return int(total or 0)
+
+
+def group_star_edges_multi(ds, key_sets: list[list[str]],
+                           id_col: str = "doc_id", num_shards: int = 64,
+                           broadcast_keys: int = 4_000_000):
+    """Star edges for SEVERAL group relations in ONE pass — the dup
+    graphs here union 2+ relations (e.g. (lang, bucket) and (source,
+    bucket)), and building them separately pays the combiner exchange,
+    the key-table materialization and the broadcast once per relation.
+
+    Keys are canonicalized to a ``\\x1f``-joined string so every relation
+    shares one (rel, key) schema; per-batch combiner emits one row per
+    (rel, key, batch); ONE sharded merge; the multi-member key->min table
+    for ALL relations broadcasts once; ONE shuffle-free emit pass merges
+    every relation per batch.  Output: undirected edges (a=group min, b).
+    Same fallback note as :func:`group_star_edges` (co-partition when the
+    dup-key table outgrows a broadcast).
+    """
+    import ray
+
+    from .keyed import sharded_grouped_agg
+
+    SEP = "\x1f"
+
+    def _keystr(batch: pa.Table, keys: list[str]) -> pa.Array:
+        cols = [pc.cast(batch[c], pa.string()) for c in keys]
+        if len(cols) == 1:
+            return cols[0]
+        return pc.binary_join_element_wise(*cols, SEP)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        parts = []
+        for rel, keys in enumerate(key_sets):
+            t = pa.table({
+                "rel": pa.array(np.full(batch.num_rows, rel, np.int64)),
+                "k": _keystr(batch, keys),
+                id_col: pc.cast(batch[id_col], pa.int64()),
+            })
+            g = t.group_by(["rel", "k"]).aggregate(
+                [(id_col, "min"), ([], "count_all")]
+            )
+            parts.append(g.rename_columns(["rel", "k", "_gmin", "_gn"]))
+        return pa.concat_tables(parts)
+
+    def keep_multi(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["_gn"], 1)).drop_columns("_gn")
+
+    mins = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["rel", "k"], [("_gmin", "min"), ("_gn", "sum")], num_shards,
+    ).map_batches(keep_multi, batch_format="pyarrow").materialize()
+    n_keys = mins.count()
+
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    if n_keys == 0:
+        return ds.map_batches(lambda b: empty, batch_format="pyarrow")
+
+    if n_keys <= broadcast_keys:
+        mins_ref = ray.put(mins.to_pandas())
+
+        def emit(batch: pa.Table, _r=mins_ref) -> pa.Table:
+            mdf = ray.get(_r)
+            ids = pc.cast(batch[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+            frames = []
+            import pandas as pd
+
+            for rel, keys in enumerate(key_sets):
+                frames.append(pd.DataFrame({
+                    "rel": np.full(len(ids), rel, np.int64),
+                    "k": _keystr(batch, keys).to_pandas(),
+                    "id": ids,
+                }))
+            long = pd.concat(frames, ignore_index=True)
+            j = long.merge(mdf, on=["rel", "k"], how="inner")
+            jid = j["id"].to_numpy().astype(np.int64)
+            gmin = j["_gmin"].to_numpy().astype(np.int64)
+            m = jid != gmin
+            return pa.table({"a": pa.array(gmin[m]), "b": pa.array(jid[m])})
+
+        return ds.map_batches(emit, batch_format="pyarrow")
+
+    # fallback: co-partition the (rel, key, id) rows by key hash
+    from ..stages.keyed import _key_shard, _segment_starts
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        parts = []
+        for rel, keys in enumerate(key_sets):
+            t = pa.table({
+                "rel": pa.array(np.full(batch.num_rows, rel, np.int64)),
+                "k": _keystr(batch, keys),
+                id_col: pc.cast(batch[id_col], pa.int64()),
+            })
+            parts.append(t)
+        t = pa.concat_tables(parts)
+        return t.append_column("_kshard", _key_shard(t, ["rel", "k"], num_shards))
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        t = group.drop_columns("_kshard").sort_by(
+            [("rel", "ascending"), ("k", "ascending"), (id_col, "ascending")]
+        )
+        new = _segment_starts(t, ["rel", "k"])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.r_[starts, t.num_rows])
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mins_arr = np.repeat(ids[starts], sizes)
+        m = ids != mins_arr
+        return pa.table({"a": pa.array(mins_arr[m]), "b": pa.array(ids[m])})
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("_kshard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )

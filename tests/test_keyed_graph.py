@@ -1433,3 +1433,38 @@ def test_bm25_scores_vs_reference(ray_session):
             want[i] = round(s, 6)
     assert out.to_dict() == want
     assert 3 not in out.index and 4 not in out.index  # zero-hit dropped
+
+
+def test_group_star_edges_multi_matches_singles(ray_session):
+    """The fused multi-relation builder equals the union of per-relation
+    builds, on both its broadcast and co-partition paths."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.graph import (
+        group_star_edges,
+        group_star_edges_multi,
+    )
+
+    rng = np.random.default_rng(131)
+    n = 300
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "k1": pa.array([f"g{v}" for v in rng.integers(0, 40, n)]),
+        "k2": pa.array(rng.integers(0, 25, n).astype(np.int64)),
+        "k3": pa.array([f"s{v}" for v in rng.integers(0, 10, n)]),
+    })
+    ds = ray.data.from_arrow(docs).repartition(4)
+
+    def edge_set(out_ds):
+        df = out_ds.to_pandas()
+        return set(zip(df["a"].astype(int), df["b"].astype(int)))
+
+    want = edge_set(group_star_edges(ds, ["k1", "k2"])) | edge_set(
+        group_star_edges(ds, ["k3", "k2"])
+    )
+    got_b = edge_set(group_star_edges_multi(ds, [["k1", "k2"], ["k3", "k2"]]))
+    got_s = edge_set(
+        group_star_edges_multi(ds, [["k1", "k2"], ["k3", "k2"]],
+                               broadcast_keys=0)
+    )
+    assert got_b == want and got_s == want and len(want) > 0
