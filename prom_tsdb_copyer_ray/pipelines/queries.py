@@ -2730,6 +2730,31 @@ def q_cluster_sizes(sf_dir: str):
     )
 
 
+def q_media_resize(sf_dir: str):
+    """Image-resize plumbing (stages/multimodal.resize_media actor pool,
+    stubbed codec): images normalized to 64x64 thumbnails, other media
+    passes through; thumb_hash stands in for the resized payload.
+    Fixture-oracled by the independent blake2b reference."""
+    from ..stages.multimodal import resize_media
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        payloads = [t.encode("utf-8") if t else b"" for t in batch["text"].to_pylist()]
+        kinds = ["image" if i % 3 else "video" for i in ids]
+        return pa.table({
+            "media_id": pa.array(ids),
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(320 + (ids % 5) * 64, pa.int32()),
+            "height": pa.array(240 + (ids % 3) * 80, pa.int32()),
+        })
+
+    return resize_media(ds.map_batches(to_media, batch_format="pyarrow"),
+                        target_size=(64, 64), concurrency=(1, 4))
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -2845,6 +2870,7 @@ QUERIES = {
     "srs_sample": q_srs_sample,
     "oov_rate": q_oov_rate,
     "cluster_sizes": q_cluster_sizes,
+    "media_resize": q_media_resize,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -4009,6 +4035,9 @@ ORACLE_SQL.update(
             "FROM embeddings)"
         ),
         "media_features": _fixture_sql("media_features", "media_id, kind, embedding"),
+        "media_resize": _fixture_sql(
+            "media_resize", "media_id, kind, out_w, out_h, thumb_hash"
+        ),
         "compression_ratio": _fixture_sql(
             "compression", "doc_id, n_bytes, c_bytes, ratio"
         ),

@@ -171,3 +171,70 @@ def frame_sample_stub(ds, every_ms: int = 1000):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+class ResizeMedia:
+    """Actor-pool stage: image resize to a fixed target (the thumbnailing /
+    normalization step of an image ingest pipeline).
+
+    ``__init__`` is where a real build would load PIL/libvips once per
+    actor; the stubbed codec derives the resized thumbnail's bytes
+    deterministically from (payload, target dims) so schema, actor
+    signature and batch sizing stay real.  Non-image rows pass through
+    with their original dimensions.  Output: (media_id, kind, out_w,
+    out_h, thumb_hash) — thumb_hash stands in for the resized payload so
+    fixtures can value-check the stage without shipping binaries.
+    """
+
+    def __init__(self, target_size: tuple[int, int] = (64, 64),
+                 decoder: str = "fake") -> None:
+        if decoder == "real":
+            raise NotImplementedError(
+                "real image resize needs PIL/libvips (not in this container); "
+                "use decoder='fake' for the deterministic stand-in"
+            )
+        self.target_w, self.target_h = target_size
+
+    @staticmethod
+    def _thumb_hash(payload: bytes, w: int | None, h: int | None) -> int:
+        suffix = b""
+        if w is not None and h is not None:
+            suffix = int(w).to_bytes(4, "little") + int(h).to_bytes(4, "little")
+        d = hashlib.blake2b((payload or b"") + suffix, digest_size=8).digest()
+        return int.from_bytes(d, "little") >> 1  # non-negative int64
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch["kind"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        ws = batch["width"].to_pylist()
+        hs = batch["height"].to_pylist()
+        out_w, out_h, th = [], [], []
+        for kind, p, w, h in zip(kinds, payloads, ws, hs):
+            if kind == "image":
+                out_w.append(self.target_w)
+                out_h.append(self.target_h)
+                th.append(self._thumb_hash(p, self.target_w, self.target_h))
+            else:
+                out_w.append(w if w is not None else 0)
+                out_h.append(h if h is not None else 0)
+                th.append(self._thumb_hash(p, None, None))
+        return pa.table({
+            "media_id": batch["media_id"],
+            "kind": batch["kind"],
+            "out_w": pa.array(out_w, pa.int32()),
+            "out_h": pa.array(out_h, pa.int32()),
+            "thumb_hash": pa.array(th, pa.int64()),
+        })
+
+
+def resize_media(ds, target_size: tuple[int, int] = (64, 64),
+                 concurrency=(1, 4), batch_size: int = 64,
+                 decoder: str = "fake"):
+    """media table -> resized-thumbnail metadata via the actor pool."""
+    return ds.map_batches(
+        ResizeMedia,
+        fn_constructor_kwargs={"target_size": target_size, "decoder": decoder},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -405,6 +405,25 @@ def media_features_reference(doc_id: int, text: str):
     return kind, feat
 
 
+def media_resize_reference(doc_id: int, text: str,
+                           target=(64, 64)):
+    """Image-resize stub (spec: stages/multimodal.ResizeMedia)."""
+    import hashlib
+
+    payload = (text or "").encode("utf-8")
+    kind = "image" if doc_id % 3 else "video"
+    in_w = 320 + (doc_id % 5) * 64
+    in_h = 240 + (doc_id % 3) * 80
+    if kind == "image":
+        w, h = target
+        suffix = int(w).to_bytes(4, "little") + int(h).to_bytes(4, "little")
+    else:
+        w, h = in_w, in_h
+        suffix = b""
+    d = hashlib.blake2b(payload + suffix, digest_size=8).digest()
+    return kind, w, h, int.from_bytes(d, "little") >> 1
+
+
 def frame_features_reference(doc_id: int, text: str,
                              duration_ms: int = 3000, every_ms: int = 1000):
     """Frame-sample + mean-pool (spec: multimodal.sample_frame_features)."""
@@ -438,6 +457,8 @@ def main() -> None:
                         "c_bytes": [], "ratio": []},
         "frame_features": {"corpus_key": [], "media_id": [], "n_frames": [],
                            "embedding": []},
+        "media_resize": {"corpus_key": [], "media_id": [], "kind": [],
+                         "out_w": [], "out_h": [], "thumb_hash": []},
         "pagerank": {"corpus_key": [], "node": [], "rank": []},
         "approx_users": {"corpus_key": [], "event_type": [], "approx_users": []},
         "approx_quantiles": {"corpus_key": [], "event_type": [],
@@ -549,6 +570,13 @@ def main() -> None:
             rows["frame_features"]["media_id"].append(d)
             rows["frame_features"]["n_frames"].append(nf)
             rows["frame_features"]["embedding"].append(emb)
+            rkind, rw, rh, rth = media_resize_reference(d, x)
+            rows["media_resize"]["corpus_key"].append(key)
+            rows["media_resize"]["media_id"].append(d)
+            rows["media_resize"]["kind"].append(rkind)
+            rows["media_resize"]["out_w"].append(rw)
+            rows["media_resize"]["out_h"].append(rh)
+            rows["media_resize"]["thumb_hash"].append(rth)
 
         pairs = lsh_candidate_pairs(ids, sigs)
         for x, y in sorted(pairs):
@@ -620,6 +648,11 @@ def main() -> None:
         "approx_quantiles": pa.schema(
             [("corpus_key", pa.int64()), ("event_type", pa.string()),
              ("p50", pa.float64()), ("p90", pa.float64()), ("p99", pa.float64())]
+        ),
+        "media_resize": pa.schema(
+            [("corpus_key", pa.int64()), ("media_id", pa.int64()),
+             ("kind", pa.string()), ("out_w", pa.int32()),
+             ("out_h", pa.int32()), ("thumb_hash", pa.int64())]
         ),
     }
     for name, cols in rows.items():

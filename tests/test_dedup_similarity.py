@@ -400,3 +400,39 @@ def test_edit_distance_pairs_vs_bruteforce(ray_session):
             if dv <= 2:
                 want[(i, j)] = dv
     assert got == want
+
+
+def test_resize_media_stage(ray_session):
+    """Images normalize to the target dims with a payload+dims hash;
+    non-images pass through with original dims and a payload-only hash;
+    decoder='real' raises the declared stub error."""
+    import hashlib
+
+    import pytest
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.multimodal import ResizeMedia, resize_media
+
+    t = pa.table({
+        "media_id": pa.array([1, 2, 3], pa.int64()),
+        "kind": pa.array(["image", "video", "image"]),
+        "payload": pa.array([b"aa", b"bb", b""], pa.binary()),
+        "width": pa.array([320, 640, None], pa.int32()),
+        "height": pa.array([240, 480, None], pa.int32()),
+    })
+    out = (
+        resize_media(ray.data.from_arrow(t), target_size=(64, 64))
+        .to_pandas().set_index("media_id").sort_index()
+    )
+    assert out.loc[1, ["out_w", "out_h"]].tolist() == [64, 64]
+    assert out.loc[2, ["out_w", "out_h"]].tolist() == [640, 480]
+    assert out.loc[3, ["out_w", "out_h"]].tolist() == [64, 64]
+    suffix = (64).to_bytes(4, "little") * 2
+    want1 = int.from_bytes(
+        hashlib.blake2b(b"aa" + suffix, digest_size=8).digest(), "little") >> 1
+    want2 = int.from_bytes(
+        hashlib.blake2b(b"bb", digest_size=8).digest(), "little") >> 1
+    assert out.loc[1, "thumb_hash"] == want1
+    assert out.loc[2, "thumb_hash"] == want2
+    with pytest.raises(NotImplementedError):
+        ResizeMedia(decoder="real")
