@@ -2755,6 +2755,24 @@ def q_media_resize(sf_dir: str):
                         target_size=(64, 64), concurrency=(1, 4))
 
 
+def q_pca_top(sf_dir: str):
+    """Top principal component of the embedding table
+    (stages/similarity.pca_top_component; exact int64 scatter-matrix
+    combiner — one row per batch — + driver power iteration on the d x d
+    covariance).  Fixture-oracled by an independent numpy reference."""
+    import pandas as pd
+
+    from ..stages.similarity import pca_top_component
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    v, eig, _n = pca_top_component(ds)
+    return pd.DataFrame({
+        "dim": np.arange(len(v), dtype=np.int64),
+        "component": np.round(v, 6),
+        "eigenvalue": np.round(np.full(len(v), eig), 6),
+    })
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -2871,6 +2889,7 @@ QUERIES = {
     "oov_rate": q_oov_rate,
     "cluster_sizes": q_cluster_sizes,
     "media_resize": q_media_resize,
+    "pca_top": q_pca_top,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -4045,6 +4064,12 @@ ORACLE_SQL.update(
             "frame_features", "media_id, n_frames, embedding"
         ),
         "pagerank": _fixture_sql("pagerank", "node, rank"),
+        "pca_top": (
+            "SELECT dim, component, eigenvalue FROM read_parquet("
+            f"'{_FIXTURE_DIR}/oracle_pca_top.parquet') WHERE corpus_key = "
+            "(SELECT CAST(SUM(CAST(floor(abs(embedding[1]) * 1000) AS BIGINT)) AS BIGINT) "
+            "FROM embeddings)"
+        ),
         "kmeans": (
             "SELECT cluster, n_vecs, c0 FROM read_parquet("
             f"'{_FIXTURE_DIR}/oracle_kmeans.parquet') WHERE corpus_key = "

@@ -480,3 +480,50 @@ def centroid_topk(ds, k: int = 5, id_col: str = "vec_id",
         )
 
     return top.map_batches(round_out, batch_format="pyarrow")
+
+
+def pca_top_component(ds, vec_col: str = "embedding", scale: float = 1000.0,
+                      iters: int = 64):
+    """Top principal component of an embedding column — the embedding-
+    diagnostics / dimensionality-reduction primitive (dominant-direction
+    removal, whitening, drift checks).
+
+    DETERMINISTIC across block layouts, kmeans_fit's quantization trick
+    applied to second moments: vectors are quantized once to int64
+    (``scale`` units) and each batch emits ONE row carrying the exact
+    int64 scatter matrix ``q^T q`` (d x d), coordinate sum and count —
+    associative, so the driver-side covariance is a pure function of the
+    input multiset (what lets a plain numpy reference be the oracle).
+    Power iteration (fixed ``iters``, ones-vector init, sign fixed by the
+    largest-magnitude coordinate) runs on the tiny d x d matrix on the
+    driver.  Only O(batches) rows ever leave the workers.
+
+    Returns (component float64[d], eigenvalue float, n_rows int).
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch[vec_col])
+        q = np.rint(m * scale).astype(np.int64)
+        S = q.T @ q
+        return pa.table({
+            "S": pa.array([S.ravel().tolist()], pa.list_(pa.int64())),
+            "m": pa.array([q.sum(axis=0).tolist()], pa.list_(pa.int64())),
+            "n": pa.array([len(q)], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    if n == 0:
+        raise ValueError("pca_top_component: empty input")
+    S = np.sum(np.stack([np.asarray(x, np.int64) for x in parts["S"]]), axis=0)
+    m1 = np.sum(np.stack([np.asarray(x, np.int64) for x in parts["m"]]), axis=0)
+    d = len(m1)
+    mean = m1.astype(np.float64) / n
+    cov = (S.reshape(d, d).astype(np.float64) / n - np.outer(mean, mean)) / (scale * scale)
+    v = np.ones(d, np.float64) / np.sqrt(d)
+    for _ in range(iters):
+        v = cov @ v
+        v = v / np.linalg.norm(v)
+    if v[int(np.argmax(np.abs(v)))] < 0:
+        v = -v
+    eig = float(v @ cov @ v)
+    return v, eig, n

@@ -405,6 +405,23 @@ def media_features_reference(doc_id: int, text: str):
     return kind, feat
 
 
+def pca_reference(vecs: np.ndarray, scale: float = 1000.0, iters: int = 64):
+    """Top principal component (spec: similarity.pca_top_component)."""
+    q = np.rint(vecs * scale).astype(np.int64)
+    n = len(q)
+    S = q.T @ q
+    mean = q.sum(axis=0).astype(np.float64) / n
+    cov = (S.astype(np.float64) / n - np.outer(mean, mean)) / (scale * scale)
+    d = cov.shape[0]
+    v = np.ones(d, np.float64) / np.sqrt(d)
+    for _ in range(iters):
+        v = cov @ v
+        v = v / np.linalg.norm(v)
+    if v[int(np.argmax(np.abs(v)))] < 0:
+        v = -v
+    return v, float(v @ cov @ v)
+
+
 def media_resize_reference(doc_id: int, text: str,
                            target=(64, 64)):
     """Image-resize stub (spec: stages/multimodal.ResizeMedia)."""
@@ -459,6 +476,8 @@ def main() -> None:
                            "embedding": []},
         "media_resize": {"corpus_key": [], "media_id": [], "kind": [],
                          "out_w": [], "out_h": [], "thumb_hash": []},
+        "pca_top": {"corpus_key": [], "dim": [], "component": [],
+                    "eigenvalue": []},
         "pagerank": {"corpus_key": [], "node": [], "rank": []},
         "approx_users": {"corpus_key": [], "event_type": [], "approx_users": []},
         "approx_quantiles": {"corpus_key": [], "event_type": [],
@@ -507,6 +526,12 @@ def main() -> None:
             rows["ivf_topk"]["query_idx"].append(qi)
             rows["ivf_topk"]["vec_id"].append(vid)
             rows["ivf_topk"]["rank"].append(rank)
+        pca_v, pca_eig = pca_reference(evecs)
+        for di, comp in enumerate(pca_v):
+            rows["pca_top"]["corpus_key"].append(ekey)
+            rows["pca_top"]["dim"].append(di)
+            rows["pca_top"]["component"].append(round(float(comp), 6))
+            rows["pca_top"]["eigenvalue"].append(round(pca_eig, 6))
         km_C, km_n = kmeans_reference(eids, evecs)
         for c in range(KMEANS_K):
             if km_n[c] > 0:
@@ -653,6 +678,10 @@ def main() -> None:
             [("corpus_key", pa.int64()), ("media_id", pa.int64()),
              ("kind", pa.string()), ("out_w", pa.int32()),
              ("out_h", pa.int32()), ("thumb_hash", pa.int64())]
+        ),
+        "pca_top": pa.schema(
+            [("corpus_key", pa.int64()), ("dim", pa.int64()),
+             ("component", pa.float64()), ("eigenvalue", pa.float64())]
         ),
     }
     for name, cols in rows.items():

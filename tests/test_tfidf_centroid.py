@@ -86,3 +86,34 @@ def test_centroid_topk_reference(ray_session):
             sub["cosine"].to_numpy(),
             np.round(sorted(cos, reverse=True)[:4], 6), atol=1e-6)
         assert len(sub) == 4
+
+
+def test_pca_top_component_partition_invariant(ray_session):
+    """Int64 scatter accumulation is associative: identical component
+    across block layouts; matches direct numpy power iteration; the
+    component captures the dominant direction of a stretched cloud."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.similarity import pca_top_component
+
+    rng = np.random.default_rng(137)
+    n, d = 600, 8
+    base = rng.normal(size=(n, d))
+    base[:, 2] *= 9.0  # dominant axis
+    t = pa.table({"embedding": pa.array([r.tolist() for r in base],
+                                        pa.list_(pa.float64()))})
+    v1, e1, n1 = pca_top_component(ray.data.from_arrow(t))
+    v2, e2, n2 = pca_top_component(ray.data.from_arrow(t).repartition(7))
+    assert n1 == n2 == n
+    assert np.array_equal(v1, v2) and e1 == e2  # bit-identical
+    # reference: same spec, straight numpy
+    q = np.rint(base * 1000.0).astype(np.int64)
+    mean = q.sum(axis=0).astype(np.float64) / n
+    cov = (q.T @ q / n - np.outer(mean, mean)) / 1e6
+    w = np.ones(d) / np.sqrt(d)
+    for _ in range(64):
+        w = cov @ w
+        w /= np.linalg.norm(w)
+    if w[int(np.argmax(np.abs(w)))] < 0:
+        w = -w
+    assert np.allclose(v1, w, atol=0) and abs(int(np.argmax(np.abs(v1)))) == 2
