@@ -752,6 +752,69 @@ def q_asof_join(sf_dir: str):
     )
 
 
+ASOF_TOL_MS = 2 * 3600 * 1000
+
+
+def q_asof_tolerance(sf_dir: str):
+    """As-of join with a tolerance window (pandas merge_asof semantics):
+    the latest same-user error at or before each click, DROPPED when it
+    is older than 2 h — the asof kernel plus a vectorized recency filter
+    (no extra exchange)."""
+    joined = q_asof_join(sf_dir)
+
+    def tol(batch: pa.Table) -> pa.Table:
+        age = pc.subtract(batch["ts_ms"], batch["error_ts_ms"])
+        return batch.filter(pc.less_equal(age, pa.scalar(ASOF_TOL_MS, pa.int64())))
+
+    return joined.map_batches(tol, batch_format="pyarrow")
+
+
+def q_gap_stats(sf_dir: str):
+    """Series-coverage diagnostics: per (type, user), the largest silence
+    and how many gaps exceed 1 h over the total (ts, event_id) timeline —
+    the reference's empty-window semantics (copyer.go:142-145) as a
+    reportable signal.  Composition: lag_column -> vectorized gap math ->
+    combiner -> sharded max/sum."""
+    from ..stages.keyed import lag_column, sharded_grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "ts", "event_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        tsms = ts_to_ms(batch["ts"])
+        return pa.table({
+            "event_type": batch["event_type"],
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "tsms": tsms,
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "ts2": tsms,  # lag value col must differ from the order cols
+        })
+
+    lagged = lag_column(ds.map_batches(prep, batch_format="pyarrow"),
+                        ["event_type", "user_id"], ["tsms", "event_id"],
+                        "ts2", out_col="prev_ts")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        gap = pc.subtract(batch["tsms"], batch["prev_ts"])
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "user_id": batch["user_id"],
+            "max_gap_ms": gap,
+            "n_gaps_1h": pc.cast(pc.greater(gap, 3_600_000), pa.int64()),
+        })
+        g = t.group_by(["event_type", "user_id"]).aggregate(
+            [("max_gap_ms", "max"), ("n_gaps_1h", "sum")]
+        )
+        return g.rename_columns(
+            ["event_type", "user_id", "max_gap_ms", "n_gaps_1h"]
+        )
+
+    return sharded_grouped_agg(
+        lagged.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "user_id"],
+        [("max_gap_ms", "max"), ("n_gaps_1h", "sum")], num_shards=16,
+    )
+
+
 SESSION_MS = 30 * 60 * 1000
 
 
@@ -2890,6 +2953,8 @@ QUERIES = {
     "cluster_sizes": q_cluster_sizes,
     "media_resize": q_media_resize,
     "pca_top": q_pca_top,
+    "asof_tolerance": q_asof_tolerance,
+    "gap_stats": q_gap_stats,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -3971,6 +4036,32 @@ ORACLE_SQL = {
                e.ts_ms AS error_ts_ms, e.value AS error_value
         FROM clicks c ASOF JOIN errors e
           ON c.user_id = e.user_id AND c.ts_ms >= e.ts_ms
+    """,
+    "asof_tolerance": f"""
+        WITH clicks AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events
+          WHERE event_type = 'click'),
+        errors AS (
+          SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events
+          WHERE event_type = 'error')
+        SELECT * FROM (
+          SELECT c.user_id, c.event_id, c.ts_ms,
+                 e.ts_ms AS error_ts_ms, e.value AS error_value
+          FROM clicks c ASOF JOIN errors e
+            ON c.user_id = e.user_id AND c.ts_ms >= e.ts_ms)
+        WHERE ts_ms - error_ts_ms <= {ASOF_TOL_MS}
+    """,
+    "gap_stats": """
+        WITH o AS (SELECT event_type, CAST(user_id AS BIGINT) AS user_id,
+                          epoch_ms(ts) - lag(epoch_ms(ts))
+                              OVER (PARTITION BY event_type, user_id
+                                    ORDER BY ts, event_id) AS gap
+                   FROM events)
+        SELECT event_type, user_id,
+               max(gap) AS max_gap_ms,
+               CAST(count(*) FILTER (WHERE gap > 3600000) AS BIGINT)
+                   AS n_gaps_1h
+        FROM o WHERE gap IS NOT NULL GROUP BY 1, 2
     """,
     "range_join": f"""
         SELECT c.user_id, c.event_id, epoch_ms(c.ts) AS ts_ms,
