@@ -2836,6 +2836,68 @@ def q_pca_top(sf_dir: str):
     })
 
 
+def q_bpe_merges(sf_dir: str):
+    """Tokenizer fitting: the first 8 BPE merges learned from the corpus
+    (stages/textstats.bpe_train; one combiner-bounded pass per round —
+    only the pair vocabulary reaches the driver).  Fixture-oracled by an
+    independent single-process reference."""
+    import pandas as pd
+
+    from ..stages.textstats import bpe_train
+
+    ds = _read(sf_dir, "documents", ["text"])
+    merges = bpe_train(ds, k=8)
+    return pd.DataFrame({
+        "merge_idx": np.arange(len(merges), dtype=np.int64),
+        "left": [a for a, _, _ in merges],
+        "right": [b for _, b, _ in merges],
+        "n": np.array([n for _, _, n in merges], np.int64),
+    })
+
+
+def q_slo_burn(sf_dir: str):
+    """SLO burn report: per day, how many aligned 5m windows had an
+    error share above 10% — exact integer cross-multiply (10 * errors >
+    total), per-batch (window, counts) combiner, bounded day final."""
+    from ..stages.keyed import sharded_grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tsms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        w = (tsms // MS_5M) * MS_5M
+        err = pc.equal(batch["event_type"], "error").to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "w": pa.array(w, pa.int64()),
+            "n_err": pa.array(err.astype(np.int64)),
+            "n_all": pa.array(np.ones(len(w), np.int64)),
+        })
+        g = t.group_by(["w"]).aggregate([("n_err", "sum"), ("n_all", "sum")])
+        return g.rename_columns(["w", "n_err", "n_all"])
+
+    win = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["w"], [("n_err", "sum"), ("n_all", "sum")], num_shards=16,
+    )
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        w = batch["w"].to_numpy(zero_copy_only=False)
+        ne = batch["n_err"].to_numpy(zero_copy_only=False)
+        na = batch["n_all"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "day": pa.array((w // MS_1D) * MS_1D, pa.int64()),
+            "n_burn": pa.array((10 * ne > na).astype(np.int64)),
+            "n_windows": pa.array(np.ones(len(w), np.int64)),
+        })
+        g = t.group_by(["day"]).aggregate([("n_burn", "sum"), ("n_windows", "sum")])
+        return g.rename_columns(["day", "n_burn", "n_windows"])
+
+    return sharded_grouped_agg(
+        win.map_batches(day_partial, batch_format="pyarrow"),
+        ["day"], [("n_burn", "sum"), ("n_windows", "sum")], num_shards=4,
+    )
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -2955,6 +3017,8 @@ QUERIES = {
     "pca_top": q_pca_top,
     "asof_tolerance": q_asof_tolerance,
     "gap_stats": q_gap_stats,
+    "bpe_merges": q_bpe_merges,
+    "slo_burn": q_slo_burn,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -4051,6 +4115,18 @@ ORACLE_SQL = {
             ON c.user_id = e.user_id AND c.ts_ms >= e.ts_ms)
         WHERE ts_ms - error_ts_ms <= {ASOF_TOL_MS}
     """,
+    "slo_burn": """
+        WITH w AS (SELECT (epoch_ms(ts) // 300000) * 300000 AS w,
+                          count(*) FILTER (WHERE event_type = 'error')
+                              AS n_err,
+                          count(*) AS n_all
+                   FROM events GROUP BY 1)
+        SELECT (w // 86400000) * 86400000 AS day,
+               CAST(count(*) FILTER (WHERE 10 * n_err > n_all) AS BIGINT)
+                   AS n_burn,
+               count(*) AS n_windows
+        FROM w GROUP BY 1
+    """,
     "gap_stats": """
         WITH o AS (SELECT event_type, CAST(user_id AS BIGINT) AS user_id,
                           epoch_ms(ts) - lag(epoch_ms(ts))
@@ -4155,6 +4231,7 @@ ORACLE_SQL.update(
             "frame_features", "media_id, n_frames, embedding"
         ),
         "pagerank": _fixture_sql("pagerank", "node, rank"),
+        "bpe_merges": _fixture_sql("bpe_merges", 'merge_idx, "left", "right", n'),
         "pca_top": (
             "SELECT dim, component, eigenvalue FROM read_parquet("
             f"'{_FIXTURE_DIR}/oracle_pca_top.parquet') WHERE corpus_key = "

@@ -481,3 +481,90 @@ def bm25_scores(ds, terms: list[str], text_col: str = "text",
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bpe_train(ds, text_col: str = "text", k: int = 8):
+    """Learn the first ``k`` BPE merges from a corpus (Sennrich et al.,
+    "Neural Machine Translation of Rare Words with Subword Units", ACL
+    2016 — the classic tokenizer-fitting step of a training-data
+    pipeline).
+
+    Word-based formulation: words are the corpus tokenizer's ``[A-Za-z]+``
+    lowercased runs; each word starts as its character sequence; one round
+    = count adjacent symbol pairs over the corpus (weighted by word
+    frequency), merge the globally most frequent pair (ties to the
+    lexicographically smallest), re-apply.
+
+    Scale shape: each round is ONE pass — a per-batch combiner folds the
+    batch to its distinct-word Counter, applies the learned merges to
+    each DISTINCT word only, and emits (pair, count) partial rows; a
+    sharded segment sum collapses them; only the tiny pair vocabulary
+    reaches the driver, which picks the argmax and broadcasts the grown
+    merge list for the next round.  k rounds = k passes (the honest cost;
+    production BPE keeps a pair index, noted here).  Deterministic: pure
+    function of the input multiset — an independent single-process
+    reference serves as the oracle.
+
+    Returns ``[(left, right, count), ...]`` in merge order.
+    """
+    import re
+
+    import ray
+
+    from .keyed import sharded_grouped_agg
+
+    word_re = re.compile(r"[A-Za-z]+")
+
+    def apply_merges(symbols: tuple, merges: list) -> tuple:
+        for a, b in merges:
+            out = []
+            i = 0
+            while i < len(symbols):
+                if i + 1 < len(symbols) and symbols[i] == a and symbols[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(symbols[i])
+                    i += 1
+            symbols = tuple(out)
+        return symbols
+
+    merges: list[tuple[str, str]] = []
+    counts_out: list[int] = []
+    for _ in range(k):
+        merges_ref = ray.put(list(merges))
+
+        def pair_partial(batch: pa.Table, _m=merges_ref) -> pa.Table:
+            from collections import Counter
+
+            cur = ray.get(_m)
+            wc: Counter = Counter()
+            for t in batch[text_col].to_pylist():
+                wc.update(w.lower() for w in word_re.findall(t or ""))
+            pc_: Counter = Counter()
+            for w, n in wc.items():
+                syms = apply_merges(tuple(w), cur)
+                for i in range(len(syms) - 1):
+                    pc_[(syms[i], syms[i + 1])] += n
+            lefts = [a for a, _ in pc_]
+            rights = [b for _, b in pc_]
+            return pa.table({
+                "l": pa.array(lefts, pa.string()),
+                "r": pa.array(rights, pa.string()),
+                "n": pa.array([pc_[(a, b)] for a, b in zip(lefts, rights)],
+                              pa.int64()),
+            })
+
+        pairs = sharded_grouped_agg(
+            ds.map_batches(pair_partial, batch_format="pyarrow"),
+            ["l", "r"], [("n", "sum")], num_shards=16,
+        ).to_pandas()
+        if pairs.empty:
+            break
+        # argmax count, ties to the lexicographically smallest (l, r)
+        pairs = pairs.sort_values(["n", "l", "r"],
+                                  ascending=[False, True, True])
+        best = pairs.iloc[0]
+        merges.append((str(best["l"]), str(best["r"])))
+        counts_out.append(int(best["n"]))
+    return [(a, b, n) for (a, b), n in zip(merges, counts_out)]

@@ -422,6 +422,44 @@ def pca_reference(vecs: np.ndarray, scale: float = 1000.0, iters: int = 64):
     return v, float(v @ cov @ v)
 
 
+def bpe_reference(texts: list, k: int = 8):
+    """First-k BPE merges (spec: textstats.bpe_train)."""
+    import re
+    from collections import Counter
+
+    word_re = re.compile(r"[A-Za-z]+")
+    wc = Counter()
+    for t in texts:
+        wc.update(w.lower() for w in word_re.findall(t or ""))
+
+    def apply(symbols, merges):
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(symbols):
+                if i + 1 < len(symbols) and symbols[i] == a and symbols[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(symbols[i])
+                    i += 1
+            symbols = tuple(out)
+        return symbols
+
+    merges, counts = [], []
+    for _ in range(k):
+        pc_ = Counter()
+        for w, n in wc.items():
+            syms = apply(tuple(w), merges)
+            for i in range(len(syms) - 1):
+                pc_[(syms[i], syms[i + 1])] += n
+        if not pc_:
+            break
+        best = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append(best[0])
+        counts.append(best[1])
+    return [(a, b, n) for (a, b), n in zip(merges, counts)]
+
+
 def media_resize_reference(doc_id: int, text: str,
                            target=(64, 64)):
     """Image-resize stub (spec: stages/multimodal.ResizeMedia)."""
@@ -478,6 +516,8 @@ def main() -> None:
                          "out_w": [], "out_h": [], "thumb_hash": []},
         "pca_top": {"corpus_key": [], "dim": [], "component": [],
                     "eigenvalue": []},
+        "bpe_merges": {"corpus_key": [], "merge_idx": [], "left": [],
+                       "right": [], "n": []},
         "pagerank": {"corpus_key": [], "node": [], "rank": []},
         "approx_users": {"corpus_key": [], "event_type": [], "approx_users": []},
         "approx_quantiles": {"corpus_key": [], "event_type": [],
@@ -603,6 +643,13 @@ def main() -> None:
             rows["media_resize"]["out_h"].append(rh)
             rows["media_resize"]["thumb_hash"].append(rth)
 
+        for mi, (ml, mr, mn) in enumerate(bpe_reference(texts)):
+            rows["bpe_merges"]["corpus_key"].append(key)
+            rows["bpe_merges"]["merge_idx"].append(mi)
+            rows["bpe_merges"]["left"].append(ml)
+            rows["bpe_merges"]["right"].append(mr)
+            rows["bpe_merges"]["n"].append(mn)
+
         pairs = lsh_candidate_pairs(ids, sigs)
         for x, y in sorted(pairs):
             rows["minhash_pairs"]["corpus_key"].append(key)
@@ -682,6 +729,11 @@ def main() -> None:
         "pca_top": pa.schema(
             [("corpus_key", pa.int64()), ("dim", pa.int64()),
              ("component", pa.float64()), ("eigenvalue", pa.float64())]
+        ),
+        "bpe_merges": pa.schema(
+            [("corpus_key", pa.int64()), ("merge_idx", pa.int64()),
+             ("left", pa.string()), ("right", pa.string()),
+             ("n", pa.int64())]
         ),
     }
     for name, cols in rows.items():

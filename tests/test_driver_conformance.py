@@ -104,7 +104,7 @@ def test_oracle_keys_subset(entry_mod):
         "scd2_intervals", "dataset_split", "ohlc_1h", "peak_hour",
         "bm25", "resets", "triangles",
         "srs_sample", "oov_rate", "cluster_sizes", "media_resize", "pca_top",
-        "asof_tolerance", "gap_stats",
+        "asof_tolerance", "gap_stats", "bpe_merges", "slo_burn",
         # fixture-join oracles (tests/fixtures/gen_oracle_fixtures.py)
         "fingerprint", "simhash", "lang_id", "minhash_pairs",
         "ngram_jaccard_pairs", "embedding_neardup", "ivf_topk",

@@ -392,3 +392,22 @@ def test_lev_batch_hypothesis():
             assert got[i] == ref(x, y)
 
     check()
+
+
+def test_bpe_train_hand_corpus(ray_session):
+    """First merges on a constructed corpus follow pair frequency with
+    lexicographic ties, and later rounds count over MERGED symbols."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.textstats import bpe_train
+
+    # "abab" x3, "abc" x2 -> pairs: (a,b)=8?? compute: abab has (a,b),(b,a),(a,b)
+    # word freqs: abab:3 -> (a,b)x2,(b,a)x1 each; abc:2 -> (a,b),(b,c)
+    # (a,b) = 3*2 + 2 = 8; (b,a) = 3; (b,c) = 2 -> merge1 = (a,b)
+    # after merge: abab -> (ab, ab); abc -> (ab, c)
+    # round2: (ab,ab)=3, (ab,c)=2 -> merge2 = (ab, ab)
+    t = pa.table({"text": ["abab abab", "abab abc", "abc"]})
+    out = bpe_train(ray.data.from_arrow(t).repartition(2), k=3)
+    assert out[0] == ("a", "b", 8)
+    assert out[1] == ("ab", "ab", 3)
+    assert out[2] == ("ab", "c", 2)
