@@ -483,7 +483,8 @@ def bm25_scores(ds, terms: list[str], text_col: str = "text",
     return ds.map_batches(score, batch_format="pyarrow")
 
 
-def bpe_train(ds, text_col: str = "text", k: int = 8):
+def bpe_train(ds, text_col: str = "text", k: int = 8,
+              small_vocab_rows: int = 2_000_000):
     """Learn the first ``k`` BPE merges from a corpus (Sennrich et al.,
     "Neural Machine Translation of Rare Words with Subword Units", ACL
     2016 — the classic tokenizer-fitting step of a training-data
@@ -495,15 +496,17 @@ def bpe_train(ds, text_col: str = "text", k: int = 8):
     frequency), merge the globally most frequent pair (ties to the
     lexicographically smallest), re-apply.
 
-    Scale shape: each round is ONE pass — a per-batch combiner folds the
-    batch to its distinct-word Counter, applies the learned merges to
-    each DISTINCT word only, and emits (pair, count) partial rows; a
-    sharded segment sum collapses them; only the tiny pair vocabulary
-    reaches the driver, which picks the argmax and broadcasts the grown
-    merge list for the next round.  k rounds = k passes (the honest cost;
-    production BPE keeps a pair index, noted here).  Deterministic: pure
-    function of the input multiset — an independent single-process
-    reference serves as the oracle.
+    Scale shape: the corpus is tokenized ONCE into a materialized
+    (word, freq) vocabulary table (per-batch distinct-word Counter ->
+    sharded segment sum — Zipf-bounded, orders of magnitude smaller than
+    the corpus); every training round then runs over the vocab table
+    only: merges applied per DISTINCT word, (pair, count) partials,
+    sharded sum, driver argmax with lexicographic ties, merge list
+    re-broadcast.  Only the pair vocabulary ever reaches the driver.
+    (Production BPE additionally keeps an incremental pair index instead
+    of re-applying merges — noted, not needed at k this small.)
+    Deterministic: pure function of the input multiset — an independent
+    single-process reference serves as the oracle.
 
     Returns ``[(left, right, count), ...]`` in merge order.
     """
@@ -514,6 +517,23 @@ def bpe_train(ds, text_col: str = "text", k: int = 8):
     from .keyed import sharded_grouped_agg
 
     word_re = re.compile(r"[A-Za-z]+")
+
+    def wc_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        wc: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            wc.update(w.lower() for w in word_re.findall(t or ""))
+        words = list(wc.keys())
+        return pa.table({
+            "w": pa.array(words, pa.string()),
+            "n": pa.array([wc[w] for w in words], pa.int64()),
+        })
+
+    vocab = sharded_grouped_agg(
+        ds.map_batches(wc_partial, batch_format="pyarrow"),
+        ["w"], [("n", "sum")], num_shards=16,
+    ).materialize()
 
     def apply_merges(symbols: tuple, merges: list) -> tuple:
         for a, b in merges:
@@ -529,6 +549,31 @@ def bpe_train(ds, text_col: str = "text", k: int = 8):
             symbols = tuple(out)
         return symbols
 
+    # size-aware (the CC fast-path principle): a vocab that fits in one
+    # heap trains all k rounds locally — k distributed rounds over a tiny
+    # word table would be k x the exchange's fixed cost for no benefit.
+    # The distributed loop below is the path for web-scale vocabularies.
+    n_vocab = vocab.count()
+    if n_vocab <= small_vocab_rows:
+        from collections import Counter
+
+        vt = vocab.to_pandas()
+        wc_all = dict(zip(vt["w"], vt["n"].astype(int)))
+        merges_l: list[tuple[str, str]] = []
+        counts_l: list[int] = []
+        for _ in range(k):
+            pc_: Counter = Counter()
+            for w, n in wc_all.items():
+                syms = apply_merges(tuple(w), merges_l)
+                for i in range(len(syms) - 1):
+                    pc_[(syms[i], syms[i + 1])] += n
+            if not pc_:
+                break
+            best = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges_l.append(best[0])
+            counts_l.append(best[1])
+        return [(a, b, n) for (a, b), n in zip(merges_l, counts_l)]
+
     merges: list[tuple[str, str]] = []
     counts_out: list[int] = []
     for _ in range(k):
@@ -538,11 +583,8 @@ def bpe_train(ds, text_col: str = "text", k: int = 8):
             from collections import Counter
 
             cur = ray.get(_m)
-            wc: Counter = Counter()
-            for t in batch[text_col].to_pylist():
-                wc.update(w.lower() for w in word_re.findall(t or ""))
             pc_: Counter = Counter()
-            for w, n in wc.items():
+            for w, n in zip(batch["w"].to_pylist(), batch["n"].to_pylist()):
                 syms = apply_merges(tuple(w), cur)
                 for i in range(len(syms) - 1):
                     pc_[(syms[i], syms[i + 1])] += n
@@ -556,7 +598,7 @@ def bpe_train(ds, text_col: str = "text", k: int = 8):
             })
 
         pairs = sharded_grouped_agg(
-            ds.map_batches(pair_partial, batch_format="pyarrow"),
+            vocab.map_batches(pair_partial, batch_format="pyarrow"),
             ["l", "r"], [("n", "sum")], num_shards=16,
         ).to_pandas()
         if pairs.empty:

@@ -411,3 +411,20 @@ def test_bpe_train_hand_corpus(ray_session):
     assert out[0] == ("a", "b", 8)
     assert out[1] == ("ab", "ab", 3)
     assert out[2] == ("ab", "c", 2)
+
+
+def test_bpe_train_paths_agree(ray_session):
+    """The driver-side fast path and the distributed per-round loop
+    learn identical merges (small_vocab_rows=0 forces the loop)."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.textstats import bpe_train
+
+    t = pa.table({"text": [
+        "the quick brown fox", "the quick red fox fox",
+        "lazy dogs and quick dogs", "the the the",
+    ]})
+    ds = ray.data.from_arrow(t).repartition(3)
+    fast = bpe_train(ds, k=5)
+    slow = bpe_train(ds, k=5, small_vocab_rows=0)
+    assert fast == slow and len(fast) == 5
