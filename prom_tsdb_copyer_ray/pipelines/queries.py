@@ -2898,6 +2898,62 @@ def q_slo_burn(sf_dir: str):
     )
 
 
+def q_max_drawdown(sf_dir: str):
+    """Largest peak-to-trough drop of each (type, user) value series
+    (stages/keyed.max_drawdown; segment-reset running max via the offset
+    trick, exact centi-ints)."""
+    from ..stages.keyed import max_drawdown
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "ts", "event_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "tsms": ts_to_ms(batch["ts"]),
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "cval": pa.array(np.rint(v * 100).astype(np.int64), pa.int64()),
+        })
+
+    out = max_drawdown(ds.map_batches(prep, batch_format="pyarrow"),
+                       ["event_type", "user_id"], ["tsms", "event_id"], "cval")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "user_id": batch["user_id"],
+            "max_dd": pc.divide(pc.cast(batch["max_dd"], pa.float64()), 100.0),
+            "n": batch["n"],
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_cume_dist(sf_dir: str):
+    """cume_dist() of each event within its type by floor(value) — ties
+    share the value (stages/keyed.cume_dist; percent_rank's narrow
+    exchange with event_id carried)."""
+    from ..stages.keyed import cume_dist
+
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "vfloor": pa.array(np.floor(v).astype(np.int64), pa.int64()),
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+        })
+
+    out = cume_dist(ds.map_batches(prep, batch_format="pyarrow"),
+                    ["event_type"], ["vfloor"], carry_cols=["event_id"])
+    return out.map_batches(
+        lambda b: b.select(["event_type", "event_id", "cd"]),
+        batch_format="pyarrow",
+    )
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -3019,6 +3075,8 @@ QUERIES = {
     "gap_stats": q_gap_stats,
     "bpe_merges": q_bpe_merges,
     "slo_burn": q_slo_burn,
+    "max_drawdown": q_max_drawdown,
+    "cume_dist": q_cume_dist,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -4114,6 +4172,26 @@ ORACLE_SQL = {
           FROM clicks c ASOF JOIN errors e
             ON c.user_id = e.user_id AND c.ts_ms >= e.ts_ms)
         WHERE ts_ms - error_ts_ms <= {ASOF_TOL_MS}
+    """,
+    "max_drawdown": """
+        WITH s AS (SELECT event_type, CAST(user_id AS BIGINT) AS user_id,
+                          ts, event_id,
+                          CAST(value * 100 AS BIGINT) AS cval
+                   FROM events),
+        r AS (SELECT event_type, user_id,
+                     max(cval) OVER (PARTITION BY event_type, user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) - cval AS dd
+              FROM s)
+        SELECT event_type, user_id, max(dd) / 100.0 AS max_dd,
+               count(*) AS n
+        FROM r GROUP BY 1, 2
+    """,
+    "cume_dist": """
+        SELECT event_type, CAST(event_id AS BIGINT) AS event_id,
+               cume_dist() OVER (PARTITION BY event_type
+                                 ORDER BY CAST(floor(value) AS BIGINT)) AS cd
+        FROM events
     """,
     "slo_burn": """
         WITH w AS (SELECT (epoch_ms(ts) // 300000) * 300000 AS w,

@@ -1728,3 +1728,95 @@ def ohlc_agg(ds, key_cols: list[str], order_cols: list[str],
         .groupby("_fshard")
         .map_groups(per_shard, batch_format="pyarrow")
     )
+
+
+def max_drawdown(ds, key_cols: list[str], order_cols: list[str],
+                 value_col: str, num_shards: int = 64,
+                 out_col: str = "max_dd"):
+    """Largest peak-to-trough drop of each key's value series over its
+    total order — the monitoring/finance drawdown stat
+    (``max_i (max_{j<=i} v_j - v_i)``, 0 for monotone series).
+
+    Exact for int64 values (callers pre-scale floats).  One narrow
+    key-shard exchange; the kernel is a segment-reset running max via the
+    offset trick (one ``np.maximum.accumulate`` over values lifted by
+    ``segment_id * 2^40`` — no Python per key).  Output: key cols +
+    ``out_col`` + n.
+    """
+    keys = list(key_cols)
+    cols = keys + list(order_cols) + [value_col]
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols)
+        return t.append_column("_wshard", _key_shard(t, keys, num_shards))
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_wshard")
+        if t.num_rows == 0:
+            return t.select(keys).append_column(
+                out_col, pa.array([], pa.int64())
+            ).append_column("n", pa.array([], pa.int64()))
+        t = t.sort_by([(c, "ascending") for c in keys + list(order_cols)])
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.flatnonzero(_segment_starts(t, keys))
+        sizes = np.diff(np.r_[starts, t.num_rows])
+        seg_id = np.repeat(np.arange(len(starts), dtype=np.int64), sizes)
+        off = seg_id << np.int64(40)  # values << 2^40: no cross-segment carry
+        run_max = np.maximum.accumulate(v + off) - off
+        dd = run_max - v
+        mdd = np.maximum.reduceat(dd, starts)
+        out = t.select(keys).take(pa.array(starts))
+        return out.append_column(out_col, pa.array(mdd, pa.int64())) \
+                  .append_column("n", pa.array(sizes, pa.int64()))
+
+    from .common import narrow_fanin
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .repartition(narrow_fanin())
+        .groupby("_wshard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )
+
+
+def cume_dist(ds, key_cols: list[str], order_cols: list[str],
+              carry_cols: list[str] | None = None, num_shards: int = 64,
+              out_col: str = "cd"):
+    """SQL ``cume_dist() OVER (PARTITION BY keys ORDER BY order_cols)``:
+    (# rows with order <= current) / n, tied order tuples share the
+    value.  percent_rank's exchange shape; the quotient of two small
+    exact ints is bit-identical across engines.
+    """
+    carry = list(carry_cols or [])
+    cols = list(key_cols) + list(order_cols) + carry
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols)
+        return t.append_column("_wshard", _key_shard(t, list(key_cols), num_shards))
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_wshard")
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.float64()))
+        t = t.sort_by([(c, "ascending") for c in list(key_cols) + list(order_cols)])
+        n = t.num_rows
+        kmask = _segment_starts(t, list(key_cols))
+        rmask = _segment_starts(t, list(key_cols) + list(order_cols))
+        kstarts = np.flatnonzero(kmask)
+        ksizes = np.diff(np.r_[kstarts, n])
+        kfirst = np.repeat(kstarts, ksizes)
+        rstarts = np.flatnonzero(rmask)
+        rsizes = np.diff(np.r_[rstarts, n])
+        rlast = np.repeat(rstarts + rsizes - 1, rsizes)  # end of the tie run
+        cd = (rlast - kfirst + 1).astype(np.float64) / np.repeat(
+            ksizes, ksizes).astype(np.float64)
+        return t.append_column(out_col, pa.array(cd, pa.float64()))
+
+    from .common import narrow_fanin
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .repartition(narrow_fanin())
+        .groupby("_wshard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )

@@ -1468,3 +1468,61 @@ def test_group_star_edges_multi_matches_singles(ray_session):
                                broadcast_keys=0)
     )
     assert got_b == want and got_s == want and len(want) > 0
+
+
+def test_max_drawdown_vs_pandas(ray_session):
+    """Segment-reset running max matches a per-key pandas cummax; monotone
+    series -> 0; multi-block invariance."""
+    import pandas as pd
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.keyed import max_drawdown
+
+    rng = np.random.default_rng(149)
+    n = 2000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 30, n).astype(str),
+        "o": np.arange(n, dtype=np.int64),
+        "v": rng.integers(-500, 500, n).astype(np.int64),
+    })
+    # one strictly increasing key -> drawdown 0
+    df.loc[df["k"] == "0", "v"] = np.arange((df["k"] == "0").sum())
+    out = (
+        max_drawdown(
+            ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(6),
+            ["k"], ["o"], "v",
+        )
+        .to_pandas().set_index("k").sort_index()
+    )
+    s = df.sort_values(["k", "o"])
+    want = (s.groupby("k")["v"].cummax() - s["v"]).groupby(s["k"]).max()
+    assert (out["max_dd"] == want.loc[out.index]).all()
+    assert out.loc["0", "max_dd"] == 0
+
+
+def test_cume_dist_vs_pandas(ray_session):
+    """cume_dist ties share the value; last row of each key gets 1.0."""
+    import pandas as pd
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.keyed import cume_dist
+
+    rng = np.random.default_rng(151)
+    n = 1500
+    df = pd.DataFrame({
+        "k": rng.integers(0, 6, n).astype(str),
+        "o": rng.integers(0, 12, n).astype(np.int64),  # heavy ties
+        "id": np.arange(n, dtype=np.int64),
+    })
+    out = (
+        cume_dist(
+            ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(5),
+            ["k"], ["o"], carry_cols=["id"],
+        )
+        .to_pandas().set_index("id").sort_index()
+    )
+    # pandas reference: fraction of rows in the key with o <= current
+    want = df.set_index("id").groupby("k")["o"].transform(
+        lambda s: s.map(lambda x: (s <= x).mean()))
+    assert np.array_equal(out["cd"].to_numpy(), want.loc[out.index].to_numpy())
+    assert (out.groupby(df.set_index("id").loc[out.index, "k"])["cd"].max() == 1.0).all()
