@@ -2954,6 +2954,78 @@ def q_cume_dist(sf_dir: str):
     )
 
 
+def q_monthly_rollup(sf_dir: str):
+    """CALENDAR-window rollup (months are not fixed-duration, so the
+    epoch-aligned window math of O3 cannot express them): per (type,
+    month) count + sum, the month key derived vectorized via numpy
+    datetime64[M] truncation; bounded-key final."""
+    from ..stages.keyed import sharded_grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tsms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        month_ms = (
+            tsms.astype("datetime64[ms]").astype("datetime64[M]")
+            .astype("datetime64[ms]").astype(np.int64)
+        )
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "month_ms": pa.array(month_ms, pa.int64()),
+            "n": pa.array(np.ones(len(tsms), np.int64)),
+            "csum": pa.array(np.rint(v * 100).astype(np.int64), pa.int64()),
+        })
+        g = t.group_by(["event_type", "month_ms"]).aggregate(
+            [("n", "sum"), ("csum", "sum")]
+        )
+        return g.rename_columns(["event_type", "month_ms", "n", "csum"])
+
+    out = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "month_ms"], [("n", "sum"), ("csum", "sum")],
+        num_shards=8,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "month_ms": batch["month_ms"],
+            "n": batch["n"],
+            "sum_value": pc.divide(pc.cast(batch["csum"], pa.float64()), 100.0),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_k_anonymity(sf_dir: str):
+    """Privacy audit: quasi-identifier combos (lang, source) held by
+    fewer than k=5 docs, and how many docs are at risk — group-size
+    combiner + bounded final + vectorized filter."""
+    from ..stages.keyed import sharded_grouped_agg
+
+    K_ANON = 5
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "lang": batch["lang"],
+            "source": batch["source"],
+            "n_docs": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+        g = t.group_by(["lang", "source"]).aggregate([("n_docs", "sum")])
+        return g.rename_columns(["lang", "source", "n_docs"])
+
+    counts = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "source"], [("n_docs", "sum")], num_shards=8,
+    )
+    return counts.map_batches(
+        lambda b: b.filter(pc.less(b["n_docs"], K_ANON)),
+        batch_format="pyarrow",
+    )
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -3077,6 +3149,8 @@ QUERIES = {
     "slo_burn": q_slo_burn,
     "max_drawdown": q_max_drawdown,
     "cume_dist": q_cume_dist,
+    "monthly_rollup": q_monthly_rollup,
+    "k_anonymity": q_k_anonymity,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -4172,6 +4246,19 @@ ORACLE_SQL = {
           FROM clicks c ASOF JOIN errors e
             ON c.user_id = e.user_id AND c.ts_ms >= e.ts_ms)
         WHERE ts_ms - error_ts_ms <= {ASOF_TOL_MS}
+    """,
+    "monthly_rollup": """
+        WITH s AS (SELECT event_type,
+                          epoch_ms(date_trunc('month', ts)) AS month_ms,
+                          CAST(value * 100 AS BIGINT) AS cval
+                   FROM events)
+        SELECT event_type, month_ms, count(*) AS n,
+               CAST(SUM(cval) AS DOUBLE) / 100.0 AS sum_value
+        FROM s GROUP BY 1, 2
+    """,
+    "k_anonymity": """
+        SELECT lang, source, count(*) AS n_docs
+        FROM documents GROUP BY 1, 2 HAVING count(*) < 5
     """,
     "max_drawdown": """
         WITH s AS (SELECT event_type, CAST(user_id AS BIGINT) AS user_id,

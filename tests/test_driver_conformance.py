@@ -105,7 +105,7 @@ def test_oracle_keys_subset(entry_mod):
         "bm25", "resets", "triangles",
         "srs_sample", "oov_rate", "cluster_sizes", "media_resize", "pca_top",
         "asof_tolerance", "gap_stats", "bpe_merges", "slo_burn",
-        "max_drawdown", "cume_dist",
+        "max_drawdown", "cume_dist", "monthly_rollup", "k_anonymity",
         # fixture-join oracles (tests/fixtures/gen_oracle_fixtures.py)
         "fingerprint", "simhash", "lang_id", "minhash_pairs",
         "ngram_jaccard_pairs", "embedding_neardup", "ivf_topk",
