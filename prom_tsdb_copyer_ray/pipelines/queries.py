@@ -3026,6 +3026,15 @@ def q_k_anonymity(sf_dir: str):
     )
 
 
+def q_dup_spans(sf_dir: str):
+    """Exact substring-duplication fractions per doc (40-char spans at
+    stride 8; stages/curation.dup_span_stats — one bounded-payload wide
+    exchange + a narrow doc-sharded sum)."""
+    from ..stages.curation import dup_span_stats
+
+    return dup_span_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -3151,6 +3160,7 @@ QUERIES = {
     "cume_dist": q_cume_dist,
     "monthly_rollup": q_monthly_rollup,
     "k_anonymity": q_k_anonymity,
+    "dup_spans": q_dup_spans,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -4246,6 +4256,20 @@ ORACLE_SQL = {
           FROM clicks c ASOF JOIN errors e
             ON c.user_id = e.user_id AND c.ts_ms >= e.ts_ms)
         WHERE ts_ms - error_ts_ms <= {ASOF_TOL_MS}
+    """,
+    "dup_spans": """
+        WITH w AS (
+          SELECT doc_id, substr(text, 1 + k * 8, 40) AS win
+          FROM documents,
+               unnest(generate_series(0, (length(text) - 40) // 8)) AS t(k)
+          WHERE length(text) >= 40
+        ),
+        d AS (SELECT win FROM w GROUP BY win
+              HAVING count(DISTINCT doc_id) > 1)
+        SELECT doc_id, count(*) AS n_windows,
+               CAST(count(*) FILTER (WHERE win IN (SELECT win FROM d))
+                    AS BIGINT) AS n_dup
+        FROM w GROUP BY 1
     """,
     "monthly_rollup": """
         WITH s AS (SELECT event_type,

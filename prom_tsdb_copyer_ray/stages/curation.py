@@ -698,3 +698,99 @@ def profile_columns(ds, cols: list[str], num_shards: int = 64):
         "n_null": pa.array([nu[c] for c in cols], pa.int64()),
         "n_distinct": pa.array([nd[c] for c in cols], pa.int64()),
     }))
+
+
+def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
+                   window: int = 40, stride: int = 8,
+                   num_shards: int = 64):
+    """Exact substring-duplication signal (the fixed-window form of
+    Lee et al. 2022's exact substring dedup): every ``window``-char
+    slice at ``stride`` offsets is a span key; a span occurring in >= 2
+    DISTINCT docs is duplicated, and each doc reports how many of its
+    spans are.  The high-dup-fraction docs are the boilerplate /
+    mirrored content exact n-gram dedup misses at token granularity.
+
+    Scale shape: span extraction is a per-POSITION column kernel loop
+    (ceil(max_len/stride) vectorized ``utf8_slice_codeunits`` calls — the
+    chunk_docs pattern, no per-row Python); ONE wide exchange moves
+    (span, doc_id) rows — fixed ``window`` bytes each, the bounded-payload
+    lesson from the round-1 ngram review; per shard a lexsort marks
+    multi-doc spans and folds (doc, n, n_dup) partials; a narrow
+    doc-sharded sum finishes.  At 100 TB swap the span string for its
+    64-bit rolling hash (same shape, 8-byte rows, collision probability
+    ~n^2/2^64 documented) — the string key keeps this SQL-oracle-exact.
+
+    Output: (doc_id, n_windows, n_dup) — docs shorter than ``window``
+    have no spans and emit nothing (SQL GROUP BY parity).
+    """
+    from ..stages.keyed import _key_shard, _segment_starts, sharded_grouped_agg
+
+    def spans(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ids = pc.cast(batch[id_col], pa.int64())
+        lens = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+        max_k = int(max(0, (lens.max() - window) // stride + 1)) if len(lens) else 0
+        win_parts, id_parts = [], []
+        for k in range(max_k):
+            start = k * stride
+            keep = lens >= start + window
+            if not keep.any():
+                break
+            mask = pa.array(keep)
+            win_parts.append(
+                pc.utf8_slice_codeunits(text.filter(mask), start, start + window)
+            )
+            id_parts.append(ids.filter(mask))
+        if not win_parts:
+            return pa.table({"win": pa.array([], pa.string()),
+                             id_col: pa.array([], pa.int64()),
+                             "_wshard": pa.array([], pa.int64())})
+        t = pa.table({
+            "win": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in win_parts]),
+            id_col: pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in id_parts]),
+        })
+        return t.append_column("_wshard", _key_shard(t, ["win"], num_shards))
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_wshard")
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_windows": pa.array([], pa.int64()),
+                             "n_dup": pa.array([], pa.int64())})
+        t = t.sort_by([("win", "ascending"), (id_col, "ascending")])
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        new_win = _segment_starts(t, ["win"])
+        starts = np.flatnonzero(new_win)
+        sizes = np.diff(np.r_[starts, t.num_rows])
+        # distinct docs per span: within a span segment ids are sorted
+        new_doc = np.ones(t.num_rows, dtype=bool)
+        new_doc[1:] = (ids[1:] != ids[:-1])
+        new_doc |= new_win
+        ndocs = np.add.reduceat(new_doc.astype(np.int64), starts)
+        is_dup = np.repeat(ndocs > 1, sizes)
+        # fold to per-doc partials within the shard
+        order = np.argsort(ids, kind="stable")
+        ids_s, dup_s = ids[order], is_dup[order]
+        dstarts = np.flatnonzero(np.r_[True, ids_s[1:] != ids_s[:-1]])
+        return pa.table({
+            id_col: pa.array(ids_s[dstarts]),
+            "n_windows": pa.array(
+                np.diff(np.r_[dstarts, len(ids_s)]).astype(np.int64)),
+            "n_dup": pa.array(
+                np.add.reduceat(dup_s.astype(np.int64), dstarts)),
+        })
+
+    from ..stages.common import narrow_fanin
+
+    partials = (
+        ds.map_batches(spans, batch_format="pyarrow")
+        .repartition(narrow_fanin())
+        .groupby("_wshard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )
+    return sharded_grouped_agg(
+        partials, [id_col], [("n_windows", "sum"), ("n_dup", "sum")],
+        num_shards=16,
+    )

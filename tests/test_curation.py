@@ -341,3 +341,32 @@ def test_profile_columns(ray_session):
         )
         assert out.loc["a"].tolist() == [6, 2, 3]
         assert out.loc["b"].tolist() == [7, 1, 3]
+
+
+def test_dup_span_stats(ray_session):
+    """Spans shared across docs are counted for every holder; intra-doc
+    repeats alone don't count; short docs emit nothing; multi-block."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.curation import dup_span_stats
+
+    shared = "X" * 40  # one full shared window at offset 0
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            shared + "a" * 8,          # windows at 0,8: [X*40], [X*32+a*8]
+            shared,                    # window at 0: [X*40] -> shared with 1
+            "y" * 48,                  # two windows, unique to doc 3...
+            "short",                   # < 40 chars -> no windows
+        ]),
+    })
+    out = (
+        dup_span_stats(ray.data.from_arrow(t).repartition(3))
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert 4 not in out.index
+    assert out.loc[1, "n_windows"] == 2 and out.loc[1, "n_dup"] == 1
+    assert out.loc[2, "n_windows"] == 1 and out.loc[2, "n_dup"] == 1
+    # doc 3: 'y'*48 windows at 0 and 8 are BOTH 'y'*40 — identical string,
+    # but only one distinct doc holds it -> not a cross-doc dup
+    assert out.loc[3, "n_windows"] == 2 and out.loc[3, "n_dup"] == 0
