@@ -153,12 +153,21 @@ def main(argv=None) -> int:
             apply_residual=False,
         )
 
+    # late-data invalidation (parquet only): record the input file set so a
+    # re-run recomputes exactly the days new/grown files touch
+    input_files = None
+    if args.format == "parquet":
+        from .sources.parquet import list_parquet_files
+
+        input_files = list_parquet_files(args.source)
+
     manifests = run_copy(
         pages_factory,
         args.target,
         matchers=matchers,
         relabels=relabels or None,
         validate=args.validate,
+        input_files=input_files,
         # -t > 0 caps concurrent extraction tasks (the reference's -T worker
         # cap); 0 = unbounded (Ray's scheduler packs up to num_cpus)
         concurrency=args.thread if args.thread > 0 else None,

@@ -234,6 +234,8 @@ def run_copy(
     incremental: bool = False,
     group_window_ms: int | None = None,
     collect_metrics: bool = False,
+    input_files: Sequence[str] | None = None,
+    ts_col: str = "warc_ts",
     **kw,
 ) -> dict:
     """Checkpointed end-to-end run; returns {tier: manifest}.
@@ -253,16 +255,60 @@ def run_copy(
     skipped entirely.  ``incremental=True`` (append-ingest mode): every tier
     re-runs, but ``write_tier`` filters out already-manifested days, so only
     NEW days of a grown input are computed/written — the day-level checkpoint.
+
+    ``input_files`` enables LATE-DATA invalidation: the run records the
+    input file set (path + size) in ``manifests/inputs.json``; on resume,
+    files that are new or grown since the last successful run have their
+    Parquet FOOTER time stats read (metadata only — the O2 machinery), and
+    every day they touch is evicted from every tier's checkpoint before
+    the run, so late rows landing in an already-committed day recompute
+    exactly those days instead of being silently skipped.  A new file
+    without footer stats conservatively evicts everything.
     """
     sink = None
     if collect_metrics:
         from ..state.metrics import create_sink
 
         sink = create_sink()
+
+    invalidated: set[int] | None = set()
+    if input_files is not None:
+        import os as _os
+
+        from ..sources.parquet import file_time_stats
+        from ..state.manifest import invalidate_days, load_inputs, record_inputs
+        from ..windows import MS_1D
+
+        recorded = load_inputs(out_dir)
+        changed = [
+            f for f in input_files
+            if recorded.get(f) != _os.path.getsize(f)
+        ]
+        if changed and recorded:  # first run records, later runs invalidate
+            days: set[int] | None = set()
+            for f in changed:
+                mn, mx, _n = file_time_stats(f, ts_col)
+                if mn is None or mx is None:
+                    days = None  # no stats -> conservative full eviction
+                    break
+                d0 = (mn // MS_1D) * MS_1D
+                d1 = (mx // MS_1D) * MS_1D
+                days.update(range(d0, d1 + MS_1D, MS_1D))
+            for tier in ("5m", "1h", "1d"):
+                evicted = invalidate_days(out_dir, tier, days)
+                if days is None:
+                    invalidated = None
+                elif invalidated is not None:
+                    invalidated.update(evicted)
+        elif changed:
+            invalidated = {-1}  # first run with inputs to record: run tiers
+
+    must_run = bool(invalidated) or invalidated is None
+
     manifests = {}
     m5 = load_manifest(out_dir, "5m")
     t5 = None
-    if incremental or m5["status"] != "complete":
+    if incremental or must_run or m5["status"] != "complete":
         samples = pages_to_samples(
             pages_ds_factory(), matchers, relabels, validate,
             metrics_sink=sink, **kw,
@@ -277,7 +323,7 @@ def run_copy(
 
     m1h = load_manifest(out_dir, "1h")
     t1h = None
-    if incremental or m1h["status"] != "complete":
+    if incremental or must_run or m1h["status"] != "complete":
         t1h = rollup_up(
             t5 if t5 is not None else read_tier(out_dir, "5m"), "1h", metrics_sink=sink
         ).materialize()
@@ -285,12 +331,14 @@ def run_copy(
     manifests["1h"] = m1h
 
     m1d = load_manifest(out_dir, "1d")
-    if incremental or m1d["status"] != "complete":
+    if incremental or must_run or m1d["status"] != "complete":
         t1d = rollup_up(
             t1h if t1h is not None else read_tier(out_dir, "1h"), "1d", metrics_sink=sink
         )
         m1d = write_tier(t1d, out_dir, "1d", group_window_ms=group_window_ms)
     manifests["1d"] = m1d
+    if input_files is not None:
+        record_inputs(out_dir, list(input_files))
     if sink is not None:
         from ..state.metrics import destroy_sink, drain_sink
 

@@ -230,6 +230,8 @@ def manifest_summary(out_dir: str) -> dict:
         if not name.endswith(".json"):
             continue
         m = json.load(open(os.path.join(mdir, name)))
+        if "tier" not in m:  # inputs.json (the input fingerprint record)
+            continue
         out[m["tier"]] = {
             "status": m["status"],
             "n_days": len(m["days"]),
@@ -237,3 +239,49 @@ def manifest_summary(out_dir: str) -> dict:
             "n_files": sum(d["n_files"] for d in m["days"].values()),
         }
     return out
+
+
+def inputs_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "manifests", "inputs.json")
+
+
+def load_inputs(out_dir: str) -> dict[str, int]:
+    """Recorded input fingerprint: {path: size at last successful run}."""
+    p = inputs_path(out_dir)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def record_inputs(out_dir: str, files: list[str]) -> None:
+    _atomic_write_json(
+        inputs_path(out_dir),
+        {f: os.path.getsize(f) for f in files},
+    )
+
+
+def invalidate_days(out_dir: str, tier: str, days: set[int] | None) -> list[int]:
+    """Evict day partitions from a tier (dirs + manifest entries) so the
+    next write recomputes them — the late-data path: footer stats of new
+    input files name the affected days, this removes their checkpoints.
+    ``days=None`` evicts every committed day (conservative fallback when a
+    new input carries no statistics).  Manifest is rewritten atomically
+    BEFORE the dirs are deleted (a crash in between leaves unmanifested
+    dirs, which ``clean_uncommitted_days`` already repairs)."""
+    manifest = load_manifest(out_dir, tier)
+    victims = [
+        d for d in list(manifest["days"])
+        if days is None or int(d) in days
+    ]
+    if not victims:
+        return []
+    for d in victims:
+        del manifest["days"][d]
+    _atomic_write_json(manifest_path(out_dir, tier), manifest)
+    tdir = tier_dir(out_dir, tier)
+    for d in victims:
+        ddir = os.path.join(tdir, f"window_day={d}")
+        if os.path.isdir(ddir):
+            shutil.rmtree(ddir)
+    return [int(d) for d in victims]

@@ -204,3 +204,58 @@ def test_day_level_resume_skips_manifested_days(ray_session, out_dir):
     assert got.sort_values(key).reset_index(drop=True).equals(
         golden.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_late_data_invalidation(ray_session, out_dir, tmp_path):
+    """input_files late-data path: a new file whose footer stats touch an
+    already-committed day evicts exactly that day; the resumed run's tiers
+    equal a from-scratch run over the full input; unchanged inputs skip."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from prom_tsdb_copyer_ray.pipelines.copy import run_copy
+    from prom_tsdb_copyer_ray.windows import MS_1D
+
+    day_span = 3 * 86_400_000
+    pages_a = generate_pages(900, seed=42, span_ms=day_span)
+    pages_b = generate_pages(900, seed=43, span_ms=day_span)  # same days: LATE
+    fa = str(tmp_path / "a.parquet")
+    fb = str(tmp_path / "b.parquet")
+    pq.write_table(pages_a, fa)
+    pq.write_table(pages_b, fb)
+
+    # run 1: file A only
+    run_copy(lambda: ray.data.read_parquet([fa]), out_dir,
+             concurrency=(1, 2), input_files=[fa])
+    m1 = load_manifest(out_dir, "5m")
+    assert m1["status"] == "complete" and len(m1["days"]) >= 3
+
+    # run 2: unchanged inputs -> pure skip (manifests byte-stable)
+    before = json.load(open(manifest_path(out_dir, "5m")))
+    run_copy(lambda: ray.data.read_parquet([fa]), out_dir,
+             concurrency=(1, 2), input_files=[fa])
+    assert json.load(open(manifest_path(out_dir, "5m"))) == before
+
+    # run 3: file B appears with rows in the SAME committed days
+    run_copy(lambda: ray.data.read_parquet([fa, fb]), out_dir,
+             concurrency=(1, 2), input_files=[fa, fb])
+
+    # reference: a from-scratch run over both files
+    ref_dir = str(tmp_path / "ref")
+    run_copy(lambda: ray.data.read_parquet([fa, fb]), ref_dir,
+             concurrency=(1, 2))
+    for tier in ("5m", "1h", "1d"):
+        got = read_tier(out_dir, tier).to_pandas()
+        want = read_tier(ref_dir, tier).to_pandas()
+        key = ["series_key", "window_start"]
+        got = got.sort_values(key).reset_index(drop=True)
+        want = want.sort_values(key).reset_index(drop=True)
+        assert len(got) == len(want), tier
+        assert got["n_samples"].tolist() == want["n_samples"].tolist(), tier
+        assert got["ts_bytes"].tolist() == want["ts_bytes"].tolist(), tier
+
+    # run 4: unchanged again -> skip again
+    before = json.load(open(manifest_path(out_dir, "5m")))
+    run_copy(lambda: ray.data.read_parquet([fa, fb]), out_dir,
+             concurrency=(1, 2), input_files=[fa, fb])
+    assert json.load(open(manifest_path(out_dir, "5m"))) == before
