@@ -25,9 +25,16 @@ Scale shape:
   same commit protocol as state/manifest.py).
 
 Checkpoint protocol (per shard): data dirs are written first, the manifest
-row (counts + wall time) is committed after, atomically; on resume,
-committed shards are skipped BEFORE the heavy stages run (the filter is on
-the derived shard column, applied right after the read).
+row (counts + wall time) is committed after, atomically.  On resume the
+WRITE of committed shards is skipped — but normalization and the dedup
+winner pass always run over the FULL corpus, because winners are a global
+property: filtering committed shards before dedup would recompute winners
+over the missing shards only and resurrect duplicates whose smaller-id
+twin lives in a committed shard (regression-tested).  Input growth
+invalidates everything: curation dedup is global, so any new doc can
+change any shard's winner set — the input file fingerprint
+(``inputs.json``, the copy flagship's late-data protocol) triggers a full
+recompute rather than a silently-stale skip.
 """
 
 from __future__ import annotations
@@ -103,9 +110,27 @@ def run_curate(input_path: str, out_dir: str, *, num_shards: int = 16,
 
     t0 = time.monotonic()
     manifest = load_manifest(out_dir) if resume else {"shards": {}, "status": "empty"}
+    data_dir = os.path.join(out_dir, "docs")
+
+    # input-growth invalidation: global dedup means any new doc can change
+    # any shard's winner set -> full recompute (never a stale skip)
+    import glob as _glob
+
+    in_files = sorted(
+        _glob.glob(os.path.join(input_path, "*.parquet"))
+        if os.path.isdir(input_path) else [input_path]
+    )
+    fingerprint = {f: os.path.getsize(f) for f in in_files}
+    inputs_p = os.path.join(out_dir, "inputs.json")
+    if resume and manifest["shards"] and os.path.exists(inputs_p):
+        with open(inputs_p) as f:
+            recorded = json.load(f)
+        if recorded != fingerprint:
+            manifest = {"shards": {}, "status": "empty"}
+            shutil.rmtree(data_dir, ignore_errors=True)
+
     done = {int(s) for s in manifest["shards"]}
     todo = [s for s in range(num_shards) if s not in done]
-    data_dir = os.path.join(out_dir, "docs")
     if not todo:
         manifest["status"] = "complete"
         return manifest
@@ -119,19 +144,12 @@ def run_curate(input_path: str, out_dir: str, *, num_shards: int = 16,
     ds = ray.data.read_parquet(
         input_path, columns=["doc_id", "lang", "source", "text"]
     )
+    # the FULL corpus is prepped regardless of done shards: dedup winners
+    # are global (see module docstring; skipping here resurrects dups)
     prepped = ds.map_batches(
         lambda b: _prep_batch(b, num_shards, min_tokens, distinct_mult),
         batch_format="pyarrow",
-    )
-    if done:  # resume: drop committed shards before any heavy work
-        done_arr = np.array(sorted(done), dtype=np.int64)
-
-        def drop_done(batch: pa.Table) -> pa.Table:
-            sh = batch["shard"].to_numpy(zero_copy_only=False)
-            return batch.filter(pa.array(~np.isin(sh, done_arr)))
-
-        prepped = prepped.map_batches(drop_done, batch_format="pyarrow")
-    prepped = prepped.materialize()  # two consumers: winner pass + write pass
+    ).materialize()  # two consumers: winner pass + write pass
 
     winners = exact_dedup(prepped, id_col="doc_id", text_col="norm_text",
                           precomputed=True)
@@ -155,6 +173,14 @@ def run_curate(input_path: str, out_dir: str, *, num_shards: int = 16,
         )
 
     kept = prepped.map_batches(keep_winners, batch_format="pyarrow")
+    if done:  # resume: only the WRITE of committed shards is skipped
+        done_arr = np.array(sorted(done), dtype=np.int64)
+
+        def drop_done(batch: pa.Table) -> pa.Table:
+            sh = batch["shard"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(~np.isin(sh, done_arr)))
+
+        kept = kept.map_batches(drop_done, batch_format="pyarrow")
     kept.write_parquet(data_dir, partition_cols=["shard"])
 
     # commit: enumerate written shard dirs, manifest AFTER the data
@@ -185,6 +211,9 @@ def run_curate(input_path: str, out_dir: str, *, num_shards: int = 16,
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     os.replace(tmp, manifest_path(out_dir))
+    with open(inputs_p + ".tmp", "w") as f:
+        json.dump(fingerprint, f, indent=1, sort_keys=True)
+    os.replace(inputs_p + ".tmp", inputs_p)
     return manifest
 
 

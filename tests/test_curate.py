@@ -146,3 +146,83 @@ def test_curate_summary_matches_reference(ray_session):
         want[lang] = (n + 1, s + ntok)
     got = {r.lang: (r.n_docs, r.sum_tokens) for r in out.itertuples()}
     assert got == want
+
+
+def test_resume_does_not_resurrect_cross_shard_dups(ray_session, tmp_path):
+    """Regression: dedup winners are GLOBAL — resuming a lost shard whose
+    doc's smaller-id twin lives in a COMMITTED shard must not keep the
+    twin's duplicate (the winner pass must see the full corpus, not just
+    the missing shards)."""
+    import shutil
+
+    # fmix64 % 4: doc 0 -> shard 0, doc 3 -> shard 2 (cross-shard dup pair)
+    dup_text = "alpha beta gamma delta epsilon zeta"
+    docs = pa.table({
+        "doc_id": pa.array([0, 3, 4, 5], pa.int64()),
+        "text": pa.array([
+            dup_text, dup_text,
+            "one two three four five six seven",
+            "uno dos tres cuatro cinco seis siete",
+        ]),
+        "lang": pa.array(["en", "en", "de", "es"]),
+        "source": pa.array(["s0", "s1", "s2", "s3"]),
+    })
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, src)
+    out = str(tmp_path / "out")
+    run_curate(src, out, num_shards=4, min_tokens=5)
+    before = _read_out(out)
+    assert 0 in set(before["doc_id"]) and 3 not in set(before["doc_id"])
+
+    # crash that lost shard 2 (where doc 3 would live if it were kept)
+    m = load_manifest(out)
+    del m["shards"]["2"]
+    with open(os.path.join(out, "manifest.json"), "w") as f:
+        json.dump(m, f)
+    shutil.rmtree(os.path.join(out, "docs", "shard=2"), ignore_errors=True)
+
+    run_curate(src, out, num_shards=4, min_tokens=5)
+    after = _read_out(out)
+    assert sorted(after["doc_id"]) == sorted(before["doc_id"])
+    assert 3 not in set(after["doc_id"])  # the dup stays dead
+
+
+def test_curate_input_growth_invalidates(ray_session, tmp_path):
+    """A grown input triggers a full recompute (global dedup means any new
+    doc can change any shard); the result equals a from-scratch run, and
+    an unchanged re-run is a pure skip."""
+    import pandas as pd
+
+    docs1 = _docs_table()
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    pq.write_table(docs1, str(src_dir / "a.parquet"))
+    out = str(tmp_path / "out")
+    run_curate(str(src_dir), out, num_shards=4, min_tokens=5)
+    n_before = len(_read_out(out))
+
+    # new file: 20 fresh docs + a smaller-id-beating dup does not exist, but
+    # growth alone must invalidate
+    extra = pa.table({
+        "doc_id": pa.array([100 + i for i in range(20)], pa.int64()),
+        "text": pa.array([
+            f"fresh document {i} with plenty of distinct tokens here {i * 7}"
+            for i in range(20)
+        ]),
+        "lang": pa.array(["en"] * 20),
+        "source": pa.array(["sx"] * 20),
+    })
+    pq.write_table(extra, str(src_dir / "b.parquet"))
+    run_curate(str(src_dir), out, num_shards=4, min_tokens=5)
+    got = _read_out(out)
+    assert len(got) == n_before + 20
+
+    ref = str(tmp_path / "ref")
+    run_curate(str(src_dir), ref, num_shards=4, min_tokens=5)
+    want = _read_out(ref)
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+
+    # unchanged third run: manifest byte-stable
+    before_m = json.load(open(os.path.join(out, "manifest.json")))
+    run_curate(str(src_dir), out, num_shards=4, min_tokens=5)
+    assert json.load(open(os.path.join(out, "manifest.json"))) == before_m
