@@ -3035,6 +3035,47 @@ def q_dup_spans(sf_dir: str):
     return dup_span_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_minhash_index_pairs(sf_dir: str):
+    """Online dedup with a PERSISTED LSH index: even-id docs indexed once
+    (cached per corpus under /tmp), odd-id docs stream against it — only
+    the (band, bucket) partitions the new hashes land in are read
+    (stages/dedup.build_minhash_index / minhash_index_query).  Candidates
+    equal the cross (even, odd) subset of the full-corpus LSH run, so the
+    oracle is the minhash_pairs fixture filtered by parity."""
+    import os
+
+    from ..stages.dedup import build_minhash_index, minhash_index_query
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def half(parity):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = pc.cast(batch["doc_id"], pa.int64())
+            keep = pc.equal(
+                pc.bit_wise_and(ids, pa.scalar(1, pa.int64())),
+                pa.scalar(parity, pa.int64()),
+            )
+            return batch.filter(keep)
+
+        return docs.map_batches(fn, batch_format="pyarrow")
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = f"/tmp/graft_mh_index_{tag}"
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        build_minhash_index(half(0), index_dir)
+    pairs = minhash_index_query(index_dir, half(1))
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "a": pa.array(np.minimum(a, b)),
+            "b": pa.array(np.maximum(a, b)),
+        })
+
+    return pairs.map_batches(canon, batch_format="pyarrow")
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -3161,6 +3202,7 @@ QUERIES = {
     "monthly_rollup": q_monthly_rollup,
     "k_anonymity": q_k_anonymity,
     "dup_spans": q_dup_spans,
+    "minhash_index_pairs": q_minhash_index_pairs,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -4390,6 +4432,9 @@ ORACLE_SQL.update(
         "simhash": _fixture_sql("simhash", "doc_id, simhash"),
         "lang_id": _fixture_sql("lang_id", "doc_id, pred_lang"),
         "minhash_pairs": _fixture_sql("minhash_pairs", "a, b"),
+        "minhash_index_pairs": _fixture_sql(
+            "minhash_pairs", "a, b"
+        ) + " AND (a % 2) != (b % 2)",
         "ngram_jaccard_pairs": _fixture_sql("ngram_jaccard", "a, b, jaccard"),
         "embedding_neardup": (
             "SELECT a, b, round(cosine, 6) AS cosine FROM read_parquet("

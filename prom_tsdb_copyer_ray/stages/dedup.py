@@ -957,3 +957,129 @@ def edit_distance_pairs(ds, max_dist: int = 2, key_len: int = 32,
         )
 
     return deduped.map_batches(int_dist, batch_format="pyarrow")
+
+
+MINHASH_INDEX_BUCKETS = 16
+
+
+def build_minhash_index(ds, index_dir: str, num_perm: int = 128,
+                        num_bands: int = 32, ngram: int = 5,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        concurrency=(1, 8)) -> dict:
+    """Build a PERSISTED MinHash-LSH band index — the online-dedup pattern:
+    index the corpus once, then stream NEW documents against it
+    (:func:`minhash_index_query`) without re-signing the corpus.
+
+    Layout: ``{index_dir}/bands/band_p=<b>/bucket_p=<band_hash % 16>/``
+    hive partitions of (band, band_hash, doc_id) rows + ``meta.json``
+    pinning the signature parameters (a query MUST hash with the same
+    permutations — enforced by reading them back).  A query touches only
+    the (band, bucket) partitions its new docs' band hashes land in — a
+    directory-level read skip, the LSH analogue of the IVF index's
+    probed-cells-only search.
+    """
+    import json
+    import os
+
+    band_rows = ds.map_batches(
+        MinHashSignatures,
+        fn_constructor_kwargs=dict(
+            num_perm=num_perm, num_bands=num_bands, ngram=ngram,
+            id_col=id_col, text_col=text_col,
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def add_parts(batch: pa.Table) -> pa.Table:
+        bh = batch["band_hash"].to_numpy().astype(np.uint64)
+        return batch.append_column(
+            "band_p", batch["band"]
+        ).append_column(
+            "bucket_p",
+            pa.array((bh % np.uint64(MINHASH_INDEX_BUCKETS)).astype(np.int64)),
+        )
+
+    band_rows.map_batches(add_parts, batch_format="pyarrow").write_parquet(
+        os.path.join(index_dir, "bands"), partition_cols=["band_p", "bucket_p"]
+    )
+    meta = {"num_perm": num_perm, "num_bands": num_bands, "ngram": ngram,
+            "buckets": MINHASH_INDEX_BUCKETS}
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def minhash_index_query(index_dir: str, new_ds,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        concurrency=(1, 8)):
+    """Candidate pairs between NEW documents and an indexed corpus.
+
+    The new batch signs with the index's pinned parameters; its band
+    hashes select the (band, bucket) partitions to read — partitions no
+    new hash lands in are never opened (see the read-skip pytest).  The
+    new side's band rows are assumed index-batch-sized (the use case:
+    daily crawl increment vs corpus index) and broadcast once via
+    ``ray.put``; matches join in the read tasks, then the standard pair
+    dedup.  Returns distinct (a, b) with a = indexed doc, b = new doc
+    (a != b).  At corpus-sized "new" batches, co-partition both sides by
+    (band, band_hash) instead (minhash_lsh_pairs' bucket stage).
+    """
+    import json
+    import os
+
+    import ray
+    import ray.data
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+
+    new_rows = new_ds.map_batches(
+        MinHashSignatures,
+        fn_constructor_kwargs=dict(
+            num_perm=meta["num_perm"], num_bands=meta["num_bands"],
+            ngram=meta["ngram"], id_col=id_col, text_col=text_col,
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    ).to_pandas()  # bounded: num_bands rows per NEW doc
+
+    buckets = int(meta.get("buckets", MINHASH_INDEX_BUCKETS))
+    new_rows["bucket"] = (
+        new_rows["band_hash"].to_numpy().astype(np.uint64)
+        % np.uint64(buckets)
+    ).astype(np.int64)
+    new_ref = ray.put(new_rows)
+
+    # directory-level read skip: only partitions holding a new hash
+    files = []
+    for (band, bucket), _g in new_rows.groupby(["band", "bucket"]):
+        d = os.path.join(index_dir, "bands",
+                         f"band_p={int(band)}", f"bucket_p={int(bucket)}")
+        if os.path.isdir(d):
+            files.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())})
+    if not files:
+        return ray.data.from_arrow(empty)
+
+    def match(batch: pa.Table, _r=new_ref) -> pa.Table:
+        nr = ray.get(_r)
+        import pandas as pd
+
+        got = batch.select(["band", "band_hash", "doc_id"]).to_pandas()
+        j = got.merge(nr[["band", "band_hash", "doc_id"]],
+                      on=["band", "band_hash"], suffixes=("_old", "_new"))
+        j = j[j["doc_id_old"] != j["doc_id_new"]]
+        return pa.table({
+            "a": pa.array(j["doc_id_old"].to_numpy(np.int64)),
+            "b": pa.array(j["doc_id_new"].to_numpy(np.int64)),
+        })
+
+    matches = ray.data.read_parquet(files).map_batches(
+        match, batch_format="pyarrow"
+    )
+    return dedup_pairs_sharded(matches)

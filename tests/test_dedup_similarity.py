@@ -436,3 +436,72 @@ def test_resize_media_stage(ray_session):
     assert out.loc[2, "thumb_hash"] == want2
     with pytest.raises(NotImplementedError):
         ResizeMedia(decoder="real")
+
+
+def test_minhash_index_query_matches_full_lsh(ray_session, tmp_path):
+    """index(old) + query(new) candidates == the cross (old, new) subset of
+    a full-corpus LSH run (same signatures => same buckets); and the query
+    only opens the (band, bucket) partitions its new hashes land in —
+    deleting an unselected partition does not affect it (read skip)."""
+    import os
+    import shutil
+
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.dedup import (
+        MINHASH_INDEX_BUCKETS,
+        MinHashSignatures,
+        build_minhash_index,
+        minhash_index_query,
+        minhash_lsh_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again %d"
+    texts, ids = [], []
+    for i in range(40):
+        ids.append(i)
+        texts.append(base % (i % 7))  # heavy near-dup groups
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    old = t.filter(pa.array([i % 2 == 0 for i in ids]))
+    new = t.filter(pa.array([i % 2 == 1 for i in ids]))
+
+    full = minhash_lsh_pairs(ray.data.from_arrow(t)).to_pandas()
+    cross = {
+        frozenset((int(a), int(b)))
+        for a, b in zip(full["a"], full["b"])
+        if (int(a) % 2) != (int(b) % 2)
+    }
+
+    idx = str(tmp_path / "mh_index")
+    build_minhash_index(ray.data.from_arrow(old), idx)
+    got_df = minhash_index_query(idx, ray.data.from_arrow(new)).to_pandas()
+    got = {frozenset((int(a), int(b))) for a, b in zip(got_df["a"], got_df["b"])}
+    assert got == cross and len(got) > 0
+    # orientation: a is always the indexed (even) doc
+    assert all(int(a) % 2 == 0 and int(b) % 2 == 1
+               for a, b in zip(got_df["a"], got_df["b"]))
+
+    # read skip: one new doc selects <= num_bands of the 32x16 partitions;
+    # delete one UNSELECTED partition — the query must never open it
+    one = new.slice(0, 1)
+    mh = MinHashSignatures()
+    rows = mh(one)
+    sel = {
+        (int(b), int(np.uint64(h) % np.uint64(MINHASH_INDEX_BUCKETS)))
+        for b, h in zip(rows["band"].to_pylist(),
+                        np.array(rows["band_hash"].to_pylist(), np.uint64))
+    }
+    assert len(sel) <= 32
+    victim = None
+    for band in range(32):
+        for bucket in range(MINHASH_INDEX_BUCKETS):
+            d = os.path.join(idx, "bands", f"band_p={band}", f"bucket_p={bucket}")
+            if (band, bucket) not in sel and os.path.isdir(d):
+                victim = d
+                break
+        if victim:
+            break
+    assert victim is not None
+    shutil.rmtree(victim)
+    out1 = minhash_index_query(idx, ray.data.from_arrow(one)).to_pandas()
+    assert len(out1) > 0  # still answers from the surviving partitions
