@@ -250,3 +250,25 @@ def text_fingerprint(text: str) -> int:
             e >>= 1
         acc = acc * power
     return int(acc & np.uint64((1 << 63) - 1))
+
+
+def _spread_bits2(x: np.ndarray) -> np.ndarray:
+    """Spread the low 31 bits of x so bit i lands at position 2i (the
+    classic magic-number Morton dilation; mirrors the SQL oracle's
+    shift/mask sequence literally)."""
+    x = x.astype(np.uint64) & np.uint64(0x7FFFFFFF)
+    x = (x | (x << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x3333333333333333)
+    x = (x | (x << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return x
+
+
+def morton2d(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Z-order (Morton) interleave of two 31-bit non-negative ints —
+    the lakehouse Z-ORDER layout key: sorting by it clusters BOTH
+    dimensions, so per-file min/max zone maps prune on either column.
+    Returns int64 (<= 62 bits set)."""
+    m = _spread_bits2(np.asarray(x)) | (_spread_bits2(np.asarray(y)) << np.uint64(1))
+    return m.astype(np.int64)

@@ -3076,6 +3076,36 @@ def q_minhash_index_pairs(sf_dir: str):
     return pairs.map_batches(canon, batch_format="pyarrow")
 
 
+def q_zorder_sample(sf_dir: str):
+    """Z-ORDER layout key (lakehouse data clustering): the 64 events with
+    the smallest Morton interleave of (user_id, minute) — sorting output
+    by this key clusters BOTH dimensions so zone maps prune on either
+    column (functions/hashing.morton2d; magic-number bit dilation the SQL
+    oracle mirrors shift-for-shift; bottom-k combiner, single-group
+    final)."""
+    from ..functions.hashing import morton2d
+    from ..stages.keyed import topk_per_group
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch["user_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        minute = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False) // 60_000
+        m = morton2d(uid & 0x7FFFFFFF, minute & 0x7FFFFFFF)
+        return pa.table({
+            "g": pa.array(np.zeros(len(uid), np.int64)),
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "morton": pa.array(m, pa.int64()),
+        })
+
+    out = topk_per_group(ds.map_batches(key, batch_format="pyarrow"),
+                         ["g"], "morton", 64, tiebreak_col="event_id",
+                         descending=False)
+    return out.map_batches(
+        lambda b: b.select(["event_id", "morton"]), batch_format="pyarrow"
+    )
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -3203,6 +3233,7 @@ QUERIES = {
     "k_anonymity": q_k_anonymity,
     "dup_spans": q_dup_spans,
     "minhash_index_pairs": q_minhash_index_pairs,
+    "zorder_sample": q_zorder_sample,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -4298,6 +4329,35 @@ ORACLE_SQL = {
           FROM clicks c ASOF JOIN errors e
             ON c.user_id = e.user_id AND c.ts_ms >= e.ts_ms)
         WHERE ts_ms - error_ts_ms <= {ASOF_TOL_MS}
+    """,
+    "zorder_sample": """
+        WITH s AS (
+          SELECT CAST(event_id AS BIGINT) AS event_id,
+                 CAST(user_id AS BIGINT) & 2147483647 AS x,
+                 (epoch_ms(ts) // 60000) & 2147483647 AS y
+          FROM events),
+        a AS (SELECT event_id,
+                     (x | (x << 16)) & 281470681808895 AS x1,
+                     (y | (y << 16)) & 281470681808895 AS y1
+              FROM s),
+        b AS (SELECT event_id,
+                     (x1 | (x1 << 8)) & 71777214294589695 AS x2,
+                     (y1 | (y1 << 8)) & 71777214294589695 AS y2
+              FROM a),
+        c AS (SELECT event_id,
+                     (x2 | (x2 << 4)) & 1085102592571150095 AS x3,
+                     (y2 | (y2 << 4)) & 1085102592571150095 AS y3
+              FROM b),
+        d AS (SELECT event_id,
+                     (x3 | (x3 << 2)) & 3689348814741910323 AS x4,
+                     (y3 | (y3 << 2)) & 3689348814741910323 AS y4
+              FROM c),
+        e AS (SELECT event_id,
+                     (x4 | (x4 << 1)) & 6148914691236517205 AS xs,
+                     (y4 | (y4 << 1)) & 6148914691236517205 AS ys
+              FROM d)
+        SELECT event_id, xs | (ys << 1) AS morton
+        FROM e ORDER BY morton, event_id LIMIT 64
     """,
     "dup_spans": """
         WITH w AS (

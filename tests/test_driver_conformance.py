@@ -106,7 +106,7 @@ def test_oracle_keys_subset(entry_mod):
         "srs_sample", "oov_rate", "cluster_sizes", "media_resize", "pca_top",
         "asof_tolerance", "gap_stats", "bpe_merges", "slo_burn",
         "max_drawdown", "cume_dist", "monthly_rollup", "k_anonymity",
-        "dup_spans", "minhash_index_pairs",
+        "dup_spans", "minhash_index_pairs", "zorder_sample",
         "centroid_topk", "chunk_docs", "curate_summary", "decontaminate",
         "event_rank", "mix_sources", "normalize_text", "pack_sequences",
         "props_extract", "repetition", "running_total", "stratified_sample",

@@ -428,3 +428,45 @@ def test_bpe_train_paths_agree(ray_session):
     fast = bpe_train(ds, k=5)
     slow = bpe_train(ds, k=5, small_vocab_rows=0)
     assert fast == slow and len(fast) == 5
+
+
+def test_morton2d_interleave_and_locality():
+    """morton2d equals a per-bit interleave reference, and sorting by it
+    clusters BOTH dimensions (per-block bounding boxes shrink vs the
+    one-column sort — the zone-map pruning property Z-ORDER exists for)."""
+    import numpy as np
+
+    from prom_tsdb_copyer_ray.functions.hashing import morton2d
+
+    def ref(x, y):
+        m = 0
+        for i in range(31):
+            m |= ((x >> i) & 1) << (2 * i)
+            m |= ((y >> i) & 1) << (2 * i + 1)
+        return m
+
+    rng = np.random.default_rng(11)
+    xs = rng.integers(0, 2**31, 300).astype(np.int64)
+    ys = rng.integers(0, 2**31, 300).astype(np.int64)
+    got = morton2d(xs, ys)
+    assert all(int(g) == ref(int(a), int(b)) for g, a, b in zip(got, xs, ys))
+
+    # locality: zone maps prune on BOTH dimensions.  A 1-column sort gives
+    # blocks the full range of the OTHER column (y-predicates prune
+    # nothing); Z-order bounds both spans.
+    n = 4096
+    gx = rng.integers(0, 1 << 16, n).astype(np.int64)
+    gy = rng.integers(0, 1 << 16, n).astype(np.int64)
+
+    def mean_spans(order):
+        a = gx[order].reshape(16, -1)
+        b = gy[order].reshape(16, -1)
+        return (float(np.mean(a.max(1) - a.min(1))),
+                float(np.mean(b.max(1) - b.min(1))))
+
+    zx, zy = mean_spans(np.argsort(morton2d(gx, gy), kind="stable"))
+    xx, xy = mean_spans(np.argsort(gx, kind="stable"))
+    full = float(1 << 16)
+    assert xy > 0.95 * full          # 1-col sort: no pruning on y
+    assert zy < 0.5 * full           # z-order: y span bounded...
+    assert zx < 0.5 * full           # ...and x span still bounded too
