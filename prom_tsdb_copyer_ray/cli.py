@@ -154,9 +154,12 @@ def main(argv=None) -> int:
         )
 
     # late-data invalidation (parquet only): record the input file set so a
-    # re-run recomputes exactly the days new/grown files touch
+    # re-run recomputes exactly the days new/grown files touch.  DISABLED
+    # when -F/-T bounds the read: eviction assumes the run re-reads the
+    # full input, and a time-pruned recompute would permanently drop
+    # evicted days outside the bounds (review finding).
     input_files = None
-    if args.format == "parquet":
+    if args.format == "parquet" and t_from is None and t_to is None:
         from .sources.parquet import list_parquet_files
 
         input_files = list_parquet_files(args.source)

@@ -263,7 +263,10 @@ def run_copy(
     every day they touch is evicted from every tier's checkpoint before
     the run, so late rows landing in an already-committed day recompute
     exactly those days instead of being silently skipped.  A new file
-    without footer stats conservatively evicts everything.
+    without footer stats conservatively evicts everything.  CONTRACT: pass
+    ``input_files`` only when ``pages_ds_factory`` reads the FULL input —
+    eviction + a time-pruned factory would drop evicted days outside the
+    bounds (the CLI disables this under -F/-T for that reason).
     """
     sink = None
     if collect_metrics:
@@ -271,7 +274,7 @@ def run_copy(
 
         sink = create_sink()
 
-    invalidated: set[int] | None = set()
+    must_run = False
     if input_files is not None:
         import os as _os
 
@@ -284,26 +287,25 @@ def run_copy(
             f for f in input_files
             if recorded.get(f) != _os.path.getsize(f)
         ]
-        if changed and recorded:  # first run records, later runs invalidate
-            days: set[int] | None = set()
-            for f in changed:
-                mn, mx, _n = file_time_stats(f, ts_col)
-                if mn is None or mx is None:
-                    days = None  # no stats -> conservative full eviction
-                    break
-                d0 = (mn // MS_1D) * MS_1D
-                d1 = (mx // MS_1D) * MS_1D
-                days.update(range(d0, d1 + MS_1D, MS_1D))
-            for tier in ("5m", "1h", "1d"):
-                evicted = invalidate_days(out_dir, tier, days)
-                if days is None:
-                    invalidated = None
-                elif invalidated is not None:
-                    invalidated.update(evicted)
-        elif changed:
-            invalidated = {-1}  # first run with inputs to record: run tiers
-
-    must_run = bool(invalidated) or invalidated is None
+        if changed:
+            # ANY input change re-runs the tiers: a changed file whose days
+            # are all new would otherwise be skipped as "complete" yet
+            # recorded as processed — permanent data loss (review finding).
+            # write_tier's committed-day filter keeps the recompute bounded
+            # to evicted + brand-new days.
+            must_run = True
+            if recorded:  # evict committed days the changed files touch
+                days: set[int] | None = set()
+                for f in changed:
+                    mn, mx, _n = file_time_stats(f, ts_col)
+                    if mn is None or mx is None:
+                        days = None  # no stats -> conservative full eviction
+                        break
+                    d0 = (mn // MS_1D) * MS_1D
+                    d1 = (mx // MS_1D) * MS_1D
+                    days.update(range(d0, d1 + MS_1D, MS_1D))
+                for tier in ("5m", "1h", "1d"):
+                    invalidate_days(out_dir, tier, days)
 
     manifests = {}
     m5 = load_manifest(out_dir, "5m")

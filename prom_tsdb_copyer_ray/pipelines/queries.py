@@ -624,6 +624,18 @@ def q_cosine_pairs_exact(sf_dir: str):
     return _finalize(out, {}, {"cosine": 6})
 
 
+def _corpus_tag(sf_dir: str, table: str) -> str:
+    """Cache tag for per-corpus /tmp artifacts: dir basename + the source
+    file's (size, mtime) fingerprint, so a REGENERATED corpus with the
+    same directory name can never hit a stale persisted index."""
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    st = os.stat(path)
+    return (f"{os.path.basename(os.path.normpath(sf_dir))}"
+            f"_{st.st_size}_{st.st_mtime_ns}")
+
+
 def q_ivf_index_topk(sf_dir: str):
     """IVF with a PERSISTED cell-partitioned index: build once (cached per
     corpus under /tmp), then search reading ONLY the probed cells' files —
@@ -641,8 +653,7 @@ def q_ivf_index_topk(sf_dir: str):
         .sort_values("vec_id")
     )
     queries = np.array(qdf["embedding"].tolist(), dtype=np.float64)
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    index_dir = f"/tmp/graft_ivf_index_{tag}"
+    index_dir = f"/tmp/graft_ivf_index_{_corpus_tag(sf_dir, 'embeddings')}"
     if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
         build_ivf_index(ds, index_dir)
     return ivf_search(index_dir, queries, k=ANN_K).select(["query_idx", "vec_id", "rank"])
@@ -3059,8 +3070,7 @@ def q_minhash_index_pairs(sf_dir: str):
 
         return docs.map_batches(fn, batch_format="pyarrow")
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    index_dir = f"/tmp/graft_mh_index_{tag}"
+    index_dir = f"/tmp/graft_mh_index_{_corpus_tag(sf_dir, 'documents')}"
     if not os.path.exists(os.path.join(index_dir, "meta.json")):
         build_minhash_index(half(0), index_dir)
     pairs = minhash_index_query(index_dir, half(1))

@@ -312,81 +312,12 @@ def group_star_edges(ds, key_cols: list[str], id_col: str = "doc_id",
     standard way a same-key dup relation becomes a graph without emitting
     the quadratic all-pairs.  Emits nothing for singleton groups.
 
-    Shuffle shape: a per-batch pyarrow ``group_by`` combiner collapses each
-    batch to one (key, min_id, n) row per key, so the ONLY exchange moves
-    distinct keys, never the input rows; the multi-member key->min table
-    (bounded by distinct dup keys) is broadcast once via ``ray.put`` and
-    edges are emitted by a shuffle-free per-batch merge.  When the dup-key
-    table itself outgrows a broadcast (``broadcast_keys``), falls back to
-    co-partitioning the input rows by key hash (the only shape that works
-    when keys ~ rows)."""
-    import ray
-
-    from .keyed import sharded_grouped_agg
-
-    def partial(batch: pa.Table) -> pa.Table:
-        t = pa.table(
-            {**{c: batch[c] for c in key_cols}, id_col: pc.cast(batch[id_col], pa.int64())}
-        )
-        g = t.group_by(list(key_cols)).aggregate([(id_col, "min"), ([], "count_all")])
-        return g.rename_columns(list(key_cols) + ["_gmin", "_gn"])
-
-    def keep_multi(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.greater(batch["_gn"], 1)).drop_columns("_gn")
-
-    # materialized: one row per multi-member key (tiny), consumed twice
-    # (count for the broadcast decision, then the broadcast itself)
-    mins = sharded_grouped_agg(
-        ds.map_batches(partial, batch_format="pyarrow"),
-        list(key_cols), [("_gmin", "min"), ("_gn", "sum")], num_shards,
-    ).map_batches(keep_multi, batch_format="pyarrow").materialize()
-    n_keys = mins.count()
-
-    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-    if n_keys == 0:
-        return ds.map_batches(lambda b: empty, batch_format="pyarrow")
-
-    if n_keys <= broadcast_keys:
-        mins_ref = ray.put(mins.to_pandas())  # bounded: one row per dup key
-
-        def emit(batch: pa.Table, _r=mins_ref) -> pa.Table:
-            mdf = ray.get(_r)
-            bdf = batch.select(list(key_cols) + [id_col]).to_pandas()
-            j = bdf.merge(mdf, on=list(key_cols), how="inner")
-            ids = j[id_col].to_numpy().astype(np.int64)
-            gmin = j["_gmin"].to_numpy().astype(np.int64)
-            mask = ids != gmin
-            return pa.table({"a": pa.array(gmin[mask]), "b": pa.array(ids[mask])})
-
-        return ds.map_batches(emit, batch_format="pyarrow")
-
-    # fallback: more dup keys than a broadcast should hold -> co-partition
-    # the (key, id) rows themselves by key hash (one wide exchange)
-    from ..stages.keyed import _key_shard, _segment_starts
-
-    def add_shard(batch: pa.Table) -> pa.Table:
-        t = batch.select(list(key_cols) + [id_col])
-        return t.append_column("_kshard", _key_shard(t, key_cols, num_shards))
-
-    def per_shard(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return empty
-        t = group.drop_columns("_kshard").sort_by(
-            [(c, "ascending") for c in key_cols] + [(id_col, "ascending")]
-        )
-        new = _segment_starts(t, key_cols)
-        starts = np.flatnonzero(new)
-        sizes = np.diff(np.r_[starts, t.num_rows])
-        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        # sorted by id within segment -> min is the first row
-        mins_arr = np.repeat(ids[starts], sizes)
-        mask = ids != mins_arr
-        return pa.table({"a": pa.array(mins_arr[mask]), "b": pa.array(ids[mask])})
-
-    return (
-        ds.map_batches(add_shard, batch_format="pyarrow")
-        .groupby("_kshard")
-        .map_groups(per_shard, batch_format="pyarrow")
+    Thin wrapper over :func:`group_star_edges_multi` with one relation
+    (one combiner exchange, broadcast key->min emit, co-partition
+    fallback — see there for the shuffle shape)."""
+    return group_star_edges_multi(
+        ds, [list(key_cols)], id_col=id_col, num_shards=num_shards,
+        broadcast_keys=broadcast_keys,
     )
 
 
@@ -524,20 +455,29 @@ def triangle_count(edges_ds, a_col: str = "a", b_col: str = "b",
                    num_shards: int = 64) -> int:
     """EXACT global triangle count of an undirected simple graph.
 
-    Min-vertex orientation: after canonicalizing (lo, hi) and deduping,
-    every edge's key endpoint is its SMALLER vertex, so each triangle
-    a<b<c is generated exactly once — as the wedge (b, c) at apex a —
-    and closed iff edge (b, c) exists.
+    DEGREE-ORDERED orientation: after canonical dedup, each edge points
+    to its smaller (degree, id) endpoint, and wedges are generated only
+    at a node over its incoming edges — each triangle is produced exactly
+    once (at its min-(deg, id) vertex) and the per-apex neighborhood is
+    bounded by O(sqrt(E)) REGARDLESS of raw degree, so a hot dup-star hub
+    (this repo's primary input shape) can never materialize a quadratic
+    wedge set (the plain min-VERTEX orientation did exactly that —
+    review finding).
 
-    Scale shape: TWO exchanges total.  (1) canonical edges co-partition
-    by hash(lo) — dedup is global because all (a, *) rows share the
-    shard — and each apex segment emits its triu wedge pairs
-    (cooccurrence_pairs' documented small-neighborhood assumption; very
-    hot apexes want degree-ordered orientation).  (2) wedges (tag 0) and
-    edges (tag 1) co-partition by pair hash; per shard one searchsorted
-    membership count.  Only O(shards) count rows reach the driver.
+    Exchanges: (1) canonical edges co-partition by hash(lo) for global
+    dedup; (2) a narrow (node, deg) sharded count, collected to the
+    driver and broadcast via ``ray.put`` (O(nodes) ints — the bound
+    pagerank_int already accepts and documents); (3) oriented edges
+    co-partition by apex for triu wedge generation; (4) wedges (tag 0)
+    and canonical edges (tag 1) co-partition by pair hash for one
+    structured-dtype searchsorted membership count.  Only O(shards)
+    count rows reach the driver.
     """
+    import ray
+
     import pyarrow.compute as _pc
+
+    from .keyed import sharded_grouped_agg
 
     def canon(batch: pa.Table) -> pa.Table:
         a = _pc.cast(batch[a_col], pa.int64()).to_numpy(zero_copy_only=False)
@@ -551,6 +491,42 @@ def triangle_count(edges_ds, a_col: str = "a", b_col: str = "b",
             "_s": pa.array(_mix_shard(lo, num_shards)),
         })
 
+    def dedup_shard(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_s").sort_by(
+            [("u", "ascending"), ("v", "ascending")]
+        )
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        keep = np.ones(len(u), dtype=bool)  # global: all (u, *) co-located
+        keep[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+        return pa.table({"u": pa.array(u[keep]), "v": pa.array(v[keep])})
+
+    edges = (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .repartition(_fanin())
+        .groupby("_s")
+        .map_groups(dedup_shard, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        node, cnt = np.unique(np.concatenate([u, v]), return_counts=True)
+        return pa.table({"node": pa.array(node),
+                         "deg": pa.array(cnt.astype(np.int64))})
+
+    deg_df = sharded_grouped_agg(
+        edges.map_batches(deg_partial, batch_format="pyarrow"),
+        ["node"], [("deg", "sum")], num_shards,
+    ).to_pandas()
+    nodes_s = np.sort(deg_df["node"].to_numpy(np.int64))
+    deg_s = deg_df.set_index("node")["deg"].loc[nodes_s].to_numpy(np.int64)
+    deg_ref = ray.put((nodes_s, deg_s))
+
     def _pair_shard(u: np.ndarray, v: np.ndarray) -> np.ndarray:
         from .common import mix64
 
@@ -559,41 +535,66 @@ def triangle_count(edges_ds, a_col: str = "a", b_col: str = "b",
                       ^ mix64(v))
         return (h % np.uint64(num_shards)).astype(np.int64)
 
+    def orient(batch: pa.Table, _d=deg_ref) -> pa.Table:
+        ns, ds_ = ray.get(_d)
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        du = ds_[np.searchsorted(ns, u)]
+        dv = ds_[np.searchsorted(ns, v)]
+        # apex = smaller (deg, id) endpoint
+        u_is_apex = (du < dv) | ((du == dv) & (u < v))
+        apex = np.where(u_is_apex, u, v)
+        nb = np.where(u_is_apex, v, u)
+        return pa.table({
+            "apex": pa.array(apex), "nb": pa.array(nb),
+            "_a": pa.array(_mix_shard(apex, num_shards)),
+        })
+
     def wedges(group: pa.Table) -> pa.Table:
-        t = group.drop_columns("_s").sort_by(
-            [("u", "ascending"), ("v", "ascending")]
+        t = group.drop_columns("_a").sort_by(
+            [("apex", "ascending"), ("nb", "ascending")]
         )
-        u = t["u"].to_numpy(zero_copy_only=False)
-        v = t["v"].to_numpy(zero_copy_only=False)
-        if len(u) == 0:
-            return pa.table({"x": pa.array([], pa.int64()),
-                             "y": pa.array([], pa.int64()),
-                             "tag": pa.array([], pa.int8()),
-                             "_p": pa.array([], pa.int64())})
-        keep = np.ones(len(u), dtype=bool)  # global dedup (co-located)
-        keep[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
-        u, v = u[keep], v[keep]
-        new = np.ones(len(u), dtype=bool)
-        new[1:] = u[1:] != u[:-1]
+        a = t["apex"].to_numpy(zero_copy_only=False)
+        nb = t["nb"].to_numpy(zero_copy_only=False)
+        out_empty = pa.table({"x": pa.array([], pa.int64()),
+                              "y": pa.array([], pa.int64()),
+                              "tag": pa.array([], pa.int8()),
+                              "_p": pa.array([], pa.int64())})
+        if len(a) == 0:
+            return out_empty
+        new = np.ones(len(a), dtype=bool)
+        new[1:] = a[1:] != a[:-1]
         starts = np.flatnonzero(new)
-        ends = np.r_[starts[1:], len(u)]
+        ends = np.r_[starts[1:], len(a)]
         wx, wy = [], []
-        for s, e in zip(starts, ends):
-            m = e - s
+        for s_, e_ in zip(starts, ends):
+            m = e_ - s_
             if m < 2:
                 continue
             iu, ju = np.triu_indices(m, k=1)
-            nb = v[s:e]  # sorted, so wedge (x, y) has x < y
-            wx.append(nb[iu])
-            wy.append(nb[ju])
-        x = np.concatenate(wx) if wx else np.empty(0, np.int64)
-        y = np.concatenate(wy) if wy else np.empty(0, np.int64)
-        allx = np.concatenate([x, u])
-        ally = np.concatenate([y, v])
-        tag = np.concatenate([np.zeros(len(x), np.int8), np.ones(len(u), np.int8)])
+            seg = nb[s_:e_]  # sorted, so pair (x, y) has x < y... by id
+            wx.append(seg[iu])
+            wy.append(seg[ju])
+        if not wx:
+            return out_empty
+        x = np.concatenate(wx)
+        y = np.concatenate(wy)
+        # canonical pair form for the membership check
+        cx = np.minimum(x, y)
+        cy = np.maximum(x, y)
         return pa.table({
-            "x": pa.array(allx), "y": pa.array(ally), "tag": pa.array(tag),
-            "_p": pa.array(_pair_shard(allx, ally)),
+            "x": pa.array(cx), "y": pa.array(cy),
+            "tag": pa.array(np.zeros(len(cx), np.int8)),
+            "_p": pa.array(_pair_shard(cx, cy)),
+        })
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "x": pa.array(u), "y": pa.array(v),
+            "tag": pa.array(np.ones(len(u), np.int8)),
+            "_p": pa.array(_pair_shard(u, v)),
         })
 
     def count(group: pa.Table) -> pa.Table:
@@ -605,22 +606,22 @@ def triangle_count(edges_ds, a_col: str = "a", b_col: str = "b",
         em, wm = tag == 1, tag == 0
         if not em.any() or not wm.any():
             return pa.table({"n": pa.array([0], pa.int64())})
-        # pack (x, y) into one sortable key: both fit 31 bits at any id
-        # range this engine produces? no — use lexsort + parallel arrays
         ex, ey = x[em], y[em]
         order = np.lexsort((ey, ex))
-        # two-column membership: structured-dtype searchsorted (lexicographic)
         comp_e = np.rec.fromarrays([ex[order], ey[order]])
         comp_w = np.rec.fromarrays([x[wm], y[wm]])
         idx = np.minimum(np.searchsorted(comp_e, comp_w), len(comp_e) - 1)
         hitn = int((comp_e[idx] == comp_w).sum())
         return pa.table({"n": pa.array([hitn], pa.int64())})
 
-    canonical = edges_ds.map_batches(canon, batch_format="pyarrow")
-    tagged = (
-        canonical.repartition(_fanin())
-        .groupby("_s")
+    wedge_rows = (
+        edges.map_batches(orient, batch_format="pyarrow")
+        .repartition(_fanin())
+        .groupby("_a")
         .map_groups(wedges, batch_format="pyarrow")
+    )
+    tagged = wedge_rows.union(
+        edges.map_batches(tag_edges, batch_format="pyarrow")
     )
     counts = (
         tagged.repartition(_fanin())

@@ -1488,16 +1488,18 @@ def group_first_last(ds, key_cols: list[str], order_cols: list[str],
     def per_shard(group: pa.Table) -> pa.Table:
         t = group.drop_columns("_fshard")
         if t.num_rows == 0:
+            vt = t.schema.field(value_col).type  # keep the input dtype
             return t.select(keys).append_column(
-                first_col, pa.array([], pa.float64())
-            ).append_column(last_col, pa.array([], pa.float64()))
+                first_col, pa.array([], vt)
+            ).append_column(last_col, pa.array([], vt))
         t = t.sort_by([(c, "ascending") for c in keys + order])
         starts = np.flatnonzero(_segment_starts(t, keys))
         sizes = np.diff(np.r_[starts, t.num_rows])
-        v = t[value_col].to_numpy(zero_copy_only=False)
+        vcol = t[value_col]
         out = t.select(keys).take(pa.array(starts))
-        return out.append_column(first_col, pa.array(v[starts])) \
-                  .append_column(last_col, pa.array(v[starts + sizes - 1]))
+        return out.append_column(first_col, vcol.take(pa.array(starts))) \
+                  .append_column(last_col,
+                                 vcol.take(pa.array(starts + sizes - 1)))
 
     from .common import narrow_fanin
 
@@ -1553,17 +1555,19 @@ def dense_rank(ds, key_cols: list[str], order_cols: list[str],
 
 def winsorized_mean(ds, key_cols: list[str], value_col: str,
                     q_lo: float = 0.1, q_hi: float = 0.9,
-                    num_shards: int = 64, out_col: str = "w_mean"):
+                    num_shards: int = 64, out_col: str = "w_mean",
+                    scale: float = 100.0):
     """Per-key winsorized mean: values clamped to the key's
     [quantile_disc(q_lo), quantile_disc(q_hi)] before averaging — the
     robust-mean quality signal (outliers bounded, not dropped).
 
-    Exactness: int64 ``value_col`` (callers pre-scale); thresholds are
-    order statistics (exact), the clamped sum is exact int64, and the
-    mean is emitted as ``(sum / 100.0) / n`` — mirror the SAME division
-    sequence in the SQL oracle for bit-identity (sums stay < 2^53 at any
-    per-key cardinality that fits a shard).  group_quantiles' exchange
-    shape.  Output: key cols + n + ``out_col``.
+    Exactness: int64 ``value_col`` pre-scaled by ``scale`` (pass
+    ``scale=1.0`` for plain ints); thresholds are order statistics
+    (exact), the clamped sum is exact int64, and the mean is emitted as
+    ``(sum / scale) / n`` — mirror the SAME division sequence in the SQL
+    oracle for bit-identity (sums stay < 2^53 at any per-key cardinality
+    that fits a shard).  group_quantiles' exchange shape.  Output: key
+    cols + n + ``out_col``.
     """
     keys = list(key_cols)
 
@@ -1587,7 +1591,7 @@ def winsorized_mean(ds, key_cols: list[str], value_col: str,
         hi = np.repeat(v[ihi], sizes)
         clamped = np.minimum(np.maximum(v, lo), hi)
         sums = np.add.reduceat(clamped, starts)
-        mean = (sums.astype(np.float64) / 100.0) / sizes
+        mean = (sums.astype(np.float64) / scale) / sizes
         out = t.select(keys).take(pa.array(starts))
         return out.append_column("n", pa.array(sizes, pa.int64())) \
                   .append_column(out_col, pa.array(mean, pa.float64()))
@@ -1740,7 +1744,10 @@ def max_drawdown(ds, key_cols: list[str], order_cols: list[str],
     Exact for int64 values (callers pre-scale floats).  One narrow
     key-shard exchange; the kernel is a segment-reset running max via the
     offset trick (one ``np.maximum.accumulate`` over values lifted by
-    ``segment_id * 2^40`` — no Python per key).  Output: key cols +
+    ``segment_id * span`` with ``span`` sized to the shard's actual value
+    range, so no cross-segment carry at ANY value magnitude; when
+    ``n_segments * span`` would overflow int64 — astronomically wide
+    shards — it falls back to a per-segment loop).  Output: key cols +
     ``out_col`` + n.
     """
     keys = list(key_cols)
@@ -1761,9 +1768,17 @@ def max_drawdown(ds, key_cols: list[str], order_cols: list[str],
         starts = np.flatnonzero(_segment_starts(t, keys))
         sizes = np.diff(np.r_[starts, t.num_rows])
         seg_id = np.repeat(np.arange(len(starts), dtype=np.int64), sizes)
-        off = seg_id << np.int64(40)  # values << 2^40: no cross-segment carry
-        run_max = np.maximum.accumulate(v + off) - off
-        dd = run_max - v
+        vmin = int(v.min())
+        span = int(v.max()) - vmin + 1
+        if len(starts) * span < (1 << 62):  # lifted values stay in int64
+            off = seg_id * np.int64(span)
+            run_max = np.maximum.accumulate((v - vmin) + off) - off
+            dd = run_max - (v - vmin)
+        else:  # degenerate width: exact per-segment fallback
+            dd = np.empty(len(v), dtype=np.int64)
+            ends = np.r_[starts[1:], len(v)]
+            for s, e_ in zip(starts, ends):
+                dd[s:e_] = np.maximum.accumulate(v[s:e_]) - v[s:e_]
         mdd = np.maximum.reduceat(dd, starts)
         out = t.select(keys).take(pa.array(starts))
         return out.append_column(out_col, pa.array(mdd, pa.int64())) \

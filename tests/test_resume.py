@@ -259,3 +259,52 @@ def test_late_data_invalidation(ray_session, out_dir, tmp_path):
     run_copy(lambda: ray.data.read_parquet([fa, fb]), out_dir,
              concurrency=(1, 2), input_files=[fa, fb])
     assert json.load(open(manifest_path(out_dir, "5m"))) == before
+
+
+def test_new_file_with_only_new_days_is_ingested(ray_session, out_dir, tmp_path):
+    """Review regression: a changed input whose footer days do NOT overlap
+    any committed day must still trigger a run (the old logic derived
+    must_run only from evictions, silently skipped the new file, and then
+    recorded it as processed — permanent data loss)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from prom_tsdb_copyer_ray.pipelines.copy import run_copy
+    from prom_tsdb_copyer_ray.windows import MS_1D
+
+    from prom_tsdb_copyer_ray.windows import ts_to_ms
+
+    pages = generate_pages(1200, seed=42, span_ms=4 * MS_1D)
+    ts = ts_to_ms(pages["warc_ts"]).to_numpy()
+    day = ts // MS_1D  # absolute day buckets (same key as window_day)
+    cut = int(np.sort(np.unique(day))[len(np.unique(day)) // 2])
+    f1 = str(tmp_path / "early.parquet")
+    f2 = str(tmp_path / "late.parquet")
+    pq.write_table(pages.filter(pa.array(day < cut)), f1)
+    pq.write_table(pages.filter(pa.array(day >= cut)), f2)
+    early_days = {int(d) * MS_1D for d in np.unique(day[day < cut])}
+    all_days = {int(d) * MS_1D for d in np.unique(day)}
+    assert early_days < all_days  # f2 brings strictly NEW days only
+
+    run_copy(lambda: ray.data.read_parquet([f1]), out_dir,
+             concurrency=(1, 2), input_files=[f1])
+    m1 = load_manifest(out_dir, "5m")
+    assert {int(d) for d in m1["days"]} == early_days
+
+    # f2 appears: its days are disjoint from every committed day
+    run_copy(lambda: ray.data.read_parquet([f1, f2]), out_dir,
+             concurrency=(1, 2), input_files=[f1, f2])
+    m = load_manifest(out_dir, "5m")
+    assert {int(d) for d in m["days"]} == all_days, \
+        "new-day-only file must be ingested"
+    total = sum(d["n_rows"] for d in m["days"].values())
+
+    # from-scratch reference row count
+    ref = str(tmp_path / "ref")
+    run_copy(lambda: ray.data.read_parquet([f1, f2]), ref, concurrency=(1, 2))
+    ref_total = sum(
+        d["n_rows"] for d in load_manifest(ref, "5m")["days"].values()
+    )
+    assert total == ref_total
