@@ -3116,6 +3116,238 @@ def q_zorder_sample(sf_dir: str):
     )
 
 
+def q_anomaly_3sigma(sf_dir: str):
+    """Streaming outlier detection: per (type, user) series, rolling 16-row
+    3-sigma test in EXACT cross-multiplied int64 arithmetic
+    (stages/windowed.rolling_sigma_outliers) — reported as per-type anomaly
+    counts.  The |v-mean| > 3*sigma rule with no float mean/var in either
+    engine."""
+    from ..stages.keyed import sharded_grouped_agg
+    from ..stages.windowed import rolling_sigma_outliers
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "user_id": batch["user_id"],
+            "ts_ms": ts_to_ms(batch["ts"]),
+            "event_id": batch["event_id"],
+            "cv": pa.array(np.rint(v * 100).astype(np.int64)),
+        })
+
+    flags = rolling_sigma_outliers(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "user_id"], ["ts_ms", "event_id"], "cv",
+        window=16, k=3,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "n_anomalies": pc.cast(batch["is_anomaly"], pa.int64()),
+            "n_points": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+        g = t.group_by(["event_type"]).aggregate(
+            [("n_anomalies", "sum"), ("n_points", "sum")]
+        )
+        return g.rename_columns(["event_type", "n_anomalies", "n_points"])
+
+    return sharded_grouped_agg(
+        flags.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], [("n_anomalies", "sum"), ("n_points", "sum")],
+        num_shards=4,
+    )
+
+
+def q_skyline(sf_dir: str):
+    """Pareto frontier over per-user activity: users not dominated on
+    (total centi-value, event count) — multi-objective top-N
+    (stages/keyed.pareto_skyline; local-frontier semilattice combiner,
+    no input shuffle).  Oracle: NOT EXISTS dominance."""
+    from ..stages.keyed import pareto_skyline, sharded_grouped_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "x": pa.array(np.rint(v * 100).astype(np.int64)),
+            "y": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+        g = t.group_by(["user_id"]).aggregate([("x", "sum"), ("y", "sum")])
+        return g.rename_columns(["user_id", "x", "y"])
+
+    per_user = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"], [("x", "sum"), ("y", "sum")], num_shards=16,
+    )
+    return pareto_skyline(per_user, "x", "y")
+
+
+_HIST_NB = 20
+
+
+def q_value_histogram(sf_dir: str):
+    """Equi-width value histogram per event type (20 buckets over the
+    type's [min, max] centi-value range) — data-profiling distribution
+    summary.  Bucket index is EXACT integer math (``(c-lo)*NB //
+    (hi-lo+1)``) on both sides; pass 1 is a bounded-key min/max combiner
+    whose tiny result is broadcast, pass 2 a shuffle-free bucket count
+    combiner + bounded final."""
+    import ray
+
+    from ..stages.keyed import sharded_grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def to_centi(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "cv": pa.array(np.rint(v * 100).astype(np.int64)),
+        })
+
+    centi = ds.map_batches(to_centi, batch_format="pyarrow")
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type"]).aggregate([("cv", "min"), ("cv", "max")])
+        return g.rename_columns(["event_type", "lo", "hi"])
+
+    bounds: dict[str, list[int]] = {}
+    for part in centi.map_batches(minmax, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for r in part.to_pylist():
+            b = bounds.setdefault(r["event_type"], [r["lo"], r["hi"]])
+            b[0] = min(b[0], r["lo"])
+            b[1] = max(b[1], r["hi"])
+    bounds_ref = ray.put(bounds)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        bmap = ray.get(bounds_ref)
+        # dictionary-encode: the Python lookup runs once per DISTINCT type,
+        # the per-row gather is a numpy take
+        col = batch["event_type"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if isinstance(col, pa.ChunkedArray):  # 1-chunk CA on older pyarrow
+            col = col.chunk(0) if col.num_chunks else pa.array([], pa.string())
+        enc = col.dictionary_encode()
+        cats = enc.dictionary.to_pylist()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = np.array([bmap[c][0] for c in cats], np.int64)[idx]
+        hi = np.array([bmap[c][1] for c in cats], np.int64)[idx]
+        cv = batch["cv"].to_numpy(zero_copy_only=False)
+        bucket = (cv - lo) * _HIST_NB // (hi - lo + 1)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "bucket": pa.array(bucket),
+            "n": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+        g = t.group_by(["event_type", "bucket"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "bucket", "n"])
+
+    return sharded_grouped_agg(
+        centi.map_batches(bucketize, batch_format="pyarrow"),
+        ["event_type", "bucket"], [("n", "sum")], num_shards=8,
+    )
+
+
+def q_pmi_pairs(sf_dir: str):
+    """Pointwise mutual information between event types over their distinct
+    user sets — the association-strength upgrade of cooccurrence:
+    ``pmi = ln(N * c_ab / (c_a * c_b))`` with the single libm call floored
+    to micro-units on both sides (the bm25 protocol).  Per-type distinct
+    counts and N are bounded and broadcast; pairs come from the
+    cooccurrence kernel's one key-hash exchange."""
+    from ..stages.keyed import cooccurrence_pairs, count_distinct_per_group
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    per_type: dict[str, int] = {}
+    for part in count_distinct_per_group(
+        ds, ["event_type"], "user_id", num_shards=8
+    ).iter_batches(batch_format="pyarrow"):
+        for r in part.to_pylist():
+            per_type[r["event_type"]] = r["n_distinct"]
+
+    def const_key(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "g": pa.array(np.zeros(batch.num_rows, np.int64)),
+            "user_id": batch["user_id"],
+        })
+
+    n_users = 0
+    for part in count_distinct_per_group(
+        ds.map_batches(const_key, batch_format="pyarrow"), ["g"], "user_id",
+        num_shards=8,
+    ).iter_batches(batch_format="pyarrow"):
+        for r in part.to_pylist():
+            n_users += r["n_distinct"]
+
+    pairs = cooccurrence_pairs(ds, "user_id", "event_type", out_count="n_keys",
+                               num_shards=16)
+
+    def score(batch: pa.Table) -> pa.Table:
+        ta = batch["ta"].to_numpy(zero_copy_only=False)
+        tb = batch["tb"].to_numpy(zero_copy_only=False)
+        nk = batch["n_keys"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ca = np.array([per_type[t] for t in ta], np.int64)
+        cb = np.array([per_type[t] for t in tb], np.int64)
+        ratio = (n_users * nk).astype(np.float64) / (ca * cb).astype(np.float64)
+        pmi = np.floor(np.log(ratio) * 1e6) / 1e6
+        return batch.append_column("pmi", pa.array(pmi, pa.float64()))
+
+    return pairs.map_batches(score, batch_format="pyarrow")
+
+
+def q_quality_deciles(sf_dir: str):
+    """Decile report: docs bucketed by exact global token-count deciles
+    (quantile_disc over the order-preserving composite ``tok*2^22 +
+    doc_id`` — a total order, so buckets are unambiguous), per-decile doc
+    count + char mass.  Thresholds come from the distributed-selection
+    quantile kernel (O(buckets) ints to the driver, no sort/shuffle of the
+    data); assignment is a shuffle-free searchsorted; the final is 10
+    keys."""
+    from ..functions.text import token_count
+    from ..stages.keyed import sharded_grouped_agg
+    from ..stages.sketch import exact_global_quantiles
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        tok = token_count(batch["text"]).to_numpy(zero_copy_only=False)
+        ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "comp": pa.array(tok * _COMP + ids),
+            "n_chars": pc.cast(batch["n_chars"], pa.int64()),
+        })
+
+    narrow = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    qs = tuple((i + 1) / 10 for i in range(9))
+    th_map = exact_global_quantiles(narrow, "comp", qs)
+    th = np.array([th_map[q] for q in qs], np.int64)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        comp = batch["comp"].to_numpy(zero_copy_only=False)
+        decile = np.searchsorted(th, comp, side="right").astype(np.int64)
+        t = pa.table({
+            "decile": pa.array(decile),
+            "n_docs": pa.array(np.ones(batch.num_rows, np.int64)),
+            "char_mass": batch["n_chars"],
+        })
+        g = t.group_by(["decile"]).aggregate([("n_docs", "sum"), ("char_mass", "sum")])
+        return g.rename_columns(["decile", "n_docs", "char_mass"])
+
+    return sharded_grouped_agg(
+        narrow.map_batches(bucketize, batch_format="pyarrow"),
+        ["decile"], [("n_docs", "sum"), ("char_mass", "sum")], num_shards=4,
+    )
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -3244,6 +3476,11 @@ QUERIES = {
     "dup_spans": q_dup_spans,
     "minhash_index_pairs": q_minhash_index_pairs,
     "zorder_sample": q_zorder_sample,
+    "anomaly_3sigma": q_anomaly_3sigma,
+    "skyline": q_skyline,
+    "value_histogram": q_value_histogram,
+    "pmi_pairs": q_pmi_pairs,
+    "quality_deciles": q_quality_deciles,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -4559,5 +4796,94 @@ ORACLE_SQL.update(
             f"FROM read_parquet('{_FIXTURE_DIR}/oracle_approx_quantiles.parquet') "
             "WHERE corpus_key = (SELECT CAST(SUM(event_id) AS BIGINT) FROM events)"
         ),
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "anomaly_3sigma": """
+            WITH w AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cv,
+                     sum(CAST(round(value * 100) AS BIGINT)) OVER win AS s,
+                     sum(CAST(round(value * 100) AS BIGINT)
+                         * CAST(round(value * 100) AS BIGINT)) OVER win AS q,
+                     count(*) OVER win AS n
+              FROM events
+              WINDOW win AS (PARTITION BY event_type, user_id
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN 15 PRECEDING AND CURRENT ROW))
+            SELECT event_type,
+                   CAST(count(*) FILTER (
+                        WHERE (cv*n - s)*(cv*n - s) > 9*(n*q - s*s)
+                   ) AS BIGINT) AS n_anomalies,
+                   CAST(count(*) AS BIGINT) AS n_points
+            FROM w GROUP BY event_type
+        """,
+        "skyline": """
+            WITH u AS (
+              SELECT CAST(user_id AS BIGINT) AS user_id,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x,
+                     CAST(count(*) AS BIGINT) AS y
+              FROM events GROUP BY 1)
+            SELECT user_id, x, y FROM u a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM u b
+              WHERE b.x >= a.x AND b.y >= a.y AND (b.x > a.x OR b.y > a.y))
+        """,
+        "value_histogram": """
+            WITH c AS (
+              SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cv
+              FROM events),
+            m AS (SELECT event_type, min(cv) AS lo, max(cv) AS hi
+                  FROM c GROUP BY 1)
+            SELECT c.event_type,
+                   CAST((cv - lo) * 20 // (hi - lo + 1) AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM c JOIN m USING (event_type)
+            GROUP BY 1, 2
+        """,
+        "pmi_pairs": """
+            WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+            nu AS (SELECT count(DISTINCT user_id) AS n FROM events),
+            c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+                  FROM d GROUP BY 1),
+            p AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                         CAST(count(*) AS BIGINT) AS n_keys
+                  FROM d a JOIN d b USING (user_id)
+                  WHERE a.event_type < b.event_type GROUP BY 1, 2)
+            SELECT p.ta, p.tb, p.n_keys,
+                   floor(ln(CAST(nu.n * p.n_keys AS DOUBLE)
+                            / CAST(ca.cnt * cb.cnt AS DOUBLE)) * 1e6) / 1e6
+                     AS pmi
+            FROM p, nu
+            JOIN c ca ON ca.event_type = p.ta
+            JOIN c cb ON cb.event_type = p.tb
+        """,
+        "quality_deciles": r"""
+            WITH t AS (
+              SELECT doc_id, n_chars,
+                     CAST(CASE WHEN trim(text, ' ' || chr(9) || chr(13) || chr(10)) = ''
+                               THEN 0
+                               ELSE len(regexp_split_to_array(
+                                    trim(text, ' ' || chr(9) || chr(13) || chr(10)),
+                                    '[ \t\r\n]+'))
+                          END AS BIGINT) * 4194304 + doc_id AS comp
+              FROM documents),
+            q AS (SELECT quantile_disc(comp, 0.1) AS t1, quantile_disc(comp, 0.2) AS t2,
+                         quantile_disc(comp, 0.3) AS t3, quantile_disc(comp, 0.4) AS t4,
+                         quantile_disc(comp, 0.5) AS t5, quantile_disc(comp, 0.6) AS t6,
+                         quantile_disc(comp, 0.7) AS t7, quantile_disc(comp, 0.8) AS t8,
+                         quantile_disc(comp, 0.9) AS t9
+                  FROM t)
+            SELECT CAST((comp >= t1) AS BIGINT) + CAST((comp >= t2) AS BIGINT)
+                 + CAST((comp >= t3) AS BIGINT) + CAST((comp >= t4) AS BIGINT)
+                 + CAST((comp >= t5) AS BIGINT) + CAST((comp >= t6) AS BIGINT)
+                 + CAST((comp >= t7) AS BIGINT) + CAST((comp >= t8) AS BIGINT)
+                 + CAST((comp >= t9) AS BIGINT) AS decile,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS char_mass
+            FROM t, q GROUP BY 1
+        """,
     }
 )

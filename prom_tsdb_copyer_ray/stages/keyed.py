@@ -1835,3 +1835,47 @@ def cume_dist(ds, key_cols: list[str], order_cols: list[str],
         .groupby("_wshard")
         .map_groups(per_shard, batch_format="pyarrow")
     )
+
+
+def pareto_skyline(ds, x_col: str, y_col: str):
+    """Pareto frontier (skyline) maximizing BOTH int64 columns: keep the rows
+    no other row strictly dominates (``b.x >= a.x AND b.y >= a.y AND (b.x >
+    a.x OR b.y > a.y)`` — SQL NOT-EXISTS semantics; coordinate-equal
+    duplicates all survive).
+
+    Scale shape: the skyline operator is a SEMILATTICE —
+    ``sky(A ∪ B) == sky(sky(A) ∪ sky(B))`` — so each batch reduces to its
+    local frontier (typically O(sqrt) of the batch) and one tiny final task
+    finishes; no shuffle of the input, block layout cannot change the
+    result.  Kernel: one lexsort (x desc, y desc), running max of y from
+    strictly-greater-x rows via the segment-boundary trick — no Python
+    loop."""
+
+    def sky(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return t
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((-y, -x))
+        xs, ys = x[order], y[order]
+        new_seg = np.r_[True, xs[1:] != xs[:-1]]
+        seg_first_idx = np.flatnonzero(new_seg)
+        sizes = np.diff(np.r_[seg_first_idx, n])
+        seg_first = np.repeat(seg_first_idx, sizes)
+        cmax = np.maximum.accumulate(ys)
+        prev_max = np.where(
+            seg_first > 0,
+            cmax[np.maximum(seg_first - 1, 0)],
+            np.iinfo(np.int64).min,
+        )
+        dominated = (prev_max >= ys) | (ys[seg_first] > ys)
+        return t.take(pa.array(np.sort(order[~dominated])))
+
+    # final pass: one block AND one batch (batch_size=None = whole block) —
+    # a split batch would compute two independent frontiers
+    return (
+        ds.map_batches(sky, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(sky, batch_format="pyarrow", batch_size=None)
+    )

@@ -763,3 +763,76 @@ def merge_intervals(ds, key_cols: list[str], start_col: str, end_col: str,
         .groupby("_wshard")
         .map_groups(per_shard, batch_format="pyarrow")
     )
+
+
+def rolling_sigma_outliers(
+    ds,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    window: int = 16,
+    k: int = 3,
+    out_col: str = "is_anomaly",
+    num_shards: int = 64,
+):
+    """Rolling k-sigma anomaly flags per key over a trailing ``window``-ROWS
+    frame — the streaming outlier detector (SQL ``ROWS BETWEEN window-1
+    PRECEDING AND CURRENT ROW`` mean/variance test).
+
+    A row with pre-scaled int64 value ``c`` is anomalous iff
+
+        ``(c*n - S)^2 > k^2 * (n*Q - S^2)``
+
+    where ``S``/``Q``/``n`` are the frame's sum, sum-of-squares and row
+    count — the |c - mean| > k*sigma_pop rule cross-multiplied into EXACT
+    int64 arithmetic, so the flag is bit-identical to the SQL oracle (no
+    float mean/variance in either engine).  Bounds: with centi-scaled
+    values |c| <= 5e4 and window <= 64 every intermediate stays < 2^63.
+    Note the max z-score in an n-row frame is sqrt(n-1), so ``window``
+    must exceed ``k*k + 1`` for any point to be flaggable (k=3 needs
+    window >= 11).
+
+    Scale shape: one key-hash exchange of (key, order, c) rows, per-shard
+    lexsort + segment-aware prefix sums (frame start = max(segment start,
+    i-window+1) — vectorized, no Python loop).  Partial leading frames use
+    the rows available, like SQL; a singleton frame is never anomalous
+    (dev = 0).  Appends ``out_col`` (bool) to the input rows.
+    """
+    from .keyed import _key_shard, _segment_starts
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_sshard", _key_shard(batch, key_cols, num_shards)
+        )
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_sshard").sort_by(
+            [(c, "ascending") for c in key_cols]
+            + [(c, "ascending") for c in order_cols]
+        )
+        n = t.num_rows
+        if n == 0:
+            return t.append_column(out_col, pa.array([], pa.bool_()))
+        c = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.flatnonzero(_segment_starts(t, key_cols))
+        sizes = np.diff(np.r_[starts, n])
+        seg_start = np.repeat(starts, sizes)
+        idx = np.arange(n, dtype=np.int64)
+        j = np.maximum(seg_start, idx - window + 1)
+        ps = np.r_[0, np.cumsum(c)]
+        pq = np.r_[0, np.cumsum(c * c)]
+        s = ps[idx + 1] - ps[j]
+        q = pq[idx + 1] - pq[j]
+        m = idx + 1 - j
+        dev = c * m - s
+        flag = dev * dev > (k * k) * (m * q - s * s)
+        return t.append_column(out_col, pa.array(flag, pa.bool_()))
+
+    from .common import narrow_fanin
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .repartition(narrow_fanin())
+        .groupby("_sshard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )
