@@ -3348,6 +3348,94 @@ def q_quality_deciles(sf_dir: str):
     )
 
 
+def q_user_entropy(sf_dir: str):
+    """Behavioral diversity: Shannon entropy of each user's event-type
+    distribution, computed from INTEGER micro-nat logs (``floor(ln(c)*1e6)``
+    per count, exact int64 fold, one float division at the end mirrored
+    term-for-term by the SQL) — the engagement-mix signal.  One user-hash
+    exchange of bounded (user, type, n) combiner rows."""
+    from ..stages.keyed import _key_shard, _segment_starts
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "event_type": batch["event_type"],
+            "n": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+        g = t.group_by(["user_id", "event_type"]).aggregate([("n", "sum")])
+        g = g.rename_columns(["user_id", "event_type", "n"])
+        return g.append_column("_ushard", _key_shard(g, ["user_id"], 16))
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        out_empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "entropy": pa.array([], pa.float64()),
+        })
+        if group.num_rows == 0:
+            return out_empty
+        t = group.drop_columns("_ushard").sort_by(
+            [("user_id", "ascending"), ("event_type", "ascending")]
+        )
+        # fold cross-batch partials per (user, type)
+        both = np.flatnonzero(_segment_starts(t, ["user_id", "event_type"]))
+        c = np.add.reduceat(t["n"].to_numpy(zero_copy_only=False), both)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)[both]
+        # per-user fold: n = sum(c), s = sum(c * floor(ln(c)*1e6))
+        lc = np.floor(np.log(c.astype(np.float64)) * 1e6).astype(np.int64)
+        ustart = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        n = np.add.reduceat(c, ustart)
+        s = np.add.reduceat(c * lc, ustart)
+        ln_n = np.floor(np.log(n.astype(np.float64)) * 1e6).astype(np.int64)
+        ent = (n * ln_n - s).astype(np.float64) / (n.astype(np.float64) * 1e6)
+        return pa.table({
+            "user_id": pa.array(uid[ustart]),
+            "n_events": pa.array(n.astype(np.int64)),
+            "entropy": pc.round(pa.array(ent, pa.float64()), ndigits=6),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_ushard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )
+
+
+def q_term_drift(sf_dir: str):
+    """Vocabulary drift report between the even- and odd-id corpus halves
+    (stages/textstats.term_parity_drift): per common term, distinct-doc df
+    in each half and the integer micro-nat smoothed log-odds
+    ``floor(ln(df_e+1)*1e6) - floor(ln(df_o+1)*1e6)`` — the
+    distribution-shift monitor for ingest batches."""
+    from ..stages.textstats import term_parity_drift
+
+    return term_parity_drift(
+        _read(sf_dir, "documents", ["doc_id", "text"]), min_df=20
+    )
+
+
+_KEYWORD_TERMS = ["shuffle", "spark", "gorilla"]
+
+
+def q_keyword_search(sf_dir: str):
+    """Keyword retrieval over a PERSISTED inverted index
+    (stages/textstats.build_text_index / text_index_search): the corpus's
+    distinct (term, doc) postings are hive-partitioned by term hash once
+    (cached per corpus under /tmp); a search opens ONLY the buckets its
+    query terms hash into.  Returns (doc_id, n_matched distinct terms)."""
+    import os
+
+    from ..stages.textstats import build_text_index, text_index_search
+
+    index_dir = f"/tmp/graft_kw_index_{_corpus_tag(sf_dir, 'documents')}"
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        build_text_index(_read(sf_dir, "documents", ["doc_id", "text"]),
+                         index_dir)
+    return text_index_search(index_dir, _KEYWORD_TERMS)
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -3481,6 +3569,9 @@ QUERIES = {
     "value_histogram": q_value_histogram,
     "pmi_pairs": q_pmi_pairs,
     "quality_deciles": q_quality_deciles,
+    "user_entropy": q_user_entropy,
+    "term_drift": q_term_drift,
+    "keyword_search": q_keyword_search,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -4884,6 +4975,59 @@ ORACLE_SQL.update(
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS char_mass
             FROM t, q GROUP BY 1
+        """,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "user_entropy": """
+            WITH c AS (SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+                              CAST(count(*) AS BIGINT) AS cnt
+                       FROM events GROUP BY 1, 2),
+            u AS (SELECT user_id,
+                         CAST(sum(cnt) AS BIGINT) AS n,
+                         CAST(sum(cnt * CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6)
+                                             AS BIGINT)) AS BIGINT) AS s
+                  FROM c GROUP BY 1)
+            SELECT user_id, n AS n_events,
+                   round(CAST(n * CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT)
+                              - s AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * 1e6), 6) AS entropy
+            FROM u
+        """,
+        "term_drift": """
+            WITH tok AS (
+              SELECT doc_id, lower(unnest(regexp_extract_all(text, '[A-Za-z]+')))
+                       AS term
+              FROM documents),
+            d AS (SELECT DISTINCT doc_id, term FROM tok),
+            f AS (SELECT term,
+                         CAST(count(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT)
+                           AS df_even,
+                         CAST(count(*) FILTER (WHERE doc_id % 2 = 1) AS BIGINT)
+                           AS df_odd
+                  FROM d GROUP BY 1)
+            SELECT term, df_even, df_odd,
+                   CAST(floor(ln(CAST(df_even + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+                   - CAST(floor(ln(CAST(df_odd + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+                     AS drift_micro
+            FROM f WHERE df_even + df_odd >= 20
+        """,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "keyword_search": """
+            WITH tok AS (
+              SELECT doc_id, lower(unnest(regexp_extract_all(text, '[A-Za-z]+')))
+                       AS term
+              FROM documents),
+            d AS (SELECT DISTINCT doc_id, term FROM tok)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched
+            FROM d WHERE term IN ('shuffle', 'spark', 'gorilla')
+            GROUP BY 1
         """,
     }
 )

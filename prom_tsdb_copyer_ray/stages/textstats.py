@@ -610,3 +610,207 @@ def bpe_train(ds, text_col: str = "text", k: int = 8,
         merges.append((str(best["l"]), str(best["r"])))
         counts_out.append(int(best["n"]))
     return [(a, b, n) for (a, b), n in zip(merges, counts_out)]
+
+
+def term_parity_drift(ds, text_col: str = "text", id_col: str = "doc_id",
+                      min_df: int = 20, num_shards: int = 64):
+    """Vocabulary drift between two corpus halves (docs with even vs odd
+    ``id_col``): per term, the distinct-doc frequency in each half and the
+    smoothed log-odds drift
+
+        ``drift_micro = floor(ln(df_even+1)*1e6) - floor(ln(df_odd+1)*1e6)``
+
+    — an integer (micro-nat) score, exact cross-engine because the two libm
+    calls are floored independently before the (exact int) subtraction.
+    Terms are the :func:`term_document_frequency` vocabulary (``[A-Za-z]+``
+    runs, lowercased); only terms with ``df_even + df_odd >= min_df``
+    survive (rare-term noise floor).
+
+    Scale shape: the per-batch stage is a distinct-per-doc Counter combiner
+    emitting (term, parity, partial_df) rows — Zipf-bounded vocab per
+    batch, never per-occurrence rows; ONE term-hash exchange co-locates
+    both parities of a term, so the pivot + filter + score happen inside
+    the shard task and only surviving scored terms leave it."""
+    import re
+    from collections import Counter
+
+    word_re = re.compile(r"[A-Za-z]+")
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        counts: Counter = Counter()
+        for doc_id, t in zip(ids, batch[text_col].to_pylist()):
+            par = int(doc_id) & 1
+            counts.update({(m.lower(), par) for m in word_re.findall(t or "")})
+        keys = list(counts.keys())
+        tbl = pa.table({
+            "term": pa.array([k[0] for k in keys], pa.string()),
+            "parity": pa.array([k[1] for k in keys], pa.int64()),
+            "df": pa.array([counts[k] for k in keys], pa.int64()),
+        })
+        shard = (poly_hash_column(tbl["term"], fold63=False)
+                 % np.uint64(num_shards)).astype(np.int64)
+        return tbl.append_column("_tshard", pa.array(shard))
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        out_empty = pa.table({
+            "term": pa.array([], pa.string()),
+            "df_even": pa.array([], pa.int64()),
+            "df_odd": pa.array([], pa.int64()),
+            "drift_micro": pa.array([], pa.int64()),
+        })
+        if group.num_rows == 0:
+            return out_empty
+        t = group.drop_columns("_tshard").sort_by(
+            [("term", "ascending"), ("parity", "ascending")]
+        )
+        term = (t["term"].combine_chunks()
+                if isinstance(t["term"], pa.ChunkedArray) else t["term"])
+        par = t["parity"].to_numpy(zero_copy_only=False)
+        df = t["df"].to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        new_tp = np.ones(n, dtype=bool)
+        new_tp[1:] = (
+            pc.not_equal(term.slice(1), term.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            | (par[1:] != par[:-1])
+        )
+        tp_starts = np.flatnonzero(new_tp)
+        tp_df = np.add.reduceat(df, tp_starts)
+        tp_term = term.take(pa.array(tp_starts))
+        tp_par = par[tp_starts]
+        # fold the <=2 parity rows of each term
+        m = len(tp_starts)
+        new_t = np.ones(m, dtype=bool)
+        new_t[1:] = pc.not_equal(
+            tp_term.slice(1), tp_term.slice(0, m - 1)
+        ).to_numpy(zero_copy_only=False)
+        t_starts = np.flatnonzero(new_t)
+        seg_id = np.cumsum(new_t) - 1
+        df_even = np.zeros(len(t_starts), np.int64)
+        df_odd = np.zeros(len(t_starts), np.int64)
+        even_mask = tp_par == 0
+        np.add.at(df_even, seg_id[even_mask], tp_df[even_mask])
+        np.add.at(df_odd, seg_id[~even_mask], tp_df[~even_mask])
+        keep = (df_even + df_odd) >= min_df
+        df_e, df_o = df_even[keep], df_odd[keep]
+        drift = (np.floor(np.log((df_e + 1).astype(np.float64)) * 1e6)
+                 - np.floor(np.log((df_o + 1).astype(np.float64)) * 1e6)
+                 ).astype(np.int64)
+        return pa.table({
+            "term": tp_term.take(pa.array(t_starts[keep])),
+            "df_even": pa.array(df_e),
+            "df_odd": pa.array(df_o),
+            "drift_micro": pa.array(drift),
+        })
+
+    return (
+        ds.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("_tshard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )
+
+
+TEXT_INDEX_BUCKETS = 64
+
+
+def build_text_index(ds, index_dir: str, text_col: str = "text",
+                     id_col: str = "doc_id") -> dict:
+    """Build a PERSISTED inverted keyword index — the search-side sibling of
+    the MinHash-LSH and IVF indexes (index the corpus once, serve keyword
+    queries with a directory-level read skip).
+
+    Layout: ``{index_dir}/postings/bucket_p=<poly_hash(term) % 64>/`` hive
+    partitions of distinct (term, doc_id) posting rows + ``meta.json``
+    pinning the tokenizer (``[A-Za-z]+`` lowercased — the
+    :func:`term_document_frequency` vocabulary) and bucket count.  A search
+    opens ONLY the buckets its query terms hash into
+    (:func:`text_index_search`).  Distinctness needs no shuffle: each doc
+    lives in exactly one input batch, so per-batch per-doc term sets are
+    globally distinct pairs."""
+    import json
+    import os
+    import re
+
+    word_re = re.compile(r"[A-Za-z]+")
+
+    def postings(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        terms: list[str] = []
+        docs: list[int] = []
+        for doc_id, t in zip(ids, batch[text_col].to_pylist()):
+            for m in {w.lower() for w in word_re.findall(t or "")}:
+                terms.append(m)
+                docs.append(int(doc_id))
+        tbl = pa.table({
+            "term": pa.array(terms, pa.string()),
+            "doc_id": pa.array(docs, pa.int64()),
+        })
+        bucket = (poly_hash_column(tbl["term"], fold63=False)
+                  % np.uint64(TEXT_INDEX_BUCKETS)).astype(np.int64)
+        return tbl.append_column("bucket_p", pa.array(bucket))
+
+    ds.map_batches(postings, batch_format="pyarrow").write_parquet(
+        os.path.join(index_dir, "postings"), partition_cols=["bucket_p"]
+    )
+    meta = {"buckets": TEXT_INDEX_BUCKETS, "tokenizer": "[A-Za-z]+ lower"}
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def text_index_search(index_dir: str, terms: list[str]):
+    """Docs matching ANY query term, with match counts — reading ONLY the
+    posting buckets the query terms hash into (with 3 terms at 64 buckets,
+    >= 95% of the index is never opened; the delete-an-unqueried-partition
+    pytest proves the skip).  Returns (doc_id, n_matched) where n_matched
+    counts DISTINCT matched terms."""
+    import json
+    import os
+
+    import ray.data
+
+    from .keyed import sharded_grouped_agg
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    buckets = int(meta["buckets"])
+
+    qt = sorted({t.lower() for t in terms})
+    qarr = pa.array(qt, pa.string())
+    qbuckets = set(
+        (poly_hash_column(qarr, fold63=False) % np.uint64(buckets))
+        .astype(np.int64).tolist()
+    )
+    files = []
+    for b in sorted(qbuckets):
+        d = os.path.join(index_dir, "postings", f"bucket_p={b}")
+        if os.path.isdir(d):
+            files.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    if not files:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_matched": pa.array([], pa.int64()),
+        }))
+
+    def match(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["term"], value_set=qarr)
+        hits = batch.filter(keep)
+        t = pa.table({
+            "doc_id": hits["doc_id"],
+            "n_matched": pa.array(np.ones(hits.num_rows, np.int64)),
+        })
+        g = t.group_by(["doc_id"]).aggregate([("n_matched", "sum")])
+        return g.rename_columns(["doc_id", "n_matched"])
+
+    hits = ray.data.read_parquet(files, columns=["term", "doc_id"]).map_batches(
+        match, batch_format="pyarrow"
+    )
+    return sharded_grouped_agg(hits, ["doc_id"], [("n_matched", "sum")],
+                               num_shards=16)
