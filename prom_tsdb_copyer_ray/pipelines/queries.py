@@ -3436,6 +3436,32 @@ def q_keyword_search(sf_dir: str):
     return text_index_search(index_dir, _KEYWORD_TERMS)
 
 
+def q_bpe_encode(sf_dir: str):
+    """Apply the trained tokenizer: per-doc subword-token counts under the
+    corpus's first-8 BPE merges (stages/textstats.BPEEncoder actor pool —
+    merge list built once by bpe_train, per-word encodings memoized per
+    actor).  Fixture-oracled by an independent sequential reference."""
+    from ..stages.textstats import bpe_encode_counts, bpe_train
+
+    merges = bpe_train(_read(sf_dir, "documents", ["text"]), k=8)
+    return bpe_encode_counts(_read(sf_dir, "documents", ["doc_id", "text"]),
+                             merges)
+
+
+def q_approx_overlap(sf_dir: str):
+    """Approximate audience overlap between event types via KMV/theta
+    sketches (stages/sketch.theta_overlap_pairs) — the mergeable-sketch
+    path of the exact audience_overlap join: one bottom-k combiner
+    exchange, O(types x k) ints total, pairwise estimates on the bounded
+    sketch table.  Deterministic (fmix64 hashes), fixture-oracled."""
+    from ..stages.sketch import theta_overlap_pairs
+
+    return theta_overlap_pairs(
+        _read(sf_dir, "events", ["event_type", "user_id"]),
+        "event_type", "user_id", k=256,
+    )
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -3572,6 +3598,8 @@ QUERIES = {
     "user_entropy": q_user_entropy,
     "term_drift": q_term_drift,
     "keyword_search": q_keyword_search,
+    "bpe_encode": q_bpe_encode,
+    "approx_overlap": q_approx_overlap,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -5029,5 +5057,16 @@ ORACLE_SQL.update(
             FROM d WHERE term IN ('shuffle', 'spark', 'gorilla')
             GROUP BY 1
         """,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "bpe_encode": _fixture_sql("bpe_encode", "doc_id, n_bpe"),
+        "approx_overlap": (
+            "SELECT ta, tb, round(est_overlap, 4) AS est_overlap "
+            f"FROM read_parquet('{_FIXTURE_DIR}/oracle_theta_overlap.parquet') "
+            "WHERE corpus_key = (SELECT CAST(SUM(event_id) AS BIGINT) FROM events)"
+        ),
     }
 )

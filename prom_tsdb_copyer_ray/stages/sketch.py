@@ -422,3 +422,113 @@ def exact_global_quantiles(ds, value_col: str, qs: tuple[float, ...],
             assert brackets[i][0] == brackets[i][1], "unresolved bracket"
             answers[i] = brackets[i][0]
     return {q: answers[i] for i, q in enumerate(qs)}
+
+
+def theta_sketch_per_key(ds, key_col: str, value_col: str, k: int = 256,
+                         num_shards: int = 8):
+    """KMV/theta distinct-value sketch per key: the k smallest DISTINCT
+    ``fmix64(value)`` hashes (a deterministic uniform sample of the key's
+    value set).  Mergeable: bottom-k of a union == bottom-k of merged
+    bottom-ks; dedup inside every stage keeps the sample a SET (KMV needs
+    distinct hashes).  Returns one row per key: (key, hashes list<uint64 as
+    int64>, n_exact_lt_k flag via len < k)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, value_col]).group_by(
+            [key_col, value_col]
+        ).aggregate([])
+        t = t.sort_by([(key_col, "ascending")])
+        h = fmix64(pc.cast(t[value_col], pa.int64()).to_numpy(zero_copy_only=False))
+        new = _segment_starts(t, [key_col])
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], t.num_rows]
+        keep_h, keep_row = [], []
+        for a, b in zip(starts, ends):
+            hh = np.unique(h[a:b])[:k]
+            keep_h.append(hh)
+            keep_row.append(np.full(len(hh), a, dtype=np.int64))
+        keys_t = t.select([key_col]).take(pa.array(np.concatenate(keep_row)))
+        out = keys_t.append_column(
+            "_h", pa.array(np.concatenate(keep_h).view(np.int64))
+        )
+        return out.append_column("_kshard", _key_shard(out, [key_col], num_shards))
+
+    def merge(group: pa.Table) -> pa.Table:
+        out_keys, out_h = [], []
+        if group.num_rows:
+            t = group.drop_columns("_kshard").sort_by([(key_col, "ascending")])
+            h = t["_h"].to_numpy(zero_copy_only=False).view(np.uint64)
+            starts = np.flatnonzero(_segment_starts(t, [key_col]))
+            ends = np.r_[starts[1:], t.num_rows]
+            keys = t[key_col].to_pylist()
+            for a, b in zip(starts, ends):
+                hh = np.unique(h[a:b])[:k]
+                out_keys.append(keys[a])
+                out_h.append(hh.view(np.int64))
+        return pa.table({
+            key_col: pa.array(out_keys, group[key_col].type),
+            "hashes": pa.array([x.tolist() for x in out_h],
+                               pa.list_(pa.int64())),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_kshard")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+def theta_intersection_estimate(hashes_a: np.ndarray, hashes_b: np.ndarray,
+                                k: int = 256) -> float:
+    """Standard theta-sketch intersection: theta = min of the two sketches'
+    sampling thresholds (kth-smallest hash scaled to (0,1]; 1.0 when the
+    sketch holds the whole set), candidates = hashes below theta, estimate
+    = |common candidates| / theta.  Deterministic."""
+    two64 = float(2**64)
+    ha = hashes_a.astype(np.uint64)
+    hb = hashes_b.astype(np.uint64)
+    th_a = (float(ha.max()) + 1.0) / two64 if len(ha) >= k else 1.0
+    th_b = (float(hb.max()) + 1.0) / two64 if len(hb) >= k else 1.0
+    theta = min(th_a, th_b)
+    # float(2^64 - 1) rounds to 2^64, which overflows uint64 — keep the
+    # threshold a Python int and only narrow when it fits
+    lim = int(min(theta * two64, two64 - 1.0))
+    common = np.intersect1d(ha, hb)
+    if len(common) == 0:
+        d = 0
+    elif lim >= 2**64:
+        d = len(common)
+    else:
+        d = int((common < np.uint64(lim)).sum())
+    return d / theta
+
+
+def theta_overlap_pairs(ds, key_col: str, value_col: str, k: int = 256,
+                        round_nd: int = 4):
+    """Approximate pairwise distinct-value overlap between every two keys —
+    the sketch path of the exact ``audience_overlap`` join: one bottom-k
+    combiner exchange builds a theta sketch per key (O(keys x k) ints
+    total), then every pair's intersection is estimated on the bounded
+    sketch table (keys are categorical: event types, sources).  Returns
+    (ta, tb, est_overlap)."""
+    import pandas as pd
+    import ray.data
+
+    sk = theta_sketch_per_key(ds, key_col, value_col, k=k)
+    rows = []
+    for part in sk.iter_batches(batch_format="pyarrow"):
+        for r in part.to_pylist():
+            rows.append((r[key_col], np.array(r["hashes"], np.int64)))
+    rows.sort(key=lambda x: x[0])
+    out = {"ta": [], "tb": [], "est_overlap": []}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            est = theta_intersection_estimate(rows[i][1], rows[j][1], k=k)
+            out["ta"].append(rows[i][0])
+            out["tb"].append(rows[j][0])
+            out["est_overlap"].append(round(est, round_nd))
+    return ray.data.from_arrow(pa.table({
+        "ta": pa.array(out["ta"], pa.string()),
+        "tb": pa.array(out["tb"], pa.string()),
+        "est_overlap": pa.array(out["est_overlap"], pa.float64()),
+    }))

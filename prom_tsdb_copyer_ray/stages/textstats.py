@@ -814,3 +814,70 @@ def text_index_search(index_dir: str, terms: list[str]):
     )
     return sharded_grouped_agg(hits, ["doc_id"], [("n_matched", "sum")],
                                num_shards=16)
+
+
+class BPEEncoder:
+    """Actor-pool stage: tokenize docs with a TRAINED BPE merge list
+    (:func:`bpe_train`'s output) and count subword tokens per doc — the
+    "apply the tokenizer" half of the tokenizer-fitting step.
+
+    Stateful setup in ``__init__`` (merge list parsed once per actor);
+    per-word encodings are memoized across batches (Zipf: the cache hit
+    rate approaches 1 fast), so the per-batch cost is one dict lookup per
+    word occurrence plus the classic merge loop on cache misses only."""
+
+    def __init__(self, merges: list, text_col: str = "text",
+                 id_col: str = "doc_id", out_col: str = "n_bpe"):
+        import re
+
+        self.merges = [(a, b) for a, b, *_ in merges]
+        self.text_col = text_col
+        self.id_col = id_col
+        self.out_col = out_col
+        self.word_re = re.compile(r"[A-Za-z]+")
+        self.cache: dict[str, int] = {}
+
+    def _encode_len(self, word: str) -> int:
+        n = self.cache.get(word)
+        if n is not None:
+            return n
+        symbols: tuple = tuple(word)
+        for a, b in self.merges:
+            out = []
+            i = 0
+            while i < len(symbols):
+                if (i + 1 < len(symbols) and symbols[i] == a
+                        and symbols[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(symbols[i])
+                    i += 1
+            symbols = tuple(out)
+        n = len(symbols)
+        self.cache[word] = n
+        return n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        counts = [
+            sum(self._encode_len(w.lower())
+                for w in self.word_re.findall(t or ""))
+            for t in batch[self.text_col].to_pylist()
+        ]
+        return pa.table({
+            self.id_col: pc.cast(batch[self.id_col], pa.int64()),
+            self.out_col: pa.array(counts, pa.int64()),
+        })
+
+
+def bpe_encode_counts(ds, merges: list, text_col: str = "text",
+                      id_col: str = "doc_id", concurrency=(1, 8)):
+    """Per-doc subword-token counts under a trained BPE merge list —
+    shuffle-free actor-pool map (see :class:`BPEEncoder`)."""
+    return ds.map_batches(
+        BPEEncoder,
+        fn_constructor_kwargs=dict(merges=merges, text_col=text_col,
+                                   id_col=id_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

@@ -1,0 +1,134 @@
+"""Second-wave fixture-oracle generator (session 7): expected outputs for
+``bpe_encode`` and ``approx_overlap``, computed by independent from-the-spec
+single-process references (same corpus_key protocol as
+gen_oracle_fixtures.py — kept separate so regenerating these never touches
+the earlier fixture parquets).
+
+Run from /root/repo:  python tests/fixtures/gen_oracle_fixtures2.py
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from gen_oracle_fixtures import bpe_reference, _fmix64_int  # noqa: E402
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+THETA_K = 256
+
+
+def bpe_encode_reference(texts: list, merges: list) -> list:
+    """Per-doc subword counts under the trained merges (spec:
+    textstats.BPEEncoder)."""
+    word_re = re.compile(r"[A-Za-z]+")
+    pairs = [(a, b) for a, b, _ in merges]
+    cache: dict = {}
+
+    def enc_len(word: str) -> int:
+        if word in cache:
+            return cache[word]
+        symbols = tuple(word)
+        for a, b in pairs:
+            out, i = [], 0
+            while i < len(symbols):
+                if i + 1 < len(symbols) and symbols[i] == a and symbols[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(symbols[i])
+                    i += 1
+            symbols = tuple(out)
+        cache[word] = len(symbols)
+        return cache[word]
+
+    return [
+        sum(enc_len(w.lower()) for w in word_re.findall(t or ""))
+        for t in texts
+    ]
+
+
+def theta_overlap_reference(users_by_type: dict, k: int = THETA_K) -> list:
+    """Pairwise theta-sketch intersection estimates (spec:
+    sketch.theta_sketch_per_key / theta_intersection_estimate)."""
+    two64 = float(2**64)
+    sketches = {}
+    for et, users in users_by_type.items():
+        hs = sorted({_fmix64_int(int(u)) for u in set(users)})[:k]
+        sketches[et] = hs
+    out = []
+    types = sorted(sketches)
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            ha, hb = sketches[ta], sketches[tb]
+            th_a = (float(max(ha)) + 1.0) / two64 if len(ha) >= k else 1.0
+            th_b = (float(max(hb)) + 1.0) / two64 if len(hb) >= k else 1.0
+            theta = min(th_a, th_b)
+            lim = int(min(theta * two64, two64 - 1))
+            common = set(ha) & set(hb)
+            d = sum(1 for h in common if h < lim)
+            out.append((ta, tb, round(d / theta, 4)))
+    return out
+
+
+def main() -> None:
+    enc_rows = {"corpus_key": [], "doc_id": [], "n_bpe": []}
+    ov_rows = {"corpus_key": [], "ta": [], "tb": [], "est_overlap": []}
+
+    for sf in SF_DIRS:
+        t = pq.read_table(f"{sf}/documents.parquet",
+                          columns=["doc_id", "text", "n_chars"])
+        key = int(sum(t["n_chars"].to_pylist()))
+        ids = t["doc_id"].to_pylist()
+        texts = [x or "" for x in t["text"].to_pylist()]
+        merges = bpe_reference(texts, k=8)
+        for d, n in zip(ids, bpe_encode_reference(texts, merges)):
+            enc_rows["corpus_key"].append(key)
+            enc_rows["doc_id"].append(d)
+            enc_rows["n_bpe"].append(n)
+        print(f"{sf}: bpe_encode {len(ids)} docs", file=sys.stderr)
+
+        ev = pq.read_table(f"{sf}/events.parquet",
+                           columns=["event_id", "event_type", "user_id"])
+        ekey = int(sum(ev["event_id"].to_pylist()))
+        by_type: dict = {}
+        for et, uid in zip(ev["event_type"].to_pylist(),
+                           ev["user_id"].to_pylist()):
+            by_type.setdefault(et, []).append(uid)
+        for ta, tb, est in theta_overlap_reference(by_type):
+            ov_rows["corpus_key"].append(ekey)
+            ov_rows["ta"].append(ta)
+            ov_rows["tb"].append(tb)
+            ov_rows["est_overlap"].append(est)
+        print(f"{sf}: theta_overlap {len(by_type)} types", file=sys.stderr)
+
+    pq.write_table(
+        pa.table({
+            "corpus_key": pa.array(enc_rows["corpus_key"], pa.int64()),
+            "doc_id": pa.array(enc_rows["doc_id"], pa.int64()),
+            "n_bpe": pa.array(enc_rows["n_bpe"], pa.int64()),
+        }),
+        os.path.join(HERE, "oracle_bpe_encode.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "corpus_key": pa.array(ov_rows["corpus_key"], pa.int64()),
+            "ta": pa.array(ov_rows["ta"], pa.string()),
+            "tb": pa.array(ov_rows["tb"], pa.string()),
+            "est_overlap": pa.array(ov_rows["est_overlap"], pa.float64()),
+        }),
+        os.path.join(HERE, "oracle_theta_overlap.parquet"),
+    )
+    print("fixtures written", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
