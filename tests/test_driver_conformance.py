@@ -83,6 +83,22 @@ def test_oracle_keys_subset(entry_mod):
         assert name in qs
 
 
+def test_mirror_covers_every_oracle(entry_mod):
+    """Guard: every oracle_sql() key must appear in the static parametrize
+    list below — a new query missing here would silently skip its local
+    conformance check."""
+    import ast, inspect, pathlib
+
+    src = pathlib.Path(__file__).read_text()
+    tree = ast.parse(src)
+    names: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Constant) and isinstance(node.value, str):
+            names.add(node.value)
+    missing = sorted(set(entry_mod.oracle_sql()) - names)
+    assert not missing, f"queries missing from the conformance mirror: {missing}"
+
+
 @pytest.mark.parametrize(
     "name",
     [
@@ -118,6 +134,10 @@ def test_oracle_keys_subset(entry_mod):
         "compression_ratio", "frame_features", "pagerank",
         "kmeans",
         "pages_verify",
+        # session-7 wave
+        "anomaly_3sigma", "skyline", "value_histogram", "pmi_pairs",
+        "quality_deciles", "user_entropy", "term_drift", "keyword_search",
+        "bpe_encode", "approx_overlap",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):
