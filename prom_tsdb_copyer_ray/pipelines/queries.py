@@ -3462,6 +3462,243 @@ def q_approx_overlap(sf_dir: str):
     )
 
 
+def q_rate_5m(sf_dir: str):
+    """PromQL rate(): increase() per aligned 5m window divided by the
+    window length in seconds — completes the counter family (increase,
+    resets, deriv/trend, histogram_quantile).  Same single exchange as
+    increase_5m; the division is one mirrored float op on the rounded
+    sum."""
+    from ..stages.windowed import counter_increase
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "event_id", "value"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "tms": ts_to_ms(batch["ts"]),
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "value": pc.cast(batch["value"], pa.float64()),
+        })
+
+    out = counter_increase(
+        ds.map_batches(norm, batch_format="pyarrow"),
+        ["event_type"], "tms", ["event_id"], "value", MS_5M,
+    )
+
+    def rate(batch: pa.Table) -> pa.Table:
+        inc = pc.round(batch["increase"], ndigits=4)
+        r = pc.round(pc.divide(inc, pa.scalar(300.0, pa.float64())), ndigits=6)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "window_start": batch["window_start"],
+            "rate": r,
+        })
+
+    return out.map_batches(rate, batch_format="pyarrow")
+
+
+def q_delta_5m(sf_dir: str):
+    """PromQL delta() for gauges: last - first value inside each aligned 5m
+    (type, window) over the total (ts, event_id) order — the
+    combiner-bounded group_first_last kernel with the window joined into
+    the key; the delta is one exact float subtraction of copied values."""
+    from ..stages.keyed import group_first_last
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "event_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"])
+        return pa.table({
+            "event_type": batch["event_type"],
+            "window_start": window_start(tms, MS_5M),
+            "tms": tms,
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "value": pc.cast(batch["value"], pa.float64()),
+        })
+
+    out = group_first_last(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "window_start"], ["tms", "event_id"], "value",
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "delta", pc.subtract(batch["last_v"], batch["first_v"])
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def q_cusum_max(sf_dir: str):
+    """Change-point signal: per (type, user) series, the max absolute
+    centered CUSUM deviation in exact cross-multiplied int64
+    (stages/keyed.cusum_extrema) — level shifts surface as large values;
+    no float mean in either engine."""
+    from ..stages.keyed import cusum_extrema
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "ts", "event_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "tms": ts_to_ms(batch["ts"]),
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "cv": pa.array(np.rint(v * 100).astype(np.int64)),
+        })
+
+    return cusum_extrema(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "user_id"], ["tms", "event_id"], "cv",
+    )
+
+
+_PSI_NB = 20
+
+
+def q_psi_buckets(sf_dir: str):
+    """Population stability index between the even- and odd-id event
+    halves: 20 equi-width centi-value buckets over the GLOBAL range,
+    per-bucket counts and the Laplace-smoothed PSI contribution
+    ``(p-q) * ln(p/q)`` with the single ln micro-floored (bm25 protocol)
+    and every other float op mirrored term-for-term — the
+    distribution-shift monitor for metric streams."""
+    from ..stages.keyed import sharded_grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def to_centi(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        ids = pc.cast(batch["event_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "parity": pa.array((ids & 1).astype(np.int64)),
+            "cv": pa.array(np.rint(v * 100).astype(np.int64)),
+        })
+
+    centi = ds.map_batches(to_centi, batch_format="pyarrow")
+
+    lo = hi = None
+    n_even = n_odd = 0
+    def minmax(batch: pa.Table) -> pa.Table:
+        cv = batch["cv"].to_numpy(zero_copy_only=False)
+        par = batch["parity"].to_numpy(zero_copy_only=False)
+        if len(cv) == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64()),
+                             "ne": pa.array([], pa.int64()),
+                             "no": pa.array([], pa.int64())})
+        return pa.table({
+            "lo": pa.array([int(cv.min())], pa.int64()),
+            "hi": pa.array([int(cv.max())], pa.int64()),
+            "ne": pa.array([int((par == 0).sum())], pa.int64()),
+            "no": pa.array([int((par == 1).sum())], pa.int64()),
+        })
+
+    for part in centi.map_batches(minmax, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for r in part.to_pylist():
+            lo = r["lo"] if lo is None else min(lo, r["lo"])
+            hi = r["hi"] if hi is None else max(hi, r["hi"])
+            n_even += r["ne"]
+            n_odd += r["no"]
+
+    glo, ghi = lo, hi
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        cv = batch["cv"].to_numpy(zero_copy_only=False)
+        par = batch["parity"].to_numpy(zero_copy_only=False)
+        bucket = (cv - glo) * _PSI_NB // (ghi - glo + 1)
+        t = pa.table({
+            "bucket": pa.array(bucket),
+            "n_even": pa.array((par == 0).astype(np.int64)),
+            "n_odd": pa.array((par == 1).astype(np.int64)),
+        })
+        g = t.group_by(["bucket"]).aggregate([("n_even", "sum"), ("n_odd", "sum")])
+        return g.rename_columns(["bucket", "n_even", "n_odd"])
+
+    counts = sharded_grouped_agg(
+        centi.map_batches(bucketize, batch_format="pyarrow"),
+        ["bucket"], [("n_even", "sum"), ("n_odd", "sum")], num_shards=4,
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        a = batch["n_even"].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = batch["n_odd"].to_numpy(zero_copy_only=False).astype(np.float64)
+        p = (a + 1.0) / float(n_even + _PSI_NB)
+        q = (b + 1.0) / float(n_odd + _PSI_NB)
+        lnq = np.floor(np.log(p / q) * 1e6) / 1e6
+        term = (p - q) * lnq
+        return batch.append_column(
+            "psi_term", pc.round(pa.array(term, pa.float64()), ndigits=9)
+        )
+
+    return counts.map_batches(score, batch_format="pyarrow")
+
+
+def q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion of two document rankings (by token count and
+    by char count): ``rrf = 1/(60+r1) + 1/(60+r2)``, top 50.  Each ranking
+    is an EXACT distributed global position over the order-preserving
+    composite (stages/curation.global_positions — range-partitioned sort of
+    a 16-byte projection + block-offset scan), fused via one co-partition
+    join, winners selected by a combiner-bounded top-k."""
+    from ..functions.text import token_count
+    from ..stages.curation import global_positions
+    from ..stages.joins import shuffle_join
+    from ..stages.keyed import topk_per_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        tok = token_count(batch["text"]).to_numpy(zero_copy_only=False)
+        ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        nch = pc.cast(batch["n_chars"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "k1": pa.array(-(tok * _COMP + ids)),
+            "k2": pa.array(-(nch * _COMP + ids)),
+        })
+
+    narrow = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    p1 = global_positions(
+        narrow.map_batches(lambda b: b.select(["doc_id", "k1"]),
+                           batch_format="pyarrow"), "k1")
+    p2 = global_positions(
+        narrow.map_batches(lambda b: b.select(["doc_id", "k2"]),
+                           batch_format="pyarrow"), "k2")
+
+    def r1(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["doc_id"], "p1": batch["pos"]})
+
+    def r2(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["doc_id"], "p2": batch["pos"]})
+
+    joined = shuffle_join(
+        p1.map_batches(r1, batch_format="pyarrow"),
+        p2.map_batches(r2, batch_format="pyarrow"),
+        "doc_id", "doc_id", right_cols=["p2"], num_shards=16,
+    )
+
+    def fuse(batch: pa.Table) -> pa.Table:
+        r_1 = batch["p1"].to_numpy(zero_copy_only=False).astype(np.float64) + 1.0
+        r_2 = batch["p2"].to_numpy(zero_copy_only=False).astype(np.float64) + 1.0
+        rrf = np.round(1.0 / (60.0 + r_1) + 1.0 / (60.0 + r_2), 9)
+        return pa.table({
+            "g": pa.array(np.zeros(batch.num_rows, np.int64)),
+            "doc_id": batch["doc_id"],
+            "rrf": pa.array(rrf, pa.float64()),
+        })
+
+    out = topk_per_group(joined.map_batches(fuse, batch_format="pyarrow"),
+                         ["g"], "rrf", 50, tiebreak_col="doc_id",
+                         descending=True)
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "rrf"]), batch_format="pyarrow"
+    )
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -3600,6 +3837,11 @@ QUERIES = {
     "keyword_search": q_keyword_search,
     "bpe_encode": q_bpe_encode,
     "approx_overlap": q_approx_overlap,
+    "rate_5m": q_rate_5m,
+    "delta_5m": q_delta_5m,
+    "cusum_max": q_cusum_max,
+    "psi_buckets": q_psi_buckets,
+    "rrf_fusion": q_rrf_fusion,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -5068,5 +5310,105 @@ ORACLE_SQL.update(
             f"FROM read_parquet('{_FIXTURE_DIR}/oracle_theta_overlap.parquet') "
             "WHERE corpus_key = (SELECT CAST(SUM(event_id) AS BIGINT) FROM events)"
         ),
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "rate_5m": """
+            WITH e AS (SELECT event_type, epoch_ms(ts) AS tms, value,
+                              lag(value) OVER (
+                                  PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS prev
+                       FROM events)
+            SELECT event_type, (tms // 300000) * 300000 AS window_start,
+                   round(round(sum(CASE WHEN value >= prev THEN value - prev
+                                        ELSE value END), 4) / 300.0, 6)
+                     AS rate
+            FROM e WHERE prev IS NOT NULL GROUP BY 1, 2
+        """,
+        "delta_5m": """
+            WITH e AS (SELECT event_type,
+                              (epoch_ms(ts) // 300000) * 300000 AS window_start,
+                              ts, event_id, value,
+                              row_number() OVER (
+                                  PARTITION BY event_type,
+                                               (epoch_ms(ts) // 300000)
+                                  ORDER BY ts, event_id) AS ra,
+                              row_number() OVER (
+                                  PARTITION BY event_type,
+                                               (epoch_ms(ts) // 300000)
+                                  ORDER BY ts DESC, event_id DESC) AS rd
+                       FROM events)
+            SELECT f.event_type, f.window_start,
+                   f.value AS first_v, l.value AS last_v,
+                   l.value - f.value AS delta
+            FROM (SELECT * FROM e WHERE ra = 1) f
+            JOIN (SELECT * FROM e WHERE rd = 1) l
+              USING (event_type, window_start)
+        """,
+        "cusum_max": """
+            WITH c AS (SELECT event_type, CAST(user_id AS BIGINT) AS user_id,
+                              CAST(round(value * 100) AS BIGINT) AS cv,
+                              ts, event_id
+                       FROM events),
+            w AS (SELECT event_type, user_id,
+                         sum(cv) OVER (PARTITION BY event_type, user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS s_i,
+                         row_number() OVER (PARTITION BY event_type, user_id
+                                            ORDER BY ts, event_id) AS i,
+                         sum(cv) OVER (PARTITION BY event_type, user_id) AS s_n,
+                         count(*) OVER (PARTITION BY event_type, user_id) AS n
+                  FROM c)
+            SELECT event_type, user_id,
+                   CAST(max(abs(n * s_i - i * s_n)) AS BIGINT) AS cusum_max,
+                   CAST(max(n) AS BIGINT) AS n_points
+            FROM w GROUP BY 1, 2
+        """,
+        "psi_buckets": """
+            WITH c AS (SELECT CAST(event_id AS BIGINT) % 2 AS parity,
+                              CAST(round(value * 100) AS BIGINT) AS cv
+                       FROM events),
+            m AS (SELECT min(cv) AS lo, max(cv) AS hi,
+                         count(*) FILTER (WHERE parity = 0) AS n_even_tot,
+                         count(*) FILTER (WHERE parity = 1) AS n_odd_tot
+                  FROM c),
+            b AS (SELECT (cv - lo) * 20 // (hi - lo + 1) AS bucket,
+                         CAST(count(*) FILTER (WHERE parity = 0) AS BIGINT)
+                           AS n_even,
+                         CAST(count(*) FILTER (WHERE parity = 1) AS BIGINT)
+                           AS n_odd,
+                         max(n_even_tot) AS net, max(n_odd_tot) AS not_
+                  FROM c, m GROUP BY 1)
+            SELECT bucket, n_even, n_odd,
+                   round((CAST(n_even + 1 AS DOUBLE) / (net + 20)
+                          - CAST(n_odd + 1 AS DOUBLE) / (not_ + 20))
+                         * (floor(ln((CAST(n_even + 1 AS DOUBLE) / (net + 20))
+                                     / (CAST(n_odd + 1 AS DOUBLE) / (not_ + 20)))
+                                  * 1e6) / 1e6), 9) AS psi_term
+            FROM b
+        """,
+        "rrf_fusion": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN trim(text, ' ' || chr(9) || chr(13) || chr(10)) = ''
+                               THEN 0
+                               ELSE len(regexp_split_to_array(
+                                    trim(text, ' ' || chr(9) || chr(13) || chr(10)),
+                                    '[ \t\r\n]+'))
+                          END AS BIGINT) AS tok,
+                     n_chars
+              FROM documents),
+            r AS (SELECT doc_id,
+                         row_number() OVER (ORDER BY tok DESC, doc_id DESC)
+                           AS p1,
+                         row_number() OVER (ORDER BY n_chars DESC, doc_id DESC)
+                           AS p2
+                  FROM t)
+            SELECT doc_id,
+                   round(1.0 / (60.0 + p1) + 1.0 / (60.0 + p2), 9) AS rrf
+            FROM r ORDER BY rrf DESC, doc_id LIMIT 50
+        """,
     }
 )

@@ -794,3 +794,47 @@ def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
         partials, [id_col], [("n_windows", "sum"), ("n_dup", "sum")],
         num_shards=16,
     )
+
+
+def global_positions(ds, key_col: str):
+    """Exact global 0-based positions by ascending UNIQUE int64 ``key_col``
+    — :func:`global_shuffle_order`'s two-pass block-offset scan generalized
+    to any caller-built sort key (e.g. an order-preserving composite for a
+    ranking): distributed range-partitioned sort moves the narrow
+    projection only, then one (min_key, count) row per block reaches the
+    driver for exclusive offsets.  Appends ``pos``."""
+    pairs = ds.sort(key_col).materialize()
+
+    def block_meta(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"min_key": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        r = batch[key_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "min_key": pa.array([int(r.min())], pa.int64()),
+            "cnt": pa.array([batch.num_rows], pa.int64()),
+        })
+
+    metas = sorted(
+        (row["min_key"], row["cnt"])
+        for row in pairs.map_batches(
+            block_meta, batch_size=None, batch_format="pyarrow"
+        ).take_all()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for min_key, cnt in metas:
+        offsets[min_key] = acc
+        acc += cnt
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("pos", pa.array([], pa.int64()))
+        r = batch[key_col].to_numpy(zero_copy_only=False)
+        base = offsets[int(r.min())]
+        order = np.argsort(r, kind="stable")
+        pos = np.empty(len(r), dtype=np.int64)
+        pos[order] = base + np.arange(len(r), dtype=np.int64)
+        return batch.append_column("pos", pa.array(pos, pa.int64()))
+
+    return pairs.map_batches(assign, batch_size=None, batch_format="pyarrow")

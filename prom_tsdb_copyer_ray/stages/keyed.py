@@ -1879,3 +1879,65 @@ def pareto_skyline(ds, x_col: str, y_col: str):
         .repartition(1)
         .map_batches(sky, batch_format="pyarrow", batch_size=None)
     )
+
+
+def cusum_extrema(ds, key_cols: list[str], order_cols: list[str],
+                  value_col: str, num_shards: int = 64):
+    """CUSUM change-point statistic per key: over the key's totally ordered
+    int64 values, the maximum absolute centered cumulative deviation
+
+        ``cusum_max = max_i |n * S_i - i * S_n|``
+
+    (the |CUSUM| of (v - mean) cross-multiplied by n — EXACT int64, no
+    float mean in either engine; a large value means the series' level
+    shifted somewhere).  Output: key cols + ``cusum_max`` + ``n_points``.
+    One key-hash exchange, per-shard lexsort + segment-offset prefix sums —
+    the rolling_sigma_outliers shuffle shape.  Bounds: n * |S_i| <=
+    n^2 * max|v|; centi-scaled metrics stay in int64 up to ~100M rows/key.
+    """
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_cshard", _key_shard(batch, key_cols, num_shards)
+        )
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        cols = {c: pa.array([], group[c].type) for c in key_cols}
+        cols["cusum_max"] = pa.array([], pa.int64())
+        cols["n_points"] = pa.array([], pa.int64())
+        if group.num_rows == 0:
+            return pa.table(cols)
+        t = group.drop_columns("_cshard").sort_by(
+            [(c, "ascending") for c in key_cols]
+            + [(c, "ascending") for c in order_cols]
+        )
+        n = t.num_rows
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.flatnonzero(_segment_starts(t, key_cols))
+        sizes = np.diff(np.r_[starts, n])
+        seg_start = np.repeat(starts, sizes)
+        idx = np.arange(n, dtype=np.int64)
+        cs = np.cumsum(v)
+        base = np.where(seg_start > 0, cs[np.maximum(seg_start - 1, 0)], 0)
+        s_i = cs - base                      # within-segment prefix sum
+        i = idx - seg_start + 1              # within-segment 1-based index
+        seg_n = np.repeat(sizes, sizes)
+        seg_end = starts + sizes - 1
+        s_n = np.repeat(s_i[seg_end], sizes)
+        d = np.abs(seg_n * s_i - i * s_n)
+        out = t.select(list(key_cols)).take(pa.array(starts))
+        out = out.append_column(
+            "cusum_max", pa.array(np.maximum.reduceat(d, starts), pa.int64())
+        )
+        return out.append_column(
+            "n_points", pa.array(sizes.astype(np.int64), pa.int64())
+        )
+
+    from .common import narrow_fanin
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .repartition(narrow_fanin())
+        .groupby("_cshard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )

@@ -138,6 +138,7 @@ def test_mirror_covers_every_oracle(entry_mod):
         "anomaly_3sigma", "skyline", "value_histogram", "pmi_pairs",
         "quality_deciles", "user_entropy", "term_drift", "keyword_search",
         "bpe_encode", "approx_overlap",
+        "rate_5m", "delta_5m", "cusum_max", "psi_buckets", "rrf_fusion",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):
