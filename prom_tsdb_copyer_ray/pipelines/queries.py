@@ -3699,6 +3699,132 @@ def q_rrf_fusion(sf_dir: str):
     )
 
 
+_HOP_K = 3  # 15m window hopping every 5m: each event lands in 3 windows
+
+
+def q_hopping_15m(sf_dir: str):
+    """Hopping (overlapping tumbling) window aggregate: count + sum per
+    (type, 15-minute window that hops every 5 minutes) — each event is
+    REPLICATED into its 3 covering windows by a column-level k-loop (the
+    chunk_docs position-loop pattern, vectorized in k not rows), then the
+    standard partial + sharded final.  The streaming-window family's third
+    member next to tumbling (rollups) and sliding (sliding_1h)."""
+    from ..stages.keyed import sharded_grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        base = (tms // MS_5M) * MS_5M
+        # centi-int sums: exact and associative — a float sum re-associated
+        # across 3x-replicated windows flips 4th-decimal rounding
+        # boundaries run-to-run (observed at sf0.01)
+        cv = np.rint(batch["value"].to_numpy(zero_copy_only=False) * 100
+                     ).astype(np.int64)
+        parts = []
+        for k in range(_HOP_K):
+            parts.append(pa.table({
+                "event_type": batch["event_type"],
+                "window_start": pa.array(base - k * MS_5M),
+                "n": pa.array(np.ones(len(tms), np.int64)),
+                "sum_c": pa.array(cv),
+            }))
+        t = pa.concat_tables(parts)
+        g = t.group_by(["event_type", "window_start"]).aggregate(
+            [("n", "sum"), ("sum_c", "sum")]
+        )
+        return g.rename_columns(["event_type", "window_start", "n", "sum_c"])
+
+    out = sharded_grouped_agg(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["event_type", "window_start"], [("n", "sum"), ("sum_c", "sum")],
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        s = batch["sum_c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "window_start": batch["window_start"],
+            "n": batch["n"],
+            "sum_value": pa.array(s / 100.0, pa.float64()),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def q_weighted_sample(sf_dir: str):
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    the 100 docs with the smallest ``-ln(u)/w`` key, u = deterministic
+    uniform from fmix64(doc_id), w = n_chars — longer docs proportionally
+    likelier, every draw reproducible.  Per-batch bottom-k combiner +
+    single-group final (the srs_sample shape with a weight-tilted key).
+    Fixture-oracled (the key is float libm math — kept out of SQL)."""
+    from ..stages.common import fmix64
+    from ..stages.keyed import topk_per_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        w = pc.cast(batch["n_chars"], pa.int64()).to_numpy(zero_copy_only=False)
+        u = (fmix64(ids).astype(np.float64) + 1.0) / float(2**64)
+        es = -np.log(u) / np.maximum(w, 1).astype(np.float64)
+        return pa.table({
+            "g": pa.array(np.zeros(len(ids), np.int64)),
+            "doc_id": pa.array(ids),
+            "n_chars": pa.array(w),
+            "es_key": pa.array(np.round(es * 1e12) / 1e12, pa.float64()),
+        })
+
+    out = topk_per_group(ds.map_batches(key, batch_format="pyarrow"),
+                         ["g"], "es_key", 100, tiebreak_col="doc_id",
+                         descending=False)
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "n_chars"]), batch_format="pyarrow"
+    )
+
+
+def q_fuzzy_decontaminate(sf_dir: str):
+    """FUZZY benchmark decontamination: near-duplicate candidates between
+    the deterministic benchmark slice (doc_id % 53 == 0) and the rest of
+    the corpus via the persisted MinHash-LSH index (index the benchmark
+    once — it is the small side — and stream the corpus against it; only
+    touched (band, bucket) partitions are read).  The exact-4-gram
+    `decontaminate` query's recall-oriented sibling.  Candidates provably
+    equal the cross (benchmark, rest) subset of a full-corpus LSH run, so
+    the oracle is the minhash_pairs fixture filtered by side membership."""
+    import os
+
+    from ..stages.dedup import build_minhash_index, minhash_index_query
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def side(is_bench: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            m = ids % 53 == 0
+            return batch.filter(pa.array(m if is_bench else ~m))
+
+        return docs.map_batches(fn, batch_format="pyarrow")
+
+    index_dir = f"/tmp/graft_fz_index_{_corpus_tag(sf_dir, 'documents')}"
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        build_minhash_index(side(True), index_dir)
+    pairs = minhash_index_query(index_dir, side(False))
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "a": pa.array(np.minimum(a, b)),
+            "b": pa.array(np.maximum(a, b)),
+        })
+
+    return pairs.map_batches(canon, batch_format="pyarrow")
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -3842,6 +3968,9 @@ QUERIES = {
     "cusum_max": q_cusum_max,
     "psi_buckets": q_psi_buckets,
     "rrf_fusion": q_rrf_fusion,
+    "hopping_15m": q_hopping_15m,
+    "weighted_sample": q_weighted_sample,
+    "fuzzy_decontaminate": q_fuzzy_decontaminate,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -5410,5 +5539,28 @@ ORACLE_SQL.update(
                    round(1.0 / (60.0 + p1) + 1.0 / (60.0 + p2), 9) AS rrf
             FROM r ORDER BY rrf DESC, doc_id LIMIT 50
         """,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "hopping_15m": """
+            SELECT event_type,
+                   (epoch_ms(ts) // 300000) * 300000 - k.k * 300000
+                     AS window_start,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                     / 100.0 AS sum_value
+            FROM events, (SELECT unnest([0, 1, 2]) AS k) k
+            GROUP BY 1, 2
+        """,
+        "weighted_sample": (
+            "SELECT doc_id, n_chars "
+            f"FROM read_parquet('{_FIXTURE_DIR}/oracle_weighted_sample.parquet') "
+            f"WHERE corpus_key = {_CORPUS_KEY}"
+        ),
+        "fuzzy_decontaminate": _fixture_sql(
+            "minhash_pairs", "a, b"
+        ) + " AND ((a % 53 = 0) != (b % 53 = 0))",
     }
 )

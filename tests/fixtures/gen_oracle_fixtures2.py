@@ -79,9 +79,20 @@ def theta_overlap_reference(users_by_type: dict, k: int = THETA_K) -> list:
     return out
 
 
+def weighted_sample_reference(ids, weights, k=100):
+    """A-ES bottom-k (spec: queries.q_weighted_sample)."""
+    ids = np.asarray(ids, np.int64)
+    w = np.maximum(np.asarray(weights, np.int64), 1).astype(np.float64)
+    u = (np.array([_fmix64_int(int(i)) for i in ids], np.float64) + 1.0) / float(2**64)
+    es = np.round((-np.log(u) / w) * 1e12) / 1e12
+    order = np.lexsort((ids, es))[:k]
+    return sorted((int(ids[i]), int(weights[i])) for i in order)
+
+
 def main() -> None:
     enc_rows = {"corpus_key": [], "doc_id": [], "n_bpe": []}
     ov_rows = {"corpus_key": [], "ta": [], "tb": [], "est_overlap": []}
+    ws_rows = {"corpus_key": [], "doc_id": [], "n_chars": []}
 
     for sf in SF_DIRS:
         t = pq.read_table(f"{sf}/documents.parquet",
@@ -89,6 +100,10 @@ def main() -> None:
         key = int(sum(t["n_chars"].to_pylist()))
         ids = t["doc_id"].to_pylist()
         texts = [x or "" for x in t["text"].to_pylist()]
+        for d, nc in weighted_sample_reference(ids, t["n_chars"].to_pylist()):
+            ws_rows["corpus_key"].append(key)
+            ws_rows["doc_id"].append(d)
+            ws_rows["n_chars"].append(nc)
         merges = bpe_reference(texts, k=8)
         for d, n in zip(ids, bpe_encode_reference(texts, merges)):
             enc_rows["corpus_key"].append(key)
@@ -117,6 +132,14 @@ def main() -> None:
             "n_bpe": pa.array(enc_rows["n_bpe"], pa.int64()),
         }),
         os.path.join(HERE, "oracle_bpe_encode.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "corpus_key": pa.array(ws_rows["corpus_key"], pa.int64()),
+            "doc_id": pa.array(ws_rows["doc_id"], pa.int64()),
+            "n_chars": pa.array(ws_rows["n_chars"], pa.int64()),
+        }),
+        os.path.join(HERE, "oracle_weighted_sample.parquet"),
     )
     pq.write_table(
         pa.table({
