@@ -653,7 +653,7 @@ def q_ivf_index_topk(sf_dir: str):
         .sort_values("vec_id")
     )
     queries = np.array(qdf["embedding"].tolist(), dtype=np.float64)
-    index_dir = f"/tmp/graft_ivf_index_{_corpus_tag(sf_dir, 'embeddings')}"
+    index_dir = f"/tmp/graft_ivf_index_v2_{_corpus_tag(sf_dir, 'embeddings')}"
     if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
         build_ivf_index(ds, index_dir)
     return ivf_search(index_dir, queries, k=ANN_K).select(["query_idx", "vec_id", "rank"])
@@ -3070,7 +3070,7 @@ def q_minhash_index_pairs(sf_dir: str):
 
         return docs.map_batches(fn, batch_format="pyarrow")
 
-    index_dir = f"/tmp/graft_mh_index_{_corpus_tag(sf_dir, 'documents')}"
+    index_dir = f"/tmp/graft_mh_index_v2_{_corpus_tag(sf_dir, 'documents')}"
     if not os.path.exists(os.path.join(index_dir, "meta.json")):
         build_minhash_index(half(0), index_dir)
     pairs = minhash_index_query(index_dir, half(1))
@@ -3429,7 +3429,7 @@ def q_keyword_search(sf_dir: str):
 
     from ..stages.textstats import build_text_index, text_index_search
 
-    index_dir = f"/tmp/graft_kw_index_{_corpus_tag(sf_dir, 'documents')}"
+    index_dir = f"/tmp/graft_kw_index_v2_{_corpus_tag(sf_dir, 'documents')}"
     if not os.path.exists(os.path.join(index_dir, "meta.json")):
         build_text_index(_read(sf_dir, "documents", ["doc_id", "text"]),
                          index_dir)
@@ -3809,7 +3809,7 @@ def q_fuzzy_decontaminate(sf_dir: str):
 
         return docs.map_batches(fn, batch_format="pyarrow")
 
-    index_dir = f"/tmp/graft_fz_index_{_corpus_tag(sf_dir, 'documents')}"
+    index_dir = f"/tmp/graft_fz_index_v2_{_corpus_tag(sf_dir, 'documents')}"
     if not os.path.exists(os.path.join(index_dir, "meta.json")):
         build_minhash_index(side(True), index_dir)
     pairs = minhash_index_query(index_dir, side(False))
@@ -3823,6 +3823,34 @@ def q_fuzzy_decontaminate(sf_dir: str):
         })
 
     return pairs.map_batches(canon, batch_format="pyarrow")
+
+
+def q_audio_loudness(sf_dir: str):
+    """Audio ingest plumbing: synthesize a media table (audio for even
+    doc_ids, image otherwise), run the actor-pool loudness profiler
+    (stages/multimodal.AudioLoudness — stubbed codec, ALL-INTEGER energy
+    spec).  Completes the multimodal ladder: decode (declared stub) /
+    feature / resize / frame-sample / AUDIO loudness.  Fixture-oracled."""
+    from ..stages.multimodal import audio_loudness
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        payloads = [t.encode("utf-8") if t else b"" for t in batch["text"].to_pylist()]
+        n = len(payloads)
+        kinds = ["image" if i % 2 else "audio" for i in batch["doc_id"].to_pylist()]
+        return pa.table({
+            "media_id": ids,
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.nulls(n, pa.string()).fill_null("application/octet-stream"),
+            "width": pa.nulls(n, pa.int32()),
+            "height": pa.nulls(n, pa.int32()),
+            "duration_ms": pa.array([3000] * n, pa.int32()),
+        })
+
+    return audio_loudness(ds.map_batches(to_media, batch_format="pyarrow"))
 
 
 QUERIES = {
@@ -3971,6 +3999,7 @@ QUERIES = {
     "hopping_15m": q_hopping_15m,
     "weighted_sample": q_weighted_sample,
     "fuzzy_decontaminate": q_fuzzy_decontaminate,
+    "audio_loudness": q_audio_loudness,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -5562,5 +5591,15 @@ ORACLE_SQL.update(
         "fuzzy_decontaminate": _fixture_sql(
             "minhash_pairs", "a, b"
         ) + " AND ((a % 53 = 0) != (b % 53 = 0))",
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "audio_loudness": (
+            "SELECT media_id, kind, n_frames, energy_mean, energy_max "
+            f"FROM read_parquet('{_FIXTURE_DIR}/oracle_audio_loudness.parquet') "
+            f"WHERE corpus_key = {_CORPUS_KEY}"
+        ),
     }
 )

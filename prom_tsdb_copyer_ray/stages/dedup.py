@@ -1000,7 +1000,15 @@ def build_minhash_index(ds, index_dir: str, num_perm: int = 128,
             pa.array((bh % np.uint64(MINHASH_INDEX_BUCKETS)).astype(np.int64)),
         )
 
-    band_rows.map_batches(add_parts, batch_format="pyarrow").write_parquet(
+    # SORT by the partition cols before writing: write_parquet emits one
+    # file per (block x partition value) pair, so unsorted blocks that all
+    # span all 512 (band, bucket) partitions explode into tens of
+    # thousands of tiny files (measured 30k at sf0.1 — a 59 s query of
+    # per-file open overhead); sorted blocks each cover a contiguous
+    # partition range, capping files at ~blocks + partitions.
+    band_rows.map_batches(add_parts, batch_format="pyarrow").sort(
+        ["band_p", "bucket_p"]
+    ).write_parquet(
         os.path.join(index_dir, "bands"), partition_cols=["band_p", "bucket_p"]
     )
     meta = {"num_perm": num_perm, "num_bands": num_bands, "ngram": ngram,

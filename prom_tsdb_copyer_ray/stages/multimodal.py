@@ -238,3 +238,75 @@ def resize_media(ds, target_size: tuple[int, int] = (64, 64),
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class AudioLoudness:
+    """Actor-pool stage: audio batch -> per-frame energy profile (the
+    loudness/silence-detection step of an audio ingest pipeline — the
+    audio member of the decode/feature/resize/frame-sample ladder).
+
+    ``__init__`` is where a real build would load libsndfile/ffmpeg once
+    per actor; the stubbed codec expands (payload, frame_idx) into a
+    deterministic 16-sample uint16 PCM frame.  The loudness spec is ALL
+    INTEGER (frame energy = sum of squared samples; mean is a floor
+    division), so fixtures value-check it exactly.  Non-audio rows pass
+    through with ``n_frames = 0`` and the whole-payload energy.  Output:
+    (media_id, kind, n_frames, energy_mean, energy_max).
+    """
+
+    FRAME_SAMPLES = 16
+
+    def __init__(self, frame_ms: int = 500, decoder: str = "fake") -> None:
+        if decoder == "real":
+            raise NotImplementedError(
+                "real audio decode needs libsndfile/ffmpeg (not in this "
+                "container); use decoder='fake' for the deterministic stand-in"
+            )
+        self.frame_ms = frame_ms
+
+    @classmethod
+    def _frame_energy(cls, payload: bytes, frame_idx: int | None) -> int:
+        suffix = (b"" if frame_idx is None
+                  else int(frame_idx).to_bytes(4, "little"))
+        d = hashlib.blake2b((payload or b"") + suffix,
+                            digest_size=cls.FRAME_SAMPLES * 2).digest()
+        s = np.frombuffer(d, dtype=np.uint16).astype(np.int64)
+        return int((s * s).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        kinds = batch["kind"].to_pylist()
+        durs = batch["duration_ms"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        n_frames, e_mean, e_max = [], [], []
+        for kind, dur, payload in zip(kinds, durs, payloads):
+            if kind == "audio" and dur:
+                nf = max(int(dur) // self.frame_ms, 1)
+                es = [self._frame_energy(payload, f) for f in range(nf)]
+                n_frames.append(nf)
+                e_mean.append(sum(es) // nf)
+                e_max.append(max(es))
+            else:
+                e = self._frame_energy(payload, None)
+                n_frames.append(0)
+                e_mean.append(e)
+                e_max.append(e)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "n_frames": pa.array(n_frames, pa.int64()),
+            "energy_mean": pa.array(e_mean, pa.int64()),
+            "energy_max": pa.array(e_max, pa.int64()),
+        })
+
+
+def audio_loudness(ds, frame_ms: int = 500, concurrency=(1, 4),
+                   batch_size: int = 64, decoder: str = "fake"):
+    """media table -> per-media integer loudness profile via the actor pool."""
+    return ds.map_batches(
+        AudioLoudness,
+        fn_constructor_kwargs={"frame_ms": frame_ms, "decoder": decoder},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

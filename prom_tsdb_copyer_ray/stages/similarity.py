@@ -124,7 +124,8 @@ def build_ivf_index(ds, index_dir: str, n_centroids: int = 16,
         )
 
     cells_dir = os.path.join(index_dir, "cells")
-    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+    # sorted by partition col -> ~1 file per cell instead of blocks x cells
+    ds.map_batches(assign, batch_format="pyarrow").sort("cell").write_parquet(
         cells_dir, partition_cols=["cell"]
     )
     os.makedirs(index_dir, exist_ok=True)

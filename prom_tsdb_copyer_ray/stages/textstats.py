@@ -751,7 +751,12 @@ def build_text_index(ds, index_dir: str, text_col: str = "text",
                   % np.uint64(TEXT_INDEX_BUCKETS)).astype(np.int64)
         return tbl.append_column("bucket_p", pa.array(bucket))
 
-    ds.map_batches(postings, batch_format="pyarrow").write_parquet(
+    # sort by the partition col first: unsorted blocks each spanning all
+    # buckets write one tiny file per (block, bucket) pair (see
+    # dedup.build_minhash_index — 30k-file lesson)
+    ds.map_batches(postings, batch_format="pyarrow").sort(
+        "bucket_p"
+    ).write_parquet(
         os.path.join(index_dir, "postings"), partition_cols=["bucket_p"]
     )
     meta = {"buckets": TEXT_INDEX_BUCKETS, "tokenizer": "[A-Za-z]+ lower"}

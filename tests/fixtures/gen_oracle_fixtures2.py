@@ -89,10 +89,34 @@ def weighted_sample_reference(ids, weights, k=100):
     return sorted((int(ids[i]), int(weights[i])) for i in order)
 
 
+def audio_loudness_reference(doc_id: int, text: str,
+                             frame_ms: int = 500, duration_ms: int = 3000):
+    """Integer loudness profile (spec: multimodal.AudioLoudness)."""
+    import hashlib
+
+    payload = (text or "").encode("utf-8")
+    kind = "image" if doc_id % 2 else "audio"
+
+    def energy(frame_idx):
+        suffix = b"" if frame_idx is None else int(frame_idx).to_bytes(4, "little")
+        d = hashlib.blake2b(payload + suffix, digest_size=32).digest()
+        s = np.frombuffer(d, dtype=np.uint16).astype(np.int64)
+        return int((s * s).sum())
+
+    if kind == "audio":
+        nf = max(duration_ms // frame_ms, 1)
+        es = [energy(f) for f in range(nf)]
+        return kind, nf, sum(es) // nf, max(es)
+    e = energy(None)
+    return kind, 0, e, e
+
+
 def main() -> None:
     enc_rows = {"corpus_key": [], "doc_id": [], "n_bpe": []}
     ov_rows = {"corpus_key": [], "ta": [], "tb": [], "est_overlap": []}
     ws_rows = {"corpus_key": [], "doc_id": [], "n_chars": []}
+    au_rows = {"corpus_key": [], "media_id": [], "kind": [], "n_frames": [],
+               "energy_mean": [], "energy_max": []}
 
     for sf in SF_DIRS:
         t = pq.read_table(f"{sf}/documents.parquet",
@@ -104,6 +128,14 @@ def main() -> None:
             ws_rows["corpus_key"].append(key)
             ws_rows["doc_id"].append(d)
             ws_rows["n_chars"].append(nc)
+        for d, tx in zip(ids, texts):
+            kind, nf, em, ex = audio_loudness_reference(d, tx)
+            au_rows["corpus_key"].append(key)
+            au_rows["media_id"].append(d)
+            au_rows["kind"].append(kind)
+            au_rows["n_frames"].append(nf)
+            au_rows["energy_mean"].append(em)
+            au_rows["energy_max"].append(ex)
         merges = bpe_reference(texts, k=8)
         for d, n in zip(ids, bpe_encode_reference(texts, merges)):
             enc_rows["corpus_key"].append(key)
@@ -149,6 +181,17 @@ def main() -> None:
             "est_overlap": pa.array(ov_rows["est_overlap"], pa.float64()),
         }),
         os.path.join(HERE, "oracle_theta_overlap.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "corpus_key": pa.array(au_rows["corpus_key"], pa.int64()),
+            "media_id": pa.array(au_rows["media_id"], pa.int64()),
+            "kind": pa.array(au_rows["kind"], pa.string()),
+            "n_frames": pa.array(au_rows["n_frames"], pa.int64()),
+            "energy_mean": pa.array(au_rows["energy_mean"], pa.int64()),
+            "energy_max": pa.array(au_rows["energy_max"], pa.int64()),
+        }),
+        os.path.join(HERE, "oracle_audio_loudness.parquet"),
     )
     print("fixtures written", file=sys.stderr)
 

@@ -117,3 +117,45 @@ def test_bpe_encode_vs_reference(ray_session):
     assert out["n_bpe"].tolist() == want
     # merges genuinely shorten: fewer subtokens than characters-in-words
     assert out["n_bpe"][0] < sum(len(w) for w in texts[0].split())
+
+
+def test_audio_loudness_stage(ray_session):
+    import hashlib
+
+    import ray
+
+    from prom_tsdb_copyer_ray.stages.multimodal import AudioLoudness, audio_loudness
+
+    media = pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "kind": pa.array(["audio", "image"], pa.string()),
+        "payload": pa.array([b"abc", b"xyz"], pa.binary()),
+        "mime": pa.array(["x", "x"], pa.string()),
+        "width": pa.array([None, 640], pa.int32()),
+        "height": pa.array([None, 480], pa.int32()),
+        "duration_ms": pa.array([1500, 0], pa.int32()),
+    })
+    out = (
+        audio_loudness(ray.data.from_arrow(media), frame_ms=500)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+
+    # sequential reference for the audio row: 3 frames of 16 uint16 samples
+    def energy(payload, f):
+        suffix = b"" if f is None else int(f).to_bytes(4, "little")
+        d = hashlib.blake2b(payload + suffix, digest_size=32).digest()
+        s = np.frombuffer(d, dtype=np.uint16).astype(np.int64)
+        return int((s * s).sum())
+
+    es = [energy(b"abc", f) for f in range(3)]
+    assert out.loc[0, "n_frames"] == 3
+    assert out.loc[0, "energy_mean"] == sum(es) // 3
+    assert out.loc[0, "energy_max"] == max(es)
+    # non-audio passthrough: whole-payload energy, 0 frames
+    assert out.loc[1, "n_frames"] == 0
+    assert out.loc[1, "energy_mean"] == energy(b"xyz", None)
+    # real decoder is the declared stub
+    with pytest.raises(NotImplementedError):
+        AudioLoudness(decoder="real")
