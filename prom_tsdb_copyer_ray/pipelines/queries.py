@@ -3429,7 +3429,7 @@ def q_keyword_search(sf_dir: str):
 
     from ..stages.textstats import build_text_index, text_index_search
 
-    index_dir = f"/tmp/graft_kw_index_v2_{_corpus_tag(sf_dir, 'documents')}"
+    index_dir = f"/tmp/graft_kw_index_v3_{_corpus_tag(sf_dir, 'documents')}"
     if not os.path.exists(os.path.join(index_dir, "meta.json")):
         build_text_index(_read(sf_dir, "documents", ["doc_id", "text"]),
                          index_dir)
@@ -3853,6 +3853,84 @@ def q_audio_loudness(sf_dir: str):
     return audio_loudness(ds.map_batches(to_media, batch_format="pyarrow"))
 
 
+_FAIR_BUDGET = 200
+
+
+def q_fair_share_sample(sf_dir: str):
+    """Fair-share (waterfilling) downsample: a total budget of 200 docs
+    split across sources so no source exceeds the waterline T = the
+    largest integer with sum(min(n_s, T)) <= budget — small sources keep
+    everything, big sources are capped equally (multi-tenant quota
+    sampling).  Counts come from a bounded combiner; T is exact integer
+    math the SQL mirrors; selection is the deterministic smallest-Lehmer-
+    rank docs per source (combiner-bounded top-k).  Output: kept
+    (source, doc_id) rows."""
+    from ..stages.keyed import sharded_grouped_agg, topk_per_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "source": batch["source"],
+            "n": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+        return t.group_by(["source"]).aggregate([("n", "sum")]).rename_columns(
+            ["source", "n"]
+        )
+
+    per_source: dict[str, int] = {}
+    for part in sharded_grouped_agg(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        ["source"], [("n", "sum")], num_shards=4,
+    ).iter_batches(batch_format="pyarrow"):
+        for r in part.to_pylist():
+            per_source[r["source"]] = per_source.get(r["source"], 0) + r["n"]
+
+    # waterline: sorted n_1 <= ... <= n_m; first k where saturating all of
+    # segment k overflows the budget fixes T = (K - pre_k) // (m - k + 1)
+    ns = sorted(per_source.values())
+    m = len(ns)
+    pre = 0
+    waterline = ns[-1] if m else 0
+    for k, nk in enumerate(ns, start=1):
+        if pre + nk * (m - k + 1) > _FAIR_BUDGET:
+            waterline = (_FAIR_BUDGET - pre) // (m - k + 1)
+            break
+        pre += nk
+
+    def rank(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": batch["source"],
+            "doc_id": pa.array(ids),
+            "rank": pa.array((ids * 48271) % 2147483647),
+        })
+
+    out = topk_per_group(ds.map_batches(rank, batch_format="pyarrow"),
+                         ["source"], "rank", int(waterline),
+                         tiebreak_col="doc_id", descending=False)
+    return out.map_batches(
+        lambda b: b.select(["source", "doc_id"]), batch_format="pyarrow"
+    )
+
+
+def q_phrase_search(sf_dir: str):
+    """Exact phrase retrieval ("sort merge" at consecutive token
+    positions) over the POSITIONAL inverted index — shares q_keyword_search's
+    persisted index; reads only the phrase terms' buckets, then one narrow
+    doc-hash exchange of query-term postings (stages/textstats.phrase_search).
+    Returns (doc_id, n_matches = phrase start positions)."""
+    import os
+
+    from ..stages.textstats import build_text_index, phrase_search
+
+    index_dir = f"/tmp/graft_kw_index_v3_{_corpus_tag(sf_dir, 'documents')}"
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        build_text_index(_read(sf_dir, "documents", ["doc_id", "text"]),
+                         index_dir)
+    return phrase_search(index_dir, ["sort", "merge"])
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -4000,6 +4078,8 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "fuzzy_decontaminate": q_fuzzy_decontaminate,
     "audio_loudness": q_audio_loudness,
+    "fair_share_sample": q_fair_share_sample,
+    "phrase_search": q_phrase_search,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -5601,5 +5681,54 @@ ORACLE_SQL.update(
             f"FROM read_parquet('{_FIXTURE_DIR}/oracle_audio_loudness.parquet') "
             f"WHERE corpus_key = {_CORPUS_KEY}"
         ),
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "fair_share_sample": """
+            WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                       FROM documents GROUP BY 1),
+            o AS (SELECT source, n,
+                         row_number() OVER (ORDER BY n, source) AS rn,
+                         sum(n) OVER (ORDER BY n, source
+                                      ROWS UNBOUNDED PRECEDING) AS cum,
+                         count(*) OVER () AS m
+                  FROM c),
+            brk AS (SELECT min(rn) AS k0
+                    FROM o WHERE (cum - n) + n * (m - rn + 1) > 200),
+            t AS (SELECT CASE WHEN (SELECT k0 FROM brk) IS NULL
+                              THEN (SELECT max(n) FROM o)
+                              ELSE (SELECT (200 - (cum - n)) // (m - rn + 1)
+                                    FROM o WHERE rn = (SELECT k0 FROM brk))
+                         END AS waterline),
+            r AS (SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+                         row_number() OVER (
+                             PARTITION BY source
+                             ORDER BY (doc_id * 48271) % 2147483647, doc_id)
+                           AS pos
+                  FROM documents)
+            SELECT source, doc_id FROM r, t WHERE pos <= t.waterline
+        """,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "phrase_search": """
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l
+              FROM documents),
+            pos AS (
+              SELECT doc_id, unnest(l) AS term,
+                     generate_subscripts(l, 1) AS p
+              FROM tok)
+            SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_matches
+            FROM (SELECT doc_id, p FROM pos WHERE term = 'sort') a
+            JOIN (SELECT doc_id, p FROM pos WHERE term = 'merge') b
+              ON a.doc_id = b.doc_id AND b.p = a.p + 1
+            GROUP BY 1
+        """,
     }
 )

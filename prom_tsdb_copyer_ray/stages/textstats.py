@@ -722,13 +722,13 @@ def build_text_index(ds, index_dir: str, text_col: str = "text",
     queries with a directory-level read skip).
 
     Layout: ``{index_dir}/postings/bucket_p=<poly_hash(term) % 64>/`` hive
-    partitions of distinct (term, doc_id) posting rows + ``meta.json``
-    pinning the tokenizer (``[A-Za-z]+`` lowercased — the
+    partitions of POSITIONAL (term, doc_id, pos) posting rows +
+    ``meta.json`` pinning the tokenizer (``[A-Za-z]+`` lowercased — the
     :func:`term_document_frequency` vocabulary) and bucket count.  A search
     opens ONLY the buckets its query terms hash into
-    (:func:`text_index_search`).  Distinctness needs no shuffle: each doc
-    lives in exactly one input batch, so per-batch per-doc term sets are
-    globally distinct pairs."""
+    (:func:`text_index_search` for OR-of-terms, :func:`phrase_search` for
+    adjacency).  No shuffle needed at build: each doc lives in exactly one
+    input batch, so per-batch posting rows are globally unique."""
     import json
     import os
     import re
@@ -739,13 +739,16 @@ def build_text_index(ds, index_dir: str, text_col: str = "text",
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         terms: list[str] = []
         docs: list[int] = []
+        poss: list[int] = []
         for doc_id, t in zip(ids, batch[text_col].to_pylist()):
-            for m in {w.lower() for w in word_re.findall(t or "")}:
-                terms.append(m)
+            for p, m in enumerate(word_re.findall(t or "")):
+                terms.append(m.lower())
                 docs.append(int(doc_id))
+                poss.append(p)
         tbl = pa.table({
             "term": pa.array(terms, pa.string()),
             "doc_id": pa.array(docs, pa.int64()),
+            "pos": pa.array(poss, pa.int32()),
         })
         bucket = (poly_hash_column(tbl["term"], fold63=False)
                   % np.uint64(TEXT_INDEX_BUCKETS)).astype(np.int64)
@@ -759,7 +762,8 @@ def build_text_index(ds, index_dir: str, text_col: str = "text",
     ).write_parquet(
         os.path.join(index_dir, "postings"), partition_cols=["bucket_p"]
     )
-    meta = {"buckets": TEXT_INDEX_BUCKETS, "tokenizer": "[A-Za-z]+ lower"}
+    meta = {"buckets": TEXT_INDEX_BUCKETS, "tokenizer": "[A-Za-z]+ lower",
+            "positional": True}
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
     return meta
@@ -806,19 +810,19 @@ def text_index_search(index_dir: str, terms: list[str]):
 
     def match(batch: pa.Table) -> pa.Table:
         keep = pc.is_in(batch["term"], value_set=qarr)
-        hits = batch.filter(keep)
-        t = pa.table({
-            "doc_id": hits["doc_id"],
-            "n_matched": pa.array(np.ones(hits.num_rows, np.int64)),
-        })
-        g = t.group_by(["doc_id"]).aggregate([("n_matched", "sum")])
-        return g.rename_columns(["doc_id", "n_matched"])
+        return batch.filter(keep).select(["doc_id", "term"])
+
+    # positional postings repeat (term, doc) once per occurrence and a
+    # doc's occurrences can span read batches — n_matched = DISTINCT
+    # matched terms needs the GLOBAL distinct-count kernel, not a
+    # per-batch dedup (which double-counted split occurrences)
+    from .keyed import count_distinct_per_group
 
     hits = ray.data.read_parquet(files, columns=["term", "doc_id"]).map_batches(
         match, batch_format="pyarrow"
     )
-    return sharded_grouped_agg(hits, ["doc_id"], [("n_matched", "sum")],
-                               num_shards=16)
+    return count_distinct_per_group(hits, ["doc_id"], "term",
+                                    out_col="n_matched", num_shards=16)
 
 
 class BPEEncoder:
@@ -886,3 +890,125 @@ def bpe_encode_counts(ds, merges: list, text_col: str = "text",
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+def phrase_search(index_dir: str, phrase: list[str]):
+    """Exact PHRASE retrieval over the positional inverted index: docs
+    containing the query terms at consecutive token positions.
+
+    Reads ONLY the buckets the phrase's terms hash into, then ONE narrow
+    doc-hash exchange of the matched postings (query-term postings only —
+    a vanishing fraction of the index): each term i's postings shift to
+    ``pos - i``, and a phrase start is any (doc, shifted pos) holding all
+    len(phrase) DISTINCT terms — one lexsort + two reduceat passes, no
+    Python per row.  Returns (doc_id, n_matches = phrase start count)."""
+    import json
+    import os
+
+    import ray.data
+
+    from .common import shard_of_ints
+    from .keyed import sharded_grouped_agg
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    if not meta.get("positional"):
+        raise ValueError("phrase_search needs a positional index (rebuild)")
+    buckets = int(meta["buckets"])
+
+    terms = [t.lower() for t in phrase]
+    n_terms = len(terms)
+    uniq = sorted(set(terms))
+    qarr = pa.array(uniq, pa.string())
+    qbuckets = set(
+        (poly_hash_column(qarr, fold63=False) % np.uint64(buckets))
+        .astype(np.int64).tolist()
+    )
+    term_offsets: dict[str, list[int]] = {}
+    for i, t in enumerate(terms):
+        term_offsets.setdefault(t, []).append(i)
+
+    files = []
+    for b in sorted(qbuckets):
+        d = os.path.join(index_dir, "postings", f"bucket_p={b}")
+        if os.path.isdir(d):
+            files.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_matches": pa.array([], pa.int64())})
+    if not files:
+        return ray.data.from_arrow(empty)
+
+    def shift(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["term"], value_set=qarr)
+        hits = batch.filter(keep)
+        doc = hits["doc_id"].to_numpy(zero_copy_only=False)
+        pos = hits["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        docs_l, starts_l, idx_l = [], [], []
+        # loop over (unique term x its phrase offsets) — tiny; rows vectorized
+        for term, offsets in term_offsets.items():
+            m = pc.equal(hits["term"], pa.scalar(term)).to_numpy(
+                zero_copy_only=False
+            )
+            for i in offsets:
+                docs_l.append(doc[m])
+                starts_l.append(pos[m] - i)
+                idx_l.append(np.full(int(m.sum()), i, np.int64))
+        docs_out = np.concatenate(docs_l) if docs_l else np.array([], np.int64)
+        out = pa.table({
+            "doc_id": pa.array(docs_out),
+            "start": pa.array(
+                np.concatenate(starts_l) if starts_l else np.array([], np.int64)
+            ),
+            "term_idx": pa.array(
+                np.concatenate(idx_l) if idx_l else np.array([], np.int64)
+            ),
+        })
+        return out.append_column(
+            "_pshard", pa.array(shard_of_ints(docs_out, 16))
+        )
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        t = group.drop_columns("_pshard").sort_by(
+            [("doc_id", "ascending"), ("start", "ascending"),
+             ("term_idx", "ascending")]
+        )
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        st = t["start"].to_numpy(zero_copy_only=False)
+        ti = t["term_idx"].to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        new_ds = np.ones(n, dtype=bool)
+        new_ds[1:] = (doc[1:] != doc[:-1]) | (st[1:] != st[:-1])
+        # distinct term_idx per (doc, start): positions are unique per doc,
+        # so within a (doc, start) segment every row is a distinct
+        # (term_idx, source position) — dedup term_idx
+        new_ti = new_ds.copy()
+        new_ti[1:] |= ti[1:] != ti[:-1]
+        seg_starts = np.flatnonzero(new_ds)
+        distinct_ti = np.add.reduceat(new_ti.astype(np.int64), seg_starts)
+        full = distinct_ti == n_terms
+        hit_docs = doc[seg_starts[full]]
+        if len(hit_docs) == 0:
+            return empty
+        d_starts = np.flatnonzero(np.r_[True, hit_docs[1:] != hit_docs[:-1]])
+        counts = np.diff(np.r_[d_starts, len(hit_docs)]).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(hit_docs[d_starts]),
+            "n_matches": pa.array(counts),
+        })
+
+    hits = (
+        ray.data.read_parquet(files, columns=["term", "doc_id", "pos"])
+        .map_batches(shift, batch_format="pyarrow")
+        .groupby("_pshard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )
+    # shards are doc-disjoint, but a doc's rows could span shard groups?
+    # no — _pshard is a pure function of doc_id, so per-shard counts are
+    # final; still run a bounded sum to survive any future re-sharding
+    return sharded_grouped_agg(hits, ["doc_id"], [("n_matches", "sum")],
+                               num_shards=8)

@@ -142,3 +142,34 @@ def test_term_parity_drift_vs_reference(ray_session, blocks):
     want = _drift_reference(ids.tolist(), texts, 10)
     assert got == want
     assert got["aa"][2] > 0 > got["bb"][2]  # the injected drift shows
+
+
+def test_phrase_search_vs_reference(ray_session, tmp_path):
+    import ray
+
+    from prom_tsdb_copyer_ray.stages.textstats import (
+        build_text_index,
+        phrase_search,
+    )
+
+    docs = [
+        (1, "sort merge sort merge join"),   # back-to-back: starts at 0, 2
+        (2, "merge sort"),                    # reversed: no match
+        (3, "sort x merge"),                  # gap: no match
+        (4, "a sort merge b sort merge"),     # starts at 1, 4
+        (5, ""),
+    ]
+    t = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+    })
+    idx = str(tmp_path / "pidx")
+    build_text_index(ray.data.from_arrow(t).repartition(2), idx)
+    out = phrase_search(idx, ["sort", "merge"]).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_matches"]))
+    assert got == {1: 2, 4: 2}
+
+    # 3-term phrase incl. a repeated term
+    out3 = phrase_search(idx, ["sort", "merge", "sort"]).to_pandas()
+    got3 = dict(zip(out3["doc_id"], out3["n_matches"]))
+    assert got3 == {1: 1}  # only "sort merge sort" at position 0
