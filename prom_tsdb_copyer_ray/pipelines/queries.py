@@ -3931,6 +3931,98 @@ def q_phrase_search(sf_dir: str):
     return phrase_search(index_dir, ["sort", "merge"])
 
 
+def q_quarantine(sf_dir: str):
+    """Data-quality gate (stages/curation.quarantine_split): rows failing a
+    rule are tagged with the FIRST failing rule (severity order) and
+    shunted to a dead-letter side channel; the query reports per-reason
+    row counts (''= clean) — the validate-and-continue analogue of the
+    reference's hard error on unsupported sample types
+    (copyer.go:108-127)."""
+    from ..stages.curation import quarantine_split
+    from ..stages.keyed import sharded_grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def out_of_range(batch: pa.Table) -> np.ndarray:
+        return batch["value"].to_numpy(zero_copy_only=False) >= 400.0
+
+    def bad_user(batch: pa.Table) -> np.ndarray:
+        uid = pc.cast(batch["user_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        return uid % 97 == 13
+
+    tagged = quarantine_split(
+        ds, [("out_of_range", out_of_range), ("bad_user", bad_user)]
+    )
+
+    def counts(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "reason": batch["_quarantine_reason"],
+            "n": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+        return t.group_by(["reason"]).aggregate([("n", "sum")]).rename_columns(
+            ["reason", "n"]
+        )
+
+    return sharded_grouped_agg(
+        tagged.map_batches(counts, batch_format="pyarrow"),
+        ["reason"], [("n", "sum")], num_shards=4,
+    )
+
+
+def q_schema_evolution(sf_dir: str):
+    """Schema-evolution read (sources/parquet.read_union_schemas): the
+    events table split into two files with DIFFERENT schemas (the even
+    half lacks props, the odd half lacks user_id and value — the shape a
+    lake takes as writers evolve), read back as ONE dataset with
+    union-by-name semantics (missing columns null, filled inside the read
+    tasks from a footers-only union schema).  Reports per-type row and
+    non-null counts the SQL derives from the split rule."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    from ..sources.parquet import read_union_schemas
+    from ..stages.keyed import sharded_grouped_agg
+
+    evo_dir = f"/tmp/graft_evo_{_corpus_tag(sf_dir, 'events')}"
+    if not os.path.exists(os.path.join(evo_dir, "odd.parquet")):
+        os.makedirs(evo_dir, exist_ok=True)
+        t = pq_mod.read_table(f"{sf_dir}/events.parquet")
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        even = t.filter(pa.array(ids % 2 == 0)).select(
+            ["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        odd = t.filter(pa.array(ids % 2 == 1)).select(
+            ["event_id", "ts", "event_type", "props"]
+        )
+        pq_mod.write_table(even, os.path.join(evo_dir, "even.parquet"))
+        pq_mod.write_table(odd, os.path.join(evo_dir, "odd.parquet"))
+
+    ds = read_union_schemas(
+        [os.path.join(evo_dir, "even.parquet"),
+         os.path.join(evo_dir, "odd.parquet")]
+    )
+
+    def counts(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "n": pa.array(np.ones(batch.num_rows, np.int64)),
+            "n_value": pc.cast(pc.is_valid(batch["value"]), pa.int64()),
+            "n_props": pc.cast(pc.is_valid(batch["props"]), pa.int64()),
+        })
+        g = t.group_by(["event_type"]).aggregate(
+            [("n", "sum"), ("n_value", "sum"), ("n_props", "sum")]
+        )
+        return g.rename_columns(["event_type", "n", "n_value", "n_props"])
+
+    return sharded_grouped_agg(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        ["event_type"],
+        [("n", "sum"), ("n_value", "sum"), ("n_props", "sum")],
+        num_shards=4,
+    )
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -4080,6 +4172,8 @@ QUERIES = {
     "audio_loudness": q_audio_loudness,
     "fair_share_sample": q_fair_share_sample,
     "phrase_search": q_phrase_search,
+    "quarantine": q_quarantine,
+    "schema_evolution": q_schema_evolution,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -5729,6 +5823,32 @@ ORACLE_SQL.update(
             JOIN (SELECT doc_id, p FROM pos WHERE term = 'merge') b
               ON a.doc_id = b.doc_id AND b.p = a.p + 1
             GROUP BY 1
+        """,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "quarantine": """
+            SELECT CASE WHEN value >= 400 THEN 'out_of_range'
+                        WHEN CAST(user_id AS BIGINT) % 97 = 13 THEN 'bad_user'
+                        ELSE '' END AS reason,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        """,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "schema_evolution": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT)
+                     AS n_value,
+                   CAST(count(*) FILTER (WHERE event_id % 2 = 1) AS BIGINT)
+                     AS n_props
+            FROM events GROUP BY 1
         """,
     }
 )

@@ -272,3 +272,68 @@ def range_from_metadata(source: str, ts_col: str):
     if lo is None:
         return None
     return lo, hi, total
+
+
+def union_schema(paths: list[str]) -> "pa.Schema":
+    """Union-by-name schema across Parquet footers (metadata only): the
+    schema a lake accumulates as writers add columns over time.  Fields
+    keep the first-seen type; a later file with the same name but an
+    incompatible (non-castable-by-arrow) type raises rather than silently
+    coercing.  Column order = first appearance."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fields: dict[str, pa.Field] = {}
+    order: list[str] = []
+    for p in paths:
+        sch = pq.read_schema(p)
+        for f in sch:
+            prev = fields.get(f.name)
+            if prev is None:
+                fields[f.name] = f
+                order.append(f.name)
+            elif prev.type != f.type:
+                # explicit promotion rule: numeric widths widen (any float
+                # -> float64, else int64); anything else is a conflict —
+                # an empty-array cast probe would accept every pair
+                def _num(t):
+                    return pa.types.is_integer(t) or pa.types.is_floating(t)
+
+                if _num(prev.type) and _num(f.type):
+                    wide = (pa.float64()
+                            if (pa.types.is_floating(prev.type)
+                                or pa.types.is_floating(f.type))
+                            else pa.int64())
+                    fields[f.name] = pa.field(f.name, wide)
+                else:
+                    raise ValueError(
+                        f"schema conflict on column {f.name!r}: "
+                        f"{prev.type} vs {f.type}"
+                    )
+    return pa.schema([fields[n] for n in order])
+
+
+def read_union_schemas(source: str | list[str], columns: list[str] | None = None):
+    """Read a directory/list of Parquet files whose schemas EVOLVED
+    (columns added, dropped, reordered across files) as one Dataset:
+    missing columns come back null, order is normalized — the
+    union-by-name semantics every long-lived lake needs.  The union
+    schema is computed from footers only and handed to the scan, so the
+    fill happens inside the read tasks (no extra pass)."""
+    import ray.data
+
+    paths = (list_parquet_files(source)
+             if isinstance(source, str) else list(source))
+    sch = union_schema(paths)
+    ds = ray.data.read_parquet(paths, schema=sch)
+    if columns is not None:
+        # project AFTER the union fill: pyarrow's scan rejects a column
+        # projection that drops fields physically present in some file
+        # when an explicit schema is set, so evolved reads trade read-time
+        # column pruning for the null fill (an explicit batch select, not
+        # select_columns, so the optimizer cannot push it into the scan)
+        cols = list(columns)
+        ds = ds.map_batches(
+            lambda b: b.select(cols), batch_format="pyarrow"
+        )
+    return ds

@@ -838,3 +838,47 @@ def global_positions(ds, key_col: str):
         return batch.append_column("pos", pa.array(pos, pa.int64()))
 
     return pairs.map_batches(assign, batch_size=None, batch_format="pyarrow")
+
+
+def quarantine_split(ds, rules: list, out_dir: str | None = None):
+    """Data-quality gate with a dead-letter side channel: rows failing any
+    rule are tagged with the FIRST failing rule's name (rule order is the
+    severity order) and, when ``out_dir`` is given, written to a
+    quarantine Parquet directory from inside the tasks (one part file per
+    worker batch — no extra pass, no shuffle); clean rows flow on.
+
+    ``rules`` is ``[(name, fn)]`` where ``fn(batch) -> bool numpy array``
+    (True = BAD) is a vectorized predicate.  Returns the dataset of input
+    rows + ``_quarantine_reason`` (empty string = clean) so callers can
+    filter either side; the engine's validate-then-quarantine analogue of
+    the reference's hard error on unsupported sample types
+    (copyer.go:108-127) — at 100 TB you quarantine and continue instead
+    of aborting the copy."""
+    import os
+    import uuid
+
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        reason = np.full(n, "", dtype=object)
+        open_slots = np.ones(n, dtype=bool)
+        for name, fn in rules:
+            bad = np.asarray(fn(batch), dtype=bool) & open_slots
+            reason[bad] = name
+            open_slots &= ~bad
+        out = batch.append_column(
+            "_quarantine_reason", pa.array(reason.tolist(), pa.string())
+        )
+        if out_dir is not None:
+            q = out.filter(pa.array(~open_slots))
+            if q.num_rows:
+                import pyarrow.parquet as pq
+
+                pq.write_table(
+                    q, os.path.join(out_dir, f"part-{uuid.uuid4().hex}.parquet")
+                )
+        return out
+
+    return ds.map_batches(tag, batch_format="pyarrow")
