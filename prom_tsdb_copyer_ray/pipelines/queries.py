@@ -4023,6 +4023,213 @@ def q_schema_evolution(sf_dir: str):
     )
 
 
+_Q3_CUTOFF_MS = 867_715_200_000  # 1997-07-01 UTC
+
+
+def q_tpch_q3(sf_dir: str):
+    """TPC-H Q3 (shipping priority): BUILDING customers' orders placed
+    before the cutoff, revenue from lineitems shipped after it, top 10 by
+    revenue.  Plan: customer filter -> tiny key broadcast -> date-filtered
+    orders semi-join COLLECTED (the window fraction of a dim table) and
+    broadcast into the lineitem scan -> exact micro-unit revenue combiner
+    -> sharded final -> combiner-bounded top-10.  Zero all-to-all
+    shuffles; at 100 TB the orders broadcast escalates to the shuffle
+    join on orderkey (stages/joins.shuffle_join)."""
+    import pyarrow.parquet as pq_mod
+
+    from ..stages.joins import broadcast_join
+    from ..stages.keyed import sharded_grouped_agg, topk_per_group
+
+    cust = pq_mod.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    cust_b = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING")).select(
+        ["c_custkey"]
+    )
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+
+    def ord_filter(batch: pa.Table) -> pa.Table:
+        ms = ts_to_ms(batch["o_orderdate"])
+        keep = pc.less(ms, pa.scalar(_Q3_CUTOFF_MS, pa.int64()))
+        t = batch.filter(keep)
+        return pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_custkey": t["o_custkey"],
+            "o_date_ms": ts_to_ms(t["o_orderdate"]),
+            "o_orderpriority": t["o_orderpriority"],
+        })
+
+    ord_b = broadcast_join(
+        orders.map_batches(ord_filter, batch_format="pyarrow"),
+        cust_b, "o_custkey", "c_custkey", how="semi",
+    )
+    ord_tbl = pa.concat_tables(
+        ord_b.select_columns(["o_orderkey", "o_date_ms", "o_orderpriority"])
+        .iter_batches(batch_format="pyarrow")
+    )
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"])
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        ms = ts_to_ms(batch["l_shipdate"])
+        t = batch.filter(pc.greater(ms, pa.scalar(_Q3_CUTOFF_MS, pa.int64())))
+        price_c = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc_c = np.rint(
+            (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        return pa.table({
+            "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+            "micro": pa.array(price_c * disc_c),
+        })
+
+    joined = broadcast_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        ord_tbl, "l_orderkey", "o_orderkey",
+        right_cols=["o_date_ms", "o_orderpriority"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(
+            ["l_orderkey", "o_date_ms", "o_orderpriority"]
+        ).aggregate([("micro", "sum")])
+        return g.rename_columns(
+            ["l_orderkey", "o_date_ms", "o_orderpriority", "micro"]
+        )
+
+    per_order = sharded_grouped_agg(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["l_orderkey", "o_date_ms", "o_orderpriority"], [("micro", "sum")],
+        num_shards=16,
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "g", pa.array(np.zeros(batch.num_rows, np.int64))
+        )
+
+    top = topk_per_group(per_order.map_batches(tag, batch_format="pyarrow"),
+                         ["g"], "micro", 10, tiebreak_col="l_orderkey",
+                         descending=True)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        rev = batch["micro"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "revenue": pa.array(rev / 10000.0, pa.float64()),
+            "o_date_ms": batch["o_date_ms"],
+            "o_orderpriority": batch["o_orderpriority"],
+        })
+
+    return top.map_batches(fin, batch_format="pyarrow")
+
+
+def q_tpch_q5(sf_dir: str):
+    """TPC-H Q5 (local supplier volume): revenue per ASIA nation from 1996
+    orders where the customer and supplier share the nation.  Plan: region
+    -> nation -> customer resolved driver-side (dims), date-filtered
+    orders carry the customer nation and broadcast into the lineitem scan,
+    supplier nation broadcast likewise, the co-nationality filter and
+    exact micro-unit revenue run vectorized in-scan, final is 25 keys.
+    Zero all-to-all shuffles (escalation documented in q_tpch_q3)."""
+    import pyarrow.parquet as pq_mod
+
+    from ..stages.joins import broadcast_join
+    from ..stages.keyed import sharded_grouped_agg
+
+    region = pq_mod.read_table(f"{sf_dir}/region.parquet")
+    nation = pq_mod.read_table(f"{sf_dir}/nation.parquet")
+    asia_keys = set(
+        region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"]
+        .to_pylist()
+    )
+    nat = nation.filter(
+        pc.is_in(pc.cast(nation["n_regionkey"], pa.int64()),
+                 value_set=pa.array(sorted(asia_keys), pa.int64()))
+    )
+    nat_name = dict(zip(nat["n_nationkey"].to_pylist(),
+                        nat["n_name"].to_pylist()))
+
+    cust = pq_mod.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_nationkey"])
+    supp = pq_mod.read_table(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey", "s_nationkey"])
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    t0 = 820_454_400_000   # 1996-01-01 UTC
+    t1 = 852_076_800_000   # 1997-01-01 UTC
+
+    def ord_filter(batch: pa.Table) -> pa.Table:
+        ms = ts_to_ms(batch["o_orderdate"])
+        keep = pc.and_(pc.greater_equal(ms, pa.scalar(t0, pa.int64())),
+                       pc.less(ms, pa.scalar(t1, pa.int64())))
+        t = batch.filter(keep)
+        return pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_custkey": t["o_custkey"],
+        })
+
+    ord_nat = broadcast_join(
+        orders.map_batches(ord_filter, batch_format="pyarrow"),
+        cust, "o_custkey", "c_custkey", right_cols=["c_nationkey"],
+    )
+    ord_tbl = pa.concat_tables(
+        ord_nat.select_columns(["o_orderkey", "c_nationkey"]).iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    li1 = broadcast_join(li, ord_tbl, "l_orderkey", "o_orderkey",
+                         right_cols=["c_nationkey"])
+    li2 = broadcast_join(li1, supp, "l_suppkey", "s_suppkey",
+                         right_cols=["s_nationkey"])
+
+    nat_keys = np.array(sorted(nat_name), np.int64)
+    nat_vals = [nat_name[k] for k in nat_keys.tolist()]
+
+    def score(batch: pa.Table) -> pa.Table:
+        cn = pc.cast(batch["c_nationkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        sn = pc.cast(batch["s_nationkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (cn == sn) & np.isin(cn, nat_keys)
+        t = batch.filter(pa.array(keep))
+        cn_k = pc.cast(t["c_nationkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(nat_keys, cn_k)
+        price_c = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc_c = np.rint(
+            (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        out = pa.table({
+            "n_name": pa.array(
+                np.array(nat_vals, dtype=object)[idx].tolist(), pa.string()
+            ),
+            "micro": pa.array(price_c * disc_c),
+        })
+        g = out.group_by(["n_name"]).aggregate([("micro", "sum")])
+        return g.rename_columns(["n_name", "micro"])
+
+    agg = sharded_grouped_agg(
+        li2.map_batches(score, batch_format="pyarrow"),
+        ["n_name"], [("micro", "sum")], num_shards=4,
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        rev = batch["micro"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "n_name": batch["n_name"],
+            "revenue": pa.array(rev / 10000.0, pa.float64()),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -4174,6 +4381,8 @@ QUERIES = {
     "phrase_search": q_phrase_search,
     "quarantine": q_quarantine,
     "schema_evolution": q_schema_evolution,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -5849,6 +6058,46 @@ ORACLE_SQL.update(
                    CAST(count(*) FILTER (WHERE event_id % 2 = 1) AS BIGINT)
                      AS n_props
             FROM events GROUP BY 1
+        """,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "tpch_q3": """
+            WITH rev AS (
+              SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+                     epoch_ms(o_orderdate) AS o_date_ms,
+                     o_orderpriority,
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * CAST(round((1 - l_discount) * 100) AS BIGINT))
+                       AS micro
+              FROM customer
+              JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND epoch_ms(o_orderdate) < 867715200000
+                AND epoch_ms(l_shipdate) > 867715200000
+              GROUP BY 1, 2, 3)
+            SELECT l_orderkey,
+                   CAST(micro AS DOUBLE) / 10000.0 AS revenue,
+                   o_date_ms, o_orderpriority
+            FROM rev
+            ORDER BY micro DESC, l_orderkey LIMIT 10
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * CAST(round((1 - l_discount) * 100) AS BIGINT))
+                        AS DOUBLE) / 10000.0 AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND epoch_ms(o_orderdate) >= 820454400000
+              AND epoch_ms(o_orderdate) < 852076800000
+            GROUP BY 1
         """,
     }
 )

@@ -141,7 +141,7 @@ def test_mirror_covers_every_oracle(entry_mod):
         "rate_5m", "delta_5m", "cusum_max", "psi_buckets", "rrf_fusion",
         "hopping_15m", "weighted_sample", "fuzzy_decontaminate",
         "audio_loudness", "fair_share_sample", "phrase_search",
-        "quarantine", "schema_evolution",
+        "quarantine", "schema_evolution", "tpch_q3", "tpch_q5",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):
