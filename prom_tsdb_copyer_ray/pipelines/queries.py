@@ -4230,6 +4230,94 @@ def q_tpch_q5(sf_dir: str):
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+def q_count_meta(sf_dir: str):
+    """Aggregate pushdown to metadata: exact row counts of every table from
+    Parquet footers alone (sources/parquet.count_rows_metadata — zero data
+    pages, the COUNT(*) analogue of the footer-only range discovery O2)."""
+    import pandas as pd
+
+    from ..sources.parquet import count_rows_metadata
+
+    tables = ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]
+    return pd.DataFrame({
+        "tbl": tables,
+        "n_rows": [count_rows_metadata(f"{sf_dir}/{t}.parquet")
+                   for t in tables],
+    })
+
+
+def q_funnel_latency(sf_dir: str):
+    """Time-to-convert: for every user with a purchase strictly after
+    their first signup, the signup->purchase latency; reported as
+    n_converted + exact p50/p90 latency seconds (quantile_disc).  One
+    user-hash exchange of distinct (user, step, ts) combiner rows derives
+    the latencies (two masked segment mins per shard); the quantiles come
+    from the distributed-selection kernel over the tiny latency table."""
+    from ..stages.keyed import _key_shard, _segment_starts
+    from ..stages.sketch import exact_global_quantiles
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    # combiner carries ALL distinct (user, step, ts) rows: a per-batch
+    # min(purchase) would be wrong when the global min purchase precedes
+    # the first signup but a later purchase follows it
+    def full_rows(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch["event_type"],
+                     value_set=pa.array(["signup", "purchase"], pa.string()))
+        t = batch.filter(m)
+        out = pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "step": t["event_type"],
+            "tms": ts_to_ms(t["ts"]),
+        })
+        g = out.group_by(["user_id", "step", "tms"]).aggregate([])
+        return g.append_column("_fshard", _key_shard(g, ["user_id"], 16))
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        out_empty = pa.table({"lat_s": pa.array([], pa.int64())})
+        if group.num_rows == 0:
+            return out_empty
+        t = group.drop_columns("_fshard").sort_by(
+            [("user_id", "ascending"), ("step", "ascending"),
+             ("tms", "ascending")]
+        )
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        step = t["step"].to_numpy(zero_copy_only=False)
+        tms = t["tms"].to_numpy(zero_copy_only=False)
+        lats = []
+        starts = np.flatnonzero(_segment_starts(t, ["user_id"]))
+        ends = np.r_[starts[1:], t.num_rows]
+        for a, b in zip(starts, ends):
+            sg = tms[a:b][step[a:b] == "signup"]
+            pu = tms[a:b][step[a:b] == "purchase"]
+            if len(sg) == 0 or len(pu) == 0:
+                continue
+            t0 = sg.min()
+            after = pu[pu > t0]
+            if len(after):
+                lats.append((after.min() - t0) // 1000)
+        return pa.table({"lat_s": pa.array(np.array(lats, np.int64))})
+
+    lat = (
+        ds.map_batches(full_rows, batch_format="pyarrow")
+        .groupby("_fshard")
+        .map_groups(per_shard, batch_format="pyarrow")
+        .materialize()
+    )
+    n = lat.count()
+    import pandas as pd
+
+    if n == 0:
+        return pd.DataFrame({"n_converted": [0], "p50_s": [None], "p90_s": [None]})
+    qs = exact_global_quantiles(lat, "lat_s", (0.5, 0.9))
+    return pd.DataFrame({
+        "n_converted": np.array([n], np.int64),
+        "p50_s": np.array([qs[0.5]], np.int64),
+        "p90_s": np.array([qs[0.9]], np.int64),
+    })
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -4383,6 +4471,8 @@ QUERIES = {
     "schema_evolution": q_schema_evolution,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
+    "count_meta": q_count_meta,
+    "funnel_latency": q_funnel_latency,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -6098,6 +6188,44 @@ ORACLE_SQL.update(
               AND epoch_ms(o_orderdate) >= 820454400000
               AND epoch_ms(o_orderdate) < 852076800000
             GROUP BY 1
+        """,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "count_meta": """
+            SELECT 'region' AS tbl, CAST(count(*) AS BIGINT) AS n_rows FROM region
+            UNION ALL SELECT 'nation', count(*) FROM nation
+            UNION ALL SELECT 'customer', count(*) FROM customer
+            UNION ALL SELECT 'supplier', count(*) FROM supplier
+            UNION ALL SELECT 'part', count(*) FROM part
+            UNION ALL SELECT 'orders', count(*) FROM orders
+            UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+            UNION ALL SELECT 'events', count(*) FROM events
+            UNION ALL SELECT 'documents', count(*) FROM documents
+            UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+        """,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "funnel_latency": """
+            WITH s1 AS (SELECT CAST(user_id AS BIGINT) AS u,
+                               min(epoch_ms(ts)) AS t
+                        FROM events WHERE event_type = 'signup' GROUP BY 1),
+            s2 AS (SELECT CAST(e.user_id AS BIGINT) AS u,
+                          min(epoch_ms(e.ts)) AS t
+                   FROM events e JOIN s1 ON CAST(e.user_id AS BIGINT) = s1.u
+                   WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > s1.t
+                   GROUP BY 1),
+            l AS (SELECT (s2.t - s1.t) // 1000 AS lat
+                  FROM s2 JOIN s1 ON s2.u = s1.u)
+            SELECT CAST(count(*) AS BIGINT) AS n_converted,
+                   CAST(quantile_disc(lat, 0.5) AS BIGINT) AS p50_s,
+                   CAST(quantile_disc(lat, 0.9) AS BIGINT) AS p90_s
+            FROM l
         """,
     }
 )

@@ -337,3 +337,15 @@ def read_union_schemas(source: str | list[str], columns: list[str] | None = None
             lambda b: b.select(cols), batch_format="pyarrow"
         )
     return ds
+
+
+def count_rows_metadata(source: str | list[str]) -> int:
+    """COUNT(*) from Parquet FOOTERS only (num_rows metadata) — the
+    aggregate-pushdown sibling of :func:`range_from_metadata`: O(files)
+    kilobytes of planning I/O, zero data pages, exact by the format's
+    contract."""
+    import pyarrow.parquet as pq
+
+    paths = (list_parquet_files(source)
+             if isinstance(source, str) else list(source))
+    return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)

@@ -142,6 +142,7 @@ def test_mirror_covers_every_oracle(entry_mod):
         "hopping_15m", "weighted_sample", "fuzzy_decontaminate",
         "audio_loudness", "fair_share_sample", "phrase_search",
         "quarantine", "schema_evolution", "tpch_q3", "tpch_q5",
+        "count_meta", "funnel_latency",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):
