@@ -80,7 +80,45 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pages source format (parquet gets predicate/"
                         "partition pushdown; others normalize then filter)")
     p.add_argument("--show-metrics", action="store_true")
+    p.add_argument("--dry-run", action="store_true",
+                   help="print the backfill plan (per tier: day partitions "
+                        "pending vs committed) from Parquet footers + "
+                        "manifests ALONE — no data pages read, nothing "
+                        "written")
     return p
+
+
+def plan_dry_run(source: str, target: str, t_from, t_to) -> dict:
+    """Metadata-only backfill plan: source day span from footer time stats
+    (O2 machinery), minus each tier's committed days from its manifest —
+    what a resume would actually compute, without reading a data page."""
+    from .sources.parquet import range_from_metadata
+    from .state.manifest import completed_days
+    from .windows import MS_1D
+
+    rng = range_from_metadata(source, "warc_ts")
+    plan: dict = {"source_range_ms": None, "tiers": {}}
+    if rng is None:
+        plan["note"] = "no footer stats; a run would scan to discover range"
+        return plan
+    lo, hi, _n = rng
+    if t_from is not None:
+        lo = max(lo, t_from)
+    if t_to is not None:
+        hi = min(hi, t_to)
+    plan["source_range_ms"] = [int(lo), int(hi)]
+    # manifest day keys are window-day START ms (state/manifest.add_day)
+    days = ([d * MS_1D for d in range(lo // MS_1D, hi // MS_1D + 1)]
+            if lo <= hi else [])
+    for tier in ("5m", "1h", "1d"):
+        done = completed_days(target, tier)
+        pending = [d for d in days if d not in done]
+        plan["tiers"][tier] = {
+            "days_total": len(days),
+            "days_done": len(days) - len(pending),
+            "pending_days": pending,
+        }
+    return plan
 
 
 def main(argv=None) -> int:
@@ -110,6 +148,16 @@ def main(argv=None) -> int:
 
     t_from = parse_time_ms(args.time_from) if args.time_from else None
     t_to = parse_time_ms(args.time_to) if args.time_to else None
+
+    if args.dry_run:
+        if args.format != "parquet":
+            print(json.dumps({"note": "dry-run needs parquet footers"}))
+            ray.shutdown()
+            return 0
+        print(json.dumps(plan_dry_run(args.source, args.target, t_from, t_to),
+                         sort_keys=True))
+        ray.shutdown()
+        return 0
 
     def pages_factory():
         # -F/-T push into the Parquet scan (file pruning + row-group stats +

@@ -119,3 +119,32 @@ def test_curate_cli_end_to_end(tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert json.loads(proc.stdout.strip().splitlines()[-1]) == {
         "shards": 4, "status": "complete"}
+
+
+def test_cli_dry_run_plan(tmp_path):
+    """--dry-run prints the metadata-only backfill plan and writes nothing;
+    after a real run the same plan reports zero pending days."""
+    src = tmp_path / "pages.parquet"
+    out = tmp_path / "out"
+    pq.write_table(generate_pages(300, seed=7), src)
+
+    def run(*extra):
+        proc = subprocess.run(
+            [sys.executable, "-m", "prom_tsdb_copyer_ray.cli", str(src),
+             str(out), "--num-cpus", "4", *extra],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    plan = run("--dry-run")
+    assert plan["source_range_ms"] is not None
+    assert plan["tiers"]["5m"]["days_done"] == 0
+    assert plan["tiers"]["5m"]["pending_days"]
+    assert not out.exists()  # a plan writes NOTHING
+
+    run()  # real copy
+    plan2 = run("--dry-run")
+    for tier in ("5m", "1h", "1d"):
+        assert plan2["tiers"][tier]["pending_days"] == []
+        assert plan2["tiers"][tier]["days_done"] == plan["tiers"][tier]["days_total"]
