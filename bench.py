@@ -105,6 +105,58 @@ def prepare_pages(sf_dir: str, replicate: int, heavy: int = 1) -> str:
     return pages_dir
 
 
+def _ray_rss_kb() -> int:
+    """Sum VmRSS over the driver + every Ray process (ray:: workers, raylet,
+    gcs, plasma) via /proc — the cluster-wide resident footprint the
+    reference reports as Max RSS (README.md:94).  Shared plasma mappings
+    can double-count across workers; treated as an upper bound."""
+    total = 0
+    me = str(os.getpid())
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd = f.read()
+            if pid != me and b"ray" not in cmd.lower():
+                continue
+            with open(f"/proc/{pid}/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS:"):
+                        total += int(line.split()[1])
+                        break
+        except (FileNotFoundError, ProcessLookupError, PermissionError):
+            continue
+    return total
+
+
+class _RssSampler:
+    """Background thread sampling the Ray-wide RSS peak during a run."""
+
+    def __init__(self, period_s: float = 0.5):
+        import threading
+
+        self.peak_kb = 0
+        self._stop = threading.Event()
+
+        def loop():
+            while not self._stop.is_set():
+                self.peak_kb = max(self.peak_kb, _ray_rss_kb())
+                self._stop.wait(period_s)
+
+        self._t = threading.Thread(target=loop, daemon=True)
+
+    def __enter__(self):
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._t.join(timeout=2)
+        self.peak_kb = max(self.peak_kb, _ray_rss_kb())
+        return False
+
+
 def run_flagship(sf_dir: str, replicate: int, heavy: int = 1) -> dict:
     """End-to-end checkpointed run: pages -> extract -> 3 tiers -> parquet."""
     import ray.data
@@ -140,15 +192,16 @@ def run_flagship(sf_dir: str, replicate: int, heavy: int = 1) -> dict:
 
     n_blocks = max(len(files), 2 * int(_ray.cluster_resources().get("CPU", 8)))
     t0 = time.monotonic()
-    run_copy(
-        lambda: ray.data.read_parquet(files, override_num_blocks=n_blocks),
-        out_dir,
-        validate="strict",
-        # None = let Ray's scheduler pack extraction tasks up to num_cpus
-        # (round 1's effective behavior; -t exists for explicit caps)
-        concurrency=None,
-        batch_size=2048,
-    )
+    with _RssSampler() as rss:
+        run_copy(
+            lambda: ray.data.read_parquet(files, override_num_blocks=n_blocks),
+            out_dir,
+            validate="strict",
+            # None = let Ray's scheduler pack extraction tasks up to num_cpus
+            # (round 1's effective behavior; -t exists for explicit caps)
+            concurrency=None,
+            batch_size=2048,
+        )
     wall = time.monotonic() - t0
     summary = manifest_summary(out_dir)
     # "compressed points": raw samples encoded into 5m chunks + the gap-filled
@@ -159,6 +212,7 @@ def run_flagship(sf_dir: str, replicate: int, heavy: int = 1) -> dict:
         "n_pages": n_pages,
         "pages_per_s": n_pages / wall,
         "points_per_s": n_points / wall,
+        "peak_rss_mb": round(rss.peak_kb / 1024, 1),
         "tiers": summary,
     }
 
@@ -254,6 +308,8 @@ def main() -> None:
             "wall_4n_s": round(results[hi]["value"], 2),
             "speedup": round(tp32 / tp8, 3),
             "scaling_efficiency": round(eff, 3),
+            "peak_rss_n_mb": results[lo].get("peak_rss_mb"),
+            "peak_rss_4n_mb": results[hi].get("peak_rss_mb"),
         }))
         return
 
@@ -281,6 +337,7 @@ def main() -> None:
         "n_pages": flag["n_pages"],
         "pages_per_s": round(flag["pages_per_s"], 1),
         "points_per_s": round(flag["points_per_s"], 1),
+        "peak_rss_mb": flag.get("peak_rss_mb"),
     }))
     ray.shutdown()
 
