@@ -72,6 +72,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-shards", type=int, default=64)
     p.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     p.add_argument("--validate", choices=["strict", "count", "off"], default="strict")
+    p.add_argument("--retention-before", default=None, metavar="TIME",
+                   help="after the copy, DELETE committed day partitions "
+                        "older than TIME across all tiers and ratchet the "
+                        "manifest retention watermark (a later resume "
+                        "treats expired days as done, never recomputes "
+                        "them) — the reference's retention use case as a "
+                        "maintenance verb")
     p.add_argument("--compact-after", action="store_true",
                    help="merge each committed partition's part files into "
                         "one sorted file after the copy (compact.go analog)")
@@ -93,7 +100,7 @@ def plan_dry_run(source: str, target: str, t_from, t_to) -> dict:
     (O2 machinery), minus each tier's committed days from its manifest —
     what a resume would actually compute, without reading a data page."""
     from .sources.parquet import range_from_metadata
-    from .state.manifest import completed_days
+    from .state.manifest import completed_days, retention_watermark
     from .windows import MS_1D
 
     rng = range_from_metadata(source, "warc_ts")
@@ -112,7 +119,8 @@ def plan_dry_run(source: str, target: str, t_from, t_to) -> dict:
             if lo <= hi else [])
     for tier in ("5m", "1h", "1d"):
         done = completed_days(target, tier)
-        pending = [d for d in days if d not in done]
+        wm = retention_watermark(target, tier)
+        pending = [d for d in days if d not in done and d >= wm]
         plan["tiers"][tier] = {
             "days_total": len(days),
             "days_done": len(days) - len(pending),
@@ -227,6 +235,12 @@ def main(argv=None) -> int:
         group_window_ms=args.query_duration_min * 60_000,
         collect_metrics=args.show_metrics,
     )
+    if args.retention_before:
+        from .state.manifest import apply_retention_to_tier
+
+        cutoff = parse_time_ms(args.retention_before)
+        for tier in ("5m", "1h", "1d"):
+            apply_retention_to_tier(args.target, tier, cutoff)
     if args.compact_after:
         # the reference compacts merged blocks after all copies finish
         # (copyer.go:234-252) — here: parallel per-partition file merge

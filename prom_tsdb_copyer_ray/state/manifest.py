@@ -130,6 +130,7 @@ def write_tier(ds, out_dir: str, tier: str, group_window_ms: int | None = None) 
     t0 = time.monotonic()
     sub_day = group_window_ms is not None and 0 < group_window_ms < MS_1D
     done = completed_groups(out_dir, tier)
+    watermark = retention_watermark(out_dir, tier)
     clean_uncommitted_days(out_dir, tier)
     part_cols = ["window_day", "window_group"] if sub_day else ["window_day"]
 
@@ -145,6 +146,14 @@ def write_tier(ds, out_dir: str, tier: str, group_window_ms: int | None = None) 
         if sub_day:
             grp = (ws // group_window_ms) * group_window_ms
             batch = batch.append_column("window_group", pa.array(grp, pa.int64()))
+        if watermark:
+            # expired days are DONE, not pending: a resume after retention
+            # must never resurrect deleted partitions
+            batch = batch.filter(pa.array(day >= watermark))
+            ws = batch["window_start"].to_numpy().astype(np.int64, copy=False)
+            day = (ws // MS_1D) * MS_1D
+            if sub_day:
+                grp = (ws // group_window_ms) * group_window_ms
         if done:
             keep = np.ones(len(ws), dtype=bool)
             for d, groups in done.items():
@@ -285,3 +294,36 @@ def invalidate_days(out_dir: str, tier: str, days: set[int] | None) -> list[int]
         if os.path.isdir(ddir):
             shutil.rmtree(ddir)
     return [int(d) for d in victims]
+
+
+def apply_retention_to_tier(out_dir: str, tier: str, cutoff_ms: int) -> list[int]:
+    """Retention enforcement (the reference's raison d'être is keeping
+    downsampled data past raw expiry): DELETE every committed day partition
+    strictly before ``cutoff_ms``'s day and record the cutoff as the
+    manifest's ``retention_before_ms`` watermark — a later resume treats
+    expired days as done instead of recomputing them (write_tier drops
+    their rows pre-write).  Returns the deleted day starts.  Idempotent;
+    the watermark only ratchets forward."""
+    import shutil
+
+    cutoff_day = (int(cutoff_ms) // MS_1D) * MS_1D
+    manifest = load_manifest(out_dir, tier)
+    tdir = tier_dir(out_dir, tier)
+    deleted: list[int] = []
+    for day_key in sorted(manifest["days"]):
+        if int(day_key) < cutoff_day:
+            shutil.rmtree(os.path.join(tdir, f"window_day={day_key}"),
+                          ignore_errors=True)
+            del manifest["days"][day_key]
+            deleted.append(int(day_key))
+    manifest["retention_before_ms"] = max(
+        int(manifest.get("retention_before_ms", 0)), cutoff_day
+    )
+    manifest["status"] = manifest.get("status", "complete")
+    manifest["tier"] = tier
+    _atomic_write_json(manifest_path(out_dir, tier), manifest)
+    return deleted
+
+
+def retention_watermark(out_dir: str, tier: str) -> int:
+    return int(load_manifest(out_dir, tier).get("retention_before_ms", 0))

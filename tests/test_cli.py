@@ -148,3 +148,48 @@ def test_cli_dry_run_plan(tmp_path):
     for tier in ("5m", "1h", "1d"):
         assert plan2["tiers"][tier]["pending_days"] == []
         assert plan2["tiers"][tier]["days_done"] == plan["tiers"][tier]["days_total"]
+
+
+def test_cli_retention_lifecycle(tmp_path):
+    """--retention-before deletes expired day partitions, ratchets the
+    manifest watermark, and a later resume never resurrects them."""
+    import os
+
+    src = tmp_path / "pages.parquet"
+    out = tmp_path / "out"
+    pq.write_table(generate_pages(300, seed=9), src)
+
+    def run(*extra):
+        proc = subprocess.run(
+            [sys.executable, "-m", "prom_tsdb_copyer_ray.cli", str(src),
+             str(out), "--num-cpus", "4", *extra],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    run()
+    days_before = sorted(os.listdir(out / "tiers" / "5m"))
+    assert len(days_before) >= 2
+
+    run("--retention-before", "2024-01-02T00:00:00+00:00")
+    days_after = sorted(os.listdir(out / "tiers" / "5m"))
+    assert days_after == [d for d in days_before
+                          if int(d.split("=")[1]) >= 1_704_153_600_000]
+
+    from prom_tsdb_copyer_ray.state.manifest import (
+        completed_days,
+        retention_watermark,
+    )
+
+    assert retention_watermark(str(out), "5m") == 1_704_153_600_000
+    assert all(d >= 1_704_153_600_000 for d in completed_days(str(out), "5m"))
+
+    # resume: expired days are DONE, not pending — nothing resurrected
+    run()
+    assert sorted(os.listdir(out / "tiers" / "5m")) == days_after
+
+    # the dry-run plan agrees
+    plan = run("--dry-run")
+    for tier in ("5m", "1h", "1d"):
+        assert plan["tiers"][tier]["pending_days"] == []
