@@ -72,13 +72,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-shards", type=int, default=64)
     p.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     p.add_argument("--validate", choices=["strict", "count", "off"], default="strict")
-    p.add_argument("--retention-before", default=None, metavar="TIME",
+    p.add_argument("--retention-before", action="append", default=None,
+                   metavar="[TIER=]TIME",
                    help="after the copy, DELETE committed day partitions "
-                        "older than TIME across all tiers and ratchet the "
-                        "manifest retention watermark (a later resume "
-                        "treats expired days as done, never recomputes "
-                        "them) — the reference's retention use case as a "
-                        "maintenance verb")
+                        "older than TIME and ratchet the manifest retention "
+                        "watermark (a resume treats expired days as done). "
+                        "Repeatable with TIER=TIME (e.g. 5m=2024-02-01 "
+                        "1h=2023-01-01) for the classic keep-raw-short / "
+                        "keep-downsampled-long policy; bare TIME applies "
+                        "to every tier")
     p.add_argument("--compact-after", action="store_true",
                    help="merge each committed partition's part files into "
                         "one sorted file after the copy (compact.go analog)")
@@ -238,9 +240,15 @@ def main(argv=None) -> int:
     if args.retention_before:
         from .state.manifest import apply_retention_to_tier
 
-        cutoff = parse_time_ms(args.retention_before)
-        for tier in ("5m", "1h", "1d"):
-            apply_retention_to_tier(args.target, tier, cutoff)
+        for spec in args.retention_before:
+            tier_part, sep, time_part = spec.partition("=")
+            if sep and tier_part in ("5m", "1h", "1d"):
+                apply_retention_to_tier(args.target, tier_part,
+                                        parse_time_ms(time_part))
+            else:
+                cutoff = parse_time_ms(spec)
+                for tier in ("5m", "1h", "1d"):
+                    apply_retention_to_tier(args.target, tier, cutoff)
     if args.compact_after:
         # the reference compacts merged blocks after all copies finish
         # (copyer.go:234-252) — here: parallel per-partition file merge

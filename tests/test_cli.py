@@ -193,3 +193,27 @@ def test_cli_retention_lifecycle(tmp_path):
     plan = run("--dry-run")
     for tier in ("5m", "1h", "1d"):
         assert plan["tiers"][tier]["pending_days"] == []
+
+
+def test_cli_retention_per_tier(tmp_path):
+    """TIER=TIME retention keeps downsampled tiers longer than raw."""
+    import os
+
+    src = tmp_path / "pages.parquet"
+    out = tmp_path / "out"
+    pq.write_table(generate_pages(300, seed=9), src)
+
+    def run(*extra):
+        proc = subprocess.run(
+            [sys.executable, "-m", "prom_tsdb_copyer_ray.cli", str(src),
+             str(out), "--num-cpus", "4", *extra],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+
+    run()
+    run("--retention-before", "5m=2024-01-02T00:00:00+00:00")
+    # raw 5m tier trimmed; 1h/1d keep both days
+    assert len(os.listdir(out / "tiers" / "5m")) == 1
+    assert len(os.listdir(out / "tiers" / "1h")) == 2
+    assert len(os.listdir(out / "tiers" / "1d")) == 2
