@@ -4318,6 +4318,127 @@ def q_funnel_latency(sf_dir: str):
     })
 
 
+def q_window_share(sf_dir: str):
+    """Market share over time: each type's share of its 1h window's event
+    volume — ratio-to-report with the WINDOW as the partition key
+    (stages/keyed.ratio_to_total; exact int window sums broadcast once,
+    shuffle-free divide)."""
+    from ..stages.keyed import ratio_to_total, sharded_grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "window_start": window_start(ts_to_ms(batch["ts"]), MS_1H),
+            "n": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+        g = t.group_by(["event_type", "window_start"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "window_start", "n"])
+
+    counts = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "window_start"], [("n", "sum")], num_shards=16,
+    )
+    return ratio_to_total(counts, ["window_start"], "n",
+                          carry_cols=["event_type"], out_col="share")
+
+
+def q_hourly_growth(sf_dir: str):
+    """Hour-over-hour growth per type: lag over the AGGREGATED hourly
+    stream (counts combiner -> sharded final -> lag_column's narrow
+    exchange), pct change on present hours, first hour dropped like SQL
+    lag() IS NULL."""
+    from ..stages.keyed import lag_column, sharded_grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "window_start": window_start(ts_to_ms(batch["ts"]), MS_1H),
+            "n": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+        g = t.group_by(["event_type", "window_start"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "window_start", "n"])
+
+    hourly = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "window_start"], [("n", "sum")], num_shards=16,
+    )
+    lagged = lag_column(hourly, ["event_type"], ["window_start"], "n")
+
+    def pct(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        p = batch["prev"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "window_start": batch["window_start"],
+            "n": batch["n"],
+            "growth_pct": pc.round(pa.array((n - p) / p, pa.float64()),
+                                   ndigits=6),
+        })
+
+    return lagged.map_batches(pct, batch_format="pyarrow")
+
+
+def q_skew_report(sf_dir: str):
+    """Partitioning-skew profile of candidate shuffle keys: for each key
+    column, row count, exact distinct count, the hottest key's count and
+    its share — what the engine's own salting/sharding decisions read.
+    One (col, value) combiner exchange; the per-column fold is bounded."""
+    from ..stages.keyed import sharded_grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(pc.cast(batch["user_id"], pa.int64()), pa.string())
+        parts = []
+        for col, vals in (("event_type", batch["event_type"]), ("user_id", uid)):
+            t = pa.table({
+                "col": pa.array([col] * batch.num_rows, pa.string()),
+                "val": vals,
+                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+            })
+            parts.append(
+                t.group_by(["col", "val"]).aggregate([("n", "sum")])
+                .rename_columns(["col", "val", "n"])
+            )
+        return pa.concat_tables(parts)
+
+    counts = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["col", "val"], [("n", "sum")], num_shards=16,
+    )
+
+    # fold stays distributed: a key column's distinct count can be huge,
+    # so the (col, value) rows reduce through a second bounded-key
+    # sharded aggregate, never a driver loop
+    def fold(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "col": batch["col"],
+            "n_rows": batch["n"],
+            "n_distinct": pa.array(np.ones(batch.num_rows, np.int64)),
+            "max_count": batch["n"],
+        })
+
+    folded = sharded_grouped_agg(
+        counts.map_batches(fold, batch_format="pyarrow"),
+        ["col"],
+        [("n_rows", "sum"), ("n_distinct", "sum"), ("max_count", "max")],
+        num_shards=2,
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        mx = batch["max_count"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nr = batch["n_rows"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return batch.append_column(
+            "top_share", pc.round(pa.array(mx / nr, pa.float64()), ndigits=6)
+        )
+
+    return folded.map_batches(fin, batch_format="pyarrow")
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -4473,6 +4594,9 @@ QUERIES = {
     "tpch_q5": q_tpch_q5,
     "count_meta": q_count_meta,
     "funnel_latency": q_funnel_latency,
+    "window_share": q_window_share,
+    "hourly_growth": q_hourly_growth,
+    "skew_report": q_skew_report,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -6226,6 +6350,55 @@ ORACLE_SQL.update(
                    CAST(quantile_disc(lat, 0.5) AS BIGINT) AS p50_s,
                    CAST(quantile_disc(lat, 0.9) AS BIGINT) AS p90_s
             FROM l
+        """,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "window_share": """
+            WITH c AS (SELECT event_type,
+                              (epoch_ms(ts) // 3600000) * 3600000
+                                AS window_start,
+                              count(*) AS n
+                       FROM events GROUP BY 1, 2)
+            SELECT event_type, window_start, n,
+                   CAST(n AS DOUBLE)
+                       / CAST(sum(n) OVER (PARTITION BY window_start)
+                              AS DOUBLE) AS share
+            FROM c
+        """,
+        "hourly_growth": """
+            WITH c AS (SELECT event_type,
+                              (epoch_ms(ts) // 3600000) * 3600000
+                                AS window_start,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+            l AS (SELECT event_type, window_start, n,
+                         lag(n) OVER (PARTITION BY event_type
+                                      ORDER BY window_start) AS prev
+                  FROM c)
+            SELECT event_type, window_start, n,
+                   round((CAST(n AS DOUBLE) - CAST(prev AS DOUBLE))
+                         / CAST(prev AS DOUBLE), 6) AS growth_pct
+            FROM l WHERE prev IS NOT NULL
+        """,
+        "skew_report": """
+            WITH a AS (SELECT event_type AS v, CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1),
+            b AS (SELECT CAST(CAST(user_id AS BIGINT) AS VARCHAR) AS v,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM events GROUP BY 1),
+            u AS (SELECT 'event_type' AS col, sum(n) AS n_rows,
+                         count(*) AS n_distinct, max(n) AS max_count FROM a
+                  UNION ALL
+                  SELECT 'user_id', sum(n), count(*), max(n) FROM b)
+            SELECT col, CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(n_distinct AS BIGINT) AS n_distinct,
+                   CAST(max_count AS BIGINT) AS max_count,
+                   round(CAST(max_count AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+                     AS top_share
+            FROM u
         """,
     }
 )
