@@ -4439,6 +4439,60 @@ def q_skew_report(sf_dir: str):
     return folded.map_batches(fin, batch_format="pyarrow")
 
 
+_COS_PAIRS = 200
+
+
+def q_cos_histogram(sf_dir: str):
+    """Corpus-diversity signal: histogram of cosine similarities over a
+    deterministic sample of embedding pairs (Lehmer-style index math both
+    engines run literally; vec_ids are dense).  Scale shape: only the
+    sample's <= 2*|pairs| vectors leave the scan (vectorized is_in
+    filter); everything after is sample-sized driver math.  Cosines follow
+    the battery's CAST-to-DOUBLE protocol; round-6 before bucketing."""
+    import pandas as pd
+
+    from ..sources.parquet import count_rows_metadata
+
+    n = count_rows_metadata(f"{sf_dir}/embeddings.parquet")
+    k = np.arange(_COS_PAIRS, dtype=np.int64)
+    i = (k * 48271) % n
+    j = (k * 1664525 + 1013904223) % n
+    keep = i != j
+    i, j = i[keep], j[keep]
+    need = np.unique(np.r_[i, j])
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    need_arr = pa.array(need, pa.int64())
+
+    def pick(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(pc.cast(batch["vec_id"], pa.int64()), value_set=need_arr)
+        return batch.filter(m)
+
+    rows = pa.concat_tables(
+        ds.map_batches(pick, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    ids = pc.cast(rows["vec_id"], pa.int64()).to_numpy(zero_copy_only=False)
+    vecs = np.stack(
+        [np.asarray(v, np.float64) for v in rows["embedding"].to_pylist()]
+    )
+    order = np.argsort(ids)
+    ids_s, vecs_s = ids[order], vecs[order]
+    a = vecs_s[np.searchsorted(ids_s, i)]
+    b = vecs_s[np.searchsorted(ids_s, j)]
+    cos = (a * b).sum(axis=1) / (
+        np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+    )
+    c6 = np.round(cos, 6)
+    bucket = np.minimum(np.floor((c6 + 1.0) * 5).astype(np.int64), 9)
+    uniq, cnt = np.unique(bucket, return_counts=True)
+    return pd.DataFrame({
+        "bucket": uniq.astype(np.int64),
+        "n_pairs": cnt.astype(np.int64),
+    })
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -4597,6 +4651,7 @@ QUERIES = {
     "window_share": q_window_share,
     "hourly_growth": q_hourly_growth,
     "skew_report": q_skew_report,
+    "cos_histogram": q_cos_histogram,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -6399,6 +6454,27 @@ ORACLE_SQL.update(
                    round(CAST(max_count AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
                      AS top_share
             FROM u
+        """,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "cos_histogram": """
+            WITH n AS (SELECT count(*) AS n FROM embeddings),
+            p AS (SELECT (t.k * 48271) % n.n AS i,
+                         (t.k * 1664525 + 1013904223) % n.n AS j
+                  FROM range(200) t(k), n),
+            pp AS (SELECT i, j FROM p WHERE i != j),
+            c AS (SELECT round(list_cosine_similarity(
+                              CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[])), 6) AS c6
+                  FROM pp
+                  JOIN embeddings a ON CAST(a.vec_id AS BIGINT) = pp.i
+                  JOIN embeddings b ON CAST(b.vec_id AS BIGINT) = pp.j)
+            SELECT LEAST(CAST(floor((c6 + 1.0) * 5) AS BIGINT), 9) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM c GROUP BY 1
         """,
     }
 )

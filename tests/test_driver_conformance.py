@@ -143,7 +143,7 @@ def test_mirror_covers_every_oracle(entry_mod):
         "audio_loudness", "fair_share_sample", "phrase_search",
         "quarantine", "schema_evolution", "tpch_q3", "tpch_q5",
         "count_meta", "funnel_latency",
-        "window_share", "hourly_growth", "skew_report",
+        "window_share", "hourly_growth", "skew_report", "cos_histogram",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):
