@@ -1837,6 +1837,33 @@ def cume_dist(ds, key_cols: list[str], order_cols: list[str],
     )
 
 
+def skyline_table(t: pa.Table, x_col: str, y_col: str) -> pa.Table:
+    """One-shot skyline kernel (see :func:`pareto_skyline`): lexsort
+    (x desc, y desc) + running max of y over strictly-greater-x rows via
+    the segment-boundary trick.  Pure function of the table — the
+    semilattice property (sky(A ∪ B) == sky(sky A ∪ sky B)) is
+    hypothesis-tested directly on this kernel."""
+    n = t.num_rows
+    if n == 0:
+        return t
+    x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((-y, -x))
+    xs, ys = x[order], y[order]
+    new_seg = np.r_[True, xs[1:] != xs[:-1]]
+    seg_first_idx = np.flatnonzero(new_seg)
+    sizes = np.diff(np.r_[seg_first_idx, n])
+    seg_first = np.repeat(seg_first_idx, sizes)
+    cmax = np.maximum.accumulate(ys)
+    prev_max = np.where(
+        seg_first > 0,
+        cmax[np.maximum(seg_first - 1, 0)],
+        np.iinfo(np.int64).min,
+    )
+    dominated = (prev_max >= ys) | (ys[seg_first] > ys)
+    return t.take(pa.array(np.sort(order[~dominated])))
+
+
 def pareto_skyline(ds, x_col: str, y_col: str):
     """Pareto frontier (skyline) maximizing BOTH int64 columns: keep the rows
     no other row strictly dominates (``b.x >= a.x AND b.y >= a.y AND (b.x >
@@ -1852,25 +1879,7 @@ def pareto_skyline(ds, x_col: str, y_col: str):
     loop."""
 
     def sky(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        if n == 0:
-            return t
-        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((-y, -x))
-        xs, ys = x[order], y[order]
-        new_seg = np.r_[True, xs[1:] != xs[:-1]]
-        seg_first_idx = np.flatnonzero(new_seg)
-        sizes = np.diff(np.r_[seg_first_idx, n])
-        seg_first = np.repeat(seg_first_idx, sizes)
-        cmax = np.maximum.accumulate(ys)
-        prev_max = np.where(
-            seg_first > 0,
-            cmax[np.maximum(seg_first - 1, 0)],
-            np.iinfo(np.int64).min,
-        )
-        dominated = (prev_max >= ys) | (ys[seg_first] > ys)
-        return t.take(pa.array(np.sort(order[~dominated])))
+        return skyline_table(t, x_col, y_col)
 
     # final pass: one block AND one batch (batch_size=None = whole block) —
     # a split batch would compute two independent frontiers

@@ -127,3 +127,51 @@ def test_pareto_skyline_duplicates_survive(ray_session):
     out = pareto_skyline(ray.data.from_arrow(t), "x", "y").to_pandas()
     got = sorted(zip(out["x"].tolist(), out["y"].tolist()))
     assert got == [(1, 20), (10, 10), (10, 10)]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _points(draw, max_n=120):
+    n = draw(st.integers(0, max_n))
+    xs = draw(st.lists(st.integers(-30, 30), min_size=n, max_size=n))
+    ys = draw(st.lists(st.integers(-30, 30), min_size=n, max_size=n))
+    return xs, ys
+
+
+def _sky_tbl(xs, ys):
+    return pa.table({
+        "x": pa.array(xs, pa.int64()),
+        "y": pa.array(ys, pa.int64()),
+    })
+
+
+@settings(max_examples=120, deadline=None)
+@given(_points())
+def test_skyline_kernel_matches_bruteforce(pts):
+    from prom_tsdb_copyer_ray.stages.keyed import skyline_table
+
+    xs, ys = pts
+    out = skyline_table(_sky_tbl(xs, ys), "x", "y")
+    got = sorted(zip(out["x"].to_pylist(), out["y"].to_pylist()))
+    want = _skyline_reference(list(zip(xs, ys)))
+    assert got == want
+
+
+@settings(max_examples=120, deadline=None)
+@given(_points(), st.integers(0, 120))
+def test_skyline_semilattice(pts, cut):
+    """sky(A ∪ B) == sky(sky(A) ∪ sky(B)) — the property the distributed
+    local-frontier combiner relies on, for ANY split point."""
+    from prom_tsdb_copyer_ray.stages.keyed import skyline_table
+
+    xs, ys = pts
+    cut = min(cut, len(xs))
+    whole = skyline_table(_sky_tbl(xs, ys), "x", "y")
+    a = skyline_table(_sky_tbl(xs[:cut], ys[:cut]), "x", "y")
+    b = skyline_table(_sky_tbl(xs[cut:], ys[cut:]), "x", "y")
+    merged = skyline_table(pa.concat_tables([a, b]), "x", "y")
+    assert sorted(zip(whole["x"].to_pylist(), whole["y"].to_pylist())) == \
+        sorted(zip(merged["x"].to_pylist(), merged["y"].to_pylist()))
