@@ -528,3 +528,53 @@ def pca_top_component(ds, vec_col: str = "embedding", scale: float = 1000.0,
         v = -v
     eig = float(v @ cov @ v)
     return v, eig, n
+
+
+def ivf_index_append(index_dir: str, new_ds,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> int:
+    """Online vector ingest: append NEW vectors to an existing IVF index
+    without retraining — each new vector is assigned to its nearest
+    EXISTING centroid (loaded from ``centroids.npy``, broadcast once) and
+    written as additional part files inside its cell partition; searches
+    see them immediately because :func:`ivf_search` globs the cell
+    directories.  The standard freshness/recall trade of IVF: drifted new
+    data degrades cell balance until the next rebuild — check with cell
+    sizes (the returned count and a rebuild are the escalation).  Returns
+    the number of vectors appended."""
+    import os
+    import uuid
+
+    import ray
+
+    C = np.load(os.path.join(index_dir, "centroids.npy"))
+    c_ref = ray.put(C)
+    cells_dir = os.path.join(index_dir, "cells")
+    run_tag = uuid.uuid4().hex[:12]
+
+    def assign_write(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        C_ = ray.get(c_ref)
+        m = _normalize(_to_matrix(batch[vec_col]))
+        cells = np.argmax(m @ C_.T, axis=1).astype(np.int64)
+        out = batch.append_column("cell_id", pa.array(cells))
+        n = np.zeros(1, np.int64)
+        for c in np.unique(cells):
+            part = out.filter(pa.array(cells == c))
+            d = os.path.join(cells_dir, f"cell={int(c)}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(
+                part, os.path.join(
+                    d, f"append-{run_tag}-{uuid.uuid4().hex[:8]}.parquet"
+                )
+            )
+            n[0] += part.num_rows
+        return pa.table({"n": pa.array(n)})
+
+    total = 0
+    for part in new_ds.map_batches(
+        assign_write, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for r in part.to_pylist():
+            total += r["n"]
+    return total

@@ -505,3 +505,65 @@ def test_minhash_index_query_matches_full_lsh(ray_session, tmp_path):
     shutil.rmtree(victim)
     out1 = minhash_index_query(idx, ray.data.from_arrow(one)).to_pandas()
     assert len(out1) > 0  # still answers from the surviving partitions
+
+
+def test_ivf_index_append_online(ray_session, tmp_path):
+    """Online ingest: build on half the vectors, append the rest — search
+    equals a numpy reference that assigns EVERYTHING with the frozen
+    centroids (the append must not retrain), and appended rows land inside
+    existing cell partitions."""
+    import os
+
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.similarity import (
+        _normalize,
+        build_ivf_index,
+        ivf_index_append,
+        ivf_search,
+    )
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(80, 12)
+    ids = np.arange(80, dtype=np.int64)
+
+    def mk(lo, hi):
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(ids[lo:hi]),
+            "embedding": pa.array([list(v) for v in vecs[lo:hi]],
+                                  pa.list_(pa.float64())),
+        }))
+
+    idx_dir = str(tmp_path / "ivf_app")
+    C = build_ivf_index(mk(0, 40), idx_dir, n_centroids=6)
+    n_app = ivf_index_append(idx_dir, mk(40, 80))
+    assert n_app == 40
+
+    queries = vecs[:4]
+    k, nprobe = 5, 3
+    got = ivf_search(idx_dir, queries, k=k, nprobe=nprobe).to_pandas()
+
+    # numpy reference over ALL vectors with the frozen centroids
+    unit = _normalize(vecs.astype(np.float64))
+    cells = np.argmax(unit @ C.T, axis=1)
+    q_unit = _normalize(np.asarray(queries, np.float64))
+    probes = np.argsort(-(q_unit @ C.T), axis=1)[:, :nprobe]
+    rows = []
+    for qi in range(len(queries)):
+        mask = np.isin(cells, probes[qi])
+        sims = q_unit[qi] @ unit[mask].T
+        sub = ids[mask]
+        order = np.lexsort((sub, -sims))[:k]
+        for r, ii in enumerate(order):
+            rows.append((qi, int(sub[ii]), r))
+    want = sorted(rows)
+    got_rows = sorted(zip(got["query_idx"], got["vec_id"], got["rank"]))
+    assert got_rows == want
+
+    # the appended parts live inside existing cell dirs (no new layout)
+    append_files = [
+        f for d in os.listdir(os.path.join(idx_dir, "cells"))
+        for f in os.listdir(os.path.join(idx_dir, "cells", d))
+        if f.startswith("append-")
+    ]
+    assert append_files
