@@ -4493,6 +4493,19 @@ def q_cos_histogram(sf_dir: str):
     })
 
 
+def q_pq_codes(sf_dir: str):
+    """Product-quantization census: per (subspace, code), how many vectors
+    encode to it under deterministic per-subspace kmeans codebooks
+    (stages/similarity.pq_code_counts — smallest-id init + exact int64
+    sums, so bit-identical across block layouts and fixture-oracle-
+    checkable).  PQ is the documented memory-escalation path for the IVF
+    index at billion-vector scale."""
+    from ..stages.similarity import pq_code_counts
+
+    return pq_code_counts(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                          n_sub=4, k=8)
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -4652,6 +4665,7 @@ QUERIES = {
     "hourly_growth": q_hourly_growth,
     "skew_report": q_skew_report,
     "cos_histogram": q_cos_histogram,
+    "pq_codes": q_pq_codes,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -6476,5 +6490,16 @@ ORACLE_SQL.update(
                    CAST(count(*) AS BIGINT) AS n_pairs
             FROM c GROUP BY 1
         """,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "pq_codes": (
+            "SELECT subspace, code, n_vecs "
+            f"FROM read_parquet('{_FIXTURE_DIR}/oracle_pq_codes.parquet') "
+            "WHERE corpus_key = (SELECT CAST(SUM(CAST(floor(abs(embedding[1]) "
+            "* 1000) AS BIGINT)) AS BIGINT) FROM embeddings)"
+        ),
     }
 )

@@ -578,3 +578,71 @@ def ivf_index_append(index_dir: str, new_ds,
         for r in part.to_pylist():
             total += r["n"]
     return total
+
+
+def pq_code_counts(ds, n_sub: int = 4, k: int = 8,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   iters: int = 5, scale: float = 1e6):
+    """Product-quantization codebook fit + encode: the embedding column is
+    split into ``n_sub`` contiguous subspaces, each gets its own
+    :func:`kmeans_fit` codebook (deterministic: smallest-id init, exact
+    int64 sums — bit-identical across block layouts), and every vector is
+    encoded as ``n_sub`` one-byte-ish codes — THE standard compressed
+    representation for billion-scale ANN (IVF-PQ's second half; this
+    engine's IVF index stores raw vectors, PQ is the documented memory
+    escalation).  Returns the bounded (subspace, code, n_vecs) census the
+    fixture oracle value-checks; codebooks train in n_sub * iters combiner
+    passes and the encode is one shuffle-free pass."""
+    import ray
+
+    ds = ds.materialize()
+    dim = len(ds.take(1)[0][vec_col])
+    assert dim % n_sub == 0, f"dim {dim} not divisible by {n_sub} subspaces"
+    w = dim // n_sub
+
+    def project(s):
+        lo = s * w
+
+        def fn(batch: pa.Table) -> pa.Table:
+            m = _to_matrix(batch[vec_col])[:, lo:lo + w]
+            return pa.table({
+                id_col: batch[id_col],
+                vec_col: pa.array([list(r) for r in m], pa.list_(pa.float64())),
+            })
+
+        return fn
+
+    books = []
+    for s in range(n_sub):
+        C, _counts = kmeans_fit(
+            ds.map_batches(project(s), batch_format="pyarrow"),
+            k=k, iters=iters, id_col=id_col, vec_col=vec_col, scale=scale,
+        )
+        books.append(C)
+    books_ref = ray.put(np.stack(books))  # (n_sub, k, w)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        B = ray.get(books_ref)
+        m = _to_matrix(batch[vec_col])
+        subs, codes, ones = [], [], []
+        n = m.shape[0]
+        for s in range(n_sub):
+            sub = _normalize(m[:, s * w:(s + 1) * w])
+            c = np.argmax(sub @ B[s].T, axis=1).astype(np.int64)
+            subs.append(np.full(n, s, np.int64))
+            codes.append(c)
+            ones.append(np.ones(n, np.int64))
+        t = pa.table({
+            "subspace": pa.array(np.concatenate(subs)),
+            "code": pa.array(np.concatenate(codes)),
+            "n_vecs": pa.array(np.concatenate(ones)),
+        })
+        g = t.group_by(["subspace", "code"]).aggregate([("n_vecs", "sum")])
+        return g.rename_columns(["subspace", "code", "n_vecs"])
+
+    from .keyed import sharded_grouped_agg
+
+    return sharded_grouped_agg(
+        ds.map_batches(encode, batch_format="pyarrow"),
+        ["subspace", "code"], [("n_vecs", "sum")], num_shards=4,
+    )

@@ -18,7 +18,13 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from gen_oracle_fixtures import bpe_reference, _fmix64_int  # noqa: E402
+from gen_oracle_fixtures import (  # noqa: E402
+    _fmix64_int,
+    _normalize_rows,
+    bpe_reference,
+    embedding_corpus_key,
+    kmeans_reference,
+)
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
@@ -111,12 +117,30 @@ def audio_loudness_reference(doc_id: int, text: str,
     return kind, 0, e, e
 
 
+def pq_codes_reference(ids, vecs, n_sub=4, k=8):
+    """Per-subspace kmeans codebooks + encode census (spec:
+    similarity.pq_code_counts)."""
+    dim = vecs.shape[1]
+    w = dim // n_sub
+    out = []
+    for s in range(n_sub):
+        sub = np.asarray(vecs[:, s * w:(s + 1) * w], np.float64)
+        C, _ = kmeans_reference(ids, sub, k=k)
+        assign = np.argmax(_normalize_rows(sub) @ C.T, axis=1)
+        counts = np.bincount(assign, minlength=k)
+        for c in range(k):
+            if counts[c]:
+                out.append((s, c, int(counts[c])))
+    return out
+
+
 def main() -> None:
     enc_rows = {"corpus_key": [], "doc_id": [], "n_bpe": []}
     ov_rows = {"corpus_key": [], "ta": [], "tb": [], "est_overlap": []}
     ws_rows = {"corpus_key": [], "doc_id": [], "n_chars": []}
     au_rows = {"corpus_key": [], "media_id": [], "kind": [], "n_frames": [],
                "energy_mean": [], "energy_max": []}
+    pq_rows = {"corpus_key": [], "subspace": [], "code": [], "n_vecs": []}
 
     for sf in SF_DIRS:
         t = pq.read_table(f"{sf}/documents.parquet",
@@ -181,6 +205,31 @@ def main() -> None:
             "est_overlap": pa.array(ov_rows["est_overlap"], pa.float64()),
         }),
         os.path.join(HERE, "oracle_theta_overlap.parquet"),
+    )
+    for sf in SF_DIRS:
+        import pyarrow.parquet as _pq
+
+        et = _pq.read_table(f"{sf}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+        evecs = np.stack([np.asarray(v, np.float64)
+                          for v in et["embedding"].to_pylist()])
+        eids = et["vec_id"].to_numpy().astype(np.int64)
+        ekey = embedding_corpus_key(evecs)
+        for s_, c_, n_ in pq_codes_reference(eids, evecs):
+            pq_rows["corpus_key"].append(ekey)
+            pq_rows["subspace"].append(s_)
+            pq_rows["code"].append(c_)
+            pq_rows["n_vecs"].append(n_)
+        print(f"{sf}: pq_codes", file=sys.stderr)
+
+    pq.write_table(
+        pa.table({
+            "corpus_key": pa.array(pq_rows["corpus_key"], pa.int64()),
+            "subspace": pa.array(pq_rows["subspace"], pa.int64()),
+            "code": pa.array(pq_rows["code"], pa.int64()),
+            "n_vecs": pa.array(pq_rows["n_vecs"], pa.int64()),
+        }),
+        os.path.join(HERE, "oracle_pq_codes.parquet"),
     )
     pq.write_table(
         pa.table({
