@@ -600,25 +600,67 @@ def pq_code_counts(ds, n_sub: int = 4, k: int = 8,
     assert dim % n_sub == 0, f"dim {dim} not divisible by {n_sub} subspaces"
     w = dim // n_sub
 
-    def project(s):
-        lo = s * w
+    # JOINT Lloyd passes: every iteration computes all n_sub subspaces'
+    # partial sums in ONE sweep (4 sequential kmeans_fit calls = 4x the
+    # fixed per-pass scheduling on small inputs — measured 7.7 s vs ~2 s at
+    # sf0.1).  The per-subspace op sequence below is verbatim kmeans_fit
+    # (smallest-id init, rint->int64 sums, full-matrix renormalize per
+    # iteration), so results stay bit-identical to the per-subspace spec.
+    def mink(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        top = np.argsort(ids)[:k]
+        return b.select([id_col, vec_col]).take(pa.array(top))
 
-        def fn(batch: pa.Table) -> pa.Table:
-            m = _to_matrix(batch[vec_col])[:, lo:lo + w]
+    cand = ds.map_batches(mink, batch_format="pyarrow").to_pandas()
+    first = np.array(
+        cand.sort_values(id_col).head(k)[vec_col].tolist(), np.float64
+    )
+    books = [
+        _normalize(np.rint(first[:, s * w:(s + 1) * w] * scale) / scale)
+        for s in range(n_sub)
+    ]
+
+    for _ in range(iters):
+        b_ref = ray.put(np.stack(books))
+
+        def partial(batch: pa.Table, _b=b_ref) -> pa.Table:
+            B = ray.get(_b)
+            m = _to_matrix(batch[vec_col])
+            subs_o, cl_o, vs_o, n_o = [], [], [], []
+            for s in range(n_sub):
+                sub = m[:, s * w:(s + 1) * w]
+                qm = np.rint(sub * scale).astype(np.int64)
+                assign = np.argmax(_normalize(sub) @ B[s].T, axis=1)
+                uniq, inv = np.unique(assign, return_inverse=True)
+                sums = np.zeros((len(uniq), w), dtype=np.int64)
+                np.add.at(sums, inv, qm)
+                n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+                subs_o.extend([s] * len(uniq))
+                cl_o.extend(uniq.tolist())
+                vs_o.extend(list(sums))
+                n_o.extend(n.tolist())
             return pa.table({
-                id_col: batch[id_col],
-                vec_col: pa.array([list(r) for r in m], pa.list_(pa.float64())),
+                "subspace": pa.array(subs_o, pa.int64()),
+                "cluster": pa.array(cl_o, pa.int64()),
+                "vsum": pa.array([list(v) for v in vs_o], pa.list_(pa.int64())),
+                "n": pa.array(n_o, pa.int64()),
             })
 
-        return fn
-
-    books = []
-    for s in range(n_sub):
-        C, _counts = kmeans_fit(
-            ds.map_batches(project(s), batch_format="pyarrow"),
-            k=k, iters=iters, id_col=id_col, vec_col=vec_col, scale=scale,
-        )
-        books.append(C)
+        acc_s: dict[tuple[int, int], np.ndarray] = {}
+        acc_n: dict[tuple[int, int], int] = {}
+        for part in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            for r in part.to_pylist():
+                key = (r["subspace"], r["cluster"])
+                acc_s[key] = acc_s.get(key, 0) + np.asarray(r["vsum"], np.int64)
+                acc_n[key] = acc_n.get(key, 0) + int(r["n"])
+        for s in range(n_sub):
+            for c in range(k):
+                if acc_n.get((s, c)):
+                    books[s][c] = (acc_s[(s, c)].astype(np.float64)
+                                   / (scale * acc_n[(s, c)]))
+            books[s] = _normalize(books[s])
     books_ref = ray.put(np.stack(books))  # (n_sub, k, w)
 
     def encode(batch: pa.Table) -> pa.Table:
