@@ -3898,6 +3898,14 @@ def q_fair_share_sample(sf_dir: str):
             break
         pre += nk
 
+    if waterline <= 0:  # budget below one-per-source: nothing survives
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "source": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+        }))
+
     def rank(batch: pa.Table) -> pa.Table:
         ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
         return pa.table({

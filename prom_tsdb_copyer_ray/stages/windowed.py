@@ -790,7 +790,10 @@ def rolling_sigma_outliers(
     values |c| <= 5e4 and window <= 64 every intermediate stays < 2^63.
     Note the max z-score in an n-row frame is sqrt(n-1), so ``window``
     must exceed ``k*k + 1`` for any point to be flaggable (k=3 needs
-    window >= 11).
+    window >= 11).  Overflow bound: the per-shard PREFIX sum of c^2 must
+    stay < 2^63 — at centi-scale |c| <= 5e4 that is ~3.7e9 samples per
+    key segment; longer single-series histories want a per-segment chunked
+    cumsum (document of record, not a test-scale concern).
 
     Scale shape: one key-hash exchange of (key, order, c) rows, per-shard
     lexsort + segment-aware prefix sums (frame start = max(segment start,
