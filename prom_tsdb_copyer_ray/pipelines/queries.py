@@ -4514,6 +4514,41 @@ def q_pq_codes(sf_dir: str):
                           n_sub=4, k=8)
 
 
+def q_lang_top_terms(sf_dir: str):
+    """Grouped text top-k: each language's 5 most document-frequent terms
+    (ties to the lexicographically smallest term) — per-batch distinct-
+    per-doc Counter combiner keyed by (lang, term), term-hash sharded
+    segment sum, then the combiner-bounded top-k kernel per lang."""
+    import re
+    from collections import Counter
+
+    from ..stages.keyed import sharded_grouped_agg, topk_per_group
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    word_re = re.compile(r"[A-Za-z]+")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        langs = batch["lang"].to_pylist()
+        for lang, t in zip(langs, batch["text"].to_pylist()):
+            counts.update(
+                (lang, w) for w in {m.lower() for m in word_re.findall(t or "")}
+            )
+        keys = list(counts.keys())
+        return pa.table({
+            "lang": pa.array([k[0] for k in keys], pa.string()),
+            "term": pa.array([k[1] for k in keys], pa.string()),
+            "df": pa.array([counts[k] for k in keys], pa.int64()),
+        })
+
+    df_tbl = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "term"], [("df", "sum")], num_shards=16,
+    )
+    return topk_per_group(df_tbl, ["lang"], "df", 5, tiebreak_col="term",
+                          descending=True)
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -4674,6 +4709,7 @@ QUERIES = {
     "skew_report": q_skew_report,
     "cos_histogram": q_cos_histogram,
     "pq_codes": q_pq_codes,
+    "lang_top_terms": q_lang_top_terms,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -6509,5 +6545,25 @@ ORACLE_SQL.update(
             "WHERE corpus_key = (SELECT CAST(SUM(CAST(floor(abs(embedding[1]) "
             "* 1000) AS BIGINT)) AS BIGINT) FROM embeddings)"
         ),
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "lang_top_terms": """
+            WITH d AS (SELECT doc_id, lang,
+                              lower(unnest(regexp_extract_all(text,
+                                                              '[A-Za-z]+')))
+                                AS term
+                       FROM documents),
+            u AS (SELECT DISTINCT doc_id, lang, term FROM d),
+            f AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS df
+                  FROM u GROUP BY 1, 2),
+            r AS (SELECT lang, term, df,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY df DESC, term) AS rn
+                  FROM f)
+            SELECT lang, term, df FROM r WHERE rn <= 5
+        """,
     }
 )
