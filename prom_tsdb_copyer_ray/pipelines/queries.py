@@ -4549,6 +4549,37 @@ def q_lang_top_terms(sf_dir: str):
                           descending=True)
 
 
+def q_session_quantiles(sf_dir: str):
+    """Engagement distribution: exact p50/p90 of session LENGTHS (event
+    counts per gap-based session) plus the session count — sessionize's
+    one keyed exchange feeding the distributed-selection quantile kernel
+    over the (tiny) per-session table."""
+    import pandas as pd
+
+    from ..stages.keyed import sessionize
+    from ..stages.sketch import exact_global_quantiles
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts_ms": ts_to_ms(b["ts"]),
+        })
+
+    sess = sessionize(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "user_id", "ts_ms", SESSION_GAP_MS,
+    ).materialize()
+    n = sess.count()
+    qs = exact_global_quantiles(sess, "n_events", (0.5, 0.9))
+    return pd.DataFrame({
+        "n_sessions": np.array([n], np.int64),
+        "p50_events": np.array([qs[0.5]], np.int64),
+        "p90_events": np.array([qs[0.9]], np.int64),
+    })
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -4710,6 +4741,7 @@ QUERIES = {
     "cos_histogram": q_cos_histogram,
     "pq_codes": q_pq_codes,
     "lang_top_terms": q_lang_top_terms,
+    "session_quantiles": q_session_quantiles,
     # rows-only (non-SQL-expressible)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -6564,6 +6596,29 @@ ORACLE_SQL.update(
                                             ORDER BY df DESC, term) AS rn
                   FROM f)
             SELECT lang, term, df FROM r WHERE rn <= 5
+        """,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "session_quantiles": """
+            WITH e AS (SELECT CAST(user_id AS BIGINT) AS u, epoch_ms(ts) AS t
+                       FROM events),
+            l AS (SELECT u, t, lag(t) OVER (PARTITION BY u ORDER BY t) AS prev
+                  FROM e),
+            s AS (SELECT u, t,
+                         sum(CASE WHEN prev IS NULL OR t - prev > 86400000
+                                  THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY u ORDER BY t
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM l),
+            c AS (SELECT u, sid, CAST(count(*) AS BIGINT) AS n_events
+                  FROM s GROUP BY 1, 2)
+            SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(quantile_disc(n_events, 0.5) AS BIGINT) AS p50_events,
+                   CAST(quantile_disc(n_events, 0.9) AS BIGINT) AS p90_events
+            FROM c
         """,
     }
 )

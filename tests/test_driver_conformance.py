@@ -144,7 +144,7 @@ def test_mirror_covers_every_oracle(entry_mod):
         "quarantine", "schema_evolution", "tpch_q3", "tpch_q5",
         "count_meta", "funnel_latency",
         "window_share", "hourly_growth", "skew_report", "cos_histogram",
-        "pq_codes", "lang_top_terms",
+        "pq_codes", "lang_top_terms", "session_quantiles",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):
