@@ -4238,6 +4238,239 @@ def q_tpch_q5(sf_dir: str):
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+_Q18_QTY = 250           # HAVING threshold: ~top-1% orders at every sf
+_Q10_T0 = 820_454_400_000   # 1996-01-01 UTC
+_Q10_T1 = 828_316_800_000   # 1996-04-01 UTC (91 days later)
+
+
+def q_tpch_q18(sf_dir: str):
+    """TPC-H Q18 (large-volume orders): orders whose total lineitem
+    quantity exceeds 250, with the ordering customer.  Plan: per-batch
+    partial sum(qty) per orderkey (quantities are integral -> exact
+    int64) -> sharded final -> the tiny HAVING-survivor set collected
+    and broadcast into the orders scan -> customer broadcast for the
+    name.  The only exchange is the (orderkey, qty) combiner rows —
+    the raw lineitems never shuffle; at 100 TB the survivor broadcast
+    escalates to a shuffle join on orderkey (stages/joins.shuffle_join)."""
+    import pyarrow.parquet as pq_mod
+
+    from ..stages.joins import broadcast_join
+    from ..stages.keyed import sharded_grouped_agg
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = np.rint(
+            batch["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        t = pa.table({
+            "l_orderkey": pc.cast(batch["l_orderkey"], pa.int64()),
+            "sum_qty": pa.array(qty),
+        })
+        g = t.group_by(["l_orderkey"]).aggregate([("sum_qty", "sum")])
+        return g.rename_columns(["l_orderkey", "sum_qty"])
+
+    per_order = sharded_grouped_agg(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["l_orderkey"], [("sum_qty", "sum")], num_shards=16,
+    )
+
+    def having(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater(batch["sum_qty"], pa.scalar(_Q18_QTY, pa.int64()))
+        )
+
+    big = pa.concat_tables(
+        per_order.map_batches(having, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    )
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def ord_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+            "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+            "o_date_ms": ts_to_ms(batch["o_orderdate"]),
+            "o_totalprice": batch["o_totalprice"],
+        })
+
+    joined = broadcast_join(
+        orders.map_batches(ord_prep, batch_format="pyarrow"),
+        big, "o_orderkey", "l_orderkey", right_cols=["sum_qty"],
+    )
+
+    cust = pq_mod.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_name"])
+    named = broadcast_join(joined, cust, "o_custkey", "c_custkey",
+                           right_cols=["c_name"])
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return batch.select([
+            "o_custkey", "c_name", "o_orderkey", "o_date_ms",
+            "o_totalprice", "sum_qty",
+        ]).rename_columns([
+            "c_custkey", "c_name", "o_orderkey", "o_date_ms",
+            "o_totalprice", "sum_qty",
+        ])
+
+    return named.map_batches(fin, batch_format="pyarrow")
+
+
+def q_tpch_q10(sf_dir: str):
+    """TPC-H Q10 (returned-item reporting): top 20 customers by revenue
+    lost to returns on 1996-Q1 orders.  Plan: the quarter's orders
+    collected (a date-window fraction of a dim table) and broadcast
+    into the lineitem scan filtered to l_returnflag='R' -> exact
+    micro-unit revenue combiner per customer (cents(price) x
+    cents(1-disc), associative int64, the q_tpch_q3 protocol) ->
+    sharded final -> combiner-bounded top-20 -> customer + nation
+    names resolved driver-side.  Zero all-to-all shuffles; escalation
+    documented in q_tpch_q3."""
+    import pyarrow.parquet as pq_mod
+
+    from ..stages.joins import broadcast_join
+    from ..stages.keyed import sharded_grouped_agg, topk_per_group
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ord_filter(batch: pa.Table) -> pa.Table:
+        ms = ts_to_ms(batch["o_orderdate"])
+        keep = pc.and_(pc.greater_equal(ms, pa.scalar(_Q10_T0, pa.int64())),
+                       pc.less(ms, pa.scalar(_Q10_T1, pa.int64())))
+        t = batch.filter(keep)
+        return pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+        })
+
+    ord_tbl = pa.concat_tables(
+        orders.map_batches(ord_filter, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    )
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        price_c = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc_c = np.rint(
+            (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        return pa.table({
+            "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+            "micro": pa.array(price_c * disc_c),
+        })
+
+    joined = broadcast_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        ord_tbl, "l_orderkey", "o_orderkey", right_cols=["o_custkey"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["o_custkey"]).aggregate([("micro", "sum")])
+        return g.rename_columns(["o_custkey", "micro"])
+
+    per_cust = sharded_grouped_agg(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["o_custkey"], [("micro", "sum")], num_shards=16,
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "g", pa.array(np.zeros(batch.num_rows, np.int64))
+        )
+
+    top = topk_per_group(per_cust.map_batches(tag, batch_format="pyarrow"),
+                         ["g"], "micro", 20, tiebreak_col="o_custkey",
+                         descending=True)
+
+    cust = pq_mod.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    )
+    nation = pq_mod.read_table(f"{sf_dir}/nation.parquet",
+                               columns=["n_nationkey", "n_name"])
+    nat_name = dict(zip(nation["n_nationkey"].to_pylist(),
+                        nation["n_name"].to_pylist()))
+
+    named = broadcast_join(top, cust, "o_custkey", "c_custkey",
+                           right_cols=["c_name", "c_acctbal", "c_nationkey"])
+
+    def fin(batch: pa.Table) -> pa.Table:
+        rev = batch["micro"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nk = pc.cast(batch["c_nationkey"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table({
+            "c_custkey": batch["o_custkey"],
+            "c_name": batch["c_name"],
+            "revenue": pa.array(rev / 10000.0, pa.float64()),
+            "c_acctbal": batch["c_acctbal"],
+            "n_name": pa.array([nat_name[int(k)] for k in nk], pa.string()),
+        })
+
+    return named.map_batches(fin, batch_format="pyarrow")
+
+
+_EWMA_K = 16
+
+
+def q_ewma_decay(sf_dir: str):
+    """Time-decayed aggregate (alpha = 1/2 EWMA over each type's last 16
+    events): the streaming-sketch answer to "what is this signal doing
+    RIGHT NOW".  Weights are exact powers of two on centi-unit int64
+    values, so the decayed sum is associative integer math — bit-identical
+    across block layouts and SQL-checkable (a float (1-a)^k accumulation
+    would re-associate).  Plan: combiner-bounded top-16-by-ts per type
+    (topk_per_group: per-batch partials, one tiny exchange), rank + shift
+    weights on the n_types x 16 survivor table."""
+    import pandas as pd
+
+    from ..stages.keyed import topk_per_group
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cv = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "ts_ms": ts_to_ms(batch["ts"]),
+            "centi": pa.array(cv),
+        })
+
+    last = topk_per_group(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type"], "ts_ms", _EWMA_K,
+        tiebreak_col="event_id", descending=True,
+    )
+    t = pa.concat_tables(last.iter_batches(batch_format="pyarrow"))
+    t = t.sort_by([("event_type", "ascending"), ("ts_ms", "descending"),
+                   ("event_id", "ascending")])
+    types = np.asarray(t["event_type"].to_pylist(), dtype=object)
+    new = np.r_[True, types[1:] != types[:-1]]
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.r_[starts, len(types)])
+    rn = np.arange(len(types), dtype=np.int64) - np.repeat(starts, sizes) + 1
+    w = np.int64(1) << (_EWMA_K - rn)
+    centi = t["centi"].to_numpy(zero_copy_only=False)
+    dec = np.add.reduceat(centi * w, starts)
+    wsum = np.add.reduceat(w, starts)
+    return pd.DataFrame({
+        "event_type": types[starts],
+        "n_used": sizes.astype(np.int64),
+        "decayed_centi": dec.astype(np.int64),
+        "ewma": dec.astype(np.float64) / wsum / 100.0,
+    })
+
+
 def q_count_meta(sf_dir: str):
     """Aggregate pushdown to metadata: exact row counts of every table from
     Parquet footers alone (sources/parquet.count_rows_metadata — zero data
@@ -4733,6 +4966,9 @@ QUERIES = {
     "schema_evolution": q_schema_evolution,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
+    "tpch_q18": q_tpch_q18,
+    "tpch_q10": q_tpch_q10,
+    "ewma_decay": q_ewma_decay,
     "count_meta": q_count_meta,
     "funnel_latency": q_funnel_latency,
     "window_share": q_window_share,
@@ -6596,6 +6832,69 @@ ORACLE_SQL.update(
                                             ORDER BY df DESC, term) AS rn
                   FROM f)
             SELECT lang, term, df FROM r WHERE rn <= 5
+        """,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "tpch_q18": """
+            WITH s AS (SELECT CAST(l_orderkey AS BIGINT) AS okey,
+                              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                                AS sum_qty
+                       FROM lineitem GROUP BY 1)
+            SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name,
+                   CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+                   epoch_ms(o.o_orderdate) AS o_date_ms,
+                   o.o_totalprice, s.sum_qty
+            FROM s
+            JOIN orders o ON o.o_orderkey = s.okey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE s.sum_qty > 250
+        """,
+        "ewma_decay": """
+            WITH e AS (SELECT event_type,
+                              CAST(event_id AS BIGINT) AS event_id,
+                              epoch_ms(ts) AS t,
+                              CAST(round(value * 100) AS BIGINT) AS centi
+                       FROM events),
+            r AS (SELECT *, row_number()
+                             OVER (PARTITION BY event_type
+                                   ORDER BY t DESC, event_id) AS rn
+                  FROM e),
+            k AS (SELECT * FROM r WHERE rn <= 16),
+            a AS (SELECT event_type,
+                         CAST(count(*) AS BIGINT) AS n_used,
+                         CAST(sum(centi * (1::BIGINT << (16 - rn)))
+                              AS BIGINT) AS decayed_centi,
+                         CAST(sum(1::BIGINT << (16 - rn)) AS BIGINT) AS wsum
+                  FROM k GROUP BY 1)
+            SELECT event_type, n_used, decayed_centi,
+                   CAST(decayed_centi AS DOUBLE) / wsum / 100.0 AS ewma
+            FROM a
+        """,
+        "tpch_q10": """
+            WITH r AS (
+              SELECT CAST(o.o_custkey AS BIGINT) AS o_custkey,
+                     SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * CAST(round((1 - l.l_discount) * 100) AS BIGINT))
+                       AS micro
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE l.l_returnflag = 'R'
+                AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+              GROUP BY 1),
+            t AS (SELECT *, row_number()
+                             OVER (ORDER BY micro DESC, o_custkey) AS rn
+                  FROM r)
+            SELECT t.o_custkey AS c_custkey, c.c_name,
+                   CAST(t.micro AS DOUBLE) / 10000.0 AS revenue,
+                   c.c_acctbal, n.n_name
+            FROM t
+            JOIN customer c ON c.c_custkey = t.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            WHERE t.rn <= 20
         """,
     }
 )
