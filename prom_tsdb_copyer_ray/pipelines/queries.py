@@ -4471,6 +4471,59 @@ def q_ewma_decay(sf_dir: str):
     })
 
 
+_JL_DIMS = 8
+_JL_A = 6364136223846793005   # Knuth LCG multiplier
+_JL_B = 1442695040888963407
+
+
+def _jl_sign_matrix(in_dims: int) -> np.ndarray:
+    """Deterministic +-1 projection matrix: sign(j, d) = bit 37 of the
+    mod-2^64 hash A*j + B*d — reproducible in SQL via HUGEINT math, so the
+    projection is oracle-checkable (a seeded Gaussian matrix would not be).
+    Sign matrices satisfy the JL lemma like Gaussians (Achlioptas 2003)."""
+    j = np.arange(in_dims, dtype=np.uint64)[:, None]
+    d = np.arange(_JL_DIMS, dtype=np.uint64)[None, :]
+    with np.errstate(over="ignore"):
+        h = np.uint64(_JL_A) * j + np.uint64(_JL_B) * d
+    bit = (h >> np.uint64(37)) & np.uint64(1)
+    return (1 - 2 * bit.astype(np.int64))
+
+
+def q_rand_projection(sf_dir: str):
+    """Johnson-Lindenstrauss dimensionality reduction census: every
+    embedding projected 64 -> 8 dims through a deterministic +-1 sign
+    matrix on micro-unit int64 elements (exact integer matmul — associative,
+    bit-identical across block layouts), reported as per-output-dim
+    positive/negative counts and projection sum.  One int64 matmul per
+    batch against a matrix built once per task; only 8-row partials leave
+    the scan.  The projection is the standard preprocessing step before
+    LSH / clustering at billion-vector scale."""
+    from ..stages.keyed import sharded_grouped_agg
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arrs = batch["embedding"]
+        flat = np.asarray(
+            arrs.combine_chunks().flatten(), dtype=np.float64
+        ).reshape(-1, 64)
+        micro = np.rint(flat * 1e6).astype(np.int64)
+        proj = micro @ _jl_sign_matrix(64)          # (n, 8) exact int64
+        return pa.table({
+            "dim": pa.array(np.arange(_JL_DIMS, dtype=np.int64)),
+            "n_pos": pa.array((proj > 0).sum(axis=0).astype(np.int64)),
+            "n_neg": pa.array((proj < 0).sum(axis=0).astype(np.int64)),
+            "sum_proj": pa.array(proj.sum(axis=0, dtype=np.int64)),
+        })
+
+    return sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["dim"],
+        [("n_pos", "sum"), ("n_neg", "sum"), ("sum_proj", "sum")],
+        num_shards=1,
+    )
+
+
 def q_count_meta(sf_dir: str):
     """Aggregate pushdown to metadata: exact row counts of every table from
     Parquet footers alone (sources/parquet.count_rows_metadata — zero data
@@ -4969,6 +5022,7 @@ QUERIES = {
     "tpch_q18": q_tpch_q18,
     "tpch_q10": q_tpch_q10,
     "ewma_decay": q_ewma_decay,
+    "rand_projection": q_rand_projection,
     "count_meta": q_count_meta,
     "funnel_latency": q_funnel_latency,
     "window_share": q_window_share,
@@ -6851,6 +6905,33 @@ ORACLE_SQL.update(
             JOIN orders o ON o.o_orderkey = s.okey
             JOIN customer c ON c.c_custkey = o.o_custkey
             WHERE s.sum_qty > 250
+        """,
+        "rand_projection": """
+            WITH el AS (SELECT vec_id,
+                               generate_subscripts(embedding, 1) - 1 AS j,
+                               unnest(embedding) AS elem
+                        FROM embeddings),
+            m AS (SELECT vec_id, j,
+                         CAST(round(CAST(elem AS DOUBLE) * 1e6) AS BIGINT)
+                           AS micro
+                  FROM el),
+            dims AS (SELECT unnest(generate_series(0, 7)) AS dim),
+            sgn AS (SELECT m.vec_id, dims.dim,
+                           SUM(m.micro * (1 - 2 * CAST(
+                               ((CAST(6364136223846793005 AS HUGEINT) * m.j
+                                 + CAST(1442695040888963407 AS HUGEINT)
+                                   * dims.dim)
+                                % 18446744073709551616
+                                // 137438953472) % 2 AS BIGINT)))
+                             AS proj
+                    FROM m, dims GROUP BY 1, 2)
+            SELECT dim,
+                   CAST(sum(CASE WHEN proj > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_pos,
+                   CAST(sum(CASE WHEN proj < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_neg,
+                   CAST(sum(proj) AS BIGINT) AS sum_proj
+            FROM sgn GROUP BY 1
         """,
         "ewma_decay": """
             WITH e AS (SELECT event_type,
