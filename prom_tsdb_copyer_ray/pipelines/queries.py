@@ -4524,6 +4524,110 @@ def q_rand_projection(sf_dir: str):
     )
 
 
+def q_benford_digits(sf_dir: str):
+    """Data-forensics census: first significant digit of every positive
+    event value per type (Benford's-law audit input — fabricated or
+    unit-mixed feeds skew this distribution).  The digit is extracted by
+    integer division on exact centi-units (a float log10 would flip
+    floor() at representation boundaries, e.g. log10(0.01)); partial
+    (type, digit) counts combine in-scan, one 9-key-per-type exchange."""
+    from ..stages.keyed import sharded_grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        centi = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        d = centi[centi > 0]
+        types = batch["event_type"].filter(pa.array(centi > 0))
+        while True:
+            big = d >= 10
+            if not big.any():
+                break
+            d[big] //= 10
+        t = pa.table({
+            "event_type": types,
+            "digit": pa.array(d),
+            "n": pa.array(np.ones(len(d), np.int64)),
+        })
+        g = t.group_by(["event_type", "digit"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "digit", "n"])
+
+    return sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "digit"], [("n", "sum")], num_shards=4,
+    )
+
+
+def q_gini_concentration(sf_dir: str):
+    """Inequality profile: exact Gini coefficient of document length per
+    source (how concentrated is each feed's token mass — the long-tail
+    diagnostic behind sampling-temperature choices).  Plan: (source,
+    n_chars) census combiner in-scan + sharded final (the exchange is
+    bounded by sources x distinct lengths, NOT docs), then the
+    mean-absolute-difference Gini on the sorted census via integer
+    prefix sums — numerator/denominator stay int64 (bound: n_docs x
+    total_chars x max_len per source must fit 2^63; at web scale bucket
+    lengths first), one final double division on both engines."""
+    import pandas as pd
+
+    from ..stages.keyed import sharded_grouped_agg
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "source": batch["source"],
+            "n_chars": pc.cast(batch["n_chars"], pa.int64()),
+            "cnt": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+        g = t.group_by(["source", "n_chars"]).aggregate([("cnt", "sum")])
+        return g.rename_columns(["source", "n_chars", "cnt"])
+
+    census = pa.concat_tables(
+        sharded_grouped_agg(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["source", "n_chars"], [("cnt", "sum")], num_shards=8,
+        ).iter_batches(batch_format="pyarrow")
+    ).sort_by([("source", "ascending"), ("n_chars", "ascending")])
+
+    src = np.asarray(census["source"].to_pylist(), dtype=object)
+    v = census["n_chars"].to_numpy(zero_copy_only=False)
+    c = census["cnt"].to_numpy(zero_copy_only=False)
+    new = np.r_[True, src[1:] != src[:-1]]
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.r_[starts, len(src)])
+    # per-source exclusive prefix sums of counts and count*value
+    cum_n = np.cumsum(c) - c
+    cum_s = np.cumsum(c * v) - c * v
+    base_n = np.repeat(cum_n[starts], sizes)
+    base_s = np.repeat(cum_s[starts], sizes)
+    nlt = cum_n - base_n
+    slt = cum_s - base_s
+    absdiff_terms = c * (v * nlt - slt)
+    absdiff = 2 * np.add.reduceat(absdiff_terms, starts)
+    n_docs = np.add.reduceat(c, starts)
+    total = np.add.reduceat(c * v, starts)
+    return pd.DataFrame({
+        "source": src[starts],
+        "n_docs": n_docs.astype(np.int64),
+        "total_chars": total.astype(np.int64),
+        "gini": absdiff.astype(np.float64) / (2.0 * n_docs * total),
+    })
+
+
+def q_bigram_logprob(sf_dir: str):
+    """Per-doc mean negative log-prob under the corpus bigram LM — the
+    conditional (word-order-aware) perplexity quality score next to
+    unigram_logprob (stages/textstats.bigram_logprob: pair-census
+    combiner + one broadcast, then a shuffle-free vectorized scoring
+    pass)."""
+    from ..stages.textstats import bigram_logprob
+
+    return bigram_logprob(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_count_meta(sf_dir: str):
     """Aggregate pushdown to metadata: exact row counts of every table from
     Parquet footers alone (sources/parquet.count_rows_metadata — zero data
@@ -5023,6 +5127,9 @@ QUERIES = {
     "tpch_q10": q_tpch_q10,
     "ewma_decay": q_ewma_decay,
     "rand_projection": q_rand_projection,
+    "benford_digits": q_benford_digits,
+    "gini_concentration": q_gini_concentration,
+    "bigram_logprob": q_bigram_logprob,
     "count_meta": q_count_meta,
     "funnel_latency": q_funnel_latency,
     "window_share": q_window_share,
@@ -6905,6 +7012,57 @@ ORACLE_SQL.update(
             JOIN orders o ON o.o_orderkey = s.okey
             JOIN customer c ON c.c_custkey = o.o_custkey
             WHERE s.sum_qty > 250
+        """,
+        "bigram_logprob": f"""
+            WITH toks AS ({_SQL_TOKS}),
+            ex AS (SELECT doc_id, generate_subscripts(tk, 1) AS i,
+                          unnest(tk) AS tok
+                   FROM toks),
+            bg AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+                   FROM ex a
+                   JOIN ex b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+            c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+                   FROM bg GROUP BY 1, 2),
+            c1 AS (SELECT w1, CAST(sum(n) AS DOUBLE) AS t
+                   FROM c2 GROUP BY 1)
+            SELECT g.doc_id, round(-avg(ln(c2.n / c1.t)), 6) AS nll2
+            FROM bg g
+            JOIN c2 ON c2.w1 = g.w1 AND c2.w2 = g.w2
+            JOIN c1 ON c1.w1 = g.w1
+            GROUP BY 1
+        """,
+        "gini_concentration": """
+            WITH c AS (SELECT source, CAST(n_chars AS BIGINT) AS v,
+                              CAST(count(*) AS BIGINT) AS cnt
+                       FROM documents GROUP BY 1, 2),
+            p AS (SELECT source, v, cnt,
+                         coalesce(sum(cnt) OVER w, 0) AS nlt,
+                         coalesce(sum(cnt * v) OVER w, 0) AS slt
+                  FROM c
+                  WINDOW w AS (PARTITION BY source ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING)),
+            a AS (SELECT source,
+                         CAST(sum(cnt) AS BIGINT) AS n_docs,
+                         CAST(sum(cnt * v) AS BIGINT) AS total_chars,
+                         CAST(2 * sum(cnt * (v * nlt - slt)) AS BIGINT)
+                           AS absdiff
+                  FROM p GROUP BY 1)
+            SELECT source, n_docs, total_chars,
+                   CAST(absdiff AS DOUBLE)
+                     / (2.0 * n_docs * total_chars) AS gini
+            FROM a
+        """,
+        "benford_digits": """
+            WITH c AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS centi
+                       FROM events),
+            d AS (SELECT event_type,
+                         CAST(substr(CAST(centi AS VARCHAR), 1, 1) AS BIGINT)
+                           AS digit
+                  FROM c WHERE centi > 0)
+            SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
+            FROM d GROUP BY 1, 2
         """,
         "rand_projection": """
             WITH el AS (SELECT vec_id,

@@ -365,6 +365,144 @@ def _shard_term_sum(group: pa.Table) -> pa.Table:
     })
 
 
+def bigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text",
+                   out_col: str = "nll2"):
+    """Per-document mean negative log-prob of each token GIVEN its
+    predecessor under the corpus bigram LM — the next-step quality score
+    after unigram_logprob (catches shuffled-word salad that unigram
+    stats cannot).  Docs with < 2 tokens emit no row (no bigram).
+
+    Two passes mirroring unigram_logprob: (1) a (w1, w2, n) census via
+    the per-batch Counter combiner + pair-shard segment sum, collected
+    and broadcast ONCE (the pair vocabulary is Zipf-bounded at test
+    scale; beyond broadcast size scoring switches to the co-partitioned
+    pair-shard join, the tf-idf escalation); left-marginal counts
+    c1(w1) = sum_w2 n derive from the census driver-side, so
+    p(w2|w1) = n / c1 needs no smoothing — every scored bigram is in
+    the census by construction.  (2) a shuffle-free scoring pass:
+    tokens indexed once against the census term list, pair key
+    i1 * V + i2 (collision-free int64), one searchsorted against the
+    broadcast sorted pair keys, per-doc segment means of -ln(n / c1)
+    via exact offset cumsums, round-6 (absorbs the 1-ulp libm spread,
+    the unigram_logprob protocol)."""
+    import ray
+
+    from collections import Counter
+
+    from ..functions.text import _WS_SPLIT
+
+    def _token_lists(texts):
+        trimmed = pc.utf8_trim(pc.cast(texts, pa.string()), " \t\r\n")
+        return pc.split_pattern_regex(trimmed, _WS_SPLIT), trimmed
+
+    def partial_pairs(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        lists, trimmed = _token_lists(batch[text_col])
+        for toks, t in zip(lists.to_pylist(), trimmed.to_pylist()):
+            if t and len(toks) >= 2:
+                counts.update(zip(toks[:-1], toks[1:]))
+        keys = list(counts.keys())
+        tbl = pa.table({
+            "w1": pa.array([k[0] for k in keys], pa.string()),
+            "w2": pa.array([k[1] for k in keys], pa.string()),
+            "n": pa.array([counts[k] for k in keys], pa.int64()),
+        })
+        joined = pc.binary_join_element_wise(tbl["w1"], tbl["w2"], "\x1f")
+        shard = (poly_hash_column(joined, fold63=False)
+                 % np.uint64(64)).astype(np.int64)
+        return tbl.append_column("_pshard", pa.array(shard))
+
+    parts = [
+        p for p in (
+            ds.map_batches(partial_pairs, batch_format="pyarrow")
+            .groupby("_pshard")
+            .map_groups(_shard_pair_sum, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        )
+    ]
+    census = pa.concat_tables(parts)
+    w1 = np.asarray(census["w1"].to_pylist(), dtype=object)
+    w2 = np.asarray(census["w2"].to_pylist(), dtype=object)
+    n = census["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    terms, inv = np.unique(np.r_[w1, w2], return_inverse=True)
+    V = np.int64(len(terms))
+    i1, i2 = inv[: len(w1)].astype(np.int64), inv[len(w1):].astype(np.int64)
+    c1 = np.zeros(len(terms), np.int64)
+    np.add.at(c1, i1, n)
+    keys = i1 * V + i2
+    order = np.argsort(keys, kind="stable")
+    nll_pair = -np.log(n[order].astype(np.float64)
+                       / c1[i1[order]].astype(np.float64))
+    model_ref = ray.put((
+        pa.array(terms.tolist(), pa.string()), keys[order], nll_pair,
+    ))
+
+    def score(batch: pa.Table) -> pa.Table:
+        terms_a, keys_s, nll_s = ray.get(model_ref)
+        ids = pc.cast(batch[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        lists, trimmed = _token_lists(batch[text_col])
+        lists = (lists.combine_chunks()
+                 if isinstance(lists, pa.ChunkedArray) else lists)
+        n_tok = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        ok = np.asarray(
+            pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False)
+        ) & (n_tok >= 2)
+        if not ok.any():
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             out_col: pa.array([], pa.float64())})
+        lists_ok = lists.filter(pa.array(ok))
+        ids_ok = ids[ok]
+        n_ok = n_tok[ok]
+        flat = lists_ok.flatten()
+        idx = pc.index_in(flat, value_set=terms_a).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)  # every token of a >=2-token doc is in the census
+        offsets = np.zeros(len(ids_ok) + 1, np.int64)
+        np.cumsum(n_ok, out=offsets[1:])
+        left = np.ones(len(idx), bool)
+        left[offsets[1:] - 1] = False  # last token of each doc starts no pair
+        li = np.flatnonzero(left)
+        k = idx[li] * np.int64(len(terms_a)) + idx[li + 1]
+        pos = np.searchsorted(keys_s, k)
+        nll_flat = nll_s[pos]
+        p_off = np.zeros(len(ids_ok) + 1, np.int64)
+        np.cumsum(n_ok - 1, out=p_off[1:])
+        csum = np.r_[0.0, np.cumsum(nll_flat)]
+        means = (csum[p_off[1:]] - csum[p_off[:-1]]) / (n_ok - 1)
+        return pa.table({
+            id_col: pa.array(ids_ok, pa.int64()),
+            out_col: pa.array(np.round(means, 6), pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _shard_pair_sum(group: pa.Table) -> pa.Table:
+    """Segment-sum of (w1, w2, n) rows within one pair-hash shard."""
+    if group.num_rows == 0:
+        return pa.table({"w1": pa.array([], pa.string()),
+                         "w2": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    t = group.sort_by([("w1", "ascending"), ("w2", "ascending")])
+    j = pc.binary_join_element_wise(t["w1"], t["w2"], "\x1f")
+    j = j.combine_chunks() if isinstance(j, pa.ChunkedArray) else j
+    m = t.num_rows
+    new = np.ones(m, dtype=bool)
+    new[1:] = pc.not_equal(j.slice(1), j.slice(0, m - 1)).to_numpy(
+        zero_copy_only=False
+    )
+    starts = np.flatnonzero(new)
+    sums = np.add.reduceat(t["n"].to_numpy(zero_copy_only=False), starts)
+    take = pa.array(starts)
+    return pa.table({
+        "w1": t["w1"].take(take),
+        "w2": t["w2"].take(take),
+        "n": pa.array(sums.astype(np.int64), pa.int64()),
+    })
+
+
 def char_entropy(ds, id_col: str = "doc_id", text_col: str = "text",
                  out_col: str = "h"):
     """Per-doc Shannon entropy (log2) of the CHARACTER distribution — the

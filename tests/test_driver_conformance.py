@@ -143,6 +143,7 @@ def test_mirror_covers_every_oracle(entry_mod):
         "audio_loudness", "fair_share_sample", "phrase_search",
         "quarantine", "schema_evolution", "tpch_q3", "tpch_q5",
         "tpch_q18", "tpch_q10", "ewma_decay", "rand_projection",
+        "benford_digits", "gini_concentration", "bigram_logprob",
         "count_meta", "funnel_latency",
         "window_share", "hourly_growth", "skew_report", "cos_histogram",
         "pq_codes", "lang_top_terms", "session_quantiles",
