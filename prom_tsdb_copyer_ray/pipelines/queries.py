@@ -4628,6 +4628,74 @@ def q_bigram_logprob(sf_dir: str):
     return bigram_logprob(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+_BLOOM_PROBE_USERS = [7, 101, -1]   # two present, one absent (FP-path probe)
+
+
+def q_bloom_lookup(sf_dir: str):
+    """Point lookup through a persisted per-file Bloom skip index
+    (sources/parquet.build_bloom_index): events hash-sharded into 32
+    files by user (cached per corpus under /tmp — the layout where
+    min/max footer stats prune NOTHING because every file spans the full
+    user range), then a 3-user probe opens only the bloom-surviving
+    files (~3/32 + false positives) and applies the exact filter
+    in-scan.  test_parquet_source asserts the file-skip evidence;
+    correctness here is vs the full-scan SQL."""
+    import os
+
+    from ..sources.parquet import build_bloom_index, read_bloom_pruned
+    from ..stages.keyed import sharded_grouped_agg
+
+    corpus = f"/tmp/graft_bloom_corpus_v1_{_corpus_tag(sf_dir, 'events')}"
+    data_dir = os.path.join(corpus, "data")
+    index_dir = os.path.join(corpus, "index")
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        ds = _read(sf_dir, "events", ["user_id", "value"])
+
+        def shard(batch: pa.Table) -> pa.Table:
+            u = pc.cast(batch["user_id"], pa.int64())
+            return pa.table({
+                "user_id": u,
+                "value": batch["value"],
+                "_shard": pc.cast(
+                    pc.bit_wise_and(u, pa.scalar(31, pa.int64())), pa.int64()
+                ),
+            })
+
+        # sort by the partition col before the hive write (one file per
+        # shard, not one per block x shard — the persisted-index layout
+        # protocol)
+        (ds.map_batches(shard, batch_format="pyarrow")
+         .sort("_shard")
+         .write_parquet(data_dir, partition_cols=["_shard"]))
+        build_bloom_index(data_dir, "user_id", index_dir)
+
+    probe = _BLOOM_PROBE_USERS
+    ds = read_bloom_pruned(data_dir, index_dir, probe,
+                           columns=["user_id", "value"])
+
+    def exact(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(pc.cast(batch["user_id"], pa.int64()),
+                        value_set=pa.array(probe, pa.int64()))
+        t = batch.filter(keep)
+        centi = np.rint(
+            t["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        g = pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "n_events": pa.array(np.ones(t.num_rows, np.int64)),
+            "sum_centi": pa.array(centi),
+        }).group_by(["user_id"]).aggregate(
+            [("n_events", "sum"), ("sum_centi", "sum")]
+        )
+        return g.rename_columns(["user_id", "n_events", "sum_centi"])
+
+    return sharded_grouped_agg(
+        ds.map_batches(exact, batch_format="pyarrow"),
+        ["user_id"], [("n_events", "sum"), ("sum_centi", "sum")],
+        num_shards=1,
+    )
+
+
 def q_count_meta(sf_dir: str):
     """Aggregate pushdown to metadata: exact row counts of every table from
     Parquet footers alone (sources/parquet.count_rows_metadata — zero data
@@ -5130,6 +5198,7 @@ QUERIES = {
     "benford_digits": q_benford_digits,
     "gini_concentration": q_gini_concentration,
     "bigram_logprob": q_bigram_logprob,
+    "bloom_lookup": q_bloom_lookup,
     "count_meta": q_count_meta,
     "funnel_latency": q_funnel_latency,
     "window_share": q_window_share,
@@ -7012,6 +7081,15 @@ ORACLE_SQL.update(
             JOIN orders o ON o.o_orderkey = s.okey
             JOIN customer c ON c.c_custkey = o.o_custkey
             WHERE s.sum_qty > 250
+        """,
+        "bloom_lookup": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_centi
+            FROM events
+            WHERE user_id IN (7, 101, -1)
+            GROUP BY 1
         """,
         "bigram_logprob": f"""
             WITH toks AS ({_SQL_TOKS}),

@@ -349,3 +349,152 @@ def count_rows_metadata(source: str | list[str]) -> int:
     paths = (list_parquet_files(source)
              if isinstance(source, str) else list(source))
     return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter file-skip index (point-lookup pruning beyond min/max stats)
+# ---------------------------------------------------------------------------
+
+_BLOOM_VERSION = 1
+
+
+def _bloom_key_hashes(values) -> np.ndarray:
+    """Normalize probe/build keys to uint64 hashes.
+
+    Strings hash with the corpus-wide vectorized polynomial hash
+    (functions/hashing.poly_hash_column); integers go through a splitmix64
+    finalizer so adjacent ids spread over the filter.  Both are
+    deterministic across processes (no PYTHONHASHSEED dependence)."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import poly_hash_column
+
+    if isinstance(values, (list, tuple)):
+        values = pa.array(values)
+    if isinstance(values, np.ndarray) and values.dtype.kind in "iu":
+        h = values.astype(np.uint64)
+    elif isinstance(values, (pa.Array, pa.ChunkedArray)) and pa.types.is_integer(values.type):
+        h = pc.cast(values, pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+    else:
+        return poly_hash_column(values, fold63=False)
+    with np.errstate(over="ignore"):
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return h ^ (h >> np.uint64(31))
+
+
+def _bloom_positions(h: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """Kirsch-Mitzenmacher double hashing: k bit positions per key from one
+    64-bit hash, shape (len(h), k).  ``m_bits`` must be a power of two."""
+    h1 = h
+    h2 = (h >> np.uint64(33)) | np.uint64(1)  # odd -> full-period stride
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    with np.errstate(over="ignore"):
+        pos = h1[:, None] + i * h2[:, None]
+    return (pos & np.uint64(m_bits - 1)).astype(np.int64)
+
+
+def build_bloom_index(source: str | list[str], key_col: str, index_dir: str,
+                      bits_per_key: int = 16, num_hashes: int = 4) -> int:
+    """Per-FILE Bloom filters over ``key_col`` — the point-lookup skip
+    index that min/max footer stats cannot provide (a hash-sharded or
+    unsorted key has full-range stats in every file).
+
+    The file is the skip unit, so the build fans out one Dataset row per
+    file (``from_items(paths).map_batches(batch_size=1)``: per-file tasks
+    with streaming backpressure), each reading ONLY the key column of its
+    file, hashing the distinct keys, and emitting a sized-to-ndv power-of-
+    two bitmap (``bits_per_key`` x ndv, >= 0.2% false positives at 16x4).
+    Filters land in one small ``blooms.parquet`` + ``meta.json`` under
+    ``index_dir`` — O(files) planning bytes at probe time, the same
+    asymmetry as :func:`range_from_metadata`.
+
+    Returns the number of files indexed."""
+    import json
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    paths = (list_parquet_files(source)
+             if isinstance(source, str) else sorted(source))
+
+    def file_bloom(batch: pa.Table) -> pa.Table:
+        out_p, out_m, out_bits = [], [], []
+        for path in batch["path"].to_pylist():
+            t = pq.read_table(path, columns=[key_col])
+            col = t[key_col].combine_chunks()
+            uniq = col.unique()
+            h = _bloom_key_hashes(uniq)
+            m_bits = 1 << int(max(6, np.ceil(np.log2(max(1, len(h)) * bits_per_key))))
+            pos = _bloom_positions(h, m_bits, num_hashes).ravel()
+            bits = np.zeros(m_bits >> 3, np.uint8)
+            np.bitwise_or.at(bits, pos >> 3,
+                             np.left_shift(np.uint8(1), (pos & 7).astype(np.uint8)))
+            out_p.append(path)
+            out_m.append(m_bits)
+            out_bits.append(bits.tobytes())
+        return pa.table({
+            "path": pa.array(out_p, pa.string()),
+            "m_bits": pa.array(out_m, pa.int64()),
+            "bitmap": pa.array(out_bits, pa.binary()),
+        })
+
+    rows = ray.data.from_items([{"path": p} for p in paths])
+    blooms = pa.concat_tables(
+        rows.map_batches(file_bloom, batch_format="pyarrow", batch_size=1)
+        .iter_batches(batch_format="pyarrow")
+    ).sort_by([("path", "ascending")])
+    os.makedirs(index_dir, exist_ok=True)
+    import pyarrow.parquet as pqw
+
+    pqw.write_table(blooms, os.path.join(index_dir, "blooms.parquet"))
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump({"version": _BLOOM_VERSION, "key_col": key_col,
+                   "num_hashes": num_hashes, "n_files": len(paths)}, f)
+    return len(paths)
+
+
+def bloom_prune_files(index_dir: str, values) -> list[str]:
+    """Files that MAY contain any of ``values`` under the index's filters
+    (no false negatives; false positives bounded by the build sizing).
+    O(files x k) bit probes on the driver — planning work, no data I/O."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    k = int(meta["num_hashes"])
+    blooms = pq.read_table(os.path.join(index_dir, "blooms.parquet"))
+    h = _bloom_key_hashes(values)
+    keep = []
+    for path, m_bits, bitmap in zip(blooms["path"].to_pylist(),
+                                    blooms["m_bits"].to_pylist(),
+                                    blooms["bitmap"].to_pylist()):
+        bits = np.frombuffer(bitmap, np.uint8)
+        pos = _bloom_positions(h, int(m_bits), k)
+        hit = ((bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).all(axis=1)
+        if hit.any():
+            keep.append(path)
+    return keep
+
+
+def read_bloom_pruned(source: str | list[str], index_dir: str, values,
+                      columns: list[str] | None = None):
+    """``read_parquet`` over only the bloom-surviving files.  The caller
+    still applies the exact filter (bloom passes are probabilistic); a
+    probe set matching no file yields an empty Dataset with the right
+    schema (first file's footer)."""
+    import ray.data
+
+    all_paths = (list_parquet_files(source)
+                 if isinstance(source, str) else sorted(source))
+    keep = bloom_prune_files(index_dir, values)
+    if not keep:
+        import pyarrow.parquet as pq
+
+        sch = pq.read_schema(all_paths[0])
+        if columns:
+            sch = pa.schema([sch.field(c) for c in columns])
+        return ray.data.from_arrow(sch.empty_table())
+    return ray.data.read_parquet(keep, columns=columns)

@@ -144,6 +144,7 @@ def test_mirror_covers_every_oracle(entry_mod):
         "quarantine", "schema_evolution", "tpch_q3", "tpch_q5",
         "tpch_q18", "tpch_q10", "ewma_decay", "rand_projection",
         "benford_digits", "gini_concentration", "bigram_logprob",
+        "bloom_lookup",
         "count_meta", "funnel_latency",
         "window_share", "hourly_growth", "skew_report", "cos_histogram",
         "pq_codes", "lang_top_terms", "session_quantiles",

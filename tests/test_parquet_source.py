@@ -158,3 +158,110 @@ def test_read_pruned_ns_and_ms_units(ray_session, tmp_path):
         assert (lo, hi, n) == (int(raw.min()), int(raw.max()), 50)
         ds = read_pruned(p, ts_col="ts", t_from_ms=int(raw.min()), t_to_ms=int(raw[24]))
         assert len(ds.to_pandas()) == 25
+
+
+# ---------------------------------------------------------------------------
+# Bloom file-skip index
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def bloom_lake(tmp_path_factory, ray_session):
+    """16 files hash-sharded by user_id (every file spans the full id
+    range's min/max, so footer stats prune nothing)."""
+    from prom_tsdb_copyer_ray.sources.parquet import build_bloom_index
+
+    root = tmp_path_factory.mktemp("bloomlake")
+    data = root / "data"
+    data.mkdir()
+    rng = np.random.default_rng(7)
+    users = rng.integers(0, 4000, size=8000)
+    for s in range(16):
+        u = users[users % 16 == s]
+        pq.write_table(
+            pa.table({"user_id": pa.array(u, pa.int64()),
+                      "value": pa.array(rng.normal(size=len(u)))}),
+            str(data / f"part-{s:02d}.parquet"),
+        )
+    idx = root / "index"
+    n = build_bloom_index(str(data), "user_id", str(idx))
+    assert n == 16
+    return str(data), str(idx), users
+
+
+def test_bloom_prune_skips_files(bloom_lake):
+    from prom_tsdb_copyer_ray.sources.parquet import bloom_prune_files
+
+    data, idx, users = bloom_lake
+    probe = [int(users[0]), int(users[1])]
+    keep = bloom_prune_files(idx, probe)
+    # the two probes live in <= 2 shards; blooms may add a few false
+    # positives but must skip most of the 16 files
+    assert 1 <= len(keep) <= 5
+    # no false negatives: the true shards are present
+    true_files = {f"part-{u % 16:02d}.parquet" for u in probe}
+    assert true_files <= {os.path.basename(p) for p in keep}
+
+
+def test_bloom_read_equals_full_scan(bloom_lake, ray_session):
+    import ray.data
+
+    from prom_tsdb_copyer_ray.sources.parquet import read_bloom_pruned
+
+    data, idx, users = bloom_lake
+    probe = [int(users[5]), int(users[100]), 999_999]  # last one absent
+    pset = pa.array(probe, pa.int64())
+
+    got = (
+        read_bloom_pruned(data, idx, probe)
+        .map_batches(lambda b: b.filter(pc.is_in(b["user_id"], value_set=pset)),
+                     batch_format="pyarrow")
+        .to_pandas().sort_values(["user_id", "value"]).reset_index(drop=True)
+    )
+    want = (
+        ray.data.read_parquet(data)
+        .map_batches(lambda b: b.filter(pc.is_in(b["user_id"], value_set=pset)),
+                     batch_format="pyarrow")
+        .to_pandas().sort_values(["user_id", "value"]).reset_index(drop=True)
+    )
+    assert got.equals(want)
+    assert (got["user_id"] != 999_999).all()
+
+
+def test_bloom_absent_probe_empty_schema(bloom_lake, ray_session):
+    from prom_tsdb_copyer_ray.sources.parquet import (
+        bloom_prune_files,
+        read_bloom_pruned,
+    )
+
+    data, idx, _users = bloom_lake
+    # an absent key may bloom-hit a few files (false positives) but the
+    # schema-preserving empty path must work when nothing survives
+    keep = bloom_prune_files(idx, [987_654_321])
+    ds = read_bloom_pruned(data, idx, [987_654_321])
+    assert set(ds.schema().names) == {"user_id", "value"}
+    exact = ds.map_batches(
+        lambda b: b.filter(pc.equal(b["user_id"], 987_654_321)),
+        batch_format="pyarrow",
+    )
+    assert exact.count() == 0
+    assert len(keep) <= 3
+
+
+def test_bloom_string_keys(tmp_path, ray_session):
+    from prom_tsdb_copyer_ray.sources.parquet import (
+        bloom_prune_files,
+        build_bloom_index,
+    )
+
+    data = tmp_path / "sdata"
+    data.mkdir()
+    for s in range(8):
+        names = [f"host-{i}" for i in range(s * 50, (s + 1) * 50)]
+        pq.write_table(pa.table({"name": pa.array(names, pa.string())}),
+                       str(data / f"p{s}.parquet"))
+    idx = tmp_path / "sidx"
+    build_bloom_index(str(data), "name", str(idx))
+    keep = bloom_prune_files(str(idx), ["host-125"])
+    assert any(os.path.basename(p) == "p2.parquet" for p in keep)
+    assert len(keep) <= 3
