@@ -1978,7 +1978,7 @@ def q_cooccurrence(sf_dir: str):
 
     return cooccurrence_pairs(
         ds.map_batches(norm, batch_format="pyarrow"),
-        "user_id", "event_type", out_count="n_users",
+        "user_id", "event_type", out_count="n_users", bounded_final=True,
     )
 
 
@@ -2363,12 +2363,13 @@ def q_char_entropy(sf_dir: str):
 
 def q_audience_overlap(sf_dir: str):
     """Audience overlap: Jaccard similarity between every two event
-    types' user sets — |A∩B| from the co-occurrence kernel, |A|,|B| from
-    the exact distinct-count kernel (broadcast; both combiner-bounded).
+    types' user sets — |A∩B| and |A|,|B| all from ONE pass of the
+    co-occurrence kernel (``marginals=True``: per-shard distincts sum
+    exactly because users partition across shards).
     jaccard = inter / (nA + nB - inter), exact."""
     import ray
 
-    from ..stages.keyed import cooccurrence_pairs, count_distinct_per_group
+    from ..stages.keyed import cooccurrence_pairs
 
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
 
@@ -2379,12 +2380,17 @@ def q_audience_overlap(sf_dir: str):
         })
 
     nds = ds.map_batches(norm, batch_format="pyarrow")
-    inter = cooccurrence_pairs(nds, "user_id", "event_type",
-                               out_count="inter")
-    sizes = count_distinct_per_group(
-        nds, ["event_type"], "user_id", out_col="n_users"
-    ).to_pandas()
-    size_ref = ray.put(dict(zip(sizes["event_type"], sizes["n_users"])))
+    combined = cooccurrence_pairs(nds, "user_id", "event_type",
+                                  out_count="inter", marginals=True,
+                                  bounded_final=True).materialize()
+    sizes: dict[str, int] = {}
+    for part in combined.filter(
+        expr="tag == 'item'"
+    ).iter_batches(batch_format="pyarrow"):
+        for r in part.to_pylist():
+            sizes[r["ta"]] = r["inter"]
+    size_ref = ray.put(sizes)
+    inter = combined.filter(expr="tag == 'pair'").drop_columns(["tag"])
 
     def finish(batch: pa.Table) -> pa.Table:
         m = ray.get(size_ref)
@@ -3260,36 +3266,33 @@ def q_pmi_pairs(sf_dir: str):
     """Pointwise mutual information between event types over their distinct
     user sets — the association-strength upgrade of cooccurrence:
     ``pmi = ln(N * c_ab / (c_a * c_b))`` with the single libm call floored
-    to micro-units on both sides (the bm25 protocol).  Per-type distinct
-    counts and N are bounded and broadcast; pairs come from the
-    cooccurrence kernel's one key-hash exchange."""
-    from ..stages.keyed import cooccurrence_pairs, count_distinct_per_group
+    to micro-units on both sides (the bm25 protocol).  ONE pass: the
+    cooccurrence kernel's key-hash exchange also emits (``marginals=True``)
+    the per-type / global distinct-user denominators — users partition
+    across shards, so per-shard distincts sum exactly.  The combined result
+    is bounded (|types|^2 + |types| + shards rows), so materializing it
+    before the tag split costs nothing."""
+    from ..stages.keyed import cooccurrence_pairs
 
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
 
+    combined = cooccurrence_pairs(
+        ds, "user_id", "event_type", out_count="n_keys", num_shards=16,
+        marginals=True, bounded_final=True,
+    ).materialize()
+
     per_type: dict[str, int] = {}
-    for part in count_distinct_per_group(
-        ds, ["event_type"], "user_id", num_shards=8
-    ).iter_batches(batch_format="pyarrow"):
-        for r in part.to_pylist():
-            per_type[r["event_type"]] = r["n_distinct"]
-
-    def const_key(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "g": pa.array(np.zeros(batch.num_rows, np.int64)),
-            "user_id": batch["user_id"],
-        })
-
     n_users = 0
-    for part in count_distinct_per_group(
-        ds.map_batches(const_key, batch_format="pyarrow"), ["g"], "user_id",
-        num_shards=8,
+    for part in combined.filter(
+        expr="tag != 'pair'"
     ).iter_batches(batch_format="pyarrow"):
         for r in part.to_pylist():
-            n_users += r["n_distinct"]
+            if r["tag"] == "item":
+                per_type[r["ta"]] = r["n_keys"]
+            else:
+                n_users += r["n_keys"]
 
-    pairs = cooccurrence_pairs(ds, "user_id", "event_type", out_count="n_keys",
-                               num_shards=16)
+    pairs = combined.filter(expr="tag == 'pair'").drop_columns(["tag"])
 
     def score(batch: pa.Table) -> pa.Table:
         ta = batch["ta"].to_numpy(zero_copy_only=False)

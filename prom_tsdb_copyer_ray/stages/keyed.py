@@ -822,7 +822,8 @@ def impute_median(ds, key_cols: list[str], value_col: str,
 
 
 def cooccurrence_pairs(ds, key_col: str, item_col: str,
-                       out_count: str = "n_keys", num_shards: int = 64):
+                       out_count: str = "n_keys", num_shards: int = 64,
+                       marginals: bool = False, bounded_final: bool = False):
     """Market-basket co-occurrence: for every unordered item pair, the
     number of keys (users/baskets/docs) where BOTH items occur —
     ``SELECT a.item, b.item, count(*) FROM distinct(key,item) a JOIN b
@@ -833,7 +834,19 @@ def cooccurrence_pairs(ds, key_col: str, item_col: str,
     per-shard triu pair generation over key segments (item sets per key
     are small — that is the operator's documented assumption; a key with
     thousands of distinct items wants a co-occurrence-count sketch
-    instead), then an O(|items|^2) final sum."""
+    instead), then an O(|items|^2) final sum.
+
+    ``marginals=True`` additionally emits, from the SAME exchange (keys
+    partition across shards, so per-shard distincts sum exactly), the
+    association-measure denominators: per-item distinct-key counts
+    (``tag="item"``, item in ``ta``) and the global distinct-key count
+    (``tag="key"``); pair rows get ``tag="pair"``.  This is what lets
+    PMI/lift/Jaccard scoring run off ONE pass instead of three.
+
+    ``bounded_final=True`` declares the item vocabulary small (e.g. event
+    types): the per-shard partials (≤ shards × |items|² rows) are summed on
+    the driver instead of through a second exchange — one shuffle total.
+    Leave False for open vocabularies (terms, urls)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         t = batch.select([key_col, item_col]).group_by(
@@ -843,11 +856,19 @@ def cooccurrence_pairs(ds, key_col: str, item_col: str,
 
     def per_shard(group: pa.Table) -> pa.Table:
         t = group.drop_columns("_cshard")
-        out_empty = pa.table({"ta": pa.array([], pa.string()),
-                              "tb": pa.array([], pa.string()),
-                              out_count: pa.array([], pa.int64())})
+
+        def build(tag, ta, tb, n):
+            cols = {"ta": ta, "tb": tb, out_count: n}
+            if marginals:
+                cols = {"tag": tag, **cols}
+            return pa.table(cols)
+
+        def empty():
+            return build(pa.array([], pa.string()), pa.array([], pa.string()),
+                         pa.array([], pa.string()), pa.array([], pa.int64()))
+
         if t.num_rows == 0:
-            return out_empty
+            return empty()
         t = t.group_by([key_col, item_col]).aggregate([])  # x-batch dedup
         t = t.sort_by([(key_col, "ascending"), (item_col, "ascending")])
         items = t[item_col]
@@ -859,6 +880,17 @@ def cooccurrence_pairs(ds, key_col: str, item_col: str,
         vocab = items.unique()
         starts = np.flatnonzero(_segment_starts(t, [key_col]))
         ends = np.r_[starts[1:], t.num_rows]
+        parts = []
+        if marginals:
+            # per-item distinct-key counts + this shard's distinct-key
+            # count, straight off the deduped (key, item) rows
+            item_n = np.bincount(codes, minlength=len(vocab)).astype(np.int64)
+            parts.append(build(
+                pa.array(["item"] * len(vocab) + ["key"]),
+                pa.concat_arrays([vocab.cast(pa.string()), pa.array([""])]),
+                pa.array([""] * (len(vocab) + 1)),
+                pa.array(np.r_[item_n, len(starts)]),
+            ))
         a_parts, b_parts = [], []
         for s, e in zip(starts, ends):
             m = e - s
@@ -867,20 +899,25 @@ def cooccurrence_pairs(ds, key_col: str, item_col: str,
             iu, ju = np.triu_indices(m, k=1)
             a_parts.append(codes[s:e][iu])
             b_parts.append(codes[s:e][ju])
-        if not a_parts:
-            return out_empty
-        a = np.concatenate(a_parts)
-        b = np.concatenate(b_parts)
-        # count per (a, b) code pair locally: one lexsort + reduceat
-        order = np.lexsort((b, a))
-        a_s, b_s = a[order], b[order]
-        first = np.ones(len(a_s), dtype=bool)
-        first[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
-        st = np.flatnonzero(first)
-        n = np.diff(np.r_[st, len(a_s)]).astype(np.int64)
-        ta = pc.take(vocab, pa.array(a_s[st]))
-        tb = pc.take(vocab, pa.array(b_s[st]))
-        return pa.table({"ta": ta, "tb": tb, out_count: pa.array(n, pa.int64())})
+        if a_parts:
+            a = np.concatenate(a_parts)
+            b = np.concatenate(b_parts)
+            # count per (a, b) code pair locally: one lexsort + reduceat
+            order = np.lexsort((b, a))
+            a_s, b_s = a[order], b[order]
+            first = np.ones(len(a_s), dtype=bool)
+            first[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+            st = np.flatnonzero(first)
+            n = np.diff(np.r_[st, len(a_s)]).astype(np.int64)
+            parts.append(build(
+                pa.array(["pair"] * len(st)),
+                pc.take(vocab, pa.array(a_s[st])),
+                pc.take(vocab, pa.array(b_s[st])),
+                pa.array(n, pa.int64()),
+            ))
+        if not parts:
+            return empty()
+        return pa.concat_tables(parts)
 
     from .common import narrow_fanin
 
@@ -890,7 +927,21 @@ def cooccurrence_pairs(ds, key_col: str, item_col: str,
         .groupby("_cshard")
         .map_groups(per_shard, batch_format="pyarrow")
     )
-    return sharded_grouped_agg(shard_counts, ["ta", "tb"],
+    keys = (["tag"] if marginals else []) + ["ta", "tb"]
+    if bounded_final:
+        import ray.data
+
+        parts = [b for b in shard_counts.iter_batches(batch_format="pyarrow")
+                 if b.num_rows]
+        if not parts:
+            cols = {k: pa.array([], pa.string()) for k in keys}
+            cols[out_count] = pa.array([], pa.int64())
+            return ray.data.from_arrow(pa.table(cols))
+        final = (pa.concat_tables(parts).group_by(keys)
+                 .aggregate([(out_count, "sum")])
+                 .rename_columns(keys + [out_count]))
+        return ray.data.from_arrow(final)
+    return sharded_grouped_agg(shard_counts, keys,
                                [(out_count, "sum")], num_shards=4)
 
 
