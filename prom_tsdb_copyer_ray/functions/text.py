@@ -329,3 +329,32 @@ class LangIdModel:
         out[is_zh] = "zh"
         out[length == 0] = "und"
         return pa.array(out, pa.string())
+
+
+def canonical_url(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Canonicalize URL variants to one dedup key (vectorized Arrow regex
+    kernels, RE2 both here and in the DuckDB oracle so the two engines
+    agree byte-for-byte).
+
+    Chain (order matters, the SQL mirror applies the same steps):
+      1. strip the scheme (``^[A-Za-z]+://``),
+      2. drop the fragment (``#...``), then the whole query (``?...``),
+      3. split host (up to the first ``/``) from the path,
+      4. host: lowercase, strip leading ``www.``, strip default ports
+         ``:80``/``:443``,
+      5. path: strip one trailing ``/``.
+    Canonical form = host || path (no scheme — http/https variants of the
+    same resource collapse, the usual crawl-dedup convention)."""
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    u = pc.replace_substring_regex(urls, r"^[A-Za-z]+://", "")
+    u = pc.replace_substring_regex(u, r"#.*$", "")
+    u = pc.replace_substring_regex(u, r"\?.*$", "")
+    parts = pc.extract_regex(u, r"^(?P<host>[^/]*)(?P<rest>.*)$")
+    host = pc.struct_field(parts, "host")
+    rest = pc.struct_field(parts, "rest")
+    host = pc.utf8_lower(host)
+    host = pc.replace_substring_regex(host, r"^www\.", "")
+    host = pc.replace_substring_regex(host, r":(80|443)$", "")
+    rest = pc.replace_substring_regex(rest, r"/$", "")
+    return pc.binary_join_element_wise(host, rest, "")

@@ -5041,6 +5041,276 @@ def q_session_quantiles(sf_dir: str):
     })
 
 
+def q_irate(sf_dir: str):
+    """PromQL ``irate()``: instantaneous rate from each series' LAST TWO
+    samples in the total (ts desc, event_id asc) order — the gauge-family
+    completion of rate/increase/delta/resets.  The top-2 rows per type come
+    from the combiner-bounded topk kernel (the exchange moves 2 rows per
+    (type, batch)); the bounded result (2 x |types| rows) finishes on the
+    driver.  Rate is in value-units/sec off integer cents:
+    ``cents_delta * 10.0 / dt_ms`` (one mirrored float op); a tied
+    timestamp pair (dt=0) yields NULL on both engines."""
+    from ..stages.keyed import topk_per_group
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "event_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "tms": ts_to_ms(batch["ts"]),
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "cval": pa.array(np.rint(v * 100).astype(np.int64), pa.int64()),
+        })
+
+    top2 = topk_per_group(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type"], "tms", k=2, tiebreak_col="event_id",
+        descending=True, num_shards=8,
+    ).to_pandas()
+
+    rows = {"event_type": [], "last_ts_ms": [], "dt_ms": [], "irate_per_s": []}
+    for etype, g in top2.groupby("event_type", sort=True):
+        g = g.sort_values(["tms", "event_id"], ascending=[False, True])
+        if len(g) < 2:
+            continue
+        t1, t0 = int(g["tms"].iloc[0]), int(g["tms"].iloc[1])
+        c1, c0 = int(g["cval"].iloc[0]), int(g["cval"].iloc[1])
+        dt = t1 - t0
+        rows["event_type"].append(etype)
+        rows["last_ts_ms"].append(t1)
+        rows["dt_ms"].append(dt)
+        rows["irate_per_s"].append(
+            float(c1 - c0) * 10.0 / float(dt) if dt != 0 else None
+        )
+    return pa.table({
+        "event_type": pa.array(rows["event_type"], pa.string()),
+        "last_ts_ms": pa.array(rows["last_ts_ms"], pa.int64()),
+        "dt_ms": pa.array(rows["dt_ms"], pa.int64()),
+        "irate_per_s": pa.array(rows["irate_per_s"], pa.float64()),
+    })
+
+
+def q_interpolate_5m(sf_dir: str):
+    """Gap-fill by LINEAR INTERPOLATION (the north rule's gap-fill, upgraded
+    from zero/NaN fill): per type, the aligned 5m grid between that type's
+    first and last observed window; missing slots get the line between the
+    nearest observed neighbors, in integer-cents space so both engines
+    divide the same ints (``prev + (next-prev)*(w-pw)/(nw-pw)``).
+
+    Scale shape: the raw events collapse via partial agg + one sharded
+    exchange FIRST; the per-type ``map_groups`` then walks only the
+    collapsed window series (O(windows) rows per group, never raw
+    events)."""
+    from ..stages.keyed import sharded_grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "window_start": pa.array((tms // MS_5M) * MS_5M, pa.int64()),
+            "cs": pa.array(np.rint(v * 100).astype(np.int64), pa.int64()),
+        })
+        g = t.group_by(["event_type", "window_start"]).aggregate([("cs", "sum")])
+        return g.rename_columns(["event_type", "window_start", "cs"])
+
+    counts = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "window_start"], [("cs", "sum")], num_shards=8,
+    )
+
+    def interp(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "window_start": pa.array([], pa.int64()),
+                "sum_value": pa.array([], pa.float64()),
+                "is_interp": pa.array([], pa.int64()),
+            })
+        g = group.sort_by([("window_start", "ascending")])
+        w = g["window_start"].to_numpy(zero_copy_only=False)
+        cs = g["cs"].to_numpy(zero_copy_only=False)
+        grid = np.arange(w[0], w[-1] + MS_5M, MS_5M, dtype=np.int64)
+        pos = np.searchsorted(w, grid)
+        present = (pos < len(w)) & (w[np.minimum(pos, len(w) - 1)] == grid)
+        # nearest observed neighbor indices for the missing slots
+        nxt = pos  # first observed >= grid slot (missing => strictly after)
+        prv = pos - 1
+        vals = np.empty(len(grid), np.float64)
+        vals[present] = cs[pos[present]].astype(np.float64)
+        miss = ~present
+        if miss.any():
+            pc_, nc_ = cs[prv[miss]], cs[nxt[miss]]
+            pw_, nw_ = w[prv[miss]], w[nxt[miss]]
+            interp_c = pc_.astype(np.float64) + (
+                (nc_ - pc_) * (grid[miss] - pw_)
+            ).astype(np.float64) / (nw_ - pw_).astype(np.float64)
+            vals[miss] = interp_c
+        etype = group["event_type"][0].as_py()
+        return pa.table({
+            "event_type": pa.array([etype] * len(grid), pa.string()),
+            "window_start": pa.array(grid, pa.int64()),
+            "sum_value": pa.array(vals / 100.0, pa.float64()),
+            "is_interp": pa.array(miss.astype(np.int64), pa.int64()),
+        })
+
+    return counts.groupby("event_type").map_groups(interp, batch_format="pyarrow")
+
+
+def q_absent_series(sf_dir: str):
+    """PromQL ``absent()`` as a batch operator: the (type, aligned 1h
+    window) slots of the global range where a series reported NOTHING —
+    the alerting complement of gap-fill.  Same distributed zero-grid +
+    union + fine-keyed sum shape as gapfill_5m, then a vectorized
+    ``n == 0`` filter; only the two scalar bounds and the type list touch
+    the driver."""
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min
+
+    from ..stages.keyed import sharded_grouped_agg
+
+    counts = (
+        _rollup_events(sf_dir, MS_1H)
+        .select_columns(["event_type", "window_start", "n"])
+        .materialize()
+    )
+    bounds = counts.aggregate(Min("window_start"), Max("window_start"))
+    w0, w1 = bounds["min(window_start)"], bounds["max(window_start)"]
+    types = sorted(
+        counts.groupby("event_type")
+        .aggregate(Count(alias_name="_c"))
+        .to_pandas()["event_type"]
+    )
+    n_slots = int((w1 - w0) // MS_1H) + 1
+
+    def grid_rows(batch) -> pa.Table:
+        ids = batch["id"].to_numpy()
+        ws = w0 + ids * MS_1H
+        k = len(types)
+        return pa.table({
+            "event_type": pa.array(np.repeat(np.array(types, dtype=object), len(ws))),
+            "window_start": pa.array(np.tile(ws, k), pa.int64()),
+            "n": pa.array(np.zeros(len(ws) * k, dtype=np.int64)),
+        })
+
+    grid = ray.data.range(n_slots).map_batches(grid_rows, batch_format="pyarrow")
+    summed = sharded_grouped_agg(
+        grid.union(counts), ["event_type", "window_start"], [("n", "sum")]
+    )
+
+    def only_absent(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["n"], 0))
+        return t.select(["event_type", "window_start"])
+
+    return summed.map_batches(only_absent, batch_format="pyarrow")
+
+
+def q_tpch_q14(sf_dir: str):
+    """TPC-H Q14 shape (promo revenue share) per ship month: part's promo
+    flag broadcast into lineitem (dim side, one ray.put), per-batch integer
+    micro-unit revenue partials keyed by calendar month, bounded driver
+    final (months are few).  ``rev_u = cents(extendedprice) * (100 -
+    cents(discount))`` stays in int64, so the sums are exact and the one
+    percentage division mirrors the oracle bit-for-bit."""
+    import pyarrow.parquet as pq
+    import ray
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    promo_keys = pc.filter(
+        part["p_partkey"], pc.equal(part["p_type"], "PROMO")
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    promo_ref = ray.put(np.sort(promo_keys))
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = np.sort(ray.get(promo_ref))
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(keys, pk)
+        promo = (idx < len(keys)) & (keys[np.minimum(idx, len(keys) - 1)] == pk)
+        tsms = ts_to_ms(batch["l_shipdate"]).to_numpy(zero_copy_only=False)
+        month_ms = (
+            tsms.astype("datetime64[ms]").astype("datetime64[M]")
+            .astype("datetime64[ms]").astype(np.int64)
+        )
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        rev_u = np.rint(ep * 100).astype(np.int64) * (
+            100 - np.rint(dc * 100).astype(np.int64)
+        )
+        t = pa.table({
+            "month_ms": pa.array(month_ms, pa.int64()),
+            "promo_rev_u": pa.array(np.where(promo, rev_u, 0), pa.int64()),
+            "total_rev_u": pa.array(rev_u, pa.int64()),
+        })
+        g = t.group_by(["month_ms"]).aggregate(
+            [("promo_rev_u", "sum"), ("total_rev_u", "sum")]
+        )
+        return g.rename_columns(["month_ms", "promo_rev_u", "total_rev_u"])
+
+    parts = [
+        b for b in ds.map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow") if b.num_rows
+    ]
+    final = (
+        pa.concat_tables(parts).group_by(["month_ms"])
+        .aggregate([("promo_rev_u", "sum"), ("total_rev_u", "sum")])
+        .rename_columns(["month_ms", "promo_rev_u", "total_rev_u"])
+    )
+    promo_u = final["promo_rev_u"].to_numpy(zero_copy_only=False)
+    total_u = final["total_rev_u"].to_numpy(zero_copy_only=False)
+    pct = (100.0 * promo_u.astype(np.float64)) / total_u.astype(np.float64)
+    return final.append_column("promo_pct", pa.array(pct, pa.float64()))
+
+
+def q_canonical_url(sf_dir: str):
+    """URL canonicalization (crawl dedup key): five deterministic messy
+    variants per sampled doc (scheme/case/www/default-port/query/fragment
+    noise, closed-form so the oracle generates the identical strings),
+    collapsed through :func:`functions.text.canonical_url` — correct
+    canonicalization yields exactly one (doc, canonical) row with
+    n_variants = 5; any divergence shows up as extra rows AND as a value
+    mismatch on the canonical string itself."""
+    from ..functions.text import canonical_url
+    from ..stages.keyed import sharded_grouped_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def variants(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids % 7 == 0
+        ids = ids[keep]
+        src = np.asarray(batch["source"].to_pylist(), dtype=object)[keep]
+        host = np.array([f"{s}.example.com" for s in src], dtype=object)
+        path = np.array([f"/doc/{i}" for i in ids], dtype=object)
+        forms = [
+            "https://" + host + path,
+            "HTTP://WWW." + host + path + "/",
+            "https://" + host + ":443" + path + "#frag",
+            "http://" + host + ":80" + path + "?utm_source=x",
+            "HTTPS://WWW." + host + ":443" + path + "?utm_medium=y#z",
+        ]
+        t = pa.table({
+            "doc_id": pa.array(np.tile(ids, 5), pa.int64()),
+            "url": pa.array(np.concatenate(forms) if len(ids) else
+                            np.array([], dtype=object), pa.string()),
+        })
+        t = t.set_column(1, "url_canon", canonical_url(t["url"]))
+        t = t.append_column("n_variants",
+                            pa.array(np.ones(t.num_rows, np.int64)))
+        g = t.group_by(["doc_id", "url_canon"]).aggregate([("n_variants", "sum")])
+        return g.rename_columns(["doc_id", "url_canon", "n_variants"])
+
+    return sharded_grouped_agg(
+        ds.map_batches(variants, batch_format="pyarrow"),
+        ["doc_id", "url_canon"], [("n_variants", "sum")], num_shards=8,
+    )
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -5223,6 +5493,11 @@ QUERIES = {
     "media_features": q_media_features,
     "pages_tiers_chunks": q_pages_tiers_chunks,
     "pages_verify": q_pages_verify,
+    "irate": q_irate,
+    "interpolate_5m": q_interpolate_5m,
+    "absent_series": q_absent_series,
+    "tpch_q14": q_tpch_q14,
+    "canonical_url": q_canonical_url,
 }
 
 
@@ -6441,6 +6716,99 @@ ORACLE_SQL = {
                count(*) AS agg_count, sum(value) AS agg_sum,
                min(value) AS agg_min, max(value) AS agg_max
         FROM samples GROUP BY 1, 2, 3, 4
+    """,
+    "irate": """
+        WITH s AS (SELECT event_type, epoch_ms(ts) AS tms,
+                          CAST(event_id AS BIGINT) AS event_id,
+                          CAST(value * 100 AS BIGINT) AS cval,
+                          row_number() OVER (
+                              PARTITION BY event_type
+                              ORDER BY epoch_ms(ts) DESC, event_id ASC) AS rn
+                   FROM events),
+             p AS (SELECT event_type,
+                          max(CASE WHEN rn = 1 THEN tms END) AS t1,
+                          max(CASE WHEN rn = 2 THEN tms END) AS t0,
+                          max(CASE WHEN rn = 1 THEN cval END) AS c1,
+                          max(CASE WHEN rn = 2 THEN cval END) AS c0
+                   FROM s WHERE rn <= 2 GROUP BY event_type)
+        SELECT event_type, t1 AS last_ts_ms, t1 - t0 AS dt_ms,
+               CASE WHEN t1 - t0 != 0
+                    THEN CAST(c1 - c0 AS DOUBLE) * 10.0 / CAST(t1 - t0 AS DOUBLE)
+               END AS irate_per_s
+        FROM p WHERE t0 IS NOT NULL
+    """,
+    "interpolate_5m": """
+        WITH c AS (SELECT event_type,
+                          (epoch_ms(ts) // 300000) * 300000 AS window_start,
+                          sum(CAST(value * 100 AS BIGINT)) AS cs
+                   FROM events GROUP BY 1, 2),
+             b AS (SELECT event_type, min(window_start) AS w0,
+                          max(window_start) AS w1
+                   FROM c GROUP BY 1),
+             grid AS (SELECT event_type,
+                             unnest(generate_series(w0, w1, 300000))
+                                 AS window_start
+                      FROM b),
+             j AS (SELECT grid.event_type, grid.window_start, c.cs
+                   FROM grid LEFT JOIN c USING (event_type, window_start)),
+             f AS (SELECT event_type, window_start, cs,
+                          last_value(cs IGNORE NULLS) OVER wp AS pc,
+                          last_value(CASE WHEN cs IS NOT NULL
+                                          THEN window_start END IGNORE NULLS)
+                              OVER wp AS pw,
+                          first_value(cs IGNORE NULLS) OVER wn AS nc,
+                          first_value(CASE WHEN cs IS NOT NULL
+                                           THEN window_start END IGNORE NULLS)
+                              OVER wn AS nw
+                   FROM j
+                   WINDOW wp AS (PARTITION BY event_type ORDER BY window_start
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                          wn AS (PARTITION BY event_type ORDER BY window_start
+                                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT event_type, window_start,
+               CASE WHEN cs IS NOT NULL THEN CAST(cs AS DOUBLE) / 100.0
+                    ELSE (CAST(pc AS DOUBLE)
+                          + CAST((nc - pc) * (window_start - pw) AS DOUBLE)
+                            / CAST(nw - pw AS DOUBLE)) / 100.0
+               END AS sum_value,
+               CASE WHEN cs IS NULL THEN 1 ELSE 0 END AS is_interp
+        FROM f
+    """,
+    "absent_series": """
+        WITH c AS (SELECT event_type,
+                          (epoch_ms(ts) // 3600000) * 3600000 AS window_start,
+                          count(*) AS n
+                   FROM events GROUP BY 1, 2),
+             b AS (SELECT min(window_start) AS w0, max(window_start) AS w1 FROM c),
+             t AS (SELECT DISTINCT event_type FROM c),
+             grid AS (SELECT t.event_type,
+                             unnest(generate_series(b.w0, b.w1, 3600000))
+                                 AS window_start
+                      FROM t, b)
+        SELECT grid.event_type, grid.window_start
+        FROM grid LEFT JOIN c USING (event_type, window_start)
+        WHERE c.n IS NULL
+    """,
+    "tpch_q14": """
+        WITH l AS (SELECT epoch_ms(date_trunc('month', li.l_shipdate)) AS month_ms,
+                          CAST(li.l_extendedprice * 100 AS BIGINT)
+                          * (100 - CAST(li.l_discount * 100 AS BIGINT)) AS rev_u,
+                          p.p_type = 'PROMO' AS promo
+                   FROM lineitem li JOIN part p ON li.l_partkey = p.p_partkey)
+        SELECT month_ms,
+               CAST(sum(CASE WHEN promo THEN rev_u ELSE 0 END) AS BIGINT)
+                   AS promo_rev_u,
+               CAST(sum(rev_u) AS BIGINT) AS total_rev_u,
+               (100.0 * CAST(sum(CASE WHEN promo THEN rev_u ELSE 0 END) AS DOUBLE))
+                   / CAST(sum(rev_u) AS DOUBLE) AS promo_pct
+        FROM l GROUP BY 1
+    """,
+    "canonical_url": """
+        SELECT doc_id,
+               lower(source) || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+                   AS url_canon,
+               CAST(5 AS BIGINT) AS n_variants
+        FROM documents WHERE doc_id % 7 = 0
     """,
 }
 
