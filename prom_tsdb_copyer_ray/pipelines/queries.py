@@ -5311,6 +5311,72 @@ def q_canonical_url(sf_dir: str):
     )
 
 
+def q_tpch_q12(sf_dir: str):
+    """TPC-H Q12 shape (late-shipment priority census): the ONE plan in the
+    battery where BOTH join sides are fact-scale, so it exercises
+    stages/joins.shuffle_join — a single co-partitioning tag-union exchange
+    on orderkey, vectorized sorted-merge probe per shard (no broadcast; at
+    100 TB neither lineitem nor orders fits a ray.put).  Post-join the rows
+    collapse per batch to (returnflag, high, low) partials; the driver
+    final sees |flags| rows.  A line is "late" when it shipped after the
+    order date (the sandbox schema has no commit/receipt dates —
+    l_shipdate > o_orderdate keeps Q12's date-inversion predicate);
+    high = o_orderpriority in ('1-URGENT','2-HIGH')."""
+    from ..stages.joins import shuffle_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_shipdate"])
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": pc.cast(batch["l_orderkey"], pa.int64()),
+            "l_returnflag": batch["l_returnflag"],
+            "l_ship_ms": ts_to_ms(batch["l_shipdate"]),
+        })
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+            "o_date_ms": ts_to_ms(batch["o_orderdate"]),
+            "o_orderpriority": batch["o_orderpriority"],
+        })
+
+    joined = shuffle_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        orders.map_batches(o_prep, batch_format="pyarrow"),
+        "l_orderkey", "o_orderkey",
+        right_cols=["o_date_ms", "o_orderpriority"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        late = pc.greater(batch["l_ship_ms"], batch["o_date_ms"])
+        t = batch.filter(late)
+        prio = t["o_orderpriority"]
+        high = pc.or_(pc.equal(prio, "1-URGENT"), pc.equal(prio, "2-HIGH"))
+        hi = pc.cast(high, pa.int64())
+        t2 = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "high_line_count": hi,
+            "low_line_count": pc.subtract(pa.scalar(1, pa.int64()), hi),
+        })
+        g = t2.group_by(["l_returnflag"]).aggregate(
+            [("high_line_count", "sum"), ("low_line_count", "sum")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "high_line_count", "low_line_count"])
+
+    parts = [
+        b for b in joined.map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow") if b.num_rows
+    ]
+    return (
+        pa.concat_tables(parts).group_by(["l_returnflag"])
+        .aggregate([("high_line_count", "sum"), ("low_line_count", "sum")])
+        .rename_columns(["l_returnflag", "high_line_count", "low_line_count"])
+    )
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -5498,6 +5564,7 @@ QUERIES = {
     "absent_series": q_absent_series,
     "tpch_q14": q_tpch_q14,
     "canonical_url": q_canonical_url,
+    "tpch_q12": q_tpch_q12,
 }
 
 
@@ -6809,6 +6876,16 @@ ORACLE_SQL = {
                    AS url_canon,
                CAST(5 AS BIGINT) AS n_variants
         FROM documents WHERE doc_id % 7 = 0
+    """,
+    "tpch_q12": """
+        SELECT li.l_returnflag,
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+        WHERE epoch_ms(li.l_shipdate) > epoch_ms(o.o_orderdate)
+        GROUP BY 1
     """,
 }
 
