@@ -5377,6 +5377,57 @@ def q_tpch_q12(sf_dir: str):
         .rename_columns(["l_returnflag", "high_line_count", "low_line_count"])
     )
 
+def q_lttb_downsample(sf_dir: str):
+    """LTTB (largest-triangle-three-buckets) viz downsample, per type: the
+    5m-collapsed series reduced to 50 shape-preserving points.  Collapse is
+    the scale step (partial agg + one sharded exchange; raw events never
+    reach the sequential kernel); the per-type LTTB then walks O(windows)
+    collapsed rows in the documented integer-boundary float64 spec
+    (stages/windowed.lttb_indices) that the fixture oracle mirrors
+    bit-for-bit."""
+    from ..stages.keyed import sharded_grouped_agg
+    from ..stages.windowed import lttb_indices
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "window_start": pa.array((tms // MS_5M) * MS_5M, pa.int64()),
+            "cs": pa.array(np.rint(v * 100).astype(np.int64), pa.int64()),
+        })
+        g = t.group_by(["event_type", "window_start"]).aggregate([("cs", "sum")])
+        return g.rename_columns(["event_type", "window_start", "cs"])
+
+    counts = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "window_start"], [("cs", "sum")], num_shards=8,
+    )
+
+    def downsample(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "window_start": pa.array([], pa.int64()),
+                "sum_value": pa.array([], pa.float64()),
+            })
+        g = group.sort_by([("window_start", "ascending")])
+        w = g["window_start"].to_numpy(zero_copy_only=False)
+        cs = g["cs"].to_numpy(zero_copy_only=False)
+        idx = lttb_indices(w, cs, 50)
+        etype = group["event_type"][0].as_py()
+        return pa.table({
+            "event_type": pa.array([etype] * len(idx), pa.string()),
+            "window_start": pa.array(w[idx], pa.int64()),
+            "sum_value": pa.array(cs[idx].astype(np.float64) / 100.0,
+                                  pa.float64()),
+        })
+
+    return counts.groupby("event_type").map_groups(
+        downsample, batch_format="pyarrow")
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -5565,6 +5616,7 @@ QUERIES = {
     "tpch_q14": q_tpch_q14,
     "canonical_url": q_canonical_url,
     "tpch_q12": q_tpch_q12,
+    "lttb_downsample": q_lttb_downsample,
 }
 
 
@@ -6911,6 +6963,11 @@ def _fixture_sql(fname: str, cols: str) -> str:
 ORACLE_SQL.update(
     {
         "fingerprint": _fixture_sql("fingerprint", "doc_id, fingerprint"),
+        "lttb_downsample": (
+            "SELECT event_type, window_start, sum_value FROM read_parquet("
+            f"'{_FIXTURE_DIR}/oracle_lttb.parquet') WHERE corpus_key = "
+            "(SELECT CAST(SUM(CAST(value * 100 AS BIGINT)) AS BIGINT) FROM events)"
+        ),
         "simhash": _fixture_sql("simhash", "doc_id, simhash"),
         "lang_id": _fixture_sql("lang_id", "doc_id, pred_lang"),
         "minhash_pairs": _fixture_sql("minhash_pairs", "a, b"),

@@ -839,3 +839,54 @@ def rolling_sigma_outliers(
         .groupby("_sshard")
         .map_groups(per_shard, batch_format="pyarrow")
     )
+
+
+def lttb_indices(x: np.ndarray, y: np.ndarray, n_out: int) -> np.ndarray:
+    """Largest-Triangle-Three-Buckets downsample: indices of the points
+    that preserve the series' visual shape at ``n_out`` points (Steinarsson
+    2013, the standard time-series viz downsampler).
+
+    Spec (the fixture oracle reimplements exactly this, so every float op
+    below is part of the contract):
+
+    - ``x`` strictly ascending; if ``len(x) <= n_out`` all indices return.
+    - first and last points are always kept.
+    - interior bucket boundaries use INTEGER floor division (not the
+      paper's float steps): ``b[j] = 1 + (j * (n - 2)) // (n_out - 2)``
+      for ``j = 0 .. n_out - 2`` (so ``b[n_out - 2] == n - 1``), bucket
+      ``j`` covering ``[b[j], b[j + 1])``; the "next bucket" of the last
+      interior bucket is the final point alone.
+    - per bucket, the candidate maximizing twice-the-triangle-area
+      ``|dx * (y_c - y_a) - (x_a - x_c) * dy|`` with the previously
+      selected point ``a`` and the next bucket's float64 mean point wins;
+      ties keep the LOWEST index (np.argmax first-max), making the result
+      bit-deterministic in float64.
+
+    O(n) per series; runs per-group on the already-collapsed window series,
+    never on raw events."""
+    n = len(x)
+    if n_out < 3:
+        raise ValueError("n_out must be >= 3")
+    if n <= n_out:
+        return np.arange(n, dtype=np.int64)
+    xf = x.astype(np.float64)
+    yf = y.astype(np.float64)
+    nb = n_out - 2
+    j = np.arange(nb + 2, dtype=np.int64)
+    b = 1 + (j * (n - 2)) // nb          # b[nb] == n - 1; sentinel b[nb+1]
+    b[nb + 1] = n
+    out = np.empty(n_out, dtype=np.int64)
+    out[0] = 0
+    a = 0
+    for i in range(nb):
+        nlo, nhi = b[i + 1], b[i + 2]
+        avg_x = float(xf[nlo:nhi].mean())
+        avg_y = float(yf[nlo:nhi].mean())
+        lo, hi = b[i], b[i + 1]
+        dx = xf[a] - avg_x
+        dy = avg_y - yf[a]
+        area2 = np.abs(dx * (yf[lo:hi] - yf[a]) - (xf[a] - xf[lo:hi]) * dy)
+        a = lo + int(np.argmax(area2))
+        out[i + 1] = a
+    out[n_out - 1] = n - 1
+    return out

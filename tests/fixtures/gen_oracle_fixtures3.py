@@ -1,0 +1,97 @@
+"""Third-wave fixture-oracle generator: expected output for
+``lttb_downsample``, computed by an independent from-the-spec single-process
+reference (plain-Python LTTB per the documented integer-boundary spec in
+``stages/windowed.lttb_indices``; only the 5m collapse uses NumPy, because
+the spec defines cents as ``np.rint(value * 100)``).
+
+Same corpus-key protocol as gen_oracle_fixtures.py, but keyed on EVENTS
+(the query's input table): ``corpus_key = SUM(CAST(value * 100 AS BIGINT))``
+— DuckDB's double→BIGINT cast is ties-to-even, identical to np.rint.
+
+Run from /root/repo:  python tests/fixtures/gen_oracle_fixtures3.py
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+MS_5M = 300_000
+N_OUT = 50
+
+
+def lttb_reference(x: list, y: list, n_out: int) -> list:
+    """From-the-spec scalar LTTB (no shared code with the engine kernel)."""
+    n = len(x)
+    if n <= n_out:
+        return list(range(n))
+    nb = n_out - 2
+
+    def bound(j: int) -> int:
+        return n if j == nb + 1 else 1 + (j * (n - 2)) // nb
+
+    selected = [0]
+    a = 0
+    for i in range(nb):
+        nlo, nhi = bound(i + 1), bound(i + 2)
+        avg_x = sum(float(x[k]) for k in range(nlo, nhi)) / (nhi - nlo)
+        avg_y = sum(float(y[k]) for k in range(nlo, nhi)) / (nhi - nlo)
+        dx = float(x[a]) - avg_x
+        dy = avg_y - float(y[a])
+        best, best_area = -1, -1.0
+        for c in range(bound(i), bound(i + 1)):
+            area = abs(dx * (float(y[c]) - float(y[a]))
+                       - (float(x[a]) - float(x[c])) * dy)
+            if area > best_area:
+                best, best_area = c, area
+        selected.append(best)
+        a = best
+    selected.append(n - 1)
+    return selected
+
+
+def main() -> None:
+    rows = {"corpus_key": [], "event_type": [], "window_start": [],
+            "sum_value": []}
+    for sf in SF_DIRS:
+        t = pq.read_table(f"{sf}/events.parquet",
+                          columns=["event_type", "ts", "value"])
+        tms = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 1000
+        cents = np.rint(t["value"].to_numpy(zero_copy_only=False)
+                        * 100).astype(np.int64)
+        corpus_key = int(cents.sum())
+        etype = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        win = (tms // MS_5M) * MS_5M
+        for ty in sorted(set(etype.tolist())):
+            m = etype == ty
+            w, c = win[m], cents[m]
+            order = np.argsort(w, kind="mergesort")
+            w, c = w[order], c[order]
+            # collapse duplicate windows (sum of cents per window)
+            uw, inv = np.unique(w, return_inverse=True)
+            cs = np.zeros(len(uw), dtype=np.int64)
+            np.add.at(cs, inv, c)
+            idx = lttb_reference(uw.tolist(), cs.tolist(), N_OUT)
+            for i in idx:
+                rows["corpus_key"].append(corpus_key)
+                rows["event_type"].append(ty)
+                rows["window_start"].append(int(uw[i]))
+                rows["sum_value"].append(float(cs[i]) / 100.0)
+    out = pa.table({
+        "corpus_key": pa.array(rows["corpus_key"], pa.int64()),
+        "event_type": pa.array(rows["event_type"], pa.string()),
+        "window_start": pa.array(rows["window_start"], pa.int64()),
+        "sum_value": pa.array(rows["sum_value"], pa.float64()),
+    })
+    pq.write_table(out, os.path.join(HERE, "oracle_lttb.parquet"))
+    print(f"oracle_lttb.parquet: {out.num_rows} rows")
+
+
+if __name__ == "__main__":
+    main()

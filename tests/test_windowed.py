@@ -294,3 +294,48 @@ def test_sliding_distinct_vs_bruteforce(ray_session):
         want = df[(df["day"] >= d0 - 6) & (df["day"] <= d0)]["u"].nunique()
         assert out[d0] == want, d0
     assert set(out.index) == set(days)
+
+
+class TestLTTB:
+    def _mk(self, n, seed):
+        rng = np.random.RandomState(seed)
+        x = np.cumsum(rng.randint(1, 5, size=n)).astype(np.int64) * 300000
+        y = rng.randint(-10_000, 10_000, size=n).astype(np.int64)
+        return x, y
+
+    def test_short_series_passthrough(self):
+        from prom_tsdb_copyer_ray.stages.windowed import lttb_indices
+
+        x, y = self._mk(7, 0)
+        assert lttb_indices(x, y, 50).tolist() == list(range(7))
+
+    def test_properties(self):
+        from prom_tsdb_copyer_ray.stages.windowed import lttb_indices
+
+        for seed in range(5):
+            x, y = self._mk(500, seed)
+            idx = lttb_indices(x, y, 50)
+            assert len(idx) == 50
+            assert idx[0] == 0 and idx[-1] == 499
+            assert np.all(np.diff(idx) > 0), "selected indices must ascend"
+
+    def test_matches_scalar_reference(self):
+        """Engine kernel == the independent fixture-generator reference."""
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "genfix3",
+            os.path.join(os.path.dirname(__file__), "fixtures",
+                         "gen_oracle_fixtures3.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        from prom_tsdb_copyer_ray.stages.windowed import lttb_indices
+
+        for seed in range(8):
+            for n, k in [(5, 3), (10, 3), (100, 10), (257, 50), (1000, 50)]:
+                x, y = self._mk(n, seed)
+                got = lttb_indices(x, y, k).tolist()
+                want = mod.lttb_reference(x.tolist(), y.tolist(), k)
+                assert got == want, (n, k, seed)
