@@ -81,3 +81,42 @@ def make_relabel_fn(rules: Mapping[str, str], label_cols: Sequence[str], key_col
         return batch
 
     return fn
+
+
+def label_replace(table: pa.Table, dst: str, replacement: str, src: str,
+                  regex: str) -> pa.Table:
+    """PromQL ``label_replace(v, dst, replacement, src, regex)``: when the
+    FULLY-ANCHORED regex matches the ``src`` label, set ``dst`` to
+    ``replacement`` with ``\\1``-style backrefs expanded; non-matching rows
+    keep their existing ``dst`` (or "" when absent) — exact PromQL
+    semantics.  Vectorized: one RE2 ``replace_substring_regex`` + one match
+    mask, no Python per row."""
+    anchored = f"^(?:{regex})$"
+    src_col = (table[src] if src in table.column_names
+               else pa.nulls(table.num_rows, pa.string()).fill_null(""))
+    matched = pc.match_substring_regex(src_col, anchored)
+    replaced = pc.replace_substring_regex(src_col, anchored, replacement)
+    old = (table[dst] if dst in table.column_names
+           else pa.nulls(table.num_rows, pa.string()).fill_null(""))
+    out = pc.if_else(matched, replaced, old)
+    if dst in table.column_names:
+        return table.set_column(table.column_names.index(dst), dst, out)
+    return table.append_column(dst, out)
+
+
+def label_join(table: pa.Table, dst: str, sep: str,
+               srcs: Sequence[str]) -> pa.Table:
+    """PromQL ``label_join(v, dst, sep, srcs...)``: ``dst`` becomes the
+    ``sep``-joined values of the source labels (missing labels join as
+    "").  One Arrow ``binary_join_element_wise`` call."""
+    cols = [
+        (table[c].combine_chunks() if isinstance(table[c], pa.ChunkedArray)
+         else table[c])
+        if c in table.column_names
+        else pa.nulls(table.num_rows, pa.string()).fill_null("")
+        for c in srcs
+    ]
+    out = pc.binary_join_element_wise(*cols, sep)
+    if dst in table.column_names:
+        return table.set_column(table.column_names.index(dst), dst, out)
+    return table.append_column(dst, out)

@@ -5428,6 +5428,95 @@ def q_lttb_downsample(sf_dir: str):
     return counts.groupby("event_type").map_groups(
         downsample, batch_format="pyarrow")
 
+def q_locf_5m(sf_dir: str):
+    """Gap-fill by LAST-OBSERVATION-CARRIED-FORWARD (the lookback fill of
+    PromQL instant vectors / TimescaleDB ``locf``): per type, the aligned
+    5m grid between that type's first and last observed window; a missing
+    slot repeats the nearest earlier observed value.  Same collapse-first
+    scale shape as interpolate_5m (partial agg + one sharded exchange; the
+    per-type fill walks O(windows) collapsed rows with one searchsorted —
+    exact, no float recursion)."""
+    from ..stages.keyed import sharded_grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "window_start": pa.array((tms // MS_5M) * MS_5M, pa.int64()),
+            "cs": pa.array(np.rint(v * 100).astype(np.int64), pa.int64()),
+        })
+        g = t.group_by(["event_type", "window_start"]).aggregate([("cs", "sum")])
+        return g.rename_columns(["event_type", "window_start", "cs"])
+
+    counts = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "window_start"], [("cs", "sum")], num_shards=8,
+    )
+
+    def locf(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "window_start": pa.array([], pa.int64()),
+                "sum_value": pa.array([], pa.float64()),
+                "is_filled": pa.array([], pa.int64()),
+            })
+        g = group.sort_by([("window_start", "ascending")])
+        w = g["window_start"].to_numpy(zero_copy_only=False)
+        cs = g["cs"].to_numpy(zero_copy_only=False)
+        grid = np.arange(w[0], w[-1] + MS_5M, MS_5M, dtype=np.int64)
+        # index of the last observed window <= each grid slot
+        prev = np.searchsorted(w, grid, side="right") - 1
+        present = w[prev] == grid
+        etype = group["event_type"][0].as_py()
+        return pa.table({
+            "event_type": pa.array([etype] * len(grid), pa.string()),
+            "window_start": pa.array(grid, pa.int64()),
+            "sum_value": pa.array(cs[prev].astype(np.float64) / 100.0,
+                                  pa.float64()),
+            "is_filled": pa.array((~present).astype(np.int64), pa.int64()),
+        })
+
+    return counts.groupby("event_type").map_groups(locf, batch_format="pyarrow")
+
+
+def q_label_ops(sf_dir: str):
+    """PromQL ``label_replace`` + ``label_join`` over the pages series
+    labels: extract the crawl shard from the domain via an anchored RE2
+    capture, synthesize ``instance = domain:lang``, then count samples per
+    relabeled series.  Label rewriting is two vectorized Arrow kernel calls
+    per batch (functions/relabel.py); the only exchange is the final
+    (metric, shard, instance) count."""
+    from ..functions.relabel import label_join, label_replace
+    from ..pipelines.copy import pages_to_samples
+    from ..sources.pages import read_pages_from_documents
+    from ..stages.keyed import sharded_grouped_agg
+
+    pages = read_pages_from_documents(sf_dir)
+    samples = pages_to_samples(pages, concurrency=(1, 4))
+
+    def relabel_count(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "metric": batch["__name__"],
+            "domain": batch["domain"],
+            "lang": batch["lang"],
+        })
+        t = label_replace(t, "shard", r"\1", "domain",
+                          r"(src[0-9]+)\.example\.com")
+        t = label_join(t, "instance", ":", ["domain", "lang"])
+        t = t.select(["metric", "shard", "instance"])
+        t = t.append_column("n", pa.array(np.ones(t.num_rows, np.int64)))
+        g = t.group_by(["metric", "shard", "instance"]).aggregate([("n", "sum")])
+        return g.rename_columns(["metric", "shard", "instance", "n"])
+
+    return sharded_grouped_agg(
+        samples.map_batches(relabel_count, batch_format="pyarrow"),
+        ["metric", "shard", "instance"], [("n", "sum")], num_shards=8,
+    )
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -5617,6 +5706,8 @@ QUERIES = {
     "canonical_url": q_canonical_url,
     "tpch_q12": q_tpch_q12,
     "lttb_downsample": q_lttb_downsample,
+    "locf_5m": q_locf_5m,
+    "label_ops": q_label_ops,
 }
 
 
@@ -6928,6 +7019,41 @@ ORACLE_SQL = {
                    AS url_canon,
                CAST(5 AS BIGINT) AS n_variants
         FROM documents WHERE doc_id % 7 = 0
+    """,
+    "locf_5m": """
+        WITH c AS (SELECT event_type,
+                          (epoch_ms(ts) // 300000) * 300000 AS window_start,
+                          sum(CAST(value * 100 AS BIGINT)) AS cs
+                   FROM events GROUP BY 1, 2),
+             b AS (SELECT event_type, min(window_start) AS w0,
+                          max(window_start) AS w1
+                   FROM c GROUP BY 1),
+             grid AS (SELECT event_type,
+                             unnest(generate_series(w0, w1, 300000))
+                                 AS window_start
+                      FROM b),
+             j AS (SELECT grid.event_type, grid.window_start, c.cs
+                   FROM grid LEFT JOIN c USING (event_type, window_start)),
+             f AS (SELECT event_type, window_start, cs,
+                          last_value(cs IGNORE NULLS) OVER (
+                              PARTITION BY event_type ORDER BY window_start
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                          ) AS pc
+                   FROM j)
+        SELECT event_type, window_start,
+               CAST(pc AS DOUBLE) / 100.0 AS sum_value,
+               CASE WHEN cs IS NULL THEN 1 ELSE 0 END AS is_filled
+        FROM f
+    """,
+    "label_ops": _PAGES_SAMPLES_SQL + """
+        SELECT metric,
+               CASE WHEN regexp_full_match(domain, '(src[0-9]+)\\.example\\.com')
+                    THEN regexp_replace(domain,
+                                        '^(?:(src[0-9]+)\\.example\\.com)$', '\\1')
+                    ELSE '' END AS shard,
+               domain || ':' || lang AS instance,
+               count(*) AS n
+        FROM samples GROUP BY 1, 2, 3
     """,
     "tpch_q12": """
         SELECT li.l_returnflag,

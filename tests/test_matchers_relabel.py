@@ -105,3 +105,51 @@ def test_relabel_identity_merge(table):
 def test_series_key_sorted_and_stable():
     t = pa.table({"b": ["2"], "a": ["1"], "__name__": ["m"]})
     assert series_key(t, ["b", "a", "__name__"]).to_pylist() == ["__name__=m,a=1,b=2"]
+
+
+class TestLabelOps:
+    """PromQL label_replace / label_join semantics (functions/relabel.py)."""
+
+    def test_label_replace_match_and_miss(self):
+        import pyarrow as pa
+        from prom_tsdb_copyer_ray.functions.relabel import label_replace
+
+        t = pa.table({
+            "src": ["src7.example.com", "nope", "src12.example.com"],
+            "dst": ["old_a", "old_b", "old_c"],
+        })
+        out = label_replace(t, "dst", r"\1", "src",
+                            r"(src\d+)\.example\.com")
+        # match -> backref expansion; miss -> EXISTING dst kept (PromQL)
+        assert out["dst"].to_pylist() == ["src7", "old_b", "src12"]
+
+    def test_label_replace_absent_columns(self):
+        import pyarrow as pa
+        from prom_tsdb_copyer_ray.functions.relabel import label_replace
+
+        t = pa.table({"a": ["x", "y"]})
+        # absent src reads as "", absent dst defaults to "" on miss
+        out = label_replace(t, "new", "hit", "missing", r"x.*")
+        assert out["new"].to_pylist() == ["", ""]
+        out2 = label_replace(t, "new", "empty_src", "missing", r".*")
+        assert out2["new"].to_pylist() == ["empty_src", "empty_src"]
+
+    def test_label_replace_anchoring(self):
+        import pyarrow as pa
+        from prom_tsdb_copyer_ray.functions.relabel import label_replace
+
+        t = pa.table({"src": ["abc"], "dst": ["keep"]})
+        # PromQL regexes are fully anchored: a partial match is a miss
+        out = label_replace(t, "dst", "hit", "src", r"b")
+        assert out["dst"].to_pylist() == ["keep"]
+
+    def test_label_join(self):
+        import pyarrow as pa
+        from prom_tsdb_copyer_ray.functions.relabel import label_join
+
+        t = pa.table({"a": ["1", "2"], "b": ["x", "y"]})
+        out = label_join(t, "j", "-", ["a", "b", "ghost"])
+        assert out["j"].to_pylist() == ["1-x-", "2-y-"]
+        # dst overwrite in place
+        out2 = label_join(out, "a", ":", ["b", "b"])
+        assert out2["a"].to_pylist() == ["x:x", "y:y"]
