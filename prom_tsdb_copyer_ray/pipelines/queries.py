@@ -5517,6 +5517,54 @@ def q_label_ops(sf_dir: str):
         ["metric", "shard", "instance"], [("n", "sum")], num_shards=8,
     )
 
+def q_holt_winters(sf_dir: str):
+    """PromQL ``holt_winters`` (Holt double exponential smoothing) per
+    type: final smoothed level + trend of the 5m-collapsed series with
+    alpha=0.3, gamma=0.1.  The recursion is sequential by definition, so
+    the scale story is collapse-first (partial agg + one sharded exchange);
+    the per-type kernel (stages/windowed.holt_linear) then walks O(windows)
+    collapsed points in a documented float op order the fixture oracle
+    mirrors bit-for-bit."""
+    from ..stages.keyed import sharded_grouped_agg
+    from ..stages.windowed import holt_linear
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "window_start": pa.array((tms // MS_5M) * MS_5M, pa.int64()),
+            "cs": pa.array(np.rint(v * 100).astype(np.int64), pa.int64()),
+        })
+        g = t.group_by(["event_type", "window_start"]).aggregate([("cs", "sum")])
+        return g.rename_columns(["event_type", "window_start", "cs"])
+
+    counts = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "window_start"], [("cs", "sum")], num_shards=8,
+    )
+
+    def smooth(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "level": pa.array([], pa.float64()),
+                "trend": pa.array([], pa.float64()),
+            })
+        g = group.sort_by([("window_start", "ascending")])
+        cs = g["cs"].to_numpy(zero_copy_only=False)
+        level, trend = holt_linear(cs, 0.3, 0.1)
+        etype = group["event_type"][0].as_py()
+        return pa.table({
+            "event_type": pa.array([etype], pa.string()),
+            "level": pa.array([level / 100.0], pa.float64()),
+            "trend": pa.array([trend / 100.0], pa.float64()),
+        })
+
+    return counts.groupby("event_type").map_groups(smooth, batch_format="pyarrow")
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -5708,6 +5756,7 @@ QUERIES = {
     "lttb_downsample": q_lttb_downsample,
     "locf_5m": q_locf_5m,
     "label_ops": q_label_ops,
+    "holt_winters": q_holt_winters,
 }
 
 
@@ -7089,6 +7138,11 @@ def _fixture_sql(fname: str, cols: str) -> str:
 ORACLE_SQL.update(
     {
         "fingerprint": _fixture_sql("fingerprint", "doc_id, fingerprint"),
+        "holt_winters": (
+            "SELECT event_type, level, trend FROM read_parquet("
+            f"'{_FIXTURE_DIR}/oracle_holt.parquet') WHERE corpus_key = "
+            "(SELECT CAST(SUM(CAST(value * 100 AS BIGINT)) AS BIGINT) FROM events)"
+        ),
         "lttb_downsample": (
             "SELECT event_type, window_start, sum_value FROM read_parquet("
             f"'{_FIXTURE_DIR}/oracle_lttb.parquet') WHERE corpus_key = "

@@ -890,3 +890,26 @@ def lttb_indices(x: np.ndarray, y: np.ndarray, n_out: int) -> np.ndarray:
         out[i + 1] = a
     out[n_out - 1] = n - 1
     return out
+
+
+def holt_linear(y: np.ndarray, alpha: float, gamma: float) -> tuple:
+    """Holt double exponential smoothing (PromQL ``holt_winters`` family):
+    level/trend recursion over one series, returning the final
+    ``(level, trend)``.
+
+    Spec (the fixture oracle mirrors every float op in order):
+    ``l_0 = y_0``, ``t_0 = y_1 - y_0``; for ``i >= 1``
+    ``l_i = alpha * y_i + (1 - alpha) * (l_prev + t_prev)`` then
+    ``t_i = gamma * (l_i - l_prev) + (1 - gamma) * t_prev``.
+    Requires ``len(y) >= 2``.  Sequential by definition — runs per-group on
+    the collapsed window series, never on raw events."""
+    if len(y) < 2:
+        raise ValueError("holt_linear needs >= 2 points")
+    yf = y.astype(np.float64)
+    level = float(yf[0])
+    trend = float(yf[1]) - float(yf[0])
+    for i in range(1, len(yf)):
+        prev = level
+        level = alpha * float(yf[i]) + (1.0 - alpha) * (level + trend)
+        trend = gamma * (level - prev) + (1.0 - gamma) * trend
+    return level, trend

@@ -1,6 +1,6 @@
 """Third-wave fixture-oracle generator: expected output for
-``lttb_downsample``, computed by an independent from-the-spec single-process
-reference (plain-Python LTTB per the documented integer-boundary spec in
+``lttb_downsample`` and ``holt_winters``, computed by independent
+from-the-spec single-process references (plain-Python LTTB per the documented integer-boundary spec in
 ``stages/windowed.lttb_indices``; only the 5m collapse uses NumPy, because
 the spec defines cents as ``np.rint(value * 100)``).
 
@@ -56,6 +56,17 @@ def lttb_reference(x: list, y: list, n_out: int) -> list:
     return selected
 
 
+def holt_reference(y: list, alpha: float, gamma: float) -> tuple:
+    """From-the-spec scalar Holt recursion (stages/windowed.holt_linear)."""
+    level = float(y[0])
+    trend = float(y[1]) - float(y[0])
+    for i in range(1, len(y)):
+        prev = level
+        level = alpha * float(y[i]) + (1.0 - alpha) * (level + trend)
+        trend = gamma * (level - prev) + (1.0 - gamma) * trend
+    return level, trend
+
+
 def main() -> None:
     rows = {"corpus_key": [], "event_type": [], "window_start": [],
             "sum_value": []}
@@ -91,6 +102,40 @@ def main() -> None:
     })
     pq.write_table(out, os.path.join(HERE, "oracle_lttb.parquet"))
     print(f"oracle_lttb.parquet: {out.num_rows} rows")
+
+    hrows = {"corpus_key": [], "event_type": [], "level": [], "trend": []}
+    for sf in SF_DIRS:
+        t = pq.read_table(f"{sf}/events.parquet",
+                          columns=["event_type", "ts", "value"])
+        tms = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 1000
+        cents = np.rint(t["value"].to_numpy(zero_copy_only=False)
+                        * 100).astype(np.int64)
+        corpus_key = int(cents.sum())
+        etype = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        win = (tms // MS_5M) * MS_5M
+        for ty in sorted(set(etype.tolist())):
+            m = etype == ty
+            w, c = win[m], cents[m]
+            order = np.argsort(w, kind="mergesort")
+            w, c = w[order], c[order]
+            uw, inv = np.unique(w, return_inverse=True)
+            cs = np.zeros(len(uw), dtype=np.int64)
+            np.add.at(cs, inv, c)
+            if len(uw) < 2:
+                continue
+            level, trend = holt_reference(cs.tolist(), 0.3, 0.1)
+            hrows["corpus_key"].append(corpus_key)
+            hrows["event_type"].append(ty)
+            hrows["level"].append(level / 100.0)
+            hrows["trend"].append(trend / 100.0)
+    hout = pa.table({
+        "corpus_key": pa.array(hrows["corpus_key"], pa.int64()),
+        "event_type": pa.array(hrows["event_type"], pa.string()),
+        "level": pa.array(hrows["level"], pa.float64()),
+        "trend": pa.array(hrows["trend"], pa.float64()),
+    })
+    pq.write_table(hout, os.path.join(HERE, "oracle_holt.parquet"))
+    print(f"oracle_holt.parquet: {hout.num_rows} rows")
 
 
 if __name__ == "__main__":

@@ -339,3 +339,40 @@ class TestLTTB:
                 got = lttb_indices(x, y, k).tolist()
                 want = mod.lttb_reference(x.tolist(), y.tolist(), k)
                 assert got == want, (n, k, seed)
+
+
+class TestHoltLinear:
+    def test_matches_scalar_reference(self):
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "genfix3b",
+            os.path.join(os.path.dirname(__file__), "fixtures",
+                         "gen_oracle_fixtures3.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        from prom_tsdb_copyer_ray.stages.windowed import holt_linear
+
+        rng = np.random.RandomState(3)
+        for n in (2, 5, 100, 1000):
+            y = rng.randint(-10_000, 10_000, size=n).astype(np.int64)
+            got = holt_linear(y, 0.3, 0.1)
+            want = mod.holt_reference(y.tolist(), 0.3, 0.1)
+            assert got == want, n
+
+    def test_constant_series(self):
+        from prom_tsdb_copyer_ray.stages.windowed import holt_linear
+
+        y = np.full(50, 700, dtype=np.int64)
+        level, trend = holt_linear(y, 0.3, 0.1)
+        assert level == 700.0 and trend == 0.0
+
+    def test_too_short(self):
+        import pytest as _pytest
+
+        from prom_tsdb_copyer_ray.stages.windowed import holt_linear
+
+        with _pytest.raises(ValueError):
+            holt_linear(np.array([1.0]), 0.3, 0.1)
