@@ -5565,6 +5565,71 @@ def q_holt_winters(sf_dir: str):
 
     return counts.groupby("event_type").map_groups(smooth, batch_format="pyarrow")
 
+def q_skew_join(sf_dir: str):
+    """Skew-aware hybrid join (stages/joins.skew_aware_join): events keyed
+    by a deliberately pathological key (user_id%3==0 collapses to key 0 —
+    ~1/3 of all rows on ONE key) joined to a derived per-key dim.  The
+    exact key census routes key 0 through the broadcast+inline-probe path
+    (its pre-joined rows ride the exchange spread round-robin) while the
+    long tail takes the ordinary co-partitioned tag-union — no shard ever
+    sees the hot key's mass.  Final census per type proves multiset
+    equality with the oracle's plain SQL join."""
+    import ray.data
+
+    from ..stages.joins import skew_aware_join
+    from ..stages.keyed import sharded_grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        u = pc.cast(batch["user_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        k = np.where(u % 3 == 0, 0, u)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "k": pa.array(k, pa.int64()),
+        })
+
+    left = ds.map_batches(keyed, batch_format="pyarrow")
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["k"]).group_by(["k"]).aggregate([])
+        return t.append_column("n", pa.array(np.ones(t.num_rows, np.int64)))
+
+    dim = sharded_grouped_agg(
+        left.map_batches(distinct_partial, batch_format="pyarrow"),
+        ["k"], [("n", "max")], num_shards=8,
+    )
+
+    def add_grp(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": batch["k"],
+            "grp": pa.array(k % 97, pa.int64()),
+        })
+
+    dim = dim.map_batches(add_grp, batch_format="pyarrow")
+    joined = skew_aware_join(left, dim, "k", "k", right_cols=["grp"],
+                             hot_threshold=1000, num_shards=16)
+
+    def census(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "n": pa.array(np.ones(batch.num_rows, np.int64)),
+            "sum_grp": batch["grp"],
+        })
+        g = t.group_by(["event_type"]).aggregate([("n", "sum"), ("sum_grp", "sum")])
+        return g.rename_columns(["event_type", "n", "sum_grp"])
+
+    parts = [
+        b for b in joined.map_batches(census, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow") if b.num_rows
+    ]
+    return (
+        pa.concat_tables(parts).group_by(["event_type"])
+        .aggregate([("n", "sum"), ("sum_grp", "sum")])
+        .rename_columns(["event_type", "n", "sum_grp"])
+    )
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -5757,6 +5822,7 @@ QUERIES = {
     "locf_5m": q_locf_5m,
     "label_ops": q_label_ops,
     "holt_winters": q_holt_winters,
+    "skew_join": q_skew_join,
 }
 
 
@@ -7068,6 +7134,17 @@ ORACLE_SQL = {
                    AS url_canon,
                CAST(5 AS BIGINT) AS n_variants
         FROM documents WHERE doc_id % 7 = 0
+    """,
+    "skew_join": """
+        WITH l AS (SELECT event_type,
+                          CASE WHEN user_id % 3 = 0 THEN 0
+                               ELSE CAST(user_id AS BIGINT) END AS k
+                   FROM events),
+             d AS (SELECT DISTINCT k FROM l),
+             d2 AS (SELECT k, k % 97 AS grp FROM d)
+        SELECT l.event_type, count(*) AS n,
+               CAST(sum(d2.grp) AS BIGINT) AS sum_grp
+        FROM l JOIN d2 USING (k) GROUP BY 1
     """,
     "locf_5m": """
         WITH c AS (SELECT event_type,

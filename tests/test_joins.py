@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 
@@ -236,3 +237,78 @@ def test_shuffle_join_left_and_full(ray_session):
     assert right_only["rk"].tolist() == [4, 4]
     left_only = fj[fj["rv"].isna()]
     assert sorted(left_only["k"].tolist()) == [1, 3]
+
+
+class TestSkewAwareJoin:
+    """skew_aware_join == shuffle_join output multiset, hot path exercised."""
+
+    def _sides(self, ray_session):
+        import ray.data
+
+        rng = np.random.RandomState(11)
+        # key 0 holds ~40% of left rows (the hot key); the rest spread thin
+        keys = np.where(rng.rand(20_000) < 0.4, 0,
+                        rng.randint(1, 2_000, size=20_000)).astype(np.int64)
+        left = ray.data.from_arrow(pa.table({
+            "k": pa.array(keys),
+            "payload": pa.array(np.arange(20_000, dtype=np.int64)),
+        })).repartition(8)
+        dim_keys = np.arange(0, 2_000, dtype=np.int64)
+        right = ray.data.from_arrow(pa.table({
+            "k": pa.array(dim_keys),
+            "grp": pa.array(dim_keys % 97),
+        })).repartition(4)
+        return left, right
+
+    def _sorted_df(self, ds):
+        df = ds.to_pandas()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    def test_matches_shuffle_join(self, ray_session):
+        from prom_tsdb_copyer_ray.stages.joins import shuffle_join, skew_aware_join
+
+        left, right = self._sides(ray_session)
+        want = self._sorted_df(
+            shuffle_join(left, right, "k", "k", right_cols=["grp"],
+                         num_shards=16))
+        got = self._sorted_df(
+            skew_aware_join(left, right, "k", "k", right_cols=["grp"],
+                            hot_threshold=1_000, num_shards=16))
+        pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                      want[sorted(want.columns)])
+
+    def test_no_hot_keys_falls_back(self, ray_session):
+        from prom_tsdb_copyer_ray.stages.joins import shuffle_join, skew_aware_join
+
+        left, right = self._sides(ray_session)
+        want = self._sorted_df(
+            shuffle_join(left, right, "k", "k", right_cols=["grp"],
+                         num_shards=16))
+        got = self._sorted_df(
+            skew_aware_join(left, right, "k", "k", right_cols=["grp"],
+                            hot_threshold=10**9, num_shards=16))
+        pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                      want[sorted(want.columns)])
+
+    def test_many_to_many_hot_key(self, ray_session):
+        """A hot key with SEVERAL right rows expands per pair on both paths."""
+        import ray.data
+
+        from prom_tsdb_copyer_ray.stages.joins import shuffle_join, skew_aware_join
+
+        left = ray.data.from_arrow(pa.table({
+            "k": pa.array([0] * 500 + [1, 2, 3], pa.int64()),
+            "payload": pa.array(range(503), type=pa.int64()),
+        })).repartition(4)
+        right = ray.data.from_arrow(pa.table({
+            "k": pa.array([0, 0, 1, 2, 9], pa.int64()),
+            "grp": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        }))
+        want = self._sorted_df(
+            shuffle_join(left, right, "k", "k", right_cols=["grp"]))
+        got = self._sorted_df(
+            skew_aware_join(left, right, "k", "k", right_cols=["grp"],
+                            hot_threshold=100))
+        assert len(got) == 500 * 2 + 2
+        pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                      want[sorted(want.columns)])
