@@ -5630,6 +5630,28 @@ def q_skew_join(sf_dir: str):
         .rename_columns(["event_type", "n", "sum_grp"])
     )
 
+def q_hist_fraction(sf_dir: str):
+    """PromQL ``histogram_fraction(-Inf, 75, ...)`` over the 5m histogram
+    tier: the interpolated fraction of observations <= 75 per (type,
+    window) — the CDF inverse of hist_p90's quantile.  75 sits inside the
+    (50, 100] bucket, so the linear interpolation path is always
+    exercised: ``(c1 + (c2 - c1) * 0.5) / total`` in float64, mirrored
+    op-for-op by the oracle."""
+    names = [f"le_{int(le)}" for le in HIST_LES]
+
+    def frac(batch: pa.Table) -> pa.Table:
+        c1 = batch[names[0]].to_numpy(zero_copy_only=False).astype(np.float64)
+        c2 = batch[names[1]].to_numpy(zero_copy_only=False).astype(np.float64)
+        total = batch["le_inf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        f = (c1 + (c2 - c1) * 0.5) / total
+        return pa.table({
+            "event_type": batch["event_type"],
+            "window_start": batch["window_start"],
+            "frac_le_75": pa.array(np.round(f, 6), pa.float64()),
+        })
+
+    return q_hist_5m(sf_dir).map_batches(frac, batch_format="pyarrow")
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -5823,6 +5845,7 @@ QUERIES = {
     "label_ops": q_label_ops,
     "holt_winters": q_holt_winters,
     "skew_join": q_skew_join,
+    "hist_fraction": q_hist_fraction,
 }
 
 
@@ -7134,6 +7157,17 @@ ORACLE_SQL = {
                    AS url_canon,
                CAST(5 AS BIGINT) AS n_variants
         FROM documents WHERE doc_id % 7 = 0
+    """,
+    "hist_fraction": """
+        WITH h AS (
+          SELECT event_type, (epoch_ms(ts) // 300000) * 300000 AS window_start,
+                 CAST(count(*) FILTER (value <= 50) AS DOUBLE) AS c1,
+                 CAST(count(*) FILTER (value <= 100) AS DOUBLE) AS c2,
+                 CAST(count(*) AS DOUBLE) AS total
+          FROM events GROUP BY 1, 2)
+        SELECT event_type, window_start,
+               round((c1 + (c2 - c1) * 0.5) / total, 6) AS frac_le_75
+        FROM h
     """,
     "skew_join": """
         WITH l AS (SELECT event_type,
