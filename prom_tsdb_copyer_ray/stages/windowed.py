@@ -913,3 +913,104 @@ def holt_linear(y: np.ndarray, alpha: float, gamma: float) -> tuple:
         level = alpha * float(yf[i]) + (1.0 - alpha) * (level + trend)
         trend = gamma * (level - prev) + (1.0 - gamma) * trend
     return level, trend
+
+
+def extrapolated_rate(
+    ds,
+    key_cols: list[str],
+    ts_col: str,
+    order_cols: list[str],
+    cents_col: str,
+    window_ms: int,
+    num_shards: int = 64,
+):
+    """Prometheus ``rate()`` with its FULL extrapolation semantics
+    (promql extrapolatedRate), per aligned window: within-window
+    reset-adjusted increase (exact int64 cents), then boundary
+    extrapolation — each window edge gets the gap to its first/last sample
+    unless that gap exceeds 1.1x the average sample interval (then half an
+    average interval), and the start gap is further capped by the
+    time-to-zero of the counter.  Windows need >= 2 samples spanning > 0 ms
+    (PromQL emits nothing otherwise; the zero-span guard also keeps the
+    factor finite on tied timestamps, which real Prometheus series can't
+    have).
+
+    Every float op below is ordered to match the SQL oracle exactly; the
+    only divisions are float/float with identical operand sequences.
+    Output: key cols + ``window_start`` + ``n_samples`` + ``xrate_per_s``
+    (value-units/sec, cents/100/window-seconds, rounded to 6).
+    Same single key-hash exchange as :func:`counter_increase`.
+    """
+    from .keyed import _key_shard, _segment_starts
+
+    cols = list(key_cols) + [ts_col] + list(order_cols) + [cents_col]
+    win_s = float(window_ms) / 1000.0
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols)
+        return t.append_column("_xshard", _key_shard(t, list(key_cols), num_shards))
+
+    sort_keys = [(c, "ascending") for c in list(key_cols) + [ts_col] + list(order_cols)]
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_xshard")
+        empty = {c: t[c].slice(0, 0) for c in key_cols}
+        empty.update({
+            "window_start": pa.array([], pa.int64()),
+            "n_samples": pa.array([], pa.int64()),
+            "xrate_per_s": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return pa.table(empty)
+        t = t.sort_by(sort_keys)
+        ts = t[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cv = t[cents_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = (ts // window_ms) * window_ms
+        seg = _segment_starts(t, list(key_cols))
+        seg[1:] |= w[1:] != w[:-1]
+        starts = np.flatnonzero(seg)
+        counts = np.diff(np.r_[starts, len(w)]).astype(np.int64)
+        # within-segment reset-adjusted deltas (int64, exact)
+        contrib = np.zeros(len(cv), dtype=np.int64)
+        if len(cv) > 1:
+            delta = cv[1:] - cv[:-1]
+            adj = np.where(delta < 0, cv[1:], delta)
+            contrib[1:] = np.where(seg[1:], 0, adj)
+        inc = np.add.reduceat(contrib, starts).astype(np.int64)
+        first_t, last_t = ts[starts], ts[starts + counts - 1]
+        first_v = cv[starts]
+        keep = (counts >= 2) & (last_t > first_t)
+        if not keep.any():
+            return pa.table(empty)
+        kt = pa.Table.from_arrays(
+            [t[c].take(pa.array(starts[keep])) for c in key_cols], names=key_cols
+        )
+        n = counts[keep]
+        inc, first_v = inc[keep], first_v[keep]
+        w0 = w[starts][keep]
+        si = (last_t[keep] - first_t[keep]).astype(np.float64)
+        ai = si / (n - 1)
+        d0 = (first_t[keep] - w0).astype(np.float64)
+        d1 = (w0 + window_ms - last_t[keep]).astype(np.float64)
+        ds0 = np.where(d0 >= 1.1 * ai, ai / 2.0, d0)
+        de0 = np.where(d1 >= 1.1 * ai, ai / 2.0, d1)
+        inc_f = inc.astype(np.float64)
+        fv_f = first_v.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dz = si * (fv_f / inc_f)
+        ds1 = np.where((inc > 0) & (first_v >= 0) & (dz < ds0), dz, ds0)
+        rate = inc_f * ((si + ds1 + de0) / si) / 100.0 / win_s
+        out = {c: kt[c] for c in key_cols}
+        out["window_start"] = pa.array(w0, pa.int64())
+        out["n_samples"] = pa.array(n, pa.int64())
+        out["xrate_per_s"] = pa.array(np.round(rate, 6), pa.float64())
+        return pa.table(out)
+
+    from .common import narrow_fanin
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .repartition(narrow_fanin())
+        .groupby("_xshard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )

@@ -376,3 +376,86 @@ class TestHoltLinear:
 
         with _pytest.raises(ValueError):
             holt_linear(np.array([1.0]), 0.3, 0.1)
+
+
+class TestExtrapolatedRate:
+    def _run(self, ray_session, rows):
+        import ray.data
+
+        from prom_tsdb_copyer_ray.stages.windowed import extrapolated_rate
+
+        t = pa.table({
+            "k": pa.array([r[0] for r in rows], pa.string()),
+            "tms": pa.array([r[1] for r in rows], pa.int64()),
+            "oid": pa.array(list(range(len(rows))), pa.int64()),
+            "cv": pa.array([r[2] for r in rows], pa.int64()),
+        })
+        ds = ray.data.from_arrow(t).repartition(2)
+        out = extrapolated_rate(ds, ["k"], "tms", ["oid"], "cv", 300_000)
+        return out.to_pandas().sort_values(["k", "window_start"]).reset_index(drop=True)
+
+    def test_dense_window_extrapolates_to_edges(self, ray_session):
+        # 4 samples at 60s spacing inside [0, 300s): gaps to both edges
+        # (60s, 60s) are under the 1.1*avg(60s)=66s threshold -> kept as-is,
+        # factor = (180 + 60 + 60)/180; increase = 300 cents.
+        rows = [("a", 60_000, 100), ("a", 120_000, 200),
+                ("a", 180_000, 300), ("a", 240_000, 400)]
+        df = self._run(ray_session, rows)
+        assert len(df) == 1 and df["n_samples"][0] == 4
+        want = 300 * ((180_000 + 60_000 + 60_000) / 180_000) / 100.0 / 300.0
+        assert df["xrate_per_s"][0] == round(want, 6)
+
+    def test_sparse_edges_use_half_interval(self, ray_session):
+        # 2 samples at 100s and 160s: avg interval 60s, edge gaps 100s and
+        # 140s both exceed 66s -> replaced by 30s each.
+        rows = [("a", 100_000, 5000), ("a", 160_000, 5600)]
+        df = self._run(ray_session, rows)
+        # time-to-zero 60s*(5000/600) = 500s doesn't bind; both edges 30s
+        want = 600 * ((60_000 + 30_000 + 30_000) / 60_000) / 100.0 / 300.0
+        assert df["xrate_per_s"][0] == round(want, 6)
+
+    def test_counter_starting_at_zero_gets_no_start_extrapolation(
+            self, ray_session):
+        # first_v = 0: time-to-zero is 0 -> the start edge contributes
+        # nothing (the counter was born at its first sample).
+        rows = [("a", 100_000, 0), ("a", 160_000, 600)]
+        df = self._run(ray_session, rows)
+        want = 600 * ((60_000 + 0.0 + 30_000) / 60_000) / 100.0 / 300.0
+        assert df["xrate_per_s"][0] == round(want, 6)
+
+    def test_time_to_zero_caps_start_gap(self, ray_session):
+        # counter starts near zero: first_v/inc small -> time-to-zero
+        # 60s * (10/600) = 1s beats the 30s half-interval fallback.
+        rows = [("a", 100_000, 10), ("a", 160_000, 610)]
+        df = self._run(ray_session, rows)
+        si = 60_000.0
+        dz = si * (10 / 600)
+        want = 600 * ((si + dz + 30_000) / si) / 100.0 / 300.0
+        assert df["xrate_per_s"][0] == round(want, 6)
+
+    def test_reset_within_window(self, ray_session):
+        # 100 -> 20 is a reset: contribution is 20, not -80.
+        rows = [("a", 60_000, 100), ("a", 120_000, 20), ("a", 180_000, 50)]
+        df = self._run(ray_session, rows)
+        inc = 20 + 30
+        si = 120_000.0
+        # avg interval 60s -> threshold 66s: start gap 60s kept, end gap
+        # 120s falls back to 30s; time-to-zero 120s*(100/50) doesn't bind
+        want = inc * ((si + 60_000 + 30_000) / si) / 100.0 / 300.0
+        assert df["xrate_per_s"][0] == round(want, 6)
+
+    def test_degenerate_windows_emit_nothing(self, ray_session):
+        # single sample; two samples at the SAME ms (zero span)
+        import ray.data
+
+        from prom_tsdb_copyer_ray.stages.windowed import extrapolated_rate
+
+        t = pa.table({
+            "k": pa.array(["solo", "tied", "tied"], pa.string()),
+            "tms": pa.array([60_000, 60_000, 60_000], pa.int64()),
+            "oid": pa.array([0, 1, 2], pa.int64()),
+            "cv": pa.array([100, 100, 200], pa.int64()),
+        })
+        out = extrapolated_rate(ray.data.from_arrow(t).repartition(2),
+                                ["k"], "tms", ["oid"], "cv", 300_000)
+        assert out.count() == 0
