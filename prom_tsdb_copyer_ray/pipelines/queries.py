@@ -5678,6 +5678,44 @@ def q_xrate_5m(sf_dir: str):
         ["event_type"], "tms", ["event_id"], "cv", MS_5M,
     )
 
+def q_max_xrate_1h(sf_dir: str):
+    """PromQL subquery composition ``max_over_time(rate(x[5m])[1h:5m])``:
+    the extrapolated 5m rates (q_xrate_5m's stage, one keyed exchange)
+    re-keyed to their 1h parent window and max-reduced — continuous
+    aggregates composing upward without touching raw events again.  The
+    second exchange moves one row per (type, 5m window)."""
+    from ..stages.keyed import sharded_grouped_agg
+    from ..stages.windowed import extrapolated_rate
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "event_id", "value"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "tms": ts_to_ms(batch["ts"]),
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "cv": pa.array(np.rint(v * 100).astype(np.int64), pa.int64()),
+        })
+
+    r5 = extrapolated_rate(
+        ds.map_batches(norm, batch_format="pyarrow"),
+        ["event_type"], "tms", ["event_id"], "cv", MS_5M,
+    )
+
+    def rekey(batch: pa.Table) -> pa.Table:
+        w = batch["window_start"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "window_start": pa.array((w // MS_1H) * MS_1H, pa.int64()),
+            "max_xrate": batch["xrate_per_s"],
+        })
+
+    return sharded_grouped_agg(
+        r5.map_batches(rekey, batch_format="pyarrow"),
+        ["event_type", "window_start"], [("max_xrate", "max")], num_shards=8,
+    )
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -5873,6 +5911,7 @@ QUERIES = {
     "skew_join": q_skew_join,
     "hist_fraction": q_hist_fraction,
     "xrate_5m": q_xrate_5m,
+    "max_xrate_1h": q_max_xrate_1h,
 }
 
 
@@ -7184,6 +7223,53 @@ ORACLE_SQL = {
                    AS url_canon,
                CAST(5 AS BIGINT) AS n_variants
         FROM documents WHERE doc_id % 7 = 0
+    """,
+    "max_xrate_1h": """
+        WITH x AS (
+            WITH s AS (SELECT event_type, epoch_ms(ts) AS tms,
+                              CAST(value * 100 AS BIGINT) AS cv,
+                              (epoch_ms(ts) // 300000) * 300000 AS w,
+                              lag(CAST(value * 100 AS BIGINT)) OVER wsa AS prev,
+                              row_number() OVER wsa AS rn
+                       FROM events
+                       WINDOW wsa AS (
+                           PARTITION BY event_type,
+                                        (epoch_ms(ts) // 300000) * 300000
+                           ORDER BY ts, event_id)),
+                 g AS (SELECT event_type, w, count(*) AS n,
+                              min(tms) AS first_t, max(tms) AS last_t,
+                              max(CASE WHEN rn = 1 THEN cv END) AS first_v,
+                              CAST(sum(CASE WHEN prev IS NULL THEN 0
+                                            WHEN cv >= prev THEN cv - prev
+                                            ELSE cv END) AS BIGINT) AS inc
+                       FROM s GROUP BY 1, 2),
+                 f AS (SELECT *,
+                              CAST(last_t - first_t AS DOUBLE) AS si,
+                              CAST(last_t - first_t AS DOUBLE) / (n - 1) AS ai,
+                              CAST(first_t - w AS DOUBLE) AS d0,
+                              CAST(w + 300000 - last_t AS DOUBLE) AS d1
+                       FROM g WHERE n >= 2 AND last_t > first_t),
+                 x AS (SELECT *,
+                              CASE WHEN d0 >= 1.1 * ai THEN ai / 2.0 ELSE d0 END AS ds0,
+                              CASE WHEN d1 >= 1.1 * ai THEN ai / 2.0 ELSE d1 END AS de0
+                       FROM f),
+                 z AS (SELECT *,
+                              CASE WHEN inc > 0 AND first_v >= 0
+                                        AND si * (CAST(first_v AS DOUBLE)
+                                                  / CAST(inc AS DOUBLE)) < ds0
+                                   THEN si * (CAST(first_v AS DOUBLE)
+                                              / CAST(inc AS DOUBLE))
+                                   ELSE ds0 END AS ds1
+                       FROM x)
+            SELECT event_type, w AS window_start, CAST(n AS BIGINT) AS n_samples,
+                   round(CAST(inc AS DOUBLE) * ((si + ds1 + de0) / si)
+                         / 100.0 / 300.0, 6) AS xrate_per_s
+            FROM z
+        )
+        SELECT event_type,
+               (window_start // 3600000) * 3600000 AS window_start,
+               max(xrate_per_s) AS max_xrate
+        FROM x GROUP BY 1, 2
     """,
     "xrate_5m": """
         WITH s AS (SELECT event_type, epoch_ms(ts) AS tms,

@@ -151,7 +151,7 @@ def test_mirror_covers_every_oracle(entry_mod):
         "irate", "interpolate_5m", "absent_series", "tpch_q14",
         "canonical_url", "tpch_q12", "lttb_downsample", "locf_5m",
         "label_ops", "holt_winters", "skew_join", "hist_fraction",
-        "xrate_5m",
+        "xrate_5m", "max_xrate_1h",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):
