@@ -5716,6 +5716,170 @@ def q_max_xrate_1h(sf_dir: str):
         ["event_type", "window_start"], [("max_xrate", "max")], num_shards=8,
     )
 
+
+def q_changes(sf_dir: str):
+    """PromQL changes(): how often each (type, user) value CHANGED (any
+    direction) along its (ts, event_id) timeline — the gauge complement
+    of q_resets' counter-decrease census (same lag -> vectorized compare
+    -> count combiner -> sharded-sum composition; reference sample
+    iteration semantics copyer.go:108-127)."""
+    from ..stages.keyed import lag_column, sharded_grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "ts", "event_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "tsms": ts_to_ms(batch["ts"]),
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "value": batch["value"],
+        })
+
+    lagged = lag_column(ds.map_batches(prep, batch_format="pyarrow"),
+                        ["event_type", "user_id"], ["tsms", "event_id"],
+                        "value")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        p = batch["prev"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "user_id": batch["user_id"],
+            "n_changes": pa.array((v != p).astype(np.int64)),
+        })
+        g = t.group_by(["event_type", "user_id"]).aggregate([("n_changes", "sum")])
+        return g.rename_columns(["event_type", "user_id", "n_changes"])
+
+    return sharded_grouped_agg(
+        lagged.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "user_id"], [("n_changes", "sum")], num_shards=16,
+    )
+
+
+# predict_linear extrapolates every (type, user) trend to this fixed
+# abscissa: epoch hour 474432 = 2024-02-15T00:00Z, ~2 weeks past the
+# synthetic corpus (Jan 2024), in the same x units as q_trend_slope
+# (epoch hours - 473000).
+_PREDICT_AT_X = 474_432 - 473_000
+
+
+def q_predict_linear(sf_dir: str):
+    """PromQL predict_linear(): least-squares extrapolation of each
+    (type, user) value trend to a fixed future timestamp
+    (stages/keyed.group_linear_trend with predict_at — exact int64
+    sufficient statistics, 5-int-per-key combiner, one O(keys) exchange;
+    intercept+slope evaluated in a documented float op order the SQL
+    oracle mirrors).  x/y normalization identical to q_trend_slope."""
+    from ..stages.keyed import group_linear_trend
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "ts", "value"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        vm = np.rint(np.round(v, 4) * 10000).astype(np.int64)
+        x = pc.subtract(
+            pc.divide(ts_to_ms(batch["ts"]), 3600000), 473000
+        )
+        return pa.table({
+            "event_type": batch["event_type"],
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "x": x,
+            "y": pa.array(vm, pa.int64()),
+        })
+
+    out = group_linear_trend(
+        ds.map_batches(norm, batch_format="pyarrow"),
+        ["event_type", "user_id"], "x", "y", out_col="pred_10k",
+        predict_at=_PREDICT_AT_X,
+    )
+
+    def descale(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.column_names.index("pred_10k"), "pred_value",
+            pc.divide(batch["pred_10k"], 10000.0))
+
+    return _finalize(out.map_batches(descale, batch_format="pyarrow"),
+                     {}, {"pred_value": 6})
+
+
+def q_autocorr_lag1(sf_dir: str):
+    """Lag-1 autocorrelation of each event_type's value series along its
+    (ts, event_id) timeline: lag_column feeds grouped_corr(prev, value) —
+    the Pearson estimator over consecutive pairs, exact int64 sufficient
+    statistics.  Values in cents centered at a FIXED 28000 (shift
+    invariance of correlation; keeps n*Syy under 2^63 for per-type n up
+    to ~10M at this value range — document, don't check)."""
+    from ..stages.keyed import grouped_corr, lag_column
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "event_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "tsms": ts_to_ms(batch["ts"]),
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "y": pa.array(np.rint(v * 100).astype(np.int64) - 28000, pa.int64()),
+        })
+
+    lagged = lag_column(ds.map_batches(prep, batch_format="pyarrow"),
+                        ["event_type"], ["tsms", "event_id"], "y")
+
+    out = grouped_corr(lagged, ["event_type"], "prev", "y",
+                       out_col="acf1", num_shards=8)
+    return _finalize(out, {}, {"acf1": 8})
+
+
+def q_stddev_1h(sf_dir: str):
+    """PromQL stddev_over_time()/stdvar_over_time(): population standard
+    deviation and variance of value per (type, 1h window) — exact int64
+    cent sums + sums-of-squares per-batch combiner, one O(keys) sharded
+    exchange, single correctly-rounded sqrt at the end (IEEE sqrt is
+    exact-deterministic, so the SQL mirror is bit-identical)."""
+    from ..stages.keyed import sharded_grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        cv = np.rint(v * 100).astype(np.int64)
+        w = window_start(ts_to_ms(batch["ts"]), MS_1H)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "window_start": w,
+            "_n": pa.array(np.ones(len(cv), np.int64)),
+            "_s": pa.array(cv),
+            "_s2": pa.array(cv * cv),
+        })
+        g = t.group_by(["event_type", "window_start"]).aggregate(
+            [("_n", "sum"), ("_s", "sum"), ("_s2", "sum")])
+        return g.rename_columns(
+            ["event_type", "window_start", "_n", "_s", "_s2"])
+
+    merged = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "window_start"],
+        [("_n", "sum"), ("_s", "sum"), ("_s2", "sum")], num_shards=16,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["_n"].to_numpy(zero_copy_only=False)
+        s = batch["_s"].to_numpy(zero_copy_only=False)
+        s2 = batch["_s2"].to_numpy(zero_copy_only=False)
+        var = (n * s2 - s * s).astype(np.float64) / (n * n).astype(np.float64)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "window_start": batch["window_start"],
+            "n_samples": pa.array(n, pa.int64()),
+            "stddev_v": pa.array(np.sqrt(var) / 100.0, pa.float64()),
+            "stdvar_v": pa.array(var / 10000.0, pa.float64()),
+        })
+
+    return _finalize(merged.map_batches(finish, batch_format="pyarrow"),
+                     {}, {"stddev_v": 6, "stdvar_v": 6})
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -5912,6 +6076,10 @@ QUERIES = {
     "hist_fraction": q_hist_fraction,
     "xrate_5m": q_xrate_5m,
     "max_xrate_1h": q_max_xrate_1h,
+    "changes": q_changes,
+    "predict_linear": q_predict_linear,
+    "autocorr_lag1": q_autocorr_lag1,
+    "stddev_1h": q_stddev_1h,
 }
 
 
@@ -7378,6 +7546,67 @@ ORACLE_SQL = {
         FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
         WHERE epoch_ms(li.l_shipdate) > epoch_ms(o.o_orderdate)
         GROUP BY 1
+    """,
+    "changes": """
+        WITH o AS (SELECT event_type, CAST(user_id AS BIGINT) AS user_id,
+                          value,
+                          lag(value) OVER (PARTITION BY event_type, user_id
+                                           ORDER BY ts, event_id) AS prev
+                   FROM events)
+        SELECT event_type, user_id,
+               CAST(count(*) FILTER (WHERE value <> prev) AS BIGINT)
+                   AS n_changes
+        FROM o WHERE prev IS NOT NULL GROUP BY 1, 2
+    """,
+    "predict_linear": """
+        WITH s AS (SELECT event_type, user_id,
+                          epoch_ms(ts) // 3600000 - 473000 AS x,
+                          CAST(round(value, 4) * 10000 AS BIGINT) AS y
+                   FROM events),
+        a AS (SELECT event_type, user_id, count(*) AS n,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * y) AS sxy, sum(x * x) AS sxx
+              FROM s GROUP BY 1, 2),
+        b AS (SELECT *, CAST(n * sxy - sx * sy AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+              FROM a WHERE n * sxx - sx * sx <> 0)
+        SELECT event_type, user_id,
+               round(((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                      / CAST(n AS DOUBLE) + slope * 1432.0) / 10000.0, 6)
+                   AS pred_value
+        FROM b
+    """,
+    "autocorr_lag1": """
+        WITH s AS (SELECT event_type, ts, event_id,
+                          CAST(value * 100 AS BIGINT) - 28000 AS y
+                   FROM events),
+        o AS (SELECT event_type, y,
+                     lag(y) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS x
+              FROM s),
+        a AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                     sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+              FROM o WHERE x IS NOT NULL GROUP BY 1)
+        SELECT event_type,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 8) AS acf1
+        FROM a WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+    "stddev_1h": """
+        WITH s AS (SELECT event_type,
+                          (epoch_ms(ts) // 3600000) * 3600000 AS window_start,
+                          CAST(value * 100 AS BIGINT) AS cv
+                   FROM events),
+        a AS (SELECT event_type, window_start, count(*) AS n,
+                     sum(cv) AS s, sum(cv * cv) AS s2
+              FROM s GROUP BY 1, 2)
+        SELECT event_type, window_start, CAST(n AS BIGINT) AS n_samples,
+               round(sqrt(CAST(n * s2 - s * s AS DOUBLE)
+                          / CAST(n * n AS DOUBLE)) / 100.0, 6) AS stddev_v,
+               round(CAST(n * s2 - s * s AS DOUBLE)
+                     / CAST(n * n AS DOUBLE) / 10000.0, 6) AS stdvar_v
+        FROM a
     """,
 }
 

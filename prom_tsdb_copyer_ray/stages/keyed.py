@@ -490,10 +490,18 @@ def pivot_counts(ds, key_cols: list[str], cat_col: str, categories: list[str],
 
 
 def group_linear_trend(ds, key_cols: list[str], x_col: str, y_col: str,
-                       out_col: str = "slope", num_shards: int = 64):
+                       out_col: str = "slope", num_shards: int = 64,
+                       predict_at: int | None = None):
     """Least-squares slope of y over x per key (the PromQL ``deriv()``
     trend analog, reference sample semantics copyer.go:108-127 applied as
     an aggregate): ``slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx)``.
+
+    With ``predict_at=xp`` the output is instead the PromQL
+    ``predict_linear()`` extrapolation at the fixed abscissa ``xp``:
+    ``pred = (Sy - slope*Sx)/n + slope*xp`` — the intercept-plus-slope
+    closed form evaluated in that exact float op order (document and
+    mirror it in any SQL oracle; the inputs are exact int64 sums so the
+    result is bit-identical across engines and block layouts).
 
     ``x_col`` and ``y_col`` MUST be integer columns (callers pre-scale
     floats; see q_running_total's milli-unit convention) so every
@@ -543,6 +551,10 @@ def group_linear_trend(ds, key_cols: list[str], x_col: str, y_col: str,
         num = n * sxy - sx * sy
         slope = num[keep].astype(np.float64) / den[keep].astype(np.float64)
         out = batch.select(keys).filter(pa.array(keep))
+        if predict_at is not None:
+            pred = (sy[keep].astype(np.float64) - slope * sx[keep].astype(np.float64)) \
+                / n[keep].astype(np.float64) + slope * float(predict_at)
+            return out.append_column(out_col, pa.array(pred, pa.float64()))
         return out.append_column(out_col, pa.array(slope, pa.float64()))
 
     return merged.map_batches(finish, batch_format="pyarrow")

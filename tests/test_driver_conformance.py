@@ -152,6 +152,7 @@ def test_mirror_covers_every_oracle(entry_mod):
         "canonical_url", "tpch_q12", "lttb_downsample", "locf_5m",
         "label_ops", "holt_winters", "skew_join", "hist_fraction",
         "xrate_5m", "max_xrate_1h",
+        "changes", "predict_linear", "autocorr_lag1", "stddev_1h",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):
