@@ -5880,6 +5880,143 @@ def q_stddev_1h(sf_dir: str):
                      {}, {"stddev_v": 6, "stdvar_v": 6})
 
 
+def q_seasonal_residual(sf_dir: str):
+    """Seasonally-adjusted anomaly: top-3 events per type by absolute
+    deviation from their (type, hour-of-day) mean — the aggregate ->
+    broadcast -> apply -> top-k shape.  Pass 1 computes the exact
+    hour-of-day census (n, sum-of-cents) per type (combiner-bounded, at
+    most types x 24 rows cross the exchange); the tiny census is
+    broadcast once via ``ray.put`` and probed per batch; the residual
+    ``|cv*n - s| / n`` stays exact-integer until one final division, so
+    the SQL oracle is bit-identical; winners ride the
+    :func:`topk_per_group` combiner (k rows per batch, never the
+    dataset)."""
+    import ray
+
+    from ..stages.keyed import sharded_grouped_agg, topk_per_group
+
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "hod": pa.array((tms // 3600000) % 24, pa.int64()),
+            "cv": pa.array(np.rint(v * 100).astype(np.int64), pa.int64()),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+
+    def census_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "hod": batch["hod"],
+            "_n": pa.array(np.ones(batch.num_rows, np.int64)),
+            "_s": batch["cv"],
+        })
+        g = t.group_by(["event_type", "hod"]).aggregate(
+            [("_n", "sum"), ("_s", "sum")])
+        return g.rename_columns(["event_type", "hod", "_n", "_s"])
+
+    census = sharded_grouped_agg(
+        prepped.map_batches(census_partial, batch_format="pyarrow"),
+        ["event_type", "hod"], [("_n", "sum"), ("_s", "sum")], num_shards=4,
+    ).to_pandas()
+    lut = {}  # type -> (n[24], s[24])
+    for et, grp in census.groupby("event_type"):
+        n = np.zeros(24, np.int64)
+        s = np.zeros(24, np.int64)
+        n[grp["hod"].to_numpy()] = grp["_n"].to_numpy()
+        s[grp["hod"].to_numpy()] = grp["_s"].to_numpy()
+        lut[et] = (n, s)
+    lut_ref = ray.put(lut)
+
+    def residual(batch: pa.Table, _c=lut_ref) -> pa.Table:
+        lut_b = ray.get(_c)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        hod = batch["hod"].to_numpy(zero_copy_only=False)
+        cv = batch["cv"].to_numpy(zero_copy_only=False)
+        dev = np.zeros(len(cv), np.float64)
+        for t, (n, s) in lut_b.items():
+            m = et == t
+            nn = n[hod[m]]
+            dev[m] = np.abs(cv[m] * nn - s[hod[m]]).astype(np.float64) \
+                / nn.astype(np.float64) / 100.0
+        return pa.table({
+            "event_type": batch["event_type"],
+            "event_id": batch["event_id"],
+            "dev": pa.array(dev, pa.float64()),
+        })
+
+    top = topk_per_group(
+        prepped.map_batches(residual, batch_format="pyarrow"),
+        ["event_type"], "dev", k=3, tiebreak_col="event_id", num_shards=4,
+    )
+    return _finalize(top, {}, {"dev": 6})
+
+
+def q_weighted_median(sf_dir: str):
+    """Weighted median document length per language (weight = whitespace
+    token count, the q_token_count protocol): lower weighted median —
+    smallest n_chars whose cumulative weight reaches half the total.
+    Scale shape: per-batch (lang, n_chars) weight census collapses the
+    docs to a value-distinct table (bounded by the n_chars value range,
+    NOT corpus size), one sharded exchange sums it, and the per-lang
+    cumulative-weight scan walks only census rows — integer-exact
+    end-to-end, no interpolation."""
+    from ..functions.text import token_count
+    from ..stages.keyed import sharded_grouped_agg
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars", "text"])
+
+    def census_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "lang": batch["lang"],
+            "n_chars": pc.cast(batch["n_chars"], pa.int64()),
+            "w": pc.cast(token_count(batch["text"]), pa.int64()),
+        })
+        g = t.group_by(["lang", "n_chars"]).aggregate([("w", "sum")])
+        return g.rename_columns(["lang", "n_chars", "w"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(census_partial, batch_format="pyarrow"),
+        ["lang", "n_chars"], [("w", "sum")], num_shards=8,
+    )
+
+    def per_lang(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("lang", "ascending"), ("n_chars", "ascending")])
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        nc = t["n_chars"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        out_l, out_m = [], []
+        starts = np.flatnonzero(np.r_[True, langs[1:] != langs[:-1]])
+        bounds = np.r_[starts, len(langs)]
+        for i, st in enumerate(starts):
+            en = bounds[i + 1]
+            cw = np.cumsum(w[st:en])
+            tw = cw[-1]
+            j = int(np.flatnonzero(2 * cw >= tw)[0])
+            out_l.append(langs[st])
+            out_m.append(int(nc[st + j]))
+        return pa.table({
+            "lang": pa.array(out_l, pa.string()),
+            "wmedian_chars": pa.array(out_m, pa.int64()),
+        })
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        from ..stages.keyed import _key_shard
+        return batch.append_column("_ws", _key_shard(batch, ["lang"], 8))
+
+    return (
+        census.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("_ws")
+        .map_groups(lambda g: per_lang(g.drop_columns("_ws")),
+                    batch_format="pyarrow")
+    )
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -6080,6 +6217,8 @@ QUERIES = {
     "predict_linear": q_predict_linear,
     "autocorr_lag1": q_autocorr_lag1,
     "stddev_1h": q_stddev_1h,
+    "seasonal_residual": q_seasonal_residual,
+    "weighted_median": q_weighted_median,
 }
 
 
@@ -7607,6 +7746,43 @@ ORACLE_SQL = {
                round(CAST(n * s2 - s * s AS DOUBLE)
                      / CAST(n * n AS DOUBLE) / 10000.0, 6) AS stdvar_v
         FROM a
+    """,
+    "seasonal_residual": """
+        WITH s AS (SELECT event_type, CAST(event_id AS BIGINT) AS event_id,
+                          CAST(value * 100 AS BIGINT) AS cv,
+                          (epoch_ms(ts) // 3600000) % 24 AS hod
+                   FROM events),
+        a AS (SELECT event_type, hod, count(*) AS n, sum(cv) AS sm
+              FROM s GROUP BY 1, 2),
+        d AS (SELECT s.event_type, s.event_id,
+                     CAST(abs(s.cv * a.n - a.sm) AS DOUBLE)
+                     / CAST(a.n AS DOUBLE) / 100.0 AS dev
+              FROM s JOIN a USING (event_type, hod)),
+        r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                           ORDER BY dev DESC, event_id) AS rn
+              FROM d)
+        SELECT event_type, event_id, round(dev, 6) AS dev
+        FROM r WHERE rn <= 3
+    """,
+    "weighted_median": """
+        WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text, ' ' || chr(9) || chr(13) || chr(10)) = ''
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(
+                             trim(text, ' ' || chr(9) || chr(13) || chr(10)),
+                             '[ \t\r\n]+') END AS tk
+            FROM documents),
+        w AS (SELECT d.lang, d.n_chars, len(t.tk) AS wt
+              FROM documents d JOIN toks t USING (doc_id)),
+        a AS (SELECT lang, n_chars, CAST(sum(wt) AS BIGINT) AS w
+              FROM w GROUP BY 1, 2),
+        c AS (SELECT *,
+                     sum(w) OVER (PARTITION BY lang ORDER BY n_chars) AS cw,
+                     sum(w) OVER (PARTITION BY lang) AS tw
+              FROM a)
+        SELECT lang, CAST(min(n_chars) AS BIGINT) AS wmedian_chars
+        FROM c WHERE 2 * cw >= tw GROUP BY 1
     """,
 }
 
