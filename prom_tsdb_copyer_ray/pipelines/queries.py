@@ -6017,6 +6017,57 @@ def q_weighted_median(sf_dir: str):
     )
 
 
+def q_ks_statistic(sf_dir: str):
+    """Exact two-sample Kolmogorov-Smirnov distance between the purchase
+    and view value distributions: per-batch (cent-value, count-per-side)
+    census combiner -> one sharded exchange -> driver-final CDF scan.
+    The census is bounded by the VALUE DOMAIN (distinct cents), not the
+    corpus, so only value-distinct rows cross the exchange and the final
+    scan is tiny; the statistic ``max |C1*N2 - C2*N1|`` stays exact
+    integer until one final division (overflow bound: N1*N2 < 2^63 —
+    at larger corpora switch the scan to float128/int128, documented not
+    checked).  at_cv reports the smallest cent value attaining the max
+    (deterministic tie-break)."""
+    from ..stages.keyed import sharded_grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def census_partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "purchase") | (et == "view")
+        v = batch["value"].to_numpy(zero_copy_only=False)[keep]
+        cv = np.rint(v * 100).astype(np.int64)
+        is1 = (et[keep] == "purchase").astype(np.int64)
+        t = pa.table({
+            "cv": pa.array(cv),
+            "c1": pa.array(is1),
+            "c2": pa.array(1 - is1),
+        })
+        g = t.group_by(["cv"]).aggregate([("c1", "sum"), ("c2", "sum")])
+        return g.rename_columns(["cv", "c1", "c2"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(census_partial, batch_format="pyarrow"),
+        ["cv"], [("c1", "sum"), ("c2", "sum")], num_shards=8,
+    ).to_pandas().sort_values("cv")
+
+    cv = census["cv"].to_numpy()
+    a1 = np.cumsum(census["c1"].to_numpy())
+    a2 = np.cumsum(census["c2"].to_numpy())
+    n1, n2 = int(a1[-1]), int(a2[-1])
+    dn = np.abs(a1 * n2 - a2 * n1)
+    mx = int(dn.max())
+    at = int(cv[np.flatnonzero(dn == mx)[0]])
+    ks = round(float(mx) / (float(n1) * float(n2)), 8)
+    return pa.table({
+        "type_a": pa.array(["purchase"]),
+        "type_b": pa.array(["view"]),
+        "d_num": pa.array([mx], pa.int64()),
+        "at_cv": pa.array([at], pa.int64()),
+        "ks": pa.array([ks], pa.float64()),
+    })
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -6219,6 +6270,7 @@ QUERIES = {
     "stddev_1h": q_stddev_1h,
     "seasonal_residual": q_seasonal_residual,
     "weighted_median": q_weighted_median,
+    "ks_statistic": q_ks_statistic,
 }
 
 
@@ -7783,6 +7835,28 @@ ORACLE_SQL = {
               FROM a)
         SELECT lang, CAST(min(n_chars) AS BIGINT) AS wmedian_chars
         FROM c WHERE 2 * cw >= tw GROUP BY 1
+    """,
+    "ks_statistic": """
+        WITH s AS (SELECT event_type, CAST(value * 100 AS BIGINT) AS cv
+                   FROM events WHERE event_type IN ('purchase', 'view')),
+        c AS (SELECT cv,
+                     count(*) FILTER (event_type = 'purchase') AS c1,
+                     count(*) FILTER (event_type = 'view') AS c2
+              FROM s GROUP BY 1),
+        t AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM c),
+        k AS (SELECT cv, sum(c1) OVER (ORDER BY cv) AS a1,
+                     sum(c2) OVER (ORDER BY cv) AS a2 FROM c),
+        d AS (SELECT k.cv, abs(k.a1 * t.n2 - k.a2 * t.n1) AS dn,
+                     t.n1, t.n2
+              FROM k CROSS JOIN t)
+        SELECT 'purchase' AS type_a, 'view' AS type_b,
+               CAST(max(dn) AS BIGINT) AS d_num,
+               CAST(min(cv) FILTER (dn = (SELECT max(dn) FROM d)) AS BIGINT)
+                   AS at_cv,
+               round(CAST(max(dn) AS DOUBLE)
+                     / (CAST(any_value(n1) AS DOUBLE)
+                        * CAST(any_value(n2) AS DOUBLE)), 8) AS ks
+        FROM d
     """,
 }
 

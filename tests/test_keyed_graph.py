@@ -593,6 +593,38 @@ def test_group_linear_trend_matches_polyfit(ray_session):
             np.testing.assert_allclose(got, want, rtol=1e-9)
 
 
+def test_group_linear_trend_predict_matches_polyfit(ray_session):
+    """predict_at extrapolation vs numpy polyval(polyfit) per key, and
+    block-layout invariance of the exact-int closed form."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.keyed import group_linear_trend
+
+    rng = np.random.default_rng(31)
+    n = 2000
+    k = rng.integers(0, 23, n).astype(np.int64)
+    x = rng.integers(0, 400, n).astype(np.int64)
+    y = (-2 * x + rng.integers(-30, 30, n)).astype(np.int64)
+    t = pa.table({"k": k, "x": x, "y": y})
+    xp = 1000
+    outs = []
+    for nparts in (1, 9):
+        ds = ray.data.from_arrow(t).repartition(nparts)
+        out = (
+            group_linear_trend(ds, ["k"], "x", "y", out_col="pred",
+                               predict_at=xp)
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        outs.append(out)
+        df = t.to_pandas()
+        for key, grp in df.groupby("k"):
+            want = np.polyval(np.polyfit(grp["x"], grp["y"], 1), xp)
+            got = out.loc[out["k"] == key, "pred"].iloc[0]
+            np.testing.assert_allclose(got, want, rtol=1e-9)
+    # exact-int sufficient stats => bit-identical across block layouts
+    assert (outs[0]["pred"].to_numpy() == outs[1]["pred"].to_numpy()).all()
+
+
 def test_grouping_sets_matches_pandas(ray_session):
     """CUBE over two dims vs pandas-per-set totals; multi-block invariance;
     min/max aggs alongside count/sum."""
