@@ -6068,6 +6068,51 @@ def q_ks_statistic(sf_dir: str):
     })
 
 
+def q_chi2_independence(sf_dir: str):
+    """Pearson chi-square independence test of event_type vs hour-of-day:
+    per-batch contingency census combiner -> one sharded exchange ->
+    driver-final scan over the types x 24 cells.  Each cell's
+    ``(o*N - r*c)^2 / (N*r*c)`` is exact-integer in numerator/denominator
+    and micro-floored before the sum (the bm25 libm protocol) so the
+    120-term float sum is an associative integer sum — bit-identical
+    across engines and block layouts."""
+    from ..stages.keyed import sharded_grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def census_partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "hod": pa.array((tms // 3600000) % 24, pa.int64()),
+            "o": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+        g = t.group_by(["event_type", "hod"]).aggregate([("o", "sum")])
+        return g.rename_columns(["event_type", "hod", "o"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(census_partial, batch_format="pyarrow"),
+        ["event_type", "hod"], [("o", "sum")], num_shards=4,
+    ).to_pandas()
+
+    piv = census.pivot_table(index="event_type", columns="hod", values="o",
+                             fill_value=0, aggfunc="sum")
+    o = piv.to_numpy().astype(np.int64)
+    r = o.sum(axis=1, keepdims=True)
+    c = o.sum(axis=0, keepdims=True)
+    n = int(o.sum())
+    num = (o * n - r * c).astype(np.float64) ** 2
+    den = (float(n) * (r * c).astype(np.float64))
+    cells = np.floor(num / den * 1e6).astype(np.int64)
+    chi2 = float(cells.sum()) / 1e6
+    dof = (o.shape[0] - 1) * (o.shape[1] - 1)
+    return pa.table({
+        "chi2": pa.array([round(chi2, 6)], pa.float64()),
+        "dof": pa.array([dof], pa.int64()),
+        "n": pa.array([n], pa.int64()),
+    })
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -6271,6 +6316,7 @@ QUERIES = {
     "seasonal_residual": q_seasonal_residual,
     "weighted_median": q_weighted_median,
     "ks_statistic": q_ks_statistic,
+    "chi2_independence": q_chi2_independence,
 }
 
 
@@ -7857,6 +7903,31 @@ ORACLE_SQL = {
                      / (CAST(any_value(n1) AS DOUBLE)
                         * CAST(any_value(n2) AS DOUBLE)), 8) AS ks
         FROM d
+    """,
+    "chi2_independence": """
+        WITH s AS (SELECT event_type,
+                          (epoch_ms(ts) // 3600000) % 24 AS hod FROM events),
+        cs AS (SELECT event_type, hod, count(*) AS o FROM s GROUP BY 1, 2),
+        ty AS (SELECT DISTINCT event_type FROM s),
+        hh AS (SELECT DISTINCT hod FROM s),
+        grid AS (SELECT ty.event_type, hh.hod, coalesce(cs.o, 0) AS o
+                 FROM ty CROSS JOIN hh
+                 LEFT JOIN cs USING (event_type, hod)),
+        tot AS (SELECT sum(o) AS n FROM grid),
+        r AS (SELECT event_type, sum(o) AS rr FROM grid GROUP BY 1),
+        c AS (SELECT hod, sum(o) AS cc FROM grid GROUP BY 1),
+        cells AS (SELECT CAST(floor(
+                      CAST(g.o * t.n - r.rr * c.cc AS DOUBLE)
+                      * CAST(g.o * t.n - r.rr * c.cc AS DOUBLE)
+                      / (CAST(t.n AS DOUBLE) * CAST(r.rr * c.cc AS DOUBLE))
+                      * 1e6) AS BIGINT) AS m
+                  FROM grid g JOIN r USING (event_type)
+                  JOIN c USING (hod) CROSS JOIN tot t)
+        SELECT round(CAST(sum(m) AS DOUBLE) / 1e6, 6) AS chi2,
+               CAST((SELECT count(*) - 1 FROM ty)
+                    * (SELECT count(*) - 1 FROM hh) AS BIGINT) AS dof,
+               CAST((SELECT n FROM tot) AS BIGINT) AS n
+        FROM cells
     """,
 }
 
