@@ -6113,6 +6113,116 @@ def q_chi2_independence(sf_dir: str):
     })
 
 
+def q_basket_lift(sf_dir: str):
+    """Market-basket lift between event types co-occurring in the same
+    user session (q_sessions' gap definition): sessionize -> per-session
+    distinct type set -> vectorized within-session pair expansion
+    (bounded C(T,2) per session, T = #types) -> census.  The exchange
+    moves (user, ts, type) triples once; the census and the final
+    ``lift = (n_ab*N) / (n_a*n_b)`` (exact ints, one division) are
+    driver-final over at most T + C(T,2) + 1 rows."""
+    from ..stages.keyed import _key_shard
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "ts_ms": ts_to_ms(batch["ts"]),
+            "event_type": batch["event_type"],
+        })
+        return t.append_column("_kshard", _key_shard(t, ["user_id"], 64))
+
+    def census(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "ta": pa.array([], pa.string()),
+            "tb": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        })
+        if group.num_rows == 0:
+            return empty
+        user = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts_ms"].to_numpy(zero_copy_only=False)
+        et = group["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, user))
+        user, ts, et = user[order], ts[order], et[order]
+        brk = np.ones(len(user), dtype=bool)
+        brk[1:] = (user[1:] != user[:-1]) | (ts[1:] - ts[:-1] > SESSION_GAP_MS)
+        sid = np.cumsum(brk) - 1
+        types, code = np.unique(et, return_inverse=True)
+        k = len(types)
+        # distinct (session, type) memberships
+        mem = np.unique(sid * k + code)
+        msid, mcode = mem // k, mem % k
+        n_sessions = int(sid[-1]) + 1
+        singles = np.bincount(mcode, minlength=k).astype(np.int64)
+        # vectorized pairs within each session's (sorted) type set
+        seg = np.r_[np.flatnonzero(np.r_[True, msid[1:] != msid[:-1]]),
+                    len(msid)]
+        lens = np.diff(seg)
+        npairs = lens * (lens - 1) // 2
+        rows_a, rows_b = [], []
+        if npairs.sum() > 0:
+            # per segment emit (i, j) index pairs i<j via offset arithmetic
+            for st, ln in zip(seg[:-1], lens):
+                if ln < 2:
+                    continue
+                c = mcode[st:st + ln]
+                ia, ib = np.triu_indices(ln, k=1)
+                rows_a.append(c[ia])
+                rows_b.append(c[ib])
+        out_rows = {"ta": [], "tb": [], "n": []}
+        # total-session sentinel row
+        out_rows["ta"].append("")
+        out_rows["tb"].append("")
+        out_rows["n"].append(n_sessions)
+        for i in range(k):
+            if singles[i]:
+                out_rows["ta"].append(str(types[i]))
+                out_rows["tb"].append("")
+                out_rows["n"].append(int(singles[i]))
+        if rows_a:
+            pa_, pb_ = np.concatenate(rows_a), np.concatenate(rows_b)
+            pk = pa_ * k + pb_
+            uniq, cnt = np.unique(pk, return_counts=True)
+            for u, c in zip(uniq, cnt):
+                out_rows["ta"].append(str(types[u // k]))
+                out_rows["tb"].append(str(types[u % k]))
+                out_rows["n"].append(int(c))
+        return pa.table({
+            "ta": pa.array(out_rows["ta"], pa.string()),
+            "tb": pa.array(out_rows["tb"], pa.string()),
+            "n": pa.array(out_rows["n"], pa.int64()),
+        })
+
+    cen = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_kshard")
+        .map_groups(lambda g: census(g.drop_columns("_kshard")),
+                    batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = cen.groupby(["ta", "tb"], as_index=False)["n"].sum()
+    total = int(agg.loc[(agg["ta"] == "") & (agg["tb"] == ""), "n"].iloc[0])
+    singles = {r["ta"]: int(r["n"]) for _, r in
+               agg[(agg["ta"] != "") & (agg["tb"] == "")].iterrows()}
+    pairs = agg[(agg["ta"] != "") & (agg["tb"] != "")]
+    out = {"type_a": [], "type_b": [], "n_both": [], "lift": []}
+    for _, r in pairs.sort_values(["ta", "tb"]).iterrows():
+        a, b, nab = r["ta"], r["tb"], int(r["n"])
+        out["type_a"].append(a)
+        out["type_b"].append(b)
+        out["n_both"].append(nab)
+        out["lift"].append(round(
+            float(nab * total) / float(singles[a] * singles[b]), 6))
+    return pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "n_both": pa.array(out["n_both"], pa.int64()),
+        "lift": pa.array(out["lift"], pa.float64()),
+    })
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -6317,6 +6427,7 @@ QUERIES = {
     "weighted_median": q_weighted_median,
     "ks_statistic": q_ks_statistic,
     "chi2_independence": q_chi2_independence,
+    "basket_lift": q_basket_lift,
 }
 
 
@@ -7928,6 +8039,33 @@ ORACLE_SQL = {
                     * (SELECT count(*) - 1 FROM hh) AS BIGINT) AS dof,
                CAST((SELECT n FROM tot) AS BIGINT) AS n
         FROM cells
+    """,
+    "basket_lift": f"""
+        WITH x AS (SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events),
+        y AS (SELECT user_id, ms, event_type,
+                     CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms)
+                          > {SESSION_GAP_MS} THEN 1 ELSE 0 END AS brk
+              FROM x),
+        s AS (SELECT user_id, event_type,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM y),
+        d AS (SELECT DISTINCT user_id, sid, event_type FROM s),
+        tot AS (SELECT count(*) AS n FROM
+                (SELECT DISTINCT user_id, sid FROM d)),
+        m AS (SELECT event_type, count(*) AS c FROM d GROUP BY 1),
+        p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     count(*) AS n_both
+              FROM d a JOIN d b
+                ON a.user_id = b.user_id AND a.sid = b.sid
+               AND a.event_type < b.event_type
+              GROUP BY 1, 2)
+        SELECT p.type_a, p.type_b, CAST(p.n_both AS BIGINT) AS n_both,
+               round(CAST(p.n_both * tot.n AS DOUBLE)
+                     / CAST(ma.c * mb.c AS DOUBLE), 6) AS lift
+        FROM p CROSS JOIN tot
+        JOIN m ma ON ma.event_type = p.type_a
+        JOIN m mb ON mb.event_type = p.type_b
     """,
 }
 
