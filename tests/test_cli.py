@@ -217,3 +217,36 @@ def test_cli_retention_per_tier(tmp_path):
     assert len(os.listdir(out / "tiers" / "5m")) == 1
     assert len(os.listdir(out / "tiers" / "1h")) == 2
     assert len(os.listdir(out / "tiers" / "1d")) == 2
+
+
+def test_query_cli_list_and_run(tmp_path):
+    proc = subprocess.run(
+        [sys.executable, "-m", "prom_tsdb_copyer_ray.query_cli", "--list"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert proc.returncode == 0
+    names = proc.stdout.split()
+    assert "rollup_5m" in names and "ks_statistic" in names
+
+    out = tmp_path / "q_out"
+    proc = subprocess.run(
+        [sys.executable, "-m", "prom_tsdb_copyer_ray.query_cli",
+         "stddev_1h", "/root/testdata/sf0.001", str(out), "--num-cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    info = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert info["rows"] > 0 and info["format"] == "parquet"
+    got = pq.read_table(str(out))
+    assert got.num_rows == info["rows"]
+    assert {"event_type", "window_start", "stddev_v"} <= set(got.column_names)
+
+
+def test_query_cli_rejects_unknown(tmp_path):
+    proc = subprocess.run(
+        [sys.executable, "-m", "prom_tsdb_copyer_ray.query_cli",
+         "nope_nope", "/root/testdata/sf0.001", str(tmp_path / "x")],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert proc.returncode == 2
+    assert "unknown query" in proc.stderr
