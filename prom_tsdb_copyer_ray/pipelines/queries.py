@@ -6223,6 +6223,66 @@ def q_basket_lift(sf_dir: str):
     })
 
 
+def q_isotonic_hourly(sf_dir: str):
+    """Isotonic (non-decreasing) least-squares fit of mean value over
+    hour-of-day per event type — monotone trend extraction, the shape-
+    constrained cousin of q_trend_slope.  The distributed part is the
+    exact (type, hod) cent census (combiner + one sharded exchange); the
+    fit itself is driver-final over <= types x 24 cells via the MINIMAX
+    characterization ``fit[i] = max_{j<=i} min_{k>=i} avg(S[j..k])``
+    (equivalent to PAVA) so both engines enumerate the IDENTICAL
+    candidate set of exact-int divisions — bit-identical doubles, no
+    fixture needed."""
+    from ..stages.keyed import sharded_grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def census_partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "hod": pa.array((tms // 3600000) % 24, pa.int64()),
+            "_n": pa.array(np.ones(batch.num_rows, np.int64)),
+            "_s": pa.array(np.rint(v * 100).astype(np.int64)),
+        })
+        g = t.group_by(["event_type", "hod"]).aggregate(
+            [("_n", "sum"), ("_s", "sum")])
+        return g.rename_columns(["event_type", "hod", "_n", "_s"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(census_partial, batch_format="pyarrow"),
+        ["event_type", "hod"], [("_n", "sum"), ("_s", "sum")], num_shards=4,
+    ).to_pandas().sort_values(["event_type", "hod"])
+
+    out = {"event_type": [], "hod": [], "iso_mean": []}
+    for et, grp in census.groupby("event_type", sort=True):
+        hod = grp["hod"].to_numpy()
+        n = grp["_n"].to_numpy().astype(np.int64)
+        s = grp["_s"].to_numpy().astype(np.int64)
+        m = len(hod)
+        cn = np.cumsum(n)
+        cs = np.cumsum(s)
+        # avg[j, k] over observed cells j..k (inclusive, 0-based)
+        cn0 = np.r_[0, cn]
+        cs0 = np.r_[0, cs]
+        avg = np.full((m, m), np.nan)
+        for j in range(m):
+            avg[j, j:] = (cs[j:] - cs0[j]).astype(np.float64) \
+                / (cn[j:] - cn0[j]).astype(np.float64)
+        for i in range(m):
+            # min over k>=i for each j<=i, then max over j
+            fit = max(np.nanmin(avg[j, i:]) for j in range(i + 1))
+            out["event_type"].append(et)
+            out["hod"].append(int(hod[i]))
+            out["iso_mean"].append(round(fit / 100.0, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "hod": pa.array(out["hod"], pa.int64()),
+        "iso_mean": pa.array(out["iso_mean"], pa.float64()),
+    })
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -6428,6 +6488,7 @@ QUERIES = {
     "ks_statistic": q_ks_statistic,
     "chi2_independence": q_chi2_independence,
     "basket_lift": q_basket_lift,
+    "isotonic_hourly": q_isotonic_hourly,
 }
 
 
@@ -8066,6 +8127,35 @@ ORACLE_SQL = {
         FROM p CROSS JOIN tot
         JOIN m ma ON ma.event_type = p.type_a
         JOIN m mb ON mb.event_type = p.type_b
+    """,
+    "isotonic_hourly": """
+        WITH s AS (SELECT event_type,
+                          (epoch_ms(ts) // 3600000) % 24 AS hod,
+                          CAST(value * 100 AS BIGINT) AS cv FROM events),
+        c AS (SELECT event_type, hod, count(*) AS n, sum(cv) AS sm
+              FROM s GROUP BY 1, 2),
+        p AS (SELECT event_type, hod, n, sm,
+                     row_number() OVER w AS r,
+                     sum(n) OVER w AS cn,
+                     sum(sm) OVER w AS cs
+              FROM c
+              WINDOW w AS (PARTITION BY event_type ORDER BY hod
+                           ROWS UNBOUNDED PRECEDING)),
+        a AS (SELECT pj.event_type, pj.r AS j, pk.r AS k,
+                     CAST(pk.cs - (pj.cs - pj.sm) AS DOUBLE)
+                     / CAST(pk.cn - (pj.cn - pj.n) AS DOUBLE) AS avg
+              FROM p pj JOIN p pk
+                ON pj.event_type = pk.event_type AND pj.r <= pk.r),
+        mn AS (SELECT a.event_type, pi.r AS i, a.j, min(a.avg) AS lo
+               FROM a JOIN p pi
+                 ON pi.event_type = a.event_type
+                AND a.j <= pi.r AND pi.r <= a.k
+               GROUP BY 1, 2, 3),
+        f AS (SELECT event_type, i, max(lo) AS fit
+              FROM mn GROUP BY 1, 2)
+        SELECT f.event_type, CAST(p.hod AS BIGINT) AS hod,
+               round(f.fit / 100.0, 6) AS iso_mean
+        FROM f JOIN p ON p.event_type = f.event_type AND p.r = f.i
     """,
 }
 

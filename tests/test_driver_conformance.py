@@ -154,7 +154,7 @@ def test_mirror_covers_every_oracle(entry_mod):
         "xrate_5m", "max_xrate_1h",
         "changes", "predict_linear", "autocorr_lag1", "stddev_1h",
         "seasonal_residual", "weighted_median", "ks_statistic",
-        "chi2_independence", "basket_lift",
+        "chi2_independence", "basket_lift", "isotonic_hourly",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):
