@@ -6283,6 +6283,57 @@ def q_isotonic_hourly(sf_dir: str):
     })
 
 
+def q_mannwhitney_u(sf_dir: str):
+    """Mann-Whitney U rank-sum test (purchase vs view values) with
+    midrank tie handling — the rank-based complement of q_ks_statistic,
+    over the SAME value-domain census shape: per-batch (cent, side)
+    counts, one sharded exchange, driver-final rank scan.  Midranks are
+    half-integers, so everything is kept in doubled units (exact int64)
+    until the final two float ops: ``u = U1_2x / 2`` and the common-
+    language effect size ``cles = U1_2x / (2*n1*n2)``."""
+    from ..stages.keyed import sharded_grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def census_partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "purchase") | (et == "view")
+        v = batch["value"].to_numpy(zero_copy_only=False)[keep]
+        cv = np.rint(v * 100).astype(np.int64)
+        is1 = (et[keep] == "purchase").astype(np.int64)
+        t = pa.table({
+            "cv": pa.array(cv),
+            "c1": pa.array(is1),
+            "c2": pa.array(1 - is1),
+        })
+        g = t.group_by(["cv"]).aggregate([("c1", "sum"), ("c2", "sum")])
+        return g.rename_columns(["cv", "c1", "c2"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(census_partial, batch_format="pyarrow"),
+        ["cv"], [("c1", "sum"), ("c2", "sum")], num_shards=8,
+    ).to_pandas().sort_values("cv")
+
+    c1 = census["c1"].to_numpy().astype(np.int64)
+    c2 = census["c2"].to_numpy().astype(np.int64)
+    cnt = c1 + c2
+    n1, n2 = int(c1.sum()), int(c2.sum())
+    before = np.cumsum(cnt) - cnt
+    midrank2 = 2 * before + cnt + 1  # midrank in doubled units
+    r1_2 = int((c1 * midrank2).sum())
+    u1_2 = r1_2 - n1 * (n1 + 1)
+    u = float(u1_2) / 2.0
+    cles = float(u1_2) / (2.0 * float(n1) * float(n2))
+    return pa.table({
+        "type_a": pa.array(["purchase"]),
+        "type_b": pa.array(["view"]),
+        "n1": pa.array([n1], pa.int64()),
+        "n2": pa.array([n2], pa.int64()),
+        "u1": pa.array([u], pa.float64()),
+        "cles": pa.array([round(cles, 8)], pa.float64()),
+    })
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -6489,6 +6540,7 @@ QUERIES = {
     "chi2_independence": q_chi2_independence,
     "basket_lift": q_basket_lift,
     "isotonic_hourly": q_isotonic_hourly,
+    "mannwhitney_u": q_mannwhitney_u,
 }
 
 
@@ -8156,6 +8208,26 @@ ORACLE_SQL = {
         SELECT f.event_type, CAST(p.hod AS BIGINT) AS hod,
                round(f.fit / 100.0, 6) AS iso_mean
         FROM f JOIN p ON p.event_type = f.event_type AND p.r = f.i
+    """,
+    "mannwhitney_u": """
+        WITH s AS (SELECT event_type, CAST(value * 100 AS BIGINT) AS cv
+                   FROM events WHERE event_type IN ('purchase', 'view')),
+        c AS (SELECT cv,
+                     count(*) FILTER (event_type = 'purchase') AS c1,
+                     count(*) FILTER (event_type = 'view') AS c2
+              FROM s GROUP BY 1),
+        t AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM c),
+        k AS (SELECT cv, c1, c1 + c2 AS cnt,
+                     sum(c1 + c2) OVER (ORDER BY cv) - (c1 + c2) AS bf
+              FROM c),
+        r AS (SELECT sum(c1 * (2 * bf + cnt + 1)) AS r1_2 FROM k)
+        SELECT 'purchase' AS type_a, 'view' AS type_b,
+               CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
+               CAST(r.r1_2 - t.n1 * (t.n1 + 1) AS DOUBLE) / 2.0 AS u1,
+               round(CAST(r.r1_2 - t.n1 * (t.n1 + 1) AS DOUBLE)
+                     / (2.0 * CAST(t.n1 AS DOUBLE)
+                        * CAST(t.n2 AS DOUBLE)), 8) AS cles
+        FROM t, r
     """,
 }
 
