@@ -30,6 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     p.add_argument("--list", action="store_true",
                    help="print registered query names and exit")
+    p.add_argument("--explain", action="store_true",
+                   help="print the Dataset plan instead of writing output "
+                        "(driver-final queries execute and report rows)")
     return p
 
 
@@ -42,8 +45,9 @@ def main(argv=None) -> int:
         for name in sorted(QUERIES):
             print(name)
         return 0
-    if not (args.name and args.sf_dir and args.out):
-        print("usage: query NAME SF_DIR OUT (or --list)", file=sys.stderr)
+    if not (args.name and args.sf_dir and (args.out or args.explain)):
+        print("usage: query NAME SF_DIR OUT (or --list / --explain)",
+              file=sys.stderr)
         return 2
     if args.name not in QUERIES:
         print(f"unknown query {args.name!r}; see --list", file=sys.stderr)
@@ -60,6 +64,15 @@ def main(argv=None) -> int:
     import pyarrow as pa
 
     res = QUERIES[args.name](args.sf_dir)
+    if args.explain:
+        if isinstance(res, (pa.Table, pd.DataFrame)):
+            print(f"driver-final result: {len(res)} rows "
+                  f"(no lazy plan; census/scan happens inside the query)")
+        else:
+            print(res)  # lazy Dataset repr = the logical plan
+        if owns_ray:
+            ray.shutdown()
+        return 0
     if isinstance(res, (pa.Table, pd.DataFrame)):
         # driver-final result: already bounded, write directly
         import ray.data

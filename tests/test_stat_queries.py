@@ -1,0 +1,152 @@
+"""Brute-force cross-checks for the census-bounded statistical queries
+(basket_lift pair expansion, isotonic minimax monotonicity/optimality) on
+adversarial synthetic events — sessions crossing block boundaries,
+single-type sessions, timestamp ties."""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write_events(tmp_path, user, ts_ms, event_type):
+    t = pa.table({
+        "event_id": pa.array(np.arange(len(user), dtype=np.int64)),
+        "ts": pa.array(np.asarray(ts_ms, np.int64), pa.timestamp("ms")),
+        "user_id": pa.array(np.asarray(user, np.int64)),
+        "event_type": pa.array(list(event_type), pa.string()),
+        "value": pa.array(np.ones(len(user), np.float64)),
+        "props": pa.array(["{}"] * len(user), pa.string()),
+    })
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+
+
+def _brute_lift(user, ts_ms, event_type, gap_ms):
+    """Scalar reference: gap sessions per user -> distinct-type sets ->
+    pair counts -> lift."""
+    import collections
+
+    by_user = collections.defaultdict(list)
+    for u, t, e in zip(user, ts_ms, event_type):
+        by_user[u].append((t, e))
+    sessions = []
+    for u, evs in by_user.items():
+        evs.sort()
+        cur = {evs[0][1]}
+        last = evs[0][0]
+        for t, e in evs[1:]:
+            if t - last > gap_ms:
+                sessions.append(cur)
+                cur = set()
+            cur.add(e)
+            last = t
+        sessions.append(cur)
+    n = len(sessions)
+    singles = collections.Counter()
+    pairs = collections.Counter()
+    for s in sessions:
+        for e in s:
+            singles[e] += 1
+        for a, b in itertools.combinations(sorted(s), 2):
+            pairs[(a, b)] += 1
+    out = {}
+    for (a, b), nab in pairs.items():
+        out[(a, b)] = (nab, round(float(nab * n)
+                                  / float(singles[a] * singles[b]), 6))
+    return out
+
+
+def test_basket_lift_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.queries import (SESSION_GAP_MS,
+                                                        q_basket_lift)
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    user = rng.integers(0, 37, n)
+    # spread over ~20 gaps so every user has several sessions; include ties
+    ts = rng.integers(0, 20, n) * (SESSION_GAP_MS + 1) \
+        + rng.integers(0, 1000, n)
+    ts[::97] = ts[1::97][: len(ts[::97])]  # duplicate timestamps
+    et = np.array(["alpha", "beta", "gamma", "delta"])[rng.integers(0, 4, n)]
+    _write_events(str(tmp_path), user, ts, et)
+
+    got = q_basket_lift(str(tmp_path))
+    got = got.to_pandas() if not hasattr(got, "sort_values") else got
+    want = _brute_lift(user.tolist(), ts.tolist(), et.tolist(),
+                       SESSION_GAP_MS)
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        nab, lift = want[(r["type_a"], r["type_b"])]
+        assert r["n_both"] == nab
+        assert r["lift"] == pytest.approx(lift, abs=1e-9)
+
+
+def test_isotonic_hourly_monotone_and_pool_optimal(ray_session, tmp_path):
+    """Fit is non-decreasing in hod and equals the scalar PAVA on the
+    same exact census (minimax == PAVA equivalence in practice)."""
+    from prom_tsdb_copyer_ray.pipelines.queries import q_isotonic_hourly
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    user = rng.integers(0, 10, n)
+    ts = rng.integers(0, 30 * 24, n) * 3_600_000 + rng.integers(0, 3600_000, n)
+    et = np.array(["a", "b"])[rng.integers(0, 2, n)]
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts.astype(np.int64), pa.timestamp("ms")),
+        "user_id": pa.array(user.astype(np.int64)),
+        "event_type": pa.array(list(et), pa.string()),
+        "value": pa.array(np.round(rng.uniform(0, 500, n), 2)),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+
+    got = q_isotonic_hourly(str(tmp_path)).to_pandas()
+    tsms = ts.astype(np.int64)
+    for typ, grp in got.groupby("event_type"):
+        g = grp.sort_values("hod")
+        assert (np.diff(g["iso_mean"].to_numpy()) >= -1e-12).all()
+        # scalar PAVA on the exact integer census
+        m = et == typ
+        hod = (tsms[m] // 3_600_000) % 24
+        cv = np.rint(t["value"].to_numpy(zero_copy_only=False)[m] * 100)
+        sums = np.zeros(24)
+        cnts = np.zeros(24)
+        for h, c in zip(hod, cv):
+            sums[h] += c
+            cnts[h] += 1
+        keep = cnts > 0
+        s, w = sums[keep], cnts[keep]
+        blocks = [[s[i], w[i]] for i in range(len(s))]
+        i = 0
+        while i < len(blocks) - 1:
+            if blocks[i][0] / blocks[i][1] > blocks[i + 1][0] / blocks[i + 1][1]:
+                blocks[i][0] += blocks[i + 1][0]
+                blocks[i][1] += blocks[i + 1][1]
+                del blocks[i + 1]
+                i = max(i - 1, 0)
+            else:
+                i += 1
+        # expand block means back to per-cell fitted values by re-walking
+        # each block's pooled weight
+        vals = [b[0] / b[1] for b in blocks]
+        widths = []
+        j = 0
+        for b in blocks:
+            tot = 0.0
+            cells = 0
+            while tot < b[1] - 1e-9:
+                tot += w[j]
+                j += 1
+                cells += 1
+            widths.append(cells)
+        per_cell = np.concatenate([
+            np.full(c, v) for v, c in zip(vals, widths)])
+        np.testing.assert_allclose(
+            g["iso_mean"].to_numpy(),
+            np.round(per_cell / 100.0, 6), atol=1e-9)
