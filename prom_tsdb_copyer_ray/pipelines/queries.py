@@ -6334,6 +6334,118 @@ def q_mannwhitney_u(sf_dir: str):
     })
 
 
+def q_tpch_q6(sf_dir: str):
+    """TPC-H Q6 forecasting-revenue-change: a pure filtered aggregate
+    whose date range is PUSHED INTO the Parquet scan
+    (sources/parquet.read_pruned — file pruning + row-group stats + exact
+    row filter on l_shipdate, the copyer.go:75 querier-bounds pattern);
+    discount/quantity predicates are vectorized batch kernels on the
+    pruned stream.  Revenue = sum(extendedprice * discount) in exact
+    cent x cent integer units, one final division."""
+    from ray.data.aggregate import Sum
+
+    from ..sources.parquet import read_pruned
+
+    t0 = 820_454_400_000   # 1996-01-01T00:00Z
+    t1 = 852_076_800_000   # 1997-01-01T00:00Z
+    ds = read_pruned(
+        f"{sf_dir}/lineitem.parquet",
+        ts_col="l_shipdate", t_from_ms=t0, t_to_ms=t1 - 1,
+        columns=["l_shipdate", "l_quantity", "l_extendedprice",
+                 "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        pc_ = np.rint(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        dc = np.rint(batch["l_discount"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        keep = (dc >= 5) & (dc <= 7) & (qty < 24)
+        return pa.table({
+            "_rev": pa.array([int((pc_[keep] * dc[keep]).sum())], pa.int64()),
+            "_n": pa.array([int(keep.sum())], pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .aggregate(Sum("_rev", alias_name="rev"), Sum("_n", alias_name="n"))
+    )
+    return pa.table({
+        "revenue": pa.array(
+            [round(float(agg["rev"] or 0) / 10000.0, 4)], pa.float64()),
+        "n_lines": pa.array([int(agg["n"] or 0)], pa.int64()),
+    })
+
+
+def q_debounce_events(sf_dir: str):
+    """Debounce census: per event type, how many events survive
+    burst-collapse keep-first per (user, type) with a 5-minute gap (an
+    event is kept iff it starts a burst — no predecessor, or > gap since
+    the previous event).  The reference's dedup-identical-samples
+    semantics (compact.go:37) extended to proximity.  One narrow
+    (user, type, ts, id) exchange; per-shard segment scan; per-type
+    (total, kept) census is all that reaches the merge."""
+    from ..stages.keyed import _key_shard, sharded_grouped_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "event_type": batch["event_type"],
+            "tsms": ts_to_ms(batch["ts"]),
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+        })
+        return t.append_column(
+            "_kshard", _key_shard(t, ["user_id", "event_type"], 64))
+
+    def census(group: pa.Table) -> pa.Table:
+        g = group.drop_columns("_kshard")
+        if g.num_rows == 0:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "n_total": pa.array([], pa.int64()),
+                "n_kept": pa.array([], pa.int64()),
+            })
+        user = g["user_id"].to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        ts = g["tsms"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        types, code = np.unique(et, return_inverse=True)
+        order = np.lexsort((eid, ts, code, user))
+        user, code, ts = user[order], code[order], ts[order]
+        first = np.ones(len(user), dtype=bool)
+        first[1:] = (user[1:] != user[:-1]) | (code[1:] != code[:-1])
+        # kept = segment start, or gap from the previous (same-segment) row
+        # exceeds the debounce window
+        kept = first | np.r_[False, ts[1:] - ts[:-1] > MS_5M]
+        n_total = np.bincount(code, minlength=len(types)).astype(np.int64)
+        n_kept = np.bincount(code[kept], minlength=len(types)).astype(np.int64)
+        return pa.table({
+            "event_type": pa.array([str(t) for t in types], pa.string()),
+            "n_total": pa.array(n_total),
+            "n_kept": pa.array(n_kept),
+        })
+
+    merged = sharded_grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_kshard")
+        .map_groups(census, batch_format="pyarrow"),
+        ["event_type"], [("n_total", "sum"), ("n_kept", "sum")],
+        num_shards=4,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nt = batch["n_total"].to_numpy(zero_copy_only=False)
+        nk = batch["n_kept"].to_numpy(zero_copy_only=False)
+        ratio = 1.0 - nk.astype(np.float64) / nt.astype(np.float64)
+        return batch.append_column(
+            "suppress_ratio", pa.array(np.round(ratio, 6), pa.float64()))
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -6541,6 +6653,8 @@ QUERIES = {
     "basket_lift": q_basket_lift,
     "isotonic_hourly": q_isotonic_hourly,
     "mannwhitney_u": q_mannwhitney_u,
+    "tpch_q6": q_tpch_q6,
+    "debounce_events": q_debounce_events,
 }
 
 
@@ -8228,6 +8342,32 @@ ORACLE_SQL = {
                      / (2.0 * CAST(t.n1 AS DOUBLE)
                         * CAST(t.n2 AS DOUBLE)), 8) AS cles
         FROM t, r
+    """,
+    "tpch_q6": """
+        SELECT round(CAST(sum(CAST(l_extendedprice * 100 AS BIGINT)
+                              * CAST(l_discount * 100 AS BIGINT))
+                     AS DOUBLE) / 10000.0, 4) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND CAST(l_discount * 100 AS BIGINT) BETWEEN 5 AND 7
+          AND l_quantity < 24
+    """,
+    "debounce_events": """
+        WITH o AS (SELECT event_type, epoch_ms(ts) AS ms,
+                          lag(epoch_ms(ts)) OVER (
+                              PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS prev
+                   FROM events)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+               CAST(count(*) FILTER (prev IS NULL OR ms - prev > 300000)
+                    AS BIGINT) AS n_kept,
+               round(1.0 - CAST(count(*) FILTER (prev IS NULL
+                                                 OR ms - prev > 300000)
+                                AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS suppress_ratio
+        FROM o GROUP BY 1
     """,
 }
 
