@@ -6446,6 +6446,75 @@ def q_debounce_events(sf_dir: str):
     return merged.map_batches(finish, batch_format="pyarrow")
 
 
+def q_max_concurrency(sf_dir: str):
+    """Peak concurrent user sessions per day — the distributed SWEEP-LINE
+    / two-phase scan pattern: sessions (q_sessions' gap definition) emit
+    +1/-1 boundary deltas; each day bucket sorts its own boundaries and
+    computes a LOCAL prefix max + total; the driver then prefix-sums the
+    per-day totals (bounded by #days) into carry-in offsets, and
+    ``max_concurrent[day] = carry[day] + local_max[day]``.  No global
+    sort — the only exchanges are the sessionize key shuffle and the
+    O(sessions) boundary rows bucketed by day.  Tie rule: at equal time,
+    starts (+1) are processed before ends (-1)."""
+    from ..stages.keyed import sessionize
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts_ms": ts_to_ms(b["ts"]),
+        })
+
+    sess = sessionize(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "user_id", "ts_ms", SESSION_GAP_MS,
+    )
+
+    def boundaries(b: pa.Table) -> pa.Table:
+        st = b["session_start_ms"].to_numpy(zero_copy_only=False)
+        en = b["session_end_ms"].to_numpy(zero_copy_only=False) + 1
+        t = np.concatenate([st, en])
+        d = np.concatenate([np.ones(len(st), np.int64),
+                            np.full(len(en), -1, np.int64)])
+        return pa.table({
+            "day": pa.array((t // MS_1D) * MS_1D, pa.int64()),
+            "t": pa.array(t),
+            "d": pa.array(d),
+        })
+
+    def local_scan(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({
+                "day": pa.array([], pa.int64()),
+                "local_max": pa.array([], pa.int64()),
+                "total": pa.array([], pa.int64()),
+            })
+        t = group["t"].to_numpy(zero_copy_only=False)
+        d = group["d"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((-d, t))  # +1 before -1 at equal t
+        run = np.cumsum(d[order])
+        return pa.table({
+            "day": group["day"].slice(0, 1),
+            "local_max": pa.array([int(run.max())], pa.int64()),
+            "total": pa.array([int(run[-1])], pa.int64()),
+        })
+
+    per_day = (
+        sess.map_batches(boundaries, batch_format="pyarrow")
+        .groupby("day")
+        .map_groups(local_scan, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("day")
+    )
+    carry = np.r_[0, np.cumsum(per_day["total"].to_numpy())[:-1]]
+    return pa.table({
+        "day": pa.array(per_day["day"].to_numpy(), pa.int64()),
+        "max_concurrent": pa.array(
+            carry + per_day["local_max"].to_numpy(), pa.int64()),
+    })
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -6655,6 +6724,7 @@ QUERIES = {
     "mannwhitney_u": q_mannwhitney_u,
     "tpch_q6": q_tpch_q6,
     "debounce_events": q_debounce_events,
+    "max_concurrency": q_max_concurrency,
 }
 
 
@@ -8368,6 +8438,28 @@ ORACLE_SQL = {
                                 AS DOUBLE)
                      / CAST(count(*) AS DOUBLE), 6) AS suppress_ratio
         FROM o GROUP BY 1
+    """,
+    "max_concurrency": f"""
+        WITH x AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+        y AS (SELECT user_id, ms,
+                     CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id
+                                                  ORDER BY ms)
+                          > {SESSION_GAP_MS} THEN 1 ELSE 0 END AS brk
+              FROM x),
+        s AS (SELECT user_id, ms,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM y),
+        b AS (SELECT min(ms) AS t, 1 AS d FROM s GROUP BY user_id, sid
+              UNION ALL
+              SELECT max(ms) + 1 AS t, -1 AS d FROM s GROUP BY user_id, sid),
+        p AS (SELECT t, d,
+                     sum(d) OVER (ORDER BY t, d DESC
+                                  ROWS UNBOUNDED PRECEDING) AS c
+              FROM b)
+        SELECT (t // 86400000) * 86400000 AS day,
+               CAST(max(c) AS BIGINT) AS max_concurrent
+        FROM p GROUP BY 1
     """,
 }
 

@@ -155,7 +155,7 @@ def test_mirror_covers_every_oracle(entry_mod):
         "changes", "predict_linear", "autocorr_lag1", "stddev_1h",
         "seasonal_residual", "weighted_median", "ks_statistic",
         "chi2_independence", "basket_lift", "isotonic_hourly",
-        "mannwhitney_u", "tpch_q6", "debounce_events",
+        "mannwhitney_u", "tpch_q6", "debounce_events", "max_concurrency",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):
