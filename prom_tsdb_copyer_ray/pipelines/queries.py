@@ -6515,6 +6515,107 @@ def q_max_concurrency(sf_dir: str):
     })
 
 
+def _type_moment_census(sf_dir: str, keys_hod: bool):
+    """Shared exact moment census: per (type[, hod]) n, sum-cents,
+    sum-squared-cents as int64 — one combiner + sharded exchange,
+    driver-final (bounded by types x 24)."""
+    from ..stages.keyed import sharded_grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        cv = np.rint(v * 100).astype(np.int64)
+        cols = {"event_type": batch["event_type"]}
+        keys = ["event_type"]
+        if keys_hod:
+            tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+            cols["hod"] = pa.array((tms // 3600000) % 24, pa.int64())
+            keys.append("hod")
+        cols.update({
+            "_n": pa.array(np.ones(len(cv), np.int64)),
+            "_s": pa.array(cv),
+            "_s2": pa.array(cv * cv),
+        })
+        t = pa.table(cols)
+        g = t.group_by(keys).aggregate(
+            [("_n", "sum"), ("_s", "sum"), ("_s2", "sum")])
+        return g.rename_columns(keys + ["_n", "_s", "_s2"])
+
+    keys = ["event_type", "hod"] if keys_hod else ["event_type"]
+    return sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys, [("_n", "sum"), ("_s", "sum"), ("_s2", "sum")], num_shards=4,
+    ).to_pandas()
+
+
+def q_anova_hod(sf_dir: str):
+    """One-way ANOVA F per event type: does mean value differ across
+    hour-of-day groups?  SSB/SSW from the exact (type, hod) moment
+    census; each ``s_h^2/n_h`` term is evaluated in doubles and
+    MICRO-FLOORED before summation (the bm25 libm protocol) so the
+    between-groups sum is an associative integer sum; the remaining ops
+    are a fixed mirrored float sequence."""
+    census = _type_moment_census(sf_dir, keys_hod=True)
+    out = {"event_type": [], "k_groups": [], "f_stat": []}
+    for et, grp in census.groupby("event_type", sort=True):
+        n_h = grp["_n"].to_numpy().astype(np.int64)
+        s_h = grp["_s"].to_numpy().astype(np.int64)
+        n = int(n_h.sum())
+        s = int(s_h.sum())
+        s2 = int(grp["_s2"].to_numpy().astype(np.int64).sum())
+        k = len(n_h)
+        if k < 2 or n <= k:
+            continue
+        b_terms = np.floor(
+            s_h.astype(np.float64) * s_h.astype(np.float64)
+            / n_h.astype(np.float64) * 1e6).astype(np.int64)
+        bsum = int(b_terms.sum())
+        g = int(np.floor(float(s) * float(s) / float(n) * 1e6))
+        ssb = float(bsum - g) / 1e6
+        ssw = float(s2) - float(bsum) / 1e6
+        f = (ssb / float(k - 1)) / (ssw / float(n - k))
+        out["event_type"].append(et)
+        out["k_groups"].append(k)
+        out["f_stat"].append(round(f, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "k_groups": pa.array(out["k_groups"], pa.int64()),
+        "f_stat": pa.array(out["f_stat"], pa.float64()),
+    })
+
+
+def q_cohens_d(sf_dir: str):
+    """Cohen's d effect size for every event-type pair (pooled-SD
+    standardized mean difference) from the exact per-type moment census:
+    sample variances and the pooled SD are a fixed mirrored float
+    sequence over exact int64 sums; one row per unordered pair."""
+    census = _type_moment_census(sf_dir, keys_hod=False) \
+        .sort_values("event_type")
+    types = census["event_type"].tolist()
+    n = census["_n"].to_numpy().astype(np.int64)
+    s = census["_s"].to_numpy().astype(np.int64)
+    s2 = census["_s2"].to_numpy().astype(np.int64)
+    out = {"type_a": [], "type_b": [], "d": []}
+    for i in range(len(types)):
+        for j in range(i + 1, len(types)):
+            n1, n2 = float(n[i]), float(n[j])
+            m1 = float(s[i]) / n1
+            m2 = float(s[j]) / n2
+            v1 = float(n[i] * s2[i] - s[i] * s[i]) / (n1 * (n1 - 1.0))
+            v2 = float(n[j] * s2[j] - s[j] * s[j]) / (n2 * (n2 - 1.0))
+            sp = np.sqrt(((n1 - 1.0) * v1 + (n2 - 1.0) * v2)
+                         / (n1 + n2 - 2.0))
+            out["type_a"].append(types[i])
+            out["type_b"].append(types[j])
+            out["d"].append(round((m1 - m2) / sp, 6))
+    return pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "d": pa.array(out["d"], pa.float64()),
+    })
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -6725,6 +6826,8 @@ QUERIES = {
     "tpch_q6": q_tpch_q6,
     "debounce_events": q_debounce_events,
     "max_concurrency": q_max_concurrency,
+    "anova_hod": q_anova_hod,
+    "cohens_d": q_cohens_d,
 }
 
 
@@ -8460,6 +8563,54 @@ ORACLE_SQL = {
         SELECT (t // 86400000) * 86400000 AS day,
                CAST(max(c) AS BIGINT) AS max_concurrent
         FROM p GROUP BY 1
+    """,
+    "anova_hod": """
+        WITH s AS (SELECT event_type,
+                          (epoch_ms(ts) // 3600000) % 24 AS hod,
+                          CAST(value * 100 AS BIGINT) AS cv FROM events),
+        c AS (SELECT event_type, hod, count(*) AS n,
+                     sum(cv) AS sm, sum(cv * cv) AS s2
+              FROM s GROUP BY 1, 2),
+        b AS (SELECT event_type,
+                     sum(CAST(floor(CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+                                    / CAST(n AS DOUBLE) * 1e6)
+                         AS BIGINT)) AS bsum,
+                     sum(n) AS n, sum(sm) AS s, sum(s2) AS s2t,
+                     count(*) AS k
+              FROM c GROUP BY 1)
+        SELECT event_type, CAST(k AS BIGINT) AS k_groups,
+               round(((CAST(bsum
+                            - CAST(floor(CAST(s AS DOUBLE)
+                                         * CAST(s AS DOUBLE)
+                                         / CAST(n AS DOUBLE) * 1e6)
+                                   AS BIGINT) AS DOUBLE) / 1e6)
+                      / (CAST(k AS DOUBLE) - 1.0))
+                     / ((CAST(s2t AS DOUBLE) - CAST(bsum AS DOUBLE) / 1e6)
+                        / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+                   AS f_stat
+        FROM b WHERE k >= 2 AND n > k
+    """,
+    "cohens_d": """
+        WITH c AS (SELECT event_type, count(*) AS n,
+                          sum(cv) AS s, sum(cv * cv) AS s2
+                   FROM (SELECT event_type,
+                                CAST(value * 100 AS BIGINT) AS cv
+                         FROM events)
+                   GROUP BY 1)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               round((CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+                      - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+                     / sqrt(((CAST(a.n AS DOUBLE) - 1.0)
+                             * (CAST(a.n * a.s2 - a.s * a.s AS DOUBLE)
+                                / (CAST(a.n AS DOUBLE)
+                                   * (CAST(a.n AS DOUBLE) - 1.0)))
+                             + (CAST(b.n AS DOUBLE) - 1.0)
+                             * (CAST(b.n * b.s2 - b.s * b.s AS DOUBLE)
+                                / (CAST(b.n AS DOUBLE)
+                                   * (CAST(b.n AS DOUBLE) - 1.0))))
+                            / (CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE)
+                               - 2.0)), 6) AS d
+        FROM c a JOIN c b ON a.event_type < b.event_type
     """,
 }
 
