@@ -1,12 +1,19 @@
-"""Multimodal (image/audio/video) stages: real Ray plumbing, stubbed codecs.
+"""Multimodal (image/audio/video) stages: real Ray plumbing, three codecs.
 
 Media rides as opaque ``binary`` columns with typed metadata (the same
-posture the engine takes for ``html``).  The decode/resize/feature kernels
-would come from image/audio libraries that are NOT in this container, so the
-codec step is stubbed: ``decoder="fake"`` (default) is a deterministic
-byte-level stand-in that keeps the schema, batch-size and actor-pool
-plumbing fully real and testable; ``decoder="real"`` raises
-``NotImplementedError`` with the library it would use.
+posture the engine takes for ``html``).  Three decoder modes:
+
+- ``decoder="fake"`` (default): deterministic byte-level stand-in that
+  keeps schema, batch sizing and actor-pool plumbing fully real for any
+  payload bytes.
+- ``decoder="pure"``: a REAL decoder for the container-decodable formats —
+  binary netpbm images (P5 gray / P6 rgb, pure numpy) and 16-bit PCM WAV
+  audio (stdlib ``wave``).  Real pixels/samples drive real features,
+  resize and loudness; unknown magic bytes raise ``ValueError`` (route
+  through the quarantine split upstream).
+- ``decoder="real"``: raises ``NotImplementedError`` naming the external
+  library (PIL/ffmpeg) that JPEG/MP4-class formats would need — those
+  libs are not in this container.
 
 Batch-size guidance for binary payloads: a batch must fit
 ``batch_size × avg_payload × concurrency`` in worker heap — size ``batch_size``
@@ -16,9 +23,80 @@ small (e.g. 32-256 for images) and let the object store stream blocks.
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 
 import numpy as np
 import pyarrow as pa
+
+
+def decode_netpbm(payload: bytes) -> np.ndarray:
+    """Binary netpbm decode (P5 gray / P6 rgb, maxval <= 255) with pure
+    numpy: header tokens (width, height, maxval) separated by whitespace
+    and ``#`` comments, then a raw uint8 raster.  Returns (h, w) uint8 or
+    (h, w, 3) uint8."""
+    if len(payload) < 2 or payload[:1] != b"P" or payload[1:2] not in (b"5", b"6"):
+        raise ValueError("not a binary netpbm (P5/P6) payload")
+    i, tokens = 2, []
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":
+            nl = payload.find(b"\n", i)
+            if nl < 0:
+                raise ValueError("unterminated netpbm comment")
+            i = nl + 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated netpbm header")
+        tokens.append(int(payload[i:j]))
+        i = j
+    w, h, maxval = tokens
+    if not (0 < w and 0 < h and 0 < maxval <= 255):
+        raise ValueError(f"unsupported netpbm dims/maxval {tokens}")
+    i += 1  # exactly one whitespace byte after maxval
+    ch = 3 if payload[1:2] == b"6" else 1
+    need = w * h * ch
+    if len(payload) - i < need:
+        raise ValueError("truncated netpbm raster")
+    arr = np.frombuffer(payload, np.uint8, count=need, offset=i)
+    return arr.reshape(h, w, 3) if ch == 3 else arr.reshape(h, w)
+
+
+def decode_wav_pcm(payload: bytes) -> np.ndarray:
+    """16-bit PCM WAV decode via stdlib ``wave``: returns mono float64
+    samples in [-1, 1) (channels averaged)."""
+    with wave.open(io.BytesIO(payload)) as wv:
+        if wv.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM WAV supported")
+        ch = wv.getnchannels()
+        raw = wv.readframes(wv.getnframes())
+    x = np.frombuffer(raw, np.int16).astype(np.float64) / 32768.0
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return x
+
+
+def _gray(img: np.ndarray) -> np.ndarray:
+    return img.mean(axis=2) if img.ndim == 3 else img.astype(np.float64)
+
+
+def _grid_pool(img: np.ndarray, gh: int = 4, gw: int = 4) -> np.ndarray:
+    """Block-mean pool a 2-D image to (gh, gw) — the decode-side feature."""
+    h, w = img.shape
+    ys = np.minimum(np.arange(gh + 1) * h // gh, h)
+    xs = np.minimum(np.arange(gw + 1) * w // gw, w)
+    out = np.empty((gh, gw), np.float64)
+    g = img.astype(np.float64)
+    for r in range(gh):
+        for c in range(gw):
+            blk = g[ys[r]:max(ys[r + 1], ys[r] + 1),
+                    xs[c]:max(xs[c + 1], xs[c] + 1)]
+            out[r, c] = blk.mean()
+    return out
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -45,12 +123,13 @@ class MediaFeatureExtractor:
     """
 
     def __init__(self, decoder: str = "fake", target_size: tuple[int, int] = (64, 64)) -> None:
-        if decoder not in ("fake", "real"):
+        if decoder not in ("fake", "pure", "real"):
             raise ValueError(f"unknown decoder: {decoder}")
         if decoder == "real":
             raise NotImplementedError(
-                "real media decoding needs PIL/ffmpeg (not in this container); "
-                "use decoder='fake' for the deterministic stand-in"
+                "JPEG/MP4-class decoding needs PIL/ffmpeg (not in this "
+                "container); decoder='pure' really decodes netpbm/WAV, "
+                "decoder='fake' is the byte-level stand-in"
             )
         self.decoder = decoder
         self.target_size = target_size
@@ -61,9 +140,33 @@ class MediaFeatureExtractor:
         raw = np.frombuffer(d, dtype=np.uint16).astype(np.float64)
         return raw / 65535.0
 
+    def _pure_decode_features(self, payload: bytes) -> np.ndarray:
+        """Real features from really-decoded payloads: images -> 4x4
+        block-mean grayscale grid scaled to [0, 1]; WAV audio ->
+        FEATURE_DIM equal-time-segment RMS energies."""
+        p = payload or b""
+        if p[:2] in (b"P5", b"P6"):
+            return (_grid_pool(_gray(decode_netpbm(p)), 4, 4) / 255.0).ravel()
+        if p[:4] == b"RIFF":
+            x = decode_wav_pcm(p)
+            if len(x) == 0:
+                return np.zeros(FEATURE_DIM)
+            bounds = np.minimum(
+                np.arange(FEATURE_DIM + 1) * len(x) // FEATURE_DIM, len(x))
+            out = np.empty(FEATURE_DIM)
+            for i in range(FEATURE_DIM):
+                seg = x[bounds[i]:max(bounds[i + 1], bounds[i] + 1)]
+                out[i] = np.sqrt((seg * seg).mean())
+            return out
+        raise ValueError(
+            "decoder='pure' handles binary netpbm (P5/P6) and PCM WAV; "
+            "unknown payload magic — quarantine upstream")
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
-        feats = np.stack([self._fake_decode_features(p) for p in payloads])
+        decode = (self._pure_decode_features if self.decoder == "pure"
+                  else self._fake_decode_features)
+        feats = np.stack([decode(p) for p in payloads])
         return pa.table(
             {
                 "media_id": batch["media_id"],
@@ -190,10 +293,26 @@ class ResizeMedia:
                  decoder: str = "fake") -> None:
         if decoder == "real":
             raise NotImplementedError(
-                "real image resize needs PIL/libvips (not in this container); "
-                "use decoder='fake' for the deterministic stand-in"
+                "JPEG-class resize needs PIL/libvips (not in this container); "
+                "decoder='pure' really resizes netpbm images, "
+                "decoder='fake' is the byte-level stand-in"
             )
+        if decoder not in ("fake", "pure"):
+            raise ValueError(f"unknown decoder: {decoder}")
+        self.decoder = decoder
         self.target_w, self.target_h = target_size
+
+    def _pure_resize(self, payload: bytes) -> tuple[int, int, int]:
+        """Really decode + nearest-neighbor resize a netpbm image; the
+        thumb hash is over the RESIZED raster bytes (so two images that
+        resize identically dedup together)."""
+        img = decode_netpbm(payload or b"")
+        h, w = img.shape[:2]
+        iy = np.arange(self.target_h) * h // self.target_h
+        ix = np.arange(self.target_w) * w // self.target_w
+        thumb = img[iy][:, ix]
+        d = hashlib.blake2b(thumb.tobytes(), digest_size=8).digest()
+        return self.target_w, self.target_h, int.from_bytes(d, "little") >> 1
 
     @staticmethod
     def _thumb_hash(payload: bytes, w: int | None, h: int | None) -> int:
@@ -211,6 +330,12 @@ class ResizeMedia:
         out_w, out_h, th = [], [], []
         for kind, p, w, h in zip(kinds, payloads, ws, hs):
             if kind == "image":
+                if self.decoder == "pure":
+                    ow, oh, hsh = self._pure_resize(p)
+                    out_w.append(ow)
+                    out_h.append(oh)
+                    th.append(hsh)
+                    continue
                 out_w.append(self.target_w)
                 out_h.append(self.target_h)
                 th.append(self._thumb_hash(p, self.target_w, self.target_h))
@@ -259,10 +384,33 @@ class AudioLoudness:
     def __init__(self, frame_ms: int = 500, decoder: str = "fake") -> None:
         if decoder == "real":
             raise NotImplementedError(
-                "real audio decode needs libsndfile/ffmpeg (not in this "
-                "container); use decoder='fake' for the deterministic stand-in"
+                "MP3/AAC-class decode needs libsndfile/ffmpeg (not in this "
+                "container); decoder='pure' really decodes PCM WAV, "
+                "decoder='fake' is the deterministic stand-in"
             )
+        if decoder not in ("fake", "pure"):
+            raise ValueError(f"unknown decoder: {decoder}")
+        self.decoder = decoder
         self.frame_ms = frame_ms
+
+    def _pure_energies(self, payload: bytes) -> list[int]:
+        """Really decode PCM WAV and compute EXACT integer frame energies
+        (sum of squared int16 samples per frame_ms window at the file's
+        own sample rate)."""
+        with wave.open(io.BytesIO(payload or b"")) as wv:
+            if wv.getsampwidth() != 2:
+                raise ValueError("only 16-bit PCM WAV supported")
+            rate = wv.getframerate()
+            ch = wv.getnchannels()
+            raw = wv.readframes(wv.getnframes())
+        x = np.frombuffer(raw, np.int16).astype(np.int64)
+        if ch > 1:
+            x = x.reshape(-1, ch)[:, 0]  # channel 0: keep integers exact
+        spf = max(rate * self.frame_ms // 1000, 1)
+        if len(x) == 0:
+            return [0]
+        return [int((x[i:i + spf] * x[i:i + spf]).sum())
+                for i in range(0, len(x), spf)]
 
     @classmethod
     def _frame_energy(cls, payload: bytes, frame_idx: int | None) -> int:
@@ -281,10 +429,13 @@ class AudioLoudness:
         n_frames, e_mean, e_max = [], [], []
         for kind, dur, payload in zip(kinds, durs, payloads):
             if kind == "audio" and dur:
-                nf = max(int(dur) // self.frame_ms, 1)
-                es = [self._frame_energy(payload, f) for f in range(nf)]
-                n_frames.append(nf)
-                e_mean.append(sum(es) // nf)
+                if self.decoder == "pure":
+                    es = self._pure_energies(payload)
+                else:
+                    nf = max(int(dur) // self.frame_ms, 1)
+                    es = [self._frame_energy(payload, f) for f in range(nf)]
+                n_frames.append(len(es))
+                e_mean.append(sum(es) // len(es))
                 e_max.append(max(es))
             else:
                 e = self._frame_energy(payload, None)
