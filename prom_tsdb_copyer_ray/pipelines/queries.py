@@ -6616,6 +6616,55 @@ def q_cohens_d(sf_dir: str):
     })
 
 
+def q_media_pure_grid(sf_dir: str):
+    """REAL image decode in the battery: every document becomes a
+    deterministic 8x8 binary-P6 netpbm payload (pixel = (doc_id*31 +
+    r*7 + c*3) % 256, gray in all channels), REALLY encoded to bytes and
+    REALLY decoded back by the pure-numpy netpbm codec inside the
+    MediaFeatureExtractor actor pool (stages/multimodal.decode_netpbm);
+    three of the 4x4 block-mean features are value-checked against the
+    oracle's arithmetic expansion of the same raster.  Proves the decode
+    -> pool path byte-for-byte, not just the plumbing."""
+    from ..stages.multimodal import extract_media_features
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        r = np.arange(8)[:, None]
+        c = np.arange(8)[None, :]
+        payloads = []
+        for d in ids:
+            v = ((int(d) * 31 + r * 7 + c * 3) % 256).astype(np.uint8)
+            rgb = np.repeat(v[:, :, None], 3, axis=2)
+            payloads.append(b"P6\n8 8\n255\n" + rgb.tobytes())
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(["image"] * len(ids), pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["image/x-portable-pixmap"] * len(ids)),
+            "width": pa.array([8] * len(ids), pa.int32()),
+            "height": pa.array([8] * len(ids), pa.int32()),
+            "duration_ms": pa.array([None] * len(ids), pa.int32()),
+        })
+
+    feats = extract_media_features(
+        ds.map_batches(to_media, batch_format="pyarrow"),
+        concurrency=(1, 4), batch_size=128, decoder="pure",
+    )
+
+    def select(batch: pa.Table) -> pa.Table:
+        emb = np.stack(batch["embedding"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "doc_id": batch["media_id"],
+            "f00": pa.array(np.round(emb[:, 0], 6)),
+            "f12": pa.array(np.round(emb[:, 6], 6)),
+            "f33": pa.array(np.round(emb[:, 15], 6)),
+        })
+
+    return feats.map_batches(select, batch_format="pyarrow")
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -6828,6 +6877,7 @@ QUERIES = {
     "max_concurrency": q_max_concurrency,
     "anova_hod": q_anova_hod,
     "cohens_d": q_cohens_d,
+    "media_pure_grid": q_media_pure_grid,
 }
 
 
@@ -8611,6 +8661,24 @@ ORACLE_SQL = {
                             / (CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE)
                                - 2.0)), 6) AS d
         FROM c a JOIN c b ON a.event_type < b.event_type
+    """,
+    "media_pure_grid": """
+        WITH px AS (SELECT d.doc_id, t1.r, t2.c,
+                           (d.doc_id * 31 + t1.r * 7 + t2.c * 3) % 256 AS v
+                    FROM documents d,
+                         (SELECT unnest(generate_series(0, 7)) AS r) t1,
+                         (SELECT unnest(generate_series(0, 7)) AS c) t2),
+        cell AS (SELECT doc_id, r // 2 AS gr, c // 2 AS gc,
+                        sum(v) AS s
+                 FROM px GROUP BY 1, 2, 3)
+        SELECT doc_id,
+               round(CAST(max(CASE WHEN gr = 0 AND gc = 0 THEN s END)
+                          AS DOUBLE) / 4.0 / 255.0, 6) AS f00,
+               round(CAST(max(CASE WHEN gr = 1 AND gc = 2 THEN s END)
+                          AS DOUBLE) / 4.0 / 255.0, 6) AS f12,
+               round(CAST(max(CASE WHEN gr = 3 AND gc = 3 THEN s END)
+                          AS DOUBLE) / 4.0 / 255.0, 6) AS f33
+        FROM cell GROUP BY 1
     """,
 }
 
