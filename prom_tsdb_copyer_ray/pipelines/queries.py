@@ -6665,6 +6665,64 @@ def q_media_pure_grid(sf_dir: str):
     return feats.map_batches(select, batch_format="pyarrow")
 
 
+def q_audio_pure_rms(sf_dir: str):
+    """REAL audio decode in the battery: every document becomes a 1-second
+    16-bit PCM WAV (8 kHz; first half amplitude a = (doc_id*13)%8000+1000,
+    second half amplitude 2a), REALLY encoded with stdlib ``wave`` and
+    REALLY decoded back by AudioLoudness(decoder='pure') — per-500ms-frame
+    integer energies (sum of squared int16 samples, exact) the oracle
+    derives arithmetically: frame energies [4000*a^2, 4000*4*a^2]."""
+    import io
+    import wave as wavemod
+
+    from ..stages.multimodal import AudioLoudness
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for d in ids:
+            a = int(d) * 13 % 8000 + 1000
+            s = np.r_[np.full(4000, a, np.int16),
+                      np.full(4000, 2 * a, np.int16)]
+            buf = io.BytesIO()
+            with wavemod.open(buf, "wb") as wv:
+                wv.setnchannels(1)
+                wv.setsampwidth(2)
+                wv.setframerate(8000)
+                wv.writeframes(s.tobytes())
+            payloads.append(buf.getvalue())
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(["audio"] * len(ids), pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["audio/wav"] * len(ids)),
+            "width": pa.array([None] * len(ids), pa.int32()),
+            "height": pa.array([None] * len(ids), pa.int32()),
+            "duration_ms": pa.array([1000] * len(ids), pa.int32()),
+        })
+
+    out = (
+        ds.map_batches(to_media, batch_format="pyarrow")
+        .map_batches(AudioLoudness,
+                     fn_constructor_kwargs={"frame_ms": 500,
+                                            "decoder": "pure"},
+                     batch_format="pyarrow", batch_size=128,
+                     concurrency=(1, 4))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["media_id"],
+            "n_frames": batch["n_frames"],
+            "energy_mean": batch["energy_mean"],
+            "energy_max": batch["energy_max"],
+        })
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -6878,6 +6936,7 @@ QUERIES = {
     "anova_hod": q_anova_hod,
     "cohens_d": q_cohens_d,
     "media_pure_grid": q_media_pure_grid,
+    "audio_pure_rms": q_audio_pure_rms,
 }
 
 
@@ -8679,6 +8738,16 @@ ORACLE_SQL = {
                round(CAST(max(CASE WHEN gr = 3 AND gc = 3 THEN s END)
                           AS DOUBLE) / 4.0 / 255.0, 6) AS f33
         FROM cell GROUP BY 1
+    """,
+    "audio_pure_rms": """
+        WITH a AS (SELECT doc_id, doc_id * 13 % 8000 + 1000 AS amp
+                   FROM documents)
+        SELECT doc_id,
+               CAST(2 AS BIGINT) AS n_frames,
+               CAST((4000 * amp * amp + 4000 * 4 * amp * amp) // 2
+                    AS BIGINT) AS energy_mean,
+               CAST(4000 * 4 * amp * amp AS BIGINT) AS energy_max
+        FROM a
     """,
 }
 

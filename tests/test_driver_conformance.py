@@ -156,7 +156,7 @@ def test_mirror_covers_every_oracle(entry_mod):
         "seasonal_residual", "weighted_median", "ks_statistic",
         "chi2_independence", "basket_lift", "isotonic_hourly",
         "mannwhitney_u", "tpch_q6", "debounce_events", "max_concurrency",
-        "anova_hod", "cohens_d", "media_pure_grid",
+        "anova_hod", "cohens_d", "media_pure_grid", "audio_pure_rms",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):
