@@ -6723,6 +6723,46 @@ def q_audio_pure_rms(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def q_entropy_rate(sf_dir: str):
+    """Entropy rate of the event-type Markov chain: conditional entropy
+    H(next | current) in nats over q_transitions' census (one user-hash
+    exchange, O(|types|^2) driver-final).  Each cell's
+    ``ln(n_st / n_s)`` is MICRO-FLOORED (the bm25 libm protocol) and
+    weighted by the exact int64 pair count, so the sum is associative
+    and the SQL mirror is bit-identical through the single final
+    division."""
+    from ..stages.keyed import transition_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "tms": ts_to_ms(batch["ts"]),
+            "event_type": batch["event_type"],
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+        })
+
+    census = transition_counts(
+        ds.map_batches(norm, batch_format="pyarrow"),
+        "user_id", ["tms", "event_type", "event_id"], "event_type",
+        out_count="n_pairs",
+    ).to_pandas()
+
+    n_st = census["n_pairs"].to_numpy().astype(np.int64)
+    n_s = census.groupby("from_state")["n_pairs"].transform("sum") \
+        .to_numpy().astype(np.int64)
+    total = int(n_st.sum())
+    terms = np.floor(np.log(n_st.astype(np.float64)
+                            / n_s.astype(np.float64)) * 1e6).astype(np.int64)
+    acc = int((n_st * terms).sum())
+    h = -float(acc) / (float(total) * 1e6)
+    return pa.table({
+        "n_pairs": pa.array([total], pa.int64()),
+        "entropy_rate_nats": pa.array([round(h, 6)], pa.float64()),
+    })
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -6937,6 +6977,7 @@ QUERIES = {
     "cohens_d": q_cohens_d,
     "media_pure_grid": q_media_pure_grid,
     "audio_pure_rms": q_audio_pure_rms,
+    "entropy_rate": q_entropy_rate,
 }
 
 
@@ -8748,6 +8789,27 @@ ORACLE_SQL = {
                     AS BIGINT) AS energy_mean,
                CAST(4000 * 4 * amp * amp AS BIGINT) AS energy_max
         FROM a
+    """,
+    "entropy_rate": """
+        WITH o AS (SELECT CAST(user_id AS BIGINT) AS u, event_type,
+                          lead(event_type) OVER (
+                              PARTITION BY user_id
+                              ORDER BY epoch_ms(ts), event_type, event_id
+                          ) AS nxt
+                   FROM events),
+        c AS (SELECT event_type AS f, nxt AS t, count(*) AS n_st
+              FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        s AS (SELECT f, sum(n_st) AS n_s FROM c GROUP BY 1),
+        x AS (SELECT c.n_st,
+                     CAST(floor(ln(CAST(c.n_st AS DOUBLE)
+                                   / CAST(s.n_s AS DOUBLE)) * 1e6)
+                          AS BIGINT) AS term
+              FROM c JOIN s USING (f))
+        SELECT CAST(sum(n_st) AS BIGINT) AS n_pairs,
+               round(-CAST(sum(n_st * term) AS DOUBLE)
+                     / (CAST(sum(n_st) AS DOUBLE) * 1e6), 6)
+                   AS entropy_rate_nats
+        FROM x
     """,
 }
 
