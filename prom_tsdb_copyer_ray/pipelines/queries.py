@@ -6763,6 +6763,67 @@ def q_entropy_rate(sf_dir: str):
     })
 
 
+def q_longest_streak(sf_dir: str):
+    """Longest strictly-increasing value run per event type (max over its
+    users): the comparison flavor of gaps-and-islands (merge_intervals is
+    the time flavor) — one (user, type)-sharded exchange, per-shard
+    vectorized run-length over the (ts, event_id)-ordered timeline,
+    per-type max combiner.  SQL mirror is the classic row_number-
+    difference islands construction."""
+    from ..stages.keyed import _key_shard, sharded_grouped_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id",
+                                  "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "event_type": batch["event_type"],
+            "tsms": ts_to_ms(batch["ts"]),
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "value": batch["value"],
+        })
+        return t.append_column(
+            "_kshard", _key_shard(t, ["user_id", "event_type"], 64))
+
+    def runs(group: pa.Table) -> pa.Table:
+        g = group.drop_columns("_kshard")
+        if g.num_rows == 0:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "streak": pa.array([], pa.int64()),
+            })
+        user = g["user_id"].to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        ts = g["tsms"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        v = g["value"].to_numpy(zero_copy_only=False)
+        types, code = np.unique(et, return_inverse=True)
+        order = np.lexsort((eid, ts, code, user))
+        user, code, v = user[order], code[order], v[order]
+        # a run breaks at segment starts or non-increasing steps
+        brk = np.ones(len(v), dtype=bool)
+        brk[1:] = (user[1:] != user[:-1]) | (code[1:] != code[:-1]) \
+            | (v[1:] <= v[:-1])
+        run_id = np.cumsum(brk) - 1
+        lengths = np.bincount(run_id)
+        # per-type max run length: map each run to its type via run starts
+        run_code = code[np.flatnonzero(brk)]
+        best = np.zeros(len(types), np.int64)
+        np.maximum.at(best, run_code, lengths)
+        return pa.table({
+            "event_type": pa.array([str(t) for t in types], pa.string()),
+            "streak": pa.array(best),
+        })
+
+    return sharded_grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_kshard")
+        .map_groups(runs, batch_format="pyarrow"),
+        ["event_type"], [("streak", "max")], num_shards=4,
+    )
+
+
 QUERIES = {
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
@@ -6978,6 +7039,7 @@ QUERIES = {
     "media_pure_grid": q_media_pure_grid,
     "audio_pure_rms": q_audio_pure_rms,
     "entropy_rate": q_entropy_rate,
+    "longest_streak": q_longest_streak,
 }
 
 
@@ -8810,6 +8872,24 @@ ORACLE_SQL = {
                      / (CAST(sum(n_st) AS DOUBLE) * 1e6), 6)
                    AS entropy_rate_nats
         FROM x
+    """,
+    "longest_streak": """
+        WITH o AS (SELECT user_id, event_type, value,
+                          lag(value) OVER w AS prev,
+                          row_number() OVER w AS rn
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id)),
+        m AS (SELECT user_id, event_type, rn,
+                     sum(CASE WHEN prev IS NULL OR value <= prev
+                              THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY user_id, event_type ORDER BY rn
+                               ROWS UNBOUNDED PRECEDING) AS island
+              FROM o),
+        r AS (SELECT event_type, count(*) AS len
+              FROM m GROUP BY user_id, event_type, island)
+        SELECT event_type, CAST(max(len) AS BIGINT) AS streak
+        FROM r GROUP BY 1
     """,
 }
 

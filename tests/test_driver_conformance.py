@@ -157,7 +157,7 @@ def test_mirror_covers_every_oracle(entry_mod):
         "chi2_independence", "basket_lift", "isotonic_hourly",
         "mannwhitney_u", "tpch_q6", "debounce_events", "max_concurrency",
         "anova_hod", "cohens_d", "media_pure_grid", "audio_pure_rms",
-        "entropy_rate",
+        "entropy_rate", "longest_streak",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

@@ -150,3 +150,64 @@ def test_isotonic_hourly_monotone_and_pool_optimal(ray_session, tmp_path):
         np.testing.assert_allclose(
             g["iso_mean"].to_numpy(),
             np.round(per_cell / 100.0, 6), atol=1e-9)
+
+
+def test_debounce_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.queries import q_debounce_events
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    user = rng.integers(0, 29, n)
+    ts = np.cumsum(rng.integers(0, 400_000, n))  # mixed gaps around 5 min
+    rng.shuffle(ts)
+    et = np.array(["x", "y", "z"])[rng.integers(0, 3, n)]
+    _write_events(str(tmp_path), user, ts, et)
+
+    got = q_debounce_events(str(tmp_path)).to_pandas() \
+        .set_index("event_type").sort_index()
+
+    import collections
+    by_key = collections.defaultdict(list)
+    for i, (u, t, e) in enumerate(zip(user, ts, et)):
+        by_key[(u, e)].append((t, i))
+    total = collections.Counter()
+    kept = collections.Counter()
+    for (u, e), evs in by_key.items():
+        evs.sort()
+        last = None
+        for t, _ in evs:
+            total[e] += 1
+            if last is None or t - last > 300_000:
+                kept[e] += 1
+            last = t
+    for e in ("x", "y", "z"):
+        assert got.loc[e, "n_total"] == total[e]
+        assert got.loc[e, "n_kept"] == kept[e]
+
+
+def test_max_concurrency_carry_across_days(ray_session, tmp_path):
+    """Sessions spanning day boundaries exercise the driver carry: the
+    per-day local max alone would be wrong without the carry-in."""
+    from prom_tsdb_copyer_ray.pipelines.queries import (SESSION_GAP_MS,
+                                                        q_max_concurrency)
+
+    day = 86_400_000
+    # 3 users with one long session each crossing into day 1, plus a
+    # burst of 2 users only inside day 1
+    rows = [
+        (1, int(day * 0.5)), (1, int(day * 1.2)),   # user 1 spans days 0-1
+        (2, int(day * 0.6)), (2, int(day * 1.3)),
+        (3, int(day * 0.7)), (3, int(day * 1.4)),
+        (4, int(day * 1.15)),                       # instant sessions at the
+        (5, int(day * 1.15)),                       # same t, both open then
+    ]
+    assert day * 1.2 - day * 0.5 <= SESSION_GAP_MS
+    user = np.array([r[0] for r in rows])
+    ts = np.array([r[1] for r in rows])
+    _write_events(str(tmp_path), user, ts, ["e"] * len(rows))
+
+    got = q_max_concurrency(str(tmp_path)).to_pandas() \
+        .set_index("day")["max_concurrent"]
+    # day 0: users 1,2,3 open -> 3; day 1: those 3 still open + users 4,5 -> 5
+    assert got.loc[0] == 3
+    assert got.loc[day] == 5
