@@ -7042,6 +7042,39 @@ QUERIES = {
     "longest_streak": q_longest_streak,
 }
 
+# TPC-H completion wave (pipelines/relational.py): the remaining canonical
+# join plans adapted to this star schema — broadcast/semi/anti joins,
+# distinct-count, argmin join-back, and two-pass global-scalar patterns.
+from .relational import (  # noqa: E402
+    q_tpch_q2,
+    q_tpch_q4,
+    q_tpch_q7,
+    q_tpch_q8,
+    q_tpch_q9,
+    q_tpch_q11,
+    q_tpch_q15,
+    q_tpch_q16,
+    q_tpch_q17,
+    q_tpch_q19,
+    q_tpch_q21,
+    q_tpch_q22,
+)
+
+QUERIES.update({
+    "tpch_q2": q_tpch_q2,
+    "tpch_q4": q_tpch_q4,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q17": q_tpch_q17,
+    "tpch_q19": q_tpch_q19,
+    "tpch_q21": q_tpch_q21,
+    "tpch_q22": q_tpch_q22,
+})
+
 
 ORACLE_SQL = {
     "pivot_events": """
@@ -9697,6 +9730,209 @@ ORACLE_SQL.update(
                    CAST(quantile_disc(n_events, 0.5) AS BIGINT) AS p50_events,
                    CAST(quantile_disc(n_events, 0.9) AS BIGINT) AS p90_events
             FROM c
+        """,
+    }
+)
+
+# --- TPC-H completion wave oracles (pipelines/relational.py) ----------------
+# Money stays in exact cent x cent micro int64 on BOTH engines with one final
+# division (the tpch_q3 protocol); date bounds are epoch-ms literals.
+
+ORACLE_SQL.update(
+    {
+        "tpch_q4": """
+            SELECT o_orderpriority,
+                   CAST(count(DISTINCT o_orderkey) AS BIGINT) AS order_count
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE epoch_ms(o_orderdate) >= 820454400000
+              AND epoch_ms(o_orderdate) < 836179200000
+              AND epoch_ms(l_shipdate) > epoch_ms(o_orderdate) + 5184000000
+            GROUP BY 1
+        """,
+        "tpch_q7": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * CAST(round((1 - l_discount) * 100) AS BIGINT))
+                        AS DOUBLE) / 10000.0 AS revenue
+            FROM lineitem
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation cn ON cn.n_nationkey = c_nationkey
+            JOIN nation sn ON sn.n_nationkey = s_nationkey
+            WHERE s_nationkey <> c_nationkey
+              AND epoch_ms(l_shipdate) >= 820454400000
+              AND epoch_ms(l_shipdate) < 883612800000
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q8": """
+            WITH t AS (
+                SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round((1 - l_discount) * 100) AS BIGINT) AS micro,
+                       s_nationkey AS sn
+                FROM lineitem
+                JOIN orders ON o_orderkey = l_orderkey
+                JOIN customer ON c_custkey = o_custkey
+                JOIN nation ON n_nationkey = c_nationkey
+                JOIN region ON r_regionkey = n_regionkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN part ON p_partkey = l_partkey
+                WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+                  AND epoch_ms(o_orderdate) >= 820454400000
+                  AND epoch_ms(o_orderdate) < 915148800000
+            )
+            SELECT o_year,
+                   CAST(sum(CASE WHEN sn = 0 THEN micro ELSE 0 END) AS DOUBLE)
+                   / CAST(sum(micro) AS DOUBLE) AS mkt_share
+            FROM t GROUP BY 1
+        """,
+        "tpch_q9": """
+            SELECT n_name AS nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS o_year,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * CAST(round((1 - l_discount) * 100) AS BIGINT)
+                            - CAST(round(p_retailprice * 100) AS BIGINT)
+                              * CAST(round(l_quantity) AS BIGINT) * 100)
+                        AS DOUBLE) / 10000.0 AS sum_profit
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            GROUP BY 1, 2
+        """,
+        "tpch_q11": """
+            WITH v AS (
+                SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+                       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS c
+                FROM lineitem GROUP BY 1
+            )
+            SELECT l_partkey, CAST(c AS DOUBLE) / 100.0 AS value
+            FROM v
+            WHERE c * (SELECT count(*) FROM v) > (SELECT sum(c) FROM v)
+        """,
+        "tpch_q15": """
+            WITH rev AS (
+                SELECT CAST(l_suppkey AS BIGINT) AS s,
+                       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS m
+                FROM lineitem
+                WHERE epoch_ms(l_shipdate) >= 820454400000
+                  AND epoch_ms(l_shipdate) < 828316800000
+                GROUP BY 1
+            )
+            SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+                   CAST(m AS DOUBLE) / 10000.0 AS total_revenue
+            FROM rev JOIN supplier ON s_suppkey = s
+            WHERE m = (SELECT max(m) FROM rev)
+        """,
+        "tpch_q16": """
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+              AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+              AND l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000
+              )
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q17": """
+            WITH s AS (
+                SELECT CAST(l_partkey AS BIGINT) AS pk,
+                       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_q,
+                       count(*) AS cnt
+                FROM lineitem
+                WHERE CAST(l_partkey AS BIGINT) IN (
+                    SELECT CAST(p_partkey AS BIGINT) FROM part
+                    WHERE p_brand = 'Brand#3'
+                )
+                GROUP BY 1
+            )
+            SELECT CAST(coalesce(sum(
+                       CAST(round(l_extendedprice * 100) AS BIGINT)), 0)
+                   AS DOUBLE) / 700.0 AS avg_yearly
+            FROM lineitem JOIN s ON s.pk = CAST(l_partkey AS BIGINT)
+            WHERE CAST(round(l_quantity) AS BIGINT) * 5 * cnt < sum_q
+        """,
+        "tpch_q19": """
+            SELECT CAST(coalesce(sum(
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round((1 - l_discount) * 100) AS BIGINT)), 0)
+                   AS DOUBLE) / 10000.0 AS revenue
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size <= 10
+                   AND CAST(round(l_quantity) AS BIGINT) BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#2' AND p_size <= 20
+                   AND CAST(round(l_quantity) AS BIGINT) BETWEEN 5 AND 30)
+               OR (p_brand = 'Brand#3' AND p_size <= 30
+                   AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 40)
+        """,
+        "tpch_q21": """
+            WITH f AS (
+                SELECT CAST(o_orderkey AS BIGINT) AS ok,
+                       epoch_ms(o_orderdate) AS od
+                FROM orders WHERE o_orderstatus = 'F'
+            ),
+            ls AS (
+                SELECT CAST(l_orderkey AS BIGINT) AS ok,
+                       CAST(l_suppkey AS BIGINT) AS sk,
+                       max(CASE WHEN epoch_ms(l_shipdate) > od + 7776000000
+                                THEN 1 ELSE 0 END) AS late
+                FROM lineitem JOIN f ON f.ok = CAST(l_orderkey AS BIGINT)
+                GROUP BY 1, 2
+            ),
+            po AS (
+                SELECT ok, count(*) AS n_supp, sum(late) AS n_late,
+                       sum(late * sk) AS late_supp
+                FROM ls GROUP BY 1
+            )
+            SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+                   CAST(count(*) AS BIGINT) AS numwait
+            FROM po JOIN supplier ON s_suppkey = late_supp
+            WHERE n_supp >= 2 AND n_late = 1
+            GROUP BY 1, 2
+        """,
+        "tpch_q22": """
+            WITH b AS (
+                SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS bc,
+                       CAST(c_custkey AS BIGINT) AS ck,
+                       CAST(c_nationkey AS BIGINT) AS nk
+                FROM customer
+            ),
+            g AS (
+                SELECT sum(CASE WHEN bc > 0 THEN bc ELSE 0 END) AS sp,
+                       sum(CASE WHEN bc > 0 THEN 1 ELSE 0 END) AS np
+                FROM b
+            )
+            SELECT nk AS c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+                   CAST(sum(bc) AS DOUBLE) / 100.0 AS totacctbal
+            FROM b, g
+            WHERE bc * np > sp
+              AND ck NOT IN (
+                  SELECT CAST(o_custkey AS BIGINT) FROM orders
+                  WHERE epoch_ms(o_orderdate) >= 820454400000
+                    AND epoch_ms(o_orderdate) < 852076800000
+              )
+            GROUP BY 1
+        """,
+        "tpch_q2": """
+            WITH comp AS (
+                SELECT CAST(l_partkey AS BIGINT) AS pk,
+                       min((CAST(round(s_acctbal * 100) AS BIGINT) + 10000000)
+                           * 1048576 + CAST(s_suppkey AS BIGINT)) AS c
+                FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                WHERE CAST(l_partkey AS BIGINT) IN (
+                    SELECT CAST(p_partkey AS BIGINT) FROM part
+                    WHERE p_size >= 40
+                )
+                GROUP BY 1
+            )
+            SELECT pk AS p_partkey, CAST(c % 1048576 AS BIGINT) AS s_suppkey,
+                   s_name,
+                   CAST(c // 1048576 - 10000000 AS DOUBLE) / 100.0 AS s_acctbal
+            FROM comp JOIN supplier ON CAST(s_suppkey AS BIGINT) = c % 1048576
         """,
     }
 )

@@ -158,6 +158,10 @@ def test_mirror_covers_every_oracle(entry_mod):
         "mannwhitney_u", "tpch_q6", "debounce_events", "max_concurrency",
         "anova_hod", "cohens_d", "media_pure_grid", "audio_pure_rms",
         "entropy_rate", "longest_streak",
+        # session-10 TPC-H completion wave (pipelines/relational.py)
+        "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11",
+        "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q21",
+        "tpch_q22",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):
