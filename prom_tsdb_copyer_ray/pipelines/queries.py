@@ -7060,7 +7060,22 @@ from .relational import (  # noqa: E402
     q_tpch_q22,
 )
 
+# Session-10 statistics wave (pipelines/stats2.py): census-bounded rank
+# correlation, robust slope, changepoint and runs-test analytics.
+from .stats2 import (  # noqa: E402
+    q_changepoint,
+    q_kendall_tau,
+    q_runs_test,
+    q_spearman_corr,
+    q_theil_sen,
+)
+
 QUERIES.update({
+    "spearman_corr": q_spearman_corr,
+    "kendall_tau": q_kendall_tau,
+    "theil_sen": q_theil_sen,
+    "changepoint": q_changepoint,
+    "runs_test": q_runs_test,
     "tpch_q2": q_tpch_q2,
     "tpch_q4": q_tpch_q4,
     "tpch_q7": q_tpch_q7,
@@ -9933,6 +9948,143 @@ ORACLE_SQL.update(
                    s_name,
                    CAST(c // 1048576 - 10000000 AS DOUBLE) / 100.0 AS s_acctbal
             FROM comp JOIN supplier ON CAST(s_suppkey AS BIGINT) = c % 1048576
+        """,
+    }
+)
+
+# --- session-10 statistics wave oracles (pipelines/stats2.py) ---------------
+# Exact-int censuses end-to-end; every float statistic is ONE mirrored
+# cast/multiply/sqrt/divide sequence over identical exact integers
+# (HUGEINT in SQL, Python bignums in the engine) — bit-identical results.
+
+ORACLE_SQL.update(
+    {
+        "spearman_corr": """
+            WITH e AS (SELECT (epoch_ms(ts) // 3600000) % 24 AS hod,
+                              CAST(round(value * 100) AS BIGINT) AS cv
+                       FROM events),
+            c AS (SELECT hod, cv, CAST(count(*) AS BIGINT) AS n
+                  FROM e GROUP BY 1, 2),
+            vm AS (SELECT cv, sum(n) AS nv FROM c GROUP BY 1),
+            vr AS (SELECT cv,
+                          2 * coalesce(sum(nv) OVER (ORDER BY cv
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) + nv + 1 AS r2
+                   FROM vm),
+            hm AS (SELECT hod, sum(n) AS nh FROM c GROUP BY 1),
+            hr AS (SELECT hod,
+                          2 * coalesce(sum(nh) OVER (ORDER BY hod
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) + nh + 1 AS r2
+                   FROM hm),
+            m AS (SELECT CAST(sum(n) AS HUGEINT) AS n,
+                         sum(CAST(n AS HUGEINT) * vr.r2) AS sx,
+                         sum(CAST(n AS HUGEINT) * hr.r2) AS sy,
+                         sum(CAST(n AS HUGEINT) * vr.r2 * vr.r2) AS sxx,
+                         sum(CAST(n AS HUGEINT) * hr.r2 * hr.r2) AS syy,
+                         sum(CAST(n AS HUGEINT) * vr.r2 * hr.r2) AS sxy
+                  FROM c JOIN vr USING (cv) JOIN hr USING (hod))
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE)) AS rho
+            FROM m
+        """,
+        "kendall_tau": """
+            WITH e AS (SELECT (epoch_ms(ts) // 3600000) % 24 AS hod,
+                              CAST(round(value * 100) AS BIGINT) // 5000 AS vb
+                       FROM events),
+            c AS (SELECT hod, vb, CAST(count(*) AS BIGINT) AS n
+                  FROM e GROUP BY 1, 2),
+            p AS (SELECT
+                      coalesce(sum(CAST(c1.n AS HUGEINT) * c2.n)
+                               FILTER (WHERE c2.vb > c1.vb), 0) AS conc,
+                      coalesce(sum(CAST(c1.n AS HUGEINT) * c2.n)
+                               FILTER (WHERE c2.vb < c1.vb), 0) AS disc
+                  FROM c c1 JOIN c c2 ON c2.hod > c1.hod),
+            hm AS (SELECT hod, sum(n) AS nh FROM c GROUP BY 1),
+            vm AS (SELECT vb, sum(n) AS nv FROM c GROUP BY 1),
+            tot AS (SELECT CAST(sum(n) AS HUGEINT) AS n FROM c),
+            t1 AS (SELECT sum(CAST(nh AS HUGEINT) * (nh - 1) // 2) AS t
+                   FROM hm),
+            t2 AS (SELECT sum(CAST(nv AS HUGEINT) * (nv - 1) // 2) AS t
+                   FROM vm)
+            SELECT CAST(tot.n AS BIGINT) AS n,
+                   CAST(conc AS BIGINT) AS concordant,
+                   CAST(disc AS BIGINT) AS discordant,
+                   CAST(conc - disc AS DOUBLE)
+                   / sqrt(CAST(tot.n * (tot.n - 1) // 2 - t1.t AS DOUBLE)
+                          * CAST(tot.n * (tot.n - 1) // 2 - t2.t AS DOUBLE))
+                       AS tau_b
+            FROM p, tot, t1, t2
+        """,
+        "theil_sen": """
+            WITH e AS (SELECT (epoch_ms(ts) // 3600000) % 24 AS hod,
+                              CAST(round(value * 100) AS BIGINT) AS cv
+                       FROM events),
+            h AS (SELECT hod, CAST(sum(cv) AS HUGEINT) AS s,
+                         CAST(count(*) AS HUGEINT) AS c
+                  FROM e GROUP BY 1),
+            p AS (SELECT CAST(h2.s * h1.c - h1.s * h2.c AS DOUBLE)
+                         / CAST((h2.hod - h1.hod) * h1.c * h2.c AS DOUBLE)
+                             AS slope
+                  FROM h h1 JOIN h h2 ON h2.hod > h1.hod)
+            SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                   quantile_disc(slope, 0.5) / 100.0 AS theil_sen_slope
+            FROM p
+        """,
+        "changepoint": """
+            WITH e AS (SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+                              CAST(round(value * 100) AS BIGINT) AS cv
+                       FROM events),
+            d AS (SELECT day_ms, CAST(sum(cv) AS HUGEINT) AS s,
+                         CAST(count(*) AS HUGEINT) AS c
+                  FROM e GROUP BY 1),
+            o AS (SELECT sum(s) OVER (ORDER BY day_ms) AS sl,
+                         sum(c) OVER (ORDER BY day_ms) AS nl,
+                         lead(day_ms) OVER (ORDER BY day_ms) AS next_day
+                  FROM d),
+            tot AS (SELECT CAST(sum(s) AS HUGEINT) AS st,
+                           CAST(sum(c) AS HUGEINT) AS nt FROM d),
+            g AS (SELECT next_day AS split_day_ms,
+                         (sl * sl * 1000000) // nl
+                         + ((st - sl) * (st - sl) * 1000000) // (nt - nl)
+                         - (st * st * 1000000) // nt AS gain_micro
+                  FROM o, tot WHERE next_day IS NOT NULL)
+            SELECT CAST(split_day_ms AS BIGINT) AS split_day_ms,
+                   CAST(gain_micro AS DOUBLE) / 1e6 AS gain
+            FROM g ORDER BY gain_micro DESC, split_day_ms ASC LIMIT 1
+        """,
+        "runs_test": """
+            WITH med AS (SELECT quantile_disc(
+                                    CAST(round(value * 100) AS BIGINT), 0.5
+                                ) AS m FROM events),
+            e AS (SELECT event_type, ts, event_id,
+                         CASE WHEN CAST(round(value * 100) AS BIGINT) > m
+                              THEN 1 ELSE 0 END AS sign
+                  FROM events, med
+                  WHERE CAST(round(value * 100) AS BIGINT) <> m),
+            x AS (SELECT event_type, sign,
+                         lag(sign) OVER (PARTITION BY event_type
+                                         ORDER BY ts, event_id) AS prev
+                  FROM e),
+            r AS (SELECT event_type,
+                         CAST(sum(CASE WHEN prev IS NULL OR sign <> prev
+                                       THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+                         CAST(sum(sign) AS BIGINT) AS n_above,
+                         CAST(count(*) AS BIGINT) AS n_total
+                  FROM x GROUP BY 1)
+            SELECT event_type, n_runs, n_above,
+                   n_total - n_above AS n_below,
+                   CAST(n_runs * n_total - n_total
+                        - 2 * CAST(n_above AS HUGEINT) * (n_total - n_above)
+                        AS DOUBLE)
+                   * sqrt(CAST(n_total - 1 AS DOUBLE))
+                   / sqrt(CAST(
+                         2 * CAST(n_above AS HUGEINT) * (n_total - n_above)
+                         * (2 * CAST(n_above AS HUGEINT) * (n_total - n_above)
+                            - n_total) AS DOUBLE)) AS z
+            FROM r
         """,
     }
 )

@@ -162,6 +162,9 @@ def test_mirror_covers_every_oracle(entry_mod):
         "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11",
         "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q21",
         "tpch_q22",
+        # session-10 statistics wave (pipelines/stats2.py)
+        "spearman_corr", "kendall_tau", "theil_sen", "changepoint",
+        "runs_test",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):
