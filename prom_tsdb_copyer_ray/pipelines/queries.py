@@ -7070,7 +7070,22 @@ from .stats2 import (  # noqa: E402
     q_theil_sen,
 )
 
+# Session-10 extras (pipelines/extras.py): pure-video decode, k-hop BFS,
+# l-diversity, interpolated quantiles, exact mode.
+from .extras import (  # noqa: E402
+    q_khop_reach,
+    q_l_diversity,
+    q_mode_value,
+    q_quantile_cont,
+    q_video_pure_frames,
+)
+
 QUERIES.update({
+    "video_pure_frames": q_video_pure_frames,
+    "khop_reach": q_khop_reach,
+    "l_diversity": q_l_diversity,
+    "quantile_cont": q_quantile_cont,
+    "mode_value": q_mode_value,
     "spearman_corr": q_spearman_corr,
     "kendall_tau": q_kendall_tau,
     "theil_sen": q_theil_sen,
@@ -10085,6 +10100,84 @@ ORACLE_SQL.update(
                          * (2 * CAST(n_above AS HUGEINT) * (n_total - n_above)
                             - n_total) AS DOUBLE)) AS z
             FROM r
+        """,
+    }
+)
+
+# --- session-10 extras oracles (pipelines/extras.py) -------------------------
+
+ORACLE_SQL.update(
+    {
+        "video_pure_frames": """
+            WITH f AS (SELECT unnest(generate_series(0, 4, 2)) AS f),
+            r AS (SELECT unnest(generate_series(0, 7)) AS r),
+            c AS (SELECT unnest(generate_series(0, 7)) AS c),
+            px AS (SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                          (CAST(d.doc_id AS BIGINT) * 31 + f.f * 11
+                           + r.r * 7 + c.c * 3) % 256 AS v
+                   FROM documents d, f, r, c)
+            SELECT doc_id, CAST(3 AS BIGINT) AS n_frames,
+                   CAST(sum(v) AS BIGINT) AS pixel_sum,
+                   CAST(sum(v) AS DOUBLE) / 192.0 AS mean_pixel
+            FROM px GROUP BY 1
+        """,
+        "khop_reach": """
+            WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                              source, n_chars // 100 AS cb
+                       FROM documents),
+            m1 AS (SELECT lang, cb, min(doc_id) AS a FROM d GROUP BY 1, 2),
+            e1 AS (SELECT m1.a, d.doc_id AS b
+                   FROM d JOIN m1 USING (lang, cb) WHERE d.doc_id != m1.a),
+            m2 AS (SELECT source, cb, min(doc_id) AS a FROM d GROUP BY 1, 2),
+            e2 AS (SELECT m2.a, d.doc_id AS b
+                   FROM d JOIN m2 USING (source, cb) WHERE d.doc_id != m2.a),
+            e AS (SELECT DISTINCT a, b
+                  FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2)),
+            s AS (SELECT min(doc_id) AS seed FROM d),
+            rec AS (
+                WITH RECURSIVE walk(node, depth) AS (
+                    SELECT seed, 0 FROM s
+                    UNION
+                    SELECT CASE WHEN e.a = walk.node THEN e.b ELSE e.a END,
+                           walk.depth + 1
+                    FROM walk JOIN e ON e.a = walk.node OR e.b = walk.node
+                    WHERE walk.depth < 3
+                )
+                SELECT count(DISTINCT node) AS n_reach FROM walk
+            )
+            SELECT s.seed, CAST(rec.n_reach AS BIGINT) AS n_reach
+            FROM s, rec
+        """,
+        "l_diversity": """
+            SELECT lang, n_chars // 1000 AS size_bucket,
+                   CAST(count(DISTINCT source) AS BIGINT) AS l
+            FROM documents GROUP BY 1, 2
+        """,
+        "quantile_cont": """
+            WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cv,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1),
+            s AS (SELECT cv, sum(n) OVER (ORDER BY cv) AS cum FROM c),
+            nt AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM c),
+            q AS (SELECT unnest([50, 90, 99]) AS pct),
+            pos AS (SELECT pct, ((n - 1) * pct) // 100 AS lo0,
+                           ((n - 1) * pct) % 100 AS fi,
+                           least(((n - 1) * pct) // 100 + 1, n - 1) AS hi0
+                    FROM q, nt)
+            SELECT CAST(pct AS BIGINT) AS pct,
+                   (CAST((SELECT min(cv) FROM s WHERE cum >= lo0 + 1)
+                         AS DOUBLE)
+                    + CAST((SELECT min(cv) FROM s WHERE cum >= hi0 + 1)
+                           - (SELECT min(cv) FROM s WHERE cum >= lo0 + 1)
+                           AS DOUBLE) * (fi / 100.0)) / 100.0 AS q_value
+            FROM pos
+        """,
+        "mode_value": """
+            WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cv,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1)
+            SELECT CAST(cv AS DOUBLE) / 100.0 AS mode_value, n AS n_mode
+            FROM c ORDER BY n DESC, cv ASC LIMIT 1
         """,
     }
 )

@@ -461,3 +461,87 @@ def audio_loudness(ds, frame_ms: int = 500, concurrency=(1, 4),
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# --- pure "motion netpbm" (NPMV) video: a REALLY decodable container --------
+# The container-decodable stand-in for MP4-class formats: magic, frame
+# count, per-frame byte length (frames equal-sized), then concatenated
+# binary netpbm (P5/P6) frames.  Intra-only => constant-time frame seek,
+# and every sampled frame is REALLY pixel-decoded by decode_netpbm — the
+# video path is value-checkable end-to-end (see q_video_pure_frames).
+
+NPMV_MAGIC = b"NPMV"
+
+
+def encode_npmv(frames: list[bytes]) -> bytes:
+    """Encode an NPMV video from equal-sized binary netpbm frame payloads."""
+    if not frames:
+        raise ValueError("NPMV needs at least one frame")
+    ln = len(frames[0])
+    if any(len(f) != ln for f in frames):
+        raise ValueError("NPMV frames must be equal-sized")
+    return (NPMV_MAGIC + len(frames).to_bytes(4, "little")
+            + ln.to_bytes(4, "little") + b"".join(frames))
+
+
+def npmv_frame_count(payload: bytes) -> int:
+    if payload[:4] != NPMV_MAGIC:
+        raise ValueError("not an NPMV payload")
+    return int.from_bytes(payload[4:8], "little")
+
+
+def decode_npmv_frame(payload: bytes, idx: int) -> np.ndarray:
+    """Random-access decode of frame ``idx`` (constant-time seek, like a
+    real intra-only codec's keyframe grab)."""
+    n = npmv_frame_count(payload)
+    ln = int.from_bytes(payload[8:12], "little")
+    if not (0 <= idx < n):
+        raise IndexError(f"frame {idx} out of range (n={n})")
+    off = 12 + idx * ln
+    return decode_netpbm(payload[off:off + ln])
+
+
+class PureVideoFrameSampler:
+    """Actor-pool stage: NPMV video batch -> per-media sampled-frame stats.
+
+    REAL video-shaped compute: every ``stride``-th frame is seek-decoded
+    (true pixels, no fake hash), the per-frame feature is the exact
+    integer pixel sum, and the per-media pool happens inside the batch —
+    one input row -> one output row, no shuffle.  A real ffmpeg build
+    would swap only the decode call; the plumbing (actor pool, seek
+    stride, in-batch expansion/pool) is the production shape.  Output:
+    (media_id, n_frames_sampled, pixel_sum)."""
+
+    def __init__(self, stride: int = 2) -> None:
+        if stride < 1:
+            raise ValueError("stride must be >= 1")
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        n_out, sums = [], []
+        for p in payloads:
+            total, cnt = 0, 0
+            for i in range(0, npmv_frame_count(p), self.stride):
+                total += int(decode_npmv_frame(p, i).astype(np.int64).sum())
+                cnt += 1
+            n_out.append(cnt)
+            sums.append(total)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "n_frames_sampled": pa.array(n_out, pa.int64()),
+            "pixel_sum": pa.array(sums, pa.int64()),
+        })
+
+
+def sample_pure_video_frames(ds, stride: int = 2, concurrency=(1, 4),
+                             batch_size: int = 64):
+    """NPMV media table -> (media_id, n_frames_sampled, pixel_sum)."""
+    return ds.map_batches(
+        PureVideoFrameSampler,
+        fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -165,6 +165,9 @@ def test_mirror_covers_every_oracle(entry_mod):
         # session-10 statistics wave (pipelines/stats2.py)
         "spearman_corr", "kendall_tau", "theil_sen", "changepoint",
         "runs_test",
+        # session-10 extras (pipelines/extras.py)
+        "video_pure_frames", "khop_reach", "l_diversity", "quantile_cont",
+        "mode_value",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):
