@@ -208,3 +208,214 @@ def q_mode_value(sf_dir: str):
         "mode_value": pa.array([float(cv[i]) / 100.0], pa.float64()),
         "n_mode": pa.array([int(n[i])], pa.int64()),
     })
+
+
+# --- second extras wave: moment-census statistics + lagged correlation ------
+
+
+def _type_value_census(sf_dir: str):
+    """Exact (event_type, cent-value) census — the value-domain x type
+    grid (bounded: distinct cents x 5 types), the shared substrate for
+    higher-moment statistics.  One combiner pass + one sharded exchange
+    of census rows only; driver-final like every census statistic."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def census(batch: pa.Table) -> pa.Table:
+        cv = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "cv": pa.array(cv),
+            "n": pa.array(np.ones(len(cv), np.int64)),
+        })
+        g = t.group_by(["event_type", "cv"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "cv", "n"])
+
+    return sharded_grouped_agg(
+        ds.map_batches(census, batch_format="pyarrow"),
+        ["event_type", "cv"], [("n", "sum")], num_shards=8,
+    ).to_pandas().sort_values(["event_type", "cv"])
+
+
+def q_welch_t(sf_dir: str):
+    """Welch's unequal-variance t-test for every event-type pair, plus
+    the Welch-Satterthwaite degrees of freedom — from the same exact
+    per-type moment census as cohens_d (n, sum-cents, sum-sq-cents as
+    int64); the t statistic and df are ONE mirrored float sequence over
+    exact ints, identical to the SQL oracle's expression tree."""
+    from .queries import _type_moment_census
+
+    census = _type_moment_census(sf_dir, keys_hod=False) \
+        .sort_values("event_type")
+    types = census["event_type"].tolist()
+    n = census["_n"].to_numpy().astype(np.int64)
+    s = census["_s"].to_numpy().astype(np.int64)
+    s2 = census["_s2"].to_numpy().astype(np.int64)
+    out = {"type_a": [], "type_b": [], "t_stat": [], "df": []}
+    for i in range(len(types)):
+        for j in range(i + 1, len(types)):
+            n1, n2 = float(n[i]), float(n[j])
+            m1 = float(s[i]) / n1
+            m2 = float(s[j]) / n2
+            v1 = float(n[i] * s2[i] - s[i] * s[i]) / (n1 * (n1 - 1.0))
+            v2 = float(n[j] * s2[j] - s[j] * s[j]) / (n2 * (n2 - 1.0))
+            se1 = v1 / n1
+            se2 = v2 / n2
+            se = se1 + se2
+            t = (m1 - m2) / np.sqrt(se)
+            df = (se * se) / ((se1 * se1) / (n1 - 1.0)
+                              + (se2 * se2) / (n2 - 1.0))
+            out["type_a"].append(types[i])
+            out["type_b"].append(types[j])
+            out["t_stat"].append(round(float(t), 6))
+            out["df"].append(round(float(df), 6))
+    return pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "t_stat": pa.array(out["t_stat"], pa.float64()),
+        "df": pa.array(out["df"], pa.float64()),
+    })
+
+
+def q_skew_kurtosis(sf_dir: str):
+    """Per-type skewness g1 and excess kurtosis g2 from the (type, cv)
+    census.  Central power sums use the chi2/ANOVA floor protocol: each
+    per-cell double term cnt*(cv-mean)^k is computed by the IDENTICAL
+    op sequence on both engines and floored to an integer BEFORE
+    summation, so the cross-shard sum is associative and exact; the
+    final g1/g2 combination is one mirrored float expression."""
+    import math
+
+    census = _type_value_census(sf_dir)
+    out = {"event_type": [], "n": [], "skewness": [], "ex_kurtosis": []}
+    for et, grp in census.groupby("event_type", sort=True):
+        cv = grp["cv"].to_numpy().astype(np.int64)
+        cnt = grp["n"].to_numpy().astype(np.int64)
+        n = int(cnt.sum())
+        s = int((cv * cnt).sum())
+        mu = float(s) / float(n)
+        d = cv.astype(np.float64) - mu
+        w = cnt.astype(np.float64)
+        p2 = d * d
+        p3 = p2 * d
+        p4 = p3 * d
+        # floor() gives integral doubles; terms can exceed 2**53, where a
+        # float sum would lose exactness -> sum as Python ints instead.
+        f2 = sum(int(x) for x in np.floor(p2 * w))
+        f3 = sum(int(x) for x in np.floor(p3 * w))
+        f4 = sum(int(x) for x in np.floor(p4 * w))
+        m2 = float(f2) / float(n)
+        m3 = float(f3) / float(n)
+        m4 = float(f4) / float(n)
+        g1 = m3 / (math.sqrt(m2) * m2)
+        g2 = m4 / (m2 * m2) - 3.0
+        out["event_type"].append(et)
+        out["n"].append(n)
+        out["skewness"].append(round(g1, 6))
+        out["ex_kurtosis"].append(round(g2, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+        "skewness": pa.array(out["skewness"], pa.float64()),
+        "ex_kurtosis": pa.array(out["ex_kurtosis"], pa.float64()),
+    })
+
+
+def q_mean_family(sf_dir: str):
+    """Arithmetic / harmonic / log-geometric mean per event type from
+    the (type, cv) census, positive values only.  Arithmetic is exact
+    ints to one division; harmonic and log-geometric use the bm25 libm
+    protocol — the per-cell double term (cnt/cv, resp. cnt*ln(cv)) is
+    MICRO-FLOORED before summation so cross-engine sums are associative
+    integer sums.  The geometric mean is reported in the cent log
+    domain (log_gmean_cents) to avoid a final exp() libm call."""
+    import math
+
+    census = _type_value_census(sf_dir)
+    out = {"event_type": [], "n_pos": [], "arith_mean": [],
+           "harmonic_mean": [], "log_gmean_cents": []}
+    for et, grp in census.groupby("event_type", sort=True):
+        cv = grp["cv"].to_numpy().astype(np.int64)
+        cnt = grp["n"].to_numpy().astype(np.int64)
+        pos = cv > 0
+        cvp = cv[pos]
+        cnp = cnt[pos]
+        n = int(cnp.sum())
+        s = int((cvp * cnp).sum())
+        arith = (float(s) / float(n)) / 100.0
+        hterm = cnp.astype(np.float64) / cvp.astype(np.float64)
+        hf = sum(int(x) for x in np.floor(hterm * 1000000.0))
+        harm = (float(n) / (float(hf) / 1000000.0)) / 100.0
+        lf = 0
+        for v, c in zip(cvp.tolist(), cnp.tolist()):
+            lf += int(math.floor(math.log(float(v)) * 1000000.0)) * c
+        lgm = (float(lf) / 1000000.0) / float(n)
+        out["event_type"].append(et)
+        out["n_pos"].append(n)
+        out["arith_mean"].append(round(arith, 6))
+        out["harmonic_mean"].append(round(harm, 6))
+        out["log_gmean_cents"].append(round(lgm, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n_pos": pa.array(out["n_pos"], pa.int64()),
+        "arith_mean": pa.array(out["arith_mean"], pa.float64()),
+        "harmonic_mean": pa.array(out["harmonic_mean"], pa.float64()),
+        "log_gmean_cents": pa.array(out["log_gmean_cents"], pa.float64()),
+    })
+
+
+def q_cross_corr(sf_dir: str):
+    """Lagged cross-correlation between the hourly cent-sum series of
+    'click' and 'view' events (lags 0..3 hours, inner join on matching
+    hours).  The hourly census is bounded by the time span; all six
+    Pearson sums are exact integers (Python bignums on the driver,
+    HUGEINT in the oracle); r is ONE mirrored float expression."""
+    from ..windows import ts_to_ms
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def census(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"],
+                        value_set=pa.array(["click", "view"]))
+        t = batch.filter(keep)
+        cv = np.rint(
+            t["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        tms = ts_to_ms(t["ts"]).to_numpy(zero_copy_only=False)
+        g = pa.table({
+            "event_type": t["event_type"],
+            "hr": pa.array(tms // 3600000, pa.int64()),
+            "s": pa.array(cv),
+        }).group_by(["event_type", "hr"]).aggregate([("s", "sum")])
+        return g.rename_columns(["event_type", "hr", "s"])
+
+    census_df = sharded_grouped_agg(
+        ds.map_batches(census, batch_format="pyarrow"),
+        ["event_type", "hr"], [("s", "sum")], num_shards=8,
+    ).to_pandas()
+    x = {int(h): int(v) for h, v in
+         census_df[census_df["event_type"] == "click"][["hr", "s"]].values}
+    y = {int(h): int(v) for h, v in
+         census_df[census_df["event_type"] == "view"][["hr", "s"]].values}
+    out = {"lag": [], "n": [], "r": []}
+    for lag in (0, 1, 2, 3):
+        pairs = [(xv, y[h + lag]) for h, xv in sorted(x.items())
+                 if h + lag in y]
+        n = len(pairs)
+        sx = sum(p[0] for p in pairs)
+        sy = sum(p[1] for p in pairs)
+        sxx = sum(p[0] * p[0] for p in pairs)
+        syy = sum(p[1] * p[1] for p in pairs)
+        sxy = sum(p[0] * p[1] for p in pairs)
+        r = float(n * sxy - sx * sy) / (
+            np.sqrt(float(n * sxx - sx * sx))
+            * np.sqrt(float(n * syy - sy * sy)))
+        out["lag"].append(lag)
+        out["n"].append(n)
+        out["r"].append(round(float(r), 6))
+    return pa.table({
+        "lag": pa.array(out["lag"], pa.int64()),
+        "n": pa.array(out["n"], pa.int64()),
+        "r": pa.array(out["r"], pa.float64()),
+    })

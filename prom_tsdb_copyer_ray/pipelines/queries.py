@@ -7056,6 +7056,7 @@ from .relational import (  # noqa: E402
     q_tpch_q16,
     q_tpch_q17,
     q_tpch_q19,
+    q_tpch_q20,
     q_tpch_q21,
     q_tpch_q22,
 )
@@ -7073,14 +7074,23 @@ from .stats2 import (  # noqa: E402
 # Session-10 extras (pipelines/extras.py): pure-video decode, k-hop BFS,
 # l-diversity, interpolated quantiles, exact mode.
 from .extras import (  # noqa: E402
+    q_cross_corr,
     q_khop_reach,
     q_l_diversity,
+    q_mean_family,
     q_mode_value,
     q_quantile_cont,
+    q_skew_kurtosis,
     q_video_pure_frames,
+    q_welch_t,
 )
 
 QUERIES.update({
+    "welch_t": q_welch_t,
+    "skew_kurtosis": q_skew_kurtosis,
+    "mean_family": q_mean_family,
+    "cross_corr": q_cross_corr,
+    "tpch_q20": q_tpch_q20,
     "video_pure_frames": q_video_pure_frames,
     "khop_reach": q_khop_reach,
     "l_diversity": q_l_diversity,
@@ -10178,6 +10188,130 @@ ORACLE_SQL.update(
                        FROM events GROUP BY 1)
             SELECT CAST(cv AS DOUBLE) / 100.0 AS mode_value, n AS n_mode
             FROM c ORDER BY n DESC, cv ASC LIMIT 1
+        """,
+    }
+)
+
+# --- second extras wave oracles ----------------------------------------------
+
+ORACLE_SQL.update(
+    {
+        "welch_t": """
+            WITH c AS (SELECT event_type, count(*) AS n,
+                              sum(cv) AS s, sum(cv * cv) AS s2
+                       FROM (SELECT event_type,
+                                    CAST(value * 100 AS BIGINT) AS cv
+                             FROM events)
+                       GROUP BY 1),
+            p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                         CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE) AS m1,
+                         CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS m2,
+                         (CAST(a.n * a.s2 - a.s * a.s AS DOUBLE)
+                          / (CAST(a.n AS DOUBLE)
+                             * (CAST(a.n AS DOUBLE) - 1.0)))
+                         / CAST(a.n AS DOUBLE) AS se1,
+                         (CAST(b.n * b.s2 - b.s * b.s AS DOUBLE)
+                          / (CAST(b.n AS DOUBLE)
+                             * (CAST(b.n AS DOUBLE) - 1.0)))
+                         / CAST(b.n AS DOUBLE) AS se2,
+                         CAST(a.n AS DOUBLE) AS na, CAST(b.n AS DOUBLE) AS nb
+                  FROM c a JOIN c b ON a.event_type < b.event_type)
+            SELECT type_a, type_b,
+                   round((m1 - m2) / sqrt(se1 + se2), 6) AS t_stat,
+                   round(((se1 + se2) * (se1 + se2))
+                         / ((se1 * se1) / (na - 1.0)
+                            + (se2 * se2) / (nb - 1.0)), 6) AS df
+            FROM p
+        """,
+        "skew_kurtosis": """
+            WITH e AS (SELECT event_type,
+                              CAST(value * 100 AS BIGINT) AS cv FROM events),
+            c AS (SELECT event_type, cv, count(*) AS cnt FROM e GROUP BY 1, 2),
+            m AS (SELECT event_type, sum(cnt) AS n,
+                         sum(cv * cnt) AS s FROM c GROUP BY 1),
+            t AS (SELECT c.event_type,
+                         CAST(c.cv AS DOUBLE)
+                         - CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE) AS d,
+                         CAST(c.cnt AS DOUBLE) AS w
+                  FROM c JOIN m USING (event_type)),
+            f AS (SELECT event_type,
+                         sum(CAST(floor((d * d) * w) AS HUGEINT)) AS f2,
+                         sum(CAST(floor(((d * d) * d) * w) AS HUGEINT)) AS f3,
+                         sum(CAST(floor((((d * d) * d) * d) * w)
+                                  AS HUGEINT)) AS f4
+                  FROM t GROUP BY 1)
+            SELECT m.event_type, CAST(m.n AS BIGINT) AS n,
+                   round((CAST(f.f3 AS DOUBLE) / CAST(m.n AS DOUBLE))
+                         / (sqrt(CAST(f.f2 AS DOUBLE) / CAST(m.n AS DOUBLE))
+                            * (CAST(f.f2 AS DOUBLE) / CAST(m.n AS DOUBLE))),
+                         6) AS skewness,
+                   round((CAST(f.f4 AS DOUBLE) / CAST(m.n AS DOUBLE))
+                         / ((CAST(f.f2 AS DOUBLE) / CAST(m.n AS DOUBLE))
+                            * (CAST(f.f2 AS DOUBLE) / CAST(m.n AS DOUBLE)))
+                         - 3.0, 6) AS ex_kurtosis
+            FROM f JOIN m USING (event_type) ORDER BY 1
+        """,
+        "mean_family": """
+            WITH e AS (SELECT event_type,
+                              CAST(value * 100 AS BIGINT) AS cv FROM events),
+            c AS (SELECT event_type, cv, count(*) AS cnt
+                  FROM e WHERE cv > 0 GROUP BY 1, 2),
+            f AS (SELECT event_type, sum(cnt) AS n, sum(cv * cnt) AS s,
+                         sum(CAST(floor((CAST(cnt AS DOUBLE)
+                                         / CAST(cv AS DOUBLE)) * 1000000.0)
+                                  AS HUGEINT)) AS hf,
+                         sum(CAST(floor(ln(CAST(cv AS DOUBLE)) * 1000000.0)
+                                  AS HUGEINT) * cnt) AS lf
+                  FROM c GROUP BY 1)
+            SELECT event_type, CAST(n AS BIGINT) AS n_pos,
+                   round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0,
+                         6) AS arith_mean,
+                   round((CAST(n AS DOUBLE)
+                          / (CAST(hf AS DOUBLE) / 1000000.0)) / 100.0,
+                         6) AS harmonic_mean,
+                   round((CAST(lf AS DOUBLE) / 1000000.0)
+                         / CAST(n AS DOUBLE), 6) AS log_gmean_cents
+            FROM f ORDER BY 1
+        """,
+        "cross_corr": """
+            WITH h AS (SELECT event_type,
+                              epoch_ms(ts) // 3600000 AS hr,
+                              sum(CAST(value * 100 AS BIGINT)) AS s
+                       FROM events
+                       WHERE event_type IN ('click', 'view')
+                       GROUP BY 1, 2),
+            x AS (SELECT hr, s FROM h WHERE event_type = 'click'),
+            y AS (SELECT hr, s FROM h WHERE event_type = 'view'),
+            l AS (SELECT unnest([0, 1, 2, 3]) AS lag),
+            p AS (SELECT l.lag, x.s AS xs, y.s AS ys
+                  FROM l JOIN x ON true JOIN y ON y.hr = x.hr + l.lag),
+            a AS (SELECT lag, count(*) AS n, sum(xs) AS sx, sum(ys) AS sy,
+                         sum(xs * xs) AS sxx, sum(ys * ys) AS syy,
+                         sum(xs * ys) AS sxy
+                  FROM p GROUP BY 1)
+            SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))),
+                         6) AS r
+            FROM a ORDER BY lag
+        """,
+        "tpch_q20": """
+            WITH w AS (SELECT CAST(p_partkey AS BIGINT) AS pk FROM part
+                       WHERE p_name LIKE '%widget'),
+            q AS (SELECT CAST(l_suppkey AS BIGINT) AS sk,
+                         sum(CAST(round(l_quantity) AS BIGINT)) AS qall,
+                         sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                                   AND l_shipdate < TIMESTAMP '1997-01-01'
+                                  THEN CAST(round(l_quantity) AS BIGINT)
+                                  ELSE 0 END) AS q96
+                  FROM lineitem JOIN w ON CAST(l_partkey AS BIGINT) = w.pk
+                  GROUP BY CAST(l_suppkey AS BIGINT),
+                           CAST(l_partkey AS BIGINT))
+            SELECT DISTINCT q.sk AS s_suppkey, s.s_name
+            FROM q JOIN supplier s ON CAST(s.s_suppkey AS BIGINT) = q.sk
+            WHERE q.q96 > 0 AND q.qall > 2 * q.q96
+            ORDER BY 1
         """,
     }
 )

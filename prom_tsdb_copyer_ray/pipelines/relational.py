@@ -773,3 +773,66 @@ def q_tpch_q2(sf_dir: str):
         "s_name": pa.array(snames[idx].tolist(), pa.string()),
         "s_acctbal": pa.array(bal.astype(np.float64) / 100.0, pa.float64()),
     })
+
+
+def q_tpch_q20(sf_dir: str):
+    """TPC-H Q20 (potential part promotion), adapted to the star schema:
+    partsupp availability is proxied by the supplier's ALL-TIME shipped
+    quantity per part — a (suppkey, partkey) pair qualifies when its
+    total exceeds TWICE its 1996 shipments (the canonical
+    availqty > 0.5*sum(l_quantity) shape) and it actually shipped in
+    1996; parts are restricted to '%widget'.  Plan: widget partkeys
+    broadcast as a semi filter, ONE lineitem pass computes both sums in
+    the same combiner, the (supp, part) census is dim-bounded, and the
+    qualifying-supplier set resolves driver-side against the supplier
+    dim (reference join semantics: copyer.go has no joins; this follows
+    the house aggregate->broadcast->probe pattern)."""
+    part = _dim(sf_dir, "part", ["p_partkey", "p_name"])
+    widget = pa.table({
+        "p_partkey": pc.cast(
+            part.filter(pc.ends_with(part["p_name"], "widget"))["p_partkey"],
+            pa.int64(),
+        )
+    })
+    lo = int(np.datetime64("1996-01-01", "ms").astype(np.int64))
+    hi = int(np.datetime64("1997-01-01", "ms").astype(np.int64))
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_shipdate",
+                                    "l_quantity"])
+    li_w = broadcast_join(li, widget, "l_partkey", "p_partkey", how="semi")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = np.rint(
+            batch["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        ms = ts_to_ms(batch["l_shipdate"]).to_numpy(zero_copy_only=False)
+        in96 = ((ms >= lo) & (ms < hi)).astype(np.int64)
+        t = pa.table({
+            "l_suppkey": pc.cast(batch["l_suppkey"], pa.int64()),
+            "l_partkey": pc.cast(batch["l_partkey"], pa.int64()),
+            "qall": pa.array(q),
+            "q96": pa.array(q * in96),
+        })
+        g = t.group_by(["l_suppkey", "l_partkey"]).aggregate(
+            [("qall", "sum"), ("q96", "sum")])
+        return g.rename_columns(["l_suppkey", "l_partkey", "qall", "q96"])
+
+    per_pair = _collect(sharded_grouped_agg(
+        li_w.map_batches(partial, batch_format="pyarrow"),
+        ["l_suppkey", "l_partkey"], [("qall", "sum"), ("q96", "sum")],
+        num_shards=8,
+    ))  # bounded by supplier x part dims
+    qall = per_pair["qall"].to_numpy(zero_copy_only=False)
+    q96 = per_pair["q96"].to_numpy(zero_copy_only=False)
+    sk = per_pair["l_suppkey"].to_numpy(zero_copy_only=False)
+    winners = np.unique(sk[(q96 > 0) & (qall > 2 * q96)])
+
+    supp = _dim(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    skeys = _i64(supp["s_suppkey"])
+    order = np.argsort(skeys, kind="stable")
+    idx = order[np.searchsorted(skeys[order], winners)]
+    names = np.array(supp["s_name"].to_pylist(), dtype=object)[idx]
+    return pa.table({
+        "s_suppkey": pa.array(winners, pa.int64()),
+        "s_name": pa.array(names.tolist(), pa.string()),
+    })

@@ -168,6 +168,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         # session-10 extras (pipelines/extras.py)
         "video_pure_frames", "khop_reach", "l_diversity", "quantile_cont",
         "mode_value",
+        # session-11 wave: moment/census statistics + TPC-H Q20
+        "welch_t", "skew_kurtosis", "mean_family", "cross_corr", "tpch_q20",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):
