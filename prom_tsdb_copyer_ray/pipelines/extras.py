@@ -344,9 +344,12 @@ def q_mean_family(sf_dir: str):
         n = int(cnp.sum())
         s = int((cvp * cnp).sum())
         arith = (float(s) / float(n)) / 100.0
+        # 1/cv terms are tiny (down to ~2e-6): a micro floor would lose
+        # ~1e-6 per census cell, 0.5% over 2k cells — floor at pico
+        # (1e12) instead; both engines floor the identical double.
         hterm = cnp.astype(np.float64) / cvp.astype(np.float64)
-        hf = sum(int(x) for x in np.floor(hterm * 1000000.0))
-        harm = (float(n) / (float(hf) / 1000000.0)) / 100.0
+        hf = sum(int(x) for x in np.floor(hterm * 1000000000000.0))
+        harm = (float(n) / (float(hf) / 1000000000000.0)) / 100.0
         lf = 0
         for v, c in zip(cvp.tolist(), cnp.tolist()):
             lf += int(math.floor(math.log(float(v)) * 1000000.0)) * c

@@ -10258,7 +10258,8 @@ ORACLE_SQL.update(
                   FROM e WHERE cv > 0 GROUP BY 1, 2),
             f AS (SELECT event_type, sum(cnt) AS n, sum(cv * cnt) AS s,
                          sum(CAST(floor((CAST(cnt AS DOUBLE)
-                                         / CAST(cv AS DOUBLE)) * 1000000.0)
+                                         / CAST(cv AS DOUBLE))
+                                        * 1000000000000.0)
                                   AS HUGEINT)) AS hf,
                          sum(CAST(floor(ln(CAST(cv AS DOUBLE)) * 1000000.0)
                                   AS HUGEINT) * cnt) AS lf
@@ -10267,7 +10268,7 @@ ORACLE_SQL.update(
                    round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0,
                          6) AS arith_mean,
                    round((CAST(n AS DOUBLE)
-                          / (CAST(hf AS DOUBLE) / 1000000.0)) / 100.0,
+                          / (CAST(hf AS DOUBLE) / 1000000000000.0)) / 100.0,
                          6) AS harmonic_mean,
                    round((CAST(lf AS DOUBLE) / 1000000.0)
                          / CAST(n AS DOUBLE), 6) AS log_gmean_cents

@@ -211,3 +211,97 @@ def test_max_concurrency_carry_across_days(ray_session, tmp_path):
     # day 0: users 1,2,3 open -> 3; day 1: those 3 still open + users 4,5 -> 5
     assert got.loc[0] == 3
     assert got.loc[day] == 5
+
+
+def _rand_events(tmp_path, seed=23, n=6000):
+    rng = np.random.default_rng(seed)
+    user = rng.integers(0, 50, n)
+    ts = rng.integers(0, 40 * 24, n) * 3_600_000 + rng.integers(0, 3_600_000, n)
+    et = np.array(["click", "view", "error"])[rng.integers(0, 3, n)]
+    val = np.round(rng.gamma(2.0, 80.0, n), 2)  # skewed, positive
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts.astype(np.int64), pa.timestamp("ms")),
+        "user_id": pa.array(user.astype(np.int64)),
+        "event_type": pa.array(list(et), pa.string()),
+        "value": pa.array(val),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    return et, val
+
+
+def test_welch_t_matches_bruteforce(ray_session, tmp_path):
+    """t and df equal the textbook Welch formulas computed naively on
+    the raw cent values (the census path must not change the math)."""
+    from prom_tsdb_copyer_ray.pipelines.extras import q_welch_t
+
+    et, val = _rand_events(tmp_path)
+    got = q_welch_t(str(tmp_path)).to_pandas()
+    cv = np.rint(val * 100)
+    for _, r in got.iterrows():
+        a = cv[et == r["type_a"]]
+        b = cv[et == r["type_b"]]
+        sa, sb = a.var(ddof=1) / len(a), b.var(ddof=1) / len(b)
+        t = (a.mean() - b.mean()) / np.sqrt(sa + sb)
+        df = (sa + sb) ** 2 / (sa * sa / (len(a) - 1) + sb * sb / (len(b) - 1))
+        assert r["t_stat"] == pytest.approx(t, abs=1e-4)
+        assert r["df"] == pytest.approx(df, rel=1e-6)
+
+
+def test_skew_kurtosis_matches_bruteforce(ray_session, tmp_path):
+    """g1/g2 equal naive population moments on the raw cents (the floor
+    protocol's error is far below the assertion tolerance)."""
+    from prom_tsdb_copyer_ray.pipelines.extras import q_skew_kurtosis
+
+    et, val = _rand_events(tmp_path)
+    got = q_skew_kurtosis(str(tmp_path)).to_pandas()
+    cv = np.rint(val * 100)
+    for _, r in got.iterrows():
+        x = cv[et == r["event_type"]]
+        d = x - x.mean()
+        m2, m3, m4 = (d ** 2).mean(), (d ** 3).mean(), (d ** 4).mean()
+        assert r["n"] == len(x)
+        assert r["skewness"] == pytest.approx(m3 / m2 ** 1.5, abs=1e-4)
+        assert r["ex_kurtosis"] == pytest.approx(m4 / m2 ** 2 - 3.0, abs=1e-4)
+
+
+def test_mean_family_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.extras import q_mean_family
+
+    et, val = _rand_events(tmp_path)
+    got = q_mean_family(str(tmp_path)).to_pandas()
+    cv = np.rint(val * 100)
+    for _, r in got.iterrows():
+        x = cv[(et == r["event_type"]) & (cv > 0)]
+        assert r["n_pos"] == len(x)
+        assert r["arith_mean"] == pytest.approx(x.mean() / 100.0, abs=1e-5)
+        assert r["harmonic_mean"] == pytest.approx(
+            len(x) / (1.0 / x).sum() / 100.0, rel=1e-5)
+        assert r["log_gmean_cents"] == pytest.approx(
+            np.log(x).mean(), abs=1e-5)
+
+
+def test_cross_corr_matches_bruteforce(ray_session, tmp_path):
+    """Lagged r equals np.corrcoef over the naively-built hourly sums."""
+    from prom_tsdb_copyer_ray.pipelines.extras import q_cross_corr
+
+    et, val = _rand_events(tmp_path, seed=31)
+    import pyarrow.parquet as _pq
+    t = _pq.read_table(os.path.join(str(tmp_path), "events.parquet"))
+    ts = t["ts"].cast(pa.int64()).to_numpy()
+    cv = np.rint(val * 100).astype(np.int64)
+    hr = ts // 3_600_000
+    got = q_cross_corr(str(tmp_path)).to_pandas().set_index("lag")
+    x = {}
+    y = {}
+    for h, c, e in zip(hr, cv, et):
+        d = x if e == "click" else y if e == "view" else None
+        if d is not None:
+            d[h] = d.get(h, 0) + int(c)
+    for lag in (0, 1, 2, 3):
+        xs = [v for h, v in sorted(x.items()) if h + lag in y]
+        ys = [y[h + lag] for h in sorted(x) if h + lag in y]
+        r = np.corrcoef(np.asarray(xs, float), np.asarray(ys, float))[0, 1]
+        assert got.loc[lag, "n"] == len(xs)
+        assert got.loc[lag, "r"] == pytest.approx(r, abs=1e-6)
