@@ -422,3 +422,138 @@ def q_cross_corr(sf_dir: str):
         "n": pa.array(out["n"], pa.int64()),
         "r": pa.array(out["r"], pa.float64()),
     })
+
+
+def _contingency_census(sf_dir: str):
+    """(event_type, hour-of-day) contingency census — shared by the
+    chi2-family statistics here (same combiner shape as
+    queries.q_chi2_independence): per-batch group count + one sharded
+    exchange of census rows, bounded by types x 24."""
+    from ..windows import ts_to_ms
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "hod": pa.array((tms // 3600000) % 24, pa.int64()),
+            "o": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+        g = t.group_by(["event_type", "hod"]).aggregate([("o", "sum")])
+        return g.rename_columns(["event_type", "hod", "o"])
+
+    return sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "hod"], [("o", "sum")], num_shards=4,
+    ).to_pandas()
+
+
+def q_cramers_v(sf_dir: str):
+    """Cramér's V effect size of the event_type x hour-of-day
+    association: the chi2_independence cell protocol (exact-int
+    numerator/denominator per cell, micro-floored before the associative
+    sum) followed by one mirrored sqrt(chi2 / (n * min(r-1, c-1)))."""
+    import math
+
+    census = _contingency_census(sf_dir)
+    piv = census.pivot_table(index="event_type", columns="hod", values="o",
+                             fill_value=0, aggfunc="sum")
+    o = piv.to_numpy().astype(np.int64)
+    r = o.sum(axis=1, keepdims=True)
+    c = o.sum(axis=0, keepdims=True)
+    n = int(o.sum())
+    num = (o * n - r * c).astype(np.float64) ** 2
+    den = (float(n) * (r * c).astype(np.float64))
+    cells = np.floor(num / den * 1e6).astype(np.int64)
+    chi2 = float(cells.sum()) / 1e6
+    mind = min(o.shape[0] - 1, o.shape[1] - 1)
+    v = math.sqrt(chi2 / (float(n) * float(mind)))
+    return pa.table({
+        "cramers_v": pa.array([round(v, 6)], pa.float64()),
+        "chi2": pa.array([round(chi2, 6)], pa.float64()),
+        "n": pa.array([n], pa.int64()),
+    })
+
+
+def q_mutual_information(sf_dir: str):
+    """Mutual information I(event_type; hour-of-day) in nats from the
+    contingency census.  Per occupied cell the log argument
+    (n*o)/(r*c) is a ratio of EXACT int64 products; its ln is
+    micro-floored (bm25 libm protocol) and weighted by the exact count,
+    so the cross-cell sum is an associative integer sum; one final
+    division by 1e6*n."""
+    census = _contingency_census(sf_dir)
+    piv = census.pivot_table(index="event_type", columns="hod", values="o",
+                             fill_value=0, aggfunc="sum")
+    o = piv.to_numpy().astype(np.int64)
+    r = o.sum(axis=1, keepdims=True)
+    c = o.sum(axis=0, keepdims=True)
+    n = int(o.sum())
+    mask = o > 0
+    arg = (o[mask] * n).astype(np.float64) / (np.broadcast_to(r * c, o.shape)[mask]).astype(np.float64)
+    lf = np.floor(np.log(arg) * 1e6).astype(np.int64)
+    total = sum(int(l) * int(w) for l, w in zip(lf, o[mask]))
+    mi = (float(total) / 1e6) / float(n)
+    return pa.table({
+        "mi_nats": pa.array([round(mi, 6)], pa.float64()),
+        "n": pa.array([n], pa.int64()),
+    })
+
+
+def q_jackknife_se(sf_dir: str):
+    """Leave-one-hour-out jackknife standard error of the per-type mean
+    value: each leave-out estimate (S-s_i)/(N-n_i) is ONE division of
+    exact ints, micro-floored so the across-groups mean and squared
+    deviations are associative integer sums; the final
+    sqrt(((g-1)/g) * SSQ) is one mirrored expression.  The grouped
+    moment census is the only exchange (types x 24 rows)."""
+    import math
+
+    from ..windows import ts_to_ms
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        cv = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "hod": pa.array((tms // 3600000) % 24, pa.int64()),
+            "nh": pa.array(np.ones(len(cv), np.int64)),
+            "sh": pa.array(cv),
+        })
+        g = t.group_by(["event_type", "hod"]).aggregate(
+            [("nh", "sum"), ("sh", "sum")])
+        return g.rename_columns(["event_type", "hod", "nh", "sh"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "hod"], [("nh", "sum"), ("sh", "sum")], num_shards=4,
+    ).to_pandas()
+    out = {"event_type": [], "g_groups": [], "jk_se": []}
+    for et, grp in census.groupby("event_type", sort=True):
+        nh = grp["nh"].to_numpy().astype(np.int64)
+        sh = grp["sh"].to_numpy().astype(np.int64)
+        n = int(nh.sum())
+        s = int(sh.sum())
+        g = len(nh)
+        tf = [int(math.floor(float(s - si) / float(n - ni) * 1000000.0))
+              for si, ni in zip(sh.tolist(), nh.tolist())]
+        tbar = (float(sum(tf)) / 1000000.0) / float(g)
+        ssq = 0
+        for t_i in tf:
+            d = float(t_i) / 1000000.0 - tbar
+            ssq += int(math.floor((d * d) * 1000000.0))
+        se_c = math.sqrt((float(g - 1) / float(g))
+                         * (float(ssq) / 1000000.0))
+        out["event_type"].append(et)
+        out["g_groups"].append(g)
+        out["jk_se"].append(round(se_c / 100.0, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "g_groups": pa.array(out["g_groups"], pa.int64()),
+        "jk_se": pa.array(out["jk_se"], pa.float64()),
+    })

@@ -7074,11 +7074,14 @@ from .stats2 import (  # noqa: E402
 # Session-10 extras (pipelines/extras.py): pure-video decode, k-hop BFS,
 # l-diversity, interpolated quantiles, exact mode.
 from .extras import (  # noqa: E402
+    q_cramers_v,
     q_cross_corr,
+    q_jackknife_se,
     q_khop_reach,
     q_l_diversity,
     q_mean_family,
     q_mode_value,
+    q_mutual_information,
     q_quantile_cont,
     q_skew_kurtosis,
     q_video_pure_frames,
@@ -7086,6 +7089,9 @@ from .extras import (  # noqa: E402
 )
 
 QUERIES.update({
+    "cramers_v": q_cramers_v,
+    "mutual_information": q_mutual_information,
+    "jackknife_se": q_jackknife_se,
     "welch_t": q_welch_t,
     "skew_kurtosis": q_skew_kurtosis,
     "mean_family": q_mean_family,
@@ -10313,6 +10319,91 @@ ORACLE_SQL.update(
             FROM q JOIN supplier s ON CAST(s.s_suppkey AS BIGINT) = q.sk
             WHERE q.q96 > 0 AND q.qall > 2 * q.q96
             ORDER BY 1
+        """,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "cramers_v": """
+            WITH s AS (SELECT event_type,
+                              (epoch_ms(ts) // 3600000) % 24 AS hod
+                       FROM events),
+            cs AS (SELECT event_type, hod, count(*) AS o FROM s GROUP BY 1, 2),
+            ty AS (SELECT DISTINCT event_type FROM s),
+            hh AS (SELECT DISTINCT hod FROM s),
+            grid AS (SELECT ty.event_type, hh.hod, coalesce(cs.o, 0) AS o
+                     FROM ty CROSS JOIN hh
+                     LEFT JOIN cs USING (event_type, hod)),
+            tot AS (SELECT sum(o) AS n FROM grid),
+            r AS (SELECT event_type, sum(o) AS rr FROM grid GROUP BY 1),
+            c AS (SELECT hod, sum(o) AS cc FROM grid GROUP BY 1),
+            cells AS (SELECT CAST(floor(
+                          CAST(g.o * t.n - r.rr * c.cc AS DOUBLE)
+                          * CAST(g.o * t.n - r.rr * c.cc AS DOUBLE)
+                          / (CAST(t.n AS DOUBLE)
+                             * CAST(r.rr * c.cc AS DOUBLE))
+                          * 1e6) AS BIGINT) AS m
+                      FROM grid g JOIN r USING (event_type)
+                      JOIN c USING (hod) CROSS JOIN tot t),
+            agg AS (SELECT CAST(sum(m) AS DOUBLE) / 1e6 AS chi2 FROM cells),
+            mind AS (SELECT least((SELECT count(*) - 1 FROM ty),
+                                  (SELECT count(*) - 1 FROM hh)) AS d)
+            SELECT round(sqrt(agg.chi2
+                              / (CAST((SELECT n FROM tot) AS DOUBLE)
+                                 * CAST(mind.d AS DOUBLE))), 6) AS cramers_v,
+                   round(agg.chi2, 6) AS chi2,
+                   CAST((SELECT n FROM tot) AS BIGINT) AS n
+            FROM agg, mind
+        """,
+        "mutual_information": """
+            WITH s AS (SELECT event_type,
+                              (epoch_ms(ts) // 3600000) % 24 AS hod
+                       FROM events),
+            cs AS (SELECT event_type, hod, count(*) AS o FROM s GROUP BY 1, 2),
+            tot AS (SELECT sum(o) AS n FROM cs),
+            r AS (SELECT event_type, sum(o) AS rr FROM cs GROUP BY 1),
+            c AS (SELECT hod, sum(o) AS cc FROM cs GROUP BY 1),
+            cells AS (SELECT CAST(floor(
+                          ln(CAST(g.o * t.n AS DOUBLE)
+                             / CAST(r.rr * c.cc AS DOUBLE)) * 1e6)
+                          AS BIGINT) * g.o AS m
+                      FROM cs g JOIN r USING (event_type)
+                      JOIN c USING (hod) CROSS JOIN tot t
+                      WHERE g.o > 0)
+            SELECT round((CAST(sum(m) AS DOUBLE) / 1e6)
+                         / CAST((SELECT n FROM tot) AS DOUBLE), 6) AS mi_nats,
+                   CAST((SELECT n FROM tot) AS BIGINT) AS n
+            FROM cells
+        """,
+        "jackknife_se": """
+            WITH s AS (SELECT event_type,
+                              (epoch_ms(ts) // 3600000) % 24 AS hod,
+                              CAST(value * 100 AS BIGINT) AS cv FROM events),
+            c AS (SELECT event_type, hod, count(*) AS nh, sum(cv) AS sh
+                  FROM s GROUP BY 1, 2),
+            t AS (SELECT event_type, sum(nh) AS n, sum(sh) AS ss,
+                         count(*) AS g FROM c GROUP BY 1),
+            th AS (SELECT c.event_type,
+                          CAST(floor(CAST(t.ss - c.sh AS DOUBLE)
+                                     / CAST(t.n - c.nh AS DOUBLE)
+                                     * 1000000.0) AS BIGINT) AS tf
+                   FROM c JOIN t USING (event_type)),
+            tb AS (SELECT event_type, sum(tf) AS stf FROM th GROUP BY 1),
+            d AS (SELECT th.event_type, t.g,
+                         CAST(th.tf AS DOUBLE) / 1000000.0
+                         - (CAST(tb.stf AS DOUBLE) / 1000000.0)
+                           / CAST(t.g AS DOUBLE) AS dd
+                  FROM th JOIN tb USING (event_type) JOIN t USING (event_type)),
+            f AS (SELECT event_type, any_value(g) AS g,
+                         sum(CAST(floor((dd * dd) * 1000000.0)
+                                  AS BIGINT)) AS ssq
+                  FROM d GROUP BY 1)
+            SELECT event_type, CAST(g AS BIGINT) AS g_groups,
+                   round(sqrt((CAST(g - 1 AS DOUBLE) / CAST(g AS DOUBLE))
+                              * (CAST(ssq AS DOUBLE) / 1000000.0))
+                         / 100.0, 6) AS jk_se
+            FROM f ORDER BY 1
         """,
     }
 )

@@ -305,3 +305,46 @@ def test_cross_corr_matches_bruteforce(ray_session, tmp_path):
         r = np.corrcoef(np.asarray(xs, float), np.asarray(ys, float))[0, 1]
         assert got.loc[lag, "n"] == len(xs)
         assert got.loc[lag, "r"] == pytest.approx(r, abs=1e-6)
+
+
+def test_mutual_information_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.extras import q_mutual_information
+
+    et, _ = _rand_events(tmp_path, seed=41)
+    import pyarrow.parquet as _pq
+    t = _pq.read_table(os.path.join(str(tmp_path), "events.parquet"))
+    hod = (t["ts"].cast(pa.int64()).to_numpy() // 3_600_000) % 24
+    got = q_mutual_information(str(tmp_path)).to_pandas()
+    types = sorted(set(et))
+    n = len(et)
+    mi = 0.0
+    for ty in types:
+        for h in range(24):
+            o = int(((et == ty) & (hod == h)).sum())
+            if o == 0:
+                continue
+            r = int((et == ty).sum())
+            c = int((hod == h).sum())
+            mi += (o / n) * np.log(n * o / (r * c))
+    assert got.loc[0, "n"] == n
+    assert got.loc[0, "mi_nats"] == pytest.approx(mi, abs=1e-4)
+
+
+def test_jackknife_se_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.extras import q_jackknife_se
+
+    et, val = _rand_events(tmp_path, seed=43)
+    import pyarrow.parquet as _pq
+    t = _pq.read_table(os.path.join(str(tmp_path), "events.parquet"))
+    hod = (t["ts"].cast(pa.int64()).to_numpy() // 3_600_000) % 24
+    cv = np.rint(val * 100)
+    got = q_jackknife_se(str(tmp_path)).to_pandas()
+    for _, r in got.iterrows():
+        m = et == r["event_type"]
+        x, h = cv[m], hod[m]
+        hs = sorted(set(h.tolist()))
+        thetas = np.array([x[h != hh].mean() for hh in hs])
+        g = len(hs)
+        se = np.sqrt((g - 1) / g * ((thetas - thetas.mean()) ** 2).sum())
+        assert r["g_groups"] == g
+        assert r["jk_se"] == pytest.approx(se / 100.0, abs=1e-4)
