@@ -557,3 +557,148 @@ def q_jackknife_se(sf_dir: str):
         "g_groups": pa.array(out["g_groups"], pa.int64()),
         "jk_se": pa.array(out["jk_se"], pa.float64()),
     })
+
+
+def q_kaplan_meier(sf_dir: str):
+    """Kaplan-Meier survival over user lifespans (hours between first
+    and last event); users last seen within 24 h of the corpus end are
+    right-CENSORED.  Two-phase distributed plan: per-user (min, max)
+    combiner + sharded exchange (user-bounded, materialized once — the
+    corpus max falls out of the same pass), then a (duration, censored)
+    census second exchange bounded by the hour span; the KM product is
+    taken in the log domain with the micro-floored ln((n-d)/n) protocol
+    so the cumulative sum is an associative integer sum.  Steps where
+    deaths == at_risk (log S = -inf) are excluded on both engines."""
+    import math
+
+    from ..windows import ts_to_ms
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def per_user_partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "mn": pa.array(tms, pa.int64()),
+            "mx": pa.array(tms, pa.int64()),
+        })
+        g = t.group_by(["user_id"]).aggregate([("mn", "min"), ("mx", "max")])
+        return g.rename_columns(["user_id", "mn", "mx"])
+
+    per_user = sharded_grouped_agg(
+        ds.map_batches(per_user_partial, batch_format="pyarrow"),
+        ["user_id"], [("mn", "min"), ("mx", "max")], num_shards=8,
+    ).materialize()
+    data_max = int(per_user.max("mx"))
+
+    def dur_census(batch: pa.Table) -> pa.Table:
+        mn = batch["mn"].to_numpy(zero_copy_only=False)
+        mx = batch["mx"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "dur": pa.array((mx - mn) // 3600000, pa.int64()),
+            "cens": pa.array((data_max - mx < 86400000).astype(np.int64)),
+            "cnt": pa.array(np.ones(len(mn), np.int64)),
+        })
+        g = t.group_by(["dur", "cens"]).aggregate([("cnt", "sum")])
+        return g.rename_columns(["dur", "cens", "cnt"])
+
+    census = sharded_grouped_agg(
+        per_user.map_batches(dur_census, batch_format="pyarrow"),
+        ["dur", "cens"], [("cnt", "sum")], num_shards=4,
+    ).to_pandas()
+    g = census.groupby("dur", sort=True)
+    durs = []
+    alls = []
+    deaths = []
+    for dur, grp in g:
+        durs.append(int(dur))
+        alls.append(int(grp["cnt"].sum()))
+        deaths.append(int(grp.loc[grp["cens"] == 0, "cnt"].sum()))
+    total = sum(alls)
+    out = {"duration_h": [], "at_risk": [], "deaths": [], "log_surv": []}
+    bf = 0
+    lt = 0
+    for dur, a, d in zip(durs, alls, deaths):
+        at_risk = total - bf
+        bf += a
+        if d <= 0 or at_risk <= d:
+            continue
+        lt += int(math.floor(
+            math.log(float(at_risk - d) / float(at_risk)) * 1000000.0))
+        out["duration_h"].append(dur)
+        out["at_risk"].append(at_risk)
+        out["deaths"].append(d)
+        out["log_surv"].append(round(float(lt) / 1000000.0, 6))
+    return pa.table({
+        "duration_h": pa.array(out["duration_h"], pa.int64()),
+        "at_risk": pa.array(out["at_risk"], pa.int64()),
+        "deaths": pa.array(out["deaths"], pa.int64()),
+        "log_surv": pa.array(out["log_surv"], pa.float64()),
+    })
+
+
+def _det3(m):
+    """Exact 3x3 determinant over Python ints."""
+    return (m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+            - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+            + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0]))
+
+
+def q_linreg_2f(sf_dir: str):
+    """Two-feature OLS (value ~ 1 + hour-of-day + day-of-week) solved by
+    Cramer's rule over the EXACT integer normal equations: all nine
+    moment sums come from the (hod, dow) census (168 cells), the four
+    3x3 determinants are exact Python bignums (HUGEINT in the oracle),
+    and each beta is ONE mirrored bignum->double division.  trend_slope
+    is the single-feature version; this is the multiple-regression
+    entry."""
+    from ..windows import ts_to_ms
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        cv = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        t = pa.table({
+            "h": pa.array((tms // 3600000) % 24, pa.int64()),
+            "d": pa.array(((tms // 86400000) + 4) % 7, pa.int64()),
+            "n": pa.array(np.ones(len(cv), np.int64)),
+            "sy": pa.array(cv),
+        })
+        g = t.group_by(["h", "d"]).aggregate([("n", "sum"), ("sy", "sum")])
+        return g.rename_columns(["h", "d", "n", "sy"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["h", "d"], [("n", "sum"), ("sy", "sum")], num_shards=4,
+    ).to_pandas()
+    h = census["h"].to_numpy().astype(np.int64)
+    d = census["d"].to_numpy().astype(np.int64)
+    n = census["n"].to_numpy().astype(np.int64)
+    sy = census["sy"].to_numpy().astype(np.int64)
+    s1 = int(n.sum())
+    sh = int((n * h).sum())
+    sd = int((n * d).sum())
+    shh = int((n * h * h).sum())
+    sdd = int((n * d * d).sum())
+    shd = int((n * h * d).sum())
+    sy_ = int(sy.sum())
+    shy = int((h * sy).sum())
+    sdy = int((d * sy).sum())
+    a = [[s1, sh, sd], [sh, shh, shd], [sd, shd, sdd]]
+    b = [sy_, shy, sdy]
+    det = _det3(a)
+    betas = []
+    for k in range(3):
+        ak = [row[:] for row in a]
+        for i in range(3):
+            ak[i][k] = b[i]
+        betas.append(round((float(_det3(ak)) / float(det)) / 100.0, 6))
+    return pa.table({
+        "n": pa.array([s1], pa.int64()),
+        "beta0": pa.array([betas[0]], pa.float64()),
+        "beta_hod": pa.array([betas[1]], pa.float64()),
+        "beta_dow": pa.array([betas[2]], pa.float64()),
+    })

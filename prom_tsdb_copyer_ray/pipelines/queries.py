@@ -7077,6 +7077,8 @@ from .extras import (  # noqa: E402
     q_cramers_v,
     q_cross_corr,
     q_jackknife_se,
+    q_kaplan_meier,
+    q_linreg_2f,
     q_khop_reach,
     q_l_diversity,
     q_mean_family,
@@ -7089,6 +7091,8 @@ from .extras import (  # noqa: E402
 )
 
 QUERIES.update({
+    "kaplan_meier": q_kaplan_meier,
+    "linreg_2f": q_linreg_2f,
     "cramers_v": q_cramers_v,
     "mutual_information": q_mutual_information,
     "jackknife_se": q_jackknife_se,
@@ -10404,6 +10408,77 @@ ORACLE_SQL.update(
                               * (CAST(ssq AS DOUBLE) / 1000000.0))
                          / 100.0, 6) AS jk_se
             FROM f ORDER BY 1
+        """,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "kaplan_meier": """
+            WITH u AS (SELECT user_id, min(epoch_ms(ts)) AS mn,
+                              max(epoch_ms(ts)) AS mx
+                       FROM events GROUP BY 1),
+            dm AS (SELECT max(mx) AS dmax FROM u),
+            d AS (SELECT (mx - mn) // 3600000 AS dur,
+                         CASE WHEN dm.dmax - mx < 86400000
+                              THEN 1 ELSE 0 END AS cens
+                  FROM u, dm),
+            c AS (SELECT dur, count(*) AS all_n,
+                         sum(CASE WHEN cens = 0 THEN 1 ELSE 0 END) AS deaths
+                  FROM d GROUP BY 1),
+            k AS (SELECT dur, deaths,
+                         (SELECT sum(all_n) FROM c)
+                         - (sum(all_n) OVER (ORDER BY dur) - all_n) AS at_risk
+                  FROM c),
+            s AS (SELECT dur, at_risk, deaths,
+                         CAST(floor(ln(CAST(at_risk - deaths AS DOUBLE)
+                                       / CAST(at_risk AS DOUBLE))
+                                    * 1000000.0) AS BIGINT) AS term
+                  FROM k WHERE deaths > 0 AND at_risk > deaths),
+            f AS (SELECT dur, at_risk, deaths,
+                         sum(term) OVER (ORDER BY dur) AS lt FROM s)
+            SELECT CAST(dur AS BIGINT) AS duration_h,
+                   CAST(at_risk AS BIGINT) AS at_risk,
+                   CAST(deaths AS BIGINT) AS deaths,
+                   round(CAST(lt AS DOUBLE) / 1000000.0, 6) AS log_surv
+            FROM f ORDER BY 1
+        """,
+        "linreg_2f": """
+            WITH s AS (SELECT (epoch_ms(ts) // 3600000) % 24 AS h,
+                              ((epoch_ms(ts) // 86400000) + 4) % 7 AS d,
+                              CAST(value * 100 AS BIGINT) AS cv FROM events),
+            m AS (SELECT CAST(count(*) AS HUGEINT) AS s1,
+                         CAST(sum(h) AS HUGEINT) AS sh,
+                         CAST(sum(d) AS HUGEINT) AS sd,
+                         CAST(sum(h * h) AS HUGEINT) AS shh,
+                         CAST(sum(d * d) AS HUGEINT) AS sdd,
+                         CAST(sum(h * d) AS HUGEINT) AS shd,
+                         CAST(sum(cv) AS HUGEINT) AS sy,
+                         CAST(sum(h * cv) AS HUGEINT) AS shy,
+                         CAST(sum(d * cv) AS HUGEINT) AS sdy
+                  FROM s),
+            dets AS (SELECT s1,
+                        s1 * (shh * sdd - shd * shd)
+                        - sh * (sh * sdd - shd * sd)
+                        + sd * (sh * shd - shh * sd) AS det,
+                        sy * (shh * sdd - shd * shd)
+                        - sh * (shy * sdd - shd * sdy)
+                        + sd * (shy * shd - shh * sdy) AS d0,
+                        s1 * (shy * sdd - shd * sdy)
+                        - sy * (sh * sdd - shd * sd)
+                        + sd * (sh * sdy - shy * sd) AS d1,
+                        s1 * (shh * sdy - shy * shd)
+                        - sh * (sh * sdy - shy * sd)
+                        + sy * (sh * shd - shh * sd) AS d2
+                     FROM m)
+            SELECT CAST(s1 AS BIGINT) AS n,
+                   round((CAST(d0 AS DOUBLE) / CAST(det AS DOUBLE)) / 100.0,
+                         6) AS beta0,
+                   round((CAST(d1 AS DOUBLE) / CAST(det AS DOUBLE)) / 100.0,
+                         6) AS beta_hod,
+                   round((CAST(d2 AS DOUBLE) / CAST(det AS DOUBLE)) / 100.0,
+                         6) AS beta_dow
+            FROM dets
         """,
     }
 )

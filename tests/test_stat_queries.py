@@ -348,3 +348,56 @@ def test_jackknife_se_matches_bruteforce(ray_session, tmp_path):
         se = np.sqrt((g - 1) / g * ((thetas - thetas.mean()) ** 2).sum())
         assert r["g_groups"] == g
         assert r["jk_se"] == pytest.approx(se / 100.0, abs=1e-4)
+
+
+def test_linreg_2f_matches_lstsq(ray_session, tmp_path):
+    """Cramer-rule betas equal np.linalg.lstsq on the raw design."""
+    from prom_tsdb_copyer_ray.pipelines.extras import q_linreg_2f
+
+    et, val = _rand_events(tmp_path, seed=53)
+    import pyarrow.parquet as _pq
+    t = _pq.read_table(os.path.join(str(tmp_path), "events.parquet"))
+    ts = t["ts"].cast(pa.int64()).to_numpy()
+    cv = np.rint(val * 100)
+    h = (ts // 3_600_000) % 24
+    d = ((ts // 86_400_000) + 4) % 7
+    X = np.column_stack([np.ones(len(cv)), h, d])
+    beta = np.linalg.lstsq(X, cv, rcond=None)[0] / 100.0
+    got = q_linreg_2f(str(tmp_path)).to_pandas()
+    assert got.loc[0, "n"] == len(cv)
+    assert got.loc[0, "beta0"] == pytest.approx(beta[0], abs=1e-4)
+    assert got.loc[0, "beta_hod"] == pytest.approx(beta[1], abs=1e-4)
+    assert got.loc[0, "beta_dow"] == pytest.approx(beta[2], abs=1e-4)
+
+
+def test_kaplan_meier_matches_bruteforce(ray_session, tmp_path):
+    """log S(t) equals the scalar KM product over the same lifespans."""
+    from prom_tsdb_copyer_ray.pipelines.extras import q_kaplan_meier
+
+    _rand_events(tmp_path, seed=59)
+    import pyarrow.parquet as _pq
+    t = _pq.read_table(os.path.join(str(tmp_path), "events.parquet"))
+    ts = t["ts"].cast(pa.int64()).to_numpy()
+    uid = t["user_id"].to_numpy()
+    mn, mx = {}, {}
+    for u, s in zip(uid, ts):
+        mn[u] = min(mn.get(u, s), s)
+        mx[u] = max(mx.get(u, s), s)
+    dmax = max(mx.values())
+    spans = [((mx[u] - mn[u]) // 3_600_000, dmax - mx[u] < 86_400_000)
+             for u in mn]
+    got = q_kaplan_meier(str(tmp_path)).to_pandas()
+    surv = 1.0
+    rows = iter(got.itertuples())
+    for dur in sorted({s for s, _ in spans}):
+        at_risk = sum(1 for s, _ in spans if s >= dur)
+        deaths = sum(1 for s, c in spans if s == dur and not c)
+        if deaths <= 0 or at_risk <= deaths:
+            continue
+        surv *= (at_risk - deaths) / at_risk
+        r = next(rows)
+        assert r.duration_h == dur
+        assert r.at_risk == at_risk
+        assert r.deaths == deaths
+        assert r.log_surv == pytest.approx(np.log(surv), abs=1e-3)
+    assert next(rows, None) is None
