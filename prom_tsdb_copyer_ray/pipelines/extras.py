@@ -702,3 +702,186 @@ def q_linreg_2f(sf_dir: str):
         "beta_hod": pa.array([betas[1]], pa.float64()),
         "beta_dow": pa.array([betas[2]], pa.float64()),
     })
+
+
+def q_t_closeness(sf_dir: str):
+    """t-closeness — the third of the privacy-audit trio (k_anonymity,
+    l_diversity): per quasi-identifier group (lang, n_chars//100) the
+    total-variation distance between the group's sensitive-attribute
+    (source) distribution and the global one.  FULLY exact: with the
+    common denominator n_g*n the per-source term |n_gs*n - n_s*n_g| is
+    an exact integer, absent sources contribute n_s*n_g exactly, and the
+    only float op is the final mirrored division by (2*n_g*n).  One
+    (group, source) census exchange, bounded by langs x buckets x
+    sources."""
+    docs = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nb = pc.cast(batch["n_chars"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        t = pa.table({
+            "lang": batch["lang"],
+            "sb": pa.array(nb // 100, pa.int64()),
+            "source": batch["source"],
+            "ngs": pa.array(np.ones(len(nb), np.int64)),
+        })
+        g = t.group_by(["lang", "sb", "source"]).aggregate([("ngs", "sum")])
+        return g.rename_columns(["lang", "sb", "source", "ngs"])
+
+    census = sharded_grouped_agg(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "sb", "source"], [("ngs", "sum")], num_shards=4,
+    ).to_pandas()
+    n = int(census["ngs"].sum())
+    ns = census.groupby("source")["ngs"].sum().to_dict()
+    out = {"lang": [], "size_bucket": [], "t_close": []}
+    for (lang, sb), grp in census.groupby(["lang", "sb"], sort=True):
+        ng = int(grp["ngs"].sum())
+        present = dict(zip(grp["source"], grp["ngs"]))
+        num = 0
+        for src, nsv in ns.items():
+            ngs = int(present.get(src, 0))
+            num += abs(ngs * n - int(nsv) * ng)
+        out["lang"].append(lang)
+        out["size_bucket"].append(int(sb))
+        out["t_close"].append(
+            round(float(num) / ((2.0 * float(ng)) * float(n)), 6))
+    return pa.table({
+        "lang": pa.array(out["lang"], pa.string()),
+        "size_bucket": pa.array(out["size_bucket"], pa.int64()),
+        "t_close": pa.array(out["t_close"], pa.float64()),
+    })
+
+
+def q_adamic_adar(sf_dir: str):
+    """Adamic-Adar link prediction over the dup relation graph (khop's
+    star edge set): pairs (a, b) sharing wedge centers score
+    sum_w 1/ln(deg(w)), each center term micro-floored (bm25 libm
+    protocol) so the per-pair sum is an associative integer sum.  Wedge
+    expansion is bounded by a hard degree cap (centers with deg > 64
+    are skipped — the house hot-key posture, mirrored in the oracle);
+    output is the deterministic top-20 by (score desc, a, b).  The final
+    pair census is driver-finalized at test scale; at 100 TB the last
+    step escalates to per-shard partial top-k + driver merge (exact:
+    integer scores)."""
+    import math
+
+    from ..stages.graph import group_star_edges_multi
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        nb = pc.cast(batch["n_chars"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "lang": batch["lang"],
+            "source": batch["source"],
+            "cb": pa.array(nb // 100, pa.int64()),
+        })
+
+    d = docs.map_batches(bucket, batch_format="pyarrow")
+    edges = group_star_edges_multi(d, [["lang", "cb"], ["source", "cb"]])
+
+    # distributed shape: dedup (a, b) exchange -> mirror to both
+    # directions -> per-center map_groups wedge expansion (capped) ->
+    # keyed pair-score exchange -> bounded top-20 on the driver
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "one", pa.array(np.ones(batch.num_rows, np.int64)))
+
+    ded = sharded_grouped_agg(
+        edges.map_batches(tag, batch_format="pyarrow"),
+        ["a", "b"], [("one", "min")], num_shards=8,
+    )
+
+    def mirror(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "w": pa.array(np.r_[a, b], pa.int64()),
+            "x": pa.array(np.r_[b, a], pa.int64()),
+        })
+
+    def wedge(group: pa.Table) -> pa.Table:
+        xs = np.unique(group["x"].to_numpy(zero_copy_only=False))
+        k = len(xs)
+        if k < 2 or k > 64:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        term = int(math.floor(1000000.0 / math.log(float(k))))
+        ii, jj = np.triu_indices(k, 1)
+        return pa.table({
+            "a": pa.array(xs[ii], pa.int64()),
+            "b": pa.array(xs[jj], pa.int64()),
+            "s": pa.array(np.full(len(ii), term, np.int64)),
+        })
+
+    pair_scores = sharded_grouped_agg(
+        ded.map_batches(mirror, batch_format="pyarrow")
+        .groupby("w").map_groups(wedge, batch_format="pyarrow"),
+        ["a", "b"], [("s", "sum")], num_shards=8,
+    ).to_pandas()
+    pair_scores = pair_scores.sort_values(
+        ["s", "a", "b"], ascending=[False, True, True]).head(20)
+    return pa.table({
+        "a": pa.array(pair_scores["a"].astype(np.int64)),
+        "b": pa.array(pair_scores["b"].astype(np.int64)),
+        "aa_score": pa.array(
+            [round(int(s) / 1000000.0, 6) for s in pair_scores["s"]],
+            pa.float64()),
+    })
+
+
+def q_readability(sf_dir: str):
+    """LIX-style readability profile per language over exact integer
+    text counts — words (\\S+ runs), long words (\\S{6,}) and vowel
+    groups, via vectorized Arrow RE2 kernels (pc.count_substring_regex;
+    the oracle's regexp_extract_all is the same RE2 family so the
+    non-overlapping match counts are identical).  The corpus has no
+    sentence punctuation, so the sentence unit is the document:
+    lix = words/doc + 100*longwords/words, one mirrored float
+    expression over the exact (lang) census."""
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = batch["text"]
+        t = pa.table({
+            "lang": batch["lang"],
+            "n_docs": pa.array(np.ones(batch.num_rows, np.int64)),
+            "words": pc.cast(
+                pc.count_substring_regex(txt, r"\S+"), pa.int64()),
+            "longw": pc.cast(
+                pc.count_substring_regex(txt, r"\S{6,}"), pa.int64()),
+            "vgroups": pc.cast(
+                pc.count_substring_regex(txt, r"[aeiouAEIOU]+"),
+                pa.int64()),
+        })
+        g = t.group_by(["lang"]).aggregate(
+            [("n_docs", "sum"), ("words", "sum"), ("longw", "sum"),
+             ("vgroups", "sum")])
+        return g.rename_columns(
+            ["lang", "n_docs", "words", "longw", "vgroups"])
+
+    census = sharded_grouped_agg(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["lang"],
+        [("n_docs", "sum"), ("words", "sum"), ("longw", "sum"),
+         ("vgroups", "sum")],
+        num_shards=4,
+    ).to_pandas().sort_values("lang")
+    wpd = census["words"].to_numpy().astype(np.float64) \
+        / census["n_docs"].to_numpy().astype(np.float64)
+    lwr = census["longw"].to_numpy().astype(np.float64) \
+        / census["words"].to_numpy().astype(np.float64)
+    lix = wpd + (100.0 * lwr)
+    return pa.table({
+        "lang": pa.array(census["lang"].tolist(), pa.string()),
+        "n_docs": pa.array(census["n_docs"].astype(np.int64)),
+        "words": pa.array(census["words"].astype(np.int64)),
+        "longw": pa.array(census["longw"].astype(np.int64)),
+        "vgroups": pa.array(census["vgroups"].astype(np.int64)),
+        "wpd": pa.array(np.round(wpd, 6), pa.float64()),
+        "lix": pa.array(np.round(lix, 6), pa.float64()),
+    })

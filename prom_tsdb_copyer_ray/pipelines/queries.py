@@ -7074,11 +7074,14 @@ from .stats2 import (  # noqa: E402
 # Session-10 extras (pipelines/extras.py): pure-video decode, k-hop BFS,
 # l-diversity, interpolated quantiles, exact mode.
 from .extras import (  # noqa: E402
+    q_adamic_adar,
     q_cramers_v,
     q_cross_corr,
     q_jackknife_se,
     q_kaplan_meier,
     q_linreg_2f,
+    q_readability,
+    q_t_closeness,
     q_khop_reach,
     q_l_diversity,
     q_mean_family,
@@ -7091,6 +7094,9 @@ from .extras import (  # noqa: E402
 )
 
 QUERIES.update({
+    "t_closeness": q_t_closeness,
+    "adamic_adar": q_adamic_adar,
+    "readability": q_readability,
     "kaplan_meier": q_kaplan_meier,
     "linreg_2f": q_linreg_2f,
     "cramers_v": q_cramers_v,
@@ -10479,6 +10485,87 @@ ORACLE_SQL.update(
                    round((CAST(d2 AS DOUBLE) / CAST(det AS DOUBLE)) / 100.0,
                          6) AS beta_dow
             FROM dets
+        """,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "t_closeness": """
+            WITH d AS (SELECT lang, n_chars // 100 AS sb, source
+                       FROM documents),
+            g AS (SELECT lang, sb, source, count(*) AS ngs
+                  FROM d GROUP BY 1, 2, 3),
+            gg AS (SELECT lang, sb, sum(ngs) AS ng FROM g GROUP BY 1, 2),
+            s AS (SELECT source, sum(ngs) AS ns FROM g GROUP BY 1),
+            tot AS (SELECT sum(ngs) AS n FROM g),
+            grid AS (SELECT gg.lang, gg.sb, gg.ng, s.ns, t.n,
+                            coalesce(g.ngs, 0) AS ngs
+                     FROM gg CROSS JOIN s
+                     LEFT JOIN g ON g.lang = gg.lang AND g.sb = gg.sb
+                                AND g.source = s.source
+                     CROSS JOIN tot t),
+            f AS (SELECT lang, sb, any_value(ng) AS ng, any_value(n) AS n,
+                         sum(abs(ngs * n - ns * ng)) AS num
+                  FROM grid GROUP BY 1, 2)
+            SELECT lang, CAST(sb AS BIGINT) AS size_bucket,
+                   round(CAST(num AS DOUBLE)
+                         / ((2.0 * CAST(ng AS DOUBLE)) * CAST(n AS DOUBLE)),
+                         6) AS t_close
+            FROM f ORDER BY 1, 2
+        """,
+        "adamic_adar": """
+            WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                              source, n_chars // 100 AS cb
+                       FROM documents),
+            m1 AS (SELECT lang, cb, min(doc_id) AS a FROM d GROUP BY 1, 2),
+            e1 AS (SELECT m1.a, d.doc_id AS b
+                   FROM d JOIN m1 USING (lang, cb) WHERE d.doc_id != m1.a),
+            m2 AS (SELECT source, cb, min(doc_id) AS a FROM d GROUP BY 1, 2),
+            e2 AS (SELECT m2.a, d.doc_id AS b
+                   FROM d JOIN m2 USING (source, cb) WHERE d.doc_id != m2.a),
+            e AS (SELECT DISTINCT a, b
+                  FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2)),
+            dd AS (SELECT DISTINCT w, x FROM (
+                       SELECT a AS w, b AS x FROM e
+                       UNION ALL SELECT b AS w, a AS x FROM e)),
+            dg AS (SELECT w, count(*) AS k FROM dd GROUP BY 1),
+            t AS (SELECT w, CAST(floor(1000000.0
+                                       / ln(CAST(k AS DOUBLE)))
+                                 AS BIGINT) AS term
+                  FROM dg WHERE k BETWEEN 2 AND 64),
+            p AS (SELECT d1.x AS a, d2.x AS b, t.term
+                  FROM dd d1 JOIN dd d2 ON d1.w = d2.w AND d1.x < d2.x
+                  JOIN t ON t.w = d1.w),
+            sc AS (SELECT a, b, sum(term) AS s FROM p GROUP BY 1, 2)
+            SELECT a, b, round(CAST(s AS DOUBLE) / 1000000.0, 6) AS aa_score
+            FROM sc ORDER BY s DESC, a, b LIMIT 20
+        """,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "readability": r"""
+            WITH c AS (SELECT lang, count(*) AS n_docs,
+                              sum(len(regexp_extract_all(text,
+                                                         '\S+'))) AS words,
+                              sum(len(regexp_extract_all(
+                                  text, '\S{6,}'))) AS longw,
+                              sum(len(regexp_extract_all(
+                                  text, '[aeiouAEIOU]+'))) AS vgroups
+                       FROM documents GROUP BY 1)
+            SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(words AS BIGINT) AS words,
+                   CAST(longw AS BIGINT) AS longw,
+                   CAST(vgroups AS BIGINT) AS vgroups,
+                   round(CAST(words AS DOUBLE) / CAST(n_docs AS DOUBLE),
+                         6) AS wpd,
+                   round(CAST(words AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                         + (100.0 * (CAST(longw AS DOUBLE)
+                                     / CAST(words AS DOUBLE))),
+                         6) AS lix
+            FROM c ORDER BY 1
         """,
     }
 )

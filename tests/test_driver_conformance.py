@@ -171,7 +171,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         # session-11 wave: moment/census statistics + TPC-H Q20
         "welch_t", "skew_kurtosis", "mean_family", "cross_corr", "tpch_q20",
         "cramers_v", "mutual_information", "jackknife_se",
-        "kaplan_meier", "linreg_2f",
+        "kaplan_meier", "linreg_2f", "t_closeness", "adamic_adar",
+        "readability",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):
