@@ -885,3 +885,76 @@ def q_readability(sf_dir: str):
         "wpd": pa.array(np.round(wpd, 6), pa.float64()),
         "lix": pa.array(np.round(lix, 6), pa.float64()),
     })
+
+
+def q_ndcg_at_k(sf_dir: str):
+    """NDCG@10 per language — the IR-evaluation entry (bm25/rrf_fusion
+    are the rankers; this is the metric).  Deterministic setup: docs are
+    ranked within lang by (n_chars desc, doc_id asc); the graded
+    relevance is doc_id % 4.  Each DCG term grade/log2(rank+1) is
+    micro-floored (bm25 libm protocol; log2 via ln(x)/ln(2.0), mirrored)
+    so DCG and ideal-DCG are associative integer sums; ndcg is ONE final
+    division.  Top-10 extraction is a per-batch k-truncation combiner +
+    one bounded exchange (langs x 10 rows to the driver)."""
+    import math
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    k = 10
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # per-batch combiner: keep each lang's local top-k candidates
+        ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        nc = pc.cast(batch["n_chars"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        keep = np.zeros(len(ids), bool)
+        for lg in np.unique(langs):
+            m = np.flatnonzero(langs == lg)
+            order = np.lexsort((ids[m], -nc[m]))[:k]
+            keep[m[order]] = True
+        return pa.table({
+            "lang": pa.array(langs[keep].tolist(), pa.string()),
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "n_chars": pa.array(nc[keep], pa.int64()),
+        })
+
+    cand = _collect_small(
+        docs.map_batches(partial, batch_format="pyarrow"))
+    ln2 = math.log(2.0)
+    out = {"lang": [], "dcg_f": [], "idcg_f": []}
+    df = cand.to_pandas()
+    for lg, grp in df.groupby("lang", sort=True):
+        ids = grp["doc_id"].to_numpy().astype(np.int64)
+        nc = grp["n_chars"].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, -nc))[:k]
+        grades = (ids[order] % 4).astype(np.int64)
+        dcg = 0
+        for r, g in enumerate(grades.tolist(), start=1):
+            dcg += int(math.floor(
+                (float(g) / (math.log(float(r + 1)) / ln2)) * 1000000.0))
+        ideal = np.sort(grades)[::-1]
+        idcg = 0
+        for r, g in enumerate(ideal.tolist(), start=1):
+            idcg += int(math.floor(
+                (float(g) / (math.log(float(r + 1)) / ln2)) * 1000000.0))
+        out["lang"].append(lg)
+        out["dcg_f"].append(dcg)
+        out["idcg_f"].append(idcg)
+    return pa.table({
+        "lang": pa.array(out["lang"], pa.string()),
+        "dcg": pa.array([round(d / 1000000.0, 6) for d in out["dcg_f"]],
+                        pa.float64()),
+        "ndcg": pa.array(
+            [round(float(d) / float(i), 6)
+             for d, i in zip(out["dcg_f"], out["idcg_f"])],
+            pa.float64()),
+    })
+
+
+def _collect_small(ds) -> pa.Table:
+    """Materialize a bounded Dataset result as one Arrow table."""
+    import pyarrow as _pa
+
+    tabs = [b for b in ds.iter_batches(batch_format="pyarrow")]
+    return _pa.concat_tables(tabs) if tabs else _pa.table({})

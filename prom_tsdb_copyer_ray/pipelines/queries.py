@@ -7080,6 +7080,7 @@ from .extras import (  # noqa: E402
     q_jackknife_se,
     q_kaplan_meier,
     q_linreg_2f,
+    q_ndcg_at_k,
     q_readability,
     q_t_closeness,
     q_khop_reach,
@@ -7097,6 +7098,7 @@ QUERIES.update({
     "t_closeness": q_t_closeness,
     "adamic_adar": q_adamic_adar,
     "readability": q_readability,
+    "ndcg_at_k": q_ndcg_at_k,
     "kaplan_meier": q_kaplan_meier,
     "linreg_2f": q_linreg_2f,
     "cramers_v": q_cramers_v,
@@ -10566,6 +10568,39 @@ ORACLE_SQL.update(
                                      / CAST(words AS DOUBLE))),
                          6) AS lix
             FROM c ORDER BY 1
+        """,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "ndcg_at_k": """
+            WITH r AS (SELECT lang, CAST(doc_id AS BIGINT) % 4 AS g,
+                              row_number() OVER (PARTITION BY lang
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rk
+                       FROM documents),
+            t AS (SELECT lang, g, rk FROM r WHERE rk <= 10),
+            d AS (SELECT lang,
+                         sum(CAST(floor((CAST(g AS DOUBLE)
+                                         / (ln(CAST(rk + 1 AS DOUBLE))
+                                            / ln(2.0))) * 1000000.0)
+                                  AS BIGINT)) AS dcg_f
+                  FROM t GROUP BY 1),
+            i AS (SELECT lang, g,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY g DESC) AS irk
+                  FROM t),
+            ii AS (SELECT lang,
+                          sum(CAST(floor((CAST(g AS DOUBLE)
+                                          / (ln(CAST(irk + 1 AS DOUBLE))
+                                             / ln(2.0))) * 1000000.0)
+                                   AS BIGINT)) AS idcg_f
+                   FROM i GROUP BY 1)
+            SELECT d.lang,
+                   round(CAST(d.dcg_f AS DOUBLE) / 1000000.0, 6) AS dcg,
+                   round(CAST(d.dcg_f AS DOUBLE)
+                         / CAST(ii.idcg_f AS DOUBLE), 6) AS ndcg
+            FROM d JOIN ii USING (lang) ORDER BY 1
         """,
     }
 )
