@@ -958,3 +958,60 @@ def _collect_small(ds) -> pa.Table:
 
     tabs = [b for b in ds.iter_batches(batch_format="pyarrow")]
     return _pa.concat_tables(tabs) if tabs else _pa.table({})
+
+
+def q_sax_words(sf_dir: str):
+    """SAX-style symbolic time-series words: each (event_type, day) is
+    PAA-compressed into four 6-hour segment means and each segment is
+    quantized into letters a-d against 0.5x/1x/1.5x the type's global
+    mean — every comparison is an EXACT integer cross-multiplication
+    (seg_s/seg_n > k*S/N <=> c*seg_s*N > d*S*seg_n), so the whole query
+    has NO float ops at all.  One (type, day, segment) census exchange
+    (bounded by types x days x 4); output is the (type, word) frequency
+    census over complete days."""
+    from ..windows import ts_to_ms
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        cv = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "day": pa.array(tms // 86400000, pa.int64()),
+            "seg": pa.array(((tms // 3600000) % 24) // 6, pa.int64()),
+            "n": pa.array(np.ones(len(cv), np.int64)),
+            "ss": pa.array(cv),
+        })
+        g = t.group_by(["event_type", "day", "seg"]).aggregate(
+            [("n", "sum"), ("ss", "sum")])
+        return g.rename_columns(["event_type", "day", "seg", "n", "ss"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "day", "seg"], [("n", "sum"), ("ss", "sum")],
+        num_shards=4,
+    ).to_pandas()
+    gl = census.groupby("event_type").agg(nn=("n", "sum"), tot=("ss", "sum"))
+    words = {}
+    for (et, day), grp in census.groupby(["event_type", "day"], sort=True):
+        if len(grp) != 4:
+            continue
+        nn = int(gl.loc[et, "nn"])
+        tot = int(gl.loc[et, "tot"])
+        letters = []
+        for _, r in grp.sort_values("seg").iterrows():
+            ss, n = int(r["ss"]), int(r["n"])
+            idx = ((2 * ss * nn > tot * n) + (ss * nn > tot * n)
+                   + (2 * ss * nn > 3 * tot * n))
+            letters.append(chr(97 + idx))
+        w = "".join(letters)
+        words[(et, w)] = words.get((et, w), 0) + 1
+    keys = sorted(words)
+    return pa.table({
+        "event_type": pa.array([k[0] for k in keys], pa.string()),
+        "word": pa.array([k[1] for k in keys], pa.string()),
+        "n_days": pa.array([words[k] for k in keys], pa.int64()),
+    })

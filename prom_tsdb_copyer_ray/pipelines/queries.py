@@ -7082,6 +7082,7 @@ from .extras import (  # noqa: E402
     q_linreg_2f,
     q_ndcg_at_k,
     q_readability,
+    q_sax_words,
     q_t_closeness,
     q_khop_reach,
     q_l_diversity,
@@ -7099,6 +7100,7 @@ QUERIES.update({
     "adamic_adar": q_adamic_adar,
     "readability": q_readability,
     "ndcg_at_k": q_ndcg_at_k,
+    "sax_words": q_sax_words,
     "kaplan_meier": q_kaplan_meier,
     "linreg_2f": q_linreg_2f,
     "cramers_v": q_cramers_v,
@@ -10601,6 +10603,39 @@ ORACLE_SQL.update(
                    round(CAST(d.dcg_f AS DOUBLE)
                          / CAST(ii.idcg_f AS DOUBLE), 6) AS ndcg
             FROM d JOIN ii USING (lang) ORDER BY 1
+        """,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "sax_words": """
+            WITH s AS (SELECT event_type,
+                              epoch_ms(ts) // 86400000 AS day,
+                              ((epoch_ms(ts) // 3600000) % 24) // 6 AS seg,
+                              CAST(value * 100 AS BIGINT) AS cv FROM events),
+            c AS (SELECT event_type, day, seg, count(*) AS n,
+                         sum(cv) AS ss FROM s GROUP BY 1, 2, 3),
+            g AS (SELECT event_type, sum(n) AS nn, sum(ss) AS tot
+                  FROM c GROUP BY 1),
+            l AS (SELECT c.event_type, c.day, c.seg,
+                         chr(97
+                             + CASE WHEN 2 * CAST(c.ss AS HUGEINT) * g.nn
+                                         > CAST(g.tot AS HUGEINT) * c.n
+                                    THEN 1 ELSE 0 END
+                             + CASE WHEN CAST(c.ss AS HUGEINT) * g.nn
+                                         > CAST(g.tot AS HUGEINT) * c.n
+                                    THEN 1 ELSE 0 END
+                             + CASE WHEN 2 * CAST(c.ss AS HUGEINT) * g.nn
+                                         > 3 * CAST(g.tot AS HUGEINT) * c.n
+                                    THEN 1 ELSE 0 END) AS letter
+                  FROM c JOIN g USING (event_type)),
+            w AS (SELECT event_type, day,
+                         string_agg(letter, '' ORDER BY seg) AS word,
+                         count(*) AS nseg
+                  FROM l GROUP BY 1, 2)
+            SELECT event_type, word, CAST(count(*) AS BIGINT) AS n_days
+            FROM w WHERE nseg = 4 GROUP BY 1, 2 ORDER BY 1, 2
         """,
     }
 )
