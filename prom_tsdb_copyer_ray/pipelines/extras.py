@@ -1015,3 +1015,112 @@ def q_sax_words(sf_dir: str):
         "word": pa.array([k[1] for k in keys], pa.string()),
         "n_days": pa.array([words[k] for k in keys], pa.int64()),
     })
+
+
+def q_media_equalize(sf_dir: str):
+    """Histogram equalization through the REAL image decoder: each doc's
+    deterministic 8x8 P5 raster is netpbm-encoded, REALLY pixel-decoded
+    (stages/multimodal.decode_netpbm), per-image 256-level CDF-remapped
+    with the classic integer formula (cdf-cdf_min)*255 // (npix-cdf_min)
+    — every step is exact integer arithmetic, so the remapped pixel sums
+    are bit-identical to the oracle's arithmetic raster expansion.  One
+    map_batches pass, one output row per image, no shuffle."""
+    from ..stages.multimodal import decode_netpbm
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        r = np.arange(8)[:, None]
+        c = np.arange(8)[None, :]
+        payloads = []
+        for d in ids:
+            v = ((int(d) * 31 + r * 7 + c * 3) % 256).astype(np.uint8)
+            payloads.append(b"P5\n8 8\n255\n" + v.tobytes())
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    def equalize(batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        out_sum, out_min, out_max = [], [], []
+        for p in batch["payload"].to_pylist():
+            px = decode_netpbm(p).astype(np.int64).ravel()
+            npix = len(px)
+            order = np.sort(px)
+            # cdf(v) = #pixels <= v; cdf_min = cdf of the smallest value
+            vals, counts = np.unique(px, return_counts=True)
+            cdf = np.cumsum(counts)
+            cdf_min = int(cdf[0])
+            remap = ((cdf - cdf_min) * 255) // (npix - cdf_min)
+            lut = dict(zip(vals.tolist(), remap.tolist()))
+            eq = np.array([lut[int(v)] for v in px], np.int64)
+            out_sum.append(int(eq.sum()))
+            out_min.append(int(eq.min()))
+            out_max.append(int(eq.max()))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "eq_sum": pa.array(out_sum, pa.int64()),
+            "eq_min": pa.array(out_min, pa.int64()),
+            "eq_max": pa.array(out_max, pa.int64()),
+        })
+
+    return ds.map_batches(to_media, batch_format="pyarrow") \
+        .map_batches(equalize, batch_format="pyarrow")
+
+
+def q_attribution(sf_dir: str):
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent prior non-purchase event within 1 h (else
+    'none').  Per-user grouped ordered scan (the sessionize exchange
+    shape): one groupby(user) shuffle, a vectorized
+    maximum.accumulate back-pointer inside each group, and a tiny
+    attributed-type census to the driver.  Deterministic tie order
+    (ts, event_id) on both engines."""
+    from ..windows import ts_to_ms
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "ms": pa.array(
+                ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False),
+                pa.int64()),
+            "event_type": batch["event_type"],
+        })
+
+    def scan(group: pa.Table) -> pa.Table:
+        ms = group["ms"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(group["event_type"].to_pylist(), dtype=object)
+        order = np.lexsort((eid, ms))
+        ms, et = ms[order], et[order]
+        idx = np.arange(len(ms))
+        nonp = et != "purchase"
+        arr = np.where(nonp, idx, -1)
+        prior = np.concatenate(([-1], np.maximum.accumulate(arr)[:-1]))
+        out = {}
+        for i in np.flatnonzero(et == "purchase"):
+            j = prior[i]
+            att = (str(et[j]) if j >= 0 and ms[i] - ms[j] <= 3600000
+                   else "none")
+            out[att] = out.get(att, 0) + 1
+        keys = sorted(out)
+        return pa.table({
+            "attributed": pa.array(keys, pa.string()),
+            "n_purchases": pa.array([out[k] for k in keys], pa.int64()),
+        })
+
+    partial = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("user_id").map_groups(scan, batch_format="pyarrow")
+    census = sharded_grouped_agg(
+        partial, ["attributed"], [("n_purchases", "sum")], num_shards=2,
+    ).to_pandas().sort_values("attributed")
+    return pa.table({
+        "attributed": pa.array(census["attributed"].tolist(), pa.string()),
+        "n_purchases": pa.array(
+            census["n_purchases"].astype(np.int64)),
+    })

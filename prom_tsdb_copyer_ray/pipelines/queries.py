@@ -7075,11 +7075,13 @@ from .stats2 import (  # noqa: E402
 # l-diversity, interpolated quantiles, exact mode.
 from .extras import (  # noqa: E402
     q_adamic_adar,
+    q_attribution,
     q_cramers_v,
     q_cross_corr,
     q_jackknife_se,
     q_kaplan_meier,
     q_linreg_2f,
+    q_media_equalize,
     q_ndcg_at_k,
     q_readability,
     q_sax_words,
@@ -7101,6 +7103,8 @@ QUERIES.update({
     "readability": q_readability,
     "ndcg_at_k": q_ndcg_at_k,
     "sax_words": q_sax_words,
+    "media_equalize": q_media_equalize,
+    "attribution": q_attribution,
     "kaplan_meier": q_kaplan_meier,
     "linreg_2f": q_linreg_2f,
     "cramers_v": q_cramers_v,
@@ -10636,6 +10640,60 @@ ORACLE_SQL.update(
                   FROM l GROUP BY 1, 2)
             SELECT event_type, word, CAST(count(*) AS BIGINT) AS n_days
             FROM w WHERE nseg = 4 GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "media_equalize": """
+            WITH px AS (SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                               (CAST(d.doc_id AS BIGINT) * 31
+                                + t1.r * 7 + t2.c * 3) % 256 AS v
+                        FROM documents d,
+                             (SELECT unnest(generate_series(0, 7)) AS r) t1,
+                             (SELECT unnest(generate_series(0, 7)) AS c) t2),
+            c AS (SELECT doc_id, v, count(*) AS cnt FROM px GROUP BY 1, 2),
+            k AS (SELECT doc_id, v, cnt,
+                         sum(cnt) OVER (PARTITION BY doc_id
+                                        ORDER BY v) AS cdf,
+                         min(v) OVER (PARTITION BY doc_id) AS vmin
+                  FROM c),
+            m AS (SELECT doc_id,
+                         max(CASE WHEN v = vmin THEN cdf END) AS cdf_min
+                  FROM k GROUP BY 1),
+            e AS (SELECT k.doc_id, k.cnt,
+                         ((k.cdf - m.cdf_min) * 255)
+                         // (64 - m.cdf_min) AS nv
+                  FROM k JOIN m USING (doc_id))
+            SELECT doc_id, CAST(sum(nv * cnt) AS BIGINT) AS eq_sum,
+                   CAST(min(nv) AS BIGINT) AS eq_min,
+                   CAST(max(nv) AS BIGINT) AS eq_max
+            FROM e GROUP BY 1
+        """,
+        "attribution": """
+            WITH o AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+                              event_type FROM events),
+            w AS (SELECT event_type, ms,
+                         last_value(CASE WHEN event_type != 'purchase'
+                                         THEN event_type END IGNORE NULLS)
+                             OVER (PARTITION BY user_id
+                                   ORDER BY ms, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS prev_type,
+                         last_value(CASE WHEN event_type != 'purchase'
+                                         THEN ms END IGNORE NULLS)
+                             OVER (PARTITION BY user_id
+                                   ORDER BY ms, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS prev_ms
+                  FROM o),
+            p AS (SELECT CASE WHEN prev_type IS NOT NULL
+                               AND ms - prev_ms <= 3600000
+                              THEN prev_type ELSE 'none' END AS attributed
+                  FROM w WHERE event_type = 'purchase')
+            SELECT attributed, CAST(count(*) AS BIGINT) AS n_purchases
+            FROM p GROUP BY 1 ORDER BY 1
         """,
     }
 )

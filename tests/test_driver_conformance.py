@@ -172,7 +172,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         "welch_t", "skew_kurtosis", "mean_family", "cross_corr", "tpch_q20",
         "cramers_v", "mutual_information", "jackknife_se",
         "kaplan_meier", "linreg_2f", "t_closeness", "adamic_adar",
-        "readability", "ndcg_at_k", "sax_words",
+        "readability", "ndcg_at_k", "sax_words", "media_equalize",
+        "attribution",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):
