@@ -1124,3 +1124,49 @@ def q_attribution(sf_dir: str):
         "n_purchases": pa.array(
             census["n_purchases"].astype(np.int64)),
     })
+
+
+def q_fano_factor(sf_dir: str):
+    """Point-process burstiness: the Fano factor (variance/mean) of the
+    per-hour event count for each type, over the corpus-wide hour grid
+    (absent hours count 0 — they enter through the exact closed form,
+    never materialized).  With H hours, S1 = sum of counts and S2 = sum
+    of squared counts, F = (H*S2 - S1^2) / (H*S1) — exact integers to
+    ONE mirrored division.  One (type, hour) census exchange."""
+    from ..windows import ts_to_ms
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "hr": pa.array(tms // 3600000, pa.int64()),
+            "c": pa.array(np.ones(len(tms), np.int64)),
+        })
+        g = t.group_by(["event_type", "hr"]).aggregate([("c", "sum")])
+        return g.rename_columns(["event_type", "hr", "c"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "hr"], [("c", "sum")], num_shards=4,
+    ).to_pandas()
+    h_lo = int(census["hr"].min())
+    h_hi = int(census["hr"].max())
+    hours = h_hi - h_lo + 1
+    out = {"event_type": [], "n_hours": [], "n_events": [], "fano": []}
+    for et, grp in census.groupby("event_type", sort=True):
+        c = grp["c"].to_numpy().astype(np.int64)
+        s1 = int(c.sum())
+        s2 = int((c * c).sum())
+        fano = float(hours * s2 - s1 * s1) / float(hours * s1)
+        out["event_type"].append(et)
+        out["n_hours"].append(hours)
+        out["n_events"].append(s1)
+        out["fano"].append(round(fano, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n_hours": pa.array(out["n_hours"], pa.int64()),
+        "n_events": pa.array(out["n_events"], pa.int64()),
+        "fano": pa.array(out["fano"], pa.float64()),
+    })

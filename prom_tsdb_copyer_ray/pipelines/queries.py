@@ -7078,6 +7078,7 @@ from .extras import (  # noqa: E402
     q_attribution,
     q_cramers_v,
     q_cross_corr,
+    q_fano_factor,
     q_jackknife_se,
     q_kaplan_meier,
     q_linreg_2f,
@@ -7105,6 +7106,7 @@ QUERIES.update({
     "sax_words": q_sax_words,
     "media_equalize": q_media_equalize,
     "attribution": q_attribution,
+    "fano_factor": q_fano_factor,
     "kaplan_meier": q_kaplan_meier,
     "linreg_2f": q_linreg_2f,
     "cramers_v": q_cramers_v,
@@ -10694,6 +10696,24 @@ ORACLE_SQL.update(
                   FROM w WHERE event_type = 'purchase')
             SELECT attributed, CAST(count(*) AS BIGINT) AS n_purchases
             FROM p GROUP BY 1 ORDER BY 1
+        """,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "fano_factor": """
+            WITH s AS (SELECT event_type,
+                              epoch_ms(ts) // 3600000 AS hr FROM events),
+            c AS (SELECT event_type, hr, count(*) AS c FROM s GROUP BY 1, 2),
+            g AS (SELECT max(hr) - min(hr) + 1 AS hours FROM c),
+            f AS (SELECT event_type, sum(c) AS s1, sum(c * c) AS s2
+                  FROM c GROUP BY 1)
+            SELECT f.event_type, CAST(g.hours AS BIGINT) AS n_hours,
+                   CAST(f.s1 AS BIGINT) AS n_events,
+                   round(CAST(g.hours * f.s2 - f.s1 * f.s1 AS DOUBLE)
+                         / CAST(g.hours * f.s1 AS DOUBLE), 6) AS fano
+            FROM f, g ORDER BY 1
         """,
     }
 )

@@ -173,7 +173,7 @@ def test_mirror_covers_every_oracle(entry_mod):
         "cramers_v", "mutual_information", "jackknife_se",
         "kaplan_meier", "linreg_2f", "t_closeness", "adamic_adar",
         "readability", "ndcg_at_k", "sax_words", "media_equalize",
-        "attribution",
+        "attribution", "fano_factor",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):
