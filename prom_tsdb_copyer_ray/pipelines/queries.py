@@ -10717,3 +10717,110 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Session-12 statistics (pipelines/stats3.py): trend / randomness /
+# stability tests over the dense per-type hourly count grid.
+from .stats3 import (  # noqa: E402
+    q_allan_variance,
+    q_mann_kendall,
+    q_turning_points,
+)
+
+QUERIES.update({
+    "mann_kendall": q_mann_kendall,
+    "turning_points": q_turning_points,
+    "allan_variance": q_allan_variance,
+})
+
+# Shared dense-grid CTE prefix for the session-12 oracles: the census,
+# the corpus hour grid, and the zero-filled per-type series.
+_DENSE_GRID_CTE = """
+            WITH cs AS (SELECT event_type, epoch_ms(ts) // 3600000 AS hr,
+                               count(*) AS c
+                        FROM events GROUP BY 1, 2),
+            bounds AS (SELECT min(hr) AS lo, max(hr) AS hi FROM cs),
+            hours AS (SELECT unnest(generate_series(lo, hi)) AS hr
+                      FROM bounds),
+            types AS (SELECT DISTINCT event_type FROM events),
+            d AS (SELECT t.event_type, h.hr, COALESCE(cs.c, 0) AS c
+                  FROM types t CROSS JOIN hours h
+                  LEFT JOIN cs ON cs.event_type = t.event_type
+                              AND cs.hr = h.hr),
+            hh AS (SELECT count(*) AS hh FROM hours)
+"""
+
+ORACLE_SQL.update(
+    {
+        "mann_kendall": _DENSE_GRID_CTE + """
+            , s AS (SELECT a.event_type,
+                           CAST(sum(CASE WHEN b.c > a.c THEN 1
+                                         WHEN b.c < a.c THEN -1
+                                         ELSE 0 END) AS BIGINT) AS s_stat
+                    FROM d a JOIN d b ON b.event_type = a.event_type
+                                     AND b.hr > a.hr
+                    GROUP BY 1),
+            ties AS (SELECT event_type,
+                            CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                                AS tie_sum
+                     FROM (SELECT event_type, c, count(*) AS t
+                           FROM d GROUP BY 1, 2)
+                     GROUP BY 1),
+            v AS (SELECT s.event_type, s.s_stat,
+                         CAST(hh.hh * (hh.hh - 1) * (2 * hh.hh + 5)
+                              - ties.tie_sum AS BIGINT) AS var_num
+                  FROM s JOIN ties USING (event_type) CROSS JOIN hh)
+            SELECT event_type, s_stat, var_num,
+                   round(CASE WHEN s_stat > 0 THEN
+                                (CAST(s_stat AS DOUBLE) - 1.0)
+                                / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+                              WHEN s_stat < 0 THEN
+                                (CAST(s_stat AS DOUBLE) + 1.0)
+                                / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+                              ELSE 0.0 END, 6) AS z
+            FROM v ORDER BY 1
+        """,
+        "turning_points": _DENSE_GRID_CTE + """
+            , w AS (SELECT event_type, c,
+                           lag(c) OVER win AS c0, lead(c) OVER win AS c2
+                    FROM d
+                    WINDOW win AS (PARTITION BY event_type ORDER BY hr)),
+            tp AS (SELECT event_type,
+                          CAST(sum(CASE WHEN (c0 < c AND c > c2)
+                                          OR (c0 > c AND c < c2)
+                                        THEN 1 ELSE 0 END) AS BIGINT)
+                              AS t_points
+                   FROM w WHERE c0 IS NOT NULL AND c2 IS NOT NULL
+                   GROUP BY 1)
+            SELECT event_type, t_points, CAST(hh.hh AS BIGINT) AS n_hours,
+                   round((CAST(t_points AS DOUBLE)
+                          - 2.0 * CAST(hh.hh - 2 AS DOUBLE) / 3.0)
+                         / sqrt((16.0 * CAST(hh.hh AS DOUBLE) - 29.0)
+                                / 90.0), 6) AS z
+            FROM tp CROSS JOIN hh ORDER BY 1
+        """,
+        "allan_variance": _DENSE_GRID_CTE + """
+            , taus AS (SELECT unnest([1, 2, 4]) AS tau),
+            wins AS (SELECT d.event_type, t.tau,
+                            (d.hr - b.lo) // t.tau AS w,
+                            sum(d.c) AS wsum
+                     FROM d CROSS JOIN taus t CROSS JOIN bounds b
+                          CROSS JOIN hh
+                     WHERE (d.hr - b.lo) // t.tau < hh.hh // t.tau
+                     GROUP BY 1, 2, 3),
+            difs AS (SELECT event_type, tau,
+                            wsum - lag(wsum) OVER
+                                (PARTITION BY event_type, tau ORDER BY w)
+                                AS dw
+                     FROM wins),
+            agg AS (SELECT event_type, tau,
+                           CAST(count(*) + 1 AS BIGINT) AS m_windows,
+                           CAST(sum(dw * dw) AS BIGINT) AS ssd
+                    FROM difs WHERE dw IS NOT NULL GROUP BY 1, 2)
+            SELECT event_type, CAST(tau AS BIGINT) AS tau, m_windows,
+                   round(CAST(ssd AS DOUBLE)
+                         / CAST(2 * (m_windows - 1) * tau * tau
+                                AS DOUBLE), 6) AS avar
+            FROM agg ORDER BY 1, 2
+        """,
+    }
+)

@@ -174,6 +174,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         "kaplan_meier", "linreg_2f", "t_closeness", "adamic_adar",
         "readability", "ndcg_at_k", "sax_words", "media_equalize",
         "attribution", "fano_factor",
+        # session-12 statistics wave (pipelines/stats3.py)
+        "mann_kendall", "turning_points", "allan_variance",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):
