@@ -10824,3 +10824,110 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Session-12 wave 2 (pipelines/stats3.py): spectral / ordinal / portmanteau.
+from .stats3 import (  # noqa: E402
+    q_diurnal_amplitude,
+    q_ljung_box,
+    q_permutation_entropy,
+)
+
+QUERIES.update({
+    "diurnal_amplitude": q_diurnal_amplitude,
+    "permutation_entropy": q_permutation_entropy,
+    "ljung_box": q_ljung_box,
+})
+
+ORACLE_SQL.update(
+    {
+        "diurnal_amplitude": """
+            WITH trig(d, fc, fs) AS (VALUES
+                (0, 1000000, 0), (1, 965925, 258819), (2, 866025, 499999),
+                (3, 707106, 707106), (4, 500000, 866025),
+                (5, 258819, 965925), (6, 0, 1000000), (7, -258820, 965925),
+                (8, -500000, 866025), (9, -707107, 707106),
+                (10, -866026, 499999), (11, -965926, 258819),
+                (12, -1000000, 0), (13, -965926, -258820),
+                (14, -866026, -500000), (15, -707107, -707107),
+                (16, -500001, -866026), (17, -258820, -965926),
+                (18, -1, -1000000), (19, 258819, -965926),
+                (20, 500000, -866026), (21, 707106, -707107),
+                (22, 866025, -500001), (23, 965925, -258820)),
+            s AS (SELECT event_type,
+                         (epoch_ms(ts) // 3600000) % 24 AS d FROM events),
+            cs AS (SELECT event_type, d, count(*) AS t FROM s GROUP BY 1, 2),
+            ab AS (SELECT cs.event_type,
+                          CAST(sum(cs.t * trig.fc) AS BIGINT) AS a,
+                          CAST(sum(cs.t * trig.fs) AS BIGINT) AS b,
+                          CAST(sum(cs.t) AS BIGINT) AS s1
+                   FROM cs JOIN trig USING (d) GROUP BY 1)
+            SELECT event_type, s1 AS n, a AS a_cos, b AS b_sin,
+                   round(sqrt(CAST(CAST(a AS HUGEINT) * a
+                                   + CAST(b AS HUGEINT) * b AS DOUBLE))
+                         / (1e6 * CAST(s1 AS DOUBLE)), 6) AS amp_ratio
+            FROM ab ORDER BY 1
+        """,
+        "permutation_entropy": _DENSE_GRID_CTE + """
+            , w AS (SELECT event_type, c AS c1,
+                           lag(c) OVER win AS c0, lead(c) OVER win AS c2
+                    FROM d
+                    WINDOW win AS (PARTITION BY event_type ORDER BY hr)),
+            p AS (SELECT event_type,
+                         4 * CAST(c0 <= c1 AS INT)
+                         + 2 * CAST(c0 <= c2 AS INT)
+                         + CAST(c1 <= c2 AS INT) AS pid
+                  FROM w WHERE c0 IS NOT NULL AND c2 IS NOT NULL),
+            cs2 AS (SELECT event_type, pid, count(*) AS np
+                    FROM p GROUP BY 1, 2),
+            nn AS (SELECT event_type, CAST(sum(np) AS BIGINT) AS n
+                   FROM cs2 GROUP BY 1),
+            terms AS (SELECT cs2.event_type,
+                             CAST(floor(ln(CAST(cs2.np AS DOUBLE)
+                                           / CAST(nn.n AS DOUBLE)) * 1e6)
+                                  AS BIGINT) * cs2.np AS m
+                      FROM cs2 JOIN nn USING (event_type)),
+            pe AS (SELECT t.event_type, nn.n AS n_windows,
+                          round(-(CAST(sum(t.m) AS DOUBLE) / 1e6)
+                                / CAST(nn.n AS DOUBLE), 6) AS pe_nats
+                   FROM terms t JOIN nn ON nn.event_type = t.event_type
+                   GROUP BY 1, 2)
+            SELECT event_type, n_windows, pe_nats,
+                   round(pe_nats / 1.791759, 6) AS pe_norm
+            FROM pe ORDER BY 1
+        """,
+        "ljung_box": _DENSE_GRID_CTE + """
+            , lags AS (SELECT unnest([1, 2, 3, 4, 5, 6]) AS k),
+            lj AS (SELECT a.event_type, l.k,
+                          CAST(sum(a.c * b.c) AS BIGINT) AS pk,
+                          CAST(sum(a.c) AS BIGINT) AS ak,
+                          CAST(sum(b.c) AS BIGINT) AS bk
+                   FROM d a CROSS JOIN lags l
+                   JOIN d b ON b.event_type = a.event_type
+                           AND b.hr = a.hr + l.k
+                   GROUP BY 1, 2),
+            base AS (SELECT event_type, CAST(sum(c * c) AS BIGINT) AS p0,
+                            CAST(sum(c) AS BIGINT) AS s1
+                     FROM d GROUP BY 1),
+            rk AS (SELECT lj.event_type, lj.k,
+                          CAST(hh.hh * hh.hh * lj.pk
+                               - hh.hh * base.s1 * (lj.ak + lj.bk)
+                               + (hh.hh - lj.k) * base.s1 * base.s1
+                               AS DOUBLE)
+                          / CAST(hh.hh * (hh.hh * base.p0
+                                          - base.s1 * base.s1)
+                                 AS DOUBLE) AS r
+                   FROM lj JOIN base USING (event_type) CROSS JOIN hh),
+            terms AS (SELECT event_type,
+                             CAST(floor(r * r / (hh.hh - k) * 1e12)
+                                  AS BIGINT) AS term,
+                             CASE WHEN k = 1 THEN round(r, 6) END AS r1
+                      FROM rk CROSS JOIN hh)
+            SELECT t.event_type, CAST(hh.hh AS BIGINT) AS n_hours,
+                   max(t.r1) AS r1,
+                   round(CAST(hh.hh * (hh.hh + 2) AS DOUBLE)
+                         * (CAST(sum(t.term) AS DOUBLE) / 1e12), 6) AS lb_q
+            FROM terms t CROSS JOIN hh
+            GROUP BY t.event_type, hh.hh ORDER BY 1
+        """,
+    }
+)

@@ -100,3 +100,64 @@ def test_allan_variance_matches_bruteforce(ray_session, tmp_path):
         ref = sum((y[i + 1] - y[i]) ** 2 for i in range(m - 1)) / (2 * (m - 1))
         assert int(r["m_windows"]) == m
         assert r["avar"] == pytest.approx(ref, abs=5e-7)  # query rounds to 6dp
+
+
+def test_diurnal_amplitude_matches_bruteforce(ray_session, tmp_path):
+    """Amplitude ratio equals the true (un-floored) first DFT harmonic
+    of the hod profile to well under the micro-floor error bound."""
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_diurnal_amplitude
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_diurnal_amplitude(str(tmp_path)).to_pandas()
+    for _, r in got.iterrows():
+        hod = hrs[et == r["event_type"]] % 24
+        t = np.bincount(hod, minlength=24)
+        a = sum(t[d] * math.cos(2 * math.pi * d / 24) for d in range(24))
+        b = sum(t[d] * math.sin(2 * math.pi * d / 24) for d in range(24))
+        ref = math.sqrt(a * a + b * b) / t.sum()
+        assert int(r["n"]) == int(t.sum())
+        assert r["amp_ratio"] == pytest.approx(ref, abs=1e-4)
+
+
+def test_permutation_entropy_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_permutation_entropy
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_permutation_entropy(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    for _, r in got.iterrows():
+        c = dense[r["event_type"]]
+        pats = {}
+        for i in range(len(c) - 2):
+            w = [(c[i], 0), (c[i + 1], 1), (c[i + 2], 2)]
+            pat = tuple(p for _, p in sorted(w))
+            pats[pat] = pats.get(pat, 0) + 1
+        n = len(c) - 2
+        ref = -sum(v / n * math.log(v / n) for v in pats.values())
+        assert int(r["n_windows"]) == n
+        assert r["pe_nats"] == pytest.approx(ref, abs=1e-4)
+        assert r["pe_norm"] == pytest.approx(ref / math.log(6), abs=1e-4)
+
+
+def test_ljung_box_matches_bruteforce(ray_session, tmp_path):
+    """Q and r1 equal the textbook float formulas on the dense series
+    (the cross-multiplied integer path must not change the math)."""
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_ljung_box
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_ljung_box(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    for _, r in got.iterrows():
+        c = dense[r["event_type"]].astype(float)
+        h = len(c)
+        m = c.mean()
+        den = ((c - m) ** 2).sum()
+        q = 0.0
+        for k in range(1, 7):
+            rk = ((c[:-k] - m) * (c[k:] - m)).sum() / den
+            if k == 1:
+                assert r["r1"] == pytest.approx(rk, abs=1e-5)
+            q += rk * rk / (h - k)
+        q *= h * (h + 2)
+        assert int(r["n_hours"]) == h
+        assert r["lb_q"] == pytest.approx(q, rel=1e-6, abs=1e-4)
