@@ -10931,3 +10931,124 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Session-12 wave 3 (pipelines/stats3.py): vocabulary shape, divergence,
+# inequality.
+from .stats3 import (  # noqa: E402
+    q_hapax_rate,
+    q_jsd_types,
+    q_theil_index,
+    q_zipf_slope,
+)
+
+QUERIES.update({
+    "zipf_slope": q_zipf_slope,
+    "hapax_rate": q_hapax_rate,
+    "jsd_types": q_jsd_types,
+    "theil_index": q_theil_index,
+})
+
+ORACLE_SQL.update(
+    {
+        "zipf_slope": """
+            WITH tok AS (SELECT unnest(regexp_extract_all(text,
+                                       '[A-Za-z]+')) AS term
+                         FROM documents),
+            cs AS (SELECT lower(term) AS term, count(*) AS tf
+                   FROM tok GROUP BY 1),
+            top AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, term)
+                            AS rank
+                    FROM cs ORDER BY tf DESC, term LIMIT 100),
+            xy AS (SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e6)
+                               AS BIGINT) AS x,
+                          CAST(floor(ln(CAST(tf AS DOUBLE)) * 1e6)
+                               AS BIGINT) AS y
+                   FROM top),
+            s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(x * x) AS BIGINT) AS sxx,
+                         CAST(sum(x * y) AS BIGINT) AS sxy
+                  FROM xy)
+            SELECT n AS n_terms,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+                       AS zipf_slope
+            FROM s
+        """,
+        "hapax_rate": """
+            WITH tok AS (SELECT lang,
+                                unnest(regexp_extract_all(text,
+                                       '[A-Za-z]+')) AS term
+                         FROM documents),
+            cs AS (SELECT COALESCE(lang, '') AS lang, lower(term) AS term,
+                          count(*) AS n
+                   FROM tok GROUP BY 1, 2),
+            agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS vocab,
+                           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                                AS BIGINT) AS hapax,
+                           CAST(sum(n) AS BIGINT) AS tokens
+                    FROM cs GROUP BY 1)
+            SELECT lang, vocab, hapax, tokens,
+                   round(CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE), 6)
+                       AS hapax_rate,
+                   round(CAST(vocab AS DOUBLE) / CAST(tokens AS DOUBLE), 6)
+                       AS ttr
+            FROM agg ORDER BY 1
+        """,
+        "jsd_types": """
+            WITH s AS (SELECT event_type,
+                              (epoch_ms(ts) // 3600000) % 24 AS d
+                       FROM events),
+            cs AS (SELECT event_type, d, count(*) AS t FROM s GROUP BY 1, 2),
+            tot AS (SELECT event_type, CAST(sum(t) AS BIGINT) AS tt
+                    FROM cs GROUP BY 1),
+            pairs AS (SELECT a.event_type AS ta, a.tt AS na,
+                             b.event_type AS tb, b.tt AS nb
+                      FROM tot a JOIN tot b ON a.event_type < b.event_type),
+            dd AS (SELECT unnest(generate_series(0, 23)) AS d),
+            grid AS (SELECT p.ta, p.tb, p.na, p.nb,
+                            COALESCE(ca.t, 0) AS ad, COALESCE(cb.t, 0) AS bd
+                     FROM pairs p CROSS JOIN dd
+                     LEFT JOIN cs ca ON ca.event_type = p.ta
+                                    AND ca.d = dd.d
+                     LEFT JOIN cs cb ON cb.event_type = p.tb
+                                    AND cb.d = dd.d),
+            terms AS (SELECT ta, tb, na, nb,
+                             CASE WHEN ad > 0 THEN
+                               ad * CAST(floor(ln(
+                                 CAST(2 * ad * nb AS DOUBLE)
+                                 / CAST(ad * nb + bd * na AS DOUBLE))
+                                 * 1e6) AS BIGINT)
+                             ELSE 0 END AS tp,
+                             CASE WHEN bd > 0 THEN
+                               bd * CAST(floor(ln(
+                                 CAST(2 * bd * na AS DOUBLE)
+                                 / CAST(ad * nb + bd * na AS DOUBLE))
+                                 * 1e6) AS BIGINT)
+                             ELSE 0 END AS tq
+                      FROM grid)
+            SELECT ta AS type_a, tb AS type_b, na AS n_a, nb AS n_b,
+                   round(CAST(sum(tp) AS DOUBLE) / (2e6 * CAST(na AS DOUBLE))
+                         + CAST(sum(tq) AS DOUBLE)
+                           / (2e6 * CAST(nb AS DOUBLE)), 6) AS jsd_nats
+            FROM terms GROUP BY ta, tb, na, nb ORDER BY 1, 2
+        """,
+        "theil_index": """
+            WITH u AS (SELECT user_id,
+                              CAST(sum(CAST(round(value * 100) AS BIGINT))
+                                   AS BIGINT) AS x
+                       FROM events GROUP BY 1),
+            g AS (SELECT CAST(sum(x) AS BIGINT) AS s,
+                         CAST(count(*) AS BIGINT) AS n FROM u),
+            t AS (SELECT CAST(floor(ln(CAST(u.x * g.n AS DOUBLE)
+                                       / CAST(g.s AS DOUBLE)) * 1e6)
+                              AS BIGINT) * u.x AS m
+                  FROM u CROSS JOIN g)
+            SELECT (SELECT n FROM g) AS n_users,
+                   round((CAST(sum(m) AS DOUBLE) / 1e6)
+                         / CAST((SELECT s FROM g) AS DOUBLE), 6) AS theil
+            FROM t
+        """,
+    }
+)

@@ -295,3 +295,235 @@ def q_allan_variance(sf_dir: str):
         "m_windows": pa.array(out["m_windows"], pa.int64()),
         "avar": pa.array(out["avar"], pa.float64()),
     })
+
+
+def q_zipf_slope(sf_dir: str):
+    """Zipf exponent of the corpus vocabulary: OLS slope of
+    micro-floored ln(collection frequency) against micro-floored
+    ln(rank) over the top-100 terms (rank order = freq DESC, term ASC —
+    deterministic).  The term census is the term_document_frequency
+    exchange shape (stages/textstats.py:70 — per-batch vocab combiner,
+    term-hash shard, collapsed vocab only); the 100-row regression is
+    exact-integer (Python bignums) to ONE mirrored division."""
+    import re
+    from collections import Counter
+
+    from ..stages.textstats import _shard_term_sum
+    from ..functions.hashing import poly_hash_column
+
+    word_re = re.compile(r"[A-Za-z]+")
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial_cf(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            counts.update(m.lower() for m in word_re.findall(t or ""))
+        terms = list(counts.keys())
+        tbl = pa.table({
+            "term": pa.array(terms, pa.string()),
+            "df": pa.array([counts[t] for t in terms], pa.int64()),
+        })
+        shard = (poly_hash_column(tbl["term"], fold63=False)
+                 % np.uint64(64)).astype(np.int64)
+        return tbl.append_column("_tshard", pa.array(shard))
+
+    top = (
+        ds.map_batches(partial_cf, batch_format="pyarrow")
+        .groupby("_tshard")
+        .map_groups(_shard_term_sum, batch_format="pyarrow")
+        .sort(["df", "term"], descending=[True, False])
+        .limit(100)
+        .to_pandas()
+    )
+    n = len(top)
+    sx = sy = sxx = sxy = 0
+    for i, tf in enumerate(top["df"].to_numpy(), start=1):
+        x = math.floor(math.log(float(i)) * 1e6)
+        y = math.floor(math.log(float(int(tf))) * 1e6)
+        sx += x
+        sy += y
+        sxx += x * x
+        sxy += x * y
+    slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    return pa.table({
+        "n_terms": pa.array([n], pa.int64()),
+        "zipf_slope": pa.array([round(slope, 6)], pa.float64()),
+    })
+
+
+def q_hapax_rate(sf_dir: str):
+    """Per-language vocabulary shape: hapax-legomena rate (share of the
+    vocabulary occurring exactly once) and type-token ratio.  The
+    (lang, term) census is vocab-bounded; the per-lang reduction runs
+    as a second per-batch combiner over census rows (vocab never
+    reaches the driver), and the two rates are mirrored divisions of
+    exact ints."""
+    import re
+    from collections import Counter
+
+    word_re = re.compile(r"[A-Za-z]+")
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial_cf(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for lang, t in zip(batch["lang"].to_pylist(),
+                           batch["text"].to_pylist()):
+            for m in word_re.findall(t or ""):
+                counts[(lang or "", m.lower())] += 1
+        keys = list(counts.keys())
+        return pa.table({
+            "lang": pa.array([k[0] for k in keys], pa.string()),
+            "term": pa.array([k[1] for k in keys], pa.string()),
+            "n": pa.array([counts[k] for k in keys], pa.int64()),
+        })
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial_cf, batch_format="pyarrow"),
+        ["lang", "term"], [("n", "sum")], num_shards=16,
+    )
+
+    def lang_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "lang": batch["lang"],
+            "vocab": pa.array(np.ones(batch.num_rows, np.int64)),
+            "hapax": pa.array(
+                (batch["n"].to_numpy(zero_copy_only=False) == 1)
+                .astype(np.int64)),
+            "tokens": batch["n"],
+        })
+        g = t.group_by(["lang"]).aggregate(
+            [("vocab", "sum"), ("hapax", "sum"), ("tokens", "sum")])
+        return g.rename_columns(["lang", "vocab", "hapax", "tokens"])
+
+    agg = sharded_grouped_agg(
+        census.map_batches(lang_partial, batch_format="pyarrow"),
+        ["lang"], [("vocab", "sum"), ("hapax", "sum"), ("tokens", "sum")],
+        num_shards=2,
+    ).to_pandas().sort_values("lang")
+    vocab = agg["vocab"].to_numpy(np.int64)
+    hapax = agg["hapax"].to_numpy(np.int64)
+    tokens = agg["tokens"].to_numpy(np.int64)
+    return pa.table({
+        "lang": pa.array(agg["lang"].tolist(), pa.string()),
+        "vocab": pa.array(vocab),
+        "hapax": pa.array(hapax),
+        "tokens": pa.array(tokens),
+        "hapax_rate": pa.array(
+            [round(float(h) / float(v), 6) for h, v in zip(hapax, vocab)],
+            pa.float64()),
+        "ttr": pa.array(
+            [round(float(v) / float(t), 6) for v, t in zip(vocab, tokens)],
+            pa.float64()),
+    })
+
+
+def q_jsd_types(sf_dir: str):
+    """Pairwise Jensen-Shannon divergence (nats) between event types'
+    hour-of-day distributions.  Per cell the log arguments
+    2*a_d*B/(a_d*B + b_d*A) are exact-int ratios (the t_closeness
+    common-denominator trick), micro-floored and weighted by the exact
+    cell counts, so both KL halves are associative integer sums; the
+    final expression is two mirrored divisions and one add.  One
+    (type, hod) census exchange; pair expansion is over the type
+    alphabet (C(T,2) driver-side rows)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "d": pa.array((tms // 3_600_000) % 24, pa.int64()),
+            "t": pa.array(np.ones(len(tms), np.int64)),
+        })
+        g = t.group_by(["event_type", "d"]).aggregate([("t", "sum")])
+        return g.rename_columns(["event_type", "d", "t"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "d"], [("t", "sum")], num_shards=2,
+    ).to_pandas()
+    prof: dict[str, np.ndarray] = {}
+    for et, grp in census.groupby("event_type", sort=True):
+        v = np.zeros(24, np.int64)
+        v[grp["d"].to_numpy()] = grp["t"].to_numpy()
+        prof[str(et)] = v
+    types = sorted(prof)
+    out = {"type_a": [], "type_b": [], "n_a": [], "n_b": [], "jsd_nats": []}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            a, b = prof[ta], prof[tb]
+            aa, bb = int(a.sum()), int(b.sum())
+            tp = tq = 0
+            for d in range(24):
+                ad, bd = int(a[d]), int(b[d])
+                mden = ad * bb + bd * aa
+                if ad > 0:
+                    tp += ad * math.floor(
+                        math.log(float(2 * ad * bb) / float(mden)) * 1e6)
+                if bd > 0:
+                    tq += bd * math.floor(
+                        math.log(float(2 * bd * aa) / float(mden)) * 1e6)
+            jsd = (float(tp) / (2e6 * float(aa))
+                   + float(tq) / (2e6 * float(bb)))
+            out["type_a"].append(ta)
+            out["type_b"].append(tb)
+            out["n_a"].append(aa)
+            out["n_b"].append(bb)
+            out["jsd_nats"].append(round(jsd, 6))
+    return pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "n_a": pa.array(out["n_a"], pa.int64()),
+        "n_b": pa.array(out["n_b"], pa.int64()),
+        "jsd_nats": pa.array(out["jsd_nats"], pa.float64()),
+    })
+
+
+def q_theil_index(sf_dir: str):
+    """Theil T inequality index of per-user total event value:
+    T = sum_i (x_i/S) * ln(x_i * n / S) over per-user cent totals.
+    Scale shape: one user-keyed exchange builds the per-user census, a
+    tiny combiner yields (S, n) which is BROADCAST back (the
+    seasonal_residual shape), and a second shuffle-free pass computes
+    the micro-floored per-user terms as per-batch integer partials —
+    the user census never reaches the driver.  Final value is one
+    mirrored division chain."""
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cv = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table({"user_id": batch["user_id"],
+                      "x": pa.array(cv)})
+        g = t.group_by(["user_id"]).aggregate([("x", "sum")])
+        return g.rename_columns(["user_id", "x"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"], [("x", "sum")], num_shards=8,
+    )
+
+    def sn_partial(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        return pa.table({"s": pa.array([int(x.sum())], pa.int64()),
+                         "n": pa.array([batch.num_rows], pa.int64())})
+
+    sn = census.map_batches(sn_partial, batch_format="pyarrow").to_pandas()
+    s_tot, n_users = int(sn["s"].sum()), int(sn["n"].sum())
+
+    def term_partial(batch: pa.Table, s=s_tot, n=n_users) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lf = np.floor(
+            np.log((x * n).astype(np.float64) / float(s)) * 1e6
+        ).astype(np.int64)
+        total = sum(int(a) * int(b) for a, b in zip(lf, x))
+        return pa.table({"m": pa.array([total], pa.int64())})
+
+    terms = census.map_batches(term_partial, batch_format="pyarrow")
+    total = int(terms.to_pandas()["m"].sum())
+    theil = (float(total) / 1e6) / float(s_tot)
+    return pa.table({
+        "n_users": pa.array([n_users], pa.int64()),
+        "theil": pa.array([round(theil, 6)], pa.float64()),
+    })

@@ -177,6 +177,7 @@ def test_mirror_covers_every_oracle(entry_mod):
         # session-12 statistics wave (pipelines/stats3.py)
         "mann_kendall", "turning_points", "allan_variance",
         "diurnal_amplitude", "permutation_entropy", "ljung_box",
+        "zipf_slope", "hapax_rate", "jsd_types", "theil_index",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

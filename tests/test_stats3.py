@@ -161,3 +161,123 @@ def test_ljung_box_matches_bruteforce(ray_session, tmp_path):
         q *= h * (h + 2)
         assert int(r["n_hours"]) == h
         assert r["lb_q"] == pytest.approx(q, rel=1e-6, abs=1e-4)
+
+
+def _write_docs(tmp_path, seed=7, n=300):
+    rng = np.random.default_rng(seed)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa"]
+
+    def letters(i):  # letter-only id: tokenizer is [A-Za-z]+
+        s = ""
+        while True:
+            s += chr(ord("a") + i % 26)
+            i //= 26
+            if i == 0:
+                return s
+
+    texts, langs = [], []
+    for i in range(n):
+        k = int(rng.integers(5, 40))
+        # Zipf-ish: word j with weight 1/(j+1); plus a per-doc hapax
+        ws = [words[min(int(rng.zipf(1.5)) - 1, 9)] for _ in range(k)]
+        if rng.random() < 0.3:
+            ws.append("unique" + letters(i) + "x")
+        texts.append(" ".join(ws))
+        langs.append(["en", "de", "fr"][int(rng.integers(0, 3))])
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(["s"] * n, pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "documents.parquet"))
+    return texts, langs
+
+
+def test_hapax_rate_matches_bruteforce(ray_session, tmp_path):
+    from collections import Counter
+
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_hapax_rate
+
+    texts, langs = _write_docs(tmp_path)
+    got = q_hapax_rate(str(tmp_path)).to_pandas()
+    for _, r in got.iterrows():
+        cnt = Counter()
+        for t, la in zip(texts, langs):
+            if la == r["lang"]:
+                cnt.update(t.split())
+        assert int(r["vocab"]) == len(cnt)
+        assert int(r["hapax"]) == sum(1 for v in cnt.values() if v == 1)
+        assert int(r["tokens"]) == sum(cnt.values())
+        assert r["hapax_rate"] == pytest.approx(
+            sum(1 for v in cnt.values() if v == 1) / len(cnt), abs=1e-6)
+        assert r["ttr"] == pytest.approx(
+            len(cnt) / sum(cnt.values()), abs=1e-6)
+
+
+def test_zipf_slope_matches_lstsq(ray_session, tmp_path):
+    from collections import Counter
+
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_zipf_slope
+
+    texts, _ = _write_docs(tmp_path)
+    got = q_zipf_slope(str(tmp_path)).to_pandas()
+    cnt = Counter()
+    for t in texts:
+        cnt.update(t.split())
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    x = np.log(np.arange(1, len(top) + 1, dtype=float))
+    y = np.log(np.array([v for _, v in top], dtype=float))
+    slope = np.polyfit(x, y, 1)[0]
+    assert int(got["n_terms"][0]) == len(top)
+    assert got["zipf_slope"][0] == pytest.approx(slope, abs=1e-3)
+
+
+def test_jsd_types_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_jsd_types
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_jsd_types(str(tmp_path)).to_pandas()
+    assert len(got) == 3  # C(3,2) pairs
+    for _, r in got.iterrows():
+        a = np.bincount(hrs[et == r["type_a"]] % 24, minlength=24)
+        b = np.bincount(hrs[et == r["type_b"]] % 24, minlength=24)
+        p, q = a / a.sum(), b / b.sum()
+        m = (p + q) / 2
+        ref = 0.0
+        for i in range(24):
+            if p[i] > 0:
+                ref += 0.5 * p[i] * math.log(p[i] / m[i])
+            if q[i] > 0:
+                ref += 0.5 * q[i] * math.log(q[i] / m[i])
+        assert int(r["n_a"]) == a.sum() and int(r["n_b"]) == b.sum()
+        assert r["jsd_nats"] == pytest.approx(ref, abs=1e-4)
+
+
+def test_theil_index_matches_bruteforce(ray_session, tmp_path):
+    import pandas as pd
+
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_theil_index
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    user = rng.integers(0, 80, n)
+    val = np.round(rng.lognormal(3.0, 1.0, n), 2)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.full(n, 10 ** 12, np.int64), pa.timestamp("ms")),
+        "user_id": pa.array(user.astype(np.int64)),
+        "event_type": pa.array(["click"] * n, pa.string()),
+        "value": pa.array(val),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    got = q_theil_index(str(tmp_path)).to_pandas()
+    x = pd.DataFrame({"u": user, "x": np.rint(val * 100)}) \
+        .groupby("u")["x"].sum().to_numpy(float)
+    mu = x.mean()
+    ref = float(np.mean(x / mu * np.log(x / mu)))
+    assert int(got["n_users"][0]) == len(x)
+    assert got["theil"][0] == pytest.approx(ref, abs=1e-4)
