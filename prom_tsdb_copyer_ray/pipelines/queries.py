@@ -11052,3 +11052,108 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Session-12 wave 4 (pipelines/stats3.py): extreme values, self-similarity,
+# epidemiology-style 2x2.
+from .stats3 import (  # noqa: E402
+    q_gumbel_daily_max,
+    q_hurst_aggvar,
+    q_odds_ratio,
+)
+
+QUERIES.update({
+    "gumbel_daily_max": q_gumbel_daily_max,
+    "hurst_aggvar": q_hurst_aggvar,
+    "odds_ratio": q_odds_ratio,
+})
+
+ORACLE_SQL.update(
+    {
+        "gumbel_daily_max": _DENSE_GRID_CTE + """
+            , nd AS (SELECT hh // 24 AS n_days FROM hh),
+            dm AS (SELECT d.event_type, (d.hr - b.lo) // 24 AS day,
+                          max(d.c) AS mx
+                   FROM d CROSS JOIN bounds b CROSS JOIN nd
+                   WHERE (d.hr - b.lo) // 24 < nd.n_days
+                   GROUP BY 1, 2),
+            mom AS (SELECT event_type, CAST(count(*) AS BIGINT) AS dd,
+                           CAST(sum(mx) AS BIGINT) AS s1,
+                           CAST(sum(mx * mx) AS BIGINT) AS s2
+                    FROM dm GROUP BY 1),
+            fit AS (SELECT event_type, dd, s1,
+                           sqrt(CAST(dd * s2 - s1 * s1 AS DOUBLE)
+                                / CAST(dd * (dd - 1) AS DOUBLE))
+                           * 0.779696 AS beta
+                    FROM mom)
+            SELECT event_type, dd AS n_days, s1 AS max_sum,
+                   round(beta, 6) AS gumbel_beta,
+                   round(CAST(s1 AS DOUBLE) / CAST(dd AS DOUBLE)
+                         - 0.577216 * beta, 6) AS gumbel_mu
+            FROM fit ORDER BY 1
+        """,
+        "hurst_aggvar": _DENSE_GRID_CTE + """
+            , sizes(m, lnm) AS (VALUES (1, 0), (2, 693147), (4, 1386294),
+                                       (8, 2079441), (16, 2772588)),
+            wins AS (SELECT d.event_type, s.m, s.lnm,
+                            (d.hr - b.lo) // s.m AS w, sum(d.c) AS wsum
+                     FROM d CROSS JOIN sizes s CROSS JOIN bounds b
+                          CROSS JOIN hh
+                     WHERE (d.hr - b.lo) // s.m < hh.hh // s.m
+                     GROUP BY 1, 2, 3, 4),
+            v AS (SELECT event_type, m, lnm,
+                         CAST(count(*) AS BIGINT) AS mm,
+                         CAST(sum(wsum * wsum) AS BIGINT) AS sww,
+                         CAST(sum(wsum) AS BIGINT) AS sw
+                  FROM wins GROUP BY 1, 2, 3),
+            pts AS (SELECT event_type, CAST(lnm AS BIGINT) AS x,
+                           CAST(floor(ln(
+                               CAST(mm * sww - sw * sw AS DOUBLE)
+                               / CAST(mm * (mm - 1) * m * m AS DOUBLE))
+                               * 1e6) AS BIGINT) AS y
+                    FROM v),
+            ols AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(x) AS BIGINT) AS sx,
+                           CAST(sum(y) AS BIGINT) AS sy,
+                           CAST(sum(x * x) AS BIGINT) AS sxx,
+                           CAST(sum(x * y) AS BIGINT) AS sxy
+                    FROM pts GROUP BY 1),
+            sl AS (SELECT event_type,
+                          CAST(n * sxy - sx * sy AS DOUBLE)
+                          / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+                   FROM ols)
+            SELECT event_type, round(slope, 6) AS slope,
+                   round(1.0 + slope / 2.0, 6) AS hurst
+            FROM sl ORDER BY 1
+        """,
+        "odds_ratio": """
+            WITH s AS (SELECT
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p,
+                CASE WHEN ((epoch_ms(ts) // 86400000) + 3) % 7 >= 5
+                     THEN 1 ELSE 0 END AS w
+                FROM events),
+            c AS (SELECT
+                CAST(sum(CASE WHEN p = 1 AND w = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS a,
+                CAST(sum(CASE WHEN p = 1 AND w = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS b,
+                CAST(sum(CASE WHEN p = 0 AND w = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS c,
+                CAST(sum(CASE WHEN p = 0 AND w = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS d
+                FROM s),
+            f AS (SELECT a, b, c, d,
+                         CAST(floor(ln(CAST(a * d AS DOUBLE)
+                                       / CAST(b * c AS DOUBLE)) * 1e6)
+                              AS BIGINT) / 1e6 AS lor,
+                         sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d) AS se
+                  FROM c)
+            SELECT a AS n_pw, b AS n_pd, c AS n_ow, d AS n_od,
+                   round(CAST(a * d AS DOUBLE)
+                         / CAST(b * c AS DOUBLE), 6) AS odds_ratio,
+                   lor AS log_or,
+                   round(lor - 1.959964 * se, 6) AS ci_lo,
+                   round(lor + 1.959964 * se, 6) AS ci_hi
+            FROM f
+        """,
+    }
+)

@@ -527,3 +527,130 @@ def q_theil_index(sf_dir: str):
         "n_users": pa.array([n_users], pa.int64()),
         "theil": pa.array([round(theil, 6)], pa.float64()),
     })
+
+
+def q_gumbel_daily_max(sf_dir: str):
+    """Extreme-value analysis: method-of-moments Gumbel fit to the
+    per-type DAILY MAXIMA of the hourly count series (complete days
+    only).  The maxima census is exact ints (S1, S2 over D days);
+    beta = sample_std * sqrt(6)/pi and mu = mean - gamma*beta use the
+    micro-floored LITERALS 0.779696 (sqrt(6)/pi) and 0.577216
+    (Euler-Mascheroni) shared with the oracle, so both parameters are
+    single mirrored float expressions over exact integers."""
+    series, big_h = dense_hour_counts(sf_dir)
+    n_days = big_h // 24
+    out = {"event_type": [], "n_days": [], "max_sum": [],
+           "gumbel_beta": [], "gumbel_mu": []}
+    for et, c in series.items():
+        m = c[: n_days * 24].reshape(n_days, 24).max(axis=1)
+        s1 = int(m.sum())
+        s2 = int((m.astype(np.int64) ** 2).sum())
+        beta = math.sqrt(
+            float(n_days * s2 - s1 * s1) / float(n_days * (n_days - 1))
+        ) * 0.779696
+        mu = float(s1) / float(n_days) - 0.577216 * beta
+        out["event_type"].append(et)
+        out["n_days"].append(n_days)
+        out["max_sum"].append(s1)
+        out["gumbel_beta"].append(round(beta, 6))
+        out["gumbel_mu"].append(round(mu, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n_days": pa.array(out["n_days"], pa.int64()),
+        "max_sum": pa.array(out["max_sum"], pa.int64()),
+        "gumbel_beta": pa.array(out["gumbel_beta"], pa.float64()),
+        "gumbel_mu": pa.array(out["gumbel_mu"], pa.float64()),
+    })
+
+
+# Micro-floored ln(m) literals for the aggregation sizes 1,2,4,8,16 —
+# shared verbatim with the SQL oracle.
+_LN_M = {1: 0, 2: 693147, 4: 1386294, 8: 2079441, 16: 2772588}
+
+
+def q_hurst_aggvar(sf_dir: str):
+    """Hurst exponent via the aggregated-variance method on the dense
+    hourly count series: for block sizes m in {1,2,4,8,16} the variance
+    of the block MEANS is the exact-int rational
+    (M*sum(w^2) - (sum w)^2) / (M*(M-1)*m^2) (w = block SUMS), its ln is
+    micro-floored, and the 5-point OLS slope against the ln(m) LITERALS
+    is exact-integer to one division; H = 1 + slope/2.  Same window-sum
+    substrate as allan_variance — self-similarity vs short-memory in
+    one number."""
+    series, big_h = dense_hour_counts(sf_dir)
+    sizes = (1, 2, 4, 8, 16)
+    out = {"event_type": [], "hurst": [], "slope": []}
+    for et, c in series.items():
+        pts = []
+        for m in sizes:
+            big_m = big_h // m
+            w = c[: big_m * m].reshape(big_m, m).sum(axis=1).astype(np.int64)
+            sw = int(w.sum())
+            sww = int((w * w).sum())
+            num = big_m * sww - sw * sw
+            den = big_m * (big_m - 1) * m * m
+            y = math.floor(math.log(float(num) / float(den)) * 1e6)
+            pts.append((_LN_M[m], y))
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        sxy = sum(x * y for x, y in pts)
+        slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+        out["event_type"].append(et)
+        out["slope"].append(round(slope, 6))
+        out["hurst"].append(round(1.0 + slope / 2.0, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "slope": pa.array(out["slope"], pa.float64()),
+        "hurst": pa.array(out["hurst"], pa.float64()),
+    })
+
+
+def q_odds_ratio(sf_dir: str):
+    """Weekend exposure odds ratio for purchases: the 2x2 census
+    (purchase vs other) x (weekend vs weekday, dow from pure epoch-day
+    arithmetic (eday+3)%7 so both engines share the calendar) is four
+    exact integers from one combiner; OR = (a*d)/(b*c) is one mirrored
+    division, ln(OR) is micro-floored (single-libm protocol), and the
+    Wald 95% CI uses the 1.959964 literal with a fixed-order
+    1/a+1/b+1/c+1/d sum."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        dow = ((tms // 86_400_000) + 3) % 7
+        wknd = (dow >= 5).astype(np.int64)
+        purch = (np.asarray(batch["event_type"].to_numpy(
+            zero_copy_only=False)) == "purchase").astype(np.int64)
+        t = pa.table({
+            "purch": pa.array(purch),
+            "wknd": pa.array(wknd),
+            "n": pa.array(np.ones(len(tms), np.int64)),
+        })
+        g = t.group_by(["purch", "wknd"]).aggregate([("n", "sum")])
+        return g.rename_columns(["purch", "wknd", "n"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["purch", "wknd"], [("n", "sum")], num_shards=1,
+    ).to_pandas()
+    cell = {(int(r["purch"]), int(r["wknd"])): int(r["n"])
+            for _, r in census.iterrows()}
+    a = cell.get((1, 1), 0)   # purchase, weekend
+    b = cell.get((1, 0), 0)   # purchase, weekday
+    c = cell.get((0, 1), 0)   # other, weekend
+    d = cell.get((0, 0), 0)   # other, weekday
+    orr = float(a * d) / float(b * c)
+    lor = math.floor(math.log(float(a * d) / float(b * c)) * 1e6) / 1e6
+    se = math.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    return pa.table({
+        "n_pw": pa.array([a], pa.int64()),
+        "n_pd": pa.array([b], pa.int64()),
+        "n_ow": pa.array([c], pa.int64()),
+        "n_od": pa.array([d], pa.int64()),
+        "odds_ratio": pa.array([round(orr, 6)], pa.float64()),
+        "log_or": pa.array([lor], pa.float64()),
+        "ci_lo": pa.array([round(lor - 1.959964 * se, 6)], pa.float64()),
+        "ci_hi": pa.array([round(lor + 1.959964 * se, 6)], pa.float64()),
+    })

@@ -281,3 +281,75 @@ def test_theil_index_matches_bruteforce(ray_session, tmp_path):
     ref = float(np.mean(x / mu * np.log(x / mu)))
     assert int(got["n_users"][0]) == len(x)
     assert got["theil"][0] == pytest.approx(ref, abs=1e-4)
+
+
+def test_gumbel_daily_max_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_gumbel_daily_max
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_gumbel_daily_max(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    for _, r in got.iterrows():
+        c = dense[r["event_type"]]
+        nd = len(c) // 24
+        m = c[: nd * 24].reshape(nd, 24).max(axis=1).astype(float)
+        beta = m.std(ddof=1) * math.sqrt(6) / math.pi
+        mu = m.mean() - 0.5772156649 * beta
+        assert int(r["n_days"]) == nd
+        assert r["gumbel_beta"] == pytest.approx(beta, rel=1e-4)
+        assert r["gumbel_mu"] == pytest.approx(mu, rel=1e-3, abs=1e-3)
+
+
+def test_hurst_aggvar_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_hurst_aggvar
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_hurst_aggvar(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    for _, r in got.iterrows():
+        c = dense[r["event_type"]].astype(float)
+        xs, ys = [], []
+        for m in (1, 2, 4, 8, 16):
+            mm = len(c) // m
+            y = c[: mm * m].reshape(mm, m).mean(axis=1)
+            xs.append(math.log(m))
+            ys.append(math.log(y.var(ddof=1)))
+        slope = np.polyfit(xs, ys, 1)[0]
+        assert r["slope"] == pytest.approx(slope, abs=1e-3)
+        assert r["hurst"] == pytest.approx(1.0 + slope / 2.0, abs=1e-3)
+
+
+def test_odds_ratio_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_odds_ratio
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    eday = rng.integers(19723, 19753, n)  # 30 days
+    ts = eday * 86_400_000 + rng.integers(0, 86_400_000, n)
+    et = np.where(rng.random(n) < 0.2, "purchase", "view")
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts.astype(np.int64), pa.timestamp("ms")),
+        "user_id": pa.array(rng.integers(0, 50, n).astype(np.int64)),
+        "event_type": pa.array(list(et), pa.string()),
+        "value": pa.array(np.ones(n, np.float64)),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    got = q_odds_ratio(str(tmp_path)).to_pandas()
+    wknd = ((eday + 3) % 7) >= 5
+    purch = et == "purchase"
+    a = int((purch & wknd).sum())
+    b = int((purch & ~wknd).sum())
+    c = int((~purch & wknd).sum())
+    d = int((~purch & ~wknd).sum())
+    assert [int(got[k][0]) for k in ("n_pw", "n_pd", "n_ow", "n_od")] \
+        == [a, b, c, d]
+    orr = a * d / (b * c)
+    se = math.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+    assert got["odds_ratio"][0] == pytest.approx(orr, rel=1e-6)
+    assert got["log_or"][0] == pytest.approx(math.log(orr), abs=1e-5)
+    assert got["ci_lo"][0] == pytest.approx(
+        math.log(orr) - 1.959964 * se, abs=1e-4)
+    assert got["ci_hi"][0] == pytest.approx(
+        math.log(orr) + 1.959964 * se, abs=1e-4)
