@@ -11157,3 +11157,131 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Session-12 wave 5 (pipelines/stats3.py): distributional distance,
+# concordance, directional coupling.
+from .stats3 import (  # noqa: E402
+    q_bhattacharyya,
+    q_kendall_w,
+    q_transfer_entropy,
+)
+
+QUERIES.update({
+    "bhattacharyya": q_bhattacharyya,
+    "kendall_w": q_kendall_w,
+    "transfer_entropy": q_transfer_entropy,
+})
+
+ORACLE_SQL.update(
+    {
+        "bhattacharyya": """
+            WITH s AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cv
+                       FROM events),
+            cs AS (SELECT event_type, cv, count(*) AS n
+                   FROM s GROUP BY 1, 2),
+            tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tt
+                    FROM cs GROUP BY 1),
+            terms AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                             ta_t.tt AS na, tb_t.tt AS nb,
+                             CAST(floor(sqrt(
+                                 CAST(a.n * b.n AS DOUBLE)
+                                 / CAST(ta_t.tt * tb_t.tt AS DOUBLE))
+                                 * 1e12) AS BIGINT) AS term
+                      FROM cs a
+                      JOIN cs b ON b.cv = a.cv
+                              AND a.event_type < b.event_type
+                      JOIN tot ta_t ON ta_t.event_type = a.event_type
+                      JOIN tot tb_t ON tb_t.event_type = b.event_type),
+            bcs AS (SELECT ta, tb,
+                           CAST(sum(term) AS DOUBLE) / 1e12 AS bc
+                    FROM terms GROUP BY 1, 2)
+            SELECT ta AS type_a, tb AS type_b, round(bc, 6) AS bc,
+                   round(sqrt(1.0 - bc), 6) AS hellinger
+            FROM bcs ORDER BY 1, 2
+        """,
+        "kendall_w": """
+            WITH s AS (SELECT event_type,
+                              (epoch_ms(ts) // 3600000) % 24 AS d
+                       FROM events),
+            cs AS (SELECT event_type, d, count(*) AS t FROM s GROUP BY 1, 2),
+            types AS (SELECT DISTINCT event_type FROM events),
+            dd AS (SELECT unnest(generate_series(0, 23)) AS d),
+            grid AS (SELECT ty.event_type, dd.d, COALESCE(cs.t, 0) AS t
+                     FROM types ty CROSS JOIN dd
+                     LEFT JOIN cs ON cs.event_type = ty.event_type
+                                 AND cs.d = dd.d),
+            ranked AS (SELECT event_type, d, t,
+                              2 * (rank() OVER (PARTITION BY event_type
+                                                ORDER BY t) - 1)
+                              + count(*) OVER (PARTITION BY event_type, t)
+                              + 1 AS r2
+                       FROM grid),
+            rsum AS (SELECT d, CAST(sum(r2) AS BIGINT) AS r2d
+                     FROM ranked GROUP BY 1),
+            ties AS (SELECT CAST(sum(g * g * g - g) AS BIGINT) AS tie_sum
+                     FROM (SELECT event_type, t, count(*) AS g
+                           FROM grid GROUP BY 1, 2)),
+            kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM types),
+            agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(r2d) AS BIGINT) AS sr,
+                           CAST(sum(r2d * r2d) AS BIGINT) AS srr
+                    FROM rsum)
+            SELECT kk.k AS k_judges, agg.n AS n_items,
+                   round(CAST(3 * (agg.n * agg.srr - agg.sr * agg.sr)
+                              AS DOUBLE)
+                         / CAST(agg.n * (kk.k * kk.k
+                                         * (agg.n * agg.n * agg.n - agg.n)
+                                         - kk.k * ties.tie_sum)
+                                AS DOUBLE), 6) AS kendall_w
+            FROM agg CROSS JOIN kk CROSS JOIN ties
+        """,
+        "transfer_entropy": _DENSE_GRID_CTE + """
+            , tots AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS s1
+                       FROM d GROUP BY 1),
+            bits AS (SELECT d.event_type, d.hr,
+                            CASE WHEN d.c * hh.hh > t.s1
+                                 THEN 1 ELSE 0 END AS b
+                     FROM d JOIN tots t USING (event_type) CROSS JOIN hh),
+            pairs AS (SELECT a.event_type AS src, b.event_type AS dst
+                      FROM types a JOIN types b
+                        ON a.event_type <> b.event_type),
+            tri AS (SELECT p.src, p.dst, x1.b AS x1, x0.b AS x0, y0.b AS y0,
+                           count(*) AS n
+                    FROM pairs p
+                    JOIN bits x0 ON x0.event_type = p.dst
+                    JOIN bits x1 ON x1.event_type = p.dst
+                               AND x1.hr = x0.hr + 1
+                    JOIN bits y0 ON y0.event_type = p.src
+                               AND y0.hr = x0.hr
+                    GROUP BY 1, 2, 3, 4, 5),
+            m_xy AS (SELECT src, dst, x0, y0,
+                            CAST(sum(n) AS BIGINT) AS n
+                     FROM tri GROUP BY 1, 2, 3, 4),
+            m_xx AS (SELECT src, dst, x1, x0,
+                            CAST(sum(n) AS BIGINT) AS n
+                     FROM tri GROUP BY 1, 2, 3, 4),
+            m_x AS (SELECT src, dst, x0, CAST(sum(n) AS BIGINT) AS n
+                    FROM tri GROUP BY 1, 2, 3),
+            terms AS (SELECT t.src, t.dst,
+                             t.n * CAST(floor(ln(
+                                 CAST(t.n * mx.n AS DOUBLE)
+                                 / CAST(mxy.n * mxx.n AS DOUBLE)) * 1e6)
+                                 AS BIGINT) AS m
+                      FROM tri t
+                      JOIN m_xy mxy ON mxy.src = t.src AND mxy.dst = t.dst
+                                   AND mxy.x0 = t.x0 AND mxy.y0 = t.y0
+                      JOIN m_xx mxx ON mxx.src = t.src AND mxx.dst = t.dst
+                                   AND mxx.x1 = t.x1 AND mxx.x0 = t.x0
+                      JOIN m_x mx ON mx.src = t.src AND mx.dst = t.dst
+                                 AND mx.x0 = t.x0),
+            te AS (SELECT src, dst,
+                          round((CAST(sum(m) AS DOUBLE) / 1e6)
+                                / CAST(hh.hh - 1 AS DOUBLE), 6) AS te_nats
+                   FROM terms CROSS JOIN hh GROUP BY src, dst, hh.hh)
+            SELECT src AS src_type, dst AS dst_type,
+                   CAST(hh.hh - 1 AS BIGINT) AS n_trans, te_nats
+            FROM te CROSS JOIN hh ORDER BY 1, 2
+        """,
+    }
+)

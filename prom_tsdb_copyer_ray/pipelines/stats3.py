@@ -654,3 +654,159 @@ def q_odds_ratio(sf_dir: str):
         "ci_lo": pa.array([round(lor - 1.959964 * se, 6)], pa.float64()),
         "ci_hi": pa.array([round(lor + 1.959964 * se, 6)], pa.float64()),
     })
+
+
+def q_bhattacharyya(sf_dir: str):
+    """Bhattacharyya coefficient and Hellinger distance between every
+    type pair's event-value distribution, over the cent-value census
+    (bounded by the VALUE DOMAIN x types, the ks_statistic shape).
+    Each cell's sqrt(p*q) term has an exact-int ratio argument
+    (a_v*b_v)/(A*B) and is PICO-floored (1e12 — the harmonic-mean
+    protocol: many terms far below 1), so BC is an associative integer
+    sum; hellinger = sqrt(1 - BC) is the one extra mirrored op."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cv = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "cv": pa.array(cv),
+            "n": pa.array(np.ones(len(cv), np.int64)),
+        })
+        g = t.group_by(["event_type", "cv"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "cv", "n"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "cv"], [("n", "sum")], num_shards=8,
+    ).to_pandas()
+    prof = {str(et): dict(zip(grp["cv"].astype(int), grp["n"].astype(int)))
+            for et, grp in census.groupby("event_type", sort=True)}
+    types = sorted(prof)
+    out = {"type_a": [], "type_b": [], "bc": [], "hellinger": []}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            a, b = prof[ta], prof[tb]
+            aa, bb = sum(a.values()), sum(b.values())
+            total = 0
+            for v, av in a.items():
+                bv = b.get(v)
+                if bv:
+                    total += math.floor(math.sqrt(
+                        float(av * bv) / float(aa * bb)) * 1e12)
+            bc = float(total) / 1e12
+            out["type_a"].append(ta)
+            out["type_b"].append(tb)
+            out["bc"].append(round(bc, 6))
+            out["hellinger"].append(round(math.sqrt(1.0 - bc), 6))
+    return pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "bc": pa.array(out["bc"], pa.float64()),
+        "hellinger": pa.array(out["hellinger"], pa.float64()),
+    })
+
+
+def q_kendall_w(sf_dir: str):
+    """Kendall's W coefficient of concordance: do the event types agree
+    on the ranking of the 24 hours-of-day?  Judges = types, items = the
+    24 hod cells, ratings = hod counts; midranks are kept in DOUBLED
+    units (the mannwhitney_u protocol) so the tie-corrected
+    W = 3*(n*sum(R2^2) - (sum R2)^2) / (n*(k^2*(n^3-n) - k*sum T_t))
+    is exact integers to ONE mirrored division.  One (type, hod)
+    census exchange; everything after is over a k x 24 grid."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "d": pa.array((tms // 3_600_000) % 24, pa.int64()),
+            "t": pa.array(np.ones(len(tms), np.int64)),
+        })
+        g = t.group_by(["event_type", "d"]).aggregate([("t", "sum")])
+        return g.rename_columns(["event_type", "d", "t"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "d"], [("t", "sum")], num_shards=2,
+    ).to_pandas()
+    prof: dict[str, np.ndarray] = {}
+    for et, grp in census.groupby("event_type", sort=True):
+        v = np.zeros(24, np.int64)
+        v[grp["d"].to_numpy()] = grp["t"].to_numpy()
+        prof[str(et)] = v
+    k = len(prof)
+    n = 24
+    r2_total = np.zeros(n, dtype=object)
+    tie_sum = 0
+    for v in prof.values():
+        vals, counts = np.unique(v, return_counts=True)
+        below = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        r2_of = {int(val): int(2 * b + c + 1)
+                 for val, b, c in zip(vals, below, counts)}
+        r2_total += np.array([r2_of[int(x)] for x in v], dtype=object)
+        tie_sum += sum(int(c) ** 3 - int(c) for c in counts)
+    sr = sum(int(x) for x in r2_total)
+    srr = sum(int(x) * int(x) for x in r2_total)
+    num = 3 * (n * srr - sr * sr)
+    den = n * (k * k * (n ** 3 - n) - k * tie_sum)
+    w = float(num) / float(den)
+    return pa.table({
+        "k_judges": pa.array([k], pa.int64()),
+        "n_items": pa.array([n], pa.int64()),
+        "kendall_w": pa.array([round(w, 6)], pa.float64()),
+    })
+
+
+def q_transfer_entropy(sf_dir: str):
+    """Pairwise transfer entropy TE(Y -> X) in nats over the
+    mean-binarized dense hourly series (bit_t = 1 iff c_t*H > S1 — an
+    exact integer cross-multiplication, no float threshold): the
+    (x_{t+1}, x_t, y_t) triple census is 8 exact-int cells per ordered
+    type pair, every log argument n(x+,x,y)*n(x) / (n(x,y)*n(x+,x)) is
+    an exact-int ratio, micro-floored and weighted by the exact triple
+    count — the directional-coupling complement of the symmetric
+    cross_corr / jsd_types entries."""
+    series, big_h = dense_hour_counts(sf_dir)
+    bits = {}
+    for et, c in series.items():
+        s1 = int(c.sum())
+        bits[et] = ((c * big_h) > s1).astype(np.int64)
+    types = sorted(bits)
+    out = {"src_type": [], "dst_type": [], "n_trans": [], "te_nats": []}
+    for src in types:
+        for dst in types:
+            if src == dst:
+                continue
+            x, y = bits[dst], bits[src]
+            x1, x0, y0 = x[1:], x[:-1], y[:-1]
+            n_tr = big_h - 1
+            idx = 4 * x1 + 2 * x0 + y0
+            n_xyz = np.bincount(idx, minlength=8)
+            n_xy = np.bincount(2 * x0 + y0, minlength=4)      # (x0, y0)
+            n_xx = np.bincount(2 * x1 + x0, minlength=4)      # (x1, x0)
+            n_x = np.bincount(x0, minlength=2)
+            total = 0
+            for cell in range(8):
+                c_xyz = int(n_xyz[cell])
+                if c_xyz == 0:
+                    continue
+                cx1, cx0, cy0 = cell >> 2, (cell >> 1) & 1, cell & 1
+                num = c_xyz * int(n_x[cx0])
+                den = int(n_xy[2 * cx0 + cy0]) * int(n_xx[2 * cx1 + cx0])
+                total += c_xyz * math.floor(
+                    math.log(float(num) / float(den)) * 1e6)
+            te = (float(total) / 1e6) / float(n_tr)
+            out["src_type"].append(src)
+            out["dst_type"].append(dst)
+            out["n_trans"].append(n_tr)
+            out["te_nats"].append(round(te, 6))
+    return pa.table({
+        "src_type": pa.array(out["src_type"], pa.string()),
+        "dst_type": pa.array(out["dst_type"], pa.string()),
+        "n_trans": pa.array(out["n_trans"], pa.int64()),
+        "te_nats": pa.array(out["te_nats"], pa.float64()),
+    })

@@ -179,6 +179,7 @@ def test_mirror_covers_every_oracle(entry_mod):
         "diurnal_amplitude", "permutation_entropy", "ljung_box",
         "zipf_slope", "hapax_rate", "jsd_types", "theil_index",
         "gumbel_daily_max", "hurst_aggvar", "odds_ratio",
+        "bhattacharyya", "kendall_w", "transfer_entropy",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

@@ -353,3 +353,91 @@ def test_odds_ratio_matches_bruteforce(ray_session, tmp_path):
         math.log(orr) - 1.959964 * se, abs=1e-4)
     assert got["ci_hi"][0] == pytest.approx(
         math.log(orr) + 1.959964 * se, abs=1e-4)
+
+
+def test_bhattacharyya_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_bhattacharyya
+
+    rng = np.random.default_rng(13)
+    n = 5000
+    et = np.array(["click", "view", "error"])[rng.integers(0, 3, n)]
+    val = np.round(rng.gamma(2.0, 5.0, n), 2)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.full(n, 10 ** 12, np.int64), pa.timestamp("ms")),
+        "user_id": pa.array(rng.integers(0, 50, n).astype(np.int64)),
+        "event_type": pa.array(list(et), pa.string()),
+        "value": pa.array(val),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    got = q_bhattacharyya(str(tmp_path)).to_pandas()
+    cv = np.rint(val * 100).astype(int)
+    for _, r in got.iterrows():
+        a = cv[et == r["type_a"]]
+        b = cv[et == r["type_b"]]
+        sup = set(a) | set(b)
+        pa_ = {v: (a == v).sum() / len(a) for v in sup}
+        pb_ = {v: (b == v).sum() / len(b) for v in sup}
+        ref = sum(math.sqrt(pa_[v] * pb_[v]) for v in sup)
+        assert r["bc"] == pytest.approx(ref, abs=1e-4)
+        assert r["hellinger"] == pytest.approx(
+            math.sqrt(1 - ref), abs=1e-4)
+
+
+def test_kendall_w_matches_scipy_formula(ray_session, tmp_path):
+    """W equals the tie-corrected textbook formula on midranks computed
+    with scipy-free rankdata over the 24-cell hod profiles."""
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_kendall_w
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_kendall_w(str(tmp_path)).to_pandas()
+    hod = hrs % 24
+    types = sorted(set(et))
+    k, n = len(types), 24
+    ranks = []
+    ties = 0.0
+    for ty in types:
+        t = np.bincount(hod[et == ty], minlength=24).astype(float)
+        order = t.argsort(kind="stable")
+        r = np.empty(n)
+        i = 0
+        sv = t[order]
+        while i < n:
+            j = i
+            while j < n and sv[j] == sv[i]:
+                j += 1
+            r[order[i:j]] = (i + j + 1) / 2.0
+            g = j - i
+            ties += g ** 3 - g
+            i = j
+        ranks.append(r)
+    rsum = np.sum(ranks, axis=0)
+    s = ((rsum - rsum.mean()) ** 2).sum()
+    ref = 12.0 * s / (k * k * (n ** 3 - n) - k * ties)
+    assert int(got["k_judges"][0]) == k and int(got["n_items"][0]) == n
+    assert got["kendall_w"][0] == pytest.approx(ref, abs=1e-6)
+
+
+def test_transfer_entropy_matches_bruteforce(ray_session, tmp_path):
+    from collections import Counter
+
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_transfer_entropy
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_transfer_entropy(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    bits = {ty: (c > c.mean()).astype(int) for ty, c in dense.items()}
+    assert len(got) == 6  # 3 types, ordered pairs
+    for _, r in got.iterrows():
+        x, y = bits[r["dst_type"]], bits[r["src_type"]]
+        tri = Counter(zip(x[1:], x[:-1], y[:-1]))
+        nxy = Counter(zip(x[:-1], y[:-1]))
+        nxx = Counter(zip(x[1:], x[:-1]))
+        nx = Counter(x[:-1])
+        n = len(x) - 1
+        ref = sum(c / n * math.log((c * nx[(t[1],)[0]])
+                                   / (nxy[(t[1], t[2])] * nxx[(t[0], t[1])]))
+                  for t, c in tri.items())
+        assert int(r["n_trans"]) == n
+        assert r["te_nats"] == pytest.approx(ref, abs=1e-4)
