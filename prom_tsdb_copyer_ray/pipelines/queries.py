@@ -11285,3 +11285,80 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Session-12 wave 6 (pipelines/stats3.py): heavy tails, reliability,
+# paired comparison.
+from .stats3 import (  # noqa: E402
+    q_cronbach_alpha,
+    q_hill_tail,
+    q_sign_test,
+)
+
+QUERIES.update({
+    "hill_tail": q_hill_tail,
+    "cronbach_alpha": q_cronbach_alpha,
+    "sign_test": q_sign_test,
+})
+
+ORACLE_SQL.update(
+    {
+        "hill_tail": """
+            WITH u AS (SELECT user_id,
+                              CAST(sum(CAST(round(value * 100) AS BIGINT))
+                                   AS BIGINT) AS x
+                       FROM events GROUP BY 1),
+            top AS (SELECT x FROM u ORDER BY x DESC LIMIT 51),
+            mn AS (SELECT CAST(min(x) AS BIGINT) AS xmin,
+                          CAST(count(*) - 1 AS BIGINT) AS k FROM top),
+            t AS (SELECT CAST(floor(ln(CAST(top.x AS DOUBLE)
+                                       / CAST(mn.xmin AS DOUBLE)) * 1e6)
+                              AS BIGINT) AS m
+                  FROM top CROSS JOIN mn)
+            SELECT mn.k AS n_tail, mn.xmin AS x_min,
+                   round(CAST(mn.k AS DOUBLE) * 1e6
+                         / CAST(sum(t.m) AS DOUBLE), 6) AS hill_alpha
+            FROM t CROSS JOIN mn GROUP BY mn.k, mn.xmin
+        """,
+        "cronbach_alpha": _DENSE_GRID_CTE + """
+            , nd AS (SELECT hh // 24 AS n_days FROM hh),
+            dc AS (SELECT d.event_type, (d.hr - b.lo) // 24 AS day,
+                          CAST(sum(d.c) AS BIGINT) AS x
+                   FROM d CROSS JOIN bounds b CROSS JOIN nd
+                   WHERE (d.hr - b.lo) // 24 < nd.n_days
+                   GROUP BY 1, 2),
+            items AS (SELECT event_type, CAST(sum(x) AS BIGINT) AS s,
+                             CAST(sum(x * x) AS BIGINT) AS q
+                      FROM dc GROUP BY 1),
+            ni AS (SELECT CAST(sum(nd.n_days * i.q - i.s * i.s) AS BIGINT)
+                          AS num_items,
+                          CAST(count(*) AS BIGINT) AS k
+                   FROM items i CROSS JOIN nd GROUP BY ALL),
+            tots AS (SELECT day, CAST(sum(x) AS BIGINT) AS t
+                     FROM dc GROUP BY 1),
+            nt AS (SELECT CAST((SELECT n_days FROM nd) * sum(t * t)
+                               - sum(t) * sum(t) AS BIGINT) AS num_total
+                   FROM tots)
+            SELECT ni.k AS k_items,
+                   CAST(nd.n_days AS BIGINT) AS n_days,
+                   round((CAST(ni.k AS DOUBLE) / CAST(ni.k - 1 AS DOUBLE))
+                         * (1.0 - CAST(ni.num_items AS DOUBLE)
+                                  / CAST(nt.num_total AS DOUBLE)), 6)
+                       AS cronbach_alpha
+            FROM ni CROSS JOIN nt CROSS JOIN nd
+        """,
+        "sign_test": _DENSE_GRID_CTE + """
+            , p AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                           CAST(sum(CASE WHEN a.c > b.c THEN 1 ELSE 0 END)
+                                AS BIGINT) AS a,
+                           CAST(sum(CASE WHEN a.c < b.c THEN 1 ELSE 0 END)
+                                AS BIGINT) AS b
+                    FROM d a JOIN d b ON b.hr = a.hr
+                                     AND a.event_type < b.event_type
+                    GROUP BY 1, 2)
+            SELECT ta AS type_a, tb AS type_b, a AS n_gt, b AS n_lt,
+                   round((2.0 * CAST(a AS DOUBLE) - CAST(a + b AS DOUBLE))
+                         / sqrt(CAST(a + b AS DOUBLE)), 6) AS z
+            FROM p ORDER BY 1, 2
+        """,
+    }
+)

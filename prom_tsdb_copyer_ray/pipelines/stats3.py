@@ -810,3 +810,100 @@ def q_transfer_entropy(sf_dir: str):
         "n_trans": pa.array(out["n_trans"], pa.int64()),
         "te_nats": pa.array(out["te_nats"], pa.float64()),
     })
+
+
+def q_hill_tail(sf_dir: str):
+    """Hill estimator of the heavy-tail exponent of per-user total
+    event value: alpha = k / sum_{i<=k} ln(x_(i) / x_(k+1)) over the
+    top-(k+1) order statistics (k = 50, fewer when the user population
+    is smaller).  Only the top-51 census rows reach the driver (the
+    user census itself stays distributed — same exchange as
+    theil_index); tie sets at the cut contribute identical ln ratios,
+    so boundary tie resolution cannot change the multiset.  Each ln is
+    micro-floored over an exact-int ratio; alpha is one division."""
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cv = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table({"user_id": batch["user_id"], "x": pa.array(cv)})
+        g = t.group_by(["user_id"]).aggregate([("x", "sum")])
+        return g.rename_columns(["user_id", "x"])
+
+    top = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"], [("x", "sum")], num_shards=8,
+    ).sort("x", descending=True).limit(51).to_pandas()
+    xs = top["x"].to_numpy(np.int64)
+    k = len(xs) - 1
+    xmin = int(xs.min())
+    total = sum(math.floor(math.log(float(int(x)) / float(xmin)) * 1e6)
+                for x in xs)
+    alpha = float(k) * 1e6 / float(total)
+    return pa.table({
+        "n_tail": pa.array([k], pa.int64()),
+        "x_min": pa.array([xmin], pa.int64()),
+        "hill_alpha": pa.array([round(alpha, 6)], pa.float64()),
+    })
+
+
+def q_cronbach_alpha(sf_dir: str):
+    """Cronbach's alpha treating event types as scale items and
+    complete days as respondents (daily count vectors from the dense
+    hourly grid): with common denominator D(D-1) the item and total
+    variances reduce to the exact integers D*Q_i - S_i^2 and
+    D*sum(T_d^2) - (sum T_d)^2, so
+    alpha = (k/(k-1)) * (1 - num_items/num_total) is exact integers to
+    one mirrored float chain."""
+    series, big_h = dense_hour_counts(sf_dir)
+    n_days = big_h // 24
+    k = len(series)
+    daily = {et: c[: n_days * 24].reshape(n_days, 24).sum(axis=1)
+             for et, c in series.items()}
+    num_items = 0
+    for x in daily.values():
+        s = int(x.sum())
+        q = int((x.astype(np.int64) ** 2).sum())
+        num_items += n_days * q - s * s
+    tot = np.sum(list(daily.values()), axis=0).astype(np.int64)
+    st = int(tot.sum())
+    qt = int((tot ** 2).sum())
+    num_total = n_days * qt - st * st
+    alpha = (float(k) / float(k - 1)) * (
+        1.0 - float(num_items) / float(num_total))
+    return pa.table({
+        "k_items": pa.array([k], pa.int64()),
+        "n_days": pa.array([n_days], pa.int64()),
+        "cronbach_alpha": pa.array([round(alpha, 6)], pa.float64()),
+    })
+
+
+def q_sign_test(sf_dir: str):
+    """Paired sign test for every type pair over the dense hourly grid:
+    a = hours where A's count exceeds B's, b = the reverse (ties
+    dropped — the exact paired-comparison convention), and
+    z = (2a - n)/sqrt(n) is the one mirrored float expression.  Counts
+    are exact integers from the same single census exchange."""
+    series, _big_h = dense_hour_counts(sf_dir)
+    types = sorted(series)
+    out = {"type_a": [], "type_b": [], "n_gt": [], "n_lt": [], "z": []}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            ca, cb = series[ta], series[tb]
+            a = int(np.count_nonzero(ca > cb))
+            b = int(np.count_nonzero(ca < cb))
+            n = a + b
+            z = (2.0 * float(a) - float(n)) / math.sqrt(float(n))
+            out["type_a"].append(ta)
+            out["type_b"].append(tb)
+            out["n_gt"].append(a)
+            out["n_lt"].append(b)
+            out["z"].append(round(z, 6))
+    return pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "n_gt": pa.array(out["n_gt"], pa.int64()),
+        "n_lt": pa.array(out["n_lt"], pa.int64()),
+        "z": pa.array(out["z"], pa.float64()),
+    })

@@ -180,6 +180,7 @@ def test_mirror_covers_every_oracle(entry_mod):
         "zipf_slope", "hapax_rate", "jsd_types", "theil_index",
         "gumbel_daily_max", "hurst_aggvar", "odds_ratio",
         "bhattacharyya", "kendall_w", "transfer_entropy",
+        "hill_tail", "cronbach_alpha", "sign_test",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

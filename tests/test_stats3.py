@@ -441,3 +441,65 @@ def test_transfer_entropy_matches_bruteforce(ray_session, tmp_path):
                   for t, c in tri.items())
         assert int(r["n_trans"]) == n
         assert r["te_nats"] == pytest.approx(ref, abs=1e-4)
+
+
+def test_hill_tail_matches_bruteforce(ray_session, tmp_path):
+    import pandas as pd
+
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_hill_tail
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    user = rng.integers(0, 200, n)
+    val = np.round(rng.pareto(2.0, n) * 10 + 0.01, 2)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.full(n, 10 ** 12, np.int64), pa.timestamp("ms")),
+        "user_id": pa.array(user.astype(np.int64)),
+        "event_type": pa.array(["click"] * n, pa.string()),
+        "value": pa.array(val),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    got = q_hill_tail(str(tmp_path)).to_pandas()
+    x = pd.DataFrame({"u": user, "x": np.rint(val * 100).astype(np.int64)}) \
+        .groupby("u")["x"].sum().sort_values(ascending=False).to_numpy()
+    top = x[:51].astype(float)
+    k = len(top) - 1
+    ref = k / sum(math.log(v / top.min()) for v in top)
+    assert int(got["n_tail"][0]) == k
+    assert int(got["x_min"][0]) == int(top.min())
+    assert got["hill_alpha"][0] == pytest.approx(ref, rel=1e-4)
+
+
+def test_cronbach_alpha_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_cronbach_alpha
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_cronbach_alpha(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    nd = len(next(iter(dense.values()))) // 24
+    daily = {ty: c[: nd * 24].reshape(nd, 24).sum(axis=1).astype(float)
+             for ty, c in dense.items()}
+    k = len(daily)
+    item_vars = sum(x.var(ddof=1) for x in daily.values())
+    tot_var = np.sum(list(daily.values()), axis=0).var(ddof=1)
+    ref = (k / (k - 1)) * (1 - item_vars / tot_var)
+    assert int(got["k_items"][0]) == k and int(got["n_days"][0]) == nd
+    assert got["cronbach_alpha"][0] == pytest.approx(ref, abs=1e-6)
+
+
+def test_sign_test_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_sign_test
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_sign_test(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    assert len(got) == 3
+    for _, r in got.iterrows():
+        ca, cb = dense[r["type_a"]], dense[r["type_b"]]
+        a = int((ca > cb).sum())
+        b = int((ca < cb).sum())
+        assert int(r["n_gt"]) == a and int(r["n_lt"]) == b
+        assert r["z"] == pytest.approx(
+            (2 * a - (a + b)) / math.sqrt(a + b), abs=1e-5)
