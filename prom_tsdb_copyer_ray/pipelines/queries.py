@@ -11362,3 +11362,114 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Session-12 wave 7 (pipelines/stats3.py): rank-paired test, spectral
+# shape, exact audience continuity.
+from .stats3 import (  # noqa: E402
+    q_dau_jaccard,
+    q_spectral_flatness,
+    q_wilcoxon_signed,
+)
+
+QUERIES.update({
+    "wilcoxon_signed": q_wilcoxon_signed,
+    "spectral_flatness": q_spectral_flatness,
+    "dau_jaccard": q_dau_jaccard,
+})
+
+_TRIG24_VALUES = """(VALUES
+                (0, 1000000, 0), (1, 965925, 258819), (2, 866025, 499999),
+                (3, 707106, 707106), (4, 500000, 866025),
+                (5, 258819, 965925), (6, 0, 1000000), (7, -258820, 965925),
+                (8, -500000, 866025), (9, -707107, 707106),
+                (10, -866026, 499999), (11, -965926, 258819),
+                (12, -1000000, 0), (13, -965926, -258820),
+                (14, -866026, -500000), (15, -707107, -707107),
+                (16, -500001, -866026), (17, -258820, -965926),
+                (18, -1, -1000000), (19, 258819, -965926),
+                (20, 500000, -866026), (21, 707106, -707107),
+                (22, 866025, -500001), (23, 965925, -258820))"""
+
+ORACLE_SQL.update(
+    {
+        "wilcoxon_signed": _DENSE_GRID_CTE + """
+            , dif AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                             a.c - b.c AS dv, abs(a.c - b.c) AS ad
+                      FROM d a JOIN d b ON b.hr = a.hr
+                                       AND a.event_type < b.event_type
+                      WHERE a.c <> b.c),
+            ranked AS (SELECT ta, tb, dv,
+                              2 * (rank() OVER (PARTITION BY ta, tb
+                                                ORDER BY ad) - 1)
+                              + count(*) OVER (PARTITION BY ta, tb, ad)
+                              + 1 AS r2
+                       FROM dif),
+            ties AS (SELECT ta, tb,
+                            CAST(sum(g * g * g - g) AS BIGINT) AS tie_sum
+                     FROM (SELECT ta, tb, ad, count(*) AS g
+                           FROM dif GROUP BY 1, 2, 3)
+                     GROUP BY 1, 2),
+            agg AS (SELECT ta, tb, CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(CASE WHEN dv > 0 THEN r2 ELSE 0 END)
+                                AS BIGINT) AS w2
+                    FROM ranked GROUP BY 1, 2)
+            SELECT agg.ta AS type_a, agg.tb AS type_b,
+                   agg.n AS n_nonzero, agg.w2,
+                   round((CAST(agg.w2 AS DOUBLE)
+                          - CAST(agg.n * (agg.n + 1) AS DOUBLE) / 2.0)
+                         / sqrt(CAST(2 * agg.n * (agg.n + 1)
+                                     * (2 * agg.n + 1) - ties.tie_sum
+                                     AS DOUBLE) / 12.0), 6) AS z
+            FROM agg JOIN ties ON ties.ta = agg.ta AND ties.tb = agg.tb
+            ORDER BY 1, 2
+        """,
+        "spectral_flatness": """
+            WITH trig(d, fc, fs) AS """ + _TRIG24_VALUES + """,
+            s AS (SELECT event_type,
+                         (epoch_ms(ts) // 3600000) % 24 AS d FROM events),
+            cs AS (SELECT event_type, d, count(*) AS t FROM s GROUP BY 1, 2),
+            ks AS (SELECT unnest(generate_series(1, 11)) AS k),
+            ab AS (SELECT cs.event_type, ks.k,
+                          CAST(sum(cs.t * tc.fc) AS BIGINT) AS a,
+                          CAST(sum(cs.t * tc.fs) AS BIGINT) AS b
+                   FROM cs CROSS JOIN ks
+                   JOIN trig tc ON tc.d = (ks.k * cs.d) % 24
+                   GROUP BY 1, 2),
+            p AS (SELECT event_type, k,
+                         CAST(a AS HUGEINT) * a + CAST(b AS HUGEINT) * b
+                             AS pk
+                  FROM ab),
+            agg AS (SELECT event_type,
+                           CAST(sum(CAST(floor(ln(CAST(pk AS DOUBLE))
+                                               * 1e6) AS BIGINT))
+                                AS BIGINT) AS slnp,
+                           sum(pk) AS sump
+                    FROM p GROUP BY 1)
+            SELECT event_type,
+                   round(CAST(slnp AS DOUBLE) / (11 * 1e6)
+                         - CAST(floor(ln(CAST(sump AS DOUBLE) / 11.0)
+                                      * 1e6) AS BIGINT) / 1e6, 6)
+                       AS ln_flatness
+            FROM agg ORDER BY 1
+        """,
+        "dau_jaccard": """
+            WITH ud AS (SELECT DISTINCT user_id,
+                               epoch_ms(ts) // 86400000 AS day
+                        FROM events),
+            act AS (SELECT day, CAST(count(*) AS BIGINT) AS a
+                    FROM ud GROUP BY 1),
+            bth AS (SELECT a.day, CAST(count(*) AS BIGINT) AS b
+                    FROM ud a JOIN ud b ON b.user_id = a.user_id
+                                       AND b.day = a.day + 1
+                    GROUP BY 1)
+            SELECT CAST(a1.day AS BIGINT) AS day, a1.a AS n_day,
+                   a2.a AS n_next, COALESCE(bth.b, 0) AS n_both,
+                   round(CAST(COALESCE(bth.b, 0) AS DOUBLE)
+                         / CAST(a1.a + a2.a - COALESCE(bth.b, 0)
+                                AS DOUBLE), 6) AS jaccard
+            FROM act a1 JOIN act a2 ON a2.day = a1.day + 1
+            LEFT JOIN bth ON bth.day = a1.day
+            ORDER BY 1
+        """,
+    }
+)

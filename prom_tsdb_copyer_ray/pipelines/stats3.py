@@ -907,3 +907,170 @@ def q_sign_test(sf_dir: str):
         "n_lt": pa.array(out["n_lt"], pa.int64()),
         "z": pa.array(out["z"], pa.float64()),
     })
+
+
+def q_wilcoxon_signed(sf_dir: str):
+    """Paired Wilcoxon signed-rank test for every type pair over the
+    dense hourly grid: d_h = a_h - b_h, zeros dropped, |d| midranks in
+    DOUBLED units (W2 = sum of doubled midranks over positive d, so
+    E[W2] = n(n+1)/2 exactly) and the tie-corrected variance numerator
+    2n(n+1)(2n+1) - sum(t^3 - t) stays an exact integer; z is one
+    mirrored float chain.  The rank-based complement of sign_test on
+    the same single census exchange."""
+    series, _big_h = dense_hour_counts(sf_dir)
+    types = sorted(series)
+    out = {"type_a": [], "type_b": [], "n_nonzero": [], "w2": [], "z": []}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            d = series[ta] - series[tb]
+            d = d[d != 0]
+            ad = np.abs(d)
+            vals, counts = np.unique(ad, return_counts=True)
+            below = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            r2_of = {int(v): int(2 * b + c + 1)
+                     for v, b, c in zip(vals, below, counts)}
+            w2 = sum(r2_of[int(a)] for a, dd in zip(ad, d) if dd > 0)
+            tie_sum = sum(int(c) ** 3 - int(c) for c in counts)
+            n = int(d.size)
+            z = ((float(w2) - float(n * (n + 1)) / 2.0)
+                 / math.sqrt(float(2 * n * (n + 1) * (2 * n + 1)
+                                   - tie_sum) / 12.0))
+            out["type_a"].append(ta)
+            out["type_b"].append(tb)
+            out["n_nonzero"].append(n)
+            out["w2"].append(w2)
+            out["z"].append(round(z, 6))
+    return pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "n_nonzero": pa.array(out["n_nonzero"], pa.int64()),
+        "w2": pa.array(out["w2"], pa.int64()),
+        "z": pa.array(out["z"], pa.float64()),
+    })
+
+
+def q_spectral_flatness(sf_dir: str):
+    """Log spectral flatness (Wiener entropy) of each type's hod
+    profile over harmonics k = 1..11: the k-th harmonic reuses the SAME
+    24 micro-floored trig literals via the index (k*d) mod 24 (no new
+    constants, no cross-engine trig), P_k = A_k^2 + B_k^2 is an exact
+    integer, each ln P_k is micro-floored so the geometric-mean term is
+    an associative integer sum, and ln(arith mean) is one more
+    micro-floored libm call.  ln_flatness <= 0; 0 = white across
+    harmonics, strongly negative = energy concentrated in few cycles."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "d": pa.array((tms // 3_600_000) % 24, pa.int64()),
+            "t": pa.array(np.ones(len(tms), np.int64)),
+        })
+        g = t.group_by(["event_type", "d"]).aggregate([("t", "sum")])
+        return g.rename_columns(["event_type", "d", "t"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "d"], [("t", "sum")], num_shards=2,
+    ).to_pandas()
+    out = {"event_type": [], "ln_flatness": []}
+    for et, grp in census.groupby("event_type", sort=True):
+        dd = grp["d"].to_numpy()
+        tt = grp["t"].to_numpy()
+        slnp = 0
+        sump = 0
+        for k in range(1, 12):
+            a = sum(int(t) * _FC24[(k * int(d)) % 24]
+                    for d, t in zip(dd, tt))
+            b = sum(int(t) * _FS24[(k * int(d)) % 24]
+                    for d, t in zip(dd, tt))
+            pk = a * a + b * b
+            slnp += math.floor(math.log(float(pk)) * 1e6)
+            sump += pk
+        lf = (float(slnp) / (11 * 1e6)
+              - math.floor(math.log(float(sump) / 11.0) * 1e6) / 1e6)
+        out["event_type"].append(str(et))
+        out["ln_flatness"].append(round(lf, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "ln_flatness": pa.array(out["ln_flatness"], pa.float64()),
+    })
+
+
+def q_dau_jaccard(sf_dir: str):
+    """EXACT day-over-day active-user Jaccard (the precise counterpart
+    of the sketch-based audience_overlap): the (user, day) distinct
+    census is built behind a user-hash shard so each user's day set is
+    local to one group, which emits per-day active partials AND
+    per-day-pair overlap partials (day, day+1 both active) — the
+    exchange moves distinct (user, day) rows once and day-bounded
+    partials after; the driver sees only the day census.  Jaccard is
+    one mirrored division of exact ints."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "user_id": batch["user_id"],
+            "day": pa.array(tms // 86_400_000, pa.int64()),
+        })
+        g = t.group_by(["user_id", "day"]).aggregate([])
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        shard = (uid % 16).astype(np.int64)
+        return g.append_column("_ushard", pa.array(shard))
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"day": pa.array([], pa.int64()),
+                             "act": pa.array([], pa.int64()),
+                             "both": pa.array([], pa.int64())})
+        t = group.sort_by([("user_id", "ascending"), ("day", "ascending")])
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        day = t["day"].to_numpy(zero_copy_only=False)
+        # global dedup within the shard (user is fully local here)
+        keep = np.ones(len(uid), bool)
+        keep[1:] = (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])
+        uid, day = uid[keep], day[keep]
+        nxt = (uid[:-1] == uid[1:]) & (day[:-1] + 1 == day[1:])
+        acts = pa.table({
+            "day": pa.array(day),
+            "act": pa.array(np.ones(len(day), np.int64)),
+            "both": pa.array(np.zeros(len(day), np.int64)),
+        })
+        pairs = pa.table({
+            "day": pa.array(day[:-1][nxt]),
+            "act": pa.array(np.zeros(int(nxt.sum()), np.int64)),
+            "both": pa.array(np.ones(int(nxt.sum()), np.int64)),
+        })
+        merged = pa.concat_tables([acts, pairs])
+        g = merged.group_by(["day"]).aggregate(
+            [("act", "sum"), ("both", "sum")])
+        return g.rename_columns(["day", "act", "both"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_ushard")
+        .map_groups(per_shard, batch_format="pyarrow"),
+        ["day"], [("act", "sum"), ("both", "sum")], num_shards=2,
+    ).to_pandas().sort_values("day")
+    days = census["day"].to_numpy(np.int64)
+    act = census["act"].to_numpy(np.int64)
+    both = census["both"].to_numpy(np.int64)
+    out = {"day": [], "n_day": [], "n_next": [], "n_both": [], "jaccard": []}
+    for i in range(len(days) - 1):
+        if days[i + 1] != days[i] + 1:
+            continue
+        a, b, j = int(act[i]), int(act[i + 1]), int(both[i])
+        out["day"].append(int(days[i]))
+        out["n_day"].append(a)
+        out["n_next"].append(b)
+        out["n_both"].append(j)
+        out["jaccard"].append(round(float(j) / float(a + b - j), 6))
+    return pa.table({
+        "day": pa.array(out["day"], pa.int64()),
+        "n_day": pa.array(out["n_day"], pa.int64()),
+        "n_next": pa.array(out["n_next"], pa.int64()),
+        "n_both": pa.array(out["n_both"], pa.int64()),
+        "jaccard": pa.array(out["jaccard"], pa.float64()),
+    })

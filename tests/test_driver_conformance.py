@@ -181,6 +181,7 @@ def test_mirror_covers_every_oracle(entry_mod):
         "gumbel_daily_max", "hurst_aggvar", "odds_ratio",
         "bhattacharyya", "kendall_w", "transfer_entropy",
         "hill_tail", "cronbach_alpha", "sign_test",
+        "wilcoxon_signed", "spectral_flatness", "dau_jaccard",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

@@ -503,3 +503,90 @@ def test_sign_test_matches_bruteforce(ray_session, tmp_path):
         assert int(r["n_gt"]) == a and int(r["n_lt"]) == b
         assert r["z"] == pytest.approx(
             (2 * a - (a + b)) / math.sqrt(a + b), abs=1e-5)
+
+
+def test_wilcoxon_signed_matches_scipy_formula(ray_session, tmp_path):
+    """z equals the textbook normal-approximation Wilcoxon (midranks,
+    tie-corrected variance, no continuity correction) computed naively."""
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_wilcoxon_signed
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_wilcoxon_signed(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    for _, r in got.iterrows():
+        d = dense[r["type_a"]] - dense[r["type_b"]]
+        d = d[d != 0].astype(float)
+        ad = np.abs(d)
+        order = ad.argsort(kind="stable")
+        ranks = np.empty(len(ad))
+        sv = ad[order]
+        i = 0
+        ties = 0.0
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            ranks[order[i:j]] = (i + j + 1) / 2.0
+            g = j - i
+            ties += g ** 3 - g
+            i = j
+        n = len(d)
+        wplus = ranks[d > 0].sum()
+        var = n * (n + 1) * (2 * n + 1) / 24.0 - ties / 48.0
+        zref = (wplus - n * (n + 1) / 4.0) / math.sqrt(var)
+        assert int(r["n_nonzero"]) == n
+        assert int(r["w2"]) == int(round(2 * wplus))
+        assert r["z"] == pytest.approx(zref, abs=1e-5)
+
+
+def test_spectral_flatness_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_spectral_flatness
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_spectral_flatness(str(tmp_path)).to_pandas()
+    for _, r in got.iterrows():
+        t = np.bincount(hrs[et == r["event_type"]] % 24, minlength=24)
+        ps = []
+        for k in range(1, 12):
+            a = sum(t[d] * math.cos(2 * math.pi * k * d / 24)
+                    for d in range(24))
+            b = sum(t[d] * math.sin(2 * math.pi * k * d / 24)
+                    for d in range(24))
+            ps.append(a * a + b * b)
+        ref = np.mean(np.log(ps)) - math.log(np.mean(ps))
+        # micro-floored trig constants shift each P_k slightly; the
+        # log-domain comparison tolerance reflects that, not the floor
+        assert r["ln_flatness"] == pytest.approx(ref, abs=5e-3)
+        assert r["ln_flatness"] <= 1e-9
+
+
+def test_dau_jaccard_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_dau_jaccard
+
+    rng = np.random.default_rng(19)
+    n = 3000
+    user = rng.integers(0, 60, n)
+    day = rng.integers(19723, 19733, n)
+    ts = day * 86_400_000 + rng.integers(0, 86_400_000, n)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts.astype(np.int64), pa.timestamp("ms")),
+        "user_id": pa.array(user.astype(np.int64)),
+        "event_type": pa.array(["click"] * n, pa.string()),
+        "value": pa.array(np.ones(n, np.float64)),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    got = q_dau_jaccard(str(tmp_path)).to_pandas()
+    sets = {d: set(user[day == d]) for d in np.unique(day)}
+    days = sorted(sets)
+    exp = [(d, sets[d], sets[d + 1]) for d in days if d + 1 in sets]
+    assert len(got) == len(exp)
+    for (d, sa, sb), (_, r) in zip(exp, got.iterrows()):
+        inter = len(sa & sb)
+        assert int(r["day"]) == d
+        assert int(r["n_day"]) == len(sa)
+        assert int(r["n_next"]) == len(sb)
+        assert int(r["n_both"]) == inter
+        assert r["jaccard"] == pytest.approx(
+            inter / len(sa | sb), abs=1e-6)
