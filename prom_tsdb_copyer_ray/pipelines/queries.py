@@ -11473,3 +11473,83 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Session-12 wave 8 (pipelines/stats3.py): agreement, blocked ranks,
+# collision diversity.
+from .stats3 import (  # noqa: E402
+    q_cohen_kappa,
+    q_friedman_test,
+    q_renyi2_entropy,
+)
+
+QUERIES.update({
+    "cohen_kappa": q_cohen_kappa,
+    "friedman_test": q_friedman_test,
+    "renyi2_entropy": q_renyi2_entropy,
+})
+
+ORACLE_SQL.update(
+    {
+        "cohen_kappa": _DENSE_GRID_CTE + """
+            , tots AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS s1
+                       FROM d GROUP BY 1),
+            bits AS (SELECT d.event_type, d.hr,
+                            CASE WHEN d.c * hh.hh > t.s1
+                                 THEN 1 ELSE 0 END AS b
+                     FROM d JOIN tots t USING (event_type) CROSS JOIN hh),
+            p AS (SELECT x.event_type AS ta, y.event_type AS tb,
+                         CAST(sum(CASE WHEN x.b = y.b THEN 1 ELSE 0 END)
+                              AS BIGINT) AS agree,
+                         CAST(sum(x.b) AS BIGINT) AS a1,
+                         CAST(sum(y.b) AS BIGINT) AS b1
+                  FROM bits x JOIN bits y ON y.hr = x.hr
+                                         AND x.event_type < y.event_type
+                  GROUP BY 1, 2)
+            SELECT p.ta AS type_a, p.tb AS type_b, p.agree AS n_agree,
+                   round(CAST(hh.hh * p.agree - p.a1 * p.b1
+                              - (hh.hh - p.a1) * (hh.hh - p.b1)
+                              AS DOUBLE)
+                         / CAST(hh.hh * hh.hh - p.a1 * p.b1
+                                - (hh.hh - p.a1) * (hh.hh - p.b1)
+                                AS DOUBLE), 6) AS kappa
+            FROM p CROSS JOIN hh ORDER BY 1, 2
+        """,
+        "friedman_test": _DENSE_GRID_CTE + """
+            , kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM types),
+            ranked AS (SELECT event_type, hr,
+                              2 * (rank() OVER (PARTITION BY hr
+                                                ORDER BY c) - 1)
+                              + count(*) OVER (PARTITION BY hr, c)
+                              + 1 AS r2
+                       FROM d),
+            rj AS (SELECT event_type, CAST(sum(r2) AS BIGINT) AS r2j
+                   FROM ranked GROUP BY 1),
+            aggs AS (SELECT CAST(sum(r2j * r2j) AS BIGINT) AS srr FROM rj),
+            a2 AS (SELECT CAST(sum(r2 * r2) AS BIGINT) AS a2 FROM ranked)
+            SELECT kk.k AS k_types, CAST(hh.hh AS BIGINT) AS n_blocks,
+                   round(CAST((kk.k - 1)
+                              * (aggs.srr - hh.hh * hh.hh * kk.k
+                                 * (kk.k + 1) * (kk.k + 1)) AS DOUBLE)
+                         / CAST(hh.hh * (a2.a2 - hh.hh * kk.k
+                                         * (kk.k + 1) * (kk.k + 1))
+                                AS DOUBLE), 6) AS chi2
+            FROM kk CROSS JOIN hh CROSS JOIN aggs CROSS JOIN a2
+        """,
+        "renyi2_entropy": """
+            WITH s AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cv
+                       FROM events),
+            cs AS (SELECT event_type, cv, count(*) AS n
+                   FROM s GROUP BY 1, 2),
+            agg AS (SELECT event_type,
+                           CAST(sum(n) AS BIGINT) AS tot,
+                           CAST(sum(n * n) AS BIGINT) AS coll
+                    FROM cs GROUP BY 1)
+            SELECT event_type, tot AS n,
+                   round(-CAST(floor(ln(CAST(coll AS DOUBLE)
+                                        / CAST(tot * tot AS DOUBLE))
+                                     * 1e6) AS BIGINT) / 1e6, 6) AS renyi2
+            FROM agg ORDER BY 1
+        """,
+    }
+)

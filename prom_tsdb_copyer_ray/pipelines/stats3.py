@@ -1074,3 +1074,116 @@ def q_dau_jaccard(sf_dir: str):
         "n_both": pa.array(out["n_both"], pa.int64()),
         "jaccard": pa.array(out["jaccard"], pa.float64()),
     })
+
+
+def q_cohen_kappa(sf_dir: str):
+    """Cohen's kappa agreement between every type pair's mean-binarized
+    hourly activity indicator (bit_t = 1 iff c_t*H > S1, the
+    transfer_entropy threshold): with the 2x2 agreement census
+    kappa = (H*agree - a1*b1 - a0*b0) / (H*H - a1*b1 - a0*b0) — the
+    common-denominator cross-multiplication makes it exact integers to
+    ONE mirrored division."""
+    series, big_h = dense_hour_counts(sf_dir)
+    bits = {}
+    for et, c in series.items():
+        s1 = int(c.sum())
+        bits[et] = ((c * big_h) > s1).astype(np.int64)
+    types = sorted(bits)
+    out = {"type_a": [], "type_b": [], "n_agree": [], "kappa": []}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            x, y = bits[ta], bits[tb]
+            agree = int(np.count_nonzero(x == y))
+            a1, a0 = int(x.sum()), big_h - int(x.sum())
+            b1, b0 = int(y.sum()), big_h - int(y.sum())
+            num = big_h * agree - a1 * b1 - a0 * b0
+            den = big_h * big_h - a1 * b1 - a0 * b0
+            out["type_a"].append(ta)
+            out["type_b"].append(tb)
+            out["n_agree"].append(agree)
+            out["kappa"].append(round(float(num) / float(den), 6))
+    return pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "n_agree": pa.array(out["n_agree"], pa.int64()),
+        "kappa": pa.array(out["kappa"], pa.float64()),
+    })
+
+
+def q_friedman_test(sf_dir: str):
+    """Tie-corrected Friedman test: do the event types keep the same
+    activity ordering hour after hour?  Blocks = the H dense-grid
+    hours, treatments = the k types, counts midranked WITHIN each hour
+    in DOUBLED units (per-block doubled rank sum is exactly k(k+1)).
+    The Conover tie-corrected statistic reduces over the common
+    denominator to chi2 = (k-1)*(sum R2_j^2 - H^2 k (k+1)^2)
+    / (H*(sum r2^2 - H k (k+1)^2)) — exact integers to ONE mirrored
+    division."""
+    series, big_h = dense_hour_counts(sf_dir)
+    types = sorted(series)
+    k = len(types)
+    mat = np.stack([series[t] for t in types])      # k x H
+    order = np.argsort(mat, axis=0, kind="stable")
+    r2 = np.empty((k, big_h), np.int64)
+    srt = np.take_along_axis(mat, order, axis=0)
+    below = np.zeros((k, big_h), np.int64)
+    peers = np.zeros((k, big_h), np.int64)
+    for j in range(k):
+        eq = srt == srt[j][None, :]
+        lt = srt < srt[j][None, :]
+        below[j] = lt.sum(axis=0)
+        peers[j] = eq.sum(axis=0)
+    r2_sorted = 2 * below + peers + 1
+    np.put_along_axis(r2, order, r2_sorted, axis=0)
+    big_r2 = r2.sum(axis=1)                          # per-type doubled sums
+    sum_r2j_sq = sum(int(x) * int(x) for x in big_r2)
+    a2 = int((r2.astype(np.int64) ** 2).sum())
+    num = (k - 1) * (sum_r2j_sq - big_h * big_h * k * (k + 1) * (k + 1))
+    den = big_h * (a2 - big_h * k * (k + 1) * (k + 1))
+    chi2 = float(num) / float(den)
+    return pa.table({
+        "k_types": pa.array([k], pa.int64()),
+        "n_blocks": pa.array([big_h], pa.int64()),
+        "chi2": pa.array([round(chi2, 6)], pa.float64()),
+    })
+
+
+def q_renyi2_entropy(sf_dir: str):
+    """Renyi collision entropy H2 = -ln(sum p_v^2) of each type's
+    cent-value distribution (the diversity complement of the
+    bhattacharyya census): the collision probability is the exact-int
+    ratio sum(a_v^2)/A^2, its single ln is micro-floored — effective
+    support size exp(H2) is the headline diversity number."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cv = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "cv": pa.array(cv),
+            "n": pa.array(np.ones(len(cv), np.int64)),
+        })
+        g = t.group_by(["event_type", "cv"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "cv", "n"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "cv"], [("n", "sum")], num_shards=8,
+    ).to_pandas()
+    out = {"event_type": [], "n": [], "renyi2": []}
+    for et, grp in census.groupby("event_type", sort=True):
+        a = grp["n"].to_numpy(np.int64)
+        tot = int(a.sum())
+        coll = sum(int(x) * int(x) for x in a)
+        h2 = -math.floor(
+            math.log(float(coll) / float(tot * tot)) * 1e6) / 1e6
+        out["event_type"].append(str(et))
+        out["n"].append(tot)
+        out["renyi2"].append(round(h2, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+        "renyi2": pa.array(out["renyi2"], pa.float64()),
+    })

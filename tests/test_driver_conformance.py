@@ -182,6 +182,7 @@ def test_mirror_covers_every_oracle(entry_mod):
         "bhattacharyya", "kendall_w", "transfer_entropy",
         "hill_tail", "cronbach_alpha", "sign_test",
         "wilcoxon_signed", "spectral_flatness", "dau_jaccard",
+        "cohen_kappa", "friedman_test", "renyi2_entropy",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

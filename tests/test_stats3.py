@@ -590,3 +590,77 @@ def test_dau_jaccard_matches_bruteforce(ray_session, tmp_path):
         assert int(r["n_both"]) == inter
         assert r["jaccard"] == pytest.approx(
             inter / len(sa | sb), abs=1e-6)
+
+
+def test_cohen_kappa_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_cohen_kappa
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_cohen_kappa(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    bits = {ty: (c * len(c) > c.sum()).astype(int)
+            for ty, c in dense.items()}
+    for _, r in got.iterrows():
+        x, y = bits[r["type_a"]], bits[r["type_b"]]
+        h = len(x)
+        po = (x == y).mean()
+        pe = (x.mean() * y.mean()
+              + (1 - x.mean()) * (1 - y.mean()))
+        ref = (po - pe) / (1 - pe)
+        assert int(r["n_agree"]) == int((x == y).sum())
+        assert r["kappa"] == pytest.approx(ref, abs=1e-6)
+
+
+def test_friedman_test_matches_bruteforce(ray_session, tmp_path):
+    """chi2 equals the tie-corrected Conover formula computed with
+    naive per-block midranks."""
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_friedman_test
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_friedman_test(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    types = sorted(dense)
+    k = len(types)
+    h = len(dense[types[0]])
+    ranks = np.zeros((k, h))
+    for b in range(h):
+        col = [dense[t][b] for t in types]
+        for j in range(k):
+            ranks[j, b] = (sum(1 for v in col if v < col[j])
+                           + (sum(1 for v in col if v == col[j]) + 1)
+                           / 2.0)
+    rj = ranks.sum(axis=1)
+    a = (ranks ** 2).sum()
+    c0 = h * k * (k + 1) ** 2 / 4.0
+    ref = (k - 1) * ((rj ** 2).sum() / h - c0) / (a - c0)
+    assert int(got["k_types"][0]) == k
+    assert int(got["n_blocks"][0]) == h
+    assert got["chi2"][0] == pytest.approx(ref, abs=1e-6)
+
+
+def test_renyi2_entropy_matches_bruteforce(ray_session, tmp_path):
+    from collections import Counter
+
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_renyi2_entropy
+
+    rng = np.random.default_rng(29)
+    n = 5000
+    et = np.array(["click", "view"])[rng.integers(0, 2, n)]
+    val = np.round(rng.gamma(2.0, 3.0, n), 2)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.full(n, 10 ** 12, np.int64), pa.timestamp("ms")),
+        "user_id": pa.array(rng.integers(0, 50, n).astype(np.int64)),
+        "event_type": pa.array(list(et), pa.string()),
+        "value": pa.array(val),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    got = q_renyi2_entropy(str(tmp_path)).to_pandas()
+    cv = np.rint(val * 100).astype(int)
+    for _, r in got.iterrows():
+        c = Counter(cv[et == r["event_type"]])
+        tot = sum(c.values())
+        ref = -math.log(sum(v * v for v in c.values()) / tot ** 2)
+        assert int(r["n"]) == tot
+        assert r["renyi2"] == pytest.approx(ref, abs=1e-5)
