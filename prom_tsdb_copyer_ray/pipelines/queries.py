@@ -11553,3 +11553,116 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Session-12 wave 9 (pipelines/stats3.py): seasonality strength, ACF
+# half-life, symbolic richness.
+from .stats3 import (  # noqa: E402
+    q_acf_halflife,
+    q_kmer_richness,
+    q_seasonal_strength,
+)
+
+QUERIES.update({
+    "seasonal_strength": q_seasonal_strength,
+    "acf_halflife": q_acf_halflife,
+    "kmer_richness": q_kmer_richness,
+})
+
+ORACLE_SQL.update(
+    {
+        "seasonal_strength": _DENSE_GRID_CTE + """
+            , nd AS (SELECT hh // 24 AS n_days, (hh // 24) * 24 AS use_h
+                     FROM hh),
+            dw AS (SELECT d.event_type, d.c,
+                          (d.hr - b.lo) % 24 AS hod
+                   FROM d CROSS JOIN bounds b CROSS JOIN nd
+                   WHERE d.hr - b.lo < nd.use_h),
+            sh AS (SELECT event_type, hod, CAST(sum(c) AS BIGINT) AS s_hod
+                   FROM dw GROUP BY 1, 2),
+            r AS (SELECT dw.event_type,
+                         CAST(sum((nd.n_days * dw.c - sh.s_hod)
+                                  * (nd.n_days * dw.c - sh.s_hod))
+                              AS BIGINT) AS ssr,
+                         CAST(sum(dw.c) AS BIGINT) AS s1,
+                         CAST(sum(dw.c * dw.c) AS BIGINT) AS p0
+                  FROM dw JOIN sh ON sh.event_type = dw.event_type
+                                 AND sh.hod = dw.hod
+                  CROSS JOIN nd GROUP BY 1)
+            SELECT event_type,
+                   round(1.0 - CAST(nd.use_h * r.ssr AS DOUBLE)
+                               / CAST(nd.n_days * nd.n_days
+                                      * (nd.use_h * r.p0 - r.s1 * r.s1)
+                                      AS DOUBLE), 6) AS r2_seasonal
+            FROM r CROSS JOIN nd ORDER BY 1
+        """,
+        "acf_halflife": _DENSE_GRID_CTE + """
+            , lags AS (SELECT unnest(generate_series(1, 48)) AS k),
+            lj AS (SELECT a.event_type, l.k,
+                          CAST(sum(a.c * b.c) AS BIGINT) AS pk,
+                          CAST(sum(a.c) AS BIGINT) AS ak,
+                          CAST(sum(b.c) AS BIGINT) AS bk
+                   FROM d a CROSS JOIN lags l
+                   JOIN d b ON b.event_type = a.event_type
+                           AND b.hr = a.hr + l.k
+                   GROUP BY 1, 2),
+            base AS (SELECT event_type, CAST(sum(c * c) AS BIGINT) AS p0,
+                            CAST(sum(c) AS BIGINT) AS s1
+                     FROM d GROUP BY 1),
+            covs AS (SELECT lj.event_type, lj.k,
+                            CAST(hh.hh * hh.hh * lj.pk
+                                 - hh.hh * base.s1 * (lj.ak + lj.bk)
+                                 + (hh.hh - lj.k) * base.s1 * base.s1
+                                 AS BIGINT) AS covk,
+                            CAST(hh.hh * (hh.hh * base.p0
+                                          - base.s1 * base.s1)
+                                 AS BIGINT) AS den
+                     FROM lj JOIN base USING (event_type) CROSS JOIN hh),
+            c1 AS (SELECT event_type, covk AS cov1, den
+                   FROM covs WHERE k = 1),
+            hl AS (SELECT c.event_type, CAST(min(c.k) AS BIGINT)
+                              AS halflife
+                   FROM covs c JOIN c1 USING (event_type)
+                   WHERE c.k >= 2 AND 2 * c.covk < c1.cov1
+                   GROUP BY 1)
+            SELECT c1.event_type,
+                   CAST(COALESCE(hl.halflife, -1) AS BIGINT) AS halflife,
+                   round(CAST(c1.cov1 AS DOUBLE)
+                         / CAST(c1.den AS DOUBLE), 6) AS r1,
+                   CASE WHEN hl.halflife IS NULL THEN 0.0
+                        ELSE round(CAST(ch.covk AS DOUBLE)
+                                   / CAST(c1.den AS DOUBLE), 6)
+                   END AS r_half
+            FROM c1 LEFT JOIN hl USING (event_type)
+            LEFT JOIN covs ch ON ch.event_type = c1.event_type
+                             AND ch.k = hl.halflife
+            ORDER BY 1
+        """,
+        "kmer_richness": _DENSE_GRID_CTE + """
+            , tots AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS s1
+                       FROM d GROUP BY 1),
+            bits AS (SELECT d.event_type, d.hr,
+                            CASE WHEN d.c * hh.hh > t.s1
+                                 THEN 1 ELSE 0 END AS b
+                     FROM d JOIN tots t USING (event_type) CROSS JOIN hh),
+            w AS (SELECT event_type,
+                         b + 2 * lead(b, 1) OVER win
+                         + 4 * lead(b, 2) OVER win
+                         + 8 * lead(b, 3) OVER win
+                         + 16 * lead(b, 4) OVER win
+                         + 32 * lead(b, 5) OVER win
+                         + 64 * lead(b, 6) OVER win
+                         + 128 * lead(b, 7) OVER win AS wid,
+                         lead(b, 7) OVER win AS b7
+                  FROM bits
+                  WINDOW win AS (PARTITION BY event_type ORDER BY hr)),
+            dist AS (SELECT event_type,
+                            CAST(count(DISTINCT wid) AS BIGINT) AS nd,
+                            CAST(count(*) AS BIGINT) AS nw
+                     FROM w WHERE b7 IS NOT NULL GROUP BY 1)
+            SELECT event_type, nw AS n_windows, nd AS n_distinct,
+                   round(CAST(nd AS DOUBLE)
+                         / CAST(least(256, nw) AS DOUBLE), 6) AS richness
+            FROM dist ORDER BY 1
+        """,
+    }
+)

@@ -1187,3 +1187,109 @@ def q_renyi2_entropy(sf_dir: str):
         "n": pa.array(out["n"], pa.int64()),
         "renyi2": pa.array(out["renyi2"], pa.float64()),
     })
+
+
+def q_seasonal_strength(sf_dir: str):
+    """Diurnal seasonality strength R^2 = 1 - SS_resid/SS_total of the
+    hod-mean model per type, kept as ONE exact rational: with D = the
+    per-hod column count (grid days) the residual sum scaled by D^2 is
+    sum (D*c_t - S_{hod(t)})^2 and the total sum scaled by H^2 is
+    H*sum(c^2) - S1^2, so
+    R^2 = 1 - (H * ssr) / (D^2 * sst_num) is one mirrored division of
+    exact integers.  Requires the grid to be whole days (H % 24 == 0 —
+    true for the corpus grid); same single census."""
+    series, big_h = dense_hour_counts(sf_dir)
+    n_days = big_h // 24
+    use_h = n_days * 24
+    out = {"event_type": [], "r2_seasonal": []}
+    for et, c in series.items():
+        c = c[:use_h]
+        grid = c.reshape(n_days, 24)
+        s_hod = grid.sum(axis=0).astype(np.int64)          # per-hod sums
+        resid = n_days * grid - s_hod[None, :]
+        ssr = int((resid.astype(np.int64) ** 2).sum())
+        s1 = int(c.sum())
+        sst_num = use_h * int(np.dot(c, c)) - s1 * s1      # = H * SS_total
+        r2 = 1.0 - (float(use_h * ssr)
+                    / float(n_days * n_days * sst_num))
+        out["event_type"].append(et)
+        out["r2_seasonal"].append(round(r2, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "r2_seasonal": pa.array(out["r2_seasonal"], pa.float64()),
+    })
+
+
+def q_acf_halflife(sf_dir: str):
+    """Autocorrelation half-life per type: the smallest lag k <= 48
+    with r_k < r_1 / 2.  Because every r_k shares the same denominator,
+    the search is the EXACT integer comparison 2*cov_k_num < cov_1_num
+    (the ljung_box cross-multiplied autocovariances) — no float enters
+    the selection; only the reported r values are mirrored divisions.
+    -1 when no lag within 48 halves."""
+    series, big_h = dense_hour_counts(sf_dir)
+    out = {"event_type": [], "halflife": [], "r1": [], "r_half": []}
+    for et, c in series.items():
+        s1 = int(c.sum())
+        p0 = int(np.dot(c, c))
+        den = big_h * (big_h * p0 - s1 * s1)
+
+        def cov_num(k, c=c, s1=s1):
+            pk = int(np.dot(c[:-k], c[k:]))
+            ak = int(c[:-k].sum())
+            bk = int(c[k:].sum())
+            return (big_h * big_h * pk - big_h * s1 * (ak + bk)
+                    + (big_h - k) * s1 * s1)
+
+        cov1 = cov_num(1)
+        hl = -1
+        covh = None
+        for k in range(2, 49):
+            ck = cov_num(k)
+            if 2 * ck < cov1:
+                hl = k
+                covh = ck
+                break
+        out["event_type"].append(et)
+        out["halflife"].append(hl)
+        out["r1"].append(round(float(cov1) / float(den), 6))
+        out["r_half"].append(
+            round(float(covh) / float(den), 6) if covh is not None
+            else 0.0)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "halflife": pa.array(out["halflife"], pa.int64()),
+        "r1": pa.array(out["r1"], pa.float64()),
+        "r_half": pa.array(out["r_half"], pa.float64()),
+    })
+
+
+def q_kmer_richness(sf_dir: str):
+    """Symbolic-sequence complexity: the number of DISTINCT 8-hour
+    binary activity words (bit_t = mean-binarized as in cohen_kappa,
+    word id = sum bit_{t+j} * 2^j) per type, over the H-7 sliding
+    windows — the dictionary-richness complement of
+    permutation_entropy's ordinal view.  Exact integers; richness is
+    one mirrored division by min(256, H-7)."""
+    series, big_h = dense_hour_counts(sf_dir)
+    n_win = big_h - 7
+    out = {"event_type": [], "n_windows": [], "n_distinct": [],
+           "richness": []}
+    for et, c in series.items():
+        s1 = int(c.sum())
+        bit = ((c * big_h) > s1).astype(np.int64)
+        wid = np.zeros(n_win, np.int64)
+        for j in range(8):
+            wid += bit[j: j + n_win] << j
+        nd = int(np.unique(wid).size)
+        cap = min(256, n_win)
+        out["event_type"].append(et)
+        out["n_windows"].append(n_win)
+        out["n_distinct"].append(nd)
+        out["richness"].append(round(float(nd) / float(cap), 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n_windows": pa.array(out["n_windows"], pa.int64()),
+        "n_distinct": pa.array(out["n_distinct"], pa.int64()),
+        "richness": pa.array(out["richness"], pa.float64()),
+    })

@@ -183,6 +183,7 @@ def test_mirror_covers_every_oracle(entry_mod):
         "hill_tail", "cronbach_alpha", "sign_test",
         "wilcoxon_signed", "spectral_flatness", "dau_jaccard",
         "cohen_kappa", "friedman_test", "renyi2_entropy",
+        "seasonal_strength", "acf_halflife", "kmer_richness",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

@@ -664,3 +664,63 @@ def test_renyi2_entropy_matches_bruteforce(ray_session, tmp_path):
         ref = -math.log(sum(v * v for v in c.values()) / tot ** 2)
         assert int(r["n"]) == tot
         assert r["renyi2"] == pytest.approx(ref, abs=1e-5)
+
+
+def test_seasonal_strength_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_seasonal_strength
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_seasonal_strength(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    for _, r in got.iterrows():
+        c = dense[r["event_type"]].astype(float)
+        nd = len(c) // 24
+        c = c[: nd * 24]
+        grid = c.reshape(nd, 24)
+        m_hod = grid.mean(axis=0)
+        ss_resid = ((grid - m_hod[None, :]) ** 2).sum()
+        ss_total = ((c - c.mean()) ** 2).sum()
+        ref = 1.0 - ss_resid / ss_total
+        assert r["r2_seasonal"] == pytest.approx(ref, abs=1e-6)
+
+
+def test_acf_halflife_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_acf_halflife
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_acf_halflife(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    for _, r in got.iterrows():
+        c = dense[r["event_type"]].astype(float)
+        m = c.mean()
+
+        def rk(k):
+            return ((c[:-k] - m) * (c[k:] - m)).sum() \
+                / ((c - m) ** 2).sum()
+
+        r1 = rk(1)
+        hl = -1
+        for k in range(2, 49):
+            if rk(k) < r1 / 2:
+                hl = k
+                break
+        assert int(r["halflife"]) == hl
+        assert r["r1"] == pytest.approx(r1, abs=1e-5)
+        if hl > 0:
+            assert r["r_half"] == pytest.approx(rk(hl), abs=1e-5)
+
+
+def test_kmer_richness_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_kmer_richness
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_kmer_richness(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    for _, r in got.iterrows():
+        c = dense[r["event_type"]]
+        bit = (c * len(c) > c.sum()).astype(int)
+        words = {tuple(bit[i:i + 8]) for i in range(len(bit) - 7)}
+        assert int(r["n_windows"]) == len(bit) - 7
+        assert int(r["n_distinct"]) == len(words)
+        assert r["richness"] == pytest.approx(
+            len(words) / min(256, len(bit) - 7), abs=1e-6)
