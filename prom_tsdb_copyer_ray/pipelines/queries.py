@@ -11666,3 +11666,148 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Session-12 wave 10 (pipelines/stats3.py): partial autocorrelation,
+# stochastic ordering, median test.
+from .stats3 import (  # noqa: E402
+    q_moods_median,
+    q_pacf2,
+    q_stochastic_dominance,
+)
+
+QUERIES.update({
+    "pacf2": q_pacf2,
+    "stochastic_dominance": q_stochastic_dominance,
+    "moods_median": q_moods_median,
+})
+
+ORACLE_SQL.update(
+    {
+        "pacf2": _DENSE_GRID_CTE + """
+            , lags AS (SELECT unnest([1, 2]) AS k),
+            lj AS (SELECT a.event_type, l.k,
+                          CAST(sum(a.c * b.c) AS BIGINT) AS pk,
+                          CAST(sum(a.c) AS BIGINT) AS ak,
+                          CAST(sum(b.c) AS BIGINT) AS bk
+                   FROM d a CROSS JOIN lags l
+                   JOIN d b ON b.event_type = a.event_type
+                           AND b.hr = a.hr + l.k
+                   GROUP BY 1, 2),
+            base AS (SELECT event_type, CAST(sum(c * c) AS BIGINT) AS p0,
+                            CAST(sum(c) AS BIGINT) AS s1
+                     FROM d GROUP BY 1),
+            covs AS (SELECT lj.event_type, lj.k,
+                            CAST(hh.hh * hh.hh * lj.pk
+                                 - hh.hh * base.s1 * (lj.ak + lj.bk)
+                                 + (hh.hh - lj.k) * base.s1 * base.s1
+                                 AS HUGEINT) AS covk,
+                            CAST(hh.hh * (hh.hh * base.p0
+                                          - base.s1 * base.s1)
+                                 AS HUGEINT) AS c0
+                     FROM lj JOIN base USING (event_type) CROSS JOIN hh),
+            w AS (SELECT c1.event_type, c1.covk AS c1v, c2.covk AS c2v,
+                         c1.c0
+                  FROM covs c1 JOIN covs c2
+                    ON c2.event_type = c1.event_type
+                   AND c1.k = 1 AND c2.k = 2)
+            SELECT event_type,
+                   round(CAST(c1v AS DOUBLE) / CAST(c0 AS DOUBLE), 6)
+                       AS phi11,
+                   round(CAST(c2v * c0 - c1v * c1v AS DOUBLE)
+                         / CAST(c0 * c0 - c1v * c1v AS DOUBLE), 6)
+                       AS phi22
+            FROM w ORDER BY 1
+        """,
+        "stochastic_dominance": """
+            WITH s AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cv
+                       FROM events),
+            cs AS (SELECT event_type, cv, count(*) AS n
+                   FROM s GROUP BY 1, 2),
+            tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tt
+                    FROM cs GROUP BY 1),
+            pairs AS (SELECT a.event_type AS ta, a.tt AS na,
+                             b.event_type AS tb, b.tt AS nb
+                      FROM tot a JOIN tot b ON a.event_type < b.event_type),
+            sup AS (SELECT p.ta, p.tb, p.na, p.nb, v.cv,
+                           COALESCE(ca.n, 0) AS an, COALESCE(cb.n, 0) AS bn
+                    FROM pairs p
+                    JOIN (SELECT DISTINCT cv FROM cs) v ON TRUE
+                    LEFT JOIN cs ca ON ca.event_type = p.ta
+                                   AND ca.cv = v.cv
+                    LEFT JOIN cs cb ON cb.event_type = p.tb
+                                   AND cb.cv = v.cv
+                    WHERE ca.n IS NOT NULL OR cb.n IS NOT NULL),
+            cums AS (SELECT ta, tb, na, nb, cv,
+                            sum(an) OVER w AS ca, sum(bn) OVER w AS cb
+                     FROM sup
+                     WINDOW w AS (PARTITION BY ta, tb ORDER BY cv)),
+            flags AS (SELECT ta, tb,
+                             CAST(count(*) AS BIGINT) AS ns,
+                             CAST(sum(CASE WHEN ca * nb <= cb * na
+                                           THEN 1 ELSE 0 END) AS BIGINT)
+                                 AS n_le,
+                             CAST(sum(CASE WHEN ca * nb >= cb * na
+                                           THEN 1 ELSE 0 END) AS BIGINT)
+                                 AS n_ge
+                      FROM cums GROUP BY 1, 2)
+            SELECT ta AS type_a, tb AS type_b, ns AS n_support,
+                   round(CAST(n_le AS DOUBLE) / CAST(ns AS DOUBLE), 6)
+                       AS frac_a_below,
+                   CAST(CASE WHEN n_le = ns THEN 1
+                             WHEN n_ge = ns THEN -1 ELSE 0 END AS BIGINT)
+                       AS fsd
+            FROM flags ORDER BY 1, 2
+        """,
+        "moods_median": """
+            WITH s AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cv
+                       FROM events),
+            cs AS (SELECT event_type, cv, count(*) AS n
+                   FROM s GROUP BY 1, 2),
+            g AS (SELECT cv, sum(n) AS n FROM cs GROUP BY 1),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM g),
+            med AS (SELECT CAST(min(cv) AS BIGINT) AS m
+                    FROM (SELECT cv, sum(n) OVER (ORDER BY cv) AS cum
+                          FROM g) CROSS JOIN tot
+                    WHERE 2 * cum >= tot.nt),
+            cells AS (SELECT cs.event_type,
+                             CAST(sum(CASE WHEN cs.cv > med.m
+                                           THEN cs.n ELSE 0 END)
+                                  AS BIGINT) AS o_above,
+                             CAST(sum(CASE WHEN cs.cv <= med.m
+                                           THEN cs.n ELSE 0 END)
+                                  AS BIGINT) AS o_below
+                      FROM cs CROSS JOIN med GROUP BY 1),
+            rows_ AS (SELECT CAST(sum(o_above) AS BIGINT) AS r_above,
+                             CAST(sum(o_below) AS BIGINT) AS r_below,
+                             CAST(count(*) AS BIGINT) AS k
+                      FROM cells),
+            terms AS (SELECT
+                CAST(floor(CAST(CAST(c.o_above * t.nt
+                                     - r.r_above * (c.o_above + c.o_below)
+                                     AS HUGEINT)
+                                * (c.o_above * t.nt
+                                   - r.r_above * (c.o_above + c.o_below))
+                                AS DOUBLE)
+                           / CAST(CAST(t.nt AS HUGEINT) * r.r_above
+                                  * (c.o_above + c.o_below) AS DOUBLE)
+                           * 1e6) AS BIGINT)
+                + CAST(floor(CAST(CAST(c.o_below * t.nt
+                                       - r.r_below * (c.o_above + c.o_below)
+                                       AS HUGEINT)
+                                  * (c.o_below * t.nt
+                                     - r.r_below * (c.o_above + c.o_below))
+                                  AS DOUBLE)
+                             / CAST(CAST(t.nt AS HUGEINT) * r.r_below
+                                    * (c.o_above + c.o_below) AS DOUBLE)
+                             * 1e6) AS BIGINT) AS m
+                FROM cells c CROSS JOIN rows_ r CROSS JOIN tot t)
+            SELECT (SELECT m FROM med) AS median_cv,
+                   (SELECT k FROM rows_) AS k_types,
+                   (SELECT nt FROM tot) AS n,
+                   round(CAST(sum(m) AS DOUBLE) / 1e6, 6) AS chi2
+            FROM terms
+        """,
+    }
+)

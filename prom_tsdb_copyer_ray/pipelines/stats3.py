@@ -1293,3 +1293,157 @@ def q_kmer_richness(sf_dir: str):
         "n_distinct": pa.array(out["n_distinct"], pa.int64()),
         "richness": pa.array(out["richness"], pa.float64()),
     })
+
+
+def q_pacf2(sf_dir: str):
+    """Partial autocorrelation at lag 2 of the hourly count series via
+    the Durbin-Levinson closed form phi22 = (r2 - r1^2)/(1 - r1^2):
+    because r1 and r2 share one denominator (the ljung_box
+    cross-multiplied autocovariances), phi22 reduces to the EXACT
+    integer ratio (c2*c0 - c1^2)/(c0^2 - c1^2) — Python bignums, one
+    mirrored division; phi11 = r1 for reference."""
+    series, big_h = dense_hour_counts(sf_dir)
+    out = {"event_type": [], "phi11": [], "phi22": []}
+    for et, c in series.items():
+        s1 = int(c.sum())
+        p0 = int(np.dot(c, c))
+        c0 = big_h * (big_h * p0 - s1 * s1)
+
+        def cov_num(k, c=c, s1=s1):
+            pk = int(np.dot(c[:-k], c[k:]))
+            ak = int(c[:-k].sum())
+            bk = int(c[k:].sum())
+            return (big_h * big_h * pk - big_h * s1 * (ak + bk)
+                    + (big_h - k) * s1 * s1)
+
+        c1 = cov_num(1)
+        c2 = cov_num(2)
+        phi11 = float(c1) / float(c0)
+        phi22 = float(c2 * c0 - c1 * c1) / float(c0 * c0 - c1 * c1)
+        out["event_type"].append(et)
+        out["phi11"].append(round(phi11, 6))
+        out["phi22"].append(round(phi22, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "phi11": pa.array(out["phi11"], pa.float64()),
+        "phi22": pa.array(out["phi22"], pa.float64()),
+    })
+
+
+def q_stochastic_dominance(sf_dir: str):
+    """First-order stochastic dominance scan for every type pair over
+    the cent-value census: at each union-support point the CDF
+    comparison cumA*B vs cumB*A is an exact integer cross-
+    multiplication (shared denominator trick), so the dominance verdict
+    (1 = A FSD-dominates, -1 = B dominates, 0 = crossing) and the
+    fraction of support where A's CDF sits at-or-below B's are exact;
+    only the final fraction is a mirrored division."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cv = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "cv": pa.array(cv),
+            "n": pa.array(np.ones(len(cv), np.int64)),
+        })
+        g = t.group_by(["event_type", "cv"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "cv", "n"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "cv"], [("n", "sum")], num_shards=8,
+    ).to_pandas()
+    prof = {str(et): dict(zip(grp["cv"].astype(int), grp["n"].astype(int)))
+            for et, grp in census.groupby("event_type", sort=True)}
+    types = sorted(prof)
+    out = {"type_a": [], "type_b": [], "n_support": [],
+           "frac_a_below": [], "fsd": []}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            a, b = prof[ta], prof[tb]
+            aa = sum(a.values())
+            bb = sum(b.values())
+            support = sorted(set(a) | set(b))
+            ca = cb = 0
+            n_le = n_ge = 0
+            for v in support:
+                ca += a.get(v, 0)
+                cb += b.get(v, 0)
+                if ca * bb <= cb * aa:
+                    n_le += 1
+                if ca * bb >= cb * aa:
+                    n_ge += 1
+            ns = len(support)
+            fsd = 1 if n_le == ns else (-1 if n_ge == ns else 0)
+            out["type_a"].append(ta)
+            out["type_b"].append(tb)
+            out["n_support"].append(ns)
+            out["frac_a_below"].append(round(float(n_le) / float(ns), 6))
+            out["fsd"].append(fsd)
+    return pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "n_support": pa.array(out["n_support"], pa.int64()),
+        "frac_a_below": pa.array(out["frac_a_below"], pa.float64()),
+        "fsd": pa.array(out["fsd"], pa.int64()),
+    })
+
+
+def q_moods_median(sf_dir: str):
+    """Mood's median test across event types: the global LOWER median
+    cent value comes exactly from the value census (smallest cv with
+    2*cum >= N), the 2 x k above/at-or-below contingency is exact
+    integers, and each chi2 cell (o*N - r*c)^2 / (N*r*c) is an exact
+    ratio micro-floored before the cross-cell sum (the
+    chi2_independence protocol)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cv = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "cv": pa.array(cv),
+            "n": pa.array(np.ones(len(cv), np.int64)),
+        })
+        g = t.group_by(["event_type", "cv"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "cv", "n"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "cv"], [("n", "sum")], num_shards=8,
+    ).to_pandas()
+    agg = census.groupby("cv", sort=True)["n"].sum()
+    n_tot = int(agg.sum())
+    cum = agg.cumsum()
+    # lower median: smallest cv with 2*cum >= N
+    median_cv = int(cum.index[int(np.argmax(2 * cum.to_numpy() >= n_tot))])
+    types = sorted(census["event_type"].unique())
+    k = len(types)
+    above = {}
+    below = {}
+    for et, grp in census.groupby("event_type", sort=True):
+        cvv = grp["cv"].to_numpy(np.int64)
+        nn = grp["n"].to_numpy(np.int64)
+        above[str(et)] = int(nn[cvv > median_cv].sum())
+        below[str(et)] = int(nn[cvv <= median_cv].sum())
+    r_above = sum(above.values())
+    r_below = sum(below.values())
+    total = 0
+    for et in types:
+        col = above[et] + below[et]
+        for o, r in ((above[et], r_above), (below[et], r_below)):
+            num = (o * n_tot - r * col) ** 2
+            den = n_tot * r * col
+            total += math.floor(float(num) / float(den) * 1e6)
+    chi2 = float(total) / 1e6
+    return pa.table({
+        "median_cv": pa.array([median_cv], pa.int64()),
+        "k_types": pa.array([k], pa.int64()),
+        "n": pa.array([n_tot], pa.int64()),
+        "chi2": pa.array([round(chi2, 6)], pa.float64()),
+    })

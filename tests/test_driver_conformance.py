@@ -184,6 +184,7 @@ def test_mirror_covers_every_oracle(entry_mod):
         "wilcoxon_signed", "spectral_flatness", "dau_jaccard",
         "cohen_kappa", "friedman_test", "renyi2_entropy",
         "seasonal_strength", "acf_halflife", "kmer_richness",
+        "pacf2", "stochastic_dominance", "moods_median",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

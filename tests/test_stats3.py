@@ -724,3 +724,95 @@ def test_kmer_richness_matches_bruteforce(ray_session, tmp_path):
         assert int(r["n_distinct"]) == len(words)
         assert r["richness"] == pytest.approx(
             len(words) / min(256, len(bit) - 7), abs=1e-6)
+
+
+def test_pacf2_matches_bruteforce(ray_session, tmp_path):
+    """phi22 equals the Durbin-Levinson form computed from naive float
+    autocorrelations."""
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_pacf2
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_pacf2(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    for _, r in got.iterrows():
+        c = dense[r["event_type"]].astype(float)
+        m = c.mean()
+        den = ((c - m) ** 2).sum()
+        r1 = ((c[:-1] - m) * (c[1:] - m)).sum() / den
+        r2 = ((c[:-2] - m) * (c[2:] - m)).sum() / den
+        assert r["phi11"] == pytest.approx(r1, abs=1e-5)
+        assert r["phi22"] == pytest.approx(
+            (r2 - r1 * r1) / (1 - r1 * r1), abs=1e-5)
+
+
+def test_stochastic_dominance_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats3 import (
+        q_stochastic_dominance,
+    )
+
+    rng = np.random.default_rng(37)
+    n = 4000
+    et = np.array(["click", "view"])[rng.integers(0, 2, n)]
+    # 'view' stochastically larger: shifted support
+    val = np.round(rng.gamma(2.0, 3.0, n) + (et == "view") * 2.0, 2)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.full(n, 10 ** 12, np.int64), pa.timestamp("ms")),
+        "user_id": pa.array(rng.integers(0, 50, n).astype(np.int64)),
+        "event_type": pa.array(list(et), pa.string()),
+        "value": pa.array(val),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    got = q_stochastic_dominance(str(tmp_path)).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    cv = np.rint(val * 100).astype(int)
+    a = np.sort(cv[et == "click"])
+    b = np.sort(cv[et == "view"])
+    sup = np.array(sorted(set(a) | set(b)))
+    fa = np.searchsorted(a, sup, side="right") / len(a)
+    fb = np.searchsorted(b, sup, side="right") / len(b)
+    n_le = int((fa <= fb).sum())
+    assert int(r["n_support"]) == len(sup)
+    assert r["frac_a_below"] == pytest.approx(n_le / len(sup), abs=1e-6)
+    # click's CDF should sit weakly above view's everywhere -> view
+    # dominates click -> fsd == -1
+    assert int(r["fsd"]) == (1 if (fa <= fb).all()
+                             else -1 if (fa >= fb).all() else 0)
+
+
+def test_moods_median_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_moods_median
+
+    rng = np.random.default_rng(41)
+    n = 5000
+    et = np.array(["click", "view", "error"])[rng.integers(0, 3, n)]
+    val = np.round(rng.gamma(2.0, 4.0, n)
+                   + (et == "error") * 1.5, 2)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.full(n, 10 ** 12, np.int64), pa.timestamp("ms")),
+        "user_id": pa.array(rng.integers(0, 50, n).astype(np.int64)),
+        "event_type": pa.array(list(et), pa.string()),
+        "value": pa.array(val),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    got = q_moods_median(str(tmp_path)).to_pandas()
+    cv = np.rint(val * 100).astype(int)
+    sv = np.sort(cv)
+    med = int(sv[(len(sv) - 1) // 2])  # lower median
+    assert int(got["median_cv"][0]) == med
+    chi2 = 0.0
+    r_above = int((cv > med).sum())
+    r_below = int((cv <= med).sum())
+    for ty in ("click", "error", "view"):
+        o_a = int(((et == ty) & (cv > med)).sum())
+        o_b = int(((et == ty) & (cv <= med)).sum())
+        col = o_a + o_b
+        for o, rr in ((o_a, r_above), (o_b, r_below)):
+            e = rr * col / n
+            chi2 += (o - e) ** 2 / e
+    assert int(got["n"][0]) == n
+    assert got["chi2"][0] == pytest.approx(chi2, abs=1e-4)
