@@ -11811,3 +11811,117 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Session-12 wave 11 (pipelines/stats3.py): k-group rank test, variance
+# homogeneity, outlier detection.
+from .stats3 import (  # noqa: E402
+    q_brown_forsythe,
+    q_grubbs,
+    q_kruskal_wallis,
+)
+
+QUERIES.update({
+    "kruskal_wallis": q_kruskal_wallis,
+    "brown_forsythe": q_brown_forsythe,
+    "grubbs": q_grubbs,
+})
+
+_CENT_CENSUS_CTE = """
+            WITH s AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cv
+                       FROM events),
+            cs AS (SELECT event_type, cv, count(*) AS n
+                   FROM s GROUP BY 1, 2)
+"""
+
+ORACLE_SQL.update(
+    {
+        "kruskal_wallis": _CENT_CENSUS_CTE + """
+            , m AS (SELECT cv, sum(n) AS n FROM cs GROUP BY 1),
+            rk AS (SELECT cv,
+                          2 * (sum(n) OVER (ORDER BY cv) - n) + n + 1 AS r2
+                   FROM m),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+                           CAST(sum(n * n * n - n) AS BIGINT) AS ties
+                    FROM m),
+            gj AS (SELECT cs.event_type, CAST(sum(cs.n) AS BIGINT) AS nj,
+                          CAST(sum(cs.n * rk.r2) AS BIGINT) AS r2j
+                   FROM cs JOIN rk USING (cv) GROUP BY 1),
+            terms AS (SELECT CAST(floor(
+                          CAST(CAST(r2j AS HUGEINT) * r2j AS DOUBLE)
+                          / CAST(nj AS DOUBLE) * 1e6) AS HUGEINT) AS m
+                      FROM gj),
+            agg AS (SELECT CAST(sum(m) AS HUGEINT) AS total,
+                           CAST(count(*) AS BIGINT) AS k
+                    FROM terms)
+            SELECT agg.k AS k_groups, tot.nt AS n,
+                   round((3.0 * (CAST(agg.total AS DOUBLE) / 1e6)
+                          / CAST(tot.nt * (tot.nt + 1) AS DOUBLE)
+                          - 3.0 * CAST(tot.nt + 1 AS DOUBLE))
+                         * CAST(tot.nt * tot.nt * tot.nt - tot.nt
+                                AS DOUBLE)
+                         / CAST(tot.nt * tot.nt * tot.nt - tot.nt
+                                - tot.ties AS DOUBLE), 6) AS h_stat
+            FROM agg CROSS JOIN tot
+        """,
+        "brown_forsythe": _CENT_CENSUS_CTE + """
+            , tots AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS nj
+                       FROM cs GROUP BY 1),
+            med AS (SELECT c.event_type, CAST(min(c.cv) AS BIGINT) AS med
+                    FROM (SELECT event_type, cv,
+                                 sum(n) OVER (PARTITION BY event_type
+                                              ORDER BY cv) AS cum
+                          FROM cs) c
+                    JOIN tots USING (event_type)
+                    WHERE 2 * c.cum >= tots.nj GROUP BY 1),
+            z AS (SELECT cs.event_type, abs(cs.cv - med.med) AS z, cs.n
+                  FROM cs JOIN med USING (event_type)),
+            gj AS (SELECT event_type, CAST(sum(n * z) AS BIGINT) AS szj,
+                          CAST(sum(n * z * z) AS BIGINT) AS szzj,
+                          CAST(sum(n) AS BIGINT) AS nj
+                   FROM z GROUP BY 1),
+            terms AS (SELECT gj.*, CAST(floor(
+                          CAST(CAST(szj AS HUGEINT) * szj AS DOUBLE)
+                          / CAST(nj AS DOUBLE) * 1e6) AS HUGEINT) AS f
+                      FROM gj),
+            agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                           CAST(sum(nj) AS BIGINT) AS nt,
+                           CAST(sum(szj) AS BIGINT) AS sz,
+                           CAST(sum(szzj) AS BIGINT) AS szz,
+                           CAST(sum(f) AS HUGEINT) AS fsum
+                    FROM terms)
+            SELECT k AS k_groups, nt AS n,
+                   round((CAST(nt - k AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+                         * (CAST(nt AS DOUBLE)
+                            * (CAST(fsum AS DOUBLE) / 1e6)
+                            - CAST(CAST(sz AS HUGEINT) * sz AS DOUBLE))
+                         / (CAST(nt AS DOUBLE)
+                            * (CAST(szz AS DOUBLE)
+                               - CAST(fsum AS DOUBLE) / 1e6)), 6)
+                       AS w_stat
+            FROM agg
+        """,
+        "grubbs": _CENT_CENSUS_CTE + """
+            , tots AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n,
+                              CAST(sum(n * cv) AS BIGINT) AS s,
+                              CAST(sum(n * cv * cv) AS BIGINT) AS sxx
+                       FROM cs GROUP BY 1),
+            best AS (SELECT event_type, cv AS x_star
+                     FROM (SELECT cs.event_type, cs.cv,
+                                  row_number() OVER (
+                                      PARTITION BY cs.event_type
+                                      ORDER BY abs(t.n * cs.cv - t.s)
+                                          DESC, cs.cv) AS rn
+                           FROM cs JOIN tots t USING (event_type))
+                     WHERE rn = 1)
+            SELECT t.event_type, b.x_star AS outlier_cv,
+                   round(CAST(abs(t.n * b.x_star - t.s) AS DOUBLE)
+                         / sqrt(CAST(t.n AS DOUBLE)
+                                * CAST(CAST(t.n AS HUGEINT) * t.sxx
+                                       - CAST(t.s AS HUGEINT) * t.s
+                                       AS DOUBLE)
+                                / CAST(t.n - 1 AS DOUBLE)), 6) AS g_stat
+            FROM tots t JOIN best b USING (event_type) ORDER BY 1
+        """,
+    }
+)

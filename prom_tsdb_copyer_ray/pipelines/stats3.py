@@ -1447,3 +1447,160 @@ def q_moods_median(sf_dir: str):
         "n": pa.array([n_tot], pa.int64()),
         "chi2": pa.array([round(chi2, 6)], pa.float64()),
     })
+
+
+def q_kruskal_wallis(sf_dir: str):
+    """Kruskal-Wallis H across event types on cent values: global
+    DOUBLED midranks from the value-domain census (the mannwhitney_u
+    protocol), per-group rank sums R2_j exact; each R2_j^2/n_j term is
+    micro-floored (identical correctly-rounded double on both engines
+    even past 2^53 — the graded-floor rule) so the group sum is an
+    associative integer; the tie correction multiplies by the exact
+    integer ratio (N^3-N)/((N^3-N) - sum(t^3-t))."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cv = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "cv": pa.array(cv),
+            "n": pa.array(np.ones(len(cv), np.int64)),
+        })
+        g = t.group_by(["event_type", "cv"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "cv", "n"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "cv"], [("n", "sum")], num_shards=8,
+    ).to_pandas()
+    marg = census.groupby("cv", sort=True)["n"].sum()
+    vals = marg.index.to_numpy(np.int64)
+    cnts = marg.to_numpy(np.int64)
+    below = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+    r2_of = dict(zip(vals.tolist(), (2 * below + cnts + 1).tolist()))
+    n_tot = int(cnts.sum())
+    tie_sum = sum(int(t) ** 3 - int(t) for t in cnts)
+    total = 0
+    k = 0
+    for et, grp in census.groupby("event_type", sort=True):
+        k += 1
+        nj = int(grp["n"].sum())
+        r2j = sum(int(nn) * r2_of[int(cv)]
+                  for cv, nn in zip(grp["cv"], grp["n"]))
+        total += math.floor(float(r2j * r2j) / float(nj) * 1e6)
+    h_raw = (3.0 * (float(total) / 1e6)
+             / float(n_tot * (n_tot + 1)) - 3.0 * float(n_tot + 1))
+    nnn = n_tot ** 3 - n_tot
+    h = h_raw * float(nnn) / float(nnn - tie_sum)
+    return pa.table({
+        "k_groups": pa.array([k], pa.int64()),
+        "n": pa.array([n_tot], pa.int64()),
+        "h_stat": pa.array([round(h, 6)], pa.float64()),
+    })
+
+
+def q_brown_forsythe(sf_dir: str):
+    """Brown-Forsythe variance-homogeneity test across event types:
+    Z_ij = |cv - lower_median_j| are EXACT integers (per-group lower
+    medians come from the value census), so every moment in
+    W = ((N-k)/(k-1)) * sum n_j (Zbar_j - Zbar)^2 / sum (Z - Zbar_j)^2
+    is exact; with common denominators the statistic reduces to
+    W = ((N-k)/(k-1)) * (N * sum_j Sz_j^2/n_j - Sz^2) / (N * (Szz -
+    sum_j Sz_j^2/n_j)) where the only non-integer pieces Sz_j^2/n_j
+    are micro-floored identically on both engines."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cv = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "cv": pa.array(cv),
+            "n": pa.array(np.ones(len(cv), np.int64)),
+        })
+        g = t.group_by(["event_type", "cv"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "cv", "n"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "cv"], [("n", "sum")], num_shards=8,
+    ).to_pandas()
+    k = 0
+    n_tot = 0
+    sz = 0
+    szz = 0
+    fsum = 0          # sum of micro-floored Sz_j^2 / n_j
+    for et, grp in census.groupby("event_type", sort=True):
+        k += 1
+        g = grp.sort_values("cv")
+        cvv = g["cv"].to_numpy(np.int64)
+        nn = g["n"].to_numpy(np.int64)
+        nj = int(nn.sum())
+        cum = np.cumsum(nn)
+        med = int(cvv[int(np.argmax(2 * cum >= nj))])   # lower median
+        z = np.abs(cvv - med)
+        szj = int(np.dot(nn, z))
+        szzj = int(np.dot(nn, z * z))
+        n_tot += nj
+        sz += szj
+        szz += szzj
+        fsum += math.floor(float(szj * szj) / float(nj) * 1e6)
+    between = float(n_tot) * (float(fsum) / 1e6) - float(sz * sz)
+    within = float(n_tot) * (float(szz) - float(fsum) / 1e6)
+    w = (float(n_tot - k) / float(k - 1)) * between / within
+    return pa.table({
+        "k_groups": pa.array([k], pa.int64()),
+        "n": pa.array([n_tot], pa.int64()),
+        "w_stat": pa.array([round(w, 6)], pa.float64()),
+    })
+
+
+def q_grubbs(sf_dir: str):
+    """Grubbs outlier statistic per type: the extreme deviation
+    G = max|x - mean| / sd located by the EXACT integer argmax of
+    (N*x - S)^2 over the value census (no float enters the selection),
+    then one mirrored chain G = |N*x* - S| / sqrt(N*(N*Sxx - S^2)
+    / (N-1)).  Outputs the offending cent value too."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cv = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "cv": pa.array(cv),
+            "n": pa.array(np.ones(len(cv), np.int64)),
+        })
+        g = t.group_by(["event_type", "cv"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "cv", "n"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "cv"], [("n", "sum")], num_shards=8,
+    ).to_pandas()
+    out = {"event_type": [], "outlier_cv": [], "g_stat": []}
+    for et, grp in census.groupby("event_type", sort=True):
+        cvv = grp["cv"].to_numpy(np.int64)
+        nn = grp["n"].to_numpy(np.int64)
+        n = int(nn.sum())
+        s = int(np.dot(nn, cvv))
+        sxx = int(np.dot(nn, cvv * cvv))
+        dev = np.abs(n * cvv - s)
+        # exact argmax; ties broken by smaller cv (deterministic)
+        best = np.lexsort((cvv, -dev))[0]
+        x_star = int(cvv[best])
+        g = (float(abs(n * x_star - s))
+             / math.sqrt(float(n) * float(n * sxx - s * s)
+                         / float(n - 1)))
+        out["event_type"].append(str(et))
+        out["outlier_cv"].append(x_star)
+        out["g_stat"].append(round(g, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "outlier_cv": pa.array(out["outlier_cv"], pa.int64()),
+        "g_stat": pa.array(out["g_stat"], pa.float64()),
+    })

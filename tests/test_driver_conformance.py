@@ -185,6 +185,7 @@ def test_mirror_covers_every_oracle(entry_mod):
         "cohen_kappa", "friedman_test", "renyi2_entropy",
         "seasonal_strength", "acf_halflife", "kmer_richness",
         "pacf2", "stochastic_dominance", "moods_median",
+        "kruskal_wallis", "brown_forsythe", "grubbs",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

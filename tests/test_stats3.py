@@ -816,3 +816,82 @@ def test_moods_median_matches_bruteforce(ray_session, tmp_path):
             chi2 += (o - e) ** 2 / e
     assert int(got["n"][0]) == n
     assert got["chi2"][0] == pytest.approx(chi2, abs=1e-4)
+
+
+def _write_valued_events(tmp_path, seed, shift_by_type=0.0):
+    rng = np.random.default_rng(seed)
+    n = 5000
+    et = np.array(["click", "view", "error"])[rng.integers(0, 3, n)]
+    val = np.round(rng.gamma(2.0, 4.0, n)
+                   + (et == "error") * shift_by_type, 2)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.full(n, 10 ** 12, np.int64), pa.timestamp("ms")),
+        "user_id": pa.array(rng.integers(0, 50, n).astype(np.int64)),
+        "event_type": pa.array(list(et), pa.string()),
+        "value": pa.array(val),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    return et, np.rint(val * 100).astype(np.int64)
+
+
+def test_kruskal_wallis_matches_scipy_formula(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_kruskal_wallis
+
+    et, cv = _write_valued_events(tmp_path, 43, shift_by_type=1.0)
+    got = q_kruskal_wallis(str(tmp_path)).to_pandas()
+    # naive midranks
+    order = cv.argsort(kind="stable")
+    ranks = np.empty(len(cv))
+    sv = cv[order]
+    i = 0
+    ties = 0.0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0
+        g = j - i
+        ties += g ** 3 - g
+        i = j
+    n = len(cv)
+    h = 12.0 / (n * (n + 1)) * sum(
+        ranks[et == ty].sum() ** 2 / (et == ty).sum()
+        for ty in np.unique(et)) - 3 * (n + 1)
+    h /= 1 - ties / (n ** 3 - n)
+    assert int(got["n"][0]) == n
+    assert got["h_stat"][0] == pytest.approx(h, abs=1e-4)
+
+
+def test_brown_forsythe_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_brown_forsythe
+
+    et, cv = _write_valued_events(tmp_path, 47, shift_by_type=2.0)
+    got = q_brown_forsythe(str(tmp_path)).to_pandas()
+    zs, groups = [], []
+    for ty in np.unique(et):
+        x = np.sort(cv[et == ty])
+        med = x[(len(x) - 1) // 2]  # lower median
+        zs.append(np.abs(cv[et == ty] - med).astype(float))
+        groups.append(ty)
+    k = len(groups)
+    n = len(cv)
+    zbar = np.concatenate(zs).mean()
+    between = sum(len(z) * (z.mean() - zbar) ** 2 for z in zs)
+    within = sum(((z - z.mean()) ** 2).sum() for z in zs)
+    ref = (n - k) / (k - 1) * between / within
+    assert got["w_stat"][0] == pytest.approx(ref, rel=1e-4)
+
+
+def test_grubbs_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_grubbs
+
+    et, cv = _write_valued_events(tmp_path, 53)
+    got = q_grubbs(str(tmp_path)).to_pandas()
+    for _, r in got.iterrows():
+        x = cv[et == r["event_type"]].astype(float)
+        g = np.abs(x - x.mean()).max() / x.std(ddof=1)
+        assert g == pytest.approx(r["g_stat"], abs=1e-5)
+        assert abs(int(r["outlier_cv"]) - x.mean()) \
+            == pytest.approx(np.abs(x - x.mean()).max(), abs=1e-6)
