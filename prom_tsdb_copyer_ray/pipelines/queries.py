@@ -11925,3 +11925,95 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Session-12 wave 12 (pipelines/stats3.py): vocabulary growth, lexical
+# burstiness, customer segmentation.
+from .stats3 import (  # noqa: E402
+    q_heaps_law,
+    q_rfm_segments,
+    q_term_burstiness,
+)
+
+QUERIES.update({
+    "heaps_law": q_heaps_law,
+    "term_burstiness": q_term_burstiness,
+    "rfm_segments": q_rfm_segments,
+})
+
+ORACLE_SQL.update(
+    {
+        "heaps_law": """
+            WITH dd AS (SELECT CAST(count(*) AS BIGINT) AS d
+                        FROM documents),
+            cuts AS (SELECT i, (dd.d * i) // 5 AS c
+                     FROM (SELECT unnest(generate_series(1, 5)) AS i)
+                     CROSS JOIN dd),
+            tok AS (SELECT doc_id, lower(term) AS term
+                    FROM (SELECT doc_id,
+                                 unnest(regexp_extract_all(text,
+                                        '[A-Za-z]+')) AS term
+                          FROM documents)),
+            tq AS (SELECT cuts.i, CAST(count(*) AS BIGINT) AS t
+                   FROM tok JOIN cuts ON tok.doc_id < cuts.c GROUP BY 1),
+            fmin AS (SELECT term, min(doc_id) AS md FROM tok GROUP BY 1),
+            vq AS (SELECT cuts.i, CAST(count(*) AS BIGINT) AS v
+                   FROM fmin JOIN cuts ON fmin.md < cuts.c GROUP BY 1),
+            pts AS (SELECT CAST(floor(ln(CAST(tq.t AS DOUBLE)) * 1e6)
+                                AS BIGINT) AS x,
+                           CAST(floor(ln(CAST(vq.v AS DOUBLE)) * 1e6)
+                                AS BIGINT) AS y
+                    FROM tq JOIN vq USING (i)),
+            ols AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(x) AS BIGINT) AS sx,
+                           CAST(sum(y) AS BIGINT) AS sy,
+                           CAST(sum(x * x) AS BIGINT) AS sxx,
+                           CAST(sum(x * y) AS BIGINT) AS sxy
+                    FROM pts)
+            SELECT n AS n_points,
+                   (SELECT CAST(count(*) AS BIGINT) FROM fmin
+                    CROSS JOIN dd WHERE fmin.md < dd.d) AS vocab_full,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+                       AS heaps_beta
+            FROM ols
+        """,
+        "term_burstiness": """
+            WITH tok AS (SELECT doc_id, lower(term) AS term
+                         FROM (SELECT doc_id,
+                                      unnest(regexp_extract_all(text,
+                                             '[A-Za-z]+')) AS term
+                               FROM documents)),
+            dt AS (SELECT doc_id, term, count(*) AS f
+                   FROM tok GROUP BY 1, 2),
+            dd AS (SELECT CAST(count(*) AS BIGINT) AS d FROM documents),
+            agg AS (SELECT term, CAST(sum(f) AS BIGINT) AS s1,
+                           CAST(sum(f * f) AS BIGINT) AS s2
+                    FROM dt GROUP BY 1),
+            top AS (SELECT * FROM agg ORDER BY s1 DESC, term LIMIT 10)
+            SELECT term, s1 AS cf,
+                   round(CAST(dd.d * s2 - s1 * s1 AS DOUBLE)
+                         / CAST(dd.d * s1 AS DOUBLE), 6) AS vmr
+            FROM top CROSS JOIN dd ORDER BY cf DESC, term
+        """,
+        "rfm_segments": """
+            WITH u AS (SELECT user_id,
+                              CAST(max(epoch_ms(ts) // 86400000)
+                                   AS BIGINT) AS day,
+                              CAST(count(*) AS BIGINT) AS n,
+                              CAST(sum(CAST(round(value * 100) AS BIGINT))
+                                   AS BIGINT) AS cents
+                       FROM events GROUP BY 1),
+            mx AS (SELECT max(day) AS md FROM u),
+            r AS (SELECT user_id,
+                         ntile(5) OVER (ORDER BY mx.md - day, user_id)
+                             AS r_q,
+                         ntile(5) OVER (ORDER BY n, user_id) AS f_q,
+                         ntile(5) OVER (ORDER BY cents, user_id) AS m_q
+                  FROM u CROSS JOIN mx)
+            SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+                   CAST(m_q AS BIGINT) AS m_q,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+    }
+)

@@ -1604,3 +1604,220 @@ def q_grubbs(sf_dir: str):
         "outlier_cv": pa.array(out["outlier_cv"], pa.int64()),
         "g_stat": pa.array(out["g_stat"], pa.float64()),
     })
+
+
+def q_heaps_law(sf_dir: str):
+    """Heaps' law exponent beta (vocabulary growth V ~ K * T^beta) from
+    five doc-id-ordered prefixes: V_i = #terms whose MIN doc_id falls
+    below the i-th threshold (a (term, min_doc) census — one vocab-
+    bounded exchange), T_i = token count of the prefix (a 5-cell bucket
+    census).  Both are exact integers, the five (ln T, ln V) points are
+    micro-floored, and beta is the exact-int OLS division (the
+    zipf_slope shape).  Prefix order is doc_id — deterministic, not
+    block order."""
+    import re
+    from collections import Counter
+
+    word_re = re.compile(r"[A-Za-z]+")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        first: dict[str, int] = {}
+        tokens: Counter = Counter()
+        max_doc = -1
+        n_docs = 0
+        for did, t in zip(batch["doc_id"].to_pylist(),
+                          batch["text"].to_pylist()):
+            n_docs += 1
+            max_doc = max(max_doc, int(did))
+            ws = [m.lower() for m in word_re.findall(t or "")]
+            tokens[int(did)] = len(ws)
+            for w in ws:
+                if w not in first or first[w] > int(did):
+                    first[w] = int(did)
+        terms = list(first.keys())
+        t1 = pa.table({
+            "term": pa.array(terms, pa.string()),
+            "min_doc": pa.array([first[t] for t in terms], pa.int64()),
+        })
+        return t1
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["term"], [("min_doc", "min")], num_shards=16,
+    )
+
+    # pass A: total doc count (tiny combiner)
+    n_docs = int(
+        _read(sf_dir, "documents", ["doc_id"]).count())
+    cuts = [(n_docs * i) // 5 for i in range(1, 6)]
+
+    # pass B: the five prefix token counts as a 5-cell combiner — the
+    # prefix i is "docs with doc_id < n_docs*i//5" (no per-doc rows
+    # ever reach the driver)
+    def tok_partial(batch: pa.Table, cuts=tuple(cuts)) -> pa.Table:
+        import re as _re
+        wre = _re.compile(r"[A-Za-z]+")
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        toks = np.asarray([len(wre.findall(t or ""))
+                           for t in batch["text"].to_pylist()], np.int64)
+        return pa.table({
+            "i": pa.array(np.arange(1, 6, dtype=np.int64)),
+            "t": pa.array([int(toks[did < c].sum()) for c in cuts],
+                          pa.int64()),
+        })
+
+    tband = sharded_grouped_agg(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(tok_partial, batch_format="pyarrow"),
+        ["i"], [("t", "sum")], num_shards=1,
+    ).to_pandas().sort_values("i")
+
+    # pass C: the five prefix vocab counts as a combiner over CENSUS rows
+    def vocab_partial(batch: pa.Table, cuts=tuple(cuts)) -> pa.Table:
+        md = batch["min_doc"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "i": pa.array(np.arange(1, 6, dtype=np.int64)),
+            "v": pa.array([int(np.count_nonzero(md < c)) for c in cuts],
+                          pa.int64()),
+        })
+
+    vband = sharded_grouped_agg(
+        census.map_batches(vocab_partial, batch_format="pyarrow"),
+        ["i"], [("v", "sum")], num_shards=1,
+    ).to_pandas().sort_values("i")
+    vocab_full = int(vband["v"].to_numpy()[-1])
+    pts = []
+    for big_t, big_v in zip(tband["t"].to_numpy(np.int64),
+                            vband["v"].to_numpy(np.int64)):
+        pts.append((math.floor(math.log(float(int(big_t))) * 1e6),
+                    math.floor(math.log(float(int(big_v))) * 1e6)))
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    beta = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    return pa.table({
+        "n_points": pa.array([n], pa.int64()),
+        "vocab_full": pa.array([vocab_full], pa.int64()),
+        "heaps_beta": pa.array([round(beta, 6)], pa.float64()),
+    })
+
+
+def q_term_burstiness(sf_dir: str):
+    """Lexical burstiness (Church-Gale VMR) of the top-10 collection-
+    frequency terms: with D docs, S1 = collection frequency and
+    S2 = sum of squared per-doc counts, the variance-to-mean ratio over
+    the FULL doc population (absent docs enter through the closed form,
+    never materialized — the fano_factor trick on text)
+    is (D*S2 - S1^2)/(D*S1): exact integers to one division each."""
+    import re
+    from collections import Counter
+
+    word_re = re.compile(r"[A-Za-z]+")
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s1: Counter = Counter()
+        s2: Counter = Counter()
+        docs = 0
+        for t in batch["text"].to_pylist():
+            docs += 1
+            c = Counter(m.lower() for m in word_re.findall(t or ""))
+            for w, f in c.items():
+                s1[w] += f
+                s2[w] += f * f
+        terms = sorted(s1)
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "s1": pa.array([s1[t] for t in terms], pa.int64()),
+            "s2": pa.array([s2[t] for t in terms], pa.int64()),
+            "d": pa.array([docs] + [0] * (len(terms) - 1), pa.int64())
+            if terms else pa.array([], pa.int64()),
+        })
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["term"], [("s1", "sum"), ("s2", "sum"), ("d", "sum")],
+        num_shards=16,
+    ).to_pandas()
+    n_docs = int(census["d"].sum())
+    top = census.sort_values(["s1", "term"],
+                             ascending=[False, True]).head(10)
+    out = {"term": [], "cf": [], "vmr": []}
+    for _, r in top.iterrows():
+        s1, s2 = int(r["s1"]), int(r["s2"])
+        out["term"].append(str(r["term"]))
+        out["cf"].append(s1)
+        out["vmr"].append(round(
+            float(n_docs * s2 - s1 * s1) / float(n_docs * s1), 6))
+    return pa.table({
+        "term": pa.array(out["term"], pa.string()),
+        "cf": pa.array(out["cf"], pa.int64()),
+        "vmr": pa.array(out["vmr"], pa.float64()),
+    })
+
+
+def _ntile_1based(rank: int, n: int, k: int) -> int:
+    """Standard SQL ntile: the first n%k buckets get ceil(n/k) rows."""
+    big = n // k + 1
+    nbig = n % k
+    if rank <= nbig * big:
+        return (rank - 1) // big + 1
+    return nbig + (rank - nbig * big - 1) // (n // k) + 1
+
+
+def q_rfm_segments(sf_dir: str):
+    """RFM segmentation census: per-user recency (days since the
+    corpus-max event day), frequency (event count) and monetary (cent
+    total) from one user-keyed exchange; quintile codes use the exact
+    SQL ntile remainder rule (_ntile_1based, mirrored by the oracle's
+    native ntile(5)) with the deterministic tie order (metric,
+    user_id); output is the (r_q, f_q, m_q) segment census — at most
+    125 cells regardless of user count."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        cv = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table({
+            "user_id": batch["user_id"],
+            "day": pa.array(tms // 86_400_000, pa.int64()),
+            "n": pa.array(np.ones(len(cv), np.int64)),
+            "cents": pa.array(cv),
+        })
+        g = t.group_by(["user_id"]).aggregate(
+            [("day", "max"), ("n", "sum"), ("cents", "sum")])
+        return g.rename_columns(["user_id", "day", "n", "cents"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"], [("day", "max"), ("n", "sum"), ("cents", "sum")],
+        num_shards=8,
+    ).to_pandas()
+    max_day = int(census["day"].max())
+    census["recency"] = max_day - census["day"].astype(np.int64)
+    n = len(census)
+    codes = {}
+    for col, name in (("recency", "r_q"), ("n", "f_q"), ("cents", "m_q")):
+        order = census.sort_values(
+            [col, "user_id"], kind="mergesort").index.to_numpy()
+        q = np.empty(n, np.int64)
+        for rank0, idx in enumerate(order):
+            q[census.index.get_loc(idx)] = _ntile_1based(rank0 + 1, n, 5)
+        codes[name] = q
+    seg = {}
+    for i in range(n):
+        key = (int(codes["r_q"][i]), int(codes["f_q"][i]),
+               int(codes["m_q"][i]))
+        seg[key] = seg.get(key, 0) + 1
+    keys = sorted(seg)
+    return pa.table({
+        "r_q": pa.array([k[0] for k in keys], pa.int64()),
+        "f_q": pa.array([k[1] for k in keys], pa.int64()),
+        "m_q": pa.array([k[2] for k in keys], pa.int64()),
+        "n_users": pa.array([seg[k] for k in keys], pa.int64()),
+    })

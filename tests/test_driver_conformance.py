@@ -186,6 +186,7 @@ def test_mirror_covers_every_oracle(entry_mod):
         "seasonal_strength", "acf_halflife", "kmer_richness",
         "pacf2", "stochastic_dominance", "moods_median",
         "kruskal_wallis", "brown_forsythe", "grubbs",
+        "heaps_law", "term_burstiness", "rfm_segments",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

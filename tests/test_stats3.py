@@ -895,3 +895,91 @@ def test_grubbs_matches_bruteforce(ray_session, tmp_path):
         assert g == pytest.approx(r["g_stat"], abs=1e-5)
         assert abs(int(r["outlier_cv"]) - x.mean()) \
             == pytest.approx(np.abs(x - x.mean()).max(), abs=1e-6)
+
+
+def test_heaps_law_matches_bruteforce(ray_session, tmp_path):
+    from collections import Counter
+
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_heaps_law
+
+    texts, _ = _write_docs(tmp_path)
+    got = q_heaps_law(str(tmp_path)).to_pandas()
+    n = len(texts)
+    xs, ys = [], []
+    for i in range(1, 6):
+        cut = (n * i) // 5
+        toks = [w for t in texts[:cut] for w in t.split()]
+        xs.append(math.log(len(toks)))
+        ys.append(math.log(len(set(toks))))
+    beta = np.polyfit(xs, ys, 1)[0]
+    assert int(got["vocab_full"][0]) == len(
+        {w for t in texts for w in t.split()})
+    assert got["heaps_beta"][0] == pytest.approx(beta, abs=1e-3)
+
+
+def test_term_burstiness_matches_bruteforce(ray_session, tmp_path):
+    from collections import Counter
+
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_term_burstiness
+
+    texts, _ = _write_docs(tmp_path)
+    got = q_term_burstiness(str(tmp_path)).to_pandas()
+    n_docs = len(texts)
+    per_doc = [Counter(t.split()) for t in texts]
+    cf = Counter()
+    for c in per_doc:
+        cf.update(c)
+    top = sorted(cf.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(got["term"]) == [t for t, _ in top]
+    for (term, s1), (_, r) in zip(top, got.iterrows()):
+        f = np.array([c.get(term, 0) for c in per_doc], float)
+        vmr = f.var() / f.mean()
+        assert int(r["cf"]) == s1
+        assert r["vmr"] == pytest.approx(vmr, abs=1e-4)
+
+
+def test_rfm_segments_matches_bruteforce(ray_session, tmp_path):
+    import pandas as pd
+
+    from prom_tsdb_copyer_ray.pipelines.stats3 import (
+        _ntile_1based,
+        q_rfm_segments,
+    )
+
+    rng = np.random.default_rng(59)
+    n = 3000
+    user = rng.integers(0, 77, n)
+    day = rng.integers(19723, 19753, n)
+    ts = day * 86_400_000 + rng.integers(0, 86_400_000, n)
+    val = np.round(rng.gamma(2.0, 5.0, n), 2)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts.astype(np.int64), pa.timestamp("ms")),
+        "user_id": pa.array(user.astype(np.int64)),
+        "event_type": pa.array(["click"] * n, pa.string()),
+        "value": pa.array(val),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    got = q_rfm_segments(str(tmp_path)).to_pandas()
+    u = pd.DataFrame({
+        "user_id": user, "day": day,
+        "cents": np.rint(val * 100).astype(np.int64),
+    }).groupby("user_id").agg(
+        day=("day", "max"), n=("day", "size"), cents=("cents", "sum"))
+    u["recency"] = u["day"].max() - u["day"]
+    nu = len(u)
+    segs = {}
+    qcodes = {}
+    for col, name in (("recency", "r"), ("n", "f"), ("cents", "m")):
+        order = u.reset_index().sort_values(
+            [col, "user_id"], kind="mergesort")["user_id"].tolist()
+        qcodes[name] = {uid: _ntile_1based(i + 1, nu, 5)
+                        for i, uid in enumerate(order)}
+    for uid in u.index:
+        key = (qcodes["r"][uid], qcodes["f"][uid], qcodes["m"][uid])
+        segs[key] = segs.get(key, 0) + 1
+    assert int(got["n_users"].sum()) == nu
+    for _, r in got.iterrows():
+        key = (int(r["r_q"]), int(r["f_q"]), int(r["m_q"]))
+        assert segs.get(key) == int(r["n_users"]), key
