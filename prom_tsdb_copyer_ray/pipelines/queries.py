@@ -12017,3 +12017,108 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Session-12 wave 13 (pipelines/stats3.py): paired binary change, related
+# binary treatments, binary association.
+from .stats3 import (  # noqa: E402
+    q_cochran_q,
+    q_matthews_corr,
+    q_mcnemar,
+)
+
+QUERIES.update({
+    "mcnemar": q_mcnemar,
+    "cochran_q": q_cochran_q,
+    "matthews_corr": q_matthews_corr,
+})
+
+ORACLE_SQL.update(
+    {
+        "mcnemar": """
+            WITH p AS (SELECT user_id,
+                              epoch_ms(ts) // 86400000 AS day,
+                              CAST(round(value * 100) AS BIGINT) AS cv
+                       FROM events WHERE event_type = 'purchase'),
+            vc AS (SELECT cv, count(*) AS n FROM p GROUP BY 1),
+            nt AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM vc),
+            thr AS (SELECT CAST(min(cv) AS BIGINT) AS thr
+                    FROM (SELECT cv, sum(n) OVER (ORDER BY cv) AS cum
+                          FROM vc) CROSS JOIN nt
+                    WHERE 10 * cum >= 9 * nt.n),
+            g AS (SELECT CAST((min(day) + max(day) + 1) // 2 AS BIGINT)
+                             AS mid
+                  FROM p),
+            hv AS (SELECT p.user_id,
+                          max(CASE WHEN p.day < g.mid THEN 1 ELSE 0 END)
+                              AS early,
+                          max(CASE WHEN p.day >= g.mid THEN 1 ELSE 0 END)
+                              AS late
+                   FROM p CROSS JOIN g CROSS JOIN thr
+                   WHERE p.cv > thr.thr
+                   GROUP BY 1),
+            cells AS (SELECT
+                CAST(sum(CASE WHEN early = 1 AND late = 0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                CAST(sum(CASE WHEN early = 0 AND late = 1
+                              THEN 1 ELSE 0 END) AS BIGINT) AS c
+                FROM hv)
+            SELECT (SELECT mid FROM g) AS mid_day,
+                   (SELECT thr FROM thr) AS thr_cv,
+                   b AS b_early_only, c AS c_late_only,
+                   round(CAST((b - c) * (b - c) AS DOUBLE)
+                         / CAST(b + c AS DOUBLE), 6) AS mcnemar
+            FROM cells
+        """,
+        "cochran_q": """
+            WITH av AS (SELECT user_id, event_type,
+                               CAST(round(value * 100) AS BIGINT) AS cv
+                        FROM events),
+            vc AS (SELECT cv, count(*) AS n FROM av GROUP BY 1),
+            nt AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM vc),
+            thr AS (SELECT CAST(min(cv) AS BIGINT) AS thr
+                    FROM (SELECT cv, sum(n) OVER (ORDER BY cv) AS cum
+                          FROM vc) CROSS JOIN nt
+                    WHERE 10 * cum >= 9 * nt.n),
+            ut AS (SELECT DISTINCT av.user_id, av.event_type
+                   FROM av CROSS JOIN thr WHERE av.cv > thr.thr),
+            col AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c
+                    FROM ut GROUP BY 1),
+            rw AS (SELECT user_id, CAST(count(*) AS BIGINT) AS r
+                   FROM ut GROUP BY 1),
+            agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                           CAST(sum(c) AS BIGINT) AS n,
+                           CAST(sum(c * c) AS BIGINT) AS sum_c2
+                    FROM col),
+            rr AS (SELECT CAST(sum(r * r) AS BIGINT) AS sum_r2 FROM rw)
+            SELECT agg.k AS k_treatments,
+                   (SELECT thr FROM thr) AS thr_cv, agg.n AS n_ones,
+                   round(CAST((agg.k - 1)
+                              * (agg.k * agg.sum_c2 - agg.n * agg.n)
+                              AS DOUBLE)
+                         / CAST(agg.k * agg.n - rr.sum_r2 AS DOUBLE), 6)
+                       AS cochran_q
+            FROM agg CROSS JOIN rr
+        """,
+        "matthews_corr": _DENSE_GRID_CTE + """
+            , tots AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS s1
+                       FROM d GROUP BY 1),
+            bits AS (SELECT d.event_type, d.hr,
+                            CASE WHEN d.c * hh.hh > t.s1
+                                 THEN 1 ELSE 0 END AS b
+                     FROM d JOIN tots t USING (event_type) CROSS JOIN hh),
+            p AS (SELECT x.event_type AS ta, y.event_type AS tb,
+                         CAST(sum(x.b * y.b) AS BIGINT) AS a,
+                         CAST(sum(x.b * (1 - y.b)) AS BIGINT) AS b,
+                         CAST(sum((1 - x.b) * y.b) AS BIGINT) AS c,
+                         CAST(sum((1 - x.b) * (1 - y.b)) AS BIGINT) AS d
+                  FROM bits x JOIN bits y ON y.hr = x.hr
+                                         AND x.event_type < y.event_type
+                  GROUP BY 1, 2)
+            SELECT ta AS type_a, tb AS type_b,
+                   round(CAST(a * d - b * c AS DOUBLE)
+                         / sqrt(CAST((a + b) * (a + c) * (b + d) * (c + d)
+                                     AS DOUBLE)), 6) AS mcc
+            FROM p ORDER BY 1, 2
+        """,
+    }
+)

@@ -1821,3 +1821,180 @@ def q_rfm_segments(sf_dir: str):
         "m_q": pa.array([k[2] for k in keys], pa.int64()),
         "n_users": pa.array([seg[k] for k in keys], pa.int64()),
     })
+
+
+def q_mcnemar(sf_dir: str):
+    """McNemar's paired test for HIGH-VALUE purchase behavior change
+    across the purchase-activity midpoint: the exposure is "made an
+    above-P90 purchase" (threshold = exact lower p90 cent value from
+    the purchase-value census, smallest cv with 10*cum >= 9*N), paired
+    as (first half, second half) with mid = (min_day + max_day + 1)//2
+    over purchase days.  Discordant cells b (early-only) and c
+    (late-only) are exact; (b-c)^2/(b+c) is one mirrored division.
+    Pass 1 is a value-census combiner; pass 2 a user-keyed any()
+    census — both bounded."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "value"])
+
+    def census_partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        mask = et == "purchase"
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)[mask]
+        cv = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False)[mask] * 100.0
+        ).astype(np.int64)
+        day = (tms // 86_400_000).astype(np.int64)
+        t = pa.table({
+            "cv": pa.array(cv),
+            "n": pa.array(np.ones(len(cv), np.int64)),
+            "dmin": pa.array(day if len(day) else day),
+            "dmax": pa.array(day if len(day) else day),
+        })
+        g = t.group_by(["cv"]).aggregate(
+            [("n", "sum"), ("dmin", "min"), ("dmax", "max")])
+        return g.rename_columns(["cv", "n", "dmin", "dmax"])
+
+    vc = sharded_grouped_agg(
+        ds.map_batches(census_partial, batch_format="pyarrow"),
+        ["cv"], [("n", "sum"), ("dmin", "min"), ("dmax", "max")],
+        num_shards=2,
+    ).to_pandas().sort_values("cv")
+    n_p = int(vc["n"].sum())
+    cum = vc["n"].cumsum().to_numpy()
+    thr = int(vc["cv"].to_numpy()[int(np.argmax(10 * cum >= 9 * n_p))])
+    lo = int(vc["dmin"].min())
+    hi = int(vc["dmax"].max())
+    mid = (lo + hi + 1) // 2
+
+    def pair_partial(batch: pa.Table, thr=thr, mid=mid) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        cv = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        mask = (et == "purchase") & (cv > thr)
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)[mask]
+        day = (tms // 86_400_000).astype(np.int64)
+        t = pa.table({
+            "user_id": pa.array(
+                batch["user_id"].to_numpy(zero_copy_only=False)[mask]),
+            "early": pa.array((day < mid).astype(np.int64)),
+            "late": pa.array((day >= mid).astype(np.int64)),
+        })
+        g = t.group_by(["user_id"]).aggregate(
+            [("early", "max"), ("late", "max")])
+        return g.rename_columns(["user_id", "early", "late"])
+
+    pairs = sharded_grouped_agg(
+        ds.map_batches(pair_partial, batch_format="pyarrow"),
+        ["user_id"], [("early", "max"), ("late", "max")], num_shards=8,
+    ).to_pandas()
+    e = pairs["early"].to_numpy(np.int64)
+    l = pairs["late"].to_numpy(np.int64)
+    b = int(np.count_nonzero((e == 1) & (l == 0)))
+    c = int(np.count_nonzero((e == 0) & (l == 1)))
+    stat = float((b - c) * (b - c)) / float(b + c)
+    return pa.table({
+        "mid_day": pa.array([mid], pa.int64()),
+        "thr_cv": pa.array([thr], pa.int64()),
+        "b_early_only": pa.array([b], pa.int64()),
+        "c_late_only": pa.array([c], pa.int64()),
+        "mcnemar": pa.array([round(stat, 6)], pa.float64()),
+    })
+
+
+def q_cochran_q(sf_dir: str):
+    """Cochran's Q over the five event types as related binary
+    treatments: x_{u,t} = 1 iff user u performed an ABOVE-P90-value
+    event of type t (global exact lower p90 cent threshold from the
+    value census — the raw any-event indicator is degenerate because
+    every user hits every type).  Row totals R_u and column totals C_t
+    are exact from the (user, type) distinct census and
+    Q = (k-1)*(k*sum C_t^2 - N^2)/(k*N - sum R_u^2) is one mirrored
+    division; all-zero blocks cancel from every term, so dropping them
+    matches the textbook statistic.  The k-treatment extension of
+    mcnemar on the same user-keyed exchange."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def vc_partial(batch: pa.Table) -> pa.Table:
+        cv = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table({"cv": pa.array(cv),
+                      "n": pa.array(np.ones(len(cv), np.int64))})
+        g = t.group_by(["cv"]).aggregate([("n", "sum")])
+        return g.rename_columns(["cv", "n"])
+
+    vc = sharded_grouped_agg(
+        ds.map_batches(vc_partial, batch_format="pyarrow"),
+        ["cv"], [("n", "sum")], num_shards=2,
+    ).to_pandas().sort_values("cv")
+    n_all = int(vc["n"].sum())
+    cum = vc["n"].cumsum().to_numpy()
+    thr = int(vc["cv"].to_numpy()[int(np.argmax(10 * cum >= 9 * n_all))])
+
+    def partial(batch: pa.Table, thr=thr) -> pa.Table:
+        cv = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        mask = cv > thr
+        t = pa.table({
+            "user_id": pa.array(
+                batch["user_id"].to_numpy(zero_copy_only=False)[mask]),
+            "event_type": pa.array(
+                batch["event_type"].to_numpy(zero_copy_only=False)[mask]),
+            "one": pa.array(np.ones(int(mask.sum()), np.int64)),
+        })
+        return t.group_by(["user_id", "event_type"]).aggregate(
+            [("one", "max")]).rename_columns(
+                ["user_id", "event_type", "one"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id", "event_type"], [("one", "max")], num_shards=8,
+    ).to_pandas()
+    k = int(census["event_type"].nunique())
+    col = census.groupby("event_type")["one"].sum()
+    row = census.groupby("user_id")["one"].sum()
+    n = int(census["one"].sum())
+    sum_c2 = sum(int(c) * int(c) for c in col)
+    sum_r2 = sum(int(r) * int(r) for r in row)
+    q = (float((k - 1) * (k * sum_c2 - n * n))
+         / float(k * n - sum_r2))
+    return pa.table({
+        "k_treatments": pa.array([k], pa.int64()),
+        "thr_cv": pa.array([thr], pa.int64()),
+        "n_ones": pa.array([n], pa.int64()),
+        "cochran_q": pa.array([round(q, 6)], pa.float64()),
+    })
+
+
+def q_matthews_corr(sf_dir: str):
+    """Matthews correlation coefficient between every type pair's
+    mean-binarized hourly indicators (the cohen_kappa 2x2):
+    MCC = (ad - bc)/sqrt((a+b)(a+c)(b+d)(c+d)) is exact integers into
+    ONE mirrored sqrt chain (the product stays well under 2^53 for
+    metadata-sized H)."""
+    series, big_h = dense_hour_counts(sf_dir)
+    bits = {}
+    for et, c in series.items():
+        s1 = int(c.sum())
+        bits[et] = ((c * big_h) > s1).astype(np.int64)
+    types = sorted(bits)
+    out = {"type_a": [], "type_b": [], "mcc": []}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            x, y = bits[ta], bits[tb]
+            a = int(np.count_nonzero((x == 1) & (y == 1)))
+            b = int(np.count_nonzero((x == 1) & (y == 0)))
+            c = int(np.count_nonzero((x == 0) & (y == 1)))
+            d = int(np.count_nonzero((x == 0) & (y == 0)))
+            mcc = (float(a * d - b * c)
+                   / math.sqrt(float((a + b) * (a + c)
+                                     * (b + d) * (c + d))))
+            out["type_a"].append(ta)
+            out["type_b"].append(tb)
+            out["mcc"].append(round(mcc, 6))
+    return pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "mcc": pa.array(out["mcc"], pa.float64()),
+    })

@@ -187,6 +187,7 @@ def test_mirror_covers_every_oracle(entry_mod):
         "pacf2", "stochastic_dominance", "moods_median",
         "kruskal_wallis", "brown_forsythe", "grubbs",
         "heaps_law", "term_burstiness", "rfm_segments",
+        "mcnemar", "cochran_q", "matthews_corr",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

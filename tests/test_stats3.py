@@ -983,3 +983,89 @@ def test_rfm_segments_matches_bruteforce(ray_session, tmp_path):
     for _, r in got.iterrows():
         key = (int(r["r_q"]), int(r["f_q"]), int(r["m_q"]))
         assert segs.get(key) == int(r["n_users"]), key
+
+
+def test_mcnemar_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_mcnemar
+
+    rng = np.random.default_rng(61)
+    n = 4000
+    user = rng.integers(0, 60, n)
+    day = rng.integers(19723, 19753, n)
+    ts = day * 86_400_000 + rng.integers(0, 86_400_000, n)
+    et = np.where(rng.random(n) < 0.3, "purchase", "view")
+    val = np.round(rng.gamma(2.0, 5.0, n), 2)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts.astype(np.int64), pa.timestamp("ms")),
+        "user_id": pa.array(user.astype(np.int64)),
+        "event_type": pa.array(list(et), pa.string()),
+        "value": pa.array(val),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    got = q_mcnemar(str(tmp_path)).to_pandas()
+    cv = np.rint(val * 100).astype(np.int64)
+    p = et == "purchase"
+    pv = np.sort(cv[p])
+    thr = int(pv[int(np.argmax(10 * np.arange(1, len(pv) + 1)
+                               >= 9 * len(pv)))])
+    mid = (int(day[p].min()) + int(day[p].max()) + 1) // 2
+    hv = p & (cv > thr)
+    b = c = 0
+    for u in np.unique(user[hv]):
+        m = hv & (user == u)
+        e = bool((day[m] < mid).any())
+        l = bool((day[m] >= mid).any())
+        b += e and not l
+        c += l and not e
+    assert int(got["thr_cv"][0]) == thr
+    assert int(got["mid_day"][0]) == mid
+    assert int(got["b_early_only"][0]) == b
+    assert int(got["c_late_only"][0]) == c
+    assert got["mcnemar"][0] == pytest.approx(
+        (b - c) ** 2 / (b + c), abs=1e-6)
+
+
+def test_cochran_q_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_cochran_q
+
+    et, cv = _write_valued_events(tmp_path, 67)
+    got = q_cochran_q(str(tmp_path)).to_pandas()
+    import pandas as pd
+
+    df = pd.read_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    c = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+    sv = np.sort(c)
+    thr = int(sv[int(np.argmax(10 * np.arange(1, len(sv) + 1)
+                               >= 9 * len(sv)))])
+    sel = df[c > thr]
+    x = sel.groupby(["user_id", "event_type"]).size().clip(upper=1) \
+        .unstack(fill_value=0)
+    k = x.shape[1]
+    cj = x.sum(axis=0).to_numpy(float)
+    ru = x.sum(axis=1).to_numpy(float)
+    n = cj.sum()
+    ref = (k - 1) * (k * (cj ** 2).sum() - n * n) \
+        / (k * n - (ru ** 2).sum())
+    assert int(got["thr_cv"][0]) == thr
+    assert got["cochran_q"][0] == pytest.approx(ref, abs=1e-4)
+
+
+def test_matthews_corr_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_matthews_corr
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_matthews_corr(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    bits = {ty: (c * len(c) > c.sum()).astype(int)
+            for ty, c in dense.items()}
+    for _, r in got.iterrows():
+        x, y = bits[r["type_a"]], bits[r["type_b"]]
+        a = int(((x == 1) & (y == 1)).sum())
+        b = int(((x == 1) & (y == 0)).sum())
+        c = int(((x == 0) & (y == 1)).sum())
+        d = int(((x == 0) & (y == 0)).sum())
+        ref = (a * d - b * c) / math.sqrt(
+            (a + b) * (a + c) * (b + d) * (c + d))
+        assert r["mcc"] == pytest.approx(ref, abs=1e-6)
