@@ -12122,3 +12122,158 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Session-12 wave 14 (pipelines/stats3.py): survival comparison, CDF
+# distance, partial correlation.
+from .stats3 import (  # noqa: E402
+    q_cramer_von_mises,
+    q_log_rank,
+    q_partial_corr,
+)
+
+QUERIES.update({
+    "log_rank": q_log_rank,
+    "cramer_von_mises": q_cramer_von_mises,
+    "partial_corr": q_partial_corr,
+})
+
+ORACLE_SQL.update(
+    {
+        "log_rank": """
+            WITH u AS (SELECT user_id, min(epoch_ms(ts)) AS mn,
+                              max(epoch_ms(ts)) AS mx
+                       FROM events GROUP BY 1),
+            gmx AS (SELECT max(mx) AS dmax FROM u),
+            c AS (SELECT (mx - mn) // 3600000 AS dur,
+                         CASE WHEN gmx.dmax - mx < 86400000
+                              THEN 1 ELSE 0 END AS cens,
+                         CAST(user_id % 2 AS BIGINT) AS grp,
+                         count(*) AS cnt
+                  FROM u CROSS JOIN gmx GROUP BY 1, 2, 3),
+            tot AS (SELECT CAST(sum(CASE WHEN grp = 1 THEN cnt
+                                         ELSE 0 END) AS BIGINT) AS n1,
+                           CAST(sum(CASE WHEN grp = 0 THEN cnt
+                                         ELSE 0 END) AS BIGINT) AS n0
+                    FROM c),
+            durs AS (SELECT dur,
+                            CAST(sum(CASE WHEN grp = 1 AND cens = 0
+                                          THEN cnt ELSE 0 END)
+                                 AS BIGINT) AS d1,
+                            CAST(sum(CASE WHEN grp = 0 AND cens = 0
+                                          THEN cnt ELSE 0 END)
+                                 AS BIGINT) AS d0,
+                            CAST(sum(CASE WHEN grp = 1 THEN cnt
+                                          ELSE 0 END) AS BIGINT) AS r1,
+                            CAST(sum(CASE WHEN grp = 0 THEN cnt
+                                          ELSE 0 END) AS BIGINT) AS r0
+                     FROM c GROUP BY 1),
+            risk AS (SELECT dur, d1, d0,
+                            tot.n1 - sum(r1) OVER wo + r1 AS at1,
+                            tot.n0 - sum(r0) OVER wo + r0 AS at0
+                     FROM durs CROSS JOIN tot
+                     WINDOW wo AS (ORDER BY dur
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW)),
+            terms AS (SELECT d1, at1, at0, at1 + at0 AS nt,
+                             d1 + d0 AS dt
+                      FROM risk),
+            f AS (SELECT
+                CAST(sum(CASE WHEN dt > 0 AND nt > 1 THEN d1
+                              ELSE 0 END) AS BIGINT) AS o1,
+                CAST(sum(CASE WHEN dt > 0 AND nt > 1 THEN
+                    CAST(floor(CAST(dt * at1 AS DOUBLE)
+                               / CAST(nt AS DOUBLE) * 1e6) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS e1,
+                CAST(sum(CASE WHEN dt > 0 AND nt > 1 THEN
+                    CAST(floor(CAST(dt * at1 * at0 * (nt - dt)
+                                    AS DOUBLE)
+                               / CAST(nt * nt * (nt - 1) AS DOUBLE)
+                               * 1e6) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS v
+                FROM terms)
+            SELECT tot.n1 AS n_grp1, tot.n0 AS n_grp0,
+                   f.o1 AS o1_deaths,
+                   round((CAST(f.o1 AS DOUBLE)
+                          - CAST(f.e1 AS DOUBLE) / 1e6)
+                         / sqrt(CAST(f.v AS DOUBLE) / 1e6), 6)
+                       AS log_rank_z
+            FROM f CROSS JOIN tot
+        """,
+        "cramer_von_mises": """
+            WITH s AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cv
+                       FROM events
+                       WHERE event_type IN ('purchase', 'view')),
+            c AS (SELECT cv,
+                         CAST(sum(CASE WHEN event_type = 'purchase'
+                                       THEN 1 ELSE 0 END)
+                              AS BIGINT) AS a,
+                         CAST(sum(CASE WHEN event_type = 'view'
+                                       THEN 1 ELSE 0 END)
+                              AS BIGINT) AS b
+                  FROM s GROUP BY 1),
+            t AS (SELECT CAST(sum(a) AS BIGINT) AS n,
+                         CAST(sum(b) AS BIGINT) AS m FROM c),
+            k AS (SELECT a, b, sum(a) OVER (ORDER BY cv) AS ca,
+                         sum(b) OVER (ORDER BY cv) AS cb
+                  FROM c),
+            num AS (SELECT CAST(sum(
+                        CAST(a + b AS HUGEINT)
+                        * (ca * t.m - cb * t.n)
+                        * (ca * t.m - cb * t.n)) AS HUGEINT) AS num
+                    FROM k CROSS JOIN t)
+            SELECT t.n AS n_purchase, t.m AS n_view,
+                   round(CAST(num.num AS DOUBLE)
+                         / CAST(CAST(t.n AS HUGEINT) * t.m
+                                * (t.n + t.m) * (t.n + t.m)
+                                AS DOUBLE), 6) AS cvm_t
+            FROM num CROSS JOIN t
+        """,
+        "partial_corr": """
+            WITH s AS (SELECT (epoch_ms(ts) // 3600000) % 24 AS hod,
+                              ((epoch_ms(ts) // 86400000) + 3) % 7
+                                  AS dow,
+                              CAST(round(value * 100) AS BIGINT) AS cv
+                       FROM events),
+            m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(cv) AS BIGINT) AS sx,
+                         CAST(sum(cv * cv) AS BIGINT) AS sxx,
+                         CAST(sum(hod) AS BIGINT) AS sy,
+                         CAST(sum(hod * hod) AS BIGINT) AS syy,
+                         CAST(sum(dow) AS BIGINT) AS sz,
+                         CAST(sum(dow * dow) AS BIGINT) AS szz,
+                         CAST(sum(cv * hod) AS BIGINT) AS sxy,
+                         CAST(sum(cv * dow) AS BIGINT) AS sxz,
+                         CAST(sum(hod * dow) AS BIGINT) AS syz
+                  FROM s),
+            r AS (SELECT n,
+                    CAST(CAST(n AS HUGEINT) * sxy
+                         - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                    / sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                                - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                           * CAST(CAST(n AS HUGEINT) * syy
+                                  - CAST(sy AS HUGEINT) * sy
+                                  AS DOUBLE)) AS rxy,
+                    CAST(CAST(n AS HUGEINT) * sxz
+                         - CAST(sx AS HUGEINT) * sz AS DOUBLE)
+                    / sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                                - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                           * CAST(CAST(n AS HUGEINT) * szz
+                                  - CAST(sz AS HUGEINT) * sz
+                                  AS DOUBLE)) AS rxz,
+                    CAST(CAST(n AS HUGEINT) * syz
+                         - CAST(sy AS HUGEINT) * sz AS DOUBLE)
+                    / sqrt(CAST(CAST(n AS HUGEINT) * syy
+                                - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+                           * CAST(CAST(n AS HUGEINT) * szz
+                                  - CAST(sz AS HUGEINT) * sz
+                                  AS DOUBLE)) AS ryz
+                  FROM m)
+            SELECT n, round(rxy, 6) AS r_xy,
+                   round((rxy - rxz * ryz)
+                         / sqrt((1.0 - rxz * rxz)
+                                * (1.0 - ryz * ryz)), 6) AS r_partial
+            FROM r
+        """,
+    }
+)

@@ -1998,3 +1998,191 @@ def q_matthews_corr(sf_dir: str):
         "type_b": pa.array(out["type_b"], pa.string()),
         "mcc": pa.array(out["mcc"], pa.float64()),
     })
+
+
+def q_log_rank(sf_dir: str):
+    """Log-rank test comparing user-lifespan survival between the two
+    user-id-parity cohorts (deterministic group split), with the
+    kaplan_meier censoring rule (last seen within 24 h of corpus end —
+    extras.py).  The (duration, censored, group) census is the only
+    exchange; at each distinct duration the expected-death and variance
+    terms d*n1/n and d*n1*n0*(n-d)/(n^2*(n-1)) are exact-int ratios
+    micro-floored before summing, and z = (O1 - E1)/sqrt(V) is the one
+    mirrored chain."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def per_user_partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "mn": pa.array(tms, pa.int64()),
+            "mx": pa.array(tms, pa.int64()),
+        })
+        g = t.group_by(["user_id"]).aggregate(
+            [("mn", "min"), ("mx", "max")])
+        return g.rename_columns(["user_id", "mn", "mx"])
+
+    per_user = sharded_grouped_agg(
+        ds.map_batches(per_user_partial, batch_format="pyarrow"),
+        ["user_id"], [("mn", "min"), ("mx", "max")], num_shards=8,
+    ).materialize()
+    data_max = int(per_user.max("mx"))
+
+    def dur_census(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        mn = batch["mn"].to_numpy(zero_copy_only=False)
+        mx = batch["mx"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "dur": pa.array((mx - mn) // 3600000, pa.int64()),
+            "cens": pa.array(
+                (data_max - mx < 86400000).astype(np.int64)),
+            "grp": pa.array((uid % 2).astype(np.int64)),
+            "cnt": pa.array(np.ones(len(mn), np.int64)),
+        })
+        g = t.group_by(["dur", "cens", "grp"]).aggregate([("cnt", "sum")])
+        return g.rename_columns(["dur", "cens", "grp", "cnt"])
+
+    census = sharded_grouped_agg(
+        per_user.map_batches(dur_census, batch_format="pyarrow"),
+        ["dur", "cens", "grp"], [("cnt", "sum")], num_shards=4,
+    ).to_pandas()
+    n1 = int(census.loc[census["grp"] == 1, "cnt"].sum())
+    n0 = int(census.loc[census["grp"] == 0, "cnt"].sum())
+    o1 = 0
+    e1_sum = 0
+    v_sum = 0
+    at1, at0 = n1, n0
+    for dur, grp in census.groupby("dur", sort=True):
+        nt = at1 + at0
+        d1 = int(grp.loc[(grp["cens"] == 0) & (grp["grp"] == 1),
+                         "cnt"].sum())
+        d0 = int(grp.loc[(grp["cens"] == 0) & (grp["grp"] == 0),
+                         "cnt"].sum())
+        dt = d1 + d0
+        if dt > 0 and nt > 1:
+            o1 += d1
+            e1_sum += math.floor(
+                float(dt * at1) / float(nt) * 1e6)
+            v_sum += math.floor(
+                float(dt * at1 * at0 * (nt - dt))
+                / float(nt * nt * (nt - 1)) * 1e6)
+        at1 -= int(grp.loc[grp["grp"] == 1, "cnt"].sum())
+        at0 -= int(grp.loc[grp["grp"] == 0, "cnt"].sum())
+    z = ((float(o1) - float(e1_sum) / 1e6)
+         / math.sqrt(float(v_sum) / 1e6))
+    return pa.table({
+        "n_grp1": pa.array([n1], pa.int64()),
+        "n_grp0": pa.array([n0], pa.int64()),
+        "o1_deaths": pa.array([o1], pa.int64()),
+        "log_rank_z": pa.array([round(z, 6)], pa.float64()),
+    })
+
+
+def q_cramer_von_mises(sf_dir: str):
+    """Two-sample Cramer-von Mises T between the purchase and view
+    value distributions (the ks_statistic pair) — FULLY exact: over the
+    pooled support, T = sum_v (a_v+b_v) * (cumA*m - cumB*n)^2
+    / (n*m*(n+m)^2) has an exact bignum/HUGEINT numerator and ONE
+    mirrored division.  The quadratic (whole-CDF) complement of KS's
+    supremum."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        mask = (et == "purchase") | (et == "view")
+        cv = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False)[mask] * 100.0
+        ).astype(np.int64)
+        t = pa.table({
+            "cv": pa.array(cv),
+            "a": pa.array((et[mask] == "purchase").astype(np.int64)),
+            "b": pa.array((et[mask] == "view").astype(np.int64)),
+        })
+        g = t.group_by(["cv"]).aggregate([("a", "sum"), ("b", "sum")])
+        return g.rename_columns(["cv", "a", "b"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["cv"], [("a", "sum"), ("b", "sum")], num_shards=4,
+    ).to_pandas().sort_values("cv")
+    a = census["a"].to_numpy(np.int64)
+    b = census["b"].to_numpy(np.int64)
+    n = int(a.sum())
+    m = int(b.sum())
+    ca = np.cumsum(a)
+    cb = np.cumsum(b)
+    num = sum(int(w) * (int(x) * m - int(y) * n) ** 2
+              for w, x, y in zip(a + b, ca, cb))
+    t_stat = float(num) / float(n * m * (n + m) * (n + m))
+    return pa.table({
+        "n_purchase": pa.array([n], pa.int64()),
+        "n_view": pa.array([m], pa.int64()),
+        "cvm_t": pa.array([round(t_stat, 6)], pa.float64()),
+    })
+
+
+def q_partial_corr(sf_dir: str):
+    """Partial Pearson correlation of event value and hour-of-day
+    CONTROLLING for day-of-week: the three pairwise r's come from one
+    (hod, dow) moment census (168 cells of exact integer sums), each as
+    the spearman-style mirrored num/sqrt(d1*d2), and
+    r_xy.z = (rxy - rxz*ryz)/sqrt((1-rxz^2)*(1-ryz^2)) is the final
+    mirrored chain — bit-identical because every input double derives
+    from the same exact integers."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        cv = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table({
+            "hod": pa.array((tms // 3_600_000) % 24, pa.int64()),
+            "dow": pa.array(((tms // 86_400_000) + 3) % 7, pa.int64()),
+            "n": pa.array(np.ones(len(cv), np.int64)),
+            "sx": pa.array(cv),
+            "sxx": pa.array(cv * cv),
+        })
+        g = t.group_by(["hod", "dow"]).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sxx", "sum")])
+        return g.rename_columns(["hod", "dow", "n", "sx", "sxx"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["hod", "dow"], [("n", "sum"), ("sx", "sum"), ("sxx", "sum")],
+        num_shards=2,
+    ).to_pandas()
+    hod = census["hod"].to_numpy(np.int64)
+    dow = census["dow"].to_numpy(np.int64)
+    nn = census["n"].to_numpy(np.int64)
+    sx_c = census["sx"].to_numpy(np.int64)
+    sxx_c = census["sxx"].to_numpy(np.int64)
+    n = int(nn.sum())
+    sx = int(sx_c.sum())
+    sxx = int(sxx_c.sum())
+    sy = int(np.dot(nn, hod))
+    syy = int(np.dot(nn, hod * hod))
+    sz = int(np.dot(nn, dow))
+    szz = int(np.dot(nn, dow * dow))
+    sxy = int(np.dot(sx_c, hod))
+    sxz = int(np.dot(sx_c, dow))
+    syz = int(np.dot(nn, hod * dow))
+
+    def corr(sab, sa, sb, saa, sbb):
+        num = n * sab - sa * sb
+        d1 = n * saa - sa * sa
+        d2 = n * sbb - sb * sb
+        return float(num) / math.sqrt(float(d1) * float(d2))
+
+    rxy = corr(sxy, sx, sy, sxx, syy)
+    rxz = corr(sxz, sx, sz, sxx, szz)
+    ryz = corr(syz, sy, sz, syy, szz)
+    rp = ((rxy - rxz * ryz)
+          / math.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)))
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "r_xy": pa.array([round(rxy, 6)], pa.float64()),
+        "r_partial": pa.array([round(rp, 6)], pa.float64()),
+    })

@@ -188,6 +188,7 @@ def test_mirror_covers_every_oracle(entry_mod):
         "kruskal_wallis", "brown_forsythe", "grubbs",
         "heaps_law", "term_burstiness", "rfm_segments",
         "mcnemar", "cochran_q", "matthews_corr",
+        "log_rank", "cramer_von_mises", "partial_corr",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

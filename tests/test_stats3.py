@@ -1069,3 +1069,110 @@ def test_matthews_corr_matches_bruteforce(ray_session, tmp_path):
         ref = (a * d - b * c) / math.sqrt(
             (a + b) * (a + c) * (b + d) * (c + d))
         assert r["mcc"] == pytest.approx(ref, abs=1e-6)
+
+
+def test_log_rank_matches_bruteforce(ray_session, tmp_path):
+    """z equals the textbook log-rank normal statistic computed with a
+    naive per-duration loop (same censoring rule as kaplan_meier)."""
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_log_rank
+
+    rng = np.random.default_rng(71)
+    n = 4000
+    user = rng.integers(0, 90, n)
+    ts = rng.integers(0, 30 * 24, n) * 3_600_000 \
+        + rng.integers(0, 3_600_000, n)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts.astype(np.int64), pa.timestamp("ms")),
+        "user_id": pa.array(user.astype(np.int64)),
+        "event_type": pa.array(["click"] * n, pa.string()),
+        "value": pa.array(np.ones(n, np.float64)),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    got = q_log_rank(str(tmp_path)).to_pandas()
+    import pandas as pd
+
+    u = pd.DataFrame({"u": user, "ts": ts}).groupby("u")["ts"] \
+        .agg(["min", "max"])
+    dmax = u["max"].max()
+    dur = ((u["max"] - u["min"]) // 3_600_000).to_numpy(np.int64)
+    cens = ((dmax - u["max"]) < 86_400_000).to_numpy()
+    grp = (u.index.to_numpy() % 2).astype(int)
+    at1 = int((grp == 1).sum())
+    at0 = int((grp == 0).sum())
+    o1 = e1 = v = 0.0
+    for d in sorted(set(dur)):
+        m = dur == d
+        d1 = int((m & ~cens & (grp == 1)).sum())
+        d0 = int((m & ~cens & (grp == 0)).sum())
+        dt = d1 + d0
+        nt = at1 + at0
+        if dt > 0 and nt > 1:
+            o1 += d1
+            e1 += dt * at1 / nt
+            v += dt * at1 * at0 * (nt - dt) / (nt * nt * (nt - 1))
+        at1 -= int((m & (grp == 1)).sum())
+        at0 -= int((m & (grp == 0)).sum())
+    zref = (o1 - e1) / math.sqrt(v)
+    assert int(got["o1_deaths"][0]) == int(o1)
+    assert got["log_rank_z"][0] == pytest.approx(zref, abs=1e-3)
+
+
+def test_cramer_von_mises_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_cramer_von_mises
+
+    rng = np.random.default_rng(73)
+    n = 5000
+    et = np.where(rng.random(n) < 0.4, "purchase", "view")
+    val = np.round(rng.gamma(2.0, 4.0, n)
+                   + (et == "purchase") * 0.8, 2)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.full(n, 10 ** 12, np.int64), pa.timestamp("ms")),
+        "user_id": pa.array(rng.integers(0, 50, n).astype(np.int64)),
+        "event_type": pa.array(list(et), pa.string()),
+        "value": pa.array(val),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    got = q_cramer_von_mises(str(tmp_path)).to_pandas()
+    cv = np.rint(val * 100).astype(np.int64)
+    a = np.sort(cv[et == "purchase"])
+    b = np.sort(cv[et == "view"])
+    pooled = np.concatenate([a, b])
+    fa = np.searchsorted(a, pooled, side="right") / len(a)
+    fb = np.searchsorted(b, pooled, side="right") / len(b)
+    ref = (len(a) * len(b) / (len(a) + len(b)) ** 2) \
+        * ((fa - fb) ** 2).sum()
+    assert got["cvm_t"][0] == pytest.approx(ref, abs=1e-6)
+
+
+def test_partial_corr_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_partial_corr
+
+    rng = np.random.default_rng(79)
+    n = 5000
+    hrs = rng.integers(0, 30 * 24, n)
+    ts = hrs * 3_600_000 + rng.integers(0, 3_600_000, n)
+    hod = hrs % 24
+    val = np.round(rng.gamma(2.0, 3.0, n) + hod * 0.1, 2)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts.astype(np.int64), pa.timestamp("ms")),
+        "user_id": pa.array(rng.integers(0, 50, n).astype(np.int64)),
+        "event_type": pa.array(["click"] * n, pa.string()),
+        "value": pa.array(val),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    got = q_partial_corr(str(tmp_path)).to_pandas()
+    cv = np.rint(val * 100).astype(float)
+    dow = ((ts // 86_400_000) + 3) % 7
+    rxy = np.corrcoef(cv, hod)[0, 1]
+    rxz = np.corrcoef(cv, dow)[0, 1]
+    ryz = np.corrcoef(hod.astype(float), dow.astype(float))[0, 1]
+    ref = (rxy - rxz * ryz) / math.sqrt(
+        (1 - rxz ** 2) * (1 - ryz ** 2))
+    assert got["r_xy"][0] == pytest.approx(rxy, abs=1e-5)
+    assert got["r_partial"][0] == pytest.approx(ref, abs=1e-5)
