@@ -12277,3 +12277,92 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Session-12 wave 15 (pipelines/stats3.py): circular two-sample test,
+# nonparametric change point, variance ratio.
+from .stats3 import (  # noqa: E402
+    q_f_test,
+    q_kuiper,
+    q_pettitt,
+)
+
+QUERIES.update({
+    "kuiper": q_kuiper,
+    "pettitt": q_pettitt,
+    "f_test": q_f_test,
+})
+
+ORACLE_SQL.update(
+    {
+        "kuiper": """
+            WITH s AS (SELECT event_type,
+                              (epoch_ms(ts) // 3600000) % 24 AS d
+                       FROM events
+                       WHERE event_type IN ('purchase', 'view')),
+            c AS (SELECT d,
+                         sum(CASE WHEN event_type = 'purchase'
+                                  THEN 1 ELSE 0 END) AS a,
+                         sum(CASE WHEN event_type = 'view'
+                                  THEN 1 ELSE 0 END) AS b
+                  FROM s GROUP BY 1),
+            dd AS (SELECT unnest(generate_series(0, 23)) AS d),
+            g AS (SELECT dd.d, COALESCE(c.a, 0) AS a,
+                         COALESCE(c.b, 0) AS b
+                  FROM dd LEFT JOIN c USING (d)),
+            t AS (SELECT CAST(sum(a) AS BIGINT) AS n,
+                         CAST(sum(b) AS BIGINT) AS m FROM g),
+            k AS (SELECT d, sum(a) OVER w AS ca, sum(b) OVER w AS cb
+                  FROM g WINDOW w AS (ORDER BY d)),
+            dv AS (SELECT CAST(ca * t.m - cb * t.n AS BIGINT) AS dvv
+                   FROM k CROSS JOIN t)
+            SELECT t.n AS n_purchase, t.m AS n_view,
+                   CAST(max(dvv) - min(dvv) AS BIGINT) AS v_num,
+                   round(CAST(max(dvv) - min(dvv) AS DOUBLE)
+                         / CAST(t.n * t.m AS DOUBLE), 6) AS kuiper_v
+            FROM dv CROSS JOIN t GROUP BY t.n, t.m
+        """,
+        "pettitt": _DENSE_GRID_CTE + """
+            , rw AS (SELECT a.event_type, a.hr,
+                            CAST(sum(CASE WHEN a.c > b.c THEN 1
+                                          WHEN a.c < b.c THEN -1
+                                          ELSE 0 END) AS BIGINT) AS rs
+                     FROM d a JOIN d b ON b.event_type = a.event_type
+                     GROUP BY 1, 2),
+            u AS (SELECT event_type,
+                         sum(rs) OVER (PARTITION BY event_type
+                                       ORDER BY hr) AS u,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY hr) - 1 AS idx,
+                         count(*) OVER (PARTITION BY event_type) AS nh
+                  FROM rw),
+            uu AS (SELECT event_type, idx, abs(u) AS au
+                   FROM u WHERE idx < nh - 1),
+            mx AS (SELECT event_type, max(au) AS k FROM uu GROUP BY 1)
+            SELECT mx.event_type, CAST(mx.k AS BIGINT) AS k_stat,
+                   CAST(min(uu.idx) AS BIGINT) AS t_hat
+            FROM mx JOIN uu ON uu.event_type = mx.event_type
+                           AND uu.au = mx.k
+            GROUP BY 1, 2 ORDER BY 1
+        """,
+        "f_test": _CENT_CENSUS_CTE + """
+            , g AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS nn,
+                           CAST(sum(n * cv) AS BIGINT) AS s,
+                           CAST(sum(n * cv * cv) AS BIGINT) AS q
+                    FROM cs GROUP BY 1),
+            p AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                         a.nn AS n1, a.s AS s1, a.q AS q1,
+                         b.nn AS n2, b.s AS s2, b.q AS q2
+                  FROM g a JOIN g b ON a.event_type < b.event_type)
+            SELECT ta AS type_a, tb AS type_b,
+                   CAST(n1 - 1 AS BIGINT) AS df1,
+                   CAST(n2 - 1 AS BIGINT) AS df2,
+                   round(CAST((CAST(n1 AS HUGEINT) * q1
+                               - CAST(s1 AS HUGEINT) * s1)
+                              * n2 * (n2 - 1) AS DOUBLE)
+                         / CAST((CAST(n2 AS HUGEINT) * q2
+                                 - CAST(s2 AS HUGEINT) * s2)
+                                * n1 * (n1 - 1) AS DOUBLE), 6) AS f_stat
+            FROM p ORDER BY 1, 2
+        """,
+    }
+)

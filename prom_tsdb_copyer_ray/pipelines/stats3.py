@@ -2186,3 +2186,127 @@ def q_partial_corr(sf_dir: str):
         "r_xy": pa.array([round(rxy, 6)], pa.float64()),
         "r_partial": pa.array([round(rp, 6)], pa.float64()),
     })
+
+
+def q_kuiper(sf_dir: str):
+    """Kuiper two-sample test on the CIRCULAR hour-of-day distributions
+    of purchases vs views: V = sup(F-G) + sup(G-F) is rotation-
+    invariant (the right test for clock data, where KS is not).  Over
+    the 24-cell censuses every CDF difference cumA*m - cumB*n is an
+    exact integer, so V = (max D - min D)/(n*m) is EXACT to one
+    mirrored division."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        mask = (et == "purchase") | (et == "view")
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)[mask]
+        t = pa.table({
+            "d": pa.array((tms // 3_600_000) % 24, pa.int64()),
+            "a": pa.array((et[mask] == "purchase").astype(np.int64)),
+            "b": pa.array((et[mask] == "view").astype(np.int64)),
+        })
+        g = t.group_by(["d"]).aggregate([("a", "sum"), ("b", "sum")])
+        return g.rename_columns(["d", "a", "b"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["d"], [("a", "sum"), ("b", "sum")], num_shards=1,
+    ).to_pandas().sort_values("d")
+    a = np.zeros(24, np.int64)
+    b = np.zeros(24, np.int64)
+    a[census["d"].to_numpy()] = census["a"].to_numpy()
+    b[census["d"].to_numpy()] = census["b"].to_numpy()
+    n, m = int(a.sum()), int(b.sum())
+    dvec = np.cumsum(a) * m - np.cumsum(b) * n
+    v_num = int(dvec.max()) - int(dvec.min())
+    return pa.table({
+        "n_purchase": pa.array([n], pa.int64()),
+        "n_view": pa.array([m], pa.int64()),
+        "v_num": pa.array([v_num], pa.int64()),
+        "kuiper_v": pa.array(
+            [round(float(v_num) / float(n * m), 6)], pa.float64()),
+    })
+
+
+def q_pettitt(sf_dir: str):
+    """Pettitt change-point test per type on the dense hourly count
+    series: U_t = sum_{i<=t, j>t} sign(c_i - c_j); the statistic
+    K = max|U_t| and its location are EXACT integers (the rank-based
+    Mann-Whitney sweep, computed as a vectorized O(H^2) driver scan
+    over grid metadata with ties handled by sign=0; first-location
+    tie-break).  The nonparametric complement of the binary-
+    segmentation changepoint entry."""
+    series, big_h = dense_hour_counts(sf_dir)
+    out = {"event_type": [], "k_stat": [], "t_hat": []}
+    for et, c in series.items():
+        sgn = np.sign(c[:, None] - c[None, :]).astype(np.int64)
+        row = sgn.sum(axis=1)          # sum_j sign(c_i - c_j) over ALL j
+        # U_t = sum_{i<=t} (sum_{j>t}) = cum_t(row) - inside-pair terms
+        # computed incrementally: U_t = U_{t-1} + sum_{j} sign(c_t-c_j)
+        #   - 2*sum_{i<=t} sign... use direct: U_t = sum_{i<=t} row_i
+        #   - 2*sum_{i<=t,j<=t} sign(c_i - c_j) and the inner double sum
+        #   of a sign matrix over a symmetric index set is 0, so
+        #   U_t = cumsum(row)_t exactly.
+        u = np.cumsum(row)[:-1]        # t = 0..H-2
+        k_idx = int(np.argmax(np.abs(u)))
+        out["event_type"].append(et)
+        out["k_stat"].append(int(abs(int(u[k_idx]))))
+        out["t_hat"].append(k_idx)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "k_stat": pa.array(out["k_stat"], pa.int64()),
+        "t_hat": pa.array(out["t_hat"], pa.int64()),
+    })
+
+
+def q_f_test(sf_dir: str):
+    """Variance-ratio F test for every type pair on cent values: with
+    exact moment sums the ratio of sample variances reduces over the
+    common denominator to
+    F = ((n1*sxx1 - s1^2) * n2 * (n2-1)) / ((n2*sxx2 - s2^2) * n1 *
+    (n1-1)) — exact integers (bignum/HUGEINT) to ONE mirrored
+    division."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cv = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "n": pa.array(np.ones(len(cv), np.int64)),
+            "s": pa.array(cv),
+            "q": pa.array(cv * cv),
+        })
+        g = t.group_by(["event_type"]).aggregate(
+            [("n", "sum"), ("s", "sum"), ("q", "sum")])
+        return g.rename_columns(["event_type", "n", "s", "q"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], [("n", "sum"), ("s", "sum"), ("q", "sum")],
+        num_shards=1,
+    ).to_pandas().sort_values("event_type")
+    rowsd = {str(r["event_type"]): (int(r["n"]), int(r["s"]), int(r["q"]))
+             for _, r in census.iterrows()}
+    types = sorted(rowsd)
+    out = {"type_a": [], "type_b": [], "df1": [], "df2": [], "f_stat": []}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            n1, s1, q1 = rowsd[ta]
+            n2, s2, q2 = rowsd[tb]
+            num = (n1 * q1 - s1 * s1) * n2 * (n2 - 1)
+            den = (n2 * q2 - s2 * s2) * n1 * (n1 - 1)
+            out["type_a"].append(ta)
+            out["type_b"].append(tb)
+            out["df1"].append(n1 - 1)
+            out["df2"].append(n2 - 1)
+            out["f_stat"].append(round(float(num) / float(den), 6))
+    return pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "df1": pa.array(out["df1"], pa.int64()),
+        "df2": pa.array(out["df2"], pa.int64()),
+        "f_stat": pa.array(out["f_stat"], pa.float64()),
+    })

@@ -189,6 +189,7 @@ def test_mirror_covers_every_oracle(entry_mod):
         "heaps_law", "term_burstiness", "rfm_segments",
         "mcnemar", "cochran_q", "matthews_corr",
         "log_rank", "cramer_von_mises", "partial_corr",
+        "kuiper", "pettitt", "f_test",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

@@ -1176,3 +1176,66 @@ def test_partial_corr_matches_bruteforce(ray_session, tmp_path):
         (1 - rxz ** 2) * (1 - ryz ** 2))
     assert got["r_xy"][0] == pytest.approx(rxy, abs=1e-5)
     assert got["r_partial"][0] == pytest.approx(ref, abs=1e-5)
+
+
+def test_kuiper_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_kuiper
+
+    rng = np.random.default_rng(83)
+    n = 4000
+    et = np.where(rng.random(n) < 0.4, "purchase", "view")
+    hod = np.where(et == "purchase",
+                   rng.integers(8, 20, n), rng.integers(0, 24, n))
+    ts = rng.integers(0, 30, n) * 86_400_000 + hod * 3_600_000
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts.astype(np.int64), pa.timestamp("ms")),
+        "user_id": pa.array(rng.integers(0, 50, n).astype(np.int64)),
+        "event_type": pa.array(list(et), pa.string()),
+        "value": pa.array(np.ones(n, np.float64)),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    got = q_kuiper(str(tmp_path)).to_pandas()
+    a = np.bincount(hod[et == "purchase"], minlength=24)
+    b = np.bincount(hod[et == "view"], minlength=24)
+    fa = np.cumsum(a) / a.sum()
+    fb = np.cumsum(b) / b.sum()
+    ref = (fa - fb).max() + (fb - fa).max()
+    assert got["kuiper_v"][0] == pytest.approx(ref, abs=1e-6)
+
+
+def test_pettitt_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_pettitt
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_pettitt(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    for _, r in got.iterrows():
+        c = dense[r["event_type"]]
+        h = len(c)
+        # independent derivation: 2D summed-area table over the full
+        # sign matrix, U_t = block sum over rows<=t, cols>t
+        sgn = np.sign(c[:, None].astype(np.int64) - c[None, :])
+        sat = sgn.cumsum(axis=0).cumsum(axis=1)
+        best_k, best_t = -1, -1
+        for t_ in range(h - 1):
+            u = int(sat[t_, h - 1] - sat[t_, t_])
+            if abs(u) > best_k:
+                best_k, best_t = abs(u), t_
+        assert int(r["k_stat"]) == best_k
+        assert int(r["t_hat"]) == best_t
+
+
+def test_f_test_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_f_test
+
+    et, cv = _write_valued_events(tmp_path, 89, shift_by_type=1.0)
+    got = q_f_test(str(tmp_path)).to_pandas()
+    for _, r in got.iterrows():
+        a = cv[et == r["type_a"]].astype(float)
+        b = cv[et == r["type_b"]].astype(float)
+        ref = a.var(ddof=1) / b.var(ddof=1)
+        assert int(r["df1"]) == len(a) - 1
+        assert int(r["df2"]) == len(b) - 1
+        assert r["f_stat"] == pytest.approx(ref, rel=1e-6)
