@@ -12366,3 +12366,115 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Session-12 wave 16 (pipelines/stats3.py): effect sizes, ordered
+# alternatives.
+from .stats3 import (  # noqa: E402
+    q_cliffs_delta,
+    q_jonckheere,
+    q_page_trend,
+)
+
+QUERIES.update({
+    "cliffs_delta": q_cliffs_delta,
+    "page_trend": q_page_trend,
+    "jonckheere": q_jonckheere,
+})
+
+ORACLE_SQL.update(
+    {
+        "cliffs_delta": _CENT_CENSUS_CTE + """
+            , tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tt
+                      FROM cs GROUP BY 1),
+            pairs AS (SELECT a.event_type AS ta, a.tt AS na,
+                             b.event_type AS tb, b.tt AS nb
+                      FROM tot a JOIN tot b
+                        ON a.event_type < b.event_type),
+            sup AS (SELECT p.ta, p.tb, p.na, p.nb, v.cv,
+                           COALESCE(ca.n, 0) AS an, COALESCE(cb.n, 0) AS bn
+                    FROM pairs p
+                    JOIN (SELECT DISTINCT cv FROM cs) v ON TRUE
+                    LEFT JOIN cs ca ON ca.event_type = p.ta
+                                   AND ca.cv = v.cv
+                    LEFT JOIN cs cb ON cb.event_type = p.tb
+                                   AND cb.cv = v.cv
+                    WHERE ca.n IS NOT NULL OR cb.n IS NOT NULL),
+            cums AS (SELECT ta, tb, na, nb, an, bn,
+                            sum(bn) OVER w AS cb
+                     FROM sup
+                     WINDOW w AS (PARTITION BY ta, tb ORDER BY cv)),
+            agg AS (SELECT ta, tb, na, nb,
+                           CAST(sum(an * (cb - bn)) AS BIGINT) AS gt,
+                           CAST(sum(an * bn) AS BIGINT) AS ties
+                    FROM cums GROUP BY 1, 2, 3, 4)
+            SELECT ta AS type_a, tb AS type_b,
+                   round(CAST(gt - (na * nb - gt - ties) AS DOUBLE)
+                         / CAST(na * nb AS DOUBLE), 6) AS cliffs_delta,
+                   round(CAST(2 * gt + ties AS DOUBLE)
+                         / CAST(2 * na * nb AS DOUBLE), 6) AS vd_a
+            FROM agg ORDER BY 1, 2
+        """,
+        "page_trend": _DENSE_GRID_CTE + """
+            , nd AS (SELECT hh // 24 AS n_days FROM hh),
+            dw AS (SELECT d.event_type, (d.hr - b.lo) // 24 AS day,
+                          (d.hr - b.lo) % 24 AS hod, d.c
+                   FROM d CROSS JOIN bounds b CROSS JOIN nd
+                   WHERE d.hr - b.lo < nd.n_days * 24),
+            ranked AS (SELECT event_type, day, hod,
+                              2 * (rank() OVER (PARTITION BY event_type,
+                                                    day ORDER BY c) - 1)
+                              + count(*) OVER (PARTITION BY event_type,
+                                               day, c) + 1 AS r2
+                       FROM dw),
+            rd AS (SELECT event_type, hod,
+                          CAST(sum(r2) AS BIGINT) AS r2d
+                   FROM ranked GROUP BY 1, 2),
+            l AS (SELECT event_type,
+                         CAST(sum((hod + 1) * r2d) AS BIGINT) AS l2
+                  FROM rd GROUP BY 1)
+            SELECT event_type, l2 AS l2_stat,
+                   round((CAST(l2 AS DOUBLE) / 2.0
+                          - CAST(nd.n_days * 24 * 25 * 25 AS DOUBLE)
+                            / 4.0)
+                         / sqrt(CAST(nd.n_days * 24 * 24 * 25 * 25 * 23
+                                     AS DOUBLE) / 144.0), 6) AS z
+            FROM l CROSS JOIN nd ORDER BY 1
+        """,
+        "jonckheere": """
+            WITH s AS (SELECT ((epoch_ms(ts) // 3600000) % 24) // 6
+                                  AS part,
+                              CAST(round(value * 100) AS BIGINT) AS cv
+                       FROM events),
+            cs AS (SELECT part, cv, count(*) AS n FROM s GROUP BY 1, 2),
+            tot AS (SELECT part, CAST(sum(n) AS BIGINT) AS tt
+                    FROM cs GROUP BY 1),
+            pairs AS (SELECT a.part AS p1, b.part AS p2, b.tt AS n2
+                      FROM tot a JOIN tot b ON a.part < b.part),
+            sup AS (SELECT p.p1, p.p2, p.n2, v.cv,
+                           COALESCE(ca.n, 0) AS an, COALESCE(cb.n, 0) AS bn
+                    FROM pairs p
+                    JOIN (SELECT DISTINCT cv FROM cs) v ON TRUE
+                    LEFT JOIN cs ca ON ca.part = p.p1 AND ca.cv = v.cv
+                    LEFT JOIN cs cb ON cb.part = p.p2 AND cb.cv = v.cv
+                    WHERE ca.n IS NOT NULL OR cb.n IS NOT NULL),
+            cums AS (SELECT p1, p2, n2, an, bn, sum(bn) OVER w AS cb
+                     FROM sup
+                     WINDOW w AS (PARTITION BY p1, p2 ORDER BY cv)),
+            jt AS (SELECT CAST(sum(an * (2 * (n2 - cb) + bn)) AS BIGINT)
+                              AS jt2
+                   FROM cums),
+            g AS (SELECT CAST(sum(tt) AS BIGINT) AS n,
+                         CAST(sum(tt * tt) AS BIGINT) AS sn2,
+                         CAST(sum(tt * tt * (2 * tt + 3)) AS BIGINT)
+                             AS sn23
+                  FROM tot)
+            SELECT g.n, jt.jt2 AS jt2_stat,
+                   round((CAST(jt.jt2 AS DOUBLE) / 2.0
+                          - CAST(g.n * g.n - g.sn2 AS DOUBLE) / 4.0)
+                         / sqrt(CAST(CAST(g.n AS HUGEINT) * g.n
+                                     * (2 * g.n + 3) - g.sn23
+                                     AS DOUBLE) / 72.0), 6) AS z
+            FROM g CROSS JOIN jt
+        """,
+    }
+)

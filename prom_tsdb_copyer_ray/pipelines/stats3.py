@@ -2310,3 +2310,165 @@ def q_f_test(sf_dir: str):
         "df2": pa.array(out["df2"], pa.int64()),
         "f_stat": pa.array(out["f_stat"], pa.float64()),
     })
+
+
+def q_cliffs_delta(sf_dir: str):
+    """Cliff's delta and Vargha-Delaney A effect sizes for every type
+    pair on cent values — FULLY exact: from the two value censuses,
+    gt = sum_v a_v * (#b below v) and lt symmetric are exact integer
+    pair counts (cumulative two-pointer over the union support), so
+    delta = (gt - lt)/(n*m) and A = (gt + ties/2)/(n*m) (kept in
+    DOUBLED units: A = (2*gt + ties)/(2*n*m)) are single mirrored
+    divisions."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cv = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "cv": pa.array(cv),
+            "n": pa.array(np.ones(len(cv), np.int64)),
+        })
+        g = t.group_by(["event_type", "cv"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "cv", "n"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "cv"], [("n", "sum")], num_shards=8,
+    ).to_pandas()
+    prof = {str(et): grp.sort_values("cv")
+            for et, grp in census.groupby("event_type", sort=True)}
+    types = sorted(prof)
+    out = {"type_a": [], "type_b": [], "cliffs_delta": [], "vd_a": []}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            av = prof[ta]["cv"].to_numpy(np.int64)
+            an = prof[ta]["n"].to_numpy(np.int64)
+            bv = prof[tb]["cv"].to_numpy(np.int64)
+            bn = prof[tb]["n"].to_numpy(np.int64)
+            n, m = int(an.sum()), int(bn.sum())
+            cb = np.concatenate([[0], np.cumsum(bn)])
+            lo = np.searchsorted(bv, av, side="left")
+            hi = np.searchsorted(bv, av, side="right")
+            below = cb[lo]                   # #b strictly less than v
+            at = cb[hi] - cb[lo]             # #b equal to v
+            gt = int(np.dot(an, below))
+            ties = int(np.dot(an, at))
+            lt = n * m - gt - ties
+            delta = float(gt - lt) / float(n * m)
+            vd_a = float(2 * gt + ties) / float(2 * n * m)
+            out["type_a"].append(ta)
+            out["type_b"].append(tb)
+            out["cliffs_delta"].append(round(delta, 6))
+            out["vd_a"].append(round(vd_a, 6))
+    return pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "cliffs_delta": pa.array(out["cliffs_delta"], pa.float64()),
+        "vd_a": pa.array(out["vd_a"], pa.float64()),
+    })
+
+
+def q_page_trend(sf_dir: str):
+    """Page's L trend test for an ordered diurnal alternative: blocks =
+    complete grid days, ordered treatments = the 24 hours-of-day,
+    ratings = hourly counts midranked WITHIN each day in DOUBLED units
+    (L2 = sum_d (d+1) * R2_d is exact; R2_d sums per-day doubled
+    midranks).  z uses the classical no-tie moments
+    E[L] = B*k*(k+1)^2/4, Var[L] = B*k^2*(k+1)^2*(k-1)/144 on L = L2/2
+    — one mirrored chain (tie correction intentionally omitted, same
+    convention both engines).  The ordered-alternative complement of
+    friedman_test, per event type."""
+    series, big_h = dense_hour_counts(sf_dir)
+    n_days = big_h // 24
+    out = {"event_type": [], "l2_stat": [], "z": []}
+    k = 24
+    for et, c in series.items():
+        grid = c[: n_days * 24].reshape(n_days, 24)
+        r2 = np.empty((n_days, 24), np.int64)
+        for d in range(n_days):
+            row = grid[d]
+            order = np.argsort(row, kind="stable")
+            srt = row[order]
+            below = np.searchsorted(srt, row, side="left")
+            peers = (np.searchsorted(srt, row, side="right") - below)
+            r2[d] = 2 * below + peers + 1
+        big_r2 = r2.sum(axis=0)
+        l2 = sum((d + 1) * int(big_r2[d]) for d in range(k))
+        l_val = float(l2) / 2.0
+        e_l = float(n_days * k * (k + 1) * (k + 1)) / 4.0
+        var_l = (float(n_days * k * k * (k + 1) * (k + 1) * (k - 1))
+                 / 144.0)
+        z = (l_val - e_l) / math.sqrt(var_l)
+        out["event_type"].append(et)
+        out["l2_stat"].append(l2)
+        out["z"].append(round(z, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "l2_stat": pa.array(out["l2_stat"], pa.int64()),
+        "z": pa.array(out["z"], pa.float64()),
+    })
+
+
+def q_jonckheere(sf_dir: str):
+    """Jonckheere-Terpstra test for an ordered shift across the four
+    six-hour day-parts (night 0-5 < morning 6-11 < afternoon 12-17 <
+    evening 18-23) on cent values: for each ordered part pair the
+    Mann-Whitney count is kept in DOUBLED units (2U = 2*#less + #ties
+    — exact from the per-part value censuses via cumulative
+    two-pointers), JT2 = sum of 2U is exact, and z uses the classical
+    no-tie moments E[JT] = (N^2 - sum n_g^2)/4 and
+    Var[JT] = (N^2(2N+3) - sum n_g^2(2n_g+3))/72 on JT = JT2/2 (tie
+    correction omitted, same convention both engines)."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        cv = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table({
+            "part": pa.array(((tms // 3_600_000) % 24) // 6, pa.int64()),
+            "cv": pa.array(cv),
+            "n": pa.array(np.ones(len(cv), np.int64)),
+        })
+        g = t.group_by(["part", "cv"]).aggregate([("n", "sum")])
+        return g.rename_columns(["part", "cv", "n"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["part", "cv"], [("n", "sum")], num_shards=4,
+    ).to_pandas()
+    parts = {}
+    for p, grp in census.groupby("part", sort=True):
+        g = grp.sort_values("cv")
+        parts[int(p)] = (g["cv"].to_numpy(np.int64),
+                         g["n"].to_numpy(np.int64))
+    sizes = {p: int(nn.sum()) for p, (_, nn) in parts.items()}
+    n_tot = sum(sizes.values())
+    jt2 = 0
+    for p1 in sorted(parts):
+        for p2 in sorted(parts):
+            if p2 <= p1:
+                continue
+            av, an = parts[p1]
+            bv, bn = parts[p2]
+            cb = np.concatenate([[0], np.cumsum(bn)])
+            lo = np.searchsorted(bv, av, side="left")
+            hi = np.searchsorted(bv, av, side="right")
+            above = int(bn.sum()) - cb[hi]       # #b strictly greater
+            ties = cb[hi] - cb[lo]
+            jt2 += int(np.dot(an, 2 * above + ties))
+    jt = float(jt2) / 2.0
+    sum_n2 = sum(s * s for s in sizes.values())
+    sum_n23 = sum(s * s * (2 * s + 3) for s in sizes.values())
+    e_jt = float(n_tot * n_tot - sum_n2) / 4.0
+    var_jt = (float(n_tot * n_tot * (2 * n_tot + 3) - sum_n23)) / 72.0
+    z = (jt - e_jt) / math.sqrt(var_jt)
+    return pa.table({
+        "n": pa.array([n_tot], pa.int64()),
+        "jt2_stat": pa.array([jt2], pa.int64()),
+        "z": pa.array([round(z, 6)], pa.float64()),
+    })

@@ -190,6 +190,7 @@ def test_mirror_covers_every_oracle(entry_mod):
         "mcnemar", "cochran_q", "matthews_corr",
         "log_rank", "cramer_von_mises", "partial_corr",
         "kuiper", "pettitt", "f_test",
+        "cliffs_delta", "page_trend", "jonckheere",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

@@ -1239,3 +1239,90 @@ def test_f_test_matches_bruteforce(ray_session, tmp_path):
         assert int(r["df1"]) == len(a) - 1
         assert int(r["df2"]) == len(b) - 1
         assert r["f_stat"] == pytest.approx(ref, rel=1e-6)
+
+
+def test_cliffs_delta_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_cliffs_delta
+
+    et, cv = _write_valued_events(tmp_path, 97, shift_by_type=1.0)
+    got = q_cliffs_delta(str(tmp_path)).to_pandas()
+    for _, r in got.iterrows():
+        a = cv[et == r["type_a"]]
+        b = cv[et == r["type_b"]]
+        gt = sum(int((b < x).sum()) for x in a)
+        lt = sum(int((b > x).sum()) for x in a)
+        ties = len(a) * len(b) - gt - lt
+        assert r["cliffs_delta"] == pytest.approx(
+            (gt - lt) / (len(a) * len(b)), abs=1e-6)
+        assert r["vd_a"] == pytest.approx(
+            (gt + ties / 2) / (len(a) * len(b)), abs=1e-6)
+
+
+def test_page_trend_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_page_trend
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_page_trend(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    k = 24
+    for _, r in got.iterrows():
+        c = dense[r["event_type"]]
+        nd = len(c) // 24
+        grid = c[: nd * 24].reshape(nd, 24).astype(float)
+        l_val = 0.0
+        for d in range(nd):
+            row = grid[d]
+            ranks = np.empty(k)
+            order = row.argsort(kind="stable")
+            sv = row[order]
+            i = 0
+            while i < k:
+                j = i
+                while j < k and sv[j] == sv[i]:
+                    j += 1
+                ranks[order[i:j]] = (i + j + 1) / 2.0
+                i = j
+            l_val += sum((h + 1) * ranks[h] for h in range(k))
+        e_l = nd * k * (k + 1) ** 2 / 4.0
+        var_l = nd * k ** 2 * (k + 1) ** 2 * (k - 1) / 144.0
+        assert int(r["l2_stat"]) == int(round(2 * l_val))
+        assert r["z"] == pytest.approx(
+            (l_val - e_l) / math.sqrt(var_l), abs=1e-5)
+
+
+def test_jonckheere_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_jonckheere
+
+    rng = np.random.default_rng(101)
+    n = 4000
+    hrs = rng.integers(0, 30 * 24, n)
+    hod = hrs % 24
+    # ordered shift: later day-parts get larger values
+    val = np.round(rng.gamma(2.0, 3.0, n) + (hod // 6) * 0.5, 2)
+    ts = hrs * 3_600_000 + rng.integers(0, 3_600_000, n)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts.astype(np.int64), pa.timestamp("ms")),
+        "user_id": pa.array(rng.integers(0, 50, n).astype(np.int64)),
+        "event_type": pa.array(["click"] * n, pa.string()),
+        "value": pa.array(val),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    got = q_jonckheere(str(tmp_path)).to_pandas()
+    cv = np.rint(val * 100).astype(np.int64)
+    part = hod // 6
+    jt = 0.0
+    for p1 in range(4):
+        for p2 in range(p1 + 1, 4):
+            a = cv[part == p1]
+            b = cv[part == p2]
+            for x in a:
+                jt += (b > x).sum() + 0.5 * (b == x).sum()
+    sizes = [int((part == p).sum()) for p in range(4)]
+    nt = sum(sizes)
+    e = (nt * nt - sum(s * s for s in sizes)) / 4.0
+    v = (nt * nt * (2 * nt + 3)
+         - sum(s * s * (2 * s + 3) for s in sizes)) / 72.0
+    assert int(got["jt2_stat"][0]) == int(round(2 * jt))
+    assert got["z"][0] == pytest.approx((jt - e) / math.sqrt(v), abs=1e-5)
