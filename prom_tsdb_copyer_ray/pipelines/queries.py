@@ -12478,3 +12478,155 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Session-12 wave 17 (pipelines/stats3.py): stratified association,
+# dispersion test, proportion effect size.
+from .stats3 import (  # noqa: E402
+    q_ansari_bradley,
+    q_cohens_h,
+    q_mantel_haenszel,
+)
+
+QUERIES.update({
+    "mantel_haenszel": q_mantel_haenszel,
+    "ansari_bradley": q_ansari_bradley,
+    "cohens_h": q_cohens_h,
+})
+
+ORACLE_SQL.update(
+    {
+        "mantel_haenszel": """
+            WITH s AS (SELECT ((epoch_ms(ts) // 86400000) + 3) % 7
+                                  AS dow,
+                              CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END AS p,
+                              CASE WHEN (epoch_ms(ts) // 3600000) % 24
+                                        < 6
+                                     OR (epoch_ms(ts) // 3600000) % 24
+                                        >= 22
+                                   THEN 1 ELSE 0 END AS ni
+                       FROM events),
+            c AS (SELECT dow,
+                         CAST(sum(CASE WHEN p = 1 AND ni = 1
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                             AS a,
+                         CAST(sum(CASE WHEN p = 1 AND ni = 0
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                             AS b,
+                         CAST(sum(CASE WHEN p = 0 AND ni = 1
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                             AS cc,
+                         CAST(sum(CASE WHEN p = 0 AND ni = 0
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                             AS d,
+                         CAST(count(*) AS BIGINT) AS nt
+                  FROM s GROUP BY 1),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                         CAST(sum(CAST(floor(CAST(a * d AS DOUBLE)
+                                             / CAST(nt AS DOUBLE)
+                                             * 1e6) AS BIGINT))
+                              AS BIGINT) AS num,
+                         CAST(sum(CAST(floor(CAST(b * cc AS DOUBLE)
+                                             / CAST(nt AS DOUBLE)
+                                             * 1e6) AS BIGINT))
+                              AS BIGINT) AS den
+                  FROM c)
+            SELECT k AS k_strata,
+                   round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+                       AS mh_or,
+                   CAST(floor(ln(CAST(num AS DOUBLE)
+                                 / CAST(den AS DOUBLE)) * 1e6)
+                        AS BIGINT) / 1e6 AS log_mh_or
+            FROM t
+        """,
+        "ansari_bradley": """
+            WITH s AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cv
+                       FROM events
+                       WHERE event_type IN ('purchase', 'view')),
+            c AS (SELECT cv,
+                         CAST(sum(CASE WHEN event_type = 'purchase'
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                             AS a,
+                         CAST(sum(CASE WHEN event_type = 'view'
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                             AS b
+                  FROM s GROUP BY 1),
+            t AS (SELECT CAST(sum(a) AS BIGINT) AS n,
+                         CAST(sum(b) AS BIGINT) AS m FROM c),
+            k AS (SELECT a, a + b AS w,
+                         sum(a + b) OVER (ORDER BY cv) AS pos
+                  FROM c),
+            sc AS (SELECT a, w, pos, t.n + t.m AS nn,
+                          (t.n + t.m + 1) // 2 AS half
+                   FROM k CROSS JOIN t),
+            blocks AS (SELECT a, w,
+                (CASE WHEN pos <= half THEN pos * (pos + 1) // 2
+                      ELSE half * (half + 1) // 2
+                           + ((nn - half) + (nn + 1 - pos))
+                             * (pos - half) // 2 END)
+                - (CASE WHEN pos - w <= half
+                        THEN (pos - w) * (pos - w + 1) // 2
+                        ELSE half * (half + 1) // 2
+                             + ((nn - half) + (nn + 1 - (pos - w)))
+                               * ((pos - w) - half) // 2 END) AS sb
+                FROM sc),
+            ab AS (SELECT CAST(sum(a * CAST(floor(
+                              CAST(sb AS DOUBLE) / CAST(w AS DOUBLE)
+                              * 1e6) AS BIGINT)) AS BIGINT) AS ab2
+                   FROM blocks)
+            SELECT t.n AS n_purchase, t.m AS n_view,
+                   round(CAST(ab.ab2 AS DOUBLE) / 1e6, 6) AS ab_stat,
+                   round(CASE WHEN (t.n + t.m) % 2 = 0 THEN
+                       (CAST(ab.ab2 AS DOUBLE) / 1e6
+                        - CAST(t.n * (t.n + t.m + 2) AS DOUBLE) / 4.0)
+                       / sqrt(CAST(CAST(t.n AS HUGEINT) * t.m
+                                   * (t.n + t.m + 2) * (t.n + t.m - 2)
+                                   AS DOUBLE)
+                              / (48.0 * CAST(t.n + t.m - 1 AS DOUBLE)))
+                   ELSE
+                       (CAST(ab.ab2 AS DOUBLE) / 1e6
+                        - CAST(t.n * (t.n + t.m + 1) * (t.n + t.m + 1)
+                               AS DOUBLE)
+                          / (4.0 * CAST(t.n + t.m AS DOUBLE)))
+                       / sqrt(CAST(CAST(t.n AS HUGEINT) * t.m
+                                   * (t.n + t.m + 1)
+                                   * (3 + (t.n + t.m) * (t.n + t.m))
+                                   AS DOUBLE)
+                              / (48.0 * CAST(t.n + t.m AS DOUBLE)
+                                 * CAST(t.n + t.m AS DOUBLE)))
+                   END, 6) AS z
+            FROM ab CROSS JOIN t
+        """,
+        "cohens_h": """
+            WITH s AS (SELECT CASE WHEN ((epoch_ms(ts) // 86400000) + 3)
+                                        % 7 >= 5
+                                   THEN 1 ELSE 0 END AS w,
+                              CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END AS p
+                       FROM events),
+            c AS (SELECT CAST(sum(CASE WHEN w = 1 AND p = 1
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                             AS pw,
+                         CAST(sum(CASE WHEN w = 1 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS nw,
+                         CAST(sum(CASE WHEN w = 0 AND p = 1
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                             AS pd,
+                         CAST(sum(CASE WHEN w = 0 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS nd
+                  FROM s)
+            SELECT nw AS n_weekend, nd AS n_weekday,
+                   round(2.0 * (CAST(CAST(floor(asin(sqrt(
+                                  CAST(pw AS DOUBLE)
+                                  / CAST(nw AS DOUBLE))) * 1e6)
+                                  AS BIGINT) AS DOUBLE)
+                                - CAST(CAST(floor(asin(sqrt(
+                                  CAST(pd AS DOUBLE)
+                                  / CAST(nd AS DOUBLE))) * 1e6)
+                                  AS BIGINT) AS DOUBLE)) / 1e6, 6)
+                       AS cohens_h
+            FROM c
+        """,
+    }
+)

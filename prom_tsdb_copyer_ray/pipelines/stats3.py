@@ -2472,3 +2472,165 @@ def q_jonckheere(sf_dir: str):
         "jt2_stat": pa.array([jt2], pa.int64()),
         "z": pa.array([round(z, 6)], pa.float64()),
     })
+
+
+def q_mantel_haenszel(sf_dir: str):
+    """Mantel-Haenszel common odds ratio for (purchase x night-hours)
+    association STRATIFIED by day-of-week: each stratum's 2x2 cells
+    (a=purchase night, b=purchase day, c=other night, d=other day —
+    night = hod < 6 or hod >= 22) are exact from one (dow, purch,
+    night) census; the per-stratum ratio terms a_i*d_i/n_i and
+    b_i*c_i/n_i are micro-floored (exact-int arguments) so both sums
+    are associative integers and MH-OR is one mirrored division; the
+    micro-floored ln gives the log scale."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        hod = (tms // 3_600_000) % 24
+        dow = ((tms // 86_400_000) + 3) % 7
+        night = ((hod < 6) | (hod >= 22)).astype(np.int64)
+        purch = (batch["event_type"].to_numpy(zero_copy_only=False)
+                 == "purchase").astype(np.int64)
+        t = pa.table({
+            "dow": pa.array(dow, pa.int64()),
+            "p": pa.array(purch),
+            "ni": pa.array(night),
+            "n": pa.array(np.ones(len(tms), np.int64)),
+        })
+        g = t.group_by(["dow", "p", "ni"]).aggregate([("n", "sum")])
+        return g.rename_columns(["dow", "p", "ni", "n"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["dow", "p", "ni"], [("n", "sum")], num_shards=1,
+    ).to_pandas()
+    num_sum = den_sum = 0
+    for dow, grp in census.groupby("dow", sort=True):
+        cell = {(int(r["p"]), int(r["ni"])): int(r["n"])
+                for _, r in grp.iterrows()}
+        a = cell.get((1, 1), 0)
+        b = cell.get((1, 0), 0)
+        c = cell.get((0, 1), 0)
+        d = cell.get((0, 0), 0)
+        n_i = a + b + c + d
+        num_sum += math.floor(float(a * d) / float(n_i) * 1e6)
+        den_sum += math.floor(float(b * c) / float(n_i) * 1e6)
+    mh_or = float(num_sum) / float(den_sum)
+    log_or = math.floor(
+        math.log(float(num_sum) / float(den_sum)) * 1e6) / 1e6
+    return pa.table({
+        "k_strata": pa.array([int(census["dow"].nunique())], pa.int64()),
+        "mh_or": pa.array([round(mh_or, 6)], pa.float64()),
+        "log_mh_or": pa.array([log_or], pa.float64()),
+    })
+
+
+def q_ansari_bradley(sf_dir: str):
+    """Ansari-Bradley dispersion test (purchase vs view cent values):
+    outside-in scores min(p, N+1-p) averaged over each tie block of the
+    pooled census — the block score SUM is an exact closed-form integer
+    and the block average is micro-floored before weighting (exact-int
+    argument), so AB = sum a_v * avg_score_v is an associative integer
+    sum; z uses the classical parity-split moments in one mirrored
+    chain."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        mask = (et == "purchase") | (et == "view")
+        cv = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False)[mask] * 100.0
+        ).astype(np.int64)
+        t = pa.table({
+            "cv": pa.array(cv),
+            "a": pa.array((et[mask] == "purchase").astype(np.int64)),
+            "b": pa.array((et[mask] == "view").astype(np.int64)),
+        })
+        g = t.group_by(["cv"]).aggregate([("a", "sum"), ("b", "sum")])
+        return g.rename_columns(["cv", "a", "b"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["cv"], [("a", "sum"), ("b", "sum")], num_shards=4,
+    ).to_pandas().sort_values("cv")
+    a = census["a"].to_numpy(np.int64)
+    b = census["b"].to_numpy(np.int64)
+    w = a + b
+    n, m = int(a.sum()), int(b.sum())
+    big_n = n + m
+
+    def score_prefix(p):  # sum_{q=1..p} min(q, N+1-q), exact closed form
+        half = (big_n + 1) // 2
+        if p <= half:
+            return p * (p + 1) // 2
+        extra = p - half
+        return half * (half + 1) // 2 + (
+            (big_n - half) + (big_n + 1 - p)) * extra // 2
+
+    ab_sum = 0
+    pos = 0
+    for av, wv in zip(a, w):
+        s_block = score_prefix(pos + int(wv)) - score_prefix(pos)
+        pos += int(wv)
+        if av:
+            ab_sum += int(av) * math.floor(
+                float(s_block) / float(int(wv)) * 1e6)
+    ab = float(ab_sum) / 1e6
+    if big_n % 2 == 0:
+        e = float(n * (big_n + 2)) / 4.0
+        v = (float(n * m * (big_n + 2) * (big_n - 2))
+             / (48.0 * float(big_n - 1)))
+    else:
+        e = float(n * (big_n + 1) * (big_n + 1)) / (4.0 * float(big_n))
+        v = (float(n * m * (big_n + 1) * (3 + big_n * big_n))
+             / (48.0 * float(big_n) * float(big_n)))
+    z = (ab - e) / math.sqrt(v)
+    return pa.table({
+        "n_purchase": pa.array([n], pa.int64()),
+        "n_view": pa.array([m], pa.int64()),
+        "ab_stat": pa.array([round(ab, 6)], pa.float64()),
+        "z": pa.array([round(z, 6)], pa.float64()),
+    })
+
+
+def q_cohens_h(sf_dir: str):
+    """Cohen's h effect size for the weekend-vs-weekday purchase rate:
+    h = 2*(asin(sqrt(p1)) - asin(sqrt(p2))) with each asin term
+    micro-floored (the single-libm protocol — sqrt of an exact ratio
+    feeds one asin per side), counts exact from one 4-cell combiner."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        wknd = ((((tms // 86_400_000) + 3) % 7) >= 5).astype(np.int64)
+        purch = (batch["event_type"].to_numpy(zero_copy_only=False)
+                 == "purchase").astype(np.int64)
+        t = pa.table({
+            "w": pa.array(wknd),
+            "p": pa.array(purch),
+            "n": pa.array(np.ones(len(tms), np.int64)),
+        })
+        g = t.group_by(["w", "p"]).aggregate([("n", "sum")])
+        return g.rename_columns(["w", "p", "n"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["w", "p"], [("n", "sum")], num_shards=1,
+    ).to_pandas()
+    cell = {(int(r["w"]), int(r["p"])): int(r["n"])
+            for _, r in census.iterrows()}
+    pw = cell.get((1, 1), 0)
+    nw = pw + cell.get((1, 0), 0)
+    pd_ = cell.get((0, 1), 0)
+    nd = pd_ + cell.get((0, 0), 0)
+    t1 = math.floor(
+        math.asin(math.sqrt(float(pw) / float(nw))) * 1e6)
+    t2 = math.floor(
+        math.asin(math.sqrt(float(pd_) / float(nd))) * 1e6)
+    h = 2.0 * (float(t1) - float(t2)) / 1e6
+    return pa.table({
+        "n_weekend": pa.array([nw], pa.int64()),
+        "n_weekday": pa.array([nd], pa.int64()),
+        "cohens_h": pa.array([round(h, 6)], pa.float64()),
+    })

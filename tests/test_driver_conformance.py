@@ -191,6 +191,7 @@ def test_mirror_covers_every_oracle(entry_mod):
         "log_rank", "cramer_von_mises", "partial_corr",
         "kuiper", "pettitt", "f_test",
         "cliffs_delta", "page_trend", "jonckheere",
+        "mantel_haenszel", "ansari_bradley", "cohens_h",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

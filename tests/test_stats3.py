@@ -1326,3 +1326,115 @@ def test_jonckheere_matches_bruteforce(ray_session, tmp_path):
          - sum(s * s * (2 * s + 3) for s in sizes)) / 72.0
     assert int(got["jt2_stat"][0]) == int(round(2 * jt))
     assert got["z"][0] == pytest.approx((jt - e) / math.sqrt(v), abs=1e-5)
+
+
+def test_mantel_haenszel_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_mantel_haenszel
+
+    rng = np.random.default_rng(103)
+    n = 5000
+    eday = rng.integers(19723, 19753, n)
+    hod = rng.integers(0, 24, n)
+    ts = eday * 86_400_000 + hod * 3_600_000
+    et = np.where(rng.random(n) < 0.25, "purchase", "view")
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts.astype(np.int64), pa.timestamp("ms")),
+        "user_id": pa.array(rng.integers(0, 50, n).astype(np.int64)),
+        "event_type": pa.array(list(et), pa.string()),
+        "value": pa.array(np.ones(n, np.float64)),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    got = q_mantel_haenszel(str(tmp_path)).to_pandas()
+    dow = (eday + 3) % 7
+    night = (hod < 6) | (hod >= 22)
+    purch = et == "purchase"
+    num = den = 0.0
+    for d in range(7):
+        m = dow == d
+        a = int((m & purch & night).sum())
+        b = int((m & purch & ~night).sum())
+        c = int((m & ~purch & night).sum())
+        dd = int((m & ~purch & ~night).sum())
+        ni = a + b + c + dd
+        num += a * dd / ni
+        den += b * c / ni
+    assert int(got["k_strata"][0]) == 7
+    assert got["mh_or"][0] == pytest.approx(num / den, abs=1e-4)
+    assert got["log_mh_or"][0] == pytest.approx(
+        math.log(num / den), abs=1e-4)
+
+
+def test_ansari_bradley_matches_bruteforce(ray_session, tmp_path):
+    """AB equals the naive outside-in midrank-score sum (scipy's tie
+    convention: average scores over tied blocks)."""
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_ansari_bradley
+
+    rng = np.random.default_rng(107)
+    n = 3000
+    et = np.where(rng.random(n) < 0.5, "purchase", "view")
+    val = np.round(rng.gamma(2.0, 3.0 + (et == "purchase") * 2.0), 2)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.full(n, 10 ** 12, np.int64), pa.timestamp("ms")),
+        "user_id": pa.array(rng.integers(0, 50, n).astype(np.int64)),
+        "event_type": pa.array(list(et), pa.string()),
+        "value": pa.array(val),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    got = q_ansari_bradley(str(tmp_path)).to_pandas()
+    cv = np.rint(val * 100).astype(np.int64)
+    pooled = np.sort(cv)
+    big_n = len(pooled)
+    scores = np.minimum(np.arange(1, big_n + 1),
+                        big_n + 1 - np.arange(1, big_n + 1)).astype(float)
+    # average scores over tie blocks
+    avg = {}
+    i = 0
+    while i < big_n:
+        j = i
+        while j < big_n and pooled[j] == pooled[i]:
+            j += 1
+        avg[int(pooled[i])] = scores[i:j].mean()
+        i = j
+    ab = sum(avg[int(x)] for x in cv[et == "purchase"])
+    assert got["ab_stat"][0] == pytest.approx(ab, abs=1e-2)
+    na = int((et == "purchase").sum())
+    mb = big_n - na
+    if big_n % 2 == 0:
+        e = na * (big_n + 2) / 4.0
+        v = na * mb * (big_n + 2) * (big_n - 2) / (48.0 * (big_n - 1))
+    else:
+        e = na * (big_n + 1) ** 2 / (4.0 * big_n)
+        v = na * mb * (big_n + 1) * (3 + big_n ** 2) \
+            / (48.0 * big_n ** 2)
+    assert got["z"][0] == pytest.approx((ab - e) / math.sqrt(v),
+                                        abs=1e-4)
+
+
+def test_cohens_h_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_cohens_h
+
+    rng = np.random.default_rng(109)
+    n = 4000
+    eday = rng.integers(19723, 19753, n)
+    ts = eday * 86_400_000 + rng.integers(0, 86_400_000, n)
+    wknd = ((eday + 3) % 7) >= 5
+    p_rate = np.where(wknd, 0.3, 0.15)
+    et = np.where(rng.random(n) < p_rate, "purchase", "view")
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts.astype(np.int64), pa.timestamp("ms")),
+        "user_id": pa.array(rng.integers(0, 50, n).astype(np.int64)),
+        "event_type": pa.array(list(et), pa.string()),
+        "value": pa.array(np.ones(n, np.float64)),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    got = q_cohens_h(str(tmp_path)).to_pandas()
+    p1 = (wknd & (et == "purchase")).sum() / wknd.sum()
+    p2 = (~wknd & (et == "purchase")).sum() / (~wknd).sum()
+    ref = 2 * (math.asin(math.sqrt(p1)) - math.asin(math.sqrt(p2)))
+    assert got["cohens_h"][0] == pytest.approx(ref, abs=1e-4)
