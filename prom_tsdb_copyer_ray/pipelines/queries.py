@@ -12630,3 +12630,114 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Session-12 wave 18 (pipelines/stats3.py): ordinal association family,
+# intraclass correlation.
+from .stats3 import (  # noqa: E402
+    q_icc,
+    q_ordinal_assoc,
+)
+
+QUERIES.update({
+    "ordinal_assoc": q_ordinal_assoc,
+    "icc": q_icc,
+})
+
+ORACLE_SQL.update(
+    {
+        "ordinal_assoc": """
+            WITH s AS (SELECT (epoch_ms(ts) // 3600000) % 24 AS hod,
+                              CAST(round(value * 100) AS BIGINT) // 5000
+                                  AS vb
+                       FROM events),
+            cs AS (SELECT hod, vb, CAST(count(*) AS BIGINT) AS n
+                   FROM s GROUP BY 1, 2),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cs),
+            cd AS (SELECT
+                CAST(sum(CASE WHEN b.hod > a.hod AND b.vb > a.vb
+                              THEN a.n * b.n ELSE 0 END) AS BIGINT)
+                    AS conc,
+                CAST(sum(CASE WHEN b.hod > a.hod AND b.vb < a.vb
+                              THEN a.n * b.n ELSE 0 END) AS BIGINT)
+                    AS disc
+                FROM cs a JOIN cs b ON TRUE),
+            ties AS (SELECT
+                (SELECT CAST(sum(rn * (rn - 1) / 2) AS BIGINT)
+                 FROM (SELECT sum(n) AS rn FROM cs GROUP BY hod))
+                    AS trow,
+                (SELECT CAST(sum(cn * (cn - 1) / 2) AS BIGINT)
+                 FROM (SELECT sum(n) AS cn FROM cs GROUP BY vb))
+                    AS tcol,
+                (SELECT CAST(sum(n * (n - 1) / 2) AS BIGINT) FROM cs)
+                    AS tcell),
+            mm AS (SELECT least(
+                       (SELECT count(DISTINCT hod) FROM cs),
+                       (SELECT count(DISTINCT vb) FROM cs)) AS m)
+            SELECT t.nt AS n, cd.conc, cd.disc,
+                   round(CAST(cd.conc - cd.disc AS DOUBLE)
+                         / CAST(cd.conc + cd.disc AS DOUBLE), 6)
+                       AS gamma,
+                   round(CAST(cd.conc - cd.disc AS DOUBLE)
+                         / CAST(cd.conc + cd.disc
+                                + (ties.tcol - ties.tcell)
+                                AS DOUBLE), 6) AS somers_dyx,
+                   round(CAST(cd.conc - cd.disc AS DOUBLE)
+                         / CAST(cd.conc + cd.disc
+                                + (ties.trow - ties.tcell)
+                                AS DOUBLE), 6) AS somers_dxy,
+                   round(CAST(2 * mm.m * (cd.conc - cd.disc) AS DOUBLE)
+                         / CAST(t.nt * t.nt * (mm.m - 1) AS DOUBLE), 6)
+                       AS tau_c
+            FROM cd CROSS JOIN t CROSS JOIN ties CROSS JOIN mm
+        """,
+        "icc": _DENSE_GRID_CTE + """
+            , nd AS (SELECT hh // 24 AS n_days FROM hh),
+            dc AS (SELECT d.event_type, (d.hr - b.lo) // 24 AS day,
+                          CAST(sum(d.c) AS BIGINT) AS x
+                   FROM d CROSS JOIN bounds b CROSS JOIN nd
+                   WHERE (d.hr - b.lo) // 24 < nd.n_days
+                   GROUP BY 1, 2),
+            kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT)
+                              AS k
+                   FROM dc),
+            vals AS (SELECT CAST(sum(x * x) AS BIGINT) AS ssall,
+                            CAST(sum(x) AS BIGINT) AS tt
+                     FROM dc),
+            rs AS (SELECT day, CAST(sum(x) AS BIGINT) AS r
+                   FROM dc GROUP BY 1),
+            sr AS (SELECT CAST(sum(r * r) AS BIGINT) AS sr2 FROM rs),
+            csum AS (SELECT event_type, CAST(sum(x) AS BIGINT) AS c
+                     FROM dc GROUP BY 1),
+            sc AS (SELECT CAST(sum(c * c) AS BIGINT) AS sc2 FROM csum),
+            ms AS (SELECT
+                (CAST(sr.sr2 AS DOUBLE) / CAST(kk.k AS DOUBLE)
+                 - CAST(vals.tt * vals.tt AS DOUBLE)
+                   / CAST(nd.n_days * kk.k AS DOUBLE))
+                / CAST(nd.n_days - 1 AS DOUBLE) AS msr,
+                (CAST(sc.sc2 AS DOUBLE) / CAST(nd.n_days AS DOUBLE)
+                 - CAST(vals.tt * vals.tt AS DOUBLE)
+                   / CAST(nd.n_days * kk.k AS DOUBLE))
+                / CAST(kk.k - 1 AS DOUBLE) AS msc,
+                ((CAST(vals.ssall AS DOUBLE)
+                  - CAST(vals.tt * vals.tt AS DOUBLE)
+                    / CAST(nd.n_days * kk.k AS DOUBLE))
+                 - (CAST(sr.sr2 AS DOUBLE) / CAST(kk.k AS DOUBLE)
+                    - CAST(vals.tt * vals.tt AS DOUBLE)
+                      / CAST(nd.n_days * kk.k AS DOUBLE))
+                 - (CAST(sc.sc2 AS DOUBLE) / CAST(nd.n_days AS DOUBLE)
+                    - CAST(vals.tt * vals.tt AS DOUBLE)
+                      / CAST(nd.n_days * kk.k AS DOUBLE)))
+                / CAST((nd.n_days - 1) * (kk.k - 1) AS DOUBLE) AS mse,
+                nd.n_days AS d, kk.k AS k
+                FROM sr CROSS JOIN sc CROSS JOIN vals
+                     CROSS JOIN nd CROSS JOIN kk)
+            SELECT CAST(d AS BIGINT) AS n_days, CAST(k AS BIGINT)
+                       AS k_raters,
+                   round((msr - mse)
+                         / (msr + CAST(k - 1 AS DOUBLE) * mse
+                            + CAST(k AS DOUBLE) * (msc - mse)
+                              / CAST(d AS DOUBLE)), 6) AS icc2_1
+            FROM ms
+        """,
+    }
+)

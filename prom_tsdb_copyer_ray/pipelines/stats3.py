@@ -2634,3 +2634,114 @@ def q_cohens_h(sf_dir: str):
         "n_weekday": pa.array([nd], pa.int64()),
         "cohens_h": pa.array([round(h, 6)], pa.float64()),
     })
+
+
+def q_ordinal_assoc(sf_dir: str):
+    """The ordinal-association family in one census: Goodman-Kruskal
+    gamma, Somers' D (both directions) and Stuart's tau-c between
+    hour-of-day and the 50-unit value bucket (the kendall_tau grid —
+    24 x ~10 cells).  Concordant/discordant/tie pair counts are exact
+    integers from the tiny grid (quadrant prefix sums), every statistic
+    is one mirrored division; m = min(R, C) enters tau-c as an exact
+    literal."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        cv = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table({
+            "hod": pa.array((tms // 3_600_000) % 24, pa.int64()),
+            "vb": pa.array(cv // 5000, pa.int64()),
+            "n": pa.array(np.ones(len(cv), np.int64)),
+        })
+        g = t.group_by(["hod", "vb"]).aggregate([("n", "sum")])
+        return g.rename_columns(["hod", "vb", "n"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["hod", "vb"], [("n", "sum")], num_shards=2,
+    ).to_pandas()
+    hods = np.sort(census["hod"].unique())
+    vbs = np.sort(census["vb"].unique())
+    grid = np.zeros((len(hods), len(vbs)), np.int64)
+    hi = {int(h): i for i, h in enumerate(hods)}
+    vi = {int(v): i for i, v in enumerate(vbs)}
+    for _, r in census.iterrows():
+        grid[hi[int(r["hod"])], vi[int(r["vb"])]] += int(r["n"])
+    n = int(grid.sum())
+    conc = disc = 0
+    big_r, big_c = grid.shape
+    for i in range(big_r):
+        for j in range(big_c):
+            f = int(grid[i, j])
+            if f == 0:
+                continue
+            conc += f * int(grid[i + 1:, j + 1:].sum())
+            disc += f * int(grid[i + 1:, :j].sum())
+    # ties: pairs tied on hod (rows) / on vb (cols) but not both
+    row_tot = grid.sum(axis=1)
+    col_tot = grid.sum(axis=0)
+    pairs = n * (n - 1) // 2
+    t_rowpairs = sum(int(x) * (int(x) - 1) // 2 for x in row_tot)
+    t_colpairs = sum(int(x) * (int(x) - 1) // 2 for x in col_tot)
+    t_cellpairs = sum(int(x) * (int(x) - 1) // 2
+                      for x in grid.ravel())
+    ty = t_rowpairs - t_cellpairs   # tied on X (hod) only
+    tx = t_colpairs - t_cellpairs   # tied on Y (vb) only
+    m = min(big_r, big_c)
+    gamma = float(conc - disc) / float(conc + disc)
+    d_yx = float(conc - disc) / float(conc + disc + tx)
+    d_xy = float(conc - disc) / float(conc + disc + ty)
+    tau_c = (float(2 * m * (conc - disc))
+             / float(n * n * (m - 1)))
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "conc": pa.array([conc], pa.int64()),
+        "disc": pa.array([disc], pa.int64()),
+        "gamma": pa.array([round(gamma, 6)], pa.float64()),
+        "somers_dyx": pa.array([round(d_yx, 6)], pa.float64()),
+        "somers_dxy": pa.array([round(d_xy, 6)], pa.float64()),
+        "tau_c": pa.array([round(tau_c, 6)], pa.float64()),
+    })
+
+
+def q_icc(sf_dir: str):
+    """Intraclass correlation ICC(2,1) — absolute agreement of the
+    event types (raters) over complete days (subjects), ratings = daily
+    counts: the two-way ANOVA mean squares come from EXACT integer sums
+    of squares over the D x k table (common-denominator cross-
+    multiplied forms), each MS is one division of exact ints, and the
+    ICC combination is the standard mirrored chain."""
+    series, big_h = dense_hour_counts(sf_dir)
+    n_days = big_h // 24
+    k = len(series)
+    mat = np.stack([c[: n_days * 24].reshape(n_days, 24).sum(axis=1)
+                    for c in series.values()], axis=1)   # D x k
+    d = n_days
+    total = int(mat.sum())
+    ss_all = int((mat.astype(np.int64) ** 2).sum())
+    row_sums = mat.sum(axis=1).astype(np.int64)
+    col_sums = mat.sum(axis=0).astype(np.int64)
+    sr2 = sum(int(x) * int(x) for x in row_sums)
+    sc2 = sum(int(x) * int(x) for x in col_sums)
+    n_cells = d * k
+    # exact numerators scaled by n_cells:
+    #   SST*n = n*ss_all - total^2 ; SSR*n = (n/k)*sr2... keep floats
+    # mirrored: each SS from the textbook formula over exact ints.
+    sst = float(ss_all) - float(total * total) / float(n_cells)
+    ssr = float(sr2) / float(k) - float(total * total) / float(n_cells)
+    ssc = float(sc2) / float(d) - float(total * total) / float(n_cells)
+    sse = sst - ssr - ssc
+    msr = ssr / float(d - 1)
+    msc = ssc / float(k - 1)
+    mse = sse / float((d - 1) * (k - 1))
+    icc = ((msr - mse)
+           / (msr + float(k - 1) * mse
+              + float(k) * (msc - mse) / float(d)))
+    return pa.table({
+        "n_days": pa.array([d], pa.int64()),
+        "k_raters": pa.array([k], pa.int64()),
+        "icc2_1": pa.array([round(icc, 6)], pa.float64()),
+    })

@@ -192,6 +192,7 @@ def test_mirror_covers_every_oracle(entry_mod):
         "kuiper", "pettitt", "f_test",
         "cliffs_delta", "page_trend", "jonckheere",
         "mantel_haenszel", "ansari_bradley", "cohens_h",
+        "ordinal_assoc", "icc",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

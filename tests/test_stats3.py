@@ -1438,3 +1438,69 @@ def test_cohens_h_matches_bruteforce(ray_session, tmp_path):
     p2 = (~wknd & (et == "purchase")).sum() / (~wknd).sum()
     ref = 2 * (math.asin(math.sqrt(p1)) - math.asin(math.sqrt(p2)))
     assert got["cohens_h"][0] == pytest.approx(ref, abs=1e-4)
+
+
+def test_ordinal_assoc_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_ordinal_assoc
+
+    rng = np.random.default_rng(113)
+    n = 3000
+    hrs = rng.integers(0, 30 * 24, n)
+    hod = hrs % 24
+    val = np.round(rng.gamma(2.0, 20.0, n) + hod * 2.0, 2)
+    ts = hrs * 3_600_000 + rng.integers(0, 3_600_000, n)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts.astype(np.int64), pa.timestamp("ms")),
+        "user_id": pa.array(rng.integers(0, 50, n).astype(np.int64)),
+        "event_type": pa.array(["click"] * n, pa.string()),
+        "value": pa.array(val),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    got = q_ordinal_assoc(str(tmp_path)).to_pandas()
+    x = hod
+    y = np.rint(val * 100).astype(np.int64) // 5000
+    conc = disc = tx = ty = 0
+    for i in range(n):
+        dxs = x[i + 1:] - x[i]
+        dys = y[i + 1:] - y[i]
+        conc += int(((dxs > 0) & (dys > 0)).sum()
+                    + ((dxs < 0) & (dys < 0)).sum())
+        disc += int(((dxs > 0) & (dys < 0)).sum()
+                    + ((dxs < 0) & (dys > 0)).sum())
+        tx += int(((dxs != 0) & (dys == 0)).sum())
+        ty += int(((dxs == 0) & (dys != 0)).sum())
+    m = min(len(np.unique(x)), len(np.unique(y)))
+    assert int(got["conc"][0]) == conc
+    assert int(got["disc"][0]) == disc
+    assert got["gamma"][0] == pytest.approx(
+        (conc - disc) / (conc + disc), abs=1e-6)
+    assert got["somers_dyx"][0] == pytest.approx(
+        (conc - disc) / (conc + disc + tx), abs=1e-6)
+    assert got["somers_dxy"][0] == pytest.approx(
+        (conc - disc) / (conc + disc + ty), abs=1e-6)
+    assert got["tau_c"][0] == pytest.approx(
+        2 * m * (conc - disc) / (n * n * (m - 1)), abs=1e-6)
+
+
+def test_icc_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_icc
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_icc(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    nd = len(next(iter(dense.values()))) // 24
+    mat = np.stack([c[: nd * 24].reshape(nd, 24).sum(axis=1)
+                    for c in dense.values()], axis=1).astype(float)
+    d, k = mat.shape
+    gm = mat.mean()
+    msr = (k * ((mat.mean(axis=1) - gm) ** 2).sum()) / (d - 1)
+    msc = (d * ((mat.mean(axis=0) - gm) ** 2).sum()) / (k - 1)
+    sse = ((mat - mat.mean(axis=1, keepdims=True)
+            - mat.mean(axis=0, keepdims=True) + gm) ** 2).sum()
+    mse = sse / ((d - 1) * (k - 1))
+    ref = (msr - mse) / (msr + (k - 1) * mse + k * (msc - mse) / d)
+    assert int(got["n_days"][0]) == d
+    assert int(got["k_raters"][0]) == k
+    assert got["icc2_1"][0] == pytest.approx(ref, abs=1e-5)
