@@ -11142,17 +11142,24 @@ ORACLE_SQL.update(
                      AS BIGINT) AS d
                 FROM s),
             f AS (SELECT a, b, c, d,
-                         CAST(floor(ln(CAST(a * d AS DOUBLE)
-                                       / CAST(b * c AS DOUBLE)) * 1e6)
-                              AS BIGINT) / 1e6 AS lor,
-                         sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d) AS se
+                         CASE WHEN least(a, b, c, d) = 0 THEN 0.0
+                              ELSE CAST(floor(ln(CAST(a * d AS DOUBLE)
+                                            / CAST(b * c AS DOUBLE)) * 1e6)
+                                        AS BIGINT) / 1e6 END AS lor,
+                         CASE WHEN least(a, b, c, d) = 0 THEN 0.0
+                              ELSE sqrt(1.0 / a + 1.0 / b
+                                        + 1.0 / c + 1.0 / d) END AS se
                   FROM c)
             SELECT a AS n_pw, b AS n_pd, c AS n_ow, d AS n_od,
-                   round(CAST(a * d AS DOUBLE)
-                         / CAST(b * c AS DOUBLE), 6) AS odds_ratio,
+                   round(CASE WHEN least(a, b, c, d) = 0 THEN 0.0
+                              ELSE CAST(a * d AS DOUBLE)
+                                   / CAST(b * c AS DOUBLE) END,
+                         6) AS odds_ratio,
                    lor AS log_or,
-                   round(lor - 1.959964 * se, 6) AS ci_lo,
-                   round(lor + 1.959964 * se, 6) AS ci_hi
+                   CASE WHEN least(a, b, c, d) = 0 THEN 0.0
+                        ELSE round(lor - 1.959964 * se, 6) END AS ci_lo,
+                   CASE WHEN least(a, b, c, d) = 0 THEN 0.0
+                        ELSE round(lor + 1.959964 * se, 6) END AS ci_hi
             FROM f
         """,
     }
@@ -11356,8 +11363,11 @@ ORACLE_SQL.update(
                                      AND a.event_type < b.event_type
                     GROUP BY 1, 2)
             SELECT ta AS type_a, tb AS type_b, a AS n_gt, b AS n_lt,
-                   round((2.0 * CAST(a AS DOUBLE) - CAST(a + b AS DOUBLE))
-                         / sqrt(CAST(a + b AS DOUBLE)), 6) AS z
+                   round(CASE WHEN a + b = 0 THEN 0.0
+                              ELSE (2.0 * CAST(a AS DOUBLE)
+                                    - CAST(a + b AS DOUBLE))
+                                   / sqrt(CAST(a + b AS DOUBLE)) END,
+                         6) AS z
             FROM p ORDER BY 1, 2
         """,
     }
@@ -11530,8 +11540,8 @@ ORACLE_SQL.update(
                    round(CAST((kk.k - 1)
                               * (aggs.srr - hh.hh * hh.hh * kk.k
                                  * (kk.k + 1) * (kk.k + 1)) AS DOUBLE)
-                         / CAST(hh.hh * (a2.a2 - hh.hh * kk.k
-                                         * (kk.k + 1) * (kk.k + 1))
+                         / CAST(a2.a2 - hh.hh * kk.k
+                                * (kk.k + 1) * (kk.k + 1)
                                 AS DOUBLE), 6) AS chi2
             FROM kk CROSS JOIN hh CROSS JOIN aggs CROSS JOIN a2
         """,
@@ -11945,19 +11955,23 @@ ORACLE_SQL.update(
         "heaps_law": """
             WITH dd AS (SELECT CAST(count(*) AS BIGINT) AS d
                         FROM documents),
-            cuts AS (SELECT i, (dd.d * i) // 5 AS c
-                     FROM (SELECT unnest(generate_series(1, 5)) AS i)
-                     CROSS JOIN dd),
+            ord AS (SELECT doc_id,
+                           row_number() OVER (ORDER BY doc_id) AS rn
+                    FROM documents),
+            cuts AS (SELECT ii.i, ord.doc_id AS c
+                     FROM (SELECT unnest(generate_series(1, 5)) AS i) ii
+                     CROSS JOIN dd
+                     JOIN ord ON ord.rn = (dd.d * ii.i) // 5),
             tok AS (SELECT doc_id, lower(term) AS term
                     FROM (SELECT doc_id,
                                  unnest(regexp_extract_all(text,
                                         '[A-Za-z]+')) AS term
                           FROM documents)),
             tq AS (SELECT cuts.i, CAST(count(*) AS BIGINT) AS t
-                   FROM tok JOIN cuts ON tok.doc_id < cuts.c GROUP BY 1),
+                   FROM tok JOIN cuts ON tok.doc_id <= cuts.c GROUP BY 1),
             fmin AS (SELECT term, min(doc_id) AS md FROM tok GROUP BY 1),
             vq AS (SELECT cuts.i, CAST(count(*) AS BIGINT) AS v
-                   FROM fmin JOIN cuts ON fmin.md < cuts.c GROUP BY 1),
+                   FROM fmin JOIN cuts ON fmin.md <= cuts.c GROUP BY 1),
             pts AS (SELECT CAST(floor(ln(CAST(tq.t AS DOUBLE)) * 1e6)
                                 AS BIGINT) AS x,
                            CAST(floor(ln(CAST(vq.v AS DOUBLE)) * 1e6)
@@ -11970,11 +11984,13 @@ ORACLE_SQL.update(
                            CAST(sum(x * y) AS BIGINT) AS sxy
                     FROM pts)
             SELECT n AS n_points,
-                   (SELECT CAST(count(*) AS BIGINT) FROM fmin
-                    CROSS JOIN dd WHERE fmin.md < dd.d) AS vocab_full,
-                   round(CAST(n * sxy - sx * sy AS DOUBLE)
-                         / CAST(n * sxx - sx * sx AS DOUBLE), 6)
-                       AS heaps_beta
+                   (SELECT CAST(count(*) AS BIGINT) FROM fmin)
+                       AS vocab_full,
+                   round(CASE WHEN n < 2 OR n * sxx - sx * sx = 0
+                              THEN 0.0
+                              ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                                   / CAST(n * sxx - sx * sx AS DOUBLE)
+                              END, 6) AS heaps_beta
             FROM ols
         """,
         "term_burstiness": """
@@ -12065,8 +12081,10 @@ ORACLE_SQL.update(
             SELECT (SELECT mid FROM g) AS mid_day,
                    (SELECT thr FROM thr) AS thr_cv,
                    b AS b_early_only, c AS c_late_only,
-                   round(CAST((b - c) * (b - c) AS DOUBLE)
-                         / CAST(b + c AS DOUBLE), 6) AS mcnemar
+                   round(CASE WHEN b + c = 0 THEN 0.0
+                              ELSE CAST((b - c) * (b - c) AS DOUBLE)
+                                   / CAST(b + c AS DOUBLE) END,
+                         6) AS mcnemar
             FROM cells
         """,
         "cochran_q": """

@@ -641,9 +641,17 @@ def q_odds_ratio(sf_dir: str):
     b = cell.get((1, 0), 0)   # purchase, weekday
     c = cell.get((0, 1), 0)   # other, weekend
     d = cell.get((0, 0), 0)   # other, weekday
-    orr = float(a * d) / float(b * c)
-    lor = math.floor(math.log(float(a * d) / float(b * c)) * 1e6) / 1e6
-    se = math.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    if min(a, b, c, d) == 0:
+        # degenerate guard: an empty 2x2 cell makes OR / ln(OR) / the
+        # Wald SE undefined -> emit 0.0 for all four stats (mirrored)
+        orr = lor = 0.0
+        ci_lo = ci_hi = 0.0
+    else:
+        orr = float(a * d) / float(b * c)
+        lor = math.floor(math.log(float(a * d) / float(b * c)) * 1e6) / 1e6
+        se = math.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+        ci_lo = round(lor - 1.959964 * se, 6)
+        ci_hi = round(lor + 1.959964 * se, 6)
     return pa.table({
         "n_pw": pa.array([a], pa.int64()),
         "n_pd": pa.array([b], pa.int64()),
@@ -651,8 +659,8 @@ def q_odds_ratio(sf_dir: str):
         "n_od": pa.array([d], pa.int64()),
         "odds_ratio": pa.array([round(orr, 6)], pa.float64()),
         "log_or": pa.array([lor], pa.float64()),
-        "ci_lo": pa.array([round(lor - 1.959964 * se, 6)], pa.float64()),
-        "ci_hi": pa.array([round(lor + 1.959964 * se, 6)], pa.float64()),
+        "ci_lo": pa.array([ci_lo], pa.float64()),
+        "ci_hi": pa.array([ci_hi], pa.float64()),
     })
 
 
@@ -894,7 +902,9 @@ def q_sign_test(sf_dir: str):
             a = int(np.count_nonzero(ca > cb))
             b = int(np.count_nonzero(ca < cb))
             n = a + b
-            z = (2.0 * float(a) - float(n)) / math.sqrt(float(n))
+            # degenerate guard: identical series (n=0) -> z = 0.0
+            z = (0.0 if n == 0
+                 else (2.0 * float(a) - float(n)) / math.sqrt(float(n)))
             out["type_a"].append(ta)
             out["type_b"].append(tb)
             out["n_gt"].append(a)
@@ -1117,8 +1127,11 @@ def q_friedman_test(sf_dir: str):
     in DOUBLED units (per-block doubled rank sum is exactly k(k+1)).
     The Conover tie-corrected statistic reduces over the common
     denominator to chi2 = (k-1)*(sum R2_j^2 - H^2 k (k+1)^2)
-    / (H*(sum r2^2 - H k (k+1)^2)) — exact integers to ONE mirrored
-    division."""
+    / (sum r2^2 - H k (k+1)^2) — exact integers to ONE mirrored
+    division.  (In doubled units both numerator and denominator carry
+    the same 4x scale, so the halved-rank Conover T1 is recovered
+    exactly; round-2's extra leading H factor in the denominator is
+    fixed.)"""
     series, big_h = dense_hour_counts(sf_dir)
     types = sorted(series)
     k = len(types)
@@ -1139,7 +1152,7 @@ def q_friedman_test(sf_dir: str):
     sum_r2j_sq = sum(int(x) * int(x) for x in big_r2)
     a2 = int((r2.astype(np.int64) ** 2).sum())
     num = (k - 1) * (sum_r2j_sq - big_h * big_h * k * (k + 1) * (k + 1))
-    den = big_h * (a2 - big_h * k * (k + 1) * (k + 1))
+    den = a2 - big_h * k * (k + 1) * (k + 1)
     chi2 = float(num) / float(den)
     return pa.table({
         "k_types": pa.array([k], pa.int64()),
@@ -1650,20 +1663,68 @@ def q_heaps_law(sf_dir: str):
     # pass A: total doc count (tiny combiner)
     n_docs = int(
         _read(sf_dir, "documents", ["doc_id"]).count())
-    cuts = [(n_docs * i) // 5 for i in range(1, 6)]
+    ks = [(n_docs * i) // 5 for i in range(1, 6)]
 
-    # pass B: the five prefix token counts as a 5-cell combiner — the
-    # prefix i is "docs with doc_id < n_docs*i//5" (no per-doc rows
-    # ever reach the driver)
-    def tok_partial(batch: pa.Table, cuts=tuple(cuts)) -> pa.Table:
+    # pass A': exact order-statistic cuts — prefix i is the FIRST
+    # k_i = n_docs*i//5 docs in doc_id order, so cut_i is the k_i-th
+    # smallest doc_id (robust to sparse / offset ids; round-2 assumed
+    # contiguous 0..n-1 ids).  A bucket census (doc_id // 2^16) bounds
+    # driver rows at max_id/65536; only the <=5 boundary buckets ship
+    # their raw ids (<= 5*65536 values) for the exact pick.
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "b": pa.array(did // 65536, pa.int64()),
+            "n": pa.array(np.ones(len(did), np.int64)),
+        })
+        g = t.group_by(["b"]).aggregate([("n", "sum")])
+        return g.rename_columns(["b", "n"])
+
+    bcen = sharded_grouped_agg(
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(bucket_partial, batch_format="pyarrow"),
+        ["b"], [("n", "sum")], num_shards=1,
+    ).to_pandas().sort_values("b")
+    bvals = bcen["b"].to_numpy(np.int64)
+    bcum = bcen["n"].to_numpy(np.int64).cumsum()
+    need: dict[int, list[int]] = {}
+    for k in ks:
+        if k <= 0:
+            continue
+        bi = int(np.searchsorted(bcum, k, side="left"))
+        need.setdefault(int(bvals[bi]), []).append(k)
+    rank_before = {int(bvals[j]): (0 if j == 0 else int(bcum[j - 1]))
+                   for j in range(len(bvals))}
+    want = tuple(sorted(need))
+
+    def ids_partial(batch: pa.Table, want=want) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        m = np.isin(did // 65536, np.asarray(want, np.int64))
+        return pa.table({"doc_id": pa.array(did[m], pa.int64())})
+
+    picked = (_read(sf_dir, "documents", ["doc_id"])
+              .map_batches(ids_partial, batch_format="pyarrow")
+              .to_pandas()["doc_id"].to_numpy(np.int64))
+    cut_of_k: dict[int, int] = {}
+    for b, klist in need.items():
+        ids = np.sort(picked[picked // 65536 == b])
+        for k in klist:
+            cut_of_k[k] = int(ids[k - rank_before[b] - 1])
+    valid = [(i, cut_of_k[k])
+             for i, k in zip(range(1, 6), ks) if k > 0]
+
+    # pass B: the prefix token counts as a <=5-cell combiner — the
+    # prefix i is "docs with doc_id <= cut_i" (no per-doc rows ever
+    # reach the driver)
+    def tok_partial(batch: pa.Table, valid=tuple(valid)) -> pa.Table:
         import re as _re
         wre = _re.compile(r"[A-Za-z]+")
         did = batch["doc_id"].to_numpy(zero_copy_only=False)
         toks = np.asarray([len(wre.findall(t or ""))
                            for t in batch["text"].to_pylist()], np.int64)
         return pa.table({
-            "i": pa.array(np.arange(1, 6, dtype=np.int64)),
-            "t": pa.array([int(toks[did < c].sum()) for c in cuts],
+            "i": pa.array([i for i, _ in valid], pa.int64()),
+            "t": pa.array([int(toks[did <= c].sum()) for _, c in valid],
                           pa.int64()),
         })
 
@@ -1673,31 +1734,40 @@ def q_heaps_law(sf_dir: str):
         ["i"], [("t", "sum")], num_shards=1,
     ).to_pandas().sort_values("i")
 
-    # pass C: the five prefix vocab counts as a combiner over CENSUS rows
-    def vocab_partial(batch: pa.Table, cuts=tuple(cuts)) -> pa.Table:
+    # pass C: the prefix vocab counts as a combiner over CENSUS rows
+    def vocab_partial(batch: pa.Table, valid=tuple(valid)) -> pa.Table:
         md = batch["min_doc"].to_numpy(zero_copy_only=False)
         return pa.table({
-            "i": pa.array(np.arange(1, 6, dtype=np.int64)),
-            "v": pa.array([int(np.count_nonzero(md < c)) for c in cuts],
-                          pa.int64()),
+            "i": pa.array([i for i, _ in valid], pa.int64()),
+            "v": pa.array([int(np.count_nonzero(md <= c))
+                           for _, c in valid], pa.int64()),
         })
 
     vband = sharded_grouped_agg(
         census.map_batches(vocab_partial, batch_format="pyarrow"),
         ["i"], [("v", "sum")], num_shards=1,
     ).to_pandas().sort_values("i")
-    vocab_full = int(vband["v"].to_numpy()[-1])
+    t_of_i = dict(zip(tband["i"].astype(int), tband["t"].astype(int)))
+    v_of_i = dict(zip(vband["i"].astype(int), vband["v"].astype(int)))
+    # cut_5 = the max doc_id, so the i=5 vocab cell IS the full vocab
+    vocab_full = int(v_of_i.get(5, 0))
     pts = []
-    for big_t, big_v in zip(tband["t"].to_numpy(np.int64),
-                            vband["v"].to_numpy(np.int64)):
-        pts.append((math.floor(math.log(float(int(big_t))) * 1e6),
-                    math.floor(math.log(float(int(big_v))) * 1e6)))
+    for i, _c in valid:
+        big_t = t_of_i.get(i, 0)
+        big_v = v_of_i.get(i, 0)
+        if big_t <= 0 or big_v <= 0:
+            # mirrors the oracle's inner joins: an empty/token-free
+            # prefix contributes no regression point
+            continue
+        pts.append((math.floor(math.log(float(big_t)) * 1e6),
+                    math.floor(math.log(float(big_v)) * 1e6)))
     n = len(pts)
     sx = sum(x for x, _ in pts)
     sy = sum(y for _, y in pts)
     sxx = sum(x * x for x, _ in pts)
     sxy = sum(x * y for x, y in pts)
-    beta = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    den = n * sxx - sx * sx
+    beta = 0.0 if n < 2 or den == 0 else float(n * sxy - sx * sy) / float(den)
     return pa.table({
         "n_points": pa.array([n], pa.int64()),
         "vocab_full": pa.array([vocab_full], pa.int64()),
@@ -1711,7 +1781,10 @@ def q_term_burstiness(sf_dir: str):
     S2 = sum of squared per-doc counts, the variance-to-mean ratio over
     the FULL doc population (absent docs enter through the closed form,
     never materialized — the fano_factor trick on text)
-    is (D*S2 - S1^2)/(D*S1): exact integers to one division each."""
+    is (D*S2 - S1^2)/(D*S1): exact integers to one division each.
+    The doc count D comes from its own metadata-only count() (never
+    piggybacked on term rows, so batches whose documents contain zero
+    [A-Za-z] tokens still contribute to D)."""
     import re
     from collections import Counter
 
@@ -1721,9 +1794,7 @@ def q_term_burstiness(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         s1: Counter = Counter()
         s2: Counter = Counter()
-        docs = 0
         for t in batch["text"].to_pylist():
-            docs += 1
             c = Counter(m.lower() for m in word_re.findall(t or ""))
             for w, f in c.items():
                 s1[w] += f
@@ -1733,16 +1804,14 @@ def q_term_burstiness(sf_dir: str):
             "term": pa.array(terms, pa.string()),
             "s1": pa.array([s1[t] for t in terms], pa.int64()),
             "s2": pa.array([s2[t] for t in terms], pa.int64()),
-            "d": pa.array([docs] + [0] * (len(terms) - 1), pa.int64())
-            if terms else pa.array([], pa.int64()),
         })
 
     census = sharded_grouped_agg(
         ds.map_batches(partial, batch_format="pyarrow"),
-        ["term"], [("s1", "sum"), ("s2", "sum"), ("d", "sum")],
+        ["term"], [("s1", "sum"), ("s2", "sum")],
         num_shards=16,
     ).to_pandas()
-    n_docs = int(census["d"].sum())
+    n_docs = int(_read(sf_dir, "documents", ["doc_id"]).count())
     top = census.sort_values(["s1", "term"],
                              ascending=[False, True]).head(10)
     out = {"term": [], "cf": [], "vmr": []}
@@ -1891,7 +1960,8 @@ def q_mcnemar(sf_dir: str):
     l = pairs["late"].to_numpy(np.int64)
     b = int(np.count_nonzero((e == 1) & (l == 0)))
     c = int(np.count_nonzero((e == 0) & (l == 1)))
-    stat = float((b - c) * (b - c)) / float(b + c)
+    # degenerate guard: zero discordant users -> 0.0 on both engines
+    stat = 0.0 if b + c == 0 else float((b - c) * (b - c)) / float(b + c)
     return pa.table({
         "mid_day": pa.array([mid], pa.int64()),
         "thr_cv": pa.array([thr], pa.int64()),

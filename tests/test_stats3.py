@@ -632,7 +632,7 @@ def test_friedman_test_matches_bruteforce(ray_session, tmp_path):
     rj = ranks.sum(axis=1)
     a = (ranks ** 2).sum()
     c0 = h * k * (k + 1) ** 2 / 4.0
-    ref = (k - 1) * ((rj ** 2).sum() / h - c0) / (a - c0)
+    ref = (k - 1) * ((rj ** 2).sum() - h * c0) / (a - c0)
     assert int(got["k_types"][0]) == k
     assert int(got["n_blocks"][0]) == h
     assert got["chi2"][0] == pytest.approx(ref, abs=1e-6)
@@ -915,6 +915,68 @@ def test_heaps_law_matches_bruteforce(ray_session, tmp_path):
     assert int(got["vocab_full"][0]) == len(
         {w for t in texts for w in t.split()})
     assert got["heaps_beta"][0] == pytest.approx(beta, abs=1e-3)
+
+
+def test_heaps_law_sparse_doc_ids(ray_session, tmp_path):
+    """Round-3 regression (ADVICE): prefixes must be the first k docs
+    in doc_id ORDER, not `doc_id < count-derived cut` — sparse/offset
+    ids (stride 997 so the order-statistic bucket census spans several
+    2^16 buckets) must give the same beta as positional prefixes."""
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_heaps_law
+
+    texts, _ = _write_docs(tmp_path)
+    n = len(texts)
+    ids = np.arange(n, dtype=np.int64) * 997 + 54321
+    t = pq.read_table(os.path.join(str(tmp_path), "documents.parquet"))
+    t = t.set_column(t.schema.get_field_index("doc_id"), "doc_id",
+                     pa.array(ids))
+    pq.write_table(t, os.path.join(str(tmp_path), "documents.parquet"))
+    got = q_heaps_law(str(tmp_path)).to_pandas()
+    xs, ys = [], []
+    for i in range(1, 6):
+        cut = (n * i) // 5          # positional: first cut docs by id order
+        toks = [w for txt in texts[:cut] for w in txt.split()]
+        xs.append(math.log(len(toks)))
+        ys.append(math.log(len(set(toks))))
+    beta = np.polyfit(xs, ys, 1)[0]
+    assert int(got["vocab_full"][0]) == len(
+        {w for txt in texts for w in txt.split()})
+    assert got["heaps_beta"][0] == pytest.approx(beta, abs=1e-3)
+
+
+def test_term_burstiness_empty_token_batches(ray_session, tmp_path):
+    """Round-3 regression (ADVICE): documents with zero [A-Za-z] tokens
+    must still count toward n_docs in every VMR."""
+    from collections import Counter
+
+    from prom_tsdb_copyer_ray.pipelines.stats3 import q_term_burstiness
+
+    texts, _ = _write_docs(tmp_path)
+    # append 60 token-free docs (digits/punct only)
+    extra = ["123 456 !!!"] * 60
+    all_texts = texts + extra
+    n = len(all_texts)
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(all_texts, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(["s"] * n, pa.string()),
+        "n_chars": pa.array([len(x) for x in all_texts], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "documents.parquet"))
+    got = q_term_burstiness(str(tmp_path)).to_pandas()
+    per_doc = [Counter(txt.split()) for txt in texts] \
+        + [Counter() for _ in extra]
+    cf = Counter()
+    for c in per_doc:
+        cf.update(c)
+    top = sorted(cf.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(got["term"]) == [term for term, _ in top]
+    for (term, s1), (_, r) in zip(top, got.iterrows()):
+        f = np.array([c.get(term, 0) for c in per_doc], float)
+        vmr = f.var() / f.mean()
+        assert int(r["cf"]) == s1
+        assert r["vmr"] == pytest.approx(vmr, abs=1e-4)
 
 
 def test_term_burstiness_matches_bruteforce(ray_session, tmp_path):
