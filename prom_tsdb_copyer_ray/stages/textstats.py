@@ -13,6 +13,90 @@ import pyarrow.compute as pc
 from ..functions.hashing import poly_hash_column
 from ..functions.text import LangIdModel, quality_counts, token_count
 
+# Gate instrumentation for the vocabulary broadcast-vs-sharded paths
+# (tfidf_topk / unigram_logprob / bigram_logprob).  Tests read this to
+# prove the driver never held more vocabulary rows than the cap:
+# {"op": str, "path": "broadcast"|"sharded", "driver_vocab_rows": int}.
+LAST_RUN_INFO: dict = {}
+
+# Default cap on vocabulary rows the driver may collect + ray.put as a
+# broadcast model.  Below it the one-hop broadcast wins (a few MB —
+# every realistic curated-corpus vocabulary); above it (web-scale raw
+# text: 1e8-1e9 distinct typo/URL "terms") the scoring switches to a
+# co-partitioned shuffle join and the driver holds ZERO vocab rows.
+MAX_BROADCAST_TERMS = 2_000_000
+
+
+def _co_lookup(rows_ds, lookup_ds, payload_fields, value_fields,
+               post=None, num_shards: int = 64):
+    """Co-partitioned lookup join keyed on a ``_jk`` string column.
+
+    ``rows_ds``: Dataset with columns ``_jk`` + payload_fields;
+    ``lookup_ds``: Dataset with ``_jk`` + value_fields (unique ``_jk``).
+    Both sides are tagged, padded to a common schema, hash-exchanged on
+    ``_jk`` so that equal keys land in one shard, and joined inside the
+    shard task with one ``pc.index_in`` — the scalable escalation of the
+    driver-broadcast model (nothing is ever materialized driver-side).
+    Rows without a lookup match are dropped (inner semantics).
+    ``post(table)`` optionally folds each joined shard table (e.g. local
+    top-k, per-doc partial sums) before it leaves the task.
+    """
+    from .common import narrow_fanin
+
+    fields = ([("_jk", pa.string()), ("_side", pa.int64())]
+              + list(payload_fields) + list(value_fields))
+
+    def pad(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {}
+            for name, typ in fields:
+                if name == "_side":
+                    cols[name] = pa.array(np.full(n, side, np.int64))
+                elif name in batch.column_names:
+                    col = batch[name]
+                    cols[name] = (pc.cast(col, typ)
+                                  if col.type != typ else col)
+                else:
+                    cols[name] = pa.nulls(n, typ)
+            t = pa.table(cols)
+            shard = (poly_hash_column(t["_jk"], fold63=False)
+                     % np.uint64(num_shards)).astype(np.int64)
+            return t.append_column("_cshard", pa.array(shard))
+        return fn
+
+    out_names = ([n for n, _ in payload_fields]
+                 + [n for n, _ in value_fields])
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_cshard")
+        side = t["_side"].to_numpy(zero_copy_only=False)
+        lk = t.filter(pa.array(side == 0))
+        rw = t.filter(pa.array(side == 1))
+        empty = pa.table({n: pa.array([], typ) for n, typ in fields
+                          if n not in ("_jk", "_side")})
+        if rw.num_rows == 0 or lk.num_rows == 0:
+            return post(empty) if post is not None else empty
+        keys = lk["_jk"].combine_chunks() \
+            if isinstance(lk["_jk"], pa.ChunkedArray) else lk["_jk"]
+        idx = pc.index_in(rw["_jk"], value_set=keys)
+        hit = pc.is_valid(idx)
+        rw = rw.filter(hit)
+        idx = idx.filter(hit)
+        cols = {}
+        for name, _typ in payload_fields:
+            cols[name] = rw[name]
+        for name, _typ in value_fields:
+            cols[name] = lk[name].take(idx)
+        joined = pa.table(cols)
+        return post(joined) if post is not None else joined
+
+    both = (rows_ds.map_batches(pad(1), batch_format="pyarrow")
+            .union(lookup_ds.map_batches(pad(0), batch_format="pyarrow")))
+    return (both.repartition(narrow_fanin())
+            .groupby("_cshard")
+            .map_groups(per_shard, batch_format="pyarrow"))
+
 
 def add_quality_counts(ds, text_col: str = "text"):
     """Vectorized quality raw counts (chars/alpha/digit/space/tokens)."""
@@ -131,8 +215,41 @@ def term_document_frequency(ds, text_col: str = "text", top_n: int = 100,
     return vocab.sort(["df", "term"], descending=[True, False]).limit(top_n)
 
 
+def _doc_term_tf_rows(batch: pa.Table, id_col: str, text_col: str):
+    """Per-doc-distinct (term, tf) rows for the ``[a-z]+`` vocabulary —
+    the doc-side input of the sharded tf-idf join.  Returns a table with
+    columns ``_jk`` (term), id_col, ``tf``."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    s = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    lists = pc.split_pattern_regex(pc.utf8_lower(s), "[^a-z]+")
+    lengths = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(lists)
+    row_idx = np.repeat(np.arange(len(ids), dtype=np.int64), lengths)
+    keep = pc.not_equal(flat, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    flat = flat.filter(keep)
+    row_idx = row_idx[keep_np]
+    if len(flat) == 0:
+        return pa.table({"_jk": pa.array([], pa.string()),
+                         id_col: pa.array([], pa.int64()),
+                         "tf": pa.array([], pa.int64())})
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    kvoc = len(enc.dictionary)
+    pair, tf = np.unique(row_idx * kvoc + codes, return_counts=True)
+    p_row, p_code = pair // kvoc, pair % kvoc
+    return pa.table({
+        "_jk": pc.cast(enc.dictionary.take(pa.array(p_code)), pa.string()),
+        id_col: pa.array(ids[p_row], pa.int64()),
+        "tf": pa.array(tf.astype(np.int64), pa.int64()),
+    })
+
+
 def tfidf_topk(ds, text_col: str = "text", id_col: str = "doc_id",
-               k: int = 3, idf_scale: int = 1000):
+               k: int = 3, idf_scale: int = 1000,
+               max_broadcast_terms: int | None = None):
     """Top-k terms per document by an integer tf-idf score (SQL-exact).
 
     Terms are the ``[a-z]+`` runs of the lowercased text (same vocabulary as
@@ -141,20 +258,79 @@ def tfidf_topk(ds, text_col: str = "text", id_col: str = "doc_id",
     integer math, so ranking (score desc, term asc) is bit-identical across
     engines with no float-log ulp hazard.
 
-    Scale shape: pass 1 computes the collapsed (term, df) vocabulary with
-    the per-batch-distinct combiner + shard segment sum (Zipf-bounded rows
-    move, never per-occurrence rows) and broadcasts it once via ``ray.put``
-    (sorted term array + idf array — a few MB for real vocabularies); pass 2
-    is a shuffle-free per-batch kernel: dictionary-encode the token stream,
-    tf per (row, term) via one ``np.unique``, idf lookup via
-    ``np.searchsorted`` against the broadcast vocab, per-row top-k via one
-    lexsort.  Docs are single rows, so no grouping exchange exists anywhere.
+    Scale shape — size-aware two-path (the CC fast-path principle):
+    pass 1 computes the collapsed (term, df) vocabulary with the
+    per-batch-distinct combiner + shard segment sum (Zipf-bounded rows
+    move, never per-occurrence rows).  When the vocabulary fits the
+    ``max_broadcast_terms`` cap (default :data:`MAX_BROADCAST_TERMS`)
+    it is broadcast once via ``ray.put`` (sorted term array + idf array
+    — a few MB for real vocabularies) and pass 2 is a shuffle-free
+    per-batch kernel: dictionary-encode the token stream, tf per
+    (row, term) via one ``np.unique``, idf lookup via
+    ``np.searchsorted``, per-row top-k via one lexsort.  Beyond the cap
+    (web-scale raw vocab: 1e8+ typo/URL terms would OOM the driver) the
+    idf attaches SHUFFLE-SIDE instead: per-doc-distinct (doc, term, tf)
+    rows co-partition with the vocab shards (:func:`_co_lookup`), each
+    shard scores and keeps a local per-doc top-k, and one winners-only
+    ``topk_per_group`` exchange yields the global per-doc top-k — the
+    driver holds zero vocabulary rows.  Both paths are value-identical
+    (integer score math; pytest-checked).
     """
     import ray
     import pyarrow.compute as pc
 
+    from .keyed import _topk_kernel, topk_per_group
+
+    cap = MAX_BROADCAST_TERMS if max_broadcast_terms is None \
+        else max_broadcast_terms
     n_docs = ds.count()
-    vocab = term_document_frequency(ds, text_col=text_col, top_n=None).to_pandas()
+    vocab_ds = term_document_frequency(
+        ds, text_col=text_col, top_n=None).materialize()
+    n_vocab = vocab_ds.count()
+    if n_vocab > cap:
+        LAST_RUN_INFO.clear()
+        LAST_RUN_INFO.update(op="tfidf_topk", path="sharded",
+                             driver_vocab_rows=0)
+
+        def doc_rows(batch: pa.Table) -> pa.Table:
+            return _doc_term_tf_rows(batch, id_col, text_col)
+
+        def vocab_rows(batch: pa.Table) -> pa.Table:
+            return pa.table({"_jk": pc.cast(batch["term"], pa.string()),
+                             "df": pc.cast(batch["df"], pa.int64())})
+
+        def local_topk(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({
+                    id_col: pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.int64()),
+                })
+            tf_np = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+            df_np = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+            sc = tf_np * ((np.int64(n_docs) * np.int64(idf_scale)) // df_np)
+            t2 = pa.table({id_col: t[id_col], "term": t["term"],
+                           "tf": t["tf"], "score": pa.array(sc, pa.int64())})
+            return _topk_kernel(t2, [id_col], "score", k, "term", True)
+
+        scored = _co_lookup(
+            ds.map_batches(doc_rows, batch_format="pyarrow").map_batches(
+                lambda b: b.append_column("term", b["_jk"]),
+                batch_format="pyarrow"),
+            vocab_ds.map_batches(vocab_rows, batch_format="pyarrow"),
+            payload_fields=[(id_col, pa.int64()), ("term", pa.string()),
+                            ("tf", pa.int64())],
+            value_fields=[("df", pa.int64())],
+            post=local_topk,
+        )
+        return topk_per_group(scored, [id_col], "score", k,
+                              tiebreak_col="term")
+
+    LAST_RUN_INFO.clear()
+    LAST_RUN_INFO.update(op="tfidf_topk", path="broadcast",
+                         driver_vocab_rows=int(n_vocab))
+    vocab = vocab_ds.to_pandas()
     terms_sorted = np.sort(vocab["term"].to_numpy(dtype=object).astype(str))
     df_by_term = dict(zip(vocab["term"], vocab["df"]))
     idf_sorted = np.array(
@@ -259,7 +435,8 @@ def add_compression_ratio(ds, id_col: str = "doc_id", text_col: str = "text",
 
 
 def unigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text",
-                    out_col: str = "nll"):
+                    out_col: str = "nll",
+                    max_broadcast_terms: int | None = None):
     """Per-document mean negative log-probability under the CORPUS unigram
     LM — the cheap perplexity-style quality score (high = rare-token
     gibberish, low = stopword soup).  Tokens are the whitespace splits of
@@ -268,17 +445,23 @@ def unigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text",
 
     Two passes: (1) collapsed (token, count) vocabulary via the per-batch
     Counter combiner + term-shard segment sum (term_document_frequency's
-    shape), collected and broadcast ONCE via ``ray.put`` (Zipf-bounded at
-    test scale; a vocabulary beyond broadcast size switches to the
-    co-partitioned token-shard join, same fallback as tf-idf); (2) a
-    shuffle-free scoring pass: flatten token lists, ONE ``pc.index_in``
-    against the broadcast vocab, gather counts, ``-ln(count/total)``,
-    segment means via ``reduceat`` over the list offsets."""
+    shape).  When the vocabulary fits ``max_broadcast_terms`` (default
+    :data:`MAX_BROADCAST_TERMS`) it is collected and broadcast ONCE via
+    ``ray.put`` and (2) is a shuffle-free scoring pass: flatten token
+    lists, ONE ``pc.index_in`` against the broadcast vocab, gather
+    counts, ``-ln(count/total)``, segment means via ``reduceat`` over
+    the list offsets.  Beyond the cap the count attaches SHUFFLE-SIDE:
+    per-doc-distinct (doc, token, tf) rows co-partition with the vocab
+    shards (:func:`_co_lookup`; the per-token nll is additive, so each
+    shard folds per-doc PARTIAL (sum, n) cells), one doc-keyed
+    ``sharded_grouped_agg`` adds the partials, and the driver holds
+    zero vocabulary rows — only the scalar token total."""
     import ray
 
     from collections import Counter
 
     from ..functions.text import _WS_SPLIT
+    from .keyed import sharded_grouped_agg
 
     def _token_lists(texts):
         trimmed = pc.utf8_trim(pc.cast(texts, pa.string()), " \t\r\n")
@@ -298,15 +481,102 @@ def unigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text",
         shard = (poly_hash_column(tbl["term"], fold63=False) % np.uint64(64)).astype(np.int64)
         return tbl.append_column("_tshard", pa.array(shard))
 
-    vocab_parts = []
-    total = 0
-    for part in (
+    cap = MAX_BROADCAST_TERMS if max_broadcast_terms is None \
+        else max_broadcast_terms
+    vocab_ds = (
         ds.map_batches(partial_counts, batch_format="pyarrow")
         .groupby("_tshard")
         .map_groups(_shard_term_sum, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")
-    ):
-        vocab_parts.append(part)
+    ).materialize()
+    n_vocab = vocab_ds.count()
+
+    if n_vocab > cap:
+        LAST_RUN_INFO.clear()
+        LAST_RUN_INFO.update(op="unigram_logprob", path="sharded",
+                             driver_vocab_rows=0)
+        total = int(vocab_ds.sum(on="df"))
+
+        def doc_rows(batch: pa.Table) -> pa.Table:
+            ids = pc.cast(batch[id_col], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            lists, trimmed = _token_lists(batch[text_col])
+            lists = (lists.combine_chunks()
+                     if isinstance(lists, pa.ChunkedArray) else lists)
+            n_tok = pc.list_value_length(lists).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            ok = np.asarray(
+                pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False)
+            ) & (n_tok > 0)
+            empty = pa.table({"_jk": pa.array([], pa.string()),
+                              id_col: pa.array([], pa.int64()),
+                              "tf": pa.array([], pa.int64())})
+            if not ok.any():
+                return empty
+            lists = lists.filter(pa.array(ok))
+            ids = ids[ok]
+            lens = pc.list_value_length(lists).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            flat = lists.flatten()
+            row_idx = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+            enc = pc.dictionary_encode(flat)
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            kvoc = len(enc.dictionary)
+            pair, tf = np.unique(row_idx * kvoc + codes, return_counts=True)
+            p_row, p_code = pair // kvoc, pair % kvoc
+            return pa.table({
+                "_jk": pc.cast(enc.dictionary.take(pa.array(p_code)),
+                               pa.string()),
+                id_col: pa.array(ids[p_row], pa.int64()),
+                "tf": pa.array(tf.astype(np.int64), pa.int64()),
+            })
+
+        def vocab_rows(batch: pa.Table) -> pa.Table:
+            return pa.table({"_jk": pc.cast(batch["term"], pa.string()),
+                             "df": pc.cast(batch["df"], pa.int64())})
+
+        def fold(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "s": pa.array([], pa.float64()),
+                                 "n": pa.array([], pa.int64())})
+            did = t[id_col].to_numpy(zero_copy_only=False)
+            tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+            df = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+            contrib = tf * -np.log(df / total)
+            order = np.argsort(did, kind="stable")
+            did_s, c_s, tf_s = did[order], contrib[order], tf[order]
+            starts = np.flatnonzero(np.r_[True, did_s[1:] != did_s[:-1]])
+            return pa.table({
+                id_col: pa.array(did_s[starts], pa.int64()),
+                "s": pa.array(np.add.reduceat(c_s, starts), pa.float64()),
+                "n": pa.array(np.add.reduceat(tf_s, starts), pa.int64()),
+            })
+
+        parts = _co_lookup(
+            ds.map_batches(doc_rows, batch_format="pyarrow"),
+            vocab_ds.map_batches(vocab_rows, batch_format="pyarrow"),
+            payload_fields=[(id_col, pa.int64()), ("tf", pa.int64())],
+            value_fields=[("df", pa.int64())],
+            post=fold,
+        )
+        agg = sharded_grouped_agg(
+            parts, [id_col], [("s", "sum"), ("n", "sum")])
+
+        def finish(batch: pa.Table) -> pa.Table:
+            s = batch["s"].to_numpy(zero_copy_only=False)
+            n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+            return pa.table({
+                id_col: batch[id_col],
+                out_col: pa.array(np.round(s / n, 6), pa.float64()),
+            })
+
+        return agg.map_batches(finish, batch_format="pyarrow")
+
+    LAST_RUN_INFO.clear()
+    LAST_RUN_INFO.update(op="unigram_logprob", path="broadcast",
+                         driver_vocab_rows=int(n_vocab))
+    vocab_parts = list(vocab_ds.iter_batches(batch_format="pyarrow"))
     vocab = pa.concat_tables(vocab_parts).sort_by([("term", "ascending")])
     counts_np = vocab["df"].to_numpy(zero_copy_only=False).astype(np.int64)
     total = int(counts_np.sum())
@@ -366,7 +636,8 @@ def _shard_term_sum(group: pa.Table) -> pa.Table:
 
 
 def bigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text",
-                   out_col: str = "nll2"):
+                   out_col: str = "nll2",
+                   max_broadcast_pairs: int | None = None):
     """Per-document mean negative log-prob of each token GIVEN its
     predecessor under the corpus bigram LM — the next-step quality score
     after unigram_logprob (catches shuffled-word salad that unigram
@@ -412,14 +683,23 @@ def bigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text",
                  % np.uint64(64)).astype(np.int64)
         return tbl.append_column("_pshard", pa.array(shard))
 
-    parts = [
-        p for p in (
-            ds.map_batches(partial_pairs, batch_format="pyarrow")
-            .groupby("_pshard")
-            .map_groups(_shard_pair_sum, batch_format="pyarrow")
-            .iter_batches(batch_format="pyarrow")
-        )
-    ]
+    cap = MAX_BROADCAST_TERMS if max_broadcast_pairs is None \
+        else max_broadcast_pairs
+    census_ds = (
+        ds.map_batches(partial_pairs, batch_format="pyarrow")
+        .groupby("_pshard")
+        .map_groups(_shard_pair_sum, batch_format="pyarrow")
+    ).materialize()
+    n_pairs = census_ds.count()
+
+    if n_pairs > cap:
+        return _bigram_logprob_sharded(ds, census_ds, id_col, text_col,
+                                       out_col, _token_lists)
+
+    LAST_RUN_INFO.clear()
+    LAST_RUN_INFO.update(op="bigram_logprob", path="broadcast",
+                         driver_vocab_rows=int(n_pairs))
+    parts = list(census_ds.iter_batches(batch_format="pyarrow"))
     census = pa.concat_tables(parts)
     w1 = np.asarray(census["w1"].to_pylist(), dtype=object)
     w2 = np.asarray(census["w2"].to_pylist(), dtype=object)
@@ -477,6 +757,147 @@ def bigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _bigram_logprob_sharded(ds, census_ds, id_col: str, text_col: str,
+                            out_col: str, _token_lists):
+    """Web-scale path of :func:`bigram_logprob`: the (w1, w2, n) census
+    never reaches the driver.  Three co-partitioned exchanges:
+    (A) left-marginals c1(w1) via a w1-keyed ``sharded_grouped_agg``;
+    (B) model rows (w1, w2, nll = -ln(n/c1)) via a w1-hash
+    :func:`_co_lookup` of census against marginals; (C) per-doc-distinct
+    (doc, w1w2-pair, count) rows co-partition with the model shards,
+    each shard folds per-doc PARTIAL (sum, n) cells (nll is additive),
+    and one doc-keyed ``sharded_grouped_agg`` finishes the means.  The
+    driver holds zero census rows."""
+    from .keyed import sharded_grouped_agg
+
+    LAST_RUN_INFO.clear()
+    LAST_RUN_INFO.update(op="bigram_logprob", path="sharded",
+                         driver_vocab_rows=0)
+
+    # A: left-marginal counts, keyed on w1
+    def marg_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"w1": batch["w1"], "c1": batch["n"]})
+
+    marginal = sharded_grouped_agg(
+        census_ds.map_batches(marg_partial, batch_format="pyarrow"),
+        ["w1"], [("c1", "sum")])
+
+    # B: attach c1 to every census row inside its w1 shard -> model rows
+    def census_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({"_jk": pc.cast(batch["w1"], pa.string()),
+                         "w1": batch["w1"], "w2": batch["w2"],
+                         "n": batch["n"]})
+
+    def marg_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({"_jk": pc.cast(batch["w1"], pa.string()),
+                         "c1": pc.cast(batch["c1"], pa.int64())})
+
+    def mk_model(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "nll": pa.array([], pa.float64())})
+        n_np = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = t["c1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"w1": t["w1"], "w2": t["w2"],
+                         "nll": pa.array(-np.log(n_np / c1), pa.float64())})
+
+    model = _co_lookup(
+        census_ds.map_batches(census_rows, batch_format="pyarrow"),
+        marginal.map_batches(marg_rows, batch_format="pyarrow"),
+        payload_fields=[("w1", pa.string()), ("w2", pa.string()),
+                        ("n", pa.int64())],
+        value_fields=[("c1", pa.int64())],
+        post=mk_model,
+    )
+
+    def model_rows(batch: pa.Table) -> pa.Table:
+        jk = pc.binary_join_element_wise(
+            pc.cast(batch["w1"], pa.string()),
+            pc.cast(batch["w2"], pa.string()), "\x1f")
+        return pa.table({"_jk": jk, "nll": batch["nll"]})
+
+    # C: per-doc-distinct pair rows, joined to the model pair shards
+    def doc_pair_rows(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        lists, trimmed = _token_lists(batch[text_col])
+        lists = (lists.combine_chunks()
+                 if isinstance(lists, pa.ChunkedArray) else lists)
+        n_tok = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ok = np.asarray(
+            pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False)
+        ) & (n_tok >= 2)
+        empty = pa.table({"_jk": pa.array([], pa.string()),
+                          id_col: pa.array([], pa.int64()),
+                          "tf": pa.array([], pa.int64())})
+        if not ok.any():
+            return empty
+        lists = lists.filter(pa.array(ok))
+        ids = ids[ok]
+        lens = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = lists.flatten()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        m = len(flat)
+        row_idx = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+        jk_all = pc.binary_join_element_wise(
+            flat.slice(0, m - 1), flat.slice(1), "\x1f")
+        same = row_idx[1:] == row_idx[:-1]
+        jk = jk_all.filter(pa.array(same))
+        prow = row_idx[:-1][same]
+        enc = pc.dictionary_encode(jk)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        kvoc = len(enc.dictionary)
+        pair, cnt = np.unique(prow * kvoc + codes, return_counts=True)
+        p_row, p_code = pair // kvoc, pair % kvoc
+        return pa.table({
+            "_jk": pc.cast(enc.dictionary.take(pa.array(p_code)),
+                           pa.string()),
+            id_col: pa.array(ids[p_row], pa.int64()),
+            "tf": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        did = t[id_col].to_numpy(zero_copy_only=False)
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nll = t["nll"].to_numpy(zero_copy_only=False)
+        contrib = tf * nll
+        order = np.argsort(did, kind="stable")
+        did_s, c_s, tf_s = did[order], contrib[order], tf[order]
+        starts = np.flatnonzero(np.r_[True, did_s[1:] != did_s[:-1]])
+        return pa.table({
+            id_col: pa.array(did_s[starts], pa.int64()),
+            "s": pa.array(np.add.reduceat(c_s, starts), pa.float64()),
+            "n": pa.array(np.add.reduceat(tf_s, starts), pa.int64()),
+        })
+
+    parts = _co_lookup(
+        ds.map_batches(doc_pair_rows, batch_format="pyarrow"),
+        model.map_batches(model_rows, batch_format="pyarrow"),
+        payload_fields=[(id_col, pa.int64()), ("tf", pa.int64())],
+        value_fields=[("nll", pa.float64())],
+        post=fold,
+    )
+    agg = sharded_grouped_agg(parts, [id_col], [("s", "sum"), ("n", "sum")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            id_col: batch[id_col],
+            out_col: pa.array(np.round(s / n, 6), pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def _shard_pair_sum(group: pa.Table) -> pa.Table:
