@@ -69,21 +69,78 @@ def q_video_pure_frames(sf_dir: str):
     return feats.map_batches(fin, batch_format="pyarrow")
 
 
-def q_khop_reach(sf_dir: str):
+# default driver-side node budget for q_khop_reach: below it the
+# frontier broadcasts and visited is a Python set; above it both move
+# to sharded Datasets and the driver holds only counts
+KHOP_MAX_DRIVER_NODES = 5_000_000
+
+
+def _khop_sharded_hop(edge_rows, frontier_ds, num_shards: int = 64):
+    """One BFS hop with NOTHING driver-side: (k, v) edge rows (both
+    orientations) co-partition with frontier nodes by k-hash; each shard
+    emits the distinct v of edges whose k is in the frontier."""
+    from ..stages.common import narrow_fanin
+    from ..stages.keyed import _key_shard
+
+    def tag_frontier(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        t = pa.table({
+            "k": pc.cast(batch["node"], pa.int64()),
+            "v": pa.array(np.zeros(n, np.int64)),
+            "_side": pa.array(np.zeros(n, np.int64)),
+        })
+        return t.append_column("_fshard", _key_shard(t, ["k"], num_shards))
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        t = pa.table({
+            "k": pc.cast(batch["k"], pa.int64()),
+            "v": pc.cast(batch["v"], pa.int64()),
+            "_side": pa.array(np.ones(n, np.int64)),
+        })
+        return t.append_column("_fshard", _key_shard(t, ["k"], num_shards))
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        side = group["_side"].to_numpy(zero_copy_only=False)
+        k = group["k"].to_numpy(zero_copy_only=False)
+        fk = np.unique(k[side == 0])
+        ek = k[side == 1]
+        ev = group["v"].to_numpy(zero_copy_only=False)[side == 1]
+        nbrs = np.unique(ev[np.isin(ek, fk)])
+        return pa.table({"node": pa.array(nbrs, pa.int64())})
+
+    both = edge_rows.map_batches(tag_edges, batch_format="pyarrow").union(
+        frontier_ds.map_batches(tag_frontier, batch_format="pyarrow"))
+    return (both.repartition(narrow_fanin())
+            .groupby("_fshard")
+            .map_groups(per_shard, batch_format="pyarrow"))
+
+
+def q_khop_reach(sf_dir: str, max_driver_nodes: int | None = None):
     """3-hop BFS reachability from the min-doc_id seed over the dup
     relation graph (the triangles edge set: star edges of the
     (lang, n_chars//100) and (source, n_chars//100) relations, traversed
-    undirected).  Iterative frontier plan: the bounded edge set
-    materializes once, each hop broadcasts the frontier (ray.put) and a
-    shuffle-free probe pass emits per-batch-distinct neighbors; the
-    visited set lives on the driver (bounded by the reach set).  At
-    100 TB the frontier broadcast escalates to a hash co-partition of
-    (edges, frontier), and visited moves to a sharded membership table.
-    Oracle: WITH RECURSIVE over the identical edge definition."""
+    undirected).  Size-aware two-path frontier plan: the bounded edge
+    set materializes once; while the reach set fits
+    ``max_driver_nodes`` (default :data:`KHOP_MAX_DRIVER_NODES`) each
+    hop broadcasts the frontier (ray.put) and a shuffle-free probe pass
+    emits per-batch-distinct neighbors with the visited set on the
+    driver.  The moment it outgrows the cap (a web-dense dup relation:
+    reach ~ the corpus) BOTH structures escalate to sharded Datasets:
+    neighbors come from a k-hash co-partition of (edge rows, frontier)
+    (:func:`_khop_sharded_hop`) and the visited subtraction + dedup is
+    ONE ``set_op(..., "except")`` membership exchange — the driver
+    holds only counts.  Both paths are value-identical
+    (pytest-forced).  Oracle: WITH RECURSIVE over the identical edge
+    definition."""
     import ray
+    import ray.data as rd
 
     from ..stages.graph import group_star_edges_multi
+    from ..stages.joins import set_op
 
+    cap = KHOP_MAX_DRIVER_NODES if max_driver_nodes is None \
+        else max_driver_nodes
     docs = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
 
     def bucket(batch: pa.Table) -> pa.Table:
@@ -101,27 +158,69 @@ def q_khop_reach(sf_dir: str):
         d, [["lang", "cb"], ["source", "cb"]]
     ).materialize()
 
+    def orient(a_col: str, b_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({"k": pc.cast(batch[a_col], pa.int64()),
+                             "v": pc.cast(batch[b_col], pa.int64())})
+        return fn
+
+    edge_rows = edges.map_batches(orient("a", "b"), batch_format="pyarrow") \
+        .union(edges.map_batches(orient("b", "a"), batch_format="pyarrow"))
+
+    def _nodes_ds(nodes: set) -> rd.Dataset:
+        return rd.from_arrow(pa.table({
+            "node": pa.array(sorted(nodes), pa.int64())}))
+
     visited = {seed}
     frontier = {seed}
-    for _hop in range(3):
-        f_ref = ray.put(np.sort(np.fromiter(frontier, np.int64)))
+    visited_ds = None
+    frontier_ds = None
+    sharded = len(visited) > cap
+    if sharded:
+        visited_ds = _nodes_ds(visited).materialize()
+        frontier_ds = visited_ds
+        visited_n = len(visited)
+    hop_i = 0
+    while hop_i < 3:
+        if not sharded:
+            f_ref = ray.put(np.sort(np.fromiter(frontier, np.int64)))
 
-        def probe(batch: pa.Table, _f=f_ref) -> pa.Table:
-            fa = ray.get(_f)
-            a = batch["a"].to_numpy(zero_copy_only=False)
-            b = batch["b"].to_numpy(zero_copy_only=False)
-            nbrs = np.unique(np.r_[b[np.isin(a, fa)], a[np.isin(b, fa)]])
-            return pa.table({"node": pa.array(nbrs, pa.int64())})
+            def probe(batch: pa.Table, _f=f_ref) -> pa.Table:
+                fa = ray.get(_f)
+                a = batch["a"].to_numpy(zero_copy_only=False)
+                b = batch["b"].to_numpy(zero_copy_only=False)
+                nbrs = np.unique(np.r_[b[np.isin(a, fa)], a[np.isin(b, fa)]])
+                return pa.table({"node": pa.array(nbrs, pa.int64())})
 
-        hop = edges.map_batches(probe, batch_format="pyarrow").to_pandas()
-        new = set(int(x) for x in hop["node"].unique()) - visited
-        if not new:
+            hop = edges.map_batches(probe, batch_format="pyarrow").to_pandas()
+            new = set(int(x) for x in hop["node"].unique()) - visited
+            if not new:
+                break
+            if len(visited) + len(new) > cap:
+                # escalate: spill both sets to Datasets once, keep going
+                sharded = True
+                visited_n = len(visited) + len(new)
+                visited_ds = _nodes_ds(visited | new).materialize()
+                frontier_ds = _nodes_ds(new).materialize()
+                hop_i += 1
+                continue
+            visited |= new
+            frontier = new
+            hop_i += 1
+            continue
+        nbrs = _khop_sharded_hop(edge_rows, frontier_ds)
+        new_ds = set_op(nbrs, visited_ds, ["node"], "except").materialize()
+        n_new = new_ds.count()
+        if n_new == 0:
             break
-        visited |= new
-        frontier = new
+        visited_n += n_new
+        visited_ds = visited_ds.union(new_ds).materialize()
+        frontier_ds = new_ds
+        hop_i += 1
+    n_reach = visited_n if sharded else len(visited)
     return pa.table({
         "seed": pa.array([seed], pa.int64()),
-        "n_reach": pa.array([len(visited)], pa.int64()),
+        "n_reach": pa.array([int(n_reach)], pa.int64()),
     })
 
 
