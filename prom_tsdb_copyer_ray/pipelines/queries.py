@@ -12759,3 +12759,35 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+# Round-3: guaranteed-recall SimHash pairs (stages/dedup.py
+# simhash_pairs_from_hashes — the pigeonhole (h+1)-block index).  The
+# oracle is the DEFINITION itself: a quadratic self-join of the
+# independently-generated simhash fixture on bit_count(xor) <= 3 — so a
+# green row proves EXACT recall, not just agreement with a blocking
+# heuristic (round 2's single-prefix oracle matched its own blind spot).
+def q_simhash_pairs(sf_dir: str):
+    from ..stages.dedup import simhash_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_dedup(ds, max_hamming=3, concurrency=(1, 4))
+
+
+QUERIES.update({"simhash_pairs": q_simhash_pairs})
+
+ORACLE_SQL.update(
+    {
+        "simhash_pairs": f"""
+            WITH h AS (SELECT doc_id, simhash
+                       FROM read_parquet(
+                           '{_FIXTURE_DIR}/oracle_simhash.parquet')
+                       WHERE corpus_key = {_CORPUS_KEY})
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT)
+                       AS hamming
+            FROM h x JOIN h y ON x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+        """,
+    }
+)

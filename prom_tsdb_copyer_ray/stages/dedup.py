@@ -11,8 +11,10 @@ are Ray-Data-first:
   LSH band explosion -> groupby((band, band_hash)) -> candidate pairs ->
   optional exact-Jaccard verification.  The band groupby is the only
   shuffle, and it moves (band_hash, doc_id) rows, never documents.
-* :func:`simhash_dedup` — 64-bit SimHash; near-dups = equal high-k prefix
-  buckets then Hamming<=h verification within bucket.
+* :func:`simhash_dedup` — 64-bit SimHash; near-dups found with EXACT
+  recall at Hamming<=h via the pigeonhole (h+1)-block index: a pair
+  within h bits agrees on at least one of h+1 bit blocks, so bucketing
+  once per block + in-bucket Hamming verification misses nothing.
 * :func:`ngram_jaccard_pairs` — exact n-gram Jaccard over LSH candidates
   (the verification leg; never all-pairs at scale).
 * :func:`embedding_neardup_pairs` — cosine near-dup over an embedding
@@ -570,31 +572,60 @@ class SimHashStage:
         return pa.table({self.id_col: batch[self.id_col], "simhash": pa.array(sims)})
 
 
-def simhash_dedup(ds, prefix_bits: int = 16, max_hamming: int = 3,
-                  id_col: str = "doc_id", text_col: str = "text",
-                  concurrency=(1, 8), num_shards: int = 64):
-    """Near-dup pairs by SimHash: bucket on the high ``prefix_bits``, verify
-    Hamming distance <= ``max_hamming`` within buckets.
+def _simhash_block_spans(num_blocks: int) -> list[tuple[int, int]]:
+    """(shift, width) spans partitioning the 64 hash bits into
+    ``num_blocks`` near-equal contiguous blocks."""
+    spans, pos = [], 0
+    for i in range(num_blocks):
+        w = 64 // num_blocks + (1 if i < 64 % num_blocks else 0)
+        spans.append((pos, w))
+        pos += w
+    return spans
 
-    Like :func:`minhash_lsh_pairs`, the verify stage groups by a hash shard
-    of the bucket (one vectorized task covers many of the up-to-2^prefix
-    mostly-singleton buckets) and walks segment boundaries after one sort;
-    Hamming uses the LUT popcount.
-    """
-    hashed = ds.map_batches(
-        SimHashStage, fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
-        batch_format="pyarrow", concurrency=concurrency,
-    )
 
-    shift = 64 - prefix_bits
+def simhash_pairs_from_hashes(hashed, max_hamming: int = 3,
+                              num_blocks: int | None = None,
+                              id_col: str = "doc_id",
+                              num_shards: int = 64):
+    """GUARANTEED-RECALL near-dup pairs over a (id, ``simhash``) dataset.
+
+    Pigeonhole blocking (the 4-block permuted-prefix index): the 64 bits
+    split into ``num_blocks = max_hamming + 1`` near-equal contiguous
+    blocks, every doc is indexed once per block, and a pair differing in
+    <= max_hamming bits MUST agree exactly on at least one block — so
+    verifying full Hamming inside each (block, value) bucket finds every
+    qualifying pair (round 2's single high-16-prefix table missed pairs
+    whose differing bits fell in the prefix).  Shuffle volume is
+    num_blocks ids+hash rows per doc; duplicate discoveries (a pair can
+    agree on several blocks, in different shards) collapse in one final
+    narrow (a, b)-keyed exchange."""
+    from .keyed import sharded_grouped_agg
+
+    if num_blocks is None:
+        num_blocks = min(max_hamming + 1, 64)
+    num_blocks = max(1, min(num_blocks, 64))
+    spans = _simhash_block_spans(num_blocks)
 
     def add_shard(batch: pa.Table) -> pa.Table:
         h = batch["simhash"].to_numpy().astype(np.uint64)
-        bucket = (h >> np.uint64(shift)).astype(np.int64)
-        shard = (_mix64(bucket.astype(np.uint64)) % np.uint64(num_shards)).astype(np.int64)
-        return batch.append_column("bucket", pa.array(bucket)).append_column(
-            "_sshard", pa.array(shard)
-        )
+        ids = pc.cast(batch[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        n = len(h)
+        parts = []
+        for bi, (shift, width) in enumerate(spans):
+            val = (h >> np.uint64(shift)) & np.uint64((1 << width) - 1)
+            # bucket id folds the block index in so the same value in
+            # different blocks never collides
+            bucket = (val.astype(np.int64) << np.int64(7)) | np.int64(bi)
+            parts.append(pa.table({
+                id_col: pa.array(ids, pa.int64()),
+                "simhash": batch["simhash"],
+                "bucket": pa.array(bucket, pa.int64()),
+            }))
+        t = pa.concat_tables(parts)
+        shard = (_mix64(t["bucket"].to_numpy().astype(np.uint64))
+                 % np.uint64(num_shards)).astype(np.int64)
+        return t.append_column("_sshard", pa.array(shard))
 
     def shard_pairs(group: pa.Table) -> pa.Table:
         ids = group[id_col].to_numpy().astype(np.int64, copy=False)
@@ -624,12 +655,32 @@ def simhash_dedup(ds, prefix_bits: int = 16, max_hamming: int = 3,
         return pa.table({"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64()),
                          "hamming": pa.array(d_out, pa.int64())})
 
-    return (
+    pairs = (
         hashed.map_batches(add_shard, batch_format="pyarrow")
         .repartition(_pair_fanin())
         .groupby("_sshard")
         .map_groups(shard_pairs, batch_format="pyarrow")
     )
+    # collapse multi-block duplicate discoveries (hamming is identical
+    # for a given pair, so min is just dedup)
+    return sharded_grouped_agg(pairs, ["a", "b"], [("hamming", "min")],
+                               num_shards=num_shards)
+
+
+def simhash_dedup(ds, max_hamming: int = 3, num_blocks: int | None = None,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  concurrency=(1, 8), num_shards: int = 64):
+    """Near-dup pairs by SimHash with EXACT recall at ``max_hamming``:
+    hash with the :class:`SimHashStage` actor pool, then the pigeonhole
+    multi-block index of :func:`simhash_pairs_from_hashes` (which see
+    for the recall argument and shuffle-volume cost)."""
+    hashed = ds.map_batches(
+        SimHashStage, fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
+        batch_format="pyarrow", concurrency=concurrency,
+    )
+    return simhash_pairs_from_hashes(
+        hashed, max_hamming=max_hamming, num_blocks=num_blocks,
+        id_col=id_col, num_shards=num_shards)
 
 
 # ---------------------------------------------------------------------------

@@ -110,9 +110,50 @@ def test_ngram_jaccard_matches_bruteforce(docs_ds, docs_table):
 def test_simhash_dedup(docs_ds):
     from prom_tsdb_copyer_ray.stages.dedup import simhash_dedup
 
-    pairs = simhash_dedup(docs_ds, prefix_bits=8, max_hamming=10, concurrency=(1, 2)).to_pandas()
+    pairs = simhash_dedup(docs_ds, max_hamming=10, concurrency=(1, 2)).to_pandas()
     got = set(map(tuple, pairs[["a", "b"]].values))
     assert (0, 1) in got
+
+
+def test_simhash_pairs_exact_recall(ray_session):
+    """Round-3 (VERDICT item 4): the pigeonhole (h+1)-block index must
+    find EVERY pair at hamming <= 3 — including pairs whose differing
+    bits all fall in the high 16 bits, which round 2's single-prefix
+    table silently missed.  Brute-force all-pairs is the oracle."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.functions.hashing import popcount64
+    from prom_tsdb_copyer_ray.stages.dedup import simhash_pairs_from_hashes
+
+    rng = np.random.RandomState(17)
+    n = 400
+    hs = rng.randint(0, 2**63, n).astype(np.uint64)
+    # planted near-dups flipping bits in chosen regions:
+    #  - high-prefix-only flips (the old blind spot)
+    hs[1] = hs[0] ^ np.uint64(0b101 << 61)          # ham 2, bits 61,63
+    hs[3] = hs[2] ^ np.uint64(0b111 << 48)          # ham 3, bits 48-50
+    #  - straddling two block boundaries of the 4x16 split
+    hs[5] = hs[4] ^ (np.uint64(1) << np.uint64(15)) \
+        ^ (np.uint64(1) << np.uint64(16)) ^ (np.uint64(1) << np.uint64(32))
+    #  - low-bits-only and exact dup
+    hs[7] = hs[6] ^ np.uint64(0b11)                  # ham 2, bits 0,1
+    hs[9] = hs[8]                                    # ham 0
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "simhash": pa.array(hs.astype(np.int64), pa.int64()),
+    }))
+    got = simhash_pairs_from_hashes(ds, max_hamming=3).to_pandas()
+    got_set = {(int(r["a"]), int(r["b"]), int(r["hamming"]))
+               for _, r in got.iterrows()}
+    want = set()
+    for i in range(n):
+        ham = popcount64(hs[i] ^ hs[i + 1:])
+        for j in np.flatnonzero(ham <= 3):
+            want.add((i, i + 1 + int(j), int(ham[j])))
+    assert got_set == want
+    assert {(0, 1, 2), (2, 3, 3), (4, 5, 3), (6, 7, 2), (8, 9, 0)} <= want
+    # no duplicate rows despite multi-block discovery
+    assert len(got) == len(got_set)
 
 
 @pytest.fixture(scope="module")

@@ -193,6 +193,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         "cliffs_delta", "page_trend", "jonckheere",
         "mantel_haenszel", "ansari_bradley", "cohens_h",
         "ordinal_assoc", "icc",
+        # round-3 wave: guaranteed-recall simhash pairs
+        "simhash_pairs",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):
