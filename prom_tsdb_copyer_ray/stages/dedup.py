@@ -375,61 +375,31 @@ _EMPTY_PAIRS = {
 }
 
 
-def ngram_jaccard_pairs(ds, threshold: float = 0.8, ngram: int = 5,
-                        id_col: str = "doc_id", text_col: str = "text",
-                        num_shards: int = 64, **lsh_kw):
-    """Near-dup pairs with exact n-gram Jaccard >= threshold, in two
-    bounded stages (no shingle amplification through the LSH shuffle):
+# default driver budget for the ngram CSR routing build: below it the
+# (doc -> pair-shards) map is driver numpy + one ray.put (2 int rows per
+# candidate pair, ~32 B/pair transient); above it the map is built as a
+# Dataset and tag-unioned with bloom-pruned payload rows instead
+NGRAM_MAX_DRIVER_PAIRS = 20_000_000
 
-    1. **Candidates**: MinHash+LSH band rows carrying ``doc_id`` ONLY
-       (:func:`minhash_lsh_pairs`) — the wide shuffle moves (band_hash, id)
-       pairs, never text-sized payloads.
-    2. **Exact verify**: shingle-hash arrays are computed ONCE per involved
-       doc and routed in a SINGLE shuffle straight to the pair shards that
-       need them — a driver-built CSR map (doc -> shards of its candidate
-       pairs, ints only, broadcast via ``ray.put``) replaces the former
-       tag-union attach stage, so each payload crosses the wire once per
-       distinct (doc, shard), never once per pair side.
 
-    Scale note: the driver holds only the distinct candidate ids (int64);
-    everything text-sized stays in tasks.  At 100 TB the candidate set is
-    LSH-bounded (that is the point of banding) — if a pathological corpus
-    makes it large, raise ``num_bands``/``threshold`` or verify with the
-    MinHash-estimated Jaccard first.
-    """
+def _shingle_rows_driver_csr(ds, cand, pair_shards_fn, ngram: int,
+                             id_col: str, text_col: str):
+    """Fast-path shingle routing for :func:`ngram_jaccard_pairs`: the
+    (doc -> pair-shards) map as a driver-built CSR (sorted ids, offsets,
+    flat shard list) broadcast once via ``ray.put`` — ints only, bounded
+    by the candidate count; each payload crosses the wire once per
+    distinct (doc, shard), never once per pair side."""
     import ray
-    import ray.data
-
-    cand = minhash_lsh_pairs(
-        ds, ngram=ngram, id_col=id_col, text_col=text_col,
-        **{k: v for k, v in lsh_kw.items() if k in ("num_perm", "num_bands", "concurrency")},
-    ).materialize()
-    if cand.count() == 0:
-        return ray.data.from_arrow(pa.table(_EMPTY_PAIRS))
-
-    # Driver-side routing map: each pair lives in ONE shard
-    # (mix(a,b) % num_shards); a doc's shingle payload must reach exactly
-    # the shards holding its pairs.  CSR layout (sorted ids, offsets, flat
-    # shard list) broadcast once via ray.put — ints only, bounded by the
-    # LSH candidate count (the same bound as the old two-shuffle design,
-    # which shipped every payload across the wire TWICE: attach shuffle,
-    # then pair-shard shuffle).
-    _P = np.uint64(1000003)
-
-    def pair_shards(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-        with np.errstate(over="ignore"):
-            mix = a.astype(np.uint64) * _P + b.astype(np.uint64)
-        return (mix % np.uint64(num_shards)).astype(np.int64)
 
     # vectorized CSR build: stack (doc, shard) for both pair sides, dedup
     # with one lexsort + segment mask, derive offsets by cumsum — all
-    # C-speed (a Python dict-of-sets loop here would serialize ~2e9 set
-    # inserts on the driver at the 1e9-pair design bound)
+    # C-speed (a Python dict-of-sets loop here would serialize the set
+    # inserts on the driver)
     doc_parts, shard_parts = [], []
     for batch in cand.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
         a_np = batch["a"].to_numpy().astype(np.int64, copy=False)
         b_np = batch["b"].to_numpy().astype(np.int64, copy=False)
-        ps = pair_shards(a_np, b_np)
+        ps = pair_shards_fn(a_np, b_np)
         doc_parts += [a_np, b_np]
         shard_parts += [ps, ps]
     doc = np.concatenate(doc_parts)
@@ -481,6 +451,174 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.8, ngram: int = 5,
             }
         )
 
+    return ds.map_batches(shingle_rows, batch_format="pyarrow")
+
+
+def _shingle_rows_sharded(ds, cand, pair_shards_fn, ngram: int,
+                          id_col: str, text_col: str,
+                          num_shards: int, route_shards: int = 64):
+    """Escalated shingle routing for :func:`ngram_jaccard_pairs`: the
+    (doc -> pair-shard) map never touches the driver.  Route rows
+    (key, pair_shard) distinct-per-batch come straight off the candidate
+    pairs; payload rows (key, shingle bytes) are computed once per doc
+    that SURVIVES a candidate-id Bloom prefilter (bitmap-bounded driver
+    memory, false positives only cost shipped bytes); one key-hash
+    tag-union exchange co-locates them, and each routing shard dedups
+    its (key, shard) rows and CSR-expands payloads to exactly the pair
+    shards that need them.  Costs one extra payload hop vs the
+    driver-CSR fast path — the price of unbounded candidate counts."""
+    import ray
+
+    from .common import narrow_fanin
+    from .joins import bloom_mask, build_bloom
+
+    words = build_bloom(cand, "a", num_bits=1 << 24) \
+        | build_bloom(cand, "b", num_bits=1 << 24)
+    words_ref = ray.put(words)
+
+    def route_partial(batch: pa.Table) -> pa.Table:
+        a_np = batch["a"].to_numpy().astype(np.int64, copy=False)
+        b_np = batch["b"].to_numpy().astype(np.int64, copy=False)
+        ps = pair_shards_fn(a_np, b_np)
+        key = np.r_[a_np, b_np]
+        sh = np.r_[ps, ps]
+        order = np.lexsort((sh, key))
+        key, sh = key[order], sh[order]
+        keep = np.ones(len(key), dtype=bool)
+        keep[1:] = (key[1:] != key[:-1]) | (sh[1:] != sh[:-1])
+        key, sh = key[keep], sh[keep]
+        t = pa.table({
+            "key": pa.array(key, pa.int64()),
+            "_pshard": pa.array(sh, pa.int64()),
+            "payload": pa.nulls(len(key), pa.binary()),
+            "_side": pa.array(np.zeros(len(key), np.int64)),
+        })
+        rsh = (_mix64(key.astype(np.uint64))
+               % np.uint64(route_shards)).astype(np.int64)
+        return t.append_column("_rshard", pa.array(rsh))
+
+    def doc_partial(batch: pa.Table) -> pa.Table:
+        w = ray.get(words_ref)
+        sel = batch.filter(pa.array(bloom_mask(batch[id_col], w)))
+        sid = pc.cast(sel[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        payloads = pa.array(
+            [char_ngram_hashes(t or "", ngram).view(np.int64).tobytes()
+             for t in sel[text_col].to_pylist()],
+            pa.binary(),
+        )
+        t = pa.table({
+            "key": pa.array(sid, pa.int64()),
+            "_pshard": pa.array(np.zeros(len(sid), np.int64)),
+            "payload": payloads,
+            "_side": pa.array(np.ones(len(sid), np.int64)),
+        })
+        rsh = (_mix64(sid.astype(np.uint64))
+               % np.uint64(route_shards)).astype(np.int64)
+        return t.append_column("_rshard", pa.array(rsh))
+
+    def expand(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_rshard")
+        side = t["_side"].to_numpy(zero_copy_only=False)
+        rt = t.filter(pa.array(side == 0))
+        pl = t.filter(pa.array(side == 1))
+        empty = pa.table({
+            "_pshard": pa.array([], pa.int64()),
+            "key": pa.array([], pa.int64()),
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "payload": pa.array([], pa.binary()),
+        })
+        if rt.num_rows == 0 or pl.num_rows == 0:
+            return empty
+        rk = rt["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rs = rt["_pshard"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((rs, rk))
+        rk, rs = rk[order], rs[order]
+        keep = np.ones(len(rk), dtype=bool)
+        keep[1:] = (rk[1:] != rk[:-1]) | (rs[1:] != rs[:-1])
+        rk, rs = rk[keep], rs[keep]
+        pk = pl["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = np.searchsorted(rk, pk, side="left")
+        hi = np.searchsorted(rk, pk, side="right")
+        cnt = hi - lo
+        rows = np.repeat(np.arange(len(pk), dtype=np.int64), cnt)
+        within = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt)
+        shards = rs[lo[rows] + within]
+        return pa.table({
+            "_pshard": pa.array(shards, pa.int64()),
+            "key": pa.array(pk[rows], pa.int64()),
+            "a": pa.nulls(len(rows), pa.int64()),
+            "b": pa.nulls(len(rows), pa.int64()),
+            "payload": pl["payload"].take(pa.array(rows)),
+        })
+
+    both = cand.map_batches(route_partial, batch_format="pyarrow").union(
+        ds.map_batches(doc_partial, batch_format="pyarrow"))
+    return (both.repartition(narrow_fanin())
+            .groupby("_rshard")
+            .map_groups(expand, batch_format="pyarrow"))
+
+
+def ngram_jaccard_pairs(ds, threshold: float = 0.8, ngram: int = 5,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        num_shards: int = 64,
+                        max_driver_pairs: int | None = None, **lsh_kw):
+    """Near-dup pairs with exact n-gram Jaccard >= threshold, in two
+    bounded stages (no shingle amplification through the LSH shuffle):
+
+    1. **Candidates**: MinHash+LSH band rows carrying ``doc_id`` ONLY
+       (:func:`minhash_lsh_pairs`) — the wide shuffle moves (band_hash, id)
+       pairs, never text-sized payloads.
+    2. **Exact verify**: shingle-hash arrays are computed ONCE per involved
+       doc and routed in a SINGLE shuffle straight to the pair shards that
+       need them — a driver-built CSR map (doc -> shards of its candidate
+       pairs, ints only, broadcast via ``ray.put``) replaces the former
+       tag-union attach stage, so each payload crosses the wire once per
+       distinct (doc, shard), never once per pair side.
+
+    Scale note: below ``max_driver_pairs`` candidates (default
+    :data:`NGRAM_MAX_DRIVER_PAIRS`) the driver holds only the distinct
+    candidate ids (int64) and everything text-sized stays in tasks;
+    above it even that int map escalates off the driver — the routing
+    build becomes a Dataset tag-union (:func:`_shingle_rows_sharded`,
+    bloom-pruned payloads, one extra payload hop) and the driver holds
+    only the candidate count and a fixed-size bloom bitmap.
+    """
+    import ray
+    import ray.data
+
+    cand = minhash_lsh_pairs(
+        ds, ngram=ngram, id_col=id_col, text_col=text_col,
+        **{k: v for k, v in lsh_kw.items() if k in ("num_perm", "num_bands", "concurrency")},
+    ).materialize()
+    n_cand = cand.count()
+    if n_cand == 0:
+        return ray.data.from_arrow(pa.table(_EMPTY_PAIRS))
+    cap = NGRAM_MAX_DRIVER_PAIRS if max_driver_pairs is None \
+        else max_driver_pairs
+
+    # Routing map: each pair lives in ONE shard (mix(a,b) % num_shards);
+    # a doc's shingle payload must reach exactly the shards holding its
+    # pairs.  Below the cap: CSR layout (sorted ids, offsets, flat shard
+    # list) built driver-side and broadcast once via ray.put — ints
+    # only.  Above the cap: the same map as a Dataset tag-union
+    # (_shingle_rows_sharded), nothing driver-side.
+    _P = np.uint64(1000003)
+
+    def pair_shards(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            mix = a.astype(np.uint64) * _P + b.astype(np.uint64)
+        return (mix % np.uint64(num_shards)).astype(np.int64)
+
+    if n_cand > cap:
+        sh_rows = _shingle_rows_sharded(
+            ds, cand, pair_shards, ngram, id_col, text_col, num_shards)
+    else:
+        sh_rows = _shingle_rows_driver_csr(
+            ds, cand, pair_shards, ngram, id_col, text_col)
+
     def pair_rows(batch: pa.Table) -> pa.Table:
         a_np = batch["a"].to_numpy().astype(np.int64, copy=False)
         b_np = batch["b"].to_numpy().astype(np.int64, copy=False)
@@ -494,7 +632,6 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.8, ngram: int = 5,
             }
         )
 
-    sh_rows = ds.map_batches(shingle_rows, batch_format="pyarrow")
     pr_rows = cand.map_batches(pair_rows, batch_format="pyarrow")
 
     def verify(group: pa.Table) -> pa.Table:

@@ -107,6 +107,25 @@ def test_ngram_jaccard_matches_bruteforce(docs_ds, docs_table):
         assert abs(r["jaccard"] - jaccard(sh[int(r["a"])], sh[int(r["b"])])) < 1e-12
 
 
+def test_ngram_jaccard_sharded_routing_matches_csr(docs_ds):
+    """Round-3 (VERDICT item 5): forcing the candidate count over the
+    driver budget must switch the routing build to the Dataset tag-union
+    path and produce the identical pair set."""
+    from prom_tsdb_copyer_ray.stages.dedup import ngram_jaccard_pairs
+
+    base = ngram_jaccard_pairs(
+        docs_ds, threshold=0.5, concurrency=(1, 2)).to_pandas()
+    forced = ngram_jaccard_pairs(
+        docs_ds, threshold=0.5, concurrency=(1, 2),
+        max_driver_pairs=0).to_pandas()
+    key = ["a", "b"]
+    a = base.sort_values(key).reset_index(drop=True)
+    b = forced.sort_values(key).reset_index(drop=True)
+    assert len(a) > 0
+    assert a[key].values.tolist() == b[key].values.tolist()
+    assert np.allclose(a["jaccard"], b["jaccard"], atol=0, rtol=0)
+
+
 def test_simhash_dedup(docs_ds):
     from prom_tsdb_copyer_ray.stages.dedup import simhash_dedup
 
