@@ -906,7 +906,9 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
     on num_planes for selectivity.
     """
     def add_buckets(batch: pa.Table) -> pa.Table:
-        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()])
+        from .similarity import _to_matrix
+
+        vecs = _to_matrix(batch[vec_col])
         n = len(vecs)
         ids = batch[id_col].to_numpy().astype(np.int64, copy=False)
         tables_out = []

