@@ -98,6 +98,36 @@ def _grid_pool(img: np.ndarray, gh: int = 4, gw: int = 4) -> np.ndarray:
             out[r, c] = blk.mean()
     return out
 
+def _try_pil():
+    """Import-optional PIL probe (round-3, VERDICT item 7): returns the
+    ``PIL.Image`` module where pillow is installed, else None.  Module-
+    level so tests can monkeypatch a fake to unit-test the real-decoder
+    wiring in containers (like this one) that lack the dependency."""
+    try:
+        from PIL import Image  # type: ignore
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _try_soundfile():
+    """Import-optional libsndfile probe — see :func:`_try_pil`."""
+    try:
+        import soundfile  # type: ignore
+
+        return soundfile
+    except ImportError:
+        return None
+
+
+def _try_ffmpeg():
+    """PATH probe for the ffmpeg binary — see :func:`_try_pil`."""
+    import shutil
+
+    return shutil.which("ffmpeg")
+
+
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
@@ -126,11 +156,17 @@ class MediaFeatureExtractor:
         if decoder not in ("fake", "pure", "real"):
             raise ValueError(f"unknown decoder: {decoder}")
         if decoder == "real":
-            raise NotImplementedError(
-                "JPEG/MP4-class decoding needs PIL/ffmpeg (not in this "
-                "container); decoder='pure' really decodes netpbm/WAV, "
-                "decoder='fake' is the byte-level stand-in"
-            )
+            # import-optional: lights up wherever pillow exists; the
+            # declared hard error remains only where it genuinely cannot
+            self._pil = _try_pil()
+            self._sf = _try_soundfile()
+            if self._pil is None:
+                raise NotImplementedError(
+                    "decoder='real' needs PIL (pillow) for JPEG-class "
+                    "decoding — not installed in this container; "
+                    "decoder='pure' really decodes netpbm/WAV, "
+                    "decoder='fake' is the byte-level stand-in"
+                )
         self.decoder = decoder
         self.target_size = target_size
 
@@ -162,10 +198,48 @@ class MediaFeatureExtractor:
             "decoder='pure' handles binary netpbm (P5/P6) and PCM WAV; "
             "unknown payload magic — quarantine upstream")
 
+    def _real_decode_features(self, payload: bytes) -> np.ndarray:
+        """External-library decode with the SAME feature definitions as
+        the pure path (4x4 block-mean grid for images, equal-segment RMS
+        for audio) so the two paths agree on the shared formats.  Pure-
+        decodable magics short-circuit; everything else goes to PIL,
+        then soundfile where installed."""
+        p = payload or b""
+        if p[:2] in (b"P5", b"P6") or p[:4] == b"RIFF":
+            return self._pure_decode_features(p)
+        try:
+            img = self._pil.open(io.BytesIO(p)).convert("L")
+            a = np.asarray(img, dtype=np.float64)
+            return (_grid_pool(a, 4, 4) / 255.0).ravel()
+        except Exception:
+            pass
+        if self._sf is not None:
+            try:
+                x, _sr = self._sf.read(io.BytesIO(p), dtype="float64")
+                x = np.asarray(x, np.float64)
+                if x.ndim > 1:
+                    x = x[:, 0]
+                if len(x) == 0:
+                    return np.zeros(FEATURE_DIM)
+                bounds = np.minimum(
+                    np.arange(FEATURE_DIM + 1) * len(x) // FEATURE_DIM,
+                    len(x))
+                out = np.empty(FEATURE_DIM)
+                for i in range(FEATURE_DIM):
+                    seg = x[bounds[i]:max(bounds[i + 1], bounds[i] + 1)]
+                    out[i] = np.sqrt((seg * seg).mean())
+                return out
+            except Exception:
+                pass
+        raise ValueError(
+            "decoder='real' could not decode payload with PIL"
+            + ("" if self._sf is None else "/soundfile"))
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
-        decode = (self._pure_decode_features if self.decoder == "pure"
-                  else self._fake_decode_features)
+        decode = {"pure": self._pure_decode_features,
+                  "real": self._real_decode_features,
+                  "fake": self._fake_decode_features}[self.decoder]
         feats = np.stack([decode(p) for p in payloads])
         return pa.table(
             {
@@ -202,15 +276,44 @@ def sample_frame_features(ds, every_ms: int = 1000,
     n_frames, embedding = mean of frame features).  Non-video rows pass
     through with n_frames = 0 and the whole-payload feature.
     """
-    if decoder == "real":
+    if decoder == "real" and _try_ffmpeg() is None:
         raise NotImplementedError(
-            "real frame decode needs ffmpeg (not in this container); "
-            "use decoder='fake' for the deterministic stand-in"
+            "decoder='real' frame decode needs the ffmpeg binary — not in "
+            "this container; use decoder='fake' for the deterministic "
+            "stand-in or decoder='pure' with NPMV containers "
+            "(sample_pure_video_frames)"
         )
 
     class FrameFeatures:
         def __init__(self) -> None:
-            self.fx = MediaFeatureExtractor(decoder=decoder)
+            # under decoder='real' the inner extractor handles the
+            # NON-video rows: really decode the pure-decodable formats
+            # (video frames go through ffmpeg below)
+            self.fx = MediaFeatureExtractor(
+                decoder="pure" if decoder == "real" else decoder)
+
+        @staticmethod
+        def _ffmpeg_frame(payload: bytes, ts_ms: int) -> np.ndarray:
+            """Seek-decode ONE frame via the ffmpeg binary to PGM on a
+            pipe, then the pure raster feature — only reachable where
+            _try_ffmpeg() found the binary."""
+            import os as _os
+            import subprocess
+            import tempfile
+
+            with tempfile.NamedTemporaryFile(delete=False) as f:
+                f.write(payload or b"")
+                path = f.name
+            try:
+                out = subprocess.run(
+                    ["ffmpeg", "-v", "error", "-ss", f"{ts_ms / 1000:.3f}",
+                     "-i", path, "-frames:v", "1", "-f", "image2pipe",
+                     "-vcodec", "pgm", "pipe:1"],
+                    capture_output=True, check=True,
+                ).stdout
+            finally:
+                _os.unlink(path)
+            return (_grid_pool(_gray(decode_netpbm(out)), 4, 4) / 255.0).ravel()
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch["media_id"].to_pylist()
@@ -221,14 +324,23 @@ def sample_frame_features(ds, every_ms: int = 1000,
             for mid, kind, dur, payload in zip(ids, kinds, durs, payloads):
                 if kind == "video" and dur:
                     ts = list(range(0, dur, every_ms))
-                    feats = np.stack([
-                        self.fx._fake_decode_features(
-                            (payload or b"") + t.to_bytes(4, "little")
-                        )
-                        for t in ts
-                    ])
+                    if decoder == "real":
+                        feats = np.stack([
+                            self._ffmpeg_frame(payload, t) for t in ts])
+                    else:
+                        feats = np.stack([
+                            self.fx._fake_decode_features(
+                                (payload or b"") + t.to_bytes(4, "little")
+                            )
+                            for t in ts
+                        ])
                     out_emb.append(feats.mean(axis=0).tolist())
                     out_n.append(len(ts))
+                elif decoder == "real":
+                    out_emb.append(
+                        self.fx._pure_decode_features(payload or b"").tolist()
+                    )
+                    out_n.append(0)
                 else:
                     out_emb.append(
                         self.fx._fake_decode_features(payload or b"").tolist()
@@ -291,16 +403,32 @@ class ResizeMedia:
 
     def __init__(self, target_size: tuple[int, int] = (64, 64),
                  decoder: str = "fake") -> None:
-        if decoder == "real":
-            raise NotImplementedError(
-                "JPEG-class resize needs PIL/libvips (not in this container); "
-                "decoder='pure' really resizes netpbm images, "
-                "decoder='fake' is the byte-level stand-in"
-            )
-        if decoder not in ("fake", "pure"):
+        if decoder not in ("fake", "pure", "real"):
             raise ValueError(f"unknown decoder: {decoder}")
+        if decoder == "real":
+            self._pil = _try_pil()
+            if self._pil is None:
+                raise NotImplementedError(
+                    "decoder='real' needs PIL/libvips for JPEG-class "
+                    "resize — not installed in this container; "
+                    "decoder='pure' really resizes netpbm images, "
+                    "decoder='fake' is the byte-level stand-in"
+                )
         self.decoder = decoder
         self.target_w, self.target_h = target_size
+
+    def _real_resize(self, payload: bytes) -> tuple[int, int, int]:
+        """PIL nearest-neighbor resize; the thumb hash is over the
+        RESIZED raster bytes (the pure path's definition — sampling
+        conventions differ between PIL and the pure integer grid, so
+        hashes agree across paths only for images both resize
+        identically)."""
+        img = self._pil.open(io.BytesIO(payload or b""))
+        thumb = img.resize((self.target_w, self.target_h),
+                           self._pil.NEAREST)
+        d = hashlib.blake2b(np.asarray(thumb).tobytes(),
+                            digest_size=8).digest()
+        return self.target_w, self.target_h, int.from_bytes(d, "little") >> 1
 
     def _pure_resize(self, payload: bytes) -> tuple[int, int, int]:
         """Really decode + nearest-neighbor resize a netpbm image; the
@@ -330,8 +458,10 @@ class ResizeMedia:
         out_w, out_h, th = [], [], []
         for kind, p, w, h in zip(kinds, payloads, ws, hs):
             if kind == "image":
-                if self.decoder == "pure":
-                    ow, oh, hsh = self._pure_resize(p)
+                if self.decoder in ("pure", "real"):
+                    ow, oh, hsh = (self._pure_resize(p)
+                                   if self.decoder == "pure"
+                                   else self._real_resize(p))
                     out_w.append(ow)
                     out_h.append(oh)
                     th.append(hsh)
@@ -382,16 +512,37 @@ class AudioLoudness:
     FRAME_SAMPLES = 16
 
     def __init__(self, frame_ms: int = 500, decoder: str = "fake") -> None:
-        if decoder == "real":
-            raise NotImplementedError(
-                "MP3/AAC-class decode needs libsndfile/ffmpeg (not in this "
-                "container); decoder='pure' really decodes PCM WAV, "
-                "decoder='fake' is the deterministic stand-in"
-            )
-        if decoder not in ("fake", "pure"):
+        if decoder not in ("fake", "pure", "real"):
             raise ValueError(f"unknown decoder: {decoder}")
+        if decoder == "real":
+            self._sf = _try_soundfile()
+            if self._sf is None:
+                raise NotImplementedError(
+                    "decoder='real' needs libsndfile (soundfile) for "
+                    "MP3/AAC-class decode — not installed in this "
+                    "container; decoder='pure' really decodes PCM WAV, "
+                    "decoder='fake' is the deterministic stand-in"
+                )
         self.decoder = decoder
         self.frame_ms = frame_ms
+
+    def _real_energies(self, payload: bytes) -> list[int]:
+        """soundfile decode with the pure path's framing: int16-scaled
+        samples, channel 0, exact integer per-frame energy sums.  RIFF
+        payloads short-circuit through the (already real) stdlib WAV
+        path so both paths agree where they overlap."""
+        p = payload or b""
+        if p[:4] == b"RIFF":
+            return self._pure_energies(p)
+        data, rate = self._sf.read(io.BytesIO(p), dtype="int16")
+        x = np.asarray(data, np.int64)
+        if x.ndim > 1:
+            x = x[:, 0]
+        spf = max(int(rate) * self.frame_ms // 1000, 1)
+        if len(x) == 0:
+            return [0]
+        return [int((x[i:i + spf] * x[i:i + spf]).sum())
+                for i in range(0, len(x), spf)]
 
     def _pure_energies(self, payload: bytes) -> list[int]:
         """Really decode PCM WAV and compute EXACT integer frame energies
@@ -431,6 +582,8 @@ class AudioLoudness:
             if kind == "audio" and dur:
                 if self.decoder == "pure":
                     es = self._pure_energies(payload)
+                elif self.decoder == "real":
+                    es = self._real_energies(payload)
                 else:
                     nf = max(int(dur) // self.frame_ms, 1)
                     es = [self._frame_energy(payload, f) for f in range(nf)]
