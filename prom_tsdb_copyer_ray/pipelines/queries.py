@@ -12791,3 +12791,295 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+# Round-3 statistics wave (pipelines/stats4.py): lexical richness over
+# the frequency-of-frequencies census + classical sequence tests over
+# the dense hourly grid.
+from .stats4 import (  # noqa: E402
+    q_cochran_armitage,
+    q_cox_stuart,
+    q_durbin_watson,
+    q_good_turing,
+    q_guiraud_r,
+    q_herdan_c,
+    q_honore_h,
+    q_kpss_level,
+    q_ks_uniform_hod,
+    q_moran_lag1,
+    q_sichel_s,
+    q_simpson_lexical,
+    q_yule_k,
+)
+
+QUERIES.update({
+    "yule_k": q_yule_k,
+    "simpson_lexical": q_simpson_lexical,
+    "good_turing": q_good_turing,
+    "sichel_s": q_sichel_s,
+    "herdan_c": q_herdan_c,
+    "guiraud_r": q_guiraud_r,
+    "honore_h": q_honore_h,
+    "durbin_watson": q_durbin_watson,
+    "moran_lag1": q_moran_lag1,
+    "cox_stuart": q_cox_stuart,
+    "kpss_level": q_kpss_level,
+    "ks_uniform_hod": q_ks_uniform_hod,
+    "cochran_armitage": q_cochran_armitage,
+})
+
+_FF_CTE = """
+    WITH tok AS (SELECT lower(term) AS term
+                 FROM (SELECT unnest(regexp_extract_all(text,
+                              '[A-Za-z]+')) AS term
+                       FROM documents)),
+    cs AS (SELECT term, CAST(count(*) AS BIGINT) AS m FROM tok GROUP BY 1),
+    agg AS (SELECT CAST(sum(m) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS v,
+                   CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS v1,
+                   CAST(sum(CASE WHEN m = 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS v2,
+                   CAST(sum(m * m) AS BIGINT) AS s2
+            FROM cs)
+"""
+
+ORACLE_SQL.update(
+    {
+        "yule_k": _FF_CTE + """
+            SELECT n AS n_tokens, v AS vocab,
+                   round(CASE WHEN n = 0 THEN 0.0
+                              ELSE 1e4 * CAST(s2 - n AS DOUBLE)
+                                   / CAST(CAST(n AS HUGEINT) * n
+                                          AS DOUBLE) END, 6) AS yule_k
+            FROM agg
+        """,
+        "simpson_lexical": _FF_CTE + """
+            SELECT n AS n_tokens,
+                   round(CASE WHEN n < 2 THEN 0.0
+                              ELSE CAST(s2 - n AS DOUBLE)
+                                   / CAST(CAST(n AS HUGEINT) * (n - 1)
+                                          AS DOUBLE) END, 6) AS simpson_d
+            FROM agg
+        """,
+        "good_turing": _FF_CTE + """
+            SELECT n AS n_tokens, v1 AS n_hapax,
+                   round(CASE WHEN n = 0 THEN 0.0
+                              ELSE 1.0 - CAST(v1 AS DOUBLE)
+                                         / CAST(n AS DOUBLE) END,
+                         6) AS coverage
+            FROM agg
+        """,
+        "sichel_s": _FF_CTE + """
+            SELECT v AS vocab, v2 AS n_dis,
+                   round(CASE WHEN v = 0 THEN 0.0
+                              ELSE CAST(v2 AS DOUBLE)
+                                   / CAST(v AS DOUBLE) END, 6) AS sichel_s
+            FROM agg
+        """,
+        "herdan_c": _FF_CTE + """
+            SELECT n AS n_tokens, v AS vocab,
+                   round(CASE WHEN n <= 1 OR v <= 1 THEN 0.0
+                              ELSE CAST(CAST(floor(ln(CAST(v AS DOUBLE))
+                                                   * 1e6) AS BIGINT)
+                                        AS DOUBLE)
+                                   / CAST(CAST(floor(ln(CAST(n AS DOUBLE))
+                                                     * 1e6) AS BIGINT)
+                                          AS DOUBLE) END, 6) AS herdan_c
+            FROM agg
+        """,
+        "guiraud_r": _FF_CTE + """
+            SELECT n AS n_tokens, v AS vocab,
+                   round(CASE WHEN n = 0 THEN 0.0
+                              ELSE CAST(v AS DOUBLE)
+                                   / sqrt(CAST(n AS DOUBLE)) END,
+                         6) AS guiraud_r
+            FROM agg
+        """,
+        "honore_h": _FF_CTE + """
+            SELECT v AS vocab, v1 AS n_hapax,
+                   round(CASE WHEN n <= 1 OR v = v1 THEN 0.0
+                              ELSE 100.0
+                                   * (CAST(floor(ln(CAST(n AS DOUBLE))
+                                                 * 1e6) AS BIGINT) / 1e6)
+                                   * CAST(v AS DOUBLE)
+                                   / CAST(v - v1 AS DOUBLE) END,
+                         6) AS honore_h
+            FROM agg
+        """,
+        "durbin_watson": _DENSE_GRID_CTE + """
+            , dif AS (SELECT event_type,
+                             c - lag(c) OVER (PARTITION BY event_type
+                                              ORDER BY hr) AS dd
+                      FROM d),
+            nm AS (SELECT event_type, CAST(sum(dd * dd) AS BIGINT) AS num
+                   FROM dif WHERE dd IS NOT NULL GROUP BY 1),
+            mm AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS s1,
+                          CAST(sum(c * c) AS BIGINT) AS s2
+                   FROM d GROUP BY 1)
+            SELECT mm.event_type,
+                   round(CASE WHEN hh.hh * mm.s2 - mm.s1 * mm.s1 = 0
+                              THEN 0.0
+                              ELSE CAST(hh.hh * COALESCE(nm.num, 0)
+                                        AS DOUBLE)
+                                   / CAST(hh.hh * mm.s2 - mm.s1 * mm.s1
+                                          AS DOUBLE) END, 6) AS dw
+            FROM mm LEFT JOIN nm USING (event_type) CROSS JOIN hh
+            ORDER BY 1
+        """,
+        "moran_lag1": _DENSE_GRID_CTE + """
+            , mm AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS s1
+                     FROM d GROUP BY 1),
+            dd AS (SELECT d.event_type, d.hr,
+                          CAST(hh.hh * d.c - mm.s1 AS BIGINT) AS dv
+                   FROM d JOIN mm USING (event_type) CROSS JOIN hh),
+            lg AS (SELECT event_type, dv,
+                          lag(dv) OVER (PARTITION BY event_type
+                                        ORDER BY hr) AS pv
+                   FROM dd),
+            cr AS (SELECT event_type,
+                          CAST(sum(CAST(dv AS HUGEINT) * pv) AS HUGEINT)
+                              AS crs
+                   FROM lg WHERE pv IS NOT NULL GROUP BY 1),
+            dn AS (SELECT event_type,
+                          CAST(sum(CAST(dv AS HUGEINT) * dv) AS HUGEINT)
+                              AS den
+                   FROM dd GROUP BY 1)
+            SELECT dn.event_type,
+                   round(CASE WHEN dn.den = 0 THEN 0.0
+                              ELSE CAST(hh.hh * COALESCE(cr.crs, 0)
+                                        AS DOUBLE)
+                                   / CAST((hh.hh - 1) * dn.den
+                                          AS DOUBLE) END, 6) AS moran_i
+            FROM dn LEFT JOIN cr USING (event_type) CROSS JOIN hh
+            ORDER BY 1
+        """,
+        "cox_stuart": _DENSE_GRID_CTE + """
+            , p AS (SELECT a.event_type,
+                           CAST(sum(CASE WHEN b.c > a.c THEN 1 ELSE 0 END)
+                                AS BIGINT) AS up,
+                           CAST(sum(CASE WHEN b.c < a.c THEN 1 ELSE 0 END)
+                                AS BIGINT) AS dwn
+                    FROM d a CROSS JOIN hh CROSS JOIN bounds bo
+                    JOIN d b ON b.event_type = a.event_type
+                            AND b.hr = a.hr + (hh.hh - hh.hh // 2)
+                    WHERE a.hr - bo.lo < hh.hh // 2
+                    GROUP BY 1)
+            SELECT event_type, up AS n_up, dwn AS n_down,
+                   round(CASE WHEN up + dwn = 0 THEN 0.0
+                              ELSE (2.0 * CAST(up AS DOUBLE)
+                                    - CAST(up + dwn AS DOUBLE))
+                                   / sqrt(CAST(up + dwn AS DOUBLE)) END,
+                         6) AS z
+            FROM p ORDER BY 1
+        """,
+        "kpss_level": _DENSE_GRID_CTE + """
+            , mm AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS s1
+                     FROM d GROUP BY 1),
+            dd AS (SELECT d.event_type, d.hr,
+                          CAST(hh.hh * d.c - mm.s1 AS BIGINT) AS dv
+                   FROM d JOIN mm USING (event_type) CROSS JOIN hh),
+            cm AS (SELECT event_type,
+                          CAST(sum(dv) OVER (PARTITION BY event_type
+                                             ORDER BY hr) AS HUGEINT)
+                              AS sv
+                   FROM dd),
+            nm AS (SELECT event_type, CAST(sum(sv * sv) AS HUGEINT) AS num
+                   FROM cm GROUP BY 1),
+            dn AS (SELECT event_type,
+                          CAST(sum(CAST(dv AS HUGEINT) * dv) AS HUGEINT)
+                              AS den
+                   FROM dd GROUP BY 1)
+            SELECT dn.event_type,
+                   round(CASE WHEN dn.den = 0 THEN 0.0
+                              ELSE CAST(nm.num AS DOUBLE)
+                                   / CAST(hh.hh * dn.den AS DOUBLE) END,
+                         6) AS kpss
+            FROM dn JOIN nm USING (event_type) CROSS JOIN hh ORDER BY 1
+        """,
+        "ks_uniform_hod": """
+            WITH s AS (SELECT event_type,
+                              (epoch_ms(ts) // 3600000) % 24 AS hod
+                       FROM events),
+            cs AS (SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n
+                   FROM s GROUP BY 1, 2),
+            types AS (SELECT DISTINCT event_type FROM events),
+            grid AS (SELECT t.event_type, h.hod, COALESCE(cs.n, 0) AS n
+                     FROM types t
+                     CROSS JOIN (SELECT unnest(generate_series(0, 23))
+                                     AS hod) h
+                     LEFT JOIN cs ON cs.event_type = t.event_type
+                                 AND cs.hod = h.hod),
+            cum AS (SELECT event_type, hod,
+                           sum(n) OVER (PARTITION BY event_type
+                                        ORDER BY hod) AS k,
+                           sum(n) OVER (PARTITION BY event_type) AS tot
+                    FROM grid),
+            mx AS (SELECT event_type,
+                          CAST(max(abs(24 * k - tot * (hod + 1)))
+                               AS BIGINT) AS dmax,
+                          CAST(max(tot) AS BIGINT) AS n
+                   FROM cum GROUP BY 1)
+            SELECT event_type, n,
+                   round(CASE WHEN n = 0 THEN 0.0
+                              ELSE CAST(dmax AS DOUBLE)
+                                   / CAST(24 * n AS DOUBLE) END,
+                         6) AS ks_d
+            FROM mx ORDER BY 1
+        """,
+        "cochran_armitage": """
+            WITH s AS (SELECT ((epoch_ms(ts) // 3600000) % 24) // 4
+                                  AS part,
+                              CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END AS p
+                       FROM events),
+            g AS (SELECT part, CAST(sum(p) AS BIGINT) AS r,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM s GROUP BY 1),
+            agg AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                           CAST(sum(r) AS BIGINT) AS rr,
+                           CAST(sum(part * r) AS BIGINT) AS sr,
+                           CAST(sum(part * n) AS BIGINT) AS sn,
+                           CAST(sum(part * part * n) AS BIGINT) AS s2n
+                    FROM g),
+            tv AS (SELECT nn, rr,
+                          CAST(nn AS HUGEINT) * sr
+                              - CAST(rr AS HUGEINT) * sn AS tp,
+                          CAST(rr AS HUGEINT) * (nn - rr)
+                              * (CAST(nn AS HUGEINT) * s2n
+                                 - CAST(sn AS HUGEINT) * sn) AS vp
+                   FROM agg)
+            SELECT nn AS n_events, rr AS n_purchases,
+                   round(CASE WHEN vp <= 0 THEN 0.0
+                              ELSE CAST(tp AS DOUBLE)
+                                   * sqrt(CAST(nn AS DOUBLE))
+                                   / sqrt(CAST(vp AS DOUBLE)) END,
+                         6) AS z
+            FROM tv
+        """,
+    }
+)
+
+
+# Round-3: TPC-H Q13 (the one remaining numbered query; Q1 is
+# pricing_summary).
+from .relational import q_tpch_q13  # noqa: E402
+
+QUERIES.update({"tpch_q13": q_tpch_q13})
+
+ORACLE_SQL.update(
+    {
+        "tpch_q13": """
+            WITH oc AS (SELECT c.c_custkey,
+                               CAST(count(o.o_orderkey) AS BIGINT)
+                                   AS c_count
+                        FROM customer c
+                        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                             AND o.o_orderpriority != '1-URGENT'
+                        GROUP BY 1)
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM oc GROUP BY 1
+            ORDER BY custdist DESC, c_count DESC
+        """,
+    }
+)

@@ -836,3 +836,46 @@ def q_tpch_q20(sf_dir: str):
         "s_suppkey": pa.array(winners, pa.int64()),
         "s_name": pa.array(names.tolist(), pa.string()),
     })
+
+
+def q_tpch_q13(sf_dir: str):
+    """TPC-H Q13 (customer order-count distribution), adapted: per-
+    customer count of non-URGENT orders (o_orderpriority != '1-URGENT'
+    stands in for the comment NOT LIKE predicate — no o_comment column),
+    INCLUDING zero-order customers (the left-join semantics), then the
+    histogram (c_count, custdist) ordered custdist desc, c_count desc.
+    Plan: one (custkey, n) sharded census over filtered orders (bounded
+    by the customer dim), zero-fill against the collected customer keys,
+    histogram via np.unique — no wide join anywhere."""
+    import pyarrow.compute as pc
+
+    from ..stages.keyed import sharded_grouped_agg
+
+    cust = _dim(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(batch["o_orderpriority"], "1-URGENT"))
+        t = pa.table({
+            "ck": pc.cast(batch.filter(keep)["o_custkey"], pa.int64()),
+        })
+        g = t.group_by(["ck"]).aggregate([([], "count_all")])
+        return g.rename_columns(["ck", "n"])
+
+    census = _collect(sharded_grouped_agg(
+        orders.map_batches(part, batch_format="pyarrow"),
+        ["ck"], [("n", "sum")], num_shards=8,
+    ))
+    ck = np.sort(_i64(cust["c_custkey"]))
+    counts = np.zeros(len(ck), np.int64)
+    if census.num_rows:
+        cck = census["ck"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cn = census["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(ck, cck)
+        counts[pos] = cn
+    vals, dist = np.unique(counts, return_counts=True)
+    order = np.lexsort((-vals, -dist))
+    return pa.table({
+        "c_count": pa.array(vals[order].astype(np.int64)),
+        "custdist": pa.array(dist[order].astype(np.int64)),
+    })

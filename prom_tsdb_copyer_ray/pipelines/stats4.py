@@ -1,0 +1,388 @@
+"""Round-3 statistics wave: lexical-richness indices over a
+frequency-of-frequencies census, plus classical sequence / trend /
+goodness-of-fit tests over the established event censuses.
+
+Two substrates, both bounded and both one-exchange:
+
+* **Frequency-of-frequencies census** (:func:`freq_of_freq`): the
+  (term, count) vocabulary census collapses ONCE MORE to (m, V_m) =
+  "how many terms occur exactly m times" — O(sqrt(N)) distinct counts
+  by Zipf, so the driver holds a few hundred rows regardless of corpus
+  size.  Yule's K, lexical Simpson, Good-Turing coverage, Sichel's S,
+  Herdan's C, Guiraud's R and Honore's H are all exact-integer
+  functionals of (N, V, V1, V2, S2) with at most one micro-floored ln
+  and one mirrored division each.
+* **Dense hourly grid** (stats3.dense_hour_counts): Durbin-Watson,
+  Moran's I (lag-1 chain adjacency), Cox-Stuart, KPSS (lag-0) and the
+  hod-uniform one-sample KS ride the same (event_type, hr) census as
+  the session-12 battery; Cochran-Armitage rides a 12-cell
+  (day-part, is_purchase) census.
+
+Float protocol as everywhere: exact integers (Python bignums where
+H-scaled squares exceed int64 — the SQL side casts to HUGEINT) until
+ONE mirrored float expression; sqrt is IEEE-correctly-rounded and so
+cross-engine exact; ln is micro-floored.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+from ..stages.keyed import sharded_grouped_agg
+from ..windows import ts_to_ms
+from .stats3 import _read, dense_hour_counts
+
+
+# ---------------------------------------------------------------------------
+# substrate A: frequency-of-frequencies census
+# ---------------------------------------------------------------------------
+
+def freq_of_freq(sf_dir: str) -> dict[str, int]:
+    """Exact (N, V, V1, V2, S2) from the corpus term distribution.
+
+    Pass 1: per-batch Counter combiner -> (term, n) vocab census (one
+    sharded exchange, vocab-bounded).  Pass 2: a combiner over CENSUS
+    rows collapses to (m, V_m) — the freq-of-freq table, O(distinct
+    counts) ~ O(sqrt N) rows.  Driver math is exact Python ints."""
+    import re
+    from collections import Counter
+
+    word_re = re.compile(r"[A-Za-z]+")
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            counts.update(m.lower() for m in word_re.findall(t or ""))
+        terms = list(counts.keys())
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "n": pa.array([counts[t] for t in terms], pa.int64()),
+        })
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["term"], [("n", "sum")], num_shards=16,
+    )
+
+    def ff_partial(batch: pa.Table) -> pa.Table:
+        m = batch["n"].to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(m, return_counts=True)
+        return pa.table({
+            "m": pa.array(vals.astype(np.int64)),
+            "vm": pa.array(cnts.astype(np.int64)),
+        })
+
+    ff = sharded_grouped_agg(
+        census.map_batches(ff_partial, batch_format="pyarrow"),
+        ["m"], [("vm", "sum")], num_shards=1,
+    ).to_pandas()
+    m = ff["m"].to_numpy(np.int64)
+    vm = ff["vm"].to_numpy(np.int64)
+    return {
+        "n": int(sum(int(a) * int(b) for a, b in zip(m, vm))),
+        "v": int(vm.sum()),
+        "v1": int(vm[m == 1].sum()),
+        "v2": int(vm[m == 2].sum()),
+        "s2": int(sum(int(a) * int(a) * int(b) for a, b in zip(m, vm))),
+    }
+
+
+def q_yule_k(sf_dir: str):
+    """Yule's characteristic K = 1e4 * (S2 - N) / N^2 — the classic
+    repeat-rate measure of lexical concentration (insensitive to text
+    length).  Exact ints to one mirrored division."""
+    f = freq_of_freq(sf_dir)
+    n, s2 = f["n"], f["s2"]
+    k = 0.0 if n == 0 else 1e4 * float(s2 - n) / float(n * n)
+    return pa.table({
+        "n_tokens": pa.array([n], pa.int64()),
+        "vocab": pa.array([f["v"]], pa.int64()),
+        "yule_k": pa.array([round(k, 6)], pa.float64()),
+    })
+
+
+def q_simpson_lexical(sf_dir: str):
+    """Lexical Simpson index D = sum m(m-1)V_m / (N(N-1)): the
+    probability two random token draws (without replacement) are the
+    same type.  Exact ints to one mirrored division."""
+    f = freq_of_freq(sf_dir)
+    n = f["n"]
+    coll = f["s2"] - f["n"]          # sum m^2 Vm - sum m Vm = sum m(m-1)Vm
+    d = 0.0 if n < 2 else float(coll) / float(n * (n - 1))
+    return pa.table({
+        "n_tokens": pa.array([n], pa.int64()),
+        "simpson_d": pa.array([round(d, 6)], pa.float64()),
+    })
+
+
+def q_good_turing(sf_dir: str):
+    """Good-Turing coverage: the probability mass NOT in unseen types,
+    1 - V1/N (Turing's estimator of sample coverage).  One mirrored
+    division."""
+    f = freq_of_freq(sf_dir)
+    n, v1 = f["n"], f["v1"]
+    cov = 0.0 if n == 0 else 1.0 - float(v1) / float(n)
+    return pa.table({
+        "n_tokens": pa.array([n], pa.int64()),
+        "n_hapax": pa.array([v1], pa.int64()),
+        "coverage": pa.array([round(cov, 6)], pa.float64()),
+    })
+
+
+def q_sichel_s(sf_dir: str):
+    """Sichel's S = V2/V (share of dis-legomena in the vocabulary) —
+    near-constant across text sizes for natural text.  One mirrored
+    division."""
+    f = freq_of_freq(sf_dir)
+    v, v2 = f["v"], f["v2"]
+    s = 0.0 if v == 0 else float(v2) / float(v)
+    return pa.table({
+        "vocab": pa.array([v], pa.int64()),
+        "n_dis": pa.array([v2], pa.int64()),
+        "sichel_s": pa.array([round(s, 6)], pa.float64()),
+    })
+
+
+def q_herdan_c(sf_dir: str):
+    """Herdan's C = ln V / ln N (log type-token ratio).  Both logs
+    micro-floored independently (single-libm protocol), then one
+    mirrored division of exact ints."""
+    f = freq_of_freq(sf_dir)
+    n, v = f["n"], f["v"]
+    if n <= 1 or v <= 1:
+        c = 0.0
+    else:
+        lv = math.floor(math.log(float(v)) * 1e6)
+        ln = math.floor(math.log(float(n)) * 1e6)
+        c = float(lv) / float(ln)
+    return pa.table({
+        "n_tokens": pa.array([n], pa.int64()),
+        "vocab": pa.array([v], pa.int64()),
+        "herdan_c": pa.array([round(c, 6)], pa.float64()),
+    })
+
+
+def q_guiraud_r(sf_dir: str):
+    """Guiraud's R = V / sqrt(N) (root type-token ratio).  sqrt is
+    IEEE-exact, so the single float expression is mirrored verbatim."""
+    f = freq_of_freq(sf_dir)
+    n, v = f["n"], f["v"]
+    r = 0.0 if n == 0 else float(v) / math.sqrt(float(n))
+    return pa.table({
+        "n_tokens": pa.array([n], pa.int64()),
+        "vocab": pa.array([v], pa.int64()),
+        "guiraud_r": pa.array([round(r, 6)], pa.float64()),
+    })
+
+
+def q_honore_h(sf_dir: str):
+    """Honore's H = 100 * ln N * V / (V - V1) (hapax-weighted richness;
+    degenerate when EVERY type is a hapax -> 0.0 on both engines).
+    ln N micro-floored, then the mirrored chain
+    ((100 * lnN) * V) / (V - V1)."""
+    f = freq_of_freq(sf_dir)
+    n, v, v1 = f["n"], f["v"], f["v1"]
+    if n <= 1 or v == v1:
+        h = 0.0
+    else:
+        ln = math.floor(math.log(float(n)) * 1e6) / 1e6
+        h = 100.0 * ln * float(v) / float(v - v1)
+    return pa.table({
+        "vocab": pa.array([v], pa.int64()),
+        "n_hapax": pa.array([v1], pa.int64()),
+        "honore_h": pa.array([round(h, 6)], pa.float64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# substrate B: dense hourly grid / small censuses
+# ---------------------------------------------------------------------------
+
+def q_durbin_watson(sf_dir: str):
+    """Durbin-Watson first-order autocorrelation statistic of each
+    type's hourly count series: DW = H * sum(diff^2) / (H*sum(c^2) -
+    S1^2) — exact integers to one mirrored division (DW ~ 2 means no
+    lag-1 autocorrelation; < 2 positive)."""
+    series, big_h = dense_hour_counts(sf_dir)
+    out = {"event_type": [], "dw": []}
+    for et in sorted(series):
+        c = series[et]
+        num = int(sum(int(x) * int(x) for x in np.diff(c)))
+        s1 = int(c.sum())
+        s2 = int(sum(int(x) * int(x) for x in c))
+        den = big_h * s2 - s1 * s1
+        dw = 0.0 if den == 0 else float(big_h * num) / float(den)
+        out["event_type"].append(et)
+        out["dw"].append(round(dw, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "dw": pa.array(out["dw"], pa.float64()),
+    })
+
+
+def q_moran_lag1(sf_dir: str):
+    """Moran's I with lag-1 chain adjacency over the hour sequence:
+    with d_t = H*c_t - S1 (scaled residuals, scale cancels),
+    I = H * sum(d_t * d_{t+1}) / ((H-1) * sum(d_t^2)) — exact Python
+    bignums (HUGEINT SQL-side) to one mirrored division."""
+    series, big_h = dense_hour_counts(sf_dir)
+    out = {"event_type": [], "moran_i": []}
+    for et in sorted(series):
+        c = series[et]
+        s1 = int(c.sum())
+        d = [big_h * int(x) - s1 for x in c]
+        cross = sum(a * b for a, b in zip(d[:-1], d[1:]))
+        den = sum(a * a for a in d)
+        i_val = (0.0 if den == 0
+                 else float(big_h * cross) / float((big_h - 1) * den))
+        out["event_type"].append(et)
+        out["moran_i"].append(round(i_val, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "moran_i": pa.array(out["moran_i"], pa.float64()),
+    })
+
+
+def q_cox_stuart(sf_dir: str):
+    """Cox-Stuart trend test per type: pair hour t with t + ceil(H/2)
+    (middle dropped when H is odd), count sign of the change; z =
+    (2*n_up - n) / sqrt(n) with ties dropped (the sign_test shape)."""
+    series, big_h = dense_hour_counts(sf_dir)
+    half = big_h // 2
+    offset = big_h - half
+    out = {"event_type": [], "n_up": [], "n_down": [], "z": []}
+    for et in sorted(series):
+        c = series[et]
+        first = c[:half]
+        second = c[offset:offset + half]
+        up = int(np.count_nonzero(second > first))
+        down = int(np.count_nonzero(second < first))
+        n = up + down
+        z = 0.0 if n == 0 else (2.0 * float(up) - float(n)) / math.sqrt(
+            float(n))
+        out["event_type"].append(et)
+        out["n_up"].append(up)
+        out["n_down"].append(down)
+        out["z"].append(round(z, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n_up": pa.array(out["n_up"], pa.int64()),
+        "n_down": pa.array(out["n_down"], pa.int64()),
+        "z": pa.array(out["z"], pa.float64()),
+    })
+
+
+def q_kpss_level(sf_dir: str):
+    """KPSS level-stationarity statistic (lag-0 long-run variance) per
+    type: with d_t = H*c_t - S1 and partial sums P_t = sum_{u<=t} d_u,
+    eta = sum(P_t^2) / (H * sum(d_t^2)) — the H-scaling cancels
+    exactly, so the statistic is one mirrored division of exact Python
+    bignums (P_t^2 exceeds int64 -> HUGEINT SQL-side)."""
+    series, big_h = dense_hour_counts(sf_dir)
+    out = {"event_type": [], "kpss": []}
+    for et in sorted(series):
+        c = series[et]
+        s1 = int(c.sum())
+        d = [big_h * int(x) - s1 for x in c]
+        num = 0
+        run = 0
+        for x in d:
+            run += x
+            num += run * run
+        den = sum(x * x for x in d)
+        eta = 0.0 if den == 0 else float(num) / float(big_h * den)
+        out["event_type"].append(et)
+        out["kpss"].append(round(eta, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "kpss": pa.array(out["kpss"], pa.float64()),
+    })
+
+
+def q_ks_uniform_hod(sf_dir: str):
+    """One-sample Kolmogorov-Smirnov distance of each type's
+    hour-of-day distribution from uniform(24): D = max_t |ECDF(t) -
+    (t+1)/24| = max_t |24*K_t - N*(t+1)| / (24*N) — the max runs over
+    exact integers, one mirrored division at the end."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "hod": pa.array((tms // 3_600_000) % 24, pa.int64()),
+            "n": pa.array(np.ones(len(tms), np.int64)),
+        })
+        g = t.group_by(["event_type", "hod"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "hod", "n"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "hod"], [("n", "sum")], num_shards=2,
+    ).to_pandas()
+    out = {"event_type": [], "n": [], "ks_d": []}
+    for et, grp in census.groupby("event_type", sort=True):
+        counts = np.zeros(24, np.int64)
+        counts[grp["hod"].to_numpy(np.int64)] = grp["n"].to_numpy(np.int64)
+        n = int(counts.sum())
+        cum = np.cumsum(counts)
+        dmax = max(abs(24 * int(k) - n * (t + 1))
+                   for t, k in enumerate(cum))
+        d = 0.0 if n == 0 else float(dmax) / float(24 * n)
+        out["event_type"].append(str(et))
+        out["n"].append(n)
+        out["ks_d"].append(round(d, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+        "ks_d": pa.array(out["ks_d"], pa.float64()),
+    })
+
+
+def q_cochran_armitage(sf_dir: str):
+    """Cochran-Armitage trend test of purchase share across the six
+    ordered day-parts (hod // 4, scores 0..5): with R_i purchases and
+    n_i events per part, T' = N*sum(s*R_i) - R*sum(s*n_i) and
+    V' = R*(N-R)*(N*sum(s^2*n_i) - sum(s*n_i)^2) give
+    z = T' * sqrt(N) / sqrt(V') — exact ints, two IEEE sqrts, one
+    mirrored expression."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        part = ((tms // 3_600_000) % 24) // 4
+        purch = (np.asarray(batch["event_type"].to_numpy(
+            zero_copy_only=False)) == "purchase").astype(np.int64)
+        t = pa.table({
+            "part": pa.array(part.astype(np.int64)),
+            "r": pa.array(purch),
+            "n": pa.array(np.ones(len(part), np.int64)),
+        })
+        g = t.group_by(["part"]).aggregate([("r", "sum"), ("n", "sum")])
+        return g.rename_columns(["part", "r", "n"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["part"], [("r", "sum"), ("n", "sum")], num_shards=1,
+    ).to_pandas().sort_values("part")
+    parts = census["part"].to_numpy(np.int64)
+    r_i = census["r"].to_numpy(np.int64)
+    n_i = census["n"].to_numpy(np.int64)
+    big_n = int(n_i.sum())
+    big_r = int(r_i.sum())
+    sr = int(sum(int(s) * int(x) for s, x in zip(parts, r_i)))
+    sn = int(sum(int(s) * int(x) for s, x in zip(parts, n_i)))
+    s2n = int(sum(int(s) * int(s) * int(x) for s, x in zip(parts, n_i)))
+    tp = big_n * sr - big_r * sn
+    vp = big_r * (big_n - big_r) * (big_n * s2n - sn * sn)
+    z = (0.0 if vp <= 0
+         else float(tp) * math.sqrt(float(big_n)) / math.sqrt(float(vp)))
+    return pa.table({
+        "n_events": pa.array([big_n], pa.int64()),
+        "n_purchases": pa.array([big_r], pa.int64()),
+        "z": pa.array([round(z, 6)], pa.float64()),
+    })

@@ -195,6 +195,11 @@ def test_mirror_covers_every_oracle(entry_mod):
         "ordinal_assoc", "icc",
         # round-3 wave: guaranteed-recall simhash pairs
         "simhash_pairs",
+        # round-3 statistics wave (pipelines/stats4.py)
+        "yule_k", "simpson_lexical", "good_turing", "sichel_s",
+        "herdan_c", "guiraud_r", "honore_h", "durbin_watson",
+        "moran_lag1", "cox_stuart", "kpss_level", "ks_uniform_hod",
+        "cochran_armitage", "tpch_q13",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

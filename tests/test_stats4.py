@@ -1,0 +1,183 @@
+"""Brute-force references for the round-3 statistics wave
+(pipelines/stats4.py): lexical-richness indices computed from a naive
+Counter, sequence tests computed from naive per-hour loops."""
+
+from __future__ import annotations
+
+import math
+import os
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tests.test_stats3 import _dense, _rand_events, _write_docs
+
+
+def _counts(texts):
+    cf: Counter = Counter()
+    for t in texts:
+        cf.update(w for w in t.split())
+    return cf
+
+
+def test_lexical_richness_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats4 import (
+        q_good_turing,
+        q_guiraud_r,
+        q_herdan_c,
+        q_honore_h,
+        q_sichel_s,
+        q_simpson_lexical,
+        q_yule_k,
+    )
+
+    texts, _ = _write_docs(tmp_path)
+    cf = _counts(texts)
+    n = sum(cf.values())
+    v = len(cf)
+    v1 = sum(1 for x in cf.values() if x == 1)
+    v2 = sum(1 for x in cf.values() if x == 2)
+    s2 = sum(x * x for x in cf.values())
+
+    yk = q_yule_k(str(tmp_path)).to_pandas()
+    assert int(yk["n_tokens"][0]) == n and int(yk["vocab"][0]) == v
+    assert yk["yule_k"][0] == pytest.approx(1e4 * (s2 - n) / n**2, abs=1e-5)
+
+    sd = q_simpson_lexical(str(tmp_path)).to_pandas()
+    assert sd["simpson_d"][0] == pytest.approx(
+        sum(x * (x - 1) for x in cf.values()) / (n * (n - 1)), abs=1e-6)
+
+    gt = q_good_turing(str(tmp_path)).to_pandas()
+    assert int(gt["n_hapax"][0]) == v1
+    assert gt["coverage"][0] == pytest.approx(1 - v1 / n, abs=1e-6)
+
+    ss = q_sichel_s(str(tmp_path)).to_pandas()
+    assert int(ss["n_dis"][0]) == v2
+    assert ss["sichel_s"][0] == pytest.approx(v2 / v, abs=1e-6)
+
+    hc = q_herdan_c(str(tmp_path)).to_pandas()
+    assert hc["herdan_c"][0] == pytest.approx(
+        math.log(v) / math.log(n), abs=1e-5)
+
+    gr = q_guiraud_r(str(tmp_path)).to_pandas()
+    assert gr["guiraud_r"][0] == pytest.approx(v / math.sqrt(n), abs=1e-6)
+
+    hh = q_honore_h(str(tmp_path)).to_pandas()
+    assert hh["honore_h"][0] == pytest.approx(
+        100 * math.log(n) / (1 - v1 / v), abs=1e-2)
+
+
+def test_durbin_watson_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats4 import q_durbin_watson
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_durbin_watson(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    for _, r in got.iterrows():
+        c = dense[r["event_type"]].astype(float)
+        ref = (np.diff(c) ** 2).sum() / ((c - c.mean()) ** 2).sum()
+        assert r["dw"] == pytest.approx(ref, abs=1e-5)
+
+
+def test_moran_lag1_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats4 import q_moran_lag1
+
+    et, hrs = _rand_events(tmp_path, seed=33)
+    got = q_moran_lag1(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    for _, r in got.iterrows():
+        x = dense[r["event_type"]].astype(float)
+        h = len(x)
+        d = x - x.mean()
+        # Moran's I, W = chain adjacency both directions (weight sum
+        # 2(H-1)); numerator sum over ordered adjacent pairs
+        ref = (h / (2.0 * (h - 1))) * 2.0 * (d[:-1] * d[1:]).sum() \
+            / (d * d).sum()
+        assert r["moran_i"] == pytest.approx(ref, abs=1e-5)
+
+
+def test_cox_stuart_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats4 import q_cox_stuart
+
+    et, hrs = _rand_events(tmp_path, seed=34)
+    got = q_cox_stuart(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    for _, r in got.iterrows():
+        c = dense[r["event_type"]]
+        h = len(c)
+        half, off = h // 2, h - h // 2
+        up = sum(1 for i in range(half) if c[i + off] > c[i])
+        dn = sum(1 for i in range(half) if c[i + off] < c[i])
+        assert int(r["n_up"]) == up and int(r["n_down"]) == dn
+        nn = up + dn
+        zref = 0.0 if nn == 0 else (2 * up - nn) / math.sqrt(nn)
+        assert r["z"] == pytest.approx(zref, abs=1e-6)
+
+
+def test_kpss_level_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats4 import q_kpss_level
+
+    et, hrs = _rand_events(tmp_path, seed=35)
+    got = q_kpss_level(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    for _, r in got.iterrows():
+        x = dense[r["event_type"]].astype(float)
+        h = len(x)
+        e = x - x.mean()
+        s = np.cumsum(e)
+        # eta = H^-2 sum S_t^2 / (sum e^2 / H)
+        ref = (s * s).sum() / h**2 / ((e * e).sum() / h)
+        assert r["kpss"] == pytest.approx(ref, abs=1e-5)
+
+
+def test_ks_uniform_hod_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats4 import q_ks_uniform_hod
+
+    et, hrs = _rand_events(tmp_path, seed=36)
+    got = q_ks_uniform_hod(str(tmp_path)).to_pandas()
+    for _, r in got.iterrows():
+        hod = hrs[et == r["event_type"]] % 24
+        n = len(hod)
+        counts = np.bincount(hod, minlength=24)
+        cum = np.cumsum(counts)
+        ref = max(abs(cum[t] / n - (t + 1) / 24) for t in range(24))
+        assert int(r["n"]) == n
+        assert r["ks_d"] == pytest.approx(ref, abs=1e-6)
+
+
+def test_cochran_armitage_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats4 import q_cochran_armitage
+
+    rng = np.random.default_rng(41)
+    n = 6000
+    hrs = rng.integers(0, 30 * 24, n)
+    # purchase probability rising with day-part -> a real trend
+    part = (hrs % 24) // 4
+    purch = rng.random(n) < (0.05 + 0.03 * part)
+    et = np.where(purch, "purchase", "view")
+    ts = hrs * 3_600_000 + rng.integers(0, 3_600_000, n)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts.astype(np.int64), pa.timestamp("ms")),
+        "user_id": pa.array(rng.integers(0, 50, n).astype(np.int64)),
+        "event_type": pa.array(list(et), pa.string()),
+        "value": pa.array(np.ones(n, np.float64)),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    got = q_cochran_armitage(str(tmp_path)).to_pandas()
+    r_i = np.array([purch[part == i].sum() for i in range(6)], float)
+    n_i = np.array([(part == i).sum() for i in range(6)], float)
+    s = np.arange(6, dtype=float)
+    big_n, big_r = n_i.sum(), r_i.sum()
+    t_stat = (s * r_i).sum() - big_r * (s * n_i).sum() / big_n
+    var = (big_r / big_n) * (1 - big_r / big_n) * (
+        (s * s * n_i).sum() - (s * n_i).sum() ** 2 / big_n)
+    zref = t_stat / math.sqrt(var)
+    assert int(got["n_events"][0]) == n
+    assert int(got["n_purchases"][0]) == int(big_r)
+    assert got["z"][0] == pytest.approx(zref, abs=1e-5)
+    assert got["z"][0] > 3  # the planted trend is detected
