@@ -13083,3 +13083,143 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+# Round-3 wave 2 (pipelines/stats4.py): distribution comparison,
+# normality, and the Misra-Gries exact heavy hitters.
+from .stats4 import (  # noqa: E402
+    q_anderson_darling,
+    q_heavy_hitters,
+    q_hodges_lehmann,
+    q_jarque_bera,
+)
+
+QUERIES.update({
+    "anderson_darling": q_anderson_darling,
+    "hodges_lehmann": q_hodges_lehmann,
+    "jarque_bera": q_jarque_bera,
+    "heavy_hitters": q_heavy_hitters,
+})
+
+ORACLE_SQL.update(
+    {
+        "anderson_darling": """
+            WITH s AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cv
+                       FROM events
+                       WHERE event_type IN ('purchase', 'view')),
+            cs AS (SELECT cv,
+                          CAST(sum(CASE WHEN event_type = 'purchase'
+                                        THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                          CAST(sum(CASE WHEN event_type = 'view'
+                                        THEN 1 ELSE 0 END) AS BIGINT) AS b
+                   FROM s GROUP BY 1),
+            tot AS (SELECT CAST(sum(a) AS BIGINT) AS n,
+                           CAST(sum(b) AS BIGINT) AS m FROM cs),
+            cum AS (SELECT cv, a, b,
+                           sum(a) OVER (ORDER BY cv) AS ca,
+                           sum(a + b) OVER (ORDER BY cv) AS cb
+                    FROM cs),
+            terms AS (SELECT CAST(sum(
+                          (1000000 * CAST(cum.a + cum.b AS HUGEINT)
+                           * (CAST(cum.ca AS HUGEINT) * (tot.n + tot.m)
+                              - tot.n * cum.cb)
+                           * (CAST(cum.ca AS HUGEINT) * (tot.n + tot.m)
+                              - tot.n * cum.cb))
+                          // (CAST(cum.cb AS HUGEINT)
+                              * (tot.n + tot.m - cum.cb))) AS HUGEINT)
+                          AS tt
+                      FROM cum CROSS JOIN tot
+                      WHERE cum.cb > 0 AND cum.cb < tot.n + tot.m)
+            SELECT tot.n AS n_purchase, tot.m AS n_view,
+                   round(CASE WHEN tot.n = 0 OR tot.m = 0 THEN 0.0
+                              ELSE CAST(terms.tt AS DOUBLE)
+                                   / CAST(CAST(tot.n AS HUGEINT) * tot.m
+                                          * 1000000 AS DOUBLE) END,
+                         6) AS ad_a2
+            FROM terms CROSS JOIN tot
+        """,
+        "hodges_lehmann": """
+            WITH s AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cv
+                       FROM events),
+            cs AS (SELECT event_type, cv, CAST(count(*) AS BIGINT) AS c
+                   FROM s GROUP BY 1, 2),
+            tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+                    FROM cs GROUP BY 1),
+            pr AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                          a.cv - b.cv AS d,
+                          CAST(sum(CAST(a.c AS HUGEINT) * b.c) AS HUGEINT)
+                              AS w
+                   FROM cs a JOIN cs b ON a.event_type < b.event_type
+                   GROUP BY 1, 2, 3),
+            cum AS (SELECT ta, tb, d,
+                           sum(w) OVER (PARTITION BY ta, tb ORDER BY d)
+                               AS cw
+                    FROM pr),
+            kk AS (SELECT x.event_type AS ta, y.event_type AS tb,
+                          (CAST(x.n AS HUGEINT) * y.n + 1) // 2 AS k
+                   FROM tot x JOIN tot y
+                        ON x.event_type < y.event_type)
+            SELECT cum.ta AS type_a, cum.tb AS type_b,
+                   CAST(min(cum.d) AS BIGINT) AS hl_cents,
+                   round(CAST(min(cum.d) AS DOUBLE) / 100.0, 6) AS hl
+            FROM cum JOIN kk ON kk.ta = cum.ta AND kk.tb = cum.tb
+            WHERE cum.cw >= kk.k
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "jarque_bera": """
+            WITH s AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cv
+                       FROM events),
+            cs AS (SELECT event_type, cv, CAST(count(*) AS BIGINT) AS c
+                   FROM s GROUP BY 1, 2),
+            mo AS (SELECT event_type,
+                          CAST(sum(c) AS BIGINT) AS n,
+                          CAST(sum(CAST(c AS HUGEINT) * cv) AS HUGEINT)
+                              AS s1,
+                          CAST(sum(CAST(c AS HUGEINT) * cv * cv)
+                               AS HUGEINT) AS s2,
+                          CAST(sum(CAST(c AS HUGEINT) * cv * cv * cv)
+                               AS HUGEINT) AS s3,
+                          CAST(sum(CAST(c AS HUGEINT) * cv * cv * cv * cv)
+                               AS HUGEINT) AS s4
+                   FROM cs GROUP BY 1),
+            f AS (SELECT event_type, n, CAST(n AS DOUBLE) AS fn,
+                         CAST(s1 AS DOUBLE) AS f1,
+                         CAST(s2 AS DOUBLE) AS f2,
+                         CAST(s3 AS DOUBLE) AS f3,
+                         CAST(s4 AS DOUBLE) AS f4
+                  FROM mo),
+            g AS (SELECT event_type, n, fn,
+                         fn * f2 - f1 * f1 AS a2,
+                         fn * fn * f3 - 3.0 * fn * f1 * f2
+                             + 2.0 * f1 * f1 * f1 AS a3,
+                         fn * fn * fn * f4 - 4.0 * fn * fn * f1 * f3
+                             + 6.0 * fn * f1 * f1 * f2
+                             - 3.0 * f1 * f1 * f1 * f1 AS a4
+                  FROM f),
+            h AS (SELECT event_type,
+                         a3 / (a2 * sqrt(a2)) AS skew,
+                         a4 / (a2 * a2) - 3.0 AS kurt
+                  FROM g WHERE a2 > 0)
+            SELECT g.event_type, g.n,
+                   round(CASE WHEN g.a2 <= 0 THEN 0.0
+                              ELSE g.fn * (h.skew * h.skew / 6.0
+                                           + h.kurt * h.kurt / 24.0) END,
+                         6) AS jb
+            FROM g LEFT JOIN h USING (event_type) ORDER BY 1
+        """,
+        "heavy_hitters": """
+            WITH tok AS (SELECT lower(term) AS term
+                         FROM (SELECT unnest(regexp_extract_all(text,
+                                      '[A-Za-z]+')) AS term
+                               FROM documents)),
+            cs AS (SELECT term, CAST(count(*) AS BIGINT) AS n
+                   FROM tok GROUP BY 1),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cs)
+            SELECT term, n FROM cs CROSS JOIN tot
+            WHERE n * 64 > nn ORDER BY term
+        """,
+    }
+)

@@ -386,3 +386,280 @@ def q_cochran_armitage(sf_dir: str):
         "n_purchases": pa.array([big_r], pa.int64()),
         "z": pa.array([round(z, 6)], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 2: distribution comparison / normality / sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+def q_anderson_darling(sf_dir: str):
+    """Two-sample Anderson-Darling A^2 between the purchase and view
+    value distributions (the cramer_von_mises pair, tail-weighted):
+    over the pooled cent-value support, with M = cumA, B = cumA+cumB
+    and l = a+b, each term l*(M*N - n*B)^2 / (B*(N-B)) is micro-floored
+    with an EXACT integer floor-division (no float hop), the sum is a
+    Python bignum (HUGEINT SQL-side), and A^2 = sum / (n*m*1e6) is one
+    mirrored division.  The last support point (B = N) drops on both
+    engines."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        mask = (et == "purchase") | (et == "view")
+        cv = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False)[mask] * 100.0
+        ).astype(np.int64)
+        t = pa.table({
+            "cv": pa.array(cv),
+            "a": pa.array((et[mask] == "purchase").astype(np.int64)),
+            "b": pa.array((et[mask] == "view").astype(np.int64)),
+        })
+        g = t.group_by(["cv"]).aggregate([("a", "sum"), ("b", "sum")])
+        return g.rename_columns(["cv", "a", "b"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["cv"], [("a", "sum"), ("b", "sum")], num_shards=4,
+    ).to_pandas().sort_values("cv")
+    a = census["a"].to_numpy(np.int64)
+    b = census["b"].to_numpy(np.int64)
+    n = int(a.sum())
+    m = int(b.sum())
+    big_n = n + m
+    ca = np.cumsum(a)
+    cb = np.cumsum(b)
+    total = 0
+    for l, big_m, cbv in zip(a + b, ca, cb):
+        big_b = int(big_m) + int(cbv)
+        if big_b == 0 or big_b >= big_n:
+            continue
+        num = int(l) * (int(big_m) * big_n - n * big_b) ** 2
+        total += (1_000_000 * num) // (big_b * (big_n - big_b))
+    a2 = (0.0 if n == 0 or m == 0
+          else float(total) / float(n * m * 1_000_000))
+    return pa.table({
+        "n_purchase": pa.array([n], pa.int64()),
+        "n_view": pa.array([m], pa.int64()),
+        "ad_a2": pa.array([round(a2, 6)], pa.float64()),
+    })
+
+
+def q_hodges_lehmann(sf_dir: str):
+    """Hodges-Lehmann shift estimator for every type pair: the LOWER
+    median (k = (n*m+1)//2-th smallest) of all n*m pairwise cent
+    differences a_i - b_j.  The pairwise-difference distribution is a
+    weighted convolution of the two cent-value censuses, so the k-th
+    order statistic comes from an exact integer binary search over the
+    difference range, each probe one O(D) cumsum pass — never the n*m
+    pairs, never the D^2 convolution.  The SQL oracle materializes the
+    D_a x D_b weighted support instead (bounded by the value DOMAIN,
+    not the row count) and takes the same order statistic."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cv = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "cv": pa.array(cv),
+            "c": pa.array(np.ones(len(cv), np.int64)),
+        })
+        g = t.group_by(["event_type", "cv"]).aggregate([("c", "sum")])
+        return g.rename_columns(["event_type", "cv", "c"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "cv"], [("c", "sum")], num_shards=4,
+    ).to_pandas()
+    prof = {}
+    for et, grp in census.groupby("event_type", sort=True):
+        g = grp.sort_values("cv")
+        prof[str(et)] = (g["cv"].to_numpy(np.int64),
+                         g["c"].to_numpy(np.int64))
+    types = sorted(prof)
+    out = {"type_a": [], "type_b": [], "hl_cents": [], "hl": []}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            va, caw = prof[ta]
+            vb, cbw = prof[tb]
+            n = int(caw.sum())
+            m = int(cbw.sum())
+            k = (n * m + 1) // 2
+            cum_b = np.cumsum(cbw)
+
+            def count_le(d: int) -> int:
+                # pairs with va - vb <= d  <=>  vb >= va - d
+                pos = np.searchsorted(vb, va - d, side="left")
+                below = np.where(pos > 0, cum_b[pos - 1], 0)
+                return int((caw * (m - below)).sum())
+
+            lo = int(va[0] - vb[-1])
+            hi = int(va[-1] - vb[0])
+            while lo < hi:
+                mid = (lo + hi) // 2
+                if count_le(mid) >= k:
+                    hi = mid
+                else:
+                    lo = mid + 1
+            out["type_a"].append(ta)
+            out["type_b"].append(tb)
+            out["hl_cents"].append(lo)
+            out["hl"].append(round(lo / 100.0, 6))
+    return pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "hl_cents": pa.array(out["hl_cents"], pa.int64()),
+        "hl": pa.array(out["hl"], pa.float64()),
+    })
+
+
+def q_jarque_bera(sf_dir: str):
+    """Jarque-Bera normality statistic per type from the cent-value
+    census moments: the centered sums A2 = n*S2 - S1^2,
+    A3 = n^2*S3 - 3n*S1*S2 + 2*S1^3, A4 = n^3*S4 - 4n^2*S1*S3
+    + 6n*S1^2*S2 - 3*S1^4 give skew = A3/(A2*sqrt(A2)) and
+    kurt = A4/A2^2 - 3 with NO n-powers left over, and
+    JB = n*(skew^2/6 + kurt^2/24).  S1..S4 are exact (bignum / HUGEINT
+    over census cells); the A-chain runs in doubles with a
+    token-identical expression on both engines (IEEE products are
+    correctly rounded, so the chain is bit-identical)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cv = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "cv": pa.array(cv),
+            "c": pa.array(np.ones(len(cv), np.int64)),
+        })
+        g = t.group_by(["event_type", "cv"]).aggregate([("c", "sum")])
+        return g.rename_columns(["event_type", "cv", "c"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "cv"], [("c", "sum")], num_shards=4,
+    ).to_pandas()
+    out = {"event_type": [], "n": [], "jb": []}
+    for et, grp in census.groupby("event_type", sort=True):
+        v = [int(x) for x in grp["cv"]]
+        c = [int(x) for x in grp["c"]]
+        n = sum(c)
+        s1 = sum(ci * vi for ci, vi in zip(c, v))
+        s2 = sum(ci * vi * vi for ci, vi in zip(c, v))
+        s3 = sum(ci * vi ** 3 for ci, vi in zip(c, v))
+        s4 = sum(ci * vi ** 4 for ci, vi in zip(c, v))
+        fn, f1, f2, f3, f4 = (float(n), float(s1), float(s2), float(s3),
+                              float(s4))
+        a2 = fn * f2 - f1 * f1
+        a3 = fn * fn * f3 - 3.0 * fn * f1 * f2 + 2.0 * f1 * f1 * f1
+        a4 = (fn * fn * fn * f4 - 4.0 * fn * fn * f1 * f3
+              + 6.0 * fn * f1 * f1 * f2 - 3.0 * f1 * f1 * f1 * f1)
+        if a2 <= 0.0:
+            jb = 0.0
+        else:
+            skew = a3 / (a2 * math.sqrt(a2))
+            kurt = a4 / (a2 * a2) - 3.0
+            jb = fn * (skew * skew / 6.0 + kurt * kurt / 24.0)
+        out["event_type"].append(str(et))
+        out["n"].append(n)
+        out["jb"].append(round(jb, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+        "jb": pa.array(out["jb"], pa.float64()),
+    })
+
+
+def q_heavy_hitters(sf_dir: str):
+    """EXACT corpus heavy hitters (terms with count * 64 > N) through a
+    REAL mergeable Misra-Gries sketch: pass 1 compresses each batch's
+    term counts to a k=255 MG summary (per-batch undercount <=
+    batch_N/256, additive under the sharded merge — Agarwal et al.
+    mergeable summaries), so any term above N/64 survives with merged
+    lower bound >= 3N/256; the global top 4096 by merged bound
+    (<< bound, ~86 possible survivors) broadcast as CANDIDATES for an
+    exact recount pass, and the final filter count*64 > N is exact —
+    the sketch bounds make the two-pass result EQUAL to the full-census
+    answer, which is the SQL oracle."""
+    import re
+    from collections import Counter
+
+    import ray
+
+    from ..stages.keyed import topk_per_group
+
+    word_re = re.compile(r"[A-Za-z]+")
+    ds = _read(sf_dir, "documents", ["text"])
+    k_sketch = 255
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        n_batch = 0
+        for t in batch["text"].to_pylist():
+            toks = [m.lower() for m in word_re.findall(t or "")]
+            n_batch += len(toks)
+            counts.update(toks)
+        # Misra-Gries compression: keep k heaviest, subtract the
+        # (k+1)-th count from each survivor (the classic decrement run)
+        if len(counts) > k_sketch:
+            top = counts.most_common(k_sketch + 1)
+            cut = top[k_sketch][1]
+            counts = Counter({t: c - cut for t, c in top[:k_sketch]
+                              if c > cut})
+        terms = sorted(counts)
+        t1 = pa.table({
+            "term": pa.array(["\x00total"] + terms, pa.string()),
+            "n": pa.array([n_batch] + [counts[t] for t in terms],
+                          pa.int64()),
+        })
+        return t1
+
+    import pyarrow.compute as pc
+
+    merged = sharded_grouped_agg(
+        ds.map_batches(mg_partial, batch_format="pyarrow"),
+        ["term"], [("n", "sum")], num_shards=8,
+    ).materialize()
+
+    def take_total(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["term"], "\x00total"))
+
+    def drop_total(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.not_equal(batch["term"], "\x00total"))
+        return t.append_column(
+            "_g", pa.array(np.zeros(t.num_rows, np.int64)))
+
+    big_n = int(merged.map_batches(take_total, batch_format="pyarrow")
+                .to_pandas()["n"].sum())
+    cand = topk_per_group(
+        merged.map_batches(drop_total, batch_format="pyarrow"),
+        ["_g"], "n", 4096, tiebreak_col="term",
+    ).to_pandas()
+    cand_ref = ray.put(set(cand["term"].astype(str)))
+
+    def recount(batch: pa.Table, _c=cand_ref) -> pa.Table:
+        cset = ray.get(_c)
+        counts: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            for m in word_re.findall(t or ""):
+                w = m.lower()
+                if w in cset:
+                    counts[w] += 1
+        terms = sorted(counts)
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "n": pa.array([counts[t] for t in terms], pa.int64()),
+        })
+
+    exact = sharded_grouped_agg(
+        ds.map_batches(recount, batch_format="pyarrow"),
+        ["term"], [("n", "sum")], num_shards=8,
+    ).to_pandas()
+    keep = exact[exact["n"] * 64 > big_n].sort_values("term")
+    return pa.table({
+        "term": pa.array(keep["term"].astype(str), pa.string()),
+        "n": pa.array(keep["n"].astype(np.int64), pa.int64()),
+    })

@@ -200,6 +200,9 @@ def test_mirror_covers_every_oracle(entry_mod):
         "herdan_c", "guiraud_r", "honore_h", "durbin_watson",
         "moran_lag1", "cox_stuart", "kpss_level", "ks_uniform_hod",
         "cochran_armitage", "tpch_q13",
+        # round-3 wave 2
+        "anderson_darling", "hodges_lehmann", "jarque_bera",
+        "heavy_hitters",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

@@ -181,3 +181,94 @@ def test_cochran_armitage_matches_bruteforce(ray_session, tmp_path):
     assert int(got["n_purchases"][0]) == int(big_r)
     assert got["z"][0] == pytest.approx(zref, abs=1e-5)
     assert got["z"][0] > 3  # the planted trend is detected
+
+
+def _write_valued(tmp_path, seed=61, n=5000, types=("click", "view",
+                                                    "purchase")):
+    rng = np.random.default_rng(seed)
+    et = np.array(types)[rng.integers(0, len(types), n)]
+    # per-type location shift so the two-sample statistics are nonzero
+    shift = {t: 2.0 * i for i, t in enumerate(types)}
+    val = np.round(rng.gamma(2.0, 3.0, n)
+                   + np.array([shift[t] for t in et]), 2)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.full(n, 10 ** 12, np.int64), pa.timestamp("ms")),
+        "user_id": pa.array(rng.integers(0, 50, n).astype(np.int64)),
+        "event_type": pa.array(list(et), pa.string()),
+        "value": pa.array(val),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    return et, np.rint(val * 100).astype(np.int64)
+
+
+def test_anderson_darling_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats4 import q_anderson_darling
+
+    et, cv = _write_valued(tmp_path)
+    got = q_anderson_darling(str(tmp_path)).to_pandas()
+    x = np.sort(cv[et == "purchase"])
+    y = np.sort(cv[et == "view"])
+    n, m = len(x), len(y)
+    big_n = n + m
+    pooled = np.sort(np.concatenate([x, y]))
+    vals = np.unique(pooled)
+    ref = 0.0
+    for v in vals:
+        big_b = int((pooled <= v).sum())
+        if big_b >= big_n:
+            continue
+        l = int((pooled == v).sum())
+        big_m = int((x <= v).sum())
+        ref += l * (big_m * big_n - n * big_b) ** 2 / (
+            big_b * (big_n - big_b))
+    ref /= n * m
+    assert int(got["n_purchase"][0]) == n
+    assert got["ad_a2"][0] == pytest.approx(ref, abs=1e-4)
+
+
+def test_hodges_lehmann_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats4 import q_hodges_lehmann
+
+    et, cv = _write_valued(tmp_path, seed=62, n=800)
+    got = q_hodges_lehmann(str(tmp_path)).to_pandas()
+    for _, r in got.iterrows():
+        a = cv[et == r["type_a"]]
+        b = cv[et == r["type_b"]]
+        diffs = np.sort((a[:, None] - b[None, :]).ravel())
+        k = (len(a) * len(b) + 1) // 2
+        assert int(r["hl_cents"]) == int(diffs[k - 1])
+
+
+def test_jarque_bera_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats4 import q_jarque_bera
+
+    et, cv = _write_valued(tmp_path, seed=63)
+    got = q_jarque_bera(str(tmp_path)).to_pandas()
+    for _, r in got.iterrows():
+        x = cv[et == r["event_type"]].astype(float)
+        n = len(x)
+        d = x - x.mean()
+        skew = (d ** 3).mean() / (d ** 2).mean() ** 1.5
+        kurt = (d ** 4).mean() / (d ** 2).mean() ** 2 - 3
+        ref = n * (skew ** 2 / 6 + kurt ** 2 / 24)
+        assert r["jb"] == pytest.approx(ref, rel=1e-4)
+        # gamma values are right-skewed: JB must reject normality hard
+        assert r["jb"] > 10
+
+
+def test_heavy_hitters_matches_exact(ray_session, tmp_path):
+    """The Misra-Gries two-pass result must EQUAL the exact census
+    answer (the mergeable-sketch bound guarantees it)."""
+    from collections import Counter
+
+    from prom_tsdb_copyer_ray.pipelines.stats4 import q_heavy_hitters
+
+    texts, _ = _write_docs(tmp_path)
+    got = q_heavy_hitters(str(tmp_path)).to_pandas()
+    cf = Counter(w for t in texts for w in t.split())
+    n = sum(cf.values())
+    want = sorted((t, c) for t, c in cf.items() if c * 64 > n)
+    assert list(zip(got["term"], got["n"])) == want
+    assert len(want) > 0  # the zipf fixture has heavy hitters
