@@ -1660,17 +1660,13 @@ def q_heaps_law(sf_dir: str):
         ["term"], [("min_doc", "min")], num_shards=16,
     )
 
-    # pass A: total doc count (tiny combiner)
-    n_docs = int(
-        _read(sf_dir, "documents", ["doc_id"]).count())
-    ks = [(n_docs * i) // 5 for i in range(1, 6)]
-
-    # pass A': exact order-statistic cuts — prefix i is the FIRST
+    # pass A: exact order-statistic cuts — prefix i is the FIRST
     # k_i = n_docs*i//5 docs in doc_id order, so cut_i is the k_i-th
     # smallest doc_id (robust to sparse / offset ids; round-2 assumed
     # contiguous 0..n-1 ids).  A bucket census (doc_id // 2^16) bounds
-    # driver rows at max_id/65536; only the <=5 boundary buckets ship
-    # their raw ids (<= 5*65536 values) for the exact pick.
+    # driver rows at max_id/65536 AND yields n_docs as its sum (no
+    # separate count pass); only the <=5 boundary buckets ship their
+    # raw ids (<= 5*65536 values) for the exact pick.
     def bucket_partial(batch: pa.Table) -> pa.Table:
         did = batch["doc_id"].to_numpy(zero_copy_only=False)
         t = pa.table({
@@ -1685,6 +1681,8 @@ def q_heaps_law(sf_dir: str):
         .map_batches(bucket_partial, batch_format="pyarrow"),
         ["b"], [("n", "sum")], num_shards=1,
     ).to_pandas().sort_values("b")
+    n_docs = int(bcen["n"].sum())
+    ks = [(n_docs * i) // 5 for i in range(1, 6)]
     bvals = bcen["b"].to_numpy(np.int64)
     bcum = bcen["n"].to_numpy(np.int64).cumsum()
     need: dict[int, list[int]] = {}
