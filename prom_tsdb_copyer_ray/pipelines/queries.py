@@ -13223,3 +13223,67 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+# Round-3 wave 3 (pipelines/stats4.py): CCNet perplexity bucketing
+# (composes the already-oracled unigram LM) + GE(2) inequality.
+from .stats4 import q_ccnet_buckets, q_ge2_index  # noqa: E402
+
+QUERIES.update({
+    "ccnet_buckets": q_ccnet_buckets,
+    "ge2_index": q_ge2_index,
+})
+
+ORACLE_SQL.update(
+    {
+        # the unigram LM subquery is the EXISTING oracled definition,
+        # nested verbatim — the bucketing rides on a green base
+        "ccnet_buckets": "WITH nl AS (" + ORACLE_SQL["unigram_logprob"]
+        + """),
+            bb AS (SELECT CAST(floor(nll * 100) AS BIGINT) AS b FROM nl),
+            cs AS (SELECT b, CAST(count(*) AS BIGINT) AS c
+                   FROM bb GROUP BY 1),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cs),
+            cum AS (SELECT b, sum(c) OVER (ORDER BY b) AS cum FROM cs),
+            th AS (SELECT (SELECT min(b) FROM cum CROSS JOIN tot
+                           WHERE 3 * cum >= tot.n) AS t1,
+                          (SELECT min(b) FROM cum CROSS JOIN tot
+                           WHERE 3 * cum >= 2 * tot.n) AS t2,
+                          (SELECT max(b) FROM cs) AS tmax),
+            cnts AS (SELECT
+                CAST(sum(CASE WHEN b <= th.t1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS nh,
+                CAST(sum(CASE WHEN b > th.t1 AND b <= th.t2
+                              THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+                CAST(sum(CASE WHEN b > th.t2 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS nt
+                FROM bb CROSS JOIN th)
+            SELECT * FROM (
+                SELECT 'head' AS bucket, cnts.nh AS n_docs,
+                       th.t1 AS thr_centinll
+                FROM cnts CROSS JOIN th
+                UNION ALL
+                SELECT 'middle', cnts.nm, th.t2 FROM cnts CROSS JOIN th
+                UNION ALL
+                SELECT 'tail', cnts.nt, th.tmax FROM cnts CROSS JOIN th)
+            ORDER BY bucket
+        """,
+        "ge2_index": """
+            WITH s AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cv
+                       FROM events),
+            g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(cv) AS BIGINT) AS s1,
+                         CAST(sum(CAST(cv AS HUGEINT) * cv) AS HUGEINT)
+                             AS s2
+                  FROM s GROUP BY 1)
+            SELECT event_type, n,
+                   round(CASE WHEN s1 = 0 THEN 0.0
+                              ELSE (CAST(n * s2 AS DOUBLE)
+                                    / CAST(CAST(s1 AS HUGEINT) * s1
+                                           AS DOUBLE) - 1.0) / 2.0 END,
+                         6) AS ge2
+            FROM g ORDER BY 1
+        """,
+    }
+)

@@ -663,3 +663,88 @@ def q_heavy_hitters(sf_dir: str):
         "term": pa.array(keep["term"].astype(str), pa.string()),
         "n": pa.array(keep["n"].astype(np.int64), pa.int64()),
     })
+
+
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet-style perplexity bucketing: every document scored by the
+    corpus unigram LM (:func:`stages.textstats.unigram_logprob` — the
+    already-oracled nll), bucketed head/middle/tail at the EXACT
+    tercile thresholds of the centi-nat census (t = smallest centi-nll
+    with 3*cum >= k*N — the order-statistic-threshold protocol, never a
+    float quantile).  Output: per-bucket doc counts + the two
+    thresholds; the curation step that keeps the 'head' slice of a
+    crawl.  Driver holds the centi-nll census (bounded by the score
+    DOMAIN, a few thousand cells)."""
+    from ..stages.textstats import unigram_logprob
+
+    scored = unigram_logprob(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = np.floor(
+            batch["nll"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        vals, cnts = np.unique(b, return_counts=True)
+        return pa.table({
+            "b": pa.array(vals.astype(np.int64)),
+            "c": pa.array(cnts.astype(np.int64)),
+        })
+
+    census = sharded_grouped_agg(
+        scored.map_batches(partial, batch_format="pyarrow"),
+        ["b"], [("c", "sum")], num_shards=1,
+    ).to_pandas().sort_values("b")
+    b = census["b"].to_numpy(np.int64)
+    c = census["c"].to_numpy(np.int64)
+    n = int(c.sum())
+    cum = np.cumsum(c)
+    t1 = int(b[int(np.argmax(3 * cum >= n))])
+    t2 = int(b[int(np.argmax(3 * cum >= 2 * n))])
+    n_head = int(cum[np.searchsorted(b, t1)])
+    n_mid = int(cum[np.searchsorted(b, t2)]) - n_head
+    n_tail = n - n_head - n_mid
+    return pa.table({
+        "bucket": pa.array(["head", "middle", "tail"], pa.string()),
+        "n_docs": pa.array([n_head, n_mid, n_tail], pa.int64()),
+        "thr_centinll": pa.array([t1, t2, int(b[-1])], pa.int64()),
+    })
+
+
+def q_ge2_index(sf_dir: str):
+    """Generalized entropy inequality index GE(2) of event values per
+    type: GE(2) = (n*S2/S1^2 - 1)/2 — half the squared coefficient of
+    variation, the top-sensitive member of the GE family (theil_index
+    is GE(1)).  Exact ints to one mirrored expression."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cv = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "n": pa.array(np.ones(len(cv), np.int64)),
+            "s1": pa.array(cv),
+            "s2": pa.array(cv * cv),
+        })
+        g = t.group_by(["event_type"]).aggregate(
+            [("n", "sum"), ("s1", "sum"), ("s2", "sum")])
+        return g.rename_columns(["event_type", "n", "s1", "s2"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], [("n", "sum"), ("s1", "sum"), ("s2", "sum")],
+        num_shards=1,
+    ).to_pandas()
+    out = {"event_type": [], "n": [], "ge2": []}
+    for _, r in census.sort_values("event_type").iterrows():
+        n, s1, s2 = int(r["n"]), int(r["s1"]), int(r["s2"])
+        ge2 = (0.0 if s1 == 0
+               else (float(n * s2) / float(s1 * s1) - 1.0) / 2.0)
+        out["event_type"].append(str(r["event_type"]))
+        out["n"].append(n)
+        out["ge2"].append(round(ge2, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+        "ge2": pa.array(out["ge2"], pa.float64()),
+    })

@@ -203,6 +203,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         # round-3 wave 2
         "anderson_darling", "hodges_lehmann", "jarque_bera",
         "heavy_hitters",
+        # round-3 wave 3
+        "ccnet_buckets", "ge2_index",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

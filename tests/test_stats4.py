@@ -272,3 +272,43 @@ def test_heavy_hitters_matches_exact(ray_session, tmp_path):
     want = sorted((t, c) for t, c in cf.items() if c * 64 > n)
     assert list(zip(got["term"], got["n"])) == want
     assert len(want) > 0  # the zipf fixture has heavy hitters
+
+
+def test_ccnet_buckets_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats4 import q_ccnet_buckets
+
+    texts, _ = _write_docs(tmp_path)
+    got = q_ccnet_buckets(str(tmp_path)).to_pandas() \
+        .set_index("bucket")
+    # brute force: per-doc mean -ln(corpus unigram prob), floor centi
+    cf = _counts(texts)
+    n_tok = sum(cf.values())
+    bs = []
+    for t in texts:
+        ws = t.split()
+        if not ws:
+            continue
+        nll = round(-sum(math.log(cf[w] / n_tok) for w in ws) / len(ws), 6)
+        bs.append(math.floor(nll * 100))
+    bs = np.array(sorted(bs))
+    n = len(bs)
+    t1 = int(bs[(n + 2) // 3 - 1])   # smallest b with 3*cum >= n
+    t2 = int(bs[(2 * n + 2) // 3 - 1])
+    nh = int((bs <= t1).sum())
+    nm = int(((bs > t1) & (bs <= t2)).sum())
+    assert int(got.loc["head", "n_docs"]) == nh
+    assert int(got.loc["middle", "n_docs"]) == nm
+    assert int(got.loc["tail", "n_docs"]) == n - nh - nm
+    assert int(got.loc["head", "thr_centinll"]) == t1
+    assert int(got.loc["middle", "thr_centinll"]) == t2
+
+
+def test_ge2_index_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats4 import q_ge2_index
+
+    et, cv = _write_valued(tmp_path, seed=71)
+    got = q_ge2_index(str(tmp_path)).to_pandas()
+    for _, r in got.iterrows():
+        x = cv[et == r["event_type"]].astype(float)
+        ref = ((x ** 2).mean() / x.mean() ** 2 - 1.0) / 2.0
+        assert r["ge2"] == pytest.approx(ref, abs=1e-5)
