@@ -13287,3 +13287,94 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+# Round-3 wave 4 (pipelines/stats4.py): G-test, Pielou evenness,
+# Dixon gap statistics.
+from .stats4 import q_dixon_q, q_g_test, q_pielou_j  # noqa: E402
+
+QUERIES.update({
+    "g_test": q_g_test,
+    "pielou_j": q_pielou_j,
+    "dixon_q": q_dixon_q,
+})
+
+ORACLE_SQL.update(
+    {
+        "g_test": """
+            WITH s AS (SELECT event_type,
+                              ((epoch_ms(ts) // 86400000) + 3) % 7 AS dow
+                       FROM events),
+            cs AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n
+                   FROM s GROUP BY 1, 2),
+            r AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS rn
+                  FROM cs GROUP BY 1),
+            c AS (SELECT dow, CAST(sum(n) AS BIGINT) AS cn
+                  FROM cs GROUP BY 1),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cs),
+            terms AS (SELECT CAST(sum(CAST(cs.n AS HUGEINT)
+                          * CAST(floor(ln(CAST(cs.n * tot.nn AS DOUBLE)
+                                          / CAST(r.rn * c.cn AS DOUBLE))
+                                       * 1e6) AS BIGINT)) AS HUGEINT)
+                          AS tt
+                      FROM cs JOIN r USING (event_type)
+                              JOIN c USING (dow) CROSS JOIN tot
+                      WHERE cs.n > 0)
+            SELECT tot.nn AS n,
+                   round(2.0 * CAST(terms.tt AS DOUBLE) / 1e6, 6)
+                       AS g_stat
+            FROM terms CROSS JOIN tot
+        """,
+        "pielou_j": """
+            WITH cs AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                        FROM events GROUP BY 1),
+            kk AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                          CAST(sum(n) AS BIGINT) AS nn
+                   FROM cs),
+            tt AS (SELECT CAST(-sum(CAST(cs.n AS HUGEINT)
+                           * CAST(floor(ln(CAST(cs.n AS DOUBLE)
+                                           / CAST(kk.nn AS DOUBLE))
+                                        * 1e6) AS BIGINT)) AS HUGEINT)
+                          AS tot
+                   FROM cs CROSS JOIN kk WHERE cs.n > 0)
+            SELECT kk.k AS k_types, kk.nn AS n,
+                   round(CASE WHEN kk.k <= 1 OR kk.nn = 0 THEN 0.0
+                              ELSE CAST(tt.tot AS DOUBLE)
+                                   / CAST(kk.nn
+                                          * CAST(floor(ln(CAST(kk.k
+                                                AS DOUBLE)) * 1e6)
+                                                AS BIGINT)
+                                          AS DOUBLE) END,
+                         6) AS pielou_j
+            FROM kk CROSS JOIN tt
+        """,
+        "dixon_q": """
+            WITH s AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cv
+                       FROM events),
+            cs AS (SELECT DISTINCT event_type, cv FROM s),
+            r AS (SELECT event_type,
+                         min(cv) AS v1, max(cv) AS vn,
+                         CAST(count(*) AS BIGINT) AS nd
+                  FROM cs GROUP BY 1),
+            lo AS (SELECT cs.event_type, min(cs.cv) AS v2
+                   FROM cs JOIN r USING (event_type)
+                   WHERE cs.cv > r.v1 GROUP BY 1),
+            hi AS (SELECT cs.event_type, max(cs.cv) AS vn1
+                   FROM cs JOIN r USING (event_type)
+                   WHERE cs.cv < r.vn GROUP BY 1)
+            SELECT r.event_type,
+                   round(CASE WHEN r.nd < 2 OR r.vn = r.v1 THEN 0.0
+                              ELSE CAST(lo.v2 - r.v1 AS DOUBLE)
+                                   / CAST(r.vn - r.v1 AS DOUBLE) END,
+                         6) AS q_low,
+                   round(CASE WHEN r.nd < 2 OR r.vn = r.v1 THEN 0.0
+                              ELSE CAST(r.vn - hi.vn1 AS DOUBLE)
+                                   / CAST(r.vn - r.v1 AS DOUBLE) END,
+                         6) AS q_high
+            FROM r LEFT JOIN lo USING (event_type)
+                   LEFT JOIN hi USING (event_type)
+            ORDER BY 1
+        """,
+    }
+)

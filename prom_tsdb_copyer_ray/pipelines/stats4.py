@@ -748,3 +748,126 @@ def q_ge2_index(sf_dir: str):
         "n": pa.array(out["n"], pa.int64()),
         "ge2": pa.array(out["ge2"], pa.float64()),
     })
+
+
+def q_g_test(sf_dir: str):
+    """G-test (likelihood-ratio) of independence for the
+    (event_type x day-of-week) contingency table — chi2_independence's
+    information-theoretic sibling: G = 2 * sum O_ij * ln(O_ij * N /
+    (R_i * C_j)).  Each cell's ln has an exact-int ratio argument and is
+    micro-floored, the weighted sum O_ij * lnhat is an associative
+    exact-integer sum (bignum / HUGEINT), and G = 2 * total / 1e6 is one
+    mirrored division.  Empty cells contribute zero (lim x ln x = 0) on
+    both engines."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        dow = ((tms // 86_400_000) + 3) % 7
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "dow": pa.array(dow.astype(np.int64)),
+            "n": pa.array(np.ones(len(dow), np.int64)),
+        })
+        g = t.group_by(["event_type", "dow"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "dow", "n"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "dow"], [("n", "sum")], num_shards=2,
+    ).to_pandas()
+    r_tot = census.groupby("event_type")["n"].sum().to_dict()
+    c_tot = census.groupby("dow")["n"].sum().to_dict()
+    big_n = int(census["n"].sum())
+    total = 0
+    for _, row in census.iterrows():
+        o = int(row["n"])
+        if o == 0:
+            continue
+        num = o * big_n
+        den = int(r_tot[row["event_type"]]) * int(c_tot[int(row["dow"])])
+        total += o * math.floor(math.log(float(num) / float(den)) * 1e6)
+    g_stat = 2.0 * float(total) / 1e6
+    return pa.table({
+        "n": pa.array([big_n], pa.int64()),
+        "g_stat": pa.array([round(g_stat, 6)], pa.float64()),
+    })
+
+
+def q_pielou_j(sf_dir: str):
+    """Pielou's evenness J = H_shannon / ln(k) of the event-type
+    distribution: H*N*1e6 = -sum n_i * floor(ln(n_i/N)*1e6) is an exact
+    integer, ln k is micro-floored, and J = -sum / (N * lnk_micro) is
+    one mirrored division (J = 1 means perfectly even types)."""
+    ds = _read(sf_dir, "events", ["event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "n": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+        g = t.group_by(["event_type"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "n"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], [("n", "sum")], num_shards=1,
+    ).to_pandas()
+    counts = [int(x) for x in census["n"]]
+    k = len(counts)
+    big_n = sum(counts)
+    if k <= 1 or big_n == 0:
+        j = 0.0
+    else:
+        tot = -sum(c * math.floor(math.log(float(c) / float(big_n)) * 1e6)
+                   for c in counts if c > 0)
+        lnk = math.floor(math.log(float(k)) * 1e6)
+        j = float(tot) / float(big_n * lnk)
+    return pa.table({
+        "k_types": pa.array([k], pa.int64()),
+        "n": pa.array([big_n], pa.int64()),
+        "pielou_j": pa.array([round(j, 6)], pa.float64()),
+    })
+
+
+def q_dixon_q(sf_dir: str):
+    """Dixon's Q gap statistics per type, both ends, from the cent-value
+    census extremes: Q_low = (x(2)-x(1))/(x(n)-x(1)) and Q_high =
+    (x(n)-x(n-1))/(x(n)-x(1)) where x(2)/x(n-1) are the second DISTINCT
+    values (ties collapse in the census) — exact ints to one mirrored
+    division each; constant series emit 0.0."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cv = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "cv": pa.array(cv),
+            "c": pa.array(np.ones(len(cv), np.int64)),
+        })
+        g = t.group_by(["event_type", "cv"]).aggregate([("c", "sum")])
+        return g.rename_columns(["event_type", "cv", "c"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "cv"], [("c", "sum")], num_shards=4,
+    ).to_pandas()
+    out = {"event_type": [], "q_low": [], "q_high": []}
+    for et, grp in census.groupby("event_type", sort=True):
+        v = np.sort(grp["cv"].to_numpy(np.int64))
+        rng = int(v[-1] - v[0])
+        if len(v) < 2 or rng == 0:
+            ql = qh = 0.0
+        else:
+            ql = float(int(v[1] - v[0])) / float(rng)
+            qh = float(int(v[-1] - v[-2])) / float(rng)
+        out["event_type"].append(str(et))
+        out["q_low"].append(round(ql, 6))
+        out["q_high"].append(round(qh, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "q_low": pa.array(out["q_low"], pa.float64()),
+        "q_high": pa.array(out["q_high"], pa.float64()),
+    })

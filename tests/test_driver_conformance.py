@@ -205,6 +205,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         "heavy_hitters",
         # round-3 wave 3
         "ccnet_buckets", "ge2_index",
+        # round-3 wave 4
+        "g_test", "pielou_j", "dixon_q",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

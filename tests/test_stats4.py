@@ -312,3 +312,48 @@ def test_ge2_index_matches_bruteforce(ray_session, tmp_path):
         x = cv[et == r["event_type"]].astype(float)
         ref = ((x ** 2).mean() / x.mean() ** 2 - 1.0) / 2.0
         assert r["ge2"] == pytest.approx(ref, abs=1e-5)
+
+
+def test_g_test_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats4 import q_g_test
+
+    et, hrs = _rand_events(tmp_path, seed=81)
+    got = q_g_test(str(tmp_path)).to_pandas()
+    dow = (hrs // 24 + 3) % 7
+    types = np.unique(et)
+    n = len(et)
+    ref = 0.0
+    for ty in types:
+        for d in range(7):
+            o = int(((et == ty) & (dow == d)).sum())
+            if o == 0:
+                continue
+            e = (et == ty).sum() * (dow == d).sum() / n
+            ref += 2 * o * math.log(o / e)
+    assert int(got["n"][0]) == n
+    assert got["g_stat"][0] == pytest.approx(ref, abs=0.05)
+
+
+def test_pielou_j_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats4 import q_pielou_j
+
+    et, _ = _rand_events(tmp_path, seed=82)
+    got = q_pielou_j(str(tmp_path)).to_pandas()
+    types, counts = np.unique(et, return_counts=True)
+    n = counts.sum()
+    h = -sum(c / n * math.log(c / n) for c in counts)
+    ref = h / math.log(len(types))
+    assert int(got["k_types"][0]) == len(types)
+    assert got["pielou_j"][0] == pytest.approx(ref, abs=1e-4)
+
+
+def test_dixon_q_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats4 import q_dixon_q
+
+    et, cv = _write_valued(tmp_path, seed=83)
+    got = q_dixon_q(str(tmp_path)).to_pandas()
+    for _, r in got.iterrows():
+        v = np.unique(cv[et == r["event_type"]])
+        rng = v[-1] - v[0]
+        assert r["q_low"] == pytest.approx((v[1] - v[0]) / rng, abs=1e-6)
+        assert r["q_high"] == pytest.approx((v[-1] - v[-2]) / rng, abs=1e-6)
