@@ -13378,3 +13378,92 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+# Round-3 wave 5 (pipelines/stats4.py): uncertainty coefficient +
+# Bowker symmetry.
+from .stats4 import q_bowker, q_theil_u  # noqa: E402
+
+QUERIES.update({
+    "theil_u": q_theil_u,
+    "bowker": q_bowker,
+})
+
+ORACLE_SQL.update(
+    {
+        "theil_u": """
+            WITH s AS (SELECT event_type,
+                              ((epoch_ms(ts) // 86400000) + 3) % 7 AS dow
+                       FROM events),
+            cs AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n
+                   FROM s GROUP BY 1, 2),
+            r AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS rn
+                  FROM cs GROUP BY 1),
+            c AS (SELECT dow, CAST(sum(n) AS BIGINT) AS cn
+                  FROM cs GROUP BY 1),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cs),
+            t1 AS (SELECT CAST(-sum(CAST(r.rn AS HUGEINT)
+                        * CAST(floor(ln(CAST(r.rn AS DOUBLE)
+                                        / CAST(tot.nn AS DOUBLE)) * 1e6)
+                               AS BIGINT)) AS HUGEINT) AS v
+                   FROM r CROSS JOIN tot WHERE r.rn > 0),
+            t2 AS (SELECT CAST(-sum(CAST(cs.n AS HUGEINT)
+                        * CAST(floor(ln(CAST(cs.n AS DOUBLE)
+                                        / CAST(c.cn AS DOUBLE)) * 1e6)
+                               AS BIGINT)) AS HUGEINT) AS v
+                   FROM cs JOIN c USING (dow) WHERE cs.n > 0)
+            SELECT tot.nn AS n,
+                   round(CASE WHEN t1.v = 0 THEN 0.0
+                              ELSE CAST(t1.v - t2.v AS DOUBLE)
+                                   / CAST(t1.v AS DOUBLE) END,
+                         6) AS theil_u
+            FROM tot CROSS JOIN t1 CROSS JOIN t2
+        """,
+        "bowker": """
+            WITH p AS (SELECT user_id, event_type,
+                              epoch_ms(ts) // 86400000 AS day
+                       FROM events),
+            g AS (SELECT CAST((min(day) + max(day) + 1) // 2 AS BIGINT)
+                             AS mid
+                  FROM p),
+            hc AS (SELECT user_id,
+                          CASE WHEN p.day >= g.mid THEN 1 ELSE 0 END
+                              AS half,
+                          event_type, count(*) AS n
+                   FROM p CROSS JOIN g GROUP BY 1, 2, 3),
+            md AS (SELECT user_id, half, event_type,
+                          row_number() OVER (PARTITION BY user_id, half
+                                             ORDER BY n DESC, event_type)
+                              AS rk
+                   FROM hc),
+            m AS (SELECT user_id, half, event_type FROM md WHERE rk = 1),
+            pairs AS (SELECT e.event_type AS ta, l.event_type AS tb,
+                             CAST(count(*) AS BIGINT) AS n
+                      FROM m e JOIN m l ON l.user_id = e.user_id
+                                       AND e.half = 0 AND l.half = 1
+                      GROUP BY 1, 2),
+            cells AS (SELECT x.ta AS a, x.tb AS b,
+                             CAST(x.n AS BIGINT) AS nij,
+                             CAST(COALESCE(y.n, 0) AS BIGINT) AS nji
+                      FROM pairs x LEFT JOIN pairs y
+                           ON y.ta = x.tb AND y.tb = x.ta
+                      WHERE x.ta < x.tb
+                      UNION ALL
+                      SELECT y.tb AS a, y.ta AS b,
+                             CAST(0 AS BIGINT) AS nij,
+                             CAST(y.n AS BIGINT) AS nji
+                      FROM pairs y LEFT JOIN pairs x
+                           ON x.ta = y.tb AND x.tb = y.ta
+                      WHERE y.ta > y.tb AND x.ta IS NULL),
+            agg AS (SELECT CAST(count(*) AS BIGINT) AS df,
+                           CAST(sum((1000000 * (nij - nji) * (nij - nji))
+                                    // (nij + nji)) AS BIGINT) AS tot
+                    FROM cells WHERE nij + nji > 0)
+            SELECT (SELECT mid FROM g) AS mid_day,
+                   COALESCE(agg.df, 0) AS df,
+                   round(CAST(COALESCE(agg.tot, 0) AS DOUBLE) / 1e6, 6)
+                       AS bowker_chi2
+            FROM agg
+        """,
+    }
+)

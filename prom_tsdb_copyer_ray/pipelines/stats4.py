@@ -30,6 +30,7 @@ import math
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..stages.keyed import sharded_grouped_agg
 from ..windows import ts_to_ms
@@ -870,4 +871,123 @@ def q_dixon_q(sf_dir: str):
         "event_type": pa.array(out["event_type"], pa.string()),
         "q_low": pa.array(out["q_low"], pa.float64()),
         "q_high": pa.array(out["q_high"], pa.float64()),
+    })
+
+
+def q_theil_u(sf_dir: str):
+    """Theil's uncertainty coefficient U(type | dow) — the normalized
+    mutual information "how much does knowing the weekday reduce type
+    entropy": with T1 = -sum n_i * lnhat(n_i/N) (type marginal entropy
+    scaled by N*1e6, exact int) and T2 = -sum n_xy * lnhat(n_xy/n_x)
+    (conditional), U = (T1 - T2) / T1 — micro-floored lns of exact-int
+    ratios, associative integer sums, ONE mirrored division."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        dow = ((tms // 86_400_000) + 3) % 7
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "dow": pa.array(dow.astype(np.int64)),
+            "n": pa.array(np.ones(len(dow), np.int64)),
+        })
+        g = t.group_by(["event_type", "dow"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "dow", "n"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "dow"], [("n", "sum")], num_shards=2,
+    ).to_pandas()
+    r_tot = {k: int(v) for k, v in
+             census.groupby("event_type")["n"].sum().items()}
+    c_tot = {int(k): int(v) for k, v in
+             census.groupby("dow")["n"].sum().items()}
+    big_n = int(census["n"].sum())
+    t1 = -sum(v * math.floor(math.log(float(v) / float(big_n)) * 1e6)
+              for v in r_tot.values() if v > 0)
+    t2 = 0
+    for _, row in census.iterrows():
+        o = int(row["n"])
+        if o == 0:
+            continue
+        cx = c_tot[int(row["dow"])]
+        t2 -= o * math.floor(math.log(float(o) / float(cx)) * 1e6)
+    u = 0.0 if t1 == 0 else float(t1 - t2) / float(t1)
+    return pa.table({
+        "n": pa.array([big_n], pa.int64()),
+        "theil_u": pa.array([round(u, 6)], pa.float64()),
+    })
+
+
+def q_bowker(sf_dir: str):
+    """Bowker's symmetry test of per-user MODAL event type across the
+    activity midpoint (mid = (min_day + max_day + 1)//2): the k x k
+    (early modal, late modal) table from a user-keyed census (modal =
+    highest count, ties to the lexicographically smallest type — the
+    SQL row_number convention), then chi2 = sum_{i<j, n_ij+n_ji>0}
+    (n_ij - n_ji)^2 / (n_ij + n_ji) as a sum of micro-floored
+    exact-integer ratios; df counts the non-degenerate pairs.  Users
+    active in only one half drop (no pair)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def bounds_partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        day = (tms // 86_400_000).astype(np.int64)
+        return pa.table({
+            "g": pa.array(np.zeros(len(day), np.int64)),
+            "lo": pa.array(day),
+            "hi": pa.array(day),
+        })
+
+    b = sharded_grouped_agg(
+        ds.map_batches(bounds_partial, batch_format="pyarrow"),
+        ["g"], [("lo", "min"), ("hi", "max")], num_shards=1,
+    ).to_pandas()
+    mid = (int(b["lo"][0]) + int(b["hi"][0]) + 1) // 2
+
+    def partial(batch: pa.Table, mid=mid) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        half = ((tms // 86_400_000) >= mid).astype(np.int64)
+        t = pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "half": pa.array(half),
+            "event_type": batch["event_type"],
+            "n": pa.array(np.ones(len(half), np.int64)),
+        })
+        g = t.group_by(["user_id", "half", "event_type"]).aggregate(
+            [("n", "sum")])
+        return g.rename_columns(["user_id", "half", "event_type", "n"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id", "half", "event_type"], [("n", "sum")], num_shards=8,
+    ).to_pandas()
+    # per (user, half) modal type: count desc, type asc
+    census = census.sort_values(
+        ["user_id", "half", "n", "event_type"],
+        ascending=[True, True, False, True], kind="mergesort")
+    modal = census.groupby(["user_id", "half"], sort=True).first() \
+        .reset_index()
+    piv: dict[tuple[str, str], int] = {}
+    for uid, grp in modal.groupby("user_id"):
+        halves = dict(zip(grp["half"].astype(int), grp["event_type"]))
+        if 0 in halves and 1 in halves:
+            key = (str(halves[0]), str(halves[1]))
+            piv[key] = piv.get(key, 0) + 1
+    types = sorted({a for a, _ in piv} | {b for _, b in piv})
+    total = 0
+    df = 0
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            nij = piv.get((ta, tb), 0)
+            nji = piv.get((tb, ta), 0)
+            if nij + nji == 0:
+                continue
+            df += 1
+            total += (1_000_000 * (nij - nji) ** 2) // (nij + nji)
+    chi2 = float(total) / 1e6
+    return pa.table({
+        "mid_day": pa.array([mid], pa.int64()),
+        "df": pa.array([df], pa.int64()),
+        "bowker_chi2": pa.array([round(chi2, 6)], pa.float64()),
     })

@@ -207,6 +207,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         "ccnet_buckets", "ge2_index",
         # round-3 wave 4
         "g_test", "pielou_j", "dixon_q",
+        # round-3 wave 5
+        "theil_u", "bowker",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

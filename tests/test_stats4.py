@@ -357,3 +357,81 @@ def test_dixon_q_matches_bruteforce(ray_session, tmp_path):
         rng = v[-1] - v[0]
         assert r["q_low"] == pytest.approx((v[1] - v[0]) / rng, abs=1e-6)
         assert r["q_high"] == pytest.approx((v[-1] - v[-2]) / rng, abs=1e-6)
+
+
+def test_theil_u_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats4 import q_theil_u
+
+    et, hrs = _rand_events(tmp_path, seed=91)
+    got = q_theil_u(str(tmp_path)).to_pandas()
+    dow = (hrs // 24 + 3) % 7
+    n = len(et)
+    types = np.unique(et)
+    hy = -sum((et == t).sum() / n * math.log((et == t).sum() / n)
+              for t in types)
+    hyx = 0.0
+    for d in range(7):
+        nd = (dow == d).sum()
+        if nd == 0:
+            continue
+        for t in types:
+            o = ((et == t) & (dow == d)).sum()
+            if o:
+                hyx -= o / n * math.log(o / nd)
+    ref = (hy - hyx) / hy
+    assert got["theil_u"][0] == pytest.approx(ref, abs=1e-3)
+
+
+def test_bowker_matches_bruteforce(ray_session, tmp_path):
+    from collections import Counter
+
+    from prom_tsdb_copyer_ray.pipelines.stats4 import q_bowker
+
+    rng = np.random.default_rng(92)
+    n = 6000
+    user = rng.integers(0, 80, n)
+    day = rng.integers(19723, 19783, n)
+    # drift: types skew toward 'view' late -> asymmetric table
+    late = day >= 19753
+    p_click = np.where(late, 0.25, 0.6)
+    r = rng.random(n)
+    et = np.where(r < p_click, "click",
+                  np.where(r < p_click + 0.3, "view", "purchase"))
+    ts = day * 86_400_000 + rng.integers(0, 86_400_000, n)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts.astype(np.int64), pa.timestamp("ms")),
+        "user_id": pa.array(user.astype(np.int64)),
+        "event_type": pa.array(list(et), pa.string()),
+        "value": pa.array(np.ones(n, np.float64)),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    got = q_bowker(str(tmp_path)).to_pandas()
+    mid = (int(day.min()) + int(day.max()) + 1) // 2
+    assert int(got["mid_day"][0]) == mid
+    piv: Counter = Counter()
+    for u in np.unique(user):
+        halves = {}
+        for h in (0, 1):
+            m = (user == u) & ((day >= mid) == bool(h))
+            if not m.any():
+                break
+            cnt = Counter(et[m])
+            best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            halves[h] = best
+        if len(halves) == 2:
+            piv[(halves[0], halves[1])] += 1
+    types = sorted({a for a, _ in piv} | {b for _, b in piv})
+    chi2 = 0.0
+    df = 0
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            nij, nji = piv[(ta, tb)], piv[(tb, ta)]
+            if nij + nji == 0:
+                continue
+            df += 1
+            chi2 += (nij - nji) ** 2 / (nij + nji)
+    assert int(got["df"][0]) == df
+    assert got["bowker_chi2"][0] == pytest.approx(chi2, abs=1e-4)
+    assert got["bowker_chi2"][0] > 3  # planted drift is asymmetric
