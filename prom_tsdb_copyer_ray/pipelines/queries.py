@@ -13467,3 +13467,82 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+# Round-3 wave 6 (pipelines/stats4.py): richness estimation + cross-
+# language vocabulary set geometry.
+from .stats4 import (  # noqa: E402
+    q_chao1,
+    q_lang_vocab_overlap,
+    q_whittaker_beta,
+)
+
+QUERIES.update({
+    "chao1": q_chao1,
+    "lang_vocab_overlap": q_lang_vocab_overlap,
+    "whittaker_beta": q_whittaker_beta,
+})
+
+_LANG_VOCAB_CTE = """
+    WITH tok AS (SELECT lang, lower(term) AS term
+                 FROM (SELECT lang, unnest(regexp_extract_all(text,
+                              '[A-Za-z]+')) AS term
+                       FROM documents)),
+    lt AS (SELECT DISTINCT lang, term FROM tok),
+    lv AS (SELECT lang, CAST(count(*) AS BIGINT) AS v FROM lt GROUP BY 1)
+"""
+
+ORACLE_SQL.update(
+    {
+        "chao1": _FF_CTE + """
+            SELECT v AS vocab, v1 AS n_hapax,
+                   round(CASE WHEN v2 > 0
+                              THEN CAST(v AS DOUBLE)
+                                   + CAST(v1 * v1 AS DOUBLE)
+                                     / CAST(2 * v2 AS DOUBLE)
+                              ELSE CAST(v AS DOUBLE)
+                                   + CAST(v1 * (v1 - 1) AS DOUBLE)
+                                     / 2.0 END, 6) AS chao1
+            FROM agg
+        """,
+        "lang_vocab_overlap": _LANG_VOCAB_CTE + """
+            , pairs AS (SELECT a.lang AS la, b.lang AS lb,
+                               CAST(count(*) AS BIGINT) AS inter
+                        FROM lt a JOIN lt b ON a.term = b.term
+                                           AND a.lang < b.lang
+                        GROUP BY 1, 2),
+            f AS (SELECT x.lang AS la, y.lang AS lb, x.v AS va, y.v AS vb,
+                         COALESCE(p.inter, 0) AS inter
+                  FROM lv x JOIN lv y ON x.lang < y.lang
+                  LEFT JOIN pairs p ON p.la = x.lang AND p.lb = y.lang)
+            SELECT la AS lang_a, lb AS lang_b,
+                   inter AS n_inter, va + vb - inter AS n_union,
+                   round(CASE WHEN va + vb - inter = 0 THEN 0.0
+                              ELSE CAST(inter AS DOUBLE)
+                                   / CAST(va + vb - inter AS DOUBLE) END,
+                         6) AS jaccard,
+                   round(CASE WHEN least(va, vb) = 0 THEN 0.0
+                              ELSE CAST(inter AS DOUBLE)
+                                   / CAST(least(va, vb) AS DOUBLE) END,
+                         6) AS overlap,
+                   round(CASE WHEN va + vb = 0 THEN 0.0
+                              ELSE CAST(2 * inter AS DOUBLE)
+                                   / CAST(va + vb AS DOUBLE) END,
+                         6) AS dice
+            FROM f ORDER BY 1, 2
+        """,
+        "whittaker_beta": _LANG_VOCAB_CTE + """
+            , g AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS gamma
+                    FROM lt),
+            k AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                         CAST(sum(v) AS BIGINT) AS asum
+                  FROM lv)
+            SELECT k.k AS k_langs, g.gamma AS gamma_vocab,
+                   round(CASE WHEN k.asum = 0 THEN 0.0
+                              ELSE CAST(k.k * g.gamma AS DOUBLE)
+                                   / CAST(k.asum AS DOUBLE) - 1.0 END,
+                         6) AS whittaker_beta
+            FROM k CROSS JOIN g
+        """,
+    }
+)

@@ -991,3 +991,150 @@ def q_bowker(sf_dir: str):
         "df": pa.array([df], pa.int64()),
         "bowker_chi2": pa.array([round(chi2, 6)], pa.float64()),
     })
+
+
+def q_chao1(sf_dir: str):
+    """Chao1 richness estimator of the unseen vocabulary:
+    S = V + V1^2/(2*V2) (bias-corrected V + V1(V1-1)/(2(V2+1)) when
+    V2 = 0) — the classic abundance-based species-richness bound, here
+    on word types.  Rides the same frequency-of-frequencies census as
+    yule_k; exact ints to one mirrored division."""
+    f = freq_of_freq(sf_dir)
+    v, v1, v2 = f["v"], f["v1"], f["v2"]
+    if v2 > 0:
+        chao = float(v) + float(v1 * v1) / float(2 * v2)
+    else:
+        chao = float(v) + float(v1 * (v1 - 1)) / 2.0
+    return pa.table({
+        "vocab": pa.array([v], pa.int64()),
+        "n_hapax": pa.array([v1], pa.int64()),
+        "chao1": pa.array([round(chao, 6)], pa.float64()),
+    })
+
+
+def _lang_vocab_census(sf_dir: str):
+    """(lang-presence-bitmask -> distinct-term count) from ONE
+    term-sharded exchange: the (lang, term) census folds IN-SHARD to at
+    most 2^n_langs subset-count cells, so the driver holds the langs'
+    full vocabulary Venn diagram in a handful of ints."""
+    import re
+    from collections import Counter
+
+    word_re = re.compile(r"[A-Za-z]+")
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        seen: set = set()
+        for lang, t in zip(batch["lang"].to_pylist(),
+                           batch["text"].to_pylist()):
+            for m in word_re.findall(t or ""):
+                seen.add((lang or "", m.lower()))
+        keys = sorted(seen)
+        return pa.table({
+            "lang": pa.array([k[0] for k in keys], pa.string()),
+            "term": pa.array([k[1] for k in keys], pa.string()),
+            "one": pa.array(np.ones(len(keys), np.int64)),
+        })
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "term"], [("one", "max")], num_shards=16,
+    )
+    # fold to per-term lang sets INSIDE a term-sharded task, emit
+    # (langset, count) combiner rows
+    from ..functions.hashing import poly_hash_column
+    from ..stages.common import narrow_fanin
+
+    def add_tshard(batch: pa.Table) -> pa.Table:
+        sh = (poly_hash_column(batch["term"], fold63=False)
+              % np.uint64(8)).astype(np.int64)
+        return batch.append_column("_tsh", pa.array(sh))
+
+    def fold(group: pa.Table) -> pa.Table:
+        from collections import Counter as C
+
+        sets: dict[str, frozenset] = {}
+        acc: dict[str, set] = {}
+        for lang, term in zip(group["lang"].to_pylist(),
+                              group["term"].to_pylist()):
+            acc.setdefault(term, set()).add(lang)
+        cnt: C = C()
+        for term, langs in acc.items():
+            cnt[",".join(sorted(langs))] += 1
+        keys = sorted(cnt)
+        return pa.table({
+            "langset": pa.array(keys, pa.string()),
+            "nterms": pa.array([cnt[k] for k in keys], pa.int64()),
+        })
+
+    venn = sharded_grouped_agg(
+        census.map_batches(add_tshard, batch_format="pyarrow")
+        .repartition(narrow_fanin())
+        .groupby("_tsh")
+        .map_groups(fold, batch_format="pyarrow"),
+        ["langset"], [("nterms", "sum")], num_shards=1,
+    ).to_pandas()
+    return {str(r["langset"]): int(r["nterms"])
+            for _, r in venn.iterrows()}
+
+
+def q_lang_vocab_overlap(sf_dir: str):
+    """Vocabulary overlap for every language pair: |A and B|,
+    |A or B|, Jaccard, Szymkiewicz-Simpson overlap and Dice — all
+    exact-integer set sizes from the language Venn census (one
+    term-sharded exchange; the driver holds <= 2^k subset counts), each
+    coefficient one mirrored division."""
+    venn = _lang_vocab_census(sf_dir)
+    langs = sorted({l for k in venn for l in k.split(",")})
+    out = {"lang_a": [], "lang_b": [], "n_inter": [], "n_union": [],
+           "jaccard": [], "overlap": [], "dice": []}
+    for i, la in enumerate(langs):
+        for lb in langs[i + 1:]:
+            va = sum(n for k, n in venn.items() if la in k.split(","))
+            vb = sum(n for k, n in venn.items() if lb in k.split(","))
+            inter = sum(n for k, n in venn.items()
+                        if la in k.split(",") and lb in k.split(","))
+            union = va + vb - inter
+            out["lang_a"].append(la)
+            out["lang_b"].append(lb)
+            out["n_inter"].append(inter)
+            out["n_union"].append(union)
+            out["jaccard"].append(
+                round(0.0 if union == 0 else float(inter) / float(union),
+                      6))
+            mn = min(va, vb)
+            out["overlap"].append(
+                round(0.0 if mn == 0 else float(inter) / float(mn), 6))
+            out["dice"].append(
+                round(0.0 if va + vb == 0
+                      else float(2 * inter) / float(va + vb), 6))
+    return pa.table({
+        "lang_a": pa.array(out["lang_a"], pa.string()),
+        "lang_b": pa.array(out["lang_b"], pa.string()),
+        "n_inter": pa.array(out["n_inter"], pa.int64()),
+        "n_union": pa.array(out["n_union"], pa.int64()),
+        "jaccard": pa.array(out["jaccard"], pa.float64()),
+        "overlap": pa.array(out["overlap"], pa.float64()),
+        "dice": pa.array(out["dice"], pa.float64()),
+    })
+
+
+def q_whittaker_beta(sf_dir: str):
+    """Whittaker's beta diversity of vocabulary across languages:
+    beta = k * S_gamma / sum(S_lang) - 1 (0 = every language shares one
+    vocabulary, k-1 = fully disjoint).  Exact ints from the same Venn
+    census; one mirrored expression."""
+    venn = _lang_vocab_census(sf_dir)
+    langs = sorted({l for k in venn for l in k.split(",")})
+    k = len(langs)
+    gamma = sum(venn.values())
+    alpha_sum = sum(sum(n for key, n in venn.items()
+                        if la in key.split(","))
+                    for la in langs)
+    beta = (0.0 if alpha_sum == 0
+            else float(k * gamma) / float(alpha_sum) - 1.0)
+    return pa.table({
+        "k_langs": pa.array([k], pa.int64()),
+        "gamma_vocab": pa.array([gamma], pa.int64()),
+        "whittaker_beta": pa.array([round(beta, 6)], pa.float64()),
+    })

@@ -209,6 +209,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         "g_test", "pielou_j", "dixon_q",
         # round-3 wave 5
         "theil_u", "bowker",
+        # round-3 wave 6
+        "chao1", "lang_vocab_overlap", "whittaker_beta",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

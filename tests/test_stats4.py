@@ -435,3 +435,47 @@ def test_bowker_matches_bruteforce(ray_session, tmp_path):
     assert int(got["df"][0]) == df
     assert got["bowker_chi2"][0] == pytest.approx(chi2, abs=1e-4)
     assert got["bowker_chi2"][0] > 3  # planted drift is asymmetric
+
+
+def test_chao1_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats4 import q_chao1
+
+    texts, _ = _write_docs(tmp_path)
+    cf = _counts(texts)
+    v = len(cf)
+    v1 = sum(1 for x in cf.values() if x == 1)
+    v2 = sum(1 for x in cf.values() if x == 2)
+    got = q_chao1(str(tmp_path)).to_pandas()
+    ref = v + v1 * v1 / (2 * v2) if v2 else v + v1 * (v1 - 1) / 2
+    assert int(got["vocab"][0]) == v
+    assert got["chao1"][0] == pytest.approx(ref, abs=1e-4)
+
+
+def test_lang_vocab_overlap_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats4 import (
+        q_lang_vocab_overlap,
+        q_whittaker_beta,
+    )
+
+    texts, langs = _write_docs(tmp_path)
+    vocab = {}
+    for t, l in zip(texts, langs):
+        vocab.setdefault(l, set()).update(t.split())
+    got = q_lang_vocab_overlap(str(tmp_path)).to_pandas()
+    for _, r in got.iterrows():
+        a, b = vocab[r["lang_a"]], vocab[r["lang_b"]]
+        inter = len(a & b)
+        assert int(r["n_inter"]) == inter
+        assert int(r["n_union"]) == len(a | b)
+        assert r["jaccard"] == pytest.approx(inter / len(a | b), abs=1e-6)
+        assert r["overlap"] == pytest.approx(
+            inter / min(len(a), len(b)), abs=1e-6)
+        assert r["dice"] == pytest.approx(
+            2 * inter / (len(a) + len(b)), abs=1e-6)
+
+    wb = q_whittaker_beta(str(tmp_path)).to_pandas()
+    gamma = len(set().union(*vocab.values()))
+    k = len(vocab)
+    ref = k * gamma / sum(len(v) for v in vocab.values()) - 1
+    assert int(wb["gamma_vocab"][0]) == gamma
+    assert wb["whittaker_beta"][0] == pytest.approx(ref, abs=1e-5)
