@@ -13546,3 +13546,66 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+# Round-3 wave 7 (pipelines/stats4.py): Hill diversity profile +
+# classical richness/dominance indices.
+from .stats4 import (  # noqa: E402
+    q_hill_numbers,
+    q_margalef,
+    q_mcintosh_d,
+)
+
+QUERIES.update({
+    "hill_numbers": q_hill_numbers,
+    "mcintosh_d": q_mcintosh_d,
+    "margalef": q_margalef,
+})
+
+ORACLE_SQL.update(
+    {
+        "hill_numbers": _FF_CTE + """
+            , h AS (SELECT CAST(-sum(CAST(m AS HUGEINT)
+                         * CAST(floor(ln(CAST(m AS DOUBLE)
+                                         / CAST(agg.n AS DOUBLE)) * 1e6)
+                                AS BIGINT)) AS HUGEINT) AS ht
+                    FROM cs CROSS JOIN agg)
+            SELECT agg.v AS hill_q0,
+                   round(CASE WHEN agg.n = 0 THEN 0.0
+                              ELSE CAST(h.ht AS DOUBLE)
+                                   / CAST(agg.n AS DOUBLE) END,
+                         6) AS h1_micronats,
+                   round(CASE WHEN agg.s2 = 0 THEN 0.0
+                              ELSE CAST(CAST(agg.n AS HUGEINT) * agg.n
+                                        AS DOUBLE)
+                                   / CAST(agg.s2 AS DOUBLE) END,
+                         6) AS hill_q2
+            FROM agg CROSS JOIN h
+        """,
+        "mcintosh_d": _FF_CTE + """
+            SELECT n AS n_tokens,
+                   round(CASE WHEN n <= 1 THEN 0.0
+                              ELSE (CAST(n AS DOUBLE)
+                                    - sqrt(CAST(s2 AS DOUBLE)))
+                                   / (CAST(n AS DOUBLE)
+                                      - sqrt(CAST(n AS DOUBLE))) END,
+                         6) AS mcintosh_d
+            FROM agg
+        """,
+        "margalef": _FF_CTE + """
+            , mx AS (SELECT CAST(max(m) AS BIGINT) AS mx FROM cs)
+            SELECT agg.v AS vocab, agg.n AS n_tokens,
+                   round(CASE WHEN agg.n <= 1 THEN 0.0
+                              ELSE CAST((agg.v - 1) * 1000000 AS DOUBLE)
+                                   / CAST(CAST(floor(ln(CAST(agg.n
+                                          AS DOUBLE)) * 1e6) AS BIGINT)
+                                          AS DOUBLE) END,
+                         6) AS margalef_r,
+                   round(CASE WHEN agg.n = 0 THEN 0.0
+                              ELSE CAST(mx.mx AS DOUBLE)
+                                   / CAST(agg.n AS DOUBLE) END,
+                         6) AS berger_parker
+            FROM agg CROSS JOIN mx
+        """,
+    }
+)

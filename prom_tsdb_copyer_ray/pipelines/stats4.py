@@ -1138,3 +1138,133 @@ def q_whittaker_beta(sf_dir: str):
         "gamma_vocab": pa.array([gamma], pa.int64()),
         "whittaker_beta": pa.array([round(beta, 6)], pa.float64()),
     })
+
+
+def q_hill_numbers(sf_dir: str):
+    """Hill diversity profile of the vocabulary: q=0 is richness V,
+    q=2 is the inverse Simpson concentration N^2/S2 (exact integer
+    ratio), and q=1 (exp of Shannon entropy) is reported in the LOG
+    domain per the no-cross-engine-exp protocol: h1_micronats =
+    N*1e6-scaled exact integer entropy divided by N."""
+    f = freq_of_freq(sf_dir)
+    n, v, s2 = f["n"], f["v"], f["s2"]
+    # recompute per-m entropy needs the full (m, vm) census: reuse the
+    # helper's aggregates plus one more pass is avoidable — H derives
+    # from the census inside freq_of_freq; keep the exact sum here
+    import re
+    from collections import Counter  # noqa: F401  (doc parity)
+
+    # entropy: -sum m*Vm * lnhat(m/N) needs (m, vm) rows; fold it from
+    # a second census pass kept inside this query for self-containment
+    word_re = re.compile(r"[A-Za-z]+")
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter as C
+
+        counts: C = C()
+        for t in batch["text"].to_pylist():
+            counts.update(m.lower() for m in word_re.findall(t or ""))
+        terms = list(counts.keys())
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "n": pa.array([counts[t] for t in terms], pa.int64()),
+        })
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["term"], [("n", "sum")], num_shards=16,
+    )
+
+    def ent_partial(batch: pa.Table, n=n) -> pa.Table:
+        m = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = np.array([-int(x) * math.floor(
+            math.log(float(int(x)) / float(n)) * 1e6) for x in m],
+            dtype=object)
+        return pa.table({
+            "g": pa.array([0], pa.int64()),
+            "h": pa.array([int(sum(t))], pa.int64()),
+        })
+
+    hsum = sharded_grouped_agg(
+        census.map_batches(ent_partial, batch_format="pyarrow"),
+        ["g"], [("h", "sum")], num_shards=1,
+    ).to_pandas()
+    h_total = int(hsum["h"].sum())
+    h1 = 0.0 if n == 0 else float(h_total) / float(n)  # micro-nats
+    q2 = 0.0 if s2 == 0 else float(n * n) / float(s2)
+    return pa.table({
+        "hill_q0": pa.array([v], pa.int64()),
+        "h1_micronats": pa.array([round(h1, 6)], pa.float64()),
+        "hill_q2": pa.array([round(q2, 6)], pa.float64()),
+    })
+
+
+def q_mcintosh_d(sf_dir: str):
+    """McIntosh diversity U-based index D = (N - sqrt(S2)) /
+    (N - sqrt(N)) over the vocabulary abundance vector — exact ints
+    into one mirrored sqrt expression."""
+    f = freq_of_freq(sf_dir)
+    n, s2 = f["n"], f["s2"]
+    d = (0.0 if n <= 1
+         else (float(n) - math.sqrt(float(s2)))
+         / (float(n) - math.sqrt(float(n))))
+    return pa.table({
+        "n_tokens": pa.array([n], pa.int64()),
+        "mcintosh_d": pa.array([round(d, 6)], pa.float64()),
+    })
+
+
+def q_margalef(sf_dir: str):
+    """Margalef richness R = (V - 1) / ln N and Berger-Parker dominance
+    d = max_m / N from the same frequency census — one micro-floored ln
+    and two mirrored divisions."""
+    import re
+    from collections import Counter
+
+    word_re = re.compile(r"[A-Za-z]+")
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            counts.update(m.lower() for m in word_re.findall(t or ""))
+        terms = list(counts.keys())
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "n": pa.array([counts[t] for t in terms], pa.int64()),
+        })
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["term"], [("n", "sum")], num_shards=16,
+    )
+
+    def agg_partial(batch: pa.Table) -> pa.Table:
+        m = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "g": pa.array([0], pa.int64()),
+            "v": pa.array([len(m)], pa.int64()),
+            "n": pa.array([int(m.sum())], pa.int64()),
+            "mx": pa.array([int(m.max()) if len(m) else 0], pa.int64()),
+        })
+
+    a = sharded_grouped_agg(
+        census.map_batches(agg_partial, batch_format="pyarrow"),
+        ["g"], [("v", "sum"), ("n", "sum"), ("mx", "max")], num_shards=1,
+    ).to_pandas()
+    v = int(a["v"].sum())
+    n = int(a["n"].sum())
+    mx = int(a["mx"].max())
+    if n <= 1:
+        r = 0.0
+    else:
+        lnn = math.floor(math.log(float(n)) * 1e6)
+        r = float((v - 1) * 1_000_000) / float(lnn)
+    bp = 0.0 if n == 0 else float(mx) / float(n)
+    return pa.table({
+        "vocab": pa.array([v], pa.int64()),
+        "n_tokens": pa.array([n], pa.int64()),
+        "margalef_r": pa.array([round(r, 6)], pa.float64()),
+        "berger_parker": pa.array([round(bp, 6)], pa.float64()),
+    })

@@ -211,6 +211,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         "theil_u", "bowker",
         # round-3 wave 6
         "chao1", "lang_vocab_overlap", "whittaker_beta",
+        # round-3 wave 7
+        "hill_numbers", "mcintosh_d", "margalef",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

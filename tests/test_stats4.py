@@ -479,3 +479,34 @@ def test_lang_vocab_overlap_matches_bruteforce(ray_session, tmp_path):
     ref = k * gamma / sum(len(v) for v in vocab.values()) - 1
     assert int(wb["gamma_vocab"][0]) == gamma
     assert wb["whittaker_beta"][0] == pytest.approx(ref, abs=1e-5)
+
+
+def test_diversity_indices_match_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats4 import (
+        q_hill_numbers,
+        q_margalef,
+        q_mcintosh_d,
+    )
+
+    texts, _ = _write_docs(tmp_path)
+    cf = _counts(texts)
+    n = sum(cf.values())
+    v = len(cf)
+    s2 = sum(x * x for x in cf.values())
+
+    hn = q_hill_numbers(str(tmp_path)).to_pandas()
+    h_ref = -sum(c / n * math.log(c / n) for c in cf.values())
+    assert int(hn["hill_q0"][0]) == v
+    # h1_micronats is N-normalized micro-nat entropy
+    assert hn["h1_micronats"][0] / 1e6 == pytest.approx(h_ref, abs=1e-4)
+    assert hn["hill_q2"][0] == pytest.approx(n * n / s2, abs=1e-4)
+
+    mc = q_mcintosh_d(str(tmp_path)).to_pandas()
+    ref = (n - math.sqrt(s2)) / (n - math.sqrt(n))
+    assert mc["mcintosh_d"][0] == pytest.approx(ref, abs=1e-6)
+
+    mg = q_margalef(str(tmp_path)).to_pandas()
+    assert mg["margalef_r"][0] == pytest.approx(
+        (v - 1) / math.log(n), abs=1e-4)
+    assert mg["berger_parker"][0] == pytest.approx(
+        max(cf.values()) / n, abs=1e-6)
