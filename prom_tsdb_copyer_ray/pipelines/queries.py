@@ -13609,3 +13609,140 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+# Round-3 wave 8 (pipelines/stats4.py): ACE richness, lexical Gini,
+# difference-sign runs, Bartels rank von Neumann.
+from .stats4 import (  # noqa: E402
+    q_ace_richness,
+    q_bartels_rvn,
+    q_lexical_gini,
+    q_runs_updown,
+)
+
+QUERIES.update({
+    "ace_richness": q_ace_richness,
+    "lexical_gini": q_lexical_gini,
+    "runs_updown": q_runs_updown,
+    "bartels_rvn": q_bartels_rvn,
+})
+
+ORACLE_SQL.update(
+    {
+        "ace_richness": _FF_CTE + """
+            , rr AS (SELECT
+                CAST(sum(CASE WHEN m <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS s_rare,
+                CAST(sum(CASE WHEN m > 10 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS s_abund,
+                CAST(sum(CASE WHEN m <= 10 THEN m ELSE 0 END) AS BIGINT)
+                    AS n_rare,
+                CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS f1,
+                CAST(sum(CASE WHEN m <= 10 THEN m * (m - 1) ELSE 0 END)
+                     AS BIGINT) AS sumi
+                FROM cs),
+            st AS (SELECT *, 1.0 - CAST(f1 AS DOUBLE)
+                              / CAST(n_rare AS DOUBLE) AS c
+                   FROM rr
+                   WHERE n_rare >= 2 AND n_rare != f1),
+            g AS (SELECT *,
+                         greatest(CAST(s_rare AS DOUBLE)
+                                  * CAST(sumi AS DOUBLE)
+                                  / (c * CAST(n_rare AS DOUBLE)
+                                     * CAST(n_rare - 1 AS DOUBLE)) - 1.0,
+                                  0.0) AS g2
+                  FROM st)
+            SELECT rr.s_rare, rr.s_abund,
+                   round(COALESCE(CAST(g.s_abund AS DOUBLE)
+                                  + CAST(g.s_rare AS DOUBLE) / g.c
+                                  + CAST(g.f1 AS DOUBLE) / g.c * g.g2,
+                                  CAST(rr.s_abund + rr.s_rare
+                                       AS DOUBLE)), 6) AS ace
+            FROM rr LEFT JOIN g ON true
+        """,
+        "lexical_gini": _FF_CTE + """
+            , ffq AS (SELECT m, CAST(count(*) AS BIGINT) AS vm
+                      FROM cs GROUP BY 1),
+            w AS (SELECT m, vm,
+                         COALESCE(sum(vm) OVER (ORDER BY m
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS a
+                  FROM ffq),
+            rs AS (SELECT CAST(sum(CAST(w.m AS HUGEINT) * w.vm
+                                   * (2 * w.a + w.vm - agg.v))
+                               AS HUGEINT) AS ranksum
+                   FROM w CROSS JOIN agg)
+            SELECT agg.v AS vocab, agg.n AS n_tokens,
+                   round(CASE WHEN agg.v = 0 OR agg.n = 0 THEN 0.0
+                              ELSE CAST(rs.ranksum AS DOUBLE)
+                                   / CAST(CAST(agg.v AS HUGEINT) * agg.n
+                                          AS DOUBLE) END,
+                         6) AS lexical_gini
+            FROM agg CROSS JOIN rs
+        """,
+        "runs_updown": _DENSE_GRID_CTE + """
+            , dif AS (SELECT event_type, hr,
+                             c - lag(c) OVER (PARTITION BY event_type
+                                              ORDER BY hr) AS dd
+                      FROM d),
+            sg AS (SELECT event_type, hr,
+                          CASE WHEN dd > 0 THEN 1 ELSE -1 END AS s
+                   FROM dif WHERE dd IS NOT NULL AND dd != 0),
+            ch AS (SELECT event_type, s,
+                          lag(s) OVER (PARTITION BY event_type
+                                       ORDER BY hr) AS ps
+                   FROM sg),
+            ag AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                          CAST(1 + sum(CASE WHEN ps IS NOT NULL
+                                            AND s != ps
+                                            THEN 1 ELSE 0 END)
+                               AS BIGINT) AS r
+                   FROM ch GROUP BY 1),
+            tt AS (SELECT DISTINCT event_type FROM d)
+            SELECT tt.event_type,
+                   COALESCE(ag.n, 0) AS n_signs,
+                   COALESCE(ag.r, 0) AS n_runs,
+                   round(CASE WHEN COALESCE(ag.n, 0) = 0 THEN 0.0
+                              ELSE (3.0 * CAST(ag.r AS DOUBLE)
+                                    - CAST(2 * ag.n + 1 AS DOUBLE))
+                                   / (3.0 * sqrt(CAST(16 * ag.n - 13
+                                                      AS DOUBLE)
+                                                 / 90.0)) END,
+                         6) AS z
+            FROM tt LEFT JOIN ag USING (event_type) ORDER BY 1
+        """,
+        "bartels_rvn": _DENSE_GRID_CTE + """
+            , rk AS (SELECT event_type, hr,
+                            2 * (rank() OVER (PARTITION BY event_type
+                                              ORDER BY c) - 1)
+                            + count(*) OVER (PARTITION BY event_type, c)
+                            + 1 AS r2
+                     FROM d),
+            df AS (SELECT event_type,
+                          r2 - lag(r2) OVER (PARTITION BY event_type
+                                             ORDER BY hr) AS dd
+                   FROM rk),
+            nm AS (SELECT event_type,
+                          CAST(sum(CAST(dd AS HUGEINT) * dd) AS HUGEINT)
+                              AS num
+                   FROM df WHERE dd IS NOT NULL GROUP BY 1),
+            mm AS (SELECT event_type, CAST(sum(r2) AS BIGINT) AS s1,
+                          CAST(sum(CAST(r2 AS HUGEINT) * r2) AS HUGEINT)
+                              AS s2
+                   FROM rk GROUP BY 1)
+            SELECT mm.event_type,
+                   round(CASE WHEN hh.hh * mm.s2
+                                   - CAST(mm.s1 AS HUGEINT) * mm.s1 = 0
+                              THEN 0.0
+                              ELSE CAST(hh.hh * COALESCE(nm.num, 0)
+                                        AS DOUBLE)
+                                   / CAST(hh.hh * mm.s2
+                                          - CAST(mm.s1 AS HUGEINT)
+                                            * mm.s1 AS DOUBLE) END,
+                         6) AS rvn
+            FROM mm LEFT JOIN nm USING (event_type) CROSS JOIN hh
+            ORDER BY 1
+        """,
+    }
+)

@@ -1268,3 +1268,197 @@ def q_margalef(sf_dir: str):
         "margalef_r": pa.array([round(r, 6)], pa.float64()),
         "berger_parker": pa.array([round(bp, 6)], pa.float64()),
     })
+
+
+def q_ace_richness(sf_dir: str):
+    """ACE (abundance-based coverage) richness estimator from the
+    frequency-of-frequencies census: with rare species = terms of count
+    <= 10, S_ACE = S_abund + S_rare/C + (F1/C) * gamma^2 where
+    C = 1 - F1/N_rare and gamma^2 = max(S_rare * sumi / (C * N_rare *
+    (N_rare - 1)) - 1, 0), sumi = sum i(i-1)F_i.  Exact integers into a
+    token-identical mirrored double chain (divisions and max only);
+    degenerate C = 0 (all rare terms are hapax) falls back to the
+    Chao1-style bias-corrected form -> 0.0 extra to keep both engines
+    aligned we emit S_abund + S_rare (no correction)."""
+    import re
+    from collections import Counter
+
+    word_re = re.compile(r"[A-Za-z]+")
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            counts.update(m.lower() for m in word_re.findall(t or ""))
+        terms = list(counts.keys())
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "n": pa.array([counts[t] for t in terms], pa.int64()),
+        })
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["term"], [("n", "sum")], num_shards=16,
+    )
+
+    def ff_partial(batch: pa.Table) -> pa.Table:
+        m = batch["n"].to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(m, return_counts=True)
+        return pa.table({
+            "m": pa.array(vals.astype(np.int64)),
+            "vm": pa.array(cnts.astype(np.int64)),
+        })
+
+    ff = sharded_grouped_agg(
+        census.map_batches(ff_partial, batch_format="pyarrow"),
+        ["m"], [("vm", "sum")], num_shards=1,
+    ).to_pandas()
+    m = ff["m"].to_numpy(np.int64)
+    vm = ff["vm"].to_numpy(np.int64)
+    rare = m <= 10
+    s_rare = int(vm[rare].sum())
+    s_abund = int(vm[~rare].sum())
+    n_rare = int(sum(int(a) * int(b) for a, b in zip(m[rare], vm[rare])))
+    f1 = int(vm[m == 1].sum())
+    sumi = int(sum(int(a) * (int(a) - 1) * int(b)
+                   for a, b in zip(m[rare], vm[rare])))
+    if n_rare == 0 or n_rare == f1 or n_rare < 2:
+        ace = float(s_abund + s_rare)
+    else:
+        c = 1.0 - float(f1) / float(n_rare)
+        g2 = (float(s_rare) * float(sumi)
+              / (c * float(n_rare) * float(n_rare - 1)) - 1.0)
+        if g2 < 0.0:
+            g2 = 0.0
+        ace = (float(s_abund) + float(s_rare) / c
+               + float(f1) / c * g2)
+    return pa.table({
+        "s_rare": pa.array([s_rare], pa.int64()),
+        "s_abund": pa.array([s_abund], pa.int64()),
+        "ace": pa.array([round(ace, 6)], pa.float64()),
+    })
+
+
+def q_lexical_gini(sf_dir: str):
+    """Gini coefficient of the term-frequency distribution (how
+    concentrated is token mass across the vocabulary): over abundances
+    sorted ascending with tie blocks from the freq-of-freq census, the
+    rank sum sum_i (2i - V - 1) x_i has the exact closed form
+    sum_blocks m * v * (2a + v - V) (a = terms before the block), and
+    G = ranksum / (V * N) — exact bignum ints to one mirrored
+    division."""
+    f_ff = freq_of_freq(sf_dir)
+    # need the (m, vm) rows again: recompute the tiny census (the
+    # helper returns aggregates only) — same two passes
+    import re
+    from collections import Counter
+
+    word_re = re.compile(r"[A-Za-z]+")
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            counts.update(m.lower() for m in word_re.findall(t or ""))
+        terms = list(counts.keys())
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "n": pa.array([counts[t] for t in terms], pa.int64()),
+        })
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["term"], [("n", "sum")], num_shards=16,
+    )
+
+    def ff_partial(batch: pa.Table) -> pa.Table:
+        m = batch["n"].to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(m, return_counts=True)
+        return pa.table({
+            "m": pa.array(vals.astype(np.int64)),
+            "vm": pa.array(cnts.astype(np.int64)),
+        })
+
+    ff = sharded_grouped_agg(
+        census.map_batches(ff_partial, batch_format="pyarrow"),
+        ["m"], [("vm", "sum")], num_shards=1,
+    ).to_pandas().sort_values("m")
+    big_v = f_ff["v"]
+    big_n = f_ff["n"]
+    ranksum = 0
+    a = 0
+    for _, row in ff.iterrows():
+        mm, vv = int(row["m"]), int(row["vm"])
+        ranksum += mm * vv * (2 * a + vv - big_v)
+        a += vv
+    g = 0.0 if big_v == 0 or big_n == 0 \
+        else float(ranksum) / float(big_v * big_n)
+    return pa.table({
+        "vocab": pa.array([big_v], pa.int64()),
+        "n_tokens": pa.array([big_n], pa.int64()),
+        "lexical_gini": pa.array([round(g, 6)], pa.float64()),
+    })
+
+
+def q_runs_updown(sf_dir: str):
+    """Difference-sign (up/down) runs test per type over the hourly
+    series: drop zero diffs, count maximal runs of equal sign R; under
+    randomness E[R] = (2n+1)/3 and Var = (16n-13)/90 over the n
+    retained signs (the usual tie-dropped convention), z =
+    (3R - (2n+1)) / (3*sqrt((16n-13)/90)) as ONE mirrored expression of
+    exact ints.  Distinct from runs_test (above/below median) and
+    turning_points (local extrema)."""
+    series, _big_h = dense_hour_counts(sf_dir)
+    out = {"event_type": [], "n_signs": [], "n_runs": [], "z": []}
+    for et in sorted(series):
+        d = np.diff(series[et])
+        s = np.sign(d)
+        s = s[s != 0]
+        n = int(s.size)
+        if n == 0:
+            r = 0
+            z = 0.0
+        else:
+            r = 1 + int(np.count_nonzero(s[1:] != s[:-1]))
+            var_n = 16 * n - 13
+            z = (0.0 if var_n <= 0 else
+                 (3.0 * float(r) - float(2 * n + 1))
+                 / (3.0 * math.sqrt(float(var_n) / 90.0)))
+        out["event_type"].append(et)
+        out["n_signs"].append(n)
+        out["n_runs"].append(r)
+        out["z"].append(round(z, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n_signs": pa.array(out["n_signs"], pa.int64()),
+        "n_runs": pa.array(out["n_runs"], pa.int64()),
+        "z": pa.array(out["z"], pa.float64()),
+    })
+
+
+def q_bartels_rvn(sf_dir: str):
+    """Bartels' rank von Neumann ratio per type — the rank-based
+    randomness test: with doubled midranks r2 over the hourly counts,
+    RVN = H * sum (r2_t - r2_{t+1})^2 / (H * sum r2^2 - (sum r2)^2)
+    (the common H-scale cancels, tie blocks enter through the exact
+    doubled midranks).  Exact bignum/HUGEINT integers to one mirrored
+    division; RVN ~ 2 under randomness."""
+    series, big_h = dense_hour_counts(sf_dir)
+    out = {"event_type": [], "rvn": []}
+    for et in sorted(series):
+        c = series[et]
+        vals, inv, counts = np.unique(c, return_inverse=True,
+                                      return_counts=True)
+        below = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        r2 = (2 * below + counts + 1)[inv].astype(np.int64)
+        num = int(sum(int(x) * int(x) for x in np.diff(r2)))
+        s1 = int(r2.sum())
+        s2 = int(sum(int(x) * int(x) for x in r2))
+        den = big_h * s2 - s1 * s1
+        rvn = 0.0 if den == 0 else float(big_h * num) / float(den)
+        out["event_type"].append(et)
+        out["rvn"].append(round(rvn, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "rvn": pa.array(out["rvn"], pa.float64()),
+    })

@@ -213,6 +213,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         "chao1", "lang_vocab_overlap", "whittaker_beta",
         # round-3 wave 7
         "hill_numbers", "mcintosh_d", "margalef",
+        # round-3 wave 8
+        "ace_richness", "lexical_gini", "runs_updown", "bartels_rvn",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

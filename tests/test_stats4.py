@@ -510,3 +510,111 @@ def test_diversity_indices_match_bruteforce(ray_session, tmp_path):
         (v - 1) / math.log(n), abs=1e-4)
     assert mg["berger_parker"][0] == pytest.approx(
         max(cf.values()) / n, abs=1e-6)
+
+
+def test_ace_and_gini_match_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats4 import (
+        q_ace_richness,
+        q_lexical_gini,
+    )
+
+    texts, _ = _write_docs(tmp_path)
+    cf = _counts(texts)
+    abund = np.array(sorted(cf.values()))
+    rare = abund[abund <= 10]
+    s_rare, s_abund = len(rare), int((abund > 10).sum())
+    n_rare = int(rare.sum())
+    f1 = int((abund == 1).sum())
+    sumi = int(sum(i * (i - 1) * int((rare == i).sum())
+                   for i in range(1, 11)))
+    got = q_ace_richness(str(tmp_path)).to_pandas()
+    if n_rare in (0, f1) or n_rare < 2:
+        ref = float(s_abund + s_rare)   # degenerate: no coverage signal
+    else:
+        c = 1 - f1 / n_rare
+        g2 = max(s_rare * sumi / (c * n_rare * (n_rare - 1)) - 1, 0.0)
+        ref = s_abund + s_rare / c + f1 / c * g2
+    assert int(got["s_rare"][0]) == s_rare
+    assert got["ace"][0] == pytest.approx(ref, rel=1e-6)
+
+    # second fixture with dis-legomena so the REAL correction branch runs
+    texts2 = texts + [texts[i] + " " + texts[i] for i in range(0, 40, 2)]
+    n2 = len(texts2)
+    t2 = pa.table({
+        "doc_id": pa.array(np.arange(n2, dtype=np.int64)),
+        "text": pa.array(texts2, pa.string()),
+        "lang": pa.array(["en"] * n2, pa.string()),
+        "source": pa.array(["s"] * n2, pa.string()),
+        "n_chars": pa.array([len(x) for x in texts2], pa.int64()),
+    })
+    pq.write_table(t2, os.path.join(str(tmp_path), "documents.parquet"))
+    cf2 = _counts(texts2)
+    ab2 = np.array(sorted(cf2.values()))
+    rare2 = ab2[ab2 <= 10]
+    s_rare2, s_abund2 = len(rare2), int((ab2 > 10).sum())
+    n_rare2, f12 = int(rare2.sum()), int((ab2 == 1).sum())
+    sumi2 = int(sum(i * (i - 1) * int((rare2 == i).sum())
+                    for i in range(1, 11)))
+    got2 = q_ace_richness(str(tmp_path)).to_pandas()
+    assert n_rare2 not in (0, f12) and n_rare2 >= 2  # branch really runs
+    c2 = 1 - f12 / n_rare2
+    g22 = max(s_rare2 * sumi2 / (c2 * n_rare2 * (n_rare2 - 1)) - 1, 0.0)
+    ref2 = s_abund2 + s_rare2 / c2 + f12 / c2 * g22
+    assert got2["ace"][0] == pytest.approx(ref2, rel=1e-6)
+    # restore the original fixture for the gini check below
+    t1 = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    pq.write_table(t1, os.path.join(str(tmp_path), "documents.parquet"))
+
+    gg = q_lexical_gini(str(tmp_path)).to_pandas()
+    v, n = len(abund), int(abund.sum())
+    ranksum = sum((2 * (i + 1) - v - 1) * int(x)
+                  for i, x in enumerate(abund))
+    assert gg["lexical_gini"][0] == pytest.approx(ranksum / (v * n),
+                                                  abs=1e-6)
+
+
+def test_runs_updown_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats4 import q_runs_updown
+
+    et, hrs = _rand_events(tmp_path, seed=95)
+    got = q_runs_updown(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    for _, r in got.iterrows():
+        s = np.sign(np.diff(dense[r["event_type"]]))
+        s = s[s != 0]
+        n = len(s)
+        runs = 1 + int((s[1:] != s[:-1]).sum()) if n else 0
+        assert int(r["n_signs"]) == n and int(r["n_runs"]) == runs
+        zref = (0.0 if n == 0 else
+                (runs - (2 * n + 1) / 3) / math.sqrt((16 * n - 13) / 90))
+        assert r["z"] == pytest.approx(zref, abs=1e-5)
+
+
+def test_bartels_rvn_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats4 import q_bartels_rvn
+
+    et, hrs = _rand_events(tmp_path, seed=96)
+    got = q_bartels_rvn(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    for _, r in got.iterrows():
+        c = dense[r["event_type"]].astype(float)
+        # midranks
+        order = np.argsort(c, kind="stable")
+        ranks = np.empty(len(c))
+        i = 0
+        srt = c[order]
+        while i < len(c):
+            j = i
+            while j < len(c) and srt[j] == srt[i]:
+                j += 1
+            ranks[order[i:j]] = (i + j + 1) / 2.0
+            i = j
+        num = (np.diff(ranks) ** 2).sum()
+        den = ((ranks - ranks.mean()) ** 2).sum()
+        assert r["rvn"] == pytest.approx(num / den, abs=1e-5)
