@@ -13746,3 +13746,53 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+# Round-3 wave 9 (pipelines/stats4.py): seasonal Mann-Kendall.
+from .stats4 import q_seasonal_mk  # noqa: E402
+
+QUERIES.update({"seasonal_mk": q_seasonal_mk})
+
+ORACLE_SQL.update(
+    {
+        "seasonal_mk": _DENSE_GRID_CTE + """
+            , s AS (SELECT a.event_type,
+                           CAST(sum(CASE WHEN b.c > a.c THEN 1
+                                         WHEN b.c < a.c THEN -1
+                                         ELSE 0 END) AS BIGINT) AS s_stat
+                    FROM d a JOIN d b ON b.event_type = a.event_type
+                                     AND b.hr > a.hr
+                                     AND (b.hr % 24) = (a.hr % 24)
+                    GROUP BY 1),
+            grp AS (SELECT event_type, hr % 24 AS hod,
+                           CAST(count(*) AS BIGINT) AS nh
+                    FROM d GROUP BY 1, 2),
+            base AS (SELECT event_type,
+                            CAST(sum(CASE WHEN nh >= 2
+                                     THEN nh * (nh - 1) * (2 * nh + 5)
+                                     ELSE 0 END) AS BIGINT) AS b
+                     FROM grp GROUP BY 1),
+            ties AS (SELECT event_type,
+                            CAST(sum(t * (t - 1) * (2 * t + 5))
+                                 AS BIGINT) AS tie_sum
+                     FROM (SELECT event_type, hr % 24 AS hod, c,
+                                  count(*) AS t
+                           FROM d GROUP BY 1, 2, 3
+                           HAVING count(*) >= 1)
+                     GROUP BY 1),
+            v AS (SELECT base.event_type, s.s_stat,
+                         base.b - ties.tie_sum AS var_num
+                  FROM base JOIN s USING (event_type)
+                            JOIN ties USING (event_type))
+            SELECT event_type, s_stat, var_num,
+                   round(CASE WHEN s_stat > 0 THEN
+                                (CAST(s_stat AS DOUBLE) - 1.0)
+                                / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+                              WHEN s_stat < 0 THEN
+                                (CAST(s_stat AS DOUBLE) + 1.0)
+                                / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+                              ELSE 0.0 END, 6) AS z
+            FROM v ORDER BY 1
+        """,
+    }
+)

@@ -1462,3 +1462,65 @@ def q_bartels_rvn(sf_dir: str):
         "event_type": pa.array(out["event_type"], pa.string()),
         "rvn": pa.array(out["rvn"], pa.float64()),
     })
+
+
+def q_seasonal_mk(sf_dir: str):
+    """Seasonal Mann-Kendall trend test per type: the MK statistic
+    computed WITHIN each hour-of-day sub-series of the dense hourly
+    grid (pairs only between same-hod hours, so the diurnal cycle
+    cannot masquerade as trend), S and the tie-corrected variance
+    numerator summed across the 24 seasons, z with the +-1 continuity
+    correction (the mann_kendall convention).  Exact integers to one
+    mirrored float expression."""
+    series, big_h = dense_hour_counts(sf_dir)
+    # hod of grid position i is (h_lo + i) % 24; reconstruct h_lo parity
+    # via the census helper contract: positions are hr - h_lo, so we
+    # need h_lo itself — recompute from the events (one tiny aggregate)
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def lo_partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        hr = tms // 3_600_000
+        return pa.table({
+            "g": pa.array([0], pa.int64()),
+            "lo": pa.array([int(hr.min())], pa.int64()),
+        })
+
+    lo_t = sharded_grouped_agg(
+        ds.map_batches(lo_partial, batch_format="pyarrow"),
+        ["g"], [("lo", "min")], num_shards=1,
+    ).to_pandas()
+    h_lo = int(lo_t["lo"].min())
+    out = {"event_type": [], "s_stat": [], "var_num": [], "z": []}
+    for et in sorted(series):
+        c = series[et]
+        s_tot = 0
+        var_num = 0
+        for hod in range(24):
+            idx = [i for i in range(big_h) if (h_lo + i) % 24 == hod]
+            x = c[idx]
+            nh = len(x)
+            if nh < 2:
+                continue
+            s_tot += int(np.sign(x[None, :] - x[:, None])
+                         [np.triu_indices(nh, 1)].sum())
+            var_num += nh * (nh - 1) * (2 * nh + 5)
+            _, t = np.unique(x, return_counts=True)
+            var_num -= int(sum(int(u) * (int(u) - 1) * (2 * int(u) + 5)
+                               for u in t))
+        if s_tot > 0:
+            z = (float(s_tot) - 1.0) / math.sqrt(float(var_num) / 18.0)
+        elif s_tot < 0:
+            z = (float(s_tot) + 1.0) / math.sqrt(float(var_num) / 18.0)
+        else:
+            z = 0.0
+        out["event_type"].append(et)
+        out["s_stat"].append(s_tot)
+        out["var_num"].append(var_num)
+        out["z"].append(round(z, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "s_stat": pa.array(out["s_stat"], pa.int64()),
+        "var_num": pa.array(out["var_num"], pa.int64()),
+        "z": pa.array(out["z"], pa.float64()),
+    })

@@ -215,6 +215,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         "hill_numbers", "mcintosh_d", "margalef",
         # round-3 wave 8
         "ace_richness", "lexical_gini", "runs_updown", "bartels_rvn",
+        # round-3 wave 9
+        "seasonal_mk",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

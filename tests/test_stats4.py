@@ -618,3 +618,31 @@ def test_bartels_rvn_matches_bruteforce(ray_session, tmp_path):
         num = (np.diff(ranks) ** 2).sum()
         den = ((ranks - ranks.mean()) ** 2).sum()
         assert r["rvn"] == pytest.approx(num / den, abs=1e-5)
+
+
+def test_seasonal_mk_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats4 import q_seasonal_mk
+
+    et, hrs = _rand_events(tmp_path, seed=97)
+    got = q_seasonal_mk(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    h_lo = int(hrs.min())
+    for _, r in got.iterrows():
+        c = dense[r["event_type"]]
+        s_tot, var_num = 0, 0
+        for hod in range(24):
+            x = np.array([c[i] for i in range(len(c))
+                          if (h_lo + i) % 24 == hod])
+            nh = len(x)
+            if nh < 2:
+                continue
+            s_tot += sum(int(np.sign(x[j] - x[i]))
+                         for i in range(nh) for j in range(i + 1, nh))
+            tie = sum(int(t) * (t - 1) * (2 * t + 5)
+                      for t in np.unique(x, return_counts=True)[1])
+            var_num += nh * (nh - 1) * (2 * nh + 5) - tie
+        assert int(r["s_stat"]) == s_tot
+        assert int(r["var_num"]) == var_num
+        zref = ((s_tot - 1) if s_tot > 0 else (s_tot + 1) if s_tot < 0
+                else 0) / math.sqrt(var_num / 18.0) if s_tot != 0 else 0.0
+        assert r["z"] == pytest.approx(zref, abs=1e-5)
