@@ -13796,3 +13796,104 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# ---------------------------------------------------------------------------
+# Round-3 wave 10 (pipelines/stats5.py): serial/spatial autocorrelation
+# counterpart, ecological dispersion indices, inequality and variance-
+# homogeneity families over the established censuses.
+from .stats5 import (  # noqa: E402
+    q_dispersion_indices,
+    q_geary_c,
+    q_hoover_index,
+    q_variance_homogeneity,
+)
+
+QUERIES.update({
+    "geary_c": q_geary_c,
+    "dispersion_indices": q_dispersion_indices,
+    "hoover_index": q_hoover_index,
+    "variance_homogeneity": q_variance_homogeneity,
+})
+
+ORACLE_SQL.update(
+    {
+        "geary_c": _DENSE_GRID_CTE + """
+            , ag AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS s1,
+                            CAST(sum(c * c) AS BIGINT) AS s2
+                     FROM d GROUP BY 1),
+            df AS (SELECT event_type,
+                          c - lag(c) OVER (PARTITION BY event_type
+                                           ORDER BY hr) AS dd
+                   FROM d),
+            sd AS (SELECT event_type,
+                          CAST(sum(dd * dd) AS BIGINT) AS sd2
+                   FROM df WHERE dd IS NOT NULL GROUP BY 1)
+            SELECT ag.event_type,
+                   round(CASE WHEN 2 * (hh.hh * ag.s2
+                                        - ag.s1 * ag.s1) = 0 THEN 0.0
+                              ELSE CAST(hh.hh * sd.sd2 AS DOUBLE)
+                                   / CAST(2 * (hh.hh * ag.s2
+                                               - ag.s1 * ag.s1)
+                                          AS DOUBLE) END, 6) AS geary_c
+            FROM ag JOIN sd USING (event_type) CROSS JOIN hh ORDER BY 1
+        """,
+        "dispersion_indices": _DENSE_GRID_CTE + """
+            , ag AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS s1,
+                            CAST(sum(c * c) AS BIGINT) AS s2
+                     FROM d GROUP BY 1)
+            SELECT event_type,
+                   round(CASE WHEN s1 * s1 - s1 = 0 THEN 0.0
+                              ELSE CAST(hh.hh * (s2 - s1) AS DOUBLE)
+                                   / CAST(s1 * s1 - s1 AS DOUBLE)
+                         END, 6) AS morisita,
+                   round(CASE WHEN s1 = 0 THEN 0.0
+                              ELSE CAST(hh.hh * (s2 - s1) AS DOUBLE)
+                                   / CAST(s1 * s1 AS DOUBLE)
+                         END, 6) AS patchiness,
+                   round(CASE WHEN hh.hh * (hh.hh * s2 - s1 * s1
+                                            - (hh.hh - 1) * s1) <= 0
+                              THEN 0.0
+                              ELSE CAST(s1 * s1 * (hh.hh - 1) AS DOUBLE)
+                                   / CAST(hh.hh * (hh.hh * s2 - s1 * s1
+                                          - (hh.hh - 1) * s1)
+                                          AS DOUBLE) END, 6) AS nb_k
+            FROM ag CROSS JOIN hh ORDER BY 1
+        """,
+        "hoover_index": """
+            WITH u AS (SELECT user_id,
+                              CAST(sum(CAST(round(value * 100) AS BIGINT))
+                                   AS BIGINT) AS x
+                       FROM events GROUP BY 1),
+            sn AS (SELECT CAST(sum(x) AS BIGINT) AS s,
+                          CAST(count(*) AS BIGINT) AS n FROM u)
+            SELECT sn.n AS n_users,
+                   round(CASE WHEN 2 * sn.n * sn.s = 0 THEN 0.0
+                              ELSE CAST(sum(abs(sn.n * u.x - sn.s))
+                                        AS DOUBLE)
+                                   / CAST(2 * sn.n * sn.s AS DOUBLE)
+                         END, 6) AS hoover
+            FROM u CROSS JOIN sn GROUP BY sn.n, sn.s
+        """,
+        "variance_homogeneity": _DENSE_GRID_CTE + """
+            , ag AS (SELECT event_type,
+                            CAST(hh.hh * sum(c * c) - sum(c) * sum(c)
+                                 AS BIGINT) AS nu
+                     FROM d CROSS JOIN hh GROUP BY event_type, hh.hh),
+            mx AS (SELECT max(nu) AS mx, min(nu) AS mn,
+                          CAST(sum(nu) AS BIGINT) AS tot,
+                          CAST(count(*) AS BIGINT) AS k FROM ag),
+            mt AS (SELECT ag.event_type FROM ag CROSS JOIN mx
+                   WHERE ag.nu = mx.mx ORDER BY ag.event_type LIMIT 1)
+            SELECT mx.k AS k_groups, mt.event_type AS max_type,
+                   round(CASE WHEN mx.mn = 0 THEN 0.0
+                              ELSE CAST(mx.mx AS DOUBLE)
+                                   / CAST(mx.mn AS DOUBLE) END, 6)
+                       AS fmax,
+                   round(CASE WHEN mx.tot = 0 THEN 0.0
+                              ELSE CAST(mx.mx AS DOUBLE)
+                                   / CAST(mx.tot AS DOUBLE) END, 6)
+                       AS cochran_c
+            FROM mx CROSS JOIN mt
+        """,
+    }
+)

@@ -1,0 +1,172 @@
+"""Round-3 continuation statistics waves (module 2): spatial/serial
+autocorrelation counterparts, ecological dispersion indices, inequality
+and variance-homogeneity families — all over the established census
+substrates (dense hourly grid, cent-value census, per-user totals), so
+NO new exchange shape is introduced.
+
+Float protocol as everywhere in this battery: exact integers (Python
+bignums where scaled squares exceed int64 — the SQL side casts to
+HUGEINT) until ONE mirrored float expression; sqrt/division of the
+identical exact operands is IEEE-correctly-rounded and so cross-engine
+exact; ln is micro-floored.
+
+Reference parity note: the reference engine (prom-tsdb-copyer,
+cmd/main.go) exposes copy/verify over TSDB blocks only; this analytics
+battery is the Ray-Data generalization required by the north rule
+(continuous aggregates over web-page-derived series).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.keyed import sharded_grouped_agg
+from .stats3 import _read, dense_hour_counts
+
+
+# ---------------------------------------------------------------------------
+# wave 10: dispersion / homogeneity family (dense hourly grid + user totals)
+# ---------------------------------------------------------------------------
+
+def q_geary_c(sf_dir: str):
+    """Geary's C with lag-1 chain adjacency per type — the local
+    counterpart of Moran's I (moran_lag1): for the hourly series with
+    symmetric chain weights, C = H * sum_t (c_t - c_{t+1})^2 /
+    (2 * (H*S2 - S1^2)).  Exact integers to one mirrored division;
+    C ~ 1 under no autocorrelation, < 1 for positive autocorrelation."""
+    series, big_h = dense_hour_counts(sf_dir)
+    out = {"event_type": [], "geary_c": []}
+    for et in sorted(series):
+        c = series[et]
+        s1 = int(c.sum())
+        s2 = int(np.dot(c, c))
+        d = np.diff(c)
+        sd2 = int(np.dot(d, d))
+        den = 2 * (big_h * s2 - s1 * s1)
+        g = 0.0 if den == 0 else float(big_h * sd2) / float(den)
+        out["event_type"].append(et)
+        out["geary_c"].append(round(g, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "geary_c": pa.array(out["geary_c"], pa.float64()),
+    })
+
+
+def q_dispersion_indices(sf_dir: str):
+    """Ecological dispersion family per type over the hourly counts —
+    all exact rationals of (H, S1, S2):
+
+    * Morisita's index I_d = H*(S2 - S1) / (S1^2 - S1) (1 = random,
+      > 1 clumped);
+    * Lloyd's patchiness m*/mean = H*(S2 - S1) / S1^2 with the
+      population-variance convention (documented: sigma^2 =
+      (H*S2 - S1^2)/H^2);
+    * moment negative-binomial k = S1^2*(H-1) /
+      (H*(H*S2 - S1^2 - (H-1)*S1)) (sample-variance convention),
+      0.0 when the series is under/equi-dispersed (denominator <= 0).
+    """
+    series, big_h = dense_hour_counts(sf_dir)
+    out = {"event_type": [], "morisita": [], "patchiness": [], "nb_k": []}
+    for et in sorted(series):
+        c = series[et]
+        s1 = int(c.sum())
+        s2 = int(np.dot(c, c))
+        mor_den = s1 * s1 - s1
+        mor = (0.0 if mor_den == 0
+               else float(big_h * (s2 - s1)) / float(mor_den))
+        pat = (0.0 if s1 == 0
+               else float(big_h * (s2 - s1)) / float(s1 * s1))
+        k_den = big_h * (big_h * s2 - s1 * s1 - (big_h - 1) * s1)
+        nb_k = (0.0 if k_den <= 0
+                else float(s1 * s1 * (big_h - 1)) / float(k_den))
+        out["event_type"].append(et)
+        out["morisita"].append(round(mor, 6))
+        out["patchiness"].append(round(pat, 6))
+        out["nb_k"].append(round(nb_k, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "morisita": pa.array(out["morisita"], pa.float64()),
+        "patchiness": pa.array(out["patchiness"], pa.float64()),
+        "nb_k": pa.array(out["nb_k"], pa.float64()),
+    })
+
+
+def q_hoover_index(sf_dir: str):
+    """Hoover (Robin Hood) index of per-user total event value: the
+    share of total value that would have to be redistributed for
+    perfect equality, Hoover = sum_i |x_i - mean| / (2 * sum x) =
+    sum_i |n*x_i - S| / (2*n*S).  Scale shape: the theil_index
+    substrate — one user-keyed exchange, (S, n) broadcast back, then a
+    shuffle-free per-batch integer partial; the user census never
+    reaches the driver.  Exact integers to one mirrored division."""
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cv = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table({"user_id": batch["user_id"], "x": pa.array(cv)})
+        g = t.group_by(["user_id"]).aggregate([("x", "sum")])
+        return g.rename_columns(["user_id", "x"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"], [("x", "sum")], num_shards=8,
+    )
+
+    def sn_partial(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        return pa.table({"s": pa.array([int(x.sum())], pa.int64()),
+                         "n": pa.array([batch.num_rows], pa.int64())})
+
+    sn = census.map_batches(sn_partial, batch_format="pyarrow").to_pandas()
+    s_tot, n_users = int(sn["s"].sum()), int(sn["n"].sum())
+
+    def term_partial(batch: pa.Table, s=s_tot, n=n_users) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(np.abs(n * x - s).sum())
+        return pa.table({"m": pa.array([total], pa.int64())})
+
+    total = int(census.map_batches(
+        term_partial, batch_format="pyarrow").to_pandas()["m"].sum())
+    den = 2 * n_users * s_tot
+    hoover = 0.0 if den == 0 else float(total) / float(den)
+    return pa.table({
+        "n_users": pa.array([n_users], pa.int64()),
+        "hoover": pa.array([round(hoover, 6)], pa.float64()),
+    })
+
+
+def q_variance_homogeneity(sf_dir: str):
+    """Hartley's F_max and Cochran's C over the k types' hourly count
+    series (the dense grid gives every group the same n = H, the
+    textbook premise of both tests): with exact integer variance
+    NUMERATORS nu_j = H*S2_j - S1_j^2 (the common denominator
+    H^2*(H-1) cancels in both ratios), F_max = max nu / min nu and
+    C = max nu / sum nu — exact integers to one mirrored division
+    each.  max_type is the lexicographically-smallest type attaining
+    the max (exact integer comparisons, deterministic both engines)."""
+    series, big_h = dense_hour_counts(sf_dir)
+    nus: dict[str, int] = {}
+    for et in sorted(series):
+        c = series[et]
+        s1 = int(c.sum())
+        s2 = int(np.dot(c, c))
+        nus[et] = big_h * s2 - s1 * s1
+    types = sorted(nus)
+    mx = max(nus[t] for t in types)
+    mn = min(nus[t] for t in types)
+    tot = sum(nus.values())
+    max_type = min(t for t in types if nus[t] == mx)
+    fmax = 0.0 if mn == 0 else float(mx) / float(mn)
+    coc = 0.0 if tot == 0 else float(mx) / float(tot)
+    return pa.table({
+        "k_groups": pa.array([len(types)], pa.int64()),
+        "max_type": pa.array([max_type], pa.string()),
+        "fmax": pa.array([round(fmax, 6)], pa.float64()),
+        "cochran_c": pa.array([round(coc, 6)], pa.float64()),
+    })

@@ -217,6 +217,9 @@ def test_mirror_covers_every_oracle(entry_mod):
         "ace_richness", "lexical_gini", "runs_updown", "bartels_rvn",
         # round-3 wave 9
         "seasonal_mk",
+        # round-3 wave 10 (pipelines/stats5.py)
+        "geary_c", "dispersion_indices", "hoover_index",
+        "variance_homogeneity",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

@@ -1,0 +1,102 @@
+"""Brute-force references for the round-3 continuation statistics waves
+(pipelines/stats5.py): dispersion / autocorrelation / inequality /
+variance-homogeneity indices computed from naive per-hour loops."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tests.test_stats3 import _dense, _rand_events
+
+
+def _valued_events(tmp_path, seed=97, n=3000):
+    """Events with varied values + user ids (hoover needs non-constant
+    value; the stats3 fixture pins value=1)."""
+    rng = np.random.default_rng(seed)
+    hrs = rng.integers(0, 20 * 24, n)
+    ts = hrs * 3_600_000 + rng.integers(0, 3_600_000, n)
+    et = np.array(["click", "view", "error"])[rng.integers(0, 3, n)]
+    vals = np.round(rng.lognormal(3.0, 1.0, n), 2)
+    users = rng.integers(0, 40, n).astype(np.int64)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts.astype(np.int64), pa.timestamp("ms")),
+        "user_id": pa.array(users),
+        "event_type": pa.array(list(et), pa.string()),
+        "value": pa.array(vals),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    return et, hrs, vals, users
+
+
+def test_geary_c_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_geary_c
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_geary_c(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    assert set(got["event_type"]) == set(dense)
+    for _, r in got.iterrows():
+        c = dense[r["event_type"]].astype(np.float64)
+        num = (len(c) - 1) * ((np.diff(c) ** 2).sum() * 2)
+        den = 2 * (2 * (len(c) - 1)) * ((c - c.mean()) ** 2).sum()
+        assert r["geary_c"] == pytest.approx(num / den, abs=1e-5)
+
+
+def test_dispersion_indices_match_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_dispersion_indices
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_dispersion_indices(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    for _, r in got.iterrows():
+        c = dense[r["event_type"]].astype(np.float64)
+        h = len(c)
+        s1 = c.sum()
+        mor = h * (c * (c - 1)).sum() / (s1 * (s1 - 1))
+        assert r["morisita"] == pytest.approx(mor, abs=1e-5)
+        m = c.mean()
+        var_pop = ((c - m) ** 2).mean()
+        mstar = m + var_pop / m - 1.0
+        assert r["patchiness"] == pytest.approx(mstar / m, abs=1e-5)
+        var_s = ((c - m) ** 2).sum() / (h - 1)
+        kref = m * m / (var_s - m) if var_s > m else 0.0
+        assert r["nb_k"] == pytest.approx(kref, abs=1e-4)
+
+
+def test_hoover_index_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_hoover_index
+
+    _, _, vals, users = _valued_events(tmp_path)
+    got = q_hoover_index(str(tmp_path)).to_pandas()
+    cents = np.rint(vals * 100.0).astype(np.int64)
+    totals = np.array([cents[users == u].sum()
+                       for u in np.unique(users)], np.float64)
+    assert int(got["n_users"][0]) == len(totals)
+    ref = np.abs(totals - totals.mean()).sum() / (2 * totals.sum())
+    assert got["hoover"][0] == pytest.approx(ref, abs=1e-6)
+
+
+def test_variance_homogeneity_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import (
+        q_variance_homogeneity,
+    )
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_variance_homogeneity(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    vs = {ty: np.var(c.astype(np.float64), ddof=1)
+          for ty, c in dense.items()}
+    assert int(got["k_groups"][0]) == len(vs)
+    mx = max(vs.values())
+    assert got["max_type"][0] == min(t for t in vs if vs[t] == mx)
+    assert got["fmax"][0] == pytest.approx(mx / min(vs.values()), abs=1e-5)
+    assert got["cochran_c"][0] == pytest.approx(
+        mx / sum(vs.values()), abs=1e-6)
