@@ -13897,3 +13897,128 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Round-3 wave 11 (pipelines/stats5.py): Chatterjee's xi dependence
+# coefficient, CUSUM-of-squares scan, records test, Buishand range.
+from .stats5 import (  # noqa: E402
+    q_buishand_range,
+    q_chatterjee_xi,
+    q_cusum_squares,
+    q_records_count,
+)
+
+QUERIES.update({
+    "chatterjee_xi": q_chatterjee_xi,
+    "cusum_squares": q_cusum_squares,
+    "records_count": q_records_count,
+    "buishand_range": q_buishand_range,
+})
+
+ORACLE_SQL.update(
+    {
+        "chatterjee_xi": _DENSE_GRID_CTE + """
+            , rk AS (SELECT event_type, hr,
+                            rank() OVER (PARTITION BY event_type
+                                         ORDER BY c) AS rnk,
+                            count(*) OVER (PARTITION BY event_type, c)
+                                AS eq
+                     FROM d),
+            rr AS (SELECT event_type, hr,
+                          CAST(rnk - 1 + eq AS BIGINT) AS r,
+                          CAST(hh.hh - (rnk - 1) AS BIGINT) AS l
+                   FROM rk CROSS JOIN hh),
+            df AS (SELECT event_type,
+                          r - lag(r) OVER (PARTITION BY event_type
+                                           ORDER BY hr) AS dr
+                   FROM rr),
+            nm AS (SELECT event_type, CAST(sum(abs(dr)) AS BIGINT) AS num
+                   FROM df WHERE dr IS NOT NULL GROUP BY 1),
+            dn AS (SELECT event_type,
+                          CAST(sum(l * (hh.hh - l)) AS BIGINT) AS den
+                   FROM rr CROSS JOIN hh GROUP BY 1)
+            SELECT nm.event_type,
+                   round(CASE WHEN 2 * dn.den = 0 THEN 0.0
+                              ELSE 1.0 - CAST(hh.hh * nm.num AS DOUBLE)
+                                         / CAST(2 * dn.den AS DOUBLE)
+                         END, 6) AS xi
+            FROM nm JOIN dn USING (event_type) CROSS JOIN hh ORDER BY 1
+        """,
+        "cusum_squares": _DENSE_GRID_CTE + """
+            , cs2 AS (SELECT event_type, hr,
+                             CAST(sum(c * c) OVER (
+                                  PARTITION BY event_type ORDER BY hr)
+                                  AS BIGINT) AS c2,
+                             row_number() OVER (PARTITION BY event_type
+                                                ORDER BY hr) AS t
+                      FROM d),
+            tot AS (SELECT event_type, CAST(max(c2) AS BIGINT) AS sh
+                    FROM cs2 GROUP BY 1),
+            dd AS (SELECT cs2.event_type, cs2.t,
+                          abs(hh.hh * cs2.c2 - cs2.t * tot.sh) AS dv
+                   FROM cs2 JOIN tot USING (event_type) CROSS JOIN hh
+                   WHERE cs2.t < hh.hh),
+            best AS (SELECT event_type, t, dv,
+                            row_number() OVER (PARTITION BY event_type
+                                               ORDER BY dv DESC, t ASC)
+                                AS rn
+                     FROM dd)
+            SELECT b.event_type,
+                   CAST(CASE WHEN tot.sh = 0 THEN 0 ELSE b.t END
+                        AS BIGINT) AS at_pos,
+                   round(CASE WHEN tot.sh = 0 THEN 0.0
+                              ELSE CAST(b.dv AS DOUBLE)
+                                   / CAST(hh.hh * tot.sh AS DOUBLE)
+                         END, 6) AS stat
+            FROM best b JOIN tot USING (event_type) CROSS JOIN hh
+            WHERE b.rn = 1 ORDER BY 1
+        """,
+        "records_count": _DENSE_GRID_CTE + """
+            , w AS (SELECT event_type, hr, c,
+                           max(c) OVER (PARTITION BY event_type
+                                        ORDER BY hr
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS pm,
+                           row_number() OVER (PARTITION BY event_type
+                                              ORDER BY hr) AS t
+                    FROM d)
+            SELECT event_type,
+                   CAST(sum(CASE WHEN pm IS NULL OR c > pm
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_records,
+                   CAST(max(CASE WHEN pm IS NULL OR c > pm THEN t END)
+                        AS BIGINT) AS last_record_pos
+            FROM w GROUP BY 1 ORDER BY 1
+        """,
+        "buishand_range": _DENSE_GRID_CTE + """
+            , ag AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS s1,
+                            CAST(sum(c * c) AS BIGINT) AS s2
+                     FROM d GROUP BY 1),
+            cu AS (SELECT d.event_type,
+                          CAST(hh.hh * sum(d.c) OVER (
+                                   PARTITION BY d.event_type
+                                   ORDER BY d.hr)
+                               - (row_number() OVER (
+                                      PARTITION BY d.event_type
+                                      ORDER BY d.hr)) * ag.s1
+                               AS BIGINT) AS a
+                   FROM d JOIN ag USING (event_type) CROSS JOIN hh),
+            rr AS (SELECT event_type,
+                          CAST(greatest(max(a), 0) - least(min(a), 0)
+                               AS BIGINT) AS rh
+                   FROM cu GROUP BY 1)
+            SELECT ag.event_type, rr.rh AS r_scaled,
+                   round(CASE WHEN hh.hh * ag.s2 - ag.s1 * ag.s1 <= 0
+                              THEN 0.0
+                              ELSE (CAST(rr.rh AS DOUBLE)
+                                    / CAST(hh.hh AS DOUBLE))
+                                   / (sqrt(CAST(hh.hh * ag.s2
+                                                - ag.s1 * ag.s1
+                                                AS DOUBLE)
+                                           / CAST(hh.hh * (hh.hh - 1)
+                                                  AS DOUBLE))
+                                      * sqrt(CAST(hh.hh AS DOUBLE)))
+                         END, 6) AS q
+            FROM ag JOIN rr USING (event_type) CROSS JOIN hh ORDER BY 1
+        """,
+    }
+)

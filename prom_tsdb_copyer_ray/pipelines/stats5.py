@@ -170,3 +170,123 @@ def q_variance_homogeneity(sf_dir: str):
         "fmax": pa.array([round(fmax, 6)], pa.float64()),
         "cochran_c": pa.array([round(coc, 6)], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 11: modern dependence + change-detection tests (dense hourly grid)
+# ---------------------------------------------------------------------------
+
+def q_chatterjee_xi(sf_dir: str):
+    """Chatterjee's rank correlation xi (2020) of each type's hourly
+    series against time — a consistent test of functional dependence
+    y = f(t) that classical correlations miss.  With x = hour order
+    (distinct, so no x-tie randomization is needed) and the tie-aware
+    form: r_i = #{j: y_j <= y_i}, l_i = #{j: y_j >= y_i},
+    xi = 1 - H * sum_t |r_{t+1} - r_t| / (2 * sum_i l_i*(H - l_i)).
+    Exact integers to one mirrored division; 0 ~ independence,
+    1 = perfect monotone dependence."""
+    series, big_h = dense_hour_counts(sf_dir)
+    out = {"event_type": [], "xi": []}
+    for et in sorted(series):
+        c = series[et]
+        sc = np.sort(c)
+        r = np.searchsorted(sc, c, side="right").astype(np.int64)
+        l_ge = big_h - np.searchsorted(sc, c, side="left").astype(np.int64)
+        num = big_h * int(np.abs(np.diff(r)).sum())
+        den = 2 * int(np.dot(l_ge, big_h - l_ge))
+        xi = 0.0 if den == 0 else 1.0 - float(num) / float(den)
+        out["event_type"].append(et)
+        out["xi"].append(round(xi, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "xi": pa.array(out["xi"], pa.float64()),
+    })
+
+
+def q_cusum_squares(sf_dir: str):
+    """CUSUM-of-squares variance-stability scan (Brown-Durbin-Evans
+    shape) per type: S_t = sum_{s<=t} c_s^2; the statistic is
+    max_{t<H} |S_t/S_H - t/H| = max |H*S_t - t*S_H| / (H*S_H) — the
+    cross-multiplied numerator is an exact integer, so the argmax
+    position (first t attaining the max) is deterministic on both
+    engines; ONE mirrored division at the end."""
+    series, big_h = dense_hour_counts(sf_dir)
+    out = {"event_type": [], "stat": [], "at_pos": []}
+    for et in sorted(series):
+        c = series[et].astype(object)
+        c2 = np.cumsum(c * c)
+        s_h = int(c2[-1])
+        if s_h == 0 or big_h < 2:
+            out["event_type"].append(et)
+            out["stat"].append(0.0)
+            out["at_pos"].append(0)
+            continue
+        t = np.arange(1, big_h, dtype=object)
+        d = np.abs(big_h * c2[:-1] - t * s_h)
+        best = int(np.argmax(d))          # first max — matches SQL t ASC
+        out["event_type"].append(et)
+        out["stat"].append(round(float(int(d[best]))
+                                 / float(big_h * s_h), 6))
+        out["at_pos"].append(best + 1)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "at_pos": pa.array(out["at_pos"], pa.int64()),
+        "stat": pa.array(out["stat"], pa.float64()),
+    })
+
+
+def q_records_count(sf_dir: str):
+    """Upper-records test per type: the number of running-maximum
+    records in the hourly series (the first hour counts) and the
+    position of the last record — a classic distribution-free
+    trend/stationarity diagnostic (i.i.d. series have ~H_n records,
+    the n-th harmonic number).  Fully exact integers — no floats, so
+    the oracle row is exact at every scale."""
+    series, _big_h = dense_hour_counts(sf_dir)
+    out = {"event_type": [], "n_records": [], "last_record_pos": []}
+    for et in sorted(series):
+        c = series[et]
+        run = np.maximum.accumulate(c)
+        is_rec = np.concatenate([[True], c[1:] > run[:-1]])
+        out["event_type"].append(et)
+        out["n_records"].append(int(is_rec.sum()))
+        out["last_record_pos"].append(int(np.flatnonzero(is_rec)[-1]) + 1)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n_records": pa.array(out["n_records"], pa.int64()),
+        "last_record_pos": pa.array(out["last_record_pos"], pa.int64()),
+    })
+
+
+def q_buishand_range(sf_dir: str):
+    """Buishand's range homogeneity test per type: with rescaled
+    partial sums S*_t = C_t - (t/H)*S1 (S*_0 = S*_H = 0), the range
+    R = max S* - min S* and the statistic Q = (R/H-scaled...) — we
+    keep the H-scaled EXACT integer A_t = H*C_t - t*S1 (A_H = 0 is in
+    the scan, so max >= 0 >= min), R_scaled = max A - min A, and
+    Q = (R_scaled/H) / (sqrt(s^2) * sqrt(H)) with the sample variance
+    s^2 = (H*S2 - S1^2)/(H*(H-1)) — one mirrored float chain."""
+    series, big_h = dense_hour_counts(sf_dir)
+    out = {"event_type": [], "r_scaled": [], "q": []}
+    for et in sorted(series):
+        c = series[et].astype(object)
+        s1 = int(np.sum(c))
+        s2 = int(np.dot(c, c))
+        t = np.arange(1, big_h + 1, dtype=object)
+        a = big_h * np.cumsum(c) - t * s1
+        rh = int(max(a.max(), 0) - min(a.min(), 0))
+        var_num = big_h * s2 - s1 * s1
+        if var_num <= 0 or big_h < 2:
+            q = 0.0
+        else:
+            vs = float(var_num) / float(big_h * (big_h - 1))
+            q = (float(rh) / float(big_h)) \
+                / (math.sqrt(vs) * math.sqrt(float(big_h)))
+        out["event_type"].append(et)
+        out["r_scaled"].append(rh)
+        out["q"].append(round(q, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "r_scaled": pa.array(out["r_scaled"], pa.int64()),
+        "q": pa.array(out["q"], pa.float64()),
+    })

@@ -220,6 +220,9 @@ def test_mirror_covers_every_oracle(entry_mod):
         # round-3 wave 10 (pipelines/stats5.py)
         "geary_c", "dispersion_indices", "hoover_index",
         "variance_homogeneity",
+        # round-3 wave 11
+        "chatterjee_xi", "cusum_squares", "records_count",
+        "buishand_range",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

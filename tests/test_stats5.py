@@ -100,3 +100,68 @@ def test_variance_homogeneity_matches_bruteforce(ray_session, tmp_path):
     assert got["fmax"][0] == pytest.approx(mx / min(vs.values()), abs=1e-5)
     assert got["cochran_c"][0] == pytest.approx(
         mx / sum(vs.values()), abs=1e-6)
+
+
+def test_chatterjee_xi_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_chatterjee_xi
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_chatterjee_xi(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    for _, row in got.iterrows():
+        y = dense[row["event_type"]]
+        n = len(y)
+        r = np.array([(y <= yi).sum() for yi in y], np.int64)
+        l_ge = np.array([(y >= yi).sum() for yi in y], np.int64)
+        num = n * np.abs(np.diff(r)).sum()
+        den = 2 * (l_ge * (n - l_ge)).sum()
+        assert row["xi"] == pytest.approx(1.0 - num / den, abs=1e-6)
+
+
+def test_cusum_squares_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_cusum_squares
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_cusum_squares(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    for _, row in got.iterrows():
+        y = dense[row["event_type"]].astype(np.float64)
+        n = len(y)
+        c2 = np.cumsum(y * y)
+        dev = np.abs(c2[:-1] / c2[-1] - np.arange(1, n) / n)
+        assert row["stat"] == pytest.approx(dev.max(), abs=1e-6)
+        assert int(row["at_pos"]) == int(np.argmax(dev)) + 1
+
+
+def test_records_count_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_records_count
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_records_count(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    for _, row in got.iterrows():
+        y = dense[row["event_type"]]
+        best, n_rec, last = -1, 0, 0
+        for i, v in enumerate(y):
+            if v > best:
+                best, n_rec, last = int(v), n_rec + 1, i + 1
+        assert int(row["n_records"]) == n_rec
+        assert int(row["last_record_pos"]) == last
+
+
+def test_buishand_range_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_buishand_range
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_buishand_range(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    for _, row in got.iterrows():
+        y = dense[row["event_type"]].astype(np.float64)
+        n = len(y)
+        sstar = np.concatenate([[0.0],
+                                np.cumsum(y) - np.arange(1, n + 1)
+                                * y.mean()])
+        r = sstar.max() - sstar.min()
+        s = y.std(ddof=1)
+        assert row["q"] == pytest.approx(r / (s * math.sqrt(n)), abs=1e-5)
+        assert int(row["r_scaled"]) == pytest.approx(r * n, abs=0.5)
