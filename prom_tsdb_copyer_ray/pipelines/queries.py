@@ -14022,3 +14022,99 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Round-3 wave 12 (pipelines/stats5.py): distribution distances over the
+# cent-value census (merged-support cumulative identities).
+from .stats5 import q_emd_cents, q_energy_distance  # noqa: E402
+
+QUERIES.update({
+    "emd_cents": q_emd_cents,
+    "energy_distance": q_energy_distance,
+})
+
+ORACLE_SQL.update(
+    {
+        "emd_cents": _CENT_CENSUS_CTE + """
+            , tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tt
+                      FROM cs GROUP BY 1),
+            pairs AS (SELECT a.event_type AS ta, a.tt AS na,
+                             b.event_type AS tb, b.tt AS nb
+                      FROM tot a JOIN tot b
+                        ON a.event_type < b.event_type),
+            sup AS (SELECT p.ta, p.tb, p.na, p.nb, v.cv,
+                           COALESCE(ca.n, 0) AS an, COALESCE(cb.n, 0) AS bn
+                    FROM pairs p
+                    JOIN (SELECT DISTINCT cv FROM cs) v ON TRUE
+                    LEFT JOIN cs ca ON ca.event_type = p.ta
+                                   AND ca.cv = v.cv
+                    LEFT JOIN cs cb ON cb.event_type = p.tb
+                                   AND cb.cv = v.cv
+                    WHERE ca.n IS NOT NULL OR cb.n IS NOT NULL),
+            cums AS (SELECT ta, tb, na, nb, cv,
+                            sum(an) OVER w AS cca, sum(bn) OVER w AS ccb,
+                            lead(cv) OVER w AS nxt
+                     FROM sup
+                     WINDOW w AS (PARTITION BY ta, tb ORDER BY cv)),
+            agg AS (SELECT ta, tb, na, nb,
+                           CAST(sum(CAST(abs(nb * cca - na * ccb)
+                                         AS HUGEINT) * (nxt - cv))
+                                AS HUGEINT) AS num
+                    FROM cums WHERE nxt IS NOT NULL GROUP BY 1, 2, 3, 4)
+            SELECT p.ta AS type_a, p.tb AS type_b,
+                   round(CASE WHEN p.na * p.nb = 0 THEN 0.0
+                              ELSE CAST(COALESCE(agg.num, 0) AS DOUBLE)
+                                   / CAST(p.na * p.nb AS DOUBLE)
+                         END, 6) AS w1_cents
+            FROM pairs p LEFT JOIN agg ON agg.ta = p.ta
+                                      AND agg.tb = p.tb
+            ORDER BY 1, 2
+        """,
+        "energy_distance": _CENT_CENSUS_CTE + """
+            , tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tt
+                      FROM cs GROUP BY 1),
+            pairs AS (SELECT a.event_type AS ta, a.tt AS na,
+                             b.event_type AS tb, b.tt AS nb
+                      FROM tot a JOIN tot b
+                        ON a.event_type < b.event_type),
+            sup AS (SELECT p.ta, p.tb, p.na, p.nb, v.cv,
+                           COALESCE(ca.n, 0) AS an, COALESCE(cb.n, 0) AS bn
+                    FROM pairs p
+                    JOIN (SELECT DISTINCT cv FROM cs) v ON TRUE
+                    LEFT JOIN cs ca ON ca.event_type = p.ta
+                                   AND ca.cv = v.cv
+                    LEFT JOIN cs cb ON cb.event_type = p.tb
+                                   AND cb.cv = v.cv
+                    WHERE ca.n IS NOT NULL OR cb.n IS NOT NULL),
+            cums AS (SELECT ta, tb, na, nb, cv, an, bn,
+                            sum(an) OVER w - an AS walt,
+                            sum(bn) OVER w - bn AS wblt,
+                            sum(an * cv) OVER w - an * cv AS salt,
+                            sum(bn * cv) OVER w - bn * cv AS sblt
+                     FROM sup
+                     WINDOW w AS (PARTITION BY ta, tb ORDER BY cv)),
+            agg AS (SELECT ta, tb, na, nb,
+                           CAST(sum(CAST(bn AS HUGEINT)
+                                    * (cv * walt - salt)
+                                    + CAST(an AS HUGEINT)
+                                      * (cv * wblt - sblt))
+                                AS HUGEINT) AS gab,
+                           CAST(sum(CAST(an AS HUGEINT)
+                                    * (cv * walt - salt))
+                                AS HUGEINT) AS gaa,
+                           CAST(sum(CAST(bn AS HUGEINT)
+                                    * (cv * wblt - sblt))
+                                AS HUGEINT) AS gbb
+                    FROM cums GROUP BY 1, 2, 3, 4)
+            SELECT ta AS type_a, tb AS type_b,
+                   round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+                              ELSE CAST(2 * (gab * na * nb
+                                        - gaa * CAST(nb AS HUGEINT) * nb
+                                        - gbb * CAST(na AS HUGEINT) * na)
+                                        AS DOUBLE)
+                                   / CAST(CAST(na AS HUGEINT) * na
+                                          * nb * nb AS DOUBLE)
+                         END, 6) AS energy_cents
+            FROM agg ORDER BY 1, 2
+        """,
+    }
+)

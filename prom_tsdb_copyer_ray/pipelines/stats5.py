@@ -290,3 +290,112 @@ def q_buishand_range(sf_dir: str):
         "r_scaled": pa.array(out["r_scaled"], pa.int64()),
         "q": pa.array(out["q"], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 12: distribution distances over the cent-value census
+# ---------------------------------------------------------------------------
+
+def _cent_profiles(sf_dir: str):
+    """Per-type sorted cent-value census {type: (values, counts)} — the
+    cliffs_delta substrate (one (type, cv) exchange, census-bounded)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cv = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "cv": pa.array(cv),
+            "n": pa.array(np.ones(len(cv), np.int64)),
+        })
+        g = t.group_by(["event_type", "cv"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "cv", "n"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "cv"], [("n", "sum")], num_shards=8,
+    ).to_pandas()
+    prof = {}
+    for et, grp in census.groupby("event_type", sort=True):
+        g = grp.sort_values("cv")
+        prof[str(et)] = (g["cv"].to_numpy(np.int64),
+                         g["n"].to_numpy(np.int64))
+    return prof
+
+
+def _merged_support(av, an, bv, bn):
+    """Union support (v, a_n, b_n) of two sorted censuses."""
+    mv = np.union1d(av, bv)
+    a_full = np.zeros(len(mv), np.int64)
+    b_full = np.zeros(len(mv), np.int64)
+    a_full[np.searchsorted(mv, av)] = an
+    b_full[np.searchsorted(mv, bv)] = bn
+    return mv, a_full, b_full
+
+
+def q_emd_cents(sf_dir: str):
+    """1-Wasserstein (earth-mover) distance between every type pair's
+    cent-value distribution: W1 = integral |F_A - F_B| dv =
+    sum_i |n_B*CA_i - n_A*CB_i| * (v_{i+1} - v_i) / (n_A*n_B) over the
+    merged support with inclusive cumulative counts CA/CB — exact
+    integers to one mirrored division (result in cents)."""
+    prof = _cent_profiles(sf_dir)
+    types = sorted(prof)
+    out = {"type_a": [], "type_b": [], "w1_cents": []}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            mv, a_n, b_n = _merged_support(*prof[ta], *prof[tb])
+            na, nb = int(a_n.sum()), int(b_n.sum())
+            ca = np.cumsum(a_n)
+            cb = np.cumsum(b_n)
+            gap = np.diff(mv)
+            num = int(np.dot(np.abs(nb * ca[:-1] - na * cb[:-1]), gap))
+            w1 = 0.0 if na * nb == 0 else float(num) / float(na * nb)
+            out["type_a"].append(ta)
+            out["type_b"].append(tb)
+            out["w1_cents"].append(round(w1, 6))
+    return pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "w1_cents": pa.array(out["w1_cents"], pa.float64()),
+    })
+
+
+def q_energy_distance(sf_dir: str):
+    """Szekely's energy distance between every type pair's cent-value
+    distribution (V-statistic convention): E = 2*E|X-Y| - E|X-X'| -
+    E|Y-Y'|.  Each pairwise-|difference| sum is computed in O(support)
+    from the merged census via strictly-below cumulative (count, sum)
+    pairs: sum_{x,y}|x-y| = sum_rows [b_n*(v*WA<v - SA<v) +
+    a_n*(v*WB<v - SB<v)]; the three sums combine over the common
+    denominator na^2*nb^2 as exact (big)integers to ONE mirrored
+    division (result in cents)."""
+    prof = _cent_profiles(sf_dir)
+    types = sorted(prof)
+    out = {"type_a": [], "type_b": [], "energy_cents": []}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            mv, a_n, b_n = _merged_support(*prof[ta], *prof[tb])
+            na, nb = int(a_n.sum()), int(b_n.sum())
+            wa_lt = np.cumsum(a_n) - a_n
+            wb_lt = np.cumsum(b_n) - b_n
+            sa_lt = np.cumsum(mv * a_n) - mv * a_n
+            sb_lt = np.cumsum(mv * b_n) - mv * b_n
+            ta_term = mv * wa_lt - sa_lt
+            tb_term = mv * wb_lt - sb_lt
+            gab = int(np.dot(b_n, ta_term)) + int(np.dot(a_n, tb_term))
+            gaa = int(np.dot(a_n, ta_term))
+            gbb = int(np.dot(b_n, tb_term))
+            den = na * na * nb * nb
+            num = 2 * (gab * na * nb - gaa * nb * nb - gbb * na * na)
+            e = 0.0 if den == 0 else float(num) / float(den)
+            out["type_a"].append(ta)
+            out["type_b"].append(tb)
+            out["energy_cents"].append(round(e, 6))
+    return pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "energy_cents": pa.array(out["energy_cents"], pa.float64()),
+    })

@@ -223,6 +223,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         # round-3 wave 11
         "chatterjee_xi", "cusum_squares", "records_count",
         "buishand_range",
+        # round-3 wave 12
+        "emd_cents", "energy_distance",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

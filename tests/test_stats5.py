@@ -165,3 +165,37 @@ def test_buishand_range_matches_bruteforce(ray_session, tmp_path):
         s = y.std(ddof=1)
         assert row["q"] == pytest.approx(r / (s * math.sqrt(n)), abs=1e-5)
         assert int(row["r_scaled"]) == pytest.approx(r * n, abs=0.5)
+
+
+def test_emd_and_energy_match_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import (
+        q_emd_cents,
+        q_energy_distance,
+    )
+
+    et, _, vals, _ = _valued_events(tmp_path, seed=11, n=800)
+    cents = np.rint(vals * 100.0).astype(np.int64)
+    groups = {ty: np.sort(cents[et == ty]) for ty in np.unique(et)}
+
+    emd = q_emd_cents(str(tmp_path)).to_pandas()
+    eng = q_energy_distance(str(tmp_path)).to_pandas()
+    assert len(emd) == len(eng) == 3
+
+    for _, row in emd.iterrows():
+        a = groups[row["type_a"]].astype(np.float64)
+        b = groups[row["type_b"]].astype(np.float64)
+        # brute W1 via equal-mass quantile coupling on the merged grid
+        grid = np.unique(np.concatenate([a, b]))
+        fa = np.searchsorted(a, grid, side="right") / len(a)
+        fb = np.searchsorted(b, grid, side="right") / len(b)
+        ref = float(np.sum(np.abs(fa[:-1] - fb[:-1]) * np.diff(grid)))
+        assert row["w1_cents"] == pytest.approx(ref, abs=1e-5)
+
+    for _, row in eng.iterrows():
+        a = groups[row["type_a"]].astype(np.float64)
+        b = groups[row["type_b"]].astype(np.float64)
+        mab = np.abs(a[:, None] - b[None, :]).mean()
+        maa = np.abs(a[:, None] - a[None, :]).mean()
+        mbb = np.abs(b[:, None] - b[None, :]).mean()
+        assert row["energy_cents"] == pytest.approx(
+            2 * mab - maa - mbb, abs=1e-5)
