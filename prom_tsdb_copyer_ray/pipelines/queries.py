@@ -14118,3 +14118,119 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Round-3 wave 13 (pipelines/stats5.py): blocked / grouped variance
+# homogeneity tests (Quade, mean-centered Levene, Bartlett).
+from .stats5 import q_bartlett, q_levene_mean, q_quade_test  # noqa: E402
+
+QUERIES.update({
+    "quade_test": q_quade_test,
+    "levene_mean": q_levene_mean,
+    "bartlett": q_bartlett,
+})
+
+ORACLE_SQL.update(
+    {
+        "quade_test": _DENSE_GRID_CTE + """
+            , rk AS (SELECT hr, event_type,
+                            2 * (rank() OVER (PARTITION BY hr
+                                              ORDER BY c) - 1)
+                            + count(*) OVER (PARTITION BY hr, c) + 1
+                                AS r2
+                     FROM d),
+            br AS (SELECT hr, max(c) - min(c) AS rng FROM d GROUP BY 1),
+            qr AS (SELECT hr,
+                          2 * (rank() OVER (ORDER BY rng) - 1)
+                          + count(*) OVER (PARTITION BY rng) + 1 AS q2
+                   FROM br),
+            tk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT)
+                       AS k FROM d),
+            cells AS (SELECT rk.event_type,
+                             CAST(qr.q2 * (rk.r2 - (tk.k + 1))
+                                  AS BIGINT) AS s2
+                      FROM rk JOIN qr USING (hr) CROSS JOIN tk),
+            sj AS (SELECT event_type, CAST(sum(s2) AS BIGINT) AS sjv
+                   FROM cells GROUP BY 1),
+            ag AS (SELECT CAST(sum(CAST(sjv AS HUGEINT) * sjv)
+                               AS HUGEINT) AS sum_sj2 FROM sj),
+            a2 AS (SELECT CAST(sum(CAST(s2 AS HUGEINT) * s2)
+                               AS HUGEINT) AS a2s
+                   FROM cells)
+            SELECT tk.k AS k_types, CAST(hh.hh AS BIGINT) AS n_blocks,
+                   round(CASE WHEN hh.hh * a2.a2s - ag.sum_sj2 = 0
+                              THEN 0.0
+                              ELSE CAST((hh.hh - 1) * ag.sum_sj2
+                                        AS DOUBLE)
+                                   / CAST(hh.hh * a2.a2s - ag.sum_sj2
+                                          AS DOUBLE) END, 6) AS t_stat
+            FROM ag CROSS JOIN a2 CROSS JOIN hh CROSS JOIN tk
+        """,
+        "levene_mean": _DENSE_GRID_CTE + """
+            , ag AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS s1
+                     FROM d GROUP BY 1),
+            z AS (SELECT d.event_type,
+                         CAST(abs(hh.hh * d.c - ag.s1) AS BIGINT) AS zz
+                  FROM d JOIN ag USING (event_type) CROSS JOIN hh),
+            uj AS (SELECT event_type, CAST(sum(zz) AS BIGINT) AS u
+                   FROM z GROUP BY 1),
+            n2 AS (SELECT CAST(sum((CAST(hh.hh AS HUGEINT) * z.zz
+                                    - uj.u)
+                                   * (CAST(hh.hh AS HUGEINT) * z.zz
+                                      - uj.u)) AS HUGEINT) AS num2
+                   FROM z JOIN uj USING (event_type) CROSS JOIN hh),
+            n1 AS (SELECT CAST(sum((tk.k * CAST(uj.u AS HUGEINT)
+                                    - tu.u)
+                                   * (tk.k * CAST(uj.u AS HUGEINT)
+                                      - tu.u)) AS HUGEINT) AS num1,
+                          max(tk.k) AS k
+                   FROM uj
+                   CROSS JOIN (SELECT CAST(sum(u) AS HUGEINT) AS u
+                               FROM uj) tu
+                   CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS k
+                               FROM uj) tk)
+            SELECT n1.k AS k_groups,
+                   CAST(n1.k * hh.hh AS BIGINT) AS n,
+                   round(CASE WHEN (n1.k - 1) * n1.k * n1.k * n2.num2
+                                   = 0 THEN 0.0
+                              ELSE CAST((n1.k * hh.hh - n1.k) * hh.hh
+                                        * n1.num1 AS DOUBLE)
+                                   / CAST((n1.k - 1) * n1.k * n1.k
+                                          * n2.num2 AS DOUBLE)
+                         END, 6) AS w_stat
+            FROM n1 CROSS JOIN n2 CROSS JOIN hh
+        """,
+        "bartlett": _DENSE_GRID_CTE + """
+            , ag AS (SELECT event_type,
+                            CAST(hh.hh * sum(c * c) - sum(c) * sum(c)
+                                 AS BIGINT) AS nu
+                     FROM d CROSS JOIN hh GROUP BY event_type, hh.hh),
+            st AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                          min(nu) AS mn,
+                          CAST(sum(nu) AS BIGINT) AS tot,
+                          CAST(sum(floor(ln(CAST(nu AS DOUBLE)
+                                            / CAST(hh.hh * (hh.hh - 1)
+                                                   AS DOUBLE)) * 1e6))
+                               FILTER (WHERE nu > 0) AS BIGINT) AS sfl,
+                          CAST(max(hh.hh) AS BIGINT) AS h
+                   FROM ag CROSS JOIN hh)
+            SELECT st.k AS k_groups, st.h AS n_per_group,
+                   round(CASE WHEN st.mn <= 0 OR st.h < 2 OR st.k < 2
+                              THEN 0.0
+                              ELSE (CAST((st.h - 1)
+                                    * (st.k
+                                       * floor(ln(
+                                           CAST(greatest(st.tot, 1)
+                                                AS DOUBLE)
+                                           / CAST(st.k * st.h
+                                                  * (st.h - 1)
+                                                  AS DOUBLE)) * 1e6)
+                                       - st.sfl) AS DOUBLE) / 1e6)
+                                   * CAST(3 * st.k * (st.h - 1)
+                                          AS DOUBLE)
+                                   / CAST(3 * st.k * (st.h - 1)
+                                          + st.k + 1 AS DOUBLE)
+                         END, 6) AS chi2
+            FROM st
+        """,
+    }
+)

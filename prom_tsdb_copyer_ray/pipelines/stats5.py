@@ -399,3 +399,122 @@ def q_energy_distance(sf_dir: str):
         "type_b": pa.array(out["type_b"], pa.string()),
         "energy_cents": pa.array(out["energy_cents"], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 13: blocked / grouped homogeneity tests (dense hourly grid)
+# ---------------------------------------------------------------------------
+
+def q_quade_test(sf_dir: str):
+    """Quade's range-weighted rank test (the Friedman sibling that
+    weights informative blocks): blocks = the H dense-grid hours,
+    treatments = the k types.  Within-block doubled midranks r2_bj
+    (the friedman_test machinery) and doubled midrank weights q2_b of
+    the block RANGES (max - min count per hour) give the exact-integer
+    cells S2_bj = q2_b * (r2_bj - (k+1)); Conover's
+    T = (b-1) * sum_j S_j^2 / (b * sum_bj S_bj^2 - sum_j S_j^2) is
+    scale-invariant, so the doubled units cancel and the statistic is
+    exact integers to ONE mirrored division."""
+    series, big_h = dense_hour_counts(sf_dir)
+    types = sorted(series)
+    k = len(types)
+    mat = np.stack([series[t] for t in types])      # k x H
+    order = np.argsort(mat, axis=0, kind="stable")
+    srt = np.take_along_axis(mat, order, axis=0)
+    below = np.zeros((k, big_h), np.int64)
+    peers = np.zeros((k, big_h), np.int64)
+    for j in range(k):
+        below[j] = (srt < srt[j][None, :]).sum(axis=0)
+        peers[j] = (srt == srt[j][None, :]).sum(axis=0)
+    r2 = np.empty((k, big_h), np.int64)
+    np.put_along_axis(r2, order, 2 * below + peers + 1, axis=0)
+
+    rng = mat.max(axis=0) - mat.min(axis=0)         # block ranges, exact
+    vals, inv, counts = np.unique(rng, return_inverse=True,
+                                  return_counts=True)
+    below_b = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    q2 = (2 * below_b + counts + 1)[inv].astype(np.int64)
+
+    s2 = q2[None, :] * (r2 - (k + 1))               # k x H exact cells
+    s_j = s2.sum(axis=1)
+    sum_sj2 = sum(int(x) * int(x) for x in s_j)
+    a2s = int((s2.astype(object) ** 2).sum())
+    den = big_h * a2s - sum_sj2
+    t_stat = 0.0 if den == 0 else \
+        float((big_h - 1) * sum_sj2) / float(den)
+    return pa.table({
+        "k_types": pa.array([k], pa.int64()),
+        "n_blocks": pa.array([big_h], pa.int64()),
+        "t_stat": pa.array([round(t_stat, 6)], pa.float64()),
+    })
+
+
+def q_levene_mean(sf_dir: str):
+    """Classical (mean-centered) Levene variance-homogeneity test
+    across the k types' hourly series — the |x - mean| counterpart of
+    brown_forsythe's |x - median|: the dense grid gives every group
+    n = H, so with H-scaled exact deviations Z_ij = |H*c_ij - S1_j|
+    every moment is an exact (big)integer and the statistic reduces to
+    W = (N-k)*H*NUM1 / ((k-1)*k^2*NUM2) with
+    NUM1 = sum_j (k*U_j - U)^2, NUM2 = sum_ij (H*Z_ij - U_j)^2 —
+    ONE mirrored division (SQL side in HUGEINT)."""
+    series, big_h = dense_hour_counts(sf_dir)
+    types = sorted(series)
+    k = len(types)
+    n_tot = k * big_h
+    u_js = []
+    num2 = 0
+    for et in types:
+        c = series[et]
+        s1 = int(c.sum())
+        z = np.abs(big_h * c.astype(object) - s1)
+        u_j = int(z.sum())
+        u_js.append(u_j)
+        num2 += int(((big_h * z - u_j) ** 2).sum())
+    u = sum(u_js)
+    num1 = sum((k * uj - u) ** 2 for uj in u_js)
+    den = (k - 1) * k * k * num2
+    w = 0.0 if den == 0 else \
+        float((n_tot - k) * big_h * num1) / float(den)
+    return pa.table({
+        "k_groups": pa.array([k], pa.int64()),
+        "n": pa.array([n_tot], pa.int64()),
+        "w_stat": pa.array([round(w, 6)], pa.float64()),
+    })
+
+
+def q_bartlett(sf_dir: str):
+    """Bartlett's variance-homogeneity test across the k types' hourly
+    series (equal n = H): with exact integer variance numerators
+    nu_j = H*S2_j - S1_j^2 and s_j^2 = nu_j/(H*(H-1)) as ONE mirrored
+    double, the statistic is chi2 = (H-1)*(k*fl(sp^2) - sum_j
+    fl(s_j^2))/1e6 / C with micro-floored logs fl(x) = floor(ln(x)*1e6)
+    and the exact rational correction C = (3k(H-1)+k+1)/(3k(H-1));
+    degenerate (any nu_j <= 0) emits 0.0 on both engines."""
+    series, big_h = dense_hour_counts(sf_dir)
+    types = sorted(series)
+    k = len(types)
+    nus = []
+    for et in types:
+        c = series[et]
+        s1 = int(c.sum())
+        s2 = int(np.dot(c, c))
+        nus.append(big_h * s2 - s1 * s1)
+    if min(nus) <= 0 or big_h < 2 or k < 2:
+        chi2 = 0.0
+    else:
+        den_v = float(big_h * (big_h - 1))
+        fls = [math.floor(math.log(float(nu) / den_v) * 1e6)
+               for nu in nus]
+        flp = math.floor(
+            math.log(float(sum(nus)) / float(k * big_h * (big_h - 1)))
+            * 1e6)
+        num_i = (big_h - 1) * (k * flp - sum(fls))
+        chi2 = (float(num_i) / 1e6) \
+            * float(3 * k * (big_h - 1)) \
+            / float(3 * k * (big_h - 1) + k + 1)
+    return pa.table({
+        "k_groups": pa.array([k], pa.int64()),
+        "n_per_group": pa.array([big_h], pa.int64()),
+        "chi2": pa.array([round(chi2, 6)], pa.float64()),
+    })

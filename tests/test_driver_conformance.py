@@ -225,6 +225,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         "buishand_range",
         # round-3 wave 12
         "emd_cents", "energy_distance",
+        # round-3 wave 13
+        "quade_test", "levene_mean", "bartlett",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

@@ -199,3 +199,97 @@ def test_emd_and_energy_match_bruteforce(ray_session, tmp_path):
         mbb = np.abs(b[:, None] - b[None, :]).mean()
         assert row["energy_cents"] == pytest.approx(
             2 * mab - maa - mbb, abs=1e-5)
+
+
+def _midrank(a):
+    """Average (mid) ranks, 1-based, ties averaged."""
+    a = np.asarray(a, np.float64)
+    order = np.argsort(a, kind="stable")
+    ranks = np.empty(len(a), np.float64)
+    i = 0
+    srt = a[order]
+    while i < len(a):
+        j = i
+        while j + 1 < len(a) and srt[j + 1] == srt[i]:
+            j += 1
+        ranks[order[i:j + 1]] = (i + j) / 2.0 + 1.0
+        i = j + 1
+    return ranks
+
+
+def test_quade_test_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_quade_test
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_quade_test(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    types = sorted(dense)
+    mat = np.stack([dense[t] for t in types]).astype(np.float64)
+    k, b = mat.shape
+    r = np.stack([_midrank(mat[:, j]) for j in range(b)], axis=1)
+    q = _midrank(mat.max(axis=0) - mat.min(axis=0))
+    s = q[None, :] * (r - (k + 1) / 2.0)
+    sj = s.sum(axis=1)
+    a_stat = (s ** 2).sum()
+    b_stat = (sj ** 2).sum() / b
+    ref = (b - 1) * b_stat / (a_stat - b_stat)
+    assert int(got["k_types"][0]) == k
+    assert int(got["n_blocks"][0]) == b
+    assert got["t_stat"][0] == pytest.approx(ref, abs=1e-5)
+
+
+def test_levene_mean_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_levene_mean
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_levene_mean(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    zs = {t: np.abs(c - c.mean()) for t, c in
+          ((t, dense[t].astype(np.float64)) for t in sorted(dense))}
+    k = len(zs)
+    n = sum(len(z) for z in zs.values())
+    zbar = np.concatenate(list(zs.values())).mean()
+    between = sum(len(z) * (z.mean() - zbar) ** 2 for z in zs.values())
+    within = sum(((z - z.mean()) ** 2).sum() for z in zs.values())
+    ref = ((n - k) / (k - 1)) * between / within
+    assert got["w_stat"][0] == pytest.approx(ref, abs=1e-5)
+
+
+def test_bartlett_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_bartlett
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_bartlett(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    vs = [np.var(dense[t].astype(np.float64), ddof=1)
+          for t in sorted(dense)]
+    k = len(vs)
+    h = len(next(iter(dense.values())))
+    n = k * h
+    sp2 = sum((h - 1) * v for v in vs) / (n - k)
+    num = (n - k) * math.log(sp2) - sum((h - 1) * math.log(v)
+                                        for v in vs)
+    c = 1 + (k / (h - 1) - 1 / (n - k)) / (3 * (k - 1))
+    # the engine micro-floors each ln: allow a couple of micro-nats * H
+    assert got["chi2"][0] == pytest.approx(num / c, abs=2e-3)
+
+
+def test_bartlett_degenerate_zero_variance(ray_session, tmp_path):
+    """A constant series (zero variance) must emit 0.0, not crash."""
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_bartlett
+
+    n = 240
+    hrs = np.arange(n) % 120
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array((hrs * 3_600_000).astype(np.int64),
+                       pa.timestamp("ms")),
+        "user_id": pa.array(np.zeros(n, np.int64)),
+        "event_type": pa.array(["flat"] * (n // 2) + ["vary"] * (n // 2),
+                               pa.string()),
+        "value": pa.array(np.ones(n, np.float64)),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    got = q_bartlett(str(tmp_path)).to_pandas()
+    assert got["chi2"][0] == 0.0
