@@ -14234,3 +14234,112 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Round-3 wave 14 (pipelines/stats5.py): association / agreement /
+# concordance (Goodman-Kruskal lambda, Scott pi + Gwet AC1, Lin CCC).
+from .stats5 import q_agreement_coefs, q_gk_lambda, q_lins_ccc  # noqa: E402
+
+QUERIES.update({
+    "gk_lambda": q_gk_lambda,
+    "agreement_coefs": q_agreement_coefs,
+    "lins_ccc": q_lins_ccc,
+})
+
+ORACLE_SQL.update(
+    {
+        "gk_lambda": """
+            WITH s AS (SELECT event_type,
+                              ((epoch_ms(ts) // 86400000) + 3) % 7
+                                  AS dow,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+            rmax AS (SELECT event_type, max(n) AS m FROM s GROUP BY 1),
+            cmax AS (SELECT dow, max(n) AS m FROM s GROUP BY 1),
+            rtot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS t
+                     FROM s GROUP BY 1),
+            ctot AS (SELECT dow, CAST(sum(n) AS BIGINT) AS t
+                     FROM s GROUP BY 1),
+            agg AS (SELECT
+                      (SELECT CAST(sum(n) AS BIGINT) FROM s) AS n,
+                      (SELECT CAST(sum(m) AS BIGINT) FROM rmax) AS srm,
+                      (SELECT CAST(sum(m) AS BIGINT) FROM cmax) AS scm,
+                      (SELECT CAST(max(t) AS BIGINT) FROM ctot) AS mct,
+                      (SELECT CAST(max(t) AS BIGINT) FROM rtot) AS mrt)
+            SELECT n,
+                   round(CASE WHEN n = mct THEN 0.0
+                              ELSE CAST(srm - mct AS DOUBLE)
+                                   / CAST(n - mct AS DOUBLE) END, 6)
+                       AS lambda_c_given_r,
+                   round(CASE WHEN n = mrt THEN 0.0
+                              ELSE CAST(scm - mrt AS DOUBLE)
+                                   / CAST(n - mrt AS DOUBLE) END, 6)
+                       AS lambda_r_given_c,
+                   round(CASE WHEN 2 * n - mct - mrt = 0 THEN 0.0
+                              ELSE CAST(srm + scm - mct - mrt AS DOUBLE)
+                                   / CAST(2 * n - mct - mrt AS DOUBLE)
+                         END, 6) AS lambda_sym
+            FROM agg
+        """,
+        "agreement_coefs": _DENSE_GRID_CTE + """
+            , tots AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS s1
+                       FROM d GROUP BY 1),
+            bits AS (SELECT d.event_type, d.hr,
+                            CASE WHEN d.c * hh.hh > t.s1
+                                 THEN 1 ELSE 0 END AS b
+                     FROM d JOIN tots t USING (event_type) CROSS JOIN hh),
+            p AS (SELECT x.event_type AS ta, y.event_type AS tb,
+                         CAST(sum(CASE WHEN x.b = y.b THEN 1 ELSE 0 END)
+                              AS HUGEINT) AS agree,
+                         CAST(sum(x.b) + sum(y.b) AS HUGEINT) AS q1
+                  FROM bits x JOIN bits y ON y.hr = x.hr
+                                         AND x.event_type < y.event_type
+                  GROUP BY 1, 2)
+            SELECT ta AS type_a, tb AS type_b,
+                   round(CASE WHEN 4 * hh.hh * hh.hh - q1 * q1
+                                   - (2 * hh.hh - q1) * (2 * hh.hh - q1)
+                                   = 0 THEN 0.0
+                              ELSE CAST(4 * hh.hh * agree - q1 * q1
+                                        - (2 * hh.hh - q1)
+                                          * (2 * hh.hh - q1) AS DOUBLE)
+                                   / CAST(4 * hh.hh * hh.hh - q1 * q1
+                                          - (2 * hh.hh - q1)
+                                            * (2 * hh.hh - q1)
+                                          AS DOUBLE) END, 6) AS scott_pi,
+                   round(CASE WHEN 4 * hh.hh * hh.hh
+                                   - 2 * q1 * (2 * hh.hh - q1) = 0
+                              THEN 0.0
+                              ELSE CAST(4 * hh.hh * agree
+                                        - 2 * q1 * (2 * hh.hh - q1)
+                                        AS DOUBLE)
+                                   / CAST(4 * hh.hh * hh.hh
+                                          - 2 * q1 * (2 * hh.hh - q1)
+                                          AS DOUBLE) END, 6) AS gwet_ac1
+            FROM p CROSS JOIN hh ORDER BY 1, 2
+        """,
+        "lins_ccc": _DENSE_GRID_CTE + """
+            , p AS (SELECT x.event_type AS ta, y.event_type AS tb,
+                           CAST(sum(CAST(x.c AS HUGEINT) * y.c)
+                                AS HUGEINT) AS sxy,
+                           CAST(sum(CAST(x.c AS HUGEINT) * x.c)
+                                AS HUGEINT) AS sxx,
+                           CAST(sum(CAST(y.c AS HUGEINT) * y.c)
+                                AS HUGEINT) AS syy,
+                           CAST(sum(x.c) AS HUGEINT) AS sx,
+                           CAST(sum(y.c) AS HUGEINT) AS sy
+                    FROM d x JOIN d y ON y.hr = x.hr
+                                     AND x.event_type < y.event_type
+                    GROUP BY 1, 2)
+            SELECT ta AS type_a, tb AS type_b,
+                   round(CASE WHEN hh.hh * sxx - sx * sx
+                                   + hh.hh * syy - sy * sy
+                                   + (sx - sy) * (sx - sy) = 0 THEN 0.0
+                              ELSE CAST(2 * (hh.hh * sxy - sx * sy)
+                                        AS DOUBLE)
+                                   / CAST(hh.hh * sxx - sx * sx
+                                          + hh.hh * syy - sy * sy
+                                          + (sx - sy) * (sx - sy)
+                                          AS DOUBLE) END, 6) AS ccc
+            FROM p CROSS JOIN hh ORDER BY 1, 2
+        """,
+    }
+)

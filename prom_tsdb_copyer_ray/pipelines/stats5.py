@@ -518,3 +518,135 @@ def q_bartlett(sf_dir: str):
         "n_per_group": pa.array([big_h], pa.int64()),
         "chi2": pa.array([round(chi2, 6)], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 14: association / agreement / concordance
+# ---------------------------------------------------------------------------
+
+def q_gk_lambda(sf_dir: str):
+    """Goodman-Kruskal lambda — proportional-reduction-in-error
+    association between event type and day-of-week (the
+    mantel_haenszel epoch-day calendar convention, dow =
+    (epoch_day + 3) % 7): lambda_{c|r} = (sum_r max_c n_rc - max_c
+    n_+c) / (N - max_c n_+c), the transposed lambda_{r|c}, and the
+    symmetric blend over the pooled numerators.  One (type, dow)
+    census exchange; all-exact integers to three mirrored divisions
+    (max over exact counts is deterministic)."""
+    from ..windows import ts_to_ms
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        dow = ((tms // 86_400_000) + 3) % 7
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "dow": pa.array(dow.astype(np.int64)),
+            "n": pa.array(np.ones(len(dow), np.int64)),
+        })
+        g = t.group_by(["event_type", "dow"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "dow", "n"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "dow"], [("n", "sum")], num_shards=4,
+    ).to_pandas()
+    pivot = census.pivot_table(index="event_type", columns="dow",
+                               values="n", fill_value=0,
+                               aggfunc="sum").to_numpy(np.int64)
+    n = int(pivot.sum())
+    sum_row_max = int(pivot.max(axis=1).sum())
+    sum_col_max = int(pivot.max(axis=0).sum())
+    max_col_tot = int(pivot.sum(axis=0).max())
+    max_row_tot = int(pivot.sum(axis=1).max())
+    l_cr = (0.0 if n == max_col_tot
+            else float(sum_row_max - max_col_tot)
+            / float(n - max_col_tot))
+    l_rc = (0.0 if n == max_row_tot
+            else float(sum_col_max - max_row_tot)
+            / float(n - max_row_tot))
+    den_s = 2 * n - max_col_tot - max_row_tot
+    l_sym = (0.0 if den_s == 0
+             else float(sum_row_max + sum_col_max
+                        - max_col_tot - max_row_tot) / float(den_s))
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "lambda_c_given_r": pa.array([round(l_cr, 6)], pa.float64()),
+        "lambda_r_given_c": pa.array([round(l_rc, 6)], pa.float64()),
+        "lambda_sym": pa.array([round(l_sym, 6)], pa.float64()),
+    })
+
+
+def q_agreement_coefs(sf_dir: str):
+    """Scott's pi and Gwet's AC1 chance-corrected agreement between
+    every type pair's mean-binarized hourly indicator (the cohen_kappa
+    design, bit_t = 1 iff c_t*H > S1) — the two standard alternatives
+    to kappa under marginal imbalance.  With pooled marginal
+    2H*pi_bar = a1 + b1, both reduce over the common denominator 4H^2
+    to exact integers and ONE mirrored division each:
+    pi  = (4H*agree - q1^2 - q0^2) / (4H^2 - q1^2 - q0^2),
+    AC1 = (4H*agree - 2*q1*q0) / (4H^2 - 2*q1*q0)
+    with q1 = a1 + b1, q0 = 2H - q1."""
+    series, big_h = dense_hour_counts(sf_dir)
+    bits = {}
+    for et, c in series.items():
+        s1 = int(c.sum())
+        bits[et] = ((c * big_h) > s1).astype(np.int64)
+    types = sorted(bits)
+    out = {"type_a": [], "type_b": [], "scott_pi": [], "gwet_ac1": []}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            x, y = bits[ta], bits[tb]
+            agree = int(np.count_nonzero(x == y))
+            q1 = int(x.sum()) + int(y.sum())
+            q0 = 2 * big_h - q1
+            den_pi = 4 * big_h * big_h - q1 * q1 - q0 * q0
+            num_pi = 4 * big_h * agree - q1 * q1 - q0 * q0
+            den_ac = 4 * big_h * big_h - 2 * q1 * q0
+            num_ac = 4 * big_h * agree - 2 * q1 * q0
+            out["type_a"].append(ta)
+            out["type_b"].append(tb)
+            out["scott_pi"].append(
+                0.0 if den_pi == 0
+                else round(float(num_pi) / float(den_pi), 6))
+            out["gwet_ac1"].append(
+                0.0 if den_ac == 0
+                else round(float(num_ac) / float(den_ac), 6))
+    return pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "scott_pi": pa.array(out["scott_pi"], pa.float64()),
+        "gwet_ac1": pa.array(out["gwet_ac1"], pa.float64()),
+    })
+
+
+def q_lins_ccc(sf_dir: str):
+    """Lin's concordance correlation coefficient between every type
+    pair's aligned hourly series — agreement with the 45-degree line,
+    not just linearity: the H^2 denominators of covariance, variances
+    and squared mean gap all cancel, leaving
+    CCC = 2*(H*Sxy - Sx*Sy) / (H*Sxx - Sx^2 + H*Syy - Sy^2 +
+    (Sx - Sy)^2) — exact integers to ONE mirrored division."""
+    series, big_h = dense_hour_counts(sf_dir)
+    types = sorted(series)
+    out = {"type_a": [], "type_b": [], "ccc": []}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            x, y = series[ta], series[tb]
+            sx, sy = int(x.sum()), int(y.sum())
+            sxx = int(np.dot(x, x))
+            syy = int(np.dot(y, y))
+            sxy = int(np.dot(x, y))
+            num = 2 * (big_h * sxy - sx * sy)
+            den = (big_h * sxx - sx * sx + big_h * syy - sy * sy
+                   + (sx - sy) * (sx - sy))
+            ccc = 0.0 if den == 0 else float(num) / float(den)
+            out["type_a"].append(ta)
+            out["type_b"].append(tb)
+            out["ccc"].append(round(ccc, 6))
+    return pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "ccc": pa.array(out["ccc"], pa.float64()),
+    })

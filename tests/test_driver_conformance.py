@@ -227,6 +227,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         "emd_cents", "energy_distance",
         # round-3 wave 13
         "quade_test", "levene_mean", "bartlett",
+        # round-3 wave 14
+        "gk_lambda", "agreement_coefs", "lins_ccc",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):
