@@ -293,3 +293,62 @@ def test_bartlett_degenerate_zero_variance(ray_session, tmp_path):
     pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
     got = q_bartlett(str(tmp_path)).to_pandas()
     assert got["chi2"][0] == 0.0
+
+
+def test_gk_lambda_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_gk_lambda
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_gk_lambda(str(tmp_path)).to_pandas().iloc[0]
+    dow = ((hrs // 24) + 3) % 7
+    types = sorted(np.unique(et))
+    dows = sorted(np.unique(dow))
+    piv = np.zeros((len(types), len(dows)), np.int64)
+    for i, ty in enumerate(types):
+        for j, d in enumerate(dows):
+            piv[i, j] = int(((et == ty) & (dow == d)).sum())
+    n = piv.sum()
+    srm, scm = piv.max(axis=1).sum(), piv.max(axis=0).sum()
+    mct, mrt = piv.sum(axis=0).max(), piv.sum(axis=1).max()
+    assert got["n"] == n
+    assert got["lambda_c_given_r"] == pytest.approx(
+        (srm - mct) / (n - mct), abs=1e-5)
+    assert got["lambda_r_given_c"] == pytest.approx(
+        (scm - mrt) / (n - mrt), abs=1e-5)
+    assert got["lambda_sym"] == pytest.approx(
+        (srm + scm - mct - mrt) / (2 * n - mct - mrt), abs=1e-5)
+
+
+def test_agreement_coefs_match_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_agreement_coefs
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_agreement_coefs(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    big_h = len(next(iter(dense.values())))
+    bits = {t: (c * big_h > c.sum()).astype(float) for t, c in dense.items()}
+    assert len(got) == 3  # 3 types -> 3 pairs
+    for _, r in got.iterrows():
+        x, y = bits[r["type_a"]], bits[r["type_b"]]
+        po = float((x == y).mean())
+        pbar = (x.mean() + y.mean()) / 2.0
+        pe_pi = pbar * pbar + (1 - pbar) * (1 - pbar)
+        pe_ac = 2.0 * pbar * (1 - pbar)
+        assert r["scott_pi"] == pytest.approx(
+            (po - pe_pi) / (1 - pe_pi), abs=1e-5)
+        assert r["gwet_ac1"] == pytest.approx(
+            (po - pe_ac) / (1 - pe_ac), abs=1e-5)
+
+
+def test_lins_ccc_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_lins_ccc
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_lins_ccc(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    for _, r in got.iterrows():
+        x = dense[r["type_a"]].astype(np.float64)
+        y = dense[r["type_b"]].astype(np.float64)
+        cov = ((x - x.mean()) * (y - y.mean())).mean()
+        den = x.var() + y.var() + (x.mean() - y.mean()) ** 2
+        assert r["ccc"] == pytest.approx(2 * cov / den, abs=1e-5)
