@@ -14343,3 +14343,140 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Round-3 wave 15 (pipelines/stats5.py): two-sample distribution tests
+# between type pairs over the cent-value census (merged-support
+# cumulative identities; doubled midranks for the rank test).
+from .stats5 import (  # noqa: E402
+    q_cucconi,
+    q_cvm_two_sample,
+    q_ks_two_sample,
+    q_kuiper_two_sample,
+)
+
+QUERIES.update({
+    "ks_two_sample": q_ks_two_sample,
+    "kuiper_two_sample": q_kuiper_two_sample,
+    "cvm_two_sample": q_cvm_two_sample,
+    "cucconi": q_cucconi,
+})
+
+# Shared pair-support CTE: per type pair, the merged cent support with
+# inclusive cumulative counts (cca/ccb) and the strictly-below pooled
+# count (wlt) for doubled midranks.
+_PAIR_CUMS_CTE = _CENT_CENSUS_CTE + """
+            , tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tt
+                      FROM cs GROUP BY 1),
+            pairs AS (SELECT a.event_type AS ta, a.tt AS na,
+                             b.event_type AS tb, b.tt AS nb
+                      FROM tot a JOIN tot b
+                        ON a.event_type < b.event_type),
+            sup AS (SELECT p.ta, p.tb, p.na, p.nb, v.cv,
+                           COALESCE(ca.n, 0) AS an, COALESCE(cb.n, 0) AS bn
+                    FROM pairs p
+                    JOIN (SELECT DISTINCT cv FROM cs) v ON TRUE
+                    LEFT JOIN cs ca ON ca.event_type = p.ta
+                                   AND ca.cv = v.cv
+                    LEFT JOIN cs cb ON cb.event_type = p.tb
+                                   AND cb.cv = v.cv
+                    WHERE ca.n IS NOT NULL OR cb.n IS NOT NULL),
+            cums AS (SELECT ta, tb, na, nb, cv, an, bn,
+                            sum(an) OVER w AS cca, sum(bn) OVER w AS ccb,
+                            sum(an + bn) OVER w - (an + bn) AS wlt
+                     FROM sup
+                     WINDOW w AS (PARTITION BY ta, tb ORDER BY cv))
+"""
+
+ORACLE_SQL.update(
+    {
+        "ks_two_sample": _PAIR_CUMS_CTE + """
+            , dif AS (SELECT ta, tb, na, nb, cv,
+                             abs(nb * cca - na * ccb) AS ad
+                      FROM cums),
+            mx AS (SELECT ta, tb, na, nb, max(ad) AS m
+                   FROM dif GROUP BY 1, 2, 3, 4),
+            loc AS (SELECT d.ta, d.tb, d.na, d.nb, m.m,
+                           min(d.cv) AS at_cv
+                    FROM dif d JOIN mx m ON m.ta = d.ta AND m.tb = d.tb
+                                        AND d.ad = m.m
+                    GROUP BY 1, 2, 3, 4, 5)
+            SELECT ta AS type_a, tb AS type_b,
+                   round(CASE WHEN na * nb = 0 THEN 0.0
+                              ELSE CAST(m AS DOUBLE)
+                                   / CAST(na * nb AS DOUBLE) END,
+                         6) AS d_stat,
+                   at_cv
+            FROM loc ORDER BY 1, 2
+        """,
+        "kuiper_two_sample": _PAIR_CUMS_CTE + """
+            , dif AS (SELECT ta, tb, na, nb,
+                             nb * cca - na * ccb AS df
+                      FROM cums),
+            ag AS (SELECT ta, tb, na, nb,
+                          greatest(max(df), 0) AS dp,
+                          greatest(max(-df), 0) AS dm
+                   FROM dif GROUP BY 1, 2, 3, 4)
+            SELECT ta AS type_a, tb AS type_b,
+                   round(CASE WHEN na * nb = 0 THEN 0.0
+                              ELSE CAST(dp + dm AS DOUBLE)
+                                   / CAST(na * nb AS DOUBLE) END,
+                         6) AS kuiper_v
+            FROM ag ORDER BY 1, 2
+        """,
+        "cvm_two_sample": _PAIR_CUMS_CTE + """
+            , ag AS (SELECT ta, tb, na, nb,
+                            CAST(sum(CAST(an + bn AS HUGEINT)
+                                     * (nb * cca - na * ccb)
+                                     * (nb * cca - na * ccb))
+                                 AS HUGEINT) AS num
+                     FROM cums GROUP BY 1, 2, 3, 4)
+            SELECT ta AS type_a, tb AS type_b,
+                   round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+                              ELSE CAST(num AS DOUBLE)
+                                   / CAST(CAST(na + nb AS HUGEINT)
+                                          * (na + nb) * na * nb
+                                          AS DOUBLE) END, 6) AS cvm_t
+            FROM ag ORDER BY 1, 2
+        """,
+        "cucconi": _PAIR_CUMS_CTE + """
+            , dd AS (SELECT ta, tb, na, nb, an,
+                            2 * wlt + (an + bn) + 1 AS d
+                     FROM cums),
+            ag AS (SELECT ta, tb, na, nb,
+                          CAST(sum(CAST(an AS HUGEINT) * d)
+                               AS HUGEINT) AS s1d,
+                          CAST(sum(CAST(an AS HUGEINT) * d * d)
+                               AS HUGEINT) AS s2d
+                   FROM dd GROUP BY 1, 2, 3, 4),
+            st AS (SELECT ta, tb, na, nb, na + nb AS nn, s1d, s2d
+                   FROM ag),
+            uv AS (SELECT ta, tb, na, nb, nn,
+                          6 * s2d - 4 * CAST(na AS HUGEINT)
+                            * (nn + 1) * (2 * nn + 1) AS num_u,
+                          6 * (4 * CAST(nn + 1 AS HUGEINT) * (nn + 1) * na
+                               - 4 * (nn + 1) * s1d + s2d)
+                            - 4 * CAST(na AS HUGEINT)
+                              * (nn + 1) * (2 * nn + 1) AS num_v,
+                          16 * CAST(na AS HUGEINT) * nb * (nn + 1)
+                            * (2 * nn + 1) * (8 * nn + 11) AS big_d
+                   FROM st),
+            fl AS (SELECT ta, tb, na, nb, nn,
+                          CAST(num_u AS DOUBLE)
+                            / sqrt(CAST(big_d AS DOUBLE) / 5.0) AS u,
+                          CAST(num_v AS DOUBLE)
+                            / sqrt(CAST(big_d AS DOUBLE) / 5.0) AS v,
+                          CAST(2 * (CAST(nn AS HUGEINT) * nn - 4)
+                               AS DOUBLE)
+                            / CAST((2 * CAST(nn AS HUGEINT) + 1)
+                                   * (8 * nn + 11) AS DOUBLE)
+                            - 1.0 AS rho
+                   FROM uv)
+            SELECT ta AS type_a, tb AS type_b,
+                   round(CASE WHEN na = 0 OR nb = 0 OR nn < 3 THEN 0.0
+                              ELSE (u * u + v * v - 2.0 * rho * u * v)
+                                   / (2.0 * (1.0 - rho * rho)) END,
+                         6) AS cucconi_c
+            FROM fl ORDER BY 1, 2
+        """,
+    }
+)

@@ -650,3 +650,145 @@ def q_lins_ccc(sf_dir: str):
         "type_b": pa.array(out["type_b"], pa.string()),
         "ccc": pa.array(out["ccc"], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 15: two-sample distribution tests over the cent-value census
+# (merged-support cumulative identities — the emd_cents substrate).
+# ---------------------------------------------------------------------------
+
+def q_ks_two_sample(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov distance between every type pair's
+    cent-value distribution: D = max_v |F_A(v) - F_B(v)| evaluated as
+    the exact integer max of |n_B*CA_v - n_A*CB_v| over the merged
+    support (inclusive cumulative counts), divided once; ``at_cv`` is
+    the smallest cent value attaining the max (deterministic)."""
+    prof = _cent_profiles(sf_dir)
+    types = sorted(prof)
+    out = {"type_a": [], "type_b": [], "d_stat": [], "at_cv": []}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            mv, a_n, b_n = _merged_support(*prof[ta], *prof[tb])
+            na, nb = int(a_n.sum()), int(b_n.sum())
+            diff = nb * np.cumsum(a_n) - na * np.cumsum(b_n)
+            ad = np.abs(diff)
+            k = int(ad.argmax())  # numpy argmax = first max = smallest cv
+            d = 0.0 if na * nb == 0 else float(int(ad[k])) / float(na * nb)
+            out["type_a"].append(ta)
+            out["type_b"].append(tb)
+            out["d_stat"].append(round(d, 6))
+            out["at_cv"].append(int(mv[k]))
+    return pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "d_stat": pa.array(out["d_stat"], pa.float64()),
+        "at_cv": pa.array(out["at_cv"], pa.int64()),
+    })
+
+
+def q_kuiper_two_sample(sf_dir: str):
+    """Two-sample Kuiper statistic V = D+ + D- (sup of F_A-F_B plus sup
+    of F_B-F_A, each floored at 0) — both sups are exact integer maxima
+    of +/-(n_B*CA - n_A*CB) over the merged support, summed over the
+    common denominator n_A*n_B before ONE mirrored division.  Unlike KS
+    it is equally sensitive in both tails (cyclic-data heritage)."""
+    prof = _cent_profiles(sf_dir)
+    types = sorted(prof)
+    out = {"type_a": [], "type_b": [], "kuiper_v": []}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            _, a_n, b_n = _merged_support(*prof[ta], *prof[tb])
+            na, nb = int(a_n.sum()), int(b_n.sum())
+            diff = nb * np.cumsum(a_n) - na * np.cumsum(b_n)
+            dp = max(0, int(diff.max()))
+            dm = max(0, int(-diff.min()))
+            v = 0.0 if na * nb == 0 else float(dp + dm) / float(na * nb)
+            out["type_a"].append(ta)
+            out["type_b"].append(tb)
+            out["kuiper_v"].append(round(v, 6))
+    return pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "kuiper_v": pa.array(out["kuiper_v"], pa.float64()),
+    })
+
+
+def q_cvm_two_sample(sf_dir: str):
+    """Two-sample Cramer-von Mises criterion (Anderson 1962 form):
+    T = n_A*n_B/N^2 * sum_z (F_A(z) - F_B(z))^2 over all N pooled
+    observations z.  On the merged census this is
+    sum_v (a_v+b_v) * (n_B*CA_v - n_A*CB_v)^2 / (N^2 * n_A * n_B)
+    — exact (big)integers to ONE mirrored division."""
+    prof = _cent_profiles(sf_dir)
+    types = sorted(prof)
+    out = {"type_a": [], "type_b": [], "cvm_t": []}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            _, a_n, b_n = _merged_support(*prof[ta], *prof[tb])
+            na, nb = int(a_n.sum()), int(b_n.sum())
+            big_n = na + nb
+            diff = nb * np.cumsum(a_n) - na * np.cumsum(b_n)
+            num = sum(int(w) * int(d) * int(d)
+                      for w, d in zip(a_n + b_n, diff))
+            den = big_n * big_n * na * nb
+            t = 0.0 if den == 0 else float(num) / float(den)
+            out["type_a"].append(ta)
+            out["type_b"].append(tb)
+            out["cvm_t"].append(round(t, 6))
+    return pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "cvm_t": pa.array(out["cvm_t"], pa.float64()),
+    })
+
+
+def q_cucconi(sf_dir: str):
+    """Cucconi (1968) joint location-scale two-sample test between every
+    type pair's cent values, with doubled midranks for ties: with
+    d_v = 2*W<v + (a_v+b_v) + 1 (an exact integer; rank r = d/2),
+    S2d = sum_A a_v*d_v^2 and the contra-rank square sum
+    S2d' = 4*(N+1)^2*n_A - 4*(N+1)*S1d + S2d, the standardized pair is
+    U = (6*S2d - 4*n_A*(N+1)*(2N+1)) / sqrt(D/5) and
+    V = (6*S2d' - 4*n_A*(N+1)*(2N+1)) / sqrt(D/5) with
+    D = 16*n_A*n_B*(N+1)*(2N+1)*(8N+11), and
+    C = (U^2 + V^2 - 2*rho*U*V) / (2*(1 - rho^2)) with
+    rho = 2*(N^2-4)/((2N+1)*(8N+11)) - 1.  All integer terms exact
+    (Python bignums / HUGEINT); U, V, rho, C form one token-identical
+    mirrored double chain."""
+    prof = _cent_profiles(sf_dir)
+    types = sorted(prof)
+    out = {"type_a": [], "type_b": [], "cucconi_c": []}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            _, a_n, b_n = _merged_support(*prof[ta], *prof[tb])
+            na, nb = int(a_n.sum()), int(b_n.sum())
+            big_n = na + nb
+            if na == 0 or nb == 0 or big_n < 3:
+                c_stat = 0.0
+            else:
+                tot = a_n + b_n
+                w_lt = np.cumsum(tot) - tot
+                d = 2 * w_lt + tot + 1
+                s1d = sum(int(a) * int(dd) for a, dd in zip(a_n, d))
+                s2d = sum(int(a) * int(dd) * int(dd)
+                          for a, dd in zip(a_n, d))
+                s2dc = (4 * (big_n + 1) * (big_n + 1) * na
+                        - 4 * (big_n + 1) * s1d + s2d)
+                num_u = 6 * s2d - 4 * na * (big_n + 1) * (2 * big_n + 1)
+                num_v = 6 * s2dc - 4 * na * (big_n + 1) * (2 * big_n + 1)
+                big_d = (16 * na * nb * (big_n + 1) * (2 * big_n + 1)
+                         * (8 * big_n + 11))
+                u = float(num_u) / math.sqrt(float(big_d) / 5.0)
+                v = float(num_v) / math.sqrt(float(big_d) / 5.0)
+                rho = (float(2 * (big_n * big_n - 4))
+                       / float((2 * big_n + 1) * (8 * big_n + 11)) - 1.0)
+                c_stat = ((u * u + v * v - 2.0 * rho * u * v)
+                          / (2.0 * (1.0 - rho * rho)))
+            out["type_a"].append(ta)
+            out["type_b"].append(tb)
+            out["cucconi_c"].append(round(c_stat, 6))
+    return pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "cucconi_c": pa.array(out["cucconi_c"], pa.float64()),
+    })

@@ -229,6 +229,9 @@ def test_mirror_covers_every_oracle(entry_mod):
         "quade_test", "levene_mean", "bartlett",
         # round-3 wave 14
         "gk_lambda", "agreement_coefs", "lins_ccc",
+        # round-3 wave 15
+        "ks_two_sample", "kuiper_two_sample", "cvm_two_sample",
+        "cucconi",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

@@ -352,3 +352,108 @@ def test_lins_ccc_matches_bruteforce(ray_session, tmp_path):
         cov = ((x - x.mean()) * (y - y.mean())).mean()
         den = x.var() + y.var() + (x.mean() - y.mean()) ** 2
         assert r["ccc"] == pytest.approx(2 * cov / den, abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# wave 15: two-sample distribution tests
+# ---------------------------------------------------------------------------
+
+def _cents_by_type(et, vals):
+    cents = np.rint(vals * 100).astype(np.int64)
+    return {t: np.sort(cents[et == t]) for t in np.unique(et)}
+
+
+def test_ks_two_sample_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_ks_two_sample
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    got = q_ks_two_sample(str(tmp_path)).to_pandas()
+    by = _cents_by_type(et, vals)
+    assert len(got) == 3
+    for _, r in got.iterrows():
+        a, b = by[r["type_a"]], by[r["type_b"]]
+        sup = np.union1d(a, b)
+        fa = np.searchsorted(a, sup, side="right") / len(a)
+        fb = np.searchsorted(b, sup, side="right") / len(b)
+        d = np.abs(fa - fb)
+        k = int(d.argmax())
+        assert r["d_stat"] == pytest.approx(d[k], abs=1e-6)
+        assert r["at_cv"] == sup[k]
+
+
+def test_kuiper_two_sample_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_kuiper_two_sample
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    got = q_kuiper_two_sample(str(tmp_path)).to_pandas()
+    by = _cents_by_type(et, vals)
+    for _, r in got.iterrows():
+        a, b = by[r["type_a"]], by[r["type_b"]]
+        sup = np.union1d(a, b)
+        fa = np.searchsorted(a, sup, side="right") / len(a)
+        fb = np.searchsorted(b, sup, side="right") / len(b)
+        v = max((fa - fb).max(), 0) + max((fb - fa).max(), 0)
+        assert r["kuiper_v"] == pytest.approx(v, abs=1e-6)
+
+
+def test_cvm_two_sample_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_cvm_two_sample
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    got = q_cvm_two_sample(str(tmp_path)).to_pandas()
+    by = _cents_by_type(et, vals)
+    for _, r in got.iterrows():
+        a, b = by[r["type_a"]], by[r["type_b"]]
+        na, nb = len(a), len(b)
+        pooled = np.concatenate([a, b])
+        fa = np.searchsorted(a, pooled, side="right") / na
+        fb = np.searchsorted(b, pooled, side="right") / nb
+        t = na * nb / (na + nb) ** 2 * ((fa - fb) ** 2).sum()
+        assert r["cvm_t"] == pytest.approx(t, abs=1e-6)
+
+
+def test_cucconi_matches_bruteforce(ray_session, tmp_path):
+    import pandas as pd
+
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_cucconi
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    got = q_cucconi(str(tmp_path)).to_pandas()
+    by = _cents_by_type(et, vals)
+    for _, r in got.iterrows():
+        a, b = by[r["type_a"]], by[r["type_b"]]
+        n1, n2 = len(a), len(b)
+        n = n1 + n2
+        ranks = pd.Series(np.concatenate([a, b])).rank(method="average")
+        ra = ranks.to_numpy()[:n1]
+        s2 = (ra ** 2).sum()
+        s2c = ((n + 1 - ra) ** 2).sum()
+        var = n1 * n2 * (n + 1) * (2 * n + 1) * (8 * n + 11) / 5.0
+        u = (6 * s2 - n1 * (n + 1) * (2 * n + 1)) / np.sqrt(var)
+        v = (6 * s2c - n1 * (n + 1) * (2 * n + 1)) / np.sqrt(var)
+        rho = 2.0 * (n * n - 4) / ((2 * n + 1) * (8 * n + 11)) - 1.0
+        c = (u * u + v * v - 2 * rho * u * v) / (2 * (1 - rho * rho))
+        assert r["cucconi_c"] == pytest.approx(c, rel=1e-6, abs=1e-6)
+
+
+def test_ks_two_sample_identical_distributions(ray_session, tmp_path):
+    """Two types with byte-identical value multisets: D = 0 and at_cv is
+    the smallest support cent on both engines."""
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_ks_two_sample
+
+    n = 200
+    rng = np.random.default_rng(5)
+    vals = np.round(rng.lognormal(2.0, 0.7, n), 2)
+    t = pa.table({
+        "event_id": pa.array(np.arange(2 * n, dtype=np.int64)),
+        "ts": pa.array(np.arange(2 * n, dtype=np.int64) * 60_000,
+                       pa.timestamp("ms")),
+        "user_id": pa.array(np.zeros(2 * n, np.int64)),
+        "event_type": pa.array(["a"] * n + ["b"] * n, pa.string()),
+        "value": pa.array(np.concatenate([vals, vals])),
+        "props": pa.array(["{}"] * (2 * n), pa.string()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    got = q_ks_two_sample(str(tmp_path)).to_pandas()
+    assert got["d_stat"][0] == 0.0
+    assert got["at_cv"][0] == int(np.rint(vals * 100).min())
