@@ -14480,3 +14480,138 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Round-3 wave 16 (pipelines/stats5.py): contingency-table effect sizes
+# over the (type, day-of-week) census (pico-floored per-cell terms).
+from .stats5 import q_cramers_v, q_gk_tau, q_yule_coefs  # noqa: E402
+
+QUERIES.update({
+    "cramers_v": q_cramers_v,
+    "gk_tau": q_gk_tau,
+    "yule_coefs": q_yule_coefs,
+})
+
+_TYPE_DOW_CTE = """
+            WITH c AS (SELECT event_type AS et,
+                              ((epoch_ms(ts) // 86400000) + 3) % 7 AS dow,
+                              count(*) AS n
+                       FROM events GROUP BY 1, 2),
+            rt AS (SELECT et, CAST(sum(n) AS BIGINT) AS r
+                   FROM c GROUP BY 1),
+            ct AS (SELECT dow, CAST(sum(n) AS BIGINT) AS cc
+                   FROM c GROUP BY 1),
+            tt AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+                          (SELECT count(*) FROM rt) AS r_cnt,
+                          (SELECT count(*) FROM ct) AS c_cnt
+                   FROM c)
+"""
+
+ORACLE_SQL.update(
+    {
+        "cramers_v": _TYPE_DOW_CTE + """
+            , cells AS (SELECT rt.r, ct.cc, COALESCE(c.n, 0) AS cell
+                        FROM rt CROSS JOIN ct
+                        LEFT JOIN c ON c.et = rt.et AND c.dow = ct.dow),
+            terms AS (SELECT (CAST(tt.n * cell - r * cc AS HUGEINT)
+                              * (tt.n * cell - r * cc)
+                              * 1000000000000)
+                             // (CAST(tt.n AS HUGEINT) * r * cc) AS t
+                      FROM cells CROSS JOIN tt),
+            ag AS (SELECT CAST(sum(t) AS HUGEINT) AS chi2_pico
+                   FROM terms)
+            SELECT tt.n,
+                   round(CAST(chi2_pico AS DOUBLE) / 1e12, 6) AS chi2,
+                   round(CASE WHEN tt.n * least(tt.r_cnt - 1,
+                                                tt.c_cnt - 1) = 0
+                              THEN 0.0
+                              ELSE sqrt(CAST(chi2_pico AS DOUBLE)
+                                        / (1e12 * CAST(tt.n
+                                           * least(tt.r_cnt - 1,
+                                                   tt.c_cnt - 1)
+                                           AS DOUBLE))) END,
+                         6) AS cramers_v,
+                   round(CASE WHEN tt.n = 0
+                                   OR (tt.r_cnt - 1) * (tt.c_cnt - 1) = 0
+                              THEN 0.0
+                              ELSE sqrt(CAST(chi2_pico AS DOUBLE)
+                                        / (1e12 * CAST(tt.n AS DOUBLE)
+                                           * sqrt(CAST((tt.r_cnt - 1)
+                                                  * (tt.c_cnt - 1)
+                                                  AS DOUBLE)))) END,
+                         6) AS tschuprow_t,
+                   round(sqrt(CAST(chi2_pico AS DOUBLE)
+                              / CAST(chi2_pico
+                                     + 1000000000000 *
+                                       CAST(tt.n AS HUGEINT)
+                                     AS DOUBLE)), 6) AS pearson_c
+            FROM ag CROSS JOIN tt
+        """,
+        "gk_tau": _TYPE_DOW_CTE + """
+            , srr AS (SELECT CAST(sum(CAST(r AS HUGEINT) * r)
+                                  AS HUGEINT) AS srr FROM rt),
+            scc AS (SELECT CAST(sum(CAST(cc AS HUGEINT) * cc)
+                                AS HUGEINT) AS scc FROM ct),
+            us AS (SELECT CAST(sum((1000000000000 *
+                                    CAST(s2 AS HUGEINT)) // r)
+                               AS HUGEINT) AS u_sum
+                   FROM (SELECT rt.r,
+                                (SELECT COALESCE(sum(CAST(c.n AS HUGEINT)
+                                                     * c.n), 0)
+                                 FROM c WHERE c.et = rt.et) AS s2
+                         FROM rt WHERE rt.r > 0)),
+            ts AS (SELECT CAST(sum((1000000000000 *
+                                    CAST(s2 AS HUGEINT)) // cc)
+                               AS HUGEINT) AS t_sum
+                   FROM (SELECT ct.cc,
+                                (SELECT COALESCE(sum(CAST(c.n AS HUGEINT)
+                                                     * c.n), 0)
+                                 FROM c WHERE c.dow = ct.dow) AS s2
+                         FROM ct WHERE ct.cc > 0))
+            SELECT tt.n,
+                   round(CASE WHEN CAST(tt.n AS HUGEINT) * tt.n
+                                   - scc.scc = 0 THEN 0.0
+                              ELSE CAST(tt.n * us.u_sum
+                                        - 1000000000000 * scc.scc
+                                        AS DOUBLE)
+                                   / CAST(1000000000000 *
+                                          (CAST(tt.n AS HUGEINT) * tt.n
+                                           - scc.scc) AS DOUBLE) END,
+                         6) AS tau_c_given_r,
+                   round(CASE WHEN CAST(tt.n AS HUGEINT) * tt.n
+                                   - srr.srr = 0 THEN 0.0
+                              ELSE CAST(tt.n * ts.t_sum
+                                        - 1000000000000 * srr.srr
+                                        AS DOUBLE)
+                                   / CAST(1000000000000 *
+                                          (CAST(tt.n AS HUGEINT) * tt.n
+                                           - srr.srr) AS DOUBLE) END,
+                         6) AS tau_r_given_c
+            FROM tt CROSS JOIN srr CROSS JOIN scc
+                    CROSS JOIN us CROSS JOIN ts
+        """,
+        "yule_coefs": """
+            WITH f AS (SELECT CASE WHEN ((epoch_ms(ts) // 86400000) + 3)
+                                        % 7 >= 5
+                                   THEN 1 ELSE 0 END AS we,
+                              CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END AS pu
+                       FROM events),
+            ag AS (SELECT CAST(sum(we * pu) AS BIGINT) AS a,
+                          CAST(sum(we * (1 - pu)) AS BIGINT) AS b,
+                          CAST(sum((1 - we) * pu) AS BIGINT) AS c,
+                          CAST(sum((1 - we) * (1 - pu)) AS BIGINT) AS d
+                   FROM f)
+            SELECT round(CASE WHEN a * d + b * c = 0 THEN 0.0
+                              ELSE CAST(a * d - b * c AS DOUBLE)
+                                   / CAST(a * d + b * c AS DOUBLE) END,
+                         6) AS yule_q,
+                   round(CASE WHEN a * d + b * c = 0 THEN 0.0
+                              ELSE (sqrt(CAST(a * d AS DOUBLE))
+                                    - sqrt(CAST(b * c AS DOUBLE)))
+                                   / (sqrt(CAST(a * d AS DOUBLE))
+                                      + sqrt(CAST(b * c AS DOUBLE)))
+                         END, 6) AS yule_y
+            FROM ag
+        """,
+    }
+)

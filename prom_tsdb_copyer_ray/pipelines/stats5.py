@@ -792,3 +792,153 @@ def q_cucconi(sf_dir: str):
         "type_b": pa.array(out["type_b"], pa.string()),
         "cucconi_c": pa.array(out["cucconi_c"], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 16: contingency-table effect sizes over the (type, day-of-week)
+# census (the gk_lambda substrate; dow = (epoch_day + 3) % 7).
+# ---------------------------------------------------------------------------
+
+def _type_dow_pivot(sf_dir: str) -> np.ndarray:
+    """The (type, dow) contingency census as a dense int64 pivot with
+    rows = sorted observed types, cols = sorted observed dows — ONE
+    (type, dow) census exchange (<= types x 7 rows)."""
+    from ..windows import ts_to_ms
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        dow = ((tms // 86_400_000) + 3) % 7
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "dow": pa.array(dow.astype(np.int64)),
+            "n": pa.array(np.ones(len(dow), np.int64)),
+        })
+        g = t.group_by(["event_type", "dow"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "dow", "n"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "dow"], [("n", "sum")], num_shards=4,
+    ).to_pandas()
+    return census.pivot_table(index="event_type", columns="dow",
+                              values="n", fill_value=0,
+                              aggfunc="sum").to_numpy(np.int64)
+
+
+_PICO = 10 ** 12
+
+
+def q_cramers_v(sf_dir: str):
+    """Pearson chi-square of the (type, dow) contingency table and its
+    three classical effect sizes — Cramer's V, Tschuprow's T and the
+    Pearson contingency coefficient C.  Per-cell terms have varying
+    denominators N*R_r*C_c, so each is pico-floored EXACTLY on both
+    engines: t_rc = (10^12 * (N*n_rc - R_r*C_c)^2) // (N*R_r*C_c)
+    (bignum / HUGEINT floor division), summed as exact integers;
+    chi2, V, T, C then form mirrored double chains."""
+    piv = _type_dow_pivot(sf_dir)
+    n = int(piv.sum())
+    rows = [int(x) for x in piv.sum(axis=1)]
+    cols = [int(x) for x in piv.sum(axis=0)]
+    r_cnt, c_cnt = piv.shape
+    chi2_pico = 0
+    for i, rr in enumerate(rows):
+        for j, cc in enumerate(cols):
+            cell = int(piv[i, j])
+            diff = n * cell - rr * cc
+            chi2_pico += (_PICO * diff * diff) // (n * rr * cc)
+    chi2 = float(chi2_pico) / 1e12
+    kmin = min(r_cnt - 1, c_cnt - 1)
+    v = (0.0 if n * kmin == 0
+         else math.sqrt(float(chi2_pico) / (1e12 * float(n * kmin))))
+    kgeo = (r_cnt - 1) * (c_cnt - 1)
+    t = (0.0 if n == 0 or kgeo == 0
+         else math.sqrt(float(chi2_pico)
+                        / (1e12 * float(n) * math.sqrt(float(kgeo)))))
+    c_coef = math.sqrt(float(chi2_pico) / float(chi2_pico + _PICO * n))
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "chi2": pa.array([round(chi2, 6)], pa.float64()),
+        "cramers_v": pa.array([round(v, 6)], pa.float64()),
+        "tschuprow_t": pa.array([round(t, 6)], pa.float64()),
+        "pearson_c": pa.array([round(c_coef, 6)], pa.float64()),
+    })
+
+
+def q_gk_tau(sf_dir: str):
+    """Goodman-Kruskal tau — proportional reduction in classification
+    VARIATION (the variance analogue of gk_lambda) both ways over the
+    (type, dow) table: tau_{c|r} = (N*sum_r S_r/R_r - sum_c C_c^2) /
+    (N^2 - sum_c C_c^2) with S_r = sum_c n_rc^2.  The per-row /
+    per-column fractions are pico-floored exactly (u_r = (10^12*S_r)
+    // R_r), keeping every sum an exact (big)integer to ONE mirrored
+    division per direction."""
+    piv = _type_dow_pivot(sf_dir)
+    n = int(piv.sum())
+    rows = [int(x) for x in piv.sum(axis=1)]
+    cols = [int(x) for x in piv.sum(axis=0)]
+    srr = sum(rr * rr for rr in rows)
+    scc = sum(cc * cc for cc in cols)
+    u_sum = sum((_PICO * int(np.dot(piv[i], piv[i]))) // rows[i]
+                for i in range(piv.shape[0]) if rows[i] > 0)
+    t_sum = sum((_PICO * int(np.dot(piv[:, j], piv[:, j]))) // cols[j]
+                for j in range(piv.shape[1]) if cols[j] > 0)
+    den_cr = _PICO * (n * n - scc)
+    den_rc = _PICO * (n * n - srr)
+    tau_cr = (0.0 if den_cr == 0
+              else float(n * u_sum - _PICO * scc) / float(den_cr))
+    tau_rc = (0.0 if den_rc == 0
+              else float(n * t_sum - _PICO * srr) / float(den_rc))
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "tau_c_given_r": pa.array([round(tau_cr, 6)], pa.float64()),
+        "tau_r_given_c": pa.array([round(tau_rc, 6)], pa.float64()),
+    })
+
+
+def q_yule_coefs(sf_dir: str):
+    """Yule's Q (association) and Y (colligation) of the 2x2
+    weekend x purchase table (the cohens_h margin convention:
+    weekend = dow >= 5, dow = (epoch_day + 3) % 7):
+    Q = (ad - bc)/(ad + bc), Y = (sqrt(ad) - sqrt(bc)) /
+    (sqrt(ad) + sqrt(bc)) — exact integer cell products, mirrored
+    sqrt/division chain, 0.0 when ad + bc = 0."""
+    from ..windows import ts_to_ms
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        we = (((tms // 86_400_000) + 3) % 7 >= 5).astype(np.int64)
+        pu = pc.cast(pc.equal(batch["event_type"], "purchase"),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "we": pa.array(we),
+            "pu": pa.array(pu),
+            "n": pa.array(np.ones(len(we), np.int64)),
+        })
+        g = t.group_by(["we", "pu"]).aggregate([("n", "sum")])
+        return g.rename_columns(["we", "pu", "n"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["we", "pu"], [("n", "sum")], num_shards=2,
+    ).to_pandas()
+    cell = {(int(r["we"]), int(r["pu"])): int(r["n"])
+            for _, r in census.iterrows()}
+    a = cell.get((1, 1), 0)
+    b = cell.get((1, 0), 0)
+    c = cell.get((0, 1), 0)
+    d = cell.get((0, 0), 0)
+    if a * d + b * c == 0:
+        q = y = 0.0
+    else:
+        q = float(a * d - b * c) / float(a * d + b * c)
+        y = ((math.sqrt(float(a * d)) - math.sqrt(float(b * c)))
+             / (math.sqrt(float(a * d)) + math.sqrt(float(b * c))))
+    return pa.table({
+        "yule_q": pa.array([round(q, 6)], pa.float64()),
+        "yule_y": pa.array([round(y, 6)], pa.float64()),
+    })

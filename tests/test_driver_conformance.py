@@ -232,6 +232,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         # round-3 wave 15
         "ks_two_sample", "kuiper_two_sample", "cvm_two_sample",
         "cucconi",
+        # round-3 wave 16
+        "cramers_v", "gk_tau", "yule_coefs",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

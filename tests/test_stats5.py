@@ -457,3 +457,98 @@ def test_ks_two_sample_identical_distributions(ray_session, tmp_path):
     got = q_ks_two_sample(str(tmp_path)).to_pandas()
     assert got["d_stat"][0] == 0.0
     assert got["at_cv"][0] == int(np.rint(vals * 100).min())
+
+
+# ---------------------------------------------------------------------------
+# wave 16: contingency effect sizes
+# ---------------------------------------------------------------------------
+
+def _pivot_type_dow(et, hrs):
+    dow = ((hrs // 24) + 3) % 7
+    types = sorted(np.unique(et))
+    dows = sorted(np.unique(dow))
+    piv = np.zeros((len(types), len(dows)), np.int64)
+    for i, ty in enumerate(types):
+        for j, d in enumerate(dows):
+            piv[i, j] = int(((et == ty) & (dow == d)).sum())
+    return piv
+
+
+def test_cramers_v_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_cramers_v
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_cramers_v(str(tmp_path)).to_pandas().iloc[0]
+    piv = _pivot_type_dow(et, hrs).astype(np.float64)
+    n = piv.sum()
+    exp = np.outer(piv.sum(axis=1), piv.sum(axis=0)) / n
+    chi2 = ((piv - exp) ** 2 / exp).sum()
+    r, c = piv.shape
+    assert got["n"] == n
+    assert got["chi2"] == pytest.approx(chi2, abs=1e-4)
+    assert got["cramers_v"] == pytest.approx(
+        np.sqrt(chi2 / (n * min(r - 1, c - 1))), abs=1e-5)
+    assert got["tschuprow_t"] == pytest.approx(
+        np.sqrt(chi2 / (n * np.sqrt((r - 1) * (c - 1)))), abs=1e-5)
+    assert got["pearson_c"] == pytest.approx(
+        np.sqrt(chi2 / (chi2 + n)), abs=1e-5)
+
+
+def test_gk_tau_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_gk_tau
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_gk_tau(str(tmp_path)).to_pandas().iloc[0]
+    piv = _pivot_type_dow(et, hrs).astype(np.float64)
+    n = piv.sum()
+    rows = piv.sum(axis=1)
+    cols = piv.sum(axis=0)
+    # tau_{c|r}: reduction in Gini error predicting dow from type
+    tau_cr = ((n * ((piv ** 2).sum(axis=1) / rows).sum()
+               - (cols ** 2).sum())
+              / (n ** 2 - (cols ** 2).sum()))
+    tau_rc = ((n * ((piv ** 2).sum(axis=0) / cols).sum()
+               - (rows ** 2).sum())
+              / (n ** 2 - (rows ** 2).sum()))
+    assert got["tau_c_given_r"] == pytest.approx(tau_cr, abs=1e-5)
+    assert got["tau_r_given_c"] == pytest.approx(tau_rc, abs=1e-5)
+
+
+def test_yule_coefs_match_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_yule_coefs
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    hrs = rng.integers(0, 20 * 24, n)
+    et = np.array(["purchase", "view", "click"])[rng.integers(0, 3, n)]
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array((hrs * 3_600_000).astype(np.int64),
+                       pa.timestamp("ms")),
+        "user_id": pa.array(np.zeros(n, np.int64)),
+        "event_type": pa.array(list(et), pa.string()),
+        "value": pa.array(np.ones(n, np.float64)),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    got = q_yule_coefs(str(tmp_path)).to_pandas().iloc[0]
+    we = ((hrs // 24) + 3) % 7 >= 5
+    pu = et == "purchase"
+    a = float((we & pu).sum())
+    b = float((we & ~pu).sum())
+    c = float((~we & pu).sum())
+    d = float((~we & ~pu).sum())
+    assert got["yule_q"] == pytest.approx(
+        (a * d - b * c) / (a * d + b * c), abs=1e-6)
+    assert got["yule_y"] == pytest.approx(
+        (np.sqrt(a * d) - np.sqrt(b * c))
+        / (np.sqrt(a * d) + np.sqrt(b * c)), abs=1e-6)
+
+
+def test_yule_coefs_degenerate_no_purchase(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_yule_coefs
+
+    et, hrs = _rand_events(tmp_path)  # click/view/error only
+    got = q_yule_coefs(str(tmp_path)).to_pandas().iloc[0]
+    assert got["yule_q"] == 0.0
+    assert got["yule_y"] == 0.0
