@@ -14615,3 +14615,124 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Round-3 wave 17 (pipelines/stats5.py): multi-rater agreement over the
+# dense hourly grid (types rate hours by mean-binarization / quintiles).
+from .stats5 import (  # noqa: E402
+    q_fleiss_kappa,
+    q_kripp_alpha,
+    q_weighted_kappa,
+)
+
+QUERIES.update({
+    "fleiss_kappa": q_fleiss_kappa,
+    "kripp_alpha": q_kripp_alpha,
+    "weighted_kappa": q_weighted_kappa,
+})
+
+_RATER_BITS_CTE = _DENSE_GRID_CTE + """
+            , st AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS s
+                     FROM d GROUP BY 1),
+            bits AS (SELECT d.hr,
+                            CASE WHEN d.c * hh.hh > st.s
+                                 THEN 1 ELSE 0 END AS bit
+                     FROM d JOIN st USING (event_type) CROSS JOIN hh),
+            u AS (SELECT hr, CAST(sum(bit) AS BIGINT) AS n1,
+                         CAST(count(*) AS BIGINT) AS nr
+                  FROM bits GROUP BY 1),
+            ag AS (SELECT CAST(sum(CAST(n1 AS HUGEINT) * n1
+                                   + CAST(nr - n1 AS HUGEINT)
+                                     * (nr - n1)) AS HUGEINT) AS sq,
+                          CAST(sum(n1) AS BIGINT) AS c1,
+                          max(nr) AS nr,
+                          CAST(count(*) AS BIGINT) AS h
+                   FROM u)
+"""
+
+ORACLE_SQL.update(
+    {
+        "fleiss_kappa": _RATER_BITS_CTE + """
+            , ag2 AS (SELECT nr, h,
+                             sq - CAST(h AS HUGEINT) * nr AS a_sum,
+                             CAST(c1 AS HUGEINT) * c1
+                               + CAST(h * nr - c1 AS HUGEINT)
+                                 * (h * nr - c1) AS b_sum
+                      FROM ag)
+            SELECT nr AS n_raters,
+                   round(CASE WHEN nr < 2
+                                   OR (nr - 1) * (CAST(h AS HUGEINT)
+                                                  * h * nr * nr - b_sum)
+                                      = 0 THEN 0.0
+                              ELSE CAST(a_sum * h * nr
+                                        - b_sum * (nr - 1) AS DOUBLE)
+                                   / CAST((nr - 1)
+                                          * (CAST(h AS HUGEINT)
+                                             * h * nr * nr - b_sum)
+                                          AS DOUBLE) END,
+                         6) AS fleiss_kappa
+            FROM ag2
+        """,
+        "kripp_alpha": _RATER_BITS_CTE + """
+            , dg AS (SELECT CAST(sum(CAST(n1 AS HUGEINT) * (nr - n1))
+                                 AS HUGEINT) AS disc
+                     FROM u)
+            SELECT round(CASE WHEN ag.nr < 2
+                                   OR (ag.nr - 1)
+                                      * CAST(ag.c1 AS HUGEINT)
+                                      * (ag.h * ag.nr - ag.c1) = 0
+                              THEN 0.0
+                              ELSE 1.0 - CAST((CAST(ag.h AS HUGEINT)
+                                               * ag.nr - 1) * dg.disc
+                                              AS DOUBLE)
+                                   / CAST((ag.nr - 1)
+                                          * CAST(ag.c1 AS HUGEINT)
+                                          * (ag.h * ag.nr - ag.c1)
+                                          AS DOUBLE) END,
+                         6) AS kripp_alpha
+            FROM ag CROSS JOIN dg
+        """,
+        "weighted_kappa": _DENSE_GRID_CTE + """
+            , b AS (SELECT event_type, hr,
+                           CAST(ntile(5) OVER (PARTITION BY event_type
+                                               ORDER BY c, hr)
+                                AS BIGINT) AS q
+                    FROM d),
+            j AS (SELECT x.event_type AS ta, y.event_type AS tb,
+                         x.q AS qa, y.q AS qb,
+                         CAST(count(*) AS BIGINT) AS o
+                  FROM b x JOIN b y ON y.hr = x.hr
+                                   AND x.event_type < y.event_type
+                  GROUP BY 1, 2, 3, 4),
+            ra AS (SELECT ta, tb, qa, CAST(sum(o) AS BIGINT) AS r
+                   FROM j GROUP BY 1, 2, 3),
+            cb AS (SELECT ta, tb, qb, CAST(sum(o) AS BIGINT) AS cc
+                   FROM j GROUP BY 1, 2, 3),
+            obs AS (SELECT ta, tb,
+                           CAST(sum(abs(qa - qb) * o) AS HUGEINT) AS ol,
+                           CAST(sum((qa - qb) * (qa - qb) * o)
+                                AS HUGEINT) AS oq
+                    FROM j GROUP BY 1, 2),
+            ex AS (SELECT r.ta, r.tb,
+                          CAST(sum(abs(r.qa - c.qb)
+                                   * CAST(r.r AS HUGEINT) * c.cc)
+                               AS HUGEINT) AS el,
+                          CAST(sum((r.qa - c.qb) * (r.qa - c.qb)
+                                   * CAST(r.r AS HUGEINT) * c.cc)
+                               AS HUGEINT) AS eq
+                   FROM ra r JOIN cb c ON c.ta = r.ta AND c.tb = r.tb
+                   GROUP BY 1, 2)
+            SELECT obs.ta AS type_a, obs.tb AS type_b,
+                   round(CASE WHEN ex.el = 0 THEN 0.0
+                              ELSE 1.0 - CAST(hh.hh * obs.ol AS DOUBLE)
+                                   / CAST(ex.el AS DOUBLE) END,
+                         6) AS kappa_lin,
+                   round(CASE WHEN ex.eq = 0 THEN 0.0
+                              ELSE 1.0 - CAST(hh.hh * obs.oq AS DOUBLE)
+                                   / CAST(ex.eq AS DOUBLE) END,
+                         6) AS kappa_quad
+            FROM obs JOIN ex ON ex.ta = obs.ta AND ex.tb = obs.tb
+                     CROSS JOIN hh
+            ORDER BY 1, 2
+        """,
+    }
+)

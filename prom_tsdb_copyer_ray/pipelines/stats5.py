@@ -25,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..stages.keyed import sharded_grouped_agg
-from .stats3 import _read, dense_hour_counts
+from .stats3 import _ntile_1based, _read, dense_hour_counts
 
 
 # ---------------------------------------------------------------------------
@@ -941,4 +941,118 @@ def q_yule_coefs(sf_dir: str):
     return pa.table({
         "yule_q": pa.array([round(q, 6)], pa.float64()),
         "yule_y": pa.array([round(y, 6)], pa.float64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# wave 17: multi-rater agreement over the dense hourly grid (types as
+# raters of hours; the agreement_coefs mean-binarization convention).
+# ---------------------------------------------------------------------------
+
+def q_fleiss_kappa(sf_dir: str):
+    """Fleiss' kappa across ALL types at once (multi-rater
+    generalization of the pairwise agreement_coefs): each type "rates"
+    each hour 1 iff its hourly count exceeds its own mean (exact
+    cross-multiplication c*H > S).  With A = sum_i sum_j n_ij^2 - H*n
+    and B = sum_j C_j^2, kappa = (A*H*n - B*(n-1)) /
+    ((n-1)*(H^2*n^2 - B)) — all exact integers to ONE mirrored
+    division (n = number of rater types)."""
+    series, big_h = dense_hour_counts(sf_dir)
+    types = sorted(series)
+    nr = len(types)
+    if nr < 2:
+        return pa.table({"n_raters": pa.array([nr], pa.int64()),
+                         "fleiss_kappa": pa.array([0.0], pa.float64())})
+    bits = np.stack([
+        (series[t] * big_h > int(series[t].sum())).astype(np.int64)
+        for t in types])
+    n1 = bits.sum(axis=0)
+    n0 = nr - n1
+    a_sum = int(np.dot(n1, n1) + np.dot(n0, n0)) - big_h * nr
+    c1 = int(n1.sum())
+    c0 = big_h * nr - c1
+    b_sum = c1 * c1 + c0 * c0
+    den = (nr - 1) * (big_h * big_h * nr * nr - b_sum)
+    kappa = (0.0 if den == 0
+             else float(a_sum * big_h * nr - b_sum * (nr - 1))
+             / float(den))
+    return pa.table({
+        "n_raters": pa.array([nr], pa.int64()),
+        "fleiss_kappa": pa.array([round(kappa, 6)], pa.float64()),
+    })
+
+
+def q_kripp_alpha(sf_dir: str):
+    """Krippendorff's alpha (nominal, binary, complete data) for the
+    same types-rate-hours panel: with pairable values N = H*n,
+    alpha = 1 - ((N-1) * sum_i n_i1*n_i0) / ((n-1) * C1 * C0) — the
+    coincidence-matrix form reduces to exact integers; 0.0 when a
+    margin is empty (undefined chance disagreement)."""
+    series, big_h = dense_hour_counts(sf_dir)
+    types = sorted(series)
+    nr = len(types)
+    if nr < 2:
+        return pa.table({"kripp_alpha": pa.array([0.0], pa.float64())})
+    bits = np.stack([
+        (series[t] * big_h > int(series[t].sum())).astype(np.int64)
+        for t in types])
+    n1 = bits.sum(axis=0)
+    n0 = nr - n1
+    disc = int(np.dot(n1, n0))
+    c1 = int(n1.sum())
+    c0 = big_h * nr - c1
+    big_n = big_h * nr
+    den = (nr - 1) * c1 * c0
+    alpha = (0.0 if den == 0
+             else 1.0 - float((big_n - 1) * disc) / float(den))
+    return pa.table({
+        "kripp_alpha": pa.array([round(alpha, 6)], pa.float64()),
+    })
+
+
+def q_weighted_kappa(sf_dir: str):
+    """Linear- and quadratic-weighted Cohen's kappa between every type
+    pair's quintile-coded hourly series (the rfm ntile remainder rule,
+    deterministic tie order (count, hr)): with joint census O over the
+    5x5 grid and margins R/C, kappa_w = 1 - H*sum w_ij*O_ij /
+    sum w_ij*R_i*C_j for disagreement weights w = |i-j| (linear) and
+    (i-j)^2 (quadratic) — exact integers to ONE mirrored division
+    each."""
+    series, big_h = dense_hour_counts(sf_dir)
+    types = sorted(series)
+    codes = {}
+    for t in types:
+        c = series[t]
+        order = np.lexsort((np.arange(big_h), c))  # (c, hr) mergesort
+        q = np.empty(big_h, np.int64)
+        for rank0, idx in enumerate(order):
+            q[idx] = _ntile_1based(rank0 + 1, big_h, 5)
+        codes[t] = q
+    out = {"type_a": [], "type_b": [], "kappa_lin": [], "kappa_quad": []}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            qa, qb = codes[ta], codes[tb]
+            joint = np.zeros((5, 5), np.int64)
+            np.add.at(joint, (qa - 1, qb - 1), 1)
+            rr = joint.sum(axis=1)
+            cc = joint.sum(axis=0)
+            idx = np.arange(5)
+            wl = np.abs(idx[:, None] - idx[None, :])
+            wq = wl * wl
+            o_lin = int((wl * joint).sum())
+            o_quad = int((wq * joint).sum())
+            e_lin = int((wl * np.outer(rr, cc)).sum())
+            e_quad = int((wq * np.outer(rr, cc)).sum())
+            kl = 0.0 if e_lin == 0 else 1.0 - float(big_h * o_lin) / float(e_lin)
+            kq = (0.0 if e_quad == 0
+                  else 1.0 - float(big_h * o_quad) / float(e_quad))
+            out["type_a"].append(ta)
+            out["type_b"].append(tb)
+            out["kappa_lin"].append(round(kl, 6))
+            out["kappa_quad"].append(round(kq, 6))
+    return pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "kappa_lin": pa.array(out["kappa_lin"], pa.float64()),
+        "kappa_quad": pa.array(out["kappa_quad"], pa.float64()),
     })

@@ -234,6 +234,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         "cucconi",
         # round-3 wave 16
         "cramers_v", "gk_tau", "yule_coefs",
+        # round-3 wave 17
+        "fleiss_kappa", "kripp_alpha", "weighted_kappa",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

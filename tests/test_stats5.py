@@ -552,3 +552,77 @@ def test_yule_coefs_degenerate_no_purchase(ray_session, tmp_path):
     got = q_yule_coefs(str(tmp_path)).to_pandas().iloc[0]
     assert got["yule_q"] == 0.0
     assert got["yule_y"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# wave 17: multi-rater agreement
+# ---------------------------------------------------------------------------
+
+def test_fleiss_kappa_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_fleiss_kappa
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_fleiss_kappa(str(tmp_path)).to_pandas().iloc[0]
+    dense = _dense(et, hrs)
+    big_h = len(next(iter(dense.values())))
+    bits = np.stack([(c * big_h > c.sum()).astype(np.int64)
+                     for _, c in sorted(dense.items())])
+    nr = bits.shape[0]
+    n1 = bits.sum(axis=0)
+    nij = np.stack([n1, nr - n1], axis=1).astype(np.float64)
+    p_i = ((nij ** 2).sum(axis=1) - nr) / (nr * (nr - 1))
+    p_bar = p_i.mean()
+    p_j = nij.sum(axis=0) / (big_h * nr)
+    p_e = (p_j ** 2).sum()
+    assert got["n_raters"] == nr
+    assert got["fleiss_kappa"] == pytest.approx(
+        (p_bar - p_e) / (1 - p_e), abs=1e-6)
+
+
+def test_kripp_alpha_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_kripp_alpha
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_kripp_alpha(str(tmp_path)).to_pandas().iloc[0]
+    dense = _dense(et, hrs)
+    big_h = len(next(iter(dense.values())))
+    bits = np.stack([(c * big_h > c.sum()).astype(np.int64)
+                     for _, c in sorted(dense.items())])
+    nr = bits.shape[0]
+    n1 = bits.sum(axis=0).astype(np.float64)
+    n0 = nr - n1
+    big_n = big_h * nr
+    d_o = 2 * (n1 * n0).sum() / (nr - 1)
+    c1, c0 = n1.sum(), n0.sum()
+    d_e = 2 * c1 * c0 / (big_n - 1)
+    assert got["kripp_alpha"] == pytest.approx(1 - d_o / d_e, abs=1e-6)
+
+
+def test_weighted_kappa_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats3 import _ntile_1based
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_weighted_kappa
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_weighted_kappa(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    big_h = len(next(iter(dense.values())))
+    codes = {}
+    for t, c in dense.items():
+        order = np.lexsort((np.arange(big_h), c))
+        q = np.empty(big_h, np.int64)
+        for r0, idx in enumerate(order):
+            q[idx] = _ntile_1based(r0 + 1, big_h, 5)
+        codes[t] = q
+    for _, r in got.iterrows():
+        qa, qb = codes[r["type_a"]], codes[r["type_b"]]
+        joint = np.zeros((5, 5), np.float64)
+        for i, j in zip(qa - 1, qb - 1):
+            joint[i, j] += 1
+        joint /= big_h
+        rr, cc = joint.sum(axis=1), joint.sum(axis=0)
+        idx = np.arange(5)
+        for wname, w in (("kappa_lin", np.abs(idx[:, None] - idx)),
+                         ("kappa_quad", (idx[:, None] - idx) ** 2)):
+            po = (w * joint).sum()
+            pe = (w * np.outer(rr, cc)).sum()
+            assert r[wname] == pytest.approx(1 - po / pe, abs=1e-6)
