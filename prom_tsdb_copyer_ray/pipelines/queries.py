@@ -14736,3 +14736,161 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Round-3 wave 18 (pipelines/stats5.py): signal-complexity family over
+# the dense hourly grid (Hjorth, SampEn, Katz FD, mean crossings).
+from .stats5 import (  # noqa: E402
+    q_hjorth_params,
+    q_katz_fd,
+    q_mean_crossings,
+    q_sample_entropy,
+)
+
+QUERIES.update({
+    "hjorth_params": q_hjorth_params,
+    "sample_entropy": q_sample_entropy,
+    "katz_fd": q_katz_fd,
+    "mean_crossings": q_mean_crossings,
+})
+
+ORACLE_SQL.update(
+    {
+        "hjorth_params": _DENSE_GRID_CTE + """
+            , dd AS (SELECT event_type, hr, c,
+                            lead(c) OVER w - c AS dx,
+                            lead(c, 2) OVER w - 2 * lead(c) OVER w
+                              + c AS ddx
+                     FROM d
+                     WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
+            ag AS (SELECT event_type,
+                          CAST(sum(CAST(c AS HUGEINT) * c)
+                               AS HUGEINT) AS s2,
+                          CAST(sum(c) AS HUGEINT) AS s1,
+                          CAST(sum(CASE WHEN dx IS NULL THEN 0
+                                        ELSE CAST(dx AS HUGEINT) * dx
+                                   END) AS HUGEINT) AS s2d1,
+                          CAST(sum(COALESCE(dx, 0)) AS HUGEINT) AS s1d1,
+                          CAST(sum(CASE WHEN ddx IS NULL THEN 0
+                                        ELSE CAST(ddx AS HUGEINT) * ddx
+                                   END) AS HUGEINT) AS s2d2,
+                          CAST(sum(COALESCE(ddx, 0)) AS HUGEINT) AS s1d2
+                   FROM dd GROUP BY 1),
+            nu AS (SELECT event_type, hh.hh AS h,
+                          hh.hh * s2 - s1 * s1 AS nu0,
+                          (hh.hh - 1) * s2d1 - s1d1 * s1d1 AS nu1,
+                          (hh.hh - 2) * s2d2 - s1d2 * s1d2 AS nu2
+                   FROM ag CROSS JOIN hh)
+            SELECT event_type,
+                   round(CAST(nu0 AS DOUBLE)
+                         / CAST(CAST(h AS HUGEINT) * h AS DOUBLE),
+                         6) AS activity,
+                   round(CASE WHEN nu0 = 0 THEN 0.0
+                              ELSE sqrt(CAST(nu1 * h * h AS DOUBLE)
+                                        / CAST(nu0 * (h - 1) * (h - 1)
+                                               AS DOUBLE)) END,
+                         6) AS mobility,
+                   round(CASE WHEN nu0 = 0 OR nu1 = 0 THEN 0.0
+                              ELSE sqrt(CAST(nu2 * (h - 1) * (h - 1)
+                                             AS DOUBLE)
+                                        / CAST(nu1 * (h - 2) * (h - 2)
+                                               AS DOUBLE))
+                                   / sqrt(CAST(nu1 * h * h AS DOUBLE)
+                                          / CAST(nu0 * (h - 1) * (h - 1)
+                                                 AS DOUBLE)) END,
+                         6) AS complexity
+            FROM nu ORDER BY 1
+        """,
+        "sample_entropy": _DENSE_GRID_CTE + """
+            , dif AS (SELECT event_type,
+                             abs(lead(c) OVER w - c) AS ad
+                      FROM d
+                      WINDOW w AS (PARTITION BY event_type
+                                   ORDER BY hr)),
+            rt AS (SELECT event_type,
+                          CAST(quantile_disc(ad, 0.5) AS BIGINT) AS r
+                   FROM dif WHERE ad IS NOT NULL GROUP BY 1),
+            tpl AS (SELECT event_type, hr, c AS c0,
+                           lead(c) OVER w AS c1,
+                           lead(c, 2) OVER w AS c2
+                    FROM d
+                    WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
+            t3 AS (SELECT * FROM tpl WHERE c2 IS NOT NULL),
+            j AS (SELECT a.event_type,
+                         CASE WHEN abs(a.c0 - b.c0) <= rt.r
+                                   AND abs(a.c1 - b.c1) <= rt.r
+                              THEN 1 ELSE 0 END AS mb,
+                         CASE WHEN abs(a.c0 - b.c0) <= rt.r
+                                   AND abs(a.c1 - b.c1) <= rt.r
+                                   AND abs(a.c2 - b.c2) <= rt.r
+                              THEN 1 ELSE 0 END AS ma
+                  FROM t3 a
+                  JOIN t3 b ON b.event_type = a.event_type
+                           AND b.hr > a.hr
+                  JOIN rt ON rt.event_type = a.event_type),
+            ag AS (SELECT event_type, CAST(sum(mb) AS BIGINT) AS b,
+                          CAST(sum(ma) AS BIGINT) AS a
+                   FROM j GROUP BY 1)
+            SELECT rt.event_type, rt.r AS r_tol, ag.b AS b_cnt,
+                   ag.a AS a_cnt,
+                   round(CASE WHEN ag.a = 0 OR ag.b = 0 THEN 0.0
+                              ELSE (CAST(floor(1e6 * ln(CAST(ag.b
+                                              AS DOUBLE))) AS BIGINT)
+                                    - CAST(floor(1e6 * ln(CAST(ag.a
+                                              AS DOUBLE))) AS BIGINT))
+                                   / 1e6 END, 6) AS sampen
+            FROM rt JOIN ag USING (event_type) ORDER BY 1
+        """,
+        "katz_fd": _DENSE_GRID_CTE + """
+            , dd AS (SELECT event_type, c,
+                            first_value(c) OVER w AS c0,
+                            lead(c) OVER w - c AS dx
+                     FROM d
+                     WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
+            ag AS (SELECT event_type,
+                          CAST(sum(abs(COALESCE(dx, 0))) AS BIGINT)
+                            AS l,
+                          CAST(max(abs(c - c0)) AS BIGINT) AS ext
+                   FROM dd GROUP BY 1),
+            ln3 AS (SELECT ag.event_type, ag.l, ag.ext,
+                           CAST(floor(1e6 * ln(CAST(hh.hh - 1
+                                    AS DOUBLE))) AS BIGINT) AS ln_n,
+                           CASE WHEN ag.ext = 0 THEN 0
+                                ELSE CAST(floor(1e6 * ln(CAST(ag.ext
+                                     AS DOUBLE))) AS BIGINT) END AS ln_d,
+                           CASE WHEN ag.l = 0 THEN 0
+                                ELSE CAST(floor(1e6 * ln(CAST(ag.l
+                                     AS DOUBLE))) AS BIGINT) END AS ln_l
+                    FROM ag CROSS JOIN hh WHERE hh.hh >= 2)
+            SELECT event_type,
+                   round(CASE WHEN l = 0 OR ext = 0
+                                   OR ln_n + ln_d - ln_l = 0 THEN 0.0
+                              ELSE CAST(ln_n AS DOUBLE)
+                                   / CAST(ln_n + ln_d - ln_l
+                                          AS DOUBLE) END,
+                         6) AS katz_fd
+            FROM ln3 ORDER BY 1
+        """,
+        "mean_crossings": _DENSE_GRID_CTE + """
+            , st AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS s1
+                     FROM d GROUP BY 1),
+            sg AS (SELECT d.event_type, d.hr,
+                          sign(hh.hh * d.c - st.s1) AS s
+                   FROM d JOIN st USING (event_type) CROSS JOIN hh),
+            pr AS (SELECT event_type, s,
+                          lead(s) OVER (PARTITION BY event_type
+                                        ORDER BY hr) AS s2
+                   FROM sg),
+            ag AS (SELECT event_type,
+                          CAST(sum(CASE WHEN s * s2 < 0
+                                        THEN 1 ELSE 0 END)
+                               AS BIGINT) AS cr
+                   FROM pr WHERE s2 IS NOT NULL GROUP BY 1)
+            SELECT ag.event_type, ag.cr AS crossings,
+                   round(CASE WHEN hh.hh < 2 THEN 0.0
+                              ELSE CAST(ag.cr AS DOUBLE)
+                                   / CAST(hh.hh - 1 AS DOUBLE) END,
+                         6) AS rate
+            FROM ag CROSS JOIN hh ORDER BY 1
+        """,
+    }
+)

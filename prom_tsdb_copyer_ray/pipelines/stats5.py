@@ -1056,3 +1056,153 @@ def q_weighted_kappa(sf_dir: str):
         "kappa_lin": pa.array(out["kappa_lin"], pa.float64()),
         "kappa_quad": pa.array(out["kappa_quad"], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 18: signal-complexity family over the dense hourly grid.
+# ---------------------------------------------------------------------------
+
+def _var_numerator(x: np.ndarray) -> int:
+    """Exact integer population-variance numerator n*S2 - S1^2 (the
+    common denominator n^2 is applied by the caller)."""
+    n = len(x)
+    return n * int(np.dot(x, x)) - int(x.sum()) ** 2
+
+
+def q_hjorth_params(sf_dir: str):
+    """Hjorth descriptors of each type's hourly series: activity =
+    population variance, mobility = sqrt(var(dx)/var(x)), complexity =
+    mobility(dx)/mobility(x).  Each variance keeps its exact integer
+    numerator nu_k (denominators H^2, (H-1)^2, (H-2)^2 cross-multiply
+    into the ratios), so mobility and complexity are mirrored
+    sqrt-of-exact-ratio chains."""
+    series, big_h = dense_hour_counts(sf_dir)
+    out = {"event_type": [], "activity": [], "mobility": [],
+           "complexity": []}
+    for et in sorted(series):
+        x = series[et]
+        d1 = np.diff(x)
+        d2 = np.diff(d1)
+        nu0 = _var_numerator(x) if big_h >= 3 else 0
+        nu1 = _var_numerator(d1) if big_h >= 3 else 0
+        nu2 = _var_numerator(d2) if big_h >= 3 else 0
+        act = float(nu0) / float(big_h * big_h)
+        mob = (0.0 if nu0 == 0
+               else math.sqrt(float(nu1 * big_h * big_h)
+                              / float(nu0 * (big_h - 1) * (big_h - 1))))
+        mob2 = (0.0 if nu1 == 0
+                else math.sqrt(float(nu2 * (big_h - 1) * (big_h - 1))
+                               / float(nu1 * (big_h - 2) * (big_h - 2))))
+        comp = 0.0 if mob == 0.0 else mob2 / mob
+        out["event_type"].append(et)
+        out["activity"].append(round(act, 6))
+        out["mobility"].append(round(mob, 6))
+        out["complexity"].append(round(comp, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "activity": pa.array(out["activity"], pa.float64()),
+        "mobility": pa.array(out["mobility"], pa.float64()),
+        "complexity": pa.array(out["complexity"], pa.float64()),
+    })
+
+
+def q_sample_entropy(sf_dir: str):
+    """Sample entropy SampEn(m=2, r) of each type's hourly series
+    (Richman-Moorman): both template lengths use the same H-2 starts;
+    B = pairs i<j with Chebyshev distance of the length-2 templates
+    <= r, A = same for length-3; r is the exact lower-median of the
+    absolute first differences (quantile_disc semantics,
+    sorted[ceil(n/2)-1]).  Counts are exact integers; SampEn is
+    reported through the micro-floored-ln protocol:
+    (floor(1e6*ln(B)) - floor(1e6*ln(A))) / 1e6."""
+    series, big_h = dense_hour_counts(sf_dir)
+    out = {"event_type": [], "r_tol": [], "b_cnt": [], "a_cnt": [],
+           "sampen": []}
+    for et in sorted(series):
+        x = series[et]
+        ad = np.sort(np.abs(np.diff(x)))
+        r = int(ad[(len(ad) + 1) // 2 - 1]) if len(ad) else 0
+        n_t = big_h - 2
+        if n_t < 2:
+            b_cnt = a_cnt = 0
+        else:
+            x0 = x[:n_t]
+            x1 = x[1:n_t + 1]
+            x2 = x[2:n_t + 2]
+            d0 = np.abs(x0[:, None] - x0[None, :]) <= r
+            d1 = np.abs(x1[:, None] - x1[None, :]) <= r
+            d2 = np.abs(x2[:, None] - x2[None, :]) <= r
+            iu = np.triu_indices(n_t, k=1)
+            m2 = (d0 & d1)[iu]
+            b_cnt = int(m2.sum())
+            a_cnt = int((m2 & d2[iu]).sum())
+        if a_cnt == 0 or b_cnt == 0:
+            se = 0.0
+        else:
+            se = (math.floor(1e6 * math.log(float(b_cnt)))
+                  - math.floor(1e6 * math.log(float(a_cnt)))) / 1e6
+        out["event_type"].append(et)
+        out["r_tol"].append(r)
+        out["b_cnt"].append(b_cnt)
+        out["a_cnt"].append(a_cnt)
+        out["sampen"].append(round(se, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "r_tol": pa.array(out["r_tol"], pa.int64()),
+        "b_cnt": pa.array(out["b_cnt"], pa.int64()),
+        "a_cnt": pa.array(out["a_cnt"], pa.int64()),
+        "sampen": pa.array(out["sampen"], pa.float64()),
+    })
+
+
+def q_katz_fd(sf_dir: str):
+    """Katz fractal dimension of each type's hourly series:
+    KFD = ln(n) / (ln(n) + ln(d) - ln(L)) with n = H-1 steps, total
+    path length L = sum |dx| and extent d = max |x_i - x_0| — all
+    three logs of exact integers micro-floored (the bm25 protocol),
+    then ONE mirrored integer division."""
+    series, big_h = dense_hour_counts(sf_dir)
+    out = {"event_type": [], "katz_fd": []}
+    for et in sorted(series):
+        x = series[et]
+        big_l = int(np.abs(np.diff(x)).sum())
+        d = int(np.abs(x - x[0]).max())
+        n = big_h - 1
+        if big_l == 0 or d == 0 or n < 1:
+            k = 0.0
+        else:
+            ln_n = math.floor(1e6 * math.log(float(n)))
+            ln_d = math.floor(1e6 * math.log(float(d)))
+            ln_l = math.floor(1e6 * math.log(float(big_l)))
+            den = ln_n + ln_d - ln_l
+            k = 0.0 if den == 0 else float(ln_n) / float(den)
+        out["event_type"].append(et)
+        out["katz_fd"].append(round(k, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "katz_fd": pa.array(out["katz_fd"], pa.float64()),
+    })
+
+
+def q_mean_crossings(sf_dir: str):
+    """Mean-crossing count and rate of each type's hourly series: with
+    exact signs s_i = sign(H*x_i - S1) (cross-multiplication, no
+    float mean), crossings = #{i : s_i * s_{i+1} < 0} — strict sign
+    flips only, zeros break runs without counting.  rate =
+    crossings/(H-1) as one mirrored division."""
+    series, big_h = dense_hour_counts(sf_dir)
+    out = {"event_type": [], "crossings": [], "rate": []}
+    for et in sorted(series):
+        x = series[et]
+        s1 = int(x.sum())
+        s = np.sign(big_h * x.astype(object) - s1).astype(np.int64)
+        cross = int(((s[:-1] * s[1:]) < 0).sum())
+        rate = 0.0 if big_h < 2 else float(cross) / float(big_h - 1)
+        out["event_type"].append(et)
+        out["crossings"].append(cross)
+        out["rate"].append(round(rate, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "crossings": pa.array(out["crossings"], pa.int64()),
+        "rate": pa.array(out["rate"], pa.float64()),
+    })

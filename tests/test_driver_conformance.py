@@ -236,6 +236,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         "cramers_v", "gk_tau", "yule_coefs",
         # round-3 wave 17
         "fleiss_kappa", "kripp_alpha", "weighted_kappa",
+        # round-3 wave 18
+        "hjorth_params", "sample_entropy", "katz_fd", "mean_crossings",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

@@ -626,3 +626,79 @@ def test_weighted_kappa_matches_bruteforce(ray_session, tmp_path):
             po = (w * joint).sum()
             pe = (w * np.outer(rr, cc)).sum()
             assert r[wname] == pytest.approx(1 - po / pe, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# wave 18: signal complexity
+# ---------------------------------------------------------------------------
+
+def test_hjorth_params_match_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_hjorth_params
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_hjorth_params(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    for _, r in got.iterrows():
+        x = dense[r["event_type"]].astype(np.float64)
+        d1, d2 = np.diff(x), np.diff(np.diff(x))
+        v0, v1, v2 = x.var(), d1.var(), d2.var()
+        mob = np.sqrt(v1 / v0)
+        assert r["activity"] == pytest.approx(v0, abs=1e-4)
+        assert r["mobility"] == pytest.approx(mob, abs=1e-5)
+        assert r["complexity"] == pytest.approx(
+            np.sqrt(v2 / v1) / mob, abs=1e-5)
+
+
+def test_sample_entropy_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_sample_entropy
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_sample_entropy(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    for _, r in got.iterrows():
+        x = dense[r["event_type"]].astype(np.int64)
+        ad = np.sort(np.abs(np.diff(x)))
+        tol = int(ad[(len(ad) + 1) // 2 - 1])
+        assert r["r_tol"] == tol
+        n_t = len(x) - 2
+        b = a = 0
+        for i in range(n_t):
+            for j in range(i + 1, n_t):
+                if (abs(x[i] - x[j]) <= tol
+                        and abs(x[i + 1] - x[j + 1]) <= tol):
+                    b += 1
+                    if abs(x[i + 2] - x[j + 2]) <= tol:
+                        a += 1
+        assert r["b_cnt"] == b
+        assert r["a_cnt"] == a
+        if a and b:
+            assert r["sampen"] == pytest.approx(np.log(b / a), abs=1e-5)
+
+
+def test_katz_fd_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_katz_fd
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_katz_fd(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    for _, r in got.iterrows():
+        x = dense[r["event_type"]].astype(np.float64)
+        ll = np.abs(np.diff(x)).sum()
+        ext = np.abs(x - x[0]).max()
+        n = len(x) - 1
+        ref = np.log(n) / (np.log(n) + np.log(ext) - np.log(ll))
+        assert r["katz_fd"] == pytest.approx(ref, abs=1e-4)
+
+
+def test_mean_crossings_match_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_mean_crossings
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_mean_crossings(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    for _, r in got.iterrows():
+        x = dense[r["event_type"]].astype(np.float64)
+        s = np.sign(x - x.mean())
+        cr = int(((s[:-1] * s[1:]) < 0).sum())
+        assert r["crossings"] == cr
+        assert r["rate"] == pytest.approx(cr / (len(x) - 1), abs=1e-6)
