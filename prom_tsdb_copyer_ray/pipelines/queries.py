@@ -14894,3 +14894,100 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Round-3 wave 19 (pipelines/stats5.py): robust scale estimators over
+# the cent-value census.
+from .stats5 import q_gini_mean_diff, q_qn_scale, q_robust_spread  # noqa: E402
+
+QUERIES.update({
+    "gini_mean_diff": q_gini_mean_diff,
+    "robust_spread": q_robust_spread,
+    "qn_scale": q_qn_scale,
+})
+
+ORACLE_SQL.update(
+    {
+        "gini_mean_diff": _CENT_CENSUS_CTE + """
+            , cums AS (SELECT event_type, cv, n,
+                              sum(n) OVER w - n AS walt,
+                              sum(n * cv) OVER w - n * cv AS salt
+                       FROM cs
+                       WINDOW w AS (PARTITION BY event_type
+                                    ORDER BY cv)),
+            ag AS (SELECT event_type,
+                          CAST(sum(CAST(n AS HUGEINT)
+                                   * (cv * walt - salt))
+                               AS HUGEINT) AS gaa
+                   FROM cums GROUP BY 1),
+            tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS nn,
+                           CAST(sum(n * cv) AS HUGEINT) AS s1
+                    FROM cs GROUP BY 1)
+            SELECT tot.event_type,
+                   round(CASE WHEN nn < 2 THEN 0.0
+                              ELSE CAST(2 * gaa AS DOUBLE)
+                                   / CAST(CAST(nn AS HUGEINT)
+                                          * (nn - 1) AS DOUBLE) END,
+                         6) AS gmd_cents,
+                   round(CASE WHEN nn < 2 OR s1 = 0 THEN 0.0
+                              ELSE CAST(2 * gaa AS DOUBLE)
+                                   / CAST((nn - 1) * s1 AS DOUBLE) END,
+                         6) AS gmd_rel
+            FROM tot JOIN ag USING (event_type) ORDER BY 1
+        """,
+        "robust_spread": """
+            WITH s AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cv
+                       FROM events),
+            m AS (SELECT event_type,
+                         CAST(quantile_disc(cv, 0.5) AS BIGINT) AS med,
+                         CAST(quantile_disc(cv, 0.25) AS BIGINT) AS q1,
+                         CAST(quantile_disc(cv, 0.75) AS BIGINT) AS q3
+                  FROM s GROUP BY 1),
+            md AS (SELECT s.event_type,
+                          CAST(quantile_disc(abs(s.cv - m.med), 0.5)
+                               AS BIGINT) AS mad
+                   FROM s JOIN m USING (event_type) GROUP BY 1)
+            SELECT m.event_type, m.med AS med_cents, md.mad AS mad_cents,
+                   m.q1 AS q1_cents, m.q3 AS q3_cents,
+                   m.q3 - m.q1 AS iqr_cents,
+                   round(CASE WHEN m.q3 + m.q1 = 0 THEN 0.0
+                              ELSE CAST(m.q3 - m.q1 AS DOUBLE)
+                                   / CAST(m.q3 + m.q1 AS DOUBLE) END,
+                         6) AS qcd
+            FROM m JOIN md USING (event_type) ORDER BY 1
+        """,
+        "qn_scale": _CENT_CENSUS_CTE + """
+            , z AS (SELECT event_type,
+                           CAST(sum(n * (n - 1) / 2) AS HUGEINT) AS w0
+                    FROM cs GROUP BY 1),
+            pj AS (SELECT a.event_type, b.cv - a.cv AS dif,
+                          CAST(a.n AS HUGEINT) * b.n AS w
+                   FROM cs a JOIN cs b ON b.event_type = a.event_type
+                                      AND b.cv > a.cv),
+            allw AS (SELECT event_type, dif,
+                            CAST(sum(w) AS HUGEINT) AS w
+                     FROM pj GROUP BY 1, 2
+                     UNION ALL
+                     SELECT event_type, 0 AS dif, w0 AS w
+                     FROM z WHERE w0 > 0),
+            cum AS (SELECT event_type, dif,
+                           sum(w) OVER (PARTITION BY event_type
+                                        ORDER BY dif) AS cw
+                    FROM allw),
+            nn AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n
+                   FROM cs GROUP BY 1),
+            kk AS (SELECT event_type, n,
+                          CAST(n // 2 + 1 AS HUGEINT) * (n // 2) / 2
+                            AS k
+                   FROM nn),
+            sel AS (SELECT c.event_type, min(c.dif) AS qn
+                    FROM cum c JOIN kk ON kk.event_type = c.event_type
+                                      AND c.cw >= kk.k
+                    GROUP BY 1)
+            SELECT kk.event_type, kk.n,
+                   CASE WHEN kk.n < 2 THEN 0
+                        ELSE COALESCE(sel.qn, 0) END AS qn_cents
+            FROM kk LEFT JOIN sel USING (event_type) ORDER BY 1
+        """,
+    }
+)

@@ -1206,3 +1206,125 @@ def q_mean_crossings(sf_dir: str):
         "crossings": pa.array(out["crossings"], pa.int64()),
         "rate": pa.array(out["rate"], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 19: robust scale estimators over the cent-value census.
+# ---------------------------------------------------------------------------
+
+def _order_stat(vals: np.ndarray, cnts: np.ndarray, k: int) -> int:
+    """Exact k-th (1-based) order statistic from a sorted census."""
+    cum = np.cumsum(cnts)
+    return int(vals[int(np.searchsorted(cum, k))])
+
+
+def q_gini_mean_diff(sf_dir: str):
+    """Gini mean difference per type (U-statistic convention):
+    GMD = 2 * sum_{i<j} |x_i - x_j| / (n*(n-1)), with the pairwise-sum
+    computed in O(support) from the census via the strictly-below
+    cumulative identity (the energy_distance gaa term), plus the
+    relative GMD (= GMD/mean = 2*gaa / ((n-1)*S1), twice the Gini
+    coefficient).  Exact integers to one mirrored division each."""
+    prof = _cent_profiles(sf_dir)
+    out = {"event_type": [], "gmd_cents": [], "gmd_rel": []}
+    for et in sorted(prof):
+        v, a = prof[et]
+        n = int(a.sum())
+        wa_lt = np.cumsum(a) - a
+        sa_lt = np.cumsum(v * a) - v * a
+        gaa = sum(int(aa) * (int(vv) * int(w) - int(s))
+                  for aa, vv, w, s in zip(a, v, wa_lt, sa_lt))
+        s1 = int(np.dot(v, a))
+        gmd = (0.0 if n < 2
+               else float(2 * gaa) / float(n * (n - 1)))
+        rel = (0.0 if n < 2 or s1 == 0
+               else float(2 * gaa) / float((n - 1) * s1))
+        out["event_type"].append(et)
+        out["gmd_cents"].append(round(gmd, 6))
+        out["gmd_rel"].append(round(rel, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "gmd_cents": pa.array(out["gmd_cents"], pa.float64()),
+        "gmd_rel": pa.array(out["gmd_rel"], pa.float64()),
+    })
+
+
+def q_robust_spread(sf_dir: str):
+    """Median / MAD / quartile spread per type in exact cents —
+    quantile_disc semantics (sorted[ceil(q*n)-1]) throughout, the MAD
+    re-censuses |cv - med|; qcd = (Q3-Q1)/(Q3+Q1) is the one mirrored
+    division."""
+    prof = _cent_profiles(sf_dir)
+    out = {"event_type": [], "med_cents": [], "mad_cents": [],
+           "q1_cents": [], "q3_cents": [], "iqr_cents": [], "qcd": []}
+    for et in sorted(prof):
+        v, a = prof[et]
+        n = int(a.sum())
+        med = _order_stat(v, a, -(-n // 2))
+        q1 = _order_stat(v, a, -(-n // 4))
+        q3 = _order_stat(v, a, -(-(3 * n) // 4))
+        av = np.abs(v - med)
+        order = np.argsort(av, kind="mergesort")
+        mad = _order_stat(av[order], a[order], -(-n // 2))
+        qcd = (0.0 if q3 + q1 == 0
+               else float(q3 - q1) / float(q3 + q1))
+        out["event_type"].append(et)
+        out["med_cents"].append(med)
+        out["mad_cents"].append(mad)
+        out["q1_cents"].append(q1)
+        out["q3_cents"].append(q3)
+        out["iqr_cents"].append(q3 - q1)
+        out["qcd"].append(round(qcd, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "med_cents": pa.array(out["med_cents"], pa.int64()),
+        "mad_cents": pa.array(out["mad_cents"], pa.int64()),
+        "q1_cents": pa.array(out["q1_cents"], pa.int64()),
+        "q3_cents": pa.array(out["q3_cents"], pa.int64()),
+        "iqr_cents": pa.array(out["iqr_cents"], pa.int64()),
+        "qcd": pa.array(out["qcd"], pa.float64()),
+    })
+
+
+def q_qn_scale(sf_dir: str):
+    """Rousseeuw-Croux Qn per type (raw order statistic, no
+    consistency constant): the k-th smallest of the C(n,2) pairwise
+    absolute differences, k = C(h,2) with h = n//2 + 1 — found by
+    integer binary search over d with the O(support) census count
+    N(d) = sum_v a_v*(cum(v+d) - cum(v)) + sum_v C(a_v, 2); the
+    pairwise multiset is never materialized (the hodges_lehmann
+    probe pattern).  Exact integer output (cents)."""
+    prof = _cent_profiles(sf_dir)
+    out = {"event_type": [], "n": [], "qn_cents": []}
+    for et in sorted(prof):
+        v, a = prof[et]
+        n = int(a.sum())
+        if n < 2:
+            qn = 0
+        else:
+            h = n // 2 + 1
+            k = h * (h - 1) // 2
+            cum = np.cumsum(a)
+            within = int((a.astype(object) * (a - 1) // 2).sum())
+
+            def n_le(d: int) -> int:
+                hi = np.searchsorted(v, v + d, side="right")
+                between = int(np.dot(a, cum[hi - 1] - cum))
+                return between + within
+
+            lo_d, hi_d = 0, int(v[-1] - v[0])
+            while lo_d < hi_d:
+                mid = (lo_d + hi_d) // 2
+                if n_le(mid) >= k:
+                    hi_d = mid
+                else:
+                    lo_d = mid + 1
+            qn = lo_d
+        out["event_type"].append(et)
+        out["n"].append(n)
+        out["qn_cents"].append(qn)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+        "qn_cents": pa.array(out["qn_cents"], pa.int64()),
+    })

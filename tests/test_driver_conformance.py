@@ -238,6 +238,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         "fleiss_kappa", "kripp_alpha", "weighted_kappa",
         # round-3 wave 18
         "hjorth_params", "sample_entropy", "katz_fd", "mean_crossings",
+        # round-3 wave 19
+        "gini_mean_diff", "robust_spread", "qn_scale",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

@@ -702,3 +702,60 @@ def test_mean_crossings_match_bruteforce(ray_session, tmp_path):
         cr = int(((s[:-1] * s[1:]) < 0).sum())
         assert r["crossings"] == cr
         assert r["rate"] == pytest.approx(cr / (len(x) - 1), abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# wave 19: robust scale
+# ---------------------------------------------------------------------------
+
+def test_gini_mean_diff_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_gini_mean_diff
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    got = q_gini_mean_diff(str(tmp_path)).to_pandas()
+    by = _cents_by_type(et, vals)
+    for _, r in got.iterrows():
+        x = by[r["event_type"]].astype(np.float64)
+        n = len(x)
+        pair_sum = np.abs(x[:, None] - x[None, :]).sum() / 2
+        gmd = 2 * pair_sum / (n * (n - 1))
+        assert r["gmd_cents"] == pytest.approx(gmd, rel=1e-9, abs=1e-5)
+        assert r["gmd_rel"] == pytest.approx(gmd / x.mean(), abs=1e-6)
+
+
+def test_robust_spread_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_robust_spread
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    got = q_robust_spread(str(tmp_path)).to_pandas()
+    by = _cents_by_type(et, vals)
+    for _, r in got.iterrows():
+        x = np.sort(by[r["event_type"]])
+        n = len(x)
+        med = x[-(-n // 2) - 1]
+        q1 = x[-(-n // 4) - 1]
+        q3 = x[-(-(3 * n) // 4) - 1]
+        mad = np.sort(np.abs(x - med))[-(-n // 2) - 1]
+        assert r["med_cents"] == med
+        assert r["mad_cents"] == mad
+        assert r["q1_cents"] == q1
+        assert r["q3_cents"] == q3
+        assert r["iqr_cents"] == q3 - q1
+        assert r["qcd"] == pytest.approx((q3 - q1) / (q3 + q1), abs=1e-6)
+
+
+def test_qn_scale_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_qn_scale
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    got = q_qn_scale(str(tmp_path)).to_pandas()
+    by = _cents_by_type(et, vals)
+    for _, r in got.iterrows():
+        x = by[r["event_type"]]
+        n = len(x)
+        iu = np.triu_indices(n, k=1)
+        diffs = np.sort(np.abs(x[:, None] - x[None, :])[iu])
+        h = n // 2 + 1
+        k = h * (h - 1) // 2
+        assert r["n"] == n
+        assert r["qn_cents"] == diffs[k - 1]
