@@ -14991,3 +14991,81 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Round-3 wave 20 (pipelines/stats5.py): vocabulary richness estimators
+# over the freq-of-freq census.
+from .stats5 import (  # noqa: E402
+    q_brillouin_index,
+    q_jackknife_richness,
+    q_menhinick_dugast,
+)
+
+QUERIES.update({
+    "jackknife_richness": q_jackknife_richness,
+    "menhinick_dugast": q_menhinick_dugast,
+    "brillouin_index": q_brillouin_index,
+})
+
+ORACLE_SQL.update(
+    {
+        "jackknife_richness": _FF_CTE + """
+            SELECT v AS vocab,
+                   round(CASE WHEN n < 2 THEN CAST(v AS DOUBLE)
+                              ELSE CAST(v AS DOUBLE)
+                                   + CAST(v1 * (n - 1) AS DOUBLE)
+                                     / CAST(n AS DOUBLE) END,
+                         6) AS jack1,
+                   round(CASE WHEN n < 2 THEN CAST(v AS DOUBLE)
+                              ELSE CAST(v AS DOUBLE)
+                                   + CAST(v1 * (2 * n - 3) AS DOUBLE)
+                                     / CAST(n AS DOUBLE)
+                                   - CAST(v2 * (n - 2) * (n - 2)
+                                          AS DOUBLE)
+                                     / CAST(n * (n - 1) AS DOUBLE) END,
+                         6) AS jack2
+            FROM agg
+        """,
+        "menhinick_dugast": _FF_CTE + """
+            , lns AS (SELECT n, v,
+                             CAST(floor(1e6 * ln(CAST(n AS DOUBLE)))
+                                  AS BIGINT) AS ln_n,
+                             CAST(floor(1e6 * ln(CAST(greatest(v, 1)
+                                      AS DOUBLE))) AS BIGINT) AS ln_v
+                      FROM agg)
+            SELECT v AS vocab,
+                   round(CASE WHEN n = 0 THEN 0.0
+                              ELSE CAST(v AS DOUBLE)
+                                   / sqrt(CAST(n AS DOUBLE)) END,
+                         6) AS menhinick,
+                   round(CASE WHEN n < 2 OR v < 2 OR v = n
+                                   OR ln_n = ln_v THEN 0.0
+                              ELSE CAST(ln_n * ln_n AS DOUBLE)
+                                   / CAST(1000000 * (ln_n - ln_v)
+                                          AS DOUBLE) END,
+                         6) AS dugast_uber
+            FROM lns
+        """,
+        "brillouin_index": _FF_CTE + """
+            , ls AS (SELECT i,
+                            CAST(floor(1e6 * ln(CAST(i AS DOUBLE)))
+                                 AS BIGINT) AS l
+                     FROM (SELECT unnest(generate_series(2,
+                                  (SELECT n FROM agg))) AS i)),
+            lfc AS (SELECT i, CAST(sum(l) OVER (ORDER BY i)
+                                   AS HUGEINT) AS lf
+                    FROM ls),
+            lfn AS (SELECT lf FROM lfc
+                    WHERE i = (SELECT n FROM agg)),
+            st AS (SELECT CAST(COALESCE(sum(lfc.lf), 0) AS HUGEINT) AS s
+                   FROM cs JOIN lfc ON lfc.i = cs.m)
+            SELECT agg.n AS n_tokens,
+                   round(CASE WHEN agg.n < 2 THEN 0.0
+                              ELSE CAST(lfn.lf - st.s AS DOUBLE)
+                                   / CAST(1000000 *
+                                          CAST(agg.n AS HUGEINT)
+                                          AS DOUBLE) END,
+                         6) AS brillouin
+            FROM agg CROSS JOIN lfn CROSS JOIN st
+        """,
+    }
+)

@@ -1328,3 +1328,100 @@ def q_qn_scale(sf_dir: str):
         "n": pa.array(out["n"], pa.int64()),
         "qn_cents": pa.array(out["qn_cents"], pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 20: vocabulary richness estimators over the freq-of-freq census
+# (the chao1/ace substrate — stats4.freq_of_freq).
+# ---------------------------------------------------------------------------
+
+def q_jackknife_richness(sf_dir: str):
+    """First- and second-order jackknife richness estimators of the
+    unseen vocabulary (Burnham-Overton, abundance form):
+    jack1 = V + V1*(N-1)/N and
+    jack2 = V + V1*(2N-3)/N - V2*(N-2)^2/(N*(N-1)) — exact integer
+    terms, mirrored left-to-right double chains."""
+    from .stats4 import freq_of_freq
+
+    f = freq_of_freq(sf_dir)
+    n, v, v1, v2 = f["n"], f["v"], f["v1"], f["v2"]
+    if n < 2:
+        j1 = j2 = float(v)
+    else:
+        j1 = float(v) + float(v1 * (n - 1)) / float(n)
+        j2 = (float(v) + float(v1 * (2 * n - 3)) / float(n)
+              - float(v2 * (n - 2) * (n - 2)) / float(n * (n - 1)))
+    return pa.table({
+        "vocab": pa.array([v], pa.int64()),
+        "jack1": pa.array([round(j1, 6)], pa.float64()),
+        "jack2": pa.array([round(j2, 6)], pa.float64()),
+    })
+
+
+def q_menhinick_dugast(sf_dir: str):
+    """Menhinick richness R = V/sqrt(N) (mirrored sqrt) and Dugast's
+    Uber index U = ln(N)^2 / (ln N - ln V) through the micro-floored-ln
+    protocol: U = (ln_n*ln_n) / (1e6*(ln_n - ln_v)) over the floored
+    integer logs — one mirrored division; 0.0 when V = N or V < 2."""
+    from .stats4 import freq_of_freq
+
+    f = freq_of_freq(sf_dir)
+    n, v = f["n"], f["v"]
+    men = 0.0 if n == 0 else float(v) / math.sqrt(float(n))
+    if n < 2 or v < 2 or v == n:
+        uber = 0.0
+    else:
+        ln_n = math.floor(1e6 * math.log(float(n)))
+        ln_v = math.floor(1e6 * math.log(float(v)))
+        uber = (0.0 if ln_n == ln_v
+                else float(ln_n * ln_n) / float(1000000 * (ln_n - ln_v)))
+    return pa.table({
+        "vocab": pa.array([v], pa.int64()),
+        "menhinick": pa.array([round(men, 6)], pa.float64()),
+        "dugast_uber": pa.array([round(uber, 6)], pa.float64()),
+    })
+
+
+def q_brillouin_index(sf_dir: str):
+    """Brillouin diversity of the term distribution:
+    H_B = (ln N! - sum_m V_m * ln m!) / N, with every log factorial
+    expanded as the exact integer sum of micro-floored logs
+    LF(k) = sum_{i=2..k} floor(1e6*ln i) (identical single-libm floors
+    on both engines) — exact integers to ONE mirrored division."""
+    import re
+    from collections import Counter
+
+    word_re = re.compile(r"[A-Za-z]+")
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            counts.update(m.lower() for m in word_re.findall(t or ""))
+        terms = list(counts.keys())
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "n": pa.array([counts[t] for t in terms], pa.int64()),
+        })
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["term"], [("n", "sum")], num_shards=16,
+    ).to_pandas()
+    m_arr = census["n"].to_numpy(np.int64)
+    big_n = int(m_arr.sum())
+    if big_n < 2:
+        hb = 0.0
+    else:
+        max_m = int(m_arr.max())
+        lf = [0, 0]  # LF(0) = LF(1) = 0
+        acc = 0
+        for i in range(2, max(max_m, big_n) + 1):
+            acc += math.floor(1e6 * math.log(float(i)))
+            lf.append(acc)
+        num = lf[big_n] - sum(lf[int(m)] for m in m_arr)
+        hb = float(num) / float(1000000 * big_n)
+    return pa.table({
+        "n_tokens": pa.array([big_n], pa.int64()),
+        "brillouin": pa.array([round(hb, 6)], pa.float64()),
+    })

@@ -240,6 +240,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         "hjorth_params", "sample_entropy", "katz_fd", "mean_crossings",
         # round-3 wave 19
         "gini_mean_diff", "robust_spread", "qn_scale",
+        # round-3 wave 20
+        "jackknife_richness", "menhinick_dugast", "brillouin_index",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

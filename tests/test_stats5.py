@@ -759,3 +759,69 @@ def test_qn_scale_matches_bruteforce(ray_session, tmp_path):
         k = h * (h - 1) // 2
         assert r["n"] == n
         assert r["qn_cents"] == diffs[k - 1]
+
+
+# ---------------------------------------------------------------------------
+# wave 20: vocabulary richness estimators
+# ---------------------------------------------------------------------------
+
+def _docs_fixture(tmp_path, seed=29, n_docs=60):
+    rng = np.random.default_rng(seed)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa", "lonely", "rare"]
+    probs = np.array([20, 15, 12, 9, 7, 5, 4, 3, 2, 1, 0.5, 0.5])
+    probs = probs / probs.sum()
+    texts = [" ".join(rng.choice(words, size=rng.integers(5, 40),
+                                 p=probs)) for _ in range(n_docs)]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+        "url": pa.array([f"http://x/{i}" for i in range(n_docs)]),
+        "lang": pa.array(["en"] * n_docs),
+        "text": pa.array(texts),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "documents.parquet"))
+    from collections import Counter
+    c = Counter()
+    for s in texts:
+        c.update(w.lower() for w in s.split())
+    return c
+
+
+def test_jackknife_richness_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_jackknife_richness
+
+    c = _docs_fixture(tmp_path)
+    got = q_jackknife_richness(str(tmp_path)).to_pandas().iloc[0]
+    n = sum(c.values())
+    v = len(c)
+    v1 = sum(1 for x in c.values() if x == 1)
+    v2 = sum(1 for x in c.values() if x == 2)
+    assert got["vocab"] == v
+    assert got["jack1"] == pytest.approx(v + v1 * (n - 1) / n, abs=1e-5)
+    assert got["jack2"] == pytest.approx(
+        v + v1 * (2 * n - 3) / n - v2 * (n - 2) ** 2 / (n * (n - 1)),
+        abs=1e-5)
+
+
+def test_menhinick_dugast_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_menhinick_dugast
+
+    c = _docs_fixture(tmp_path)
+    got = q_menhinick_dugast(str(tmp_path)).to_pandas().iloc[0]
+    n = sum(c.values())
+    v = len(c)
+    assert got["menhinick"] == pytest.approx(v / np.sqrt(n), abs=1e-6)
+    assert got["dugast_uber"] == pytest.approx(
+        np.log(n) ** 2 / (np.log(n) - np.log(v)), abs=1e-4)
+
+
+def test_brillouin_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_brillouin_index
+
+    c = _docs_fixture(tmp_path)
+    got = q_brillouin_index(str(tmp_path)).to_pandas().iloc[0]
+    n = sum(c.values())
+    ref = (math.lgamma(n + 1)
+           - sum(math.lgamma(m + 1) for m in c.values())) / n
+    assert got["n_tokens"] == n
+    assert got["brillouin"] == pytest.approx(ref, abs=1e-4)
