@@ -15069,3 +15069,147 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Round-3 wave 21 (pipelines/stats5.py): bivariate dependence between
+# aligned hourly type pairs (Hoeffding D, Blomqvist beta, dCor).
+from .stats5 import q_blomqvist_beta, q_dcor, q_hoeffding_d  # noqa: E402
+
+QUERIES.update({
+    "hoeffding_d": q_hoeffding_d,
+    "blomqvist_beta": q_blomqvist_beta,
+    "dcor": q_dcor,
+})
+
+_PAIR_HOURS_CTE = _DENSE_GRID_CTE + """
+            , p AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                           a.hr, a.c AS x, b.c AS y
+                    FROM d a JOIN d b ON b.hr = a.hr
+                                     AND a.event_type < b.event_type)
+"""
+
+ORACLE_SQL.update(
+    {
+        "hoeffding_d": _PAIR_HOURS_CTE + """
+            , rk AS (SELECT ta, tb, hr,
+                            2 * (rank() OVER (PARTITION BY ta, tb
+                                              ORDER BY x) - 1)
+                              + count(*) OVER (PARTITION BY ta, tb, x)
+                              + 1 AS r2,
+                            2 * (rank() OVER (PARTITION BY ta, tb
+                                              ORDER BY y) - 1)
+                              + count(*) OVER (PARTITION BY ta, tb, y)
+                              + 1 AS s2
+                     FROM p),
+            qc AS (SELECT a.ta, a.tb, a.hr,
+                          4 + CAST(sum(CASE
+                                WHEN b.x < a.x AND b.y < a.y THEN 4
+                                WHEN b.x = a.x AND b.y < a.y
+                                     AND b.hr <> a.hr THEN 2
+                                WHEN b.x < a.x AND b.y = a.y THEN 2
+                                WHEN b.x = a.x AND b.y = a.y
+                                     AND b.hr <> a.hr THEN 1
+                                ELSE 0 END) AS BIGINT) AS q4
+                   FROM p a JOIN p b ON b.ta = a.ta AND b.tb = a.tb
+                   GROUP BY 1, 2, 3),
+            ag AS (SELECT rk.ta, rk.tb,
+                          CAST(sum(CAST(q.q4 - 4 AS HUGEINT)
+                                   * (q.q4 - 8)) AS HUGEINT) AS a1,
+                          CAST(sum(CAST(rk.r2 - 2 AS HUGEINT)
+                                   * (rk.r2 - 4) * (rk.s2 - 2)
+                                   * (rk.s2 - 4)) AS HUGEINT) AS a2,
+                          CAST(sum(CAST(rk.r2 - 4 AS HUGEINT)
+                                   * (rk.s2 - 4) * (q.q4 - 4))
+                               AS HUGEINT) AS a3
+                   FROM rk JOIN qc q ON q.ta = rk.ta AND q.tb = rk.tb
+                                    AND q.hr = rk.hr
+                   GROUP BY 1, 2)
+            SELECT ta AS type_a, tb AS type_b,
+                   round(CASE WHEN hh.hh < 5 THEN 0.0
+                              ELSE CAST(30 * ((hh.hh - 2) * (hh.hh - 3)
+                                              * a1 + a2
+                                              - 2 * (hh.hh - 2) * a3)
+                                        AS DOUBLE)
+                                   / CAST(16 * CAST(hh.hh AS HUGEINT)
+                                          * (hh.hh - 1) * (hh.hh - 2)
+                                          * (hh.hh - 3) * (hh.hh - 4)
+                                          AS DOUBLE) END,
+                         6) AS hoeffding_d
+            FROM ag CROSS JOIN hh ORDER BY 1, 2
+        """,
+        "blomqvist_beta": _PAIR_HOURS_CTE + """
+            , md AS (SELECT event_type,
+                            CAST(quantile_disc(c, 0.5) AS BIGINT) AS med
+                     FROM d GROUP BY 1),
+            ag AS (SELECT p.ta, p.tb,
+                          CAST(sum(CASE WHEN (p.x > ma.med
+                                              AND p.y > mb.med)
+                                             OR (p.x < ma.med
+                                                 AND p.y < mb.med)
+                                        THEN 1 ELSE 0 END)
+                               AS BIGINT) AS n1,
+                          CAST(sum(CASE WHEN (p.x > ma.med
+                                              AND p.y < mb.med)
+                                             OR (p.x < ma.med
+                                                 AND p.y > mb.med)
+                                        THEN 1 ELSE 0 END)
+                               AS BIGINT) AS n2
+                   FROM p JOIN md ma ON ma.event_type = p.ta
+                          JOIN md mb ON mb.event_type = p.tb
+                   GROUP BY 1, 2)
+            SELECT ta AS type_a, tb AS type_b,
+                   round(CASE WHEN n1 + n2 = 0 THEN 0.0
+                              ELSE CAST(n1 - n2 AS DOUBLE)
+                                   / CAST(n1 + n2 AS DOUBLE) END,
+                         6) AS blomqvist_beta
+            FROM ag ORDER BY 1, 2
+        """,
+        "dcor": _PAIR_HOURS_CTE + """
+            , per_i AS (SELECT a.ta, a.tb, a.hr,
+                               CAST(sum(abs(a.x - b.x)) AS BIGINT)
+                                 AS ra,
+                               CAST(sum(abs(a.y - b.y)) AS BIGINT)
+                                 AS rb,
+                               CAST(sum(abs(a.x - b.x)
+                                        * abs(a.y - b.y)) AS BIGINT)
+                                 AS pab,
+                               CAST(sum(abs(a.x - b.x)
+                                        * abs(a.x - b.x)) AS BIGINT)
+                                 AS paa,
+                               CAST(sum(abs(a.y - b.y)
+                                        * abs(a.y - b.y)) AS BIGINT)
+                                 AS pbb
+                        FROM p a JOIN p b ON b.ta = a.ta
+                                         AND b.tb = a.tb
+                        GROUP BY 1, 2, 3),
+            ag AS (SELECT ta, tb,
+                          CAST(sum(pab) AS HUGEINT) AS pp,
+                          CAST(sum(paa) AS HUGEINT) AS px,
+                          CAST(sum(pbb) AS HUGEINT) AS py,
+                          CAST(sum(ra) AS HUGEINT) AS sa,
+                          CAST(sum(rb) AS HUGEINT) AS sb,
+                          CAST(sum(CAST(ra AS HUGEINT) * rb)
+                               AS HUGEINT) AS qab,
+                          CAST(sum(CAST(ra AS HUGEINT) * ra)
+                               AS HUGEINT) AS qaa,
+                          CAST(sum(CAST(rb AS HUGEINT) * rb)
+                               AS HUGEINT) AS qbb
+                   FROM per_i GROUP BY 1, 2),
+            fin AS (SELECT ta, tb,
+                           CAST(hh.hh AS HUGEINT) * hh.hh * pp
+                             + sa * sb - 2 * hh.hh * qab AS nc,
+                           CAST(hh.hh AS HUGEINT) * hh.hh * px
+                             + sa * sa - 2 * hh.hh * qaa AS vx,
+                           CAST(hh.hh AS HUGEINT) * hh.hh * py
+                             + sb * sb - 2 * hh.hh * qbb AS vy
+                    FROM ag CROSS JOIN hh)
+            SELECT ta AS type_a, tb AS type_b,
+                   round(CASE WHEN vx <= 0 OR vy <= 0 OR nc <= 0
+                              THEN 0.0
+                              ELSE sqrt(CAST(nc AS DOUBLE)
+                                        / sqrt(CAST(vx AS DOUBLE)
+                                               * CAST(vy AS DOUBLE)))
+                         END, 6) AS dcor
+            FROM fin ORDER BY 1, 2
+        """,
+    }
+)

@@ -1425,3 +1425,145 @@ def q_brillouin_index(sf_dir: str):
         "n_tokens": pa.array([big_n], pa.int64()),
         "brillouin": pa.array([round(hb, 6)], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 21: bivariate dependence between aligned hourly type pairs.
+# ---------------------------------------------------------------------------
+
+def q_hoeffding_d(sf_dir: str):
+    """Hoeffding's D independence statistic for every aligned hourly
+    type pair, tie-adjusted with midranks and SAS-convention bivariate
+    ranks Q_i = 1 + c_ll + (c_el + c_le)/2 + c_ee/4: with the
+    integer-scaled 2R, 2S, 4Q,
+    D = 30 * ((n-2)(n-3)*A1 + A2 - 2(n-2)*A3) /
+        (16 * n(n-1)(n-2)(n-3)(n-4)),
+    A1 = sum (4Q-4)(4Q-8), A2 = sum (2R-2)(2R-4)(2S-2)(2S-4),
+    A3 = sum (2R-4)(2S-4)(4Q-4) — all exact (big)integers to ONE
+    mirrored division."""
+    series, big_h = dense_hour_counts(sf_dir)
+    types = sorted(series)
+    out = {"type_a": [], "type_b": [], "hoeffding_d": []}
+    n = big_h
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            if n < 5:
+                out["type_a"].append(ta)
+                out["type_b"].append(tb)
+                out["hoeffding_d"].append(0.0)
+                continue
+            x, y = series[ta], series[tb]
+            # doubled midranks
+            xl = (x[:, None] > x[None, :]).sum(axis=1)
+            xe = (x[:, None] == x[None, :]).sum(axis=1)
+            yl = (y[:, None] > y[None, :]).sum(axis=1)
+            ye = (y[:, None] == y[None, :]).sum(axis=1)
+            r2 = 2 * xl + xe + 1
+            s2 = 2 * yl + ye + 1
+            lx = x[:, None] > x[None, :]
+            ly = y[:, None] > y[None, :]
+            ex = x[:, None] == x[None, :]
+            ey = y[:, None] == y[None, :]
+            c_ll = (lx & ly).sum(axis=1)
+            c_el = (ex & ly).sum(axis=1)
+            c_le = (lx & ey).sum(axis=1)
+            c_ee = (ex & ey).sum(axis=1) - 1
+            q4 = 4 + 4 * c_ll + 2 * (c_el + c_le) + c_ee
+            a1 = sum(int(q) * (int(q) - 4) for q in (q4 - 4))
+            a2 = sum((int(r) - 2) * (int(r) - 4)
+                     * (int(s) - 2) * (int(s) - 4)
+                     for r, s in zip(r2, s2))
+            a3 = sum((int(r) - 4) * (int(s) - 4) * (int(q) - 4)
+                     for r, s, q in zip(r2, s2, q4))
+            num = 30 * ((n - 2) * (n - 3) * a1 + a2
+                        - 2 * (n - 2) * a3)
+            den = (16 * n * (n - 1) * (n - 2) * (n - 3) * (n - 4))
+            d = float(num) / float(den)
+            out["type_a"].append(ta)
+            out["type_b"].append(tb)
+            out["hoeffding_d"].append(round(d, 6))
+    return pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "hoeffding_d": pa.array(out["hoeffding_d"], pa.float64()),
+    })
+
+
+def q_blomqvist_beta(sf_dir: str):
+    """Blomqvist's beta (medial correlation) per aligned type pair:
+    with exact lower medians (quantile_disc semantics) mx, my,
+    beta = (n1 - n2)/(n1 + n2) where n1 = strictly-concordant and
+    n2 = strictly-discordant quadrant counts (points ON a median are
+    excluded).  Exact integers to one mirrored division."""
+    series, big_h = dense_hour_counts(sf_dir)
+    types = sorted(series)
+    out = {"type_a": [], "type_b": [], "blomqvist_beta": []}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            x, y = series[ta], series[tb]
+            mx = int(np.sort(x)[(big_h + 1) // 2 - 1])
+            my = int(np.sort(y)[(big_h + 1) // 2 - 1])
+            n1 = int((((x > mx) & (y > my))
+                      | ((x < mx) & (y < my))).sum())
+            n2 = int((((x > mx) & (y < my))
+                      | ((x < mx) & (y > my))).sum())
+            beta = (0.0 if n1 + n2 == 0
+                    else float(n1 - n2) / float(n1 + n2))
+            out["type_a"].append(ta)
+            out["type_b"].append(tb)
+            out["blomqvist_beta"].append(round(beta, 6))
+    return pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "blomqvist_beta": pa.array(out["blomqvist_beta"], pa.float64()),
+    })
+
+
+def q_dcor(sf_dir: str):
+    """Szekely-Rizzo distance correlation per aligned type pair
+    (V-statistic): with integer distance matrices a_ij = |x_i-x_j|,
+    b_ij = |y_i-y_j| and P = sum a_ij*b_ij, ra_i = sum_j a_ij,
+    n^4 * dCov^2 = n^2*P + Sa*Sb - 2n*sum_i ra_i*rb_i (exact bigints;
+    the same identity gives n^4*dVar for each margin), then
+    dCor = sqrt(nc / sqrt(vx*vy)) as one mirrored chain."""
+    series, big_h = dense_hour_counts(sf_dir)
+    types = sorted(series)
+    n = big_h
+
+    def dstats(x, y):
+        p = 0
+        q = 0
+        ra = np.zeros(n, np.int64)
+        rb = np.zeros(n, np.int64)
+        blk = 1024
+        for s in range(0, n, blk):
+            e = min(s + blk, n)
+            a = np.abs(x[s:e, None] - x[None, :])
+            b = np.abs(y[s:e, None] - y[None, :])
+            p += int((a * b).sum())
+            ra[s:e] = a.sum(axis=1)
+            rb[s:e] = b.sum(axis=1)
+        q = sum(int(u) * int(v) for u, v in zip(ra, rb))
+        sa, sb = int(ra.sum()), int(rb.sum())
+        return n * n * p + sa * sb - 2 * n * q
+
+    out = {"type_a": [], "type_b": [], "dcor": []}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            x, y = series[ta], series[tb]
+            nc = dstats(x, y)
+            vx = dstats(x, x)
+            vy = dstats(y, y)
+            if vx <= 0 or vy <= 0 or nc <= 0:
+                d = 0.0
+            else:
+                d = math.sqrt(float(nc)
+                              / math.sqrt(float(vx) * float(vy)))
+            out["type_a"].append(ta)
+            out["type_b"].append(tb)
+            out["dcor"].append(round(d, 6))
+    return pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "dcor": pa.array(out["dcor"], pa.float64()),
+    })

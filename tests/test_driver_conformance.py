@@ -242,6 +242,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         "gini_mean_diff", "robust_spread", "qn_scale",
         # round-3 wave 20
         "jackknife_richness", "menhinick_dugast", "brillouin_index",
+        # round-3 wave 21
+        "hoeffding_d", "blomqvist_beta", "dcor",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

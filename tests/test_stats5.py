@@ -825,3 +825,97 @@ def test_brillouin_matches_bruteforce(ray_session, tmp_path):
            - sum(math.lgamma(m + 1) for m in c.values())) / n
     assert got["n_tokens"] == n
     assert got["brillouin"] == pytest.approx(ref, abs=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# wave 21: bivariate dependence
+# ---------------------------------------------------------------------------
+
+def test_hoeffding_d_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_hoeffding_d
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_hoeffding_d(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    for _, row in got.iterrows():
+        x = dense[row["type_a"]].astype(np.float64)
+        y = dense[row["type_b"]].astype(np.float64)
+        n = len(x)
+        r = np.empty(n)
+        s = np.empty(n)
+        q = np.empty(n)
+        for i in range(n):
+            r[i] = (x < x[i]).sum() + ((x == x[i]).sum() + 1) / 2
+            s[i] = (y < y[i]).sum() + ((y == y[i]).sum() + 1) / 2
+            q[i] = (1 + ((x < x[i]) & (y < y[i])).sum()
+                    + 0.5 * ((x == x[i]) & (y < y[i])).sum()
+                    + 0.5 * ((x < x[i]) & (y == y[i])).sum()
+                    + 0.25 * (((x == x[i]) & (y == y[i])).sum() - 1))
+        d1 = ((q - 1) * (q - 2)).sum()
+        d2 = ((r - 1) * (r - 2) * (s - 1) * (s - 2)).sum()
+        d3 = ((r - 2) * (s - 2) * (q - 1)).sum()
+        d = (30 * ((n - 2) * (n - 3) * d1 + d2 - 2 * (n - 2) * d3)
+             / (n * (n - 1) * (n - 2) * (n - 3) * (n - 4)))
+        assert row["hoeffding_d"] == pytest.approx(d, abs=1e-6)
+
+
+def test_blomqvist_beta_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_blomqvist_beta
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_blomqvist_beta(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    for _, row in got.iterrows():
+        x = dense[row["type_a"]]
+        y = dense[row["type_b"]]
+        n = len(x)
+        mx = np.sort(x)[(n + 1) // 2 - 1]
+        my = np.sort(y)[(n + 1) // 2 - 1]
+        n1 = (((x > mx) & (y > my)) | ((x < mx) & (y < my))).sum()
+        n2 = (((x > mx) & (y < my)) | ((x < mx) & (y > my))).sum()
+        assert row["blomqvist_beta"] == pytest.approx(
+            (n1 - n2) / (n1 + n2), abs=1e-6)
+
+
+def test_dcor_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_dcor
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_dcor(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    for _, row in got.iterrows():
+        x = dense[row["type_a"]].astype(np.float64)
+        y = dense[row["type_b"]].astype(np.float64)
+        a = np.abs(x[:, None] - x[None, :])
+        b = np.abs(y[:, None] - y[None, :])
+        aa = a - a.mean(0) - a.mean(1)[:, None] + a.mean()
+        bb = b - b.mean(0) - b.mean(1)[:, None] + b.mean()
+        dcov2 = (aa * bb).mean()
+        vx = (aa * aa).mean()
+        vy = (bb * bb).mean()
+        ref = np.sqrt(dcov2 / np.sqrt(vx * vy))
+        assert row["dcor"] == pytest.approx(ref, abs=1e-5)
+
+
+def test_dcor_perfect_dependence(ray_session, tmp_path):
+    """x and y = 2x are perfectly (linearly) distance-correlated."""
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_dcor
+
+    n = 120
+    rng = np.random.default_rng(3)
+    base = rng.integers(1, 8, n)
+    hrs = np.repeat(np.arange(n), base)
+    et = ["a"] * len(hrs) + ["b"] * (2 * len(hrs))
+    hrs2 = np.concatenate([hrs, hrs, hrs])
+    t = pa.table({
+        "event_id": pa.array(np.arange(len(et), dtype=np.int64)),
+        "ts": pa.array((hrs2 * 3_600_000).astype(np.int64),
+                       pa.timestamp("ms")),
+        "user_id": pa.array(np.zeros(len(et), np.int64)),
+        "event_type": pa.array(et, pa.string()),
+        "value": pa.array(np.ones(len(et), np.float64)),
+        "props": pa.array(["{}"] * len(et), pa.string()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    got = q_dcor(str(tmp_path)).to_pandas()
+    assert got["dcor"][0] == pytest.approx(1.0, abs=1e-9)
