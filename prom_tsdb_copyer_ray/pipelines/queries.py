@@ -15213,3 +15213,157 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Round-3 wave 22 (pipelines/stats5.py): homogeneity / records /
+# long-memory extras over the dense hourly grid.
+from .stats5 import q_foster_stuart, q_rs_hurst, q_snht  # noqa: E402
+
+QUERIES.update({
+    "snht": q_snht,
+    "foster_stuart": q_foster_stuart,
+    "rs_hurst": q_rs_hurst,
+})
+
+ORACLE_SQL.update(
+    {
+        "snht": _DENSE_GRID_CTE + """
+            , base AS (SELECT event_type, hr, c,
+                              row_number() OVER (PARTITION BY event_type
+                                                 ORDER BY hr) AS k,
+                              sum(c) OVER (PARTITION BY event_type
+                                           ORDER BY hr) AS cum
+                       FROM d),
+            st AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS s1,
+                          CAST(sum(c * c) AS BIGINT) AS s2
+                   FROM d GROUP BY 1),
+            dk AS (SELECT b.event_type, b.k,
+                          CAST(hh.hh * b.cum - b.k * st.s1
+                               AS HUGEINT) AS dv
+                   FROM base b JOIN st USING (event_type)
+                        CROSS JOIN hh
+                   WHERE b.k < hh.hh),
+            uk AS (SELECT dk.event_type, dk.k, dk.dv,
+                          CAST(dv * dv AS DOUBLE)
+                            / CAST(dk.k * (hh.hh - dk.k) AS DOUBLE)
+                            AS u
+                   FROM dk CROSS JOIN hh),
+            best AS (SELECT event_type, k, dv,
+                            row_number() OVER (PARTITION BY event_type
+                                               ORDER BY u DESC, k ASC)
+                                AS rn
+                     FROM uk)
+            SELECT b.event_type,
+                   CAST(CASE WHEN hh.hh * st.s2 - st.s1 * st.s1 = 0
+                             THEN 0 ELSE b.k END AS BIGINT) AS at_k,
+                   round(CASE WHEN hh.hh * st.s2 - st.s1 * st.s1 = 0
+                              THEN 0.0
+                              ELSE CAST(b.dv * b.dv * hh.hh AS DOUBLE)
+                                   / CAST(CAST(hh.hh * st.s2
+                                               - st.s1 * st.s1
+                                               AS HUGEINT)
+                                          * b.k * (hh.hh - b.k)
+                                          AS DOUBLE) END,
+                         6) AS t_max
+            FROM best b JOIN st USING (event_type) CROSS JOIN hh
+            WHERE b.rn = 1 ORDER BY 1
+        """,
+        "foster_stuart": _DENSE_GRID_CTE + """
+            , w AS (SELECT event_type, hr, c,
+                           max(c) OVER (PARTITION BY event_type
+                                        ORDER BY hr
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS pm,
+                           min(c) OVER (PARTITION BY event_type
+                                        ORDER BY hr
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS pn
+                    FROM d),
+            ag AS (SELECT event_type,
+                          CAST(sum(CASE WHEN pm IS NOT NULL AND c > pm
+                                        THEN 1 ELSE 0 END)
+                               AS BIGINT) AS n_upper,
+                          CAST(sum(CASE WHEN pn IS NOT NULL AND c < pn
+                                        THEN 1 ELSE 0 END)
+                               AS BIGINT) AS n_lower
+                   FROM w GROUP BY 1)
+            SELECT event_type, n_upper, n_lower,
+                   n_upper - n_lower AS fs_d,
+                   n_upper + n_lower AS fs_s
+            FROM ag ORDER BY 1
+        """,
+        "rs_hurst": _DENSE_GRID_CTE + """
+            , base AS (SELECT event_type, c,
+                              row_number() OVER (PARTITION BY event_type
+                                                 ORDER BY hr) - 1 AS t
+                       FROM d),
+            win AS (SELECT b.event_type, ws.w, b.t // ws.w AS j,
+                           b.t % ws.w AS i, b.c
+                    FROM base b
+                    CROSS JOIN (VALUES (64), (256)) AS ws(w)
+                    CROSS JOIN hh
+                    WHERE b.t // ws.w < hh.hh // ws.w),
+            ws1 AS (SELECT event_type, w, j,
+                           CAST(sum(c) AS BIGINT) AS s1,
+                           CAST(sum(c * c) AS BIGINT) AS s2
+                    FROM win GROUP BY 1, 2, 3),
+            pre AS (SELECT event_type, w, j, i,
+                           sum(c) OVER (PARTITION BY event_type, w, j
+                                        ORDER BY i) AS cum
+                    FROM win),
+            dev AS (SELECT p.event_type, p.w, p.j,
+                           CAST(max(p.w * p.cum - (p.i + 1) * s.s1)
+                                AS BIGINT) AS mx,
+                           CAST(min(p.w * p.cum - (p.i + 1) * s.s1)
+                                AS BIGINT) AS mn
+                    FROM pre p JOIN ws1 s ON s.event_type = p.event_type
+                                         AND s.w = p.w AND s.j = p.j
+                    GROUP BY 1, 2, 3),
+            d2 AS (SELECT dev.event_type, dev.w,
+                          dev.mx - dev.mn AS rng,
+                          CAST(dev.w AS HUGEINT) * s.s2
+                            - CAST(s.s1 AS HUGEINT) * s.s1 AS nu
+                   FROM dev JOIN ws1 s ON s.event_type = dev.event_type
+                                      AND s.w = dev.w AND s.j = dev.j),
+            rsw AS (SELECT event_type, w,
+                           CASE WHEN nu > 0 AND rng > 0
+                                THEN CAST(floor(1e6 *
+                                     ((CAST(rng AS DOUBLE)
+                                       / CAST(w AS DOUBLE))
+                                      / sqrt(CAST(nu AS DOUBLE)
+                                             / CAST(w * (w - 1)
+                                                    AS DOUBLE))))
+                                     AS BIGINT)
+                                ELSE NULL END AS rsm
+                    FROM d2),
+            ag AS (SELECT event_type, w,
+                          CAST(COALESCE(sum(rsm), 0) AS HUGEINT) AS s,
+                          CAST(count(rsm) AS BIGINT) AS n
+                   FROM rsw GROUP BY 1, 2),
+            pv AS (SELECT a64.event_type, a64.s AS s64, a64.n AS n64,
+                          a256.s AS s256, a256.n AS n256
+                   FROM ag a64 JOIN ag a256
+                     ON a256.event_type = a64.event_type
+                    AND a64.w = 64 AND a256.w = 256)
+            SELECT event_type,
+                   round(CASE WHEN n64 = 0 THEN 0.0
+                              ELSE CAST(s64 AS DOUBLE)
+                                   / CAST(1000000 * n64 AS DOUBLE) END,
+                         6) AS rs64,
+                   round(CASE WHEN n256 = 0 THEN 0.0
+                              ELSE CAST(s256 AS DOUBLE)
+                                   / CAST(1000000 * n256 AS DOUBLE) END,
+                         6) AS rs256,
+                   round(CASE WHEN s64 <= 0 OR s256 <= 0 THEN 0.0
+                              ELSE CAST(CAST(floor(1e6 *
+                                        ln(CAST(s256 * n64 AS DOUBLE)))
+                                        AS BIGINT)
+                                        - CAST(floor(1e6 *
+                                          ln(CAST(s64 * n256
+                                                  AS DOUBLE)))
+                                          AS BIGINT) AS DOUBLE)
+                                   / CAST(1386294 AS DOUBLE) END,
+                         6) AS hurst_rs
+            FROM pv ORDER BY 1
+        """,
+    }
+)

@@ -1567,3 +1567,135 @@ def q_dcor(sf_dir: str):
         "type_b": pa.array(out["type_b"], pa.string()),
         "dcor": pa.array(out["dcor"], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 22: homogeneity / long-memory extras over the dense hourly grid.
+# ---------------------------------------------------------------------------
+
+def q_snht(sf_dir: str):
+    """Alexandersson's Standard Normal Homogeneity Test per type:
+    T_k = [k*zbar1^2 + (H-k)*zbar2^2] collapses to
+    T_k = D_k^2 * H / (nu0 * k * (H-k)) with D_k = H*S1k - k*S1 and
+    the population-variance numerator nu0 = H*S2 - S1^2.  The argmax
+    is taken over the mirrored double u_k = D_k^2 / (k*(H-k))
+    (identical doubles on both engines; ties -> smallest k); t_max is
+    one further mirrored division."""
+    series, big_h = dense_hour_counts(sf_dir)
+    out = {"event_type": [], "at_k": [], "t_max": []}
+    for et in sorted(series):
+        x = series[et]
+        s1 = int(x.sum())
+        nu0 = big_h * int(np.dot(x, x)) - s1 * s1
+        best_u, best_k, best_d2 = -1.0, 0, 0
+        cum = 0
+        for k in range(1, big_h):
+            cum += int(x[k - 1])
+            d = big_h * cum - k * s1
+            u = float(d * d) / float(k * (big_h - k))
+            if u > best_u:
+                best_u, best_k, best_d2 = u, k, d * d
+        if nu0 == 0 or best_k == 0:
+            out["event_type"].append(et)
+            out["at_k"].append(0)
+            out["t_max"].append(0.0)
+            continue
+        t_max = (float(best_d2 * big_h)
+                 / float(nu0 * best_k * (big_h - best_k)))
+        out["event_type"].append(et)
+        out["at_k"].append(best_k)
+        out["t_max"].append(round(t_max, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "at_k": pa.array(out["at_k"], pa.int64()),
+        "t_max": pa.array(out["t_max"], pa.float64()),
+    })
+
+
+def q_foster_stuart(sf_dir: str):
+    """Foster-Stuart records test per type: counts of strict upper (U)
+    and lower (L) records after the first observation, the trend
+    statistic d = U - L and the dispersion statistic s = U + L — all
+    exact integers (no float column at all)."""
+    series, _ = dense_hour_counts(sf_dir)
+    out = {"event_type": [], "n_upper": [], "n_lower": [], "fs_d": [],
+           "fs_s": []}
+    for et in sorted(series):
+        x = series[et]
+        run_max = np.maximum.accumulate(x[:-1])
+        run_min = np.minimum.accumulate(x[:-1])
+        up = int((x[1:] > run_max).sum())
+        lo = int((x[1:] < run_min).sum())
+        out["event_type"].append(et)
+        out["n_upper"].append(up)
+        out["n_lower"].append(lo)
+        out["fs_d"].append(up - lo)
+        out["fs_s"].append(up + lo)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n_upper": pa.array(out["n_upper"], pa.int64()),
+        "n_lower": pa.array(out["n_lower"], pa.int64()),
+        "fs_d": pa.array(out["fs_d"], pa.int64()),
+        "fs_s": pa.array(out["fs_s"], pa.int64()),
+    })
+
+
+_RS_WINDOWS = (64, 256)
+
+
+def q_rs_hurst(sf_dir: str):
+    """Classic rescaled-range (R/S) analysis per type at window sizes
+    64 and 256 (non-overlapping full windows): per window the range of
+    mean-adjusted cumulative deviations is the exact integer
+    max-min of (w*cum_t - t*S1w), the sample std uses the exact
+    numerator nu_w = w*S2 - S1^2, each window's R/S is the mirrored
+    double (rng/w) / sqrt(nu/(w*(w-1))) micro-floored to an integer
+    (identical floors both engines; zero-variance windows skipped),
+    and the implied Hurst exponent is (ln(sum256*n64) -
+    ln(sum64*n256)) / (1e6*ln 4) through micro-floored logs with the
+    literal 1386294 = floor(1e6*ln 4)."""
+    series, big_h = dense_hour_counts(sf_dir)
+    out = {"event_type": [], "rs64": [], "rs256": [], "hurst_rs": []}
+    for et in sorted(series):
+        x = series[et]
+        sums = {}
+        cnts = {}
+        for w in _RS_WINDOWS:
+            tot = 0
+            used = 0
+            for j in range(big_h // w):
+                seg = x[j * w:(j + 1) * w]
+                s1 = int(seg.sum())
+                s2 = int(np.dot(seg, seg))
+                nu = w * s2 - s1 * s1
+                cum = np.cumsum(seg)
+                devs = w * cum - np.arange(1, w + 1) * s1
+                rng = int(devs.max()) - int(devs.min())
+                if nu > 0 and rng > 0:
+                    rs = ((float(rng) / float(w))
+                          / math.sqrt(float(nu) / float(w * (w - 1))))
+                    tot += math.floor(1e6 * rs)
+                    used += 1
+            sums[w], cnts[w] = tot, used
+        rs64 = (0.0 if cnts[64] == 0
+                else float(sums[64]) / float(1000000 * cnts[64]))
+        rs256 = (0.0 if cnts[256] == 0
+                 else float(sums[256]) / float(1000000 * cnts[256]))
+        if sums[64] <= 0 or sums[256] <= 0:
+            hurst = 0.0
+        else:
+            ln_p = math.floor(1e6 * math.log(float(sums[256]
+                                                   * cnts[64])))
+            ln_q = math.floor(1e6 * math.log(float(sums[64]
+                                                   * cnts[256])))
+            hurst = float(ln_p - ln_q) / float(1386294)
+        out["event_type"].append(et)
+        out["rs64"].append(round(rs64, 6))
+        out["rs256"].append(round(rs256, 6))
+        out["hurst_rs"].append(round(hurst, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "rs64": pa.array(out["rs64"], pa.float64()),
+        "rs256": pa.array(out["rs256"], pa.float64()),
+        "hurst_rs": pa.array(out["hurst_rs"], pa.float64()),
+    })

@@ -244,6 +244,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         "jackknife_richness", "menhinick_dugast", "brillouin_index",
         # round-3 wave 21
         "hoeffding_d", "blomqvist_beta", "dcor",
+        # round-3 wave 22
+        "snht", "foster_stuart", "rs_hurst",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

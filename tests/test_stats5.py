@@ -919,3 +919,72 @@ def test_dcor_perfect_dependence(ray_session, tmp_path):
     pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
     got = q_dcor(str(tmp_path)).to_pandas()
     assert got["dcor"][0] == pytest.approx(1.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# wave 22: homogeneity / records / long memory
+# ---------------------------------------------------------------------------
+
+def test_snht_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_snht
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_snht(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    for _, r in got.iterrows():
+        x = dense[r["event_type"]].astype(np.float64)
+        n = len(x)
+        mu, var = x.mean(), x.var()
+        best_t, best_k = -1.0, 0
+        for k in range(1, n):
+            z1 = (x[:k].mean() - mu) / np.sqrt(var)
+            z2 = (x[k:].mean() - mu) / np.sqrt(var)
+            t = k * z1 * z1 + (n - k) * z2 * z2
+            if t > best_t + 1e-12:
+                best_t, best_k = t, k
+        assert r["at_k"] == best_k
+        assert r["t_max"] == pytest.approx(best_t, abs=1e-5)
+
+
+def test_foster_stuart_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_foster_stuart
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_foster_stuart(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    for _, r in got.iterrows():
+        x = dense[r["event_type"]]
+        up = sum(1 for i in range(1, len(x))
+                 if x[i] > x[:i].max())
+        lo = sum(1 for i in range(1, len(x))
+                 if x[i] < x[:i].min())
+        assert r["n_upper"] == up
+        assert r["n_lower"] == lo
+        assert r["fs_d"] == up - lo
+        assert r["fs_s"] == up + lo
+
+
+def test_rs_hurst_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_rs_hurst
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_rs_hurst(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    for _, r in got.iterrows():
+        x = dense[r["event_type"]].astype(np.float64)
+        means = {}
+        for w in (64, 256):
+            vals = []
+            for j in range(len(x) // w):
+                seg = x[j * w:(j + 1) * w]
+                dev = np.cumsum(seg - seg.mean())
+                rng = dev.max() - dev.min()
+                s = seg.std(ddof=1)
+                if s > 0 and rng > 0:
+                    vals.append(rng / s)
+            means[w] = np.mean(vals) if vals else 0.0
+        assert r["rs64"] == pytest.approx(means[64], abs=1e-4)
+        assert r["rs256"] == pytest.approx(means[256], abs=1e-4)
+        if means[64] > 0 and means[256] > 0:
+            assert r["hurst_rs"] == pytest.approx(
+                np.log(means[256] / means[64]) / np.log(4), abs=1e-4)
