@@ -15367,3 +15367,125 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Round-3 wave 23 (pipelines/stats5.py): two-sample score tests with
+# exact permutation-moment standardization.
+from .stats5 import (  # noqa: E402
+    q_fligner_policello,
+    q_mood_squared_ranks,
+    q_savage_scores,
+)
+
+QUERIES.update({
+    "mood_squared_ranks": q_mood_squared_ranks,
+    "savage_scores": q_savage_scores,
+    "fligner_policello": q_fligner_policello,
+})
+
+ORACLE_SQL.update(
+    {
+        "mood_squared_ranks": _PAIR_CUMS_CTE + """
+            , sc AS (SELECT ta, tb, na, nb, an,
+                            an + bn AS tv,
+                            CAST(2 * wlt + (an + bn) + 1
+                                 - (na + nb + 1) AS BIGINT) AS dev
+                     FROM cums),
+            ag AS (SELECT ta, tb, na, nb,
+                          CAST(sum(CAST(an AS HUGEINT)
+                                   * (dev * dev)) AS HUGEINT) AS t,
+                          CAST(sum(CAST(tv AS HUGEINT)
+                                   * (dev * dev)) AS HUGEINT) AS s1,
+                          CAST(sum(CAST(tv AS HUGEINT)
+                                   * (CAST(dev * dev AS HUGEINT)
+                                      * (dev * dev))) AS HUGEINT) AS s2
+                   FROM sc GROUP BY 1, 2, 3, 4)
+            SELECT ta AS type_a, tb AS type_b,
+                   round(CASE WHEN na + nb < 2
+                                   OR CAST(na AS HUGEINT) * nb
+                                      * ((na + nb) * s2 - s1 * s1)
+                                      <= 0 THEN 0.0
+                              ELSE CAST((na + nb) * t - na * s1
+                                        AS DOUBLE)
+                                   / sqrt(CAST(CAST(na AS HUGEINT) * nb
+                                               * ((na + nb) * s2
+                                                  - s1 * s1) AS DOUBLE)
+                                          / CAST(na + nb - 1
+                                                 AS DOUBLE)) END,
+                         6) AS mood_z
+            FROM ag ORDER BY 1, 2
+        """,
+        "savage_scores": _PAIR_CUMS_CTE + """
+            , hsr AS (SELECT ta, tb,
+                             unnest(generate_series(1, na + nb)) AS k
+                      FROM pairs),
+            hsc AS (SELECT h.ta, h.tb, h.k,
+                           sum(100000000 // (p.na + p.nb - h.k + 1))
+                               OVER (PARTITION BY h.ta, h.tb
+                                     ORDER BY h.k) AS hs
+                    FROM hsr h JOIN pairs p ON p.ta = h.ta
+                                           AND p.tb = h.tb),
+            blk AS (SELECT c.ta, c.tb, c.na, c.nb, c.an,
+                           c.an + c.bn AS tv,
+                           (COALESCE(hi.hs, 0) - COALESCE(lo.hs, 0))
+                             // (c.an + c.bn) AS sv
+                    FROM cums c
+                    LEFT JOIN hsc hi ON hi.ta = c.ta AND hi.tb = c.tb
+                                    AND hi.k = c.wlt + c.an + c.bn
+                    LEFT JOIN hsc lo ON lo.ta = c.ta AND lo.tb = c.tb
+                                    AND lo.k = c.wlt
+                    WHERE c.an + c.bn > 0),
+            ag AS (SELECT ta, tb, na, nb,
+                          CAST(sum(CAST(an AS HUGEINT) * sv)
+                               AS HUGEINT) AS t,
+                          CAST(sum(CAST(tv AS HUGEINT) * sv)
+                               AS HUGEINT) AS s1,
+                          CAST(sum(CAST(tv AS HUGEINT) * sv * sv)
+                               AS HUGEINT) AS s2
+                   FROM blk GROUP BY 1, 2, 3, 4)
+            SELECT ta AS type_a, tb AS type_b,
+                   round(CASE WHEN na + nb < 2
+                                   OR CAST(na AS HUGEINT) * nb
+                                      * ((na + nb) * s2 - s1 * s1)
+                                      <= 0 THEN 0.0
+                              ELSE CAST((na + nb) * t - na * s1
+                                        AS DOUBLE)
+                                   / sqrt(CAST(CAST(na AS HUGEINT) * nb
+                                               * ((na + nb) * s2
+                                                  - s1 * s1) AS DOUBLE)
+                                          / CAST(na + nb - 1
+                                                 AS DOUBLE)) END,
+                         6) AS savage_z
+            FROM ag ORDER BY 1, 2
+        """,
+        "fligner_policello": _PAIR_CUMS_CTE + """
+            , pq AS (SELECT ta, tb, na, nb, an, bn,
+                            2 * ccb - bn AS p,
+                            2 * cca - an AS q
+                     FROM cums),
+            ag AS (SELECT ta, tb, na, nb,
+                          CAST(sum(CAST(an AS HUGEINT) * p)
+                               AS HUGEINT) AS sp,
+                          CAST(sum(CAST(bn AS HUGEINT) * q)
+                               AS HUGEINT) AS sq,
+                          CAST(sum(CAST(an AS HUGEINT) * p * p)
+                               AS HUGEINT) AS spp,
+                          CAST(sum(CAST(bn AS HUGEINT) * q * q)
+                               AS HUGEINT) AS sqq
+                   FROM pq GROUP BY 1, 2, 3, 4)
+            SELECT ta AS type_a, tb AS type_b,
+                   round(CASE WHEN na = 0 OR nb = 0
+                                   OR nb * (na * spp - sp * sp)
+                                      + na * (nb * sqq - sq * sq)
+                                      + sp * sq <= 0 THEN 0.0
+                              ELSE CAST(sp - sq AS DOUBLE)
+                                   / (2.0 * sqrt(
+                                        CAST(nb * (na * spp - sp * sp)
+                                             + na * (nb * sqq
+                                                     - sq * sq)
+                                             + sp * sq AS DOUBLE)
+                                        / CAST(na * nb AS DOUBLE)))
+                         END, 6) AS fp_z
+            FROM ag ORDER BY 1, 2
+        """,
+    }
+)

@@ -1699,3 +1699,135 @@ def q_rs_hurst(sf_dir: str):
         "rs256": pa.array(out["rs256"], pa.float64()),
         "hurst_rs": pa.array(out["hurst_rs"], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 23: two-sample score tests with exact permutation-moment
+# standardization (the generic pattern: ANY integer score function s_v
+# over the pooled census gives z = (N*T - n1*S1) /
+# sqrt(n1*n2*(N*S2 - S1^2)/(N-1)) with T = sum_A a_v*s_v and the
+# pooled moments S1/S2 — every term an exact (big)integer).
+# ---------------------------------------------------------------------------
+
+def _perm_z(t_stat: int, s1: int, s2: int, n1: int, n2: int) -> float:
+    big_n = n1 + n2
+    if big_n < 2:
+        return 0.0
+    num = big_n * t_stat - n1 * s1
+    var_num = n1 * n2 * (big_n * s2 - s1 * s1)
+    if var_num <= 0:
+        return 0.0
+    return float(num) / math.sqrt(float(var_num) / float(big_n - 1))
+
+
+def q_mood_squared_ranks(sf_dir: str):
+    """Mood's squared-rank dispersion test between every type pair's
+    cent values: score s_v = (d_v - (N+1))^2 over doubled midranks
+    (4x the classical squared deviation from the mid-rank), exact
+    integer permutation moments, one mirrored z chain."""
+    prof = _cent_profiles(sf_dir)
+    types = sorted(prof)
+    out = {"type_a": [], "type_b": [], "mood_z": []}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            _, a_n, b_n = _merged_support(*prof[ta], *prof[tb])
+            na, nb = int(a_n.sum()), int(b_n.sum())
+            tot = a_n + b_n
+            w_lt = np.cumsum(tot) - tot
+            d = 2 * w_lt + tot + 1
+            big_n = na + nb
+            t_stat = s1 = s2 = 0
+            for av, tv, dv in zip(a_n, tot, d):
+                sc = (int(dv) - (big_n + 1)) ** 2
+                t_stat += int(av) * sc
+                s1 += int(tv) * sc
+                s2 += int(tv) * sc * sc
+            z = _perm_z(t_stat, s1, s2, na, nb)
+            out["type_a"].append(ta)
+            out["type_b"].append(tb)
+            out["mood_z"].append(round(z, 6))
+    return pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "mood_z": pa.array(out["mood_z"], pa.float64()),
+    })
+
+
+_SAVAGE_SCALE = 10 ** 8
+
+
+def q_savage_scores(sf_dir: str):
+    """Savage (exponential-scores) location test between every type
+    pair: the rank-k harmonic increment floor(1e8/(N-k+1)) accumulates
+    to HS(i); a tie block spanning ranks lo..hi scores the exact
+    integer floor-average (HS(hi) - HS(lo-1)) // t.  Scores stay
+    integers end-to-end; z via the permutation-moment chain."""
+    prof = _cent_profiles(sf_dir)
+    types = sorted(prof)
+    out = {"type_a": [], "type_b": [], "savage_z": []}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            _, a_n, b_n = _merged_support(*prof[ta], *prof[tb])
+            na, nb = int(a_n.sum()), int(b_n.sum())
+            big_n = na + nb
+            hs = [0]
+            for k in range(1, big_n + 1):
+                hs.append(hs[-1] + _SAVAGE_SCALE // (big_n - k + 1))
+            tot = a_n + b_n
+            w_lt = np.cumsum(tot) - tot
+            t_stat = s1 = s2 = 0
+            for av, tv, wv in zip(a_n, tot, w_lt):
+                if tv == 0:
+                    continue
+                sv = (hs[int(wv) + int(tv)] - hs[int(wv)]) // int(tv)
+                t_stat += int(av) * sv
+                s1 += int(tv) * sv
+                s2 += int(tv) * sv * sv
+            z = _perm_z(t_stat, s1, s2, na, nb)
+            out["type_a"].append(ta)
+            out["type_b"].append(tb)
+            out["savage_z"].append(round(z, 6))
+    return pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "savage_z": pa.array(out["savage_z"], pa.float64()),
+    })
+
+
+def q_fligner_policello(sf_dir: str):
+    """Fligner-Policello robust rank-order test between every type
+    pair (no equal-variance assumption): with doubled mid-placements
+    p_v = 2*CB<v + b_v of A in B (and q_v symmetric),
+    z = (sum p - sum q) / (2*sqrt(A/(n_A*n_B))) where
+    A = n_B*(n_A*Sp2 - Sp^2) + n_A*(n_B*Sq2 - Sq^2) + Sp*Sq — all
+    exact (big)integers to one mirrored chain."""
+    prof = _cent_profiles(sf_dir)
+    types = sorted(prof)
+    out = {"type_a": [], "type_b": [], "fp_z": []}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            _, a_n, b_n = _merged_support(*prof[ta], *prof[tb])
+            na, nb = int(a_n.sum()), int(b_n.sum())
+            cca = np.cumsum(a_n)
+            ccb = np.cumsum(b_n)
+            p = 2 * ccb - b_n
+            q = 2 * cca - a_n
+            sp = sum(int(a) * int(x) for a, x in zip(a_n, p))
+            sq = sum(int(b) * int(x) for b, x in zip(b_n, q))
+            spp = sum(int(a) * int(x) * int(x) for a, x in zip(a_n, p))
+            sqq = sum(int(b) * int(x) * int(x) for b, x in zip(b_n, q))
+            a_int = (nb * (na * spp - sp * sp)
+                     + na * (nb * sqq - sq * sq) + sp * sq)
+            if na == 0 or nb == 0 or a_int <= 0:
+                z = 0.0
+            else:
+                z = (float(sp - sq)
+                     / (2.0 * math.sqrt(float(a_int) / float(na * nb))))
+            out["type_a"].append(ta)
+            out["type_b"].append(tb)
+            out["fp_z"].append(round(z, 6))
+    return pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "fp_z": pa.array(out["fp_z"], pa.float64()),
+    })

@@ -246,6 +246,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         "hoeffding_d", "blomqvist_beta", "dcor",
         # round-3 wave 22
         "snht", "foster_stuart", "rs_hurst",
+        # round-3 wave 23
+        "mood_squared_ranks", "savage_scores", "fligner_policello",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

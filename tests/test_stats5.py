@@ -988,3 +988,83 @@ def test_rs_hurst_matches_bruteforce(ray_session, tmp_path):
         if means[64] > 0 and means[256] > 0:
             assert r["hurst_rs"] == pytest.approx(
                 np.log(means[256] / means[64]) / np.log(4), abs=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# wave 23: two-sample score tests
+# ---------------------------------------------------------------------------
+
+def _perm_z_ref(scores_pool, in_a, n1, n2):
+    n = n1 + n2
+    t = scores_pool[in_a].sum()
+    s_mean = scores_pool.mean()
+    pop_var = scores_pool.var()
+    var_t = n1 * n2 * pop_var / (n - 1)
+    return (t - n1 * s_mean) / np.sqrt(var_t)
+
+
+def test_mood_squared_ranks_matches_bruteforce(ray_session, tmp_path):
+    import pandas as pd
+
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_mood_squared_ranks
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    got = q_mood_squared_ranks(str(tmp_path)).to_pandas()
+    by = _cents_by_type(et, vals)
+    for _, r in got.iterrows():
+        a, b = by[r["type_a"]], by[r["type_b"]]
+        pool = np.concatenate([a, b])
+        n = len(pool)
+        ranks = pd.Series(pool).rank(method="average").to_numpy()
+        scores = (ranks - (n + 1) / 2) ** 2
+        in_a = np.zeros(n, bool)
+        in_a[:len(a)] = True
+        ref = _perm_z_ref(scores, in_a, len(a), len(b))
+        assert r["mood_z"] == pytest.approx(ref, abs=1e-5)
+
+
+def test_savage_scores_matches_bruteforce(ray_session, tmp_path):
+    import pandas as pd
+
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_savage_scores
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    got = q_savage_scores(str(tmp_path)).to_pandas()
+    by = _cents_by_type(et, vals)
+    for _, r in got.iterrows():
+        a, b = by[r["type_a"]], by[r["type_b"]]
+        pool = np.concatenate([a, b])
+        n = len(pool)
+        # exact savage scores with tie averaging (float reference)
+        inc = 1.0 / (n - np.arange(1, n + 1) + 1)
+        hs = np.concatenate([[0.0], np.cumsum(inc)])
+        order = np.sort(pool)
+        sv = np.empty(n)
+        ranks = pd.Series(pool).rank(method="min").to_numpy(np.int64)
+        cnt = pd.Series(pool).groupby(pool).transform("size") \
+            .to_numpy(np.int64)
+        for i in range(n):
+            lo = ranks[i] - 1
+            hi = lo + cnt[i]
+            sv[i] = (hs[hi] - hs[lo]) / cnt[i]
+        in_a = np.zeros(n, bool)
+        in_a[:len(a)] = True
+        ref = _perm_z_ref(sv, in_a, len(a), len(b))
+        assert r["savage_z"] == pytest.approx(ref, abs=1e-3)
+
+
+def test_fligner_policello_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_fligner_policello
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    got = q_fligner_policello(str(tmp_path)).to_pandas()
+    by = _cents_by_type(et, vals)
+    for _, r in got.iterrows():
+        a, b = by[r["type_a"]], by[r["type_b"]]
+        p = np.array([(b < x).sum() + 0.5 * (b == x).sum() for x in a])
+        q = np.array([(a < y).sum() + 0.5 * (a == y).sum() for y in b])
+        v1 = ((p - p.mean()) ** 2).sum()
+        v2 = ((q - q.mean()) ** 2).sum()
+        ref = ((p.sum() - q.sum())
+               / (2 * np.sqrt(v1 + v2 + p.mean() * q.mean())))
+        assert r["fp_z"] == pytest.approx(ref, abs=1e-5)
