@@ -15489,3 +15489,106 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Round-3 wave 24 (pipelines/stats5.py): k-sample AD + contingency
+# goodness-of-fit variants.
+from .stats5 import (  # noqa: E402
+    q_ad_ksample,
+    q_freeman_tukey,
+    q_neyman_chi2,
+)
+
+QUERIES.update({
+    "ad_ksample": q_ad_ksample,
+    "freeman_tukey": q_freeman_tukey,
+    "neyman_chi2": q_neyman_chi2,
+})
+
+ORACLE_SQL.update(
+    {
+        "ad_ksample": _CENT_CENSUS_CTE + """
+            , sup5 AS (SELECT t.event_type, v.cv,
+                              COALESCE(cs.n, 0) AS f
+                       FROM (SELECT DISTINCT event_type FROM cs) t
+                       CROSS JOIN (SELECT DISTINCT cv FROM cs) v
+                       LEFT JOIN cs ON cs.event_type = t.event_type
+                                   AND cs.cv = v.cv),
+            pl AS (SELECT cv, CAST(sum(n) AS BIGINT) AS l
+                   FROM cs GROUP BY 1),
+            pcm AS (SELECT cv, l,
+                           CAST(2 * sum(l) OVER (ORDER BY cv) - l
+                                AS BIGINT) AS db
+                    FROM pl),
+            tt AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+                          count(DISTINCT event_type) AS k
+                   FROM cs),
+            ti AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS ni
+                   FROM cs GROUP BY 1),
+            cm AS (SELECT s.event_type, s.cv,
+                          CAST(2 * sum(s.f) OVER (PARTITION BY
+                               s.event_type ORDER BY s.cv) - s.f
+                               AS BIGINT) AS m2
+                   FROM sup5 s),
+            terms AS (SELECT (1000000000000
+                              * CAST(p.l AS HUGEINT)
+                              * (tt.n * cm.m2 - ti.ni * p.db)
+                              * (tt.n * cm.m2 - ti.ni * p.db))
+                             // (CAST(ti.ni AS HUGEINT) * tt.n
+                                 * (CAST(p.db AS HUGEINT)
+                                    * (2 * tt.n - p.db)
+                                    - tt.n * p.l)) AS t
+                      FROM cm
+                      JOIN pcm p ON p.cv = cm.cv
+                      JOIN ti ON ti.event_type = cm.event_type
+                      CROSS JOIN tt
+                      WHERE p.l > 0 AND ti.ni > 0
+                        AND CAST(p.db AS HUGEINT) * (2 * tt.n - p.db)
+                            - tt.n * p.l > 0),
+            ag AS (SELECT CAST(sum(t) AS HUGEINT) AS s FROM terms)
+            SELECT tt.k AS k_samples, tt.n AS n_pooled,
+                   round(CASE WHEN tt.n < 2 THEN 0.0
+                              ELSE CAST((tt.n - 1) * ag.s AS DOUBLE)
+                                   / CAST(tt.n *
+                                          CAST(1000000000000
+                                               AS HUGEINT)
+                                          AS DOUBLE) END,
+                         6) AS a2_akn
+            FROM tt CROSS JOIN ag
+        """,
+        "freeman_tukey": _TYPE_DOW_CTE + """
+            , cells AS (SELECT rt.r, ct.cc, COALESCE(c.n, 0) AS cell
+                        FROM rt CROSS JOIN ct
+                        LEFT JOIN c ON c.et = rt.et AND c.dow = ct.dow),
+            ag AS (SELECT CAST(sum(CAST(floor(1e6 * sqrt(
+                               CAST(cell * r * cc * tt.n AS DOUBLE)))
+                               AS BIGINT)) AS HUGEINT) AS s
+                   FROM cells CROSS JOIN tt)
+            SELECT tt.n,
+                   round(CASE WHEN tt.n = 0 THEN 0.0
+                              ELSE 8.0 * CAST(tt.n AS DOUBLE)
+                                   - CAST(8 * ag.s AS DOUBLE)
+                                     / CAST(1000000 *
+                                            CAST(tt.n AS HUGEINT)
+                                            AS DOUBLE) END,
+                         6) AS freeman_tukey
+            FROM ag CROSS JOIN tt
+        """,
+        "neyman_chi2": _TYPE_DOW_CTE + """
+            , cells AS (SELECT rt.r, ct.cc, c.n AS cell
+                        FROM rt CROSS JOIN ct
+                        JOIN c ON c.et = rt.et AND c.dow = ct.dow
+                        WHERE c.n > 0),
+            ag AS (SELECT CAST(sum((1000000000000
+                               * CAST(tt.n * cell - r * cc AS HUGEINT)
+                               * (tt.n * cell - r * cc))
+                               // (CAST(tt.n AS HUGEINT) * tt.n
+                                   * cell)) AS HUGEINT) AS s
+                   FROM cells CROSS JOIN tt)
+            SELECT tt.n,
+                   round(CASE WHEN tt.n = 0 THEN 0.0
+                              ELSE CAST(ag.s AS DOUBLE) / 1e12 END,
+                         6) AS neyman_chi2
+            FROM ag CROSS JOIN tt
+        """,
+    }
+)

@@ -1831,3 +1831,105 @@ def q_fligner_policello(sf_dir: str):
         "type_b": pa.array(out["type_b"], pa.string()),
         "fp_z": pa.array(out["fp_z"], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 24: k-sample / goodness-of-fit extensions.
+# ---------------------------------------------------------------------------
+
+def q_ad_ksample(sf_dir: str):
+    """Scholz-Stephens k-sample Anderson-Darling statistic (tie-
+    adjusted "version 1") across ALL types' cent-value distributions
+    at once: with doubled mid-counts 2M_ij = 2*cum_ij - f_ij and
+    db_j = 2*PC_j - l_j, each (sample, support) cell contributes the
+    pico-floored exact term
+    (10^12 * l_j * X_ij^2) // (n_i * N * D_j) with
+    X_ij = N*(2M_ij) - n_i*db_j and D_j = db_j*(2N - db_j) - N*l_j
+    (rows with D_j <= 0 — a support value covering the whole pool —
+    are skipped); A2_akN = (N-1)*S / (N*10^12) as ONE mirrored
+    division."""
+    prof = _cent_profiles(sf_dir)
+    types = sorted(prof)
+    all_v = np.union1d(
+        np.concatenate([prof[t][0] for t in types]),
+        np.array([], np.int64))
+    full = {}
+    for t in types:
+        v, a = prof[t]
+        f = np.zeros(len(all_v), np.int64)
+        f[np.searchsorted(all_v, v)] = a
+        full[t] = f
+    pooled = sum(full[t] for t in types)
+    big_n = int(pooled.sum())
+    pc = np.cumsum(pooled)
+    db = 2 * pc - pooled
+    dj = db * (2 * big_n - db) - big_n * pooled
+    s_sum = 0
+    for t in types:
+        f = full[t]
+        n_i = int(f.sum())
+        if n_i == 0:
+            continue
+        cum = np.cumsum(f)
+        m2 = 2 * cum - f
+        for lj, m2j, dbj, djj in zip(pooled, m2, db, dj):
+            if djj <= 0 or lj == 0:
+                continue
+            x = big_n * int(m2j) - n_i * int(dbj)
+            s_sum += (10 ** 12 * int(lj) * x * x) // (n_i * big_n
+                                                      * int(djj))
+    a2 = (0.0 if big_n < 2
+          else float((big_n - 1) * s_sum)
+          / float(big_n * 10 ** 12))
+    return pa.table({
+        "k_samples": pa.array([len(types)], pa.int64()),
+        "n_pooled": pa.array([big_n], pa.int64()),
+        "a2_akn": pa.array([round(a2, 6)], pa.float64()),
+    })
+
+
+def q_freeman_tukey(sf_dir: str):
+    """Freeman-Tukey chi-square of the (type, dow) table:
+    T^2 = 4*sum (sqrt(O) - sqrt(E))^2 = 8N - (8/N)*sum sqrt(O*R*C*N)
+    — each cell's sqrt of the exact integer product is micro-floored
+    identically on both engines, then ONE mirrored chain."""
+    piv = _type_dow_pivot(sf_dir)
+    n = int(piv.sum())
+    rows = [int(x) for x in piv.sum(axis=1)]
+    cols = [int(x) for x in piv.sum(axis=0)]
+    s_sum = 0
+    for i, rr in enumerate(rows):
+        for j, cc in enumerate(cols):
+            cell = int(piv[i, j])
+            s_sum += math.floor(1e6 * math.sqrt(float(cell * rr * cc
+                                                      * n)))
+    ft = (0.0 if n == 0
+          else 8.0 * float(n) - float(8 * s_sum) / float(1000000 * n))
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "freeman_tukey": pa.array([round(ft, 6)], pa.float64()),
+    })
+
+
+def q_neyman_chi2(sf_dir: str):
+    """Neyman's modified chi-square of the (type, dow) table:
+    sum over NON-EMPTY cells of (O-E)^2/O = (N*O - R*C)^2/(N^2*O),
+    pico-floored exactly per cell (bignum/HUGEINT floor division),
+    summed as integers to ONE mirrored division."""
+    piv = _type_dow_pivot(sf_dir)
+    n = int(piv.sum())
+    rows = [int(x) for x in piv.sum(axis=1)]
+    cols = [int(x) for x in piv.sum(axis=0)]
+    s_sum = 0
+    for i, rr in enumerate(rows):
+        for j, cc in enumerate(cols):
+            cell = int(piv[i, j])
+            if cell == 0:
+                continue
+            diff = n * cell - rr * cc
+            s_sum += (10 ** 12 * diff * diff) // (n * n * cell)
+    chi2 = 0.0 if n == 0 else float(s_sum) / 1e12
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "neyman_chi2": pa.array([round(chi2, 6)], pa.float64()),
+    })

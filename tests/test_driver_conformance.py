@@ -248,6 +248,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         "snht", "foster_stuart", "rs_hurst",
         # round-3 wave 23
         "mood_squared_ranks", "savage_scores", "fligner_policello",
+        # round-3 wave 24
+        "ad_ksample", "freeman_tukey", "neyman_chi2",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

@@ -1068,3 +1068,60 @@ def test_fligner_policello_matches_bruteforce(ray_session, tmp_path):
         ref = ((p.sum() - q.sum())
                / (2 * np.sqrt(v1 + v2 + p.mean() * q.mean())))
         assert r["fp_z"] == pytest.approx(ref, abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# wave 24: k-sample AD + contingency GOF variants
+# ---------------------------------------------------------------------------
+
+def test_ad_ksample_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_ad_ksample
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    got = q_ad_ksample(str(tmp_path)).to_pandas().iloc[0]
+    by = _cents_by_type(et, vals)
+    samples = [by[t] for t in sorted(by)]
+    pooled = np.sort(np.concatenate(samples))
+    zs = np.unique(pooled)
+    n = len(pooled)
+    lj = np.array([(pooled == z).sum() for z in zs], np.float64)
+    bj = np.cumsum(lj) - lj / 2
+    total = 0.0
+    for s in samples:
+        ni = len(s)
+        fij = np.array([(s == z).sum() for z in zs], np.float64)
+        mij = np.cumsum(fij) - fij / 2
+        den = bj * (n - bj) - n * lj / 4
+        ok = den > 0
+        inner = (lj[ok] / n * (n * mij[ok] - ni * bj[ok]) ** 2
+                 / den[ok]).sum()
+        total += inner / ni
+    ref = (n - 1) / n * total
+    assert got["k_samples"] == len(samples)
+    assert got["n_pooled"] == n
+    assert got["a2_akn"] == pytest.approx(ref, abs=1e-3)
+
+
+def test_freeman_tukey_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_freeman_tukey
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_freeman_tukey(str(tmp_path)).to_pandas().iloc[0]
+    piv = _pivot_type_dow(et, hrs).astype(np.float64)
+    n = piv.sum()
+    exp = np.outer(piv.sum(axis=1), piv.sum(axis=0)) / n
+    ref = 4 * ((np.sqrt(piv) - np.sqrt(exp)) ** 2).sum()
+    assert got["freeman_tukey"] == pytest.approx(ref, abs=1e-3)
+
+
+def test_neyman_chi2_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_neyman_chi2
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_neyman_chi2(str(tmp_path)).to_pandas().iloc[0]
+    piv = _pivot_type_dow(et, hrs).astype(np.float64)
+    n = piv.sum()
+    exp = np.outer(piv.sum(axis=1), piv.sum(axis=0)) / n
+    mask = piv > 0
+    ref = (((piv - exp) ** 2 / piv)[mask]).sum()
+    assert got["neyman_chi2"] == pytest.approx(ref, abs=1e-4)
