@@ -15592,3 +15592,142 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Round-3 wave 25 (pipelines/stats5.py): Lepage combined test + robust
+# location estimators.
+from .stats5 import (  # noqa: E402
+    q_lepage,
+    q_location_estimates,
+    q_trimmed_means,
+)
+
+QUERIES.update({
+    "lepage": q_lepage,
+    "location_estimates": q_location_estimates,
+    "trimmed_means": q_trimmed_means,
+})
+
+ORACLE_SQL.update(
+    {
+        "lepage": _PAIR_CUMS_CTE + """
+            , sc AS (SELECT ta, tb, na, nb, an, an + bn AS tv,
+                            CAST(2 * wlt + (an + bn) + 1
+                                 AS BIGINT) AS d,
+                            least(CAST(2 * wlt + (an + bn) + 1
+                                       AS BIGINT),
+                                  2 * (na + nb + 1)
+                                  - (2 * wlt + (an + bn) + 1)) AS ab
+                     FROM cums),
+            ag AS (SELECT ta, tb, na, nb,
+                          CAST(sum(CAST(an AS HUGEINT) * d)
+                               AS HUGEINT) AS tw,
+                          CAST(sum(CAST(tv AS HUGEINT) * d)
+                               AS HUGEINT) AS s1w,
+                          CAST(sum(CAST(tv AS HUGEINT) * d * d)
+                               AS HUGEINT) AS s2w,
+                          CAST(sum(CAST(an AS HUGEINT) * ab)
+                               AS HUGEINT) AS tab,
+                          CAST(sum(CAST(tv AS HUGEINT) * ab)
+                               AS HUGEINT) AS s1ab,
+                          CAST(sum(CAST(tv AS HUGEINT) * ab * ab)
+                               AS HUGEINT) AS s2ab
+                   FROM sc GROUP BY 1, 2, 3, 4),
+            zz AS (SELECT ta, tb,
+                          CASE WHEN na + nb < 2
+                                    OR CAST(na AS HUGEINT) * nb
+                                       * ((na + nb) * s2w - s1w * s1w)
+                                       <= 0 THEN 0.0
+                               ELSE CAST((na + nb) * tw - na * s1w
+                                         AS DOUBLE)
+                                    / sqrt(CAST(CAST(na AS HUGEINT)
+                                                * nb * ((na + nb) * s2w
+                                                        - s1w * s1w)
+                                                AS DOUBLE)
+                                           / CAST(na + nb - 1
+                                                  AS DOUBLE)) END
+                              AS zw,
+                          CASE WHEN na + nb < 2
+                                    OR CAST(na AS HUGEINT) * nb
+                                       * ((na + nb) * s2ab
+                                          - s1ab * s1ab)
+                                       <= 0 THEN 0.0
+                               ELSE CAST((na + nb) * tab - na * s1ab
+                                         AS DOUBLE)
+                                    / sqrt(CAST(CAST(na AS HUGEINT)
+                                                * nb
+                                                * ((na + nb) * s2ab
+                                                   - s1ab * s1ab)
+                                                AS DOUBLE)
+                                           / CAST(na + nb - 1
+                                                  AS DOUBLE)) END
+                              AS zab
+                   FROM ag)
+            SELECT ta AS type_a, tb AS type_b,
+                   round(zw * zw + zab * zab, 6) AS lepage_l
+            FROM zz ORDER BY 1, 2
+        """,
+        "location_estimates": """
+            WITH s AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cv
+                       FROM events),
+            r AS (SELECT event_type, cv,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY cv) AS rn
+                  FROM s),
+            nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                   FROM s GROUP BY 1),
+            px AS (SELECT r.event_type,
+                          max(CASE WHEN rn = (n + 1) // 2
+                                   THEN cv END) AS med,
+                          max(CASE WHEN rn = (n + 3) // 4
+                                   THEN cv END) AS q1,
+                          max(CASE WHEN rn = (3 * n + 3) // 4
+                                   THEN cv END) AS q3,
+                          max(CASE WHEN rn = (n + 2) // 3
+                                   THEN cv END) AS x33,
+                          max(CASE WHEN rn = (2 * n + 2) // 3
+                                   THEN cv END) AS x66
+                   FROM r JOIN nn USING (event_type) GROUP BY 1)
+            SELECT event_type,
+                   round(CAST(q1 + 2 * med + q3 AS DOUBLE) / 4.0,
+                         6) AS trimean,
+                   round(CAST(3 * x33 + 4 * med + 3 * x66 AS DOUBLE)
+                         / 10.0, 6) AS gastwirth,
+                   round(CAST(q1 + q3 AS DOUBLE) / 2.0, 6) AS midhinge
+            FROM px ORDER BY 1
+        """,
+        "trimmed_means": """
+            WITH s AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cv
+                       FROM events),
+            r AS (SELECT event_type, cv,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY cv) AS rn
+                  FROM s),
+            nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                   FROM s GROUP BY 1),
+            tr AS (SELECT r.event_type,
+                          CAST(sum(CASE WHEN rn > n // 10
+                                             AND rn <= n - n // 10
+                                        THEN cv ELSE 0 END)
+                               AS HUGEINT) AS trim,
+                          max(CASE WHEN rn = n // 10 + 1
+                                   THEN cv END) AS xlo,
+                          max(CASE WHEN rn = n - n // 10
+                                   THEN cv END) AS xhi
+                   FROM r JOIN nn USING (event_type) GROUP BY 1)
+            SELECT tr.event_type,
+                   round(CASE WHEN n - 2 * (n // 10) <= 0 THEN 0.0
+                              ELSE CAST(trim AS DOUBLE)
+                                   / CAST(n - 2 * (n // 10)
+                                          AS DOUBLE) END,
+                         6) AS trimmed_mean,
+                   round(CASE WHEN n = 0 THEN 0.0
+                              ELSE CAST(trim + (n // 10) * xlo
+                                        + (n // 10) * xhi AS DOUBLE)
+                                   / CAST(n AS DOUBLE) END,
+                         6) AS winsor_mean
+            FROM tr JOIN nn USING (event_type) ORDER BY 1
+        """,
+    }
+)

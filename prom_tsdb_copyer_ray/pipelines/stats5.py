@@ -1933,3 +1933,113 @@ def q_neyman_chi2(sf_dir: str):
         "n": pa.array([n], pa.int64()),
         "neyman_chi2": pa.array([round(chi2, 6)], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 25: combined rank tests + robust location estimators.
+# ---------------------------------------------------------------------------
+
+def q_lepage(sf_dir: str):
+    """Lepage's combined location-scale test between type pairs:
+    L = z_W^2 + z_AB^2, the Wilcoxon z over doubled-midrank scores
+    d_v plus the Ansari-Bradley z over the outside-in scores
+    min(d_v, 2(N+1) - d_v) — both standardized by the exact
+    permutation-moment chain (stats5._perm_z); L ~ chi2_2 under the
+    null."""
+    prof = _cent_profiles(sf_dir)
+    types = sorted(prof)
+    out = {"type_a": [], "type_b": [], "lepage_l": []}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            _, a_n, b_n = _merged_support(*prof[ta], *prof[tb])
+            na, nb = int(a_n.sum()), int(b_n.sum())
+            big_n = na + nb
+            tot = a_n + b_n
+            w_lt = np.cumsum(tot) - tot
+            d = 2 * w_lt + tot + 1
+            tw = s1w = s2w = 0
+            tab = s1ab = s2ab = 0
+            for av, tv, dv in zip(a_n, tot, d):
+                dv = int(dv)
+                ab = min(dv, 2 * (big_n + 1) - dv)
+                tw += int(av) * dv
+                s1w += int(tv) * dv
+                s2w += int(tv) * dv * dv
+                tab += int(av) * ab
+                s1ab += int(tv) * ab
+                s2ab += int(tv) * ab * ab
+            zw = _perm_z(tw, s1w, s2w, na, nb)
+            zab = _perm_z(tab, s1ab, s2ab, na, nb)
+            out["type_a"].append(ta)
+            out["type_b"].append(tb)
+            out["lepage_l"].append(round(zw * zw + zab * zab, 6))
+    return pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "lepage_l": pa.array(out["lepage_l"], pa.float64()),
+    })
+
+
+def q_location_estimates(sf_dir: str):
+    """Classical robust location estimates per type in exact cents:
+    Tukey's trimean (Q1 + 2*med + Q3)/4, Gastwirth's estimator
+    (3*x_(ceil(n/3)) + 4*med + 3*x_(ceil(2n/3)))/10 and the midhinge
+    (Q1+Q3)/2 — every order statistic exact (ceil-index convention),
+    one mirrored division each."""
+    prof = _cent_profiles(sf_dir)
+    out = {"event_type": [], "trimean": [], "gastwirth": [],
+           "midhinge": []}
+    for et in sorted(prof):
+        v, a = prof[et]
+        n = int(a.sum())
+        med = _order_stat(v, a, (n + 1) // 2)
+        q1 = _order_stat(v, a, (n + 3) // 4)
+        q3 = _order_stat(v, a, (3 * n + 3) // 4)
+        x33 = _order_stat(v, a, (n + 2) // 3)
+        x66 = _order_stat(v, a, (2 * n + 2) // 3)
+        out["event_type"].append(et)
+        out["trimean"].append(round(float(q1 + 2 * med + q3)
+                                    / 4.0, 6))
+        out["gastwirth"].append(round(float(3 * x33 + 4 * med + 3 * x66)
+                                      / 10.0, 6))
+        out["midhinge"].append(round(float(q1 + q3) / 2.0, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "trimean": pa.array(out["trimean"], pa.float64()),
+        "gastwirth": pa.array(out["gastwirth"], pa.float64()),
+        "midhinge": pa.array(out["midhinge"], pa.float64()),
+    })
+
+
+def q_trimmed_means(sf_dir: str):
+    """10%-trimmed and 10%-winsorized means per type in exact cents
+    (k = n // 10 cut from each end): the trimmed sum clips the census
+    cumulative to [k, n-k], the winsorized sum adds k copies of each
+    boundary order statistic — exact integers to one mirrored
+    division each."""
+    prof = _cent_profiles(sf_dir)
+    out = {"event_type": [], "trimmed_mean": [], "winsor_mean": []}
+    for et in sorted(prof):
+        v, a = prof[et]
+        n = int(a.sum())
+        k = n // 10
+        cum = np.cumsum(a)
+        prev = cum - a
+        lo_c = np.maximum(prev, k)
+        hi_c = np.minimum(cum, n - k)
+        w = np.maximum(hi_c - lo_c, 0)
+        trim = sum(int(x) * int(y) for x, y in zip(v, w))
+        xlo = _order_stat(v, a, k + 1)
+        xhi = _order_stat(v, a, n - k)
+        tm = (0.0 if n - 2 * k <= 0
+              else float(trim) / float(n - 2 * k))
+        wm = (0.0 if n == 0
+              else float(trim + k * xlo + k * xhi) / float(n))
+        out["event_type"].append(et)
+        out["trimmed_mean"].append(round(tm, 6))
+        out["winsor_mean"].append(round(wm, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "trimmed_mean": pa.array(out["trimmed_mean"], pa.float64()),
+        "winsor_mean": pa.array(out["winsor_mean"], pa.float64()),
+    })

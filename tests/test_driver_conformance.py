@@ -250,6 +250,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         "mood_squared_ranks", "savage_scores", "fligner_policello",
         # round-3 wave 24
         "ad_ksample", "freeman_tukey", "neyman_chi2",
+        # round-3 wave 25
+        "lepage", "location_estimates", "trimmed_means",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

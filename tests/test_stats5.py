@@ -1125,3 +1125,67 @@ def test_neyman_chi2_matches_bruteforce(ray_session, tmp_path):
     mask = piv > 0
     ref = (((piv - exp) ** 2 / piv)[mask]).sum()
     assert got["neyman_chi2"] == pytest.approx(ref, abs=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# wave 25: Lepage + robust location
+# ---------------------------------------------------------------------------
+
+def test_lepage_matches_bruteforce(ray_session, tmp_path):
+    import pandas as pd
+
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_lepage
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    got = q_lepage(str(tmp_path)).to_pandas()
+    by = _cents_by_type(et, vals)
+    for _, r in got.iterrows():
+        a, b = by[r["type_a"]], by[r["type_b"]]
+        pool = np.concatenate([a, b])
+        n = len(pool)
+        ranks = pd.Series(pool).rank(method="average").to_numpy()
+        ab_scores = np.minimum(ranks, n + 1 - ranks)
+        in_a = np.zeros(n, bool)
+        in_a[:len(a)] = True
+        zw = _perm_z_ref(ranks, in_a, len(a), len(b))
+        zab = _perm_z_ref(ab_scores, in_a, len(a), len(b))
+        assert r["lepage_l"] == pytest.approx(zw ** 2 + zab ** 2,
+                                              abs=1e-4)
+
+
+def test_location_estimates_match_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_location_estimates
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    got = q_location_estimates(str(tmp_path)).to_pandas()
+    by = _cents_by_type(et, vals)
+    for _, r in got.iterrows():
+        x = np.sort(by[r["event_type"]])
+        n = len(x)
+        med = x[(n + 1) // 2 - 1]
+        q1 = x[(n + 3) // 4 - 1]
+        q3 = x[(3 * n + 3) // 4 - 1]
+        x33 = x[(n + 2) // 3 - 1]
+        x66 = x[(2 * n + 2) // 3 - 1]
+        assert r["trimean"] == pytest.approx((q1 + 2 * med + q3) / 4,
+                                             abs=1e-6)
+        assert r["gastwirth"] == pytest.approx(
+            (3 * x33 + 4 * med + 3 * x66) / 10, abs=1e-6)
+        assert r["midhinge"] == pytest.approx((q1 + q3) / 2, abs=1e-6)
+
+
+def test_trimmed_means_match_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_trimmed_means
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    got = q_trimmed_means(str(tmp_path)).to_pandas()
+    by = _cents_by_type(et, vals)
+    for _, r in got.iterrows():
+        x = np.sort(by[r["event_type"]])
+        n = len(x)
+        k = n // 10
+        core = x[k:n - k]
+        assert r["trimmed_mean"] == pytest.approx(core.mean(),
+                                                  abs=1e-6)
+        wx = np.concatenate([[x[k]] * k, core, [x[n - k - 1]] * k])
+        assert r["winsor_mean"] == pytest.approx(wx.mean(), abs=1e-6)
