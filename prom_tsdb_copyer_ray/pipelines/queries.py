@@ -15731,3 +15731,128 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Round-3 wave 26 (pipelines/stats5.py): Benford digits, weekly
+# harmonic, lagged cross-correlation.
+from .stats5 import (  # noqa: E402
+    _BENFORD_P,
+    _FC168,
+    _FS168,
+    q_benford_first_digit,
+    q_cross_corr,
+    q_weekly_harmonic,
+)
+
+QUERIES.update({
+    "benford_first_digit": q_benford_first_digit,
+    "weekly_harmonic": q_weekly_harmonic,
+    "cross_corr": q_cross_corr,
+})
+
+_BENFORD_VALUES = ", ".join(
+    f"({d + 1}, {p})" for d, p in enumerate(_BENFORD_P))
+_W168_VALUES = ", ".join(
+    f"({d}, {c}, {s})"
+    for d, (c, s) in enumerate(zip(_FC168, _FS168)))
+
+ORACLE_SQL.update(
+    {
+        "benford_first_digit": f"""
+            WITH s AS (SELECT CAST(round(value * 100) AS BIGINT) AS cv
+                       FROM events),
+            dg AS (SELECT CAST(substr(CAST(cv AS VARCHAR), 1, 1)
+                               AS BIGINT) AS d
+                   FROM s WHERE cv > 0),
+            oc AS (SELECT d, CAST(count(*) AS BIGINT) AS o
+                   FROM dg GROUP BY 1),
+            bp AS (SELECT * FROM (VALUES {_BENFORD_VALUES})
+                   AS t(d, p)),
+            tt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM oc),
+            terms AS (SELECT bp.d, COALESCE(oc.o, 0) AS o, bp.p,
+                             1000000 * COALESCE(oc.o, 0)
+                               - tt.n * bp.p AS diff
+                      FROM bp LEFT JOIN oc ON oc.d = bp.d
+                              CROSS JOIN tt),
+            ag AS (SELECT CAST(sum((1000000000000
+                               * CAST(diff AS HUGEINT) * diff)
+                               // (1000000 * CAST(tt.n AS HUGEINT)
+                                   * p)) AS HUGEINT) AS chi2_pico
+                   FROM terms CROSS JOIN tt WHERE tt.n > 0),
+            mx AS (SELECT d, abs(diff) AS dev,
+                          row_number() OVER (ORDER BY abs(diff) DESC,
+                                             d ASC) AS rn
+                   FROM terms)
+            SELECT tt.n,
+                   round(CASE WHEN tt.n = 0 THEN 0.0
+                              ELSE CAST(ag.chi2_pico AS DOUBLE)
+                                   / CAST(1000000000000 AS DOUBLE)
+                              END,
+                         6) AS benford_chi2,
+                   mx.d AS max_dev_digit,
+                   round(CASE WHEN tt.n = 0 THEN 0.0
+                              ELSE CAST(mx.dev AS DOUBLE)
+                                   / CAST(1000000 *
+                                          CAST(tt.n AS HUGEINT)
+                                          AS DOUBLE) END,
+                         6) AS max_dev
+            FROM tt CROSS JOIN ag JOIN mx ON mx.rn = 1
+        """,
+        "weekly_harmonic": f"""
+            WITH c AS (SELECT event_type,
+                              (epoch_ms(ts) // 3600000) % 168 AS d,
+                              CAST(count(*) AS BIGINT) AS t
+                       FROM events GROUP BY 1, 2),
+            w AS (SELECT * FROM (VALUES {_W168_VALUES})
+                  AS t(d, fc, fs)),
+            ag AS (SELECT c.event_type,
+                          CAST(sum(c.t * w.fc) AS HUGEINT) AS a,
+                          CAST(sum(c.t * w.fs) AS HUGEINT) AS b,
+                          CAST(sum(c.t) AS BIGINT) AS n
+                   FROM c JOIN w ON w.d = c.d GROUP BY 1)
+            SELECT event_type, n,
+                   round(CASE WHEN n = 0 THEN 0.0
+                              ELSE sqrt(CAST(a * a + b * b AS DOUBLE))
+                                   / CAST(1000000 *
+                                          CAST(n AS HUGEINT)
+                                          AS DOUBLE) END,
+                         6) AS amp_ratio
+            FROM ag ORDER BY 1
+        """,
+        "cross_corr": _DENSE_GRID_CTE + """
+            , lg AS (SELECT * FROM (VALUES (0), (1), (2), (3))
+                     AS l(k)),
+            j AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                         l.k, a.c AS x, b.c AS y
+                  FROM d a JOIN lg l ON TRUE
+                  JOIN d b ON b.hr = a.hr + l.k
+                          AND a.event_type < b.event_type),
+            ag AS (SELECT ta, tb, k,
+                          CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(x) AS BIGINT) AS sx,
+                          CAST(sum(y) AS BIGINT) AS sy,
+                          CAST(sum(CAST(x AS HUGEINT) * x)
+                               AS HUGEINT) AS sxx,
+                          CAST(sum(CAST(y AS HUGEINT) * y)
+                               AS HUGEINT) AS syy,
+                          CAST(sum(CAST(x AS HUGEINT) * y)
+                               AS HUGEINT) AS sxy
+                   FROM j GROUP BY 1, 2, 3)
+            SELECT ta AS type_a, tb AS type_b, k AS lag,
+                   round(CASE WHEN n < 2
+                                   OR n * sxx - CAST(sx AS HUGEINT)
+                                      * sx <= 0
+                                   OR n * syy - CAST(sy AS HUGEINT)
+                                      * sy <= 0 THEN 0.0
+                              ELSE CAST(n * sxy - CAST(sx AS HUGEINT)
+                                        * sy AS DOUBLE)
+                                   / sqrt(CAST(n * sxx
+                                               - CAST(sx AS HUGEINT)
+                                                 * sx AS DOUBLE)
+                                          * CAST(n * syy
+                                                 - CAST(sy AS HUGEINT)
+                                                   * sy AS DOUBLE))
+                         END, 6) AS ccf
+            FROM ag ORDER BY 1, 2, 3
+        """,
+    }
+)

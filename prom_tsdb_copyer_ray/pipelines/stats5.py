@@ -2043,3 +2043,146 @@ def q_trimmed_means(sf_dir: str):
         "trimmed_mean": pa.array(out["trimmed_mean"], pa.float64()),
         "winsor_mean": pa.array(out["winsor_mean"], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 26: Benford digits, weekly harmonic, lagged cross-correlation.
+# ---------------------------------------------------------------------------
+
+# floor(1e6 * log10(1 + 1/d)) for d = 1..9 — LITERAL constants shared
+# with the SQL oracle (the _FC24 trig-literal convention).
+_BENFORD_P = [301029, 176091, 124938, 96910, 79181, 66946, 57991,
+              51152, 45757]
+
+
+def q_benford_first_digit(sf_dir: str):
+    """Benford's-law first-digit test over positive cent values:
+    digit census O_d (d = first decimal digit of cv), chi2 =
+    sum_d (1e6*O_d - N*P_d)^2 / (1e6*N*P_d) with the micro-floored
+    log10 literals P_d — pico-floored per digit (9 exact integer
+    terms), one mirrored division.  Also reports the maximum absolute
+    proportion deviation (exact cross-multiplied argmax, smallest
+    digit on ties)."""
+    prof = _cent_profiles(sf_dir)
+    counts = [0] * 10
+    for et in sorted(prof):
+        v, a = prof[et]
+        for vv, aa in zip(v, a):
+            if vv > 0:
+                counts[int(str(int(vv))[0])] += int(aa)
+    n = sum(counts[1:])
+    chi2_pico = 0
+    best_dev = -1
+    best_d = 0
+    for d in range(1, 10):
+        o = counts[d]
+        p = _BENFORD_P[d - 1]
+        diff = 10 ** 6 * o - n * p
+        if n > 0:
+            chi2_pico += (10 ** 12 * diff * diff) // (10 ** 6 * n * p)
+        dev = abs(diff)
+        if dev > best_dev:
+            best_dev, best_d = dev, d
+    chi2 = 0.0 if n == 0 else float(chi2_pico) / float(10 ** 12)
+    max_dev = (0.0 if n == 0
+               else float(best_dev) / float(10 ** 6 * n))
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "benford_chi2": pa.array([round(chi2, 6)], pa.float64()),
+        "max_dev_digit": pa.array([best_d], pa.int64()),
+        "max_dev": pa.array([round(max_dev, 6)], pa.float64()),
+    })
+
+
+_FC168 = [math.floor(1e6 * math.cos(2 * math.pi * d / 168))
+          for d in range(168)]
+_FS168 = [math.floor(1e6 * math.sin(2 * math.pi * d / 168))
+          for d in range(168)]
+
+
+def q_weekly_harmonic(sf_dir: str):
+    """First-harmonic (168 h weekly cycle) DFT amplitude of each
+    type's hour-of-week activity profile — the weekly counterpart of
+    diurnal_amplitude: A = sum_d T_d*FC_d, B = sum_d T_d*FS_d over
+    the 168-cell hour-of-week census with micro-floored trig literals
+    (module constants injected verbatim into the SQL oracle), ratio =
+    sqrt(A^2+B^2)/(1e6*N) as one mirrored chain."""
+    from ..windows import ts_to_ms
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "d": pa.array(((tms // 3_600_000) % 168).astype(np.int64)),
+            "t": pa.array(np.ones(len(tms), np.int64)),
+        })
+        g = t.group_by(["event_type", "d"]).aggregate([("t", "sum")])
+        return g.rename_columns(["event_type", "d", "t"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "d"], [("t", "sum")], num_shards=2,
+    ).to_pandas()
+    out = {"event_type": [], "n": [], "amp_ratio": []}
+    for et, grp in census.groupby("event_type", sort=True):
+        d = grp["d"].to_numpy()
+        t = grp["t"].to_numpy()
+        a = sum(int(tt) * _FC168[int(dd)] for dd, tt in zip(d, t))
+        b = sum(int(tt) * _FS168[int(dd)] for dd, tt in zip(d, t))
+        n = int(t.sum())
+        ratio = (0.0 if n == 0
+                 else math.sqrt(float(a * a + b * b))
+                 / float(1000000 * n))
+        out["event_type"].append(str(et))
+        out["n"].append(n)
+        out["amp_ratio"].append(round(ratio, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+        "amp_ratio": pa.array(out["amp_ratio"], pa.float64()),
+    })
+
+
+_CCF_LAGS = (0, 1, 2, 3)
+
+
+def q_cross_corr(sf_dir: str):
+    """Lagged cross-correlation between aligned hourly type pairs:
+    ccf(k) = Pearson r of (x_t, y_{t+k}) for k = 0..3 over the
+    overlapping H-k hours — exact int64 six-statistic numerators, one
+    mirrored sqrt chain per (pair, lag) row."""
+    series, big_h = dense_hour_counts(sf_dir)
+    types = sorted(series)
+    out = {"type_a": [], "type_b": [], "lag": [], "ccf": []}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            x, y = series[ta], series[tb]
+            for k in _CCF_LAGS:
+                n = big_h - k
+                if n < 2:
+                    c = 0.0
+                else:
+                    xs = x[:n]
+                    ys = y[k:k + n]
+                    sx, sy = int(xs.sum()), int(ys.sum())
+                    sxx = int(np.dot(xs, xs))
+                    syy = int(np.dot(ys, ys))
+                    sxy = int(np.dot(xs, ys))
+                    vx = n * sxx - sx * sx
+                    vy = n * syy - sy * sy
+                    num = n * sxy - sx * sy
+                    c = (0.0 if vx <= 0 or vy <= 0
+                         else float(num)
+                         / math.sqrt(float(vx) * float(vy)))
+                out["type_a"].append(ta)
+                out["type_b"].append(tb)
+                out["lag"].append(k)
+                out["ccf"].append(round(c, 6))
+    return pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "lag": pa.array(out["lag"], pa.int64()),
+        "ccf": pa.array(out["ccf"], pa.float64()),
+    })

@@ -252,6 +252,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         "ad_ksample", "freeman_tukey", "neyman_chi2",
         # round-3 wave 25
         "lepage", "location_estimates", "trimmed_means",
+        # round-3 wave 26
+        "benford_first_digit", "weekly_harmonic", "cross_corr",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

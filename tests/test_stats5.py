@@ -1189,3 +1189,58 @@ def test_trimmed_means_match_bruteforce(ray_session, tmp_path):
                                                   abs=1e-6)
         wx = np.concatenate([[x[k]] * k, core, [x[n - k - 1]] * k])
         assert r["winsor_mean"] == pytest.approx(wx.mean(), abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# wave 26: Benford, weekly harmonic, cross-correlation
+# ---------------------------------------------------------------------------
+
+def test_benford_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_benford_first_digit
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    got = q_benford_first_digit(str(tmp_path)).to_pandas().iloc[0]
+    cents = np.rint(vals * 100).astype(np.int64)
+    cents = cents[cents > 0]
+    digits = np.array([int(str(c)[0]) for c in cents])
+    n = len(digits)
+    p = np.log10(1 + 1 / np.arange(1, 10))
+    o = np.array([(digits == d).sum() for d in range(1, 10)],
+                 np.float64)
+    chi2 = (((o - n * p) ** 2) / (n * p)).sum()
+    assert got["n"] == n
+    assert got["benford_chi2"] == pytest.approx(chi2, abs=1e-3)
+    dev = np.abs(o / n - p)
+    assert got["max_dev_digit"] == int(dev.argmax()) + 1
+    assert got["max_dev"] == pytest.approx(dev.max(), abs=1e-5)
+
+
+def test_weekly_harmonic_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_weekly_harmonic
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_weekly_harmonic(str(tmp_path)).to_pandas()
+    for _, r in got.iterrows():
+        how = hrs[et == r["event_type"]] % 168
+        cnt = np.bincount(how, minlength=168).astype(np.float64)
+        a = (cnt * np.cos(2 * np.pi * np.arange(168) / 168)).sum()
+        b = (cnt * np.sin(2 * np.pi * np.arange(168) / 168)).sum()
+        ref = np.sqrt(a * a + b * b) / cnt.sum()
+        assert r["n"] == cnt.sum()
+        assert r["amp_ratio"] == pytest.approx(ref, abs=1e-4)
+
+
+def test_cross_corr_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_cross_corr
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_cross_corr(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    assert len(got) == 3 * 4  # 3 pairs x 4 lags
+    for _, r in got.iterrows():
+        x = dense[r["type_a"]].astype(np.float64)
+        y = dense[r["type_b"]].astype(np.float64)
+        k = int(r["lag"])
+        xs, ys = x[:len(x) - k], y[k:]
+        ref = np.corrcoef(xs, ys)[0, 1]
+        assert r["ccf"] == pytest.approx(ref, abs=1e-6)
