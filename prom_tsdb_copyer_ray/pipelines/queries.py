@@ -15856,3 +15856,107 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Round-3 wave 27 (pipelines/stats5.py): token-length profile,
+# Page-Hinkley detector, activity concentration.
+from .stats5 import (  # noqa: E402
+    q_activity_gini,
+    q_page_hinkley,
+    q_word_length_stats,
+)
+
+QUERIES.update({
+    "word_length_stats": q_word_length_stats,
+    "page_hinkley": q_page_hinkley,
+    "activity_gini": q_activity_gini,
+})
+
+ORACLE_SQL.update(
+    {
+        "word_length_stats": """
+            WITH tok AS (SELECT length(t) AS l
+                         FROM (SELECT unnest(regexp_extract_all(text,
+                                      '[A-Za-z]+')) AS t
+                               FROM documents)),
+            cs AS (SELECT l, CAST(count(*) AS BIGINT) AS c
+                   FROM tok GROUP BY 1),
+            ag AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                          CAST(sum(l * c) AS BIGINT) AS s1,
+                          CAST(sum(CAST(l AS HUGEINT) * l * c)
+                               AS HUGEINT) AS s2,
+                          CAST(sum(c * CAST(floor(1e6 *
+                               ln(CAST(c AS DOUBLE))) AS BIGINT))
+                               AS HUGEINT) AS s_ln
+                   FROM cs)
+            SELECT n AS n_tokens,
+                   round(CASE WHEN n = 0 THEN 0.0
+                              ELSE CAST(s1 AS DOUBLE)
+                                   / CAST(n AS DOUBLE) END,
+                         6) AS mean_len,
+                   round(CASE WHEN n = 0 THEN 0.0
+                              ELSE CAST(n * s2 - CAST(s1 AS HUGEINT)
+                                        * s1 AS DOUBLE)
+                                   / CAST(CAST(n AS HUGEINT) * n
+                                          AS DOUBLE) END,
+                         6) AS var_len,
+                   round(CASE WHEN n < 2 THEN 0.0
+                              ELSE CAST(n * CAST(floor(1e6 *
+                                        ln(CAST(n AS DOUBLE)))
+                                        AS BIGINT) - s_ln AS DOUBLE)
+                                   / CAST(1000000 *
+                                          CAST(n AS HUGEINT)
+                                          AS DOUBLE) END,
+                         6) AS len_entropy
+            FROM ag
+        """,
+        "page_hinkley": _DENSE_GRID_CTE + """
+            , st AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS s1
+                     FROM d GROUP BY 1),
+            hs AS (SELECT d.event_type,
+                          row_number() OVER w AS k,
+                          CAST(hh.hh * sum(d.c) OVER w2
+                               - row_number() OVER w * st.s1
+                               AS BIGINT) AS v
+                   FROM d JOIN st USING (event_type) CROSS JOIN hh
+                   WINDOW w AS (PARTITION BY d.event_type
+                                ORDER BY d.hr),
+                          w2 AS (PARTITION BY d.event_type
+                                 ORDER BY d.hr)),
+            gp AS (SELECT event_type, k,
+                          v - least(0, COALESCE(min(v) OVER (
+                                PARTITION BY event_type ORDER BY k
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0)) AS gap
+                   FROM hs),
+            best AS (SELECT event_type, k, gap,
+                            row_number() OVER (PARTITION BY event_type
+                                               ORDER BY gap DESC,
+                                                        k ASC) AS rn
+                     FROM gp)
+            SELECT b.event_type,
+                   round(CAST(b.gap AS DOUBLE)
+                         / CAST(hh.hh AS DOUBLE), 6) AS ph_stat,
+                   CAST(b.k AS BIGINT) AS at_k
+            FROM best b CROSS JOIN hh WHERE b.rn = 1 ORDER BY 1
+        """,
+        "activity_gini": _DENSE_GRID_CTE + """
+            , r AS (SELECT event_type, c,
+                           row_number() OVER (PARTITION BY event_type
+                                              ORDER BY c) AS i
+                    FROM d),
+            ag AS (SELECT r.event_type,
+                          CAST(sum((2 * r.i - hh.hh - 1) * r.c)
+                               AS HUGEINT) AS gaa,
+                          CAST(sum(r.c) AS BIGINT) AS s1
+                   FROM r CROSS JOIN hh GROUP BY 1)
+            SELECT ag.event_type,
+                   round(CASE WHEN s1 = 0 THEN 0.0
+                              ELSE CAST(gaa AS DOUBLE)
+                                   / CAST(hh.hh *
+                                          CAST(s1 AS HUGEINT)
+                                          AS DOUBLE) END,
+                         6) AS activity_gini
+            FROM ag CROSS JOIN hh ORDER BY 1
+        """,
+    }
+)

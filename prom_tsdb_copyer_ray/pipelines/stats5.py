@@ -2186,3 +2186,109 @@ def q_cross_corr(sf_dir: str):
         "lag": pa.array(out["lag"], pa.int64()),
         "ccf": pa.array(out["ccf"], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 27: token-length profile, sequential change detection, activity
+# concentration.
+# ---------------------------------------------------------------------------
+
+def q_word_length_stats(sf_dir: str):
+    """Token-length profile of the corpus: exact mean and population
+    variance of [A-Za-z]+ token lengths (integer moment sums) plus
+    the Shannon entropy of the length distribution through the
+    micro-floored-ln protocol: H = (N*LN(N) - sum_l c_l*LN(c_l)) /
+    (1e6*N) with LN(k) = floor(1e6*ln k).  One (len, count) census
+    exchange (O(max token length) rows)."""
+    import re
+
+    word_re = re.compile(r"[A-Za-z]+")
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            counts.update(len(m) for m in word_re.findall(t or ""))
+        ls = sorted(counts)
+        return pa.table({
+            "l": pa.array(ls, pa.int64()),
+            "c": pa.array([counts[x] for x in ls], pa.int64()),
+        })
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l"], [("c", "sum")], num_shards=1,
+    ).to_pandas()
+    ls = census["l"].to_numpy(np.int64)
+    cs = census["c"].to_numpy(np.int64)
+    n = int(cs.sum())
+    s1 = int(np.dot(ls, cs))
+    s2 = int(np.dot(ls * ls, cs))
+    mean = 0.0 if n == 0 else float(s1) / float(n)
+    var = 0.0 if n == 0 else float(n * s2 - s1 * s1) / float(n * n)
+    if n < 2:
+        ent = 0.0
+    else:
+        ln_n = math.floor(1e6 * math.log(float(n)))
+        s_ln = sum(int(c) * math.floor(1e6 * math.log(float(c)))
+                   for c in cs if c > 0)
+        ent = float(n * ln_n - s_ln) / float(1000000 * n)
+    return pa.table({
+        "n_tokens": pa.array([n], pa.int64()),
+        "mean_len": pa.array([round(mean, 6)], pa.float64()),
+        "var_len": pa.array([round(var, 6)], pa.float64()),
+        "len_entropy": pa.array([round(ent, 6)], pa.float64()),
+    })
+
+
+def q_page_hinkley(sf_dir: str):
+    """Page-Hinkley sequential upward-change detector (delta = 0) per
+    type: with H-scaled centered prefix sums HS_k = H*cum_k - k*S1,
+    PH = max_k (HS_k - min({0} U {HS_j : j < k})) — exact integers
+    (the running minimum is over the strictly-preceding prefix
+    seeded with the initial 0); the report
+    normalizes by H (cents of... counts) and gives the exact argmax
+    position (smallest k on ties)."""
+    series, big_h = dense_hour_counts(sf_dir)
+    out = {"event_type": [], "ph_stat": [], "at_k": []}
+    for et in sorted(series):
+        x = series[et]
+        s1 = int(x.sum())
+        hs = big_h * np.cumsum(x) - np.arange(1, big_h + 1) * s1
+        run_min = np.minimum.accumulate(np.concatenate([[0], hs]))[:-1]
+        gap = hs - run_min
+        k = int(gap.argmax())
+        out["event_type"].append(et)
+        out["ph_stat"].append(round(float(int(gap[k]))
+                                    / float(big_h), 6))
+        out["at_k"].append(k + 1)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "ph_stat": pa.array(out["ph_stat"], pa.float64()),
+        "at_k": pa.array(out["at_k"], pa.int64()),
+    })
+
+
+def q_activity_gini(sf_dir: str):
+    """Gini concentration of each type's activity across the dense
+    hour grid: G = sum_{i<j}|c_i - c_j| / (H * S1), computed in
+    O(H log H) from the sorted-counts identity
+    sum_{i<j}|c_i-c_j| = sum_i (2i - H - 1)*c_(i) — exact integers to
+    one mirrored division (0 = uniform activity, ->1 = one hot
+    hour)."""
+    series, big_h = dense_hour_counts(sf_dir)
+    out = {"event_type": [], "activity_gini": []}
+    for et in sorted(series):
+        x = np.sort(series[et])
+        coef = 2 * np.arange(1, big_h + 1) - big_h - 1
+        gaa = int(np.dot(coef, x))
+        s1 = int(x.sum())
+        g = 0.0 if s1 == 0 else float(gaa) / float(big_h * s1)
+        out["event_type"].append(et)
+        out["activity_gini"].append(round(g, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "activity_gini": pa.array(out["activity_gini"], pa.float64()),
+    })

@@ -254,6 +254,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         "lepage", "location_estimates", "trimmed_means",
         # round-3 wave 26
         "benford_first_digit", "weekly_harmonic", "cross_corr",
+        # round-3 wave 27
+        "word_length_stats", "page_hinkley", "activity_gini",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

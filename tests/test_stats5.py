@@ -1244,3 +1244,58 @@ def test_cross_corr_matches_bruteforce(ray_session, tmp_path):
         xs, ys = x[:len(x) - k], y[k:]
         ref = np.corrcoef(xs, ys)[0, 1]
         assert r["ccf"] == pytest.approx(ref, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# wave 27: token lengths, Page-Hinkley, activity Gini
+# ---------------------------------------------------------------------------
+
+def test_word_length_stats_match_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_word_length_stats
+
+    c = _docs_fixture(tmp_path)
+    got = q_word_length_stats(str(tmp_path)).to_pandas().iloc[0]
+    lens = []
+    for w, m in c.items():
+        lens.extend([len(w)] * m)
+    lens = np.array(lens, np.float64)
+    assert got["n_tokens"] == len(lens)
+    assert got["mean_len"] == pytest.approx(lens.mean(), abs=1e-6)
+    assert got["var_len"] == pytest.approx(lens.var(), abs=1e-6)
+    vals, cnts = np.unique(lens, return_counts=True)
+    p = cnts / cnts.sum()
+    assert got["len_entropy"] == pytest.approx(
+        -(p * np.log(p)).sum(), abs=1e-4)
+
+
+def test_page_hinkley_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_page_hinkley
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_page_hinkley(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    for _, r in got.iterrows():
+        x = dense[r["event_type"]].astype(np.float64)
+        s = np.cumsum(x - x.mean())
+        best, best_k, run_min = -np.inf, 0, 0.0
+        for k in range(len(s)):
+            gap = s[k] - run_min
+            if gap > best + 1e-12:
+                best, best_k = gap, k + 1
+            run_min = min(run_min, s[k])
+        assert r["at_k"] == best_k
+        assert r["ph_stat"] == pytest.approx(best, abs=1e-5)
+
+
+def test_activity_gini_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_activity_gini
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_activity_gini(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    for _, r in got.iterrows():
+        x = dense[r["event_type"]].astype(np.float64)
+        h = len(x)
+        pair = np.abs(x[:, None] - x[None, :]).sum() / 2
+        assert r["activity_gini"] == pytest.approx(
+            pair / (h * x.sum()), abs=1e-6)
