@@ -15960,3 +15960,160 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Round-3 wave 28 (pipelines/stats5.py): mode stats, generalized ESD,
+# Tukey quick test.
+from .stats5 import (  # noqa: E402
+    q_generalized_esd,
+    q_mode_stats,
+    q_tukey_quick,
+)
+
+QUERIES.update({
+    "mode_stats": q_mode_stats,
+    "generalized_esd": q_generalized_esd,
+    "tukey_quick": q_tukey_quick,
+})
+
+ORACLE_SQL.update(
+    {
+        "mode_stats": _CENT_CENSUS_CTE + """
+            , mx AS (SELECT event_type, cv, n,
+                            row_number() OVER (PARTITION BY event_type
+                                               ORDER BY n DESC, cv ASC)
+                                AS rn
+                     FROM cs),
+            tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS nn,
+                           CAST(sum(n * cv) AS HUGEINT) AS s1,
+                           CAST(sum(CAST(cv AS HUGEINT) * cv * n)
+                                AS HUGEINT) AS s2
+                    FROM cs GROUP BY 1),
+            md AS (SELECT event_type,
+                          CAST(quantile_disc(cv, 0.5) AS BIGINT) AS med
+                   FROM s GROUP BY 1)
+            SELECT mx.event_type, mx.cv AS mode_cents,
+                   mx.n AS mode_count,
+                   round(CASE WHEN tot.nn < 2
+                                   OR tot.nn * tot.s2
+                                      - tot.s1 * tot.s1 <= 0 THEN 0.0
+                              ELSE 3.0 * CAST(tot.s1 - tot.nn * md.med
+                                              AS DOUBLE)
+                                   / (CAST(tot.nn AS DOUBLE)
+                                      * sqrt(CAST(tot.nn * tot.s2
+                                                  - tot.s1 * tot.s1
+                                                  AS DOUBLE)
+                                             / CAST(CAST(tot.nn
+                                                    AS HUGEINT)
+                                                    * (tot.nn - 1)
+                                                    AS DOUBLE))) END,
+                         6) AS pearson_skew2
+            FROM mx JOIN tot USING (event_type)
+                    JOIN md USING (event_type)
+            WHERE mx.rn = 1 ORDER BY 1
+        """,
+        "generalized_esd": _CENT_CENSUS_CTE + """
+            , s0 AS (SELECT event_type, cv, CAST(n AS BIGINT) AS n
+                     FROM cs),
+            t0 AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n,
+                          CAST(sum(n * cv) AS HUGEINT) AS s1,
+                          CAST(sum(CAST(cv AS HUGEINT) * cv * n)
+                               AS HUGEINT) AS s2
+                   FROM s0 GROUP BY 1),
+            e1 AS (SELECT s.event_type, s.cv,
+                          abs(t.n * s.cv - t.s1) AS dev,
+                          row_number() OVER (PARTITION BY s.event_type
+                                ORDER BY abs(t.n * s.cv - t.s1) DESC,
+                                         s.cv ASC) AS rn
+                   FROM s0 s JOIN t0 t USING (event_type)
+                   WHERE s.n > 0),
+            r1 AS (SELECT e.event_type, e.cv AS at_cv, e.dev,
+                          t.n, t.s1, t.s2
+                   FROM e1 e JOIN t0 t USING (event_type)
+                   WHERE e.rn = 1),
+            s1t AS (SELECT s.event_type, s.cv,
+                           s.n - CASE WHEN s.cv = r.at_cv
+                                      THEN 1 ELSE 0 END AS n
+                    FROM s0 s JOIN r1 r USING (event_type)),
+            t1 AS (SELECT event_type, n - 1 AS n, s1 - at_cv AS s1,
+                          s2 - CAST(at_cv AS HUGEINT) * at_cv AS s2
+                   FROM r1),
+            e2 AS (SELECT s.event_type, s.cv,
+                          abs(t.n * s.cv - t.s1) AS dev,
+                          row_number() OVER (PARTITION BY s.event_type
+                                ORDER BY abs(t.n * s.cv - t.s1) DESC,
+                                         s.cv ASC) AS rn
+                   FROM s1t s JOIN t1 t USING (event_type)
+                   WHERE s.n > 0),
+            r2 AS (SELECT e.event_type, e.cv AS at_cv, e.dev,
+                          t.n, t.s1, t.s2
+                   FROM e2 e JOIN t1 t USING (event_type)
+                   WHERE e.rn = 1),
+            s2t AS (SELECT s.event_type, s.cv,
+                           s.n - CASE WHEN s.cv = r.at_cv
+                                      THEN 1 ELSE 0 END AS n
+                    FROM s1t s JOIN r2 r USING (event_type)),
+            t2 AS (SELECT event_type, n - 1 AS n, s1 - at_cv AS s1,
+                          s2 - CAST(at_cv AS HUGEINT) * at_cv AS s2
+                   FROM r2),
+            e3 AS (SELECT s.event_type, s.cv,
+                          abs(t.n * s.cv - t.s1) AS dev,
+                          row_number() OVER (PARTITION BY s.event_type
+                                ORDER BY abs(t.n * s.cv - t.s1) DESC,
+                                         s.cv ASC) AS rn
+                   FROM s2t s JOIN t2 t USING (event_type)
+                   WHERE s.n > 0),
+            r3 AS (SELECT e.event_type, e.cv AS at_cv, e.dev,
+                          t.n, t.s1, t.s2
+                   FROM e3 e JOIN t2 t USING (event_type)
+                   WHERE e.rn = 1),
+            uni AS (SELECT event_type, 1 AS round, at_cv, dev, n, s1,
+                           s2 FROM r1
+                    UNION ALL
+                    SELECT event_type, 2, at_cv, dev, n, s1, s2
+                    FROM r2
+                    UNION ALL
+                    SELECT event_type, 3, at_cv, dev, n, s1, s2
+                    FROM r3)
+            SELECT event_type, CAST(round AS BIGINT) AS round,
+                   CASE WHEN n < 3 OR n * s2 - s1 * s1 <= 0
+                        THEN 0 ELSE at_cv END AS at_cv,
+                   round(CASE WHEN n < 3 OR n * s2 - s1 * s1 <= 0
+                              THEN 0.0
+                              ELSE CAST(dev AS DOUBLE)
+                                   * sqrt(CAST(n - 1 AS DOUBLE)
+                                          / CAST(n * (n * s2 - s1 * s1)
+                                                 AS DOUBLE)) END,
+                         6) AS r_stat
+            FROM uni ORDER BY 1, 2
+        """,
+        "tukey_quick": _CENT_CENSUS_CTE + """
+            , ext AS (SELECT event_type, min(cv) AS mn, max(cv) AS mx
+                      FROM cs GROUP BY 1),
+            j1 AS (SELECT ea.event_type AS ta, eb.event_type AS tb,
+                          ea.mn AS amn, ea.mx AS amx,
+                          eb.mn AS bmn, eb.mx AS bmx
+                   FROM ext ea JOIN ext eb
+                     ON ea.event_type < eb.event_type),
+            ag AS (SELECT j.ta, j.tb,
+                          CAST(sum(CASE WHEN c.event_type = j.ta
+                                             AND c.cv > j.bmx
+                                        THEN c.n ELSE 0 END)
+                               + sum(CASE WHEN c.event_type = j.tb
+                                               AND c.cv < j.amn
+                                          THEN c.n ELSE 0 END)
+                               AS BIGINT) AS t_ab,
+                          CAST(sum(CASE WHEN c.event_type = j.tb
+                                             AND c.cv > j.amx
+                                        THEN c.n ELSE 0 END)
+                               + sum(CASE WHEN c.event_type = j.ta
+                                               AND c.cv < j.bmn
+                                          THEN c.n ELSE 0 END)
+                               AS BIGINT) AS t_ba
+                   FROM j1 j JOIN cs c
+                     ON c.event_type = j.ta OR c.event_type = j.tb
+                   GROUP BY 1, 2)
+            SELECT ta AS type_a, tb AS type_b, t_ab, t_ba
+            FROM ag ORDER BY 1, 2
+        """,
+    }
+)

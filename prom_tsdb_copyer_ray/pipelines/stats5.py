@@ -2292,3 +2292,121 @@ def q_activity_gini(sf_dir: str):
         "event_type": pa.array(out["event_type"], pa.string()),
         "activity_gini": pa.array(out["activity_gini"], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 28: mode statistics, iterative outlier scan, Tukey quick test.
+# ---------------------------------------------------------------------------
+
+def q_mode_stats(sf_dir: str):
+    """Mode of each type's cent-value census (smallest cent on count
+    ties — deterministic) plus Pearson's second skewness coefficient
+    3*(mean - median)/s with the exact sample-variance numerator:
+    skew2 = 3*(n*mean_num - n^2*med) / (n * sqrt(n*(n*S2-S1^2)/(n-1)))
+    ... reduced to the mirrored chain
+    3.0*(S1 - n*med) / (n * sqrt((n*S2 - S1^2)/(n*(n-1))))."""
+    prof = _cent_profiles(sf_dir)
+    out = {"event_type": [], "mode_cents": [], "mode_count": [],
+           "pearson_skew2": []}
+    for et in sorted(prof):
+        v, a = prof[et]
+        n = int(a.sum())
+        k = int(a.argmax())  # first max = smallest cv (v sorted)
+        med = _order_stat(v, a, (n + 1) // 2)
+        s1 = int(np.dot(v, a))
+        s2 = int(np.dot(v * v, a))
+        nu = n * s2 - s1 * s1
+        if n < 2 or nu <= 0:
+            skew = 0.0
+        else:
+            skew = (3.0 * float(s1 - n * med)
+                    / (float(n)
+                       * math.sqrt(float(nu) / float(n * (n - 1)))))
+        out["event_type"].append(et)
+        out["mode_cents"].append(int(v[k]))
+        out["mode_count"].append(int(a[k]))
+        out["pearson_skew2"].append(round(skew, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "mode_cents": pa.array(out["mode_cents"], pa.int64()),
+        "mode_count": pa.array(out["mode_count"], pa.int64()),
+        "pearson_skew2": pa.array(out["pearson_skew2"], pa.float64()),
+    })
+
+
+_ESD_ROUNDS = 3
+
+
+def q_generalized_esd(sf_dir: str):
+    """Generalized (iterative) extreme studentized deviate test per
+    type, 3 rounds: each round finds the value with the max exact
+    deviation |n*v - S1| (tie -> smallest cent), reports
+    R = |n*v - S1| * sqrt((n-1) / (n*(n*S2 - S1^2))) as one mirrored
+    chain, then removes ONE occurrence and updates the exact moments.
+    Output: (event_type, round, at_cv, r_stat)."""
+    prof = _cent_profiles(sf_dir)
+    out = {"event_type": [], "round": [], "at_cv": [], "r_stat": []}
+    for et in sorted(prof):
+        v, a = prof[et]
+        a = a.copy()
+        n = int(a.sum())
+        s1 = int(np.dot(v, a))
+        s2 = int(np.dot(v * v, a))
+        for rnd in range(1, _ESD_ROUNDS + 1):
+            nu = n * s2 - s1 * s1
+            if n < 3 or nu <= 0:
+                out["event_type"].append(et)
+                out["round"].append(rnd)
+                out["at_cv"].append(0)
+                out["r_stat"].append(0.0)
+                continue
+            live = a > 0
+            dev = np.abs(n * v.astype(object) - s1)
+            dev[~live] = -1
+            k = int(dev.argmax())  # ties -> smallest cv
+            r = (float(int(dev[k]))
+                 * math.sqrt(float(n - 1) / float(n * nu)))
+            out["event_type"].append(et)
+            out["round"].append(rnd)
+            out["at_cv"].append(int(v[k]))
+            out["r_stat"].append(round(r, 6))
+            a[k] -= 1
+            n -= 1
+            s1 -= int(v[k])
+            s2 -= int(v[k]) * int(v[k])
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "round": pa.array(out["round"], pa.int64()),
+        "at_cv": pa.array(out["at_cv"], pa.int64()),
+        "r_stat": pa.array(out["r_stat"], pa.float64()),
+    })
+
+
+def q_tukey_quick(sf_dir: str):
+    """Tukey's quick (pocket) test between type pairs: t_ab = #{a >
+    max(B)} + #{b < min(A)} and the mirror-image t_ba — pure integer
+    exceedance counts (T >= 7 is the folk 5% line).  Exact census
+    comparisons, no float column."""
+    prof = _cent_profiles(sf_dir)
+    types = sorted(prof)
+    out = {"type_a": [], "type_b": [], "t_ab": [], "t_ba": []}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            va, aa = prof[ta]
+            vb, ab = prof[tb]
+            max_b, min_b = int(vb[-1]), int(vb[0])
+            max_a, min_a = int(va[-1]), int(va[0])
+            t_ab = (int(aa[va > max_b].sum())
+                    + int(ab[vb < min_a].sum()))
+            t_ba = (int(ab[vb > max_a].sum())
+                    + int(aa[va < min_b].sum()))
+            out["type_a"].append(ta)
+            out["type_b"].append(tb)
+            out["t_ab"].append(t_ab)
+            out["t_ba"].append(t_ba)
+    return pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "t_ab": pa.array(out["t_ab"], pa.int64()),
+        "t_ba": pa.array(out["t_ba"], pa.int64()),
+    })

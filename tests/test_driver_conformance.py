@@ -256,6 +256,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         "benford_first_digit", "weekly_harmonic", "cross_corr",
         # round-3 wave 27
         "word_length_stats", "page_hinkley", "activity_gini",
+        # round-3 wave 28
+        "mode_stats", "generalized_esd", "tukey_quick",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

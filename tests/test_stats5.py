@@ -1299,3 +1299,57 @@ def test_activity_gini_matches_bruteforce(ray_session, tmp_path):
         pair = np.abs(x[:, None] - x[None, :]).sum() / 2
         assert r["activity_gini"] == pytest.approx(
             pair / (h * x.sum()), abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# wave 28: mode, generalized ESD, Tukey quick
+# ---------------------------------------------------------------------------
+
+def test_mode_stats_match_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_mode_stats
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    got = q_mode_stats(str(tmp_path)).to_pandas()
+    by = _cents_by_type(et, vals)
+    for _, r in got.iterrows():
+        x = by[r["event_type"]]
+        v, c = np.unique(x, return_counts=True)
+        best = v[c == c.max()].min()
+        assert r["mode_cents"] == best
+        assert r["mode_count"] == c.max()
+        n = len(x)
+        med = np.sort(x)[(n + 1) // 2 - 1]
+        ref = 3 * (x.mean() - med) / x.std(ddof=1)
+        assert r["pearson_skew2"] == pytest.approx(ref, abs=1e-5)
+
+
+def test_generalized_esd_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_generalized_esd
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    got = q_generalized_esd(str(tmp_path)).to_pandas()
+    by = _cents_by_type(et, vals)
+    for t in sorted(by):
+        x = list(by[t])
+        sub = got[got["event_type"] == t].sort_values("round")
+        assert list(sub["round"]) == [1, 2, 3]
+        for _, r in sub.iterrows():
+            arr = np.array(x, np.float64)
+            dev = np.abs(arr - arr.mean())
+            cand = arr[dev == dev.max()].min()
+            assert r["at_cv"] == cand
+            assert r["r_stat"] == pytest.approx(
+                dev.max() / arr.std(ddof=1), abs=1e-5)
+            x.remove(cand)
+
+
+def test_tukey_quick_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_tukey_quick
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    got = q_tukey_quick(str(tmp_path)).to_pandas()
+    by = _cents_by_type(et, vals)
+    for _, r in got.iterrows():
+        a, b = by[r["type_a"]], by[r["type_b"]]
+        assert r["t_ab"] == (a > b.max()).sum() + (b < a.min()).sum()
+        assert r["t_ba"] == (b > a.max()).sum() + (a < b.min()).sum()
