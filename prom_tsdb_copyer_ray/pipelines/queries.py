@@ -16117,3 +16117,133 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Round-3 wave 29 (pipelines/stats5.py): proportion / dispersion /
+# circular quick tests.
+from .stats5 import (  # noqa: E402
+    q_coef_variation,
+    q_poisson_dispersion,
+    q_rayleigh_test,
+    q_two_prop_z,
+)
+
+QUERIES.update({
+    "two_prop_z": q_two_prop_z,
+    "poisson_dispersion": q_poisson_dispersion,
+    "coef_variation": q_coef_variation,
+    "rayleigh_test": q_rayleigh_test,
+})
+
+ORACLE_SQL.update(
+    {
+        "two_prop_z": """
+            WITH f AS (SELECT CASE WHEN ((epoch_ms(ts) // 86400000) + 3)
+                                        % 7 >= 5
+                                   THEN 1 ELSE 0 END AS we,
+                              CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END AS pu
+                       FROM events),
+            ag AS (SELECT CAST(sum(we * pu) AS BIGINT) AS x1,
+                          CAST(sum(we) AS BIGINT) AS n1,
+                          CAST(sum((1 - we) * pu) AS BIGINT) AS x2,
+                          CAST(sum(1 - we) AS BIGINT) AS n2
+                   FROM f)
+            SELECT n1 AS n_weekend, n2 AS n_weekday,
+                   round(CASE WHEN n1 = 0 OR n2 = 0
+                                   OR CAST(x1 + x2 AS HUGEINT)
+                                      * (n1 + n2 - x1 - x2)
+                                      * n1 * n2 = 0 THEN 0.0
+                              ELSE CAST(x1 * n2 - x2 * n1 AS DOUBLE)
+                                   / sqrt(CAST(CAST(x1 + x2 AS HUGEINT)
+                                               * (n1 + n2 - x1 - x2)
+                                               * n1 * n2 AS DOUBLE)
+                                          / CAST(n1 + n2 AS DOUBLE))
+                         END, 6) AS prop_z
+            FROM ag
+        """,
+        "poisson_dispersion": _DENSE_GRID_CTE + """
+            , ag AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS s1,
+                            CAST(sum(CAST(c AS HUGEINT) * c)
+                                 AS HUGEINT) AS s2
+                     FROM d GROUP BY 1)
+            SELECT ag.event_type,
+                   round(CASE WHEN s1 = 0 THEN 0.0
+                              ELSE CAST(hh.hh * s2
+                                        - CAST(s1 AS HUGEINT) * s1
+                                        AS DOUBLE)
+                                   / CAST(s1 AS DOUBLE) END,
+                         6) AS disp_chi2,
+                   round(CASE WHEN s1 = 0 THEN 0.0
+                              ELSE CAST(hh.hh * s2
+                                        - CAST(s1 AS HUGEINT) * s1
+                                        AS DOUBLE)
+                                   / CAST(hh.hh *
+                                          CAST(s1 AS HUGEINT)
+                                          AS DOUBLE) END,
+                         6) AS vmr
+            FROM ag CROSS JOIN hh ORDER BY 1
+        """,
+        "coef_variation": _CENT_CENSUS_CTE + """
+            , tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS nn,
+                             CAST(sum(n * cv) AS HUGEINT) AS s1,
+                             CAST(sum(CAST(cv AS HUGEINT) * cv * n)
+                                  AS HUGEINT) AS s2
+                      FROM cs GROUP BY 1),
+            qs AS (SELECT event_type,
+                          CAST(quantile_disc(cv, 0.5) AS BIGINT)
+                            AS med,
+                          CAST(quantile_disc(cv, 0.25) AS BIGINT)
+                            AS q1,
+                          CAST(quantile_disc(cv, 0.75) AS BIGINT)
+                            AS q3
+                   FROM s GROUP BY 1)
+            SELECT tot.event_type,
+                   round(CASE WHEN tot.nn < 2 OR tot.s1 = 0
+                                   OR tot.nn * tot.s2
+                                      - tot.s1 * tot.s1 <= 0 THEN 0.0
+                              ELSE CAST(tot.nn AS DOUBLE)
+                                   * sqrt(CAST(tot.nn * tot.s2
+                                               - tot.s1 * tot.s1
+                                               AS DOUBLE)
+                                          / CAST(CAST(tot.nn
+                                                 AS HUGEINT)
+                                                 * (tot.nn - 1)
+                                                 AS DOUBLE))
+                                   / CAST(tot.s1 AS DOUBLE) END,
+                         6) AS cv,
+                   round(CASE WHEN qs.med = 0 THEN 0.0
+                              ELSE CAST(qs.q3 - qs.q1 AS DOUBLE)
+                                   / CAST(qs.med AS DOUBLE) END,
+                         6) AS cv_quartile
+            FROM tot JOIN qs USING (event_type) ORDER BY 1
+        """,
+    }
+)
+
+ORACLE_SQL["rayleigh_test"] = f"""
+            WITH c AS (SELECT event_type,
+                              (epoch_ms(ts) // 3600000) % 24 AS d,
+                              CAST(count(*) AS BIGINT) AS t
+                       FROM events GROUP BY 1, 2),
+            w AS (SELECT * FROM {_TRIG24_VALUES} AS t(d, fc, fs)),
+            ag AS (SELECT c.event_type,
+                          CAST(sum(c.t * w.fc) AS HUGEINT) AS a,
+                          CAST(sum(c.t * w.fs) AS HUGEINT) AS b,
+                          CAST(sum(c.t) AS BIGINT) AS n
+                   FROM c JOIN w ON w.d = c.d GROUP BY 1)
+            SELECT event_type,
+                   round(CASE WHEN n = 0 THEN 0.0
+                              ELSE CAST(a * a + b * b AS DOUBLE)
+                                   / CAST(1000000000000 *
+                                          CAST(n AS HUGEINT)
+                                          AS DOUBLE) END,
+                         6) AS rayleigh_z,
+                   round(CASE WHEN n = 0 THEN 0.0
+                              ELSE 1.0 - sqrt(CAST(a * a + b * b
+                                                   AS DOUBLE))
+                                   / CAST(1000000 *
+                                          CAST(n AS HUGEINT)
+                                          AS DOUBLE) END,
+                         6) AS circ_var
+            FROM ag ORDER BY 1
+        """

@@ -2410,3 +2410,154 @@ def q_tukey_quick(sf_dir: str):
         "t_ab": pa.array(out["t_ab"], pa.int64()),
         "t_ba": pa.array(out["t_ba"], pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 29: proportion / dispersion / circular quick tests.
+# ---------------------------------------------------------------------------
+
+def q_two_prop_z(sf_dir: str):
+    """Two-sample proportion z-test of weekend vs weekday purchase
+    rate (the cohens_h margins): with x1/n1 weekend purchases/total
+    and x2/n2 weekday, z = (x1*n2 - x2*n1) /
+    sqrt((x1+x2)*(n1+n2-x1-x2)*n1*n2/(n1+n2)) — exact integers to one
+    mirrored chain."""
+    from ..windows import ts_to_ms
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        we = (((tms // 86_400_000) + 3) % 7 >= 5).astype(np.int64)
+        pu = pc.cast(pc.equal(batch["event_type"], "purchase"),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "we": pa.array(we),
+            "pu": pa.array(pu),
+            "n": pa.array(np.ones(len(we), np.int64)),
+        })
+        g = t.group_by(["we", "pu"]).aggregate([("n", "sum")])
+        return g.rename_columns(["we", "pu", "n"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["we", "pu"], [("n", "sum")], num_shards=2,
+    ).to_pandas()
+    cell = {(int(r["we"]), int(r["pu"])): int(r["n"])
+            for _, r in census.iterrows()}
+    x1 = cell.get((1, 1), 0)
+    n1 = x1 + cell.get((1, 0), 0)
+    x2 = cell.get((0, 1), 0)
+    n2 = x2 + cell.get((0, 0), 0)
+    big = (x1 + x2) * (n1 + n2 - x1 - x2) * n1 * n2
+    if n1 == 0 or n2 == 0 or big == 0:
+        z = 0.0
+    else:
+        z = (float(x1 * n2 - x2 * n1)
+             / math.sqrt(float(big) / float(n1 + n2)))
+    return pa.table({
+        "n_weekend": pa.array([n1], pa.int64()),
+        "n_weekday": pa.array([n2], pa.int64()),
+        "prop_z": pa.array([round(z, 6)], pa.float64()),
+    })
+
+
+def q_poisson_dispersion(sf_dir: str):
+    """Poisson index-of-dispersion test per type over the dense hourly
+    grid: chi2 = sum (c - cbar)^2 / cbar = (H*S2 - S1^2)/S1 (~chi2
+    with H-1 df under a homogeneous Poisson) and the variance-to-mean
+    ratio VMR = (H*S2 - S1^2)/(H*S1) — exact integers, one mirrored
+    division each."""
+    series, big_h = dense_hour_counts(sf_dir)
+    out = {"event_type": [], "disp_chi2": [], "vmr": []}
+    for et in sorted(series):
+        x = series[et]
+        s1 = int(x.sum())
+        nu = big_h * int(np.dot(x, x)) - s1 * s1
+        chi2 = 0.0 if s1 == 0 else float(nu) / float(s1)
+        vmr = 0.0 if s1 == 0 else float(nu) / float(big_h * s1)
+        out["event_type"].append(et)
+        out["disp_chi2"].append(round(chi2, 6))
+        out["vmr"].append(round(vmr, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "disp_chi2": pa.array(out["disp_chi2"], pa.float64()),
+        "vmr": pa.array(out["vmr"], pa.float64()),
+    })
+
+
+def q_coef_variation(sf_dir: str):
+    """Coefficient of variation per type over cent values — both the
+    moment form cv = n*sqrt((n*S2-S1^2)/(n*(n-1)))/S1 and the robust
+    quartile form (Q3-Q1)/med (exact order statistics) — mirrored
+    chains."""
+    prof = _cent_profiles(sf_dir)
+    out = {"event_type": [], "cv": [], "cv_quartile": []}
+    for et in sorted(prof):
+        v, a = prof[et]
+        n = int(a.sum())
+        s1 = int(np.dot(v, a))
+        s2 = int(np.dot(v * v, a))
+        nu = n * s2 - s1 * s1
+        cv = (0.0 if n < 2 or s1 == 0 or nu <= 0
+              else float(n)
+              * math.sqrt(float(nu) / float(n * (n - 1)))
+              / float(s1))
+        med = _order_stat(v, a, (n + 1) // 2)
+        q1 = _order_stat(v, a, (n + 3) // 4)
+        q3 = _order_stat(v, a, (3 * n + 3) // 4)
+        cvq = 0.0 if med == 0 else float(q3 - q1) / float(med)
+        out["event_type"].append(et)
+        out["cv"].append(round(cv, 6))
+        out["cv_quartile"].append(round(cvq, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "cv": pa.array(out["cv"], pa.float64()),
+        "cv_quartile": pa.array(out["cv_quartile"], pa.float64()),
+    })
+
+
+def q_rayleigh_test(sf_dir: str):
+    """Rayleigh test of hour-of-day uniformity per type (circular
+    statistics on the 24-cell clock with the _FC24/_FS24 micro-floored
+    trig LITERALS): z = n*Rbar^2 = (A^2+B^2)/(1e12*n) and circular
+    variance 1 - Rbar — exact integer A/B sums, mirrored chains."""
+    from .stats3 import _FC24, _FS24
+    from ..windows import ts_to_ms
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "d": pa.array(((tms // 3_600_000) % 24).astype(np.int64)),
+            "t": pa.array(np.ones(len(tms), np.int64)),
+        })
+        g = t.group_by(["event_type", "d"]).aggregate([("t", "sum")])
+        return g.rename_columns(["event_type", "d", "t"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "d"], [("t", "sum")], num_shards=2,
+    ).to_pandas()
+    out = {"event_type": [], "rayleigh_z": [], "circ_var": []}
+    for et, grp in census.groupby("event_type", sort=True):
+        d = grp["d"].to_numpy()
+        t = grp["t"].to_numpy()
+        a = sum(int(tt) * _FC24[int(dd)] for dd, tt in zip(d, t))
+        b = sum(int(tt) * _FS24[int(dd)] for dd, tt in zip(d, t))
+        n = int(t.sum())
+        z = (0.0 if n == 0
+             else float(a * a + b * b) / float(10 ** 12 * n))
+        cvar = (0.0 if n == 0
+                else 1.0 - math.sqrt(float(a * a + b * b))
+                / float(1000000 * n))
+        out["event_type"].append(str(et))
+        out["rayleigh_z"].append(round(z, 6))
+        out["circ_var"].append(round(cvar, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "rayleigh_z": pa.array(out["rayleigh_z"], pa.float64()),
+        "circ_var": pa.array(out["circ_var"], pa.float64()),
+    })

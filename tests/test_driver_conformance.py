@@ -258,6 +258,9 @@ def test_mirror_covers_every_oracle(entry_mod):
         "word_length_stats", "page_hinkley", "activity_gini",
         # round-3 wave 28
         "mode_stats", "generalized_esd", "tukey_quick",
+        # round-3 wave 29
+        "two_prop_z", "poisson_dispersion", "coef_variation",
+        "rayleigh_test",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

@@ -1353,3 +1353,86 @@ def test_tukey_quick_matches_bruteforce(ray_session, tmp_path):
         a, b = by[r["type_a"]], by[r["type_b"]]
         assert r["t_ab"] == (a > b.max()).sum() + (b < a.min()).sum()
         assert r["t_ba"] == (b > a.max()).sum() + (a < b.min()).sum()
+
+
+# ---------------------------------------------------------------------------
+# wave 29: proportion / dispersion / circular quick tests
+# ---------------------------------------------------------------------------
+
+def test_two_prop_z_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_two_prop_z
+
+    rng = np.random.default_rng(17)
+    n = 2500
+    hrs = rng.integers(0, 20 * 24, n)
+    et = np.array(["purchase", "view"])[rng.integers(0, 2, n)]
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array((hrs * 3_600_000).astype(np.int64),
+                       pa.timestamp("ms")),
+        "user_id": pa.array(np.zeros(n, np.int64)),
+        "event_type": pa.array(list(et), pa.string()),
+        "value": pa.array(np.ones(n, np.float64)),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    got = q_two_prop_z(str(tmp_path)).to_pandas().iloc[0]
+    we = ((hrs // 24) + 3) % 7 >= 5
+    pu = et == "purchase"
+    x1, n1 = (we & pu).sum(), we.sum()
+    x2, n2 = (~we & pu).sum(), (~we).sum()
+    p = (x1 + x2) / (n1 + n2)
+    ref = ((x1 / n1 - x2 / n2)
+           / np.sqrt(p * (1 - p) * (1 / n1 + 1 / n2)))
+    assert got["n_weekend"] == n1
+    assert got["n_weekday"] == n2
+    assert got["prop_z"] == pytest.approx(ref, abs=1e-5)
+
+
+def test_poisson_dispersion_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_poisson_dispersion
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_poisson_dispersion(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    for _, r in got.iterrows():
+        x = dense[r["event_type"]].astype(np.float64)
+        chi2 = ((x - x.mean()) ** 2).sum() / x.mean()
+        assert r["disp_chi2"] == pytest.approx(chi2, abs=1e-4)
+        assert r["vmr"] == pytest.approx(x.var() / x.mean(), abs=1e-5)
+
+
+def test_coef_variation_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_coef_variation
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    got = q_coef_variation(str(tmp_path)).to_pandas()
+    by = _cents_by_type(et, vals)
+    for _, r in got.iterrows():
+        x = by[r["event_type"]].astype(np.float64)
+        assert r["cv"] == pytest.approx(x.std(ddof=1) / x.mean(),
+                                        abs=1e-6)
+        xs = np.sort(x)
+        n = len(xs)
+        med = xs[(n + 1) // 2 - 1]
+        q1 = xs[(n + 3) // 4 - 1]
+        q3 = xs[(3 * n + 3) // 4 - 1]
+        assert r["cv_quartile"] == pytest.approx((q3 - q1) / med,
+                                                 abs=1e-6)
+
+
+def test_rayleigh_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_rayleigh_test
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_rayleigh_test(str(tmp_path)).to_pandas()
+    for _, r in got.iterrows():
+        hod = hrs[et == r["event_type"]] % 24
+        ang = 2 * np.pi * hod / 24
+        a, b = np.cos(ang).sum(), np.sin(ang).sum()
+        n = len(hod)
+        rbar = np.sqrt(a * a + b * b) / n
+        # z = (A^2+B^2)/(1e12*n) with micro-scaled A,B == n*Rbar^2
+        assert r["rayleigh_z"] == pytest.approx(
+            (a * a + b * b) / n, abs=1e-3)
+        assert r["circ_var"] == pytest.approx(1 - rbar, abs=1e-5)
