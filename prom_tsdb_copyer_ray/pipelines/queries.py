@@ -16247,3 +16247,85 @@ ORACLE_SQL["rayleigh_test"] = f"""
                          6) AS circ_var
             FROM ag ORDER BY 1
         """
+
+# Round-3 wave 30 (pipelines/stats5.py): concentration / inequality
+# analytics.
+from .stats5 import (  # noqa: E402
+    q_lorenz_points,
+    q_topk_user_share,
+    q_user_hhi,
+)
+
+QUERIES.update({
+    "lorenz_points": q_lorenz_points,
+    "user_hhi": q_user_hhi,
+    "topk_user_share": q_topk_user_share,
+})
+
+ORACLE_SQL.update(
+    {
+        "lorenz_points": _CENT_CENSUS_CTE + """
+            , r AS (SELECT event_type, cv,
+                           row_number() OVER (PARTITION BY event_type
+                                              ORDER BY cv) AS rn
+                    FROM (SELECT event_type, cv FROM s)),
+            nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(cv) AS HUGEINT) AS s1
+                   FROM s GROUP BY 1),
+            ps AS (SELECT * FROM (VALUES (10), (20), (30), (40), (50),
+                                         (60), (70), (80), (90))
+                   AS t(p)),
+            ag AS (SELECT r.event_type, ps.p,
+                          CAST(sum(CASE WHEN r.rn <=
+                                    (ps.p * nn.n + 99) // 100
+                                        THEN r.cv ELSE 0 END)
+                               AS HUGEINT) AS bot
+                   FROM r JOIN nn USING (event_type) CROSS JOIN ps
+                   GROUP BY 1, 2)
+            SELECT ag.event_type, CAST(ag.p AS BIGINT) AS p_pct,
+                   round(CASE WHEN nn.s1 = 0 THEN 0.0
+                              ELSE CAST(ag.bot AS DOUBLE)
+                                   / CAST(nn.s1 AS DOUBLE) END,
+                         6) AS lorenz
+            FROM ag JOIN nn USING (event_type) ORDER BY 1, 2
+        """,
+        "user_hhi": """
+            WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1),
+            ag AS (SELECT CAST(sum(n) AS BIGINT) AS s1,
+                          CAST(sum(CAST(n AS HUGEINT) * n)
+                               AS HUGEINT) AS s2,
+                          CAST(count(*) AS BIGINT) AS us
+                   FROM u)
+            SELECT us AS n_users,
+                   round(CASE WHEN s1 = 0 THEN 0.0
+                              ELSE CAST(s2 AS DOUBLE)
+                                   / CAST(CAST(s1 AS HUGEINT) * s1
+                                          AS DOUBLE) END,
+                         6) AS hhi,
+                   round(CASE WHEN s2 = 0 THEN 0.0
+                              ELSE CAST(CAST(s1 AS HUGEINT) * s1
+                                        AS DOUBLE)
+                                   / CAST(s2 AS DOUBLE) END,
+                         6) AS effective_users
+            FROM ag
+        """,
+        "topk_user_share": """
+            WITH u AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1),
+            tk AS (SELECT n FROM u
+                   ORDER BY n DESC, user_id ASC LIMIT 10),
+            ag AS (SELECT (SELECT CAST(sum(n) AS BIGINT) FROM u)
+                              AS n_events,
+                          CAST(sum(n) AS BIGINT) AS topk_sum
+                   FROM tk)
+            SELECT n_events, topk_sum,
+                   round(CASE WHEN n_events = 0 THEN 0.0
+                              ELSE CAST(topk_sum AS DOUBLE)
+                                   / CAST(n_events AS DOUBLE) END,
+                         6) AS topk_share
+            FROM ag
+        """,
+    }
+)

@@ -2561,3 +2561,123 @@ def q_rayleigh_test(sf_dir: str):
         "rayleigh_z": pa.array(out["rayleigh_z"], pa.float64()),
         "circ_var": pa.array(out["circ_var"], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 30: concentration / inequality analytics.
+# ---------------------------------------------------------------------------
+
+def q_lorenz_points(sf_dir: str):
+    """Lorenz-curve ordinates of each type's cent-value distribution
+    at p = 10..90%: L(p) = (sum of the bottom ceil(p*n) values) /
+    (total), with exact census-clipped partial sums (the trimmed_means
+    clipping identity) — one mirrored division per ordinate.  Output
+    is the (event_type, p_pct, lorenz) long table."""
+    prof = _cent_profiles(sf_dir)
+    out = {"event_type": [], "p_pct": [], "lorenz": []}
+    for et in sorted(prof):
+        v, a = prof[et]
+        n = int(a.sum())
+        s1 = int(np.dot(v, a))
+        cum = np.cumsum(a)
+        prev = cum - a
+        for p in range(10, 100, 10):
+            k = -(-(p * n) // 100)  # ceil(p*n/100)
+            w = np.maximum(np.minimum(cum, k) - prev, 0)
+            bot = sum(int(x) * int(y) for x, y in zip(v, w))
+            lz = 0.0 if s1 == 0 else float(bot) / float(s1)
+            out["event_type"].append(et)
+            out["p_pct"].append(p)
+            out["lorenz"].append(round(lz, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "p_pct": pa.array(out["p_pct"], pa.int64()),
+        "lorenz": pa.array(out["lorenz"], pa.float64()),
+    })
+
+
+def q_user_hhi(sf_dir: str):
+    """Herfindahl-Hirschman concentration of event activity across
+    users: HHI = sum_u (n_u/N)^2 = S2/N^2 and the effective user
+    count N^2/S2 — the user census folds to (S2, N) inside the
+    sharded exchange and never reaches the driver (hoover scale
+    shape).  Exact integers to one mirrored division each."""
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": batch["user_id"],
+            "n": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+        g = t.group_by(["user_id"]).aggregate([("n", "sum")])
+        return g.rename_columns(["user_id", "n"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"], [("n", "sum")], num_shards=8,
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "s1": pa.array([int(n.sum())], pa.int64()),
+            "s2": pa.array([int(np.dot(n, n))], pa.int64()),
+            "u": pa.array([len(n)], pa.int64()),
+        })
+
+    f = census.map_batches(fold, batch_format="pyarrow").to_pandas()
+    s1, s2, users = int(f["s1"].sum()), int(f["s2"].sum()), int(f["u"].sum())
+    hhi = 0.0 if s1 == 0 else float(s2) / float(s1 * s1)
+    eff = 0.0 if s2 == 0 else float(s1 * s1) / float(s2)
+    return pa.table({
+        "n_users": pa.array([users], pa.int64()),
+        "hhi": pa.array([round(hhi, 6)], pa.float64()),
+        "effective_users": pa.array([round(eff, 6)], pa.float64()),
+    })
+
+
+TOPK_USERS = 10
+
+
+def q_topk_user_share(sf_dir: str):
+    """Share of all events produced by the 10 most active users
+    (ties broken by smaller user_id — deterministic): per-shard
+    top-k candidates merge to one exact global top-k; share =
+    top_sum/N mirrored."""
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "n": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+        g = t.group_by(["user_id"]).aggregate([("n", "sum")])
+        return g.rename_columns(["user_id", "n"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"], [("n", "sum")], num_shards=8,
+    )
+
+    def shard_top(batch: pa.Table) -> pa.Table:
+        t = batch.sort_by([("n", "descending"), ("user_id", "ascending")])
+        head = t.slice(0, TOPK_USERS)
+        return pa.table({"user_id": head["user_id"], "n": head["n"]})
+
+    cand = census.map_batches(
+        shard_top, batch_format="pyarrow").to_pandas()
+    n_total = int(census.map_batches(
+        lambda b: pa.table({"s": pa.array(
+            [int(b["n"].to_numpy(zero_copy_only=False).sum())],
+            pa.int64())}),
+        batch_format="pyarrow").to_pandas()["s"].sum())
+    cand = cand.sort_values(["n", "user_id"],
+                            ascending=[False, True],
+                            kind="mergesort").head(TOPK_USERS)
+    top_sum = int(cand["n"].sum())
+    share = 0.0 if n_total == 0 else float(top_sum) / float(n_total)
+    return pa.table({
+        "n_events": pa.array([n_total], pa.int64()),
+        "topk_sum": pa.array([top_sum], pa.int64()),
+        "topk_share": pa.array([round(share, 6)], pa.float64()),
+    })

@@ -261,6 +261,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         # round-3 wave 29
         "two_prop_z", "poisson_dispersion", "coef_variation",
         "rayleigh_test",
+        # round-3 wave 30
+        "lorenz_points", "user_hhi", "topk_user_share",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

@@ -1436,3 +1436,48 @@ def test_rayleigh_matches_bruteforce(ray_session, tmp_path):
         assert r["rayleigh_z"] == pytest.approx(
             (a * a + b * b) / n, abs=1e-3)
         assert r["circ_var"] == pytest.approx(1 - rbar, abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# wave 30: concentration analytics
+# ---------------------------------------------------------------------------
+
+def test_lorenz_points_match_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_lorenz_points
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    got = q_lorenz_points(str(tmp_path)).to_pandas()
+    by = _cents_by_type(et, vals)
+    assert len(got) == 3 * 9
+    for _, r in got.iterrows():
+        x = np.sort(by[r["event_type"]])
+        n = len(x)
+        k = -((-int(r["p_pct"]) * n) // 100)
+        assert r["lorenz"] == pytest.approx(
+            x[:k].sum() / x.sum(), abs=1e-6)
+
+
+def test_user_hhi_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_user_hhi
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    got = q_user_hhi(str(tmp_path)).to_pandas().iloc[0]
+    _, cnts = np.unique(users, return_counts=True)
+    shares = cnts / cnts.sum()
+    hhi = (shares ** 2).sum()
+    assert got["n_users"] == len(cnts)
+    assert got["hhi"] == pytest.approx(hhi, abs=1e-6)
+    assert got["effective_users"] == pytest.approx(1 / hhi, abs=1e-4)
+
+
+def test_topk_user_share_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_topk_user_share
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    got = q_topk_user_share(str(tmp_path)).to_pandas().iloc[0]
+    _, cnts = np.unique(users, return_counts=True)
+    top = np.sort(cnts)[::-1][:10].sum()
+    assert got["n_events"] == len(users)
+    assert got["topk_sum"] == top
+    assert got["topk_share"] == pytest.approx(top / len(users),
+                                              abs=1e-6)
