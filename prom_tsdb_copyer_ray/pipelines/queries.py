@@ -16329,3 +16329,112 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Round-3 wave 31 (pipelines/stats5.py): temporal user-behavior
+# analytics (sessions, burstiness, memory coefficient).
+from .stats5 import (  # noqa: E402
+    q_interevent_burstiness,
+    q_interevent_memory,
+    q_session_stats,
+)
+
+QUERIES.update({
+    "session_stats": q_session_stats,
+    "interevent_burstiness": q_interevent_burstiness,
+    "interevent_memory": q_interevent_memory,
+})
+
+_USER_GAPS_CTE = """
+            WITH e AS (SELECT CAST(user_id AS BIGINT) AS u,
+                              epoch_ms(ts) AS tms, event_id
+                       FROM events),
+            base AS (SELECT u, tms, event_id,
+                            tms - lag(tms) OVER (PARTITION BY u
+                                  ORDER BY tms, event_id) AS gap,
+                            (tms - lag(tms) OVER (PARTITION BY u
+                                  ORDER BY tms, event_id)) // 1000
+                                AS gap_s
+                     FROM e)
+"""
+
+ORACLE_SQL.update(
+    {
+        "session_stats": _USER_GAPS_CTE + """
+            , ag AS (SELECT CAST(count(*) AS BIGINT) AS n_events,
+                            CAST(count(DISTINCT u) AS BIGINT)
+                                AS n_users,
+                            CAST(sum(CASE WHEN gap > 1800000
+                                          THEN 1 ELSE 0 END)
+                                 AS BIGINT) AS brk,
+                            CAST(sum(CASE WHEN gap IS NOT NULL
+                                               AND gap <= 1800000
+                                          THEN gap ELSE 0 END)
+                                 AS BIGINT) AS in_ms
+                     FROM base)
+            SELECT n_users + brk AS n_sessions,
+                   round(CASE WHEN n_users + brk = 0 THEN 0.0
+                              ELSE CAST(n_events AS DOUBLE)
+                                   / CAST(n_users + brk AS DOUBLE)
+                         END, 6) AS avg_events,
+                   round(CASE WHEN n_users + brk = 0 THEN 0.0
+                              ELSE CAST(in_ms AS DOUBLE)
+                                   / CAST(1000 * (n_users + brk)
+                                          AS DOUBLE) END,
+                         6) AS avg_duration_s
+            FROM ag
+        """,
+        "interevent_burstiness": _USER_GAPS_CTE + """
+            , ag AS (SELECT CAST(count(gap_s) AS BIGINT) AS n,
+                            CAST(sum(gap_s) AS BIGINT) AS s1,
+                            CAST(sum(CAST(gap_s AS HUGEINT) * gap_s)
+                                 AS HUGEINT) AS s2
+                     FROM base WHERE gap_s IS NOT NULL)
+            SELECT n AS n_gaps,
+                   round(CASE WHEN n = 0
+                                   OR (n * s2 - CAST(s1 AS HUGEINT)
+                                       * s1 <= 0 AND s1 = 0)
+                              THEN 0.0
+                              ELSE (sqrt(CAST(n * s2
+                                    - CAST(s1 AS HUGEINT) * s1
+                                    AS DOUBLE)) - CAST(s1 AS DOUBLE))
+                                   / (sqrt(CAST(n * s2
+                                      - CAST(s1 AS HUGEINT) * s1
+                                      AS DOUBLE))
+                                      + CAST(s1 AS DOUBLE)) END,
+                         6) AS burstiness
+            FROM ag
+        """,
+        "interevent_memory": _USER_GAPS_CTE + """
+            , pr AS (SELECT u, gap_s AS gx,
+                            lead(gap_s) OVER (PARTITION BY u
+                                  ORDER BY tms, event_id) AS gy
+                     FROM base),
+            ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(gx) AS BIGINT) AS sx,
+                          CAST(sum(gy) AS BIGINT) AS sy,
+                          CAST(sum(CAST(gx AS HUGEINT) * gx)
+                               AS HUGEINT) AS sxx,
+                          CAST(sum(CAST(gy AS HUGEINT) * gy)
+                               AS HUGEINT) AS syy,
+                          CAST(sum(CAST(gx AS HUGEINT) * gy)
+                               AS HUGEINT) AS sxy
+                   FROM pr WHERE gx IS NOT NULL AND gy IS NOT NULL)
+            SELECT n AS n_pairs,
+                   round(CASE WHEN n < 2
+                                   OR n * sxx - CAST(sx AS HUGEINT)
+                                      * sx <= 0
+                                   OR n * syy - CAST(sy AS HUGEINT)
+                                      * sy <= 0 THEN 0.0
+                              ELSE CAST(n * sxy - CAST(sx AS HUGEINT)
+                                        * sy AS DOUBLE)
+                                   / sqrt(CAST(n * sxx
+                                          - CAST(sx AS HUGEINT) * sx
+                                          AS DOUBLE)
+                                          * CAST(n * syy
+                                            - CAST(sy AS HUGEINT) * sy
+                                            AS DOUBLE)) END,
+                         6) AS memory_coef
+            FROM ag
+        """,
+    }
+)

@@ -2681,3 +2681,131 @@ def q_topk_user_share(sf_dir: str):
         "topk_sum": pa.array([top_sum], pa.int64()),
         "topk_share": pa.array([round(share, 6)], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 31: temporal user-behavior analytics over per-user ordered
+# inter-event gaps (one user-hash exchange; per-shard lexsort +
+# segment masks — the transition_counts shape).
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MS = 1_800_000  # 30 min
+
+
+def _user_gap_partials(sf_dir: str):
+    """Per-shard exact partials over per-user consecutive event gaps
+    (order: ts, event_id): gap moments (n, S1, S2) and consecutive-gap
+    pair six-stats over gaps in whole SECONDS (gap_ms // 1000 — the
+    millisecond squares overflow int64 partials), plus session splits
+    at SESSION_GAP_MS (milliseconds).  Returns the summed dict of
+    exact Python ints."""
+    from ..stages.keyed import _key_shard, _segment_starts
+    from ..windows import ts_to_ms
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "tms": ts_to_ms(batch["ts"]),
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+        })
+        return t.append_column("_gshard", _key_shard(t, ["user_id"], 64))
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_gshard")
+        cols = ["n_users", "n_events", "n_gaps", "g1", "g2",
+                "pn", "px", "py", "pxx", "pyy", "pxy",
+                "n_sessions", "in_session_ms"]
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([0], pa.int64())
+                             for c in cols})
+        t = t.sort_by([("user_id", "ascending"), ("tms", "ascending"),
+                       ("event_id", "ascending")])
+        same = ~_segment_starts(t, ["user_id"])[1:]
+        tms = t["tms"].to_numpy(zero_copy_only=False)
+        gaps = (tms[1:] - tms[:-1])[same]
+        diffs_s = (tms[1:] - tms[:-1]) // 1000  # moments in SECONDS
+        gaps_s = diffs_s[same]
+        pair_same = same[1:] & same[:-1]
+        gx = diffs_s[:-1][pair_same]
+        gy = diffs_s[1:][pair_same]
+        brk = int((gaps > SESSION_GAP_MS).sum())
+        n_users = int(_segment_starts(t, ["user_id"]).sum())
+        vals = {
+            "n_users": n_users,
+            "n_events": t.num_rows,
+            "n_gaps": len(gaps_s),
+            "g1": int(gaps_s.sum()),
+            "g2": int(sum(int(g) * int(g) for g in gaps_s)),
+            "pn": len(gx),
+            "px": int(gx.sum()),
+            "py": int(gy.sum()),
+            "pxx": int(sum(int(g) * int(g) for g in gx)),
+            "pyy": int(sum(int(g) * int(g) for g in gy)),
+            "pxy": int(sum(int(a) * int(b) for a, b in zip(gx, gy))),
+            "n_sessions": n_users + brk,
+            "in_session_ms": int(gaps[gaps <= SESSION_GAP_MS].sum()),
+        }
+        return pa.table({c: pa.array([vals[c]], pa.int64())
+                         for c in cols})
+
+    parts = (ds.map_batches(add_shard, batch_format="pyarrow")
+             .groupby("_gshard")
+             .map_groups(per_shard, batch_format="pyarrow")).to_pandas()
+    return {c: int(parts[c].sum()) for c in parts.columns}
+
+
+def q_session_stats(sf_dir: str):
+    """Sessionization census (30-minute inactivity gap): number of
+    sessions, mean events per session and mean in-session duration in
+    seconds — exact integer partials (sessions = users + gap breaks;
+    duration = sum of within-session gaps), mirrored divisions."""
+    p = _user_gap_partials(sf_dir)
+    ns = p["n_sessions"]
+    ev = (0.0 if ns == 0 else float(p["n_events"]) / float(ns))
+    dur = (0.0 if ns == 0
+           else float(p["in_session_ms"]) / float(1000 * ns))
+    return pa.table({
+        "n_sessions": pa.array([ns], pa.int64()),
+        "avg_events": pa.array([round(ev, 6)], pa.float64()),
+        "avg_duration_s": pa.array([round(dur, 6)], pa.float64()),
+    })
+
+
+def q_interevent_burstiness(sf_dir: str):
+    """Goh-Barabasi burstiness of pooled per-user inter-event gaps:
+    B = (sigma - mu)/(sigma + mu) reduces over the population-variance
+    numerator nu = n*S2 - S1^2 to the clean mirrored chain
+    (sqrt(nu) - S1)/(sqrt(nu) + S1) — -1 regular, 0 Poisson, ->1
+    bursty."""
+    p = _user_gap_partials(sf_dir)
+    n, s1, s2 = p["n_gaps"], p["g1"], p["g2"]
+    nu = n * s2 - s1 * s1
+    if n == 0 or (nu <= 0 and s1 == 0):
+        b = 0.0
+    else:
+        b = ((math.sqrt(float(nu)) - float(s1))
+             / (math.sqrt(float(nu)) + float(s1)))
+    return pa.table({
+        "n_gaps": pa.array([n], pa.int64()),
+        "burstiness": pa.array([round(b, 6)], pa.float64()),
+    })
+
+
+def q_interevent_memory(sf_dir: str):
+    """Goh-Barabasi memory coefficient: Pearson correlation of
+    consecutive inter-event gap pairs (g_i, g_{i+1}) within each
+    user's timeline, pooled — exact six-statistic integers, one
+    mirrored sqrt chain."""
+    p = _user_gap_partials(sf_dir)
+    n = p["pn"]
+    vx = n * p["pxx"] - p["px"] * p["px"]
+    vy = n * p["pyy"] - p["py"] * p["py"]
+    num = n * p["pxy"] - p["px"] * p["py"]
+    m = (0.0 if n < 2 or vx <= 0 or vy <= 0
+         else float(num) / math.sqrt(float(vx) * float(vy)))
+    return pa.table({
+        "n_pairs": pa.array([n], pa.int64()),
+        "memory_coef": pa.array([round(m, 6)], pa.float64()),
+    })

@@ -263,6 +263,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         "rayleigh_test",
         # round-3 wave 30
         "lorenz_points", "user_hhi", "topk_user_share",
+        # round-3 wave 31
+        "session_stats", "interevent_burstiness", "interevent_memory",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

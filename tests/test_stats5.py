@@ -1481,3 +1481,67 @@ def test_topk_user_share_matches_bruteforce(ray_session, tmp_path):
     assert got["topk_sum"] == top
     assert got["topk_share"] == pytest.approx(top / len(users),
                                               abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# wave 31: sessions / burstiness / memory
+# ---------------------------------------------------------------------------
+
+def _user_gaps_ref(hrs_ms, users):
+    gaps_s, pairs, brk, in_ms = [], [], 0, 0
+    for u in np.unique(users):
+        t = np.sort(hrs_ms[users == u])
+        g = np.diff(t)
+        gs = g // 1000
+        gaps_s.extend(gs)
+        pairs.extend(zip(gs[:-1], gs[1:]))
+        brk += int((g > 1_800_000).sum())
+        in_ms += int(g[g <= 1_800_000].sum())
+    return np.array(gaps_s, np.float64), pairs, brk, in_ms
+
+
+def test_session_stats_match_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_session_stats
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    t = pq.read_table(os.path.join(str(tmp_path), "events.parquet"))
+    tms = t["ts"].cast(pa.int64()).to_numpy()  # timestamp("ms")
+    got = q_session_stats(str(tmp_path)).to_pandas().iloc[0]
+    gaps, pairs, brk, in_ms = _user_gaps_ref(tms, users)
+    n_sessions = len(np.unique(users)) + brk
+    assert got["n_sessions"] == n_sessions
+    assert got["avg_events"] == pytest.approx(len(users) / n_sessions,
+                                              abs=1e-6)
+    assert got["avg_duration_s"] == pytest.approx(
+        in_ms / 1000 / n_sessions, abs=1e-5)
+
+
+def test_burstiness_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import (
+        q_interevent_burstiness,
+    )
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    t = pq.read_table(os.path.join(str(tmp_path), "events.parquet"))
+    tms = t["ts"].cast(pa.int64()).to_numpy()
+    got = q_interevent_burstiness(str(tmp_path)).to_pandas().iloc[0]
+    gaps, _, _, _ = _user_gaps_ref(tms, users)
+    mu, sig = gaps.mean(), gaps.std()
+    assert got["n_gaps"] == len(gaps)
+    assert got["burstiness"] == pytest.approx(
+        (sig - mu) / (sig + mu), abs=1e-6)
+
+
+def test_memory_coef_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_interevent_memory
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    t = pq.read_table(os.path.join(str(tmp_path), "events.parquet"))
+    tms = t["ts"].cast(pa.int64()).to_numpy()
+    got = q_interevent_memory(str(tmp_path)).to_pandas().iloc[0]
+    _, pairs, _, _ = _user_gaps_ref(tms, users)
+    gx = np.array([p[0] for p in pairs], np.float64)
+    gy = np.array([p[1] for p in pairs], np.float64)
+    assert got["n_pairs"] == len(pairs)
+    assert got["memory_coef"] == pytest.approx(
+        np.corrcoef(gx, gy)[0, 1], abs=1e-5)
