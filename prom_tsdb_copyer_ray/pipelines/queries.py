@@ -16438,3 +16438,83 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Round-3 wave 32 (pipelines/stats5.py): gap / lifetime / per-user
+# count distributions.
+from .stats5 import (  # noqa: E402
+    q_events_per_user,
+    q_gap_quantiles,
+    q_user_lifetimes,
+)
+
+QUERIES.update({
+    "gap_quantiles": q_gap_quantiles,
+    "user_lifetimes": q_user_lifetimes,
+    "events_per_user": q_events_per_user,
+})
+
+ORACLE_SQL.update(
+    {
+        "gap_quantiles": _USER_GAPS_CTE + """
+            , gs AS (SELECT gap_s FROM base WHERE gap_s IS NOT NULL)
+            SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(COALESCE(quantile_disc(gap_s, 0.5), 0)
+                        AS BIGINT) AS med_gap_s,
+                   CAST(COALESCE(quantile_disc(gap_s, 0.9), 0)
+                        AS BIGINT) AS p90_gap_s,
+                   CAST(COALESCE(quantile_disc(gap_s, 0.99), 0)
+                        AS BIGINT) AS p99_gap_s,
+                   CAST(COALESCE(max(gap_s), 0) AS BIGINT) AS max_gap_s
+            FROM gs
+        """,
+        "user_lifetimes": """
+            WITH u AS (SELECT user_id,
+                              (max(epoch_ms(ts)) - min(epoch_ms(ts)))
+                                // 1000 AS span_s,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1),
+            ag AS (SELECT CAST(count(*) AS BIGINT) AS users,
+                          CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                               AS BIGINT) AS single,
+                          CAST(sum(span_s) AS BIGINT) AS span
+                   FROM u)
+            SELECT users AS n_users,
+                   round(CASE WHEN users = 0 THEN 0.0
+                              ELSE CAST(single AS DOUBLE)
+                                   / CAST(users AS DOUBLE) END,
+                         6) AS single_share,
+                   round(CASE WHEN users = 0 THEN 0.0
+                              ELSE CAST(span AS DOUBLE)
+                                   / CAST(users AS DOUBLE) END,
+                         6) AS avg_span_s
+            FROM ag
+        """,
+        "events_per_user": """
+            WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1),
+            ag AS (SELECT CAST(count(*) AS BIGINT) AS u,
+                          CAST(sum(n) AS BIGINT) AS s1,
+                          CAST(sum(CAST(n AS HUGEINT) * n)
+                               AS HUGEINT) AS s2
+                   FROM u)
+            SELECT u AS n_users,
+                   round(CASE WHEN u = 0 THEN 0.0
+                              ELSE CAST(s1 AS DOUBLE)
+                                   / CAST(u AS DOUBLE) END,
+                         6) AS mean_events,
+                   round(CASE WHEN u = 0 THEN 0.0
+                              ELSE CAST(u * s2 - CAST(s1 AS HUGEINT)
+                                        * s1 AS DOUBLE)
+                                   / CAST(CAST(u AS HUGEINT) * u
+                                          AS DOUBLE) END,
+                         6) AS var_events,
+                   round(CASE WHEN s1 = 0 THEN 0.0
+                              ELSE CAST(u * s2 - CAST(s1 AS HUGEINT)
+                                        * s1 AS DOUBLE)
+                                   / CAST(u * CAST(s1 AS HUGEINT)
+                                          AS DOUBLE) END,
+                         6) AS vmr_events
+            FROM ag
+        """,
+    }
+)

@@ -2809,3 +2809,155 @@ def q_interevent_memory(sf_dir: str):
         "n_pairs": pa.array([n], pa.int64()),
         "memory_coef": pa.array([round(m, 6)], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 32: gap / lifetime / per-user count distributions.
+# ---------------------------------------------------------------------------
+
+def q_gap_quantiles(sf_dir: str):
+    """Exact order statistics of the pooled per-user inter-event gaps
+    in whole seconds (quantile_disc ceil-index semantics): median,
+    p90, p99 and max — the gap multiset leaves the shards as a
+    (gap_s, count) census (O(distinct gaps) rows)."""
+    from ..stages.keyed import _key_shard, _segment_starts
+    from ..windows import ts_to_ms
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "tms": ts_to_ms(batch["ts"]),
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+        })
+        return t.append_column("_gshard", _key_shard(t, ["user_id"], 64))
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_gshard")
+        if t.num_rows < 2:
+            return pa.table({"g": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        t = t.sort_by([("user_id", "ascending"), ("tms", "ascending"),
+                       ("event_id", "ascending")])
+        same = ~_segment_starts(t, ["user_id"])[1:]
+        tms = t["tms"].to_numpy(zero_copy_only=False)
+        gaps = ((tms[1:] - tms[:-1]) // 1000)[same]
+        vals, cnts = np.unique(gaps, return_counts=True)
+        return pa.table({"g": pa.array(vals.astype(np.int64)),
+                         "c": pa.array(cnts.astype(np.int64))})
+
+    census = sharded_grouped_agg(
+        (ds.map_batches(add_shard, batch_format="pyarrow")
+         .groupby("_gshard")
+         .map_groups(per_shard, batch_format="pyarrow")),
+        ["g"], [("c", "sum")], num_shards=4,
+    ).to_pandas().sort_values("g")
+    g = census["g"].to_numpy(np.int64)
+    c = census["c"].to_numpy(np.int64)
+    n = int(c.sum())
+    med = _order_stat(g, c, (n + 1) // 2) if n else 0
+    p90 = _order_stat(g, c, (9 * n + 9) // 10) if n else 0
+    p99 = _order_stat(g, c, (99 * n + 99) // 100) if n else 0
+    mx = int(g[-1]) if n else 0
+    return pa.table({
+        "n_gaps": pa.array([n], pa.int64()),
+        "med_gap_s": pa.array([med], pa.int64()),
+        "p90_gap_s": pa.array([p90], pa.int64()),
+        "p99_gap_s": pa.array([p99], pa.int64()),
+        "max_gap_s": pa.array([mx], pa.int64()),
+    })
+
+
+def q_user_lifetimes(sf_dir: str):
+    """Per-user lifetime census: share of single-event users and the
+    mean activity span in seconds ((max-min)//1000 per user, exact
+    integer fold inside the user-keyed exchange) — mirrored
+    divisions."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    from ..windows import ts_to_ms
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "lo": ts_to_ms(batch["ts"]),
+            "hi": ts_to_ms(batch["ts"]),
+            "n": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+        g = t.group_by(["user_id"]).aggregate(
+            [("lo", "min"), ("hi", "max"), ("n", "sum")])
+        return g.rename_columns(["user_id", "lo", "hi", "n"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"], [("lo", "min"), ("hi", "max"), ("n", "sum")],
+        num_shards=8,
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        lo = batch["lo"].to_numpy(zero_copy_only=False)
+        hi = batch["hi"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "users": pa.array([len(n)], pa.int64()),
+            "single": pa.array([int((n == 1).sum())], pa.int64()),
+            "span_s": pa.array([int(((hi - lo) // 1000).sum())],
+                               pa.int64()),
+        })
+
+    f = census.map_batches(fold, batch_format="pyarrow").to_pandas()
+    users = int(f["users"].sum())
+    single = int(f["single"].sum())
+    span = int(f["span_s"].sum())
+    return pa.table({
+        "n_users": pa.array([users], pa.int64()),
+        "single_share": pa.array(
+            [round(0.0 if users == 0
+                   else float(single) / float(users), 6)],
+            pa.float64()),
+        "avg_span_s": pa.array(
+            [round(0.0 if users == 0
+                   else float(span) / float(users), 6)],
+            pa.float64()),
+    })
+
+
+def q_events_per_user(sf_dir: str):
+    """Per-user event-count distribution: mean, population variance
+    and dispersion index (VMR) — exact integer count moments folded
+    in-shard (the user_hhi shape)."""
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": batch["user_id"],
+            "n": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+        g = t.group_by(["user_id"]).aggregate([("n", "sum")])
+        return g.rename_columns(["user_id", "n"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"], [("n", "sum")], num_shards=8,
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": pa.array([len(n)], pa.int64()),
+            "s1": pa.array([int(n.sum())], pa.int64()),
+            "s2": pa.array([int(np.dot(n, n))], pa.int64()),
+        })
+
+    f = census.map_batches(fold, batch_format="pyarrow").to_pandas()
+    u, s1, s2 = int(f["u"].sum()), int(f["s1"].sum()), int(f["s2"].sum())
+    nu = u * s2 - s1 * s1
+    mean = 0.0 if u == 0 else float(s1) / float(u)
+    var = 0.0 if u == 0 else float(nu) / float(u * u)
+    vmr = 0.0 if s1 == 0 else float(nu) / float(u * s1)
+    return pa.table({
+        "n_users": pa.array([u], pa.int64()),
+        "mean_events": pa.array([round(mean, 6)], pa.float64()),
+        "var_events": pa.array([round(var, 6)], pa.float64()),
+        "vmr_events": pa.array([round(vmr, 6)], pa.float64()),
+    })

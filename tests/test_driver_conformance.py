@@ -265,6 +265,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         "lorenz_points", "user_hhi", "topk_user_share",
         # round-3 wave 31
         "session_stats", "interevent_burstiness", "interevent_memory",
+        # round-3 wave 32
+        "gap_quantiles", "user_lifetimes", "events_per_user",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

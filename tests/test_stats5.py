@@ -1545,3 +1545,58 @@ def test_memory_coef_matches_bruteforce(ray_session, tmp_path):
     assert got["n_pairs"] == len(pairs)
     assert got["memory_coef"] == pytest.approx(
         np.corrcoef(gx, gy)[0, 1], abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# wave 32: gap quantiles, lifetimes, per-user counts
+# ---------------------------------------------------------------------------
+
+def test_gap_quantiles_match_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_gap_quantiles
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    t = pq.read_table(os.path.join(str(tmp_path), "events.parquet"))
+    tms = t["ts"].cast(pa.int64()).to_numpy()
+    got = q_gap_quantiles(str(tmp_path)).to_pandas().iloc[0]
+    gaps = []
+    for u in np.unique(users):
+        g = np.diff(np.sort(tms[users == u])) // 1000
+        gaps.extend(g)
+    gaps = np.sort(np.array(gaps, np.int64))
+    n = len(gaps)
+    assert got["n_gaps"] == n
+    assert got["med_gap_s"] == gaps[(n + 1) // 2 - 1]
+    assert got["p90_gap_s"] == gaps[(9 * n + 9) // 10 - 1]
+    assert got["p99_gap_s"] == gaps[(99 * n + 99) // 100 - 1]
+    assert got["max_gap_s"] == gaps[-1]
+
+
+def test_user_lifetimes_match_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_user_lifetimes
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    t = pq.read_table(os.path.join(str(tmp_path), "events.parquet"))
+    tms = t["ts"].cast(pa.int64()).to_numpy()
+    got = q_user_lifetimes(str(tmp_path)).to_pandas().iloc[0]
+    uu = np.unique(users)
+    spans = np.array([(tms[users == u].max() - tms[users == u].min())
+                      // 1000 for u in uu], np.float64)
+    singles = sum(1 for u in uu if (users == u).sum() == 1)
+    assert got["n_users"] == len(uu)
+    assert got["single_share"] == pytest.approx(singles / len(uu),
+                                                abs=1e-6)
+    assert got["avg_span_s"] == pytest.approx(spans.mean(), abs=1e-5)
+
+
+def test_events_per_user_match_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_events_per_user
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    got = q_events_per_user(str(tmp_path)).to_pandas().iloc[0]
+    _, cnts = np.unique(users, return_counts=True)
+    c = cnts.astype(np.float64)
+    assert got["n_users"] == len(c)
+    assert got["mean_events"] == pytest.approx(c.mean(), abs=1e-6)
+    assert got["var_events"] == pytest.approx(c.var(), abs=1e-5)
+    assert got["vmr_events"] == pytest.approx(c.var() / c.mean(),
+                                              abs=1e-6)
