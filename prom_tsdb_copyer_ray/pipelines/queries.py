@@ -16518,3 +16518,86 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Round-3 wave 33 (pipelines/stats5.py): corpus composition analytics.
+from .stats5 import (  # noqa: E402
+    q_doc_tokens_by_lang,
+    q_lang_entropy,
+    q_source_concentration,
+)
+
+QUERIES.update({
+    "doc_tokens_by_lang": q_doc_tokens_by_lang,
+    "source_concentration": q_source_concentration,
+    "lang_entropy": q_lang_entropy,
+})
+
+ORACLE_SQL.update(
+    {
+        "doc_tokens_by_lang": """
+            WITH dt AS (SELECT lang,
+                               CAST(length(regexp_extract_all(text,
+                                    '[A-Za-z]+')) AS BIGINT) AS tok
+                        FROM documents),
+            ag AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                          CAST(sum(tok) AS BIGINT) AS s1,
+                          CAST(quantile_disc(tok, 0.5) AS BIGINT)
+                              AS med,
+                          CAST(quantile_disc(tok, 0.9) AS BIGINT)
+                              AS p90
+                   FROM dt GROUP BY 1)
+            SELECT lang, n_docs,
+                   round(CASE WHEN n_docs = 0 THEN 0.0
+                              ELSE CAST(s1 AS DOUBLE)
+                                   / CAST(n_docs AS DOUBLE) END,
+                         6) AS mean_tokens,
+                   med AS med_tokens, p90 AS p90_tokens
+            FROM ag ORDER BY 1
+        """,
+        "source_concentration": """
+            WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                       FROM documents GROUP BY 1),
+            tt AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+                          CAST(sum(CAST(n AS HUGEINT) * n)
+                               AS HUGEINT) AS s2,
+                          CAST(count(*) AS BIGINT) AS k
+                   FROM c),
+            top AS (SELECT source, n,
+                           row_number() OVER (ORDER BY n DESC,
+                                              source ASC) AS rn
+                    FROM c)
+            SELECT tt.k AS n_sources,
+                   round(CASE WHEN tt.n = 0 THEN 0.0
+                              ELSE CAST(tt.s2 AS DOUBLE)
+                                   / CAST(CAST(tt.n AS HUGEINT) * tt.n
+                                          AS DOUBLE) END,
+                         6) AS hhi,
+                   top.source AS top_source,
+                   round(CASE WHEN tt.n = 0 THEN 0.0
+                              ELSE CAST(top.n AS DOUBLE)
+                                   / CAST(tt.n AS DOUBLE) END,
+                         6) AS top_share
+            FROM tt CROSS JOIN top WHERE top.rn = 1
+        """,
+        "lang_entropy": """
+            WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+                       FROM documents GROUP BY 1),
+            ag AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+                          CAST(count(*) AS BIGINT) AS k,
+                          CAST(sum(n * CAST(floor(1e6 *
+                               ln(CAST(n AS DOUBLE))) AS BIGINT))
+                               AS HUGEINT) AS s_ln
+                   FROM c)
+            SELECT k AS n_langs,
+                   round(CASE WHEN n < 2 THEN 0.0
+                              ELSE CAST(n * CAST(floor(1e6 *
+                                        ln(CAST(n AS DOUBLE)))
+                                        AS BIGINT) - s_ln AS DOUBLE)
+                                   / CAST(1000000 *
+                                          CAST(n AS HUGEINT)
+                                          AS DOUBLE) END,
+                         6) AS lang_entropy
+            FROM ag
+        """,
+    }
+)

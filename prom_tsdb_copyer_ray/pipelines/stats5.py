@@ -2961,3 +2961,125 @@ def q_events_per_user(sf_dir: str):
         "var_events": pa.array([round(var, 6)], pa.float64()),
         "vmr_events": pa.array([round(vmr, 6)], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 33: corpus composition analytics over the documents table.
+# ---------------------------------------------------------------------------
+
+def q_doc_tokens_by_lang(sf_dir: str):
+    """Per-language document token-count profile: doc count, exact
+    mean tokens/doc and exact median / p90 order statistics — the
+    per-doc [A-Za-z]+ token counts leave the batches as a
+    (lang, tokens, docs) census."""
+    import re
+
+    word_re = re.compile(r"[A-Za-z]+")
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for lang, t in zip(batch["lang"].to_pylist(),
+                           batch["text"].to_pylist()):
+            counts[(lang or "", len(word_re.findall(t or "")))] += 1
+        keys = sorted(counts)
+        return pa.table({
+            "lang": pa.array([k[0] for k in keys], pa.string()),
+            "tok": pa.array([k[1] for k in keys], pa.int64()),
+            "docs": pa.array([counts[k] for k in keys], pa.int64()),
+        })
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "tok"], [("docs", "sum")], num_shards=4,
+    ).to_pandas()
+    out = {"lang": [], "n_docs": [], "mean_tokens": [],
+           "med_tokens": [], "p90_tokens": []}
+    for lang, grp in census.groupby("lang", sort=True):
+        g = grp.sort_values("tok")
+        tok = g["tok"].to_numpy(np.int64)
+        d = g["docs"].to_numpy(np.int64)
+        n = int(d.sum())
+        s1 = int(np.dot(tok, d))
+        out["lang"].append(str(lang))
+        out["n_docs"].append(n)
+        out["mean_tokens"].append(round(
+            0.0 if n == 0 else float(s1) / float(n), 6))
+        out["med_tokens"].append(_order_stat(tok, d, (n + 1) // 2))
+        out["p90_tokens"].append(_order_stat(tok, d, (9 * n + 9) // 10))
+    return pa.table({
+        "lang": pa.array(out["lang"], pa.string()),
+        "n_docs": pa.array(out["n_docs"], pa.int64()),
+        "mean_tokens": pa.array(out["mean_tokens"], pa.float64()),
+        "med_tokens": pa.array(out["med_tokens"], pa.int64()),
+        "p90_tokens": pa.array(out["p90_tokens"], pa.int64()),
+    })
+
+
+def q_source_concentration(sf_dir: str):
+    """Concentration of documents across sources: source count, HHI
+    of source shares (= S2/N^2 over the source census) and the top
+    source's share (argmax tie -> lexicographically smallest
+    source)."""
+    ds = _read(sf_dir, "documents", ["source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "source": batch["source"],
+            "n": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+        g = t.group_by(["source"]).aggregate([("n", "sum")])
+        return g.rename_columns(["source", "n"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source"], [("n", "sum")], num_shards=2,
+    ).to_pandas().sort_values("source")
+    n_arr = census["n"].to_numpy(np.int64)
+    n = int(n_arr.sum())
+    s2 = int(np.dot(n_arr, n_arr))
+    k = int(n_arr.argmax())  # first max = smallest source name
+    hhi = 0.0 if n == 0 else float(s2) / float(n * n)
+    top = 0.0 if n == 0 else float(int(n_arr[k])) / float(n)
+    return pa.table({
+        "n_sources": pa.array([len(n_arr)], pa.int64()),
+        "hhi": pa.array([round(hhi, 6)], pa.float64()),
+        "top_source": pa.array([str(census["source"].iloc[k])],
+                               pa.string()),
+        "top_share": pa.array([round(top, 6)], pa.float64()),
+    })
+
+
+def q_lang_entropy(sf_dir: str):
+    """Shannon entropy of the document language distribution
+    (micro-floored-ln protocol: H = (N*LN(N) - sum c*LN(c)) /
+    (1e6*N)) plus the language count."""
+    ds = _read(sf_dir, "documents", ["lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "lang": batch["lang"],
+            "n": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+        g = t.group_by(["lang"]).aggregate([("n", "sum")])
+        return g.rename_columns(["lang", "n"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang"], [("n", "sum")], num_shards=2,
+    ).to_pandas()
+    c = census["n"].to_numpy(np.int64)
+    n = int(c.sum())
+    if n < 2:
+        ent = 0.0
+    else:
+        ln_n = math.floor(1e6 * math.log(float(n)))
+        s_ln = sum(int(x) * math.floor(1e6 * math.log(float(x)))
+                   for x in c if x > 0)
+        ent = float(n * ln_n - s_ln) / float(1000000 * n)
+    return pa.table({
+        "n_langs": pa.array([len(c)], pa.int64()),
+        "lang_entropy": pa.array([round(ent, 6)], pa.float64()),
+    })

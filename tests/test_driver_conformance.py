@@ -267,6 +267,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         "session_stats", "interevent_burstiness", "interevent_memory",
         # round-3 wave 32
         "gap_quantiles", "user_lifetimes", "events_per_user",
+        # round-3 wave 33
+        "doc_tokens_by_lang", "source_concentration", "lang_entropy",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

@@ -1600,3 +1600,69 @@ def test_events_per_user_match_bruteforce(ray_session, tmp_path):
     assert got["var_events"] == pytest.approx(c.var(), abs=1e-5)
     assert got["vmr_events"] == pytest.approx(c.var() / c.mean(),
                                               abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# wave 33: corpus composition
+# ---------------------------------------------------------------------------
+
+def _docs_multi_lang(tmp_path, seed=41, n_docs=80):
+    rng = np.random.default_rng(seed)
+    langs = np.array(["en", "de", "fr"])[rng.integers(0, 3, n_docs)]
+    srcs = np.array(["s1", "s2", "s3", "s4"])[rng.integers(0, 4, n_docs)]
+    words = ["lorem", "ipsum", "dolor", "sit", "amet"]
+    texts = [" ".join(rng.choice(words, size=rng.integers(3, 30)))
+             for _ in range(n_docs)]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+        "text": pa.array(texts),
+        "lang": pa.array(list(langs)),
+        "source": pa.array(list(srcs)),
+        "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "documents.parquet"))
+    return langs, srcs, texts
+
+
+def test_doc_tokens_by_lang_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_doc_tokens_by_lang
+
+    langs, srcs, texts = _docs_multi_lang(tmp_path)
+    got = q_doc_tokens_by_lang(str(tmp_path)).to_pandas()
+    toks = np.array([len(s.split()) for s in texts])
+    for _, r in got.iterrows():
+        sub = np.sort(toks[langs == r["lang"]])
+        n = len(sub)
+        assert r["n_docs"] == n
+        assert r["mean_tokens"] == pytest.approx(sub.mean(), abs=1e-6)
+        assert r["med_tokens"] == sub[(n + 1) // 2 - 1]
+        assert r["p90_tokens"] == sub[(9 * n + 9) // 10 - 1]
+
+
+def test_source_concentration_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import (
+        q_source_concentration,
+    )
+
+    langs, srcs, texts = _docs_multi_lang(tmp_path)
+    got = q_source_concentration(str(tmp_path)).to_pandas().iloc[0]
+    vals, cnts = np.unique(srcs, return_counts=True)
+    shares = cnts / cnts.sum()
+    assert got["n_sources"] == len(vals)
+    assert got["hhi"] == pytest.approx((shares ** 2).sum(), abs=1e-6)
+    top = min(vals[cnts == cnts.max()].tolist())
+    assert got["top_source"] == top
+    assert got["top_share"] == pytest.approx(cnts.max() / cnts.sum(),
+                                             abs=1e-6)
+
+
+def test_lang_entropy_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_lang_entropy
+
+    langs, srcs, texts = _docs_multi_lang(tmp_path)
+    got = q_lang_entropy(str(tmp_path)).to_pandas().iloc[0]
+    _, cnts = np.unique(langs, return_counts=True)
+    p = cnts / cnts.sum()
+    assert got["n_langs"] == len(cnts)
+    assert got["lang_entropy"] == pytest.approx(
+        -(p * np.log(p)).sum(), abs=1e-4)
