@@ -16601,3 +16601,95 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Round-3 wave 34 (pipelines/stats5.py): threshold exceedances +
+# calendar profiles.
+from .stats5 import (  # noqa: E402
+    q_mean_excess,
+    q_peak_hour,
+    q_weekend_lift,
+)
+
+QUERIES.update({
+    "mean_excess": q_mean_excess,
+    "peak_hour": q_peak_hour,
+    "weekend_lift": q_weekend_lift,
+})
+
+ORACLE_SQL.update(
+    {
+        "mean_excess": """
+            WITH s AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cv
+                       FROM events),
+            th AS (SELECT event_type,
+                          CAST(quantile_disc(cv, 0.95) AS BIGINT) AS u
+                   FROM s GROUP BY 1),
+            ag AS (SELECT s.event_type, th.u,
+                          CAST(sum(CASE WHEN s.cv > th.u
+                                        THEN 1 ELSE 0 END)
+                               AS BIGINT) AS cnt,
+                          CAST(sum(CASE WHEN s.cv > th.u
+                                        THEN s.cv - th.u ELSE 0 END)
+                               AS HUGEINT) AS tot
+                   FROM s JOIN th USING (event_type) GROUP BY 1, 2)
+            SELECT event_type, u AS threshold, cnt AS n_exceed,
+                   round(CASE WHEN cnt = 0 THEN 0.0
+                              ELSE CAST(tot AS DOUBLE)
+                                   / CAST(cnt AS DOUBLE) END,
+                         6) AS mean_excess
+            FROM ag ORDER BY 1
+        """,
+        "peak_hour": """
+            WITH c AS (SELECT event_type,
+                              (epoch_ms(ts) // 3600000) % 24 AS d,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+            tt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot
+                   FROM c GROUP BY 1),
+            top AS (SELECT event_type, d, n,
+                           row_number() OVER (PARTITION BY event_type
+                                              ORDER BY n DESC, d ASC)
+                               AS rn
+                    FROM c)
+            SELECT top.event_type, CAST(top.d AS BIGINT) AS peak_hod,
+                   round(CASE WHEN tt.tot = 0 THEN 0.0
+                              ELSE CAST(top.n AS DOUBLE)
+                                   / CAST(tt.tot AS DOUBLE) END,
+                         6) AS peak_share
+            FROM top JOIN tt USING (event_type)
+            WHERE top.rn = 1 ORDER BY 1
+        """,
+        "weekend_lift": """
+            WITH e AS (SELECT event_type,
+                              epoch_ms(ts) // 3600000 AS hr
+                       FROM events),
+            bounds AS (SELECT min(hr) AS lo, max(hr) AS hi FROM e),
+            hours AS (SELECT unnest(generate_series(lo, hi)) AS hr
+                      FROM bounds),
+            hcal AS (SELECT CAST(sum(CASE WHEN ((hr // 24) + 3) % 7
+                                               >= 5
+                                          THEN 1 ELSE 0 END)
+                                 AS BIGINT) AS we_h,
+                            CAST(sum(CASE WHEN ((hr // 24) + 3) % 7
+                                               >= 5
+                                          THEN 0 ELSE 1 END)
+                                 AS BIGINT) AS wd_h
+                     FROM hours),
+            ag AS (SELECT event_type,
+                          CAST(sum(CASE WHEN ((hr // 24) + 3) % 7 >= 5
+                                        THEN 1 ELSE 0 END)
+                               AS BIGINT) AS a,
+                          CAST(sum(CASE WHEN ((hr // 24) + 3) % 7 >= 5
+                                        THEN 0 ELSE 1 END)
+                               AS BIGINT) AS b
+                   FROM e GROUP BY 1)
+            SELECT ag.event_type,
+                   round(CASE WHEN ag.b * hcal.we_h = 0 THEN 0.0
+                              ELSE CAST(ag.a * hcal.wd_h AS DOUBLE)
+                                   / CAST(ag.b * hcal.we_h AS DOUBLE)
+                         END, 6) AS weekend_lift
+            FROM ag CROSS JOIN hcal ORDER BY 1
+        """,
+    }
+)

@@ -3083,3 +3083,126 @@ def q_lang_entropy(sf_dir: str):
         "n_langs": pa.array([len(c)], pa.int64()),
         "lang_entropy": pa.array([round(ent, 6)], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 34: threshold exceedances + calendar profiles.
+# ---------------------------------------------------------------------------
+
+def q_mean_excess(sf_dir: str):
+    """Peaks-over-threshold summary per type: with the exact P95 cent
+    threshold u (quantile_disc semantics), the count of strict
+    exceedances and their mean excess sum(v - u)/count — exact census
+    integers to one mirrored division (the mean-excess plot ordinate
+    at u, the POT/GPD diagnostic)."""
+    prof = _cent_profiles(sf_dir)
+    out = {"event_type": [], "threshold": [], "n_exceed": [],
+           "mean_excess": []}
+    for et in sorted(prof):
+        v, a = prof[et]
+        n = int(a.sum())
+        u = _order_stat(v, a, (19 * n + 19) // 20)  # ceil(0.95 n)
+        mask = v > u
+        cnt = int(a[mask].sum())
+        tot = sum(int(x - u) * int(c) for x, c in zip(v[mask], a[mask]))
+        me = 0.0 if cnt == 0 else float(tot) / float(cnt)
+        out["event_type"].append(et)
+        out["threshold"].append(u)
+        out["n_exceed"].append(cnt)
+        out["mean_excess"].append(round(me, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "threshold": pa.array(out["threshold"], pa.int64()),
+        "n_exceed": pa.array(out["n_exceed"], pa.int64()),
+        "mean_excess": pa.array(out["mean_excess"], pa.float64()),
+    })
+
+
+def q_peak_hour(sf_dir: str):
+    """Peak hour-of-day per type: the hod with the max event count
+    (tie -> smallest hod) and its share of the type's events — exact
+    integer argmax + one mirrored division."""
+    from ..windows import ts_to_ms
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "d": pa.array(((tms // 3_600_000) % 24).astype(np.int64)),
+            "n": pa.array(np.ones(len(tms), np.int64)),
+        })
+        g = t.group_by(["event_type", "d"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "d", "n"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "d"], [("n", "sum")], num_shards=2,
+    ).to_pandas()
+    out = {"event_type": [], "peak_hod": [], "peak_share": []}
+    for et, grp in census.groupby("event_type", sort=True):
+        g = grp.sort_values("d")
+        d = g["d"].to_numpy(np.int64)
+        c = g["n"].to_numpy(np.int64)
+        k = int(c.argmax())
+        tot = int(c.sum())
+        out["event_type"].append(str(et))
+        out["peak_hod"].append(int(d[k]))
+        out["peak_share"].append(round(
+            0.0 if tot == 0 else float(int(c[k])) / float(tot), 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "peak_hod": pa.array(out["peak_hod"], pa.int64()),
+        "peak_share": pa.array(out["peak_share"], pa.float64()),
+    })
+
+
+def q_weekend_lift(sf_dir: str):
+    """Weekend activity lift per type: hourly-rate ratio
+    (we_events/we_hours)/(wd_events/wd_hours) over the corpus-global
+    hour calendar (dow = (epoch_day + 3) % 7, weekend = dow >= 5;
+    hour buckets counted once, from the dense-grid hour range) —
+    exact integers to one mirrored cross-multiplied division."""
+    from ..windows import ts_to_ms
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        hr = tms // 3_600_000
+        we = (((hr // 24) + 3) % 7 >= 5).astype(np.int64)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "we": pa.array(we),
+            "n": pa.array(np.ones(len(we), np.int64)),
+            "hlo": pa.array(hr.astype(np.int64)),
+            "hhi": pa.array(hr.astype(np.int64)),
+        })
+        g = t.group_by(["event_type", "we"]).aggregate(
+            [("n", "sum"), ("hlo", "min"), ("hhi", "max")])
+        return g.rename_columns(["event_type", "we", "n", "hlo", "hhi"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "we"],
+        [("n", "sum"), ("hlo", "min"), ("hhi", "max")], num_shards=2,
+    ).to_pandas()
+    h_lo = int(census["hlo"].min())
+    h_hi = int(census["hhi"].max())
+    hrs = np.arange(h_lo, h_hi + 1)
+    we_mask = ((hrs // 24) + 3) % 7 >= 5
+    we_h = int(we_mask.sum())
+    wd_h = int((~we_mask).sum())
+    out = {"event_type": [], "weekend_lift": []}
+    for et, grp in census.groupby("event_type", sort=True):
+        a = int(grp[grp["we"] == 1]["n"].sum())
+        b = int(grp[grp["we"] == 0]["n"].sum())
+        den = b * we_h
+        lift = 0.0 if den == 0 else float(a * wd_h) / float(den)
+        out["event_type"].append(str(et))
+        out["weekend_lift"].append(round(lift, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "weekend_lift": pa.array(out["weekend_lift"], pa.float64()),
+    })

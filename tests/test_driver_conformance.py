@@ -269,6 +269,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         "gap_quantiles", "user_lifetimes", "events_per_user",
         # round-3 wave 33
         "doc_tokens_by_lang", "source_concentration", "lang_entropy",
+        # round-3 wave 34
+        "mean_excess", "peak_hour", "weekend_lift",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

@@ -1666,3 +1666,53 @@ def test_lang_entropy_matches_bruteforce(ray_session, tmp_path):
     assert got["n_langs"] == len(cnts)
     assert got["lang_entropy"] == pytest.approx(
         -(p * np.log(p)).sum(), abs=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# wave 34: exceedances + calendar profiles
+# ---------------------------------------------------------------------------
+
+def test_mean_excess_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_mean_excess
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    got = q_mean_excess(str(tmp_path)).to_pandas()
+    by = _cents_by_type(et, vals)
+    for _, r in got.iterrows():
+        x = np.sort(by[r["event_type"]])
+        n = len(x)
+        u = x[(19 * n + 19) // 20 - 1]
+        exc = x[x > u]
+        assert r["threshold"] == u
+        assert r["n_exceed"] == len(exc)
+        assert r["mean_excess"] == pytest.approx(
+            (exc - u).mean() if len(exc) else 0.0, abs=1e-6)
+
+
+def test_peak_hour_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_peak_hour
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_peak_hour(str(tmp_path)).to_pandas()
+    for _, r in got.iterrows():
+        hod = hrs[et == r["event_type"]] % 24
+        cnt = np.bincount(hod, minlength=24)
+        assert r["peak_hod"] == int(cnt.argmax())
+        assert r["peak_share"] == pytest.approx(
+            cnt.max() / cnt.sum(), abs=1e-6)
+
+
+def test_weekend_lift_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_weekend_lift
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_weekend_lift(str(tmp_path)).to_pandas()
+    all_hrs = np.arange(hrs.min(), hrs.max() + 1)
+    we_h = (((all_hrs // 24) + 3) % 7 >= 5).sum()
+    wd_h = len(all_hrs) - we_h
+    for _, r in got.iterrows():
+        h = hrs[et == r["event_type"]]
+        we = (((h // 24) + 3) % 7 >= 5).sum()
+        wd = len(h) - we
+        assert r["weekend_lift"] == pytest.approx(
+            (we / we_h) / (wd / wd_h), abs=1e-5)
