@@ -16693,3 +16693,111 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Round-3 wave 35 (pipelines/stats5.py): OLS trend + Granger causality.
+from .stats5 import q_granger_1lag, q_ols_trend  # noqa: E402
+
+QUERIES.update({
+    "ols_trend": q_ols_trend,
+    "granger_1lag": q_granger_1lag,
+})
+
+ORACLE_SQL.update(
+    {
+        "ols_trend": _DENSE_GRID_CTE + """
+            , base AS (SELECT event_type, c,
+                              row_number() OVER (PARTITION BY
+                                   event_type ORDER BY hr) - 1 AS t
+                       FROM d),
+            ag AS (SELECT event_type,
+                          CAST(sum(c) AS HUGEINT) AS sy,
+                          CAST(sum(CAST(c AS HUGEINT) * c)
+                               AS HUGEINT) AS syy,
+                          CAST(sum(CAST(t AS HUGEINT) * c)
+                               AS HUGEINT) AS sty,
+                          CAST(sum(t) AS HUGEINT) AS st,
+                          CAST(sum(CAST(t AS HUGEINT) * t)
+                               AS HUGEINT) AS stt
+                   FROM base GROUP BY 1)
+            SELECT ag.event_type,
+                   round(CASE WHEN hh.hh * stt - st * st = 0 THEN 0.0
+                              ELSE CAST(hh.hh * sty - st * sy
+                                        AS DOUBLE)
+                                   / CAST(hh.hh * stt - st * st
+                                          AS DOUBLE) END,
+                         6) AS slope_per_hour,
+                   round(CASE WHEN hh.hh * stt - st * st = 0
+                                   OR hh.hh * syy - sy * sy = 0
+                              THEN 0.0
+                              ELSE CAST((hh.hh * sty - st * sy)
+                                        * (hh.hh * sty - st * sy)
+                                        AS DOUBLE)
+                                   / CAST((hh.hh * stt - st * st)
+                                          * (hh.hh * syy - sy * sy)
+                                          AS DOUBLE) END,
+                         6) AS r2
+            FROM ag CROSS JOIN hh ORDER BY 1
+        """,
+        "granger_1lag": _DENSE_GRID_CTE + """
+            , j AS (SELECT ce.event_type AS cause,
+                           ef.event_type AS effect,
+                           efc.c AS y, ef.c AS x1, ce.c AS x2
+                    FROM d ef
+                    JOIN d efc ON efc.event_type = ef.event_type
+                              AND efc.hr = ef.hr + 1
+                    JOIN d ce ON ce.hr = ef.hr
+                             AND ce.event_type <> ef.event_type),
+            ag AS (SELECT cause, effect,
+                          CAST(count(*) AS HUGEINT) AS n,
+                          CAST(sum(y) AS HUGEINT) AS sy,
+                          CAST(sum(x1) AS HUGEINT) AS s1,
+                          CAST(sum(x2) AS HUGEINT) AS s2,
+                          CAST(sum(CAST(y AS HUGEINT) * y)
+                               AS HUGEINT) AS syy,
+                          CAST(sum(CAST(x1 AS HUGEINT) * x1)
+                               AS HUGEINT) AS s11,
+                          CAST(sum(CAST(x2 AS HUGEINT) * x2)
+                               AS HUGEINT) AS s22,
+                          CAST(sum(CAST(x1 AS HUGEINT) * x2)
+                               AS HUGEINT) AS s12,
+                          CAST(sum(CAST(y AS HUGEINT) * x1)
+                               AS HUGEINT) AS sy1,
+                          CAST(sum(CAST(y AS HUGEINT) * x2)
+                               AS HUGEINT) AS sy2
+                   FROM j GROUP BY 1, 2),
+            cf AS (SELECT cause, effect, n, sy, syy, s1, s11, sy1,
+                          s11 * s22 - s12 * s12 AS c11,
+                          -(s1 * s22 - s12 * s2) AS c12,
+                          s1 * s12 - s11 * s2 AS c13,
+                          n * s22 - s2 * s2 AS c22,
+                          -(n * s12 - s1 * s2) AS c23,
+                          n * s11 - s1 * s1 AS c33,
+                          sy2
+                   FROM ag),
+            dt AS (SELECT cause, effect, n,
+                          n * c11 + s1 * c12 + s2 * c13 AS d3u,
+                          syy * (n * c11 + s1 * c12 + s2 * c13)
+                            - (sy * sy * c11 + sy1 * sy1 * c22
+                               + sy2 * sy2 * c33
+                               + 2 * sy * sy1 * c12
+                               + 2 * sy * sy2 * c13
+                               + 2 * sy1 * sy2 * c23) AS d4u,
+                          n * s11 - s1 * s1 AS d2r,
+                          syy * (n * s11 - s1 * s1)
+                            - (sy * sy * s11 - 2 * sy * sy1 * s1
+                               + sy1 * sy1 * n) AS d3r
+                   FROM (SELECT cf.*, ag.s2, ag.s12
+                         FROM cf JOIN ag USING (cause, effect))),
+            fin AS (SELECT cause, effect,
+                           (d3r * d3u - d4u * d2r) * (n - 3) AS num,
+                           d2r * d4u AS den
+                    FROM dt)
+            SELECT cause, effect,
+                   round(CASE WHEN den <= 0 OR num < 0 THEN 0.0
+                              ELSE CAST(num AS DOUBLE)
+                                   / CAST(den AS DOUBLE) END,
+                         6) AS f_stat
+            FROM fin ORDER BY 1, 2
+        """,
+    }
+)

@@ -3206,3 +3206,96 @@ def q_weekend_lift(sf_dir: str):
         "event_type": pa.array(out["event_type"], pa.string()),
         "weekend_lift": pa.array(out["weekend_lift"], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 35: OLS trend + Granger causality over the dense hourly grid
+# (exact bordered-determinant RSS identities — no float regression).
+# ---------------------------------------------------------------------------
+
+def q_ols_trend(sf_dir: str):
+    """OLS linear trend of each type's hourly series on t = 0..H-1:
+    slope = (n*Sty - St*Sy)/(n*Stt - St^2) and
+    R^2 = (n*Sty - St*Sy)^2 / ((n*Stt - St^2)(n*Syy - Sy^2)) — exact
+    integer moment sums, one mirrored division each."""
+    series, big_h = dense_hour_counts(sf_dir)
+    t = np.arange(big_h, dtype=np.int64)
+    st = int(t.sum())
+    stt = int(np.dot(t, t))
+    out = {"event_type": [], "slope_per_hour": [], "r2": []}
+    for et in sorted(series):
+        y = series[et]
+        sy = int(y.sum())
+        syy = int(np.dot(y, y))
+        sty = int(np.dot(t, y))
+        num = big_h * sty - st * sy
+        dx = big_h * stt - st * st
+        dy = big_h * syy - sy * sy
+        slope = 0.0 if dx == 0 else float(num) / float(dx)
+        r2 = (0.0 if dx == 0 or dy == 0
+              else float(num * num) / float(dx * dy))
+        out["event_type"].append(et)
+        out["slope_per_hour"].append(round(slope, 6))
+        out["r2"].append(round(r2, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "slope_per_hour": pa.array(out["slope_per_hour"], pa.float64()),
+        "r2": pa.array(out["r2"], pa.float64()),
+    })
+
+
+def q_granger_1lag(sf_dir: str):
+    """One-lag Granger causality F-test for every ORDERED type pair
+    (cause -> effect): y_t = effect count, predictors [1, y_{t-1}]
+    (restricted) vs [1, y_{t-1}, cause_{t-1}] (unrestricted).  Both
+    RSS values come from the exact bordered-determinant identity
+    RSS = det([[X'X, X'y], [y'X, y'y]]) / det(X'X), so
+    F = (D3r*D3u - D4u*D2r) * (n-3) / (D2r*D4u) is ONE mirrored
+    division of exact (big)integers (adjugate quadratic-form
+    expansion; all moments are int64-bounded hourly-count sums)."""
+    series, big_h = dense_hour_counts(sf_dir)
+    types = sorted(series)
+    n = big_h - 1
+    out = {"cause": [], "effect": [], "f_stat": []}
+    for ta in types:
+        for tb in types:
+            if ta == tb:
+                continue
+            y = series[tb][1:]
+            x1 = series[tb][:-1]
+            x2 = series[ta][:-1]
+            s_y = int(y.sum())
+            s_1 = int(x1.sum())
+            s_2 = int(x2.sum())
+            syy = int(np.dot(y, y))
+            s11 = int(np.dot(x1, x1))
+            s22 = int(np.dot(x2, x2))
+            s12 = int(np.dot(x1, x2))
+            sy1 = int(np.dot(y, x1))
+            sy2 = int(np.dot(y, x2))
+            c11 = s11 * s22 - s12 * s12
+            c12 = -(s_1 * s22 - s12 * s_2)
+            c13 = s_1 * s12 - s11 * s_2
+            c22 = n * s22 - s_2 * s_2
+            c23 = -(n * s12 - s_1 * s_2)
+            c33 = n * s11 - s_1 * s_1
+            d3u = n * c11 + s_1 * c12 + s_2 * c13
+            q = (s_y * s_y * c11 + sy1 * sy1 * c22 + sy2 * sy2 * c33
+                 + 2 * s_y * sy1 * c12 + 2 * s_y * sy2 * c13
+                 + 2 * sy1 * sy2 * c23)
+            d4u = syy * d3u - q
+            d2r = n * s11 - s_1 * s_1
+            d3r = (syy * d2r
+                   - (s_y * s_y * s11 - 2 * s_y * sy1 * s_1
+                      + sy1 * sy1 * n))
+            num = (d3r * d3u - d4u * d2r) * (n - 3)
+            den = d2r * d4u
+            f = 0.0 if den <= 0 or num < 0 else float(num) / float(den)
+            out["cause"].append(ta)
+            out["effect"].append(tb)
+            out["f_stat"].append(round(f, 6))
+    return pa.table({
+        "cause": pa.array(out["cause"], pa.string()),
+        "effect": pa.array(out["effect"], pa.string()),
+        "f_stat": pa.array(out["f_stat"], pa.float64()),
+    })

@@ -271,6 +271,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         "doc_tokens_by_lang", "source_concentration", "lang_entropy",
         # round-3 wave 34
         "mean_excess", "peak_hour", "weekend_lift",
+        # round-3 wave 35
+        "ols_trend", "granger_1lag",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

@@ -1716,3 +1716,44 @@ def test_weekend_lift_matches_bruteforce(ray_session, tmp_path):
         wd = len(h) - we
         assert r["weekend_lift"] == pytest.approx(
             (we / we_h) / (wd / wd_h), abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# wave 35: OLS trend + Granger causality
+# ---------------------------------------------------------------------------
+
+def test_ols_trend_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_ols_trend
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_ols_trend(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    for _, r in got.iterrows():
+        y = dense[r["event_type"]].astype(np.float64)
+        t = np.arange(len(y), dtype=np.float64)
+        slope = np.polyfit(t, y, 1)[0]
+        corr = np.corrcoef(t, y)[0, 1]
+        assert r["slope_per_hour"] == pytest.approx(slope, abs=1e-6)
+        assert r["r2"] == pytest.approx(corr ** 2, abs=1e-6)
+
+
+def test_granger_1lag_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_granger_1lag
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_granger_1lag(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    assert len(got) == 3 * 2  # 3 types, ordered pairs
+    for _, r in got.iterrows():
+        xa = dense[r["cause"]].astype(np.float64)
+        xb = dense[r["effect"]].astype(np.float64)
+        y = xb[1:]
+        n = len(y)
+        xr = np.column_stack([np.ones(n), xb[:-1]])
+        xu = np.column_stack([np.ones(n), xb[:-1], xa[:-1]])
+        br, *_ = np.linalg.lstsq(xr, y, rcond=None)
+        bu, *_ = np.linalg.lstsq(xu, y, rcond=None)
+        rss_r = ((y - xr @ br) ** 2).sum()
+        rss_u = ((y - xu @ bu) ** 2).sum()
+        f = (rss_r - rss_u) * (n - 3) / rss_u
+        assert r["f_stat"] == pytest.approx(f, rel=1e-4, abs=1e-4)
