@@ -16801,3 +16801,123 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Round-3 wave 36 (pipelines/stats5.py): effect sizes, profile
+# divergence, run lengths.
+from .stats5 import (  # noqa: E402
+    q_cohens_d,
+    q_kl_vs_pooled,
+    q_longest_run,
+)
+
+QUERIES.update({
+    "cohens_d": q_cohens_d,
+    "kl_vs_pooled": q_kl_vs_pooled,
+    "longest_run": q_longest_run,
+})
+
+ORACLE_SQL.update(
+    {
+        "cohens_d": _CENT_CENSUS_CTE + """
+            , tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS nn,
+                             CAST(sum(n * cv) AS HUGEINT) AS s1,
+                             CAST(sum(CAST(cv AS HUGEINT) * cv * n)
+                                  AS HUGEINT) AS s2
+                      FROM cs GROUP BY 1),
+            pr AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                          a.nn AS n1, b.nn AS n2,
+                          a.s1 AS s1a, b.s1 AS s1b,
+                          a.nn * a.s2 - a.s1 * a.s1 AS nua,
+                          b.nn * b.s2 - b.s1 * b.s1 AS nub,
+                          a.s1 * b.nn - b.s1 * a.nn AS md_num
+                   FROM tot a JOIN tot b
+                     ON a.event_type < b.event_type),
+            fl AS (SELECT ta, tb, n1, n2, md_num, nua,
+                          CAST(nua * n2 + nub * n1 AS DOUBLE)
+                            / CAST(CAST(n1 AS HUGEINT) * n2
+                                   * (n1 + n2 - 2) AS DOUBLE) AS pool
+                   FROM pr WHERE n1 >= 2 AND n2 >= 2),
+            dd AS (SELECT ta, tb, n1, n2, md_num, nua, pool,
+                          CASE WHEN pool <= 0.0 THEN 0.0
+                               ELSE CAST(md_num AS DOUBLE)
+                                    / (CAST(CAST(n1 AS HUGEINT) * n2
+                                            AS DOUBLE) * sqrt(pool))
+                          END AS d
+                   FROM fl)
+            SELECT ta AS type_a, tb AS type_b,
+                   round(d, 6) AS cohens_d,
+                   round(d * (1.0 - 3.0 / CAST(4 * (n1 + n2) - 9
+                                               AS DOUBLE)),
+                         6) AS hedges_g,
+                   round(CASE WHEN nua <= 0 THEN 0.0
+                              ELSE CAST(md_num AS DOUBLE)
+                                   / (CAST(CAST(n1 AS HUGEINT) * n2
+                                           AS DOUBLE)
+                                      * sqrt(CAST(nua AS DOUBLE)
+                                             / CAST(CAST(n1 AS
+                                                    HUGEINT)
+                                                    * (n1 - 1)
+                                                    AS DOUBLE)))
+                         END, 6) AS glass_delta
+            FROM dd ORDER BY 1, 2
+        """,
+        "kl_vs_pooled": """
+            WITH c AS (SELECT event_type,
+                              (epoch_ms(ts) // 3600000) % 24 AS d,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+            p AS (SELECT d, CAST(sum(n) AS BIGINT) AS m
+                  FROM c GROUP BY 1),
+            mm AS (SELECT CAST(sum(n) AS BIGINT) AS big_m FROM c),
+            tt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS nt
+                   FROM c GROUP BY 1),
+            terms AS (SELECT c.event_type,
+                             CAST(c.n AS HUGEINT)
+                             * (CAST(floor(1e6 * ln(CAST(c.n * mm.big_m
+                                      AS DOUBLE))) AS BIGINT)
+                                - CAST(floor(1e6 * ln(CAST(tt.nt * p.m
+                                       AS DOUBLE))) AS BIGINT)) AS t
+                      FROM c JOIN p USING (d)
+                             JOIN tt USING (event_type)
+                             CROSS JOIN mm
+                      WHERE c.n > 0),
+            ag AS (SELECT event_type, CAST(sum(t) AS HUGEINT) AS acc
+                   FROM terms GROUP BY 1)
+            SELECT tt.event_type,
+                   round(CASE WHEN tt.nt = 0 THEN 0.0
+                              ELSE CAST(ag.acc AS DOUBLE)
+                                   / CAST(1000000 *
+                                          CAST(tt.nt AS HUGEINT)
+                                          AS DOUBLE) END,
+                         6) AS kl_bits_e
+            FROM tt JOIN ag USING (event_type) ORDER BY 1
+        """,
+        "longest_run": _DENSE_GRID_CTE + """
+            , md AS (SELECT event_type,
+                            CAST(quantile_disc(c, 0.5) AS BIGINT)
+                                AS med
+                     FROM d GROUP BY 1),
+            ab AS (SELECT d.event_type, d.hr,
+                          CASE WHEN d.c > md.med THEN 1 ELSE 0 END
+                              AS a
+                   FROM d JOIN md USING (event_type)),
+            isl AS (SELECT event_type, hr, a,
+                           row_number() OVER (PARTITION BY event_type
+                                              ORDER BY hr)
+                             - row_number() OVER (PARTITION BY
+                                   event_type, a ORDER BY hr) AS grp
+                    FROM ab),
+            runs AS (SELECT event_type, grp,
+                            CAST(count(*) AS BIGINT) AS len
+                     FROM isl WHERE a = 1 GROUP BY 1, 2),
+            mx AS (SELECT event_type, max(len) AS longest,
+                          CAST(count(*) AS BIGINT) AS nr
+                   FROM runs GROUP BY 1)
+            SELECT md.event_type,
+                   CAST(COALESCE(mx.longest, 0) AS BIGINT)
+                       AS longest_run,
+                   CAST(COALESCE(mx.nr, 0) AS BIGINT) AS n_runs
+            FROM md LEFT JOIN mx USING (event_type) ORDER BY 1
+        """,
+    }
+)

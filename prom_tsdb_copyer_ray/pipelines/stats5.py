@@ -3299,3 +3299,136 @@ def q_granger_1lag(sf_dir: str):
         "effect": pa.array(out["effect"], pa.string()),
         "f_stat": pa.array(out["f_stat"], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 36: standardized effect sizes, profile divergence, run lengths.
+# ---------------------------------------------------------------------------
+
+def q_cohens_d(sf_dir: str):
+    """Standardized mean-difference effect sizes between type pairs'
+    cent values: Cohen's d with the pooled SD, the Hedges small-sample
+    correction g = d*(1 - 3/(4*(n1+n2) - 9)), and Glass's delta
+    (control SD = type_a) — exact integer moments, mirrored chains."""
+    prof = _cent_profiles(sf_dir)
+    types = sorted(prof)
+    out = {"type_a": [], "type_b": [], "cohens_d": [], "hedges_g": [],
+           "glass_delta": []}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            va, aa = prof[ta]
+            vb, ab = prof[tb]
+            n1, n2 = int(aa.sum()), int(ab.sum())
+            s1a = int(np.dot(va, aa))
+            s2a = int(np.dot(va * va, aa))
+            s1b = int(np.dot(vb, ab))
+            s2b = int(np.dot(vb * vb, ab))
+            nua = n1 * s2a - s1a * s1a  # n1^2 * (n1-1) * var / ...
+            nub = n2 * s2b - s1b * s1b
+            # pooled var numerator: ((nua/n1) + (nub/n2)) / (n1+n2-2)
+            # mean diff = s1a/n1 - s1b/n2 = (s1a*n2 - s1b*n1)/(n1*n2)
+            md_num = s1a * n2 - s1b * n1
+            if n1 < 2 or n2 < 2 or n1 + n2 < 3:
+                d = g = gd = 0.0
+            else:
+                pool = (float(nua * n2 + nub * n1)
+                        / float(n1 * n2 * (n1 + n2 - 2)))
+                d = (0.0 if pool <= 0.0
+                     else float(md_num)
+                     / (float(n1 * n2) * math.sqrt(pool)))
+                g = d * (1.0 - 3.0 / float(4 * (n1 + n2) - 9))
+                sda = (0.0 if nua <= 0
+                       else math.sqrt(float(nua)
+                                      / float(n1 * (n1 - 1))))
+                gd = (0.0 if sda == 0.0
+                      else float(md_num) / (float(n1 * n2) * sda))
+            out["type_a"].append(ta)
+            out["type_b"].append(tb)
+            out["cohens_d"].append(round(d, 6))
+            out["hedges_g"].append(round(g, 6))
+            out["glass_delta"].append(round(gd, 6))
+    return pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "cohens_d": pa.array(out["cohens_d"], pa.float64()),
+        "hedges_g": pa.array(out["hedges_g"], pa.float64()),
+        "glass_delta": pa.array(out["glass_delta"], pa.float64()),
+    })
+
+
+def q_kl_vs_pooled(sf_dir: str):
+    """KL divergence of each type's hour-of-day profile from the
+    pooled profile: KL = (1/N_t) * sum_d c_d * (LN(c_d * M) -
+    LN(N_t * m_d)) / 1e6 with micro-floored logs of the exact integer
+    products (c = type count at hod d, m = pooled count, N_t/M the
+    totals) — cells with c_d = 0 contribute 0."""
+    from ..windows import ts_to_ms
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "d": pa.array(((tms // 3_600_000) % 24).astype(np.int64)),
+            "n": pa.array(np.ones(len(tms), np.int64)),
+        })
+        g = t.group_by(["event_type", "d"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "d", "n"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "d"], [("n", "sum")], num_shards=2,
+    ).to_pandas()
+    pooled = census.groupby("d")["n"].sum().to_dict()
+    big_m = int(sum(pooled.values()))
+    out = {"event_type": [], "kl_bits_e": []}
+    for et, grp in census.groupby("event_type", sort=True):
+        n_t = int(grp["n"].sum())
+        acc = 0
+        for _, row in grp.iterrows():
+            c = int(row["n"])
+            m = int(pooled[int(row["d"])])
+            if c > 0:
+                acc += c * (math.floor(1e6 * math.log(float(c * big_m)))
+                            - math.floor(1e6 * math.log(float(n_t
+                                                               * m))))
+        kl = (0.0 if n_t == 0
+              else float(acc) / float(1000000 * n_t))
+        out["event_type"].append(str(et))
+        out["kl_bits_e"].append(round(kl, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "kl_bits_e": pa.array(out["kl_bits_e"], pa.float64()),
+    })
+
+
+def q_longest_run(sf_dir: str):
+    """Longest run of consecutive above-median hours per type (strict
+    c > exact median; gaps-and-islands on the dense grid) plus the
+    number of maximal above-median runs — pure integers."""
+    series, big_h = dense_hour_counts(sf_dir)
+    out = {"event_type": [], "longest_run": [], "n_runs": []}
+    for et in sorted(series):
+        x = series[et]
+        med = int(np.sort(x)[(big_h + 1) // 2 - 1])
+        above = x > med
+        best = cur = runs = 0
+        prev = False
+        for b in above:
+            if b:
+                cur += 1
+                if not prev:
+                    runs += 1
+                best = max(best, cur)
+            else:
+                cur = 0
+            prev = bool(b)
+        out["event_type"].append(et)
+        out["longest_run"].append(best)
+        out["n_runs"].append(runs)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "longest_run": pa.array(out["longest_run"], pa.int64()),
+        "n_runs": pa.array(out["n_runs"], pa.int64()),
+    })

@@ -273,6 +273,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         "mean_excess", "peak_hour", "weekend_lift",
         # round-3 wave 35
         "ols_trend", "granger_1lag",
+        # round-3 wave 36
+        "cohens_d", "kl_vs_pooled", "longest_run",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

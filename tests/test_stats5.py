@@ -1757,3 +1757,69 @@ def test_granger_1lag_matches_bruteforce(ray_session, tmp_path):
         rss_u = ((y - xu @ bu) ** 2).sum()
         f = (rss_r - rss_u) * (n - 3) / rss_u
         assert r["f_stat"] == pytest.approx(f, rel=1e-4, abs=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# wave 36: effect sizes, KL vs pooled, longest run
+# ---------------------------------------------------------------------------
+
+def test_cohens_d_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_cohens_d
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    got = q_cohens_d(str(tmp_path)).to_pandas()
+    by = _cents_by_type(et, vals)
+    for _, r in got.iterrows():
+        a = by[r["type_a"]].astype(np.float64)
+        b = by[r["type_b"]].astype(np.float64)
+        n1, n2 = len(a), len(b)
+        sp = np.sqrt(((n1 - 1) * a.var(ddof=1)
+                      + (n2 - 1) * b.var(ddof=1)) / (n1 + n2 - 2))
+        d = (a.mean() - b.mean()) / sp
+        assert r["cohens_d"] == pytest.approx(d, abs=1e-6)
+        assert r["hedges_g"] == pytest.approx(
+            d * (1 - 3 / (4 * (n1 + n2) - 9)), abs=1e-6)
+        assert r["glass_delta"] == pytest.approx(
+            (a.mean() - b.mean()) / a.std(ddof=1), abs=1e-6)
+
+
+def test_kl_vs_pooled_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_kl_vs_pooled
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_kl_vs_pooled(str(tmp_path)).to_pandas()
+    hod = hrs % 24
+    pooled = np.bincount(hod, minlength=24).astype(np.float64)
+    q = pooled / pooled.sum()
+    for _, r in got.iterrows():
+        c = np.bincount(hod[et == r["event_type"]],
+                        minlength=24).astype(np.float64)
+        p = c / c.sum()
+        mask = p > 0
+        ref = (p[mask] * np.log(p[mask] / q[mask])).sum()
+        assert r["kl_bits_e"] == pytest.approx(ref, abs=1e-4)
+
+
+def test_longest_run_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_longest_run
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_longest_run(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    for _, r in got.iterrows():
+        x = dense[r["event_type"]]
+        med = np.sort(x)[(len(x) + 1) // 2 - 1]
+        above = x > med
+        best = cur = runs = 0
+        prev = False
+        for b in above:
+            if b:
+                cur += 1
+                if not prev:
+                    runs += 1
+                best = max(best, cur)
+            else:
+                cur = 0
+            prev = bool(b)
+        assert r["longest_run"] == best
+        assert r["n_runs"] == runs
