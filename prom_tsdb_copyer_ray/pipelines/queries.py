@@ -16921,3 +16921,74 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Round-3 wave 37 (pipelines/stats5.py): pairwise overlap / homogeneity.
+from .stats5 import (  # noqa: E402
+    q_active_hours_jaccard,
+    q_chi2_homogeneity,
+    q_tv_overlap,
+)
+
+QUERIES.update({
+    "tv_overlap": q_tv_overlap,
+    "chi2_homogeneity": q_chi2_homogeneity,
+    "active_hours_jaccard": q_active_hours_jaccard,
+})
+
+ORACLE_SQL.update(
+    {
+        "tv_overlap": _PAIR_CUMS_CTE + """
+            , ag AS (SELECT ta, tb, na, nb,
+                            CAST(sum(abs(nb * an - na * bn))
+                                 AS HUGEINT) AS num
+                     FROM cums GROUP BY 1, 2, 3, 4)
+            SELECT ta AS type_a, tb AS type_b,
+                   round(CASE WHEN na * nb = 0 THEN 0.0
+                              ELSE CAST(num AS DOUBLE)
+                                   / CAST(2 * CAST(na AS HUGEINT) * nb
+                                          AS DOUBLE) END,
+                         6) AS tv_dist,
+                   round(CASE WHEN na * nb = 0 THEN 1.0
+                              ELSE 1.0 - CAST(num AS DOUBLE)
+                                   / CAST(2 * CAST(na AS HUGEINT) * nb
+                                          AS DOUBLE) END,
+                         6) AS overlap
+            FROM ag ORDER BY 1, 2
+        """,
+        "chi2_homogeneity": _PAIR_CUMS_CTE + """
+            , terms AS (SELECT ta, tb, na, nb,
+                               (1000000000000
+                                * CAST(nb * an - na * bn AS HUGEINT)
+                                * (nb * an - na * bn))
+                               // (CAST(na AS HUGEINT) * nb
+                                   * (an + bn)) AS t
+                        FROM cums WHERE an + bn > 0),
+            ag AS (SELECT ta, tb, na, nb,
+                          CAST(sum(t) AS HUGEINT) AS acc
+                   FROM terms GROUP BY 1, 2, 3, 4)
+            SELECT ta AS type_a, tb AS type_b,
+                   round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+                              ELSE CAST(acc AS DOUBLE) / 1e12 END,
+                         6) AS chi2
+            FROM ag ORDER BY 1, 2
+        """,
+        "active_hours_jaccard": _DENSE_GRID_CTE + """
+            , j AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                           CAST(sum(CASE WHEN a.c > 0 AND b.c > 0
+                                         THEN 1 ELSE 0 END)
+                                AS BIGINT) AS inter,
+                           CAST(sum(CASE WHEN a.c > 0 OR b.c > 0
+                                         THEN 1 ELSE 0 END)
+                                AS BIGINT) AS uni
+                    FROM d a JOIN d b ON b.hr = a.hr
+                                     AND a.event_type < b.event_type
+                    GROUP BY 1, 2)
+            SELECT ta AS type_a, tb AS type_b, inter AS n_both,
+                   round(CASE WHEN uni = 0 THEN 0.0
+                              ELSE CAST(inter AS DOUBLE)
+                                   / CAST(uni AS DOUBLE) END,
+                         6) AS jaccard
+            FROM j ORDER BY 1, 2
+        """,
+    }
+)

@@ -3432,3 +3432,95 @@ def q_longest_run(sf_dir: str):
         "longest_run": pa.array(out["longest_run"], pa.int64()),
         "n_runs": pa.array(out["n_runs"], pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 37: pairwise distribution overlap / homogeneity measures.
+# ---------------------------------------------------------------------------
+
+def q_tv_overlap(sf_dir: str):
+    """Total-variation distance between every type pair's cent-value
+    distribution, TV = sum_v |n_B*a_v - n_A*b_v| / (2*n_A*n_B), and
+    the overlap coefficient sum min(p, q) = 1 - TV — exact integers
+    to one mirrored division."""
+    prof = _cent_profiles(sf_dir)
+    types = sorted(prof)
+    out = {"type_a": [], "type_b": [], "tv_dist": [], "overlap": []}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            _, a_n, b_n = _merged_support(*prof[ta], *prof[tb])
+            na, nb = int(a_n.sum()), int(b_n.sum())
+            num = sum(abs(nb * int(a) - na * int(b))
+                      for a, b in zip(a_n, b_n))
+            den = 2 * na * nb
+            tv = 0.0 if den == 0 else float(num) / float(den)
+            out["type_a"].append(ta)
+            out["type_b"].append(tb)
+            out["tv_dist"].append(round(tv, 6))
+            out["overlap"].append(round(1.0 - tv, 6))
+    return pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "tv_dist": pa.array(out["tv_dist"], pa.float64()),
+        "overlap": pa.array(out["overlap"], pa.float64()),
+    })
+
+
+def q_chi2_homogeneity(sf_dir: str):
+    """Two-sample chi-square homogeneity test on the merged cent
+    support: chi2 = sum_v (n_B*a_v - n_A*b_v)^2 /
+    (n_A*n_B*(a_v+b_v)) (the N factors cancel) — per-support-row terms have
+    varying denominators, so each is pico-floored exactly
+    (bignum/HUGEINT floor division) before the integer sum."""
+    prof = _cent_profiles(sf_dir)
+    types = sorted(prof)
+    out = {"type_a": [], "type_b": [], "chi2": []}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            _, a_n, b_n = _merged_support(*prof[ta], *prof[tb])
+            na, nb = int(a_n.sum()), int(b_n.sum())
+            big_n = na + nb
+            acc = 0
+            for a, b in zip(a_n, b_n):
+                a, b = int(a), int(b)
+                if a + b == 0:
+                    continue
+                diff = nb * a - na * b
+                acc += (10 ** 12 * diff * diff) \
+                    // (na * nb * (a + b))
+            chi2 = (0.0 if na == 0 or nb == 0
+                    else float(acc) / 1e12)
+            out["type_a"].append(ta)
+            out["type_b"].append(tb)
+            out["chi2"].append(round(chi2, 6))
+    return pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "chi2": pa.array(out["chi2"], pa.float64()),
+    })
+
+
+def q_active_hours_jaccard(sf_dir: str):
+    """Jaccard similarity of the active-hour sets (hours with at
+    least one event) between type pairs over the dense grid — pure
+    integer counts + one mirrored division."""
+    series, big_h = dense_hour_counts(sf_dir)
+    types = sorted(series)
+    out = {"type_a": [], "type_b": [], "n_both": [], "jaccard": []}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            a = series[ta] > 0
+            b = series[tb] > 0
+            inter = int((a & b).sum())
+            union = int((a | b).sum())
+            j = 0.0 if union == 0 else float(inter) / float(union)
+            out["type_a"].append(ta)
+            out["type_b"].append(tb)
+            out["n_both"].append(inter)
+            out["jaccard"].append(round(j, 6))
+    return pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "n_both": pa.array(out["n_both"], pa.int64()),
+        "jaccard": pa.array(out["jaccard"], pa.float64()),
+    })

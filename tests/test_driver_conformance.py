@@ -275,6 +275,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         "ols_trend", "granger_1lag",
         # round-3 wave 36
         "cohens_d", "kl_vs_pooled", "longest_run",
+        # round-3 wave 37
+        "tv_overlap", "chi2_homogeneity", "active_hours_jaccard",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

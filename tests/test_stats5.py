@@ -1823,3 +1823,58 @@ def test_longest_run_matches_bruteforce(ray_session, tmp_path):
             prev = bool(b)
         assert r["longest_run"] == best
         assert r["n_runs"] == runs
+
+
+# ---------------------------------------------------------------------------
+# wave 37: overlap / homogeneity
+# ---------------------------------------------------------------------------
+
+def test_tv_overlap_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_tv_overlap
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    got = q_tv_overlap(str(tmp_path)).to_pandas()
+    by = _cents_by_type(et, vals)
+    for _, r in got.iterrows():
+        a, b = by[r["type_a"]], by[r["type_b"]]
+        sup = np.union1d(a, b)
+        pa_ = np.array([(a == v).sum() for v in sup]) / len(a)
+        pb_ = np.array([(b == v).sum() for v in sup]) / len(b)
+        tv = np.abs(pa_ - pb_).sum() / 2
+        assert r["tv_dist"] == pytest.approx(tv, abs=1e-6)
+        assert r["overlap"] == pytest.approx(1 - tv, abs=1e-6)
+
+
+def test_chi2_homogeneity_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_chi2_homogeneity
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    got = q_chi2_homogeneity(str(tmp_path)).to_pandas()
+    by = _cents_by_type(et, vals)
+    for _, r in got.iterrows():
+        a, b = by[r["type_a"]], by[r["type_b"]]
+        sup = np.union1d(a, b)
+        oa = np.array([(a == v).sum() for v in sup], np.float64)
+        ob = np.array([(b == v).sum() for v in sup], np.float64)
+        n1, n2 = len(a), len(b)
+        tot = oa + ob
+        ea = n1 * tot / (n1 + n2)
+        eb = n2 * tot / (n1 + n2)
+        chi2 = (((oa - ea) ** 2 / ea) + ((ob - eb) ** 2 / eb)).sum()
+        assert r["chi2"] == pytest.approx(chi2, abs=1e-3)
+
+
+def test_active_hours_jaccard_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import (
+        q_active_hours_jaccard,
+    )
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_active_hours_jaccard(str(tmp_path)).to_pandas()
+    dense = _dense(et, hrs)
+    for _, r in got.iterrows():
+        a = dense[r["type_a"]] > 0
+        b = dense[r["type_b"]] > 0
+        assert r["n_both"] == (a & b).sum()
+        assert r["jaccard"] == pytest.approx(
+            (a & b).sum() / (a | b).sum(), abs=1e-6)
