@@ -16992,3 +16992,103 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Round-3 wave 38 (pipelines/stats5.py): classical ANOVA + shape
+# diagnostics.
+from .stats5 import (  # noqa: E402
+    q_anova_f,
+    q_dow_uniformity,
+    q_quantile_skew,
+)
+
+QUERIES.update({
+    "anova_f": q_anova_f,
+    "dow_uniformity": q_dow_uniformity,
+    "quantile_skew": q_quantile_skew,
+})
+
+ORACLE_SQL.update(
+    {
+        "anova_f": _CENT_CENSUS_CTE + """
+            , g AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS ni,
+                           CAST(sum(n * cv) AS HUGEINT) AS s1i,
+                           CAST(sum(CAST(cv AS HUGEINT) * cv * n)
+                                AS HUGEINT) AS s2i
+                    FROM cs GROUP BY 1),
+            ag AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                          CAST(sum(ni) AS BIGINT) AS n,
+                          CAST(sum(s1i) AS HUGEINT) AS s1,
+                          CAST(sum(s2i) AS HUGEINT) AS s2,
+                          CAST(sum((1000000000000 * s1i * s1i) // ni)
+                               AS HUGEINT) AS t_sum
+                   FROM g WHERE ni > 0),
+            ss AS (SELECT k, n,
+                          t_sum - (1000000000000 * s1 * s1) // n
+                              AS ssb,
+                          1000000000000 * s2 - t_sum AS ssw
+                   FROM ag)
+            SELECT k AS k_groups,
+                   round(CASE WHEN k < 2 OR n <= k OR ssw <= 0
+                              THEN 0.0
+                              ELSE CAST(ssb * (n - k) AS DOUBLE)
+                                   / CAST(ssw * (k - 1) AS DOUBLE)
+                         END, 6) AS anova_f,
+                   round(CASE WHEN ssb + ssw <= 0 THEN 0.0
+                              ELSE CAST(ssb AS DOUBLE)
+                                   / CAST(ssb + ssw AS DOUBLE) END,
+                         6) AS eta_sq
+            FROM ss
+        """,
+        "dow_uniformity": """
+            WITH c AS (SELECT event_type,
+                              ((epoch_ms(ts) // 86400000) + 3) % 7
+                                  AS dow,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+            ag AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n,
+                          CAST(sum(CAST(n AS HUGEINT) * n)
+                               AS HUGEINT) AS s2
+                   FROM c GROUP BY 1)
+            SELECT event_type,
+                   round(CASE WHEN n = 0 THEN 0.0
+                              ELSE CAST(7 * s2 - CAST(n AS HUGEINT)
+                                        * n AS DOUBLE)
+                                   / CAST(n AS DOUBLE) END,
+                         6) AS chi2_uniform
+            FROM ag ORDER BY 1
+        """,
+        "quantile_skew": """
+            WITH s AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cv
+                       FROM events),
+            r AS (SELECT event_type, cv,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY cv) AS rn
+                  FROM s),
+            nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                   FROM s GROUP BY 1),
+            px AS (SELECT r.event_type,
+                          max(CASE WHEN rn = (n + 1) // 2
+                                   THEN cv END) AS med,
+                          max(CASE WHEN rn = (n + 3) // 4
+                                   THEN cv END) AS q1,
+                          max(CASE WHEN rn = (3 * n + 3) // 4
+                                   THEN cv END) AS q3,
+                          max(CASE WHEN rn = (n + 9) // 10
+                                   THEN cv END) AS p10,
+                          max(CASE WHEN rn = (9 * n + 9) // 10
+                                   THEN cv END) AS p90
+                   FROM r JOIN nn USING (event_type) GROUP BY 1)
+            SELECT event_type,
+                   round(CASE WHEN q3 = q1 THEN 0.0
+                              ELSE CAST(q3 + q1 - 2 * med AS DOUBLE)
+                                   / CAST(q3 - q1 AS DOUBLE) END,
+                         6) AS bowley_skew,
+                   round(CASE WHEN p90 = p10 THEN 0.0
+                              ELSE CAST(p90 + p10 - 2 * med AS DOUBLE)
+                                   / CAST(p90 - p10 AS DOUBLE) END,
+                         6) AS kelly_skew
+            FROM px ORDER BY 1
+        """,
+    }
+)

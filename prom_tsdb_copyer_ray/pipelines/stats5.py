@@ -3524,3 +3524,109 @@ def q_active_hours_jaccard(sf_dir: str):
         "n_both": pa.array(out["n_both"], pa.int64()),
         "jaccard": pa.array(out["jaccard"], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 38: classical ANOVA + shape diagnostics.
+# ---------------------------------------------------------------------------
+
+def q_anova_f(sf_dir: str):
+    """Classical one-way ANOVA of cent values across the k types:
+    with pico-floored per-group terms t_i = (1e12*S1_i^2)//n_i,
+    SSB_pico = sum t_i - (1e12*S1^2)//N and SSW_pico = 1e12*S2 -
+    sum t_i, F = SSB_pico*(N-k) / (SSW_pico*(k-1)) and
+    eta^2 = SSB_pico/(SSB_pico + SSW_pico) — exact integers to one
+    mirrored division each."""
+    prof = _cent_profiles(sf_dir)
+    types = sorted(prof)
+    k = len(types)
+    t_sum = 0
+    s1_tot = 0
+    s2_tot = 0
+    n_tot = 0
+    for et in types:
+        v, a = prof[et]
+        n_i = int(a.sum())
+        s1_i = int(np.dot(v, a))
+        s2_tot += int(np.dot(v * v, a))
+        s1_tot += s1_i
+        n_tot += n_i
+        if n_i > 0:
+            t_sum += (10 ** 12 * s1_i * s1_i) // n_i
+    ssb = t_sum - (10 ** 12 * s1_tot * s1_tot) // n_tot if n_tot else 0
+    ssw = 10 ** 12 * s2_tot - t_sum
+    f = (0.0 if k < 2 or n_tot <= k or ssw <= 0
+         else float(ssb * (n_tot - k)) / float(ssw * (k - 1)))
+    eta2 = (0.0 if ssb + ssw <= 0
+            else float(ssb) / float(ssb + ssw))
+    return pa.table({
+        "k_groups": pa.array([k], pa.int64()),
+        "anova_f": pa.array([round(f, 6)], pa.float64()),
+        "eta_sq": pa.array([round(eta2, 6)], pa.float64()),
+    })
+
+
+def q_dow_uniformity(sf_dir: str):
+    """Chi-square of each type's day-of-week profile against the
+    uniform distribution: chi2 = (7*sum c_d^2 - n^2)/n — exact
+    integers to ONE mirrored division (E = n/7 cancels)."""
+    from ..windows import ts_to_ms
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        dow = ((tms // 86_400_000) + 3) % 7
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "dow": pa.array(dow.astype(np.int64)),
+            "n": pa.array(np.ones(len(dow), np.int64)),
+        })
+        g = t.group_by(["event_type", "dow"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "dow", "n"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "dow"], [("n", "sum")], num_shards=2,
+    ).to_pandas()
+    out = {"event_type": [], "chi2_uniform": []}
+    for et, grp in census.groupby("event_type", sort=True):
+        c = grp["n"].to_numpy(np.int64)
+        n = int(c.sum())
+        s2 = int(np.dot(c, c))
+        chi2 = 0.0 if n == 0 else float(7 * s2 - n * n) / float(n)
+        out["event_type"].append(str(et))
+        out["chi2_uniform"].append(round(chi2, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "chi2_uniform": pa.array(out["chi2_uniform"], pa.float64()),
+    })
+
+
+def q_quantile_skew(sf_dir: str):
+    """Quantile-based skewness per type: Bowley
+    (Q3 + Q1 - 2*med)/(Q3 - Q1) and Kelly
+    (P90 + P10 - 2*med)/(P90 - P10) — exact ceil-index order
+    statistics, one mirrored division each."""
+    prof = _cent_profiles(sf_dir)
+    out = {"event_type": [], "bowley_skew": [], "kelly_skew": []}
+    for et in sorted(prof):
+        v, a = prof[et]
+        n = int(a.sum())
+        med = _order_stat(v, a, (n + 1) // 2)
+        q1 = _order_stat(v, a, (n + 3) // 4)
+        q3 = _order_stat(v, a, (3 * n + 3) // 4)
+        p10 = _order_stat(v, a, (n + 9) // 10)
+        p90 = _order_stat(v, a, (9 * n + 9) // 10)
+        bow = (0.0 if q3 == q1
+               else float(q3 + q1 - 2 * med) / float(q3 - q1))
+        kel = (0.0 if p90 == p10
+               else float(p90 + p10 - 2 * med) / float(p90 - p10))
+        out["event_type"].append(et)
+        out["bowley_skew"].append(round(bow, 6))
+        out["kelly_skew"].append(round(kel, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "bowley_skew": pa.array(out["bowley_skew"], pa.float64()),
+        "kelly_skew": pa.array(out["kelly_skew"], pa.float64()),
+    })

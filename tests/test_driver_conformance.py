@@ -277,6 +277,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         "cohens_d", "kl_vs_pooled", "longest_run",
         # round-3 wave 37
         "tv_overlap", "chi2_homogeneity", "active_hours_jaccard",
+        # round-3 wave 38
+        "anova_f", "dow_uniformity", "quantile_skew",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

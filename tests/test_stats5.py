@@ -1878,3 +1878,57 @@ def test_active_hours_jaccard_matches_bruteforce(ray_session, tmp_path):
         assert r["n_both"] == (a & b).sum()
         assert r["jaccard"] == pytest.approx(
             (a & b).sum() / (a | b).sum(), abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# wave 38: ANOVA + shape diagnostics
+# ---------------------------------------------------------------------------
+
+def test_anova_f_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_anova_f
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    got = q_anova_f(str(tmp_path)).to_pandas().iloc[0]
+    by = _cents_by_type(et, vals)
+    groups = [by[t].astype(np.float64) for t in sorted(by)]
+    allv = np.concatenate(groups)
+    gm = allv.mean()
+    ssb = sum(len(g) * (g.mean() - gm) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    k, n = len(groups), len(allv)
+    assert got["k_groups"] == k
+    assert got["anova_f"] == pytest.approx(
+        (ssb / (k - 1)) / (ssw / (n - k)), abs=1e-4)
+    assert got["eta_sq"] == pytest.approx(ssb / (ssb + ssw), abs=1e-6)
+
+
+def test_dow_uniformity_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_dow_uniformity
+
+    et, hrs = _rand_events(tmp_path)
+    got = q_dow_uniformity(str(tmp_path)).to_pandas()
+    dow = ((hrs // 24) + 3) % 7
+    for _, r in got.iterrows():
+        c = np.bincount(dow[et == r["event_type"]],
+                        minlength=7).astype(np.float64)
+        e = c.sum() / 7
+        assert r["chi2_uniform"] == pytest.approx(
+            (((c - e) ** 2) / e).sum(), abs=1e-4)
+
+
+def test_quantile_skew_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_quantile_skew
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    got = q_quantile_skew(str(tmp_path)).to_pandas()
+    by = _cents_by_type(et, vals)
+    for _, r in got.iterrows():
+        x = np.sort(by[r["event_type"]])
+        n = len(x)
+        med = x[(n + 1) // 2 - 1]
+        q1, q3 = x[(n + 3) // 4 - 1], x[(3 * n + 3) // 4 - 1]
+        p10, p90 = x[(n + 9) // 10 - 1], x[(9 * n + 9) // 10 - 1]
+        assert r["bowley_skew"] == pytest.approx(
+            (q3 + q1 - 2 * med) / (q3 - q1), abs=1e-6)
+        assert r["kelly_skew"] == pytest.approx(
+            (p90 + p10 - 2 * med) / (p90 - p10), abs=1e-6)
