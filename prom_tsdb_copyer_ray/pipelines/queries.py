@@ -17092,3 +17092,85 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Round-3 wave 39 (pipelines/stats5.py): outlier censuses + uniform GOF.
+from .stats5 import q_ks_uniform_value, q_outlier_counts  # noqa: E402
+
+QUERIES.update({
+    "outlier_counts": q_outlier_counts,
+    "ks_uniform_value": q_ks_uniform_value,
+})
+
+ORACLE_SQL.update(
+    {
+        "outlier_counts": _CENT_CENSUS_CTE + """
+            , r AS (SELECT event_type, cv,
+                           row_number() OVER (PARTITION BY event_type
+                                              ORDER BY cv) AS rn
+                    FROM s),
+            nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                   FROM s GROUP BY 1),
+            px AS (SELECT r.event_type,
+                          max(CASE WHEN rn = (n + 1) // 2
+                                   THEN cv END) AS med,
+                          max(CASE WHEN rn = (n + 3) // 4
+                                   THEN cv END) AS q1,
+                          max(CASE WHEN rn = (3 * n + 3) // 4
+                                   THEN cv END) AS q3
+                   FROM r JOIN nn USING (event_type) GROUP BY 1),
+            md AS (SELECT s.event_type,
+                          CAST(quantile_disc(abs(s.cv - px.med), 0.5)
+                               AS BIGINT) AS mad
+                   FROM s JOIN px USING (event_type) GROUP BY 1),
+            ag AS (SELECT s.event_type,
+                          CAST(sum(CASE WHEN 2 * s.cv
+                                             < 5 * px.q1 - 3 * px.q3
+                                        THEN 1 ELSE 0 END)
+                               AS BIGINT) AS iqr_low,
+                          CAST(sum(CASE WHEN 2 * s.cv
+                                             > 5 * px.q3 - 3 * px.q1
+                                        THEN 1 ELSE 0 END)
+                               AS BIGINT) AS iqr_high,
+                          CAST(sum(CASE WHEN abs(s.cv - px.med)
+                                             > 3 * md.mad
+                                        THEN 1 ELSE 0 END)
+                               AS BIGINT) AS robust_z_cnt
+                   FROM s JOIN px USING (event_type)
+                          JOIN md USING (event_type)
+                   GROUP BY 1)
+            SELECT event_type, iqr_low, iqr_high, robust_z_cnt
+            FROM ag ORDER BY 1
+        """,
+        "ks_uniform_value": _CENT_CENSUS_CTE + """
+            , ext AS (SELECT event_type, min(cv) AS lo, max(cv) AS hi,
+                             CAST(sum(n) AS BIGINT) AS nn
+                      FROM cs GROUP BY 1),
+            cm AS (SELECT cs.event_type, cs.cv,
+                          sum(cs.n) OVER (PARTITION BY cs.event_type
+                                          ORDER BY cs.cv) AS cum
+                   FROM cs),
+            dev AS (SELECT cm.event_type, cm.cv,
+                           abs(cm.cum * (e.hi - e.lo)
+                               - e.nn * (cm.cv - e.lo)) AS dv
+                    FROM cm JOIN ext e USING (event_type)
+                    WHERE e.hi > e.lo),
+            best AS (SELECT event_type, cv, dv,
+                            row_number() OVER (PARTITION BY event_type
+                                               ORDER BY dv DESC,
+                                                        cv ASC) AS rn
+                     FROM dev)
+            SELECT e.event_type,
+                   round(CASE WHEN e.hi = e.lo OR e.nn = 0 THEN 0.0
+                              ELSE CAST(b.dv AS DOUBLE)
+                                   / CAST(e.nn *
+                                          CAST(e.hi - e.lo AS HUGEINT)
+                                          AS DOUBLE) END,
+                         6) AS d_stat,
+                   CAST(CASE WHEN e.hi = e.lo THEN e.lo
+                             ELSE b.cv END AS BIGINT) AS at_cv
+            FROM ext e LEFT JOIN best b ON b.event_type = e.event_type
+                                       AND b.rn = 1
+            ORDER BY 1
+        """,
+    }
+)

@@ -3630,3 +3630,71 @@ def q_quantile_skew(sf_dir: str):
         "bowley_skew": pa.array(out["bowley_skew"], pa.float64()),
         "kelly_skew": pa.array(out["kelly_skew"], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 39: outlier censuses + uniform GOF.
+# ---------------------------------------------------------------------------
+
+def q_outlier_counts(sf_dir: str):
+    """Outlier counts per type under two classical rules, all in exact
+    integer comparisons: Tukey fences (v < Q1 - 1.5*IQR or v > Q3 +
+    1.5*IQR, cross-multiplied by 2: 2*v vs 5*Q1 - 3*Q3 and
+    5*Q3 - 3*Q1) and the robust-z rule |v - med| > 3*MAD."""
+    prof = _cent_profiles(sf_dir)
+    out = {"event_type": [], "iqr_low": [], "iqr_high": [],
+           "robust_z_cnt": []}
+    for et in sorted(prof):
+        v, a = prof[et]
+        n = int(a.sum())
+        med = _order_stat(v, a, (n + 1) // 2)
+        q1 = _order_stat(v, a, (n + 3) // 4)
+        q3 = _order_stat(v, a, (3 * n + 3) // 4)
+        av = np.abs(v - med)
+        order = np.argsort(av, kind="mergesort")
+        mad = _order_stat(av[order], a[order], (n + 1) // 2)
+        lo_cnt = int(a[2 * v < 5 * q1 - 3 * q3].sum())
+        hi_cnt = int(a[2 * v > 5 * q3 - 3 * q1].sum())
+        rz_cnt = int(a[np.abs(v - med) > 3 * mad].sum())
+        out["event_type"].append(et)
+        out["iqr_low"].append(lo_cnt)
+        out["iqr_high"].append(hi_cnt)
+        out["robust_z_cnt"].append(rz_cnt)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "iqr_low": pa.array(out["iqr_low"], pa.int64()),
+        "iqr_high": pa.array(out["iqr_high"], pa.int64()),
+        "robust_z_cnt": pa.array(out["robust_z_cnt"], pa.int64()),
+    })
+
+
+def q_ks_uniform_value(sf_dir: str):
+    """One-sample Kolmogorov-Smirnov distance of each type's cent
+    values from the uniform distribution on [min, max]:
+    D = max_v |F(v) - (v-lo)/(hi-lo)| as the exact integer max of
+    |cum_v*(hi-lo) - n*(v-lo)| over the support, one mirrored
+    division; ``at_cv`` is the smallest cent attaining it."""
+    prof = _cent_profiles(sf_dir)
+    out = {"event_type": [], "d_stat": [], "at_cv": []}
+    for et in sorted(prof):
+        v, a = prof[et]
+        n = int(a.sum())
+        lo, hi = int(v[0]), int(v[-1])
+        rng = hi - lo
+        if rng == 0 or n == 0:
+            out["event_type"].append(et)
+            out["d_stat"].append(0.0)
+            out["at_cv"].append(lo)
+            continue
+        cum = np.cumsum(a)
+        dev = np.abs(cum * rng - n * (v - lo))
+        k = int(dev.argmax())
+        d = float(int(dev[k])) / float(n * rng)
+        out["event_type"].append(et)
+        out["d_stat"].append(round(d, 6))
+        out["at_cv"].append(int(v[k]))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "d_stat": pa.array(out["d_stat"], pa.float64()),
+        "at_cv": pa.array(out["at_cv"], pa.int64()),
+    })

@@ -279,6 +279,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         "tv_overlap", "chi2_homogeneity", "active_hours_jaccard",
         # round-3 wave 38
         "anova_f", "dow_uniformity", "quantile_skew",
+        # round-3 wave 39
+        "outlier_counts", "ks_uniform_value",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

@@ -1932,3 +1932,44 @@ def test_quantile_skew_matches_bruteforce(ray_session, tmp_path):
             (q3 + q1 - 2 * med) / (q3 - q1), abs=1e-6)
         assert r["kelly_skew"] == pytest.approx(
             (p90 + p10 - 2 * med) / (p90 - p10), abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# wave 39: outliers + uniform GOF
+# ---------------------------------------------------------------------------
+
+def test_outlier_counts_match_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_outlier_counts
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    got = q_outlier_counts(str(tmp_path)).to_pandas()
+    by = _cents_by_type(et, vals)
+    for _, r in got.iterrows():
+        x = np.sort(by[r["event_type"]])
+        n = len(x)
+        med = x[(n + 1) // 2 - 1]
+        q1, q3 = x[(n + 3) // 4 - 1], x[(3 * n + 3) // 4 - 1]
+        mad = np.sort(np.abs(x - med))[(n + 1) // 2 - 1]
+        iqr = q3 - q1
+        assert r["iqr_low"] == (x < q1 - 1.5 * iqr).sum()
+        assert r["iqr_high"] == (x > q3 + 1.5 * iqr).sum()
+        assert r["robust_z_cnt"] == (np.abs(x - med) > 3 * mad).sum()
+
+
+def test_ks_uniform_value_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_ks_uniform_value
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    got = q_ks_uniform_value(str(tmp_path)).to_pandas()
+    by = _cents_by_type(et, vals)
+    for _, r in got.iterrows():
+        x = np.sort(by[r["event_type"]])
+        n = len(x)
+        lo, hi = x[0], x[-1]
+        sup = np.unique(x)
+        f = np.searchsorted(x, sup, side="right") / n
+        u = (sup - lo) / (hi - lo)
+        d = np.abs(f - u)
+        k = int(d.argmax())
+        assert r["d_stat"] == pytest.approx(d[k], abs=1e-6)
+        assert r["at_cv"] == sup[k]
