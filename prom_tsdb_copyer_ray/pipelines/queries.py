@@ -17174,3 +17174,62 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Round-3 wave 40 (pipelines/stats5.py): value-mass concentration.
+from .stats5 import q_half_value_point, q_user_gini  # noqa: E402
+
+QUERIES.update({
+    "half_value_point": q_half_value_point,
+    "user_gini": q_user_gini,
+})
+
+ORACLE_SQL.update(
+    {
+        "half_value_point": _CENT_CENSUS_CTE + """
+            , cm AS (SELECT event_type, cv,
+                            sum(n * cv) OVER w AS mass,
+                            sum(n) OVER w AS cnt
+                     FROM cs
+                     WINDOW w AS (PARTITION BY event_type
+                                  ORDER BY cv)),
+            tot AS (SELECT event_type,
+                           CAST(sum(n * cv) AS HUGEINT) AS sv,
+                           CAST(sum(n) AS BIGINT) AS n
+                    FROM cs GROUP BY 1),
+            hit AS (SELECT cm.event_type, cm.cv, cm.cnt,
+                           row_number() OVER (PARTITION BY
+                                cm.event_type ORDER BY cm.cv) AS rn
+                    FROM cm JOIN tot USING (event_type)
+                    WHERE 2 * cm.mass >= tot.sv)
+            SELECT h.event_type, h.cv AS half_value_cv,
+                   round(CASE WHEN t.n = 0 THEN 0.0
+                              ELSE CAST(h.cnt AS DOUBLE)
+                                   / CAST(t.n AS DOUBLE) END,
+                         6) AS events_below
+            FROM hit h JOIN tot t USING (event_type)
+            WHERE h.rn = 1 ORDER BY 1
+        """,
+        "user_gini": """
+            WITH uu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+                        FROM events GROUP BY 1),
+            cc AS (SELECT c, CAST(count(*) AS BIGINT) AS u
+                   FROM uu GROUP BY 1),
+            cm AS (SELECT c, u,
+                          sum(u) OVER w - u AS wlt,
+                          sum(u * c) OVER w - u * c AS slt
+                   FROM cc WINDOW w AS (ORDER BY c)),
+            ag AS (SELECT CAST(sum(CAST(u AS HUGEINT)
+                                   * (c * wlt - slt)) AS HUGEINT)
+                              AS gaa,
+                          CAST(sum(u) AS BIGINT) AS users,
+                          CAST(sum(u * c) AS HUGEINT) AS s1
+                   FROM cm)
+            SELECT users AS n_users,
+                   round(CASE WHEN users * s1 = 0 THEN 0.0
+                              ELSE CAST(gaa AS DOUBLE)
+                                   / CAST(users * s1 AS DOUBLE) END,
+                         6) AS user_gini
+            FROM ag
+        """,
+    }
+)

@@ -3698,3 +3698,80 @@ def q_ks_uniform_value(sf_dir: str):
         "d_stat": pa.array(out["d_stat"], pa.float64()),
         "at_cv": pa.array(out["at_cv"], pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 40: value-mass concentration.
+# ---------------------------------------------------------------------------
+
+def q_half_value_point(sf_dir: str):
+    """The half-value point per type: the smallest cent value v* where
+    the cumulative VALUE mass reaches half the total (2*cumsum(v*a) >=
+    S_v — exact integer comparison), plus the share of EVENTS at or
+    below it (one mirrored division).  A Pareto-style "how few cheap
+    events carry half the money" diagnostic."""
+    prof = _cent_profiles(sf_dir)
+    out = {"event_type": [], "half_value_cv": [], "events_below": []}
+    for et in sorted(prof):
+        v, a = prof[et]
+        n = int(a.sum())
+        mass = np.cumsum(v * a)
+        s_v = int(mass[-1])
+        k = int(np.searchsorted(2 * mass, s_v))
+        cnt = int(np.cumsum(a)[k])
+        share = 0.0 if n == 0 else float(cnt) / float(n)
+        out["event_type"].append(et)
+        out["half_value_cv"].append(int(v[k]))
+        out["events_below"].append(round(share, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "half_value_cv": pa.array(out["half_value_cv"], pa.int64()),
+        "events_below": pa.array(out["events_below"], pa.float64()),
+    })
+
+
+def q_user_gini(sf_dir: str):
+    """Gini coefficient of per-user event counts via the
+    COUNT-OF-COUNTS census (c -> number of users with activity c):
+    the user census folds in-shard to O(distinct activity levels)
+    rows, then the strictly-below cumulative identity gives the exact
+    pairwise-|difference| sum; G = gaa/(U*S1) (population
+    convention)."""
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": batch["user_id"],
+            "n": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+        g = t.group_by(["user_id"]).aggregate([("n", "sum")])
+        return g.rename_columns(["user_id", "n"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"], [("n", "sum")], num_shards=8,
+    )
+
+    def ff(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(n, return_counts=True)
+        return pa.table({"c": pa.array(vals.astype(np.int64)),
+                         "u": pa.array(cnts.astype(np.int64))})
+
+    cc = sharded_grouped_agg(
+        census.map_batches(ff, batch_format="pyarrow"),
+        ["c"], [("u", "sum")], num_shards=1,
+    ).to_pandas().sort_values("c")
+    c = cc["c"].to_numpy(np.int64)
+    u = cc["u"].to_numpy(np.int64)
+    users = int(u.sum())
+    s1 = int(np.dot(c, u))
+    w_lt = np.cumsum(u) - u
+    s_lt = np.cumsum(c * u) - c * u
+    gaa = sum(int(uu) * (int(vv) * int(w) - int(s))
+              for uu, vv, w, s in zip(u, c, w_lt, s_lt))
+    g = 0.0 if users * s1 == 0 else float(gaa) / float(users * s1)
+    return pa.table({
+        "n_users": pa.array([users], pa.int64()),
+        "user_gini": pa.array([round(g, 6)], pa.float64()),
+    })

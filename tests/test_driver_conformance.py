@@ -281,6 +281,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         "anova_f", "dow_uniformity", "quantile_skew",
         # round-3 wave 39
         "outlier_counts", "ks_uniform_value",
+        # round-3 wave 40
+        "half_value_point", "user_gini",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

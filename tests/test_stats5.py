@@ -1973,3 +1973,35 @@ def test_ks_uniform_value_matches_bruteforce(ray_session, tmp_path):
         k = int(d.argmax())
         assert r["d_stat"] == pytest.approx(d[k], abs=1e-6)
         assert r["at_cv"] == sup[k]
+
+
+# ---------------------------------------------------------------------------
+# wave 40: value-mass concentration
+# ---------------------------------------------------------------------------
+
+def test_half_value_point_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_half_value_point
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    got = q_half_value_point(str(tmp_path)).to_pandas()
+    by = _cents_by_type(et, vals)
+    for _, r in got.iterrows():
+        x = np.sort(by[r["event_type"]])
+        mass = np.cumsum(x)
+        k = int(np.searchsorted(2 * mass, mass[-1]))
+        assert r["half_value_cv"] == x[k]
+        assert r["events_below"] == pytest.approx(
+            (x <= x[k]).sum() / len(x), abs=1e-6)
+
+
+def test_user_gini_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_user_gini
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    got = q_user_gini(str(tmp_path)).to_pandas().iloc[0]
+    _, cnts = np.unique(users, return_counts=True)
+    c = cnts.astype(np.float64)
+    pair = np.abs(c[:, None] - c[None, :]).sum() / 2
+    assert got["n_users"] == len(c)
+    assert got["user_gini"] == pytest.approx(
+        pair / (len(c) * c.sum()), abs=1e-6)
