@@ -17233,3 +17233,93 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# Round-3 wave 41 (pipelines/stats5.py): longitudinal product
+# analytics.
+from .stats5 import (  # noqa: E402
+    q_returning_share,
+    q_stickiness,
+    q_value_trend,
+)
+
+QUERIES.update({
+    "value_trend": q_value_trend,
+    "returning_share": q_returning_share,
+    "stickiness": q_stickiness,
+})
+
+ORACLE_SQL.update(
+    {
+        "value_trend": """
+            WITH e AS (SELECT event_type,
+                              epoch_ms(ts) // 86400000 AS day,
+                              CAST(round(value * 100) AS BIGINT) AS cv
+                       FROM events),
+            ag AS (SELECT event_type,
+                          CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(day) AS HUGEINT) AS sd,
+                          CAST(sum(cv) AS HUGEINT) AS sv,
+                          CAST(sum(CAST(day AS HUGEINT) * day)
+                               AS HUGEINT) AS sdd,
+                          CAST(sum(CAST(cv AS HUGEINT) * cv)
+                               AS HUGEINT) AS svv,
+                          CAST(sum(CAST(day AS HUGEINT) * cv)
+                               AS HUGEINT) AS sdv
+                   FROM e GROUP BY 1)
+            SELECT event_type,
+                   round(CASE WHEN n * sdd - sd * sd = 0 THEN 0.0
+                              ELSE CAST(n * sdv - sd * sv AS DOUBLE)
+                                   / CAST(n * sdd - sd * sd
+                                          AS DOUBLE) END,
+                         6) AS slope_cents_day,
+                   round(CASE WHEN n * sdd - sd * sd = 0
+                                   OR n * svv - sv * sv = 0 THEN 0.0
+                              ELSE CAST((n * sdv - sd * sv)
+                                        * (n * sdv - sd * sv)
+                                        AS DOUBLE)
+                                   / CAST((n * sdd - sd * sd)
+                                          * (n * svv - sv * sv)
+                                          AS DOUBLE) END,
+                         6) AS r2
+            FROM ag ORDER BY 1
+        """,
+        "returning_share": """
+            WITH ud AS (SELECT user_id,
+                               epoch_ms(ts) // 86400000 AS day,
+                               CAST(count(*) AS BIGINT) AS n
+                        FROM events GROUP BY 1, 2),
+            fd AS (SELECT user_id, min(day) AS d0 FROM ud GROUP BY 1),
+            ag AS (SELECT CAST(sum(ud.n) AS BIGINT) AS total,
+                          CAST(sum(CASE WHEN ud.day = fd.d0
+                                        THEN ud.n ELSE 0 END)
+                               AS BIGINT) AS first
+                   FROM ud JOIN fd USING (user_id))
+            SELECT total AS n_events,
+                   round(CASE WHEN total = 0 THEN 0.0
+                              ELSE CAST(total - first AS DOUBLE)
+                                   / CAST(total AS DOUBLE) END,
+                         6) AS returning_share
+            FROM ag
+        """,
+        "stickiness": """
+            WITH ud AS (SELECT DISTINCT user_id,
+                               epoch_ms(ts) // 86400000 AS day
+                        FROM events),
+            uw AS (SELECT DISTINCT user_id, day // 7 AS wk FROM ud),
+            ag AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ud)
+                              AS s_dau,
+                          (SELECT CAST(count(*) AS BIGINT) FROM uw)
+                              AS s_wau,
+                          (SELECT CAST(count(DISTINCT day) AS BIGINT)
+                           FROM ud) AS n_days,
+                          (SELECT CAST(count(DISTINCT wk) AS BIGINT)
+                           FROM uw) AS n_weeks)
+            SELECT s_dau AS sum_dau, s_wau AS sum_wau,
+                   round(CASE WHEN s_wau * n_days = 0 THEN 0.0
+                              ELSE CAST(s_dau * n_weeks AS DOUBLE)
+                                   / CAST(s_wau * n_days AS DOUBLE)
+                         END, 6) AS stickiness
+            FROM ag
+        """,
+    }
+)

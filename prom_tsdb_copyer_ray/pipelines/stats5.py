@@ -3775,3 +3775,162 @@ def q_user_gini(sf_dir: str):
         "n_users": pa.array([users], pa.int64()),
         "user_gini": pa.array([round(g, 6)], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 41: longitudinal product analytics.
+# ---------------------------------------------------------------------------
+
+def q_value_trend(sf_dir: str):
+    """OLS trend of event VALUE (cents) against the epoch-day index
+    per type — slope in cents/day and R², from exact event-level
+    moment sums (one (type) x 6-moment exchange, no census needed)."""
+    from ..windows import ts_to_ms
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        day = (tms // 86_400_000).astype(np.int64)
+        cv = np.rint(batch["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "n": pa.array(np.ones(len(cv), np.int64)),
+            "sd": pa.array(day),
+            "sv": pa.array(cv),
+            "sdd": pa.array(day * day),
+            "svv": pa.array(cv * cv),
+            "sdv": pa.array(day * cv),
+        })
+        g = t.group_by(["event_type"]).aggregate(
+            [("n", "sum"), ("sd", "sum"), ("sv", "sum"),
+             ("sdd", "sum"), ("svv", "sum"), ("sdv", "sum")])
+        return g.rename_columns(
+            ["event_type", "n", "sd", "sv", "sdd", "svv", "sdv"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"],
+        [("n", "sum"), ("sd", "sum"), ("sv", "sum"), ("sdd", "sum"),
+         ("svv", "sum"), ("sdv", "sum")], num_shards=2,
+    ).to_pandas()
+    out = {"event_type": [], "slope_cents_day": [], "r2": []}
+    for _, r in census.sort_values("event_type").iterrows():
+        n = int(r["n"])
+        sd, sv = int(r["sd"]), int(r["sv"])
+        sdd, svv, sdv = int(r["sdd"]), int(r["svv"]), int(r["sdv"])
+        dx = n * sdd - sd * sd
+        dy = n * svv - sv * sv
+        num = n * sdv - sd * sv
+        slope = 0.0 if dx == 0 else float(num) / float(dx)
+        r2 = (0.0 if dx == 0 or dy == 0
+              else float(num * num) / float(dx * dy))
+        out["event_type"].append(str(r["event_type"]))
+        out["slope_cents_day"].append(round(slope, 6))
+        out["r2"].append(round(r2, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "slope_cents_day": pa.array(out["slope_cents_day"],
+                                    pa.float64()),
+        "r2": pa.array(out["r2"], pa.float64()),
+    })
+
+
+def q_returning_share(sf_dir: str):
+    """Share of events that occur AFTER their user's first active
+    day: from the (user, day, n) census, returning = N - sum of each
+    user's first-day count — exact integers, one mirrored division."""
+    from ..windows import ts_to_ms
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "day": pa.array((tms // 86_400_000).astype(np.int64)),
+            "n": pa.array(np.ones(len(tms), np.int64)),
+        })
+        g = t.group_by(["user_id", "day"]).aggregate([("n", "sum")])
+        return g.rename_columns(["user_id", "day", "n"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id", "day"], [("n", "sum")], num_shards=8,
+    )
+
+    # Re-key by USER so each user's (day, n) rows are co-located —
+    # the census above is hashed on (user, day), which would split a
+    # user across folds and miscount the first day.
+    from ..stages.keyed import _key_shard, _segment_starts
+
+    def add_user_shard(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_ushard", _key_shard(batch, ["user_id"], 32))
+
+    def fold(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_ushard")
+        if t.num_rows == 0:
+            return pa.table({"total": pa.array([0], pa.int64()),
+                             "first": pa.array([0], pa.int64())})
+        t = t.sort_by([("user_id", "ascending"),
+                       ("day", "ascending")])
+        starts = _segment_starts(t, ["user_id"])
+        n = t["n"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "total": pa.array([int(n.sum())], pa.int64()),
+            "first": pa.array([int(n[starts].sum())], pa.int64()),
+        })
+
+    f = (census.map_batches(add_user_shard, batch_format="pyarrow")
+         .groupby("_ushard")
+         .map_groups(fold, batch_format="pyarrow")).to_pandas()
+    total, first = int(f["total"].sum()), int(f["first"].sum())
+    share = (0.0 if total == 0
+             else float(total - first) / float(total))
+    return pa.table({
+        "n_events": pa.array([total], pa.int64()),
+        "returning_share": pa.array([round(share, 6)], pa.float64()),
+    })
+
+
+def q_stickiness(sf_dir: str):
+    """DAU/WAU stickiness: sum of daily active users over days,
+    sum of weekly active users over ISO-ish weeks (epoch_day // 7),
+    and the ratio mean(DAU)/mean(WAU) = (S_dau * n_weeks) /
+    (S_wau * n_days) — exact integers from two distinct-count
+    censuses, one mirrored division."""
+    from ..windows import ts_to_ms
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tms = ts_to_ms(batch["ts"]).to_numpy(zero_copy_only=False)
+        day = (tms // 86_400_000).astype(np.int64)
+        t = pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "day": pa.array(day),
+            "wk": pa.array(day // 7),
+            "n": pa.array(np.ones(len(day), np.int64)),
+        })
+        g = t.group_by(["user_id", "day", "wk"]).aggregate(
+            [("n", "sum")])
+        return g.rename_columns(["user_id", "day", "wk", "n"])
+
+    census = sharded_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id", "day", "wk"], [("n", "sum")], num_shards=8,
+    ).to_pandas()
+    s_dau = len(census)  # distinct (user, day)
+    n_days = census["day"].nunique()
+    wau = census.drop_duplicates(["user_id", "wk"])
+    s_wau = len(wau)
+    n_weeks = census["wk"].nunique()
+    ratio = (0.0 if s_wau * n_days == 0
+             else float(s_dau * n_weeks) / float(s_wau * n_days))
+    return pa.table({
+        "sum_dau": pa.array([s_dau], pa.int64()),
+        "sum_wau": pa.array([s_wau], pa.int64()),
+        "stickiness": pa.array([round(ratio, 6)], pa.float64()),
+    })

@@ -283,6 +283,8 @@ def test_mirror_covers_every_oracle(entry_mod):
         "outlier_counts", "ks_uniform_value",
         # round-3 wave 40
         "half_value_point", "user_gini",
+        # round-3 wave 41
+        "value_trend", "returning_share", "stickiness",
     ],
 )
 def test_sql_checked_query(entry_mod, con, name):

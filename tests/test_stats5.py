@@ -2005,3 +2005,57 @@ def test_user_gini_matches_bruteforce(ray_session, tmp_path):
     assert got["n_users"] == len(c)
     assert got["user_gini"] == pytest.approx(
         pair / (len(c) * c.sum()), abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# wave 41: longitudinal product analytics
+# ---------------------------------------------------------------------------
+
+def test_value_trend_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_value_trend
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    got = q_value_trend(str(tmp_path)).to_pandas()
+    t = pq.read_table(os.path.join(str(tmp_path), "events.parquet"))
+    tms = t["ts"].cast(pa.int64()).to_numpy()
+    days = tms // 86_400_000
+    cents = np.rint(vals * 100)
+    for _, r in got.iterrows():
+        m = et == r["event_type"]
+        d = days[m].astype(np.float64)
+        v = cents[m].astype(np.float64)
+        slope = np.polyfit(d, v, 1)[0]
+        corr = np.corrcoef(d, v)[0, 1]
+        assert r["slope_cents_day"] == pytest.approx(slope, abs=1e-5)
+        assert r["r2"] == pytest.approx(corr ** 2, abs=1e-6)
+
+
+def test_returning_share_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_returning_share
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    got = q_returning_share(str(tmp_path)).to_pandas().iloc[0]
+    t = pq.read_table(os.path.join(str(tmp_path), "events.parquet"))
+    days = t["ts"].cast(pa.int64()).to_numpy() // 86_400_000
+    first = {u: days[users == u].min() for u in np.unique(users)}
+    returning = sum(1 for u, d in zip(users, days) if d > first[u])
+    assert got["n_events"] == len(users)
+    assert got["returning_share"] == pytest.approx(
+        returning / len(users), abs=1e-6)
+
+
+def test_stickiness_matches_bruteforce(ray_session, tmp_path):
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_stickiness
+
+    et, hrs, vals, users = _valued_events(tmp_path)
+    got = q_stickiness(str(tmp_path)).to_pandas().iloc[0]
+    t = pq.read_table(os.path.join(str(tmp_path), "events.parquet"))
+    days = t["ts"].cast(pa.int64()).to_numpy() // 86_400_000
+    ud = set(zip(users, days))
+    uw = set((u, d // 7) for u, d in ud)
+    n_days = len(set(days))
+    n_weeks = len(set(d // 7 for d in days))
+    assert got["sum_dau"] == len(ud)
+    assert got["sum_wau"] == len(uw)
+    assert got["stickiness"] == pytest.approx(
+        (len(ud) / n_days) / (len(uw) / n_weeks), abs=1e-6)
