@@ -14483,10 +14483,10 @@ ORACLE_SQL.update(
 
 # Round-3 wave 16 (pipelines/stats5.py): contingency-table effect sizes
 # over the (type, day-of-week) census (pico-floored per-cell terms).
-from .stats5 import q_cramers_v, q_gk_tau, q_yule_coefs  # noqa: E402
+from .stats5 import q_cramers_v_dow, q_gk_tau, q_yule_coefs  # noqa: E402
 
 QUERIES.update({
-    "cramers_v": q_cramers_v,
+    "cramers_v_dow": q_cramers_v_dow,
     "gk_tau": q_gk_tau,
     "yule_coefs": q_yule_coefs,
 })
@@ -14508,7 +14508,7 @@ _TYPE_DOW_CTE = """
 
 ORACLE_SQL.update(
     {
-        "cramers_v": _TYPE_DOW_CTE + """
+        "cramers_v_dow": _TYPE_DOW_CTE + """
             , cells AS (SELECT rt.r, ct.cc, COALESCE(c.n, 0) AS cell
                         FROM rt CROSS JOIN ct
                         LEFT JOIN c ON c.et = rt.et AND c.dow = ct.dow),
@@ -15739,14 +15739,14 @@ from .stats5 import (  # noqa: E402
     _FC168,
     _FS168,
     q_benford_first_digit,
-    q_cross_corr,
+    q_cross_corr_lags,
     q_weekly_harmonic,
 )
 
 QUERIES.update({
     "benford_first_digit": q_benford_first_digit,
     "weekly_harmonic": q_weekly_harmonic,
-    "cross_corr": q_cross_corr,
+    "cross_corr_lags": q_cross_corr_lags,
 })
 
 _BENFORD_VALUES = ", ".join(
@@ -15818,7 +15818,7 @@ ORACLE_SQL.update(
                          6) AS amp_ratio
             FROM ag ORDER BY 1
         """,
-        "cross_corr": _DENSE_GRID_CTE + """
+        "cross_corr_lags": _DENSE_GRID_CTE + """
             , lg AS (SELECT * FROM (VALUES (0), (1), (2), (3))
                      AS l(k)),
             j AS (SELECT a.event_type AS ta, b.event_type AS tb,
@@ -16606,13 +16606,13 @@ ORACLE_SQL.update(
 # calendar profiles.
 from .stats5 import (  # noqa: E402
     q_mean_excess,
-    q_peak_hour,
+    q_peak_hour_share,
     q_weekend_lift,
 )
 
 QUERIES.update({
     "mean_excess": q_mean_excess,
-    "peak_hour": q_peak_hour,
+    "peak_hour_share": q_peak_hour_share,
     "weekend_lift": q_weekend_lift,
 })
 
@@ -16640,7 +16640,7 @@ ORACLE_SQL.update(
                          6) AS mean_excess
             FROM ag ORDER BY 1
         """,
-        "peak_hour": """
+        "peak_hour_share": """
             WITH c AS (SELECT event_type,
                               (epoch_ms(ts) // 3600000) % 24 AS d,
                               CAST(count(*) AS BIGINT) AS n
@@ -16805,20 +16805,20 @@ ORACLE_SQL.update(
 # Round-3 wave 36 (pipelines/stats5.py): effect sizes, profile
 # divergence, run lengths.
 from .stats5 import (  # noqa: E402
-    q_cohens_d,
+    q_effect_sizes,
     q_kl_vs_pooled,
     q_longest_run,
 )
 
 QUERIES.update({
-    "cohens_d": q_cohens_d,
+    "effect_sizes": q_effect_sizes,
     "kl_vs_pooled": q_kl_vs_pooled,
     "longest_run": q_longest_run,
 })
 
 ORACLE_SQL.update(
     {
-        "cohens_d": _CENT_CENSUS_CTE + """
+        "effect_sizes": _CENT_CENSUS_CTE + """
             , tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS nn,
                              CAST(sum(n * cv) AS HUGEINT) AS s1,
                              CAST(sum(CAST(cv AS HUGEINT) * cv * n)

@@ -830,7 +830,7 @@ def _type_dow_pivot(sf_dir: str) -> np.ndarray:
 _PICO = 10 ** 12
 
 
-def q_cramers_v(sf_dir: str):
+def q_cramers_v_dow(sf_dir: str):
     """Pearson chi-square of the (type, dow) contingency table and its
     three classical effect sizes — Cramer's V, Tschuprow's T and the
     Pearson contingency coefficient C.  Per-cell terms have varying
@@ -2148,7 +2148,7 @@ def q_weekly_harmonic(sf_dir: str):
 _CCF_LAGS = (0, 1, 2, 3)
 
 
-def q_cross_corr(sf_dir: str):
+def q_cross_corr_lags(sf_dir: str):
     """Lagged cross-correlation between aligned hourly type pairs:
     ccf(k) = Pearson r of (x_t, y_{t+k}) for k = 0..3 over the
     overlapping H-k hours — exact int64 six-statistic numerators, one
@@ -3118,7 +3118,7 @@ def q_mean_excess(sf_dir: str):
     })
 
 
-def q_peak_hour(sf_dir: str):
+def q_peak_hour_share(sf_dir: str):
     """Peak hour-of-day per type: the hod with the max event count
     (tie -> smallest hod) and its share of the type's events — exact
     integer argmax + one mirrored division."""
@@ -3305,7 +3305,7 @@ def q_granger_1lag(sf_dir: str):
 # wave 36: standardized effect sizes, profile divergence, run lengths.
 # ---------------------------------------------------------------------------
 
-def q_cohens_d(sf_dir: str):
+def q_effect_sizes(sf_dir: str):
     """Standardized mean-difference effect sizes between type pairs'
     cent values: Cohen's d with the pooled SD, the Hedges small-sample
     correction g = d*(1 - 3/(4*(n1+n2) - 9)), and Glass's delta

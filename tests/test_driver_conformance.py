@@ -233,7 +233,7 @@ def test_mirror_covers_every_oracle(entry_mod):
         "ks_two_sample", "kuiper_two_sample", "cvm_two_sample",
         "cucconi",
         # round-3 wave 16
-        "cramers_v", "gk_tau", "yule_coefs",
+        "cramers_v_dow", "gk_tau", "yule_coefs",
         # round-3 wave 17
         "fleiss_kappa", "kripp_alpha", "weighted_kappa",
         # round-3 wave 18
@@ -253,7 +253,7 @@ def test_mirror_covers_every_oracle(entry_mod):
         # round-3 wave 25
         "lepage", "location_estimates", "trimmed_means",
         # round-3 wave 26
-        "benford_first_digit", "weekly_harmonic", "cross_corr",
+        "benford_first_digit", "weekly_harmonic", "cross_corr_lags",
         # round-3 wave 27
         "word_length_stats", "page_hinkley", "activity_gini",
         # round-3 wave 28
@@ -270,11 +270,11 @@ def test_mirror_covers_every_oracle(entry_mod):
         # round-3 wave 33
         "doc_tokens_by_lang", "source_concentration", "lang_entropy",
         # round-3 wave 34
-        "mean_excess", "peak_hour", "weekend_lift",
+        "mean_excess", "peak_hour_share", "weekend_lift",
         # round-3 wave 35
         "ols_trend", "granger_1lag",
         # round-3 wave 36
-        "cohens_d", "kl_vs_pooled", "longest_run",
+        "effect_sizes", "kl_vs_pooled", "longest_run",
         # round-3 wave 37
         "tv_overlap", "chi2_homogeneity", "active_hours_jaccard",
         # round-3 wave 38

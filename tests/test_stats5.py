@@ -475,10 +475,10 @@ def _pivot_type_dow(et, hrs):
 
 
 def test_cramers_v_matches_bruteforce(ray_session, tmp_path):
-    from prom_tsdb_copyer_ray.pipelines.stats5 import q_cramers_v
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_cramers_v_dow
 
     et, hrs = _rand_events(tmp_path)
-    got = q_cramers_v(str(tmp_path)).to_pandas().iloc[0]
+    got = q_cramers_v_dow(str(tmp_path)).to_pandas().iloc[0]
     piv = _pivot_type_dow(et, hrs).astype(np.float64)
     n = piv.sum()
     exp = np.outer(piv.sum(axis=1), piv.sum(axis=0)) / n
@@ -1231,10 +1231,10 @@ def test_weekly_harmonic_matches_bruteforce(ray_session, tmp_path):
 
 
 def test_cross_corr_matches_bruteforce(ray_session, tmp_path):
-    from prom_tsdb_copyer_ray.pipelines.stats5 import q_cross_corr
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_cross_corr_lags
 
     et, hrs = _rand_events(tmp_path)
-    got = q_cross_corr(str(tmp_path)).to_pandas()
+    got = q_cross_corr_lags(str(tmp_path)).to_pandas()
     dense = _dense(et, hrs)
     assert len(got) == 3 * 4  # 3 pairs x 4 lags
     for _, r in got.iterrows():
@@ -1690,10 +1690,10 @@ def test_mean_excess_matches_bruteforce(ray_session, tmp_path):
 
 
 def test_peak_hour_matches_bruteforce(ray_session, tmp_path):
-    from prom_tsdb_copyer_ray.pipelines.stats5 import q_peak_hour
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_peak_hour_share
 
     et, hrs = _rand_events(tmp_path)
-    got = q_peak_hour(str(tmp_path)).to_pandas()
+    got = q_peak_hour_share(str(tmp_path)).to_pandas()
     for _, r in got.iterrows():
         hod = hrs[et == r["event_type"]] % 24
         cnt = np.bincount(hod, minlength=24)
@@ -1764,10 +1764,10 @@ def test_granger_1lag_matches_bruteforce(ray_session, tmp_path):
 # ---------------------------------------------------------------------------
 
 def test_cohens_d_matches_bruteforce(ray_session, tmp_path):
-    from prom_tsdb_copyer_ray.pipelines.stats5 import q_cohens_d
+    from prom_tsdb_copyer_ray.pipelines.stats5 import q_effect_sizes
 
     et, hrs, vals, users = _valued_events(tmp_path)
-    got = q_cohens_d(str(tmp_path)).to_pandas()
+    got = q_effect_sizes(str(tmp_path)).to_pandas()
     by = _cents_by_type(et, vals)
     for _, r in got.iterrows():
         a = by[r["type_a"]].astype(np.float64)
