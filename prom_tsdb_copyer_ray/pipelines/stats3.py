@@ -212,14 +212,18 @@ def q_mann_kendall(sf_dir: str):
     float enters S or the tie-corrected variance numerator
     var_num = H(H-1)(2H+5) - sum_t t(t-1)(2t+5)).  The z statistic is
     one mirrored float expression ((S -/+ 1)/sqrt(var_num/18.0)).
-    Driver scan is O(H^2) vectorized over the grid (H = time-range
-    hours, metadata-sized); escalation at very long ranges is the
-    O(H log H) merge-inversion count over the same census."""
+    S is the exact O(H log H) merge-inversion count
+    (``functions/pairstats.concordance_s``: S = #ascending-pairs -
+    #descending-pairs via strict left-counts on c and -c) — the former
+    O(H^2) sign-matrix driver scan materialized ~5 GB at a 26k-hour
+    grid (round-3 verdict pair-statistics family); bit-identical
+    values."""
+    from ..functions.pairstats import concordance_s
+
     series, big_h = dense_hour_counts(sf_dir)
     out = {"event_type": [], "s_stat": [], "var_num": [], "z": []}
     for et, c in series.items():
-        diff = np.sign(c[None, :] - c[:, None])
-        s = int(np.triu(diff, 1).sum())
+        s = concordance_s(c)
         _, t_counts = np.unique(c, return_counts=True)
         tie_sum = sum(int(t) * (int(t) - 1) * (2 * int(t) + 5)
                       for t in t_counts)
@@ -2301,15 +2305,19 @@ def q_pettitt(sf_dir: str):
     """Pettitt change-point test per type on the dense hourly count
     series: U_t = sum_{i<=t, j>t} sign(c_i - c_j); the statistic
     K = max|U_t| and its location are EXACT integers (the rank-based
-    Mann-Whitney sweep, computed as a vectorized O(H^2) driver scan
-    over grid metadata with ties handled by sign=0; first-location
-    tie-break).  The nonparametric complement of the binary-
-    segmentation changepoint entry."""
+    Mann-Whitney sweep; ties handled by sign=0; first-location
+    tie-break).  Row sums sum_j sign(c_i - c_j) come from the exact
+    O(H log H) searchsorted ranks (``functions/pairstats.
+    sign_row_sums``) — the former H x H int64 sign matrix was ~5 GB at
+    a 26k-hour grid (round-3 verdict pair-statistics family).  The
+    nonparametric complement of the binary-segmentation changepoint
+    entry."""
+    from ..functions.pairstats import sign_row_sums
+
     series, big_h = dense_hour_counts(sf_dir)
     out = {"event_type": [], "k_stat": [], "t_hat": []}
     for et, c in series.items():
-        sgn = np.sign(c[:, None] - c[None, :]).astype(np.int64)
-        row = sgn.sum(axis=1)          # sum_j sign(c_i - c_j) over ALL j
+        row = sign_row_sums(c)         # sum_j sign(c_i - c_j) over ALL j
         # U_t = sum_{i<=t} (sum_{j>t}) = cum_t(row) - inside-pair terms
         # computed incrementally: U_t = U_{t-1} + sum_{j} sign(c_t-c_j)
         #   - 2*sum_{i<=t} sign... use direct: U_t = sum_{i<=t} row_i

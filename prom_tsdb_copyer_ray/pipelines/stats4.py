@@ -32,6 +32,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.pairstats import concordance_s
 from ..stages.keyed import sharded_grouped_agg
 from ..windows import ts_to_ms
 from .stats3 import _read, dense_hour_counts
@@ -1497,13 +1498,14 @@ def q_seasonal_mk(sf_dir: str):
         s_tot = 0
         var_num = 0
         for hod in range(24):
-            idx = [i for i in range(big_h) if (h_lo + i) % 24 == hod]
-            x = c[idx]
+            # first grid position with hour-of-day == hod, then stride 24
+            x = c[(hod - h_lo) % 24::24]
             nh = len(x)
             if nh < 2:
                 continue
-            s_tot += int(np.sign(x[None, :] - x[:, None])
-                         [np.triu_indices(nh, 1)].sum())
+            # exact O(nh log nh) merge-inversion S (pairstats kernel) —
+            # same values as the former triu sign-matrix scan
+            s_tot += concordance_s(x)
             var_num += nh * (nh - 1) * (2 * nh + 5)
             _, t = np.unique(x, return_counts=True)
             var_num -= int(sum(int(u) * (int(u) - 1) * (2 * int(u) + 5)

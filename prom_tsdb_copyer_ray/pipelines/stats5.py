@@ -1129,13 +1129,44 @@ def q_sample_entropy(sf_dir: str):
             x0 = x[:n_t]
             x1 = x[1:n_t + 1]
             x2 = x[2:n_t + 2]
-            d0 = np.abs(x0[:, None] - x0[None, :]) <= r
-            d1 = np.abs(x1[:, None] - x1[None, :]) <= r
-            d2 = np.abs(x2[:, None] - x2[None, :]) <= r
-            iu = np.triu_indices(n_t, k=1)
-            m2 = (d0 & d1)[iu]
-            b_cnt = int(m2.sum())
-            a_cnt = int((m2 & d2[iu]).sum())
+            # row-blocked strict-upper-triangle template match: O(H^2)
+            # compute (inherent to exact SampEn pair counts) but
+            # O(blk * H) memory — the full H x H matrices plus
+            # np.triu_indices materialized ~5 GB at a 26k-hour grid
+            # (round-3 verdict pair-statistics family).  Bandwidth
+            # tricks: narrowest exact dtype for the diffs, columns
+            # sliced to j > s (only pairs i < j are needed), and the
+            # row-vs-col mask applied only on the small triangle part.
+            b_cnt = a_cnt = 0
+            vmax = int(x.max())
+            dt = (np.int16 if vmax < (1 << 14)
+                  else np.int32 if vmax < (1 << 30) else np.int64)
+            w0, w1, w2 = x0.astype(dt), x1.astype(dt), x2.astype(dt)
+            blk = 2048
+            for s in range(0, n_t, blk):
+                e = min(s + blk, n_t)
+
+                def _count(cols, mask):
+                    m2 = ((np.abs(w0[s:e, None] - w0[None, cols]) <= r)
+                          & (np.abs(w1[s:e, None] - w1[None, cols]) <= r))
+                    if mask is not None:
+                        m2 &= mask
+                    bc = int(m2.sum())
+                    ac = int((m2 & (np.abs(w2[s:e, None]
+                                           - w2[None, cols]) <= r)).sum())
+                    return bc, ac
+
+                if e - s > 1:  # triangle: cols s+1..e-1, need col > row
+                    cols = slice(s + 1, e)
+                    mask = (np.arange(s + 1, e)[None, :]
+                            > np.arange(s, e)[:, None])
+                    bc, ac = _count(cols, mask)
+                    b_cnt += bc
+                    a_cnt += ac
+                if e < n_t:  # rectangle: cols e..n_t-1, always col > row
+                    bc, ac = _count(slice(e, n_t), None)
+                    b_cnt += bc
+                    a_cnt += ac
         if a_cnt == 0 or b_cnt == 0:
             se = 0.0
         else:
@@ -1440,11 +1471,20 @@ def q_hoeffding_d(sf_dir: str):
         (16 * n(n-1)(n-2)(n-3)(n-4)),
     A1 = sum (4Q-4)(4Q-8), A2 = sum (2R-2)(2R-4)(2S-2)(2S-4),
     A3 = sum (2R-4)(2S-4)(4Q-4) — all exact (big)integers to ONE
-    mirrored division."""
+    mirrored division.
+
+    The rank counts come from the exact O(H log H) merge/searchsorted
+    kernels in ``functions/pairstats.py`` (bit-identical to the H x H
+    comparison matrices they replaced — round-3 verdict item: H ~ 26k
+    hours made those matrices ~700 MB per pair and minutes-slow); the
+    O(H) bignum folds below are unchanged and milliseconds."""
+    from ..functions.pairstats import bivariate_rank_counts, rank_lt_eq
+
     series, big_h = dense_hour_counts(sf_dir)
     types = sorted(series)
     out = {"type_a": [], "type_b": [], "hoeffding_d": []}
     n = big_h
+    ranks = {t: rank_lt_eq(series[t]) for t in types}
     for i, ta in enumerate(types):
         for tb in types[i + 1:]:
             if n < 5:
@@ -1454,20 +1494,11 @@ def q_hoeffding_d(sf_dir: str):
                 continue
             x, y = series[ta], series[tb]
             # doubled midranks
-            xl = (x[:, None] > x[None, :]).sum(axis=1)
-            xe = (x[:, None] == x[None, :]).sum(axis=1)
-            yl = (y[:, None] > y[None, :]).sum(axis=1)
-            ye = (y[:, None] == y[None, :]).sum(axis=1)
+            xl, xe = ranks[ta]
+            yl, ye = ranks[tb]
             r2 = 2 * xl + xe + 1
             s2 = 2 * yl + ye + 1
-            lx = x[:, None] > x[None, :]
-            ly = y[:, None] > y[None, :]
-            ex = x[:, None] == x[None, :]
-            ey = y[:, None] == y[None, :]
-            c_ll = (lx & ly).sum(axis=1)
-            c_el = (ex & ly).sum(axis=1)
-            c_le = (lx & ey).sum(axis=1)
-            c_ee = (ex & ey).sum(axis=1) - 1
+            c_ll, c_el, c_le, c_ee = bivariate_rank_counts(x, y)
             q4 = 4 + 4 * c_ll + 2 * (c_el + c_le) + c_ee
             a1 = sum(int(q) * (int(q) - 4) for q in (q4 - 4))
             a2 = sum((int(r) - 2) * (int(r) - 4)
@@ -1525,25 +1556,24 @@ def q_dcor(sf_dir: str):
     b_ij = |y_i-y_j| and P = sum a_ij*b_ij, ra_i = sum_j a_ij,
     n^4 * dCov^2 = n^2*P + Sa*Sb - 2n*sum_i ra_i*rb_i (exact bigints;
     the same identity gives n^4*dVar for each margin), then
-    dCor = sqrt(nc / sqrt(vx*vy)) as one mirrored chain."""
+    dCor = sqrt(nc / sqrt(vx*vy)) as one mirrored chain.
+
+    P and the row sums ra_i come from the exact O(H log H) merge
+    kernels in ``functions/pairstats.py`` (P = 2 * sum_{i<j}
+    |dx||dy| via x-sorted merge-by-y prefix sums; ra via sorted prefix
+    sums) — bit-identical to the blocked H x H distance matrices they
+    replaced; the O(H) bignum fold for q is unchanged."""
+    from ..functions.pairstats import (abs_dist_row_sums,
+                                       abs_prod_pair_sum, exact_dot)
+
     series, big_h = dense_hour_counts(sf_dir)
     types = sorted(series)
     n = big_h
+    rows = {t: abs_dist_row_sums(series[t]) for t in types}
 
-    def dstats(x, y):
-        p = 0
-        q = 0
-        ra = np.zeros(n, np.int64)
-        rb = np.zeros(n, np.int64)
-        blk = 1024
-        for s in range(0, n, blk):
-            e = min(s + blk, n)
-            a = np.abs(x[s:e, None] - x[None, :])
-            b = np.abs(y[s:e, None] - y[None, :])
-            p += int((a * b).sum())
-            ra[s:e] = a.sum(axis=1)
-            rb[s:e] = b.sum(axis=1)
-        q = sum(int(u) * int(v) for u, v in zip(ra, rb))
+    def dstats(x, y, ra, rb):
+        p = 2 * abs_prod_pair_sum(x, y)
+        q = exact_dot(ra, rb)
         sa, sb = int(ra.sum()), int(rb.sum())
         return n * n * p + sa * sb - 2 * n * q
 
@@ -1551,9 +1581,10 @@ def q_dcor(sf_dir: str):
     for i, ta in enumerate(types):
         for tb in types[i + 1:]:
             x, y = series[ta], series[tb]
-            nc = dstats(x, y)
-            vx = dstats(x, x)
-            vy = dstats(y, y)
+            ra, rb = rows[ta], rows[tb]
+            nc = dstats(x, y, ra, rb)
+            vx = dstats(x, x, ra, ra)
+            vy = dstats(y, y, rb, rb)
             if vx <= 0 or vy <= 0 or nc <= 0:
                 d = 0.0
             else:
@@ -3715,6 +3746,14 @@ def q_half_value_point(sf_dir: str):
     for et in sorted(prof):
         v, a = prof[et]
         n = int(a.sum())
+        if len(v) and int(v.min()) < 0:
+            # cumsum(v*a) is only monotone for non-negative values; a
+            # negative cent value would make searchsorted silently
+            # return a wrong half-value point — fail loudly instead.
+            raise ValueError(
+                f"q_half_value_point: negative cent value for {et!r} "
+                f"(min {int(v.min())}); half-value mass point is "
+                "undefined for signed values")
         mass = np.cumsum(v * a)
         s_v = int(mass[-1])
         k = int(np.searchsorted(2 * mass, s_v))
@@ -3921,12 +3960,50 @@ def q_stickiness(sf_dir: str):
     census = sharded_grouped_agg(
         ds.map_batches(partial, batch_format="pyarrow"),
         ["user_id", "day", "wk"], [("n", "sum")], num_shards=8,
-    ).to_pandas()
-    s_dau = len(census)  # distinct (user, day)
-    n_days = census["day"].nunique()
-    wau = census.drop_duplicates(["user_id", "wk"])
-    s_wau = len(wau)
-    n_weeks = census["wk"].nunique()
+    )
+
+    # Fold the distinct counts per USER-keyed shard (users are disjoint
+    # across shards, so per-shard distinct (user,day)/(user,wk) counts
+    # sum exactly) instead of collecting the full (user, day) census to
+    # the driver — n_users x n_days rows is unbounded at scale.  The
+    # driver receives only per-shard scalars plus the O(days) distinct
+    # day/week values (time-range-bounded metadata), as tagged rows.
+    from ..stages.keyed import _key_shard, _segment_starts
+
+    def add_user_shard(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_ushard", _key_shard(batch, ["user_id"], 32))
+
+    def fold(group: pa.Table) -> pa.Table:
+        t = group.drop_columns("_ushard")
+        kinds: list[str] = []
+        vals: list[int] = []
+        if t.num_rows:
+            t = t.sort_by([("user_id", "ascending"),
+                           ("wk", "ascending")])
+            kinds.append("ud")
+            vals.append(t.num_rows)  # rows are distinct (user, day)
+            kinds.append("uw")
+            # _segment_starts yields a new-segment BOOL MASK; its sum is
+            # the distinct (user, wk) count in this user-disjoint shard
+            vals.append(int(_segment_starts(
+                t, ["user_id", "wk"]).sum()))
+            for d in np.unique(t["day"].to_numpy(zero_copy_only=False)):
+                kinds.append("day")
+                vals.append(int(d))
+            for w in np.unique(t["wk"].to_numpy(zero_copy_only=False)):
+                kinds.append("wk")
+                vals.append(int(w))
+        return pa.table({"kind": pa.array(kinds, pa.string()),
+                         "v": pa.array(vals, pa.int64())})
+
+    f = (census.map_batches(add_user_shard, batch_format="pyarrow")
+         .groupby("_ushard")
+         .map_groups(fold, batch_format="pyarrow")).to_pandas()
+    s_dau = int(f.loc[f["kind"] == "ud", "v"].sum())
+    s_wau = int(f.loc[f["kind"] == "uw", "v"].sum())
+    n_days = int(f.loc[f["kind"] == "day", "v"].nunique())
+    n_weeks = int(f.loc[f["kind"] == "wk", "v"].nunique())
     ratio = (0.0 if s_wau * n_days == 0
              else float(s_dau * n_weeks) / float(s_wau * n_days))
     return pa.table({

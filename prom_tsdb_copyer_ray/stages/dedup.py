@@ -456,7 +456,8 @@ def _shingle_rows_driver_csr(ds, cand, pair_shards_fn, ngram: int,
 
 def _shingle_rows_sharded(ds, cand, pair_shards_fn, ngram: int,
                           id_col: str, text_col: str,
-                          num_shards: int, route_shards: int = 64):
+                          num_shards: int, route_shards: int = 64,
+                          n_cand: int | None = None):
     """Escalated shingle routing for :func:`ngram_jaccard_pairs`: the
     (doc -> pair-shard) map never touches the driver.  Route rows
     (key, pair_shard) distinct-per-batch come straight off the candidate
@@ -472,8 +473,18 @@ def _shingle_rows_sharded(ds, cand, pair_shards_fn, ngram: int,
     from .common import narrow_fanin
     from .joins import bloom_mask, build_bloom
 
-    words = build_bloom(cand, "a", num_bits=1 << 24) \
-        | build_bloom(cand, "b", num_bits=1 << 24)
+    # Size the candidate-id prefilter from the candidate count (~10 bits
+    # per distinct id, <= 2 ids per pair) instead of a fixed 16M-bit
+    # bitmap: past the >20M-pair escalation scale a fixed bloom's FP
+    # rate grows and non-candidate docs compute + ship shingle payloads
+    # for nothing (cost only — expand drops unmatched keys).  Floor at
+    # 1<<24 bits (2 MB), cap at 1<<30 bits (128 MB broadcast).
+    bits = 1 << 24
+    if n_cand is not None:
+        while bits < min(20 * max(n_cand, 1) * 2, 1 << 30):
+            bits <<= 1
+    words = build_bloom(cand, "a", num_bits=bits) \
+        | build_bloom(cand, "b", num_bits=bits)
     words_ref = ray.put(words)
 
     def route_partial(batch: pa.Table) -> pa.Table:
@@ -614,7 +625,8 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.8, ngram: int = 5,
 
     if n_cand > cap:
         sh_rows = _shingle_rows_sharded(
-            ds, cand, pair_shards, ngram, id_col, text_col, num_shards)
+            ds, cand, pair_shards, ngram, id_col, text_col, num_shards,
+            n_cand=n_cand)
     else:
         sh_rows = _shingle_rows_driver_csr(
             ds, cand, pair_shards, ngram, id_col, text_col)

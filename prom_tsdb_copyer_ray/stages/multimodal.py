@@ -287,10 +287,18 @@ def sample_frame_features(ds, every_ms: int = 1000,
     class FrameFeatures:
         def __init__(self) -> None:
             # under decoder='real' the inner extractor handles the
-            # NON-video rows: really decode the pure-decodable formats
-            # (video frames go through ffmpeg below)
-            self.fx = MediaFeatureExtractor(
-                decoder="pure" if decoder == "real" else decoder)
+            # NON-video rows (video frames go through ffmpeg below):
+            # pass 'real' through when PIL is actually importable so
+            # JPEG/MP3-class payloads really decode on deps-present
+            # hosts, and fall back to the pure netpbm/WAV decoder
+            # otherwise — routing every non-video row through 'pure'
+            # raised ValueError on JPEG payloads even where pillow was
+            # installed (ADVICE r3).
+            if decoder == "real":
+                inner = "real" if _try_pil() is not None else "pure"
+            else:
+                inner = decoder
+            self.fx = MediaFeatureExtractor(decoder=inner)
 
         @staticmethod
         def _ffmpeg_frame(payload: bytes, ts_ms: int) -> np.ndarray:
@@ -337,9 +345,12 @@ def sample_frame_features(ds, every_ms: int = 1000,
                     out_emb.append(feats.mean(axis=0).tolist())
                     out_n.append(len(ts))
                 elif decoder == "real":
-                    out_emb.append(
-                        self.fx._pure_decode_features(payload or b"").tolist()
-                    )
+                    # dispatch through the inner extractor's resolved
+                    # decoder (real where PIL exists, pure fallback)
+                    dec = (self.fx._real_decode_features
+                           if self.fx.decoder == "real"
+                           else self.fx._pure_decode_features)
+                    out_emb.append(dec(payload or b"").tolist())
                     out_n.append(0)
                 else:
                     out_emb.append(

@@ -10,6 +10,13 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "scale: large-synthetic-input budget tests (26k-hour grids, "
+        "capped object store, simulated multi-node)")
+
+
 @pytest.fixture(scope="session")
 def ray_session():
     import ray
