@@ -42,6 +42,54 @@ import pyarrow.parquet as pq
 from ..windows import MS_1D
 
 
+# Manifest schema version (round-3 verdict item 8): at 100 TB a
+# half-written lake from code version N must be resumable by N+1, so every
+# manifest written carries this number and load_manifest() either migrates
+# an older layout forward or fails LOUDLY — never a silent mis-resume.
+#
+#   v1 (rounds 1-3): no "version" field; {tier, status, days{...}}
+#   v2 (round 4+):   + "version"; layout otherwise identical
+MANIFEST_VERSION = 2
+
+# in-memory, loss-less migrations applied in sequence by load_manifest
+_MIGRATIONS = {
+    # v1 -> v2: layout identical, just stamp the version
+    1: lambda m: {**m, "version": 2},
+}
+
+
+class ManifestVersionError(RuntimeError):
+    """A tier manifest cannot be interpreted by this code version."""
+
+
+def _validate_and_migrate(m: dict, path: str) -> dict:
+    v = int(m.get("version", 1))
+    if v > MANIFEST_VERSION:
+        raise ManifestVersionError(
+            f"{path}: manifest version {v} was written by a NEWER code "
+            f"version than this one (understands <= {MANIFEST_VERSION}); "
+            "refusing to resume — upgrade the code or recompute the tier")
+    while v < MANIFEST_VERSION:
+        mig = _MIGRATIONS.get(v)
+        if mig is None:
+            raise ManifestVersionError(
+                f"{path}: no migration from manifest version {v}; "
+                "recompute the tier")
+        m = mig(m)
+        v = int(m["version"])
+    days = m.get("days")
+    if not isinstance(days, dict):
+        raise ManifestVersionError(
+            f"{path}: malformed manifest ('days' is "
+            f"{type(days).__name__}, expected dict); refusing to resume")
+    for day, entry in days.items():
+        if not isinstance(entry, dict) or "n_rows" not in entry:
+            raise ManifestVersionError(
+                f"{path}: malformed day entry {day!r} (missing n_rows); "
+                "refusing to resume")
+    return m
+
+
 def tier_dir(out_dir: str, tier: str) -> str:
     return os.path.join(out_dir, "tiers", tier)
 
@@ -53,9 +101,10 @@ def manifest_path(out_dir: str, tier: str) -> str:
 def load_manifest(out_dir: str, tier: str) -> dict:
     path = manifest_path(out_dir, tier)
     if not os.path.exists(path):
-        return {"tier": tier, "days": {}, "status": "empty"}
+        return {"tier": tier, "days": {}, "status": "empty",
+                "version": MANIFEST_VERSION}
     with open(path) as f:
-        return json.load(f)
+        return _validate_and_migrate(json.load(f), path)
 
 
 def _atomic_write_json(path: str, obj: dict) -> None:
@@ -208,6 +257,7 @@ def write_tier(ds, out_dir: str, tier: str, group_window_ms: int | None = None) 
             }
     manifest["status"] = "complete"
     manifest["tier"] = tier
+    manifest["version"] = MANIFEST_VERSION
     _atomic_write_json(manifest_path(out_dir, tier), manifest)
     return manifest
 
@@ -321,6 +371,7 @@ def apply_retention_to_tier(out_dir: str, tier: str, cutoff_ms: int) -> list[int
     )
     manifest["status"] = manifest.get("status", "complete")
     manifest["tier"] = tier
+    manifest["version"] = MANIFEST_VERSION
     _atomic_write_json(manifest_path(out_dir, tier), manifest)
     return deleted
 

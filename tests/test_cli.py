@@ -250,3 +250,16 @@ def test_query_cli_rejects_unknown(tmp_path):
     )
     assert proc.returncode == 2
     assert "unknown query" in proc.stderr
+
+
+def test_bench_regression_gate_logic():
+    """bench.py's per-query regression gate (round-3 verdict item 5):
+    >1.5x slower AND >0.5 s absolute delta, worst-first."""
+    import bench
+
+    prior = {"a": 1.0, "b": 0.1, "c": 5.0, "d": 2.0}
+    now = {"a": 2.0, "b": 0.4, "c": 5.2, "d": 3.5, "e": 9.9}
+    got = bench.find_regressions(now, prior)
+    assert [r["query"] for r in got] == ["a", "d"]
+    assert got[0]["ratio"] == 2.0
+    assert bench.find_regressions(now, {}) == []
