@@ -52,16 +52,23 @@ HEADLINE_QUERIES = [
 ]
 
 
-def _init_ray(num_cpus: int):
+def _init_ray(num_cpus: int, object_store_gb: float | None = None):
     import ray
 
     if not ray.is_initialized():
+        kwargs = {}
+        if object_store_gb is not None:
+            # capped-store mode (BASELINE.md spill protocol): prove the
+            # streaming executor spills instead of OOMing when plasma is
+            # far below the shuffle working set — at 100 TB it always is
+            kwargs["object_store_memory"] = int(object_store_gb * (1 << 30))
         ray.init(
             address="local",
             num_cpus=num_cpus,
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            **kwargs,
         )
     from ray.data import DataContext
 
@@ -261,6 +268,23 @@ def run_queries(sf_dir: str) -> dict:
     return out
 
 
+def _spill_stats_mb() -> float | None:
+    """Bytes spilled to disk by the object store this session (MB), from
+    Ray's memory summary; None if the summary reports no spilling."""
+    import re
+
+    import ray
+    from ray._private.internal_api import memory_summary
+
+    try:
+        s = memory_summary(
+            ray._private.worker._global_node.address, stats_only=True)
+    except Exception:
+        return None
+    m = re.search(r"Spilled (\d+) MiB", s)
+    return float(m.group(1)) if m else None
+
+
 def find_regressions(queries: dict, prior: dict,
                      ratio: float = 1.5, floor_s: float = 0.5) -> list:
     """Queries that got > ``ratio`` x slower than the prior round's
@@ -288,6 +312,8 @@ def main() -> None:
                     help="repeat doc text N times for CC-realistic page sizes")
     ap.add_argument("--scaling-cpus", default="8,32",
                     help="comma pair N,4N for the --scaling runs")
+    ap.add_argument("--object-store-gb", type=float, default=None,
+                    help="cap ray.init object_store_memory (spill proof)")
     args = ap.parse_args()
     # --scaling defaults to the compute-dominated corpus (800k x ~10 KB
     # pages): on the light per-round corpus the ~8 s fixed pipeline latency
@@ -345,7 +371,7 @@ def main() -> None:
         }))
         return
 
-    _init_ray(args.cpus)
+    _init_ray(args.cpus, args.object_store_gb)
     import ray
 
     flag = run_flagship(args.sf_dir, args.replicate, args.heavy)
@@ -375,6 +401,9 @@ def main() -> None:
         "points_per_s": round(flag["points_per_s"], 1),
         "peak_rss_mb": flag.get("peak_rss_mb"),
     }
+    if args.object_store_gb is not None:
+        headline["object_store_gb"] = args.object_store_gb
+        headline["spilled_mb"] = _spill_stats_mb()
     if not args.flagship_only:
         # Per-query regression gate (round-3 verdict item 5): diff this
         # run's timings against the previous BENCH_DETAIL.json (i.e. the

@@ -21,6 +21,7 @@ import pyarrow.compute as pc
 from ..functions.matchers import Matcher, make_filter_fn
 from ..functions.relabel import make_relabel_fn
 from ..windows import MS_1D, MS_1H, MS_5M, aligned_windows, ts_to_ms, window_start
+from .registry import GuardedRegistry
 
 # composite (ts, id) ordering trick: ts_ms * 2^22 + id is order-preserving
 # while id < 4,194,304 (testdata event_id max ~1e5 at sf1)
@@ -6824,7 +6825,12 @@ def q_longest_streak(sf_dir: str):
     )
 
 
-QUERIES = {
+# collision-proof registries: duplicate names raise at import (round-3
+# verdict item 6 — dict.update silently shadowed four wave names once)
+QUERIES = GuardedRegistry("QUERIES")
+ORACLE_SQL = GuardedRegistry("ORACLE_SQL")
+
+QUERIES.update({
     "rollup_5m": q_rollup_5m,
     "rollup_1h": q_rollup_1h,
     "rollup_1d": q_rollup_1d,
@@ -7040,7 +7046,7 @@ QUERIES = {
     "audio_pure_rms": q_audio_pure_rms,
     "entropy_rate": q_entropy_rate,
     "longest_streak": q_longest_streak,
-}
+})
 
 # TPC-H completion wave (pipelines/relational.py): the remaining canonical
 # join plans adapted to this star schema — broadcast/semi/anti joins,
@@ -7142,7 +7148,7 @@ QUERIES.update({
 })
 
 
-ORACLE_SQL = {
+ORACLE_SQL.update({
     "pivot_events": """
         SELECT user_id,
             """ + ", ".join(
@@ -8990,7 +8996,7 @@ ORACLE_SQL = {
         SELECT event_type, CAST(max(len) AS BIGINT) AS streak
         FROM r GROUP BY 1
     """,
-}
+})
 
 # --- fixture-join oracles for the hash pipelines ----------------------------
 # No tractable pure-SQL expression exists for the rolling-hash / MinHash /

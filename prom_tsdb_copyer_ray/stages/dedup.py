@@ -434,12 +434,17 @@ def _shingle_rows_driver_csr(ds, cand, pair_shards_fn, ngram: int,
             np.cumsum(reps) - reps, reps
         )
         shards = fl[off[spos][row] + within]
+        # large_binary: the CSR expansion replicates each doc's shingle
+        # bytes into every pair shard that needs it, and at a 50k-doc
+        # corpus one expanded batch crossed binary()'s int32 offset
+        # limit ("offset overflow while concatenating arrays" — found by
+        # the round-4 sf1 sweep)
         payloads = pa.array(
             [
                 char_ngram_hashes(t or "", ngram).view(np.int64).tobytes()
                 for t in sel[text_col].to_pylist()
             ],
-            pa.binary(),
+            pa.large_binary(),
         )
         return pa.table(
             {
@@ -501,7 +506,7 @@ def _shingle_rows_sharded(ds, cand, pair_shards_fn, ngram: int,
         t = pa.table({
             "key": pa.array(key, pa.int64()),
             "_pshard": pa.array(sh, pa.int64()),
-            "payload": pa.nulls(len(key), pa.binary()),
+            "payload": pa.nulls(len(key), pa.large_binary()),
             "_side": pa.array(np.zeros(len(key), np.int64)),
         })
         rsh = (_mix64(key.astype(np.uint64))
@@ -516,7 +521,7 @@ def _shingle_rows_sharded(ds, cand, pair_shards_fn, ngram: int,
         payloads = pa.array(
             [char_ngram_hashes(t or "", ngram).view(np.int64).tobytes()
              for t in sel[text_col].to_pylist()],
-            pa.binary(),
+            pa.large_binary(),
         )
         t = pa.table({
             "key": pa.array(sid, pa.int64()),
@@ -538,7 +543,7 @@ def _shingle_rows_sharded(ds, cand, pair_shards_fn, ngram: int,
             "key": pa.array([], pa.int64()),
             "a": pa.array([], pa.int64()),
             "b": pa.array([], pa.int64()),
-            "payload": pa.array([], pa.binary()),
+            "payload": pa.array([], pa.large_binary()),
         })
         if rt.num_rows == 0 or pl.num_rows == 0:
             return empty
@@ -640,7 +645,7 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.8, ngram: int = 5,
                 "key": pa.nulls(len(a_np), pa.int64()),
                 "a": pa.array(a_np),
                 "b": pa.array(b_np),
-                "payload": pa.nulls(len(a_np), pa.binary()),
+                "payload": pa.nulls(len(a_np), pa.large_binary()),
             }
         )
 
@@ -956,8 +961,14 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
         norms[norms == 0] = 1.0
         unit = vecs / norms[:, None]
         t_id = int(group["table"][0].as_py()) if group.num_rows else 0
+        # num_planes=0 is the documented EXACT mode: the cap's median
+        # split would silently drop cross-cut pairs once the corpus
+        # outgrows max_bucket (surfaced by the round-4 10x sf1 sweep —
+        # 2k vectors never split, 20k lost ~half the oracle's pairs), so
+        # exact mode always takes the blockwise O(block x n)-memory scan
+        cap = max_bucket if num_planes else len(uniq) + 1
         a, b, s = _bucket_pairs_capped(
-            uniq.astype(np.int64), unit, threshold, max_bucket,
+            uniq.astype(np.int64), unit, threshold, cap,
             seed=table_seed["v"] * 31 + t_id,
         )
         return pa.table(

@@ -12,6 +12,7 @@ raw — the driver normalizes first, so this script must too.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -43,6 +44,12 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    exclude: set[str] = set()
+    if only and any(n.startswith("-") for n in only):
+        # "-a,b,c" = full battery MINUS the named queries (for big-corpus
+        # sweeps where a few ORACLES are data-quadratic in DuckDB)
+        exclude = {n.lstrip("-") for n in only}
+        only = None
 
     import ray
 
@@ -60,9 +67,10 @@ def main() -> int:
     fails, n_run = [], 0
     t0 = time.time()
     for name in sorted(qs):
-        if name not in osql or (only and name not in only):
+        if name not in osql or (only and name not in only) or name in exclude:
             continue
         n_run += 1
+        tq = time.time()
         try:
             got = qs[name](sf_dir)
             got = got.to_pandas() if hasattr(got, "to_pandas") else got
@@ -70,6 +78,8 @@ def main() -> int:
             assert list(g.columns) == list(w.columns), (
                 f"cols {list(g.columns)} != {list(w.columns)}")
             pd.testing.assert_frame_equal(g, w, check_dtype=False)
+            if os.environ.get("SWEEP_VERBOSE"):
+                print(f"ok {name} {time.time() - tq:.1f}s", flush=True)
         except Exception as ex:  # noqa: BLE001 - report and continue
             fails.append(name)
             print(f"FAIL {name}: {str(ex)[:200]}", flush=True)

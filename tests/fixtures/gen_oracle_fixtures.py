@@ -29,6 +29,9 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+# extra corpora (e.g. the 10x sf1 replica from scripts/make_sf1.py): the
+# corpus_key tagging makes fixtures additive across any number of dirs
+SF_DIRS += [d for d in os.environ.get("GRAFT_EXTRA_SF_DIRS", "").split(",") if d]
 OUT_DIR = os.path.dirname(os.path.abspath(__file__))
 
 MASK64 = (1 << 64) - 1

@@ -658,3 +658,39 @@ def test_ivf_index_append_online(ray_session, tmp_path):
         if f.startswith("append-")
     ]
     assert append_files
+
+
+def test_exact_mode_bypasses_bucket_cap(ray_session):
+    """num_planes=0 is the documented EXACT all-pairs mode, so it must
+    NOT lose pairs to the bucket cap's median split once the corpus
+    outgrows max_bucket (round-4 sf1 sweep: 20k vectors returned ~half
+    the oracle's pairs).  Force the escalation with a tiny cap and
+    compare against the brute-force pair set."""
+    import ray.data
+
+    from prom_tsdb_copyer_ray.stages.dedup import embedding_neardup_pairs
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(40, 8)
+    # plant near-dup structure: 40 seeds + 3 jittered copies each
+    vecs = np.concatenate([base + 0.02 * rng.randn(40, 8)
+                           for _ in range(4)])
+    ids = np.arange(len(vecs), dtype=np.int64)
+    unit = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+    sims = unit @ unit.T
+    thr = 0.99
+    want = {(int(i), int(j))
+            for i in range(len(ids)) for j in range(i + 1, len(ids))
+            if sims[i, j] >= thr}
+    t = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([list(v) for v in vecs],
+                              pa.list_(pa.float64())),
+    })
+    got = embedding_neardup_pairs(
+        ray.data.from_arrow(t), threshold=thr, num_planes=0,
+        max_bucket=8,  # far below 160 vectors: the cap MUST be bypassed
+    ).to_pandas()
+    got_pairs = {(int(a), int(b)) for a, b in got[["a", "b"]].values}
+    assert got_pairs == want
+    assert len(want) >= 200  # the planted structure is non-trivial
