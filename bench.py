@@ -269,20 +269,24 @@ def run_queries(sf_dir: str) -> dict:
 
 
 def _spill_stats_mb() -> float | None:
-    """Bytes spilled to disk by the object store this session (MB), from
-    Ray's memory summary; None if the summary reports no spilling."""
+    """MiB spilled to disk by the object store this session, parsed from the
+    raylet's periodic ':info_message:Spilled N MiB' log lines (cumulative —
+    the last one wins).  The grpc-based ``memory_summary`` API is unavailable
+    in this container, so the raylet log is the source of truth; returns None
+    when the session never spilled (no such line)."""
     import re
 
     import ray
-    from ray._private.internal_api import memory_summary
 
     try:
-        s = memory_summary(
-            ray._private.worker._global_node.address, stats_only=True)
+        logs = os.path.join(
+            ray._private.worker._global_node.get_session_dir_path(), "logs")
+        with open(os.path.join(logs, "raylet.out"), errors="replace") as fh:
+            tail = fh.read()
     except Exception:
         return None
-    m = re.search(r"Spilled (\d+) MiB", s)
-    return float(m.group(1)) if m else None
+    hits = re.findall(r"Spilled (\d+) MiB", tail)
+    return float(hits[-1]) if hits else None
 
 
 def find_regressions(queries: dict, prior: dict,
@@ -404,6 +408,25 @@ def main() -> None:
     if args.object_store_gb is not None:
         headline["object_store_gb"] = args.object_store_gb
         headline["spilled_mb"] = _spill_stats_mb()
+    # compact pointer to the round's measured scale evidence (sf1 10x
+    # flagship, capped-store spill proof, simulated multinode) so the
+    # driver-recorded BENCH line carries it; full detail + commands in
+    # SCALE_EVIDENCE.json and BASELINE.md
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "SCALE_EVIDENCE.json")) as fh:
+            ev = json.load(fh)
+        headline["scale_evidence"] = {
+            "sf1_n_pages": ev["sf1_flagship"]["n_pages"],
+            "sf1_wall_s": ev["sf1_flagship"]["best_wall_s"],
+            "sf1_pages_per_s": ev["sf1_flagship"]["pages_per_s"],
+            "capped_1gb_wall_s": ev["capped_object_store"][1]["wall_s"],
+            "capped_1gb_spilled_mb": ev["capped_object_store"][1]["spilled_mb"],
+            "multinode_4x8_pages_per_s": ev["simulated_multinode"][1]["pages_per_s"],
+            "detail": "SCALE_EVIDENCE.json",
+        }
+    except (FileNotFoundError, KeyError, IndexError, json.JSONDecodeError):
+        pass
     if not args.flagship_only:
         # Per-query regression gate (round-3 verdict item 5): diff this
         # run's timings against the previous BENCH_DETAIL.json (i.e. the

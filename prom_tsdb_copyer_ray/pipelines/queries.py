@@ -34,6 +34,25 @@ def _read(sf_dir: str, name: str, columns=None):
     return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
+def _collect_stable(ds):
+    """``to_pandas`` that survives an ALL-EMPTY Dataset: Ray drops the
+    schema of zero-row results (``to_pandas()`` -> a (0, 0) frame), which
+    breaks the driver's column-sorted compare against a DuckDB oracle that
+    correctly returns 0 rows WITH columns.  Found by the sf1 sweep —
+    ``absent_series`` is legitimately empty at 10x user density.  Only for
+    queries whose results are bounded by construction (censuses, alert
+    complements); big results must stay lazy Datasets."""
+    import pandas as pd
+
+    df = ds.to_pandas()
+    if len(df.columns) == 0:
+        sch = ds.schema()
+        df = pd.DataFrame(
+            {n: pd.Series([], dtype=t.to_pandas_dtype())
+             for n, t in zip(sch.names, sch.types)})
+    return df
+
+
 def _finalize(ds, renames: dict[str, str], rounds: dict[str, int] | None = None):
     """Rename aggregate columns and apply fixed rounding (both small maps)."""
 
@@ -5206,7 +5225,9 @@ def q_absent_series(sf_dir: str):
         t = batch.filter(pc.equal(batch["n"], 0))
         return t.select(["event_type", "window_start"])
 
-    return summed.map_batches(only_absent, batch_format="pyarrow")
+    # bounded by types x calendar slots; collected schema-stably because a
+    # dense-enough corpus (sf1: 10x users, same span) makes this EMPTY
+    return _collect_stable(summed.map_batches(only_absent, batch_format="pyarrow"))
 
 
 def q_tpch_q14(sf_dir: str):

@@ -28,6 +28,10 @@ from gen_oracle_fixtures import (  # noqa: E402
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+# extra corpora (e.g. the 10x sf1 replica) — same hook as
+# gen_oracle_fixtures.py; the round-4 sf1 sweep caught that this file and
+# gen_oracle_fixtures3.py were missing it (their oracles returned 0 rows)
+SF_DIRS += [d for d in os.environ.get("GRAFT_EXTRA_SF_DIRS", "").split(",") if d]
 
 THETA_K = 256
 

@@ -21,6 +21,10 @@ import pyarrow.parquet as pq
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+# extra corpora (e.g. the 10x sf1 replica) — same hook as
+# gen_oracle_fixtures.py; the round-4 sf1 sweep caught that this file and
+# gen_oracle_fixtures2.py were missing it (their oracles returned 0 rows)
+SF_DIRS += [d for d in os.environ.get("GRAFT_EXTRA_SF_DIRS", "").split(",") if d]
 
 MS_5M = 300_000
 N_OUT = 50
