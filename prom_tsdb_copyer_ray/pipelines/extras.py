@@ -1044,8 +1044,10 @@ def q_ndcg_at_k(sf_dir: str):
         "lang": pa.array(out["lang"], pa.string()),
         "dcg": pa.array([round(d / 1000000.0, 6) for d in out["dcg_f"]],
                         pa.float64()),
+        # ndcg := 0 when every top-k grade is 0 (idcg = 0) — hit at sf1,
+        # where replica-shifted doc_ids preserve id % 4 (oracle mirrors)
         "ndcg": pa.array(
-            [round(float(d) / float(i), 6)
+            [0.0 if i == 0 else round(float(d) / float(i), 6)
              for d, i in zip(out["dcg_f"], out["idcg_f"])],
             pa.float64()),
     })

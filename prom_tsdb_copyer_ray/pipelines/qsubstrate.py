@@ -34,9 +34,10 @@ def _collect_stable(ds):
     df = ds.to_pandas()
     if len(df.columns) == 0:
         sch = ds.schema()
-        df = pd.DataFrame(
-            {n: pd.Series([], dtype=t.to_pandas_dtype())
-             for n, t in zip(sch.names, sch.types)})
+        if sch is not None:  # row-lambda stages can erase even the schema
+            df = pd.DataFrame(
+                {n: pd.Series([], dtype=t.to_pandas_dtype())
+                 for n, t in zip(sch.names, sch.types)})
     return df
 
 

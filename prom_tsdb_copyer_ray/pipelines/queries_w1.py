@@ -7,6 +7,7 @@ from .qsubstrate import (  # noqa: F401
     MS_5M,
     Matcher,
     _COMP,
+    _collect_stable,
     _finalize,
     _read,
     _rollup_events,
@@ -2948,10 +2949,12 @@ def q_k_anonymity(sf_dir: str):
         ds.map_batches(partial, batch_format="pyarrow"),
         ["lang", "source"], [("n_docs", "sum")], num_shards=8,
     )
-    return counts.map_batches(
+    # bounded by distinct (lang, source); collected schema-stably because a
+    # dense corpus (sf1: 10x docs) has NO under-k combos -> empty result
+    return _collect_stable(counts.map_batches(
         lambda b: b.filter(pc.less(b["n_docs"], K_ANON)),
         batch_format="pyarrow",
-    )
+    ))
 
 
 def q_dup_spans(sf_dir: str):

@@ -1610,8 +1610,12 @@ ORACLE_SQL.update(
                    FROM i GROUP BY 1)
             SELECT d.lang,
                    round(CAST(d.dcg_f AS DOUBLE) / 1000000.0, 6) AS dcg,
-                   round(CAST(d.dcg_f AS DOUBLE)
-                         / CAST(ii.idcg_f AS DOUBLE), 6) AS ndcg
+                   -- ndcg := 0 when every top-k grade is 0 (idcg = 0);
+                   -- hit at sf1, where replica-shifted ids keep id%4
+                   round(CASE WHEN ii.idcg_f = 0 THEN 0.0
+                              ELSE CAST(d.dcg_f AS DOUBLE)
+                                   / CAST(ii.idcg_f AS DOUBLE) END,
+                         6) AS ndcg
             FROM d JOIN ii USING (lang) ORDER BY 1
         """,
     }

@@ -1921,15 +1921,18 @@ ORACLE_SQL.update(
                                       * (dev * dev))) AS HUGEINT) AS s2
                    FROM sc GROUP BY 1, 2, 3, 4)
             SELECT ta AS type_a, tb AS type_b,
-                   round(CASE WHEN na + nb < 2
-                                   OR CAST(na AS HUGEINT) * nb
-                                      * ((na + nb) * s2 - s1 * s1)
+                   -- variance numerator as TWO doubles multiplied in IEEE
+                   -- (mirrors stats5._perm_z): the exact triple product
+                   -- overflows INT128 at sf1 for 4th-moment score tests
+                   round(CASE WHEN na + nb < 2 OR na * nb = 0
+                                   OR (na + nb) * s2 - s1 * s1
                                       <= 0 THEN 0.0
                               ELSE CAST((na + nb) * t - na * s1
                                         AS DOUBLE)
                                    / sqrt(CAST(CAST(na AS HUGEINT) * nb
-                                               * ((na + nb) * s2
-                                                  - s1 * s1) AS DOUBLE)
+                                               AS DOUBLE)
+                                          * CAST((na + nb) * s2
+                                                 - s1 * s1 AS DOUBLE)
                                           / CAST(na + nb - 1
                                                  AS DOUBLE)) END,
                          6) AS mood_z
@@ -1964,15 +1967,18 @@ ORACLE_SQL.update(
                                AS HUGEINT) AS s2
                    FROM blk GROUP BY 1, 2, 3, 4)
             SELECT ta AS type_a, tb AS type_b,
-                   round(CASE WHEN na + nb < 2
-                                   OR CAST(na AS HUGEINT) * nb
-                                      * ((na + nb) * s2 - s1 * s1)
+                   -- variance numerator as TWO doubles multiplied in IEEE
+                   -- (mirrors stats5._perm_z): the exact triple product
+                   -- overflows INT128 at sf1 for 4th-moment score tests
+                   round(CASE WHEN na + nb < 2 OR na * nb = 0
+                                   OR (na + nb) * s2 - s1 * s1
                                       <= 0 THEN 0.0
                               ELSE CAST((na + nb) * t - na * s1
                                         AS DOUBLE)
                                    / sqrt(CAST(CAST(na AS HUGEINT) * nb
-                                               * ((na + nb) * s2
-                                                  - s1 * s1) AS DOUBLE)
+                                               AS DOUBLE)
+                                          * CAST((na + nb) * s2
+                                                 - s1 * s1 AS DOUBLE)
                                           / CAST(na + nb - 1
                                                  AS DOUBLE)) END,
                          6) AS savage_z
@@ -2081,7 +2087,11 @@ ORACLE_SQL.update(
                         FROM rt CROSS JOIN ct
                         LEFT JOIN c ON c.et = rt.et AND c.dow = ct.dow),
             ag AS (SELECT CAST(sum(CAST(floor(1e6 * sqrt(
-                               CAST(cell * r * cc * tt.n AS DOUBLE)))
+                               -- exact 128-bit product, then ONE rounding:
+                               -- matches Python's float(cell*r*cc*n) exactly;
+                               -- the naive INT64 product overflows at sf1
+                               CAST(CAST(cell AS HUGEINT) * r * cc * tt.n
+                                    AS DOUBLE)))
                                AS BIGINT)) AS HUGEINT) AS s
                    FROM cells CROSS JOIN tt)
             SELECT tt.n,
@@ -2154,31 +2164,30 @@ ORACLE_SQL.update(
                                AS HUGEINT) AS s2ab
                    FROM sc GROUP BY 1, 2, 3, 4),
             zz AS (SELECT ta, tb,
-                          CASE WHEN na + nb < 2
-                                    OR CAST(na AS HUGEINT) * nb
-                                       * ((na + nb) * s2w - s1w * s1w)
+                          -- two-double variance product, mirrors _perm_z
+                          CASE WHEN na + nb < 2 OR na * nb = 0
+                                    OR (na + nb) * s2w - s1w * s1w
                                        <= 0 THEN 0.0
                                ELSE CAST((na + nb) * tw - na * s1w
                                          AS DOUBLE)
                                     / sqrt(CAST(CAST(na AS HUGEINT)
-                                                * nb * ((na + nb) * s2w
-                                                        - s1w * s1w)
-                                                AS DOUBLE)
+                                                * nb AS DOUBLE)
+                                           * CAST((na + nb) * s2w
+                                                  - s1w * s1w AS DOUBLE)
                                            / CAST(na + nb - 1
                                                   AS DOUBLE)) END
                               AS zw,
-                          CASE WHEN na + nb < 2
-                                    OR CAST(na AS HUGEINT) * nb
-                                       * ((na + nb) * s2ab
-                                          - s1ab * s1ab)
+                          CASE WHEN na + nb < 2 OR na * nb = 0
+                                    OR (na + nb) * s2ab
+                                       - s1ab * s1ab
                                        <= 0 THEN 0.0
                                ELSE CAST((na + nb) * tab - na * s1ab
                                          AS DOUBLE)
                                     / sqrt(CAST(CAST(na AS HUGEINT)
-                                                * nb
-                                                * ((na + nb) * s2ab
-                                                   - s1ab * s1ab)
-                                                AS DOUBLE)
+                                                * nb AS DOUBLE)
+                                           * CAST((na + nb) * s2ab
+                                                  - s1ab * s1ab
+                                                  AS DOUBLE)
                                            / CAST(na + nb - 1
                                                   AS DOUBLE)) END
                               AS zab

@@ -1742,13 +1742,20 @@ def q_rs_hurst(sf_dir: str):
 
 def _perm_z(t_stat: int, s1: int, s2: int, n1: int, n2: int) -> float:
     big_n = n1 + n2
-    if big_n < 2:
+    if big_n < 2 or n1 == 0 or n2 == 0:
         return 0.0
     num = big_n * t_stat - n1 * s1
-    var_num = n1 * n2 * (big_n * s2 - s1 * s1)
-    if var_num <= 0:
+    # the variance numerator n1*n2*(N*s2 - s1^2) is kept as TWO exact
+    # integers rounded separately and multiplied in IEEE double: the single
+    # exact product exceeds DuckDB's INT128 for 4th-moment scores at sf1
+    # (mood: dev^4 terms; savage: 1e8-scaled scores), so the oracle CANNOT
+    # mirror a one-rounding float(exact_product) — both sides now do
+    # float(n1*n2) * float(N*s2 - s1^2), bit-identical ops in either engine
+    vn2 = big_n * s2 - s1 * s1
+    if vn2 <= 0:
         return 0.0
-    return float(num) / math.sqrt(float(var_num) / float(big_n - 1))
+    var_d = float(n1 * n2) * float(vn2)
+    return float(num) / math.sqrt(var_d / float(big_n - 1))
 
 
 def q_mood_squared_ranks(sf_dir: str):

@@ -45,3 +45,47 @@ def test_live_registries_are_guarded():
         QUERIES.update({name: QUERIES[name]})
     with pytest.raises(ValueError, match="duplicate"):
         ORACLE_SQL.update({next(iter(ORACLE_SQL)): "SELECT 1"})
+
+
+def test_collect_stable_preserves_schema_of_empty_results():
+    """Ray drops the schema of an all-empty Dataset (``to_pandas`` returns a
+    (0, 0) frame), which broke the driver compare for ``absent_series`` at
+    sf1 density (round-4 sweep).  ``_collect_stable`` must rebuild the
+    columns from the Dataset schema."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from prom_tsdb_copyer_ray.pipelines.queries import _collect_stable
+
+    def empty(batch: pa.Table) -> pa.Table:
+        return batch.slice(0, 0)  # schema-preserving empty, like only_absent
+
+    def make():
+        return ray.data.from_arrow(
+            pa.table({"a": pa.array([1, 2], pa.int64()),
+                      "b": pa.array(["x", "y"], pa.string())})
+        ).map_batches(empty, batch_format="pyarrow")
+
+    assert len(make().to_pandas().columns) == 0  # the Ray quirk this guards
+    df = _collect_stable(make())
+    assert list(df.columns) == ["a", "b"]
+    assert len(df) == 0
+    assert df["a"].dtype == "int64" and df["b"].dtype == object
+    # non-empty path untouched
+    df2 = _collect_stable(ray.data.from_pandas(pd.DataFrame({"a": [1]})))
+    assert df2.shape == (1, 1)
+
+
+def test_split_modules_only_via_aggregator():
+    """The queries_w* chunks register into the shared registries at import;
+    importing them through the aggregator must be idempotent (sys.modules
+    caching), i.e. a second import never re-registers."""
+    import importlib
+
+    import prom_tsdb_copyer_ray.pipelines.queries as q
+
+    before = len(q.QUERIES)
+    importlib.import_module("prom_tsdb_copyer_ray.pipelines.queries_w1")
+    importlib.import_module("prom_tsdb_copyer_ray.pipelines.qsubstrate")
+    assert len(q.QUERIES) == before
