@@ -261,6 +261,99 @@ def extract_media_features(ds, concurrency=(1, 4), batch_size: int = 64, decoder
     )
 
 
+class FrameFeatures:
+    """Actor for :func:`sample_frame_features`: frame-sample -> per-frame
+    feature -> mean-pool inside one batch.
+
+    Module-level (NOT a closure class) so Ray pickles it BY REFERENCE and
+    each worker resolves ``_try_pil`` / ``MediaFeatureExtractor`` against
+    its OWN import of this module — a closure class is pickled by value
+    and captures the driver's module globals into the actor blob, which
+    both bloats the blob and (as a hung round-4 test showed) can drag
+    driver-only objects into workers that cannot import them.
+    """
+
+    def __init__(self, every_ms: int = 1000, decoder: str = "fake") -> None:
+        self.every_ms = every_ms
+        self.decoder = decoder
+        # under decoder='real' the inner extractor handles the
+        # NON-video rows (video frames go through ffmpeg below):
+        # pass 'real' through when PIL is actually importable so
+        # JPEG/MP3-class payloads really decode on deps-present
+        # hosts, and fall back to the pure netpbm/WAV decoder
+        # otherwise — routing every non-video row through 'pure'
+        # raised ValueError on JPEG payloads even where pillow was
+        # installed (ADVICE r3).
+        if decoder == "real":
+            inner = "real" if _try_pil() is not None else "pure"
+        else:
+            inner = decoder
+        self.fx = MediaFeatureExtractor(decoder=inner)
+
+    @staticmethod
+    def _ffmpeg_frame(payload: bytes, ts_ms: int) -> np.ndarray:
+        """Seek-decode ONE frame via the ffmpeg binary to PGM on a
+        pipe, then the pure raster feature — only reachable where
+        _try_ffmpeg() found the binary."""
+        import os as _os
+        import subprocess
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(delete=False) as f:
+            f.write(payload or b"")
+            path = f.name
+        try:
+            out = subprocess.run(
+                ["ffmpeg", "-v", "error", "-ss", f"{ts_ms / 1000:.3f}",
+                 "-i", path, "-frames:v", "1", "-f", "image2pipe",
+                 "-vcodec", "pgm", "pipe:1"],
+                capture_output=True, check=True,
+            ).stdout
+        finally:
+            _os.unlink(path)
+        return (_grid_pool(_gray(decode_netpbm(out)), 4, 4) / 255.0).ravel()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        kinds = batch["kind"].to_pylist()
+        durs = batch["duration_ms"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        out_emb, out_n = [], []
+        for mid, kind, dur, payload in zip(ids, kinds, durs, payloads):
+            if kind == "video" and dur:
+                ts = list(range(0, dur, self.every_ms))
+                if self.decoder == "real":
+                    feats = np.stack([
+                        self._ffmpeg_frame(payload, t) for t in ts])
+                else:
+                    feats = np.stack([
+                        self.fx._fake_decode_features(
+                            (payload or b"") + t.to_bytes(4, "little")
+                        )
+                        for t in ts
+                    ])
+                out_emb.append(feats.mean(axis=0).tolist())
+                out_n.append(len(ts))
+            elif self.decoder == "real":
+                # dispatch through the inner extractor's resolved
+                # decoder (real where PIL exists, pure fallback)
+                dec = (self.fx._real_decode_features
+                       if self.fx.decoder == "real"
+                       else self.fx._pure_decode_features)
+                out_emb.append(dec(payload or b"").tolist())
+                out_n.append(0)
+            else:
+                out_emb.append(
+                    self.fx._fake_decode_features(payload or b"").tolist()
+                )
+                out_n.append(0)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "n_frames": pa.array(out_n, pa.int64()),
+            "embedding": pa.array(out_emb, pa.list_(pa.float64())),
+        })
+
+
 def sample_frame_features(ds, every_ms: int = 1000,
                           concurrency=(1, 4), batch_size: int = 64,
                           decoder: str = "fake"):
@@ -284,87 +377,9 @@ def sample_frame_features(ds, every_ms: int = 1000,
             "(sample_pure_video_frames)"
         )
 
-    class FrameFeatures:
-        def __init__(self) -> None:
-            # under decoder='real' the inner extractor handles the
-            # NON-video rows (video frames go through ffmpeg below):
-            # pass 'real' through when PIL is actually importable so
-            # JPEG/MP3-class payloads really decode on deps-present
-            # hosts, and fall back to the pure netpbm/WAV decoder
-            # otherwise — routing every non-video row through 'pure'
-            # raised ValueError on JPEG payloads even where pillow was
-            # installed (ADVICE r3).
-            if decoder == "real":
-                inner = "real" if _try_pil() is not None else "pure"
-            else:
-                inner = decoder
-            self.fx = MediaFeatureExtractor(decoder=inner)
-
-        @staticmethod
-        def _ffmpeg_frame(payload: bytes, ts_ms: int) -> np.ndarray:
-            """Seek-decode ONE frame via the ffmpeg binary to PGM on a
-            pipe, then the pure raster feature — only reachable where
-            _try_ffmpeg() found the binary."""
-            import os as _os
-            import subprocess
-            import tempfile
-
-            with tempfile.NamedTemporaryFile(delete=False) as f:
-                f.write(payload or b"")
-                path = f.name
-            try:
-                out = subprocess.run(
-                    ["ffmpeg", "-v", "error", "-ss", f"{ts_ms / 1000:.3f}",
-                     "-i", path, "-frames:v", "1", "-f", "image2pipe",
-                     "-vcodec", "pgm", "pipe:1"],
-                    capture_output=True, check=True,
-                ).stdout
-            finally:
-                _os.unlink(path)
-            return (_grid_pool(_gray(decode_netpbm(out)), 4, 4) / 255.0).ravel()
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch["media_id"].to_pylist()
-            kinds = batch["kind"].to_pylist()
-            durs = batch["duration_ms"].to_pylist()
-            payloads = batch["payload"].to_pylist()
-            out_emb, out_n = [], []
-            for mid, kind, dur, payload in zip(ids, kinds, durs, payloads):
-                if kind == "video" and dur:
-                    ts = list(range(0, dur, every_ms))
-                    if decoder == "real":
-                        feats = np.stack([
-                            self._ffmpeg_frame(payload, t) for t in ts])
-                    else:
-                        feats = np.stack([
-                            self.fx._fake_decode_features(
-                                (payload or b"") + t.to_bytes(4, "little")
-                            )
-                            for t in ts
-                        ])
-                    out_emb.append(feats.mean(axis=0).tolist())
-                    out_n.append(len(ts))
-                elif decoder == "real":
-                    # dispatch through the inner extractor's resolved
-                    # decoder (real where PIL exists, pure fallback)
-                    dec = (self.fx._real_decode_features
-                           if self.fx.decoder == "real"
-                           else self.fx._pure_decode_features)
-                    out_emb.append(dec(payload or b"").tolist())
-                    out_n.append(0)
-                else:
-                    out_emb.append(
-                        self.fx._fake_decode_features(payload or b"").tolist()
-                    )
-                    out_n.append(0)
-            return pa.table({
-                "media_id": pa.array(ids, pa.int64()),
-                "n_frames": pa.array(out_n, pa.int64()),
-                "embedding": pa.array(out_emb, pa.list_(pa.float64())),
-            })
-
     return ds.map_batches(
         FrameFeatures,
+        fn_constructor_kwargs={"every_ms": every_ms, "decoder": decoder},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

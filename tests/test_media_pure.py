@@ -244,17 +244,17 @@ def test_real_decoder_lights_up_with_pil(monkeypatch):
 
 
 def test_frame_features_real_routes_nonvideo_through_real(monkeypatch):
-    """sample_frame_features(decoder='real') must hand NON-video rows to
-    the REAL decoder when PIL is importable (ADVICE r3: routing them
-    through 'pure' raised ValueError on JPEG-class payloads even on
-    deps-present hosts).  Proven with the fake PIL + a fake ffmpeg
-    PATH probe; only non-video rows are fed so ffmpeg is never run."""
-    import ray.data
-
+    """FrameFeatures(decoder='real') must hand NON-video rows to the REAL
+    decoder when PIL is importable (ADVICE r3: routing them through
+    'pure' raised ValueError on JPEG-class payloads even on deps-present
+    hosts).  The actor class is exercised IN-PROCESS: a monkeypatched
+    _try_pil cannot cross the Ray worker boundary — pickling a patched
+    global into the actor blob is exactly the bug the module-level
+    FrameFeatures class exists to prevent (workers resolve _try_pil
+    against their own import of the module)."""
     from prom_tsdb_copyer_ray.stages import multimodal as mm
 
     monkeypatch.setattr(mm, "_try_pil", lambda: _FakePIL)
-    monkeypatch.setattr(mm, "_try_ffmpeg", lambda: "/usr/bin/ffmpeg")
     rng = np.random.default_rng(33)
     raster = rng.integers(0, 256, (8, 8), dtype=np.uint8)
     payload = b"FAKE" + raster.tobytes()  # not a pure-decodable magic
@@ -264,12 +264,30 @@ def test_frame_features_real_routes_nonvideo_through_real(monkeypatch):
         "payload": pa.array([payload], pa.binary()),
         "duration_ms": pa.array([0], pa.int32()),
     })
-    out = mm.sample_frame_features(
-        ray.data.from_arrow(t), decoder="real", concurrency=1,
-    ).to_pandas()
+    fx = mm.FrameFeatures(decoder="real")
+    assert fx.fx.decoder == "real"  # routing: PIL present -> inner 'real'
+    out = fx(t).to_pandas()
     want = (mm._grid_pool(raster.astype(np.float64), 4, 4) / 255.0).ravel()
     assert out.loc[0, "n_frames"] == 0
     assert np.allclose(np.asarray(out.loc[0, "embedding"]), want)
+    # without PIL the same constructor falls back to the pure decoder
+    monkeypatch.setattr(mm, "_try_pil", lambda: None)
+    assert mm.FrameFeatures(decoder="real").fx.decoder == "pure"
+
+
+def test_frame_features_actor_pickles_by_reference():
+    """The FrameFeatures actor class must be module-level: a closure
+    class is cloudpickled BY VALUE, dragging the driver's (possibly
+    monkeypatched) module globals into the actor blob — the round-4
+    suite hang.  By-reference pickling keeps the blob tiny and makes
+    workers resolve decoder probes against their own module import."""
+    import pickle
+
+    from prom_tsdb_copyer_ray.stages import multimodal as mm
+
+    blob = pickle.dumps(mm.FrameFeatures)
+    assert len(blob) < 200  # a by-value cloudpickle class blob is KBs
+    assert pickle.loads(blob) is mm.FrameFeatures
 
 
 @pytest.mark.skipif(
