@@ -181,12 +181,18 @@ class MinHashSignatures:
     """
 
     def __init__(self, num_perm: int = 128, num_bands: int = 32, ngram: int = 5,
-                 id_col: str = "doc_id", text_col: str = "text") -> None:
+                 id_col: str = "doc_id", text_col: str = "text",
+                 emit_size: bool = False) -> None:
         self.mh = MinHasher(num_perm=num_perm)
         self.num_bands = num_bands
         self.ngram = ngram
         self.id_col = id_col
         self.text_col = text_col
+        # emit_size: also carry each doc's DISTINCT shingle count on its
+        # band rows (+8 B/row, no extra shuffle) so the bucket stage can
+        # prune candidate pairs with the exact bound
+        # J(A,B) <= min(|A|,|B|)/max(|A|,|B|) before any payload moves
+        self.emit_size = emit_size
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy().astype(np.int64, copy=False)
@@ -194,20 +200,25 @@ class MinHashSignatures:
         n = len(ids)
         nb = self.num_bands
         bhashes = np.empty(n * nb, dtype=np.int64)
+        sizes = np.empty(n, dtype=np.int64) if self.emit_size else None
         # per-doc loop with numpy inner vectorization: the (n_shingles x
         # num_perm) block stays cache-resident — measured faster than any
         # whole-batch reduceat formulation (see hashing.MinHasher note)
         for i, text in enumerate(texts):
-            sig = self.mh.signature(char_ngram_hashes(text or "", self.ngram))
+            h = char_ngram_hashes(text or "", self.ngram)
+            sig = self.mh.signature(h)
             bh = self.mh.band_hashes(sig, nb)
             bhashes[i * nb : (i + 1) * nb] = np.array(bh, dtype=np.uint64).astype(np.int64)
-        return pa.table(
-            {
-                "band": pa.array(np.tile(np.arange(nb, dtype=np.int32), n)),
-                "band_hash": pa.array(bhashes),
-                "doc_id": pa.array(np.repeat(ids, nb)),
-            }
-        )
+            if sizes is not None:
+                sizes[i] = len(np.unique(h))
+        cols = {
+            "band": pa.array(np.tile(np.arange(nb, dtype=np.int32), n)),
+            "band_hash": pa.array(bhashes),
+            "doc_id": pa.array(np.repeat(ids, nb)),
+        }
+        if sizes is not None:
+            cols["n_sh"] = pa.array(np.repeat(sizes, nb))
+        return pa.table(cols)
 
 
 from .common import narrow_fanin as _pair_fanin  # band/pair rows are 16-24 B
@@ -264,18 +275,25 @@ def dedup_pairs_sharded(pairs, num_shards: int = 64, value_col: str | None = Non
 from .common import mix64 as _mix64  # shared avalanche (stages/common.py)
 
 
-def _segment_pairs(sort_keys: tuple[np.ndarray, ...], ids: np.ndarray):
+def _segment_pairs(sort_keys: tuple[np.ndarray, ...], ids: np.ndarray,
+                   vals: np.ndarray | None = None):
     """(a, b) id pairs within each segment of equal sort_keys — ONE lexsort
     for the whole shard, then a Python loop over only the multi-member
     segments (the rare duplicate buckets), numpy triu inside.  This is the
     tiny-group killer: one grouped task handles thousands of LSH buckets
-    instead of one ~5 ms map_groups call per bucket."""
+    instead of one ~5 ms map_groups call per bucket.
+
+    With ``vals`` (a per-row int array aligned with ``ids``, constant per
+    id) also returns (va, vb) per pair — used to carry shingle-set sizes
+    for exact size-ratio pruning."""
     n = len(ids)
+    empty = np.empty(0, np.int64)
     if n < 2:
-        return np.empty(0, np.int64), np.empty(0, np.int64)
+        return (empty, empty) if vals is None else (empty, empty, empty, empty)
     order = np.lexsort((ids,) + sort_keys)
     keys_s = [k[order] for k in sort_keys]
     ids_s = ids[order]
+    vals_s = vals[order] if vals is not None else None
     new = np.zeros(n, dtype=bool)
     new[0] = True
     for k in keys_s:
@@ -283,34 +301,50 @@ def _segment_pairs(sort_keys: tuple[np.ndarray, ...], ids: np.ndarray):
     starts = np.flatnonzero(new)
     ends = np.r_[starts[1:], n]
     multi = (ends - starts) >= 2
-    out_a, out_b = [], []
+    out_a, out_b, out_va, out_vb = [], [], [], []
     for a0, b0 in zip(starts[multi], ends[multi]):
-        u = np.unique(ids_s[a0:b0])
+        u, first = np.unique(ids_s[a0:b0], return_index=True)
         if len(u) < 2:
             continue
         ia, ib = np.triu_indices(len(u), k=1)
         out_a.append(u[ia])
         out_b.append(u[ib])
+        if vals_s is not None:
+            v = vals_s[a0:b0][first]
+            out_va.append(v[ia])
+            out_vb.append(v[ib])
     if not out_a:
-        return np.empty(0, np.int64), np.empty(0, np.int64)
-    return np.concatenate(out_a), np.concatenate(out_b)
+        return (empty, empty) if vals is None else (empty, empty, empty, empty)
+    a_cat, b_cat = np.concatenate(out_a), np.concatenate(out_b)
+    if vals is None:
+        return a_cat, b_cat
+    return a_cat, b_cat, np.concatenate(out_va), np.concatenate(out_vb)
 
 
 def minhash_lsh_pairs(ds, num_perm: int = 128, num_bands: int = 32, ngram: int = 5,
                       id_col: str = "doc_id", text_col: str = "text",
-                      concurrency=(1, 8), num_shards: int = 64):
+                      concurrency=(1, 8), num_shards: int = 64,
+                      size_ratio: float | None = None):
     """Candidate near-dup pairs via MinHash+LSH; distinct (a<b) pairs.
 
     The bucket stage groups by a HASH SHARD of (band, band_hash) — not the
     raw bucket key — so one vectorized task covers thousands of buckets
     (segment boundaries after one lexsort) instead of paying per-tiny-group
     map_groups overhead on ~32 x n_docs mostly-singleton buckets.
-    """
+
+    ``size_ratio``: exact-safe candidate pruning for a downstream Jaccard
+    threshold t — J(A,B) = |A∩B|/|A∪B| <= min(|A|,|B|)/max(|A|,|B|), so any
+    pair whose distinct-shingle-count ratio is < t can NEVER verify at >= t
+    and is dropped INSIDE the bucket stage (sizes ride the band rows; no
+    extra shuffle, no driver state).  LSH banding at r=4 admits ~23% of
+    s=0.3 pairs, so on templated corpora this kills the large majority of
+    candidates before the shingle-payload shuffle and exact verify."""
     band_rows = ds.map_batches(
         MinHashSignatures,
         fn_constructor_kwargs=dict(
             num_perm=num_perm, num_bands=num_bands, ngram=ngram,
             id_col=id_col, text_col=text_col,
+            emit_size=size_ratio is not None,
         ),
         batch_format="pyarrow",
         concurrency=concurrency,
@@ -329,7 +363,18 @@ def minhash_lsh_pairs(ds, num_perm: int = 128, num_bands: int = 32, ngram: int =
         band = group["band"].to_numpy().astype(np.int64, copy=False)
         bh = group["band_hash"].to_numpy().astype(np.int64, copy=False)
         ids = group["doc_id"].to_numpy().astype(np.int64, copy=False)
-        a, b = _segment_pairs((bh, band), ids)
+        if size_ratio is None:
+            a, b = _segment_pairs((bh, band), ids)
+        else:
+            nsh = group["n_sh"].to_numpy().astype(np.int64, copy=False)
+            a, b, va, vb = _segment_pairs((bh, band), ids, vals=nsh)
+            lo = np.minimum(va, vb).astype(np.float64)
+            hi = np.maximum(va, vb).astype(np.float64)
+            # keep iff min/max >= t (hi == 0 means both empty: J = 1,
+            # keep); 1e-12 slack so float division never drops an exact
+            # boundary ratio
+            keep = (hi == 0) | (lo >= (size_ratio - 1e-12) * hi)
+            a, b = a[keep], b[keep]
         return pa.table({"a": pa.array(a), "b": pa.array(b)})
 
     pairs = (
@@ -438,10 +483,12 @@ def _shingle_rows_driver_csr(ds, cand, pair_shards_fn, ngram: int,
         # bytes into every pair shard that needs it, and at a 50k-doc
         # corpus one expanded batch crossed binary()'s int32 offset
         # limit ("offset overflow while concatenating arrays" — found by
-        # the round-4 sf1 sweep)
+        # the round-4 sf1 sweep).  Payloads ship UNIQUE-SORTED (verify
+        # relies on it): smaller bytes on the wire, no re-sort on receipt.
         payloads = pa.array(
             [
-                char_ngram_hashes(t or "", ngram).view(np.int64).tobytes()
+                np.unique(char_ngram_hashes(t or "", ngram))
+                .view(np.int64).tobytes()
                 for t in sel[text_col].to_pylist()
             ],
             pa.large_binary(),
@@ -518,8 +565,10 @@ def _shingle_rows_sharded(ds, cand, pair_shards_fn, ngram: int,
         sel = batch.filter(pa.array(bloom_mask(batch[id_col], w)))
         sid = pc.cast(sel[id_col], pa.int64()).to_numpy(
             zero_copy_only=False)
+        # unique-sorted, matching the CSR fast path (verify relies on it)
         payloads = pa.array(
-            [char_ngram_hashes(t or "", ngram).view(np.int64).tobytes()
+            [np.unique(char_ngram_hashes(t or "", ngram))
+             .view(np.int64).tobytes()
              for t in sel[text_col].to_pylist()],
             pa.large_binary(),
         )
@@ -607,6 +656,7 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.8, ngram: int = 5,
 
     cand = minhash_lsh_pairs(
         ds, ngram=ngram, id_col=id_col, text_col=text_col,
+        size_ratio=threshold,  # exact-safe: J <= min/max size ratio
         **{k: v for k, v in lsh_kw.items() if k in ("num_perm", "num_bands", "concurrency")},
     ).materialize()
     n_cand = cand.count()
@@ -615,18 +665,25 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.8, ngram: int = 5,
     cap = NGRAM_MAX_DRIVER_PAIRS if max_driver_pairs is None \
         else max_driver_pairs
 
-    # Routing map: each pair lives in ONE shard (mix(a,b) % num_shards);
-    # a doc's shingle payload must reach exactly the shards holding its
-    # pairs.  Below the cap: CSR layout (sorted ids, offsets, flat shard
-    # list) built driver-side and broadcast once via ray.put — ints
-    # only.  Above the cap: the same map as a Dataset tag-union
-    # (_shingle_rows_sharded), nothing driver-side.
-    _P = np.uint64(1000003)
+    # Routing map: each pair lives in ONE shard; a doc's shingle payload
+    # must reach exactly the shards holding its pairs.  Shard assignment
+    # is a 2D BLOCK partition — shard(a,b) = (h(a) % NA) * G + h(b) % G —
+    # so a doc's pairs land in at most NA + G ≈ 2*sqrt(num_shards) shards
+    # no matter how many pairs it has (vs min(num_shards, n_pairs) under
+    # flat mix(a,b) hashing: at sf1 every doc shipped its ~8 KB payload
+    # to all 64 shards, a 4x-avoidable shuffle), while a hub doc's pairs
+    # still spread over G shards for skew.  Below the cap: CSR routing
+    # (sorted ids, offsets, flat shard list) built driver-side and
+    # broadcast once via ray.put — ints only.  Above the cap: the same
+    # map as a Dataset tag-union (_shingle_rows_sharded), nothing
+    # driver-side.
+    G = max(1, int(np.sqrt(num_shards)))
+    NA = max(1, num_shards // G)
 
     def pair_shards(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-        with np.errstate(over="ignore"):
-            mix = a.astype(np.uint64) * _P + b.astype(np.uint64)
-        return (mix % np.uint64(num_shards)).astype(np.int64)
+        ha = _mix64(a.astype(np.uint64)) % np.uint64(NA)
+        hb = _mix64(b.astype(np.uint64)) % np.uint64(G)
+        return (ha * np.uint64(G) + hb).astype(np.int64)
 
     if n_cand > cap:
         sh_rows = _shingle_rows_sharded(
@@ -653,7 +710,16 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.8, ngram: int = 5,
 
     def verify(group: pa.Table) -> pa.Table:
         """One pair-shard: payloads for both docs of every pair are present;
-        exact Jaccard, keep >= threshold."""
+        exact Jaccard, keep >= threshold.
+
+        Vectorized: each payload is uniqued/sorted ONCE per doc (not once
+        per pair it appears in), then pairs are grouped by their ``a`` doc
+        and each run issues a single batched ``searchsorted`` of all its
+        ``b``-side shingles into the shared sorted ``a`` payload, with a
+        cumsum segment fold — O(P_doc log S) numpy calls per distinct doc
+        instead of a Python sort-per-pair loop (the sf1 battery's dominant
+        cost: intra-replica near-dup clusters make pairs quadratic in
+        replica count while docs stay linear)."""
         if group.num_rows == 0:
             return pa.table(_EMPTY_PAIRS)
         # filter BEFORE to_numpy: a null-bearing int64 column converts to
@@ -664,10 +730,13 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.8, ngram: int = 5,
         order = np.argsort(keys, kind="stable")
         keys_s = keys[order]
         payload_col = sh["payload"].take(pa.array(order))
+        # payloads arrive unique-sorted from the shingle builders
         payloads = [
             np.frombuffer(p, dtype=np.int64).view(np.uint64)
             for p in payload_col.to_pylist()
         ]
+        sizes = np.fromiter((len(p) for p in payloads), np.int64,
+                            count=len(payloads))
         pr = group.filter(pc.invert(is_sh))
         a = pr["a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = pr["b"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -680,20 +749,41 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.8, ngram: int = 5,
             return pos
 
         pos_a, pos_b = locate(a), locate(b)
-        keep_a, keep_b, sims = [], [], []
-        for i in range(len(a)):
-            if pos_a[i] < 0 or pos_b[i] < 0:  # doc missing (shouldn't happen)
+        ok = (pos_a >= 0) & (pos_b >= 0)  # doc missing (shouldn't happen)
+        a, b, pos_a, pos_b = a[ok], b[ok], pos_a[ok], pos_b[ok]
+        if len(a) == 0:
+            return pa.table(_EMPTY_PAIRS)
+
+        # group pairs by a-doc: one searchsorted per run, segment-folded
+        run_order = np.argsort(pos_a, kind="stable")
+        pa_s, pb_s = pos_a[run_order], pos_b[run_order]
+        starts = np.flatnonzero(np.r_[True, pa_s[1:] != pa_s[:-1]])
+        ends = np.r_[starts[1:], len(pa_s)]
+        inter_s = np.zeros(len(pa_s), np.int64)
+        for s, e in zip(starts, ends):
+            hay = payloads[pa_s[s]]
+            segs = [payloads[k] for k in pb_s[s:e]]
+            lens = sizes[pb_s[s:e]]
+            if len(hay) == 0 or lens.sum() == 0:
                 continue
-            sim = jaccard(payloads[pos_a[i]], payloads[pos_b[i]])
-            if sim >= threshold:
-                keep_a.append(int(a[i]))
-                keep_b.append(int(b[i]))
-                sims.append(sim)
+            needles = segs[0] if e - s == 1 else np.concatenate(segs)
+            idx = np.searchsorted(hay, needles)
+            idx[idx >= len(hay)] = 0
+            hits = hay[idx] == needles
+            csum = np.r_[0, np.cumsum(hits, dtype=np.int64)]
+            offs = np.r_[0, np.cumsum(lens)]
+            inter_s[s:e] = csum[offs[1:]] - csum[offs[:-1]]
+        inter = np.empty_like(inter_s)
+        inter[run_order] = inter_s  # back to input pair order
+        union = sizes[pos_a] + sizes[pos_b] - inter
+        sims = np.where(union == 0, 1.0,
+                        inter / np.maximum(union, 1))
+        keep = sims >= threshold
         return pa.table(
             {
-                "a": pa.array(keep_a, pa.int64()),
-                "b": pa.array(keep_b, pa.int64()),
-                "jaccard": pa.array(sims, pa.float64()),
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(b[keep], pa.int64()),
+                "jaccard": pa.array(sims[keep], pa.float64()),
             }
         )
 
