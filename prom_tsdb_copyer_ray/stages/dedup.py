@@ -1089,12 +1089,19 @@ def _seg_bounds(length: int, d: int) -> list[tuple[int, int]]:
     ]
 
 
-def _lev_batch(a_list: list[bytes], b_list: list[bytes]) -> np.ndarray:
+def _lev_batch(a_list: list[bytes], b_list: list[bytes],
+               cap: int | None = None) -> np.ndarray:
     """Levenshtein distance for N byte-string pairs, vectorized over the
     PAIR axis: the classic DP grid is walked once (len_a x len_b scalar
     steps, strings are short keys), each cell updating an N-vector.
     O(N * La * Lb) total work but only La*Lb numpy dispatches.  BYTE-level
-    edits — the DuckDB ``levenshtein`` convention."""
+    edits — the DuckDB ``levenshtein`` convention.
+
+    With ``cap`` set, the DP is BAND-LIMITED to |i - j| <= cap: any
+    alignment leaving the band costs > cap edits, so distances <= cap are
+    exact and larger ones are reported as cap + 1 — 2*cap+1 column
+    dispatches per row instead of len_b (a ~6x cut at the max_dist=2 /
+    key_len=32 defaults of :func:`edit_distance_pairs`)."""
     n = len(a_list)
     if n == 0:
         return np.empty(0, np.int64)
@@ -1112,14 +1119,27 @@ def _lev_batch(a_list: list[bytes], b_list: list[bytes]) -> np.ndarray:
     out = np.empty(n, np.int64)
     done = la == 0
     out[done] = lb[done]
+    big = (cap + 1) if cap is not None else (ma + mb + 1)
     prev = np.broadcast_to(np.arange(mb + 1, dtype=np.int64), (n, mb + 1)).copy()
+    if cap is not None:
+        np.minimum(prev, big, out=prev)
+        out[done] = np.minimum(out[done], big)
     for i in range(1, ma + 1):
-        cur = np.empty_like(prev)
-        cur[:, 0] = i
+        jlo = max(1, i - cap) if cap is not None else 1
+        jhi = min(mb, i + cap) if cap is not None else mb
+        if cap is not None:
+            cur = np.full_like(prev, big)
+            if i <= cap:
+                cur[:, 0] = i
+        else:
+            cur = np.empty_like(prev)
+            cur[:, 0] = i
         ai = A[:, i - 1]
-        for j in range(1, mb + 1):
+        for j in range(jlo, jhi + 1):
             sub = prev[:, j - 1] + (ai != B[:, j - 1])
             cur[:, j] = np.minimum(np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1), sub)
+            if cap is not None:
+                np.minimum(cur[:, j], big, out=cur[:, j])
         hit = la == i
         if hit.any():
             out[hit] = cur[hit, lb[hit]]
@@ -1237,7 +1257,7 @@ def edit_distance_pairs(ds, max_dist: int = 2, key_len: int = 32,
                     pair_b.append(p[1])
                     ka.append(keys[ci])
                     kb.append(keys[wi])
-        dist = _lev_batch(ka, kb)
+        dist = _lev_batch(ka, kb, cap=d)  # banded: exact for dist <= d
         keep = dist <= d
         return pa.table({
             "a": pa.array(np.array(pair_a, np.int64)[keep], pa.int64()),

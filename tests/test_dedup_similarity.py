@@ -493,6 +493,39 @@ def test_edit_distance_pairs_vs_bruteforce(ray_session):
     assert got == want
 
 
+def test_lev_batch_banded_matches_full():
+    """Band-limited DP (cap=k) equals min(true distance, k+1) for every
+    cap, including 0 and caps larger than the true distance — randomized
+    edit scripts over varied-length byte keys, plus the uncapped path."""
+    import random
+
+    from prom_tsdb_copyer_ray.stages.dedup import _lev_batch
+
+    rng = random.Random(7)
+    A, B = [], []
+    for _ in range(400):
+        n = rng.randint(0, 40)
+        s = bytes(rng.randint(97, 102) for _ in range(n))
+        t = bytearray(s)
+        for _ in range(rng.randint(0, 6)):
+            op = rng.random()
+            if op < 0.34 and t:
+                t[rng.randrange(len(t))] = rng.randint(97, 102)
+            elif op < 0.67 and t:
+                del t[rng.randrange(len(t))]
+            else:
+                t.insert(rng.randrange(len(t) + 1), rng.randint(97, 102))
+        A.append(s)
+        B.append(bytes(t))
+    exact = np.array([_lev_ref(a.decode("latin1"), b.decode("latin1"))
+                      for a, b in zip(A, B)])
+    np.testing.assert_array_equal(_lev_batch(A, B), exact)
+    for cap in (0, 1, 2, 3, 5, 50):
+        np.testing.assert_array_equal(
+            _lev_batch(A, B, cap=cap), np.minimum(exact, cap + 1),
+            err_msg=f"cap={cap}")
+
+
 def test_resize_media_stage(ray_session):
     """Images normalize to the target dims with a payload+dims hash;
     non-images pass through with original dims and a payload-only hash;
