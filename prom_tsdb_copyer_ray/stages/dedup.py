@@ -205,12 +205,14 @@ class MinHashSignatures:
         # num_perm) block stays cache-resident — measured faster than any
         # whole-batch reduceat formulation (see hashing.MinHasher note)
         for i, text in enumerate(texts):
-            h = char_ngram_hashes(text or "", self.ngram)
+            # unique first: MinHash is set-based (duplicates never change
+            # the min), and the n x num_perm multiply is the kernel's cost
+            h = np.unique(char_ngram_hashes(text or "", self.ngram))
             sig = self.mh.signature(h)
             bh = self.mh.band_hashes(sig, nb)
             bhashes[i * nb : (i + 1) * nb] = np.array(bh, dtype=np.uint64).astype(np.int64)
             if sizes is not None:
-                sizes[i] = len(np.unique(h))
+                sizes[i] = len(h)
         cols = {
             "band": pa.array(np.tile(np.arange(nb, dtype=np.int32), n)),
             "band_hash": pa.array(bhashes),
