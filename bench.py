@@ -289,6 +289,40 @@ def _spill_stats_mb() -> float | None:
     return float(hits[-1]) if hits else None
 
 
+def load_prior_detail(repo_dir: str) -> dict:
+    """Prior-round per-query timings for the regression gate.
+
+    Source of truth is the last *committed* BENCH_DETAIL.json
+    (``git show HEAD:BENCH_DETAIL.json``), NOT the on-disk file: a re-run
+    within a round overwrites the on-disk detail first and would then
+    self-compare, hiding every regression (round-4 verdict: the gate
+    missed bloom_lookup 1.89x exactly this way).  ``BENCH_PRIOR_DETAIL``
+    overrides (tests / explicit cross-round diffs); the working-tree file
+    is the last-resort fallback for non-git checkouts.
+    """
+    override = os.environ.get("BENCH_PRIOR_DETAIL")
+    if override:
+        try:
+            with open(override) as fh:
+                return json.load(fh).get("queries", {})
+        except (FileNotFoundError, json.JSONDecodeError):
+            return {}
+    try:
+        proc = subprocess.run(
+            ["git", "-C", repo_dir, "show", "HEAD:BENCH_DETAIL.json"],
+            capture_output=True, text=True, timeout=30,
+        )
+        if proc.returncode == 0 and proc.stdout.strip():
+            return json.loads(proc.stdout).get("queries", {})
+    except (OSError, subprocess.TimeoutExpired, json.JSONDecodeError):
+        pass
+    try:
+        with open(os.path.join(repo_dir, "BENCH_DETAIL.json")) as fh:
+            return json.load(fh).get("queries", {})
+    except (FileNotFoundError, json.JSONDecodeError):
+        return {}
+
+
 def find_regressions(queries: dict, prior: dict,
                      ratio: float = 1.5, floor_s: float = 0.5) -> list:
     """Queries that got > ``ratio`` x slower than the prior round's
@@ -344,7 +378,14 @@ def main() -> None:
         lo, hi = (int(x) for x in args.scaling_cpus.split(","))
         assert hi == 4 * lo, "scaling pair must be N,4N"
         results = {}
+        leg_loads = {}
+        # load-audit protocol (BASELINE.md): criterion measurements are valid
+        # only at ambient 1-min load < ~2 at leg start — this VM's run-to-run
+        # throughput varies ~2x under contention.  Stamp the load into the
+        # JSON and auto-verdict the attempt instead of auditing by hand.
+        load_bar = float(os.environ.get("GRAFT_SCALING_LOAD_BAR", "2.0"))
         for cpus in (lo, hi):
+            leg_loads[cpus] = round(os.getloadavg()[0], 2)
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--flagship-only",
                  "--cpus", str(cpus), "--sf-dir", args.sf_dir,
@@ -356,6 +397,8 @@ def main() -> None:
         tp8 = results[lo]["pages_per_s"]
         tp32 = results[hi]["pages_per_s"]
         eff = (tp32 / tp8) / 4
+        max_load = max(leg_loads.values())
+        verdict = "clean" if max_load < load_bar else "contaminated"
         print(json.dumps({
             "metric": f"flagship rollup throughput scaling, num_cpus {lo} -> {hi}",
             "unit": "pages/s",
@@ -372,6 +415,9 @@ def main() -> None:
             "scaling_efficiency": round(eff, 3),
             "peak_rss_n_mb": results[lo].get("peak_rss_mb"),
             "peak_rss_4n_mb": results[hi].get("peak_rss_mb"),
+            "load": {str(lo): leg_loads[lo], str(hi): leg_loads[hi]},
+            "load_bar": load_bar,
+            "verdict": verdict,
         }))
         return
 
@@ -436,14 +482,9 @@ def main() -> None:
         # query that got >1.5x slower.  The absolute floor (0.5 s) keeps
         # sub-second queries' host-variance jitter out of the list — the
         # judge's manual round-over-round diff used the same 1.5x bar.
-        detail_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
-        prior_path = os.environ.get("BENCH_PRIOR_DETAIL", detail_path)
-        try:
-            with open(prior_path) as fh:
-                prior = json.load(fh).get("queries", {})
-        except (FileNotFoundError, json.JSONDecodeError):
-            prior = {}
+        repo_dir = os.path.dirname(os.path.abspath(__file__))
+        detail_path = os.path.join(repo_dir, "BENCH_DETAIL.json")
+        prior = load_prior_detail(repo_dir)
         regressions = find_regressions(queries, prior)
         # bounded in the driver-parsed line; full list in the sidecar
         headline["regressions"] = regressions[:10]

@@ -508,6 +508,23 @@ def _shingle_rows_driver_csr(ds, cand, pair_shards_fn, ngram: int,
     return ds.map_batches(shingle_rows, batch_format="pyarrow")
 
 
+def _bloom_bits_for(n_cand: int | None) -> int:
+    """Size the escalation's candidate-id Bloom prefilter from the
+    candidate-pair count instead of a fixed bitmap (round-3 ADVICE item 4):
+    ~20 bits per distinct id (<= 2 ids per pair, 4 hashes -> FP rate
+    ~= (1 - e^{-4/20})^4 ~ 0.1%), rounded up to a power of two.  Floor
+    1<<24 bits (2 MB — below that the broadcast is free anyway), cap
+    1<<30 bits (128 MB, the largest bitmap worth shipping to every
+    worker; past it the FP rate degrades gracefully, costing only
+    shipped shingle bytes, never correctness — ``expand`` drops
+    unmatched keys)."""
+    bits = 1 << 24
+    if n_cand is not None:
+        while bits < min(20 * max(n_cand, 1) * 2, 1 << 30):
+            bits <<= 1
+    return bits
+
+
 def _shingle_rows_sharded(ds, cand, pair_shards_fn, ngram: int,
                           id_col: str, text_col: str,
                           num_shards: int, route_shards: int = 64,
@@ -527,16 +544,7 @@ def _shingle_rows_sharded(ds, cand, pair_shards_fn, ngram: int,
     from .common import narrow_fanin
     from .joins import bloom_mask, build_bloom
 
-    # Size the candidate-id prefilter from the candidate count (~10 bits
-    # per distinct id, <= 2 ids per pair) instead of a fixed 16M-bit
-    # bitmap: past the >20M-pair escalation scale a fixed bloom's FP
-    # rate grows and non-candidate docs compute + ship shingle payloads
-    # for nothing (cost only — expand drops unmatched keys).  Floor at
-    # 1<<24 bits (2 MB), cap at 1<<30 bits (128 MB broadcast).
-    bits = 1 << 24
-    if n_cand is not None:
-        while bits < min(20 * max(n_cand, 1) * 2, 1 << 30):
-            bits <<= 1
+    bits = _bloom_bits_for(n_cand)
     words = build_bloom(cand, "a", num_bits=bits) \
         | build_bloom(cand, "b", num_bits=bits)
     words_ref = ray.put(words)
