@@ -41,6 +41,18 @@ def test_new_and_missing_queries_ignored():
     assert regs == []
 
 
+def test_cold_build_annotation():
+    # a regression whose run built its persisted /tmp index is annotated,
+    # not suppressed: the r04 ivf_index_topk/bloom_lookup 'regressions'
+    # were cold index builds (3.10 s cold vs 0.52 s warm back-to-back)
+    prior = {"ivf": 1.0, "real": 1.0}
+    now = {"ivf": 3.1, "real": 2.0}
+    regs = find_regressions(now, prior, cold_builds=["ivf"])
+    by_name = {r["query"]: r for r in regs}
+    assert by_name["ivf"]["cold_build"] is True
+    assert "cold_build" not in by_name["real"]
+
+
 def test_worst_first_ordering():
     prior = {"a": 1.0, "b": 1.0}
     now = {"a": 2.0, "b": 5.0}
