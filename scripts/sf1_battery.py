@@ -35,7 +35,7 @@ def main() -> None:
     import bench
 
     t0 = time.monotonic()
-    queries = bench.run_queries(sf_dir)
+    queries, cold_builds = bench.run_queries(sf_dir)
     total = time.monotonic() - t0
 
     try:
@@ -60,6 +60,7 @@ def main() -> None:
         "num_cpus": 32,
         "n_queries": len(queries),
         "total_s": round(total, 1),
+        "cold_builds": cold_builds,
         "superlinear_vs_10x_sf01": superlinear,
         "queries": {k: queries[k] for k in sorted(queries)},
     }

@@ -52,3 +52,18 @@ def test_simulated_multinode_flagship():
     assert out["tiers"]["5m"]["status"] == "complete"
     assert out["tiers"]["1h"]["status"] == "complete"
     assert out["tiers"]["1d"]["status"] == "complete"
+
+
+@pytest.mark.scale
+def test_simulated_multinode_battery_subset():
+    """Battery queries (top-5 by committed single-store time) on a
+    2-raylet simulated cluster at sf0.001: every oracled query in the
+    subset must match its DuckDB oracle byte-for-byte even when its
+    shuffles cross object stores (round-4 verdict item 5)."""
+    out = _run("multinode-battery", "--cpus", "8", "--nodes", "2",
+               "--store-gb", "0.6", "--top", "5")
+    assert out["n_nodes"] == 2
+    assert out["n_queries"] == 5
+    assert out["n_oracled"] >= 1
+    assert out["n_oracle_failures"] == 0, out["failures"]
+    assert out["total_s"] > 0
