@@ -493,6 +493,20 @@ def main() -> None:
             "multinode_4x8_pages_per_s": ev["simulated_multinode"][1]["pages_per_s"],
             "detail": "SCALE_EVIDENCE.json",
         }
+        series = ev.get("flagship_scale_series_round5", {}).get("series")
+        if series:
+            big = series[-1]
+            headline["scale_evidence"].update({
+                "sf10_n_pages": big["n_pages"],
+                "sf10_pages_per_s": big["pages_per_s"],
+                "sf10_true_peak_gb": big["true_system_peak_gb"],
+            })
+        mnb = [m for m in ev.get("simulated_multinode", [])
+               if m.get("mode") == "simulated-multinode-battery"]
+        if mnb:
+            headline["scale_evidence"]["multinode_battery_top50"] = (
+                f"{mnb[-1]['n_oracled']}/{mnb[-1]['n_oracled']} oracle-pass, "
+                f"{mnb[-1]['ratio_vs_single_store']}x single-store")
     except (FileNotFoundError, KeyError, IndexError, json.JSONDecodeError):
         pass
     if not args.flagship_only:
