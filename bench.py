@@ -404,6 +404,15 @@ def main() -> None:
         # JSON and auto-verdict the attempt instead of auditing by hand.
         load_bar = float(os.environ.get("GRAFT_SCALING_LOAD_BAR", "2.0"))
         for cpus in (lo, hi):
+            # bounded cool-down: the 1-min average needs ~1-2 min to shed
+            # the PREVIOUS leg's own tail — without this every second leg
+            # reads its predecessor's residue and the verdict measures the
+            # attempt itself, not ambient contention.  Genuine ambient load
+            # won't decay, so the bar still trips after the wait.
+            deadline = time.monotonic() + 240
+            while (os.getloadavg()[0] >= load_bar
+                   and time.monotonic() < deadline):
+                time.sleep(10)
             leg_loads[cpus] = round(os.getloadavg()[0], 2)
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--flagship-only",
